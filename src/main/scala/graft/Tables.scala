@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet test tables (TESTDATA.md).
+  *
+  * All `SparkEntry.queries` read through here so that filter/projection
+  * pushdown reaches the parquet scan (Catalyst prunes columns and pushes
+  * predicates automatically on `spark.read.parquet`). At cluster scale the
+  * same code path works over a directory of many files: Spark splits by
+  * `spark.sql.files.maxPartitionBytes`, so a 100 TB table simply yields
+  * more input partitions — nothing here assumes single-file input.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every test table as a temp view (for spark.sql-style queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
