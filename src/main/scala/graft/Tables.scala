@@ -17,7 +17,20 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects. Read nanos as long (legacy conf) and convert to a
+    * microsecond timestamp — the testdata is microsecond-exact
+    * (epoch_ns % 1000 == 0 for every row), so this matches the DuckDB
+    * oracle's TIMESTAMP_NS values exactly. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
 
   /** Register every test table as a temp view (for spark.sql-style queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -17,12 +17,16 @@ import graft.Tables.t
   *    exact and independent of partition/accumulation order, then cast
   *    back to double (same shape in the oracle SQL);
   *  - sums over integral-valued doubles (e.g. l_quantity) stay double —
-  *    exact for any order at these magnitudes.
+  *    exact for any order at these magnitudes;
+  *  - derived statistics (stddev/variance/corr) are computed from exact
+  *    decimal power sums with an identical final double expression on both
+  *    sides, so the IEEE-754 result is bit-identical regardless of each
+  *    engine's internal accumulation order.
   */
 object Relational {
 
   /** sum(cents-valued double) exactly: via decimal, back to double. */
-  private def dsum(c: org.apache.spark.sql.Column) =
+  private def dsum(c: Column) =
     sum(c.cast("decimal(18,2)")).cast("double")
 
   // --- Aggregation ---------------------------------------------------------
@@ -56,7 +60,173 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  // --- Join (inner equi) ---------------------------------------------------
+  /** COUNT/SUM DISTINCT + plain agg in one pass: Spark plans expand +
+    * two-phase agg; distinct keys shuffle once on (group, value). */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        countDistinct($"o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        min($"o_orderdate").as("first_order"),
+        max($"o_orderdate").as("last_order"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val aggDistinctSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(*) AS n_orders,
+      |  MIN(o_orderdate) AS first_order,
+      |  MAX(o_orderdate) AS last_order
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Derived statistics from exact decimal power sums: stddev/variance via
+    * sum(x), sum(x^2), n — the final double expression is identical on both
+    * engines, so results are bit-exact and independent of partition order
+    * (a plain stddev_samp would differ in the last ulps per accumulation
+    * order). Demonstrates multi-aggregate partial/final hash agg. */
+  def aggStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = $"c_acctbal".cast("decimal(18,2)")
+    t(s, dir, "customer")
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("s1"),
+        sum(x * x).cast("double").as("s2"))
+      .select($"c_mktsegment", $"n",
+        ($"s1" / $"n").as("mean_bal"),
+        sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).as("stddev_bal"),
+        (($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).as("var_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val aggStatsSql: String =
+    """WITH s AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      |  FROM customer GROUP BY c_mktsegment)
+      |SELECT c_mktsegment, n, s1 / n AS mean_bal,
+      |  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_bal,
+      |  (s2 - s1 * s1 / n) / (n - 1) AS var_bal
+      |FROM s ORDER BY c_mktsegment""".stripMargin
+
+  /** HAVING: post-aggregation filter — Catalyst plans it as Filter above
+    * Aggregate; only qualifying groups survive the final stage. */
+  def aggHaving(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("spend"))
+      .filter($"n_orders" >= 5)
+      .orderBy($"spend".desc, $"o_custkey")
+      .limit(50)
+  }
+
+  val aggHavingSql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5
+      |ORDER BY spend DESC, o_custkey LIMIT 50""".stripMargin
+
+  /** ROLLUP: hierarchical subtotals (nation → region → grand total) in one
+    * pass via Expand; at scale this is one shuffle, not three queries. */
+  def rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup($"n_regionkey", $"n_name")
+      .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("total_bal"))
+      .orderBy($"n_regionkey".asc_nulls_last, $"n_name".asc_nulls_last)
+  }
+
+  val rollupSql: String =
+    """SELECT n_regionkey, n_name, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_regionkey, n_name)
+      |ORDER BY n_regionkey ASC NULLS LAST, n_name ASC NULLS LAST""".stripMargin
+
+  /** CUBE over two independent dims + GROUPING() to label subtotal rows. */
+  def cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), grouping($"o_orderstatus").as("g_status"),
+        grouping($"o_orderpriority").as("g_prio"))
+      .orderBy($"o_orderstatus".asc_nulls_last, $"o_orderpriority".asc_nulls_last)
+  }
+
+  val cubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin
+
+  /** Explicit GROUPING SETS (SQL path — parsed by Spark's own parser,
+    * planned through the same Expand operator as cube/rollup). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+      |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
+
+  // --- Filters / predicates -------------------------------------------------
+
+  /** Predicate family sweep: BETWEEN, IN, LIKE, CASE — all pushed to the
+    * parquet scan where possible (PushedFilters in .explain). */
+  def filterPredicates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .filter($"p_size".between(10, 30) &&
+        $"p_brand".isin("Brand#1", "Brand#2", "Brand#3") &&
+        $"p_type".like("%O%"))
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_size",
+        when($"p_retailprice" > 1500, "premium")
+          .when($"p_retailprice" > 1000, "standard")
+          .otherwise("budget").as("price_tier"))
+      .orderBy($"p_partkey")
+  }
+
+  val filterPredicatesSql: String =
+    """SELECT p_partkey, p_name, p_brand, p_size,
+      |  CASE WHEN p_retailprice > 1500 THEN 'premium'
+      |       WHEN p_retailprice > 1000 THEN 'standard'
+      |       ELSE 'budget' END AS price_tier
+      |FROM part
+      |WHERE p_size BETWEEN 10 AND 30
+      |  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      |  AND p_type LIKE '%O%'
+      |ORDER BY p_partkey""".stripMargin
+
+  /** DISTINCT projection = aggregate-without-aggregates; shuffles only the
+    * two key columns after scan-level column pruning. */
+  def distinctQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .select($"c_mktsegment", $"c_nationkey")
+      .distinct()
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  val distinctSql: String =
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  // --- Joins ----------------------------------------------------------------
 
   /** Orders ⋈ customer with a small dimension side: `broadcast()` avoids
     * shuffling the fact table — at 100 TB the orders side never moves. */
@@ -76,7 +246,188 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
-  // --- Sort / limit (top-k) -------------------------------------------------
+  /** LEFT OUTER: every customer row survives; customers with no orders get
+    * null-extended order columns (counted via the null-safe aggregate). */
+  def joinLeft(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy($"c_custkey", $"c_mktsegment")
+      .agg(count($"o_orderkey").as("n_orders"),
+        coalesce(dsum($"o_totalprice"), lit(0.0)).as("spend"))
+      .orderBy($"c_custkey")
+      .limit(100)
+  }
+
+  val joinLeftSql: String =
+    """SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+      |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey LIMIT 100""".stripMargin
+
+  /** RIGHT OUTER (mirror of left — planner canonicalizes to a left join
+    * with sides swapped). */
+  def joinRight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .groupBy($"c_nationkey")
+      .agg(count($"o_orderkey").as("n_orders"), count(lit(1)).as("n_rows"))
+      .orderBy($"c_nationkey")
+  }
+
+  val joinRightSql: String =
+    """SELECT c_nationkey, COUNT(o_orderkey) AS n_orders, COUNT(*) AS n_rows
+      |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** FULL OUTER with asymmetric sides: positive-balance customers vs the
+    * per-customer order rollup — rows appear with nulls on either side. */
+  def joinFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer").filter($"c_acctbal" > 0)
+      .select($"c_custkey", $"c_acctbal")
+    val oa = t(s, dir, "orders").groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    c.join(oa, c("c_custkey") === oa("o_custkey"), "full")
+      .select(
+        coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        $"c_acctbal".isNotNull.as("has_balance_row"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"))
+      .orderBy($"custkey")
+      .limit(200)
+  }
+
+  val joinFullSql: String =
+    """WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0),
+      |  oa AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+      |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+      |  c_acctbal IS NOT NULL AS has_balance_row,
+      |  COALESCE(n_orders, 0) AS n_orders
+      |FROM c FULL JOIN oa ON c_custkey = o_custkey
+      |ORDER BY custkey LIMIT 200""".stripMargin
+
+  /** LEFT SEMI: customers that placed at least one urgent order — probe side
+    * streams, build side deduplicates; no row multiplication ever. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_mktsegment")
+      .orderBy($"c_custkey")
+      .limit(100)
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey LIMIT 100""".stripMargin
+
+  /** LEFT ANTI: customers that never placed an urgent order (the filter on
+    * the build side makes the result non-trivial — every customer has SOME
+    * order in this data). */
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      .orderBy($"c_custkey")
+      .limit(200)
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey LIMIT 200""".stripMargin
+
+  /** CROSS JOIN (bounded sides): region × nation grid. */
+  def joinCross(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = t(s, dir, "region").select($"r_regionkey", $"r_name")
+    val n = t(s, dir, "nation").select($"n_nationkey", $"n_name")
+    r.crossJoin(n)
+      .select($"r_regionkey", $"n_nationkey", $"r_name", $"n_name")
+      .orderBy($"r_regionkey", $"n_nationkey")
+  }
+
+  val joinCrossSql: String =
+    """SELECT r_regionkey, n_nationkey, r_name, n_name
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_regionkey, n_nationkey""".stripMargin
+
+  /** Theta (non-equi) self-join: nation pairs within a region — the
+    * inequality keeps it a nested-loop join over a broadcast side; the
+    * equality on n_regionkey bounds the blow-up. */
+  def joinTheta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n1 = t(s, dir, "nation").as("n1")
+    val n2 = t(s, dir, "nation").as("n2")
+    n1.join(n2, $"n1.n_regionkey" === $"n2.n_regionkey" &&
+        $"n1.n_nationkey" < $"n2.n_nationkey")
+      .select($"n1.n_regionkey".as("regionkey"),
+        $"n1.n_name".as("nation_a"), $"n2.n_name".as("nation_b"))
+      .orderBy($"regionkey", $"nation_a", $"nation_b")
+  }
+
+  val joinThetaSql: String =
+    """SELECT n1.n_regionkey AS regionkey, n1.n_name AS nation_a, n2.n_name AS nation_b
+      |FROM nation n1 JOIN nation n2
+      |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+      |ORDER BY regionkey, nation_a, nation_b""".stripMargin
+
+  /** Equi-join with a range residual (band join): lineitem ⋈ part on key
+    * plus a quantity/size band — the equi key drives the hash join, the
+    * band is a cheap residual filter (no blow-up at any scale). */
+  def joinRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey") &&
+        l("l_quantity").between(p("p_size") - 5, p("p_size") + 5))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_in_band"), sum($"l_quantity").as("qty_in_band"))
+      .orderBy($"p_brand")
+  }
+
+  val joinRangeSql: String =
+    """SELECT p_brand, COUNT(*) AS n_in_band, SUM(l_quantity) AS qty_in_band
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Multi-way star join: fact (lineitem) against three broadcast dims in
+    * one pipeline — at cluster scale only the fact side streams. */
+  def joinMultiway(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name")
+      .agg(dsum($"l_extendedprice").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy($"r_name")
+  }
+
+  val joinMultiwaySql: String =
+    """SELECT r_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // --- Sort / limit / offset ------------------------------------------------
 
   /** ORDER BY + LIMIT fuses into TakeOrderedAndProject: each partition keeps
     * a k-sized heap, only k rows per partition reach the driver — no global
@@ -93,15 +444,133 @@ object Relational {
     """SELECT o_orderkey, o_totalprice, o_orderdate
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
 
+  /** LIMIT + OFFSET pagination over a total order. */
+  def limitOffset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      .offset(20)
+      .limit(10)
+  }
+
+  val limitOffsetSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10 OFFSET 20""".stripMargin
+
+  // --- Subqueries / CTEs ----------------------------------------------------
+
+  /** Scalar subquery: orders above the global average price. Spark plans the
+    * aggregate as a broadcast scalar (one extra tiny job), not a per-row
+    * recompute. */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin)
+  }
+
+  val scalarSubquerySql: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin
+
+  /** Correlated subquery (decorrelated by Catalyst to a join): customers
+    * whose balance exceeds their nation's average. */
+  def correlatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM customer c1
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) + 2000 FROM customer c2
+        |                   WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val correlatedSubquerySql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal
+      |FROM customer c1
+      |WHERE c_acctbal > (SELECT AVG(c_acctbal) + 2000 FROM customer c2
+      |                   WHERE c2.c_nationkey = c1.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** CTE pipeline: two named stages composed (Spark inlines them — no
+    * materialization barrier, full pushdown through the CTE boundary). */
+  def cte(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """WITH big_orders AS (
+        |  SELECT o_custkey, COUNT(*) AS n FROM orders
+        |  WHERE o_totalprice > 100000 GROUP BY o_custkey),
+        |seg AS (SELECT c_custkey, c_mktsegment FROM customer)
+        |SELECT c_mktsegment, SUM(n) AS big_order_count
+        |FROM big_orders JOIN seg ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val cteSql: String =
+    """WITH big_orders AS (
+      |  SELECT o_custkey, COUNT(*) AS n FROM orders
+      |  WHERE o_totalprice > 100000 GROUP BY o_custkey),
+      |seg AS (SELECT c_custkey, c_mktsegment FROM customer)
+      |SELECT c_mktsegment, SUM(n) AS big_order_count
+      |FROM big_orders JOIN seg ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
+    "q_agg_distinct" -> aggDistinct,
+    "q_agg_stats" -> aggStats,
+    "q_agg_having" -> aggHaving,
+    "q_rollup" -> rollup,
+    "q_cube" -> cube,
+    "q_grouping_sets" -> groupingSets,
+    "q_filter_predicates" -> filterPredicates,
+    "q_distinct" -> distinctQ,
     "q_join_inner" -> joinInner,
-    "q_sort_limit" -> sortLimit)
+    "q_join_left" -> joinLeft,
+    "q_join_right" -> joinRight,
+    "q_join_full" -> joinFull,
+    "q_join_semi" -> joinSemi,
+    "q_join_anti" -> joinAnti,
+    "q_join_cross" -> joinCross,
+    "q_join_theta" -> joinTheta,
+    "q_join_range" -> joinRange,
+    "q_join_multiway" -> joinMultiway,
+    "q_sort_limit" -> sortLimit,
+    "q_limit_offset" -> limitOffset,
+    "q_scalar_subquery" -> scalarSubquery,
+    "q_correlated_subquery" -> correlatedSubquery,
+    "q_cte" -> cte)
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
+    "q_agg_distinct" -> aggDistinctSql,
+    "q_agg_stats" -> aggStatsSql,
+    "q_agg_having" -> aggHavingSql,
+    "q_rollup" -> rollupSql,
+    "q_cube" -> cubeSql,
+    "q_grouping_sets" -> groupingSetsSql,
+    "q_filter_predicates" -> filterPredicatesSql,
+    "q_distinct" -> distinctSql,
     "q_join_inner" -> joinInnerSql,
-    "q_sort_limit" -> sortLimitSql)
+    "q_join_left" -> joinLeftSql,
+    "q_join_right" -> joinRightSql,
+    "q_join_full" -> joinFullSql,
+    "q_join_semi" -> joinSemiSql,
+    "q_join_anti" -> joinAntiSql,
+    "q_join_cross" -> joinCrossSql,
+    "q_join_theta" -> joinThetaSql,
+    "q_join_range" -> joinRangeSql,
+    "q_join_multiway" -> joinMultiwaySql,
+    "q_sort_limit" -> sortLimitSql,
+    "q_limit_offset" -> limitOffsetSql,
+    "q_scalar_subquery" -> scalarSubquerySql,
+    "q_correlated_subquery" -> correlatedSubquerySql,
+    "q_cte" -> cteSql)
 }
