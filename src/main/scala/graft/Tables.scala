@@ -29,7 +29,7 @@ object Tables {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
   /** Register every test table as a temp view (for spark.sql-style queries). */

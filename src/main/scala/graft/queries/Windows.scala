@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Window-function coverage (SURVEY.md §2b "Window functions"): ranking,
+  * offset (lag/lead), value (first/last/nth), and aggregates-over-windows
+  * with explicit ROWS frames.
+  *
+  * Determinism notes:
+  *  - every window ORDER BY ends in a unique key so row_number / ntile /
+  *    lag / lead / first / last / nth are total-order stable across engines;
+  *  - windowed SUMs go through decimal: DuckDB evaluates sliding frames
+  *    with a segment tree (different FP association order than Spark's
+  *    running accumulation), so double sums would drift in the last ulp;
+  *  - moving averages are emitted as exact decimal sum ÷ count in double,
+  *    identically parenthesized on both sides.
+  */
+object Windows {
+
+  private def dec(c: Column) = c.cast("decimal(18,2)")
+
+  /** Ranking trio per customer: row_number / rank / dense_rank over the
+    * same partition spec — one shuffle on o_custkey, one sort, all three
+    * computed in a single Window operator. */
+  def ranking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .filter($"rn" <= 3)
+      .orderBy($"o_custkey", $"rn")
+      .limit(300)
+  }
+
+  val rankingSql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
+      |WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 300""".stripMargin
+
+  /** lag/lead over each user's event timeline; gap to the previous event in
+    * exact integer microseconds (no float time arithmetic). */
+  def lagLead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts",
+        lag($"event_type", 1).over(w).as("prev_type"),
+        lead($"event_type", 1).over(w).as("next_type"),
+        (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w))).as("gap_us"))
+      .orderBy($"user_id", $"event_id")
+      .limit(500)
+  }
+
+  val lagLeadSql: String =
+    """SELECT user_id, event_id, ts,
+      |  LAG(event_type, 1) OVER w AS prev_type,
+      |  LEAD(event_type, 1) OVER w AS next_type,
+      |  epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY user_id, event_id LIMIT 500""".stripMargin
+
+  /** Explicit ROWS frames: running total (unbounded preceding) and a
+    * centered 3-row moving average, both via exact decimal sums. */
+  def frames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = ord.rowsBetween(-1, 1)
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", $"value",
+        sum(dec($"value")).over(run).cast("double").as("running_value"),
+        (sum(dec($"value")).over(mov).cast("double") /
+          count(lit(1)).over(mov)).as("moving_avg"))
+      .orderBy($"user_id", $"event_id")
+      .limit(500)
+  }
+
+  val framesSql: String =
+    """SELECT user_id, event_id, value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+      |  / COUNT(*) OVER
+      |    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS moving_avg
+      |FROM events
+      |ORDER BY user_id, event_id LIMIT 500""".stripMargin
+
+  /** first_value / last_value / nth_value with a full-partition frame
+    * (the default frame would pin last_value to the current row). */
+  def firstLastNth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val full = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        first($"o_orderkey").over(full).as("first_order"),
+        last($"o_orderkey").over(full).as("last_order"),
+        nth_value($"o_orderkey", 2).over(full).as("second_order"))
+      .orderBy($"o_custkey", $"o_orderkey")
+      .limit(300)
+  }
+
+  val firstLastNthSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+      |  LAST_VALUE(o_orderkey) OVER w AS last_order,
+      |  NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey LIMIT 300""".stripMargin
+
+  /** Distribution functions: percent_rank / cume_dist / ntile(4) over a
+    * global ordering — single-partition window, so kept on a small table
+    * (at scale you'd pre-bucket; ntile over 100 TB is meaningless anyway). */
+  def distribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    t(s, dir, "customer")
+      .select($"c_custkey", $"c_acctbal",
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy($"c_custkey")
+      .limit(400)
+  }
+
+  val distributionSql: String =
+    """SELECT c_custkey, c_acctbal,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd,
+      |  NTILE(4) OVER w AS quartile
+      |FROM customer
+      |WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+      |ORDER BY c_custkey LIMIT 400""".stripMargin
+
+  /** Aggregate-as-window with no ORDER BY = whole-partition frame: each
+    * order row tagged with its customer total and its share of it. */
+  def aggOver(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        sum(dec($"o_totalprice")).over(w).cast("double").as("cust_total"),
+        count(lit(1)).over(w).as("cust_orders"))
+      .orderBy($"o_custkey", $"o_orderkey")
+      .limit(400)
+  }
+
+  val aggOverSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total,
+      |  COUNT(*) OVER (PARTITION BY o_custkey) AS cust_orders
+      |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 400""".stripMargin
+
+  // --- registry -------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_ranking" -> ranking,
+    "q_win_lag_lead" -> lagLead,
+    "q_win_frames" -> frames,
+    "q_win_first_last_nth" -> firstLastNth,
+    "q_win_distribution" -> distribution,
+    "q_win_agg_over" -> aggOver)
+
+  def oracle: Map[String, String] = Map(
+    "q_win_ranking" -> rankingSql,
+    "q_win_lag_lead" -> lagLeadSql,
+    "q_win_frames" -> framesSql,
+    "q_win_first_last_nth" -> firstLastNthSql,
+    "q_win_distribution" -> distributionSql,
+    "q_win_agg_over" -> aggOverSql)
+}
