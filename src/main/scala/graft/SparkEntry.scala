@@ -32,11 +32,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-    graft.queries.Windows.queries
+    graft.queries.Windows.queries ++
+    graft.queries.SetOpsScalars.queries ++
+    graft.queries.Nested.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-    graft.queries.Windows.oracle
+    graft.queries.Windows.oracle ++
+    graft.queries.SetOpsScalars.oracle ++
+    graft.queries.Nested.oracle
 }

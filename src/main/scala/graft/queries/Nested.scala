@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Nested / array / JSON coverage (SURVEY.md §2b rows "Array / nested",
+  * "JSON scalar fns"): construction, indexing, explode/unnest, order-
+  * normalized collect_list, higher-order lambdas over real embedding
+  * vectors, and JSON extraction from the events.props payload.
+  *
+  * Higher-order folds accumulate left-to-right in both engines (Spark
+  * `aggregate` with a 0.0 seed vs DuckDB `list_reduce` seeded by the first
+  * element — identical chains since 0.0 + x == x exactly), so double
+  * results are bit-identical in list order.
+  */
+object Nested {
+
+  /** Array construction + indexing + membership + sorting + slicing. */
+  def arrayBasics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select($"p_partkey",
+        array($"p_size", length($"p_name"), $"p_partkey".cast("int")).as("arr"))
+      .select($"p_partkey", $"arr",
+        element_at($"arr", 1).as("first_el"),
+        size($"arr").as("arr_len"),
+        array_contains($"arr", 10).as("has_ten"),
+        sort_array($"arr").as("sorted_arr"),
+        slice($"arr", 1, 2).as("first_two"))
+      .orderBy($"p_partkey")
+      .limit(200)
+  }
+
+  val arrayBasicsSql: String =
+    """WITH base AS (
+      |  SELECT p_partkey,
+      |    [p_size, CAST(LENGTH(p_name) AS INT), CAST(p_partkey AS INT)] AS arr
+      |  FROM part)
+      |SELECT p_partkey, arr,
+      |  arr[1] AS first_el,
+      |  CAST(LEN(arr) AS INT) AS arr_len,
+      |  list_contains(arr, 10) AS has_ten,
+      |  list_sort(arr) AS sorted_arr,
+      |  arr[1:2] AS first_two
+      |FROM base ORDER BY p_partkey LIMIT 200""".stripMargin
+
+  /** explode/unnest: tokenize document text and count word frequencies —
+    * the canonical map-side explode → shuffle-on-word → count pipeline
+    * (same shape as a 100 TB wordcount; the explode happens before the
+    * shuffle so only (word, count) partials move). */
+  def explodeWords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"word")
+      .limit(30)
+  }
+
+  val explodeWordsSql: String =
+    """SELECT word, COUNT(*) AS freq FROM (
+      |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      |WHERE LENGTH(word) > 0
+      |GROUP BY word ORDER BY freq DESC, word LIMIT 30""".stripMargin
+
+  /** collect_list with explicit order normalization (sort_array) — raw
+    * collect_list order is partition-dependent, so the list is sorted to a
+    * canonical form before comparison. collect_set ≡ sorted distinct. */
+  def collectList(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "nation")
+      .groupBy($"n_regionkey")
+      .agg(
+        sort_array(collect_list($"n_name")).as("nations"),
+        sort_array(collect_set($"n_regionkey" * 0 + $"n_nationkey" % 5)).as("key_mods"))
+      .orderBy($"n_regionkey")
+  }
+
+  val collectListSql: String =
+    """SELECT n_regionkey,
+      |  list_sort(list(n_name)) AS nations,
+      |  list_sort(list_distinct(list(n_nationkey % 5))) AS key_mods
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  /** Higher-order lambdas over 64-dim embedding vectors: filter/transform/
+    * aggregate — the same primitives the similarity operators build on,
+    * codegen-free but whole-vector-at-a-time (no explode, no shuffle). */
+  def higherOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select($"vec_id",
+        size(filter($"embedding", x => x > 0)).as("n_pos"),
+        aggregate($"embedding", lit(0.0),
+          (acc, x) => acc + abs(x.cast("double"))).as("l1_norm"),
+        aggregate($"embedding", lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")).as("sq_norm"),
+        element_at($"embedding", 1).cast("double").as("first_dim"))
+      .orderBy($"vec_id")
+      .limit(300)
+  }
+
+  val higherOrderSql: String =
+    """SELECT vec_id,
+      |  CAST(LEN(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+      |  list_reduce(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE))),
+      |              (a, b) -> a + b) AS l1_norm,
+      |  list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |              (a, b) -> a + b) AS sq_norm,
+      |  CAST(embedding[1] AS DOUBLE) AS first_dim
+      |FROM embeddings ORDER BY vec_id LIMIT 300""".stripMargin
+
+  /** JSON extraction from the events.props string payload (the reference
+    * decodes whole-JSON structurally at scan — /root/reference/src/
+    * execution.rs:183; per-field extraction is the query-time equivalent). */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy(($"k" % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"k_bucket")
+  }
+
+  val jsonExtractSql: String =
+    """SELECT k % 10 AS k_bucket, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
+
+  /** Struct build + dot access + to_json round-trip. */
+  def structOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "nation")
+      .select($"n_nationkey",
+        struct($"n_name".as("name"), $"n_regionkey".as("region")).as("info"))
+      .select($"n_nationkey",
+        $"info.name".as("name"),
+        $"info.region".as("region"),
+        to_json($"info").as("info_json"))
+      .orderBy($"n_nationkey")
+  }
+
+  val structOpsSql: String =
+    """SELECT n_nationkey, name, region, to_json(info) AS info_json FROM (
+      |  SELECT n_nationkey,
+      |    struct_pack(name := n_name, region := n_regionkey) AS info,
+      |    n_name AS name, n_regionkey AS region
+      |  FROM nation)
+      |ORDER BY n_nationkey""".stripMargin
+
+  // --- registry -------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_array_basics" -> arrayBasics,
+    "q_explode_words" -> explodeWords,
+    "q_collect_list" -> collectList,
+    "q_higher_order" -> higherOrder,
+    "q_json_extract" -> jsonExtract,
+    "q_struct_ops" -> structOps)
+
+  def oracle: Map[String, String] = Map(
+    "q_array_basics" -> arrayBasicsSql,
+    "q_explode_words" -> explodeWordsSql,
+    "q_collect_list" -> collectListSql,
+    "q_higher_order" -> higherOrderSql,
+    "q_json_extract" -> jsonExtractSql,
+    "q_struct_ops" -> structOpsSql)
+}
