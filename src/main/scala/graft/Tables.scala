@@ -20,6 +20,11 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Conf required to read events.parquet; entrypoints (Verify/Bench/Dev/
+    * tests) set it once at session-build time so loading events has no
+    * session-wide side effects (ADVICE r1). */
+  val nanosConf: String = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects. Read nanos as long (legacy conf) and convert to a
     * microsecond timestamp — the testdata is microsecond-exact
@@ -27,7 +32,8 @@ object Tables {
     * oracle's TIMESTAMP_NS values exactly. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption(nanosConf).forall(_ != "true"))
+      spark.conf.set(nanosConf, "true") // direct callers outside the entrypoints
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }

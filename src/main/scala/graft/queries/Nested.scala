@@ -16,18 +16,22 @@ import graft.Tables.t
   */
 object Nested {
 
-  /** Array construction + indexing + membership + sorting + slicing. */
+  /** Array construction + indexing + membership + sorting + slicing.
+    * Array-typed result columns are serialized to comma-joined strings —
+    * the driver's pandas-based comparer cannot sort/hash ndarray cells
+    * (ADVICE r1) — so every output column is scalar. */
   def arrayBasics(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "part")
       .select($"p_partkey",
         array($"p_size", length($"p_name"), $"p_partkey".cast("int")).as("arr"))
-      .select($"p_partkey", $"arr",
+      .select($"p_partkey",
+        array_join($"arr", ",").as("arr_str"),
         element_at($"arr", 1).as("first_el"),
         size($"arr").as("arr_len"),
         array_contains($"arr", 10).as("has_ten"),
-        sort_array($"arr").as("sorted_arr"),
-        slice($"arr", 1, 2).as("first_two"))
+        array_join(sort_array($"arr"), ",").as("sorted_arr_str"),
+        array_join(slice($"arr", 1, 2), ",").as("first_two_str"))
       .orderBy($"p_partkey")
       .limit(200)
   }
@@ -37,12 +41,13 @@ object Nested {
       |  SELECT p_partkey,
       |    [p_size, CAST(LENGTH(p_name) AS INT), CAST(p_partkey AS INT)] AS arr
       |  FROM part)
-      |SELECT p_partkey, arr,
+      |SELECT p_partkey,
+      |  array_to_string(arr, ',') AS arr_str,
       |  arr[1] AS first_el,
       |  CAST(LEN(arr) AS INT) AS arr_len,
       |  list_contains(arr, 10) AS has_ten,
-      |  list_sort(arr) AS sorted_arr,
-      |  arr[1:2] AS first_two
+      |  array_to_string(list_sort(arr), ',') AS sorted_arr_str,
+      |  array_to_string(arr[1:2], ',') AS first_two_str
       |FROM base ORDER BY p_partkey LIMIT 200""".stripMargin
 
   /** explode/unnest: tokenize document text and count word frequencies —
@@ -68,21 +73,23 @@ object Nested {
 
   /** collect_list with explicit order normalization (sort_array) — raw
     * collect_list order is partition-dependent, so the list is sorted to a
-    * canonical form before comparison. collect_set ≡ sorted distinct. */
+    * canonical form before comparison; serialized to strings so every
+    * output column is scalar (ADVICE r1). collect_set ≡ sorted distinct. */
   def collectList(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "nation")
       .groupBy($"n_regionkey")
       .agg(
-        sort_array(collect_list($"n_name")).as("nations"),
-        sort_array(collect_set($"n_regionkey" * 0 + $"n_nationkey" % 5)).as("key_mods"))
+        array_join(sort_array(collect_list($"n_name")), "|").as("nations"),
+        array_join(sort_array(collect_set($"n_regionkey" * 0 + $"n_nationkey" % 5)), "|")
+          .as("key_mods"))
       .orderBy($"n_regionkey")
   }
 
   val collectListSql: String =
     """SELECT n_regionkey,
-      |  list_sort(list(n_name)) AS nations,
-      |  list_sort(list_distinct(list(n_nationkey % 5))) AS key_mods
+      |  array_to_string(list_sort(list(n_name)), '|') AS nations,
+      |  array_to_string(list_sort(list_distinct(list(n_nationkey % 5))), '|') AS key_mods
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
   /** Higher-order lambdas over 64-dim embedding vectors: filter/transform/

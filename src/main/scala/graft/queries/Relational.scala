@@ -506,17 +506,20 @@ object Relational {
         |  SELECT o_custkey, COUNT(*) AS n FROM orders
         |  WHERE o_totalprice > 100000 GROUP BY o_custkey),
         |seg AS (SELECT c_custkey, c_mktsegment FROM customer)
-        |SELECT c_mktsegment, SUM(n) AS big_order_count
+        |SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS big_order_count
         |FROM big_orders JOIN seg ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  // CAST(SUM(n) AS BIGINT) on BOTH sides: DuckDB widens SUM(BIGINT) to
+  // HUGEINT (fetched as float64 by the oracle harness) while Spark keeps
+  // BIGINT — the cast is a no-op for Spark and pins DuckDB back to int64.
   val cteSql: String =
     """WITH big_orders AS (
       |  SELECT o_custkey, COUNT(*) AS n FROM orders
       |  WHERE o_totalprice > 100000 GROUP BY o_custkey),
       |seg AS (SELECT c_custkey, c_mktsegment FROM customer)
-      |SELECT c_mktsegment, SUM(n) AS big_order_count
+      |SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS big_order_count
       |FROM big_orders JOIN seg ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 

@@ -87,21 +87,23 @@ object SetOpsScalars {
       |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
       |GROUP BY o_custkey ORDER BY o_custkey LIMIT 300""".stripMargin
 
-  /** EXCEPT (distinct): nations with BUILDING customers but no AUTOMOBILE
-    * customers. */
+  /** EXCEPT (distinct): customers with a high-value order but no open
+    * order — o_custkey repeats across orders, so the distinct-dedup
+    * semantics of EXCEPT are exercised on a non-empty result (49 rows at
+    * sf0.01; the earlier nationkey variant was vacuously empty). */
   def exceptQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val c = t(s, dir, "customer")
-    val a = c.filter($"c_mktsegment" === "BUILDING").select($"c_nationkey")
-    val b = c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_nationkey")
-    a.except(b).orderBy($"c_nationkey")
+    val o = t(s, dir, "orders")
+    val a = o.filter($"o_totalprice" > 150000).select($"o_custkey")
+    val b = o.filter($"o_orderstatus" === "O").select($"o_custkey")
+    a.except(b).orderBy($"o_custkey")
   }
 
   val exceptSql: String =
-    """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """SELECT o_custkey FROM orders WHERE o_totalprice > 150000
       |EXCEPT
-      |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
-      |ORDER BY c_nationkey""".stripMargin
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin
 
   /** EXCEPT ALL: bag difference — surviving multiplicity per key. */
   def exceptAll(s: SparkSession, dir: String): DataFrame = {
