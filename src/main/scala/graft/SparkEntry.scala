@@ -21,8 +21,10 @@ object SparkEntry {
       .filter($"o_orderdate" < lit("1998-03-15").cast("timestamp"))
     val l = Tables.t(spark, dir, "lineitem")
       .filter($"l_shipdate" > lit("1995-03-15").cast("timestamp"))
+    // No broadcast hint on customer: it scales with SF, so the hint would
+    // force an OOM at 100×; AQE broadcasts it only while it fits.
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")

@@ -170,7 +170,7 @@ object Relational {
   /** Explicit GROUPING SETS (SQL path — parsed by Spark's own parser,
     * planned through the same Expand operator as cube/rollup). */
   def groupingSets(s: SparkSession, dir: String): DataFrame = {
-    graft.Tables.registerAll(s, dir)
+    graft.Tables.register(s, dir, "lineitem")
     s.sql(
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
         |FROM lineitem
@@ -228,13 +228,15 @@ object Relational {
 
   // --- Joins ----------------------------------------------------------------
 
-  /** Orders ⋈ customer with a small dimension side: `broadcast()` avoids
-    * shuffling the fact table — at 100 TB the orders side never moves. */
+  /** Orders ⋈ customer. No broadcast hint: customer grows with scale
+    * factor, so a forced broadcast would OOM at 100× (VERDICT r2 item 1).
+    * Left unhinted, AQE broadcasts it while it fits under
+    * autoBroadcastJoinThreshold and falls back to shuffle join beyond. */
   def joinInner(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
       .orderBy($"c_mktsegment")
@@ -383,12 +385,13 @@ object Relational {
 
   /** Equi-join with a range residual (band join): lineitem ⋈ part on key
     * plus a quantity/size band — the equi key drives the hash join, the
-    * band is a cheap residual filter (no blow-up at any scale). */
+    * band is a cheap residual filter (no blow-up at any scale). Part is
+    * SF-scaling, so no broadcast hint — AQE decides (VERDICT r2 item 1). */
   def joinRange(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val l = t(s, dir, "lineitem")
     val p = t(s, dir, "part")
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey") &&
+    l.join(p, l("l_partkey") === p("p_partkey") &&
         l("l_quantity").between(p("p_size") - 5, p("p_size") + 5))
       .groupBy($"p_brand")
       .agg(count(lit(1)).as("n_in_band"), sum($"l_quantity").as("qty_in_band"))
@@ -464,7 +467,7 @@ object Relational {
     * aggregate as a broadcast scalar (one extra tiny job), not a per-row
     * recompute. */
   def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
-    graft.Tables.registerAll(s, dir)
+    graft.Tables.register(s, dir, "orders")
     s.sql(
       """SELECT o_orderkey, o_totalprice
         |FROM orders
@@ -481,7 +484,7 @@ object Relational {
   /** Correlated subquery (decorrelated by Catalyst to a join): customers
     * whose balance exceeds their nation's average. */
   def correlatedSubquery(s: SparkSession, dir: String): DataFrame = {
-    graft.Tables.registerAll(s, dir)
+    graft.Tables.register(s, dir, "customer")
     s.sql(
       """SELECT c_custkey, c_nationkey, c_acctbal
         |FROM customer c1
@@ -500,7 +503,7 @@ object Relational {
   /** CTE pipeline: two named stages composed (Spark inlines them — no
     * materialization barrier, full pushdown through the CTE boundary). */
   def cte(s: SparkSession, dir: String): DataFrame = {
-    graft.Tables.registerAll(s, dir)
+    graft.Tables.register(s, dir, "orders", "customer")
     s.sql(
       """WITH big_orders AS (
         |  SELECT o_custkey, COUNT(*) AS n FROM orders

@@ -150,6 +150,35 @@ object Windows {
       |WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
       |ORDER BY c_custkey LIMIT 400""".stripMargin
 
+  /** Scale-safe distribution variant (VERDICT r2 item 10): the same
+    * percent_rank / cume_dist / ntile family, but partitioned by
+    * c_nationkey — each nation's ranks are computed inside its own
+    * partition, so the plan has a hash exchange on the key and NO
+    * single-partition global sort. This is the shape you'd run at 100 TB;
+    * `q_win_distribution` stays only because a global ordering is the sole
+    * way to oracle-check the unpartitioned forms. */
+  def distributionBucketed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    t(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal",
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy($"c_custkey")
+      .limit(400)
+  }
+
+  val distributionBucketedSql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd,
+      |  NTILE(4) OVER w AS quartile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+      |ORDER BY c_custkey LIMIT 400""".stripMargin
+
   /** Aggregate-as-window with no ORDER BY = whole-partition frame: each
     * order row tagged with its customer total and its share of it. */
   def aggOver(s: SparkSession, dir: String): DataFrame = {
@@ -177,6 +206,7 @@ object Windows {
     "q_win_frames" -> frames,
     "q_win_first_last_nth" -> firstLastNth,
     "q_win_distribution" -> distribution,
+    "q_win_distribution_part" -> distributionBucketed,
     "q_win_agg_over" -> aggOver)
 
   def oracle: Map[String, String] = Map(
@@ -185,5 +215,6 @@ object Windows {
     "q_win_frames" -> framesSql,
     "q_win_first_last_nth" -> firstLastNthSql,
     "q_win_distribution" -> distributionSql,
+    "q_win_distribution_part" -> distributionBucketedSql,
     "q_win_agg_over" -> aggOverSql)
 }
