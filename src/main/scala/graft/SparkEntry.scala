@@ -36,7 +36,11 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.Windows.queries ++
     graft.queries.SetOpsScalars.queries ++
-    graft.queries.Nested.queries
+    graft.queries.Nested.queries ++
+    graft.ops.Dedup.queries ++
+    graft.ops.Similarity.queries ++
+    graft.ops.Text.queries ++
+    graft.ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +48,9 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
     graft.queries.Windows.oracle ++
     graft.queries.SetOpsScalars.oracle ++
-    graft.queries.Nested.oracle
+    graft.queries.Nested.oracle ++
+    graft.ops.Dedup.oracle ++
+    graft.ops.Similarity.oracle ++
+    graft.ops.Text.oracle ++
+    graft.ops.Multimodal.oracle
 }

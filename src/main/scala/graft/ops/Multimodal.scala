@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Multimodal-column support: media payloads travel as opaque
+  * `BinaryType` columns alongside a typed metadata struct, and
+  * decode/feature-extraction runs as a partition-at-a-time typed
+  * transform.
+  *
+  * `q_multimodal` proves the storage/query side end-to-end: build a
+  * binary payload (utf-8 bytes of the text — the container has no image
+  * codecs, so text bytes stand in for media bytes), attach a
+  * `struct(lang, source, n_chars)` metadata column, filter ON THE
+  * METADATA ONLY (the payload is never touched until after the filter —
+  * at 100 TB, parquet row-group pruning + column projection mean
+  * filtered-out payload bytes are never read), then compute
+  * byte-length and digest of the surviving payloads.
+  *
+  * [[extractFeatures]] is the decode path: a `mapPartitions` over a
+  * typed Dataset — the Scala-side equivalent of the mapInPandas batch
+  * contract (one iterator per partition in, one iterator out, schema
+  * fixed by the Encoder, partitioning preserved — no shuffle). The
+  * actual codec call is STUBBED with a deterministic byte-derived fake
+  * (documented; the container ships no image/audio libraries). Swapping
+  * in a real decoder changes only [[MediaFeatures.decode]].
+  */
+object Multimodal {
+
+  /** The media-bearing view: payload bytes + typed metadata. */
+  def mediaView(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(
+      $"doc_id",
+      encode($"text", "UTF-8").as("payload"),
+      struct($"lang", $"source", $"n_chars").as("meta"))
+  }
+
+  /** Metadata-filtered payload digest: filter on meta fields, then
+    * length/md5 over the binary payload of survivors. */
+  def multimodal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaView(s, dir)
+      .filter($"meta.lang" === "en" && $"meta.n_chars" > 200)
+      .select($"doc_id",
+        length($"payload").cast("long").as("n_bytes"),
+        md5($"payload").as("payload_md5"),
+        $"meta.source".as("source"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB 1.0 has no md5(BLOB); md5 of the VARCHAR hashes the same
+    * utf-8 bytes the Spark side digests from the BinaryType column. */
+  val multimodalSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, encode(text) AS payload, text,
+      |    {'lang': lang, 'source': source, 'n_chars': n_chars} AS meta
+      |  FROM documents)
+      |SELECT doc_id,
+      |  octet_length(payload) AS n_bytes,
+      |  md5(text) AS payload_md5,
+      |  meta.source AS source
+      |FROM m WHERE meta.lang = 'en' AND meta.n_chars > 200
+      |ORDER BY doc_id""".stripMargin
+
+  /** One decoded media item. `width`/`height`/`mean_luma` come from the
+    * stubbed decode — deterministic functions of the payload bytes. */
+  final case class MediaFeatures(
+    doc_id: Long, n_bytes: Long, width: Int, height: Int, mean_luma: Double)
+
+  object MediaFeatures {
+    /** STUB decode: a real implementation would hand `payload` to an
+      * image/audio codec here (not available in this container). The
+      * fake derives stable pseudo-features from the bytes so the
+      * surrounding plumbing — batching, schema, determinism — is
+      * testable. */
+    def decode(docId: Long, payload: Array[Byte]): MediaFeatures = {
+      val h = java.util.Arrays.hashCode(payload)
+      MediaFeatures(
+        doc_id = docId,
+        n_bytes = payload.length.toLong,
+        width = 16 + math.floorMod(h, 1905),
+        height = 16 + math.floorMod(h >> 11, 1065),
+        mean_luma = math.floorMod(h, 256) / 255.0)
+    }
+  }
+
+  /** Partition-at-a-time feature extraction over the media view: the
+    * batch contract a real decoder plugs into. Narrow (no shuffle); at
+    * scale each task decodes its own parquet split. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select($"doc_id".as[Long], $"payload".as[Array[Byte]])
+      .mapPartitions(_.map { case (id, bytes) => MediaFeatures.decode(id, bytes) })
+  }
+
+  // --- registry -------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal" -> multimodal)
+
+  def oracle: Map[String, String] = Map(
+    "q_multimodal" -> multimodalSql)
+}

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (doc_id, text, lang, source, n_chars): per-document statistics, token
+  * counting (whitespace + regex), per-language corpus aggregates, a
+  * stopword-ratio language-ID heuristic, and bag-of-words document
+  * fingerprinting.
+  *
+  * Scale notes (the 100 TB shapes):
+  *  - per-doc stats are a pure map — no shuffle at all; whole-stage
+  *    codegen over built-in higher-order functions, no UDFs;
+  *  - corpus aggregates shuffle only (lang, partial-agg) pairs — the
+  *    text column never moves (map-side combine);
+  *  - fingerprint dedup shuffles a 32-byte md5 key, not the document.
+  *
+  * Tokenization contract (shared with [[Dedup]]): tokens are
+  * `split(lower(text), ' ')` — byte-identical to the DuckDB oracle's
+  * `string_split(lower(text), ' ')` on the single-space-separated corpus.
+  */
+object Text {
+
+  /** documents + a `toks` column; single tokenization point so every
+    * operator (and the oracle SQL) agrees on the token stream. */
+  private def withToks(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").withColumn("toks", split(lower(col("text")), " "))
+
+  private val toksSql = "string_split(lower(text), ' ')"
+
+  /** Per-document statistics: whitespace token count, distinct-token
+    * count, regex token count (BPE-ish `[a-z0-9]+` word pieces), mean
+    * token length, and type-token ratio. Pure map stage — at 100 TB this
+    * runs at scan speed with zero exchange. */
+  def stats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withToks(s, dir)
+      .select($"doc_id", $"n_chars",
+        size($"toks").as("n_tokens"),
+        size(array_distinct($"toks")).as("n_uniq"),
+        size(regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0)))
+          .as("n_re_tokens"),
+        round(expr("aggregate(toks, 0, (a, t) -> a + length(t))").cast("double")
+          / size($"toks"), 6).as("avg_token_len"),
+        round(size(array_distinct($"toks")).cast("double") / size($"toks"), 6)
+          .as("ttr"))
+      .orderBy($"doc_id")
+      .limit(300)
+  }
+
+  val statsSql: String =
+    s"""WITH d AS (SELECT doc_id, n_chars, text, $toksSql AS toks FROM documents)
+      |SELECT doc_id, n_chars,
+      |  CAST(LEN(toks) AS INT) AS n_tokens,
+      |  CAST(LEN(list_distinct(toks)) AS INT) AS n_uniq,
+      |  CAST(LEN(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_re_tokens,
+      |  ROUND(CAST(list_reduce(list_transform(toks, t -> LENGTH(t)), (a, b) -> a + b) AS DOUBLE)
+      |        / LEN(toks), 6) AS avg_token_len,
+      |  ROUND(CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks), 6) AS ttr
+      |FROM d ORDER BY doc_id LIMIT 300""".stripMargin
+
+  /** Per-language corpus aggregates over the otherwise-unused lang /
+    * source / n_chars columns. Only (lang, partials) cross the exchange —
+    * map-side combine keeps the shuffle O(|langs| × partitions). */
+  def langAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withToks(s, dir)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        round(sum($"n_chars").cast("double") / count(lit(1)), 6).as("avg_chars"),
+        countDistinct($"source").as("n_sources"),
+        sum(size($"toks").cast("long")).as("total_tokens"))
+      .orderBy($"lang")
+  }
+
+  val langAggSql: String =
+    s"""WITH d AS (SELECT lang, source, n_chars, $toksSql AS toks FROM documents)
+      |SELECT lang,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+      |  COUNT(DISTINCT source) AS n_sources,
+      |  CAST(SUM(LEN(toks)) AS BIGINT) AS total_tokens
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Language-ID heuristic: ratio of tokens in a tiny English stopword
+    * set. On this synthetic corpus (shared vocabulary across langs) the
+    * ratio is not discriminative — the operator demonstrates the shape
+    * (inline lexicon, lambda filter, thresholded guess), which is what a
+    * real n-gram langid model plugs into. Deterministic: the ratio is an
+    * exact small-int division, identical in both engines. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withToks(s, dir)
+      .select($"doc_id", $"lang",
+        round(expr(
+          "size(filter(toks, t -> t IN ('the','a','of','and','to','in')))")
+          .cast("double") / size($"toks"), 6).as("stop_ratio"))
+      .withColumn("guess",
+        when($"stop_ratio" >= 0.08, lit("en-like")).otherwise(lit("other")))
+      .orderBy($"doc_id")
+      .limit(300)
+  }
+
+  val langIdSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+      |r AS (SELECT doc_id, lang,
+      |  ROUND(CAST(LEN(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |        / LEN(toks), 6) AS stop_ratio FROM d)
+      |SELECT doc_id, lang, stop_ratio,
+      |  CASE WHEN stop_ratio >= 0.08 THEN 'en-like' ELSE 'other' END AS guess
+      |FROM r ORDER BY doc_id LIMIT 300""".stripMargin
+
+  /** Document fingerprinting: md5 over the sorted distinct token set
+    * (bag-of-words identity — robust to word order and repetition). The
+    * aggregation shuffles only the 32-char fingerprint; groups with >1
+    * doc are re-crawl candidates (21 real groups in the test corpus). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withToks(s, dir)
+      .select($"doc_id",
+        md5(array_join(array_sort(array_distinct($"toks")), " ")).as("fp"))
+      .groupBy($"fp")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+      .filter($"n_docs" > 1)
+      .orderBy($"fp")
+  }
+
+  val fingerprintSql: String =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      |f AS (SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp FROM d)
+      |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      |FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin
+
+  // --- registry -------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> stats,
+    "q_text_lang_agg" -> langAgg,
+    "q_text_langid" -> langId,
+    "q_text_fingerprint" -> fingerprint)
+
+  def oracle: Map[String, String] = Map(
+    "q_text_stats" -> statsSql,
+    "q_text_lang_agg" -> langAggSql,
+    "q_text_langid" -> langIdSql,
+    "q_text_fingerprint" -> fingerprintSql)
+}

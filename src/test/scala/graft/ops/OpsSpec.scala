@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit/e2e coverage for the training-data-pipeline operator families
+  * (dedup, similarity, text, multimodal) at sf0.001. The sf0.01 oracle
+  * compare is the authoritative value check; these specs pin structural
+  * invariants the oracle can't see (recall vs brute force, symmetry,
+  * determinism, plan shape). */
+class OpsSpec extends AnyFunSuite with SparkSpec {
+
+  // --- Dedup ----------------------------------------------------------------
+
+  test("dedup exact: every content group keeps its smallest doc_id and covers the recrawl") {
+    val df = Dedup.exact(spark, sfDir).cache()
+    val rows = df.collect()
+    val nDocs = graft.Tables.t(spark, sfDir, "documents").count()
+    // distinct contents = original corpus (no exact dups in the testdata)
+    assert(rows.length == nDocs)
+    // recrawled docs (doc_id % 10 == 0) form groups of 2; everyone else 1
+    val byCopies = rows.groupBy(_.getAs[Long]("n_copies")).view.mapValues(_.length).toMap
+    assert(byCopies(2L) == rows.count(_.getAs[Long]("keep_id") % 10 == 0))
+    assert(!rows.exists(_.getAs[Long]("keep_id") >= 1000000L)) // originals win
+    df.unpersist()
+  }
+
+  test("dedup near: pairs are ordered, above threshold, and Jaccard-symmetric") {
+    val rows = Dedup.near(spark, sfDir).collect()
+    assert(rows.nonEmpty) // sf0.001 corpus has seeded near-dups
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.8)
+      assert(r.getAs[Double]("jaccard") <= 1.0)
+    }
+  }
+
+  test("dedup near: LSH candidates reproduce exact all-pairs answer at test scale") {
+    import spark.implicits._
+    val d = graft.Tables.t(spark, sfDir, "documents")
+      .withColumn("toks", split(lower($"text"), " "))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))")
+        .as("sh"))
+    val jac = size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+      size(array_union($"a.sh", $"b.sh"))
+    val exact = d.as("a").join(d.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), jac.as("j"))
+      .filter($"j" >= 0.8)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.near(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(lsh == exact)
+  }
+
+  // --- Similarity -----------------------------------------------------------
+
+  test("similarity topk: 10 neighbors per query, scores in [-1,1] descending") {
+    val rows = Similarity.topk(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { g =>
+      assert(g.length == 10)
+      val scores = g.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(x => x >= -1.0001 && x <= 1.0001))
+      assert(g.forall(_.getAs[Long]("vec_id") >= 10)) // corpus only
+    }
+  }
+
+  test("similarity ann: recall@10 vs brute force is usable") {
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = pairs(Similarity.topk(spark, sfDir).collect())
+    val approx = pairs(Similarity.ann(spark, sfDir).collect())
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall@10 = $recall")
+  }
+
+  // --- Text -----------------------------------------------------------------
+
+  test("text stats: token counts are consistent and ratios bounded") {
+    val rows = Text.stats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_uniq") <= r.getAs[Int]("n_tokens"))
+      val ttr = r.getAs[Double]("ttr")
+      assert(ttr > 0 && ttr <= 1)
+      assert(r.getAs[Double]("avg_token_len") > 0)
+    }
+  }
+
+  test("text lang agg: doc counts partition the corpus") {
+    val total = Text.langAgg(spark, sfDir).agg(sum("n_docs")).head.getLong(0)
+    assert(total == graft.Tables.t(spark, sfDir, "documents").count())
+  }
+
+  test("text fingerprint: groups are >1 and disjoint from each other") {
+    val rows = Text.fingerprint(spark, sfDir).collect()
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") > 1))
+    assert(rows.map(_.getAs[String]("fp")).distinct.length == rows.length)
+  }
+
+  // --- Multimodal -----------------------------------------------------------
+
+  test("multimodal: binary payload length equals utf-8 byte count and filter uses metadata") {
+    import spark.implicits._
+    val out = Multimodal.multimodal(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .filter($"lang" === "en" && $"n_chars" > 200)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val expected = docs(r.getAs[Long]("doc_id")).getBytes("UTF-8").length.toLong
+      assert(r.getAs[Long]("n_bytes") == expected)
+    }
+  }
+
+  test("multimodal extractFeatures: deterministic, schema'd, narrow") {
+    val media = Multimodal.mediaView(spark, sfDir)
+    val f1 = Multimodal.extractFeatures(media)
+    assert(f1.schema.fieldNames.toSeq ==
+      Seq("doc_id", "n_bytes", "width", "height", "mean_luma"))
+    // narrow: no exchange in the physical plan
+    val plan = f1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode stage must not shuffle:\n$plan")
+    val a = f1.collect().sortBy(_.doc_id)
+    val b = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(a.sameElements(b)) // stub decode is deterministic
+    a.foreach { m =>
+      assert(m.width >= 16 && m.height >= 16)
+      assert(m.mean_luma >= 0.0 && m.mean_luma <= 1.0)
+      assert(m.n_bytes > 0)
+    }
+  }
+}
