@@ -1,0 +1,190 @@
+package graft.connector
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.GraftError.{ConfigError, EmptyResultError}
+import graft.config.{Pagination, Source}
+import graft.http.HttpFetcher
+import java.util.{Map => JMap}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 connector for HTTP JSON tables: `spark.read.format("http")`.
+  *
+  * This is the idiomatic end-state for the reference's HTTP scan
+  * (/root/reference/src/datasources.rs:318-391): the provider fetches the
+  * snapshot eagerly on the driver (same snapshot semantics as
+  * `HttpTables` / reference dataframe.rs:14-21), infers an all-rows
+  * superset schema, and serves scans whose DECODE IS PROJECTION-AWARE —
+  * `SupportsPushDownRequiredColumns` hands the scan the pruned schema and
+  * the partition readers parse ONLY those fields out of each JSON row
+  * (the reference's `project_values` decodes only projected columns —
+  * execution.rs:60-76). `SELECT a FROM t` never materializes column b.
+  *
+  * Options: `url` (required), `method` (GET|POST, default GET),
+  * `paginate` (=true enables the pagination loop), `start_page`,
+  * `end_page`, `page_size`, `page_param`, `page_size_param` (same
+  * defaults as the YAML config / reference model.rs:48-59).
+  *
+  * `HttpTables.register` remains the simple path (decode-all + cache);
+  * this connector is the scan-integrated path.
+  */
+final class HttpTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "http"
+
+  // fetch-once cache: inferSchema and getTable run on the same provider
+  // instance during read resolution; the snapshot is fetched exactly once.
+  @transient private var fetched: (Source, Seq[String]) = _
+
+  private def snapshot(options: CaseInsensitiveStringMap): (Source, Seq[String]) = {
+    val src = HttpTableProvider.toSource(options)
+    if (fetched == null || fetched._1 != src) {
+      val rows = new HttpFetcher().fetchRows(src)
+      if (rows.isEmpty) throw EmptyResultError(src.url)
+      fetched = (src, rows)
+    }
+    fetched
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (_, rows) = snapshot(options)
+    val spark = SparkSession.active
+    import spark.implicits._
+    // all-rows superset inference (documented divergence from the
+    // reference's first-record-only inference, SURVEY.md §7.1) — reuses
+    // Spark's JSON inference so the connector and HttpTables agree.
+    spark.read.json(spark.createDataset(rows)).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val (src, rows) = snapshot(new CaseInsensitiveStringMap(properties))
+    new HttpTable(src.name, schema, rows.toArray)
+  }
+}
+
+object HttpTableProvider {
+  /** Map reader options to the config model (same names as YAML keys). */
+  private[connector] def toSource(o: CaseInsensitiveStringMap): Source = {
+    val url = Option(o.get("url")).getOrElse(
+      throw ConfigError("http source requires option: url"))
+    val d = Pagination()
+    val paginate = o.getBoolean("paginate", false) ||
+      Seq("start_page", "end_page", "page_size", "page_param", "page_size_param")
+        .exists(o.containsKey)
+    Source(
+      name = Option(o.get("name")).getOrElse("http_source"),
+      url = url,
+      method = Option(o.get("method")).getOrElse("GET").toUpperCase,
+      pagination = if (!paginate) None else Some(Pagination(
+        startPage = o.getInt("start_page", d.startPage),
+        endPage = o.getInt("end_page", d.endPage),
+        pageSize = o.getInt("page_size", d.pageSize),
+        pageParam = Option(o.get("page_param")).getOrElse(d.pageParam),
+        pageSizeParam = Option(o.get("page_size_param")).getOrElse(d.pageSizeParam))))
+  }
+}
+
+/** Fetched snapshot as a readable table. */
+final class HttpTable(tableName: String, tableSchema: StructType,
+                      rows: Array[String]) extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new HttpScanBuilder(tableSchema, rows)
+}
+
+/** Scan builder accepting Catalyst's column-pruning pushdown. */
+final class HttpScanBuilder(full: StructType, rows: Array[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new HttpScan(rows, required)
+}
+
+/** Scan over the driver-held snapshot: rows are sliced across
+  * defaultParallelism input partitions (the reference pins one partition —
+  * execution.rs:95 — this is the strictly-better distributed layout), and
+  * each reader decodes only the pruned columns. */
+final class HttpScan(rows: Array[String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"HttpScan(rows=${rows.length}, readSchema=${required.catalogString})"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val slices = math.max(1, math.min(rows.length,
+      SparkSession.active.sparkContext.defaultParallelism))
+    val per = (rows.length + slices - 1) / slices
+    rows.grouped(per).map(HttpInputPartition(_): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HttpReaderFactory(required)
+}
+
+final case class HttpInputPartition(rows: Array[String]) extends InputPartition
+
+final class HttpReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new HttpPartitionReader(partition.asInstanceOf[HttpInputPartition].rows, required)
+}
+
+/** Projection-aware JSON-line decoder: for each row, only the fields in
+  * `required` are converted (missing / mismatched → null, PERMISSIVE-style).
+  */
+final class HttpPartitionReader(rows: Array[String], required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private var i = 0
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (i >= rows.length) false
+    else {
+      current = JsonDecode.toRow(mapper.readTree(rows(i)), required)
+      i += 1
+      true
+    }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** Minimal JsonNode → Catalyst converter for the connector's inferred
+  * type surface (string / long / double / boolean / struct / array —
+  * what Spark JSON inference emits with default options). */
+private[connector] object JsonDecode {
+  def toRow(node: JsonNode, schema: StructType): InternalRow =
+    if (node == null || !node.isObject) new GenericInternalRow(schema.length)
+    else new GenericInternalRow(
+      schema.fields.map(f => convert(node.get(f.name), f.dataType)))
+
+  def convert(node: JsonNode, dt: DataType): Any =
+    if (node == null || node.isNull) null
+    else dt match {
+      case StringType =>
+        UTF8String.fromString(if (node.isTextual) node.asText else node.toString)
+      case LongType => if (node.canConvertToLong) node.asLong else null
+      case DoubleType => if (node.isNumber) node.asDouble else null
+      case BooleanType => if (node.isBoolean) node.asBoolean else null
+      case st: StructType => if (node.isObject) toRow(node, st) else null
+      case ArrayType(et, _) =>
+        if (!node.isArray) null
+        else new GenericArrayData(node.elements().asScala.map(convert(_, et)).toArray)
+      case _ => null // types outside the inferred surface
+    }
+}

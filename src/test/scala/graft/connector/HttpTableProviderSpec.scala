@@ -1,0 +1,99 @@
+package graft.connector
+
+import graft.GraftError.ConfigError
+import graft.SparkSpec
+import graft.http.StubServer
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** e2e specs for the DSv2 `format("http")` connector: registration by
+  * short name, schema inference, values, column-pruned decode (the
+  * BatchScan's readSchema must shrink to the projection), pagination
+  * options, and nested/array decode. */
+class HttpTableProviderSpec extends AnyFunSuite with SparkSpec {
+
+  private val users =
+    """[{"id":1,"name":"ann","score":9.5,"active":true,
+      |  "address":{"city":"oslo","zip":"0150"},"tags":["a","b"]},
+      | {"id":2,"name":"bob","score":7.25,"active":false,
+      |  "address":{"city":"bergen","zip":"5003"},"tags":[]},
+      | {"id":3,"name":"cyd","score":8.0,"active":true,
+      |  "address":{"city":"oslo","zip":"0151"},"tags":["c"]}]"""
+      .stripMargin.replaceAll("\n\\s*", "")
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): HttpScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[HttpScan]
+    }.getOrElse(fail("no BatchScanExec in plan"))
+
+  test("format(\"http\") resolves by short name, infers schema, reads values") {
+    StubServer.withServer({ case ("GET", "/users", _) => (200, users) }) { srv =>
+      val df = spark.read.format("http").option("url", srv.url("/users")).load()
+      assert(df.schema.fieldNames.sorted.toSeq ==
+        Seq("active", "address", "id", "name", "score", "tags"))
+      val rows = df.selectExpr("id", "name", "score", "active", "address.city")
+        .orderBy("id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getBoolean(3), r.getString(4))).toSeq ==
+        Seq((1L, "ann", 9.5, true, "oslo"), (2L, "bob", 7.25, false, "bergen"),
+          (3L, "cyd", 8.0, true, "oslo")))
+    }
+  }
+
+  test("projection is pushed into the scan: readSchema shrinks to selected columns") {
+    StubServer.withServer({ case ("GET", "/users", _) => (200, users) }) { srv =>
+      val df = spark.read.format("http").option("url", srv.url("/users")).load()
+        .select("id", "name")
+      val scan = scanOf(df)
+      assert(scan.readSchema().fieldNames.toSet == Set("id", "name"),
+        s"scan decodes ${scan.readSchema().catalogString}")
+      assert(df.orderBy("id").collect().map(_.getString(1)).toSeq ==
+        Seq("ann", "bob", "cyd"))
+    }
+  }
+
+  test("array and nested struct columns decode; empty array stays empty") {
+    StubServer.withServer({ case ("GET", "/users", _) => (200, users) }) { srv =>
+      val df = spark.read.format("http").option("url", srv.url("/users")).load()
+      val tags = df.selectExpr("id", "size(tags) AS n", "address.zip")
+        .orderBy("id").collect()
+      assert(tags.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq ==
+        Seq((1L, 2, "0150"), (2L, 0, "5003"), (3L, 1, "0151")))
+    }
+  }
+
+  test("pagination options drive the page loop and terminate on empty page") {
+    val page = (n: Int) => s"""[{"page":$n,"v":${n * 10}}]"""
+    StubServer.withServer({
+      case ("GET", "/items", q) if q.contains("p=1") => (200, page(1))
+      case ("GET", "/items", q) if q.contains("p=2") => (200, page(2))
+      case ("GET", "/items", q) if q.contains("p=") => (200, "[]")
+    }) { srv =>
+      val df = spark.read.format("http")
+        .option("url", srv.url("/items"))
+        .option("paginate", "true")
+        .option("page_param", "p").option("page_size", "1")
+        .load()
+      assert(df.orderBy("page").collect().map(_.getAs[Long]("v")).toSeq ==
+        Seq(10L, 20L))
+    }
+  }
+
+  test("missing url option is a typed config error") {
+    val e = intercept[ConfigError] {
+      HttpTableProvider.toSource(new CaseInsensitiveStringMap(Map.empty[String, String].asJava))
+    }
+    assert(e.getMessage.contains("url"))
+  }
+
+  test("snapshot partitions split across parallelism but never exceed row count") {
+    StubServer.withServer({ case ("GET", "/users", _) => (200, users) }) { srv =>
+      val df = spark.read.format("http").option("url", srv.url("/users")).load()
+      val parts = scanOf(df).planInputPartitions()
+      assert(parts.length >= 1 && parts.length <= 3)
+      assert(parts.map(_.asInstanceOf[HttpInputPartition].rows.length).sum == 3)
+    }
+  }
+}
