@@ -32,7 +32,13 @@ final case class Config(sources: Seq[Source])
 
 /** YAML loader for `Config` (reference: serde_yaml deserialize at
   * /root/reference/src/main.rs:25-28). Built on snakeyaml (ships in
-  * /opt/spark/jars); unknown keys are rejected to surface typos early.
+  * /opt/spark/jars).
+  *
+  * Deliberate divergence (ADVICE r2, documented like the others in
+  * SURVEY.md §7): unknown keys are REJECTED to surface typos early,
+  * whereas the reference's serde deserialization silently ignores them —
+  * a config accepted by the upstream binary can fail here, by design
+  * (`page_sise: 5` upstream silently runs with the default).
   */
 object YamlConfig {
 
@@ -88,7 +94,14 @@ object YamlConfig {
     m.get(k).filter(_ != null).map(_.toString)
   private def int(m: Map[String, Any], k: String): Option[Int] =
     m.get(k).filter(_ != null).map {
-      case n: Number => n.intValue
+      // strict like the string path (ADVICE r2): non-integral numerics
+      // (2.7) and out-of-range longs are errors, not silent truncations.
+      case n: java.lang.Integer => n.intValue
+      case n: java.lang.Long =>
+        if (n >= Int.MinValue && n <= Int.MaxValue) n.intValue
+        else throw ConfigError(s"pagination.$k out of int range: $n")
+      case n: Number =>
+        throw ConfigError(s"pagination.$k must be an integer, got: $n")
       case s: String => try s.toInt catch {
         case _: NumberFormatException => throw ConfigError(s"pagination.$k must be an int: $s")
       }

@@ -88,9 +88,13 @@ class HttpFetcher(timeout: Duration = Duration.ofSeconds(30)) {
 
   /** `url?{page_param}={n}&{page_size_param}={size}`, appending with `&`
     * when the url already has a query string (the reference always appends
-    * `?page=` — datasources.rs:123-127 — which breaks such urls). */
+    * `?page=` — datasources.rs:123-127 — which breaks such urls).
+    * Param names are URL-encoded (ADVICE r2): a config value containing
+    * space/`&`/`=` must not silently restructure the query string. */
   private[http] def pageUrl(url: String, p: Pagination, page: Int): String = {
+    def enc(s: String) =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
     val sep = if (url.contains('?')) '&' else '?'
-    s"$url$sep${p.pageParam}=$page&${p.pageSizeParam}=${p.pageSize}"
+    s"$url$sep${enc(p.pageParam)}=$page&${enc(p.pageSizeParam)}=${p.pageSize}"
   }
 }

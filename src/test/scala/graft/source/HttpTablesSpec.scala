@@ -60,7 +60,7 @@ class HttpTablesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("snapshot semantics: re-querying does not refetch (cache at registration)") {
+  test("snapshot semantics: one fetch at registration, decoded frame cached") {
     var hits = 0
     StubServer.withServer({
       case ("GET", "/c", _) => hits += 1; (200, """[{"x":1}]""")
@@ -68,7 +68,10 @@ class HttpTablesSpec extends AnyFunSuite with SparkSpec {
       val df = HttpTables.register(spark, Source("c", s.url("/c")))
       df.count(); df.count()
       spark.sql("SELECT * FROM c").count()
-      assert(hits == 1)
+      assert(hits == 1) // driver fetched exactly once
+      // ADVICE r2: hits==1 alone can't fail (rows are parallelized from
+      // driver memory) — assert the cache itself so re-decode is covered.
+      assert(df.storageLevel.useMemory, "decoded snapshot must be cached")
     }
   }
 }
