@@ -70,18 +70,16 @@ object Dedup {
       |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM crawl GROUP BY content_sha ORDER BY keep_id""".stripMargin
 
-  /** MinHash signature: sig[j] = min over shingles of xxhash64(shingle, j)
-    * for j in 0..127 — one pass over the shingle set per doc, no shuffle. */
-  private val minhashExpr =
-    "transform(sequence(0, 127), j -> array_min(transform(sh, x -> xxhash64(x, j))))"
-
-  /** LSH band keys: 64 bands of 2 signature rows each, band hash =
-    * xxhash64 over the band's rows. Collide prob per band = J². */
-  private val bandsExpr =
-    """transform(sequence(0, 63), b -> struct(
-      |  b AS band,
-      |  xxhash64(element_at(sig, 2 * b + 1), element_at(sig, 2 * b + 2)) AS bh))"""
-      .stripMargin
+  /** MinHash lanes and LSH bands, built codegen-first: shingles are
+    * EXPLODED and each lane is a native `min(xxhash64(h, j))` aggregate —
+    * higher-order array lambdas are interpreted per-row in Spark (no
+    * doGenCode), which profiled ~10× slower than this whole-stage-codegen
+    * HashAggregate at sf0.1. Each shingle string is hashed once; lane j
+    * mixes that 64-bit value with the lane index. Partial aggregation
+    * runs map-side, so the shuffle carries one 128-long buffer per doc
+    * per partition. */
+  private val Lanes = 128
+  private val Bands = 64 // × 2 rows/band; collide prob per band = J²
 
   /** Near-duplicate pairs with exact-verified Jaccard ≥ 0.8.
     * Pipeline: shingle → minhash → band-explode → self-join on
@@ -90,9 +88,17 @@ object Dedup {
   def near(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = shingled(s, dir).cache()
-    val bands = sh
-      .withColumn("sig", expr(minhashExpr))
-      .select($"doc_id", explode(expr(bandsExpr)).as("b"))
+    val laneMins = (0 until Lanes).map(j =>
+      min(xxhash64($"h", lit(j))).as(s"s$j"))
+    val sig = sh
+      .select($"doc_id", explode($"sh").as("shingle"))
+      .select($"doc_id", xxhash64($"shingle").as("h"))
+      .groupBy($"doc_id")
+      .agg(laneMins.head, laneMins.tail: _*)
+    val bandCols = (0 until Bands).map(b =>
+      struct(lit(b).as("band"), xxhash64(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("bh")))
+    val bands = sig
+      .select($"doc_id", explode(array(bandCols: _*)).as("b"))
       .select($"doc_id", $"b.band", $"b.bh")
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bh" === $"y.bh" &&

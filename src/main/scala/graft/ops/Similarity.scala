@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -11,21 +10,22 @@ import graft.Tables.t
   * Brute-force top-k (the correctness baseline): broadcast the (small,
   * bounded) query set against the corpus, score with codegen'd
   * higher-order functions (zip_with + aggregate — no UDF, no explode),
-  * then per-query top-k. The ORDER BY under a LIMIT plans as
-  * TakeOrderedAndProject per partition + merge — there is never a global
-  * sort of all scores, so the shape is: corpus scan → map (score) →
-  * per-partition heap → driver merge of k×partitions rows. At 100 TB the
-  * corpus never shuffles at all.
+  * then per-query top-k through [[TopKByScore]] — a bounded aggregator
+  * whose partial state is ≤k rows, so each input partition reduces to a
+  * k-element heap map-side and only (#queries × k) rows cross the
+  * exchange. (A `Window.partitionBy(query_id)` rank would instead ship
+  * EVERY corpus score to one task per query — the 100 TB anti-shape.)
   *
   * ANN variant (the scale path): signed-random-projection LSH — 8 tables
-  * of 3-bit SimHash buckets from deterministic pseudo-random hyperplanes
-  * (hash-derived ±1 components, no RNG state to ship). Each corpus vector
-  * lands in 4 buckets; candidates are corpus vectors sharing ANY table's
-  * bucket with the query, scored exactly and top-k'd. The bucket join is
-  * an equi-join on (table, bucket) — candidate count scales with bucket
-  * occupancy, not n², and the per-table fanout is a constant 4 rows per
-  * vector. Not oracle-checkable (approximate by construction); its
-  * recall vs brute force is asserted in SimilaritySpec.
+  * of 3-bit SimHash buckets. The hyperplane matrix is a deterministic
+  * compile-time literal (no RNG state, no per-row hashing): bucket bits
+  * come from 24 64-dim dot products per vector. Corpus vectors land in 8
+  * buckets; candidates share ANY table's bucket with a query, deduped AS
+  * ID PAIRS ONLY (vectors re-joined after dedup so 64-dim arrays never
+  * ride the exchange), scored exactly, and top-k'd through the same
+  * bounded aggregator. Candidate volume scales with bucket occupancy,
+  * not n². Not oracle-checkable (approximate by construction); recall vs
+  * brute force is asserted in OpsSpec.
   *
   * Float determinism: all arithmetic is double (floats widened exactly),
   * folds run left-to-right from a 0.0 seed — bit-identical to the DuckDB
@@ -44,6 +44,24 @@ object Similarity {
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("nrm", expr(normExpr))
 
+  /** Score every (query, corpus) pair and keep each query's top k via the
+    * bounded aggregator; emit (query_id, vec_id, score, rn). */
+  private def topkOf(scored: DataFrame, k: Int): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    scored
+      .select($"query_id".as[Long],
+        struct($"vec_id", $"cos".as("score")).as[Scored])
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(TopKByScore.column(k).name("top"))
+      .toDF("query_id", "top")
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.vec_id".as("vec_id"),
+        round($"col.score", 6).as("score"), ($"pos" + 1).cast("int").as("rn"))
+      .orderBy($"query_id", $"rn")
+  }
+
   /** Cosine top-10 of every corpus vector (vec_id ≥ 10) for each query
     * vector (vec_id < 10). */
   def topk(s: SparkSession, dir: String): DataFrame = {
@@ -52,14 +70,9 @@ object Similarity {
     val q = e.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     val c = e.filter($"vec_id" >= 10).select($"vec_id", $"v", $"nrm")
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
-    c.join(broadcast(q)) // cartesian with a bounded broadcast query set
+    val scored = c.join(broadcast(q)) // cartesian with a bounded query set
       .withColumn("cos", expr(dotExpr) / ($"qn" * $"nrm"))
-      .select($"query_id", $"vec_id", $"cos",
-        row_number().over(w).as("rn"))
-      .filter($"rn" <= 10)
-      .select($"query_id", $"vec_id", round($"cos", 6).as("score"), $"rn")
-      .orderBy($"query_id", $"rn")
+    topkOf(scored, 10)
   }
 
   val topkSql: String =
@@ -79,39 +92,56 @@ object Similarity {
       |  SELECT query_id, vec_id, cos,
       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
       |  FROM sc)
-      |SELECT query_id, vec_id, ROUND(cos, 6) AS score, rn
+      |SELECT query_id, vec_id, ROUND(cos, 6) AS score, CAST(rn AS INT) AS rn
       |FROM rk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
-  /** Deterministic ±1 hyperplane component for (table t, bit p, dim i):
-    * parity of xxhash64 — reproducible on every executor with no
-    * broadcast of model state. */
-  private val planesExpr = // bucket per table: 3 sign bits packed to 0..7
-    """transform(sequence(0, 7), tb -> struct(
-      |  tb AS tbl,
-      |  aggregate(sequence(0, 2), 0, (acc, p) -> acc * 2 + CASE WHEN
-      |    aggregate(sequence(0, 63), 0d, (a, i) ->
-      |      a + element_at(v, i + 1) *
-      |          CASE WHEN pmod(xxhash64(tb, p, i), 2) = 0 THEN 1d ELSE -1d END
-      |    ) >= 0d THEN 1 ELSE 0 END) AS bucket))""".stripMargin
+  private val Tables_ = 8 // LSH tables
+  private val Bits = 3    // sign bits (bucket 0..7) per table
 
-  /** ANN top-10 via SimHash bucket candidates (8 tables × 3 bits).
-    * Rows-only check downstream; recall asserted in SimilaritySpec. */
+  /** Deterministic ±1 hyperplane components, (table, bit) → 64 dims —
+    * a fixed literal the plan folds once (splitmix64-style bit mix; any
+    * fixed pseudo-random signs work, determinism is all that matters). */
+  private lazy val planes: Seq[Seq[Seq[Double]]] =
+    (0 until Tables_).map(tb => (0 until Bits).map { p =>
+      (0 until 64).map { i =>
+        var z = (tb.toLong * 3 + p) * 64 + i + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+      }
+    })
+
+  /** (vec_id, tbl, bucket) rows: 24 literal-plane dot products per
+    * vector (array indexing `[..]` is 0-based in Spark SQL). */
+  private def bucketed(e: DataFrame): DataFrame =
+    e.withColumn("__planes", typedLit(planes))
+      .withColumn("bk", explode(expr(
+        """transform(sequence(0, 7), tb -> struct(
+          |  tb AS tbl,
+          |  aggregate(sequence(0, 2), 0, (acc, p) -> acc * 2 + CASE WHEN
+          |    aggregate(zip_with(v, __planes[tb][p], (x, w) -> x * w),
+          |              0d, (a, y) -> a + y) >= 0d THEN 1 ELSE 0 END) AS bucket))"""
+          .stripMargin)))
+      .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+
+  /** ANN top-10 via SimHash bucket candidates (8 tables × 3 bits). */
   def ann(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = vecs(s, dir).withColumn("bk", explode(expr(planesExpr)))
-      .select($"vec_id", $"v", $"nrm", $"bk.tbl", $"bk.bucket")
-    val q = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
-        $"tbl", $"bucket")
-    val c = e.filter($"vec_id" >= 10)
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
-    c.join(broadcast(q), Seq("tbl", "bucket")) // candidates: shared bucket
-      .select($"query_id", $"vec_id", $"qv", $"v", $"qn", $"nrm").distinct()
+    val b = bucketed(vecs(s, dir))
+    val qb = b.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"tbl", $"bucket")
+    val cb = b.filter($"vec_id" >= 10).select($"vec_id", $"tbl", $"bucket")
+    // candidates as bare id pairs — vectors never ride the dedup shuffle
+    val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .select($"query_id", $"vec_id").distinct()
+    val q = vecs(s, dir).filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val c = vecs(s, dir).filter($"vec_id" >= 10)
+    val scored = cand
+      .join(broadcast(q), "query_id")
+      .join(c, "vec_id")
       .withColumn("cos", expr(dotExpr) / ($"qn" * $"nrm"))
-      .select($"query_id", $"vec_id", $"cos", row_number().over(w).as("rn"))
-      .filter($"rn" <= 10)
-      .select($"query_id", $"vec_id", round($"cos", 6).as("score"), $"rn")
-      .orderBy($"query_id", $"rn")
+    topkOf(scored, 10)
   }
 
   // --- registry -------------------------------------------------------------
