@@ -78,16 +78,16 @@ object Dedup {
     * mixes that 64-bit value with the lane index. Partial aggregation
     * runs map-side, so the shuffle carries one 128-long buffer per doc
     * per partition. */
-  private val Lanes = 128
-  private val Bands = 64 // × 2 rows/band; collide prob per band = J²
+  private val Lanes = 128 // bands = Lanes / bandRows; collide prob per band = J^bandRows
 
   /** Near-duplicate pairs with exact-verified Jaccard ≥ 0.8.
     * Pipeline: shingle → minhash → band-explode → self-join on
     * (band, bh) → distinct candidate pair → join shingle sets back →
-    * exact Jaccard filter. */
-  def near(s: SparkSession, dir: String): DataFrame = {
+    * exact Jaccard filter. `sh` must be (doc_id, sh: array<string>). */
+  private def lshJaccardPairs(shingleSets: DataFrame, bandRows: Int = 2): DataFrame = {
+    val s = shingleSets.sparkSession
     import s.implicits._
-    val sh = shingled(s, dir).cache()
+    val sh = shingleSets.cache()
     val laneMins = (0 until Lanes).map(j =>
       min(xxhash64($"h", lit(j))).as(s"s$j"))
     val sig = sh
@@ -95,8 +95,9 @@ object Dedup {
       .select($"doc_id", xxhash64($"shingle").as("h"))
       .groupBy($"doc_id")
       .agg(laneMins.head, laneMins.tail: _*)
-    val bandCols = (0 until Bands).map(b =>
-      struct(lit(b).as("band"), xxhash64(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("bh")))
+    val bandCols = (0 until Lanes / bandRows).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until bandRows).map(i => col(s"s${bandRows * b + i}")): _*).as("bh")))
     val bands = sig
       .select($"doc_id", explode(array(bandCols: _*)).as("b"))
       .select($"doc_id", $"b.band", $"b.bh")
@@ -116,9 +117,12 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Oracle: exact all-pairs Jaccard (feasible at oracle scale only). */
-  val nearSql: String =
-    s"""$shingledSql
+  /** Word-3-gram near-dup (the default MinHash/LSH pipeline). */
+  def near(s: SparkSession, dir: String): DataFrame =
+    lshJaccardPairs(shingled(s, dir))
+
+  private def allPairsJaccardSql(withShingles: String): String =
+    s"""$withShingles
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  ROUND(CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |        / LEN(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
@@ -127,13 +131,156 @@ object Dedup {
       |      / LEN(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Oracle: exact all-pairs Jaccard (feasible at oracle scale only). */
+  val nearSql: String = allPairsJaccardSql(shingledSql)
+
+  /** Character-12-gram near-dup: same MinHash/LSH machinery over
+    * substring shingles — robust to tokenization (whitespace/punct
+    * changes) where the word-gram variant is robust to word edits.
+    *
+    * k=12 and 4-row bands, not the word-gram 3/2: with a small shared
+    * vocabulary, short char-grams give unrelated docs Jaccard ~0.1 and
+    * J²-per-band LSH admits ~10% of ALL pairs as candidates (measured:
+    * a near-all-pairs verify stage at sf0.1). At k=12 background J ≤
+    * 0.03 and J⁴ banding admits ~1e-5 per pair while J≥0.8 pairs still
+    * collide with certainty (1-(1-0.41)^32 ≈ 1-5e-8). */
+  def nearNgram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sets = t(s, dir, "documents")
+      .withColumn("txt", lower(col("text")))
+      .filter(length($"txt") >= 12)
+      .select($"doc_id", expr(
+        "array_distinct(transform(sequence(1, length(txt) - 11), i -> substring(txt, i, 12)))")
+        .as("sh"))
+    lshJaccardPairs(sets, bandRows = 4)
+  }
+
+  val nearNgramSql: String = allPairsJaccardSql(
+    """WITH dtxt AS (SELECT doc_id, lower(text) AS txt FROM documents WHERE length(lower(text)) >= 12),
+      |shing AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, length(txt) - 10), i -> txt[i:i+11])) AS sh
+      |  FROM dtxt)""".stripMargin)
+
+  /** SimHash near-dup: 60-bit fingerprint over the distinct-token set
+    * (bit b set iff Σ_tokens ±1 ≥ 0, sign from bit b of a 60-bit
+    * md5-derived token hash), then pairs within hamming distance ≤ 3.
+    *
+    * Banding is EXACT here, not probabilistic: the fingerprint splits
+    * into 4 bands of 15 bits, and a pair ≤3 bits apart can touch at most
+    * 3 bands — by pigeonhole at least one band is identical, so the
+    * band self-join provably finds every pair within threshold (the same
+    * guarantee the oracle's all-pairs scan has). Shuffle key = 15-bit
+    * band value; fingerprints are 8 bytes/doc.
+    *
+    * Token hash = first 15 hex chars of md5 (60 bits) — the one 64-bit
+    * hash expressible identically in Spark (`conv(...,16,10)`) and
+    * DuckDB (`('0x'||…)::UBIGINT`). */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tokHash = t(s, dir, "documents")
+      .select($"doc_id", explode(array_distinct(split(lower($"text"), " "))).as("tok"))
+      .select($"doc_id",
+        conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val fp = tokHash.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id",
+        (0 until 60).map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+      .cache()
+    val bandCols = (0 until 4).map(k =>
+      struct(lit(k).as("band"),
+        shiftright($"fp", 15 * k).bitwiseAND(0x7fffL).as("bh")))
+    val bands = fp.select($"doc_id", explode(array(bandCols: _*)).as("b"))
+      .select($"doc_id", $"b.band", $"b.bh")
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bh" === $"y.bh" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(fp.as("a"), $"doc_a" === $"a.doc_id")
+      .join(fp.as("b"), $"doc_b" === $"b.doc_id")
+      .select($"doc_a", $"doc_b",
+        bit_count($"a.fp".bitwiseXOR($"b.fp")).cast("int").as("hamming"))
+      .filter($"hamming" <= 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val simhashSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks FROM documents),
+      |hs AS (SELECT doc_id,
+      |  list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::UBIGINT::BIGINT) AS h
+      |  FROM d),
+      |f AS (SELECT doc_id, list_reduce(list_transform(range(0, 60), b ->
+      |    CASE WHEN list_reduce(list_transform(h, x ->
+      |        CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END), (p, q) -> p + q) >= 0
+      |    THEN (1::BIGINT << b) ELSE 0::BIGINT END), (p, q) -> p + q) AS fp
+      |  FROM hs)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+      |FROM f a JOIN f b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Embedding-cosine near-dup under the same simulated re-crawl as
+    * [[exact]]: 20% of vectors reappear under new ids; duplicate pairs
+    * are found by SimHash bucketing (2 tables × 12 bits — identical
+    * vectors land in identical buckets in EVERY table, so recall for the
+    * cos ≥ 0.999 duplicates is deterministic, not probabilistic), then
+    * exact cosine verification inside buckets. Never all-pairs: candidate
+    * volume ∝ bucket occupancy (~n/4096 per bucket per table). */
+  def embed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val crawl = base.unionByName(
+      base.filter($"vec_id" % 5 === 0).withColumn("vec_id", $"vec_id" + 100000L))
+    val e = Similarity.widened(crawl).cache()
+    val b = Similarity.bucketed(e, tables = 2, bits = 12)
+    val cand = b.as("x").join(b.as("y"),
+        $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" &&
+          $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))
+      .distinct()
+    val qa = e.select($"vec_id".as("vec_a"), $"v".as("qv"), $"nrm".as("qn"))
+    val qb = e.select($"vec_id".as("vec_b"), $"v", $"nrm")
+    cand.join(qa, "vec_a").join(qb, "vec_b")
+      .withColumn("cos", expr(Similarity.cosineExpr) / ($"qn" * $"nrm"))
+      .filter($"cos" >= 0.999)
+      .select($"vec_a", $"vec_b", round($"cos", 6).as("cos_sim"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val embedSql: String =
+    """WITH crawl AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 5 = 0),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |  sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+      |                   (a, b) -> a + b)) AS nrm
+      |  FROM crawl),
+      |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
+      |              (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, ROUND(cos, 6) AS cos_sim
+      |FROM p WHERE cos >= 0.999 ORDER BY vec_a, vec_b""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> exact,
-    "q_dedup_near" -> near)
+    "q_dedup_near" -> near,
+    "q_dedup_ngram" -> nearNgram,
+    "q_dedup_simhash" -> simhash,
+    "q_dedup_embed" -> embed)
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> exactSql,
-    "q_dedup_near" -> nearSql)
+    "q_dedup_near" -> nearSql,
+    "q_dedup_ngram" -> nearNgramSql,
+    "q_dedup_simhash" -> simhashSql,
+    "q_dedup_embed" -> embedSql)
 }

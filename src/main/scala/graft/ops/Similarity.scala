@@ -40,9 +40,7 @@ object Similarity {
 
   /** embeddings with the float vector widened to double (exact). */
   private def vecs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings")
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nrm", expr(normExpr))
+    widened(t(s, dir, "embeddings"))
 
   /** Score every (query, corpus) pair and keep each query's top k via the
     * bounded aggregator; emit (query_id, vec_id, score, rn). */
@@ -101,33 +99,44 @@ object Similarity {
   /** Deterministic ±1 hyperplane components, (table, bit) → 64 dims —
     * a fixed literal the plan folds once (splitmix64-style bit mix; any
     * fixed pseudo-random signs work, determinism is all that matters). */
-  private lazy val planes: Seq[Seq[Seq[Double]]] =
-    (0 until Tables_).map(tb => (0 until Bits).map { p =>
+  private[ops] def planes(tables: Int, bits: Int): Seq[Seq[Seq[Double]]] =
+    (0 until tables).map(tb => (0 until bits).map { p =>
       (0 until 64).map { i =>
-        var z = (tb.toLong * 3 + p) * 64 + i + 0x9e3779b97f4a7c15L
+        var z = (tb.toLong * bits + p) * 64 + i + 0x9e3779b97f4a7c15L
         z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
         z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
         if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
       }
     })
 
-  /** (vec_id, tbl, bucket) rows: 24 literal-plane dot products per
-    * vector (array indexing `[..]` is 0-based in Spark SQL). */
-  private def bucketed(e: DataFrame): DataFrame =
-    e.withColumn("__planes", typedLit(planes))
+  /** (vec_id, tbl, bucket) rows: tables × bits literal-plane dot
+    * products per vector (array `[..]` is 0-based in Spark SQL). A
+    * vector equal to another lands in identical buckets in EVERY table —
+    * near-angle vectors collide with probability (1 − θ/π)^bits per
+    * table. */
+  private[ops] def bucketed(e: DataFrame, tables: Int, bits: Int): DataFrame =
+    e.withColumn("__planes", typedLit(planes(tables, bits)))
       .withColumn("bk", explode(expr(
-        """transform(sequence(0, 7), tb -> struct(
+        s"""transform(sequence(0, ${tables - 1}), tb -> struct(
           |  tb AS tbl,
-          |  aggregate(sequence(0, 2), 0, (acc, p) -> acc * 2 + CASE WHEN
+          |  aggregate(sequence(0, ${bits - 1}), 0, (acc, p) -> acc * 2 + CASE WHEN
           |    aggregate(zip_with(v, __planes[tb][p], (x, w) -> x * w),
           |              0d, (a, y) -> a + y) >= 0d THEN 1 ELSE 0 END) AS bucket))"""
           .stripMargin)))
       .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
 
+  /** embeddings with vectors widened to double + L2 norm (shared with
+    * [[Dedup.embed]]). */
+  private[ops] def widened(df: DataFrame): DataFrame =
+    df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", expr(normExpr))
+
+  private[ops] val cosineExpr: String = dotExpr
+
   /** ANN top-10 via SimHash bucket candidates (8 tables × 3 bits). */
   def ann(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val b = bucketed(vecs(s, dir))
+    val b = bucketed(vecs(s, dir), Tables_, Bits)
     val qb = b.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"tbl", $"bucket")
     val cb = b.filter($"vec_id" >= 10).select($"vec_id", $"tbl", $"bucket")

@@ -56,6 +56,50 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(lsh == exact)
   }
 
+  test("dedup ngram: char-5-gram LSH pairs are ordered and above threshold") {
+    val rows = Dedup.nearNgram(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.8)
+    }
+  }
+
+  test("dedup simhash: banding finds every pair the exact all-pairs scan finds") {
+    import spark.implicits._
+    // recompute fingerprints through the op itself (hamming-0 self-check):
+    // identical token-set docs (the fingerprint groups) must appear as
+    // hamming-0 pairs, and no emitted pair may exceed the threshold.
+    val pairs = Dedup.simhash(spark, sfDir).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Int]("hamming") >= 0 && r.getAs[Int]("hamming") <= 3)
+    }
+    val zeroPairs = pairs.filter(_.getAs[Int]("hamming") == 0)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // every same-bag group from the fingerprint op yields hamming-0 pairs
+    val groups = Text.fingerprint(spark, sfDir).collect()
+    val docsByFp = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", md5(array_join(array_sort(array_distinct(
+        split(lower($"text"), " "))), " ")).as("fp"))
+      .collect().groupBy(_.getString(1))
+    groups.foreach { g =>
+      val ids = docsByFp(g.getString(g.fieldIndex("fp"))).map(_.getLong(0)).sorted
+      for (a <- ids; b <- ids if a < b) assert(zeroPairs.contains((a, b)),
+        s"same-bag pair ($a,$b) missing from simhash output")
+    }
+  }
+
+  test("dedup embed: finds exactly the re-crawled duplicate vector pairs") {
+    import spark.implicits._
+    val got = Dedup.embed(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val expected = graft.Tables.t(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 5 === 0).select($"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+    assert(got == expected)
+  }
+
   // --- Similarity -----------------------------------------------------------
 
   test("similarity topk: 10 neighbors per query, scores in [-1,1] descending") {
