@@ -40,7 +40,8 @@ object SparkEntry {
     graft.ops.Dedup.queries ++
     graft.ops.Similarity.queries ++
     graft.ops.Text.queries ++
-    graft.ops.Multimodal.queries
+    graft.ops.Multimodal.queries ++
+    graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +53,6 @@ object SparkEntry {
     graft.ops.Dedup.oracle ++
     graft.ops.Similarity.oracle ++
     graft.ops.Text.oracle ++
-    graft.ops.Multimodal.oracle
+    graft.ops.Multimodal.oracle ++
+    graft.streaming.EventStreams.oracle
 }

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import graft.Tables.t
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.concurrent.duration.FiniteDuration
+
+/** Structured Streaming surface over the `events` shape (event_id, ts,
+  * user_id, event_type, value): the reference is bounded-only
+  * (/root/reference/src/execution.rs:96 pins `Bounded`), so this module
+  * is the extension path SURVEY §2b marks for streams — built so the
+  * SAME transform runs batch or streaming:
+  *
+  *  - [[windowedTypeCounts]] is a plain groupBy(window(...)) aggregation;
+  *    applied to a static frame it is the oracle-checked
+  *    `q_stream_window`, applied to a `readStream` frame (via
+  *    [[streamingWindowedCounts]], watermarked) it incrementalizes —
+  *    Spark plans stateful partial aggregation per trigger, state keyed
+  *    by (window, event_type), late data beyond the watermark dropped.
+  *  - [[runningUserTotals]] — `mapGroupsWithState` running aggregates
+  *    (Update mode): state is one row per user, shuffled once per
+  *    trigger by user_id.
+  *  - [[sessionize]] — `flatMapGroupsWithState` (Append mode, event-time
+  *    timeout): gap-based session assembly; sessions close when a
+  *    same-user event arrives past the gap OR the watermark passes the
+  *    session end + gap.
+  *
+  * At scale the state store is the bottleneck, not the stream: state per
+  * key is O(1) here (a window count, a user total, one open session), so
+  * a 1000-executor job shards state by the groupBy key exactly like a
+  * batch shuffle.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+  final case class SessionState(start: Long, end: Long, n: Int, total: Double)
+  final case class UserSession(user_id: Long, session_start: Timestamp,
+                               session_end: Timestamp, n_events: Int,
+                               total_value: Double)
+
+  /** Tumbling-window per-type counts — identical semantics batch or
+    * streaming (decimal-routed sum keeps doubles partition-order-exact). */
+  def windowedTypeCounts(events: DataFrame, win: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Streaming form: watermarked so Append mode can finalize windows and
+    * bound state. */
+  def streamingWindowedCounts(events: DataFrame, win: String = "1 hour",
+                              watermark: String = "2 hours"): DataFrame =
+    windowedTypeCounts(events.withWatermark("ts", watermark), win)
+
+  /** Batch anchor for the oracle: 1-day tumbling windows over the events
+    * table (epoch-aligned on both engines). */
+  def windowBatch(s: SparkSession, dir: String): DataFrame =
+    windowedTypeCounts(t(s, dir, "events"), "1 day")
+      .orderBy(col("window_start"), col("event_type"))
+
+  val windowBatchSql: String =
+    """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+      |  time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin
+
+  /** Running per-user totals: bounded state (one row per user), updated
+    * each trigger. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          it.foreach { e => n += 1; tot += e.value }
+          val upd = UserTotals(uid, n, tot)
+          state.update(upd)
+          upd
+      }
+  }
+
+  /** Gap-based sessionization. A session closes when (a) a same-user
+    * event lands more than `gap` after the session end — emitted
+    * immediately — or (b) the event-time watermark passes
+    * session end + gap (timeout path). Input must be watermarked. */
+  def sessionize(events: Dataset[Event], gap: FiniteDuration): Dataset[UserSession] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val gapMs = gap.toMillis
+    def emit(uid: Long, st: SessionState): UserSession =
+      UserSession(uid, new Timestamp(st.start), new Timestamp(st.end),
+        st.n, st.total)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val closed = emit(uid, state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            var out = List.empty[UserSession]
+            var cur = state.getOption
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val ems = e.ts.getTime
+              cur match {
+                case Some(st) if ems - st.end <= gapMs =>
+                  cur = Some(SessionState(st.start, math.max(st.end, ems),
+                    st.n + 1, st.total + e.value))
+                case Some(st) =>
+                  out ::= emit(uid, st)
+                  cur = Some(SessionState(ems, ems, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(ems, ems, 1, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.end + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
+  // --- registry -------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_window" -> windowBatch)
+
+  def oracle: Map[String, String] = Map(
+    "q_stream_window" -> windowBatchSql)
+}

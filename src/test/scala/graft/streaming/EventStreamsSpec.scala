@@ -1,0 +1,130 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.EventStreams._
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+import scala.concurrent.duration._
+
+/** Structured Streaming specs: incremental windowed aggregation with
+  * watermark finalization, mapGroupsWithState running totals, and
+  * flatMapGroupsWithState sessionization — all driven deterministically
+  * through MemoryStream + processAllAvailable. Also pins batch/stream
+  * parity: the same transform over the same rows gives the same answer. */
+class EventStreamsSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def ev(id: Long, at: String, uid: Long = 1L, typ: String = "click",
+                 v: Double = 1.0): Event = Event(id, ts(at), uid, typ, v)
+
+  private def drain(q: StreamingQuery): Unit = { q.processAllAvailable() }
+
+  test("streaming windowed counts finalize windows after the watermark passes") {
+    import spark.implicits._
+    val in = MemoryStream[Event](spark)
+    val q = streamingWindowedCounts(in.toDF(), win = "1 hour", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("winsink").outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:05:00", v = 2.0),
+        ev(2, "2024-01-01 10:20:00", v = 3.0),
+        ev(3, "2024-01-01 10:40:00", typ = "view", v = 1.5))
+      drain(q)
+      // watermark still inside the 10:00 window → nothing finalized yet
+      assert(spark.table("winsink").count() == 0)
+      // jump event time far ahead: watermark (= max ts − 30 min) clears 11:00
+      in.addData(ev(4, "2024-01-01 13:00:00"))
+      drain(q)
+      in.addData(ev(5, "2024-01-01 13:30:00"))
+      drain(q)
+      val rows = spark.table("winsink")
+        .selectExpr("CAST(window_start AS STRING)", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "click", 2L, 5.0),
+        ("2024-01-01 10:00:00", "view", 1L, 1.5)))
+    } finally q.stop()
+  }
+
+  test("batch and streaming windowed counts agree on the same data") {
+    import spark.implicits._
+    val events = Seq(
+      ev(1, "2024-01-01 10:05:00", v = 2.0), ev(2, "2024-01-01 10:50:00", v = 3.0),
+      ev(3, "2024-01-01 11:10:00", typ = "view", v = 4.0), ev(4, "2024-01-01 12:01:00", v = 1.0))
+    val batch = windowedTypeCounts(events.toDF(), "1 hour").collect()
+      .map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    val in = MemoryStream[Event](spark)
+    val q = windowedTypeCounts(in.toDF(), "1 hour") // no watermark → complete mode
+      .writeStream.format("memory").queryName("paritysink").outputMode("complete").start()
+    try {
+      in.addData(events.take(2)); drain(q)
+      in.addData(events.drop(2)); drain(q)
+      val streamed = spark.table("paritysink").collect()
+        .map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals accumulate across triggers") {
+    import spark.implicits._
+    val in = MemoryStream[Event](spark)
+    val q = runningUserTotals(in.toDS())
+      .writeStream.format("memory").queryName("totalsink").outputMode("update").start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00", uid = 1, v = 2.0),
+        ev(2, "2024-01-01 10:01:00", uid = 2, v = 5.0))
+      drain(q)
+      in.addData(ev(3, "2024-01-01 10:02:00", uid = 1, v = 3.0))
+      drain(q)
+      // update sink: keep the LAST emitted row per user
+      val latest = spark.table("totalsink").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+      assert(latest == Map(1L -> ((2L, 5.0)), 2L -> ((1L, 5.0))))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session when a same-user event lands past the gap") {
+    import spark.implicits._
+    val in = MemoryStream[Event](spark)
+    val q = sessionize(in.toDS().withWatermark("ts", "10 minutes"), gap = 30.minutes)
+      .writeStream.format("memory").queryName("sessionsink").outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", v = 1.0),
+        ev(2, "2024-01-01 10:05:00", v = 2.0),
+        ev(3, "2024-01-01 10:20:00", v = 3.0))
+      drain(q)
+      assert(spark.table("sessionsink").count() == 0) // still open
+      in.addData(ev(4, "2024-01-01 12:00:00", v = 9.0)) // > 30 min gap
+      drain(q)
+      val rows = spark.table("sessionsink")
+        .selectExpr("user_id", "CAST(session_start AS STRING)",
+          "CAST(session_end AS STRING)", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getInt(3), r.getDouble(4))).toSet
+      assert(rows == Set((1L, "2024-01-01 10:00:00", "2024-01-01 10:20:00", 3, 6.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize emits via event-time timeout when the watermark passes") {
+    import spark.implicits._
+    val in = MemoryStream[Event](spark)
+    val q = sessionize(in.toDS().withWatermark("ts", "5 minutes"), gap = 30.minutes)
+      .writeStream.format("memory").queryName("timeoutsink").outputMode("append").start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00", uid = 7, v = 4.0))
+      drain(q)
+      // a DIFFERENT user's event advances the watermark past 10:30 + gap
+      in.addData(ev(2, "2024-01-01 12:00:00", uid = 8))
+      drain(q)
+      in.addData(ev(3, "2024-01-01 12:30:00", uid = 8))
+      drain(q)
+      val uids = spark.table("timeoutsink").collect().map(_.getLong(0)).toSet
+      assert(uids.contains(7L), "user 7's session should have timed out")
+    } finally q.stop()
+  }
+}
