@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, NullType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Rabin–Karp polynomial rolling hash of a string — the
+  * document-fingerprinting primitive (h = Σ byte·B^i mod M, computed as a
+  * left fold `h = (h·B + byte) mod M`). Native Catalyst `Expression`
+  * WITH `doGenCode`, so it runs inside whole-stage codegen rather than as
+  * a black-box UDF: the generated Java is a tight per-byte loop over the
+  * UTF8String's bytes, no boxing, no SerDe.
+  *
+  * Base/modulus (31, 1e9+7) are the textbook Rabin–Karp constants; the
+  * fold is reproducible in any engine that can iterate characters (the
+  * DuckDB oracle folds `ascii()` codes — identical for ASCII corpora,
+  * which is what the hash is specified over).
+  */
+final case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = ($h * ${RollingHash.Base}L + ($bytes[$i] & 0xffL)) % ${RollingHash.Mod}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  val Base = 31L
+  val Mod = 1000000007L
+
+  /** Interpreted fallback (must match the generated code bit-for-bit). */
+  def hash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * Base + (bytes(i) & 0xffL)) % Mod
+      i += 1
+    }
+    h
+  }
+}
+
+/** Registration for graft's native functions.
+  *
+  * Two paths:
+  *  - cluster / spark-submit: `--conf spark.sql.extensions=
+  *    graft.functions.GraftExtensions` — the idiomatic
+  *    `SparkSessionExtensions` hook;
+  *  - library / existing session: `GraftFunctions.register(spark)`.
+  *
+  * Either way `rolling_hash(str)` resolves in SQL and `expr(...)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.rollingHashSpec)
+}
+
+object GraftFunctions {
+  private[functions] val rollingHashSpec
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_hash"),
+    new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+    (children: Seq[Expression]) => RollingHash(children.head))
+
+  /** Imperative registration on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val (ident, info, builder) = rollingHashSpec
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+}

@@ -137,17 +137,79 @@ object Text {
       |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
       |FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin
 
+  /** Rolling-hash fingerprints via the native [[graft.functions.RollingHash]]
+    * expression (whole-stage-codegen byte loop — registered on the
+    * session imperatively; clusters use spark.sql.extensions). */
+  def rollhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select($"doc_id",
+        expr("rolling_hash(text)").as("rh"),
+        expr("rolling_hash(lower(text))").as("rh_lower"))
+      .orderBy($"doc_id")
+      .limit(300)
+  }
+
+  /** Same Rabin–Karp fold over ascii codes (byte==codepoint on this
+    * ASCII corpus); DuckDB's seedless list_reduce starts the chain at
+    * c₀ = (0·B + c₀), identical to the expression's 0-seeded loop. */
+  val rollhashSql: String =
+    """SELECT doc_id,
+      |  list_reduce(list_transform(range(1, length(text) + 1), i -> ascii(text[i:i])::BIGINT),
+      |              (h, c) -> (h * 31 + c) % 1000000007) AS rh,
+      |  list_reduce(list_transform(range(1, length(lower(text)) + 1), i -> ascii(lower(text)[i:i])::BIGINT),
+      |              (h, c) -> (h * 31 + c) % 1000000007) AS rh_lower
+      |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin
+
+  /** Deterministic train/val/test assignment — the pipeline op that must
+    * be reproducible across runs AND engines: bucket = 60 md5 bits of
+    * the doc id, mod 100 → 80/10/10 split. Pure map + tiny aggregate;
+    * at 100 TB the assignment is a scan-speed projection (no RNG state,
+    * no sampling shuffle). */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket =
+      conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(bucket < 80, lit("train")).when(bucket < 90, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        sum($"n_chars").as("total_chars"))
+      .orderBy($"split")
+  }
+
+  val splitAssignSql: String =
+    """WITH a AS (
+      |  SELECT *,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 100 AS bucket
+      |  FROM documents),
+      |l AS (SELECT *, CASE WHEN bucket < 80 THEN 'train'
+      |                     WHEN bucket < 90 THEN 'val'
+      |                     ELSE 'test' END AS split FROM a)
+      |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM l GROUP BY split ORDER BY split""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> stats,
     "q_text_lang_agg" -> langAgg,
     "q_text_langid" -> langId,
-    "q_text_fingerprint" -> fingerprint)
+    "q_text_fingerprint" -> fingerprint,
+    "q_text_rollhash" -> rollhash,
+    "q_split_assign" -> splitAssign)
 
   def oracle: Map[String, String] = Map(
     "q_text_stats" -> statsSql,
     "q_text_lang_agg" -> langAggSql,
     "q_text_langid" -> langIdSql,
-    "q_text_fingerprint" -> fingerprintSql)
+    "q_text_fingerprint" -> fingerprintSql,
+    "q_text_rollhash" -> rollhashSql,
+    "q_split_assign" -> splitAssignSql)
 }
