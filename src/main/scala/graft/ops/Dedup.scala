@@ -84,18 +84,19 @@ object Dedup {
     * Pipeline: shingle → minhash → band-explode → self-join on
     * (band, bh) → distinct candidate pair → join shingle sets back →
     * exact Jaccard filter. `sh` must be (doc_id, sh: array<string>). */
-  private def lshJaccardPairs(shingleSets: DataFrame, bandRows: Int = 2): DataFrame = {
+  private def lshJaccardPairs(shingleSets: DataFrame, bandRows: Int = 2,
+                              lanes: Int = Lanes): DataFrame = {
     val s = shingleSets.sparkSession
     import s.implicits._
     val sh = shingleSets.cache()
-    val laneMins = (0 until Lanes).map(j =>
+    val laneMins = (0 until lanes).map(j =>
       min(xxhash64($"h", lit(j))).as(s"s$j"))
     val sig = sh
       .select($"doc_id", explode($"sh").as("shingle"))
       .select($"doc_id", xxhash64($"shingle").as("h"))
       .groupBy($"doc_id")
       .agg(laneMins.head, laneMins.tail: _*)
-    val bandCols = (0 until Lanes / bandRows).map(b =>
+    val bandCols = (0 until lanes / bandRows).map(b =>
       struct(lit(b).as("band"),
         xxhash64((0 until bandRows).map(i => col(s"s${bandRows * b + i}")): _*).as("bh")))
     val bands = sig
@@ -138,27 +139,37 @@ object Dedup {
     * substring shingles — robust to tokenization (whitespace/punct
     * changes) where the word-gram variant is robust to word edits.
     *
-    * k=12 and 4-row bands, not the word-gram 3/2: with a small shared
-    * vocabulary, short char-grams give unrelated docs Jaccard ~0.1 and
-    * J²-per-band LSH admits ~10% of ALL pairs as candidates (measured:
-    * a near-all-pairs verify stage at sf0.1). At k=12 background J ≤
-    * 0.03 and J⁴ banding admits ~1e-5 per pair while J≥0.8 pairs still
-    * collide with certainty (1-(1-0.41)^32 ≈ 1-5e-8). */
+    * Two divergences from the word-gram 3/2 config, both scale-driven:
+    *  - k=12 + 4-row bands: with a small shared vocabulary, short
+    *    char-grams give unrelated docs Jaccard ~0.1 and J²-per-band LSH
+    *    admits ~10% of ALL pairs as candidates (measured: a
+    *    near-all-pairs verify stage at sf0.1). At k=12 background J ≤
+    *    0.03 and J⁴ banding admits ~1e-5 per pair while J≥0.9 pairs
+    *    still collide with certainty (1-(1-0.66)^16 ≈ 1-4e-8).
+    *  - winnowing: only shingles with an even md5-derived hash survive
+    *    (content-defined 2× downsample — alignment-shift-robust, unlike
+    *    a positional stride — applied IDENTICALLY in the oracle, so
+    *    Jaccard is computed over the same sampled sets on both sides).
+    *    Halves the dominant minhash-lane aggregation. */
   def nearNgram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sets = t(s, dir, "documents")
       .withColumn("txt", lower(col("text")))
       .filter(length($"txt") >= 12)
       .select($"doc_id", expr(
-        "array_distinct(transform(sequence(1, length(txt) - 11), i -> substring(txt, i, 12)))")
-        .as("sh"))
-    lshJaccardPairs(sets, bandRows = 4)
+        """filter(
+          |  array_distinct(transform(sequence(1, length(txt) - 11), i -> substring(txt, i, 12))),
+          |  x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % 2 = 0)"""
+          .stripMargin).as("sh"))
+    lshJaccardPairs(sets, bandRows = 4, lanes = 64)
   }
 
   val nearNgramSql: String = allPairsJaccardSql(
     """WITH dtxt AS (SELECT doc_id, lower(text) AS txt FROM documents WHERE length(lower(text)) >= 12),
       |shing AS (SELECT doc_id,
-      |  list_distinct(list_transform(range(1, length(txt) - 10), i -> txt[i:i+11])) AS sh
+      |  list_filter(
+      |    list_distinct(list_transform(range(1, length(txt) - 10), i -> txt[i:i+11])),
+      |    x -> ('0x' || substr(md5(x), 1, 15))::UBIGINT::BIGINT % 2 = 0) AS sh
       |  FROM dtxt)""".stripMargin)
 
   /** SimHash near-dup: 60-bit fingerprint over the distinct-token set
