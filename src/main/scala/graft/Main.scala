@@ -12,6 +12,17 @@ import org.apache.spark.sql.SparkSession
   * Usage: graft.Main <config.yaml> [master]
   */
 object Main {
+
+  /** Register every source and plan each source's SQL (lazily — nothing
+    * executes until the caller consumes the frames). Separated from
+    * `main` so the pipeline is e2e-testable against a live session. */
+  def run(spark: SparkSession, cfg: graft.config.Config)
+      : Seq[(String, org.apache.spark.sql.DataFrame)] =
+    cfg.sources.flatMap { src =>
+      HttpTables.register(spark, src)
+      src.getSql.map(sql => src.name -> spark.sql(sql))
+    }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println("usage: graft.Main <config.yaml> [master]")
@@ -26,11 +37,7 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try
-      cfg.sources.foreach { src =>
-        HttpTables.register(spark, src)
-        src.getSql.foreach(sql => spark.sql(sql).show(20, truncate = true))
-      }
+    try run(spark, cfg).foreach { case (_, df) => df.show(20, truncate = true) }
     finally spark.stop()
   }
 }
