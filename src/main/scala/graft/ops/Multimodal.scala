@@ -96,6 +96,33 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => MediaFeatures.decode(id, bytes) })
   }
 
+  /** One sampled frame of a media payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, offset: Long,
+                         frame_hash: Long)
+
+  /** Frame sampling: the one-in/many-out decode contract (video → N
+    * frames, audio → N windows). Every `stride` bytes of the payload
+    * yields one frame row; the frame content hash is the stubbed
+    * decode (a real codec seeks + decodes at the offset instead).
+    * Narrow flatMap — output cardinality is per-row data-dependent,
+    * which is exactly what distinguishes this contract from
+    * [[extractFeatures]]'s 1:1 map. */
+  def frameSample(media: DataFrame, stride: Int = 64): Dataset[Frame] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select($"doc_id".as[Long], $"payload".as[Array[Byte]])
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        (0 until math.max(1, bytes.length / stride)).iterator.map { i =>
+          val off = i.toLong * stride
+          val end = math.min(bytes.length, off.toInt + stride)
+          var h = 0L
+          var p = off.toInt
+          while (p < end) { h = h * 31 + (bytes(p) & 0xff); p += 1 }
+          Frame(id, i, off, h)
+        }
+      })
+  }
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -137,6 +137,58 @@ object Text {
       |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
       |FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin
 
+  /** Quality scoring: the filter stage of a training-data pipeline.
+    * Length, mean-token-length, stopword-ratio and non-alpha-ratio
+    * signals combine into a [0,1] score; `keep` is the pipeline's
+    * accept/reject bit. All ratios are exact small-int divisions and the
+    * score is a fixed linear combination — deterministic across engines.
+    * Pure map stage: filters at scan speed at any scale. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = withToks(s, dir)
+      .select($"doc_id", $"lang",
+        size($"toks").as("n_tokens"),
+        (length($"text").cast("double") / size($"toks")).as("avg_tok_span"),
+        (expr("size(filter(toks, t -> t IN ('the','a','of','and','to','in')))")
+          .cast("double") / size($"toks")).as("stop_ratio"),
+        (expr("size(filter(toks, t -> t RLIKE '^[a-z]+$'))").cast("double")
+          / size($"toks")).as("alpha_ratio"))
+    q.select($"doc_id", $"lang", $"n_tokens",
+        round($"stop_ratio", 6).as("stop_ratio"),
+        round($"alpha_ratio", 6).as("alpha_ratio"),
+        round(
+          when($"n_tokens" >= 20 && $"n_tokens" <= 1000, 0.4).otherwise(0.0) +
+          when($"avg_tok_span" >= 3.0 && $"avg_tok_span" <= 12.0, 0.2).otherwise(0.0) +
+          when($"stop_ratio" >= 0.01, 0.2).otherwise(0.0) +
+          $"alpha_ratio" * 0.2, 6).as("quality"))
+      .withColumn("keep", $"quality" >= 0.6)
+      .orderBy($"doc_id")
+      .limit(300)
+  }
+
+  val qualitySql: String =
+    s"""WITH d AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+      |r AS (SELECT doc_id, lang,
+      |  CAST(LEN(toks) AS INT) AS n_tokens,
+      |  CAST(LENGTH(text) AS DOUBLE) / LEN(toks) AS avg_tok_span,
+      |  CAST(LEN(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |    / LEN(toks) AS stop_ratio,
+      |  CAST(LEN(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$$'))) AS DOUBLE)
+      |    / LEN(toks) AS alpha_ratio
+      |  FROM d),
+      |sc AS (SELECT doc_id, lang, n_tokens,
+      |  ROUND(stop_ratio, 6) AS stop_ratio,
+      |  ROUND(alpha_ratio, 6) AS alpha_ratio,
+      |  ROUND(
+      |    (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END) +
+      |    (CASE WHEN avg_tok_span BETWEEN 3.0 AND 12.0 THEN 0.2 ELSE 0.0 END) +
+      |    (CASE WHEN stop_ratio >= 0.01 THEN 0.2 ELSE 0.0 END) +
+      |    alpha_ratio * 0.2, 6) AS quality
+      |  FROM r)
+      |SELECT doc_id, lang, n_tokens, stop_ratio, alpha_ratio, quality,
+      |  quality >= 0.6 AS keep
+      |FROM sc ORDER BY doc_id LIMIT 300""".stripMargin
+
   /** Rolling-hash fingerprints via the native [[graft.functions.RollingHash]]
     * expression (whole-stage-codegen byte loop — registered on the
     * session imperatively; clusters use spark.sql.extensions). */
@@ -202,6 +254,7 @@ object Text {
     "q_text_lang_agg" -> langAgg,
     "q_text_langid" -> langId,
     "q_text_fingerprint" -> fingerprint,
+    "q_text_quality" -> quality,
     "q_text_rollhash" -> rollhash,
     "q_split_assign" -> splitAssign)
 
@@ -210,6 +263,7 @@ object Text {
     "q_text_lang_agg" -> langAggSql,
     "q_text_langid" -> langIdSql,
     "q_text_fingerprint" -> fingerprintSql,
+    "q_text_quality" -> qualitySql,
     "q_text_rollhash" -> rollhashSql,
     "q_split_assign" -> splitAssignSql)
 }

@@ -165,6 +165,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("multimodal frameSample: one row per stride window, narrow, deterministic") {
+    import spark.implicits._
+    val media = Multimodal.mediaView(spark, sfDir)
+    val frames = Multimodal.frameSample(media, stride = 64)
+    assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    val lens = media.select($"doc_id".as[Long], length($"payload").as[Int])
+      .collect().toMap
+    assert(byDoc.keySet == lens.keySet)
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.length == math.max(1, lens(id) / 64))
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length))
+      assert(fs.forall(f => f.offset == f.frame_idx.toLong * 64))
+    }
+    // deterministic across runs
+    val again = Multimodal.frameSample(media, stride = 64).collect()
+    assert(again.sortBy(f => (f.doc_id, f.frame_idx)).toSeq ==
+      byDoc.values.flatten.toSeq.sortBy(f => (f.doc_id, f.frame_idx)))
+  }
+
   test("multimodal extractFeatures: deterministic, schema'd, narrow") {
     val media = Multimodal.mediaView(spark, sfDir)
     val f1 = Multimodal.extractFeatures(media)
