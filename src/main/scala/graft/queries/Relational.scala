@@ -167,6 +167,54 @@ object Relational {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin
 
+  /** Correlation + exact percentiles per group. corr comes from exact
+    * decimal power sums (same technique as [[aggStats]] — a plain
+    * `corr()` would drift in the last ulps with partition order);
+    * percentiles use the shared R-7 definition (index = p·(n−1),
+    * linear interpolation) in both engines, rounded to absorb the
+    * one-ulp formula difference between `lo + d·(hi−lo)` styles. */
+  def aggStats2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = $"l_quantity".cast("decimal(18,2)")
+    val y = $"l_extendedprice".cast("decimal(18,2)")
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      .select($"l_returnflag", $"n",
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+            sqrt($"n" * $"syy" - $"sy" * $"sy")), 6).as("corr_qty_price"),
+        round($"p50", 4).as("p50"),
+        round($"p90", 4).as("p90"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggStats2Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+      |    quantile_cont(l_extendedprice, 0.5) AS p50,
+      |    quantile_cont(l_extendedprice, 0.9) AS p90
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  ROUND((n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+      |  ROUND(p50, 4) AS p50,
+      |  ROUND(p90, 4) AS p90
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   /** Explicit GROUPING SETS (SQL path — parsed by Spark's own parser,
     * planned through the same Expand operator as cube/rollup). */
   def groupingSets(s: SparkSession, dir: String): DataFrame = {
@@ -532,6 +580,7 @@ object Relational {
     "q1_pricing_summary" -> q1PricingSummary,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_stats" -> aggStats,
+    "q_agg_stats2" -> aggStats2,
     "q_agg_having" -> aggHaving,
     "q_rollup" -> rollup,
     "q_cube" -> cube,
@@ -558,6 +607,7 @@ object Relational {
     "q1_pricing_summary" -> q1PricingSummarySql,
     "q_agg_distinct" -> aggDistinctSql,
     "q_agg_stats" -> aggStatsSql,
+    "q_agg_stats2" -> aggStats2Sql,
     "q_agg_having" -> aggHavingSql,
     "q_rollup" -> rollupSql,
     "q_cube" -> cubeSql,

@@ -148,6 +148,17 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.getAs[String]("fp")).distinct.length == rows.length)
   }
 
+  test("approx_count_distinct lands within rsd of the exact count") {
+    import spark.implicits._
+    val r = graft.Tables.t(spark, sfDir, "orders")
+      .agg(countDistinct($"o_custkey").as("exact"),
+        approx_count_distinct($"o_custkey", 0.05).as("approx"))
+      .head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+      s"approx=$approx exact=$exact") // 3× the 5% rsd — deterministic seed
+  }
+
   // --- Multimodal -----------------------------------------------------------
 
   test("multimodal: binary payload length equals utf-8 byte count and filter uses metadata") {
