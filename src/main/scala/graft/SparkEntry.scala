@@ -37,6 +37,7 @@ object SparkEntry {
     graft.queries.Windows.queries ++
     graft.queries.SetOpsScalars.queries ++
     graft.queries.Nested.queries ++
+    graft.ops.AsOf.queries ++
     graft.ops.Dedup.queries ++
     graft.ops.Similarity.queries ++
     graft.ops.Text.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
     graft.queries.Windows.oracle ++
     graft.queries.SetOpsScalars.oracle ++
     graft.queries.Nested.oracle ++
+    graft.ops.AsOf.oracle ++
     graft.ops.Dedup.oracle ++
     graft.ops.Similarity.oracle ++
     graft.ops.Text.oracle ++

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** AS-OF join — the canonical "operator Spark lacks" (no ASOF in Spark
+  * SQL; DataFusion 43 lacks it too, SURVEY §2b). For each left row, pick
+  * the LATEST right row with `right.ts <= left.ts` within the same key.
+  *
+  * Composition, not a custom physical operator, because built-ins can
+  * express the distributed shape exactly: union both sides with a side
+  * tag, then one `last(value, ignoreNulls)` window per right payload
+  * column over (key, ORDER BY ts, side). That is a SINGLE hash exchange
+  * on the key + one sort — the same cost as any sort-merge join — with
+  * no per-row subquery and no range blow-up; it survives 100× data as
+  * long as single keys fit a task's sort spill, which is the same bound
+  * every windowed op has. Right rows sort BEFORE left rows at equal ts
+  * (side 0 < 1), giving the inclusive `left.ts >= right.ts` semantics of
+  * DuckDB's ASOF JOIN.
+  */
+object AsOf {
+
+  /** Left-outer as-of join. Right payload columns (everything except
+    * `key`/`ts`) appear in the output, null where no prior right row
+    * exists; filter on one of them for inner semantics. Column names
+    * must be disjoint apart from `key`/`ts`. */
+  def joinAsOf(left: DataFrame, right: DataFrame,
+               key: String, ts: String): DataFrame = {
+    val lPay = left.columns.filterNot(c => c == key || c == ts)
+    val rPay = right.columns.filterNot(c => c == key || c == ts)
+    def nulls(src: DataFrame, cols: Seq[String]): Seq[Column] =
+      cols.map(c => lit(null).cast(src.schema(c).dataType).as(c))
+    val lTagged = left.select(
+      Seq(col(key), col(ts), lit(1).as("__side")) ++
+        lPay.map(col) ++ nulls(right, rPay.toSeq): _*)
+    val rTagged = right.select(
+      Seq(col(key), col(ts), lit(0).as("__side")) ++
+        nulls(left, lPay.toSeq) ++ rPay.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rPay.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Each click joined to the user's latest prior (or simultaneous)
+    * purchase; inner semantics via the non-null filter. */
+  def clicksToPurchases(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts",
+        $"event_id".as("p_event"), $"value".as("p_value"),
+        $"ts".as("p_ts")) // purchase time carried as payload for the gap
+    joinAsOf(clicks, purchases, key = "user_id", ts = "ts")
+      .filter($"p_event".isNotNull)
+      .select($"event_id", $"user_id", $"p_event", $"p_value",
+        (unix_micros($"ts") - unix_micros($"p_ts")).as("gap_us"))
+      .orderBy($"event_id")
+      .limit(500)
+  }
+
+  val clicksToPurchasesSql: String =
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, ts AS pts, event_id AS p_event, value AS p_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, p_event, p_value,
+      |  epoch_us(c.ts) - epoch_us(pts) AS gap_us
+      |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= pts
+      |ORDER BY c.event_id LIMIT 500""".stripMargin
+
+  // --- registry -------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof" -> clicksToPurchases)
+
+  def oracle: Map[String, String] = Map(
+    "q_join_asof" -> clicksToPurchasesSql)
+}

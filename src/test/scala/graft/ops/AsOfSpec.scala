@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+
+/** joinAsOf semantics on hand-built frames: latest-prior matching,
+  * inclusive ties, left-outer nulls, key isolation. */
+class AsOfSpec extends AnyFunSuite with SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("picks the latest prior right row per key, inclusive at equal ts") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, t("2024-01-01 10:00:00"), "l1"),
+      (1L, t("2024-01-01 12:00:00"), "l2"),
+      (2L, t("2024-01-01 11:00:00"), "l3"), // other key: no rights at all
+      (1L, t("2024-01-01 09:00:00"), "l4")  // before any right row
+    ).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, t("2024-01-01 09:30:00"), "r1"),
+      (1L, t("2024-01-01 10:00:00"), "r2"), // equal ts → visible to l1
+      (1L, t("2024-01-01 11:59:00"), "r3")
+    ).toDF("k", "ts", "rv")
+    val out = AsOf.joinAsOf(left, right, "k", "ts")
+      .select("lv", "rv").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("l1" -> "r2", "l2" -> "r3", "l3" -> null, "l4" -> null))
+  }
+
+  test("every left row survives (left-outer), count preserved") {
+    import spark.implicits._
+    val ev = graft.Tables.t(spark, sfDir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id".as("p_event"))
+    val joined = AsOf.joinAsOf(clicks, purchases, "user_id", "ts")
+    assert(joined.count() == clicks.count())
+    // and matches never violate the as-of bound
+    import org.apache.spark.sql.functions._
+    val viol = AsOf.joinAsOf(clicks,
+        purchases.withColumn("p_ts", $"ts"), "user_id", "ts")
+      .filter($"p_ts".isNotNull && $"p_ts" > $"ts").count()
+    assert(viol == 0)
+  }
+}
