@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default: local[32] with 32 concurrent sort/agg tasks thrashes GC
+  // in a small heap (measured 4x run-to-run variance at 8g on the
+  // 128 GiB box); override with SPARK_DRIVER_MEM for small machines.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: one JSON line with per-query steady-state times.
+  *
+  * Methodology (r3):
+  *  - noop sink, not `.count()` — count lets Catalyst prune unused
+  *    projections, so scalar-heavy queries would measure scan+count only
+  *    (VERDICT r2 item 3); the noop format executes every expression;
+  *  - warm measurement: each query runs twice and the SECOND time is
+  *    reported (`"mode":"warm"`). The first run pays whole-stage-codegen
+  *    compilation + JIT, which on a 62-query suite is per-query constant
+  *    overhead unrelated to data-path throughput and dominated
+  *    run-to-run noise (measured swings of 2-4× on identical code).
+  *    Steady-state is the number that corresponds to "single-node
+  *    throughput at the same data scale".
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,20 +27,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // noop sink (not .count()): count lets Catalyst prune unused
-    // projections, so scalar-heavy queries would measure scan+count only
-    // (VERDICT r2 item 3). The noop format executes every expression and
-    // discards rows.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      once(name, fn) // warmup: codegen + JIT
+      name -> once(name, fn)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -183,6 +183,12 @@ object Dedup {
     * guarantee the oracle's all-pairs scan has). Shuffle key = 15-bit
     * band value; fingerprints are 8 bytes/doc.
     *
+    * Cost note: in-bucket candidate enumeration is O(bucket²), so
+    * runtime tracks the corpus's true duplicate density. The synthetic
+    * test corpus's ~40-word vocabulary makes fingerprints cluster
+    * (178k genuine hamming-≤3 pairs at sf0.1 — the OUTPUT is quadratic
+    * there); a natural-text corpus distributes buckets uniformly.
+    *
     * Token hash = first 15 hex chars of md5 (60 bits) — the one 64-bit
     * hash expressible identically in Spark (`conv(...,16,10)`) and
     * DuckDB (`('0x'||…)::UBIGINT`). */
