@@ -81,6 +81,49 @@ class HttpTableProviderSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("filter pushdown prunes snapshot rows before decode; results stay correct") {
+    StubServer.withServer({ case ("GET", "/users", _) => (200, users) }) { srv =>
+      val df = spark.read.format("http").option("url", srv.url("/users")).load()
+        .filter("active = true AND score > 8.0")
+      val scan = scanOf(df)
+      // only ann (score 9.5, active) survives the driver-side prune
+      assert(scan.planInputPartitions()
+        .map(_.asInstanceOf[HttpInputPartition].rows.length).sum == 1)
+      val rows = df.select("name").collect().map(_.getString(0)).toSeq
+      assert(rows == Seq("ann"))
+    }
+  }
+
+  test("string and IN filters prune; unsupported filters fall back safely") {
+    StubServer.withServer({ case ("GET", "/users", _) => (200, users) }) { srv =>
+      def load() = spark.read.format("http").option("url", srv.url("/users")).load()
+      val starts = load().filter("name LIKE 'b%'")
+      assert(scanOf(starts).planInputPartitions()
+        .map(_.asInstanceOf[HttpInputPartition].rows.length).sum == 1)
+      assert(starts.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+      val in = load().filter("id IN (1, 3)").select("id")
+      assert(in.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+      // arithmetic predicate: not pushable — full snapshot ships, Spark filters
+      val arith = load().filter("id + 1 = 3")
+      assert(scanOf(arith).planInputPartitions()
+        .map(_.asInstanceOf[HttpInputPartition].rows.length).sum == 3)
+      assert(arith.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    }
+  }
+
+  test("limit pushdown truncates the snapshot") {
+    StubServer.withServer({ case ("GET", "/users", _) => (200, users) }) { srv =>
+      val df = spark.read.format("http").option("url", srv.url("/users")).load()
+        .limit(2)
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.scan.asInstanceOf[HttpScan]
+      }
+      scan.foreach(s => assert(s.planInputPartitions()
+        .map(_.asInstanceOf[HttpInputPartition].rows.length).sum <= 2))
+      assert(df.count() == 2)
+    }
+  }
+
   test("missing url option is a typed config error") {
     val e = intercept[ConfigError] {
       HttpTableProvider.toSource(new CaseInsensitiveStringMap(Map.empty[String, String].asJava))
