@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -153,14 +154,54 @@ object Similarity {
     topkOf(scored, 10)
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path: k-means
+    * cells over the corpus (Spark ML, fixed seed → deterministic),
+    * queries probe their nProbe nearest cells, exact cosine + bounded
+    * top-k inside the probed cells only.
+    *
+    * Scale shape: the index fit is one ML job (sampled in practice);
+    * cell assignment is a map; the candidate join is an equi-join on
+    * cell id, so scored volume is (probed cells / total cells) of the
+    * corpus — the standard IVF recall/cost dial. Centroids are a
+    * driver-side literal (k × dim doubles), broadcast implicitly. */
+  def annIvf(s: SparkSession, dir: String, nCells: Int = 16,
+             nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
+    val e = vecs(s, dir).withColumn("fv", array_to_vector($"v"))
+    val corpus = e.filter($"vec_id" >= 10).cache()
+    val model = new KMeans().setK(nCells).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(corpus.select($"fv"))
+    val cells = model.transform(corpus)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    // each query probes its nProbe nearest centroids (L2)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
+        typedLit(centroids).as("cents"))
+      .select($"query_id", $"qv", $"qn", posexplode($"cents"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qv, col, (x, c) -> (x - c) * (x - c)), 0d, (a, y) -> a + y)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"dist".asc, $"pos".asc)))
+      .filter($"rk" <= nProbe)
+      .select($"query_id", $"qv", $"qn", $"pos".as("cell"))
+    val scored = cells.join(broadcast(q), "cell")
+      .withColumn("cos", expr(dotExpr) / ($"qn" * $"nrm"))
+    topkOf(scored, 10)
+  }
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_similarity_topk" -> topk,
-    "q_similarity_ann" -> ann)
+    "q_similarity_ann" -> ann,
+    "q_similarity_ivf" -> ((s, dir) => annIvf(s, dir)))
 
-  /** q_similarity_ann is approximate → no SQL oracle (driver records the
-    * weaker rows-only check); recall is spec-asserted instead. */
+  /** The ANN variants are approximate → no SQL oracle (driver records
+    * the weaker rows-only check); recall is spec-asserted instead. */
   def oracle: Map[String, String] = Map(
     "q_similarity_topk" -> topkSql)
 }

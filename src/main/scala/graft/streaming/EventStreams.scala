@@ -134,6 +134,20 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the ingestion-side twin of
+    * [[graft.ops.Dedup.exact]]: arriving records are content-hashed and
+    * only the first occurrence within the watermark horizon survives.
+    * `dropDuplicatesWithinWatermark` bounds the dedup state (keys older
+    * than the watermark are evicted), which is what makes exactly-once
+    * ingestion dedup viable on an unbounded stream: state is
+    * O(arrival rate × watermark), not O(stream history). Input needs a
+    * `ts` event-time column and a `text` payload. */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_sha", sha2(col("text"), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_sha")
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -115,13 +115,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  private def neighborPairs(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+
   test("similarity ann: recall@10 vs brute force is usable") {
-    def pairs(rows: Array[org.apache.spark.sql.Row]) =
-      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
-    val exact = pairs(Similarity.topk(spark, sfDir).collect())
-    val approx = pairs(Similarity.ann(spark, sfDir).collect())
+    val exact = neighborPairs(Similarity.topk(spark, sfDir).collect())
+    val approx = neighborPairs(Similarity.ann(spark, sfDir).collect())
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"ANN recall@10 = $recall")
+  }
+
+  test("similarity ivf: recall@10 vs brute force is usable and deterministic") {
+    val exact = neighborPairs(Similarity.topk(spark, sfDir).collect())
+    val a = Similarity.annIvf(spark, sfDir).collect()
+    val recall = (exact & neighborPairs(a)).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@10 = $recall")
+    // fixed seed → same index, same answer
+    val b = Similarity.annIvf(spark, sfDir).collect()
+    assert(neighborPairs(a) == neighborPairs(b))
   }
 
   // --- Text -----------------------------------------------------------------

@@ -110,6 +110,27 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate payloads within the watermark emit once") {
+    import spark.implicits._
+    case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val in = MemoryStream[(Long, Timestamp, String)](spark)
+    val q = EventStreams.streamingDedup(
+        in.toDF().toDF("doc_id", "ts", "text"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedupsink").outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), "alpha"),
+        (2L, ts("2024-01-01 10:01:00"), "beta"))
+      drain(q)
+      // same content arrives again (re-crawl) in a later batch, inside watermark
+      in.addData((3L, ts("2024-01-01 10:05:00"), "alpha"),
+        (4L, ts("2024-01-01 10:06:00"), "gamma"))
+      drain(q)
+      val texts = spark.table("dedupsink").collect()
+        .map(r => r.getAs[String]("text")).sorted.toSeq
+      assert(texts == Seq("alpha", "beta", "gamma")) // second alpha suppressed
+    } finally q.stop()
+  }
+
   test("sessionize emits via event-time timeout when the watermark passes") {
     import spark.implicits._
     val in = MemoryStream[Event](spark)
