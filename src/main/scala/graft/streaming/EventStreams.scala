@@ -73,6 +73,71 @@ object EventStreams {
       |FROM events
       |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin
 
+  /** Sliding-window batch anchor: 1-day windows sliding every 12 h —
+    * each event lands in two windows (`window()` emits one row per
+    * membership; the oracle reproduces that with an unnest over the two
+    * 12 h-aligned starts covering each event). */
+  def slidingBatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val slidingBatchSql: String =
+    """SELECT time_bucket(INTERVAL '12 hours', ts) - k * INTERVAL '12 hours' AS window_start,
+      |  event_type, COUNT(*) AS n_events
+      |FROM events, (SELECT UNNEST([0, 1]) AS k)
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Batch sessionization anchor — the oracle-checkable twin of
+    * [[sessionize]]: a session breaks where the same-user gap exceeds
+    * 30 min; session id = running count of breaks (one sort-based
+    * window per user, then a plain aggregate — both stages shuffle on
+    * user_id only). Proves the gap semantics the streaming op
+    * implements with state. */
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+      .withColumn("brk",
+        when(col("gap_us").isNull || col("gap_us") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_no",
+        sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("user_id"), col("session_no"))
+      .limit(500)
+  }
+
+  val sessionizeBatchSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |b AS (
+      |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+      |                 THEN 1 ELSE 0 END AS brk FROM g),
+      |sess AS (
+      |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      |  FROM b)
+      |SELECT user_id, session_no, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no LIMIT 500""".stripMargin
+
   /** Running per-user totals: bounded state (one row per user), updated
     * each trigger. */
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
@@ -151,8 +216,12 @@ object EventStreams {
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_window" -> windowBatch)
+    "q_stream_window" -> windowBatch,
+    "q_stream_sliding" -> slidingBatch,
+    "q_sessionize" -> sessionizeBatch)
 
   def oracle: Map[String, String] = Map(
-    "q_stream_window" -> windowBatchSql)
+    "q_stream_window" -> windowBatchSql,
+    "q_stream_sliding" -> slidingBatchSql,
+    "q_sessionize" -> sessionizeBatchSql)
 }
