@@ -4,6 +4,7 @@ import graft.SparkSpec
 import graft.streaming.EventStreams._
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.scalatest.funsuite.AnyFunSuite
 import scala.concurrent.duration._
@@ -128,6 +129,46 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       val texts = spark.table("dedupsink").collect()
         .map(r => r.getAs[String]("text")).sorted.toSeq
       assert(texts == Seq("alpha", "beta", "gamma")) // second alpha suppressed
+    } finally q.stop()
+  }
+
+  test("batch and streaming sessionization agree on the same events") {
+    import spark.implicits._
+    // two users, three sessions' worth of events + a far-future sentinel
+    // per user so the streaming side closes every real session
+    val real = Seq(
+      ev(1, "2024-01-01 10:00:00", uid = 1, v = 1.0),
+      ev(2, "2024-01-01 10:10:00", uid = 1, v = 2.0),
+      ev(3, "2024-01-01 13:00:00", uid = 1, v = 4.0), // new session (gap 2h50)
+      ev(4, "2024-01-01 09:30:00", uid = 2, v = 8.0),
+      ev(5, "2024-01-01 09:45:00", uid = 2, v = 0.5))
+    val sentinels = Seq(
+      ev(98, "2024-06-01 00:00:00", uid = 1), ev(99, "2024-06-01 00:00:00", uid = 2))
+    val in = MemoryStream[Event](spark)
+    val q = sessionize(in.toDS().withWatermark("ts", "1 minute"), gap = 30.minutes)
+      .writeStream.format("memory").queryName("paritysess").outputMode("append").start()
+    try {
+      in.addData(real); drain(q)
+      in.addData(sentinels); drain(q)
+      in.addData(ev(100, "2024-06-02 00:00:00", uid = 1)); drain(q) // advance watermark
+      val streamed = spark.table("paritysess")
+        .filter($"session_start" < ts("2024-06-01 00:00:00"))
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+          r.getAs[Int]("n_events"), r.getAs[Double]("total_value"))).toSet
+      // batch twin over the same real events, via a temp parquet-free path:
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val batch = real.toDS().toDF()
+        .withColumn("gap_us", unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)))
+        .withColumn("brk", when($"gap_us".isNull || $"gap_us" > 30L * 60 * 1000000, 1).otherwise(0))
+        .withColumn("sn", sum($"brk").over(byUser.rowsBetween(Long.MinValue, 0)))
+        .groupBy($"user_id", $"sn")
+        .agg(min($"ts").as("s"), max($"ts").as("e"),
+          count(lit(1)).cast("int").as("n"), sum($"value").as("tv"))
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("s"),
+          r.getAs[Timestamp]("e"), r.getAs[Int]("n"), r.getAs[Double]("tv"))).toSet
+      assert(streamed == batch)
     } finally q.stop()
   }
 
