@@ -138,6 +138,37 @@ object Nested {
       |      FROM events)
       |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
 
+  /** MapType construction + lookup + keys/cardinality (SURVEY §2b "Map
+    * functions" — DataFusion 43 has almost none; Spark's are complete).
+    * DuckDB's map extraction returns a single-element LIST, so the
+    * oracle unwraps with `[1]`; map_keys order is construction order in
+    * both engines but sorted anyway for stability. */
+  def mapOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select($"p_partkey",
+        map(lit("size"), $"p_size", lit("len"), length($"p_type")).as("m"))
+      .select($"p_partkey",
+        element_at($"m", "size").as("size_val"),
+        size($"m").as("n_keys"),
+        array_join(sort_array(map_keys($"m")), ",").as("keys"),
+        array_contains(map_keys($"m"), "len").as("has_len"))
+      .orderBy($"p_partkey")
+      .limit(200)
+  }
+
+  val mapOpsSql: String =
+    """WITH mm AS (
+      |  SELECT p_partkey,
+      |    map(['size', 'len'], [p_size, CAST(LENGTH(p_type) AS INT)]) AS m
+      |  FROM part)
+      |SELECT p_partkey,
+      |  m['size'][1] AS size_val,
+      |  CAST(cardinality(m) AS INT) AS n_keys,
+      |  array_to_string(list_sort(map_keys(m)), ',') AS keys,
+      |  list_contains(map_keys(m), 'len') AS has_len
+      |FROM mm ORDER BY p_partkey LIMIT 200""".stripMargin
+
   /** Struct build + dot access + to_json round-trip. */
   def structOps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -167,6 +198,7 @@ object Nested {
     "q_collect_list" -> collectList,
     "q_higher_order" -> higherOrder,
     "q_json_extract" -> jsonExtract,
+    "q_map_ops" -> mapOps,
     "q_struct_ops" -> structOps)
 
   def oracle: Map[String, String] = Map(
@@ -175,5 +207,6 @@ object Nested {
     "q_collect_list" -> collectListSql,
     "q_higher_order" -> higherOrderSql,
     "q_json_extract" -> jsonExtractSql,
+    "q_map_ops" -> mapOpsSql,
     "q_struct_ops" -> structOpsSql)
 }
