@@ -123,6 +123,25 @@ object Multimodal {
       })
   }
 
+  /** One resized media payload (binary → binary). */
+  final case class Resized(doc_id: Long, payload: Array[Byte], target_w: Int,
+                           target_h: Int)
+
+  /** Resize: the binary→binary transform contract. STUB: a real codec
+    * decodes, resamples to (w, h), re-encodes; the fake produces a
+    * deterministic byte slice of length min(len, w·h/64) so output-size
+    * semantics (resize shrinks payloads) and the map shape are testable.
+    * Narrow 1:1 map over partitions, like [[extractFeatures]]. */
+  def resizeStub(media: DataFrame, w: Int, h: Int): Dataset[Resized] = {
+    val s = media.sparkSession
+    import s.implicits._
+    val target = math.max(1, w * h / 64)
+    media.select($"doc_id".as[Long], $"payload".as[Array[Byte]])
+      .mapPartitions(_.map { case (id, bytes) =>
+        Resized(id, bytes.take(target), w, h)
+      })
+  }
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

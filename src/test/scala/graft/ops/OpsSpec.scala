@@ -207,6 +207,18 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       byDoc.values.flatten.toSeq.sortBy(f => (f.doc_id, f.frame_idx)))
   }
 
+  test("multimodal resizeStub: binary-to-binary 1:1 map, bounded output size") {
+    val media = Multimodal.mediaView(spark, sfDir)
+    val out = Multimodal.resizeStub(media, 64, 64)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = out.collect()
+    assert(rows.length == media.count())
+    rows.foreach { r =>
+      assert(r.payload.length <= 64 * 64 / 64)
+      assert(r.target_w == 64 && r.target_h == 64)
+    }
+  }
+
   test("multimodal extractFeatures: deterministic, schema'd, narrow") {
     val media = Multimodal.mediaView(spark, sfDir)
     val f1 = Multimodal.extractFeatures(media)
