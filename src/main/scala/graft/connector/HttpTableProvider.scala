@@ -179,7 +179,9 @@ private[connector] object JsonPredicate {
       case LessThan(a, v) => cmp(root, a, v).forall(_ < 0)
       case LessThanOrEqual(a, v) => cmp(root, a, v).forall(_ <= 0)
       case In(a, vs) => field(root, a) match {
-        case Some(n) if !n.isNull => vs.exists(v => compare(n, v).contains(0))
+        // per-value: incomparable (None) counts as a possible match —
+        // keep-on-uncertainty, the post-scan Filter decides
+        case Some(n) if !n.isNull => vs.exists(v => compare(n, v).forall(_ == 0))
         case _ => true
       }
       case StringStartsWith(a, p) => str(root, a).forall(_.startsWith(p))
@@ -189,10 +191,16 @@ private[connector] object JsonPredicate {
     }
   }
 
-  /** Resolve a (possibly dotted) attribute; None = can't resolve here. */
+  /** Resolve a (possibly dotted) attribute; None = can't resolve here.
+    * A field whose NAME contains a dot arrives backtick-quoted — try the
+    * whole (unquoted) name before splitting on dots. */
   private def field(root: JsonNode, attr: String): Option[JsonNode] = {
+    if (root == null || !root.isObject) return None
+    val unquoted = attr.replace("`", "")
+    val whole = root.get(unquoted)
+    if (whole != null) return Some(whole)
     var n: JsonNode = root
-    for (part <- attr.split('.')) {
+    for (part <- unquoted.split('.')) {
       if (n == null || !n.isObject) return None
       n = n.get(part)
     }
@@ -229,6 +237,7 @@ final class HttpScan(rows: Array[String], required: StructType)
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (rows.isEmpty) return Array.empty // pushed filters can prune all rows
     val slices = math.max(1, math.min(rows.length,
       SparkSession.active.sparkContext.defaultParallelism))
     val per = (rows.length + slices - 1) / slices
@@ -287,6 +296,11 @@ private[connector] object JsonDecode {
       case ArrayType(et, _) =>
         if (!node.isArray) null
         else new GenericArrayData(node.elements().asScala.map(convert(_, et)).toArray)
+      case dt: DecimalType => // inference emits decimal(20,0) for > Long.Max ints
+        if (!node.isNumber && !node.isTextual) null
+        else try org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(node.asText), dt.precision, dt.scale)
+        catch { case _: Exception => null }
       case _ => null // types outside the inferred surface
     }
 }

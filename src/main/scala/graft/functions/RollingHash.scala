@@ -90,7 +90,10 @@ object GraftFunctions {
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("rolling_hash"),
     new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-    (children: Seq[Expression]) => RollingHash(children.head))
+    (children: Seq[Expression]) =>
+      if (children.length == 1) RollingHash(children.head)
+      else throw new IllegalArgumentException(
+        s"rolling_hash requires exactly 1 argument, got ${children.length}"))
 
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -25,26 +25,35 @@ object AsOf {
   /** Left-outer as-of join. Right payload columns (everything except
     * `key`/`ts`) appear in the output, null where no prior right row
     * exists; filter on one of them for inner semantics. Column names
-    * must be disjoint apart from `key`/`ts`. */
+    * must be disjoint apart from `key`/`ts`.
+    *
+    * The right payload travels as ONE struct and a single
+    * `last(struct, ignoreNulls)` fills it — per-column fills would mix
+    * columns from different right rows whenever the latest right row has
+    * a null payload field (a right ROW is never null even when its
+    * fields are, so the struct fill is atomic). */
   def joinAsOf(left: DataFrame, right: DataFrame,
                key: String, ts: String): DataFrame = {
     val lPay = left.columns.filterNot(c => c == key || c == ts)
     val rPay = right.columns.filterNot(c => c == key || c == ts)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rPay.map(c => right.schema(right.schema.fieldIndex(c))))
     def nulls(src: DataFrame, cols: Seq[String]): Seq[Column] =
       cols.map(c => lit(null).cast(src.schema(c).dataType).as(c))
     val lTagged = left.select(
       Seq(col(key), col(ts), lit(1).as("__side")) ++
-        lPay.map(col) ++ nulls(right, rPay.toSeq): _*)
+        lPay.map(col) :+ lit(null).cast(rStructType).as("__r"): _*)
     val rTagged = right.select(
       Seq(col(key), col(ts), lit(0).as("__side")) ++
-        nulls(left, lPay.toSeq) ++ rPay.map(col): _*)
+        nulls(left, lPay.toSeq) :+ struct(rPay.map(col): _*).as("__r"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rPay.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
+    lTagged.unionByName(rTagged)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(Seq(col(key), col(ts)) ++ lPay.map(col) ++
+        rPay.map(c => col(s"__r.$c").as(c)): _*)
   }
 
   /** Each click joined to the user's latest prior (or simultaneous)

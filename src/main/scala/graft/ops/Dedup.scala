@@ -88,6 +88,9 @@ object Dedup {
                               lanes: Int = Lanes): DataFrame = {
     val s = shingleSets.sparkSession
     import s.implicits._
+    // session-lifetime cache by design: the returned (lazy) frame reads it
+    // on every action, so eager unpersist would force recompute; callers
+    // that are done can spark.catalog.clearCache()
     val sh = shingleSets.cache()
     val laneMins = (0 until lanes).map(j =>
       min(xxhash64($"h", lit(j))).as(s"s$j"))

@@ -111,6 +111,27 @@ class HttpTableProviderSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("filter pruning every row yields an empty result, not a crash") {
+    StubServer.withServer({ case ("GET", "/users", _) => (200, users) }) { srv =>
+      val df = spark.read.format("http").option("url", srv.url("/users")).load()
+        .filter("score > 1000.0")
+      assert(df.count() == 0)
+    }
+  }
+
+  test("IN over a type-widened column keeps rows (uncertainty never drops)") {
+    // mixed number/string values widen the column to string at inference;
+    // the driver-side prune must not drop the numeric-typed JSON nodes
+    val mixed = """[{"id":5},{"id":"7"},{"id":9}]"""
+    StubServer.withServer({ case ("GET", "/m", _) => (200, mixed) }) { srv =>
+      val df = spark.read.format("http").option("url", srv.url("/m")).load()
+      assert(df.schema("id").dataType.typeName == "string")
+      val got = df.filter("id IN ('5', '7')").select("id")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("5", "7"))
+    }
+  }
+
   test("limit pushdown truncates the snapshot") {
     StubServer.withServer({ case ("GET", "/users", _) => (200, users) }) { srv =>
       val df = spark.read.format("http").option("url", srv.url("/users")).load()

@@ -42,6 +42,15 @@ class RollingHashSpec extends AnyFunSuite with SparkSpec {
     new GraftExtensions().apply(ext) // would throw on an invalid spec
   }
 
+  test("wrong arity is rejected instead of silently dropping arguments") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT rolling_hash('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("exactly 1 argument") ||
+      e.getMessage.toLowerCase.contains("rolling_hash"))
+  }
+
   test("non-string input fails analysis with the type message") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

@@ -28,6 +28,18 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(out == Map("l1" -> "r2", "l2" -> "r3", "l3" -> null, "l4" -> null))
   }
 
+  test("nullable right payload fields come atomically from the latest row") {
+    import spark.implicits._
+    val left = Seq((1L, t("2024-01-01 12:00:00"), "l1")).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, t("2024-01-01 10:00:00"), Some(5), Some(9)),
+      (1L, t("2024-01-01 11:00:00"), None: Option[Int], Some(7))
+    ).toDF("k", "ts", "a", "b")
+    val out = AsOf.joinAsOf(left, right, "k", "ts").select("a", "b").head()
+    // the LATEST right row has a=null, b=7 — no mixing with the older row
+    assert(out.isNullAt(0) && out.getInt(1) == 7)
+  }
+
   test("every left row survives (left-outer), count preserved") {
     import spark.implicits._
     val ev = graft.Tables.t(spark, sfDir, "events")
