@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-technique proofs: salted aggregation equivalence and bucketed
+  * co-located joins (shuffle elimination visible in the plan). */
+class ScaleSpec extends AnyFunSuite with SparkSpec {
+
+  test("salted two-stage aggregation equals the direct aggregate") {
+    val l = graft.Tables.t(spark, sfDir, "lineitem")
+    val direct = Skew.directCountSum(l, "l_returnflag", "l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Skew.saltedCountSum(l, "l_returnflag", "l_extendedprice", salt = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == direct) // decimal partials → exact merge, any split
+  }
+
+  test("bucketed tables join without a shuffle on the join key") {
+    import spark.implicits._
+    val db = "graft_bucket_test"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    try {
+      graft.Tables.t(spark, sfDir, "orders")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$db.orders_b")
+      graft.Tables.t(spark, sfDir, "lineitem")
+        .select($"l_orderkey", $"l_quantity")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.lineitem_b")
+      val joined = spark.table(s"$db.lineitem_b")
+        .join(spark.table(s"$db.orders_b"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(org.apache.spark.sql.functions.sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+      // co-located buckets: the JOIN itself needs no exchange; the only
+      // shuffle allowed is the post-join aggregation on o_orderpriority
+      joined.collect()
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.length <= 1,
+        s"expected only the aggregate exchange, got ${exchanges.length}")
+      // and values match the unbucketed join
+      val plain = graft.Tables.t(spark, sfDir, "lineitem")
+        .join(graft.Tables.t(spark, sfDir, "orders"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(org.apache.spark.sql.functions.sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      val bucketed = joined.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(bucketed == plain)
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+}
