@@ -241,6 +241,32 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
       |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
 
+  /** PIVOT: per-user event counts spread across one column per event
+    * type. Explicit value list keeps the plan single-pass (no distinct
+    * scan for values — the shape that survives scale); Spark pivot
+    * yields null for empty cells where conditional aggregation yields 0,
+    * so nulls are coalesced to match. */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    t(s, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select($"user_id" +: types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+      .orderBy($"user_id")
+      .limit(100)
+  }
+
+  val pivotEventsSql: String =
+    """SELECT user_id,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+      |FROM events GROUP BY user_id ORDER BY user_id LIMIT 100""".stripMargin
+
   // --- Filters / predicates -------------------------------------------------
 
   /** Predicate family sweep: BETWEEN, IN, LIKE, CASE — all pushed to the
@@ -590,6 +616,7 @@ object Relational {
     "q_agg_distinct" -> aggDistinct,
     "q_agg_stats" -> aggStats,
     "q_agg_stats2" -> aggStats2,
+    "q_pivot" -> pivotEvents,
     "q_agg_having" -> aggHaving,
     "q_rollup" -> rollup,
     "q_cube" -> cube,
@@ -617,6 +644,7 @@ object Relational {
     "q_agg_distinct" -> aggDistinctSql,
     "q_agg_stats" -> aggStatsSql,
     "q_agg_stats2" -> aggStats2Sql,
+    "q_pivot" -> pivotEventsSql,
     "q_agg_having" -> aggHavingSql,
     "q_rollup" -> rollupSql,
     "q_cube" -> cubeSql,

@@ -150,6 +150,32 @@ object Windows {
       |WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
       |ORDER BY c_custkey LIMIT 400""".stripMargin
 
+  /** Value-based RANGE frame (vs the ROWS frames above): each order sums
+    * the totalprice of the customer's orders within 1000.0 BELOW its own
+    * price. RANGE frames are defined by the ORDER BY value, so ties
+    * share a frame and no unique tie-break is needed for determinism;
+    * the sum is decimal-routed as usual. */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".asc)
+      .rangeBetween(-1000L, Window.currentRow)
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        sum(dec($"o_totalprice")).over(w).cast("double").as("near_total"),
+        count(lit(1)).over(w).as("near_n"))
+      .orderBy($"o_custkey", $"o_orderkey")
+      .limit(400)
+  }
+
+  val rangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS near_total,
+      |  COUNT(*) OVER w AS near_n
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC
+      |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey LIMIT 400""".stripMargin
+
   /** Scale-safe distribution variant (VERDICT r2 item 10): the same
     * percent_rank / cume_dist / ntile family, but partitioned by
     * c_nationkey — each nation's ranks are computed inside its own
@@ -204,6 +230,7 @@ object Windows {
     "q_win_ranking" -> ranking,
     "q_win_lag_lead" -> lagLead,
     "q_win_frames" -> frames,
+    "q_win_range_frame" -> rangeFrame,
     "q_win_first_last_nth" -> firstLastNth,
     "q_win_distribution" -> distribution,
     "q_win_distribution_part" -> distributionBucketed,
@@ -213,6 +240,7 @@ object Windows {
     "q_win_ranking" -> rankingSql,
     "q_win_lag_lead" -> lagLeadSql,
     "q_win_frames" -> framesSql,
+    "q_win_range_frame" -> rangeFrameSql,
     "q_win_first_last_nth" -> firstLastNthSql,
     "q_win_distribution" -> distributionSql,
     "q_win_distribution_part" -> distributionBucketedSql,
