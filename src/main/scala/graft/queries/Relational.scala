@@ -267,6 +267,76 @@ object Relational {
       |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
       |FROM events GROUP BY user_id ORDER BY user_id LIMIT 100""".stripMargin
 
+  /** UNPIVOT (melt): wide per-part metrics to long (part, metric, val)
+    * form — the inverse of [[pivotEvents]], used by pipelines that
+    * normalize heterogeneous feature columns. Value columns are cast to
+    * a common type first (unpivot requires it). */
+  def unpivotPart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select($"p_partkey",
+        $"p_size".cast("long").as("size"),
+        length($"p_name").cast("long").as("name_len"),
+        length($"p_type").cast("long").as("type_len"))
+      .unpivot(Array($"p_partkey"), Array($"size", $"name_len", $"type_len"),
+        "metric", "val")
+      .orderBy($"p_partkey", $"metric")
+      .limit(300)
+  }
+
+  val unpivotPartSql: String =
+    """SELECT p_partkey, metric, val FROM (
+      |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS BIGINT) AS val FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'name_len', LENGTH(p_name) FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'type_len', LENGTH(p_type) FROM part)
+      |ORDER BY p_partkey, metric LIMIT 300""".stripMargin
+
+  /** Six-way star/snowflake join (TPC-H Q5 shape): revenue by nation for
+    * one region and date window. Bounded dims (region/nation) broadcast;
+    * the SF-scaling sides (customer/orders/lineitem/supplier) are left
+    * to AQE — at scale the fact table streams through hash joins keyed
+    * on its own columns and only aggregated partials shuffle. */
+  def snowflake(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region").filter($"r_name" === "ASIA")
+    c.join(o, $"c_custkey" === $"o_custkey")
+      .join(l, $"l_orderkey" === $"o_orderkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(9,2)") - $"l_discount".cast("decimal(9,2)")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val snowflakeSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   // --- Filters / predicates -------------------------------------------------
 
   /** Predicate family sweep: BETWEEN, IN, LIKE, CASE — all pushed to the
@@ -617,6 +687,8 @@ object Relational {
     "q_agg_stats" -> aggStats,
     "q_agg_stats2" -> aggStats2,
     "q_pivot" -> pivotEvents,
+    "q_unpivot" -> unpivotPart,
+    "q_join_snowflake" -> snowflake,
     "q_agg_having" -> aggHaving,
     "q_rollup" -> rollup,
     "q_cube" -> cube,
@@ -645,6 +717,8 @@ object Relational {
     "q_agg_stats" -> aggStatsSql,
     "q_agg_stats2" -> aggStats2Sql,
     "q_pivot" -> pivotEventsSql,
+    "q_unpivot" -> unpivotPartSql,
+    "q_join_snowflake" -> snowflakeSql,
     "q_agg_having" -> aggHavingSql,
     "q_rollup" -> rollupSql,
     "q_cube" -> cubeSql,
