@@ -138,6 +138,28 @@ object Nested {
       |      FROM events)
       |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
 
+  /** Positional explode: (doc, position, token) triples — the ordinal
+    * unnest shape tokenizer pipelines need (DuckDB lacks WITH
+    * ORDINALITY; its parallel `generate_subscripts` is 1-based, so the
+    * 0-based posexplode is shifted to match). */
+  def posExplode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", posexplode(split(lower($"text"), " ")))
+      .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("tok"))
+      .filter($"pos" <= 5)
+      .orderBy($"doc_id", $"pos")
+      .limit(500)
+  }
+
+  val posExplodeSql: String =
+    """SELECT doc_id, pos, tok FROM (
+      |  SELECT doc_id,
+      |    unnest(string_split(lower(text), ' ')) AS tok,
+      |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      |  FROM documents)
+      |WHERE pos <= 5 ORDER BY doc_id, pos LIMIT 500""".stripMargin
+
   /** MapType construction + lookup + keys/cardinality (SURVEY §2b "Map
     * functions" — DataFusion 43 has almost none; Spark's are complete).
     * DuckDB's map extraction returns a single-element LIST, so the
@@ -199,6 +221,7 @@ object Nested {
     "q_higher_order" -> higherOrder,
     "q_json_extract" -> jsonExtract,
     "q_map_ops" -> mapOps,
+    "q_posexplode" -> posExplode,
     "q_struct_ops" -> structOps)
 
   def oracle: Map[String, String] = Map(
@@ -208,5 +231,6 @@ object Nested {
     "q_higher_order" -> higherOrderSql,
     "q_json_extract" -> jsonExtractSql,
     "q_map_ops" -> mapOpsSql,
+    "q_posexplode" -> posExplodeSql,
     "q_struct_ops" -> structOpsSql)
 }
