@@ -137,6 +137,42 @@ object Text {
       |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
       |FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin
 
+  /** Per-language character-bigram profiles — the statistical basis a
+    * real n-gram language-ID model trains on (rank-order of character
+    * n-grams is the classic Cavnar–Trenkle signal): top-5 bigrams per
+    * language by frequency. Explode happens before the shuffle, so only
+    * (lang, bigram, partial-count) moves; the rank window partitions by
+    * lang over ≤ alphabet² rows — bounded at any corpus size. */
+  def bigramProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val counts = t(s, dir, "documents")
+      .withColumn("txt", lower(col("text")))
+      .select($"lang", explode(expr(
+        "transform(sequence(1, length(txt) - 1), i -> substring(txt, i, 2))"))
+        .as("bigram"))
+      .groupBy($"lang", $"bigram")
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"lang").orderBy($"cnt".desc, $"bigram".asc)))
+      .filter($"rank" <= 5)
+      .orderBy($"lang", $"rank")
+  }
+
+  val bigramProfileSql: String =
+    """WITH b AS (
+      |  SELECT lang,
+      |    unnest(list_transform(range(1, length(lower(text))),
+      |                          i -> lower(text)[i:i+1])) AS bigram
+      |  FROM documents),
+      |c AS (SELECT lang, bigram, COUNT(*) AS cnt FROM b GROUP BY lang, bigram),
+      |r AS (SELECT lang, bigram, cnt,
+      |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram ASC) AS rank
+      |  FROM c)
+      |SELECT lang, bigram, cnt, rank FROM r WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
   /** Quality scoring: the filter stage of a training-data pipeline.
     * Length, mean-token-length, stopword-ratio and non-alpha-ratio
     * signals combine into a [0,1] score; `keep` is the pipeline's
@@ -253,6 +289,7 @@ object Text {
     "q_text_stats" -> stats,
     "q_text_lang_agg" -> langAgg,
     "q_text_langid" -> langId,
+    "q_text_bigrams" -> bigramProfile,
     "q_text_fingerprint" -> fingerprint,
     "q_text_quality" -> quality,
     "q_text_rollhash" -> rollhash,
@@ -262,6 +299,7 @@ object Text {
     "q_text_stats" -> statsSql,
     "q_text_lang_agg" -> langAggSql,
     "q_text_langid" -> langIdSql,
+    "q_text_bigrams" -> bigramProfileSql,
     "q_text_fingerprint" -> fingerprintSql,
     "q_text_quality" -> qualitySql,
     "q_text_rollhash" -> rollhashSql,
