@@ -154,43 +154,60 @@ object Similarity {
     topkOf(scored, 10)
   }
 
-  /** IVF (inverted-file) ANN — the other classic scale path: k-means
-    * cells over the corpus (Spark ML, fixed seed → deterministic),
-    * queries probe their nProbe nearest cells, exact cosine + bounded
-    * top-k inside the probed cells only.
-    *
-    * Scale shape: the index fit is one ML job (sampled in practice);
-    * cell assignment is a map; the candidate join is an equi-join on
-    * cell id, so scored volume is (probed cells / total cells) of the
-    * corpus — the standard IVF recall/cost dial. Centroids are a
-    * driver-side literal (k × dim doubles), broadcast implicitly. */
-  def annIvf(s: SparkSession, dir: String, nCells: Int = 16,
-             nProbe: Int = 4): DataFrame = {
+  /** IVF (inverted-file) index: k-means cells over a corpus, FIT ONCE
+    * and reused across searches — at 100 TB the fit runs on a sample and
+    * the assigned `cells` frame is a persisted artifact; refitting per
+    * query would be the anti-shape. Deterministic (fixed seed). */
+  final case class IvfIndex private[ops] (
+      cells: DataFrame,               // (vec_id, v, nrm, cell)
+      centroids: Seq[Seq[Double]]) {  // k × dim, driver-side
+
+    /** ANN top-k: each query probes its `nProbe` nearest cells (L2 to
+      * the centroid literal), then exact cosine + bounded top-k over an
+      * equi-join on cell id — scored volume is the probed fraction of
+      * the corpus, the standard IVF recall/cost dial. */
+    def search(queries: DataFrame, k: Int = 10, nProbe: Int = 4): DataFrame = {
+      val s = queries.sparkSession
+      import s.implicits._
+      val probed = queries
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
+          typedLit(centroids).as("cents"))
+        .select($"query_id", $"qv", $"qn", posexplode($"cents"))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(qv, col, (x, c) -> (x - c) * (x - c)), 0d, (a, y) -> a + y)"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"dist".asc, $"pos".asc)))
+        .filter($"rk" <= nProbe)
+        .select($"query_id", $"qv", $"qn", $"pos".as("cell"))
+      val scored = cells.join(broadcast(probed), "cell")
+        .withColumn("cos", expr(dotExpr) / ($"qn" * $"nrm"))
+      topkOf(scored, k)
+    }
+  }
+
+  /** Fit an IVF index over `corpus` (vec_id, v: array<double>, nrm). */
+  def fitIvf(corpus: DataFrame, nCells: Int = 16): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val s = corpus.sparkSession
     import s.implicits._
-    val e = vecs(s, dir).withColumn("fv", array_to_vector($"v"))
-    val corpus = e.filter($"vec_id" >= 10).cache()
+    val withFv = corpus.withColumn("fv", array_to_vector($"v")).cache()
     val model = new KMeans().setK(nCells).setSeed(42L)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(corpus.select($"fv"))
-    val cells = model.transform(corpus)
-      .select($"vec_id", $"v", $"nrm", $"cell")
-    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
-    // each query probes its nProbe nearest centroids (L2)
-    val q = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
-        typedLit(centroids).as("cents"))
-      .select($"query_id", $"qv", $"qn", posexplode($"cents"))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(qv, col, (x, c) -> (x - c) * (x - c)), 0d, (a, y) -> a + y)"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"dist".asc, $"pos".asc)))
-      .filter($"rk" <= nProbe)
-      .select($"query_id", $"qv", $"qn", $"pos".as("cell"))
-    val scored = cells.join(broadcast(q), "cell")
-      .withColumn("cos", expr(dotExpr) / ($"qn" * $"nrm"))
-    topkOf(scored, 10)
+      .fit(withFv.select($"fv"))
+    IvfIndex(
+      cells = model.transform(withFv).select($"vec_id", $"v", $"nrm", $"cell"),
+      centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq)
+  }
+
+  /** Query entry: fit (once per call here — the index object is the
+    * reuse point for callers) + search. */
+  def annIvf(s: SparkSession, dir: String, nCells: Int = 16,
+             nProbe: Int = 4): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val index = fitIvf(e.filter($"vec_id" >= 10), nCells)
+    index.search(e.filter($"vec_id" < 10), k = 10, nProbe = nProbe)
   }
 
   // --- registry -------------------------------------------------------------

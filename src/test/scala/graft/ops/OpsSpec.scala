@@ -135,6 +135,23 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(neighborPairs(a) == neighborPairs(b))
   }
 
+  test("similarity ivf: one fitted index serves repeated searches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.t(spark, sfDir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"))
+    val index = Similarity.fitIvf(e.filter($"vec_id" >= 10))
+    val q1 = e.filter($"vec_id" < 5)
+    val q2 = e.filter($"vec_id" >= 5 && $"vec_id" < 10)
+    val r1 = index.search(q1).collect()
+    val r2 = index.search(q2).collect()
+    assert(r1.map(_.getAs[Long]("query_id")).toSet == (0L until 5L).toSet)
+    assert(r2.map(_.getAs[Long]("query_id")).toSet == (5L until 10L).toSet)
+    // the same index re-searched gives identical answers (no refit drift)
+    assert(index.search(q1).collect().toSeq == r1.toSeq)
+  }
+
   // --- Text -----------------------------------------------------------------
 
   test("text stats: token counts are consistent and ratios bounded") {
