@@ -288,6 +288,20 @@ object Dedup {
       |SELECT vec_a, vec_b, ROUND(cos, 6) AS cos_sim
       |FROM p WHERE cos >= 0.999 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** The pipeline-facing form of near-dedup: the corpus with
+    * near-duplicates REMOVED, keeping each group's smallest doc_id.
+    * A doc is dropped iff it appears as the larger id of a verified
+    * pair — on clique-shaped duplicate groups (what re-crawls produce;
+    * this corpus's groups are cliques) that keeps exactly the minimum
+    * per group. Distributed shape: the pair list is tiny relative to
+    * the corpus, so the anti-join broadcasts it. */
+  def dropNearDuplicates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val losers = near(s, dir).select($"doc_b".as("doc_id")).distinct()
+    t(s, dir, "documents")
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -56,6 +56,20 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(lsh == exact)
   }
 
+  test("dropNearDuplicates keeps group minima and all singletons") {
+    import spark.implicits._
+    val pairs = Dedup.near(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val losers = pairs.map(_._2).toSet
+    val kept = Dedup.dropNearDuplicates(spark, sfDir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val all = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- losers)
+    pairs.foreach { case (a, _) => assert(kept.contains(a) || losers.contains(a)) }
+    assert(losers.forall(!kept.contains(_)))
+  }
+
   test("dedup ngram: char-5-gram LSH pairs are ordered and above threshold") {
     val rows = Dedup.nearNgram(spark, sfDir).collect()
     assert(rows.nonEmpty)
