@@ -33,9 +33,21 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev knob: SPARK_GRAFT_ONLY=q_a,q_b benches a subset while iterating
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+    val results = selected.map { case (name, fn) =>
       once(name, fn) // warmup: codegen + JIT
-      name -> once(name, fn)
+      val t = once(name, fn)
+      // drop this query's cached frames before the next one: operators
+      // cache per invocation (session-lifetime by design), and 60+ queries
+      // of accumulated storage memory otherwise inflate later queries 3-4×
+      // through GC pressure + eviction churn (measured r4: simhash 9.5s in
+      // the full suite vs 2.8s isolated, identical plans)
+      spark.catalog.clearCache()
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
