@@ -36,6 +36,8 @@ object Bench {
     // dev knob: SPARK_GRAFT_ONLY=q_a,q_b benches a subset while iterating
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(_.diff(SparkEntry.queries.keySet).toSeq.sorted.foreach(n =>
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY name not in SparkEntry.queries: $n")))
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
     val results = selected.map { case (name, fn) =>
@@ -44,15 +46,18 @@ object Bench {
       // drop this query's cached frames before the next one: operators
       // cache per invocation (session-lifetime by design), and 60+ queries
       // of accumulated storage memory otherwise inflate later queries 3-4×
-      // through GC pressure + eviction churn (measured r4: simhash 9.5s in
-      // the full suite vs 2.8s isolated, identical plans)
+      // through GC pressure + eviction churn (verified r5: simhash 2.6s in
+      // the full suite under this harness vs 9.5s in r3's accumulating one)
       spark.catalog.clearCache()
       name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","queries":$qs,"sf":"$sfDir"}""")
+    // a subset run is not comparable to a full-suite round — mark it so a
+    // leaked env var can't masquerade as a (suspiciously fast) full bench
+    val subset = if (only.isDefined) s""","subset":true,"selected":${selected.size}""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","queries":$qs,"sf":"$sfDir"$subset}""")
     spark.stop()
   }
 }

@@ -34,8 +34,11 @@ import graft.Tables.t
   */
 object Similarity {
 
-  private val dotExpr =
-    "aggregate(zip_with(qv, v, (x, y) -> x * y), 0d, (acc, p) -> acc + p)"
+  /** Exact dot product of two double arrays: a left-to-right fold from a
+    * 0.0 seed, bit-identical to the DuckDB oracle's list_reduce chain. */
+  private[ops] def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, p) => acc + p)
+
   private val normExpr =
     "sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"
 
@@ -70,7 +73,7 @@ object Similarity {
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     val c = e.filter($"vec_id" >= 10).select($"vec_id", $"v", $"nrm")
     val scored = c.join(broadcast(q)) // cartesian with a bounded query set
-      .withColumn("cos", expr(dotExpr) / ($"qn" * $"nrm"))
+      .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"nrm"))
     topkOf(scored, 10)
   }
 
@@ -132,8 +135,6 @@ object Similarity {
     df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("nrm", expr(normExpr))
 
-  private[ops] val cosineExpr: String = dotExpr
-
   /** ANN top-10 via SimHash bucket candidates (8 tables × 3 bits). */
   def ann(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -150,7 +151,7 @@ object Similarity {
     val scored = cand
       .join(broadcast(q), "query_id")
       .join(c, "vec_id")
-      .withColumn("cos", expr(dotExpr) / ($"qn" * $"nrm"))
+      .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"nrm"))
     topkOf(scored, 10)
   }
 
@@ -180,7 +181,7 @@ object Similarity {
         .filter($"rk" <= nProbe)
         .select($"query_id", $"qv", $"qn", $"pos".as("cell"))
       val scored = cells.join(broadcast(probed), "cell")
-        .withColumn("cos", expr(dotExpr) / ($"qn" * $"nrm"))
+        .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"nrm"))
       topkOf(scored, k)
     }
   }
@@ -210,15 +211,57 @@ object Similarity {
     index.search(e.filter($"vec_id" < 10), k = 10, nProbe = nProbe)
   }
 
+  /** Driver-verifiable projection of an approximate top-k: per query,
+    * recall@10 vs the exact brute-force top-10 (computed in-plan),
+    * thresholded to a deterministic boolean. ANN output itself can't
+    * hash-match a SQL oracle (approximate by construction), but "every
+    * query recovers ≥ minHits of its true top-10" is a hard, hashable
+    * fact the oracle CAN assert: the oracle lists the query ids with
+    * `true`, so any recall collapse (broken bucketing, wrong planes,
+    * lost candidates) flips rows to `false` and fails the hash compare.
+    * Exact recall values are spec-asserted in OpsSpec. */
+  private def recallCheck(approx: DataFrame, s: SparkSession, dir: String,
+                          minHits: Int): DataFrame = {
+    import s.implicits._
+    val exact = topk(s, dir).select($"query_id", $"vec_id")
+    val hits = approx.select($"query_id", $"vec_id")
+      .join(exact, Seq("query_id", "vec_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("hits"))
+    exact.select($"query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id",
+        (coalesce($"hits", lit(0L)) >= minHits).cast("int").as("recall_ok"))
+      .orderBy($"query_id")
+  }
+
+  /** q_similarity_ann entry: SRP-LSH ANN recall gate (≥5/10 per query). */
+  def annCheck(s: SparkSession, dir: String): DataFrame =
+    recallCheck(ann(s, dir), s, dir, minHits = 5)
+
+  /** q_similarity_ivf entry: IVF ANN recall gate (≥5/10 per query).
+    * Probes 8 of 16 cells — the gate sits at the high-recall end of the
+    * nProbe dial (measured min hits/query = 6 at every SF, vs dips to 2
+    * at the default nProbe=4, whose recall is spec-asserted instead). */
+  def ivfCheck(s: SparkSession, dir: String): DataFrame =
+    recallCheck(annIvf(s, dir, nProbe = 8), s, dir, minHits = 5)
+
+  /** Oracle twin of [[recallCheck]]: every query id < 10 must pass. */
+  val recallCheckSql: String =
+    """SELECT vec_id AS query_id, 1 AS recall_ok
+      |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_similarity_topk" -> topk,
-    "q_similarity_ann" -> ann,
-    "q_similarity_ivf" -> ((s, dir) => annIvf(s, dir)))
+    "q_similarity_ann" -> annCheck,
+    "q_similarity_ivf" -> ivfCheck)
 
-  /** The ANN variants are approximate → no SQL oracle (driver records
-    * the weaker rows-only check); recall is spec-asserted instead. */
+  /** The ANN entries emit a deterministic recall gate (see
+    * [[recallCheck]]) so the driver records a full hash-compared row;
+    * raw approximate top-k output is exercised by the recall specs. */
   def oracle: Map[String, String] = Map(
-    "q_similarity_topk" -> topkSql)
+    "q_similarity_topk" -> topkSql,
+    "q_similarity_ann" -> recallCheckSql,
+    "q_similarity_ivf" -> recallCheckSql)
 }

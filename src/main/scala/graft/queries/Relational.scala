@@ -557,15 +557,18 @@ object Relational {
       |  AND l_quantity BETWEEN p_size - 5 AND p_size + 5
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
-  /** Multi-way star join: fact (lineitem) against three broadcast dims in
-    * one pipeline — at cluster scale only the fact side streams. */
+  /** Multi-way star join: fact (lineitem) against three dims in one
+    * pipeline — at cluster scale only the fact side streams. The bounded
+    * dims (nation 25 rows, region 5) are hinted broadcast; supplier
+    * scales with SF (SF×10k rows), so AQE decides its strategy at
+    * runtime — broadcast while it fits, shuffled hash join beyond. */
   def joinMultiway(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val l = t(s, dir, "lineitem")
     val sup = t(s, dir, "supplier")
     val n = t(s, dir, "nation")
     val r = t(s, dir, "region")
-    l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+    l.join(sup, l("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy($"r_name")
