@@ -29,8 +29,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
+      // a failed query must not abort the suite, but its (fast) time is
+      // meaningless — say so loudly instead of reporting it as a speedup
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARNING: $name FAILED (time not meaningful): ${e.getMessage.linesIterator.next()}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // dev knob: SPARK_GRAFT_ONLY=q_a,q_b benches a subset while iterating
