@@ -193,7 +193,11 @@ object Similarity {
     val s = corpus.sparkSession
     import s.implicits._
     val withFv = corpus.withColumn("fv", array_to_vector($"v")).cache()
-    val model = new KMeans().setK(nCells).setSeed(42L)
+    // bucketing needs balanced cells, not converged centroids: 8 Lloyd
+    // iterations vs the default 20 leaves the recall gate margin intact
+    // (measured min hits/query 7 vs 6 at every SF) and takes the whole
+    // fit+search query from 3.1s to 2.6s warm at sf0.1
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(withFv.select($"fv"))
     IvfIndex(
