@@ -149,6 +149,18 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(neighborPairs(a) == neighborPairs(b))
   }
 
+  test("similarity recall gates: every query passes the driver-checkable threshold") {
+    // the oracle rows for q_similarity_ann / q_similarity_ivf assert
+    // recall_ok = 1 for all ten queries — lock that here too, so a
+    // recall regression fails fast in sbt test, not only at the driver
+    for (check <- Seq(Similarity.annCheck _, Similarity.ivfCheck _)) {
+      val rows = check(spark, sfDir).collect()
+      assert(rows.length == 10)
+      assert(rows.forall(_.getAs[Int]("recall_ok") == 1),
+        rows.map(r => s"${r.getLong(0)}:${r.getInt(1)}").mkString(" "))
+    }
+  }
+
   test("similarity ivf: one fitted index serves repeated searches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
