@@ -39,6 +39,7 @@ object SparkEntry {
     graft.queries.Nested.queries ++
     graft.ops.AsOf.queries ++
     graft.ops.Dedup.queries ++
+    graft.ops.Skew.queries ++
     graft.ops.Similarity.queries ++
     graft.ops.Text.queries ++
     graft.ops.Multimodal.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
     graft.queries.Nested.oracle ++
     graft.ops.AsOf.oracle ++
     graft.ops.Dedup.oracle ++
+    graft.ops.Skew.oracle ++
     graft.ops.Similarity.oracle ++
     graft.ops.Text.oracle ++
     graft.ops.Multimodal.oracle ++

@@ -305,6 +305,28 @@ object Dedup {
       .join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Driver-checkable projection of [[dropNearDuplicates]]: the ids
+    * (plus lang, a cheap non-key column) that survive near-dedup —
+    * hashing the full text would dominate the compare for no extra
+    * signal. */
+  def dropQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dropNearDuplicates(s, dir)
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  val dropSql: String =
+    s"""$shingledSql,
+      |pairs AS (
+      |  SELECT b.doc_id AS doc_b
+      |  FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+      |  WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / LEN(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+      |SELECT doc_id, lang FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+      |ORDER BY doc_id""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -312,12 +334,14 @@ object Dedup {
     "q_dedup_near" -> near,
     "q_dedup_ngram" -> nearNgram,
     "q_dedup_simhash" -> simhash,
-    "q_dedup_embed" -> embed)
+    "q_dedup_embed" -> embed,
+    "q_dedup_drop" -> dropQ)
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> exactSql,
     "q_dedup_near" -> nearSql,
     "q_dedup_ngram" -> nearNgramSql,
     "q_dedup_simhash" -> simhashSql,
-    "q_dedup_embed" -> embedSql)
+    "q_dedup_embed" -> embedSql,
+    "q_dedup_drop" -> dropSql)
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation: salted two-stage aggregation. A single hot key
@@ -36,4 +36,21 @@ object Skew {
     df.groupBy(col(key))
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total"))
+
+  // --- registry -------------------------------------------------------------
+
+  /** q_agg_salted: the salted two-stage aggregate, driver-checked
+    * against the plain GROUP BY oracle — the decomposition must be
+    * EXACT (decimal partials), not just statistically close. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_salted" -> ((s, dir) =>
+      saltedCountSum(graft.Tables.t(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice")
+        .orderBy(col("l_returnflag"))))
+
+  def oracle: Map[String, String] = Map(
+    "q_agg_salted" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }
