@@ -115,6 +115,31 @@ object Relational {
       |  (s2 - s1 * s1 / n) / (n - 1) AS var_bal
       |FROM s ORDER BY c_mktsegment""".stripMargin
 
+  /** Approximate profiling — the 100 TB form of distinct counting:
+    * `approx_count_distinct` (HyperLogLog++) keeps a fixed-size register
+    * sketch per group, merged commutatively map-side, where the exact
+    * count must shuffle every distinct value. The sketch is
+    * deterministic for given data (register maxes over per-value
+    * hashes, independent of partition order), so the driver row uses
+    * the ANN-style gate pattern: emit whether the estimate lands within
+    * 5% of the exact count (rsd configured at 2%), which the oracle
+    * asserts for every group. The exact count rides along only to
+    * compute the gate — at real scale you'd run the sketch alone. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", rsd = 0.02).as("apx"),
+        countDistinct($"l_partkey").as("nd"))
+      .select($"l_returnflag",
+        (abs($"apx" - $"nd") <= $"nd" * 0.05).cast("int").as("within_5pct"))
+      .orderBy($"l_returnflag")
+  }
+
+  val approxDistinctSql: String =
+    """SELECT l_returnflag, 1 AS within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** HAVING: post-aggregation filter — Catalyst plans it as Filter above
     * Aggregate; only qualifying groups survive the final stage. */
   def aggHaving(s: SparkSession, dir: String): DataFrame = {
@@ -709,6 +734,7 @@ object Relational {
     "q_agg_distinct" -> aggDistinct,
     "q_agg_stats" -> aggStats,
     "q_agg_stats2" -> aggStats2,
+    "q_agg_approx_distinct" -> approxDistinct,
     "q_pivot" -> pivotEvents,
     "q_unpivot" -> unpivotPart,
     "q_join_snowflake" -> snowflake,
@@ -739,6 +765,7 @@ object Relational {
     "q_agg_distinct" -> aggDistinctSql,
     "q_agg_stats" -> aggStatsSql,
     "q_agg_stats2" -> aggStats2Sql,
+    "q_agg_approx_distinct" -> approxDistinctSql,
     "q_pivot" -> pivotEventsSql,
     "q_unpivot" -> unpivotPartSql,
     "q_join_snowflake" -> snowflakeSql,
