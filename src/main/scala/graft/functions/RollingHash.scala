@@ -78,11 +78,12 @@ object RollingHash {
   *    `SparkSessionExtensions` hook;
   *  - library / existing session: `GraftFunctions.register(spark)`.
   *
-  * Either way `rolling_hash(str)` resolves in SQL and `expr(...)`.
+  * Either way `rolling_hash(str)` and `vec_dot(a, b)` resolve in SQL
+  * and `expr(...)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.rollingHashSpec)
+    GraftFunctions.specs.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
@@ -95,9 +96,20 @@ object GraftFunctions {
       else throw new IllegalArgumentException(
         s"rolling_hash requires exactly 1 argument, got ${children.length}"))
 
+  private[functions] val vecDotSpec
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+    (children: Seq[Expression]) =>
+      if (children.length == 2) VecDot(children.head, children(1))
+      else throw new IllegalArgumentException(
+        s"vec_dot requires exactly 2 arguments, got ${children.length}"))
+
+  private[functions] def specs = Seq(rollingHashSpec, vecDotSpec)
+
   /** Imperative registration on an existing session (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = rollingHashSpec
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    specs.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

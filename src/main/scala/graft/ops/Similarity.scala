@@ -35,12 +35,14 @@ import graft.Tables.t
 object Similarity {
 
   /** Exact dot product of two double arrays: a left-to-right fold from a
-    * 0.0 seed, bit-identical to the DuckDB oracle's list_reduce chain. */
+    * 0.0 seed, bit-identical to the DuckDB oracle's list_reduce chain.
+    * Resolves to the native codegen [[graft.functions.VecDot]] — the
+    * equivalent higher-order `aggregate(zip_with(...))` is interpreted
+    * per row and was the hot loop of the whole similarity family. The
+    * caller's session must have graft functions registered (every
+    * entry point here does so via [[widened]]/[[bucketed]]). */
   private[ops] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, p) => acc + p)
-
-  private val normExpr =
-    "sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"
+    call_function("vec_dot", a, b)
 
   /** embeddings with the float vector widened to double (exact). */
   private def vecs(s: SparkSession, dir: String): DataFrame =
@@ -114,26 +116,36 @@ object Similarity {
     })
 
   /** (vec_id, tbl, bucket) rows: tables × bits literal-plane dot
-    * products per vector (array `[..]` is 0-based in Spark SQL). A
-    * vector equal to another lands in identical buckets in EVERY table —
-    * near-angle vectors collide with probability (1 − θ/π)^bits per
-    * table. */
-  private[ops] def bucketed(e: DataFrame, tables: Int, bits: Int): DataFrame =
-    e.withColumn("__planes", typedLit(planes(tables, bits)))
-      .withColumn("bk", explode(expr(
-        s"""transform(sequence(0, ${tables - 1}), tb -> struct(
-          |  tb AS tbl,
-          |  aggregate(sequence(0, ${bits - 1}), 0, (acc, p) -> acc * 2 + CASE WHEN
-          |    aggregate(zip_with(v, __planes[tb][p], (x, w) -> x * w),
-          |              0d, (a, y) -> a + y) >= 0d THEN 1 ELSE 0 END) AS bucket))"""
-          .stripMargin)))
+    * products per vector. A vector equal to another lands in identical
+    * buckets in EVERY table — near-angle vectors collide with
+    * probability (1 − θ/π)^bits per table.
+    *
+    * Each plane is a `typedLit` array literal fed to the codegen'd
+    * `vec_dot`, so the whole signature — tables × bits dots per
+    * vector — runs inside whole-stage codegen; bit p of a bucket
+    * carries weight 2^(bits−1−p), identical to the fold it replaced. */
+  private[ops] def bucketed(e: DataFrame, tables: Int, bits: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    val pl = planes(tables, bits)
+    val bkCols = (0 until tables).map { tb =>
+      val bucket = (0 until bits).map { p =>
+        when(dot(col("v"), typedLit(pl(tb)(p))) >= 0d,
+          lit(1 << (bits - 1 - p))).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(tb).as("tbl"), bucket.as("bucket"))
+    }
+    e.withColumn("bk", explode(array(bkCols: _*)))
       .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+  }
 
   /** embeddings with vectors widened to double + L2 norm (shared with
-    * [[Dedup.embed]]). */
-  private[ops] def widened(df: DataFrame): DataFrame =
+    * [[Dedup.embed]]). The norm is `sqrt(vec_dot(v, v))` — the same
+    * left-to-right `acc + x*x` fold as the oracle's list_reduce. */
+  private[ops] def widened(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nrm", expr(normExpr))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
 
   /** ANN top-10 via SimHash bucket candidates (8 tables × 3 bits). */
   def ann(s: SparkSession, dir: String): DataFrame = {
