@@ -27,13 +27,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // a failed query must not abort the suite, but its (fast) time is
-      // meaningless — say so loudly instead of reporting it as a speedup
+      // meaningless — record the failure into the JSON (the artifact the
+      // driver reads) and warn on stderr. getMessage can be null/empty
+      // (e.g. NPE), so the description must never itself throw.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] WARNING: $name FAILED (time not meaningful): ${e.getMessage.linesIterator.next()}")
+        failed += name
+        val msg = Option(e.getMessage).iterator
+          .flatMap(_.linesIterator).find(_.nonEmpty)
+          .getOrElse(e.getClass.getName)
+        System.err.println(s"[bench] WARNING: $name FAILED (time not meaningful): $msg")
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -61,7 +68,11 @@ object Bench {
     // a subset run is not comparable to a full-suite round — mark it so a
     // leaked env var can't masquerade as a (suspiciously fast) full bench
     val subset = if (only.isDefined) s""","subset":true,"selected":${selected.size}""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","queries":$qs,"sf":"$sfDir"$subset}""")
+    // likewise a run with failed queries: their aborted (fast) times are
+    // in the total, so the artifact itself must say the total is invalid
+    val failedJson = if (failed.nonEmpty)
+      failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]") else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","queries":$qs,"sf":"$sfDir"$subset$failedJson}""")
     spark.stop()
   }
 }

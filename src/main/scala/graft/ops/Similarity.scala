@@ -243,7 +243,11 @@ object Similarity {
     val hits = approx.select($"query_id", $"vec_id")
       .join(exact, Seq("query_id", "vec_id"))
       .groupBy($"query_id").agg(count(lit(1)).as("hits"))
-    exact.select($"query_id").distinct()
+    // the query-id universe comes from the base table, NOT from `exact`:
+    // reusing the uncached topk frame here would execute the whole
+    // brute-force scoring plan a second time just to list ten ids
+    t(s, dir, "embeddings").filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select($"query_id",
         (coalesce($"hits", lit(0L)) >= minHits).cast("int").as("recall_ok"))

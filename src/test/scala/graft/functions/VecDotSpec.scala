@@ -38,11 +38,18 @@ class VecDotSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(3) == 0.0) // empty vectors: the fold's seed
   }
 
-  test("resolves through the SparkSessionExtensions path too") {
-    val ext = new GraftExtensions
-    // the shared spec session already has functions registered; assert
-    // the extension wires the same builders without throwing
-    ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
+  test("both registration paths expose the same builders; vec_dot evaluates in SQL") {
+    // the extensions path injects GraftFunctions.specs verbatim — assert
+    // the spec set itself (a session built with the extension applied
+    // can't be created here without tearing down the shared session)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val names = GraftFunctions.specs.map(_._1.funcName).toSet
+    assert(names == Set("rolling_hash", "vec_dot"))
+    val (_, _, builder) = GraftFunctions.vecDotSpec
+    assert(builder(Seq(Literal(1d), Literal(2d))).isInstanceOf[VecDot])
+    intercept[IllegalArgumentException](builder(Seq(Literal(1d))))
+    // explicit registration here so this test passes in isolation
+    GraftFunctions.register(spark)
     assert(spark.sql("SELECT vec_dot(array(2d, 3d), array(4d, 5d))")
       .head().getDouble(0) == 23.0)
   }
