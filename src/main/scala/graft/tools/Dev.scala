@@ -34,6 +34,25 @@ object Dev {
         val df = graft.SparkEntry.queries(args(1))(spark, dir)
         df.show(20, truncate = false)
         println(s"ROWS: ${df.count()}")
+      case "audit" =>
+        // plan red-flag sweep over every registered query: cartesians
+        // (outside the documented bounded grid), nested-loop joins, and
+        // scans that read every column (pruning regression)
+        graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          try {
+            val plan = fn(spark, dir).queryExecution.executedPlan.toString
+            val flags = Seq(
+              "CartesianProduct" -> plan.contains("CartesianProduct"),
+              "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+              "fullScanOfLineitem" -> plan.linesIterator.exists(l =>
+                l.contains("ReadSchema") && l.contains("l_comment"))
+            ).collect { case (f, true) => f }
+            println(s"$name ${if (flags.isEmpty) "ok" else flags.mkString("FLAG:", ",", "")}")
+          } catch { case e: Throwable =>
+            println(s"$name ERROR ${Option(e.getMessage).getOrElse(e.getClass.getName).take(80)}")
+          }
+          spark.catalog.clearCache()
+        }
     }
     spark.stop()
   }
