@@ -327,6 +327,84 @@ object Dedup {
       |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
       |ORDER BY doc_id""".stripMargin
 
+  /** Connected components over an undirected duplicate-pair list by
+    * min-label propagation: every node iteratively adopts the smallest
+    * label among itself and its neighbours until fixpoint, which is
+    * reached after diameter(G) rounds. This is the GENERAL form of
+    * duplicate grouping — [[dropNearDuplicates]]'s cheaper anti-join is
+    * exact only on clique-shaped groups, while label propagation is
+    * exact on chains/stars too (A~B, B~C but A≁C still groups {A,B,C}).
+    *
+    * Distributed shape: each round is one equi-join + min-aggregate on
+    * node ids — label frames carry (id, label) only, never documents.
+    * The per-round driver-side action is a CONVERGENCE CHECK (a count),
+    * not data processing; `localCheckpoint` cuts the growing lineage so
+    * round N doesn't replay rounds 1..N−1. Duplicate graphs are
+    * near-cliques in practice (diameter ≤ a few), so rounds ≈ 2–3;
+    * `maxIter` bounds pathological chains.
+    *
+    * Returns (id, label) for every node that appears in `pairs`. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .distinct().cache()
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("label", $"id").localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, $"dst" === $"id")
+        .groupBy($"src").agg(min($"label").as("nbr"))
+      val next = labels.join(nbrMin, $"id" === $"src", "left")
+        .select($"id", least($"label", coalesce($"nbr", $"label")).as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.select($"id", $"label".as("prev")), "id")
+        .filter($"label" =!= $"prev").isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Driver-checkable clustering of the whole corpus: every doc with its
+    * duplicate-cluster representative (the smallest doc_id reachable
+    * through verified near-dup pairs; singletons represent themselves). */
+  def clustersQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = duplicateClusters(near(s, dir))
+      .select($"id".as("doc_id"), $"label")
+    t(s, dir, "documents").select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: reachability via a recursive CTE (feasible at oracle scale),
+    * cluster id = min over the reachable set. */
+  val clustersSql: String =
+    s"""${shingledSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+      |  WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / LEN(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |walk(id, r) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.r = e.src),
+      |labels AS (
+      |  SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id
+      |  FROM walk GROUP BY id)
+      |SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+      |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -335,7 +413,8 @@ object Dedup {
     "q_dedup_ngram" -> nearNgram,
     "q_dedup_simhash" -> simhash,
     "q_dedup_embed" -> embed,
-    "q_dedup_drop" -> dropQ)
+    "q_dedup_drop" -> dropQ,
+    "q_dedup_clusters" -> clustersQ)
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> exactSql,
@@ -343,5 +422,6 @@ object Dedup {
     "q_dedup_ngram" -> nearNgramSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_embed" -> embedSql,
-    "q_dedup_drop" -> dropSql)
+    "q_dedup_drop" -> dropSql,
+    "q_dedup_clusters" -> clustersSql)
 }

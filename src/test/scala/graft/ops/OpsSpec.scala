@@ -70,6 +70,21 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(losers.forall(!kept.contains(_)))
   }
 
+  test("duplicateClusters groups non-clique topologies (chain, star) transitively") {
+    import spark.implicits._
+    // chain 1-2-3-...-8 (diameter 7 — forces several propagation rounds),
+    // star 20-{21,22,23}, and the disjoint pair (30,31)
+    val pairs = ((1L to 7L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (20L, 22L), (20L, 23L), (30L, 31L)))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 8L).foreach(i => assert(got(i) == 1L, s"chain node $i"))
+    Seq(20L, 21L, 22L, 23L).foreach(i => assert(got(i) == 20L))
+    Seq(30L, 31L).foreach(i => assert(got(i) == 30L))
+    assert(got.size == 14)
+  }
+
   test("dedup ngram: char-5-gram LSH pairs are ordered and above threshold") {
     val rows = Dedup.nearNgram(spark, sfDir).collect()
     assert(rows.nonEmpty)
