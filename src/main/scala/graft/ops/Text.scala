@@ -291,6 +291,44 @@ object Text {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM l GROUP BY split ORDER BY split""".stripMargin
 
+  /** Training-mix construction: down-sample each source to a target
+    * rate so the retained corpus matches a desired mixture (the knob
+    * every LLM data pipeline turns: web-heavy in, balanced out). The
+    * keep decision is a CONTENT-hash bucket against the source's rate —
+    * deterministic and reproducible (same doc always keeps/drops, any
+    * cluster size, no RNG state, no sampling shuffle), and the rates
+    * live in a broadcast dimension, the shape that scales to thousands
+    * of sources. Emits per-source accounting (total vs kept) rather
+    * than the kept rows so the driver row verifies the realized mix. */
+  def sampleMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = (0 until 20)
+      .map(i => (s"src$i", if (i < 5) 100 else if (i < 10) 50 else 25))
+      .toDF("source", "pct")
+    val bucket =
+      pmod(conv(substring(md5($"text"), 1, 15), 16, 10).cast("long"), lit(100))
+    t(s, dir, "documents")
+      .withColumn("bucket", bucket)
+      .join(broadcast(rates), "source")
+      .groupBy($"source", $"pct")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"bucket" < $"pct", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"source")
+  }
+
+  val sampleMixtureSql: String =
+    """WITH rates AS (
+      |  SELECT 'src' || i::VARCHAR AS source,
+      |    CASE WHEN i < 5 THEN 100 WHEN i < 10 THEN 50 ELSE 25 END AS pct
+      |  FROM range(0, 20) t(i)),
+      |b AS (SELECT source,
+      |  ('0x' || substr(md5(text), 1, 15))::UBIGINT::BIGINT % 100 AS bucket
+      |  FROM documents)
+      |SELECT b.source, r.pct, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM b JOIN rates r ON b.source = r.source
+      |GROUP BY b.source, r.pct ORDER BY b.source""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -301,7 +339,8 @@ object Text {
     "q_text_fingerprint" -> fingerprint,
     "q_text_quality" -> quality,
     "q_text_rollhash" -> rollhash,
-    "q_split_assign" -> splitAssign)
+    "q_split_assign" -> splitAssign,
+    "q_sample_mixture" -> sampleMixture)
 
   def oracle: Map[String, String] = Map(
     "q_text_stats" -> statsSql,
@@ -311,5 +350,6 @@ object Text {
     "q_text_fingerprint" -> fingerprintSql,
     "q_text_quality" -> qualitySql,
     "q_text_rollhash" -> rollhashSql,
-    "q_split_assign" -> splitAssignSql)
+    "q_split_assign" -> splitAssignSql,
+    "q_sample_mixture" -> sampleMixtureSql)
 }
