@@ -338,10 +338,18 @@ object Dedup {
     * Distributed shape: each round is one equi-join + min-aggregate on
     * node ids — label frames carry (id, label) only, never documents.
     * The per-round driver-side action is a CONVERGENCE CHECK (a count),
-    * not data processing; `localCheckpoint` cuts the growing lineage so
-    * round N doesn't replay rounds 1..N−1. Duplicate graphs are
-    * near-cliques in practice (diameter ≤ a few), so rounds ≈ 2–3;
-    * `maxIter` bounds pathological chains.
+    * not data processing. Only the EDGE LIST is cached (session
+    * CacheManager — freed by `clearCache`); label rounds deliberately
+    * are not pinned: `localCheckpoint` blocks bypass the CacheManager
+    * and measured as a cross-query storage leak (later dedup queries
+    * inflated up to 6×), and per-round `persist`+`unpersist` cascades
+    * in Spark 4, invalidating the dependent round's cache and replaying
+    * the whole chain. Recomputing rounds from the cached edges is
+    * O(rounds²) joins over (id, label) frames — cheap for the
+    * near-clique graphs dedup produces (diameter ≤ a few ⇒ rounds ≈
+    * 2–3); a deployment expecting deep chains would swap in reliable
+    * checkpointing (`sc.setCheckpointDir` + `df.checkpoint`) to cut
+    * both lineage and recompute.
     *
     * Returns (id, label) for every node that appears in `pairs`. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -351,7 +359,7 @@ object Dedup {
       .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .distinct().cache()
     var labels = edges.select($"src".as("id")).distinct()
-      .withColumn("label", $"id").localCheckpoint()
+      .withColumn("label", $"id")
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -359,7 +367,6 @@ object Dedup {
         .groupBy($"src").agg(min($"label").as("nbr"))
       val next = labels.join(nbrMin, $"id" === $"src", "left")
         .select($"id", least($"label", coalesce($"nbr", $"label")).as("label"))
-        .localCheckpoint()
       converged = next.as("n")
         .join(labels.select($"id", $"label".as("prev")), "id")
         .filter($"label" =!= $"prev").isEmpty
