@@ -200,7 +200,7 @@ object Dedup {
     val tokHash = t(s, dir, "documents")
       .select($"doc_id", explode(array_distinct(split(lower($"text"), " "))).as("tok"))
       .select($"doc_id",
-        conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"))
+        Hashing.md5Long60($"tok").as("h"))
     val bitSums = (0 until 60).map(b =>
       sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
     val fp = tokHash.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
@@ -365,14 +365,22 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, $"dst" === $"id")
         .groupBy($"src").agg(min($"label").as("nbr"))
-      val next = labels.join(nbrMin, $"id" === $"src", "left")
+      // one join per round serves both the next labels and the
+      // convergence check: a label changes iff a neighbour min is
+      // strictly smaller than the current label
+      val joined = labels.join(nbrMin, $"id" === $"src", "left")
+      converged = joined.filter(coalesce($"nbr", $"label") < $"label").isEmpty
+      labels = joined
         .select($"id", least($"label", coalesce($"nbr", $"label")).as("label"))
-      converged = next.as("n")
-        .join(labels.select($"id", $"label".as("prev")), "id")
-        .filter($"label" =!= $"prev").isEmpty
-      labels = next
       i += 1
     }
+    if (!converged)
+      // a silent partial answer would split real components — make the
+      // truncation impossible to miss (callers with deeper graphs raise
+      // maxIter or switch to checkpointed rounds)
+      System.err.println(
+        s"[graft] WARNING: duplicateClusters hit maxIter=$maxIter before " +
+          "convergence; components deeper than maxIter are split")
     labels
   }
 

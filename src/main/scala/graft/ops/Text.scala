@@ -265,9 +265,7 @@ object Text {
     * no sampling shuffle). */
   def splitAssign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bucket =
-      conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-        .cast("long") % 100
+    val bucket = Hashing.md5Bucket($"doc_id".cast("string"), 100)
     t(s, dir, "documents")
       .withColumn("split",
         when(bucket < 80, lit("train")).when(bucket < 90, lit("val"))
@@ -294,25 +292,39 @@ object Text {
   /** Training-mix construction: down-sample each source to a target
     * rate so the retained corpus matches a desired mixture (the knob
     * every LLM data pipeline turns: web-heavy in, balanced out). The
-    * keep decision is a CONTENT-hash bucket against the source's rate —
-    * deterministic and reproducible (same doc always keeps/drops, any
-    * cluster size, no RNG state, no sampling shuffle), and the rates
-    * live in a broadcast dimension, the shape that scales to thousands
-    * of sources. Emits per-source accounting (total vs kept) rather
-    * than the kept rows so the driver row verifies the realized mix. */
-  def sampleMixture(s: SparkSession, dir: String): DataFrame = {
+    * keep decision is a CONTENT-hash bucket against the source's
+    * per-cent rate — deterministic and reproducible (same doc always
+    * keeps/drops, any cluster size, no RNG state, no sampling shuffle);
+    * `rates` is a (source, pct) dimension joined broadcast, the shape
+    * that scales to thousands of sources. Returns the retained rows. */
+  def sampleMixture(docs: DataFrame, rates: DataFrame): DataFrame =
+    docs
+      .withColumn("__bucket", Hashing.md5Bucket(col("text"), 100))
+      .join(broadcast(rates), "source")
+      .filter(col("__bucket") < col("pct"))
+      .drop("__bucket", "pct")
+
+  /** Demo rates for the 20-source test corpus: keep all of src0–4, half
+    * of src5–9, a quarter of src10–19. */
+  private def demoRates(s: SparkSession): DataFrame = {
     import s.implicits._
-    val rates = (0 until 20)
+    (0 until 20)
       .map(i => (s"src$i", if (i < 5) 100 else if (i < 10) 50 else 25))
       .toDF("source", "pct")
-    val bucket =
-      pmod(conv(substring(md5($"text"), 1, 15), 16, 10).cast("long"), lit(100))
-    t(s, dir, "documents")
-      .withColumn("bucket", bucket)
-      .join(broadcast(rates), "source")
-      .groupBy($"source", $"pct")
-      .agg(count(lit(1)).as("n_total"),
-        sum(when($"bucket" < $"pct", 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  /** Driver row for [[sampleMixture]]: per-source accounting (total vs
+    * kept) so the oracle verifies the realized mix, not just row counts. */
+  def mixtureQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val kept = sampleMixture(docs, demoRates(s))
+      .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+    docs.groupBy($"source").agg(count(lit(1)).as("n_total"))
+      .join(broadcast(demoRates(s)), "source")
+      .join(kept, Seq("source"), "left")
+      .select($"source", $"pct", $"n_total",
+        coalesce($"n_kept", lit(0L)).as("n_kept"))
       .orderBy($"source")
   }
 
@@ -340,7 +352,7 @@ object Text {
     "q_text_quality" -> quality,
     "q_text_rollhash" -> rollhash,
     "q_split_assign" -> splitAssign,
-    "q_sample_mixture" -> sampleMixture)
+    "q_sample_mixture" -> mixtureQ)
 
   def oracle: Map[String, String] = Map(
     "q_text_stats" -> statsSql,

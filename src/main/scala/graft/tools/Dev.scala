@@ -2,13 +2,14 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev utilities: smoke-run the flagship entry, or explain/run any named
-  * query from SparkEntry.queries.
+/** Dev utilities: smoke-run the flagship entry, explain/run any named
+  * query from SparkEntry.queries, or sweep every plan for red flags.
   *
   * Usage:
   *   tools/run.sh graft.tools.Dev entry
   *   tools/run.sh graft.tools.Dev explain <name> [sfDir]
   *   tools/run.sh graft.tools.Dev show <name> [sfDir]
+  *   tools/run.sh graft.tools.Dev audit [_] [sfDir]
   */
 object Dev {
   def main(args: Array[String]): Unit = {
@@ -37,15 +38,23 @@ object Dev {
       case "audit" =>
         // plan red-flag sweep over every registered query: cartesians
         // (outside the documented bounded grid), nested-loop joins, and
-        // scans that read every column (pruning regression)
+        // unpruned scans — a scan reading EVERY column of a wide table
+        // means projection pruning regressed (small dims like nation /
+        // region legitimately read whole rows, hence the width floor)
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {
-            val plan = fn(spark, dir).queryExecution.executedPlan.toString
+            val plan = fn(spark, dir).queryExecution.sparkPlan
+            val unpruned = plan.collect {
+              case sc: org.apache.spark.sql.execution.FileSourceScanExec
+                  if sc.relation.dataSchema.length > 6 &&
+                    sc.requiredSchema.length == sc.relation.dataSchema.length =>
+                sc.requiredSchema.length
+            }
+            val text = plan.toString
             val flags = Seq(
-              "CartesianProduct" -> plan.contains("CartesianProduct"),
-              "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
-              "fullScanOfLineitem" -> plan.linesIterator.exists(l =>
-                l.contains("ReadSchema") && l.contains("l_comment"))
+              "CartesianProduct" -> text.contains("CartesianProduct"),
+              "BroadcastNestedLoopJoin" -> text.contains("BroadcastNestedLoopJoin"),
+              s"unprunedWideScan(${unpruned.mkString(",")})" -> unpruned.nonEmpty
             ).collect { case (f, true) => f }
             println(s"$name ${if (flags.isEmpty) "ok" else flags.mkString("FLAG:", ",", "")}")
           } catch { case e: Throwable =>
@@ -53,6 +62,8 @@ object Dev {
           }
           spark.catalog.clearCache()
         }
+      case other =>
+        System.err.println(s"unknown mode '$other' — usage: entry | explain <q> [sfDir] | show <q> [sfDir] | audit [_] [sfDir]")
     }
     spark.stop()
   }
