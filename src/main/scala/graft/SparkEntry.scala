@@ -41,6 +41,7 @@ object SparkEntry {
     graft.ops.Dedup.queries ++
     graft.ops.Skew.queries ++
     graft.ops.Similarity.queries ++
+    graft.ops.Centroids.queries ++
     graft.ops.Text.queries ++
     graft.ops.Multimodal.queries ++
     graft.streaming.EventStreams.queries
@@ -56,6 +57,7 @@ object SparkEntry {
     graft.ops.Dedup.oracle ++
     graft.ops.Skew.oracle ++
     graft.ops.Similarity.oracle ++
+    graft.ops.Centroids.oracle ++
     graft.ops.Text.oracle ++
     graft.ops.Multimodal.oracle ++
     graft.streaming.EventStreams.oracle

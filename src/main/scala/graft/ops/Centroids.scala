@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession, TypedColumn}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Per-group embedding centroids over `embeddings` (vec_id, embedding:
+  * array<float>, label) — the "domain centroid" primitive a curation
+  * pipeline uses for cluster summaries, drift monitoring, and
+  * centroid-distance outlier filtering.
+  *
+  * Scale shape: the naive plan (posexplode → groupBy(group, dim)) ships
+  * one row PER VECTOR ELEMENT through the exchange — dim× the corpus.
+  * [[VecSum]] instead folds whole vectors into a single (count, dim-width
+  * sum) buffer per group map-side, so only (#groups × partitions) buffers
+  * cross the shuffle regardless of corpus size — the same bounded-state
+  * pattern as [[TopKByScore]].
+  *
+  * Determinism: elements are quantized to fixed-point micro-units
+  * (round(x·10⁶) as long) BEFORE aggregation, so the cross-row sum is
+  * exact integer arithmetic — associative and commutative, identical
+  * under any partitioning, merge order, or engine. A double sum would
+  * differ by ~1e-13 between Spark's partition-order fold and the DuckDB
+  * oracle's file-order fold, and rounding the OUTPUT can't hide that
+  * when an average lands near a rounding boundary (zero-mean embedding
+  * averages concentrate near 0, so boundaries at ±5e-5 get hit — seen
+  * at sf0.001). Quantization error is 5e-7 per element, far below any
+  * useful centroid resolution; the final divides run the same IEEE
+  * double ops on both engines.
+  */
+object Centroids {
+
+  /** Vector-sum aggregator over micro-unit vectors: buffer = (n,
+    * elementwise long sums). The buffer array is mutated in place
+    * (Aggregator contract allows reusing the returned buffer); overflow
+    * needs |x̄|·n > 9e12, unreachable for unit-scale embeddings. */
+  final class VecSum(dim: Int)
+      extends Aggregator[Seq[Long], (Long, Array[Long]), (Long, Seq[Long])] {
+
+    override def zero: (Long, Array[Long]) = (0L, new Array[Long](dim))
+
+    override def reduce(buf: (Long, Array[Long]), v: Seq[Long]): (Long, Array[Long]) = {
+      require(v.length == dim, s"expected $dim-dim vector, got ${v.length}")
+      val s = buf._2
+      var i = 0
+      v.foreach { x => s(i) += x; i += 1 }
+      (buf._1 + 1, s)
+    }
+
+    override def merge(a: (Long, Array[Long]), b: (Long, Array[Long])): (Long, Array[Long]) = {
+      val s = a._2
+      var i = 0
+      while (i < dim) { s(i) += b._2(i); i += 1 }
+      (a._1 + b._1, s)
+    }
+
+    override def finish(r: (Long, Array[Long])): (Long, Seq[Long]) =
+      (r._1, r._2.toSeq)
+
+    override def bufferEncoder: Encoder[(Long, Array[Long])] = ExpressionEncoder()
+    override def outputEncoder: Encoder[(Long, Seq[Long])] = ExpressionEncoder()
+  }
+
+  object VecSum {
+    def column(dim: Int): TypedColumn[Seq[Long], (Long, Seq[Long])] =
+      new VecSum(dim).toColumn
+  }
+
+  /** embeddings with vectors quantized to micro-units (codegen'd
+    * transform — one pass, no UDF). */
+  private[ops] def micro(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").withColumn("mv",
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"))
+
+  /** Per-label centroid through [[VecSum]] (the scale path), flattened to
+    * (label, pos, c, n) rows for the driver compare. The flatten happens
+    * AFTER aggregation — posexplode runs over #groups rows, not the
+    * corpus. */
+  def centroid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    micro(s, dir)
+      .select($"label".as[Int], $"mv".as[Seq[Long]])
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(VecSum.column(64).name("agg"))
+      .toDF("label", "agg")
+      .select($"label", $"agg._1".as("n"), posexplode($"agg._2"))
+      .select($"label", $"pos".cast("int").as("pos"),
+        ($"col" / lit(1000000.0) / $"n").as("c"), $"n")
+      .orderBy($"label", $"pos")
+  }
+
+  /** Exact reference plan for the spec: posexplode THEN aggregate —
+    * same integer arithmetic, but dim× the exchange volume; kept as the
+    * equivalence anchor for [[centroid]], not registered as a query. */
+  private[ops] def centroidExploded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    micro(s, dir)
+      .select($"label", posexplode($"mv"))
+      .groupBy($"label", $"pos")
+      .agg((sum($"col") / lit(1000000.0) / count(lit(1))).as("c"),
+        count(lit(1)).as("n"))
+      .select($"label", $"pos".cast("int").as("pos"), $"c", $"n")
+      .orderBy($"label", $"pos")
+  }
+
+  /** DuckDB twin: 1-indexed list extract over a positions table, same
+    * micro-unit quantization and divide order. */
+  val centroidSql: String =
+    """SELECT label, i - 1 AS pos,
+      |  CAST(SUM(CAST(ROUND(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS DOUBLE)
+      |    / 1000000.0 / COUNT(*) AS c,
+      |  COUNT(*) AS n
+      |FROM embeddings CROSS JOIN range(1, 65) t(i)
+      |GROUP BY label, i ORDER BY label, pos""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_centroid" -> centroid)
+
+  def oracle: Map[String, String] = Map(
+    "q_embed_centroid" -> centroidSql)
+}

@@ -140,6 +140,31 @@ object Relational {
     """SELECT l_returnflag, 1 AS within_5pct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Approximate quantile profiling: `percentile_approx` (Greenwald-
+    * Khanna sketch — fixed-size state, merged map-side) vs the exact
+    * `percentile`, gated at 1% relative error per quantile. The exact
+    * percentile buffers every group value on the reduce side — at 100 TB
+    * only the sketch is viable, so the sketch is what a profiler runs;
+    * the exact rides along here solely to compute the gate (same pattern
+    * as [[approxDistinct]]: sketch output isn't cross-engine
+    * hash-stable, the gate booleans are). */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ps = array(lit(0.5), lit(0.9), lit(0.99))
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(percentile_approx($"l_extendedprice", ps, lit(10000)).as("apx"),
+        percentile($"l_extendedprice", ps).as("ex"))
+      .select($"l_returnflag" +: Seq(0, 1, 2).map(i =>
+        (abs($"apx" (i) - $"ex" (i)) <= $"ex" (i) * 0.01)
+          .cast("int").as(s"p${Seq(50, 90, 99)(i)}_ok")): _*)
+      .orderBy($"l_returnflag")
+  }
+
+  val approxQuantilesSql: String =
+    """SELECT l_returnflag, 1 AS p50_ok, 1 AS p90_ok, 1 AS p99_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** HAVING: post-aggregation filter — Catalyst plans it as Filter above
     * Aggregate; only qualifying groups survive the final stage. */
   def aggHaving(s: SparkSession, dir: String): DataFrame = {
@@ -735,6 +760,7 @@ object Relational {
     "q_agg_stats" -> aggStats,
     "q_agg_stats2" -> aggStats2,
     "q_agg_approx_distinct" -> approxDistinct,
+    "q_agg_approx_quantiles" -> approxQuantiles,
     "q_pivot" -> pivotEvents,
     "q_unpivot" -> unpivotPart,
     "q_join_snowflake" -> snowflake,
@@ -766,6 +792,7 @@ object Relational {
     "q_agg_stats" -> aggStatsSql,
     "q_agg_stats2" -> aggStats2Sql,
     "q_agg_approx_distinct" -> approxDistinctSql,
+    "q_agg_approx_quantiles" -> approxQuantilesSql,
     "q_pivot" -> pivotEventsSql,
     "q_unpivot" -> unpivotPartSql,
     "q_join_snowflake" -> snowflakeSql,

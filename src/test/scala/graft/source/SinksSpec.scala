@@ -31,6 +31,43 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     assert(scan.metadata.get("Location").forall(_.contains(dir)))
   }
 
+  test("join-driven filter prunes partitions dynamically (DPP)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    Sinks.writePartitioned(docs.drop("text"), dir, "lang")
+    // dim side: per-lang doc counts filtered on the NON-join-key count
+    // column — the fact's surviving partitions are only known at
+    // RUNTIME, after the dim aggregate runs, so the optimizer can't
+    // rewrite this to a static partition filter (a join-key predicate
+    // would propagate through the equi-join constraint instead). This
+    // is the star-join shape DPP exists for: at 100 TB the fact scan
+    // opens only the surviving langs' directories, not scan-then-join.
+    val keepLangs = docs.groupBy($"lang")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 1)
+    val fact = spark.read.parquet(dir)
+    val joined = fact.join(keepLangs, "lang")
+    // result first (equals the unpartitioned join) — execution also
+    // finalizes the AQE plan the scan assertion below reads
+    val expected = docs.drop("text").join(keepLangs, "lang").count()
+    assert(joined.count() == expected)
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan // AQE: scans live under the adaptive root
+      case p => p
+    }
+    val scans = finalPlan.collect {
+      case f: FileSourceScanExec if f.metadata.get("Location").exists(_.contains(dir)) => f
+    }
+    assert(scans.nonEmpty, "no scan over the partitioned fact")
+    assert(scans.exists(_.partitionFilters.exists(
+        _.toString.contains("dynamicpruning"))),
+      s"fact scan must carry a dynamicpruning partition filter; got: " +
+        scans.map(_.partitionFilters.mkString(",")).mkString(" | "))
+  }
+
   test("round trip preserves values and schema modulo partition column position") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sink2").toString
