@@ -116,9 +116,74 @@ object Centroids {
       |FROM embeddings CROSS JOIN range(1, 65) t(i)
       |GROUP BY label, i ORDER BY label, pos""".stripMargin
 
+  /** Centroid-distance outlier detection: per label, the 5 vectors
+    * farthest (squared L2) from their label centroid — the curation op
+    * that surfaces mislabeled / off-distribution samples. Centroids are
+    * the exact fixed-point [[VecSum]] result (tiny: #labels × dim),
+    * broadcast against the corpus; the distance is a per-row
+    * left-to-right fold over identical IEEE ops on both engines, so
+    * even ranking ties are impossible to misorder; per-label top-5 goes
+    * through the bounded [[TopKByScore]] aggregator (≤5 rows of partial
+    * state map-side), NOT a rank window that would ship every distance
+    * to one task per label. */
+  def outliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val cents = micro(s, dir)
+      .select($"label".as[Int], $"mv".as[Seq[Long]])
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(VecSum.column(64).name("agg"))
+      .toDF("label", "agg")
+      .select($"label",
+        expr("transform(agg._2, m -> cast(m as double) / 1000000.0 / agg._1)").as("cv"))
+    val scored = t(s, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .join(broadcast(cents), "label")
+      .withColumn("diff", expr("zip_with(v, cv, (x, c) -> x - c)"))
+      .withColumn("d2", call_function("vec_dot", $"diff", $"diff"))
+    scored
+      .select($"label".as[Int], struct($"vec_id", $"d2".as("score")).as[Scored])
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(TopKByScore.column(5).name("top"))
+      .toDF("label", "top")
+      .select($"label", posexplode($"top"))
+      .select($"label", $"col.vec_id".as("vec_id"),
+        round($"col.score", 6).as("d2"), ($"pos" + 1).cast("int").as("rk"))
+      .orderBy($"label", $"rk")
+  }
+
+  /** DuckDB twin: same micro-unit centroid, same left-to-right distance
+    * fold (list_reduce seeds from the first element; 0.0 + x ≡ x, so the
+    * fp op sequence matches vec_dot exactly). */
+  val outliersSql: String =
+    """WITH m AS (
+      |  SELECT label, i,
+      |    SUM(CAST(ROUND(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS s,
+      |    COUNT(*) AS n
+      |  FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY label, i),
+      |c AS (
+      |  SELECT label, list(CAST(s AS DOUBLE) / 1000000.0 / n ORDER BY i) AS cv
+      |  FROM m GROUP BY label),
+      |d AS (
+      |  SELECT e.label, e.vec_id,
+      |    list_reduce(list_transform(range(1, 65),
+      |        i -> (e.embedding[i]::DOUBLE - c.cv[i]) * (e.embedding[i]::DOUBLE - c.cv[i])),
+      |      (a, b) -> a + b) AS d2
+      |  FROM embeddings e JOIN c USING (label)),
+      |r AS (
+      |  SELECT label, vec_id, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rk
+      |  FROM d)
+      |SELECT label, vec_id, ROUND(d2, 6) AS d2, CAST(rk AS INT) AS rk
+      |FROM r WHERE rk <= 5 ORDER BY label, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_embed_centroid" -> centroid)
+    "q_embed_centroid" -> centroid,
+    "q_embed_outlier" -> outliers)
 
   def oracle: Map[String, String] = Map(
-    "q_embed_centroid" -> centroidSql)
+    "q_embed_centroid" -> centroidSql,
+    "q_embed_outlier" -> outliersSql)
 }

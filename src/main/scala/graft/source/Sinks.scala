@@ -18,4 +18,22 @@ object Sinks {
   /** Plain parquet snapshot (the Verify dump path uses this shape). */
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Size-aware compacting write: repartition to ⌈estimated bytes /
+    * targetBytes⌉ output tasks before writing. A filter-heavy pipeline
+    * stage otherwise inherits its input's task count and emits thousands
+    * of tiny files — the small-files problem that makes the NEXT job's
+    * scan planning (and any object-store listing) the bottleneck at
+    * 100 TB. The estimate is Catalyst's logical-plan stats
+    * (decompressed, pre-encoding), so on-disk parquet files land well
+    * under `targetBytes` — set it to ~2-3× the desired file size.
+    * Returns the partition count chosen, capped at [1, 20000]. */
+  def writeCompacted(df: DataFrame, path: String,
+                     targetBytes: Long = 256L << 20): Int = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val tgt = BigInt(math.max(1L, targetBytes))
+    val n = ((est + tgt - 1) / tgt).max(1).min(20000).toInt
+    df.repartition(n).write.mode("overwrite").parquet(path)
+    n
+  }
 }

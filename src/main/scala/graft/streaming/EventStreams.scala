@@ -213,6 +213,17 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_sha")
 
+  /** Stream-static enrichment join: every micro-batch inner-joins the
+    * (bounded, slowly-changing) dimension — the standard shape for
+    * attaching reference data (type weights, source tiers, routing
+    * rules) to an unbounded stream. The static side is broadcast, so
+    * each batch is a map-side hash join with NO stateful join state and
+    * no stream-side shuffle — unlike stream-stream joins, which buffer
+    * both sides in the state store until the watermark clears them. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String = "event_type"): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

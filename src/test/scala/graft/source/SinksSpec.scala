@@ -68,6 +68,24 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
         scans.map(_.partitionFilters.mkString(",")).mkString(" | "))
   }
 
+  test("compacting write sizes the file count to the data, not the input tasks") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sfDir, "documents").repartition(16)
+    def partFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    // huge target → everything collapses to one file despite 16 input tasks
+    val one = Files.createTempDirectory("graft-compact1").toString
+    assert(Sinks.writeCompacted(docs, one, targetBytes = 1L << 40) == 1)
+    assert(partFiles(one) == 1)
+    // small target → several files, count matches the returned plan
+    val many = Files.createTempDirectory("graft-compactN").toString
+    val n = Sinks.writeCompacted(docs, many, targetBytes = 16L << 10)
+    assert(n > 1)
+    assert(partFiles(many) == n)
+    // values survive the round trip
+    assert(spark.read.parquet(one).count() == docs.count())
+  }
+
   test("round trip preserves values and schema modulo partition column position") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sink2").toString

@@ -132,6 +132,26 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each micro-batch against the dim") {
+    import spark.implicits._
+    val dim = Seq(("click", 2.0), ("view", 0.5)).toDF("event_type", "weight")
+    val in = MemoryStream[Event](spark)
+    val q = enrichWithDim(in.toDF(), dim)
+      .withColumn("weighted", $"value" * $"weight")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", v = 3.0),
+        ev(2, "2024-01-01 10:01:00", typ = "view", v = 4.0),
+        ev(3, "2024-01-01 10:02:00", typ = "purchase", v = 9.0)) // no dim row → dropped
+      drain(q)
+      val rows = spark.table("enriched")
+        .select($"event_id", $"weighted")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((1L, 6.0), (2L, 2.0)))
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on the same events") {
     import spark.implicits._
     // two users, three sessions' worth of events + a far-future sentinel
