@@ -74,11 +74,10 @@ object Centroids {
     t(s, dir, "embeddings").withColumn("mv",
       expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"))
 
-  /** Per-label centroid through [[VecSum]] (the scale path), flattened to
-    * (label, pos, c, n) rows for the driver compare. The flatten happens
-    * AFTER aggregation — posexplode runs over #groups rows, not the
-    * corpus. */
-  def centroid(s: SparkSession, dir: String): DataFrame = {
+  /** Per-label (n, micro-unit sums) through [[VecSum]] — the shared
+    * aggregation stage of [[centroid]] and [[outliers]]: (label,
+    * agg:(n, array<long>)), one row per label. */
+  private def labelSums(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     micro(s, dir)
       .select($"label".as[Int], $"mv".as[Seq[Long]])
@@ -86,6 +85,15 @@ object Centroids {
       .mapValues(_._2)
       .agg(VecSum.column(64).name("agg"))
       .toDF("label", "agg")
+  }
+
+  /** Per-label centroid through [[VecSum]] (the scale path), flattened to
+    * (label, pos, c, n) rows for the driver compare. The flatten happens
+    * AFTER aggregation — posexplode runs over #groups rows, not the
+    * corpus. */
+  def centroid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    labelSums(s, dir)
       .select($"label", $"agg._1".as("n"), posexplode($"agg._2"))
       .select($"label", $"pos".cast("int").as("pos"),
         ($"col" / lit(1000000.0) / $"n").as("c"), $"n")
@@ -129,12 +137,7 @@ object Centroids {
   def outliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val cents = micro(s, dir)
-      .select($"label".as[Int], $"mv".as[Seq[Long]])
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(VecSum.column(64).name("agg"))
-      .toDF("label", "agg")
+    val cents = labelSums(s, dir)
       .select($"label",
         expr("transform(agg._2, m -> cast(m as double) / 1000000.0 / agg._1)").as("cv"))
     val scored = t(s, dir, "embeddings")
@@ -142,16 +145,8 @@ object Centroids {
       .join(broadcast(cents), "label")
       .withColumn("diff", expr("zip_with(v, cv, (x, c) -> x - c)"))
       .withColumn("d2", call_function("vec_dot", $"diff", $"diff"))
-    scored
-      .select($"label".as[Int], struct($"vec_id", $"d2".as("score")).as[Scored])
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(TopKByScore.column(5).name("top"))
-      .toDF("label", "top")
-      .select($"label", posexplode($"top"))
-      .select($"label", $"col.vec_id".as("vec_id"),
-        round($"col.score", 6).as("d2"), ($"pos" + 1).cast("int").as("rk"))
-      .orderBy($"label", $"rk")
+    Similarity.topkByKey(scored, k = 5, keyCol = "label",
+      scoreCol = "d2", scoreName = "d2", rankName = "rk")
   }
 
   /** DuckDB twin: same micro-unit centroid, same left-to-right distance

@@ -48,23 +48,36 @@ object Similarity {
   private def vecs(s: SparkSession, dir: String): DataFrame =
     widened(t(s, dir, "embeddings"))
 
-  /** Score every (query, corpus) pair and keep each query's top k via the
-    * bounded aggregator; emit (query_id, vec_id, score, rn). */
-  private def topkOf(scored: DataFrame, k: Int): DataFrame = {
+  /** Keep each key's top k of `scoreCol` via the bounded aggregator;
+    * emit (keyCol, vec_id, <scoreName> rounded to 6 dp, <rankName>
+    * 1-based int). The oracle-coupled invariants — round scale 6,
+    * (score desc, vec_id asc) tie order, 1-based rank — live HERE for
+    * every top-k query (similarity + centroid outliers). The key rides
+    * through the typed groupByKey as long and is re-cast on exit. */
+  private[ops] def topkByKey(scored: DataFrame, k: Int, keyCol: String,
+                             scoreCol: String, scoreName: String,
+                             rankName: String): DataFrame = {
     val s = scored.sparkSession
     import s.implicits._
+    val keyType = scored.schema(keyCol).dataType
     scored
-      .select($"query_id".as[Long],
-        struct($"vec_id", $"cos".as("score")).as[Scored])
+      .select(col(keyCol).cast("long").as[Long],
+        struct(col("vec_id"), col(scoreCol).as("score")).as[Scored])
       .groupByKey(_._1)
       .mapValues(_._2)
       .agg(TopKByScore.column(k).name("top"))
-      .toDF("query_id", "top")
-      .select($"query_id", posexplode($"top"))
-      .select($"query_id", $"col.vec_id".as("vec_id"),
-        round($"col.score", 6).as("score"), ($"pos" + 1).cast("int").as("rn"))
-      .orderBy($"query_id", $"rn")
+      .toDF(keyCol, "top")
+      .select(col(keyCol), posexplode($"top"))
+      .select(col(keyCol).cast(keyType), $"col.vec_id".as("vec_id"),
+        round($"col.score", 6).as(scoreName),
+        ($"pos" + 1).cast("int").as(rankName))
+      .orderBy(col(keyCol), col(rankName))
   }
+
+  /** Score every (query, corpus) pair and keep each query's top k via the
+    * bounded aggregator; emit (query_id, vec_id, score, rn). */
+  private def topkOf(scored: DataFrame, k: Int): DataFrame =
+    topkByKey(scored, k, "query_id", "cos", "score", "rn")
 
   /** Cosine top-10 of every corpus vector (vec_id ≥ 10) for each query
     * vector (vec_id < 10). */

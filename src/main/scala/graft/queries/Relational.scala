@@ -141,23 +141,39 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Approximate quantile profiling: `percentile_approx` (Greenwald-
-    * Khanna sketch — fixed-size state, merged map-side) vs the exact
-    * `percentile`, gated at 1% relative error per quantile. The exact
-    * percentile buffers every group value on the reduce side — at 100 TB
-    * only the sketch is viable, so the sketch is what a profiler runs;
-    * the exact rides along here solely to compute the gate (same pattern
-    * as [[approxDistinct]]: sketch output isn't cross-engine
-    * hash-stable, the gate booleans are). */
+    * Khanna sketch — fixed-size state, merged map-side) gated at 1%
+    * relative error per quantile against the exact value. At 100 TB only
+    * the sketch is viable — the exact side rides along solely to compute
+    * the gate (same pattern as [[approxDistinct]]: sketch output isn't
+    * cross-engine hash-stable, the gate booleans are). The exact side
+    * deliberately avoids the `percentile` aggregate (boxed value→count
+    * maps merged single-threaded per group — measured 4.3s of
+    * [[aggStats2]]'s 5.0s at sf0.1 before it was rewritten) and reuses
+    * its codegen R-7 shape instead: one per-group sort window +
+    * interpolation-weight conditional sums. */
   def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val li = t(s, dir, "lineitem")
     val ps = array(lit(0.5), lit(0.9), lit(0.99))
-    t(s, dir, "lineitem")
+    val apx = li.groupBy($"l_returnflag")
+      .agg(percentile_approx($"l_extendedprice", ps, lit(10000)).as("apx"))
+    val wOrd = Window.partitionBy($"l_returnflag").orderBy($"v")
+    val wAll = Window.partitionBy($"l_returnflag")
+    def interp(p: Double): Column = {
+      val idx = lit(p) * ($"cnt" - lit(1)).cast("double") // 0-based R-7 index
+      val d = abs(idx - ($"rn" - lit(1)).cast("double"))
+      sum(when(d < 1, $"v" * (lit(1d) - d)).otherwise(lit(0d)))
+    }
+    val exact = li.select($"l_returnflag", $"l_extendedprice".as("v"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wAll))
       .groupBy($"l_returnflag")
-      .agg(percentile_approx($"l_extendedprice", ps, lit(10000)).as("apx"),
-        percentile($"l_extendedprice", ps).as("ex"))
-      .select($"l_returnflag" +: Seq(0, 1, 2).map(i =>
-        (abs($"apx" (i) - $"ex" (i)) <= $"ex" (i) * 0.01)
-          .cast("int").as(s"p${Seq(50, 90, 99)(i)}_ok")): _*)
+      .agg(interp(0.5).as("e50"), interp(0.9).as("e90"), interp(0.99).as("e99"))
+    apx.join(exact, "l_returnflag")
+      .select($"l_returnflag" +: Seq(("e50", 0, "p50_ok"), ("e90", 1, "p90_ok"),
+        ("e99", 2, "p99_ok")).map { case (e, i, o) =>
+          (abs($"apx" (i) - col(e)) <= col(e) * 0.01).cast("int").as(o)
+        }: _*)
       .orderBy($"l_returnflag")
   }
 

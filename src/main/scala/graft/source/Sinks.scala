@@ -24,15 +24,32 @@ object Sinks {
     * stage otherwise inherits its input's task count and emits thousands
     * of tiny files — the small-files problem that makes the NEXT job's
     * scan planning (and any object-store listing) the bottleneck at
-    * 100 TB. The estimate is Catalyst's logical-plan stats
-    * (decompressed, pre-encoding), so on-disk parquet files land well
-    * under `targetBytes` — set it to ~2-3× the desired file size.
-    * Returns the partition count chosen, capped at [1, 20000]. */
+    * 100 TB. Returns the partition count chosen, capped at [1, 20000].
+    *
+    * The estimate is Catalyst's logical-plan stats, with two caveats:
+    * it is decompressed/pre-encoding (on-disk parquet lands well under
+    * `targetBytes` — set it to ~2-3× the desired file size), and
+    * without CBO column stats it is FILTER-BLIND (a selective filter
+    * reports its child's size), so a filter-heavy plan over-partitions
+    * toward its input size rather than producing one huge file — the
+    * safe direction, but calibrate `targetBytes` against observed
+    * output when the stage is a >10× reducer. Plans with NO usable
+    * estimate (LogicalRDD, un-materialized caches, multi-joins — these
+    * report defaultSizeInBytes ≈ Long.MaxValue or products of child
+    * sizes) would pin the cap and write 20000 near-empty files, so any
+    * estimate that absurdly exceeds the input partition count falls
+    * back to the plan's current partitioning instead. */
   def writeCompacted(df: DataFrame, path: String,
                      targetBytes: Long = 256L << 20): Int = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val tgt = BigInt(math.max(1L, targetBytes))
-    val n = ((est + tgt - 1) / tgt).max(1).min(20000).toInt
+    val byStats = (est + tgt - 1) / tgt
+    val inputParts = df.rdd.getNumPartitions
+    // a stats estimate demanding >64× the input's own task count is a
+    // missing-stats sentinel bleeding through, not a real measurement
+    val n =
+      if (byStats > BigInt(inputParts.toLong.max(1L) * 64)) inputParts.max(1)
+      else byStats.max(1).min(20000).toInt
     df.repartition(n).write.mode("overwrite").parquet(path)
     n
   }

@@ -49,16 +49,17 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
       .filter($"n_docs" >= 1)
     val fact = spark.read.parquet(dir)
     val joined = fact.join(keepLangs, "lang")
-    // result first (equals the unpartitioned join) — execution also
-    // finalizes the AQE plan the scan assertion below reads
-    val expected = docs.drop("text").join(keepLangs, "lang").count()
-    assert(joined.count() == expected)
-    val finalPlan = joined.queryExecution.executedPlan match {
+    // DPP filters are inserted when the physical plan is BUILT, so
+    // assert on the un-executed adaptive plan, where scans are still
+    // plain FileSourceScanExec nodes — after execution AQE swallows
+    // them into materialized QueryStageExec leaves that tree traversal
+    // does not enter
+    val planned = joined.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan // AQE: scans live under the adaptive root
+        a.executedPlan // pre-execution: the current (initial) plan
       case p => p
     }
-    val scans = finalPlan.collect {
+    val scans = planned.collect {
       case f: FileSourceScanExec if f.metadata.get("Location").exists(_.contains(dir)) => f
     }
     assert(scans.nonEmpty, "no scan over the partitioned fact")
@@ -66,6 +67,9 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
         _.toString.contains("dynamicpruning"))),
       s"fact scan must carry a dynamicpruning partition filter; got: " +
         scans.map(_.partitionFilters.mkString(",")).mkString(" | "))
+    // and the runtime-pruned result equals the unpartitioned join
+    val expected = docs.drop("text").join(keepLangs, "lang").count()
+    assert(joined.count() == expected)
   }
 
   test("compacting write sizes the file count to the data, not the input tasks") {
