@@ -17,6 +17,43 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(salted == direct) // decimal partials → exact merge, any split
   }
 
+  test("runtime bloom filter prunes the big join side before the shuffle") {
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // the test tables are tiny — drop the size gates so the rewrite
+      // fires at spec scale (at real scale the defaults gate it to
+      // big-scan × small-creation-side joins), and disable broadcast so
+      // the join is the shuffle join the filter exists to protect
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.Tables.t(spark, sfDir, "lineitem").select($"l_orderkey", $"l_quantity")
+      val ord = graft.Tables.t(spark, sfDir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT") // selective creation side
+        .select($"o_orderkey")
+      val joined = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      // the lineitem side must be pre-filtered by a bloom filter built
+      // from the filtered orders keys — rows that can't join never enter
+      // the shuffle (the 100 TB win: exchange volume ∝ matching rows)
+      assert(joined.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "expected a bloom-filter runtime filter on the scan side")
+      // bloom false-positives don't affect results: the join re-checks
+      val expected = {
+        keys.foreach { case (k, _) => spark.conf.unset(k) }
+        try joined.count()
+        finally keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      }
+      assert(joined.count() == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle on the join key") {
     import spark.implicits._
     val db = "graft_bucket_test"
