@@ -397,6 +397,44 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Train/eval decontamination: near-duplicate pairs that CROSS split
+    * boundaries — an eval doc with a near-dup in train is a leaked
+    * answer, the contamination a pretraining pipeline must strip before
+    * measuring anything. Composes the verified LSH pair list with the
+    * [[Hashing.splitLabel]] assignment; the split of each side is a
+    * pure hash projection of the id already ON the pair row, so the
+    * whole op adds zero joins and zero exchanges to the pair pipeline —
+    * at 100 TB decontamination costs exactly what near-dedup costs. */
+  def contaminationQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    near(s, dir)
+      .select($"doc_a", Hashing.splitLabel($"doc_a".cast("string")).as("split_a"),
+        $"doc_b", Hashing.splitLabel($"doc_b".cast("string")).as("split_b"),
+        $"jaccard")
+      .filter($"split_a" =!= $"split_b")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Oracle twin: all-pairs Jaccard + the same md5 split CASE. */
+  val contaminationSql: String =
+    s"""$shingledSql,
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    ROUND(CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / LEN(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |  FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+      |  WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / LEN(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      |sp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 100 < 80 THEN 'train'
+      |         WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT doc_a, sa.split AS split_a, doc_b, sb.split AS split_b, jaccard
+      |FROM pairs JOIN sp sa ON doc_a = sa.doc_id JOIN sp sb ON doc_b = sb.doc_id
+      |WHERE sa.split <> sb.split ORDER BY doc_a, doc_b""".stripMargin
+
   /** Oracle: reachability via a recursive CTE (feasible at oracle scale),
     * cluster id = min over the reachable set. */
   val clustersSql: String =
@@ -429,7 +467,8 @@ object Dedup {
     "q_dedup_simhash" -> simhash,
     "q_dedup_embed" -> embed,
     "q_dedup_drop" -> dropQ,
-    "q_dedup_clusters" -> clustersQ)
+    "q_dedup_clusters" -> clustersQ,
+    "q_split_contamination" -> contaminationQ)
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> exactSql,
@@ -438,5 +477,6 @@ object Dedup {
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_embed" -> embedSql,
     "q_dedup_drop" -> dropSql,
-    "q_dedup_clusters" -> clustersSql)
+    "q_dedup_clusters" -> clustersSql,
+    "q_split_contamination" -> contaminationSql)
 }

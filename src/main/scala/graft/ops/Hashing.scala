@@ -20,4 +20,13 @@ private[ops] object Hashing {
     * input makes `%` and `pmod` equivalent. */
   def md5Bucket(c: Column, buckets: Int): Column =
     md5Long60(c) % buckets
+
+  /** The 80/10/10 train/val/test assignment contract — one definition
+    * shared by split construction ([[graft.ops.Text.splitAssign]]) and
+    * decontamination ([[graft.ops.Dedup.contaminationQ]]), so the two
+    * can never disagree about which split a document is in. */
+  def splitLabel(c: Column): Column = {
+    val b = md5Bucket(c, 100)
+    when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test"))
+  }
 }

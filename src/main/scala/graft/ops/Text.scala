@@ -265,11 +265,8 @@ object Text {
     * no sampling shuffle). */
   def splitAssign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bucket = Hashing.md5Bucket($"doc_id".cast("string"), 100)
     t(s, dir, "documents")
-      .withColumn("split",
-        when(bucket < 80, lit("train")).when(bucket < 90, lit("val"))
-          .otherwise(lit("test")))
+      .withColumn("split", Hashing.splitLabel($"doc_id".cast("string")))
       .groupBy($"split")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct($"lang").as("n_langs"),

@@ -85,6 +85,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.size == 14)
   }
 
+  test("split contamination: cross-split near-dup pairs only, labels match the shared contract") {
+    import spark.implicits._
+    val rows = Dedup.contaminationQ(spark, sfDir).collect()
+    assert(rows.nonEmpty) // the seeded near-dups straddle the 80/10/10 hash split at every SF
+    val near = Dedup.near(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val labels = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", Hashing.splitLabel($"doc_id".cast("string")).as("s"))
+      .as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(r.getAs[String]("split_a") != r.getAs[String]("split_b"))
+      assert(near((a, b)), s"($a,$b) not a near-dup pair")
+      assert(labels(a) == r.getAs[String]("split_a"))
+      assert(labels(b) == r.getAs[String]("split_b"))
+    }
+  }
+
   test("dedup ngram: char-5-gram LSH pairs are ordered and above threshold") {
     val rows = Dedup.nearNgram(spark, sfDir).collect()
     assert(rows.nonEmpty)
