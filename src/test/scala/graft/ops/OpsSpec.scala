@@ -85,6 +85,25 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.size == 14)
   }
 
+  test("duplicateClusters checkpointed rounds leave no storage-memory leak") {
+    import spark.implicits._
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    Dedup.duplicateClusters(pairs).collect()
+    spark.catalog.clearCache()
+    // reliable checkpoint files live on disk in the checkpoint dir, not in
+    // executor storage; after clearCache nothing may linger (localCheckpoint
+    // blocks would — they bypass the CacheManager)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("duplicateClusters fails loudly when maxIter is too small for the diameter") {
+    import spark.implicits._
+    val deepChain = (1L to 7L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.duplicateClusters(deepChain, maxIter = 2).collect()
+    }
+  }
+
   test("split contamination: cross-split near-dup pairs only, labels match the shared contract") {
     import spark.implicits._
     val rows = Dedup.contaminationQ(spark, sfDir).collect()
