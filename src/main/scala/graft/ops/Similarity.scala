@@ -240,6 +240,36 @@ object Similarity {
     index.search(e.filter($"vec_id" < 10), k = 10, nProbe = nProbe)
   }
 
+  /** Fit-once-per-JVM IVF index artifact: the cell-assigned corpus is
+    * persisted as parquet (the durable form a deployed pipeline stores
+    * and reuses), centroids stay driver-side. `q_similarity_ivf` keeps
+    * measuring fit+search (the build cost); [[ivfSearchCheck]] measures
+    * search against THIS pre-fit index — the steady-state per-batch cost
+    * a pipeline actually re-pays, with the fit amortized to zero. */
+  private object IvfArtifact {
+    private lazy val root =
+      java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+    private val idx = scala.collection.mutable.HashMap.empty[String, IvfIndex]
+    def of(s: SparkSession, dir: String): IvfIndex = synchronized {
+      idx.getOrElseUpdate(dir, {
+        import s.implicits._
+        val fitted = fitIvf(vecs(s, dir).filter($"vec_id" >= 10))
+        val p = s"$root/${Integer.toHexString(dir.hashCode)}"
+        fitted.cells.write.mode("overwrite").parquet(p)
+        fitted.copy(cells = s.read.parquet(p))
+      })
+    }
+  }
+
+  /** q_similarity_ivf_search entry: [[IvfIndex.search]] against the
+    * persisted pre-fit index, same recall gate as `q_similarity_ivf`. */
+  def ivfSearchCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = vecs(s, dir).filter($"vec_id" < 10)
+    recallCheck(IvfArtifact.of(s, dir).search(q, k = 10, nProbe = 8),
+      s, dir, minHits = 5)
+  }
+
   /** Driver-verifiable projection of an approximate top-k: per query,
     * recall@10 vs the exact brute-force top-10 (computed in-plan),
     * thresholded to a deterministic boolean. ANN output itself can't
@@ -288,7 +318,8 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_similarity_topk" -> topk,
     "q_similarity_ann" -> annCheck,
-    "q_similarity_ivf" -> ivfCheck)
+    "q_similarity_ivf" -> ivfCheck,
+    "q_similarity_ivf_search" -> ivfSearchCheck)
 
   /** The ANN entries emit a deterministic recall gate (see
     * [[recallCheck]]) so the driver records a full hash-compared row;
@@ -296,5 +327,6 @@ object Similarity {
   def oracle: Map[String, String] = Map(
     "q_similarity_topk" -> topkSql,
     "q_similarity_ann" -> recallCheckSql,
-    "q_similarity_ivf" -> recallCheckSql)
+    "q_similarity_ivf" -> recallCheckSql,
+    "q_similarity_ivf_search" -> recallCheckSql)
 }

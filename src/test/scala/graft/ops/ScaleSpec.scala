@@ -54,6 +54,35 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("TopKByScore aggregates partially map-side before the exchange") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.{ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    // the ≤k-partial-state claim (TopKByScore doc): each input partition
+    // must reduce to a k-element list BEFORE the exchange, so only
+    // (#keys × k) rows cross it — provable as a Partial-mode object
+    // aggregate sitting below the shuffle in the physical plan
+    val df = Similarity.queries("q_similarity_topk")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan // pre-materialization: full tree
+      case p => p
+    }
+    def partialAggs(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+      case o: ObjectHashAggregateExec if o.aggregateExpressions.exists(_.mode == Partial) => o
+      case o: SortAggregateExec if o.aggregateExpressions.exists(_.mode == Partial) => o
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected a shuffle in the top-k plan")
+    assert(exchanges.exists(e => partialAggs(e.child).nonEmpty),
+      "expected a Partial-mode object aggregate BELOW the exchange " +
+        "(map-side ≤k state); none found — top-k is shipping every score")
+    // and the top-k is NOT a rank window (the 100 TB anti-shape)
+    assert(!plan.toString.contains("Window"),
+      "top-k must use the bounded aggregator, not a rank window")
+    // the proof must describe the plan that actually runs: results stay correct
+    assert(df.count() == 100)
+  }
+
   test("bucketed tables join without a shuffle on the join key") {
     import spark.implicits._
     val db = "graft_bucket_test"
