@@ -44,8 +44,11 @@ final class HttpTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "http"
 
   // fetch-once cache: inferSchema and getTable run on the same provider
-  // instance during read resolution; the snapshot is fetched exactly once.
-  @transient private var fetched: (Source, Seq[String]) = _
+  // instance during read resolution, which Spark performs single-threaded
+  // on the driver — @volatile makes the publication safe anyway if a
+  // future Spark version resolves concurrently (worst case under a race:
+  // one redundant re-fetch, never a torn value).
+  @transient @volatile private var fetched: (Source, Seq[String]) = _
 
   private def snapshot(options: CaseInsensitiveStringMap): (Source, Seq[String]) = {
     val src = HttpTableProvider.toSource(options)

@@ -32,6 +32,13 @@ import graft.Tables.t
   */
 object Centroids {
 
+  /** Embedding dimensionality of the staged `embeddings` table — the ONE
+    * place the width lives: it sizes the [[VecSum]] buffer and is spliced
+    * into both oracle SQLs' `range(1, Dim+1)` bounds, so the aggregator
+    * and the oracle can't drift apart. A corpus of a different width
+    * fails [[VecSum]]'s per-row require, naming the expected dim. */
+  private[ops] val Dim = 64
+
   /** Vector-sum aggregator over micro-unit vectors: buffer = (n,
     * elementwise long sums). The buffer array is mutated in place
     * (Aggregator contract allows reusing the returned buffer); overflow
@@ -83,7 +90,7 @@ object Centroids {
       .select($"label".as[Int], $"mv".as[Seq[Long]])
       .groupByKey(_._1)
       .mapValues(_._2)
-      .agg(VecSum.column(64).name("agg"))
+      .agg(VecSum.column(Dim).name("agg"))
       .toDF("label", "agg")
   }
 
@@ -117,11 +124,11 @@ object Centroids {
   /** DuckDB twin: 1-indexed list extract over a positions table, same
     * micro-unit quantization and divide order. */
   val centroidSql: String =
-    """SELECT label, i - 1 AS pos,
+    s"""SELECT label, i - 1 AS pos,
       |  CAST(SUM(CAST(ROUND(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS DOUBLE)
       |    / 1000000.0 / COUNT(*) AS c,
       |  COUNT(*) AS n
-      |FROM embeddings CROSS JOIN range(1, 65) t(i)
+      |FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(i)
       |GROUP BY label, i ORDER BY label, pos""".stripMargin
 
   /** Centroid-distance outlier detection: per label, the 5 vectors
@@ -153,17 +160,17 @@ object Centroids {
     * fold (list_reduce seeds from the first element; 0.0 + x ≡ x, so the
     * fp op sequence matches vec_dot exactly). */
   val outliersSql: String =
-    """WITH m AS (
+    s"""WITH m AS (
       |  SELECT label, i,
       |    SUM(CAST(ROUND(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS s,
       |    COUNT(*) AS n
-      |  FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY label, i),
+      |  FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(i) GROUP BY label, i),
       |c AS (
       |  SELECT label, list(CAST(s AS DOUBLE) / 1000000.0 / n ORDER BY i) AS cv
       |  FROM m GROUP BY label),
       |d AS (
       |  SELECT e.label, e.vec_id,
-      |    list_reduce(list_transform(range(1, 65),
+      |    list_reduce(list_transform(range(1, ${Dim + 1}),
       |        i -> (e.embedding[i]::DOUBLE - c.cv[i]) * (e.embedding[i]::DOUBLE - c.cv[i])),
       |      (a, b) -> a + b) AS d2
       |  FROM embeddings e JOIN c USING (label)),

@@ -60,6 +60,14 @@ object Similarity {
     val s = scored.sparkSession
     import s.implicits._
     val keyType = scored.schema(keyCol).dataType
+    // the key rides through groupByKey as long; a non-integral key (e.g.
+    // string doc ids) would cast to null and silently collapse every
+    // group into one — fail loudly at plan time instead
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(keyType),
+      s"topkByKey requires an integral key column, got $keyCol: $keyType")
     scored
       .select(col(keyCol).cast("long").as[Long],
         struct(col("vec_id"), col(scoreCol).as("score")).as[Scored])
