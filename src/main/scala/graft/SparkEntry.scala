@@ -39,6 +39,7 @@ object SparkEntry {
     graft.queries.Nested.queries ++
     graft.ops.AsOf.queries ++
     graft.ops.Dedup.queries ++
+    graft.ops.Drift.queries ++
     graft.ops.Skew.queries ++
     graft.ops.Similarity.queries ++
     graft.ops.Centroids.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
     graft.queries.Nested.oracle ++
     graft.ops.AsOf.oracle ++
     graft.ops.Dedup.oracle ++
+    graft.ops.Drift.oracle ++
     graft.ops.Skew.oracle ++
     graft.ops.Similarity.oracle ++
     graft.ops.Centroids.oracle ++

@@ -338,6 +338,90 @@ object Text {
       |FROM b JOIN rates r ON b.source = r.source
       |GROUP BY b.source, r.pct ORDER BY b.source""".stripMargin
 
+  /** Per-document top-3 TF-IDF terms — the keyword-extraction /
+    * doc-representation primitive (smoothed IDF: ln((N+1)/(df+1))).
+    *
+    * Scale shape: term frequencies are a map-side-combinable
+    * (doc, term) aggregate; document frequencies reduce to ONE row per
+    * vocabulary term, so the IDF dimension is vocabulary-bounded
+    * (≪ corpus at any scale — Heaps' law) and joins BROADCAST against
+    * the tf rows; the per-doc rank window partitions by doc_id, whose
+    * group size is bounded by document length, never corpus size. The
+    * corpus cardinality N enters as a broadcast 1-row cross join —
+    * never a driver-side collect. */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val terms = withToks(s, dir).select($"doc_id", explode($"toks").as("term"))
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val docFreq = terms.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        $"tf" * log(($"n_docs".cast("double") + 1.0) / ($"df".cast("double") + 1.0)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"term", $"tf", $"df",
+        round($"tfidf", 6).as("tfidf"), $"rk".cast("int").as("rk"))
+      .orderBy($"doc_id", $"rk")
+      .limit(300)
+  }
+
+  val tfidfSql: String =
+    s"""WITH terms AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |docf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |sc AS (
+      |  SELECT doc_id, tf.term, tf, df,
+      |    tf * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS tfidf
+      |  FROM tf JOIN docf USING (term), n),
+      |r AS (SELECT *, ROW_NUMBER() OVER
+      |  (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk FROM sc)
+      |SELECT doc_id, term, tf, df, ROUND(tfidf, 6) AS tfidf, CAST(rk AS INT) AS rk
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk LIMIT 300""".stripMargin
+
+  /** Deterministic per-stratum fixed-size sampling: each language keeps
+    * its k=20 docs with the smallest 53-bit md5 hash of the doc id —
+    * the distributed, reproducible analog of per-stratum reservoir
+    * sampling (hash order IS a uniform random order, but with no RNG
+    * state, so any engine, run, or cluster size draws the same sample).
+    *
+    * Scale shape: the same bounded-aggregator pattern as similarity
+    * top-k — [[TopKByScore]] holds ≤k rows of partial state per stratum
+    * map-side, so only (#strata × partitions × k) rows cross the
+    * exchange; a rank-window implementation would ship every row of
+    * every stratum to one task each. The hash is truncated to 53 bits
+    * (exact in double) so the aggregator's double score is lossless. */
+  def stratifiedSample(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"lang".as[String],
+        struct($"doc_id".as("vec_id"),
+          (-shiftright(Hashing.md5Long60($"doc_id".cast("string")), 7))
+            .cast("double").as("score")).as[Scored])
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(TopKByScore.column(k).name("top"))
+      .toDF("lang", "top")
+      .select($"lang", posexplode($"top"))
+      .select($"lang", $"col.vec_id".as("doc_id"), ($"pos" + 1).cast("int").as("rk"))
+      .orderBy($"lang", $"rk")
+  }
+
+  val stratifiedSampleSql: String =
+    """WITH h AS (
+      |  SELECT lang, doc_id,
+      |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT >> 7) AS hv
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rk
+      |  FROM h)
+      |SELECT lang, doc_id, CAST(rk AS INT) AS rk
+      |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -348,8 +432,10 @@ object Text {
     "q_text_fingerprint" -> fingerprint,
     "q_text_quality" -> quality,
     "q_text_rollhash" -> rollhash,
+    "q_text_tfidf" -> tfidf,
     "q_split_assign" -> splitAssign,
-    "q_sample_mixture" -> mixtureQ)
+    "q_sample_mixture" -> mixtureQ,
+    "q_sample_stratified" -> ((s, dir) => stratifiedSample(s, dir)))
 
   def oracle: Map[String, String] = Map(
     "q_text_stats" -> statsSql,
@@ -359,6 +445,8 @@ object Text {
     "q_text_fingerprint" -> fingerprintSql,
     "q_text_quality" -> qualitySql,
     "q_text_rollhash" -> rollhashSql,
+    "q_text_tfidf" -> tfidfSql,
     "q_split_assign" -> splitAssignSql,
-    "q_sample_mixture" -> sampleMixtureSql)
+    "q_sample_mixture" -> sampleMixtureSql,
+    "q_sample_stratified" -> stratifiedSampleSql)
 }

@@ -213,6 +213,66 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_sha")
 
+  /** Batch anchor of the stream-stream interval join: for every `view`
+    * event, the same-user `purchase` events within the hour after it —
+    * the attribution/funnel primitive. The range predicate rides the
+    * user_id equi-join (per-user groups are bounded, so the in-group
+    * scan is cheap and AQE handles skewed users); views with no
+    * qualifying purchase survive via the left join with count 0. The
+    * value sum routes through decimal so partial-aggregation order
+    * cannot perturb the double. */
+  def funnelBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pts"), $"value")
+    v.join(p, $"user_id" === $"pu" &&
+        $"pts" >= $"view_ts" && $"pts" <= $"view_ts" + expr("INTERVAL 1 HOUR"),
+        "left")
+      .groupBy($"view_id", $"user_id", $"view_ts")
+      .agg(count($"pts").as("n_purchases"),
+        coalesce(sum($"value".cast("decimal(18,2)")),
+          lit(0).cast("decimal(18,2)")).cast("double").as("purchase_value"))
+      .orderBy($"view_id")
+      .limit(500)
+  }
+
+  val funnelBatchSql: String =
+    """WITH v AS (
+      |  SELECT user_id, event_id AS view_id, ts AS view_ts
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id AS pu, ts AS pts, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT view_id, user_id, view_ts,
+      |  COUNT(pts) AS n_purchases,
+      |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE) AS purchase_value
+      |FROM v LEFT JOIN p ON user_id = pu
+      |  AND pts >= view_ts AND pts <= view_ts + INTERVAL 1 HOUR
+      |GROUP BY view_id, user_id, view_ts
+      |ORDER BY view_id LIMIT 500""".stripMargin
+
+  /** Stream-stream interval join — the streaming twin of [[funnelBatch]]:
+    * two unbounded streams joined on user_id with an event-time range.
+    * BOTH sides are watermarked and the join condition bounds event time
+    * on both sides, which is what lets Spark EVICT buffered rows: a view
+    * can stop waiting once the watermark passes view_ts + 1 h, a
+    * purchase once it passes pts. Join state is therefore
+    * O(arrival rate × (watermark + interval)) per side — bounded on an
+    * unbounded stream — versus the stream-static join's zero state and
+    * a naive unwatermarked join's O(history). */
+  def streamingFunnelJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("value"))
+    v.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("view_ts") &&
+        col("pts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .drop("pu")
+  }
+
   /** Stream-static enrichment join: every micro-batch inner-joins the
     * (bounded, slowly-changing) dimension — the standard shape for
     * attaching reference data (type weights, source tiers, routing
@@ -229,10 +289,12 @@ object EventStreams {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> windowBatch,
     "q_stream_sliding" -> slidingBatch,
-    "q_sessionize" -> sessionizeBatch)
+    "q_sessionize" -> sessionizeBatch,
+    "q_event_funnel" -> funnelBatch)
 
   def oracle: Map[String, String] = Map(
     "q_stream_window" -> windowBatchSql,
     "q_stream_sliding" -> slidingBatchSql,
-    "q_sessionize" -> sessionizeBatchSql)
+    "q_sessionize" -> sessionizeBatchSql,
+    "q_event_funnel" -> funnelBatchSql)
 }

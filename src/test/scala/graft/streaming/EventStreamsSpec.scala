@@ -192,6 +192,28 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches only same-user purchases inside the hour") {
+    import spark.implicits._
+    val views = MemoryStream[Event](spark)
+    val purchases = MemoryStream[Event](spark)
+    val q = streamingFunnelJoin(views.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("funnelsink").outputMode("append").start()
+    try {
+      views.addData(
+        ev(1, "2024-01-01 10:00:00", uid = 1, typ = "view"),
+        ev(2, "2024-01-01 10:00:00", uid = 3, typ = "view")) // never matched
+      purchases.addData(
+        ev(10, "2024-01-01 10:30:00", uid = 1, typ = "purchase", v = 5.0), // in window
+        ev(11, "2024-01-01 12:30:00", uid = 1, typ = "purchase", v = 7.0), // past view_ts + 1 h
+        ev(12, "2024-01-01 10:30:00", uid = 2, typ = "purchase", v = 9.0)) // other user
+      drain(q)
+      val rows = spark.table("funnelsink")
+        .select($"view_id", $"user_id", $"value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((1L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("sessionize emits via event-time timeout when the watermark passes") {
     import spark.implicits._
     val in = MemoryStream[Event](spark)
