@@ -43,6 +43,7 @@ object SparkEntry {
     graft.ops.Skew.queries ++
     graft.ops.Similarity.queries ++
     graft.ops.Centroids.queries ++
+    graft.ops.Quantize.queries ++
     graft.ops.Text.queries ++
     graft.ops.Multimodal.queries ++
     graft.streaming.EventStreams.queries
@@ -60,6 +61,7 @@ object SparkEntry {
     graft.ops.Skew.oracle ++
     graft.ops.Similarity.oracle ++
     graft.ops.Centroids.oracle ++
+    graft.ops.Quantize.oracle ++
     graft.ops.Text.oracle ++
     graft.ops.Multimodal.oracle ++
     graft.streaming.EventStreams.oracle

@@ -25,8 +25,12 @@ private[ops] object Hashing {
     * shared by split construction ([[graft.ops.Text.splitAssign]]) and
     * decontamination ([[graft.ops.Dedup.contaminationQ]]), so the two
     * can never disagree about which split a document is in. */
-  def splitLabel(c: Column): Column = {
-    val b = md5Bucket(c, 100)
-    when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test"))
-  }
+  def splitLabel(c: Column): Column = splitLabelOf(md5Bucket(c, 100))
+
+  /** The label thresholds alone, for callers that already hold the
+    * [0,100) bucket (e.g. sequence packing derives split AND shard from
+    * one hash evaluation). */
+  def splitLabelOf(bucket: Column): Column =
+    when(bucket < 80, lit("train")).when(bucket < 90, lit("val"))
+      .otherwise(lit("test"))
 }

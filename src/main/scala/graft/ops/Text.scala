@@ -422,6 +422,172 @@ object Text {
       |SELECT lang, doc_id, CAST(rk AS INT) AS rk
       |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
 
+  /** Repetition signals — the Gopher-family "repetitive text" quality
+    * filters (Rae et al. 2021, public): fraction of tokens accounted for
+    * by the most frequent token, fraction of word-bigram occurrences
+    * that are duplicates, and the top-bigram fraction. Highly repetitive
+    * documents (boilerplate, keyword stuffing, generation loops) are the
+    * classic pretraining-corpus poison these thresholds strip.
+    *
+    * Scale shape: ZERO exchange — the max-multiplicity of a token array
+    * is computed map-side by a run-length fold over the SORTED array
+    * (equal tokens are adjacent after sort, so the longest run IS the
+    * max count), and the duplicate-bigram fraction is
+    * `size − size(array_distinct)`. The oracle computes the same values
+    * the explode+groupBy way; this side never shuffles a token. All
+    * ratios are exact integer divisions — deterministic across engines. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // longest run in a sorted array == max multiplicity; null-seeded
+    // prev makes the first comparison null → run restarts at 1.
+    def maxMult(arr: String) =
+      s"""aggregate(array_sort($arr),
+         |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+         |  (st, x) -> named_struct(
+         |    'prev', x,
+         |    'run', if(x = st.prev, st.run + 1L, 1L),
+         |    'best', greatest(st.best, if(x = st.prev, st.run + 1L, 1L))),
+         |  st -> st.best)""".stripMargin
+    withToks(s, dir)
+      .withColumn("bigrams", expr(
+        """if(size(toks) < 2, array(),
+          |  transform(sequence(1, size(toks) - 1),
+          |    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"""
+          .stripMargin))
+      .select($"doc_id",
+        size($"toks").as("n_tokens"),
+        expr(maxMult("toks")).as("top_tok"),
+        size($"bigrams").as("n_bigrams"),
+        expr(maxMult("bigrams")).as("top_big"),
+        size(array_distinct($"bigrams")).as("n_dist_big"))
+      .select($"doc_id", $"n_tokens",
+        round($"top_tok".cast("double") / $"n_tokens", 6).as("top_token_frac"),
+        $"n_bigrams",
+        round($"top_big".cast("double") / $"n_bigrams", 6).as("top_bigram_frac"),
+        round(($"n_bigrams" - $"n_dist_big").cast("double") / $"n_bigrams", 6)
+          .as("dup_bigram_frac"))
+      .withColumn("keep",
+        $"top_token_frac" <= 0.2 && $"dup_bigram_frac" <= 0.1)
+      .orderBy($"doc_id")
+      .limit(300)
+  }
+
+  val repetitionSql: String =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      |b AS (SELECT doc_id, toks,
+      |  list_transform(range(1, LEN(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+      |  FROM d),
+      |tt AS (SELECT doc_id, MAX(c) AS top_tok FROM (
+      |   SELECT doc_id, t, COUNT(*) AS c
+      |   FROM (SELECT doc_id, unnest(toks) AS t FROM d) GROUP BY 1, 2) GROUP BY 1),
+      |tb AS (SELECT doc_id, MAX(c) AS top_big FROM (
+      |   SELECT doc_id, g, COUNT(*) AS c
+      |   FROM (SELECT doc_id, unnest(bigrams) AS g FROM b) GROUP BY 1, 2) GROUP BY 1),
+      |r AS (SELECT b.doc_id, CAST(LEN(toks) AS INT) AS n_tokens,
+      |  ROUND(CAST(top_tok AS DOUBLE) / LEN(toks), 6) AS top_token_frac,
+      |  CAST(LEN(bigrams) AS INT) AS n_bigrams,
+      |  ROUND(CAST(top_big AS DOUBLE) / LEN(bigrams), 6) AS top_bigram_frac,
+      |  ROUND(CAST(LEN(bigrams) - LEN(list_distinct(bigrams)) AS DOUBLE)
+      |        / LEN(bigrams), 6) AS dup_bigram_frac
+      |  FROM b JOIN tt USING (doc_id) JOIN tb ON b.doc_id = tb.doc_id)
+      |SELECT *, top_token_frac <= 0.2 AND dup_bigram_frac <= 0.1 AS keep
+      |FROM r ORDER BY doc_id LIMIT 300""".stripMargin
+
+  /** Per-document character-distribution Shannon entropy — the
+    * perplexity-proxy quality signal (gibberish and base64 blobs sit at
+    * the high end, single-character runs at the low end). Uses the
+    * identity H = ln N − (Σ cᵢ ln cᵢ)/N so the only float work is one
+    * `c·ln c` per distinct character.
+    *
+    * Determinism: each term is rounded to 9 decimals and summed as
+    * DECIMAL(28,9) — an EXACT, order-independent merge (double addition
+    * is order-sensitive; Spark's partial aggregation and DuckDB's
+    * sequential sum would disagree in the low bits otherwise — the same
+    * trick [[graft.streaming.EventStreams.funnelBatch]] uses for value
+    * sums).
+    *
+    * Scale shape: the per-character explode feeds a map-side-combinable
+    * aggregate whose key space is doc_id × alphabet, so only
+    * ≤ |alphabet| rows per doc cross the exchange — the text column
+    * itself never shuffles. */
+  def entropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("txt", lower($"text"))
+      .select($"doc_id", length($"txt").as("n"), $"txt",
+        explode(sequence(lit(1), length($"txt"))).as("i"))
+      .select($"doc_id", $"n", expr("substring(txt, i, 1)").as("ch"))
+      .groupBy($"doc_id", $"n", $"ch")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id", $"n")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(round($"cnt" * log($"cnt"), 9).cast("decimal(28,9)")).as("s"))
+      .select($"doc_id",
+        $"n".cast("int").as("n_chars_lc"),
+        $"n_distinct".cast("int").as("n_distinct_chars"),
+        round(log($"n") - $"s".cast("double") / $"n", 6).as("entropy_nats"))
+      .orderBy($"doc_id")
+      .limit(300)
+  }
+
+  val entropySql: String =
+    """WITH ch AS (SELECT doc_id, lower(text) AS txt FROM documents),
+      |c AS (SELECT doc_id, substr(txt, i, 1) AS ch, length(txt) AS n
+      |      FROM ch, unnest(range(1, length(txt) + 1)) AS u(i)),
+      |g AS (SELECT doc_id, n, ch, COUNT(*) AS cnt FROM c GROUP BY 1, 2, 3),
+      |a AS (SELECT doc_id, n, COUNT(*) AS n_distinct,
+      |        SUM(CAST(ROUND(cnt * LN(cnt), 9) AS DECIMAL(28,9))) AS s
+      |      FROM g GROUP BY 1, 2)
+      |SELECT doc_id, CAST(n AS INT) AS n_chars_lc,
+      |  CAST(n_distinct AS INT) AS n_distinct_chars,
+      |  ROUND(LN(n) - CAST(s AS DOUBLE) / n, 6) AS entropy_nats
+      |FROM a ORDER BY doc_id LIMIT 300""".stripMargin
+
+  /** Deterministic sequence packing — the training-batch construction
+    * step: documents are concatenated in a reproducible hash order and
+    * chunked into fixed token-budget sequences (GPT-style packing; a
+    * document belongs to the sequence containing its first token).
+    * Output is the per-sequence accounting (docs packed, tokens).
+    *
+    * Scale shape: ONE hash evaluation yields split, shard, and sort key;
+    * the running token offset is a window cumsum partitioned by
+    * (split, shard) — shards are the parallelism knob (thousands at
+    * 100 TB), so no global sort ever happens: each shard packs
+    * independently, which is exactly how a distributed packing job is
+    * laid out. The final aggregate is map-side-combinable on
+    * (split, shard, seq_id). */
+  def packSequences(s: SparkSession, dir: String,
+                    budget: Int = 512, shards: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"split", $"shard").orderBy($"hv", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withToks(s, dir)
+      .select($"doc_id", size($"toks").cast("long").as("n_tok"),
+        Hashing.md5Long60($"doc_id".cast("string")).as("hv"))
+      .withColumn("split", Hashing.splitLabelOf($"hv" % 100))
+      .withColumn("shard", ($"hv" % shards).cast("int"))
+      .withColumn("off", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .groupBy($"split", $"shard", ($"off" / budget).cast("int").as("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("seq_tokens"))
+      .orderBy($"split", $"shard", $"seq_id")
+  }
+
+  val packSequencesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(LEN(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS hv
+      |  FROM documents),
+      |l AS (SELECT *, CASE WHEN hv % 100 < 80 THEN 'train'
+      |                     WHEN hv % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+      |        CAST(hv % 4 AS INT) AS shard FROM d),
+      |o AS (SELECT split, shard, doc_id, n_tok,
+      |  COALESCE(SUM(n_tok) OVER (PARTITION BY split, shard ORDER BY hv, doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM l)
+      |SELECT split, shard, CAST(off // 512 AS INT) AS seq_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+      |FROM o GROUP BY 1, 2, 3 ORDER BY split, shard, seq_id""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -433,6 +599,9 @@ object Text {
     "q_text_quality" -> quality,
     "q_text_rollhash" -> rollhash,
     "q_text_tfidf" -> tfidf,
+    "q_text_repetition" -> repetition,
+    "q_text_entropy" -> entropy,
+    "q_pack_sequences" -> ((s, dir) => packSequences(s, dir)),
     "q_split_assign" -> splitAssign,
     "q_sample_mixture" -> mixtureQ,
     "q_sample_stratified" -> ((s, dir) => stratifiedSample(s, dir)))
@@ -446,6 +615,9 @@ object Text {
     "q_text_quality" -> qualitySql,
     "q_text_rollhash" -> rollhashSql,
     "q_text_tfidf" -> tfidfSql,
+    "q_text_repetition" -> repetitionSql,
+    "q_text_entropy" -> entropySql,
+    "q_pack_sequences" -> packSequencesSql,
     "q_split_assign" -> splitAssignSql,
     "q_sample_mixture" -> sampleMixtureSql,
     "q_sample_stratified" -> stratifiedSampleSql)

@@ -331,4 +331,105 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       assert(m.n_bytes > 0)
     }
   }
+
+  // --- Text: repetition / entropy / packing; Quantize -----------------------
+
+  test("text repetition: map-side run-length fold equals the explode+groupBy count, zero shuffle of tokens") {
+    import spark.implicits._
+    val df = Text.queries("q_text_repetition")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // independent recompute of the max token multiplicity per doc (the
+    // oracle's explode+groupBy path, here in Spark) must agree with the
+    // op's sorted-array fold for every doc
+    val viaExplode = graft.Tables.t(spark, sfDir, "documents")
+      .withColumn("toks", split(lower($"text"), " "))
+      .select($"doc_id", size($"toks").as("n"), explode($"toks").as("t"))
+      .groupBy($"doc_id", $"n", $"t").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n").agg(max($"c").as("top"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("top").toDouble / r.getAs[Int]("n"))).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val frac = r.getAs[Double]("top_token_frac")
+      assert(math.abs(frac - BigDecimal(viaExplode(id)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"doc $id fold/explode disagree")
+      assert(r.getAs[Int]("n_bigrams") == r.getAs[Int]("n_tokens") - 1)
+      val dup = r.getAs[Double]("dup_bigram_frac")
+      assert(dup >= 0.0 && dup <= 1.0)
+      assert(r.getAs[Double]("top_bigram_frac") > 0.0)
+    }
+    // both keep outcomes occur on the corpus (thresholds are live)
+    assert(rows.exists(_.getAs[Boolean]("keep")) )
+  }
+
+  test("text entropy: bounded by ln(distinct) and matches a driver-side recompute") {
+    val rows = Text.queries("q_text_entropy")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.Tables.t(spark, sfDir, "documents")
+      .selectExpr("doc_id", "lower(text) as txt").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("txt")).toMap
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_nats")
+      val nd = r.getAs[Int]("n_distinct_chars")
+      assert(h >= 0.0 && h <= math.log(nd) + 1e-6,
+        s"entropy $h outside [0, ln($nd)]")
+      // independent per-doc recompute (plain Scala fold)
+      val txt = texts(r.getAs[Long]("doc_id"))
+      val counts = txt.groupBy(identity).view.mapValues(_.length.toDouble)
+      val n = txt.length.toDouble
+      val ref = math.log(n) - counts.values.map(c => c * math.log(c)).sum / n
+      assert(math.abs(h - ref) < 1e-5, s"doc ${r.getAs[Long]("doc_id")}: $h vs $ref")
+    }
+  }
+
+  test("pack sequences: tokens and docs are conserved, seq ids contiguous per shard") {
+    import spark.implicits._
+    val rows = Text.packSequences(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalTokens = graft.Tables.t(spark, sfDir, "documents")
+      .select(sum(size(split(lower($"text"), " ")).cast("long")))
+      .head.getLong(0)
+    assert(rows.map(_.getAs[Long]("seq_tokens")).sum == totalTokens,
+      "packing must conserve every token")
+    val nDocs = graft.Tables.t(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.groupBy(r => (r.getAs[String]("split"), r.getAs[Int]("shard")))
+      .foreach { case (_, rs) =>
+        val ids = rs.map(_.getAs[Int]("seq_id")).sorted.toList
+        assert(ids == (0 until ids.length).toList,
+          "sequence ids must be contiguous from 0 within each (split, shard)")
+      }
+    // determinism: second run produces the identical packing
+    val again = Text.packSequences(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("embed quantize: q in [-127,127], reconstruction error within the 0.5/scale bound, map-only plan") {
+    val df = Quantize.quantizeQ(spark, sfDir)
+    // pure-map claim: no shuffle exchange anywhere (TakeOrdered gathers
+    // per-partition top-k without an exchange node)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"quantization must be map-only:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val qmin = r.getAs[Int]("q_min"); val qmax = r.getAs[Int]("q_max")
+      assert(qmin >= -127 && qmax <= 127, s"q out of int8 range: [$qmin,$qmax]")
+      val scale = r.getAs[Double]("scale")
+      val err = r.getAs[Double]("max_err")
+      // max_err is reported rounded to 6 decimals (may round UP by 5e-7),
+      // so the half-step bound carries that slack scaled by `scale`
+      assert(err * scale <= 0.5 + scale * 5e-7 + 1e-6,
+        s"reconstruction error $err exceeds half-step bound at scale $scale")
+      assert(r.getAs[Long]("q_abs_sum") > 0)
+    }
+  }
 }
