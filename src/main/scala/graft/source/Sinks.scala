@@ -39,6 +39,22 @@ object Sinks {
     * sizes) would pin the cap and write 20000 near-empty files, so any
     * estimate that absurdly exceeds the input partition count falls
     * back to the plan's current partitioning instead. */
+  /** Sorted, range-partitioned write — the data-skipping layout: rows
+    * are range-partitioned on `col` (each output file owns a disjoint
+    * key range) and sorted within partitions (each parquet row group's
+    * min/max stats span a narrow slice). A later `WHERE col = x` or
+    * range scan then skips every file and row group whose stats exclude
+    * the predicate — parquet readers do this from footer stats alone,
+    * no index structure needed. At 100 TB this is the cheap 10-100×
+    * scan reduction for any selective query on the layout key; the
+    * cost is ONE range exchange (sampling-based, skew-tolerant) paid
+    * at write time. Equivalent to a 1-column z-order. */
+  def writeSorted(df: DataFrame, path: String, col: String,
+                  files: Int = 8): Unit =
+    df.repartitionByRange(files, df(col))
+      .sortWithinPartitions(df(col))
+      .write.mode("overwrite").parquet(path)
+
   def writeCompacted(df: DataFrame, path: String,
                      targetBytes: Long = 256L << 20): Int = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes

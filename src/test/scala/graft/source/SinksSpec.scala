@@ -3,6 +3,7 @@ package graft.source
 import graft.SparkSpec
 import java.nio.file.Files
 import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions.min
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Partitioned-sink round trip: the read-back plan must PRUNE partitions
@@ -100,5 +101,56 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     val a = docs.select($"doc_id", $"n_chars", $"source").orderBy($"doc_id").collect()
     val b = back.select($"doc_id", $"n_chars", $"source").orderBy($"doc_id").collect()
     assert(a.sameElements(b))
+  }
+
+  test("sorted range-partitioned write: disjoint per-file key ranges, sorted row groups, values preserved") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val dir = Files.createTempDirectory("graft-sorted").toString
+    val events = graft.Tables.t(spark, sfDir, "events")
+    Sinks.writeSorted(events, dir, "user_id", files = 8)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length > 1, "range partitioning must produce multiple files")
+    // footer stats: per-file [min,max] of the layout key, per row group
+    val ranges = parts.map { f =>
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.getAbsolutePath), new Configuration()))
+      try {
+        val schema = rd.getFooter.getFileMetaData.getSchema
+        val idx = schema.getFieldIndex("user_id")
+        val stats = rd.getFooter.getBlocks.asScala.map(_.getColumns.get(idx).getStatistics)
+        val mins = stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue)
+        val maxs = stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+        // sorted within the file: row-group ranges are themselves ordered
+        mins.zip(maxs).toList.sliding(2).foreach {
+          case List((_, aMax), (bMin, _)) =>
+            assert(aMax <= bMin, s"row groups out of order in ${f.getName}")
+          case _ =>
+        }
+        (mins.min, maxs.max)
+      } finally rd.close()
+    }
+    // data skipping precondition: file key ranges are pairwise disjoint,
+    // so a point/range predicate opens only the files whose stats admit it
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"file ranges overlap: $aMax vs $bMin")
+      case _ =>
+    }
+    // round trip: values preserved, predicate pushed to the scan
+    val k = events.select(min($"user_id")).head.getLong(0)
+    val back = spark.read.parquet(dir).filter($"user_id" === k)
+    val scan = back.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec"))
+    assert(scan.metadata("PushedFilters").contains("EqualTo(user_id"),
+      "key predicate must reach the parquet reader for stats-based skipping")
+    assert(back.count() == events.filter($"user_id" === k).count())
+    assert(spark.read.parquet(dir).count() == events.count())
   }
 }

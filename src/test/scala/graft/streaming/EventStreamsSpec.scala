@@ -231,4 +231,40 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(uids.contains(7L), "user 7's session should have timed out")
     } finally q.stop()
   }
+
+  test("idempotent sink: replaying a batch rewrites the same snapshot, no duplicates") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-idem-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-idem-ck").toString
+    val in = MemoryStream[Event](spark)
+    val q = idempotentCountsSink(in.toDF(), out, ckpt)
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00", typ = "view", v = 2.0),
+                 ev(2, "2024-01-01 10:01:00", typ = "view", v = 3.0),
+                 ev(3, "2024-01-01 10:02:00", typ = "purchase", v = 5.0))
+      drain(q)
+      in.addData(ev(4, "2024-01-01 10:03:00", typ = "view", v = 1.0))
+      drain(q)
+      val snap = spark.read.parquet(out).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("total_value").doubleValue))
+        .toMap
+      assert(snap == Map("view" -> ((3L, 6.0)), "purchase" -> ((1L, 5.0))),
+        s"snapshot must reflect ALL batches exactly once: $snap")
+      // simulated failure replay: re-running the SAME batch content through
+      // the sink body must leave the snapshot unchanged (idempotence).
+      // Materialize the rows FIRST — a lazy frame over `out` would be
+      // reading the very files the overwrite deletes.
+      val cur = spark.read.parquet(out)
+      val rows = cur.collect().toSeq
+      val schema = cur.schema
+      val replay = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), schema)
+      EventStreams.snapshotBatch(replay, out)
+      val after = spark.read.parquet(out).collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+      assert(after == Map("view" -> 3L, "purchase" -> 1L),
+        "replaying a batch must not duplicate rows")
+    } finally q.stop()
+  }
 }
