@@ -38,11 +38,14 @@ object SparkEntry {
     graft.queries.SetOpsScalars.queries ++
     graft.queries.Nested.queries ++
     graft.ops.AsOf.queries ++
+    graft.ops.Cdc.queries ++
+    graft.ops.IntervalJoin.queries ++
     graft.ops.Dedup.queries ++
     graft.ops.Drift.queries ++
     graft.ops.Skew.queries ++
     graft.ops.Similarity.queries ++
     graft.ops.Centroids.queries ++
+    graft.ops.Pii.queries ++
     graft.ops.Quantize.queries ++
     graft.ops.Text.queries ++
     graft.ops.Multimodal.queries ++
@@ -56,11 +59,14 @@ object SparkEntry {
     graft.queries.SetOpsScalars.oracle ++
     graft.queries.Nested.oracle ++
     graft.ops.AsOf.oracle ++
+    graft.ops.Cdc.oracle ++
+    graft.ops.IntervalJoin.oracle ++
     graft.ops.Dedup.oracle ++
     graft.ops.Drift.oracle ++
     graft.ops.Skew.oracle ++
     graft.ops.Similarity.oracle ++
     graft.ops.Centroids.oracle ++
+    graft.ops.Pii.oracle ++
     graft.ops.Quantize.oracle ++
     graft.ops.Text.oracle ++
     graft.ops.Multimodal.oracle ++

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Change-data-capture compaction over an append-only event log — the
+  * ingestion-side primitives a large pipeline runs to turn a mutation
+  * stream into queryable state:
+  *
+  *  - [[latestByKey]]: upsert/merge semantics — collapse the log to the
+  *    most recent row per key. Implemented as ONE `max(struct(...))`
+  *    aggregation: struct comparison is lexicographic by field order, so
+  *    leading with (ts, event_id) picks the latest row with a unique
+  *    tiebreak, and the whole payload rides along in the same struct.
+  *    Scale shape: map-side combinable — each task keeps ONE struct per
+  *    key, so (keys × partitions) structs cross the exchange. The
+  *    textbook `row_number() = 1` window ships EVERY log row to its
+  *    key's reducer and sorts there; on a 100 TB log with hot keys that
+  *    is the difference between a combiner and a straggler.
+  *
+  *  - [[scd2]]: slowly-changing-dimension type-2 history — collapse
+  *    consecutive runs of the same attribute value into validity
+  *    intervals [valid_from, valid_to). Change points via `lag` over
+  *    (key, ts) — one exchange + sort of the log; interval ends via
+  *    `lead` over the (much smaller) change-point frame — a second
+  *    exchange proportional to the CHANGE density, not the log. No
+  *    self-join, no gaps-and-islands double-numbering pass.
+  *
+  * Determinism: (ts, event_id) is a total order (event_id unique), so
+  * both operators are reproducible across engines and partitionings.
+  */
+object Cdc {
+
+  /** Latest row per key: `max(struct(orderCols ++ payload))` — the
+    * leading order columns must form a unique total order per key. */
+  def latestByKey(log: DataFrame, key: Column, order: Seq[Column],
+                  payload: Seq[Column]): DataFrame =
+    log.groupBy(key)
+      .agg(max(struct(order ++ payload: _*)).as("last"))
+
+  def latestQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    latestByKey(t(s, dir, "events"), $"user_id",
+      Seq($"ts", $"event_id"), Seq($"event_type", $"value"))
+      .select($"user_id", $"last.ts".as("last_ts"),
+        $"last.event_id".as("last_event_id"),
+        $"last.event_type".as("last_type"),
+        $"last.value".as("last_value"))
+      .orderBy($"user_id")
+  }
+
+  val latestSql: String =
+    """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+      |       event_type AS last_type, value AS last_value
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** SCD2 history of `attr` per key: one interval row per run of equal
+    * consecutive values; open intervals have `valid_to IS NULL`. */
+  def scd2(log: DataFrame, key: Column, ts: Column, tiebreak: Column,
+           attr: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    val changes = log
+      .withColumn("graft_prev", lag(attr, 1).over(w))
+      .filter(col("graft_prev").isNull || col("graft_prev") =!= attr)
+    val w2 = Window.partitionBy(key).orderBy(ts, tiebreak)
+    changes
+      .withColumn("valid_to", lead(ts, 1).over(w2))
+      .select(key, attr.as("attr"), ts.as("valid_from"), col("valid_to"))
+  }
+
+  def scd2Q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val log = t(s, dir, "events").filter($"user_id" < 50)
+    scd2(log, $"user_id", $"ts", $"event_id", $"event_type")
+      .orderBy($"user_id", $"valid_from", $"attr")
+  }
+
+  val scd2Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(event_type) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events WHERE user_id < 50),
+      |ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type AS attr, ts AS valid_from,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |FROM ch ORDER BY user_id, valid_from, attr""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_latest" -> latestQ,
+    "q_cdc_scd2" -> scd2Q)
+
+  def oracle: Map[String, String] = Map(
+    "q_cdc_latest" -> latestSql,
+    "q_cdc_scd2" -> scd2Sql)
+}

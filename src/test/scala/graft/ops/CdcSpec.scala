@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cdc semantics on hand-built logs: latest-row selection with tiebreak,
+  * equivalence to the rank-window formulation, SCD2 run-collapsing and
+  * interval contiguity. */
+class CdcSpec extends AnyFunSuite with SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("latestByKey picks the max-(ts, tiebreak) row, payload intact") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "a", 1.0),
+      (1L, t("2024-01-01 12:00:00"), 2L, "b", 2.0),
+      (1L, t("2024-01-01 12:00:00"), 3L, "c", 3.0), // ts tie → event_id wins
+      (2L, t("2024-01-01 09:00:00"), 4L, "d", 4.0)
+    ).toDF("k", "ts", "eid", "tp", "v")
+    val out = Cdc.latestByKey(log, $"k", Seq($"ts", $"eid"), Seq($"tp", $"v"))
+      .select($"k", $"last.tp", $"last.v")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out == Map(1L -> ("c", 3.0), 2L -> ("d", 4.0)))
+  }
+
+  test("latestByKey ≡ row_number()=1 window on real events") {
+    import spark.implicits._
+    val log = graft.Tables.t(spark, sfDir, "events")
+    val agg = Cdc.latestByKey(log, $"user_id", Seq($"ts", $"event_id"),
+        Seq($"event_type", $"value"))
+      .select($"user_id", $"last.event_id".as("event_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val win = log.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"event_id")
+    assert(agg.except(win).isEmpty && win.except(agg).isEmpty)
+  }
+
+  test("scd2 collapses runs, intervals are contiguous, one open per key") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, t("2024-01-01 11:00:00"), 2L, "a"), // same run
+      (1L, t("2024-01-01 12:00:00"), 3L, "b"), // change
+      (1L, t("2024-01-01 13:00:00"), 4L, "a"), // change back → new interval
+      (2L, t("2024-01-01 10:30:00"), 5L, "x")
+    ).toDF("k", "ts", "eid", "attr")
+    val out = Cdc.scd2(log, $"k", $"ts", $"eid", $"attr")
+      .orderBy($"k", $"valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3))))
+    assert(out.toSeq == Seq(
+      (1L, "a", t("2024-01-01 10:00:00"), Some(t("2024-01-01 12:00:00"))),
+      (1L, "b", t("2024-01-01 12:00:00"), Some(t("2024-01-01 13:00:00"))),
+      (1L, "a", t("2024-01-01 13:00:00"), None),
+      (2L, "x", t("2024-01-01 10:30:00"), None)))
+    // contiguity + single open interval hold on the real log too
+    val hist = Cdc.scd2(graft.Tables.t(spark, sfDir, "events"),
+      $"user_id", $"ts", $"event_id", $"event_type")
+    val wk = Window.partitionBy($"user_id").orderBy($"valid_from")
+    val gaps = hist.withColumn("nxt", lead($"valid_from", 1).over(wk))
+      .filter($"nxt".isNotNull && $"valid_to" =!= $"nxt")
+    assert(gaps.isEmpty, "valid_to must equal the next interval's valid_from")
+    val opens = hist.filter($"valid_to".isNull)
+      .groupBy($"user_id").count().filter($"count" =!= 1)
+    assert(opens.isEmpty, "exactly one open interval per key")
+  }
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pii.signals on hand-built strings: per-class counts, redaction
+  * placement, idempotence, and no cross-class bleed. */
+class PiiSpec extends AnyFunSuite with SparkSpec {
+
+  private def run(s: String): (Int, Int, Int, String) = {
+    import spark.implicits._
+    val (ne, np, ni, red) = Pii.signals($"t")
+    val r = Seq(s).toDF("t")
+      .select(ne.as("a"), np.as("b"), ni.as("c"), red.as("d")).head()
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3))
+  }
+
+  test("counts and redacts each class independently") {
+    assert(run("mail a.b+c@ex-1.org now") == (1, 0, 0, "mail [EMAIL] now"))
+    assert(run("call 555-123-4567.") == (0, 1, 0, "call [PHONE]."))
+    assert(run("host 192.168.0.1 up") == (0, 0, 1, "host [IP] up"))
+  }
+
+  test("mixed text, multiple matches per class") {
+    val (ne, np, ni, red) =
+      run("a@b.io c@d.co 10.0.0.1 555-000-1111 x 555-222-3333")
+    assert((ne, np, ni) == (2, 2, 1))
+    assert(red == "[EMAIL] [EMAIL] [IP] [PHONE] x [PHONE]")
+  }
+
+  test("no matches leaves text untouched; redaction is idempotent") {
+    val clean = "just words and numbers 12 34"
+    assert(run(clean) == (0, 0, 0, clean))
+    val once = run("a@b.io at 10.0.0.1")._4
+    assert(run(once)._4 == once,
+      "redacting already-redacted text must be a no-op")
+  }
+
+  test("word boundaries: digits embedded in longer tokens do not match") {
+    val (ne, np, ni, _) = run("id 1555-123-45678 ver 1.2.3.4.5")
+    assert(np == 0, "9-digit tail must not match the phone pattern")
+    // 1.2.3.4.5 — the IP pattern's \b anchors still admit the leading
+    // 4-octet prefix; this documents the known over-match of regex PII
+    assert(ni == 1 && ne == 0)
+  }
+}
