@@ -46,6 +46,7 @@ object SparkEntry {
     graft.ops.Similarity.queries ++
     graft.ops.Centroids.queries ++
     graft.ops.Pii.queries ++
+    graft.ops.Profile.queries ++
     graft.ops.Quantize.queries ++
     graft.ops.Text.queries ++
     graft.ops.Multimodal.queries ++
@@ -67,6 +68,7 @@ object SparkEntry {
     graft.ops.Similarity.oracle ++
     graft.ops.Centroids.oracle ++
     graft.ops.Pii.oracle ++
+    graft.ops.Profile.oracle ++
     graft.ops.Quantize.oracle ++
     graft.ops.Text.oracle ++
     graft.ops.Multimodal.oracle ++

@@ -588,6 +588,46 @@ object Text {
       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
       |FROM o GROUP BY 1, 2, 3 ORDER BY split, shard, seq_id""".stripMargin
 
+  /** Fixed-size overlapping document chunking — the context-window prep
+    * step that turns long documents into trainable/retrievable pieces:
+    * chunk i covers chars [i·stride, i·stride + size), stride = size −
+    * overlap, so consecutive chunks share `overlap` chars and every char
+    * of the document lands in ≥1 chunk.
+    *
+    * Scale shape: pure per-row flatMap — `explode(sequence(...))` then a
+    * codegen substring; zero exchange, output volume = input chars ×
+    * (1 + overlap/stride). The chunk count derives from length(text)
+    * row-locally, so no global pass or driver loop exists at any scale. */
+  def chunk(df: DataFrame, size: Int, overlap: Int): DataFrame = {
+    require(size > overlap && overlap >= 0,
+      s"need size > overlap >= 0, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    df.withColumn("chunk_id",
+        explode(sequence(lit(0),
+          (floor((length(col("text")) - 1) / stride)).cast("int"))))
+      .withColumn("chunk",
+        col("text").substr(col("chunk_id") * stride + 1, lit(size)))
+  }
+
+  def chunkQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    chunk(t(s, dir, "documents").filter($"doc_id" < 100)
+        .select($"doc_id", $"text"), size = 120, overlap = 20)
+      .select($"doc_id", $"chunk_id",
+        length($"chunk").as("n_chunk_chars"), $"chunk")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val chunkSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0, CAST(floor((length(text) - 1) / 100) AS BIGINT))) AS i
+      |  FROM documents WHERE doc_id < 100)
+      |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+      |  CAST(length(substr(text, CAST(i AS INT) * 100 + 1, 120)) AS INT) AS n_chunk_chars,
+      |  substr(text, CAST(i AS INT) * 100 + 1, 120) AS chunk
+      |FROM g ORDER BY doc_id, chunk_id""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -601,6 +641,7 @@ object Text {
     "q_text_tfidf" -> tfidf,
     "q_text_repetition" -> repetition,
     "q_text_entropy" -> entropy,
+    "q_text_chunk" -> chunkQ,
     "q_pack_sequences" -> ((s, dir) => packSequences(s, dir)),
     "q_split_assign" -> splitAssign,
     "q_sample_mixture" -> mixtureQ,
@@ -617,6 +658,7 @@ object Text {
     "q_text_tfidf" -> tfidfSql,
     "q_text_repetition" -> repetitionSql,
     "q_text_entropy" -> entropySql,
+    "q_text_chunk" -> chunkSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_split_assign" -> splitAssignSql,
     "q_sample_mixture" -> sampleMixtureSql,

@@ -55,6 +55,55 @@ object Sinks {
       .sortWithinPartitions(df(col))
       .write.mode("overwrite").parquet(path)
 
+  /** Z-order clustered write — MULTI-column data skipping. A plain
+    * sorted write ([[writeSorted]]) clusters one key perfectly and
+    * leaves every other column's per-file stats spanning the whole
+    * domain; interleaving the bit-planes of two bucketized keys orders
+    * rows along a Z-curve, so each output file covers a RECTANGLE of
+    * the (c1, c2) domain — per-file min/max footer stats narrow on
+    * BOTH columns and selective predicates on either one skip files.
+    * The standard layout for a fact queried by two independent
+    * dimensions (e.g. documents by (source, lang-bucket), events by
+    * (user, time)) where neither deserves the primary sort.
+    *
+    * Shape: one bounded min/max aggregate to fix the domains (at
+    * 100 TB, pass `domains` from catalog/footer stats instead and skip
+    * that scan), then a single range exchange on the z-value — the
+    * same cost as a sorted write. `buckets` must be a power of two
+    * (bit interleave); 16 buckets/dim → 8-bit z, 256 cells. */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+                    files: Int = 8, buckets: Int = 16,
+                    domains: Option[(Double, Double, Double, Double)] = None)
+      : Unit = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val (lo1, hi1, lo2, hi2) = domains.getOrElse {
+      val r = df.agg(
+        min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+        min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    def bucket(c: String, lo: Double, hi: Double): Column = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(lit(buckets - 1L), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo)) * buckets / span)
+          .cast("long")))
+    }
+    val (b1, b2) = (bucket(c1, lo1, hi1), bucket(c2, lo2, hi2))
+    val bits = 63 - java.lang.Long.numberOfLeadingZeros(buckets.toLong)
+    val z = (0L until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(b1, i.toInt).bitwiseAND(lit(1L)),
+          (2 * i + 1).toInt))
+        .bitwiseOR(shiftleft(shiftright(b2, i.toInt).bitwiseAND(lit(1L)),
+          (2 * i).toInt))
+    }
+    df.repartitionByRange(files, z).sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(path)
+  }
+
   def writeCompacted(df: DataFrame, path: String,
                      targetBytes: Long = 256L << 20): Int = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes

@@ -432,4 +432,42 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("q_abs_sum") > 0)
     }
   }
+
+  test("text chunk: full coverage, exact overlap, reassembly, map-only plan") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").limit(50)
+    val size = 32
+    val overlap = 8
+    val stride = size - overlap
+    val chunks = Text.chunk(docs, size, overlap)
+    // every char covered: chunk i starts at i*stride+1; strip the overlap
+    // from every chunk but the first and the concatenation is the document
+    val glued = chunks
+      .withColumn("piece",
+        when($"chunk_id" === 0, $"chunk")
+          .otherwise($"chunk".substr(lit(overlap + 1), lit(stride))))
+      .groupBy($"doc_id")
+      // collect_list has no order guarantee — sort the structs by chunk_id
+      .agg(array_join(transform(array_sort(
+        collect_list(struct($"chunk_id", $"piece"))),
+        x => x.getField("piece")), "").as("glued"))
+    val bad = glued.join(docs, "doc_id").filter($"glued" =!= $"text")
+    assert(bad.isEmpty, "overlap-stripped chunks must reassemble the text")
+    // consecutive chunks share exactly `overlap` chars
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"chunk_id")
+    val mism = chunks
+      .withColumn("nxt", lead($"chunk", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .filter($"nxt".substr(lit(1), lit(overlap)) =!=
+        $"chunk".substr(lit(stride + 1), lit(overlap)))
+    assert(mism.isEmpty, "adjacent chunks must agree on the overlap region")
+    // chunking itself is exchange-free (pure flatMap over the scan)
+    val shuffles = Text.chunk(docs, size, overlap)
+      .queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(shuffles.isEmpty, "chunking must not shuffle")
+  }
 }

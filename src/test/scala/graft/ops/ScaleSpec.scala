@@ -121,4 +121,43 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{when, concat, lit, lpad}
+    val keys = Seq(
+      // force the shuffle join AQE skew-handling applies to, and drop
+      // the size thresholds so spec-scale data counts as skewed (at
+      // real scale the 256 MB default is the right gate)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.5",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one pathological key owns half the fact rows — the canonical
+      // hot-key shape that strands a single reducer at 100 TB
+      val fact = spark.range(0, 60000)
+        .select(
+          when($"id" % 2 === 0, 0L).otherwise($"id" % 1000).as("k"),
+          concat(lit("x"), lpad($"id".cast("string"), 64, "0")).as("pad"))
+      val dim = spark.range(0, 1000).select($"id".as("k"), ($"id" * 10).as("dv"))
+      val joined = fact.join(dim, "k")
+      // execute THIS dataframe (count() would plan its own query and
+      // leave joined's adaptive plan unfinalized), then read the final
+      // adaptive plan off the same QueryExecution
+      assert(joined.collect().length == 60000,
+        "every fact row matches exactly one dim row")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE to mark the skewed join (skew=true):\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -153,4 +153,51 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     assert(back.count() == events.filter($"user_id" === k).count())
     assert(spark.read.parquet(dir).count() == events.count())
   }
+
+  test("z-ordered write clusters BOTH columns; sorted write only one") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    // per-file [min,max] of `col` across all files in `dir`, as doubles
+    def fileRanges(dir: String, col: String): Seq[(Double, Double)] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+            new Path(f.getAbsolutePath), new Configuration()))
+          try {
+            val idx = rd.getFooter.getFileMetaData.getSchema.getFieldIndex(col)
+            val st = rd.getFooter.getBlocks.asScala
+              .map(_.getColumns.get(idx).getStatistics)
+            (st.map(_.genericGetMin.asInstanceOf[Number].doubleValue).min,
+              st.map(_.genericGetMax.asInstanceOf[Number].doubleValue).max)
+          } finally rd.close()
+        }
+    def avgSpanFrac(rs: Seq[(Double, Double)]): Double = {
+      val (glo, ghi) = (rs.map(_._1).min, rs.map(_._2).max)
+      rs.map { case (lo, hi) => (hi - lo) / math.max(ghi - glo, 1e-300) }
+        .sum / rs.length
+    }
+    val events = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"value")
+    val zDir = Files.createTempDirectory("graft-z").toString
+    val sDir = Files.createTempDirectory("graft-s").toString
+    Sinks.writeZOrdered(events, zDir, "user_id", "value", files = 8)
+    Sinks.writeSorted(events, sDir, "user_id", files = 8)
+    // both dims narrow under z-order…
+    val zU = avgSpanFrac(fileRanges(zDir, "user_id"))
+    val zV = avgSpanFrac(fileRanges(zDir, "value"))
+    assert(zU <= 0.75 && zV <= 0.75,
+      s"z-order must narrow both dims: user=$zU value=$zV")
+    // …while the single-key sort leaves the secondary column unclustered
+    val sV = avgSpanFrac(fileRanges(sDir, "value"))
+    assert(zV < sV,
+      s"z-order secondary-dim span ($zV) must beat sorted write's ($sV)")
+    // round trip: same multiset of rows
+    val back = spark.read.parquet(zDir)
+    assert(back.count() == events.count())
+    assert(back.except(events).isEmpty && events.except(back).isEmpty)
+  }
 }
