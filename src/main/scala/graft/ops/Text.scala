@@ -514,9 +514,11 @@ object Text {
     import s.implicits._
     t(s, dir, "documents")
       .withColumn("txt", lower($"text"))
-      .select($"doc_id", length($"txt").as("n"), $"txt",
-        explode(sequence(lit(1), length($"txt"))).as("i"))
-      .select($"doc_id", $"n", expr("substring(txt, i, 1)").as("ch"))
+      // split-to-chars BEFORE exploding: each exploded row carries one
+      // char, not the whole document (the index-explode alternative
+      // duplicates txt per position — O(len²) bytes per doc)
+      .select($"doc_id", length($"txt").as("n"),
+        explode(split($"txt", "")).as("ch"))
       .groupBy($"doc_id", $"n", $"ch")
       .agg(count(lit(1)).as("cnt"))
       .groupBy($"doc_id", $"n")
