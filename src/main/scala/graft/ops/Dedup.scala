@@ -492,6 +492,87 @@ object Dedup {
       |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Substring-level duplicate-SPAN detection — document-level dedup
+    * (exact / MinHash / SimHash above) misses the boilerplate case:
+    * distinct documents sharing long verbatim passages (licenses,
+    * headers, templated intros). This is the k-gram formulation of
+    * training-data substring dedup: slide a k-char window over each
+    * document, find grams occurring in ≥2 distinct documents, and merge
+    * runs of consecutive duplicated positions into maximal spans
+    * [span_start, span_start + span_len).
+    *
+    * Plan: one `transform(sequence, i -> substring)` per document (the
+    * gram array materializes transiently inside the row — never
+    * len × doc copies), posexplode to (doc, pos, gram), then a single
+    * whole-partition window keyed on the gram whose min(doc) ≠ max(doc)
+    * test marks cross-document grams (≡ count-distinct ≥ 2). ONE
+    * exchange+sort of the gram rows — measured 3–5× cheaper than both
+    * textbook shapes: aggregate-then-join-back re-scans and re-shuffles
+    * every gram, and collect-list-of-occurrences builds |grams| object
+    * buffers. Survivor positions then merge into maximal runs via the
+    * per-doc islands window (pos − row_number), whose volume is the
+    * duplicated fraction only.
+    *
+    * k trades recall for background noise: at k=20 a ~30-word synthetic
+    * vocabulary makes a THIRD of all positions collide by chance; k=40
+    * (≈7 words) pushes chance collisions to ~0 so spans are genuinely
+    * shared passages (measured 464k → 118k duplicated positions at
+    * sf0.1, the latter ≈ the true near-dup content floor).
+    *
+    * Scale: volume is O(total chars) rows shuffled once, keyed by the
+    * gram STRING. The 8-byte-key variant (partition by
+    * [[Hashing.md5Long60]](gram), mirrorable in the oracle since md5 is
+    * engine-independent) was measured SLOWER at sf0.1 (4.6–5.2s vs
+    * 3.7s — the per-gram md5 outruns the sort savings on 40-char keys);
+    * it becomes the right trade once shuffle bytes dominate compute,
+    * i.e. on a real network at corpus scale. Spans ≥ 2k chars are
+    * reported so isolated k-gram coincidences stay out. */
+  def substringSpans(docs: DataFrame, k: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"), lower(col("text")).as("txt"))
+      .filter(length(col("txt")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(txt) - ${k - 1}), i -> substring(txt, i, $k))"))
+        .as(Seq("idx", "gram")))
+      .select(col("doc_id"), (col("idx") + 1).cast("long").as("pos"), col("gram"))
+    val wg = Window.partitionBy(col("gram"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams
+      .withColumn("xdoc",
+        min(col("doc_id")).over(wg) =!= max(col("doc_id")).over(wg))
+      .filter(col("xdoc"))
+      .withColumn("isl", col("pos") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).as("span_len"))
+      .filter(col("span_len") >= 2 * k)
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+  }
+
+  def substringQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    substringSpans(t(s, dir, "documents"), k = 40)
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  val substringSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lower(text) AS txt, length(text) AS n
+      |  FROM documents WHERE length(text) >= 40),
+      |u AS (SELECT doc_id, txt,
+      |        unnest(generate_series(1, n - 39)) AS pos FROM d),
+      |g AS (SELECT doc_id, pos, substr(txt, CAST(pos AS INT), 40) AS gram FROM u),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+      |h AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+      |i AS (SELECT doc_id, pos,
+      |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      |      FROM h)
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |       CAST(max(pos) - min(pos) + 40 AS BIGINT) AS span_len
+      |FROM i GROUP BY doc_id, isl HAVING max(pos) - min(pos) + 40 >= 80
+      |ORDER BY doc_id, span_start""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -502,6 +583,7 @@ object Dedup {
     "q_dedup_embed" -> embed,
     "q_dedup_drop" -> dropQ,
     "q_dedup_clusters" -> clustersQ,
+    "q_dedup_substring" -> substringQ,
     "q_split_contamination" -> contaminationQ)
 
   def oracle: Map[String, String] = Map(
@@ -512,5 +594,6 @@ object Dedup {
     "q_dedup_embed" -> embedSql,
     "q_dedup_drop" -> dropSql,
     "q_dedup_clusters" -> clustersSql,
+    "q_dedup_substring" -> substringSql,
     "q_split_contamination" -> contaminationSql)
 }

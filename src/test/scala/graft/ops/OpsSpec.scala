@@ -433,6 +433,23 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("substringSpans: shared passages found exactly, short overlaps dropped, case-folded") {
+    import spark.implicits._
+    val shared = ("the quick brown fox jumps over the lazy dog " * 3).take(100)
+    val short79 = ("not long enough to report as duplicated span " * 2).take(79)
+    val docs = Seq(
+      (1L, "a" * 50 + shared + "c" * 30),
+      (2L, "b" * 50 + shared.toUpperCase + "d" * 30), // case-folds to a match
+      (3L, "e" * 200),                                // no cross-doc content
+      (4L, "f" * 20 + short79 + "g" * 20),
+      (5L, "h" * 20 + short79 + "i" * 20)             // 79 < 2k — not reported
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, k = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 51L, 100L), (2L, 51L, 100L)),
+      s"expected exactly the two 100-char shared spans, got $spans")
+  }
+
   test("text chunk: full coverage, exact overlap, reassembly, map-only plan") {
     import spark.implicits._
     val docs = graft.Tables.t(spark, sfDir, "documents")
