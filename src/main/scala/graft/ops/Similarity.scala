@@ -316,6 +316,103 @@ object Similarity {
   def ivfCheck(s: SparkSession, dir: String): DataFrame =
     recallCheck(annIvf(s, dir, nProbe = 8), s, dir, minHits = 5)
 
+  /** Approximate kNN GRAPH — nearest neighbors for EVERY vector, not a
+    * bounded query set: the structure semantic-dedup and graph-based
+    * curation build over the whole corpus. A brute-force self-join is
+    * O(n²) scores; here candidates come from an SRP bucket SELF-join
+    * (finer than the query-set ANN: more sign bits per table because
+    * occupancy, not recall, is the binding constraint when both sides
+    * are the corpus), deduped as id PAIRS before any vector is
+    * re-joined, then scored once and reduced per source id by the
+    * bounded [[TopKByScore]] aggregator.
+    *
+    * Scale: candidate volume = Σ_buckets occupancy² per table — set
+    * `bits` so the expected bucket occupancy stays O(n / 2^bits) small;
+    * the pair-dedup shuffle carries 16-byte id pairs, vectors travel
+    * only for the surviving candidate set. No stage is O(n²). */
+  def knnGraph(e: DataFrame, k: Int = 5,
+               tables: Int = 8, bits: Int = 6): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val b = bucketed(e, tables, bits)
+    val cand = b.select($"vec_id".as("a_id"), $"tbl", $"bucket")
+      .join(b.select($"vec_id".as("b_id"), $"tbl", $"bucket"),
+        Seq("tbl", "bucket"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    val va = e.select($"vec_id".as("a_id"), $"v".as("av"), $"nrm".as("an"))
+    val vb = e.select($"vec_id".as("b_id"), $"v".as("bv"), $"nrm".as("bn"))
+    val scored = cand.join(va, "a_id").join(vb, "b_id")
+      .select($"a_id".as("query_id"), $"b_id".as("vec_id"),
+        (dot($"av", $"bv") / ($"an" * $"bn")).as("cos"))
+    topkByKey(scored, k, "query_id", "cos", "score", "rn")
+  }
+
+  /** Dev probe (see `Dev knnprobe`): per-query overlap of the graph's
+    * top-5 with the exact top-5 on the RAW corpus — LSH recall for
+    * arbitrary-distance neighbors is the classic weak spot (most "5th
+    * nearest" vectors here are barely-correlated, the regime where
+    * sign-random-projection buckets carry little signal), which is why
+    * the registered GATE asserts the near-duplicate edges instead. */
+  private[graft] def knnGraphHits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val approx = knnGraph(vecs(s, dir)).filter($"query_id" < 30)
+      .select($"query_id", $"vec_id")
+    val e = vecs(s, dir)
+    val q = e.filter($"vec_id" < 30)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val exact = topkByKey(
+      e.join(broadcast(q)).filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos")),
+      5, "query_id", "cos", "score", "rn")
+      .select($"query_id", $"vec_id")
+    val hits = approx.join(exact, Seq("query_id", "vec_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("hits"))
+    t(s, dir, "embeddings").filter($"vec_id" < 30)
+      .select($"vec_id".as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id", coalesce($"hits", lit(0L)).as("hits"))
+  }
+
+  /** q_similarity_knn_graph entry — the gate asserts what a dedup/
+    * curation pipeline actually needs from the graph: over the
+    * [[Dedup.embed]] re-crawl corpus (every 5th vector duplicated under
+    * id+100000), EVERY planted twin pair must appear as a graph edge in
+    * both directions. A cos ≈ 1 twin collides in a 6-bit SRP table with
+    * p ≈ 0.92, across 8 tables misses with p ≈ 2.5e-9 — so a single
+    * absent edge means broken bucketing/scoring, and the oracle (which
+    * enumerates the planted pairs exactly) hash-fails. */
+  def knnGraphCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val crawl = base.unionByName(
+      base.filter($"vec_id" % 5 === 0)
+        .withColumn("vec_id", $"vec_id" + 100000L))
+    val edges = knnGraph(widened(crawl), k = 5)
+      .select($"query_id", $"vec_id".as("twin_id"), lit(1).as("ing"))
+    val twins = base.filter($"vec_id" % 5 === 0)
+      .select($"vec_id".as("a"), ($"vec_id" + 100000L).as("b"))
+    twins.select($"a".as("query_id"), $"b".as("twin_id"))
+      .unionByName(twins.select($"b".as("query_id"), $"a".as("twin_id")))
+      .join(edges, Seq("query_id", "twin_id"), "left")
+      .select($"query_id", $"twin_id",
+        coalesce($"ing", lit(0)).cast("int").as("in_graph"))
+      .orderBy($"query_id")
+  }
+
+  /** Oracle twin of [[knnGraphCheck]]: every planted twin pair, both
+    * directions, must be an edge. */
+  val knnGraphCheckSql: String =
+    """WITH t AS (
+      |  SELECT vec_id AS a, vec_id + 100000 AS b
+      |  FROM embeddings WHERE vec_id % 5 = 0)
+      |SELECT query_id, twin_id, 1 AS in_graph FROM (
+      |  SELECT a AS query_id, b AS twin_id FROM t
+      |  UNION ALL
+      |  SELECT b AS query_id, a AS twin_id FROM t)
+      |ORDER BY query_id""".stripMargin
+
   /** Oracle twin of [[recallCheck]]: every query id < 10 must pass. */
   val recallCheckSql: String =
     """SELECT vec_id AS query_id, 1 AS recall_ok
@@ -327,7 +424,8 @@ object Similarity {
     "q_similarity_topk" -> topk,
     "q_similarity_ann" -> annCheck,
     "q_similarity_ivf" -> ivfCheck,
-    "q_similarity_ivf_search" -> ivfSearchCheck)
+    "q_similarity_ivf_search" -> ivfSearchCheck,
+    "q_similarity_knn_graph" -> ((s, dir) => knnGraphCheck(s, dir)))
 
   /** The ANN entries emit a deterministic recall gate (see
     * [[recallCheck]]) so the driver records a full hash-compared row;
@@ -336,5 +434,6 @@ object Similarity {
     "q_similarity_topk" -> topkSql,
     "q_similarity_ann" -> recallCheckSql,
     "q_similarity_ivf" -> recallCheckSql,
-    "q_similarity_ivf_search" -> recallCheckSql)
+    "q_similarity_ivf_search" -> recallCheckSql,
+    "q_similarity_knn_graph" -> knnGraphCheckSql)
 }

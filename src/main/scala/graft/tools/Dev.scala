@@ -35,6 +35,15 @@ object Dev {
         val df = graft.SparkEntry.queries(args(1))(spark, dir)
         df.show(20, truncate = false)
         println(s"ROWS: ${df.count()}")
+      case "knnprobe" =>
+        // recall-margin probe for the kNN-graph gate: distribution of
+        // per-query exact-top-5 hits (gate health = how far the min sits
+        // above the threshold)
+        import org.apache.spark.sql.functions._
+        val g = graft.ops.Similarity.knnGraphCheck(spark, dir)
+        println(s"twin-gate rows: ${g.count()}")
+        graft.ops.Similarity.knnGraphHits(spark, dir)
+          .groupBy(col("hits")).count().orderBy(col("hits")).show()
       case "dump" =>
         // single-query verify dump (same shape Verify.scala writes), so
         // one new query can be oracle-checked without a full sweep

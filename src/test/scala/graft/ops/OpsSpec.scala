@@ -433,6 +433,32 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("knnGraph: twins are edges, no self-edges, at most k per node, deterministic") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian().toFloat)
+    }
+    val rows = (0L until 40L).map(i => (i, vec(i.toInt))) ++
+      Seq((100L, vec(3)), (101L, vec(7))) // exact twins of 3 and 7
+    val e = Similarity.widened(rows.toDF("vec_id", "embedding"))
+    val g = Similarity.knnGraph(e, k = 5)
+    val edges = g.select($"query_id", $"vec_id", $"rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(!edges.exists(t => t._1 == t._2), "no self-edges")
+    val perNode = edges.groupBy(_._1).view.mapValues(_.length)
+    assert(perNode.values.forall(_ <= 5), "at most k edges per node")
+    // exact twins must be each other's rank-1 neighbor
+    val rank1 = edges.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    assert(rank1(3L) == 100L && rank1(100L) == 3L)
+    assert(rank1(7L) == 101L && rank1(101L) == 7L)
+    // deterministic: identical second run
+    val again = Similarity.knnGraph(e, k = 5)
+      .select($"query_id", $"vec_id", $"rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(edges.sorted.sameElements(again.sorted))
+  }
+
   test("substringSpans: shared passages found exactly, short overlaps dropped, case-folded") {
     import spark.implicits._
     val shared = ("the quick brown fox jumps over the lazy dog " * 3).take(100)
