@@ -45,6 +45,7 @@ object SparkEntry {
     graft.ops.Skew.queries ++
     graft.ops.Similarity.queries ++
     graft.ops.Centroids.queries ++
+    graft.ops.Patterns.queries ++
     graft.ops.Pii.queries ++
     graft.ops.Profile.queries ++
     graft.ops.Quantize.queries ++
@@ -67,6 +68,7 @@ object SparkEntry {
     graft.ops.Skew.oracle ++
     graft.ops.Similarity.oracle ++
     graft.ops.Centroids.oracle ++
+    graft.ops.Patterns.oracle ++
     graft.ops.Pii.oracle ++
     graft.ops.Profile.oracle ++
     graft.ops.Quantize.oracle ++
