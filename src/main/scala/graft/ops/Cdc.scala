@@ -91,11 +91,46 @@ object Cdc {
       |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
       |FROM ch ORDER BY user_id, valid_from, attr""".stripMargin
 
+  /** Incremental rollup maintenance — the partial-aggregate algebra a
+    * pipeline leans on to AVOID re-scanning history: per-day partials
+    * (what each ingestion batch writes) re-aggregate into the monthly
+    * rollup, and the result is IDENTICAL to aggregating the raw log
+    * directly — which is exactly what the DuckDB oracle computes, so
+    * the hash compare proves the merge algebra, not just the numbers.
+    * Holds because every measure is a semigroup merge: counts and
+    * DECIMAL sums add exactly (doubles would drift with the grouping),
+    * min/max compose. At 100 TB: the monthly job reads |days × types|
+    * partial rows instead of the log. */
+  def rollupMergeQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,6)")).as("sv"),
+        min($"value").as("mn"), max($"value").as("mx"))
+    daily.groupBy($"event_type")
+      .agg(sum($"n").as("n_events"),
+        sum($"sv").cast("decimal(18,6)").cast("double").as("total_value"),
+        min($"mn").as("v_min"), max($"mx").as("v_max"),
+        count(lit(1)).as("n_days"))
+      .orderBy($"event_type")
+  }
+
+  val rollupMergeSql: String =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS total_value,
+      |  min(value) AS v_min, max(value) AS v_max,
+      |  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_latest" -> latestQ,
-    "q_cdc_scd2" -> scd2Q)
+    "q_cdc_scd2" -> scd2Q,
+    "q_cdc_rollup_merge" -> rollupMergeQ)
 
   def oracle: Map[String, String] = Map(
     "q_cdc_latest" -> latestSql,
-    "q_cdc_scd2" -> scd2Sql)
+    "q_cdc_scd2" -> scd2Sql,
+    "q_cdc_rollup_merge" -> rollupMergeSql)
 }

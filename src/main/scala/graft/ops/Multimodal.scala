@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -144,9 +144,73 @@ object Multimodal {
 
   // --- registry -------------------------------------------------------------
 
+  /** Container-format sniffing over binary payloads — the ingest-time
+    * check that claimed media types match the actual bytes (mislabeled
+    * media poisons a decode stage downstream; at 100 TB you reject it
+    * at the scanner, not in the codec). Magic prefixes are compared on
+    * `substring(hex(payload), ...)` — the one binary-prefix idiom that
+    * evaluates identically in Spark and the DuckDB oracle (DuckDB has
+    * no BLOB substring). The fixture plants jpeg/png/wav magics by
+    * doc_id residue and MISLABELS every 7th payload, so the mismatch
+    * accounting is exercised, not vacuous. Pure map + a ≤16-group
+    * aggregate: scan-speed at any scale. */
+  def sniffQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val magic = Map(
+      "jpeg" -> Array(0xFF, 0xD8, 0xFF).map(_.toByte),
+      "png" -> Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte),
+      "wav" -> Array(0x52, 0x49, 0x46, 0x46).map(_.toByte))
+    // actual bytes follow doc_id % 4; the CLAIM follows (doc_id + (doc_id % 7 == 0)) % 4
+    val actualKind = $"doc_id" % 4
+    val claimKind = ($"doc_id" + when($"doc_id" % 7 === 0, 1).otherwise(0)) % 4
+    def kindName(k: Column): Column =
+      when(k === 0, "jpeg").when(k === 1, "png")
+        .when(k === 2, "wav").otherwise("text")
+    val payload = concat(
+      when(actualKind === 0, lit(magic("jpeg")))
+        .when(actualKind === 1, lit(magic("png")))
+        .when(actualKind === 2, lit(magic("wav")))
+        .otherwise(lit(Array.empty[Byte])),
+      encode($"text", "UTF-8"))
+    val hexHead = substring(hex(payload), 1, 8)
+    val sniffed =
+      when(substring(hexHead, 1, 6) === "FFD8FF", "jpeg")
+        .when(hexHead === "89504E47", "png")
+        .when(hexHead === "52494646", "wav")
+        .otherwise("text")
+    t(s, dir, "documents")
+      .select($"doc_id", kindName(claimKind).as("claimed"), sniffed.as("sniffed"))
+      .groupBy($"claimed", $"sniffed")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"claimed", $"sniffed")
+  }
+
+  val sniffSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 4 WHEN 0 THEN '\xFF\xD8\xFF'::BLOB
+      |                    WHEN 1 THEN '\x89\x50\x4E\x47'::BLOB
+      |                    WHEN 2 THEN '\x52\x49\x46\x46'::BLOB
+      |                    ELSE ''::BLOB END || encode(text) AS payload,
+      |    CASE (doc_id + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) % 4
+      |         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+      |         WHEN 2 THEN 'wav' ELSE 'text' END AS claimed
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, claimed,
+      |    CASE WHEN substring(hex(payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
+      |         WHEN substring(hex(payload), 1, 8) = '89504E47' THEN 'png'
+      |         WHEN substring(hex(payload), 1, 8) = '52494646' THEN 'wav'
+      |         ELSE 'text' END AS sniffed
+      |  FROM m)
+      |SELECT claimed, sniffed, CAST(count(*) AS BIGINT) AS n
+      |FROM s GROUP BY claimed, sniffed ORDER BY claimed, sniffed""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal" -> multimodal)
+    "q_multimodal" -> multimodal,
+    "q_multimodal_sniff" -> sniffQ)
 
   def oracle: Map[String, String] = Map(
-    "q_multimodal" -> multimodalSql)
+    "q_multimodal" -> multimodalSql,
+    "q_multimodal_sniff" -> sniffSql)
 }
