@@ -590,6 +590,53 @@ object Text {
       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
       |FROM o GROUP BY 1, 2, 3 ORDER BY split, shard, seq_id""".stripMargin
 
+  /** Vocabulary induction — the token-frequency table a tokenizer build
+    * starts from: every distinct token with corpus count, document
+    * frequency, and the CUMULATIVE corpus-coverage share in rank order
+    * (the curve that answers "how many vocab entries cover 95% of
+    * tokens"). Scale shape: explode feeds a map-side-combinable
+    * (token) aggregate — vocabulary is Heaps'-law bounded, so the
+    * exchange carries O(|vocab| × partitions) rows however big the
+    * corpus; the rank/cumsum window runs over the VOCABULARY (bounded),
+    * not the corpus, and total tokens enter as a broadcast 1-row frame.
+    * Counts and the cumsum are exact integers; coverage is one
+    * identically-parenthesized division. */
+  def vocabQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val counts = withToks(s, dir)
+      .select($"doc_id", explode($"toks").as("tok"))
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("df"))
+    val total = counts.agg(sum($"n").as("tot"))
+    val w = Window.orderBy($"n".desc, $"tok".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(Window.orderBy($"n".desc, $"tok".asc)))
+      .withColumn("cum", sum($"n").over(w))
+      .filter($"rank" <= 50)
+      .select($"rank".cast("int").as("rank"), $"tok", $"n", $"df",
+        round($"cum".cast("double") / $"tot".cast("double"), 6).as("cum_coverage"))
+      .orderBy($"rank")
+  }
+
+  val vocabSql: String =
+    s"""WITH c AS (
+      |  SELECT t AS tok, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
+      |  GROUP BY t),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+      |r AS (
+      |  SELECT tok, n, df,
+      |    row_number() OVER (ORDER BY n DESC, tok) AS rank,
+      |    sum(n) OVER (ORDER BY n DESC, tok
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM c)
+      |SELECT CAST(rank AS INT) AS rank, tok, n, df,
+      |  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_coverage
+      |FROM r, tot WHERE rank <= 50 ORDER BY rank""".stripMargin
+
   /** Fixed-size overlapping document chunking — the context-window prep
     * step that turns long documents into trainable/retrievable pieces:
     * chunk i covers chars [i·stride, i·stride + size), stride = size −
@@ -644,6 +691,7 @@ object Text {
     "q_text_repetition" -> repetition,
     "q_text_entropy" -> entropy,
     "q_text_chunk" -> chunkQ,
+    "q_vocab_top" -> vocabQ,
     "q_pack_sequences" -> ((s, dir) => packSequences(s, dir)),
     "q_split_assign" -> splitAssign,
     "q_sample_mixture" -> mixtureQ,
@@ -661,6 +709,7 @@ object Text {
     "q_text_repetition" -> repetitionSql,
     "q_text_entropy" -> entropySql,
     "q_text_chunk" -> chunkSql,
+    "q_vocab_top" -> vocabSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_split_assign" -> splitAssignSql,
     "q_sample_mixture" -> sampleMixtureSql,

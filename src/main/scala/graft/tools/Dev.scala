@@ -66,6 +66,7 @@ object Dev {
           "q_drift_psi" -> "1-row totals frame",
           "q_profile_histogram" -> "1-row min/max frame",
           "q_text_tfidf" -> "1-row corpus-size frame",
+          "q_vocab_top" -> "1-row total-tokens frame",
           "q_similarity_topk" -> "bounded query-vector set",
           "q_similarity_ann" -> "bounded query-vector set",
           "q_similarity_ivf" -> "bounded query-vector set",
