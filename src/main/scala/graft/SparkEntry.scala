@@ -49,6 +49,7 @@ object SparkEntry {
     graft.ops.Pii.queries ++
     graft.ops.Profile.queries ++
     graft.ops.Quantize.queries ++
+    graft.ops.Repair.queries ++
     graft.ops.Text.queries ++
     graft.ops.Multimodal.queries ++
     graft.streaming.EventStreams.queries
@@ -72,6 +73,7 @@ object SparkEntry {
     graft.ops.Pii.oracle ++
     graft.ops.Profile.oracle ++
     graft.ops.Quantize.oracle ++
+    graft.ops.Repair.oracle ++
     graft.ops.Text.oracle ++
     graft.ops.Multimodal.oracle ++
     graft.streaming.EventStreams.oracle

@@ -97,11 +97,46 @@ object Profile {
       |FROM events e JOIN st USING (event_type)
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  /** Order-independent content checksum — the integrity primitive for
+    * validating a copied/migrated/re-partitioned table WITHOUT sorting
+    * it: per-row 60-bit md5 of a canonical string encoding, summed as
+    * DECIMAL(38,0) (exact, overflow-free, commutative — so any
+    * partitioning, engine, or row order yields the identical digest).
+    * A single flipped value anywhere changes the sum with probability
+    * 1 − 2⁻⁶⁰. One map + one scalar aggregate: scan speed, 1-row
+    * output, no exchange beyond the final combine.
+    *
+    * Canonical encoding pins column order and formatting explicitly
+    * (`concat_ws('|', ...)` over string-cast columns) — checksums are a
+    * CONTRACT, so the encoding lives in the query, not in engine
+    * defaults. */
+  def checksumQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val canon = concat_ws("|",
+      $"l_orderkey".cast("string"), $"l_linenumber".cast("string"),
+      $"l_quantity".cast("string"), $"l_returnflag")
+    t(s, dir, "lineitem")
+      .select(Hashing.md5Long60(canon).as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"h".cast("decimal(38,0)")).as("checksum"))
+      .select($"n_rows", $"checksum".cast("decimal(38,0)").as("checksum"))
+  }
+
+  val checksumSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(('0x' || substr(md5(
+      |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+      |    || '|' || CAST(l_quantity AS VARCHAR) || '|' || l_returnflag
+      |  ), 1, 15))::UBIGINT AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+      |FROM lineitem""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_histogram" -> histogramQ,
-    "q_profile_zscore" -> zscoreQ)
+    "q_profile_zscore" -> zscoreQ,
+    "q_profile_checksum" -> checksumQ)
 
   def oracle: Map[String, String] = Map(
     "q_profile_histogram" -> histogramSql,
-    "q_profile_zscore" -> zscoreSql)
+    "q_profile_zscore" -> zscoreSql,
+    "q_profile_checksum" -> checksumSql)
 }
