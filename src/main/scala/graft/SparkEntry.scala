@@ -51,6 +51,7 @@ object SparkEntry {
     graft.ops.Quantize.queries ++
     graft.ops.Repair.queries ++
     graft.ops.Text.queries ++
+    graft.ops.TimeSeries.queries ++
     graft.ops.Multimodal.queries ++
     graft.streaming.EventStreams.queries
 
@@ -75,6 +76,7 @@ object SparkEntry {
     graft.ops.Quantize.oracle ++
     graft.ops.Repair.oracle ++
     graft.ops.Text.oracle ++
+    graft.ops.TimeSeries.oracle ++
     graft.ops.Multimodal.oracle ++
     graft.streaming.EventStreams.oracle
 }

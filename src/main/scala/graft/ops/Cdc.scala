@@ -124,13 +124,77 @@ object Cdc {
       |  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Snapshot diff — the versioned-table comparison a pipeline runs
+    * between two loads of the same source: which keys were added,
+    * removed, or changed? The fixture derives v2 from v1 in-query
+    * (drop every 13th user's row, modify every 7th's value, add a
+    * shifted-key batch) and the diff reconstructs exactly that edit
+    * script. Implementation: full outer join on the key comparing
+    * 60-bit row digests — change detection costs one hash compare per
+    * key, not a column-by-column diff; at 100 TB both sides shuffle
+    * (key, digest) pairs only, never payloads. */
+  def diffQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v1 = latestByKey(t(s, dir, "events"), $"user_id",
+      Seq($"ts", $"event_id"), Seq($"event_type", $"value"))
+      .select($"user_id", $"last.event_type".as("et"), $"last.value".as("v"))
+    val v2 = v1.filter($"user_id" % 13 =!= 0)
+      .select($"user_id", $"et",
+        when($"user_id" % 7 === 0, $"v" + 1.0).otherwise($"v").as("v"))
+      .unionByName(v1.filter($"user_id" < 20)
+        .select(($"user_id" + 1000000L).as("user_id"), $"et", $"v"))
+    def dig(df: DataFrame) = df.select($"user_id",
+      Hashing.md5Long60(concat_ws("|", $"et", $"v".cast("string"))).as("h"))
+    dig(v1).as("a")
+      .join(dig(v2).as("b"), Seq("user_id"), "full_outer")
+      .select($"user_id",
+        when($"a.h".isNull, "added")
+          .when($"b.h".isNull, "removed")
+          .when($"a.h" =!= $"b.h", "changed")
+          .otherwise("same").as("status"))
+      .filter($"status" =!= "same")
+      .orderBy($"user_id")
+  }
+
+  val diffSql: String =
+    """WITH v1 AS (
+      |  SELECT user_id, event_type AS et, value AS v
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM events) WHERE rn = 1),
+      |v2 AS (
+      |  SELECT user_id, et,
+      |    CASE WHEN user_id % 7 = 0 THEN v + 1.0 ELSE v END AS v
+      |  FROM v1 WHERE user_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT user_id + 1000000, et, v FROM v1 WHERE user_id < 20),
+      |d1 AS (SELECT user_id,
+      |  ('0x' || substr(md5(et || '|' || CAST(v AS VARCHAR)), 1, 15))::UBIGINT::BIGINT AS h
+      |  FROM v1),
+      |d2 AS (SELECT user_id,
+      |  ('0x' || substr(md5(et || '|' || CAST(v AS VARCHAR)), 1, 15))::UBIGINT::BIGINT AS h
+      |  FROM v2)
+      |SELECT COALESCE(d1.user_id, d2.user_id) AS user_id,
+      |  CASE WHEN d1.h IS NULL THEN 'added'
+      |       WHEN d2.h IS NULL THEN 'removed'
+      |       WHEN d1.h <> d2.h THEN 'changed'
+      |       ELSE 'same' END AS status
+      |FROM d1 FULL OUTER JOIN d2 USING (user_id)
+      |WHERE (CASE WHEN d1.h IS NULL THEN 'added'
+      |            WHEN d2.h IS NULL THEN 'removed'
+      |            WHEN d1.h <> d2.h THEN 'changed'
+      |            ELSE 'same' END) <> 'same'
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_latest" -> latestQ,
     "q_cdc_scd2" -> scd2Q,
-    "q_cdc_rollup_merge" -> rollupMergeQ)
+    "q_cdc_rollup_merge" -> rollupMergeQ,
+    "q_cdc_diff" -> diffQ)
 
   def oracle: Map[String, String] = Map(
     "q_cdc_latest" -> latestSql,
     "q_cdc_scd2" -> scd2Sql,
-    "q_cdc_rollup_merge" -> rollupMergeSql)
+    "q_cdc_rollup_merge" -> rollupMergeSql,
+    "q_cdc_diff" -> diffSql)
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repair/diff/resample semantics beyond the oracle hash: the invariants
+  * that make each op safe to run blindly in a pipeline. */
+class RepairSpec extends AnyFunSuite with SparkSpec {
+
+  test("impute leaves no nulls and touches only the damaged rows") {
+    import spark.implicits._
+    val out = Repair.imputeQ(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val imputed = r.getAs[Long]("n_imputed")
+      assert(imputed > 0 && imputed < n, "fixture must damage SOME rows")
+      assert(!r.isNullAt(r.fieldIndex("sum_after")),
+        "repaired sum must be defined (no nulls survived)")
+    }
+  }
+
+  test("winsorize preserves row counts, clips into [lo, hi], keeps interior values") {
+    import spark.implicits._
+    val ev = graft.Tables.t(spark, sfDir, "events")
+    val before = ev.groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Repair.winsorizeQ(spark, sfDir).collect()
+    out.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n") == before(et), "no rows created or lost")
+      val clipped = r.getAs[Long]("n_clipped")
+      // ~10% of rows sit outside exact p05/p95 by construction
+      assert(clipped > 0 && clipped < before(et) / 2,
+        s"$et clipped $clipped of ${before(et)} — outside plausible band")
+      assert(r.getAs[Double]("v_lo") <= r.getAs[Double]("v_hi"))
+    }
+  }
+
+  test("resample emits a complete grid; gaps only ever forward-fill") {
+    import spark.implicits._
+    val out = TimeSeries.resampleQ(spark, sfDir)
+    val perSeries = out.groupBy($"event_type").count().collect()
+    assert(perSeries.nonEmpty)
+    perSeries.foreach(r => assert(r.getLong(1) == 720L,
+      s"${r.getString(0)}: expected 720 hourly rows, got ${r.getLong(1)}"))
+    // once a series has seen data, v_filled is never null again
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"hour")
+    val bad = out
+      .withColumn("seen", max(($"n_obs" > 0).cast("int")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter($"seen" === 1 && $"v_filled".isNull)
+    assert(bad.isEmpty, "forward fill must cover every post-first-observation gap")
+  }
+
+  test("snapshot diff reconstructs exactly the planted edit script") {
+    import spark.implicits._
+    val out = Cdc.diffQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.nonEmpty)
+    out.foreach {
+      case (id, "added") => assert(id >= 1000000L, s"added id $id not from the shifted batch")
+      case (id, "removed") => assert(id % 13 == 0, s"removed id $id not a %13 drop")
+      case (id, "changed") => assert(id % 7 == 0 && id % 13 != 0, s"changed id $id not a %7 edit")
+      case (id, st) => fail(s"unexpected status $st for $id")
+    }
+    // and the script is complete: every %13 key is reported removed
+    val removed = out.collect { case (id, "removed") => id }.toSet
+    val expected = graft.Tables.t(spark, sfDir, "events")
+      .select($"user_id").distinct().filter($"user_id" % 13 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(removed == expected)
+  }
+}
