@@ -768,6 +768,38 @@ object Relational {
       |FROM big_orders JOIN seg ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): walk the implicit binary
+    * tree over small part keys (children of n are 2n and 2n+1), emitting
+    * (node, depth, path-min ancestor). Tier-D breadth: DataFusion's
+    * sqlparser accepts RECURSIVE, and Spark 4 executes it natively —
+    * each iteration is one distributed join of the frontier against the
+    * (pruned, pushed-down) base relation, frontier size bounded by the
+    * tree level, rounds bounded by the depth. */
+  def recursiveCte(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir, "part")
+    s.sql(
+      """WITH RECURSIVE walk(node, depth) AS (
+        |  SELECT CAST(1 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT p.p_partkey, w.depth + 1
+        |  FROM walk w JOIN part p
+        |    ON p.p_partkey = w.node * 2 OR p.p_partkey = w.node * 2 + 1
+        |  WHERE p.p_partkey < 64)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(depth AS INT) AS depth
+        |FROM walk ORDER BY node""".stripMargin)
+  }
+
+  val recursiveCteSql: String =
+    """WITH RECURSIVE walk(node, depth) AS (
+      |  SELECT CAST(1 AS BIGINT), 0
+      |  UNION ALL
+      |  SELECT p.p_partkey, w.depth + 1
+      |  FROM walk w JOIN part p
+      |    ON p.p_partkey = w.node * 2 OR p.p_partkey = w.node * 2 + 1
+      |  WHERE p.p_partkey < 64)
+      |SELECT CAST(node AS BIGINT) AS node, CAST(depth AS INT) AS depth
+      |FROM walk ORDER BY node""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -800,7 +832,8 @@ object Relational {
     "q_limit_offset" -> limitOffset,
     "q_scalar_subquery" -> scalarSubquery,
     "q_correlated_subquery" -> correlatedSubquery,
-    "q_cte" -> cte)
+    "q_cte" -> cte,
+    "q_recursive_cte" -> recursiveCte)
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
@@ -832,5 +865,6 @@ object Relational {
     "q_limit_offset" -> limitOffsetSql,
     "q_scalar_subquery" -> scalarSubquerySql,
     "q_correlated_subquery" -> correlatedSubquerySql,
-    "q_cte" -> cteSql)
+    "q_cte" -> cteSql,
+    "q_recursive_cte" -> recursiveCteSql)
 }
