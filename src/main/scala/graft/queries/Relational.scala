@@ -800,6 +800,104 @@ object Relational {
       |SELECT CAST(node AS BIGINT) AS node, CAST(depth AS INT) AS depth
       |FROM walk ORDER BY node""".stripMargin
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): nulls are
+    * planted on both sides in-query (every 20th supplier nation, every
+    * 4th nation key) and must MATCH each other — the semantics plain
+    * `=` silently drops. Null-safe equi-keys still hash-partition
+    * (null is just another key value), so the join stays a shuffle/
+    * broadcast HASH join, not a nested loop. */
+  def joinNullSafe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sup = t(s, dir, "supplier")
+      .select($"s_suppkey",
+        when($"s_suppkey" % 20 === 0, lit(null)).otherwise($"s_nationkey")
+          .as("nk"))
+    val nat = t(s, dir, "nation")
+      .select(when($"n_nationkey" % 4 === 0, lit(null))
+        .otherwise($"n_nationkey").as("nk2"), $"n_name")
+    sup.join(nat, $"nk" <=> $"nk2")
+      .groupBy(coalesce($"n_name", lit("<null-key>")).as("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"))
+      .orderBy($"n_name")
+  }
+
+  val joinNullSafeSql: String =
+    """WITH sup AS (
+      |  SELECT s_suppkey,
+      |    CASE WHEN s_suppkey % 20 = 0 THEN NULL ELSE s_nationkey END AS nk
+      |  FROM supplier),
+      |nat AS (
+      |  SELECT CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_nationkey END AS nk2,
+      |         n_name
+      |  FROM nation)
+      |SELECT COALESCE(n_name, '<null-key>') AS n_name,
+      |       CAST(count(*) AS BIGINT) AS n_suppliers
+      |FROM sup JOIN nat ON nk IS NOT DISTINCT FROM nk2
+      |GROUP BY 1 ORDER BY n_name""".stripMargin
+
+  /** NOT IN vs NOT EXISTS under nulls — the classic three-valued-logic
+    * trap: a single NULL in the NOT IN subquery empties the result,
+    * while NOT EXISTS keeps the expected rows. Both engines implement
+    * the standard; the query emits both counts so the parity (and the
+    * trap) is hash-pinned. */
+  def notInNulls(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir, "customer", "orders")
+    s.sql(
+      """WITH custkeys AS (
+        |  SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+        |              ELSE o_custkey END AS k
+        |  FROM orders),
+        |not_in AS (
+        |  SELECT count(*) AS n FROM customer
+        |  WHERE c_custkey NOT IN (SELECT k FROM custkeys)),
+        |not_exists AS (
+        |  SELECT count(*) AS n FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM custkeys WHERE k = c_custkey))
+        |SELECT CAST(not_in.n AS BIGINT) AS n_not_in,
+        |       CAST(not_exists.n AS BIGINT) AS n_not_exists
+        |FROM not_in, not_exists""".stripMargin)
+  }
+
+  val notInNullsSql: String =
+    """WITH custkeys AS (
+      |  SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+      |              ELSE o_custkey END AS k
+      |  FROM orders),
+      |not_in AS (
+      |  SELECT count(*) AS n FROM customer
+      |  WHERE c_custkey NOT IN (SELECT k FROM custkeys)),
+      |not_exists AS (
+      |  SELECT count(*) AS n FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM custkeys WHERE k = c_custkey))
+      |SELECT CAST(not_in.n AS BIGINT) AS n_not_in,
+      |       CAST(not_exists.n AS BIGINT) AS n_not_exists
+      |FROM not_in, not_exists""".stripMargin
+
+  /** LATERAL correlated subquery (Spark 3.2+/DuckDB): per-nation top-2
+    * suppliers by account balance — the per-row-subquery formulation
+    * Catalyst decorrelates into a ranked join rather than executing
+    * per outer row. */
+  def lateralTopN(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir, "supplier", "nation")
+    s.sql(
+      """SELECT n_name, s_name, s_acctbal
+        |FROM nation,
+        |LATERAL (
+        |  SELECT s_name, s_acctbal FROM supplier
+        |  WHERE s_nationkey = n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name LIMIT 2)
+        |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin)
+  }
+
+  val lateralTopNSql: String =
+    """SELECT n_name, s_name, s_acctbal
+      |FROM nation,
+      |LATERAL (
+      |  SELECT s_name, s_acctbal FROM supplier
+      |  WHERE s_nationkey = n_nationkey
+      |  ORDER BY s_acctbal DESC, s_name LIMIT 2)
+      |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -833,7 +931,10 @@ object Relational {
     "q_scalar_subquery" -> scalarSubquery,
     "q_correlated_subquery" -> correlatedSubquery,
     "q_cte" -> cte,
-    "q_recursive_cte" -> recursiveCte)
+    "q_recursive_cte" -> recursiveCte,
+    "q_join_nullsafe" -> joinNullSafe,
+    "q_not_in_nulls" -> notInNulls,
+    "q_lateral_topn" -> lateralTopN)
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
@@ -866,5 +967,8 @@ object Relational {
     "q_scalar_subquery" -> scalarSubquerySql,
     "q_correlated_subquery" -> correlatedSubquerySql,
     "q_cte" -> cteSql,
-    "q_recursive_cte" -> recursiveCteSql)
+    "q_recursive_cte" -> recursiveCteSql,
+    "q_join_nullsafe" -> joinNullSafeSql,
+    "q_not_in_nulls" -> notInNullsSql,
+    "q_lateral_topn" -> lateralTopNSql)
 }
