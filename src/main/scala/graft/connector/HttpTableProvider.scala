@@ -148,7 +148,7 @@ final class HttpScanBuilder(full: StructType, rows: Array[String])
     val afterLimit =
       if (limit >= 0 && limit < afterFilters.length) afterFilters.take(limit)
       else afterFilters
-    new HttpScan(afterLimit, required)
+    new HttpScan(afterLimit, required, full.length)
   }
 }
 
@@ -231,13 +231,34 @@ private[connector] object JsonPredicate {
 /** Scan over the driver-held snapshot: rows are sliced across
   * defaultParallelism input partitions (the reference pins one partition —
   * execution.rs:95 — this is the strictly-better distributed layout), and
-  * each reader decodes only the pruned columns. */
-final class HttpScan(rows: Array[String], required: StructType)
-    extends Scan with Batch {
+  * each reader decodes only the pruned columns.
+  *
+  * Reports statistics ([[SupportsReportStatistics]]) from the snapshot
+  * it already holds: exact row count, size ≈ pruned-fraction of the
+  * JSON text bytes. Catalyst's join planning consumes these — a small
+  * HTTP dim joined to a big fact gets broadcast because the scan SAYS
+  * it is small, instead of falling back to the conservative default
+  * (sort-merge both sides). The reference's plan reports no stats at
+  * all (`PlanProperties` carries none — execution.rs:88-98). */
+final class HttpScan(rows: Array[String], required: StructType,
+                     fullFieldCount: Int)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"HttpScan(rows=${rows.length}, readSchema=${required.catalogString})"
   override def toBatch: Batch = this
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val textBytes = rows.iterator.map(_.length.toLong).sum
+    // pruned columns never materialize — scale the text size by the
+    // projected fraction (floor 1 field so the estimate never hits 0)
+    private val frac =
+      math.max(1, required.length).toDouble / math.max(1, fullFieldCount)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, (textBytes * frac).toLong))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows.length.toLong)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (rows.isEmpty) return Array.empty // pushed filters can prune all rows

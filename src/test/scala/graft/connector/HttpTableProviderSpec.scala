@@ -160,4 +160,27 @@ class HttpTableProviderSpec extends AnyFunSuite with SparkSpec {
       assert(parts.map(_.asInstanceOf[HttpInputPartition].rows.length).sum == 3)
     }
   }
+
+  test("scan reports snapshot statistics; a small http dim broadcasts unhinted") {
+    import spark.implicits._
+    StubServer.withServer({ case ("GET", "/users", _) => (200, users) }) { srv =>
+      val df = spark.read.format("http").option("url", srv.url("/users")).load()
+      // exact row count + a pruning-aware size estimate
+      val st = scanOf(df.select($"id")).estimateStatistics()
+      assert(st.numRows().getAsLong == 3L)
+      assert(st.sizeInBytes().getAsLong > 0)
+      val full = scanOf(df).estimateStatistics().sizeInBytes().getAsLong
+      assert(st.sizeInBytes().getAsLong < full,
+        "projected scan must report a smaller size than the full scan")
+      // join planning consumes the stats: tiny http dim × larger fact →
+      // BroadcastHashJoin with NO hint (conservative defaults would SMJ)
+      val fact = spark.range(0, 10000).select(($"id" % 3 + 1).as("id"),
+        ($"id" * 2).as("v"))
+      val joined = fact.join(df.select($"id", $"name"), "id")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected stats-driven broadcast of the http side:\n$plan")
+    }
+  }
 }
