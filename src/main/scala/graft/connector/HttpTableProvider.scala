@@ -73,7 +73,7 @@ final class HttpTableProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val (src, rows) = snapshot(new CaseInsensitiveStringMap(properties))
-    new HttpTable(src.name, schema, rows.toArray)
+    new HttpTable(src.name, schema, rows.toArray, src)
   }
 }
 
@@ -99,15 +99,21 @@ object HttpTableProvider {
   }
 }
 
-/** Fetched snapshot as a readable table. */
+/** Fetched snapshot as a readable table — batch over the snapshot, or a
+  * MICRO-BATCH stream that consumes one page per trigger (the
+  * reference's pagination loop re-expressed as an incremental source:
+  * offsets ARE page numbers, so restart/recovery replays exactly the
+  * uncommitted pages). */
 final class HttpTable(tableName: String, tableSchema: StructType,
-                      rows: Array[String]) extends Table with SupportsRead {
+                      rows: Array[String], src: Source)
+    extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new HttpScanBuilder(tableSchema, rows)
+    new HttpScanBuilder(tableSchema, rows, src)
 }
 
 /** Scan builder accepting Catalyst's column-pruning, filter, and limit
@@ -119,7 +125,8 @@ final class HttpTable(tableName: String, tableSchema: StructType,
   * it post-scan), so the driver-side JSON predicate can afford to be
   * best-effort — an un-evaluatable node simply keeps the row. Limit is
   * reported as not-fully-pushed for the same reason. */
-final class HttpScanBuilder(full: StructType, rows: Array[String])
+final class HttpScanBuilder(full: StructType, rows: Array[String],
+                            src: Source)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = full
@@ -148,7 +155,7 @@ final class HttpScanBuilder(full: StructType, rows: Array[String])
     val afterLimit =
       if (limit >= 0 && limit < afterFilters.length) afterFilters.take(limit)
       else afterFilters
-    new HttpScan(afterLimit, required, full.length)
+    new HttpScan(afterLimit, required, full.length, src)
   }
 }
 
@@ -241,12 +248,15 @@ private[connector] object JsonPredicate {
   * (sort-merge both sides). The reference's plan reports no stats at
   * all (`PlanProperties` carries none — execution.rs:88-98). */
 final class HttpScan(rows: Array[String], required: StructType,
-                     fullFieldCount: Int)
+                     fullFieldCount: Int, src: Source)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"HttpScan(rows=${rows.length}, readSchema=${required.catalogString})"
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new HttpMicroBatchStream(src, required)
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val textBytes = rows.iterator.map(_.length.toLong).sum
@@ -327,4 +337,69 @@ private[connector] object JsonDecode {
         catch { case _: Exception => null }
       case _ => null // types outside the inferred surface
     }
+}
+
+/** Streaming offset = the last fully-consumed PAGE NUMBER. Committing a
+  * batch therefore commits whole pages — on restart the checkpoint
+  * replays exactly the uncommitted pages, nothing finer-grained to
+  * reconcile. */
+final case class HttpPageOffset(page: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"page":$page}"""
+}
+
+/** Micro-batch stream over a paginated HTTP source: each trigger probes
+  * the next page; non-empty → one new batch carrying that page's rows.
+  * The reference's bounded pagination loop (datasources.rs:119-161)
+  * becomes an INCREMENTAL source — "tail -f" a growing API — with the
+  * same termination rule (empty/null page = caught up, not an error;
+  * `end_page` = hard stop).
+  *
+  * Driver-side page cache: `latestOffset` must fetch to know whether a
+  * page exists, and `planInputPartitions` must hand the same rows out —
+  * the cache makes that one fetch per page. After checkpoint recovery
+  * the cache is cold and uncommitted pages are re-fetched (offsets are
+  * page numbers, so recovery is well-defined against any endpoint that
+  * serves stable pages — the same assumption the reference's loop makes).
+  */
+final class HttpMicroBatchStream(src: Source, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val p = src.pagination.getOrElse(graft.config.Pagination())
+  @transient private lazy val fetcher = new HttpFetcher()
+  @transient private lazy val cache =
+    scala.collection.mutable.Map.empty[Int, Array[String]]
+
+  private def pageRows(page: Int): Array[String] = cache.synchronized {
+    cache.getOrElseUpdate(page,
+      fetcher.fetchPage(src.url, src.method, p, page).toArray)
+  }
+
+  private var known = p.startPage - 1
+
+  override def initialOffset(): Offset = HttpPageOffset(p.startPage - 1)
+
+  override def latestOffset(): Offset = {
+    val next = known + 1
+    if (next <= p.endPage && pageRows(next).nonEmpty) known = next
+    HttpPageOffset(known)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[HttpPageOffset].page
+    val e = end.asInstanceOf[HttpPageOffset].page
+    ((s + 1) to e).map(pg => HttpInputPartition(pageRows(pg)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HttpReaderFactory(required)
+
+  override def deserializeOffset(json: String): Offset =
+    HttpPageOffset(new ObjectMapper().readTree(json).get("page").asInt)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }

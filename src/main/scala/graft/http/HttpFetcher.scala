@@ -86,6 +86,11 @@ class HttpFetcher(timeout: Duration = Duration.ofSeconds(30)) {
     rows.result()
   }
 
+  /** One page's rows (the unit the streaming source consumes per
+    * micro-batch — same URL construction and flatten as the batch loop). */
+  def fetchPage(url: String, method: String, p: Pagination, page: Int): Seq[String] =
+    toRows(fetchJson(pageUrl(url, p, page), method))
+
   /** `url?{page_param}={n}&{page_size_param}={size}`, appending with `&`
     * when the url already has a query string (the reference always appends
     * `?page=` — datasources.rs:123-127 — which breaks such urls).

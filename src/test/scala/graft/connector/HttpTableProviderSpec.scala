@@ -183,4 +183,33 @@ class HttpTableProviderSpec extends AnyFunSuite with SparkSpec {
         s"expected stats-driven broadcast of the http side:\n$plan")
     }
   }
+
+  test("micro-batch stream consumes pages incrementally and stops when caught up") {
+    val pages: PartialFunction[(String, String, String), (Int, String)] = {
+      case ("GET", "/items", q) if q.contains("page=1") =>
+        (200, """[{"id":1,"v":"a"},{"id":2,"v":"b"}]""")
+      case ("GET", "/items", q) if q.contains("page=2") =>
+        (200, """[{"id":3,"v":"c"}]""")
+      case ("GET", "/items", _) => (200, "[]") // caught up
+    }
+    StubServer.withServer(pages) { srv =>
+      val stream = spark.readStream.format("http")
+        .option("url", srv.url("/items"))
+        .option("paginate", "true")
+        .option("start_page", "1").option("end_page", "10")
+        .load()
+      assert(stream.isStreaming)
+      val q = stream.writeStream.format("memory")
+        .queryName("http_pages").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("http_pages").collect()
+          .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).sorted
+        assert(got.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+          "all pages must arrive exactly once, then the stream idles")
+        // offsets are page numbers: the last batch committed page 2
+        assert(q.lastProgress.sources.head.endOffset.contains("2"))
+      } finally q.stop()
+    }
+  }
 }
