@@ -33,13 +33,22 @@ import scala.jdk.CollectionConverters._
   * eager fetch, dataframe.rs:14-21): the snapshot is then parallelized
   * into a DataFrame, so a 1000-executor cluster still only fetches once.
   */
-class HttpFetcher(timeout: Duration = Duration.ofSeconds(30)) {
+class HttpFetcher(timeout: Duration = Duration.ofSeconds(30),
+                  maxRetries: Int = 2,
+                  backoffMillis: Long = 200L) {
 
   private val client: HttpClient =
     HttpClient.newBuilder().connectTimeout(timeout).build()
   private val mapper = new ObjectMapper()
 
-  /** One request → parsed JSON body. `null`/empty body → NullNode. */
+  /** One request → parsed JSON body. `null`/empty body → NullNode.
+    *
+    * Transient failures — connect/IO errors and 5xx/429 — retry up to
+    * `maxRetries` times with exponential backoff (production behavior
+    * the reference lacks: its `data_extraction` surfaces the first error,
+    * datasources.rs:237-248, so one flaky page kills a whole ingestion).
+    * 4xx other than 429 fails immediately: the request itself is wrong
+    * and retrying cannot fix it. */
   def fetchJson(url: String, method: String = "GET", body: String = ""): JsonNode = {
     val b = HttpRequest.newBuilder(URI.create(url)).timeout(timeout)
     val req = method.toUpperCase match {
@@ -48,9 +57,23 @@ class HttpFetcher(timeout: Duration = Duration.ofSeconds(30)) {
         .header("Content-Type", "application/json").build()
       case other  => throw HttpError(s"unsupported HTTP method: $other (only GET/POST)")
     }
-    val resp =
-      try client.send(req, HttpResponse.BodyHandlers.ofString())
-      catch { case e: Exception => throw HttpError(s"request failed: $url", cause = e) }
+    var attempt = 0
+    var resp: HttpResponse[String] = null
+    var lastErr: HttpError = null
+    while (resp == null && attempt <= maxRetries) {
+      if (attempt > 0) Thread.sleep(backoffMillis << (attempt - 1))
+      attempt += 1
+      try {
+        val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+        if (r.statusCode() >= 500 || r.statusCode() == 429)
+          lastErr = HttpError(s"HTTP ${r.statusCode()} from $url", r.statusCode())
+        else resp = r
+      } catch {
+        case e: Exception =>
+          lastErr = HttpError(s"request failed: $url", cause = e)
+      }
+    }
+    if (resp == null) throw lastErr
     if (resp.statusCode() < 200 || resp.statusCode() >= 300)
       throw HttpError(s"HTTP ${resp.statusCode()} from $url", resp.statusCode())
     val text = resp.body()

@@ -93,4 +93,36 @@ class HttpFetcherSpec extends AnyFunSuite {
     assert(fetcher.pageUrl("http://h/x", p, 3) == "http://h/x?page=3&limit=10")
     assert(fetcher.pageUrl("http://h/x?k=v", p, 3) == "http://h/x?k=v&page=3&limit=10")
   }
+
+  test("5xx retries with backoff and succeeds; 4xx fails immediately") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    StubServer.withServer({
+      case ("GET", "/flaky", _) =>
+        if (calls.incrementAndGet() <= 2) (503, """{"err":"busy"}""")
+        else (200, """[{"id":7}]""")
+      case ("GET", "/gone", _) => (404, """{"err":"no"}""")
+    }) { s =>
+      val retrying = new HttpFetcher(backoffMillis = 1L)
+      val rows = retrying.fetchRows(Source("flaky", s.url("/flaky")))
+      assert(rows.size == 1 && calls.get() == 3,
+        s"two 503s then success — got ${calls.get()} calls")
+      // a definitive client error must NOT be retried
+      val e = intercept[HttpError] {
+        retrying.fetchRows(Source("gone", s.url("/gone")))
+      }
+      assert(e.getMessage.contains("404"))
+    }
+  }
+
+  test("retries exhausted surfaces the last transient error") {
+    StubServer.withServer({
+      case ("GET", "/down", _) => (500, """{"err":"down"}""")
+    }) { s =>
+      val one = new HttpFetcher(maxRetries = 1, backoffMillis = 1L)
+      val e = intercept[HttpError] {
+        one.fetchRows(Source("down", s.url("/down")))
+      }
+      assert(e.getMessage.contains("500"))
+    }
+  }
 }
