@@ -349,18 +349,24 @@ final case class HttpPageOffset(page: Int)
 }
 
 /** Micro-batch stream over a paginated HTTP source: each trigger probes
-  * the next page; non-empty → one new batch carrying that page's rows.
-  * The reference's bounded pagination loop (datasources.rs:119-161)
-  * becomes an INCREMENTAL source — "tail -f" a growing API — with the
-  * same termination rule (empty/null page = caught up, not an error;
-  * `end_page` = hard stop).
+  * forward from the last known page; every contiguous non-empty page
+  * becomes one input partition of the batch. The reference's bounded
+  * pagination loop (datasources.rs:119-161) becomes an INCREMENTAL
+  * source — "tail -f" a growing API — with the same termination rule
+  * (empty/null page = caught up, not an error; `end_page` = hard stop).
+  *
+  * `latestOffset` probes to the CURRENT end of the feed (not one page
+  * per trigger): after checkpoint recovery a fresh stream re-probes
+  * from the start, finds the same latest page, and Spark's committed
+  * offset makes the next batch cover exactly the pages past it — no
+  * duplicates, no stalls, regardless of trigger cadence.
   *
   * Driver-side page cache: `latestOffset` must fetch to know whether a
   * page exists, and `planInputPartitions` must hand the same rows out —
-  * the cache makes that one fetch per page. After checkpoint recovery
-  * the cache is cold and uncommitted pages are re-fetched (offsets are
-  * page numbers, so recovery is well-defined against any endpoint that
-  * serves stable pages — the same assumption the reference's loop makes).
+  * the cache makes that one fetch per page. After recovery the cache is
+  * cold and uncommitted pages are re-fetched (offsets are page numbers,
+  * so recovery is well-defined against any endpoint that serves stable
+  * pages — the same assumption the reference's loop makes).
   */
 final class HttpMicroBatchStream(src: Source, required: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
@@ -372,8 +378,15 @@ final class HttpMicroBatchStream(src: Source, required: StructType)
     scala.collection.mutable.Map.empty[Int, Array[String]]
 
   private def pageRows(page: Int): Array[String] = cache.synchronized {
-    cache.getOrElseUpdate(page,
-      fetcher.fetchPage(src.url, src.method, p, page).toArray)
+    cache.get(page) match {
+      case Some(r) => r
+      case None =>
+        val r = fetcher.fetchPage(src.url, src.method, p, page).toArray
+        // an empty page means "not yet", not "never" — cache only real
+        // pages so a feed that grows between triggers is picked up
+        if (r.nonEmpty) cache.update(page, r)
+        r
+    }
   }
 
   private var known = p.startPage - 1
@@ -381,8 +394,7 @@ final class HttpMicroBatchStream(src: Source, required: StructType)
   override def initialOffset(): Offset = HttpPageOffset(p.startPage - 1)
 
   override def latestOffset(): Offset = {
-    val next = known + 1
-    if (next <= p.endPage && pageRows(next).nonEmpty) known = next
+    while (known < p.endPage && pageRows(known + 1).nonEmpty) known += 1
     HttpPageOffset(known)
   }
 

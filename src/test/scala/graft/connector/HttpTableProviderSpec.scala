@@ -212,4 +212,40 @@ class HttpTableProviderSpec extends AnyFunSuite with SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("stream restarts from checkpoint: resumes at the next page, no duplicates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val grown = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pages: PartialFunction[(String, String, String), (Int, String)] = {
+      case ("GET", "/feed", q) if q.contains("page=1") =>
+        (200, """[{"id":1},{"id":2}]""")
+      case ("GET", "/feed", q) if q.contains("page=2") && grown.get() =>
+        (200, """[{"id":3}]""") // page appears between runs
+      case ("GET", "/feed", _) => (200, "[]")
+    }
+    StubServer.withServer(pages) { srv =>
+      val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+      def runOnce(): Unit = {
+        val q = spark.readStream.format("http")
+          .option("url", srv.url("/feed")).option("paginate", "true")
+          .option("start_page", "1").option("end_page", "10")
+          .load()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      assert(spark.read.parquet(out).count() == 2, "first run drains page 1")
+      grown.set(true)
+      runOnce()
+      val ids = spark.read.parquet(out).select("id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L),
+        "restart must deliver ONLY the new page — no replays, no gaps")
+      runOnce()
+      assert(spark.read.parquet(out).count() == 3, "caught up: idempotent")
+    }
+  }
 }
