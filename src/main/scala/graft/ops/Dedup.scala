@@ -32,11 +32,16 @@ object Dedup {
   private val shinglesExpr =
     "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))"
 
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  /** (doc_id, sh) shingle sets for an arbitrary documents frame —
+    * the [[shingled]] contract over any (doc_id, text) input. */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(lower(col("text")), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingleSets(t(s, dir, "documents"))
 
   private val shingledSql =
     """WITH dtok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
@@ -80,6 +85,28 @@ object Dedup {
     * per partition. */
   private val Lanes = 128 // bands = Lanes / bandRows; collide prob per band = J^bandRows
 
+  /** MinHash signature → LSH band keys for a (doc_id, sh) frame:
+    * (doc_id, band, bh) rows, `lanes / bandRows` per doc. The shared
+    * index shape of the self-join ([[lshJaccardPairs]]) and the
+    * corpus-vs-batch join ([[incrementalQ]]). */
+  private def lshBands(sh: DataFrame, bandRows: Int, lanes: Int): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    val laneMins = (0 until lanes).map(j =>
+      min(xxhash64($"h", lit(j))).as(s"s$j"))
+    val sig = sh
+      .select($"doc_id", explode($"sh").as("shingle"))
+      .select($"doc_id", xxhash64($"shingle").as("h"))
+      .groupBy($"doc_id")
+      .agg(laneMins.head, laneMins.tail: _*)
+    val bandCols = (0 until lanes / bandRows).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until bandRows).map(i => col(s"s${bandRows * b + i}")): _*).as("bh")))
+    sig
+      .select($"doc_id", explode(array(bandCols: _*)).as("b"))
+      .select($"doc_id", $"b.band", $"b.bh")
+  }
+
   /** Near-duplicate pairs with exact-verified Jaccard ≥ 0.8.
     * Pipeline: shingle → minhash → band-explode → self-join on
     * (band, bh) → distinct candidate pair → join shingle sets back →
@@ -92,19 +119,7 @@ object Dedup {
     // on every action, so eager unpersist would force recompute; callers
     // that are done can spark.catalog.clearCache()
     val sh = shingleSets.cache()
-    val laneMins = (0 until lanes).map(j =>
-      min(xxhash64($"h", lit(j))).as(s"s$j"))
-    val sig = sh
-      .select($"doc_id", explode($"sh").as("shingle"))
-      .select($"doc_id", xxhash64($"shingle").as("h"))
-      .groupBy($"doc_id")
-      .agg(laneMins.head, laneMins.tail: _*)
-    val bandCols = (0 until lanes / bandRows).map(b =>
-      struct(lit(b).as("band"),
-        xxhash64((0 until bandRows).map(i => col(s"s${bandRows * b + i}")): _*).as("bh")))
-    val bands = sig
-      .select($"doc_id", explode(array(bandCols: _*)).as("b"))
-      .select($"doc_id", $"b.band", $"b.bh")
+    val bands = lshBands(sh, bandRows, lanes)
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bh" === $"y.bh" &&
           $"x.doc_id" < $"y.doc_id")
@@ -573,6 +588,66 @@ object Dedup {
       |FROM i GROUP BY doc_id, isl HAVING max(pos) - min(pos) + 40 >= 80
       |ORDER BY doc_id, span_start""".stripMargin
 
+  /** Incremental dedup-on-ingest: match an incoming BATCH against the
+    * existing CORPUS without comparing the corpus to itself — the shape a
+    * production pipeline runs every crawl cycle, where re-deduplicating
+    * 100 TB of history per batch is not an option.
+    *
+    * The corpus side's (doc_id, band, bh) LSH band keys are the durable
+    * INDEX artifact: computed once per corpus version (amortized to zero
+    * across batches, like [[Similarity.IvfIndex]] for ANN and
+    * [[PairArtifact]] for the pair list), while the per-batch cost is
+    * shingling + signatures over the BATCH ONLY plus an equi-join of
+    * batch band keys against the index. Candidate volume ∝ batch size ×
+    * true-collision density — the corpus enters only through index
+    * lookups, never a corpus×corpus or corpus×batch scan.
+    *
+    * Fixture: 10% of the corpus re-arrives under new doc_ids (the same
+    * simulated re-crawl as [[exact]]/[[embed]]), so every batch doc must
+    * rediscover its original (J = 1) plus any of the original's planted
+    * near-dup partners (J ≥ 0.8). Recall argument identical to [[near]]:
+    * a J ≥ 0.8 pair misses all 64 bands with prob (1−J²)^64 ≤ 4e-30. */
+  def incrementalQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = t(s, dir, "documents")
+    val batch = corpus.filter($"doc_id" % 10 === 0)
+      .withColumn("doc_id", $"doc_id" + 2000000L)
+    val corpusSh = shingleSets(corpus).cache()
+    val batchSh = shingleSets(batch).cache()
+    val cand = lshBands(batchSh, bandRows = 2, lanes = Lanes).as("x")
+      .join(lshBands(corpusSh, bandRows = 2, lanes = Lanes).as("y"),
+        $"x.band" === $"y.band" && $"x.bh" === $"y.bh")
+      .select($"x.doc_id".as("new_id"), $"y.doc_id".as("corpus_id"))
+      .distinct()
+    val j = size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+      size(array_union($"a.sh", $"b.sh"))
+    cand
+      .join(batchSh.as("a"), $"new_id" === $"a.doc_id")
+      .join(corpusSh.as("b"), $"corpus_id" === $"b.doc_id")
+      .select($"new_id", $"corpus_id", j.as("jacc"))
+      .filter($"jacc" >= 0.8)
+      .select($"new_id", $"corpus_id", round($"jacc", 6).as("jaccard"))
+      .orderBy($"new_id", $"corpus_id")
+  }
+
+  /** Oracle: exact all-pairs batch × corpus Jaccard. */
+  val incrementalSql: String =
+    s"""$shingledSql,
+      |batch AS (
+      |  SELECT doc_id + 2000000 AS doc_id, lower(text) AS txt FROM documents
+      |  WHERE doc_id % 10 = 0),
+      |btok AS (SELECT doc_id, string_split(txt, ' ') AS toks FROM batch),
+      |bshing AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM btok WHERE len(toks) >= 3)
+      |SELECT b.doc_id AS new_id, a.doc_id AS corpus_id,
+      |  ROUND(CAST(LEN(list_intersect(b.sh, a.sh)) AS DOUBLE)
+      |        / LEN(list_distinct(list_concat(b.sh, a.sh))), 6) AS jaccard
+      |FROM bshing b JOIN shing a ON TRUE
+      |WHERE CAST(LEN(list_intersect(b.sh, a.sh)) AS DOUBLE)
+      |      / LEN(list_distinct(list_concat(b.sh, a.sh))) >= 0.8
+      |ORDER BY new_id, corpus_id""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -584,6 +659,7 @@ object Dedup {
     "q_dedup_drop" -> dropQ,
     "q_dedup_clusters" -> clustersQ,
     "q_dedup_substring" -> substringQ,
+    "q_dedup_incremental" -> incrementalQ,
     "q_split_contamination" -> contaminationQ)
 
   def oracle: Map[String, String] = Map(
@@ -595,5 +671,6 @@ object Dedup {
     "q_dedup_drop" -> dropSql,
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_substring" -> substringSql,
+    "q_dedup_incremental" -> incrementalSql,
     "q_split_contamination" -> contaminationSql)
 }

@@ -383,6 +383,103 @@ object Text {
       |SELECT doc_id, term, tf, df, ROUND(tfidf, 6) AS tfidf, CAST(rk AS INT) AS rk
       |FROM r WHERE rk <= 3 ORDER BY doc_id, rk LIMIT 300""".stripMargin
 
+  /** BM25 keyword retrieval (Okapi, Lucene idf form; k1 = 1.2,
+    * b = 0.75): top-20 documents for a fixed query term set — the
+    * lexical half of hybrid retrieval next to [[Similarity]]'s vector
+    * half, and the relevance scorer quality-filtering pipelines use for
+    * targeted corpus slices. Query mixes one rare term (high idf) with
+    * two common ones, so the ranking exercises both idf ends.
+    *
+    * Scale shape: the query-term `isin` filter sits directly on the
+    * exploded token stream, so only query-term postings survive the
+    * explode — tf volume ∝ query hits, not corpus tokens (the batch
+    * analog of an inverted-index lookup; the per-term df and corpus
+    * (N, avgdl) statistics are vocabulary-/O(1)-bounded broadcasts).
+    * Per-term weights are rounded to 9 dp and summed as DECIMAL(28,9) —
+    * an exact, order-independent merge, so the ranking cannot drift
+    * across partitionings or engines (same contract as [[entropy]]). */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qTerms = Seq("dup", "vector", "spark")
+    val docs = withToks(s, dir).select($"doc_id", $"toks")
+    val dl = docs.select($"doc_id", size($"toks").cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg($"dl").as("avgdl"))
+    val tf = docs.select($"doc_id", explode($"toks").as("term"))
+      .filter($"term".isin(qTerms: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(docFreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+      .withColumn("w",
+        $"idf" * ($"tf" * 2.2) / ($"tf" + (lit(0.25) + $"dl" * 0.75 / $"avgdl") * 1.2))
+      .groupBy($"doc_id")
+      .agg(sum(round($"w", 9).cast("decimal(28,9)")).as("sc"),
+        count(lit(1)).cast("int").as("n_terms_hit"))
+      .select($"doc_id", round($"sc".cast("double"), 6).as("bm25"), $"n_terms_hit")
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(20)
+  }
+
+  val bm25Sql: String =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tk),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM
+      |  (SELECT doc_id, unnest(toks) AS term FROM tk)
+      |  WHERE term IN ('dup', 'vector', 'spark') GROUP BY 1, 2),
+      |docf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id,
+      |    LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+      |  FROM tf JOIN docf USING (term) JOIN dl ON tf.doc_id = dl.doc_id, st)
+      |SELECT doc_id,
+      |  ROUND(CAST(SUM(CAST(ROUND(w, 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25,
+      |  CAST(COUNT(*) AS INT) AS n_terms_hit
+      |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  /** First BPE merge iteration — the tokenizer-training primitive: count
+    * every adjacent character-pair occurrence across the corpus, weighted
+    * by word frequency (the statistic whose argmax IS the first BPE
+    * merge; [[vocabTop]] gives the word-level curve, this gives the
+    * subword-level one). Top-20 pairs with occurrence and
+    * distinct-word counts — all integers, so the oracle compare is
+    * exact with no FP contract at all.
+    *
+    * Scale shape: the corpus collapses to the word VOCABULARY first
+    * (map-side-combinable count, exchange O(|vocab| × partitions),
+    * Heaps'-bounded), and pair explosion runs over vocabulary entries —
+    * corpus text is scanned once and never shuffled. A 100 TB corpus has
+    * the same few-million-row vocabulary as a 1 TB one, so every BPE
+    * iteration after the first costs the same small job over the updated
+    * symbol sequences. */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = withToks(s, dir)
+      .select(explode($"toks").as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    words
+      .select($"w", $"freq", explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy($"pair")
+      .agg(sum($"freq").as("n_occurrences"),
+        countDistinct($"w").as("n_words"))
+      .orderBy($"n_occurrences".desc, $"pair")
+      .limit(20)
+  }
+
+  val bpePairsSql: String =
+    s"""WITH w AS (SELECT t AS w, COUNT(*) AS freq FROM
+      |    (SELECT unnest($toksSql) AS t FROM documents)
+      |  WHERE length(t) >= 2 GROUP BY 1),
+      |p AS (SELECT w, freq, unnest(list_transform(range(1, length(w)), i -> w[i:i+1])) AS pair
+      |  FROM w)
+      |SELECT pair, SUM(freq) AS n_occurrences, COUNT(DISTINCT w) AS n_words
+      |FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin
+
   /** Deterministic per-stratum fixed-size sampling: each language keeps
     * its k=20 docs with the smallest 53-bit md5 hash of the doc id —
     * the distributed, reproducible analog of per-stratum reservoir
@@ -688,6 +785,8 @@ object Text {
     "q_text_quality" -> quality,
     "q_text_rollhash" -> rollhash,
     "q_text_tfidf" -> tfidf,
+    "q_text_bm25" -> bm25,
+    "q_bpe_pairs" -> bpePairs,
     "q_text_repetition" -> repetition,
     "q_text_entropy" -> entropy,
     "q_text_chunk" -> chunkQ,
@@ -706,6 +805,8 @@ object Text {
     "q_text_quality" -> qualitySql,
     "q_text_rollhash" -> rollhashSql,
     "q_text_tfidf" -> tfidfSql,
+    "q_text_bm25" -> bm25Sql,
+    "q_bpe_pairs" -> bpePairsSql,
     "q_text_repetition" -> repetitionSql,
     "q_text_entropy" -> entropySql,
     "q_text_chunk" -> chunkSql,

@@ -513,4 +513,66 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       }
     assert(shuffles.isEmpty, "chunking must not shuffle")
   }
+
+  // --- Incremental dedup / BM25 / BPE ---------------------------------------
+
+  test("dedup incremental: every batch doc rediscovers its corpus original at J=1") {
+    import spark.implicits._
+    val matches = Dedup.incrementalQ(spark, sfDir).cache()
+    val rows = matches.collect()
+    // every match crosses batch -> corpus and clears the threshold
+    rows.foreach { r =>
+      assert(r.getAs[Long]("new_id") >= 2000000L)
+      assert(r.getAs[Long]("corpus_id") < 2000000L)
+      assert(r.getAs[Double]("jaccard") >= 0.8)
+    }
+    // each re-crawled doc with >= 3 tokens must match its own original exactly
+    val expected = graft.Tables.t(spark, sfDir, "documents")
+      .filter($"doc_id" % 10 === 0)
+      .filter(size(split(lower($"text"), " ")) >= 3)
+      .select($"doc_id").as[Long].collect().toSet
+    val selfPairs = rows.filter(r =>
+      r.getAs[Long]("new_id") - 2000000L == r.getAs[Long]("corpus_id"))
+    assert(selfPairs.map(_.getAs[Long]("corpus_id")).toSet == expected)
+    selfPairs.foreach(r => assert(r.getAs[Double]("jaccard") == 1.0))
+    matches.unpersist()
+  }
+
+  test("bm25: scores are positive and non-increasing, and the rare term dominates the head") {
+    import spark.implicits._
+    val rows = Text.bm25(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the rare query term's idf (~ln 19) dwarfs the common terms' (~0.25),
+    // so the top-ranked hit must be a 'dup'-bearing document
+    val dupDocs = graft.Tables.t(spark, sfDir, "documents")
+      .filter($"text".contains("dup")).select($"doc_id").as[Long].collect().toSet
+    assert(dupDocs.contains(rows.head.getAs[Long]("doc_id")))
+    // every ranked doc contains at least one query term
+    val hits = graft.Tables.t(spark, sfDir, "documents")
+      .filter($"text".contains("dup") || $"text".contains("vector") ||
+        $"text".contains("spark"))
+      .select($"doc_id").as[Long].collect().toSet
+    rows.foreach(r => assert(hits.contains(r.getAs[Long]("doc_id"))))
+  }
+
+  test("bpe pairs: vocabulary-collapsed counts equal a direct per-token recount") {
+    import spark.implicits._
+    val got = Text.bpePairs(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getAs[String]("pair").length == 2))
+    val occ = got.map(r => r.getAs[String]("pair") -> r.getAs[Long]("n_occurrences")).toMap
+    // independent plan: explode every token OCCURRENCE (no vocab collapse),
+    // then count pair positions directly — must agree exactly
+    val direct = graft.Tables.t(spark, sfDir, "documents")
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    occ.foreach { case (p, n) => assert(direct(p) == n, s"pair $p") }
+  }
 }
