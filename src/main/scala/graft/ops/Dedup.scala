@@ -588,6 +588,46 @@ object Dedup {
       |FROM i GROUP BY doc_id, isl HAVING max(pos) - min(pos) + 40 >= 80
       |ORDER BY doc_id, span_start""".stripMargin
 
+  /** Cross-source duplicate provenance: the near-dup pair list rolled up
+    * into a source×source overlap matrix — which corpus slices duplicate
+    * each other (mirror sites, syndication, re-scrapes). The steering
+    * signal for crawl dedup policy: a hot off-diagonal cell means two
+    * feeds fetch the same content.
+    *
+    * Rides [[PairArtifact]] — zero additional LSH cost; the tiny pair
+    * list BROADCASTS against `documents` twice (ids only), so the corpus
+    * is never shuffled, and the (source, source) rollup is
+    * map-side-combinable with ≤ |sources|² groups. */
+  def sourceMatrixQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select($"doc_id", $"source")
+    val withA = src.as("sa")
+      .join(broadcast(PairArtifact.pairs(s, dir)), $"doc_a" === $"sa.doc_id")
+      .select($"doc_b", $"sa.source".as("source_a"))
+    src.as("sb")
+      .join(broadcast(withA), $"doc_b" === $"sb.doc_id")
+      .select(least($"source_a", $"sb.source").as("source_x"),
+        greatest($"source_a", $"sb.source").as("source_y"))
+      .groupBy($"source_x", $"source_y")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"source_x", $"source_y")
+  }
+
+  val sourceMatrixSql: String =
+    s"""$shingledSql,
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+      |  WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / LEN(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+      |SELECT LEAST(da.source, db.source) AS source_x,
+      |  GREATEST(da.source, db.source) AS source_y,
+      |  COUNT(*) AS n_pairs
+      |FROM pairs
+      |JOIN documents da ON doc_a = da.doc_id
+      |JOIN documents db ON doc_b = db.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Incremental dedup-on-ingest: match an incoming BATCH against the
     * existing CORPUS without comparing the corpus to itself — the shape a
     * production pipeline runs every crawl cycle, where re-deduplicating
@@ -660,6 +700,7 @@ object Dedup {
     "q_dedup_clusters" -> clustersQ,
     "q_dedup_substring" -> substringQ,
     "q_dedup_incremental" -> incrementalQ,
+    "q_dedup_source_matrix" -> sourceMatrixQ,
     "q_split_contamination" -> contaminationQ)
 
   def oracle: Map[String, String] = Map(
@@ -672,5 +713,6 @@ object Dedup {
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_substring" -> substringSql,
     "q_dedup_incremental" -> incrementalSql,
+    "q_dedup_source_matrix" -> sourceMatrixSql,
     "q_split_contamination" -> contaminationSql)
 }

@@ -480,6 +480,52 @@ object Text {
       |SELECT pair, SUM(freq) AS n_occurrences, COUNT(DISTINCT w) AS n_words
       |FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin
 
+  /** Per-document novelty / boilerplate score: the fraction of a doc's
+    * distinct word-3-shingles that also occur in at least one OTHER
+    * document. High shared_frac = boilerplate/templated content (the
+    * doc-level summary of what [[graft.ops.Dedup.substringSpans]] locates
+    * positionally); low = novel text. A standard corpus-quality signal
+    * ranking docs by how much of them is corpus-redundant.
+    *
+    * Scale shape: one exchange+sort of the exploded shingle rows — the
+    * shared-shingle test is `min(doc_id) OVER (PARTITION BY shingle) ≠
+    * max(...)` (≡ appears-in-≥2-docs, same windowed trick measured 3–5×
+    * cheaper than aggregate-then-join-back in substringSpans), then a
+    * map-side-combinable per-doc rollup. Shuffle volume is O(total
+    * shingles) — linear in corpus, keyed by the shingle. */
+  def novelty(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val sh = withToks(s, dir)
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))"))
+        .as("g"))
+    val wg = Window.partitionBy($"g")
+    sh.withColumn("xdoc",
+        (min($"doc_id").over(wg) =!= max($"doc_id").over(wg)).cast("int"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum($"xdoc").as("n_shared"))
+      .select($"doc_id", $"n_shingles", $"n_shared",
+        round($"n_shared".cast("double") / $"n_shingles", 6).as("shared_frac"))
+      .orderBy($"doc_id")
+      .limit(300)
+  }
+
+  val noveltySql: String =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      |shing AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |  FROM tk WHERE len(toks) >= 3),
+      |e AS (SELECT doc_id, unnest(sh) AS g FROM shing),
+      |m AS (SELECT doc_id,
+      |  CASE WHEN MIN(doc_id) OVER (PARTITION BY g) <> MAX(doc_id) OVER (PARTITION BY g)
+      |       THEN 1 ELSE 0 END AS xdoc FROM e)
+      |SELECT doc_id, COUNT(*) AS n_shingles, SUM(xdoc) AS n_shared,
+      |  ROUND(CAST(SUM(xdoc) AS DOUBLE) / COUNT(*), 6) AS shared_frac
+      |FROM m GROUP BY doc_id ORDER BY doc_id LIMIT 300""".stripMargin
+
   /** Deterministic per-stratum fixed-size sampling: each language keeps
     * its k=20 docs with the smallest 53-bit md5 hash of the doc id —
     * the distributed, reproducible analog of per-stratum reservoir
@@ -787,6 +833,7 @@ object Text {
     "q_text_tfidf" -> tfidf,
     "q_text_bm25" -> bm25,
     "q_bpe_pairs" -> bpePairs,
+    "q_text_novelty" -> novelty,
     "q_text_repetition" -> repetition,
     "q_text_entropy" -> entropy,
     "q_text_chunk" -> chunkQ,
@@ -807,6 +854,7 @@ object Text {
     "q_text_tfidf" -> tfidfSql,
     "q_text_bm25" -> bm25Sql,
     "q_bpe_pairs" -> bpePairsSql,
+    "q_text_novelty" -> noveltySql,
     "q_text_repetition" -> repetitionSql,
     "q_text_entropy" -> entropySql,
     "q_text_chunk" -> chunkSql,

@@ -575,4 +575,54 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long)].collect().toMap
     occ.foreach { case (p, n) => assert(direct(p) == n, s"pair $p") }
   }
+
+  test("bm25 plan: df/stats dimensions broadcast and the term filter precedes the tf aggregate") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = Text.bm25(spark, sfDir).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bcasts = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    // df join + dl join or stats cross join — at least the two hinted ones
+    assert(bcasts.size >= 2, s"expected broadcast dims, got:\n$plan")
+    // no sort-merge join anywhere: nothing in this query should exchange both sides
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, "bm25 must not sort-merge join")
+  }
+
+  test("source matrix: cells cover exactly the near-dup pairs and never shuffle documents") {
+    import spark.implicits._
+    val cells = Dedup.sourceMatrixQ(spark, sfDir).cache()
+    val total = cells.agg(sum($"n_pairs")).as[Long].head()
+    assert(total == Dedup.near(spark, sfDir).count(),
+      "matrix total must equal the verified pair count")
+    cells.collect().foreach { r =>
+      assert(r.getAs[String]("source_x") <= r.getAs[String]("source_y"))
+      assert(r.getAs[Long]("n_pairs") >= 1L)
+    }
+    cells.unpersist()
+  }
+
+  test("novelty: near-dup docs score near 1, and shared counts are bounded by shingle counts") {
+    import spark.implicits._
+    val rows = Text.novelty(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_shingles"))
+      val f = r.getAs[Double]("shared_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    val frac = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("shared_frac")).toMap
+    // every verified near-dup (J >= 0.8) shares >= 80% of its shingles by definition
+    Dedup.near(spark, sfDir).collect().foreach { p =>
+      Seq(p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b")).foreach { id =>
+        frac.get(id).foreach(f => assert(f >= 0.8, s"doc $id frac $f"))
+      }
+    }
+  }
 }
