@@ -526,6 +526,72 @@ object Text {
       |  ROUND(CAST(SUM(xdoc) AS DOUBLE) / COUNT(*), 6) AS shared_frac
       |FROM m GROUP BY doc_id ORDER BY doc_id LIMIT 300""".stripMargin
 
+  /** Corpus-LM document scoring — the LM-based quality filter (the
+    * CCNet/KenLM pipeline step, on a corpus-trained n-gram model):
+    * per-document cross-entropy under an add-one-smoothed BIGRAM model
+    * estimated from the corpus itself. Outlier (high-CE) docs read
+    * unlike the corpus — the standard signal for quality buckets
+    * (head/middle/tail) in pretraining curation.
+    *
+    * Model contract (pinned so both engines agree): p(w2|w1) =
+    * (c(w1 w2) + 1) / (c(w1) + V), with c(w1) the corpus unigram count,
+    * V the distinct-token vocabulary size; doc CE = −(Σ ln p)/n_bigrams.
+    * Per-bigram logs are rounded to 9 dp and summed as DECIMAL(28,9) —
+    * the [[entropy]]/[[bm25]] exact-merge contract, so scores cannot
+    * drift with partitioning.
+    *
+    * Scale shape: both model tables are VOCABULARY-bounded (unigrams by
+    * Heaps' law, observed bigrams ≪ V²) and BROADCAST against the
+    * per-doc bigram stream; the stream itself is a pure explode of the
+    * token array (volume = corpus tokens, no shuffle until the per-doc
+    * map-side-combinable rollup). Training and scoring are ONE pass
+    * each over the corpus — the exact layout of a distributed KenLM
+    * scoring job, with the model artifact small enough to ship to every
+    * executor. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigramsOf =
+      "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2))"
+    val docBi = withToks(s, dir)
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(bigramsOf)).as("b"))
+      .select($"doc_id", $"b.w1", $"b.w2")
+    val biCnt = docBi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val uniCnt = withToks(s, dir)
+      .select(explode($"toks").as("w1"))
+      .groupBy($"w1").agg(count(lit(1)).as("cu"))
+    val vocab = uniCnt.agg(countDistinct($"w1").cast("double").as("v"))
+    docBi
+      .join(broadcast(biCnt), Seq("w1", "w2"))
+      .join(broadcast(uniCnt), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        log(($"cb".cast("double") + 1.0) / ($"cu".cast("double") + $"v")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round($"lp", 9).cast("decimal(28,9)")).as("slp"))
+      .select($"doc_id", $"n_bigrams",
+        round(-($"slp".cast("double")) / $"n_bigrams", 6).as("cross_entropy"))
+      .orderBy($"doc_id")
+      .limit(300)
+  }
+
+  val lmScoreSql: String =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      |db AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM tk, unnest(range(1, len(toks))) AS u(i)
+      |  WHERE len(toks) >= 2),
+      |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM db GROUP BY 1, 2),
+      |uc AS (SELECT t AS w1, COUNT(*) AS cu FROM
+      |  (SELECT unnest(toks) AS t FROM tk) GROUP BY 1),
+      |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uc),
+      |sc AS (SELECT doc_id,
+      |    LN((CAST(cb AS DOUBLE) + 1.0) / (CAST(cu AS DOUBLE) + v)) AS lp
+      |  FROM db JOIN bc USING (w1, w2) JOIN uc USING (w1), v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(-CAST(SUM(CAST(ROUND(lp, 9) AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS cross_entropy
+      |FROM sc GROUP BY doc_id ORDER BY doc_id LIMIT 300""".stripMargin
+
   /** Deterministic per-stratum fixed-size sampling: each language keeps
     * its k=20 docs with the smallest 53-bit md5 hash of the doc id —
     * the distributed, reproducible analog of per-stratum reservoir
@@ -834,6 +900,7 @@ object Text {
     "q_text_bm25" -> bm25,
     "q_bpe_pairs" -> bpePairs,
     "q_text_novelty" -> novelty,
+    "q_text_lm_score" -> lmScore,
     "q_text_repetition" -> repetition,
     "q_text_entropy" -> entropy,
     "q_text_chunk" -> chunkQ,
@@ -855,6 +922,7 @@ object Text {
     "q_text_bm25" -> bm25Sql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_text_novelty" -> noveltySql,
+    "q_text_lm_score" -> lmScoreSql,
     "q_text_repetition" -> repetitionSql,
     "q_text_entropy" -> entropySql,
     "q_text_chunk" -> chunkSql,

@@ -625,4 +625,32 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("lm score: matches an independent driver-side bigram-model recompute") {
+    import spark.implicits._
+    val got = Text.lmScore(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("cross_entropy"))).toMap
+    assert(got.nonEmpty)
+    // independent model fit in plain Scala over the collected corpus
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    val tokens = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val uni = tokens.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val bi = tokens.flatMap { case (_, ts) => ts.zip(ts.tail) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val v = uni.size.toDouble
+    tokens.filter(_._2.size >= 2).foreach { case (id, ts) =>
+      val lps = ts.zip(ts.tail).map { p =>
+        BigDecimal(math.log((bi(p) + 1.0) / (uni(p._1) + v)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val ce = BigDecimal(-(lps.sum.toDouble) / lps.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      got.get(id).foreach { case (n, gotCe) => // ids past the LIMIT 300 cut are absent
+        assert(n == lps.size, s"doc $id bigram count")
+        assert(math.abs(gotCe - ce) <= 1e-6, s"doc $id ce $gotCe vs $ce")
+      }
+    }
+  }
 }
