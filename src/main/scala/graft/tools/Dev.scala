@@ -66,7 +66,11 @@ object Dev {
           "q_drift_psi" -> "1-row totals frame",
           "q_profile_histogram" -> "1-row min/max frame",
           "q_text_tfidf" -> "1-row corpus-size frame",
+          "q_text_bm25" -> "1-row (n_docs, avgdl) stats frame",
+          "q_text_lm_score" -> "1-row vocabulary-size frame",
           "q_vocab_top" -> "1-row total-tokens frame",
+          "q_not_in_nulls" -> "null-aware anti join (NOT IN three-valued logic forces NLJ; bounded key subquery)",
+          "q_ts_resample" -> "bounded per-series grid dim (rows = series count, not events)",
           "q_similarity_topk" -> "bounded query-vector set",
           "q_similarity_ann" -> "bounded query-vector set",
           "q_similarity_ivf" -> "bounded query-vector set",
