@@ -42,6 +42,7 @@ object SparkEntry {
     graft.ops.IntervalJoin.queries ++
     graft.ops.Dedup.queries ++
     graft.ops.Drift.queries ++
+    graft.ops.HeavyHitters.queries ++
     graft.ops.Skew.queries ++
     graft.ops.Similarity.queries ++
     graft.ops.Centroids.queries ++
@@ -67,6 +68,7 @@ object SparkEntry {
     graft.ops.IntervalJoin.oracle ++
     graft.ops.Dedup.oracle ++
     graft.ops.Drift.oracle ++
+    graft.ops.HeavyHitters.oracle ++
     graft.ops.Skew.oracle ++
     graft.ops.Similarity.oracle ++
     graft.ops.Centroids.oracle ++

@@ -67,6 +67,7 @@ object Dev {
           "q_profile_histogram" -> "1-row min/max frame",
           "q_text_tfidf" -> "1-row corpus-size frame",
           "q_text_bm25" -> "1-row (n_docs, avgdl) stats frame",
+          "q_agg_heavy_hitters" -> "1-row total-count frame",
           "q_text_lm_score" -> "1-row vocabulary-size frame",
           "q_vocab_top" -> "1-row total-tokens frame",
           "q_not_in_nulls" -> "null-aware anti join (NOT IN three-valued logic forces NLJ; bounded key subquery)",

@@ -626,6 +626,35 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("misra-gries: guarantee holds under any partitioning and the verified output is partition-invariant") {
+    import spark.implicits._
+    val k = 8
+    // skewed synthetic stream: items h0..h2 hot, t0..t96 long tail
+    val stream = (0 until 3).flatMap(i => Seq.fill(400)(s"h$i")) ++
+      (0 until 97).flatMap(i => Seq.fill(4)(s"t$i"))
+    val n = stream.size
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val heavy = exact.filter(_._2 > n.toDouble / (k + 1)).keySet
+    for (parts <- Seq(1, 7, 32)) {
+      val ds = spark.createDataset(stream).repartition(parts)
+      val mg = HeavyHitters.sketch(ds, k).as[Map[String, Long]].head()
+      assert(mg.size <= k)
+      // no false negatives: every true heavy hitter survives the merges
+      heavy.foreach(h => assert(mg.contains(h), s"parts=$parts missing $h"))
+      // counters are lower bounds with error <= n/(k+1)
+      mg.foreach { case (t, c) =>
+        assert(c <= exact(t), s"parts=$parts $t overcounted")
+        assert(exact(t) - c <= n.toDouble / (k + 1), s"parts=$parts $t error")
+      }
+    }
+    // the oracle-facing query (sketch + exact confirmation) is deterministic
+    val out = HeavyHitters.tokensQ(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n_occurrences")))
+    assert(out.nonEmpty)
+    assert(out.map(_._1).toSet.intersect(Set("dup")).isEmpty,
+      "rare markers must fall under the threshold")
+  }
+
   test("lm score: matches an independent driver-side bigram-model recompute") {
     import spark.implicits._
     val got = Text.lmScore(spark, sfDir).collect()
