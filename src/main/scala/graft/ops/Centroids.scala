@@ -102,7 +102,7 @@ object Centroids {
     import s.implicits._
     labelSums(s, dir)
       .select($"label", $"agg._1".as("n"), posexplode($"agg._2"))
-      .select($"label", $"pos".cast("int").as("pos"),
+      .select($"label", $"pos".cast("long").as("pos"),
         ($"col" / lit(1000000.0) / $"n").as("c"), $"n")
       .orderBy($"label", $"pos")
   }
@@ -117,7 +117,7 @@ object Centroids {
       .groupBy($"label", $"pos")
       .agg((sum($"col") / lit(1000000.0) / count(lit(1))).as("c"),
         count(lit(1)).as("n"))
-      .select($"label", $"pos".cast("int").as("pos"), $"c", $"n")
+      .select($"label", $"pos".cast("long").as("pos"), $"c", $"n")
       .orderBy($"label", $"pos")
   }
 

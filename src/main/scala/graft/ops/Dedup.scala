@@ -633,12 +633,14 @@ object Dedup {
     * production pipeline runs every crawl cycle, where re-deduplicating
     * 100 TB of history per batch is not an option.
     *
-    * The corpus side's (doc_id, band, bh) LSH band keys are the durable
-    * INDEX artifact: computed once per corpus version (amortized to zero
-    * across batches, like [[Similarity.IvfIndex]] for ANN and
-    * [[PairArtifact]] for the pair list), while the per-batch cost is
-    * shingling + signatures over the BATCH ONLY plus an equi-join of
-    * batch band keys against the index. Candidate volume ∝ batch size ×
+    * The corpus side's (doc_id, band, bh) LSH band keys have the shape
+    * of a durable INDEX artifact: at scale they would be persisted once
+    * per corpus version (the [[Similarity.IvfIndex]] / [[PairArtifact]]
+    * parquet pattern) and each batch would pay only its own shingling +
+    * signatures plus an equi-join against the stored keys. Here the
+    * demo recomputes the corpus keys per session (plan-cache only) —
+    * the INDEX SHAPE is what's demonstrated; the per-batch bench cost
+    * includes the corpus pass. Candidate volume ∝ batch size ×
     * true-collision density — the corpus enters only through index
     * lookups, never a corpus×corpus or corpus×batch scan.
     *
@@ -646,12 +648,15 @@ object Dedup {
     * simulated re-crawl as [[exact]]/[[embed]]), so every batch doc must
     * rediscover its original (J = 1) plus any of the original's planted
     * near-dup partners (J ≥ 0.8). Recall argument identical to [[near]]:
-    * a J ≥ 0.8 pair misses all 64 bands with prob (1−J²)^64 ≤ 4e-30. */
+    * a J ≥ 0.8 pair misses all 64 bands with prob (1−J²)^64 ≈ 4e-29. */
   def incrementalQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val corpus = t(s, dir, "documents")
     val batch = corpus.filter($"doc_id" % 10 === 0)
       .withColumn("doc_id", $"doc_id" + 2000000L)
+    // session-lifetime cache BY DESIGN (same convention as
+    // lshJaccardPairs): both shingle frames are re-read by the verify
+    // join below; freed only by spark.catalog.clearCache()
     val corpusSh = shingleSets(corpus).cache()
     val batchSh = shingleSets(batch).cache()
     val cand = lshBands(batchSh, bandRows = 2, lanes = Lanes).as("x")

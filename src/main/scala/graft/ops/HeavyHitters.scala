@@ -70,7 +70,8 @@ object HeavyHitters {
 
   /** Corpus heavy hitters over the token stream: every token whose true
     * frequency exceeds n/(K+1), with EXACT counts. Two scan-speed
-    * passes: (1) the Misra–Gries sketch produces ≤K candidates; (2) the
+    * passes: (1) the Misra–Gries sketch produces ≤K candidates, with
+    * the corpus total n computed in the SAME aggregate; (2) the
     * exact pass counts ONLY candidate tokens (broadcast semi-join —
     * ≤K keys shuffle, the long tail is filtered at the scan). The
     * DuckDB oracle computes true heavy hitters from first principles,
@@ -82,13 +83,17 @@ object HeavyHitters {
     import s.implicits._
     val toks = t(s, dir, "documents")
       .select(explode(split(lower($"text"), " ")).as("token"))
-    val cand = sketch(toks.as[String], K)
-      .select(explode($"mg").as(Seq("token", "lb")))
-      .select($"token")
-    val n = toks.agg(count(lit(1)).as("n"))
+    // total count rides the sketch pass (same single aggregate), so the
+    // token stream really is scanned exactly twice; n travels with each
+    // broadcast candidate row instead of a third scan + crossJoin
+    val cand = toks.as[String]
+      .select(new MisraGries(K).toColumn, count(lit(1)).as[Long])
+      .toDF("mg", "n")
+      .select($"n", explode($"mg").as(Seq("token", "lb")))
+      .select($"token", $"n")
     toks.join(broadcast(cand), "token")
-      .groupBy($"token").agg(count(lit(1)).as("n_occurrences"))
-      .crossJoin(broadcast(n))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n_occurrences"), max($"n").as("n"))
       .filter($"n_occurrences" > $"n" / (K + 1.0))
       .select($"token", $"n_occurrences",
         round($"n_occurrences".cast("double") / $"n", 6).as("frac"))

@@ -21,10 +21,13 @@ import graft.Tables.t
   * [[extractFeatures]] is the decode path: a `mapPartitions` over a
   * typed Dataset — the Scala-side equivalent of the mapInPandas batch
   * contract (one iterator per partition in, one iterator out, schema
-  * fixed by the Encoder, partitioning preserved — no shuffle). The
-  * actual codec call is STUBBED with a deterministic byte-derived fake
-  * (documented; the container ships no image/audio libraries). Swapping
-  * in a real decoder changes only [[MediaFeatures.decode]].
+  * fixed by the Encoder, partitioning preserved — no shuffle). Image
+  * payloads (jpeg/png/gif/bmp) decode FOR REAL through `javax.imageio`
+  * — in the JDK, no external library — yielding true width/height/
+  * channel-count/mean-luma; payloads no JDK codec accepts (audio,
+  * video — their codecs aren't in the JDK) fall back to a documented
+  * deterministic byte-derived fake with `decoded = false`, so the
+  * plumbing stays testable end-to-end either way.
   */
 object Multimodal {
 
@@ -64,25 +67,54 @@ object Multimodal {
       |FROM m WHERE meta.lang = 'en' AND meta.n_chars > 200
       |ORDER BY doc_id""".stripMargin
 
-  /** One decoded media item. `width`/`height`/`mean_luma` come from the
-    * stubbed decode — deterministic functions of the payload bytes. */
+  /** One decoded media item. For `decoded = true` rows the fields are
+    * the real image properties (ITU-R BT.601 luma, normalized to [0,1]);
+    * for `decoded = false` they are the documented deterministic fake
+    * (channels = 0 marks them unambiguously). */
   final case class MediaFeatures(
-    doc_id: Long, n_bytes: Long, width: Int, height: Int, mean_luma: Double)
+    doc_id: Long, n_bytes: Long, width: Int, height: Int, channels: Int,
+    mean_luma: Double, decoded: Boolean)
 
   object MediaFeatures {
-    /** STUB decode: a real implementation would hand `payload` to an
-      * image/audio codec here (not available in this container). The
-      * fake derives stable pseudo-features from the bytes so the
-      * surrounding plumbing — batching, schema, determinism — is
-      * testable. */
+    /** Real decode for any payload a JDK `ImageIO` reader accepts
+      * (jpeg/png/gif/bmp); the deterministic byte-derived fake only for
+      * container formats the JDK can't decode (audio/video). `ImageIO`
+      * is pure-Java and headless-safe — each task decodes its own rows,
+      * no shared state. */
     def decode(docId: Long, payload: Array[Byte]): MediaFeatures = {
-      val h = java.util.Arrays.hashCode(payload)
-      MediaFeatures(
-        doc_id = docId,
-        n_bytes = payload.length.toLong,
-        width = 16 + math.floorMod(h, 1905),
-        height = 16 + math.floorMod(h >> 11, 1065),
-        mean_luma = math.floorMod(h, 256) / 255.0)
+      val img =
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
+        catch { case _: java.io.IOException => None }
+      img match {
+        case Some(im) =>
+          val w = im.getWidth
+          val h = im.getHeight
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = im.getRGB(x, y) // sRGB regardless of storage model
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              sum += 0.299 * r + 0.587 * g + 0.114 * b
+              x += 1
+            }
+            y += 1
+          }
+          MediaFeatures(docId, payload.length.toLong, w, h,
+            channels = im.getColorModel.getNumComponents,
+            mean_luma = sum / (w.toLong * h) / 255.0, decoded = true)
+        case None =>
+          val hc = java.util.Arrays.hashCode(payload)
+          MediaFeatures(docId, payload.length.toLong,
+            width = 16 + math.floorMod(hc, 1905),
+            height = 16 + math.floorMod(hc >> 11, 1065),
+            channels = 0,
+            mean_luma = math.floorMod(hc, 256) / 255.0, decoded = false)
+      }
     }
   }
 
@@ -123,22 +155,44 @@ object Multimodal {
       })
   }
 
-  /** One resized media payload (binary → binary). */
+  /** One resized media payload (binary → binary); `decoded` records
+    * whether a real codec round-trip happened. */
   final case class Resized(doc_id: Long, payload: Array[Byte], target_w: Int,
-                           target_h: Int)
+                           target_h: Int, decoded: Boolean)
 
-  /** Resize: the binary→binary transform contract. STUB: a real codec
-    * decodes, resamples to (w, h), re-encodes; the fake produces a
-    * deterministic byte slice of length min(len, w·h/64) so output-size
-    * semantics (resize shrinks payloads) and the map shape are testable.
-    * Narrow 1:1 map over partitions, like [[extractFeatures]]. */
-  def resizeStub(media: DataFrame, w: Int, h: Int): Dataset[Resized] = {
+  /** Resize: the binary→binary transform contract. Image payloads take
+    * the REAL path — `ImageIO` decode, bilinear resample to (w, h) on a
+    * `BufferedImage`, PNG re-encode (all JDK, headless-safe). Payloads
+    * no JDK codec accepts fall back to a deterministic byte slice of
+    * length min(len, w·h/64) so output-size semantics stay testable for
+    * the audio/video case. Narrow 1:1 map over partitions, like
+    * [[extractFeatures]]. */
+  def resize(media: DataFrame, w: Int, h: Int): Dataset[Resized] = {
     val s = media.sparkSession
     import s.implicits._
-    val target = math.max(1, w * h / 64)
+    val fallbackLen = math.max(1, w * h / 64)
     media.select($"doc_id".as[Long], $"payload".as[Array[Byte]])
       .mapPartitions(_.map { case (id, bytes) =>
-        Resized(id, bytes.take(target), w, h)
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: java.io.IOException => None }
+        img match {
+          case Some(im) =>
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(im, 0, 0, w, h, null)
+            g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            Resized(id, buf.toByteArray, w, h, decoded = true)
+          case None =>
+            Resized(id, bytes.take(fallbackLen), w, h, decoded = false)
+        }
       })
   }
 

@@ -109,12 +109,17 @@ object Profile {
     * Canonical encoding pins column order and formatting explicitly
     * (`concat_ws('|', ...)` over string-cast columns) — checksums are a
     * CONTRACT, so the encoding lives in the query, not in engine
-    * defaults. */
+    * defaults. Floating-point columns are pinned through a fixed-scale
+    * DECIMAL before stringification: a raw double→string cast leaves
+    * the digest hostage to two engines' double-formatting agreeing
+    * forever, which is exactly the dependence a canonical encoding
+    * exists to remove. DECIMAL(12,2)→string is fixed-format ("17.00")
+    * in both engines. */
   def checksumQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val canon = concat_ws("|",
       $"l_orderkey".cast("string"), $"l_linenumber".cast("string"),
-      $"l_quantity".cast("string"), $"l_returnflag")
+      $"l_quantity".cast("decimal(12,2)").cast("string"), $"l_returnflag")
     t(s, dir, "lineitem")
       .select(Hashing.md5Long60(canon).as("h"))
       .agg(count(lit(1)).as("n_rows"),
@@ -126,7 +131,7 @@ object Profile {
     """SELECT CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(sum(CAST(('0x' || substr(md5(
       |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
-      |    || '|' || CAST(l_quantity AS VARCHAR) || '|' || l_returnflag
+      |    || '|' || CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) || '|' || l_returnflag
       |  ), 1, 15))::UBIGINT AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
       |FROM lineitem""".stripMargin
 

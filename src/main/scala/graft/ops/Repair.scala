@@ -48,7 +48,11 @@ object Repair {
       .agg(count(lit(1)).as("n"),
         sum($"v".isNull.cast("long")).as("n_imputed"),
         round(max($"repaired") - min($"repaired"), 6).as("range_after"),
-        sum($"repaired".cast("decimal(18,6)")).cast("decimal(28,6)")
+        // round-to-6dp FIRST (half-away-from-zero, identical in both
+        // engines), THEN the exact decimal cast — a raw double→DECIMAL
+        // cast rounds at the 6th decimal with engine-dependent tie
+        // behavior (the repo-wide FP parity contract)
+        sum(round($"repaired", 6).cast("decimal(18,6)")).cast("decimal(28,6)")
           .as("sum_after"))
       .orderBy($"event_type")
   }
@@ -69,7 +73,7 @@ object Repair {
       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
       |  round(max(repaired) - min(repaired), 6) AS range_after,
-      |  CAST(sum(CAST(repaired AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_after
+      |  CAST(sum(CAST(round(repaired, 6) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_after
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Winsorize per-type values at the exact p05/p95 ordered-row bounds
@@ -97,7 +101,8 @@ object Repair {
       .agg(count(lit(1)).as("n"),
         sum($"was_clipped").as("n_clipped"),
         min($"clipped").as("v_lo"), max($"clipped").as("v_hi"),
-        sum($"clipped".cast("decimal(18,6)")).cast("decimal(28,6)")
+        // round-then-cast, same parity contract as imputeQ above
+        sum(round($"clipped", 6).cast("decimal(18,6)")).cast("decimal(28,6)")
           .as("sum_after"))
       .orderBy($"event_type")
   }
@@ -121,7 +126,7 @@ object Repair {
       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(was_clipped) AS BIGINT) AS n_clipped,
       |  min(clipped) AS v_lo, max(clipped) AS v_hi,
-      |  CAST(sum(CAST(clipped AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_after
+      |  CAST(sum(CAST(round(clipped, 6) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_after
       |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -163,7 +163,8 @@ object Text {
       .agg(count(lit(1)).as("cnt"))
     counts
       .withColumn("rank", row_number().over(
-        Window.partitionBy($"lang").orderBy($"cnt".desc, $"bigram".asc)))
+        Window.partitionBy($"lang").orderBy($"cnt".desc, $"bigram".asc))
+        .cast("long"))
       .filter($"rank" <= 5)
       .orderBy($"lang", $"rank")
   }
@@ -477,7 +478,7 @@ object Text {
       |  WHERE length(t) >= 2 GROUP BY 1),
       |p AS (SELECT w, freq, unnest(list_transform(range(1, length(w)), i -> w[i:i+1])) AS pair
       |  FROM w)
-      |SELECT pair, SUM(freq) AS n_occurrences, COUNT(DISTINCT w) AS n_words
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences, COUNT(DISTINCT w) AS n_words
       |FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin
 
   /** Per-document novelty / boilerplate score: the fraction of a doc's
@@ -522,7 +523,7 @@ object Text {
       |m AS (SELECT doc_id,
       |  CASE WHEN MIN(doc_id) OVER (PARTITION BY g) <> MAX(doc_id) OVER (PARTITION BY g)
       |       THEN 1 ELSE 0 END AS xdoc FROM e)
-      |SELECT doc_id, COUNT(*) AS n_shingles, SUM(xdoc) AS n_shared,
+      |SELECT doc_id, COUNT(*) AS n_shingles, CAST(SUM(xdoc) AS BIGINT) AS n_shared,
       |  ROUND(CAST(SUM(xdoc) AS DOUBLE) / COUNT(*), 6) AS shared_frac
       |FROM m GROUP BY doc_id ORDER BY doc_id LIMIT 300""".stripMargin
 

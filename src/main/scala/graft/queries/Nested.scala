@@ -146,7 +146,7 @@ object Nested {
     import s.implicits._
     t(s, dir, "documents")
       .select($"doc_id", posexplode(split(lower($"text"), " ")))
-      .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("tok"))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("tok"))
       .filter($"pos" <= 5)
       .orderBy($"doc_id", $"pos")
       .limit(500)
@@ -205,7 +205,7 @@ object Nested {
   }
 
   val structOpsSql: String =
-    """SELECT n_nationkey, name, region, to_json(info) AS info_json FROM (
+    """SELECT n_nationkey, name, region, CAST(to_json(info) AS VARCHAR) AS info_json FROM (
       |  SELECT n_nationkey,
       |    struct_pack(name := n_name, region := n_regionkey) AS info,
       |    n_name AS name, n_regionkey AS region

@@ -223,8 +223,9 @@ object Relational {
     import s.implicits._
     t(s, dir, "orders")
       .cube($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n"), grouping($"o_orderstatus").as("g_status"),
-        grouping($"o_orderpriority").as("g_prio"))
+      .agg(count(lit(1)).as("n"),
+        grouping($"o_orderstatus").cast("long").as("g_status"),
+        grouping($"o_orderpriority").cast("long").as("g_prio"))
       .orderBy($"o_orderstatus".asc_nulls_last, $"o_orderpriority".asc_nulls_last)
   }
 

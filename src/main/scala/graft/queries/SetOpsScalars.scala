@@ -136,7 +136,7 @@ object SetOpsScalars {
         lower($"c_name").as("name_lower"),
         substring($"c_name", 10, 9).as("name_digits"),
         regexp_extract($"c_name", "([0-9]+)$", 1).cast("long").as("name_num"),
-        length($"c_name").as("name_len"),
+        length($"c_name").cast("long").as("name_len"),
         concat_ws("-", $"c_mktsegment", $"c_nationkey").as("seg_nation"),
         lpad($"c_nationkey".cast("string"), 4, "0").as("nation_padded"),
         replace($"c_name", lit("Customer"), lit("Cust")).as("name_short"),

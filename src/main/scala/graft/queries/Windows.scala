@@ -31,9 +31,12 @@ object Windows {
       .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
     t(s, dir, "orders")
       .select($"o_custkey", $"o_orderkey", $"o_totalprice",
-        row_number().over(w).as("rn"),
-        rank().over(w).as("rk"),
-        dense_rank().over(w).as("drk"))
+        // cast to long: Spark's rank family emits INT where every SQL
+        // oracle emits BIGINT — pin int64 on both sides so the compare
+        // never rests on the driver tolerating a width coercion
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"))
       .filter($"rn" <= 3)
       .orderBy($"o_custkey", $"rn")
       .limit(300)
@@ -136,7 +139,7 @@ object Windows {
       .select($"c_custkey", $"c_acctbal",
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"),
-        ntile(4).over(w).as("quartile"))
+        ntile(4).over(w).cast("long").as("quartile"))
       .orderBy($"c_custkey")
       .limit(400)
   }
@@ -191,7 +194,7 @@ object Windows {
       .select($"c_custkey", $"c_nationkey", $"c_acctbal",
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"),
-        ntile(4).over(w).as("quartile"))
+        ntile(4).over(w).cast("long").as("quartile"))
       .orderBy($"c_custkey")
       .limit(400)
   }

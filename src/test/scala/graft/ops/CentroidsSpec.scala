@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class CentroidsSpec extends AnyFunSuite with SparkSpec {
 
   private def rows(df: org.apache.spark.sql.DataFrame) =
-    df.collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSeq
+    df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
 
   test("aggregator centroid equals the posexplode reference plan exactly") {
     val agg = rows(Centroids.centroid(spark, sfDir))

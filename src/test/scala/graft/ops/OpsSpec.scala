@@ -302,13 +302,14 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       byDoc.values.flatten.toSeq.sortBy(f => (f.doc_id, f.frame_idx)))
   }
 
-  test("multimodal resizeStub: binary-to-binary 1:1 map, bounded output size") {
+  test("multimodal resize: binary-to-binary 1:1 map, bounded output size for non-image payloads") {
     val media = Multimodal.mediaView(spark, sfDir)
-    val out = Multimodal.resizeStub(media, 64, 64)
+    val out = Multimodal.resize(media, 64, 64)
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
     val rows = out.collect()
     assert(rows.length == media.count())
     rows.foreach { r =>
+      assert(!r.decoded) // text bytes: no JDK codec accepts them
       assert(r.payload.length <= 64 * 64 / 64)
       assert(r.target_w == 64 && r.target_h == 64)
     }
@@ -318,18 +319,64 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val media = Multimodal.mediaView(spark, sfDir)
     val f1 = Multimodal.extractFeatures(media)
     assert(f1.schema.fieldNames.toSeq ==
-      Seq("doc_id", "n_bytes", "width", "height", "mean_luma"))
+      Seq("doc_id", "n_bytes", "width", "height", "channels", "mean_luma",
+        "decoded"))
     // narrow: no exchange in the physical plan
     val plan = f1.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode stage must not shuffle:\n$plan")
     val a = f1.collect().sortBy(_.doc_id)
     val b = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
-    assert(a.sameElements(b)) // stub decode is deterministic
+    assert(a.sameElements(b)) // decode is deterministic
     a.foreach { m =>
+      assert(!m.decoded && m.channels == 0) // text payloads: fallback path
       assert(m.width >= 16 && m.height >= 16)
       assert(m.mean_luma >= 0.0 && m.mean_luma <= 1.0)
       assert(m.n_bytes > 0)
     }
+  }
+
+  /** Encode a real PNG in-test (ImageIO, pure JDK) with pinned pixels. */
+  private def pngBytes(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length
+    val w = pixels(0).length
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, pixels(y)(x))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", buf)
+    buf.toByteArray
+  }
+
+  test("multimodal extractFeatures: REAL png decode yields true dimensions, channels, and exact BT.601 luma") {
+    import spark.implicits._
+    // 2×2: white, black / red, blue — luma is hand-computable
+    val png = pngBytes(Array(
+      Array(0xFFFFFF, 0x000000),
+      Array(0xFF0000, 0x0000FF)))
+    val media = Seq((7L, png)).toDF("doc_id", "payload")
+    val Array(m) = Multimodal.extractFeatures(media).collect()
+    assert(m.decoded)
+    assert(m.width == 2 && m.height == 2)
+    assert(m.channels == 3)
+    assert(m.n_bytes == png.length.toLong)
+    val expected =
+      (255.0 * (0.299 + 0.587 + 0.114) + 0.0 + 0.299 * 255 + 0.114 * 255) /
+        4 / 255.0
+    assert(math.abs(m.mean_luma - expected) < 1e-12,
+      s"luma ${m.mean_luma} != $expected")
+  }
+
+  test("multimodal resize: REAL png round-trip re-encodes at the target size") {
+    import spark.implicits._
+    val png = pngBytes(Array.fill(4)(Array.fill(6)(0x336699)))
+    val media = Seq((9L, png)).toDF("doc_id", "payload")
+    val Array(r) = Multimodal.resize(media, 3, 2).collect()
+    assert(r.decoded && r.target_w == 3 && r.target_h == 2)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    assert(back.getWidth == 3 && back.getHeight == 2)
+    // uniform input resamples to the same uniform color
+    assert((back.getRGB(1, 1) & 0xFFFFFF) == 0x336699)
   }
 
   // --- Text: repetition / entropy / packing; Quantize -----------------------
@@ -596,8 +643,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("source matrix: cells cover exactly the near-dup pairs and never shuffle documents") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import spark.implicits._
-    val cells = Dedup.sourceMatrixQ(spark, sfDir).cache()
+    // plan proof for the name's claim: both pair-list joins against the
+    // documents scan are broadcast, so no sort-merge join ever
+    // exchanges document rows on a join key
+    val q = Dedup.sourceMatrixQ(spark, sfDir)
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(smj.isEmpty, s"documents must join via broadcast only:\n$plan")
+    val bhj = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.size >= 2, s"expected two broadcast pair joins:\n$plan")
+    val cells = q.cache()
     val total = cells.agg(sum($"n_pairs")).as[Long].head()
     assert(total == Dedup.near(spark, sfDir).count(),
       "matrix total must equal the verified pair count")

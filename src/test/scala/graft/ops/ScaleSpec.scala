@@ -83,6 +83,43 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() == 100)
   }
 
+  test("recursive CTE: per-iteration base scan is filtered and pruned below the frontier join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, Project}
+    import org.apache.spark.sql.execution.UnionLoopExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // Spark 4's WITH RECURSIVE re-plans the loop body each round; pin
+    // the body's shape now so a Spark upgrade can't silently regress it
+    // into an unpruned full re-scan of the base table per iteration
+    val df = graft.queries.Relational.recursiveCte(spark, sfDir)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val loops = plan.collect { case u: UnionLoopExec => u }
+    assert(loops.size == 1, s"expected one UnionLoop:\n$plan")
+    val rec = loops.head.recursion
+    val joins = rec.collect { case j: Join => j }
+    assert(joins.size == 1, s"expected one frontier join:\n$rec")
+    val j = joins.head
+    val base = Seq(j.left, j.right)
+      .find(_.collect { case l: LogicalRelation => l }.nonEmpty)
+      .getOrElse(fail(s"no base relation under the join:\n$rec"))
+    // filter pushed below the join: each round scans only p_partkey < 64
+    assert(base.collect { case f: Filter => f }
+      .exists(_.condition.toString.contains("p_partkey")),
+      s"base-table filter must sit below the per-iteration join:\n$rec")
+    // column pruning: the loop body reads one column, not the wide row
+    assert(base.collect { case p: Project => p }
+      .exists(_.projectList.map(_.name) == Seq("p_partkey")),
+      s"base side must prune to p_partkey only:\n$rec")
+    // the frontier side must NOT re-scan the base table
+    val frontier = if (base eq j.left) j.right else j.left
+    assert(frontier.collect { case l: LogicalRelation => l }.isEmpty,
+      "frontier side must be the loop ref, not a table scan")
+    assert(df.count() == 63) // 6 levels: 1+2+...+32 nodes under 64
+  }
+
   test("bucketed tables join without a shuffle on the join key") {
     import spark.implicits._
     val db = "graft_bucket_test"

@@ -11,6 +11,12 @@ float-level diffs). Dev tooling only — not part of the library.
 import sys, json, glob, os, math
 import duckdb
 
+def typenorm(t):
+    """Collapse only spellings that serialize identically; keep width."""
+    t = t.upper()
+    return {"TIMESTAMP_NS": "TIMESTAMP", "TIMESTAMP_MS": "TIMESTAMP",
+            "TIMESTAMP WITH TIME ZONE": "TIMESTAMP"}.get(t, t)
+
 def norm(rows):
     out = []
     for r in rows:
@@ -42,25 +48,40 @@ def main():
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"NODATA {name}"); n_fail += 1; continue
-        got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchall()
-        cols = [d[0] for d in con.description]
+        grel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        cols, gtypes_raw = list(grel.columns), [str(t) for t in grel.types]
+        got = grel.fetchall()
         order = sorted(range(len(cols)), key=lambda i: cols[i])
         got = [[r[i] for i in order] for r in got]
         gcols = sorted(cols)
+        gtypes = [gtypes_raw[i] for i in order]
         if name not in oracle:
             print(f"NO-ORACLE {name}: rows={len(got)}")
             n_noracle += 1
             continue
         try:
-            exp = con.execute(oracle[name]).fetchall()
+            erel = con.sql(oracle[name])
+            ecols, etypes_raw = list(erel.columns), [str(t) for t in erel.types]
+            exp = erel.fetchall()
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}"); n_fail += 1; continue
-        ecols = [d[0] for d in con.description]
         eorder = sorted(range(len(ecols)), key=lambda i: ecols[i])
         exp = [[r[i] for i in eorder] for r in exp]
         secols = sorted(ecols)
+        etypes = [etypes_raw[i] for i in eorder]
         if gcols != secols:
             print(f"FAIL {name}: columns {gcols} != {secols}"); n_fail += 1; continue
+        # Type-faithful compare: Python fetchall() silently widens DuckDB
+        # HUGEINT/int128 to int, so a value-only compare passes where the
+        # driver's serialization-level hash fails. Fail on any declared
+        # type drift between the Spark parquet and the oracle relation.
+        drift = [(c, gt, et) for c, gt, et in zip(gcols, gtypes, etypes)
+                 if typenorm(gt) != typenorm(et)]
+        if drift:
+            for c, gt, et in drift:
+                print(f"TYPE-DRIFT {name}: {c}: spark={gt} oracle={et}")
+            n_fail += 1
+            continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
         g, e = norm(got), norm(exp)
