@@ -34,7 +34,22 @@ import scala.jdk.CollectionConverters._
   * Options: `url` (required), `method` (GET|POST, default GET),
   * `paginate` (=true enables the pagination loop), `start_page`,
   * `end_page`, `page_size`, `page_param`, `page_size_param` (same
-  * defaults as the YAML config / reference model.rs:48-59).
+  * defaults as the YAML config / reference model.rs:48-59), and
+  * `fetch` (`driver` | `executor`, default `driver`).
+  *
+  * `fetch=executor` (requires pagination) moves the page fetching OFF
+  * the driver: the driver requests only the first page (schema
+  * inference), and the scan plans the `start_page..end_page` range as
+  * contiguous page-range [[InputPartition]]s that each EXECUTOR fetches
+  * and decodes itself. At 1000-executor scale the driver never
+  * materializes the snapshot — ingestion bandwidth is the cluster's,
+  * not one machine's. Pushed filters ride along and prune rows at
+  * executor decode time (same advisory-safe residual contract as the
+  * driver path). Trade-offs vs the default snapshot path, documented:
+  * schema comes from page 1 only (the reference's own first-record
+  * semantics, datasources.rs:195-196), and the empty-page termination
+  * rule becomes per-range (a bounded `end_page` is the contract here —
+  * the config-driven intent of reference datasources.rs:286-316).
   *
   * `HttpTables.register` remains the simple path (decode-all + cache);
   * this connector is the scan-integrated path.
@@ -61,7 +76,19 @@ final class HttpTableProvider extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (_, rows) = snapshot(options)
+    val rows =
+      if (HttpTableProvider.executorFetch(options)) {
+        // distributed mode: the driver touches ONLY the first page — just
+        // enough to infer a schema (the reference's own first-record
+        // semantics, datasources.rs:195-196). Everything else is fetched
+        // by executors at scan time.
+        val src = HttpTableProvider.toSource(options)
+        val p = src.pagination.getOrElse(throw ConfigError(
+          "fetch=executor requires pagination options (paginate=true / start_page / end_page)"))
+        val first = new HttpFetcher().fetchPage(src.url, src.method, p, p.startPage)
+        if (first.isEmpty) throw EmptyResultError(src.url)
+        first
+      } else snapshot(options)._2
     val spark = SparkSession.active
     import spark.implicits._
     // all-rows superset inference (documented divergence from the
@@ -72,12 +99,22 @@ final class HttpTableProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
-    val (src, rows) = snapshot(new CaseInsensitiveStringMap(properties))
-    new HttpTable(src.name, schema, rows.toArray, src)
+    val o = new CaseInsensitiveStringMap(properties)
+    if (HttpTableProvider.executorFetch(o)) {
+      val src = HttpTableProvider.toSource(o)
+      new HttpDistributedTable(src.name, schema, src)
+    } else {
+      val (src, rows) = snapshot(o)
+      new HttpTable(src.name, schema, rows.toArray, src)
+    }
   }
 }
 
 object HttpTableProvider {
+  /** `fetch=executor` selects the distributed page-range scan. */
+  private[connector] def executorFetch(o: CaseInsensitiveStringMap): Boolean =
+    Option(o.get("fetch")).exists(_.equalsIgnoreCase("executor"))
+
   /** Map reader options to the config model (same names as YAML keys). */
   private[connector] def toSource(o: CaseInsensitiveStringMap): Source = {
     val url = Option(o.get("url")).getOrElse(
@@ -414,4 +451,128 @@ final class HttpMicroBatchStream(src: Source, required: StructType)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** `fetch=executor` table: no driver-held snapshot — the scan plans the
+  * configured page range across executors. This is the 100×-HTTP-scale
+  * shape: with the default snapshot path, one driver fetches (and holds)
+  * every page before the first task runs; here the driver holds only
+  * option strings and each executor pulls its own contiguous page range
+  * in parallel, so ingestion bandwidth scales with the cluster. */
+final class HttpDistributedTable(tableName: String, tableSchema: StructType,
+                                 src: Source)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new HttpDistributedScanBuilder(tableSchema, src)
+}
+
+/** Column pruning and filter pushdown for the distributed path. There is
+  * no snapshot to prune on the driver — pushed filters are SHIPPED with
+  * each page-range partition and applied at executor decode time, before
+  * any InternalRow materializes (all filters stay residual, so the
+  * executor-side check keeps the same keep-on-uncertainty contract as
+  * [[JsonPredicate]] everywhere else). Limit is not pushed: a global
+  * limit over unordered distributed pages is Spark's to enforce. */
+final class HttpDistributedScanBuilder(full: StructType, src: Source)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = full
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters.filter(JsonPredicate.supported)
+    filters
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+  override def build(): Scan = new HttpDistributedScan(required, src, pushed)
+}
+
+/** Plans `start_page..end_page` as ≤ defaultParallelism contiguous
+  * page-range partitions. Each partition is (source config, page range,
+  * pushed filters) — pure metadata, a few hundred bytes, regardless of
+  * data volume. */
+final class HttpDistributedScan(required: StructType, src: Source,
+                                filters: Array[sources.Filter])
+    extends Scan with Batch {
+  private val p = src.pagination.getOrElse(Pagination())
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"HttpDistributedScan(pages=${p.startPage}..${p.endPage}, " +
+      s"readSchema=${required.catalogString})"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val pages = p.endPage - p.startPage + 1
+    if (pages <= 0) return Array.empty
+    val slices = math.max(1, math.min(pages,
+      SparkSession.active.sparkContext.defaultParallelism))
+    val per = (pages + slices - 1) / slices
+    (p.startPage to p.endPage).grouped(per)
+      .map(r => HttpPageRangePartition(src, r.head, r.last): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HttpDistributedReaderFactory(required, filters)
+}
+
+final case class HttpPageRangePartition(src: Source, fromPage: Int,
+                                        toPage: Int) extends InputPartition
+
+final class HttpDistributedReaderFactory(required: StructType,
+                                         filters: Array[sources.Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val pr = partition.asInstanceOf[HttpPageRangePartition]
+    new HttpPageRangeReader(pr, required, filters)
+  }
+}
+
+/** Executor-side reader: fetches each page in its range, filters the
+  * parsed JSON against the pushed predicates (keep-on-uncertainty), and
+  * decodes only the pruned columns. An empty/null page ends THIS range —
+  * within a contiguous range that matches the sequential loop's
+  * termination; ranges past a feed's true end simply fetch their first
+  * page, see it empty, and finish (bounded by `end_page` either way). */
+final class HttpPageRangeReader(part: HttpPageRangePartition,
+                                required: StructType,
+                                filters: Array[sources.Filter])
+    extends PartitionReader[InternalRow] {
+  private val fetcher = new HttpFetcher()
+  private val mapper = new ObjectMapper()
+  private val p = part.src.pagination.getOrElse(Pagination())
+  private var page = part.fromPage
+  private var exhausted = false
+  private var buf: Iterator[JsonNode] = Iterator.empty
+  private var current: InternalRow = _
+
+  private def advancePage(): Unit =
+    while (!buf.hasNext && !exhausted) {
+      if (page > part.toPage) exhausted = true
+      else {
+        val rows = fetcher.fetchPage(part.src.url, part.src.method, p, page)
+        page += 1
+        if (rows.isEmpty) exhausted = true // empty page ends the range
+        else buf = rows.iterator
+          .map(line => try mapper.readTree(line) catch { case _: Exception => null })
+          .filter(n => filters.forall(f => JsonPredicate.matches(n, f)))
+      }
+    }
+
+  override def next(): Boolean = {
+    advancePage()
+    if (!buf.hasNext) false
+    else {
+      current = JsonDecode.toRow(buf.next(), required)
+      true
+    }
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }

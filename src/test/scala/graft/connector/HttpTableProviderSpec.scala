@@ -248,4 +248,90 @@ class HttpTableProviderSpec extends AnyFunSuite with SparkSpec {
       assert(spark.read.parquet(out).count() == 3, "caught up: idempotent")
     }
   }
+
+  // ---- fetch=executor: distributed page-range scan ----
+
+  /** Stub serving `nPages` pages of 2 rows each; records which pages were hit. */
+  private def pagedRoutes(nPages: Int,
+                          hits: java.util.concurrent.ConcurrentHashMap[Int, Int])
+      : PartialFunction[(String, String, String), (Int, String)] = {
+    case ("GET", "/docs", q) =>
+      val page = q.split('&').collectFirst {
+        case kv if kv.startsWith("page=") => kv.drop(5).toInt
+      }.getOrElse(0)
+      hits.put(page, hits.getOrDefault(page, 0) + 1)
+      if (page >= 1 && page <= nPages) {
+        val a = (page - 1) * 2 + 1
+        (200, s"""[{"id":$a,"pg":$page},{"id":${a + 1},"pg":$page}]""")
+      } else (200, "[]")
+  }
+
+  test("fetch=executor reads every page without a driver snapshot") {
+    val hits = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    StubServer.withServer(pagedRoutes(4, hits)) { srv =>
+      val df = spark.read.format("http")
+        .option("url", srv.url("/docs"))
+        .option("fetch", "executor")
+        .option("start_page", "1").option("end_page", "6")
+        .load()
+      // schema resolution touched ONLY page 1 (first-record semantics)
+      assert(hits.keySet.asScala.toSet == Set(1),
+        s"driver must fetch only page 1 before the action, got $hits")
+      val ids = df.select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == (1L to 8L),
+        "executors must fetch pages 1..4 and stop on the empty page 5")
+    }
+  }
+
+  test("fetch=executor plans multiple page-range partitions (metadata only)") {
+    val hits = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    StubServer.withServer(pagedRoutes(4, hits)) { srv =>
+      val df = spark.read.format("http")
+        .option("url", srv.url("/docs"))
+        .option("fetch", "executor")
+        .option("start_page", "1").option("end_page", "4")
+        .load()
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.scan.asInstanceOf[HttpDistributedScan]
+      }.getOrElse(fail("no HttpDistributedScan in plan"))
+      val parts = scan.planInputPartitions()
+        .map(_.asInstanceOf[HttpPageRangePartition])
+      assert(parts.length > 1, "4 pages on local[32] must split into >1 range")
+      // contiguous, non-overlapping cover of 1..4
+      val covered = parts.flatMap(p => p.fromPage to p.toPage).sorted
+      assert(covered.toSeq == Seq(1, 2, 3, 4))
+      assert(parts.forall(_.src.url.contains("/docs")),
+        "partitions carry config metadata, never rows")
+    }
+  }
+
+  test("fetch=executor applies pushed filters and pruning at executor decode") {
+    val hits = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    StubServer.withServer(pagedRoutes(3, hits)) { srv =>
+      val df = spark.read.format("http")
+        .option("url", srv.url("/docs"))
+        .option("fetch", "executor")
+        .option("start_page", "1").option("end_page", "3")
+        .load()
+        .filter("pg = 2").select("id")
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.scan.asInstanceOf[HttpDistributedScan]
+      }.getOrElse(fail("no HttpDistributedScan in plan"))
+      assert(scan.readSchema().fieldNames.toSet == Set("id", "pg"),
+        "decode prunes to the referenced columns")
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    }
+  }
+
+  test("fetch=executor without pagination is a typed config error") {
+    StubServer.withServer({ case ("GET", "/docs", _) => (200, "[]") }) { srv =>
+      val e = intercept[ConfigError] {
+        spark.read.format("http")
+          .option("url", srv.url("/docs"))
+          .option("fetch", "executor")
+          .load()
+      }
+      assert(e.getMessage.contains("pagination"))
+    }
+  }
 }
