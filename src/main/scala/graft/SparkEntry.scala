@@ -40,9 +40,12 @@ object SparkEntry {
     graft.ops.AsOf.queries ++
     graft.ops.Cdc.queries ++
     graft.ops.IntervalJoin.queries ++
+    graft.ops.Classify.queries ++
     graft.ops.Dedup.queries ++
     graft.ops.Drift.queries ++
+    graft.ops.Fuzzy.queries ++
     graft.ops.HeavyHitters.queries ++
+    graft.ops.Sketches.queries ++
     graft.ops.Skew.queries ++
     graft.ops.Similarity.queries ++
     graft.ops.Centroids.queries ++
@@ -66,9 +69,12 @@ object SparkEntry {
     graft.ops.AsOf.oracle ++
     graft.ops.Cdc.oracle ++
     graft.ops.IntervalJoin.oracle ++
+    graft.ops.Classify.oracle ++
     graft.ops.Dedup.oracle ++
     graft.ops.Drift.oracle ++
+    graft.ops.Fuzzy.oracle ++
     graft.ops.HeavyHitters.oracle ++
+    graft.ops.Sketches.oracle ++
     graft.ops.Skew.oracle ++
     graft.ops.Similarity.oracle ++
     graft.ops.Centroids.oracle ++

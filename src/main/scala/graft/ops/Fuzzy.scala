@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy vocabulary matching via SymSpell-style deletion neighborhoods —
+  * the scale-correct spell-correction / token-normalization primitive
+  * (reference has nothing like it; this is Tier-P training-data
+  * tooling: collapsing typo variants before counting, deduping, or
+  * inducing a tokenizer vocabulary).
+  *
+  * Why deletes, not distance bands: a naive fuzzy self-join blocked by
+  * length compares every same-length type pair — O(|V|²/buckets),
+  * hopeless for a multi-million-type web vocabulary. The SymSpell
+  * observation: if lev(a, b) ≤ 2 then the ≤2-deletion neighborhoods of
+  * a and b intersect (a substitution is one deletion on EACH side; an
+  * insertion in a is a deletion in b), so an equi-join on deletion
+  * variants finds every candidate pair. Candidate volume is Σ(variant
+  * bucket occupancy²) — tied to how much of the vocabulary actually
+  * collides, not to |V|².
+  *
+  * Scale shape: the corpus collapses to the VOCABULARY first
+  * (map-side-combinable count; Heaps'-law-bounded rows, so the
+  * neighborhood explosion — 1 + L + L(L−1)/2 variants per type — is
+  * over vocabulary entries, never corpus tokens). The exact
+  * `levenshtein` (codegen'd) runs only on colliding candidate pairs.
+  * One exchange keyed by the 8-to-16-byte variant string.
+  *
+  * Determinism: set semantics throughout (distinct variants, distinct
+  * pairs) + integer edit distances — no FP contract at all. The
+  * neighborhood is built by applying "self + all single-char deletions"
+  * TWICE (D≤2 = D≤1∘D≤1), the same construction evaluated identically
+  * in DuckDB; both engines implement standard Levenshtein. */
+object Fuzzy {
+
+  /** `self + all single-char deletions` as a SQL expression over column
+    * `c` — applied twice this spans the ≤2-deletion neighborhood. */
+  private def deletes(c: String): String =
+    s"""array_distinct(concat(array($c), transform(
+       |  sequence(1, length($c)),
+       |  i -> concat(substring($c, 1, i - 1), substring($c, i + 1, length($c))))))"""
+      .stripMargin
+
+  /** All vocabulary pairs within edit distance ≤ `maxDist` (1 or 2),
+    * with corpus frequencies. `vocab` must be (t, freq). */
+  def vocabPairs(vocab: DataFrame, maxDist: Int = 2): DataFrame = {
+    val s = vocab.sparkSession
+    import s.implicits._
+    val d1 = vocab.select($"t", explode(expr(deletes("t"))).as("v1"))
+    val nb =
+      if (maxDist >= 2) d1.select($"t", explode(expr(deletes("v1"))).as("variant"))
+      else d1.select($"t", $"v1".as("variant"))
+    val dnb = nb.distinct()
+    val cand = dnb.as("x").join(dnb.as("y"),
+        $"x.variant" === $"y.variant" && $"x.t" < $"y.t")
+      .select($"x.t".as("t1"), $"y.t".as("t2")).distinct()
+      .filter(levenshtein($"t1", $"t2") <= maxDist)
+    // vocab is small relative to the corpus by construction — broadcast
+    // the frequency lookups rather than shuffling candidates twice
+    cand.join(broadcast(vocab.select($"t".as("t1"), $"freq".as("n1"))), "t1")
+      .join(broadcast(vocab.select($"t".as("t2"), $"freq".as("n2"))), "t2")
+      .select($"t1", $"t2", levenshtein($"t1", $"t2").cast("int").as("dist"),
+        $"n1", $"n2")
+  }
+
+  /** q_fuzzy_vocab entry: corpus vocabulary → all type pairs within
+    * edit distance 2. */
+  def fuzzyVocabQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = t(s, dir, "documents")
+      .select(explode(split(lower($"text"), " ")).as("t"))
+      .filter(length($"t") >= 1)
+      .groupBy($"t").agg(count(lit(1)).as("freq"))
+    vocabPairs(vocab, maxDist = 2).orderBy($"t1", $"t2")
+  }
+
+  /** DuckDB twin: the same D≤1∘D≤1 neighborhood via list_transform. */
+  val fuzzyVocabSql: String =
+    """WITH v AS (
+      |  SELECT t, COUNT(*) AS freq FROM
+      |    (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+      |  WHERE length(t) >= 1 GROUP BY 1),
+      |d1 AS (SELECT t, unnest(list_distinct(list_prepend(t,
+      |    list_transform(range(1, length(t) + 1),
+      |      i -> substr(t, 1, i - 1) || substr(t, i + 1, length(t)))))) AS v1
+      |  FROM v),
+      |nb AS (SELECT DISTINCT t, variant FROM (
+      |  SELECT t, unnest(list_distinct(list_prepend(v1,
+      |    list_transform(range(1, length(v1) + 1),
+      |      i -> substr(v1, 1, i - 1) || substr(v1, i + 1, length(v1)))))) AS variant
+      |  FROM d1)),
+      |cand AS (
+      |  SELECT DISTINCT x.t AS t1, y.t AS t2
+      |  FROM nb x JOIN nb y ON x.variant = y.variant AND x.t < y.t)
+      |SELECT c.t1, c.t2, CAST(levenshtein(c.t1, c.t2) AS INTEGER) AS dist,
+      |  f1.freq AS n1, f2.freq AS n2
+      |FROM cand c
+      |JOIN v f1 ON c.t1 = f1.t JOIN v f2 ON c.t2 = f2.t
+      |WHERE levenshtein(c.t1, c.t2) <= 2
+      |ORDER BY t1, t2""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_vocab" -> fuzzyVocabQ)
+
+  def oracle: Map[String, String] = Map(
+    "q_fuzzy_vocab" -> fuzzyVocabSql)
+}

@@ -135,13 +135,130 @@ object Profile {
       |  ), 1, 15))::UBIGINT AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
       |FROM lineitem""".stripMargin
 
+  /** Equal-frequency (quantile) binning — feature discretization /
+    * stratum construction: per-group quartile boundaries of a value
+    * column, then every row assigned its bin by comparison against the
+    * broadcast 3-number-per-group boundary row. The boundary pass
+    * reuses the stats2 exact-R-7-percentile shape (window rank +
+    * interpolation-weight conditional sum — codegen, one per-group
+    * sort, no single-threaded ObjectHashAggregate); the binning pass is
+    * a broadcast join + map — scan speed at any scale. Boundaries are
+    * rounded to 4 dp so the bin comparisons evaluate on the identical
+    * double in both engines. */
+  def binsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val wOrd = Window.partitionBy($"l_returnflag").orderBy($"v")
+    val wAll = Window.partitionBy($"l_returnflag")
+    def interp(p: Double): Column = {
+      val idx = lit(p) * ($"cnt" - lit(1)).cast("double")
+      val d = abs(idx - ($"rn" - lit(1)).cast("double"))
+      round(sum(when(d < 1, $"v" * (lit(1d) - d)).otherwise(lit(0d))), 4)
+    }
+    val bounds = li.select($"l_returnflag", $"l_extendedprice".as("v"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy($"l_returnflag")
+      .agg(interp(0.25).as("p25"), interp(0.5).as("p50"), interp(0.75).as("p75"))
+    li.select($"l_returnflag", $"l_extendedprice".as("v"), $"l_quantity")
+      .join(broadcast(bounds), "l_returnflag")
+      .withColumn("bin",
+        when($"v" <= $"p25", 0).when($"v" <= $"p50", 1)
+          .when($"v" <= $"p75", 2).otherwise(3))
+      .groupBy($"l_returnflag", $"bin")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag", $"bin")
+  }
+
+  val binsSql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |    ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |    ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |    ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_returnflag,
+      |  CASE WHEN l_extendedprice <= p25 THEN 0
+      |       WHEN l_extendedprice <= p50 THEN 1
+      |       WHEN l_extendedprice <= p75 THEN 2 ELSE 3 END AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem l JOIN b USING (l_returnflag)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-column data-profile overview — the null-ratio / cardinality /
+    * range summary a pipeline publishes per table per batch (the
+    * at-a-glance sheet reviewers and schema monitors read). ONE pass
+    * over the table computes every column's aggregates in a single
+    * aggregate node, then `stack` pivots the 1-row result into a row
+    * per column — no per-column rescan.
+    *
+    * Scale note: several exact `countDistinct`s in one aggregate plan
+    * via Expand (input ×|columns| into the shuffle) — exact is kept
+    * here because the oracle compares cardinalities; at a real 100 TB
+    * profile swap `approx_count_distinct` in and the Expand collapses
+    * to a true single pass. Min/max travel as canonical strings with
+    * pinned formats (decimal-cast doubles, second-precision dates) so
+    * the row is engine-portable. */
+  def overviewQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    def nulls(c: String) = count(when(col(c).isNull, 1)).as(s"nn_$c")
+    val a = li.agg(
+      nulls("l_orderkey"), countDistinct($"l_orderkey").as("nd_l_orderkey"),
+      min($"l_orderkey").cast("string").as("mn_l_orderkey"),
+      max($"l_orderkey").cast("string").as("mx_l_orderkey"),
+      nulls("l_quantity"), countDistinct($"l_quantity").as("nd_l_quantity"),
+      min($"l_quantity").cast("decimal(12,2)").cast("string").as("mn_l_quantity"),
+      max($"l_quantity").cast("decimal(12,2)").cast("string").as("mx_l_quantity"),
+      nulls("l_returnflag"), countDistinct($"l_returnflag").as("nd_l_returnflag"),
+      min($"l_returnflag").as("mn_l_returnflag"),
+      max($"l_returnflag").as("mx_l_returnflag"),
+      nulls("l_shipdate"), countDistinct($"l_shipdate").as("nd_l_shipdate"),
+      date_format(min($"l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("mn_l_shipdate"),
+      date_format(max($"l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("mx_l_shipdate"))
+    a.selectExpr(
+      """stack(4,
+        |'l_orderkey',  nn_l_orderkey,  nd_l_orderkey,  mn_l_orderkey,  mx_l_orderkey,
+        |'l_quantity',  nn_l_quantity,  nd_l_quantity,  mn_l_quantity,  mx_l_quantity,
+        |'l_returnflag',nn_l_returnflag,nd_l_returnflag,mn_l_returnflag,mx_l_returnflag,
+        |'l_shipdate',  nn_l_shipdate,  nd_l_shipdate,  mn_l_shipdate,  mx_l_shipdate
+        |) AS (col_name, n_nulls, n_distinct, min_s, max_s)""".stripMargin)
+      .orderBy($"col_name")
+  }
+
+  val overviewSql: String =
+    """SELECT 'l_orderkey' AS col_name,
+      |  COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+      |  COUNT(DISTINCT l_orderkey) AS n_distinct,
+      |  CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
+      |  CAST(MAX(l_orderkey) AS VARCHAR) AS max_s FROM lineitem
+      |UNION ALL SELECT 'l_quantity',
+      |  COUNT(*) - COUNT(l_quantity), COUNT(DISTINCT l_quantity),
+      |  CAST(CAST(MIN(l_quantity) AS DECIMAL(12,2)) AS VARCHAR),
+      |  CAST(CAST(MAX(l_quantity) AS DECIMAL(12,2)) AS VARCHAR) FROM lineitem
+      |UNION ALL SELECT 'l_returnflag',
+      |  COUNT(*) - COUNT(l_returnflag), COUNT(DISTINCT l_returnflag),
+      |  MIN(l_returnflag), MAX(l_returnflag) FROM lineitem
+      |UNION ALL SELECT 'l_shipdate',
+      |  COUNT(*) - COUNT(l_shipdate), COUNT(DISTINCT l_shipdate),
+      |  strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+      |  strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem
+      |ORDER BY col_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_histogram" -> histogramQ,
     "q_profile_zscore" -> zscoreQ,
-    "q_profile_checksum" -> checksumQ)
+    "q_profile_checksum" -> checksumQ,
+    "q_profile_bins" -> binsQ,
+    "q_profile_overview" -> overviewQ)
 
   def oracle: Map[String, String] = Map(
     "q_profile_histogram" -> histogramSql,
     "q_profile_zscore" -> zscoreSql,
-    "q_profile_checksum" -> checksumSql)
+    "q_profile_checksum" -> checksumSql,
+    "q_profile_bins" -> binsSql,
+    "q_profile_overview" -> overviewSql)
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants for the r7 operators the oracle can't see:
+  * SymSpell completeness vs brute force, HLL gate/merge algebra,
+  * classifier partition invariance + plan shape, bin equal-frequency. */
+class FuzzySketchSpec extends AnyFunSuite with SparkSpec {
+
+  // --- Fuzzy (SymSpell deletion neighborhoods) -----------------------------
+
+  test("fuzzy: deletion-neighborhood pairs equal brute-force lev<=2 pairs") {
+    import spark.implicits._
+    // adversarial vocab: substitutions, transposition-shaped pairs,
+    // prefix/suffix edits, short tokens, and far-apart controls
+    val words = Seq("cat", "bat", "cart", "car", "ca", "c", "hello",
+      "hallo", "hell", "jello", "spark", "shark", "stark", "zzzzz",
+      "table", "cable", "fable", "ample")
+    val vocab = words.toDF("t").withColumn("freq", lit(1L))
+    val got = Fuzzy.vocabPairs(vocab, maxDist = 2)
+      .select("t1", "t2", "dist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- words; b <- words if a < b
+      dd = lev(a, b) if dd <= 2
+    } yield (a, b, dd)).toSet
+    assert(got == want,
+      s"missing=${want -- got} spurious=${got -- want}")
+  }
+
+  test("fuzzy: no pair beyond the distance bound is ever emitted") {
+    val rows = Fuzzy.fuzzyVocabQ(spark, sfDir).collect()
+    assert(rows.nonEmpty, "sf0.001 vocab has known distance-2 pairs")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("dist") >= 1 && r.getAs[Int]("dist") <= 2)
+      assert(r.getAs[String]("t1") < r.getAs[String]("t2"))
+    }
+  }
+
+  // --- Sketches (mergeable HLL) --------------------------------------------
+
+  test("hll: every per-source and global estimate passes its error gate") {
+    val rows = Sketches.hllMergeQ(spark, sfDir).collect()
+    assert(rows.length >= 2, "at least one source plus the ALL row")
+    assert(rows.exists(_.getAs[String]("source") == "ALL"))
+    rows.foreach(r => assert(r.getAs[Int]("est_ok") == 1,
+      s"estimate outside envelope for ${r.getAs[String]("source")}"))
+  }
+
+  test("hll: union estimate is partition-invariant and merge-order-free") {
+    import spark.implicits._
+    val toks = graft.Tables.t(spark, sfDir, "documents")
+      .select(explode(split(lower($"text"), " ")).as("tok"))
+    def unionEst(parts: Int): Long = toks.repartition(parts)
+      .agg(hll_sketch_agg($"tok", lit(12)).as("sk"))
+      .select(hll_sketch_estimate($"sk")).head().getLong(0)
+    // HLL registers are max-merged: any partitioning/order → same sketch
+    assert(unionEst(1) == unionEst(7))
+  }
+
+  // --- Classify (hashed linear model) --------------------------------------
+
+  test("classify: sum_w is exact under any shuffle width; label is the sign gate") {
+    val a = Classify.classifyQ(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    // integer millis sums: rerunning under a different shuffle fanout
+    // must reproduce byte-identical scores (no FP drift path exists)
+    val wide = spark.newSession()
+    wide.conf.set("spark.sql.shuffle.partitions", "17")
+    val b = Classify.classifyQ(wide, sfDir).collect()
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("sum_w"), r.getAs[Double]("score")))).toMap
+    assert(asMap(a) == asMap(b))
+    a.foreach { r =>
+      val lbl = r.getAs[Int]("label")
+      val sw = r.getAs[Long]("sum_w")
+      assert(lbl == (if (sw > 0) 1 else 0), "label must be the sign gate")
+    }
+  }
+
+  test("classify: weight lookup is a broadcast join, never a shuffle of tokens") {
+    val plan = Classify.classifyQ(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"1024-row model must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"token stream must not shuffle for the model join:\n$plan")
+  }
+
+  // --- Profile.bins (equal-frequency binning) ------------------------------
+
+  test("bins: quartile bins are equal-frequency within interpolation slack") {
+    val rows = Profile.binsQ(spark, sfDir).collect()
+    val byFlag = rows.groupBy(_.getAs[String]("l_returnflag"))
+    byFlag.foreach { case (flag, bins) =>
+      assert(bins.length == 4, s"$flag must fill all 4 bins")
+      val ns = bins.map(_.getAs[Long]("n"))
+      val total = ns.sum
+      ns.foreach(n => assert(math.abs(n - total / 4.0) <= total * 0.02 + 2,
+        s"$flag bins $ns are not ~25% each"))
+    }
+  }
+}

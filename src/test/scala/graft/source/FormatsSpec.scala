@@ -62,4 +62,41 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
     assert(types("value") == DoubleType)
     assert(types("event_type") == StringType && types("props") == StringType)
   }
+
+  test("orc round-trips lineitem with predicate pushdown intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val li = graft.Tables.t(spark, sfDir, "lineitem")
+    li.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == li.count())
+    assert(back.schema == li.schema, "orc is typed: schema survives exactly")
+    assert(back.except(li).isEmpty && li.except(back).isEmpty)
+    // pushdown reaches the ORC scan like it does the parquet one
+    val q = back.filter($"l_quantity" > 45.0).select($"l_orderkey")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter must reach the orc scan:\n$scan")
+    assert(q.count() == li.filter($"l_quantity" > 45.0).count())
+  }
+
+  test("parquet schema evolution: mergeSchema widens, old files read nulls") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    // batch 1: v1 schema (no quality column) — yesterday's ingestion
+    graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"lang").limit(50)
+      .write.parquet(s"$dir/b=1")
+    // batch 2: v2 schema adds a column — today's pipeline version
+    graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", lit(0.5).as("quality")).limit(30)
+      .write.parquet(s"$dir/b=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/b=1", s"$dir/b=2")
+    assert(merged.schema.fieldNames.contains("quality"),
+      "union schema must include the new column")
+    assert(merged.count() == 80)
+    // rows from v1 files surface NULL for the late column, not an error
+    assert(merged.filter($"quality".isNull).count() == 50)
+    assert(merged.filter($"quality" === 0.5).count() == 30)
+  }
 }

@@ -200,4 +200,38 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     assert(back.count() == events.count())
     assert(back.except(events).isEmpty && events.except(back).isEmpty)
   }
+
+  test("dynamic partition overwrite replaces only the partitions in the batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dynover").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val langs = before.select($"lang").distinct().as[String].collect().sorted
+    assert(langs.length >= 2, "need multiple partitions to prove selectivity")
+    val target = langs.head
+    val untouched = before.filter($"lang" =!= target)
+      .collect().map(_.toString).sorted.toSeq
+    // the incremental-backfill shape: re-deliver ONE partition, corrected
+    val corrected = docs.filter($"lang" === target)
+      .withColumn("n_chars", $"n_chars" + 1000000L)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try corrected.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val after = spark.read.parquet(dir)
+    // target partition fully replaced with the corrected rows…
+    assert(after.filter($"lang" === target && $"n_chars" < 1000000L).count() == 0)
+    assert(after.filter($"lang" === target).count() ==
+      docs.filter($"lang" === target).count())
+    // …and every other partition byte-identical (static mode would have
+    // dropped them all)
+    val afterUntouched = after.filter($"lang" =!= target)
+      .collect().map(_.toString).sorted.toSeq
+    assert(afterUntouched == untouched)
+  }
 }

@@ -267,4 +267,35 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         "replaying a batch must not duplicate rows")
     } finally q.stop()
   }
+
+  test("native session_window agrees with the gap-window sessionization") {
+    import spark.implicits._
+    // Spark's built-in session_window(ts, gap) must produce the same
+    // sessions as the hand-rolled lag/break form the oracle checks:
+    // same (user, start, size, value), and its window end = last event
+    // + gap by definition.
+    val batch = EventStreams.sessionizeBatch(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value"))).toSet
+    val native = graft.Tables.t(spark, sfDir, "events")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+    val nat = native.collect().map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Timestamp]("session_start"), r.getAs[Long]("n_events"),
+      r.getAs[Double]("total_value"))).toSet
+    // sessionizeBatch limits to 500 rows; compare on its keyspace
+    assert(batch.subsetOf(nat),
+      s"missing from native: ${batch -- nat}")
+    // window end is last-event + gap, never beyond
+    native.collect().foreach { r =>
+      val wEnd = r.getAs[org.apache.spark.sql.Row]("w").getAs[Timestamp]("end")
+      val lastTs = r.getAs[Timestamp]("session_end")
+      assert(wEnd.getTime - lastTs.getTime == 30L * 60 * 1000,
+        "session_window end must be last event + gap")
+    }
+  }
 }
