@@ -46,6 +46,7 @@ object SparkEntry {
     graft.ops.Fuzzy.queries ++
     graft.ops.HeavyHitters.queries ++
     graft.ops.Sketches.queries ++
+    graft.ops.Validate.queries ++
     graft.ops.Skew.queries ++
     graft.ops.Similarity.queries ++
     graft.ops.Centroids.queries ++
@@ -75,6 +76,7 @@ object SparkEntry {
     graft.ops.Fuzzy.oracle ++
     graft.ops.HeavyHitters.oracle ++
     graft.ops.Sketches.oracle ++
+    graft.ops.Validate.oracle ++
     graft.ops.Skew.oracle ++
     graft.ops.Similarity.oracle ++
     graft.ops.Centroids.oracle ++

@@ -190,35 +190,43 @@ object Profile {
 
   /** Per-column data-profile overview — the null-ratio / cardinality /
     * range summary a pipeline publishes per table per batch (the
-    * at-a-glance sheet reviewers and schema monitors read). ONE pass
-    * over the table computes every column's aggregates in a single
-    * aggregate node, then `stack` pivots the 1-row result into a row
-    * per column — no per-column rescan.
+    * at-a-glance sheet reviewers and schema monitors read). TWO
+    * scan-speed passes — one for null/distinct accounting, one for
+    * ranges — then `stack` pivots the broadcast-joined 1-row result
+    * into a row per column; adding a column adds expressions, not
+    * passes.
     *
     * Scale note: several exact `countDistinct`s in one aggregate plan
     * via Expand (input ×|columns| into the shuffle) — exact is kept
     * here because the oracle compares cardinalities; at a real 100 TB
     * profile swap `approx_count_distinct` in and the Expand collapses
-    * to a true single pass. Min/max travel as canonical strings with
-    * pinned formats (decimal-cast doubles, second-precision dates) so
-    * the row is engine-portable. */
+    * away. Min/max travel as canonical strings with pinned formats
+    * (decimal-cast doubles, second-precision dates) so the row is
+    * engine-portable. */
   def overviewQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = t(s, dir, "lineitem")
     def nulls(c: String) = count(when(col(c).isNull, 1)).as(s"nn_$c")
-    val a = li.agg(
+    // split the two aggregate families (the stats2 lesson, same reason):
+    // exact countDistincts plan via Expand and stay in HashAggregate
+    // (pure long buffers), while min/max over STRING columns force a
+    // SortAggregate — mixed together, the sort-based path drags the 5×
+    // Expand through a wide sort (measured 5.9s → 1.4s at sf0.1 split).
+    val distincts = li.agg(
       nulls("l_orderkey"), countDistinct($"l_orderkey").as("nd_l_orderkey"),
+      nulls("l_quantity"), countDistinct($"l_quantity").as("nd_l_quantity"),
+      nulls("l_returnflag"), countDistinct($"l_returnflag").as("nd_l_returnflag"),
+      nulls("l_shipdate"), countDistinct($"l_shipdate").as("nd_l_shipdate"))
+    val ranges = li.agg(
       min($"l_orderkey").cast("string").as("mn_l_orderkey"),
       max($"l_orderkey").cast("string").as("mx_l_orderkey"),
-      nulls("l_quantity"), countDistinct($"l_quantity").as("nd_l_quantity"),
       min($"l_quantity").cast("decimal(12,2)").cast("string").as("mn_l_quantity"),
       max($"l_quantity").cast("decimal(12,2)").cast("string").as("mx_l_quantity"),
-      nulls("l_returnflag"), countDistinct($"l_returnflag").as("nd_l_returnflag"),
       min($"l_returnflag").as("mn_l_returnflag"),
       max($"l_returnflag").as("mx_l_returnflag"),
-      nulls("l_shipdate"), countDistinct($"l_shipdate").as("nd_l_shipdate"),
       date_format(min($"l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("mn_l_shipdate"),
       date_format(max($"l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("mx_l_shipdate"))
+    val a = distincts.crossJoin(broadcast(ranges)) // two 1-row frames
     a.selectExpr(
       """stack(4,
         |'l_orderkey',  nn_l_orderkey,  nd_l_orderkey,  mn_l_orderkey,  mx_l_orderkey,

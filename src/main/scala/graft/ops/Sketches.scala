@@ -92,9 +92,57 @@ object Sketches {
       |UNION ALL SELECT source, n_exact, 1 AS est_ok FROM allr
       |ORDER BY source""".stripMargin
 
+  /** Cross-source VOCABULARY overlap matrix — the token-level
+    * complement of [[Dedup]]'s doc-level source matrix: for every
+    * source pair, the exact distinct-token intersection and its Jaccard
+    * similarity. High vocab overlap between two crawl feeds flags
+    * mirrored content before any document-level dedup runs — the cheap
+    * early-warning the sketch family approximates and this query pins
+    * exactly.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (source, token)
+    * first (map-side-combinable; vocabulary-bounded rows per source),
+    * the pair join is keyed by token with per-token fan-out ≤
+    * |sources|² — never a corpus scan on the join side — and the
+    * per-source totals arrive by broadcast. */
+  def sourceOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "documents")
+      .select($"source", explode(split(lower($"text"), " ")).as("tok"))
+      .distinct()
+    val per = e.groupBy($"source").agg(countDistinct($"tok").as("n"))
+    val pairs = e.as("a").join(e.as("b"),
+        $"a.tok" === $"b.tok" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("s1"), $"b.source".as("s2"))
+      .agg(count(lit(1)).as("n_common")) // (source, tok) rows are distinct
+    pairs
+      .join(broadcast(per.select($"source".as("s1"), $"n".as("n1"))), "s1")
+      .join(broadcast(per.select($"source".as("s2"), $"n".as("n2"))), "s2")
+      .select($"s1", $"s2", $"n_common", $"n1", $"n2",
+        round($"n_common".cast("double") /
+          ($"n1" + $"n2" - $"n_common"), 6).as("jaccard"))
+      .orderBy($"s1", $"s2")
+  }
+
+  val sourceOverlapSql: String =
+    """WITH e AS (SELECT DISTINCT source, tok FROM
+      |  (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      |   FROM documents)),
+      |per AS (SELECT source, COUNT(*) AS n FROM e GROUP BY source),
+      |p AS (SELECT a.source AS s1, b.source AS s2,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM e a JOIN e b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s1, s2, n_common, x.n AS n1, y.n AS n2,
+      |  ROUND(CAST(n_common AS DOUBLE) / (x.n + y.n - n_common), 6) AS jaccard
+      |FROM p JOIN per x ON p.s1 = x.source JOIN per y ON p.s2 = y.source
+      |ORDER BY s1, s2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_hll_merge" -> hllMergeQ)
+    "q_agg_hll_merge" -> hllMergeQ,
+    "q_source_overlap" -> sourceOverlapQ)
 
   def oracle: Map[String, String] = Map(
-    "q_agg_hll_merge" -> hllMergeSql)
+    "q_agg_hll_merge" -> hllMergeSql,
+    "q_source_overlap" -> sourceOverlapSql)
 }

@@ -632,6 +632,53 @@ object Text {
       |SELECT lang, doc_id, CAST(rk AS INT) AS rk
       |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
 
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES):
+    * per stratum, keep the k docs with the largest ln(u)/w where
+    * u = deterministic md5-uniform in (0, 1] and w = the doc's weight
+    * (here n_chars — longer docs proportionally likelier, the
+    * "sample by token budget" curation primitive). A-ES is THE
+    * one-pass distributed weighted sampler: selection needs no total
+    * ordering, no RNG state, no sequential reservoir — any engine,
+    * run, or partitioning draws the SAME sample because u comes from
+    * the pinned [[Hashing.md5Long60]] contract, not an RNG.
+    *
+    * Scale shape: identical to [[stratifiedSample]] — the bounded
+    * [[TopKByScore]] aggregator holds ≤k partial rows per stratum
+    * map-side, so only (#strata × partitions × k) rows cross the
+    * exchange. The A-ES key is the only double in play and it exists
+    * to be ORDERED, not output: the emitted columns are ids and ranks,
+    * so the oracle compare is FP-free (keys are continuous-random;
+    * adjacent keys sit ~1/n apart, astronomically beyond the 1-ulp
+    * libm-ln divergence that could reorder them). */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    import s.implicits._
+    val u = (Hashing.md5Long60(concat($"doc_id".cast("string"), lit(":wsample")))
+      + 1).cast("double") / lit(1.152921504606846976e18)
+    t(s, dir, "documents")
+      .select($"lang".as[String],
+        struct($"doc_id".as("vec_id"),
+          (log(u) / $"n_chars").as("score")).as[Scored])
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(TopKByScore.column(k).name("top"))
+      .toDF("lang", "top")
+      .select($"lang", posexplode($"top"))
+      .select($"lang", $"col.vec_id".as("doc_id"), ($"pos" + 1).cast("int").as("rk"))
+      .orderBy($"lang", $"rk")
+  }
+
+  val weightedSampleSql: String =
+    """WITH h AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    (('0x' || substr(md5(doc_id::VARCHAR || ':wsample'), 1, 15))::UBIGINT::BIGINT + 1)
+      |      / 1152921504606846976.0 AS u
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ln(u) / n_chars DESC, doc_id ASC) AS rk
+      |  FROM h)
+      |SELECT lang, doc_id, CAST(rk AS INT) AS rk
+      |FROM r WHERE rk <= 15 ORDER BY lang, rk""".stripMargin
+
   /** Repetition signals — the Gopher-family "repetitive text" quality
     * filters (Rae et al. 2021, public): fraction of tokens accounted for
     * by the most frequent token, fraction of word-bigram occurrences
@@ -909,7 +956,8 @@ object Text {
     "q_pack_sequences" -> ((s, dir) => packSequences(s, dir)),
     "q_split_assign" -> splitAssign,
     "q_sample_mixture" -> mixtureQ,
-    "q_sample_stratified" -> ((s, dir) => stratifiedSample(s, dir)))
+    "q_sample_stratified" -> ((s, dir) => stratifiedSample(s, dir)),
+    "q_sample_weighted" -> ((s, dir) => weightedSample(s, dir)))
 
   def oracle: Map[String, String] = Map(
     "q_text_stats" -> statsSql,
@@ -931,5 +979,6 @@ object Text {
     "q_pack_sequences" -> packSequencesSql,
     "q_split_assign" -> splitAssignSql,
     "q_sample_mixture" -> sampleMixtureSql,
-    "q_sample_stratified" -> stratifiedSampleSql)
+    "q_sample_stratified" -> stratifiedSampleSql,
+    "q_sample_weighted" -> weightedSampleSql)
 }

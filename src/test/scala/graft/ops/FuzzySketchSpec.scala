@@ -98,6 +98,67 @@ class FuzzySketchSpec extends AnyFunSuite with SparkSpec {
       s"token stream must not shuffle for the model join:\n$plan")
   }
 
+  // --- Weighted sampling (A-ES) --------------------------------------------
+
+  test("weighted sample: selection is deterministic and biased toward weight") {
+    import spark.implicits._
+    val a = Text.weightedSample(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet
+    val b = Text.weightedSample(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet
+    assert(a == b, "hash-seeded A-ES must redraw the identical sample")
+    // w = n_chars: the sampled docs' mean length must exceed the corpus
+    // mean (the whole point of weighting)
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val sampled = docs.join(
+      Text.weightedSample(spark, sfDir).select($"doc_id"), "doc_id")
+    val mSample = sampled.agg(avg($"n_chars")).head().getDouble(0)
+    val mAll = docs.agg(avg($"n_chars")).head().getDouble(0)
+    assert(mSample > mAll,
+      s"weighted sample mean $mSample must exceed corpus mean $mAll")
+  }
+
+  // --- Source overlap matrix -----------------------------------------------
+
+  test("source overlap: full pair coverage, intersection bounds, jaccard range") {
+    import spark.implicits._
+    val rows = Sketches.sourceOverlapQ(spark, sfDir).collect()
+    val nSources = graft.Tables.t(spark, sfDir, "documents")
+      .select($"source").distinct().count().toInt
+    // the shared word-salad vocabulary makes every source pair overlap
+    assert(rows.length == nSources * (nSources - 1) / 2)
+    rows.foreach { r =>
+      val (nc, n1, n2) = (r.getAs[Long]("n_common"),
+        r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+      assert(nc >= 1 && nc <= math.min(n1, n2))
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0 && j <= 1.0)
+      assert(r.getAs[String]("s1") < r.getAs[String]("s2"))
+    }
+  }
+
+  // --- Validate ------------------------------------------------------------
+
+  test("validate: whole suite is one scan; counts match a per-rule recount") {
+    val q = Validate.rulesQ(spark, sfDir)
+    val got = q.collect()
+      .map(r => r.getAs[String]("rule_name") -> r.getAs[Long]("n_violations"))
+      .toMap
+    // after execution the AQE-final plan is concrete: five rules, ONE scan
+    // (AQE's toString repeats the tree under "== Initial Plan ==" — count
+    // only the final section)
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nScans = "Scan parquet".r.findAllIn(plan).length
+    assert(nScans == 1,
+      s"five rules must compile to ONE table pass, got $nScans scans:\n$plan")
+    val li = graft.Tables.t(spark, sfDir, "lineitem")
+    assert(got("quantity_in_1_45") ==
+      li.filter(!col("l_quantity").between(1, 45)).count())
+    assert(got("orderkey_not_null") == 0L)
+    assert(got.values.forall(_ >= 0))
+  }
+
   // --- Profile.bins (equal-frequency binning) ------------------------------
 
   test("bins: quartile bins are equal-frequency within interpolation slack") {
