@@ -47,6 +47,7 @@ object SparkEntry {
     graft.ops.HeavyHitters.queries ++
     graft.ops.Sketches.queries ++
     graft.ops.Validate.queries ++
+    graft.ops.Index.queries ++
     graft.ops.Skew.queries ++
     graft.ops.Similarity.queries ++
     graft.ops.Centroids.queries ++
@@ -77,6 +78,7 @@ object SparkEntry {
     graft.ops.HeavyHitters.oracle ++
     graft.ops.Sketches.oracle ++
     graft.ops.Validate.oracle ++
+    graft.ops.Index.oracle ++
     graft.ops.Skew.oracle ++
     graft.ops.Similarity.oracle ++
     graft.ops.Centroids.oracle ++

@@ -16,7 +16,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev knob (same contract as Bench): dump a subset while iterating.
+    // Safe against env leakage into a driver run: a subset dump leaves
+    // the other queries' parquet dirs ABSENT, which any full compare
+    // reports as missing/failed — it cannot masquerade as full green.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(names => System.err.println(
+      s"[verify] SUBSET RUN — only ${names.mkString(",")}"))
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

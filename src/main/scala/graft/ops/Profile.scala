@@ -256,17 +256,92 @@ object Profile {
       |  strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem
       |ORDER BY col_name""".stripMargin
 
+  /** Robust (MAD) outlier accounting — the z-score family's
+    * median-based sibling: per group, the median, the median absolute
+    * deviation, and the count of rows beyond the standard
+    * 3 × 1.4826 × MAD fence. Z-scores move with the outliers they hunt
+    * (one 1000× row drags the mean and inflates sigma); the MAD fence
+    * is what a curation pipeline uses when the column is heavy-tailed —
+    * which at 100 TB, every interesting column is.
+    *
+    * Two percentile passes (value, then |v − median|), each the same
+    * codegen window-rank + interpolation-weight shape as [[binsQ]] —
+    * per-group sorts that scale out, no single-threaded
+    * ObjectHashAggregate. Medians are rounded to 4 dp before the
+    * deviation/fence arithmetic so every downstream comparison
+    * evaluates on the identical double in both engines (the
+    * interpolation sum itself is exact: ≤2 nonzero terms, and IEEE
+    * addition of zeros is exact in any order). */
+  def madQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    def interp(v: Column, p: Double, rn: Column, cnt: Column): Column = {
+      val idx = lit(p) * (cnt - lit(1)).cast("double")
+      val d = abs(idx - (rn - lit(1)).cast("double"))
+      round(sum(when(d < 1, v * (lit(1d) - d)).otherwise(lit(0d))), 4)
+    }
+    val base = t(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice".as("v"))
+    val wOrd = Window.partitionBy($"l_returnflag").orderBy($"v")
+    val wAll = Window.partitionBy($"l_returnflag")
+    val med = base
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy($"l_returnflag")
+      .agg(interp($"v", 0.5, $"rn", $"cnt").as("med"))
+    val dev = base.join(broadcast(med), "l_returnflag")
+      .withColumn("d", abs($"v" - $"med"))
+    val wDev = Window.partitionBy($"l_returnflag").orderBy($"d")
+    val mad = dev
+      .withColumn("rn", row_number().over(wDev))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy($"l_returnflag")
+      .agg(interp($"d", 0.5, $"rn", $"cnt").as("mad"))
+    // two fences: the standard 3× fence (zero on this uniform-ish
+    // column — a true finding worth asserting) and the 1× mild fence,
+    // nonzero, so the comparison machinery is value-tested too
+    dev.join(broadcast(mad), "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        first($"med").as("med"), first($"mad").as("mad"),
+        sum(($"d" > lit(1.4826) * $"mad").cast("long")).as("n_mild"),
+        sum(($"d" > lit(3d) * lit(1.4826) * $"mad").cast("long"))
+          .as("n_extreme"))
+      .orderBy($"l_returnflag")
+  }
+
+  val madSql: String =
+    """WITH med AS (
+      |  SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS med
+      |  FROM lineitem GROUP BY l_returnflag),
+      |dev AS (
+      |  SELECT l.l_returnflag, ABS(l_extendedprice - med) AS d, med
+      |  FROM lineitem l JOIN med USING (l_returnflag)),
+      |mad AS (
+      |  SELECT l_returnflag, ROUND(quantile_cont(d, 0.5), 4) AS mad
+      |  FROM dev GROUP BY l_returnflag)
+      |SELECT dev.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ANY_VALUE(dev.med) AS med, ANY_VALUE(mad.mad) AS mad,
+      |  CAST(SUM(CASE WHEN d > 1.4826 * mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_mild,
+      |  CAST(SUM(CASE WHEN d > 3 * 1.4826 * mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_extreme
+      |FROM dev JOIN mad USING (l_returnflag)
+      |GROUP BY dev.l_returnflag ORDER BY dev.l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_histogram" -> histogramQ,
     "q_profile_zscore" -> zscoreQ,
     "q_profile_checksum" -> checksumQ,
     "q_profile_bins" -> binsQ,
-    "q_profile_overview" -> overviewQ)
+    "q_profile_overview" -> overviewQ,
+    "q_profile_mad" -> madQ)
 
   def oracle: Map[String, String] = Map(
     "q_profile_histogram" -> histogramSql,
     "q_profile_zscore" -> zscoreSql,
     "q_profile_checksum" -> checksumSql,
     "q_profile_bins" -> binsSql,
-    "q_profile_overview" -> overviewSql)
+    "q_profile_overview" -> overviewSql,
+    "q_profile_mad" -> madSql)
 }

@@ -1,7 +1,9 @@
 package graft.ops
 
 import graft.Tables.t
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Mergeable distinct-count sketches — the incremental-ingest shape for
@@ -138,11 +140,94 @@ object Sketches {
       |FROM p JOIN per x ON p.s1 = x.source JOIN per y ON p.s2 = y.source
       |ORDER BY s1, s2""".stripMargin
 
+  // --- Count-min sketch -----------------------------------------------------
+
+  /** Mergeable count-min frequency sketch: a (depth × width) counter
+    * grid; each item increments one counter per row (row-seeded hash),
+    * a point estimate is the MIN across rows. Merge = elementwise sum —
+    * associative/commutative like the HLL sketch above, so per-batch /
+    * per-source grids union in any order. The buffer is the input
+    * POSITIONS, not tokens: the row hashes are computed in SQL
+    * (`hash(tok, r)` — Spark's codegen murmur3) before the typed
+    * aggregator, so the estimate side reuses the identical expressions
+    * and no hash function is ever re-implemented in two places. */
+  final class CmsAgg(size: Int)
+      extends Aggregator[Seq[Int], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = new Array[Long](size)
+    override def reduce(b: Array[Long], pos: Seq[Int]): Array[Long] = {
+      pos.foreach(p => b(p) += 1L); b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0; while (i < size) { a(i) += b(i); i += 1 }; a
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  private val CmsDepth = 4
+  private val CmsWidth = 2048
+
+  /** The d absolute grid positions of a token, as one SQL expression —
+    * shared verbatim by the build side and the estimate side. */
+  private def cmsPositions(tok: Column): Column =
+    array((0 until CmsDepth).map(r =>
+      pmod(hash(tok, lit(r)), lit(CmsWidth)) + lit(r * CmsWidth)): _*)
+
+  /** q_agg_cms entry: CMS-estimate the 40 most frequent tokens and gate
+    * the estimates against the exact counts, in-plan: est ≥ exact holds
+    * unconditionally (counters only ever over-count), and the excess is
+    * gated at 32·N/width — by Markov each row's excess exceeds t·N/w
+    * with prob ≤ 1/t, so the min over 4 independent rows fails at
+    * ~t⁻⁴ = 1e-6 per candidate; with this fixture's vocabulary it would
+    * take 3+ same-row collisions on every row, measured safe at sf0.001
+    * through 0.1. Like the HLL gate, sketch internals never cross
+    * engines — the DuckDB twin recomputes the exact counts and expects
+    * every gate true.
+    *
+    * Scale shape: the sketch build is one pass with O(d·w) state per
+    * partition merged map-side (32 KB — the whole corpus's frequency
+    * table in one bounded row); the candidate side is an exact count of
+    * 40 keys; the estimate is a broadcast of the 1-row grid. */
+  def cmsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select(explode(split(lower($"text"), " ")).as("tok"))
+      .filter(length($"tok") > 0)
+    val sk = toks.select(cmsPositions($"tok").as("pos"))
+      .as[Seq[Int]]
+      .select(new CmsAgg(CmsDepth * CmsWidth).toColumn.name("sk"))
+    val tot = toks.agg(count(lit(1)).cast("double").as("n_tot"))
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"tok").limit(40)
+    val est = (0 until CmsDepth)
+      .map(r => element_at($"sk", element_at($"pos", r + 1) + 1))
+      .reduce(least(_, _))
+    exact.crossJoin(broadcast(sk)).crossJoin(broadcast(tot))
+      .withColumn("pos", cmsPositions($"tok"))
+      .withColumn("est", est)
+      .select($"tok", $"n_exact",
+        ($"est" >= $"n_exact").cast("int").as("est_ge_exact"),
+        ($"est" - $"n_exact" <= lit(32d) * $"n_tot" / lit(CmsWidth))
+          .cast("int").as("est_within_bound"))
+      .orderBy($"n_exact".desc, $"tok")
+  }
+
+  val cmsSql: String =
+    """WITH e AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents)
+      |SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |  1 AS est_ge_exact, 1 AS est_within_bound
+      |FROM e WHERE len(tok) > 0
+      |GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 40""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_hll_merge" -> hllMergeQ,
-    "q_source_overlap" -> sourceOverlapQ)
+    "q_source_overlap" -> sourceOverlapQ,
+    "q_agg_cms" -> cmsQ)
 
   def oracle: Map[String, String] = Map(
     "q_agg_hll_merge" -> hllMergeSql,
-    "q_source_overlap" -> sourceOverlapSql)
+    "q_source_overlap" -> sourceOverlapSql,
+    "q_agg_cms" -> cmsSql)
 }

@@ -936,6 +936,52 @@ object Text {
 
   // --- registry -------------------------------------------------------------
 
+  /** Length-bucketed batching audit — fixed-shape training batches pad
+    * every sequence to the bucket cap, so the padding fraction per
+    * (lang, bucket) is the compute a run wastes on pad tokens. The
+    * bucket ladder is a fixed CASE (powers of two), deliberately NOT
+    * `2^ceil(log2 n)`: libm log2 at an exact power of two may land an
+    * ulp under the integer and flip the bucket per engine — a branch
+    * ladder on integers cannot.
+    *
+    * Scale shape: one map-side-combinable groupBy over integer keys;
+    * all outputs are integer counts/sums plus one final rounded
+    * division. Scan speed at any corpus size. */
+  def packBucketsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cap = when($"n_chars" <= 64, 64L).when($"n_chars" <= 128, 128L)
+      .when($"n_chars" <= 256, 256L).when($"n_chars" <= 512, 512L)
+      .when($"n_chars" <= 1024, 1024L).when($"n_chars" <= 2048, 2048L)
+      .otherwise(4096L)
+    t(s, dir, "documents")
+      .select($"lang", cap.as("bucket_cap"), $"n_chars")
+      .groupBy($"lang", $"bucket_cap")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        sum($"bucket_cap" - $"n_chars").as("pad_chars"))
+      .select($"lang", $"bucket_cap", $"n_docs", $"sum_chars", $"pad_chars",
+        round($"pad_chars".cast("double") /
+          ($"bucket_cap" * $"n_docs"), 6).as("pad_frac"))
+      .orderBy($"lang", $"bucket_cap")
+  }
+
+  val packBucketsSql: String =
+    """WITH b AS (
+      |  SELECT lang,
+      |    CASE WHEN n_chars <= 64 THEN 64 WHEN n_chars <= 128 THEN 128
+      |         WHEN n_chars <= 256 THEN 256 WHEN n_chars <= 512 THEN 512
+      |         WHEN n_chars <= 1024 THEN 1024 WHEN n_chars <= 2048 THEN 2048
+      |         ELSE 4096 END AS bucket_cap,
+      |    n_chars
+      |  FROM documents)
+      |SELECT lang, CAST(bucket_cap AS BIGINT) AS bucket_cap,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(bucket_cap - n_chars) AS BIGINT) AS pad_chars,
+      |  ROUND(CAST(SUM(bucket_cap - n_chars) AS DOUBLE)
+      |    / (bucket_cap * COUNT(*)), 6) AS pad_frac
+      |FROM b GROUP BY lang, bucket_cap ORDER BY lang, bucket_cap""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> stats,
     "q_text_lang_agg" -> langAgg,
@@ -957,7 +1003,8 @@ object Text {
     "q_split_assign" -> splitAssign,
     "q_sample_mixture" -> mixtureQ,
     "q_sample_stratified" -> ((s, dir) => stratifiedSample(s, dir)),
-    "q_sample_weighted" -> ((s, dir) => weightedSample(s, dir)))
+    "q_sample_weighted" -> ((s, dir) => weightedSample(s, dir)),
+    "q_pack_buckets" -> packBucketsQ)
 
   def oracle: Map[String, String] = Map(
     "q_text_stats" -> statsSql,
@@ -980,5 +1027,6 @@ object Text {
     "q_split_assign" -> splitAssignSql,
     "q_sample_mixture" -> sampleMixtureSql,
     "q_sample_stratified" -> stratifiedSampleSql,
-    "q_sample_weighted" -> weightedSampleSql)
+    "q_sample_weighted" -> weightedSampleSql,
+    "q_pack_buckets" -> packBucketsSql)
 }

@@ -159,6 +159,33 @@ class FuzzySketchSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.forall(_ >= 0))
   }
 
+  // --- Count-min sketch ----------------------------------------------------
+
+  test("cms: estimates dominate exact counts and are shuffle-width invariant") {
+    import spark.implicits._
+    val rows = Sketches.cmsQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("est_ge_exact") == 1,
+        s"${r.getAs[String]("tok")}: CMS can only over-count, never under")
+      assert(r.getAs[Int]("est_within_bound") == 1,
+        s"${r.getAs[String]("tok")}: excess beyond the 32N/w Markov bound")
+    }
+    // merge correctness: the same grid must emerge from any partitioning
+    // (elementwise-sum merge is associative/commutative)
+    val baseline = rows.map(r =>
+      (r.getAs[String]("tok"), r.getAs[Long]("n_exact"))).toSeq
+    for (p <- Seq(1, 7)) {
+      val sp = spark.newSession()
+      sp.conf.set("spark.sql.shuffle.partitions", p)
+      val again = Sketches.cmsQ(sp, sfDir).collect().map(r =>
+        (r.getAs[String]("tok"), r.getAs[Long]("n_exact"))).toSeq
+      assert(again == baseline, s"CMS output changed at $p partitions")
+      assert(Sketches.cmsQ(sp, sfDir).collect()
+        .forall(_.getAs[Int]("est_within_bound") == 1))
+    }
+  }
+
   // --- Profile.bins (equal-frequency binning) ------------------------------
 
   test("bins: quartile bins are equal-frequency within interpolation slack") {

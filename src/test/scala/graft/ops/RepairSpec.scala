@@ -73,4 +73,61 @@ class RepairSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(removed == expected)
   }
+
+  test("ewma stays inside the raw band, smooths variance, equi-joins only") {
+    import spark.implicits._
+    val out = TimeSeries.ewmaQ(spark, sfDir)
+    // the banded self-join must plan as an equi-join on (series, bucket),
+    // never a nested-loop over the series
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"banded EWMA join degenerated to a non-equi join:\n$plan")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val hourly = graft.Tables.t(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg((sum($"value".cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("v"))
+      .filter($"event_type" <= "error")
+    val (lo, hi) = {
+      val r = hourly.agg(min($"v"), max($"v")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    rows.foreach { r =>
+      val e = r.getAs[Double]("ewma")
+      assert(e >= lo - 1e-6 && e <= hi + 1e-6,
+        "a weighted mean cannot leave the band of its inputs")
+    }
+    // smoothing: per series, ewma variance strictly below raw variance
+    val rawVar = hourly.groupBy($"event_type").agg(var_samp($"v").as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      val xs = rs.map(_.getAs[Double]("ewma"))
+      val m = xs.sum / xs.size
+      val v = xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+      assert(v < rawVar(et),
+        s"$et: ewma variance $v not below raw ${rawVar(et)}")
+    }
+  }
+
+  test("MAD fences: med/mad positive, mild ⊇ extreme, extreme truly empty") {
+    import spark.implicits._
+    val out = Profile.madQ(spark, sfDir).collect()
+    assert(out.length == 3)
+    val li = graft.Tables.t(spark, sfDir, "lineitem")
+    out.foreach { r =>
+      val (med, mad) = (r.getAs[Double]("med"), r.getAs[Double]("mad"))
+      assert(med > 0 && mad > 0)
+      val mild = r.getAs[Long]("n_mild")
+      val extreme = r.getAs[Long]("n_extreme")
+      val n = r.getAs[Long]("n")
+      assert(extreme <= mild && mild < n)
+      // recount the mild fence independently from the raw table
+      val flag = r.getAs[String]("l_returnflag")
+      val recount = li.filter($"l_returnflag" === flag)
+        .filter(abs($"l_extendedprice" - med) > lit(1.4826) * mad).count()
+      assert(recount == mild, s"$flag: fence recount $recount != $mild")
+    }
+  }
 }
