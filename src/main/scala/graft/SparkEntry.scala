@@ -51,6 +51,8 @@ object SparkEntry {
     graft.ops.Skew.queries ++
     graft.ops.Similarity.queries ++
     graft.ops.Centroids.queries ++
+    graft.ops.EmbedStats.queries ++
+    graft.ops.Skyline.queries ++
     graft.ops.Patterns.queries ++
     graft.ops.Pii.queries ++
     graft.ops.Profile.queries ++
@@ -82,6 +84,8 @@ object SparkEntry {
     graft.ops.Skew.oracle ++
     graft.ops.Similarity.oracle ++
     graft.ops.Centroids.oracle ++
+    graft.ops.EmbedStats.oracle ++
+    graft.ops.Skyline.oracle ++
     graft.ops.Patterns.oracle ++
     graft.ops.Pii.oracle ++
     graft.ops.Profile.oracle ++

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession, TypedColumn}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Corpus-level embedding statistics over `embeddings` (vec_id,
+  * embedding: array<float>, label) — the profiling primitives a
+  * curation pipeline runs before similarity search: which dimensions
+  * carry variance (feature selection / dim-reduction input) and how
+  * vector norms are distributed (a broken normalization step shows up
+  * here before it silently skews every cosine downstream).
+  *
+  * The reference engine has no vector surface (its columns are JSON
+  * scalars, `/root/reference/src/datasources.rs:219-257`); these extend
+  * the Tier P embedding family ([[Centroids]], [[Similarity]],
+  * [[Quantize]]).
+  *
+  * Scale shape: both operators fold whole vectors map-side. The moments
+  * pass uses [[EmbedStats.VecMoments]] — one (n, Σm, Σm²) buffer of 2·dim
+  * longs per partition crosses the shuffle, regardless of corpus size
+  * (same bounded-state pattern as [[Centroids.VecSum]]); the flatten to
+  * per-dimension rows happens AFTER aggregation, over `dim` rows. The
+  * norm pass is a per-row codegen'd higher-order fold (no explode: the
+  * exchange carries one bucket key per row, and the groupBy on ≤ a few
+  * dozen buckets map-side-combines to nothing).
+  *
+  * Determinism: same micro-unit fixed-point contract as [[Centroids]] —
+  * elements quantized to round(x·10⁶) longs BEFORE any sum, so every
+  * aggregate is exact integer arithmetic (order- and engine-
+  * independent). All sums stay far below 2⁵³ at test scale (|m| ≤ ~5.3e5
+  * ⇒ m² ≤ ~2.8e11; Σm² per dim ≤ ~2.8e11·n), so the final cast to
+  * double is exact and the derived mean/variance run the same IEEE ops
+  * on both engines. At a 100 TB corpus (n ≳ 3e7) the Σm² buffer would
+  * widen to DECIMAL/BigInt — the quantization contract is unchanged.
+  */
+object EmbedStats {
+
+  private val Dim = Centroids.Dim
+  private val TopDims = 16
+
+  /** Moments aggregator over micro-unit vectors: buffer = (n,
+    * elementwise Σm, elementwise Σm²). Mutated in place, like
+    * [[Centroids.VecSum]]. */
+  final class VecMoments(dim: Int)
+      extends Aggregator[Seq[Long], (Long, Array[Long], Array[Long]),
+        (Long, Seq[Long], Seq[Long])] {
+
+    override def zero: (Long, Array[Long], Array[Long]) =
+      (0L, new Array[Long](dim), new Array[Long](dim))
+
+    override def reduce(b: (Long, Array[Long], Array[Long]), v: Seq[Long])
+        : (Long, Array[Long], Array[Long]) = {
+      require(v.length == dim, s"expected $dim-dim vector, got ${v.length}")
+      val (s1, s2) = (b._2, b._3)
+      var i = 0
+      v.foreach { x => s1(i) += x; s2(i) += x * x; i += 1 }
+      (b._1 + 1, s1, s2)
+    }
+
+    override def merge(a: (Long, Array[Long], Array[Long]),
+        b: (Long, Array[Long], Array[Long])): (Long, Array[Long], Array[Long]) = {
+      var i = 0
+      while (i < dim) { a._2(i) += b._2(i); a._3(i) += b._3(i); i += 1 }
+      (a._1 + b._1, a._2, a._3)
+    }
+
+    override def finish(r: (Long, Array[Long], Array[Long]))
+        : (Long, Seq[Long], Seq[Long]) = (r._1, r._2.toSeq, r._3.toSeq)
+
+    override def bufferEncoder: Encoder[(Long, Array[Long], Array[Long])] =
+      ExpressionEncoder()
+    override def outputEncoder: Encoder[(Long, Seq[Long], Seq[Long])] =
+      ExpressionEncoder()
+  }
+
+  object VecMoments {
+    def column(dim: Int): TypedColumn[Seq[Long], (Long, Seq[Long], Seq[Long])] =
+      new VecMoments(dim).toColumn
+  }
+
+  /** q_embed_dims entry: per-dimension (n, mean, population variance),
+    * variance rank, and the top-`TopDims` selection mask — the
+    * feature-selection table a dim-reduction step consumes. */
+  def dimsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = Centroids.micro(s, dir)
+      .select($"mv".as[Seq[Long]])
+      .select(VecMoments.column(Dim))
+      .toDF("n", "s1a", "s2a") // ungrouped typed select flattens the tuple
+    val perDim = agg
+      .select($"n", posexplode(arrays_zip($"s1a", $"s2a")))
+      .select($"pos".cast("long").as("pos"), $"n",
+        $"col.s1a".cast("double").as("s1"), $"col.s2a".cast("double").as("s2"))
+      // op order mirrored verbatim in the oracle: (s1/1e6)/n and
+      // (s2/n − (s1/n)²)/1e12 over exact-integer doubles
+      .withColumn("mean_raw", $"s1" / lit(1000000.0) / $"n")
+      .withColumn("var_raw",
+        ($"s2" / $"n" - ($"s1" / $"n") * ($"s1" / $"n")) / lit(1000000000000.0))
+    val w = Window.orderBy($"var_raw".desc, $"pos")
+    perDim
+      .withColumn("var_rank", row_number().over(w))
+      .select($"pos", $"n", round($"mean_raw", 6).as("mean"),
+        round($"var_raw", 6).as("variance"), $"var_rank",
+        ($"var_rank" <= TopDims).as("selected"))
+      .orderBy($"pos")
+  }
+
+  /** DuckDB twin: positions table + exact integer sums, identical
+    * derivation order. */
+  val dimsSql: String =
+    s"""WITH m AS (
+      |  SELECT i, CAST(ROUND(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS mm
+      |  FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(i)),
+      |a AS (
+      |  SELECT i, COUNT(*) AS n, CAST(SUM(mm) AS DOUBLE) AS s1,
+      |    CAST(SUM(mm * mm) AS DOUBLE) AS s2
+      |  FROM m GROUP BY i),
+      |v AS (
+      |  SELECT i - 1 AS pos, n, (s1 / 1000000.0) / n AS mean_raw,
+      |    (s2 / n - (s1 / n) * (s1 / n)) / 1000000000000.0 AS var_raw
+      |  FROM a)
+      |SELECT pos, n, ROUND(mean_raw, 6) AS mean, ROUND(var_raw, 6) AS variance,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY var_raw DESC, pos) AS INT) AS var_rank,
+      |  ROW_NUMBER() OVER (ORDER BY var_raw DESC, pos) <= $TopDims AS selected
+      |FROM v ORDER BY pos""".stripMargin
+
+  /** q_embed_norms entry: L2-norm distribution — one row per 0.1-wide
+    * norm bucket with count, min/max, and a decimal-exact mean. The
+    * norm itself is sqrt of an exact integer (Σm² per vector ≤ dim·m²
+    * ≈ 1.8e13 < 2⁵³), so bucket edges cannot flip between engines. */
+  def normsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Centroids.micro(s, dir)
+      .withColumn("ss", expr("aggregate(mv, 0L, (acc, m) -> acc + m * m)"))
+      .withColumn("norm", sqrt($"ss".cast("double")) / lit(1000000.0))
+      .withColumn("bucket", floor($"norm" * 10).cast("int"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(min($"norm"), 6).as("min_norm"),
+        round(max($"norm"), 6).as("max_norm"),
+        round(sum(round($"norm", 9).cast("decimal(28,9)")).cast("double")
+          / count(lit(1)), 6).as("mean_norm"))
+      .orderBy($"bucket")
+  }
+
+  /** DuckDB twin: same integer Σm² fold (addition of exact integers —
+    * order-free), same sqrt/divide/bucket derivation. */
+  val normsSql: String =
+    s"""WITH n AS (
+      |  SELECT vec_id,
+      |    sqrt(CAST(list_reduce(list_transform(range(1, ${Dim + 1}),
+      |        i -> CAST(ROUND(embedding[i]::DOUBLE * 1000000) AS BIGINT)
+      |             * CAST(ROUND(embedding[i]::DOUBLE * 1000000) AS BIGINT)),
+      |      (a, b) -> a + b) AS DOUBLE)) / 1000000.0 AS norm
+      |  FROM embeddings)
+      |SELECT CAST(FLOOR(norm * 10) AS INT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  ROUND(MIN(norm), 6) AS min_norm,
+      |  ROUND(MAX(norm), 6) AS max_norm,
+      |  ROUND(CAST(SUM(CAST(ROUND(norm, 9) AS DECIMAL(28,9))) AS DOUBLE)
+      |    / COUNT(*), 6) AS mean_norm
+      |FROM n GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_dims" -> dimsQ,
+    "q_embed_norms" -> normsQ)
+
+  def oracle: Map[String, String] = Map(
+    "q_embed_dims" -> dimsSql,
+    "q_embed_norms" -> normsSql)
+}

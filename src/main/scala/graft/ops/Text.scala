@@ -982,7 +982,109 @@ object Text {
       |    / (bucket_cap * COUNT(*)), 6) AS pad_frac
       |FROM b GROUP BY lang, bucket_cap ORDER BY lang, bucket_cap""".stripMargin
 
+  /** Zipf rank–frequency fit over the top-100 tokens: log-log least
+    * squares of frequency against rank. The classic corpus-health
+    * diagnostic — natural text runs a slope near −1; a corpus of
+    * boilerplate, code, or template spam bends away from it, so the
+    * slope is a one-number drift alarm between crawl snapshots.
+    *
+    * Scale shape: token counts are a map-side-combinable groupBy; the
+    * top-100 cut is a bounded TakeOrdered (never a global sort of the
+    * vocabulary); the regression runs over 100 rows. Determinism: the
+    * regression sums follow the repo's decimal contract — each term
+    * (ln values and their products as raw doubles) rounded to 9 dp and
+    * summed as DECIMAL(28,9), so partition order cannot move the sums;
+    * the closed-form slope/intercept then run identical IEEE ops on
+    * both engines. */
+  def zipfQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val top = withToks(s, dir)
+      .select(explode($"toks").as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token").limit(100)
+    val xy = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"cnt".desc, $"token")))
+      .select(log($"rank".cast("double")).as("x"),
+        log($"cnt".cast("double")).as("y"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 9).cast("decimal(28,9)")).cast("double")
+    xy.agg(count(lit(1)).cast("double").as("n"), dsum($"x").as("sx"),
+        dsum($"y").as("sy"), dsum($"x" * $"y").as("sxy"),
+        dsum($"x" * $"x").as("sxx"))
+      .withColumn("slope_raw",
+        ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
+      .select($"n".cast("long").as("n_ranks"),
+        round($"slope_raw", 6).as("slope"),
+        round(($"sy" - $"slope_raw" * $"sx") / $"n", 6).as("intercept"))
+  }
+
+  val zipfSql: String =
+    s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+      |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 100),
+      |xy AS (SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS DOUBLE)) AS x,
+      |  ln(CAST(cnt AS DOUBLE)) AS y FROM top),
+      |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |  CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+      |  CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+      |  CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+      |  FROM xy)
+      |SELECT CAST(n AS BIGINT) AS n_ranks,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+      |    AS intercept
+      |FROM s""".stripMargin
+
+  /** Language-ID confusion matrix: the [[langId]] heuristic's guesses
+    * cross-tabulated against the labeled `lang` column, with per-label
+    * coverage fractions — the evaluation table that turns a heuristic
+    * into a measured classifier (which labels it over/under-triggers
+    * on) before anyone trusts it to route documents.
+    *
+    * Scale shape: one scan → map-side-combinable groupBy on (lang,
+    * guess); the coverage window runs over ≤ |langs|·|guesses| cells.
+    * Same 6-dp-rounded ratio and threshold as [[langId]], so the two
+    * queries can never disagree about a document's guess. */
+  def confusionQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val cells = withToks(s, dir)
+      .select($"lang",
+        round(expr(
+          "size(filter(toks, t -> t IN ('the','a','of','and','to','in')))")
+          .cast("double") / size($"toks"), 6).as("stop_ratio"))
+      .withColumn("guess",
+        when($"stop_ratio" >= 0.08, lit("en-like")).otherwise(lit("other")))
+      .groupBy($"lang", $"guess")
+      .agg(count(lit(1)).as("n_docs"))
+    cells
+      .withColumn("lang_total",
+        sum($"n_docs").over(Window.partitionBy($"lang")))
+      .select($"lang", $"guess", $"n_docs",
+        round($"n_docs".cast("double") / $"lang_total", 6).as("frac"))
+      .orderBy($"lang", $"guess")
+  }
+
+  val confusionSql: String =
+    s"""WITH d AS (SELECT lang, $toksSql AS toks FROM documents),
+      |g AS (SELECT lang,
+      |  CASE WHEN ROUND(CAST(LEN(list_filter(toks,
+      |      t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |    / LEN(toks), 6) >= 0.08 THEN 'en-like' ELSE 'other' END AS guess
+      |  FROM d),
+      |cells AS (SELECT lang, guess, COUNT(*) AS n_docs
+      |  FROM g GROUP BY lang, guess)
+      |SELECT lang, guess, CAST(n_docs AS BIGINT) AS n_docs,
+      |  ROUND(CAST(n_docs AS DOUBLE)
+      |    / SUM(n_docs) OVER (PARTITION BY lang), 6) AS frac
+      |FROM cells ORDER BY lang, guess""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_zipf" -> zipfQ,
+    "q_langid_confusion" -> confusionQ,
     "q_text_stats" -> stats,
     "q_text_lang_agg" -> langAgg,
     "q_text_langid" -> langId,
@@ -1007,6 +1109,8 @@ object Text {
     "q_pack_buckets" -> packBucketsQ)
 
   def oracle: Map[String, String] = Map(
+    "q_text_zipf" -> zipfSql,
+    "q_langid_confusion" -> confusionSql,
     "q_text_stats" -> statsSql,
     "q_text_lang_agg" -> langAggSql,
     "q_text_langid" -> langIdSql,

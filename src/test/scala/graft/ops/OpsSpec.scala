@@ -747,4 +747,40 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("zipf: slope is non-positive and matches a driver-side least-squares recompute") {
+    import spark.implicits._
+    val row = Text.zipfQ(spark, sfDir).collect().head
+    val (n, slope, intercept) = (row.getAs[Long]("n_ranks"),
+      row.getAs[Double]("slope"), row.getAs[Double]("intercept"))
+    assert(n >= 2)
+    assert(slope <= 0.0, "frequency cannot increase with rank")
+    // recompute from the raw token stream with plain doubles; the
+    // decimal-contract result must agree to well inside rounding noise
+    val counts = graft.Tables.t(spark, sfDir, "documents")
+      .select(lower($"text")).as[String].collect()
+      .flatMap(_.split(" ", -1)).groupBy(identity).view.mapValues(_.size)
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(100)
+    val xy = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val m = xy.size.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val expSlope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert(n == xy.size)
+    assert(math.abs(slope - expSlope) <= 1e-5, s"$slope vs $expSlope")
+    assert(math.abs(intercept - (sy - expSlope * sx) / m) <= 1e-5)
+  }
+
+  test("confusion matrix: cells cover the corpus and per-lang fractions sum to 1") {
+    val rows = Text.confusionQ(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.Tables.t(spark, sfDir, "documents").count())
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, cells) =>
+      val fsum = cells.map(_.getAs[Double]("frac")).sum
+      assert(math.abs(fsum - 1.0) <= 2e-6 * cells.length, s"$lang frac sum $fsum")
+      assert(cells.map(_.getAs[String]("guess")).distinct.length == cells.length)
+    }
+  }
 }
