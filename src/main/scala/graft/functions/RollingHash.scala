@@ -105,7 +105,16 @@ object GraftFunctions {
       else throw new IllegalArgumentException(
         s"vec_dot requires exactly 2 arguments, got ${children.length}"))
 
-  private[functions] def specs = Seq(rollingHashSpec, vecDotSpec)
+  private[functions] val nfcSpec
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (children: Seq[Expression]) =>
+      if (children.length == 1) NfcNormalize(children.head)
+      else throw new IllegalArgumentException(
+        s"nfc_normalize requires exactly 1 argument, got ${children.length}"))
+
+  private[functions] def specs = Seq(rollingHashSpec, vecDotSpec, nfcSpec)
 
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

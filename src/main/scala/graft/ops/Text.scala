@@ -1082,8 +1082,38 @@ object Text {
       |    / SUM(n_docs) OVER (PARTITION BY lang), 6) AS frac
       |FROM cells ORDER BY lang, guess""".stripMargin
 
+  /** Unicode NFC canonicalization audit: how many documents change
+    * under [[graft.functions.NfcNormalize]] and the post-normalization
+    * distinct-fingerprint count — the pre-dedup canonicalization gate
+    * (composed vs decomposed crawls of the same page hash apart unless
+    * this runs first). The test corpus is ASCII (NFC-invariant by
+    * construction), so the oracle pins cross-engine agreement on the
+    * full path; the non-ASCII behavior is spec-verified against
+    * composed/decomposed literals in `NfcNormalizeSpec`.
+    *
+    * Scale shape: pure map stage + one global aggregate; the codegen'd
+    * expression takes a zero-allocation ASCII fast path, so the audit
+    * runs at scan speed on mostly-ASCII corpora. */
+  def nfcQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select($"text", call_function("nfc_normalize", $"text").as("norm"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"norm" =!= $"text", 1L).otherwise(0L)).as("n_changed"),
+        countDistinct(md5($"norm")).as("n_distinct"))
+  }
+
+  val nfcSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_changed,
+      |  CAST(COUNT(DISTINCT md5(nfc_normalize(text))) AS BIGINT) AS n_distinct
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_zipf" -> zipfQ,
+    "q_text_nfc" -> nfcQ,
     "q_langid_confusion" -> confusionQ,
     "q_text_stats" -> stats,
     "q_text_lang_agg" -> langAgg,
@@ -1110,6 +1140,7 @@ object Text {
 
   def oracle: Map[String, String] = Map(
     "q_text_zipf" -> zipfSql,
+    "q_text_nfc" -> nfcSql,
     "q_langid_confusion" -> confusionSql,
     "q_text_stats" -> statsSql,
     "q_text_lang_agg" -> langAggSql,

@@ -130,11 +130,85 @@ object TimeSeries {
       |GROUP BY a.event_type, a.hour
       |ORDER BY a.event_type, a.hour""".stripMargin
 
+  /** Seasonal anomaly detection: per (event_type, hour-of-day) baseline
+    * over the month, flag (day, hour) cells whose event count sits ≥ 2
+    * population-σ from their seasonal mean. The grid is DENSIFIED
+    * first (same literal 720-hour grid as [[resampleQ]]): a naive
+    * groupBy never emits a zero row, so the most important anomaly — a
+    * silent pipeline dropout — would be invisible to it AND would bias
+    * every baseline upward.
+    *
+    * Scale shape: counts are one map-side-combinable groupBy; the grid
+    * is generated (time-range-sized, never data-sized) against a
+    * broadcast series dimension; baseline stats run as windows over
+    * |types|·24 partitions of |days| rows each. Determinism: mean and
+    * σ derive from exact integer Σn and Σn² (identical IEEE ops both
+    * engines), so the z threshold compares identical doubles. */
+  def seasonalQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = t(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("d"), hour($"ts").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val grid = s.sql(
+      """SELECT to_date(hr) AS d, hour(hr) AS h FROM (
+        |  SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |    timestamp'2024-01-30 23:00:00', interval 1 hour)) AS hr)"""
+        .stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val dense = grid.crossJoin(broadcast(series))
+      .join(counts, Seq("event_type", "d", "h"), "left")
+      .select($"event_type", $"d", $"h", coalesce($"n", lit(0L)).as("n"))
+    val p = Window.partitionBy($"event_type", $"h")
+    dense
+      .withColumn("s1", sum($"n").over(p).cast("double"))
+      .withColumn("s2", sum($"n" * $"n").over(p).cast("double"))
+      .withColumn("m", count(lit(1)).over(p).cast("double"))
+      .withColumn("mean", $"s1" / $"m")
+      .withColumn("std", sqrt($"s2" / $"m" - ($"s1" / $"m") * ($"s1" / $"m")))
+      .filter($"std" > 0 && abs(round(($"n" - $"mean") / $"std", 6)) >= 2.0)
+      .select($"event_type", $"d", $"h", $"n".as("n_events"),
+        round($"mean", 6).as("mean_n"),
+        round(($"n" - $"mean") / $"std", 6).as("z"))
+      .orderBy($"event_type", $"d", $"h")
+  }
+
+  val seasonalSql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(EXTRACT(hour FROM ts) AS INT) AS h, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT CAST(hr AS DATE) AS d, CAST(EXTRACT(hour FROM hr) AS INT) AS h
+      |  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hr)),
+      |series AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT series.event_type, grid.d, grid.h, COALESCE(c.n, 0) AS n
+      |  FROM grid CROSS JOIN series
+      |  LEFT JOIN c ON c.event_type = series.event_type
+      |    AND c.d = grid.d AND c.h = grid.h),
+      |w AS (
+      |  SELECT event_type, d, h, n,
+      |    CAST(SUM(n) OVER p AS DOUBLE) AS s1,
+      |    CAST(SUM(n * n) OVER p AS DOUBLE) AS s2,
+      |    CAST(COUNT(*) OVER p AS DOUBLE) AS m
+      |  FROM dense WINDOW p AS (PARTITION BY event_type, h)),
+      |z AS (
+      |  SELECT event_type, d, h, n, s1 / m AS mean,
+      |    sqrt(s2 / m - (s1 / m) * (s1 / m)) AS std
+      |  FROM w)
+      |SELECT event_type, d, h, CAST(n AS BIGINT) AS n_events,
+      |  ROUND(mean, 6) AS mean_n, ROUND((n - mean) / std, 6) AS z
+      |FROM z WHERE std > 0 AND ABS(ROUND((n - mean) / std, 6)) >= 2.0
+      |ORDER BY event_type, d, h""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_resample" -> resampleQ,
-    "q_ts_ewma" -> ewmaQ)
+    "q_ts_ewma" -> ewmaQ,
+    "q_ts_seasonal" -> seasonalQ)
 
   def oracle: Map[String, String] = Map(
     "q_ts_resample" -> resampleSql,
-    "q_ts_ewma" -> ewmaSql)
+    "q_ts_ewma" -> ewmaSql,
+    "q_ts_seasonal" -> seasonalSql)
 }

@@ -130,4 +130,30 @@ class RepairSpec extends AnyFunSuite with SparkSpec {
       assert(recount == mild, s"$flag: fence recount $recount != $mild")
     }
   }
+
+  test("seasonal anomalies: |z| >= 2 and a flagged cell's z matches a raw recompute") {
+    import spark.implicits._
+    val rows = TimeSeries.seasonalQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("z")) >= 2.0)
+      assert(r.getAs[Double]("mean_n") > 0.0)
+    }
+    // per-cell recompute for one flagged cell over the densified 30-day
+    // sample of its (type, hour-of-day) slot
+    val probe = rows.head
+    val (et, h) = (probe.getAs[String]("event_type"), probe.getAs[Int]("h"))
+    val sample = graft.Tables.t(spark, sfDir, "events")
+      .filter($"event_type" === et && hour($"ts") === h)
+      .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[java.sql.Date]("d").toString -> r.getAs[Long]("n"))
+      .toMap
+    val all = (1 to 30).map(day =>
+      sample.getOrElse(f"2024-01-$day%02d", 0L).toDouble)
+    val m = all.sum / all.size
+    val sd = math.sqrt(all.map(x => x * x).sum / all.size - m * m)
+    val zExp = (probe.getAs[Long]("n_events") - m) / sd
+    assert(math.abs(probe.getAs[Double]("z") - zExp) <= 1e-5,
+      s"flagged-cell z ${probe.getAs[Double]("z")} vs recompute $zExp")
+  }
 }
