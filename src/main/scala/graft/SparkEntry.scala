@@ -38,6 +38,7 @@ object SparkEntry {
     graft.queries.SetOpsScalars.queries ++
     graft.queries.Nested.queries ++
     graft.ops.AsOf.queries ++
+    graft.ops.Affinity.queries ++
     graft.ops.Cdc.queries ++
     graft.ops.IntervalJoin.queries ++
     graft.ops.Classify.queries ++
@@ -71,6 +72,7 @@ object SparkEntry {
     graft.queries.SetOpsScalars.oracle ++
     graft.queries.Nested.oracle ++
     graft.ops.AsOf.oracle ++
+    graft.ops.Affinity.oracle ++
     graft.ops.Cdc.oracle ++
     graft.ops.IntervalJoin.oracle ++
     graft.ops.Classify.oracle ++

@@ -202,13 +202,87 @@ object TimeSeries {
       |FROM z WHERE std > 0 AND ABS(ROUND((n - mean) / std, 6)) >= 2.0
       |ORDER BY event_type, d, h""".stripMargin
 
+  /** Per-series daily-count trend: least-squares slope / intercept / R²
+    * of events-per-day against the day index, over the same densified
+    * grid as [[seasonalQ]] — the "is this feed growing, shrinking, or
+    * flat" monitor, with R² separating a real trend from noise.
+    *
+    * Scale shape: one map-side-combinable daily groupBy, grid-densified,
+    * then a regression over |days| rows per series — the sums are again
+    * a combinable aggregate, so the whole query is two tiny exchanges.
+    * Determinism: x (day index) and y (count) are INTEGERS; all five
+    * regression sums are exact integer arithmetic, and the closed-form
+    * slope/intercept/R² run identical IEEE ops on both engines — no
+    * rounding contract needed anywhere before the final display round. */
+  def trendQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val grid = s.sql(
+      """SELECT explode(sequence(date'2024-01-01', date'2024-01-30',
+        |  interval 1 day)) AS d""".stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val dense = grid.crossJoin(broadcast(series))
+      .join(daily, Seq("event_type", "d"), "left")
+      .select($"event_type",
+        (datediff($"d", lit("2024-01-01")) + 1).cast("long").as("x"),
+        coalesce($"n", lit(0L)).as("y"))
+    dense.groupBy($"event_type")
+      .agg(count(lit(1)).cast("double").as("m"),
+        sum($"x").cast("double").as("sx"), sum($"y").cast("double").as("sy"),
+        sum($"x" * $"y").cast("double").as("sxy"),
+        sum($"x" * $"x").cast("double").as("sxx"),
+        sum($"y" * $"y").cast("double").as("syy"))
+      .withColumn("slope_raw",
+        ($"m" * $"sxy" - $"sx" * $"sy") / ($"m" * $"sxx" - $"sx" * $"sx"))
+      .select($"event_type",
+        round($"slope_raw", 6).as("slope"),
+        round(($"sy" - $"slope_raw" * $"sx") / $"m", 6).as("intercept"),
+        round((($"m" * $"sxy" - $"sx" * $"sy") * ($"m" * $"sxy" - $"sx" * $"sy"))
+          / (($"m" * $"sxx" - $"sx" * $"sx") * ($"m" * $"syy" - $"sy" * $"sy")), 6)
+          .as("r2"))
+      .orderBy($"event_type")
+  }
+
+  val trendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT CAST(gd AS DATE) AS d FROM (SELECT unnest(generate_series(
+      |    DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS gd)),
+      |series AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT series.event_type,
+      |    CAST(DATEDIFF('day', DATE '2024-01-01', grid.d) + 1 AS BIGINT) AS x,
+      |    COALESCE(daily.n, 0) AS y
+      |  FROM grid CROSS JOIN series
+      |  LEFT JOIN daily ON daily.event_type = series.event_type
+      |    AND daily.d = grid.d),
+      |a AS (
+      |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS m,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx,
+      |    CAST(SUM(y * y) AS DOUBLE) AS syy
+      |  FROM dense GROUP BY event_type)
+      |SELECT event_type,
+      |  ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS slope,
+      |  ROUND((sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx)) * sx) / m, 6)
+      |    AS intercept,
+      |  ROUND(((m * sxy - sx * sy) * (m * sxy - sx * sy))
+      |    / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) AS r2
+      |FROM a ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_resample" -> resampleQ,
     "q_ts_ewma" -> ewmaQ,
-    "q_ts_seasonal" -> seasonalQ)
+    "q_ts_seasonal" -> seasonalQ,
+    "q_ts_trend" -> trendQ)
 
   def oracle: Map[String, String] = Map(
     "q_ts_resample" -> resampleSql,
     "q_ts_ewma" -> ewmaSql,
-    "q_ts_seasonal" -> seasonalSql)
+    "q_ts_seasonal" -> seasonalSql,
+    "q_ts_trend" -> trendSql)
 }

@@ -73,6 +73,7 @@ object Dev {
           "q_not_in_nulls" -> "null-aware anti join (NOT IN three-valued logic forces NLJ; bounded key subquery)",
           "q_ts_resample" -> "bounded per-series grid dim (rows = series count, not events)",
           "q_ts_seasonal" -> "bounded per-series grid dim (rows = series count, not events)",
+          "q_ts_trend" -> "bounded per-series grid dim (rows = series count, not events)",
           "q_agg_cms" -> "1-row CMS grid + 1-row total frame",
           "q_profile_overview" -> "1-row per-column profile frame (stack pivot)",
           "q_similarity_topk" -> "bounded query-vector set",

@@ -156,4 +156,48 @@ class RepairSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(probe.getAs[Double]("z") - zExp) <= 1e-5,
       s"flagged-cell z ${probe.getAs[Double]("z")} vs recompute $zExp")
   }
+
+  test("trend: one series' slope matches a raw daily-count recompute") {
+    import spark.implicits._
+    val rows = TimeSeries.trendQ(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getAs[Double]("r2") >= 0.0 &&
+      r.getAs[Double]("r2") <= 1.0))
+    val probe = rows.head
+    val et = probe.getAs[String]("event_type")
+    val byDay = graft.Tables.t(spark, sfDir, "events")
+      .filter($"event_type" === et)
+      .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[java.sql.Date]("d").toString -> r.getAs[Long]("n"))
+      .toMap
+    val xy = (1 to 30).map(day =>
+      (day.toDouble, byDay.getOrElse(f"2024-01-$day%02d", 0L).toDouble))
+    val m = xy.size.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val expSlope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert(math.abs(probe.getAs[Double]("slope") - expSlope) <= 1e-5)
+  }
+
+  test("affinity: top pair's co-occurrence count matches a direct recount") {
+    import spark.implicits._
+    val rows = Affinity.pairsQ(spark, sfDir).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getAs[String]("brand_a") < r.getAs[String]("brand_b"))
+      assert(r.getAs[Long]("n_orders") >= 1L)
+    }
+    val top = rows.head
+    val (ba, bb) = (top.getAs[String]("brand_a"), top.getAs[String]("brand_b"))
+    val baskets = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "part"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+    val recount = baskets.filter($"p_brand" === ba).select($"l_orderkey")
+      .intersect(baskets.filter($"p_brand" === bb).select($"l_orderkey"))
+      .count()
+    assert(recount == top.getAs[Long]("n_orders"),
+      s"($ba,$bb): recount $recount != ${top.getAs[Long]("n_orders")}")
+  }
 }
