@@ -260,11 +260,92 @@ object Multimodal {
       |SELECT claimed, sniffed, CAST(count(*) AS BIGINT) AS n
       |FROM s GROUP BY claimed, sniffed ORDER BY claimed, sniffed""".stripMargin
 
+  // --- WAV header metadata --------------------------------------------------
+
+  /** Little-endian construction: integer SQL expr `v` → `n`-byte LE hex
+    * string (pure integer/byte builtins — codegen'd end to end). */
+  private[ops] def leHexExpr(v: String, n: Int): String =
+    (0 until n).map(i => s"lpad(hex((($v) div ${1L << (8 * i)}) % 256), 2, '0')")
+      .mkString("concat(", ", ", ")")
+
+  /** Little-endian parse: `n` bytes at 1-based byte offset `off` of
+    * `hex(payload)` → BIGINT. */
+  private[ops] def leValExpr(hexCol: String, off: Int, n: Int): String =
+    (0 until n).reverse.map(i => s"substring($hexCol, ${(off - 1 + i) * 2 + 1}, 2)")
+      .mkString("cast(conv(concat(", ", ", "), 16, 10) as bigint)")
+
+  /** The canonical 44-byte PCM WAV header for the given parameters, as
+    * a Column of BinaryType — real RIFF bytes, built from integer
+    * expressions (the fixture generator for [[wavQ]] and the spec's
+    * golden-byte cross-check). */
+  private[ops] def wavHeader(channels: String, rate: String,
+      bits: String, nSamples: String): Column = {
+    val blockAlign = s"(($channels) * (($bits) div 8))"
+    val byteRate = s"(($rate) * $blockAlign)"
+    val dataSize = s"(($nSamples) * $blockAlign)"
+    expr(s"""unhex(concat(
+      |  '52494646', ${leHexExpr(s"(36 + $dataSize)", 4)},
+      |  '57415645', '666D7420', ${leHexExpr("16", 4)},
+      |  ${leHexExpr("1", 2)}, ${leHexExpr(channels, 2)},
+      |  ${leHexExpr(rate, 4)}, ${leHexExpr(byteRate, 4)},
+      |  ${leHexExpr(blockAlign, 2)}, ${leHexExpr(bits, 2)},
+      |  '64617461', ${leHexExpr(dataSize, 4)}))""".stripMargin)
+  }
+
+  /** q_multimodal_wav entry: audio metadata extraction from REAL RIFF
+    * bytes — the audio analog of the imageio decode path, pure header
+    * math, no codec needed. The fixture synthesizes a true 44-byte PCM
+    * WAV header per audio doc (parameters derived from doc_id); the
+    * query then PARSES the binary back field by field (LE shorts/ints
+    * out of `hex(payload)` — the sniff idiom extended to whole fields)
+    * and derives sample count and duration. The oracle recomputes the
+    * expected metadata from the doc_id formulas WITHOUT touching
+    * binary, so a parser that misreads any byte fails the compare; the
+    * construct/parse pair is additionally pinned against hand-written
+    * golden bytes in the spec (a symmetric endianness bug would pass
+    * round-trip but not the golden header).
+    *
+    * Scale shape: pure map stage over the audio partition of the
+    * corpus — scan speed, zero exchange, no decode library in the hot
+    * path. */
+  def wavQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withWav = t(s, dir, "documents")
+      .filter($"doc_id" % 4 === 2) // the sniff fixture's wav partition
+      .withColumn("payload", wavHeader(
+        "1 + doc_id % 2", "8000 + (doc_id % 5) * 2000",
+        "16", "1000 + doc_id % 100"))
+      .withColumn("hx", hex($"payload"))
+    withWav
+      .select($"doc_id",
+        expr(leValExpr("hx", 23, 2)).as("n_channels"),
+        expr(leValExpr("hx", 25, 4)).as("sample_rate"),
+        expr(leValExpr("hx", 35, 2)).as("bits"),
+        (expr(leValExpr("hx", 41, 4)) /
+          (expr(leValExpr("hx", 23, 2)) * lit(2L))).cast("long").as("n_samples"))
+      .withColumn("duration_ms",
+        expr("(n_samples * 1000) div sample_rate"))
+      .orderBy($"doc_id")
+      .limit(300)
+  }
+
+  val wavSql: String =
+    """SELECT doc_id,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+      |  CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) AS sample_rate,
+      |  CAST(16 AS BIGINT) AS bits,
+      |  CAST(1000 + doc_id % 100 AS BIGINT) AS n_samples,
+      |  CAST(((1000 + doc_id % 100) * 1000)
+      |    // (8000 + (doc_id % 5) * 2000) AS BIGINT) AS duration_ms
+      |FROM documents WHERE doc_id % 4 = 2 ORDER BY doc_id LIMIT 300""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal" -> multimodal,
+    "q_multimodal_wav" -> wavQ,
     "q_multimodal_sniff" -> sniffQ)
 
   def oracle: Map[String, String] = Map(
     "q_multimodal" -> multimodalSql,
+    "q_multimodal_wav" -> wavSql,
     "q_multimodal_sniff" -> sniffSql)
 }

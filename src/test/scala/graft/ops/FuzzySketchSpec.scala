@@ -199,4 +199,38 @@ class FuzzySketchSpec extends AnyFunSuite with SparkSpec {
         s"$flag bins $ns are not ~25% each"))
     }
   }
+
+  test("sorted neighbors: pairs are in-window, within distance, and complete for one block") {
+    import spark.implicits._
+    val rows = Fuzzy.sortedNeighborsQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("dist") <= 1)
+      assert(r.getAs[String]("name_a") < r.getAs[String]("name_b"))
+    }
+    // brute-force one block: every sorted pair within window 3 and
+    // lev <= 1 must appear (restricted to the LIMIT 500 dump range)
+    val names = graft.Tables.t(spark, sfDir, "customer")
+      .select($"c_name").collect().map(_.getString(0))
+      .filter(_.startsWith("Customer#000000")).sorted
+    val expected = (for {
+      i <- names.indices
+      j <- (i + 1) to math.min(i + 3, names.length - 1)
+      if levDist(names(i), names(j)) <= 1
+    } yield (names(i), names(j))).toSet
+    val last = rows.map(r => (r.getString(0), r.getString(1))).max
+    val got = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    val ord = implicitly[Ordering[(String, String)]]
+    val inRange = expected.filter(p => ord.lteq(p, last))
+    assert(inRange.subsetOf(got), s"missing ${(inRange -- got).take(3)}")
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }

@@ -200,4 +200,34 @@ class RepairSpec extends AnyFunSuite with SparkSpec {
     assert(recount == top.getAs[Long]("n_orders"),
       s"($ba,$bb): recount $recount != ${top.getAs[Long]("n_orders")}")
   }
+
+  test("wav: construct and parse both match the hand-computed golden header") {
+    import spark.implicits._
+    // mono, 8000 Hz, 16-bit PCM, 1024 samples — every byte written out
+    // by hand from the RIFF spec, independent of leHexExpr/leValExpr
+    val golden = ("52494646" + "24080000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0100" + "401F0000" + "803E0000" +
+      "0200" + "1000" + "64617461" + "00080000")
+    val built = Seq(1).toDF("x")
+      .select(hex(Multimodal.wavHeader("1", "8000", "16", "1024")).as("h"))
+      .collect().head.getString(0)
+    assert(built == golden, s"construct drifted from golden:\n$built\n$golden")
+    // a symmetric endianness bug in construct+parse would survive the
+    // oracle round-trip; parsing the GOLDEN literal catches it
+    val parsed = Seq(golden).toDF("g")
+      .selectExpr("unhex(g) AS payload")
+      .selectExpr("hex(payload) AS hx")
+      .selectExpr(
+        Multimodal.leValExpr("hx", 23, 2) + " AS ch",
+        Multimodal.leValExpr("hx", 25, 4) + " AS rate",
+        Multimodal.leValExpr("hx", 29, 4) + " AS byterate",
+        Multimodal.leValExpr("hx", 33, 2) + " AS blockalign",
+        Multimodal.leValExpr("hx", 35, 2) + " AS bits",
+        Multimodal.leValExpr("hx", 41, 4) + " AS datasize")
+      .collect().head
+    assert(parsed.getLong(0) == 1L && parsed.getLong(1) == 8000L &&
+      parsed.getLong(2) == 16000L && parsed.getLong(3) == 2L &&
+      parsed.getLong(4) == 16L && parsed.getLong(5) == 2048L,
+      s"parse drifted from golden: $parsed")
+  }
 }
