@@ -39,6 +39,7 @@ object SparkEntry {
     graft.queries.Nested.queries ++
     graft.ops.AsOf.queries ++
     graft.ops.Affinity.queries ++
+    graft.ops.Behavior.queries ++
     graft.ops.Cdc.queries ++
     graft.ops.IntervalJoin.queries ++
     graft.ops.Classify.queries ++
@@ -73,6 +74,7 @@ object SparkEntry {
     graft.queries.Nested.oracle ++
     graft.ops.AsOf.oracle ++
     graft.ops.Affinity.oracle ++
+    graft.ops.Behavior.oracle ++
     graft.ops.Cdc.oracle ++
     graft.ops.IntervalJoin.oracle ++
     graft.ops.Classify.oracle ++

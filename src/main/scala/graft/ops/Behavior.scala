@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Behavioral analytics over the event stream and order history — the
+  * cohort-retention, sequence-transition, and RFM-segmentation tables
+  * every product/growth pipeline publishes. On a training-data corpus
+  * the same shapes answer "how long do crawl sources keep yielding new
+  * documents" (retention) and "what state follows what in a labeling
+  * workflow" (transitions).
+  *
+  * Scale shapes:
+  *  - Retention: the stream collapses to DISTINCT (user, week) first —
+  *    |users|×|weeks| rows, not |events| — and the cohort table is a
+  *    map-side-combinable min per user; the cohort join is an equi-join
+  *    on user_id (co-partitioned with the activity groupBy, one
+  *    shuffle). Output ≤ |weeks|² rows.
+  *  - Transitions: one window per user ordered by time — shards by
+  *    user, no global sort; pair counts are map-side-combinable with
+  *    ≤ |event_types|² groups; the per-source normalizing total is a
+  *    window over those ≤ k² cells, not over events.
+  *  - RFM: per-customer metrics are one combinable groupBy; quartile
+  *    boundaries use the codegen window-rank + interpolation-weight
+  *    shape from [[Profile.binsQ]] (3 metric partitions — swap
+  *    `approx_percentile` at real scale); scoring is three 1-row
+  *    broadcast joins + comparisons at scan speed. No global `ntile`
+  *    sort anywhere.
+  *
+  * Determinism contract: counts and week indexes are exact integers;
+  * ratios are a single IEEE division of identical operands in both
+  * engines, rounded to 4 dp before the DECIMAL cast; money follows the
+  * dsum contract (per-value DECIMAL(18,2) cast, exact sum).
+  */
+object Behavior {
+
+  // --- cohort retention -----------------------------------------------------
+
+  /** q_cohort_retention entry: for each signup-week cohort, how many of
+    * its users are active k weeks later, and what fraction of the
+    * cohort that is. Week index = (days since 2024-01-01) div 7 — pure
+    * integer arithmetic, immune to engines' week-truncation choices. */
+  def retentionQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weekly = t(s, dir, "events")
+      .select($"user_id",
+        expr("datediff(to_date(ts), date'2024-01-01') div 7")
+          .cast("int").as("wk"))
+      .distinct()
+    val cohorts = weekly.groupBy($"user_id").agg(min($"wk").as("wk0"))
+    val sizes = cohorts.groupBy($"wk0").agg(count(lit(1)).as("cohort_n"))
+    weekly.join(cohorts, "user_id")
+      .groupBy($"wk0", ($"wk" - $"wk0").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "wk0")
+      .select($"wk0".as("cohort_week"), $"week_offset",
+        $"n_active".cast("long").as("n_active"),
+        $"cohort_n".cast("long").as("cohort_n"),
+        round($"n_active" / $"cohort_n", 4).cast("decimal(8,4)")
+          .as("retention"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val retentionSql: String =
+    """WITH weekly AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+      |      AS INT) AS wk
+      |  FROM events),
+      |cohorts AS (SELECT user_id, min(wk) AS wk0 FROM weekly GROUP BY 1),
+      |sizes AS (SELECT wk0, COUNT(*) AS cohort_n FROM cohorts GROUP BY 1)
+      |SELECT c.wk0 AS cohort_week, w.wk - c.wk0 AS week_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_active,
+      |  CAST(any_value(s.cohort_n) AS BIGINT) AS cohort_n,
+      |  CAST(ROUND(COUNT(*) / any_value(s.cohort_n), 4) AS DECIMAL(8,4))
+      |    AS retention
+      |FROM weekly w JOIN cohorts c USING (user_id)
+      |  JOIN sizes s ON s.wk0 = c.wk0
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- event-type transition matrix -----------------------------------------
+
+  /** q_seq_transitions entry: first-order Markov transition counts and
+    * probabilities between consecutive event types per user — the
+    * navigation-flow / state-machine summary. Tie order pinned by
+    * (ts, event_id) so both engines see the same successor. */
+  def transitionsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wSeq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wSrc = Window.partitionBy($"src")
+    t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("src"))
+      .withColumn("dst", lead($"src", 1).over(wSeq))
+      .filter($"dst".isNotNull)
+      .groupBy($"src", $"dst")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round($"n" / sum($"n").over(wSrc), 4).cast("decimal(8,4)"))
+      .select($"src", $"dst", $"n".cast("long").as("n"), $"p")
+      .orderBy($"src", $"dst")
+  }
+
+  val transitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |cnt AS (
+      |  SELECT src, dst, COUNT(*) AS n FROM seq
+      |  WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, CAST(n AS BIGINT) AS n,
+      |  CAST(ROUND(n / sum(n) OVER (PARTITION BY src), 4) AS DECIMAL(8,4))
+      |    AS p
+      |FROM cnt ORDER BY src, dst""".stripMargin
+
+  // --- RFM segmentation -----------------------------------------------------
+
+  /** q_rfm_segments entry: customers scored 1–4 on recency, frequency,
+    * and monetary quartiles (4 = best), rolled up to segment counts.
+    * Recency is a day-index integer (later = larger = score 4).
+    * Boundaries use the R-7 interpolated quartiles of [[Profile.binsQ]]
+    * rounded to 4 dp, so both engines bin on identical doubles. */
+  def rfmQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val metrics = t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(
+        datediff(to_date(max($"o_orderdate")), lit("1992-01-01").cast("date"))
+          .cast("double").as("r"),
+        count(lit(1)).cast("double").as("f"),
+        sum($"o_totalprice".cast("decimal(18,2)")).as("m_dec"))
+      .withColumn("m", $"m_dec".cast("double"))
+    val long = metrics.select($"o_custkey",
+      expr("stack(3, 'r', r, 'f', f, 'm', m) AS (met, v)"))
+    val wOrd = Window.partitionBy($"met").orderBy($"v")
+    val wAll = Window.partitionBy($"met")
+    def interp(p: Double): Column = {
+      val idx = lit(p) * ($"cnt" - lit(1)).cast("double")
+      val d = abs(idx - ($"rn" - lit(1)).cast("double"))
+      round(sum(when(d < 1, $"v" * (lit(1d) - d)).otherwise(lit(0d))), 4)
+    }
+    val bounds = long
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy($"met")
+      .agg(interp(0.25).as("p25"), interp(0.5).as("p50"), interp(0.75).as("p75"))
+    def b1(met: String, pre: String): DataFrame = bounds.filter($"met" === met)
+      .select($"p25".as(s"${pre}25"), $"p50".as(s"${pre}50"),
+        $"p75".as(s"${pre}75"))
+    def score(v: Column, p25: Column, p50: Column, p75: Column): Column =
+      when(v <= p25, 1).when(v <= p50, 2).when(v <= p75, 3).otherwise(4)
+    metrics
+      .crossJoin(broadcast(b1("r", "r"))).crossJoin(broadcast(b1("f", "f")))
+      .crossJoin(broadcast(b1("m", "m")))
+      .select(
+        score($"r", $"r25", $"r50", $"r75").as("r_score"),
+        score($"f", $"f25", $"f50", $"f75").as("f_score"),
+        score($"m", $"m25", $"m50", $"m75").as("m_score"),
+        $"m_dec")
+      .groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum($"m_dec").cast("double") / count(lit(1)), 2)
+          .cast("decimal(18,2)").as("avg_monetary"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+
+  val rfmSql: String =
+    """WITH metrics AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day', DATE '1992-01-01',
+      |      CAST(max(o_orderdate) AS DATE)) AS DOUBLE) AS r,
+      |    CAST(COUNT(*) AS DOUBLE) AS f,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m_dec,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m
+      |  FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT
+      |    ROUND(quantile_cont(r, 0.25), 4) AS r25,
+      |    ROUND(quantile_cont(r, 0.5), 4) AS r50,
+      |    ROUND(quantile_cont(r, 0.75), 4) AS r75,
+      |    ROUND(quantile_cont(f, 0.25), 4) AS f25,
+      |    ROUND(quantile_cont(f, 0.5), 4) AS f50,
+      |    ROUND(quantile_cont(f, 0.75), 4) AS f75,
+      |    ROUND(quantile_cont(m, 0.25), 4) AS m25,
+      |    ROUND(quantile_cont(m, 0.5), 4) AS m50,
+      |    ROUND(quantile_cont(m, 0.75), 4) AS m75
+      |  FROM metrics),
+      |scored AS (
+      |  SELECT
+      |    CASE WHEN r <= r25 THEN 1 WHEN r <= r50 THEN 2
+      |         WHEN r <= r75 THEN 3 ELSE 4 END AS r_score,
+      |    CASE WHEN f <= f25 THEN 1 WHEN f <= f50 THEN 2
+      |         WHEN f <= f75 THEN 3 ELSE 4 END AS f_score,
+      |    CASE WHEN m <= m25 THEN 1 WHEN m <= m50 THEN 2
+      |         WHEN m <= m75 THEN 3 ELSE 4 END AS m_score,
+      |    m_dec
+      |  FROM metrics, b)
+      |SELECT r_score, f_score, m_score,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(ROUND(CAST(SUM(m_dec) AS DOUBLE) / COUNT(*), 2)
+      |    AS DECIMAL(18,2)) AS avg_monetary
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> retentionQ,
+    "q_seq_transitions" -> transitionsQ,
+    "q_rfm_segments" -> rfmQ)
+
+  def oracle: Map[String, String] = Map(
+    "q_cohort_retention" -> retentionSql,
+    "q_seq_transitions" -> transitionsSql,
+    "q_rfm_segments" -> rfmSql)
+}
