@@ -46,6 +46,7 @@ object SparkEntry {
     graft.ops.Dedup.queries ++
     graft.ops.Drift.queries ++
     graft.ops.Fuzzy.queries ++
+    graft.ops.Graph.queries ++
     graft.ops.HeavyHitters.queries ++
     graft.ops.Sketches.queries ++
     graft.ops.Validate.queries ++
@@ -81,6 +82,7 @@ object SparkEntry {
     graft.ops.Dedup.oracle ++
     graft.ops.Drift.oracle ++
     graft.ops.Fuzzy.oracle ++
+    graft.ops.Graph.oracle ++
     graft.ops.HeavyHitters.oracle ++
     graft.ops.Sketches.oracle ++
     graft.ops.Validate.oracle ++

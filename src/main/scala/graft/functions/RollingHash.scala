@@ -114,7 +114,17 @@ object GraftFunctions {
       else throw new IllegalArgumentException(
         s"nfc_normalize requires exactly 1 argument, got ${children.length}"))
 
-  private[functions] def specs = Seq(rollingHashSpec, vecDotSpec, nfcSpec)
+  private[functions] val jaroWinklerSpec
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    (children: Seq[Expression]) =>
+      if (children.length == 2) JaroWinkler(children.head, children(1))
+      else throw new IllegalArgumentException(
+        s"jaro_winkler requires exactly 2 arguments, got ${children.length}"))
+
+  private[functions] def specs =
+    Seq(rollingHashSpec, vecDotSpec, nfcSpec, jaroWinklerSpec)
 
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

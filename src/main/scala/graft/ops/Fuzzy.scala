@@ -152,11 +152,47 @@ object Fuzzy {
       |FROM cand WHERE c IS NOT NULL AND levenshtein(name, c) <= 1
       |ORDER BY name_a, name_b LIMIT 500""".stripMargin
 
+  /** q_fuzzy_jw entry: Jaro–Winkler similarity of each part name to its
+    * lexicographic successor — the native [[graft.functions.JaroWinkler]]
+    * expression driven over real data, oracle-checked against DuckDB's
+    * own `jaro_winkler_similarity` builtin (same algorithm, same
+    * constants; scores rounded to 6 dp per the FP contract).
+    *
+    * Scale shape: one window per blocking prefix (shards the sort), one
+    * codegen'd static-call scorer per row — scan speed; part names are
+    * bounded short strings so the scorer's scratch arrays are tiny. */
+  def jaroWinklerQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val w = Window.partitionBy($"blk").orderBy($"name")
+    t(s, dir, "part")
+      .select($"p_name".as("name"), substring($"p_name", 1, 6).as("blk"))
+      .withColumn("nxt", lead($"name", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .select($"name", $"nxt",
+        round(expr("jaro_winkler(name, nxt)"), 6).as("jw"))
+      .orderBy($"name", $"nxt")
+      .limit(500)
+  }
+
+  val jaroWinklerSql: String =
+    """WITH c AS (
+      |  SELECT p_name AS name,
+      |    lead(p_name) OVER (PARTITION BY substring(p_name, 1, 6)
+      |      ORDER BY p_name) AS nxt
+      |  FROM part)
+      |SELECT name, nxt, ROUND(jaro_winkler_similarity(name, nxt), 6) AS jw
+      |FROM c WHERE nxt IS NOT NULL
+      |ORDER BY name, nxt LIMIT 500""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_vocab" -> fuzzyVocabQ,
-    "q_fuzzy_neighbors" -> sortedNeighborsQ)
+    "q_fuzzy_neighbors" -> sortedNeighborsQ,
+    "q_fuzzy_jw" -> jaroWinklerQ)
 
   def oracle: Map[String, String] = Map(
     "q_fuzzy_vocab" -> fuzzyVocabSql,
-    "q_fuzzy_neighbors" -> sortedNeighborsSql)
+    "q_fuzzy_neighbors" -> sortedNeighborsSql,
+    "q_fuzzy_jw" -> jaroWinklerSql)
 }

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Iterative graph analytics — PageRank over the nation-level trade
+  * graph (customer nation → supplier nation, weighted by lineitem
+  * count). The Pregel-shaped companion to [[Dedup.duplicateClusters]]'
+  * label propagation: per iteration, ranks JOIN edges on src, partial
+  * contributions GROUP BY dst, repeat. On a web/citation/link corpus
+  * the same plan ranks documents for crawl prioritization and
+  * quality-weighted sampling.
+  *
+  * Scale shape: the expensive part is building the EDGE LIST (lineitem
+  * → orders → customer ⨝ supplier → nations), which is one pass of
+  * broadcast-dimension joins + a combinable groupBy, paid ONCE — the
+  * aggregated edge frame is eagerly checkpointed so the three rank
+  * iterations re-read a tiny materialized table instead of re-running
+  * the corpus joins (the [[Dedup.duplicateClusters]] lineage-cut
+  * lesson). Each iteration shuffles only |edges| contribution rows
+  * (≤ |nodes|²) keyed by dst; rank frames are |nodes| rows and
+  * broadcast into the edge join. Iterations here are unrolled (fixed
+  * 3) so the oracle can mirror them as chained CTEs; the driver loop
+  * generalizes to convergence exactly as duplicateClusters does.
+  *
+  * Determinism contract: per-edge contributions are one shared IEEE
+  * expression (rank·w/outw in double) rounded to 9 dp, summed as
+  * DECIMAL(28,9) — order-independent exact merges — and each new rank
+  * re-rounds to 9 dp, so both engines iterate on identical doubles.
+  * Damping 0.85; dangling mass dropped (every nation has out-edges in
+  * TPC-H; the variant is documented, standard, and oracle-mirrored).
+  */
+object Graph {
+
+  private val iterations = 3
+
+  /** q_graph_pagerank entry: 3-iteration PageRank over the
+    * nation→nation trade graph; 25 rows, rank + in/out degree. */
+  def pagerankQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+    val custNation = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cn"))
+    val suppNation = t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("sn"))
+    // one corpus pass builds the weighted edge list; checkpoint cuts
+    // the lineage so iterations never re-run these joins
+    val edges = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+      .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(custNation), $"o_custkey" === $"c_custkey")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"cn".as("src"), $"sn".as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .checkpoint()
+    val outw = edges.groupBy($"src").agg(sum($"w").as("outw"))
+    val nodes = t(s, dir, "nation").select($"n_name".as("node"))
+    var pr = nodes.withColumn("pr", lit(0.04)) // 1/25 exactly
+    for (_ <- 1 to iterations) {
+      val contribs = edges
+        .join(broadcast(outw), "src")
+        .join(broadcast(pr.withColumnRenamed("node", "src")), "src")
+        .select($"dst",
+          round($"pr" * $"w".cast("double") / $"outw".cast("double"), 9)
+            .cast("decimal(28,9)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("mass"))
+      pr = nodes
+        .join(contribs, $"node" === $"dst", "left")
+        .select($"node",
+          round(lit(0.006) +
+            lit(0.85) * coalesce($"mass", lit(0)).cast("double"), 9)
+            .as("pr"))
+    }
+    val indeg = edges.groupBy($"dst").agg(count(lit(1)).as("in_deg"))
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("out_deg"))
+    pr.join(broadcast(indeg), $"node" === $"dst", "left")
+      .join(broadcast(outdeg), $"node" === $"src", "left")
+      .select($"node".as("nation"),
+        $"pr".cast("decimal(12,9)").as("pagerank"),
+        coalesce($"in_deg", lit(0L)).cast("long").as("in_deg"),
+        coalesce($"out_deg", lit(0L)).cast("long").as("out_deg"))
+      .orderBy($"pagerank".desc, $"nation")
+  }
+
+  val pagerankSql: String = {
+    // one iteration as SQL, parameterized on the previous rank CTE
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT n.node,
+         |    ROUND(0.006 + 0.85 * CAST(COALESCE(m.mass, 0) AS DOUBLE), 9)
+         |      AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst,
+         |      SUM(CAST(ROUND(p.pr * CAST(e.w AS DOUBLE)
+         |        / CAST(o.outw AS DOUBLE), 9) AS DECIMAL(28,9))) AS mass
+         |    FROM edges e JOIN outw o ON e.src = o.src
+         |      JOIN $prev p ON p.node = e.src
+         |    GROUP BY e.dst) m ON n.node = m.dst)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |  GROUP BY 1, 2),
+       |outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY 1),
+       |nodes AS (SELECT n_name AS node FROM nation),
+       |pr0 AS (SELECT node, 0.04::DOUBLE AS pr FROM nodes),
+       |${iter("pr0", "pr1")},
+       |${iter("pr1", "pr2")},
+       |${iter("pr2", "pr3")}
+       |SELECT p.node AS nation,
+       |  CAST(p.pr AS DECIMAL(12,9)) AS pagerank,
+       |  CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
+       |  CAST(COALESCE(od.out_deg, 0) AS BIGINT) AS out_deg
+       |FROM pr3 p
+       |LEFT JOIN (SELECT dst, COUNT(*) AS in_deg FROM edges GROUP BY 1) i
+       |  ON p.node = i.dst
+       |LEFT JOIN (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY 1) od
+       |  ON p.node = od.src
+       |ORDER BY pagerank DESC, nation""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank" -> pagerankQ)
+
+  def oracle: Map[String, String] = Map(
+    "q_graph_pagerank" -> pagerankSql)
+}

@@ -44,7 +44,8 @@ class VecDotSpec extends AnyFunSuite with SparkSpec {
     // can't be created here without tearing down the shared session)
     import org.apache.spark.sql.catalyst.expressions.Literal
     val names = GraftFunctions.specs.map(_._1.funcName).toSet
-    assert(names == Set("rolling_hash", "vec_dot", "nfc_normalize"))
+    assert(names ==
+      Set("rolling_hash", "vec_dot", "nfc_normalize", "jaro_winkler"))
     val (_, _, builder) = GraftFunctions.vecDotSpec
     assert(builder(Seq(Literal(1d), Literal(2d))).isInstanceOf[VecDot])
     intercept[IllegalArgumentException](builder(Seq(Literal(1d))))

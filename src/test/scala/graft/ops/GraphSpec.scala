@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+class GraphSpec extends AnyFunSuite with SparkSpec {
+
+  test("pagerank: mass sums to ~1, floor respected, ranks match a driver-side recompute") {
+    import spark.implicits._
+    val rows = Graph.pagerankQ(spark, sfDir).collect()
+    assert(rows.length == 25)
+    val ranks = rows.map(r => r.getAs[String]("nation") ->
+      r.getAs[java.math.BigDecimal]("pagerank").doubleValue).toMap
+    // no dangling nodes in TPC-H trade → total mass conserved up to
+    // 25 nodes × 9-dp rounding slack
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-5)
+    ranks.values.foreach(p => assert(p >= 0.006 - 1e-12))
+
+    // independent recompute: collect the tiny edge list, iterate the
+    // same rounded-contribution recurrence in plain Scala
+    val cn = graft.Tables.t(spark, sfDir, "customer")
+      .join(graft.Tables.t(spark, sfDir, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey".as("ck"), $"n_name".as("cn"))
+    val sn = graft.Tables.t(spark, sfDir, "supplier")
+      .join(graft.Tables.t(spark, sfDir, "nation"),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey".as("sk"), $"n_name".as("sn"))
+    val edges = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(cn, $"o_custkey" === $"ck").join(sn, $"l_suppkey" === $"sk")
+      .groupBy($"cn", $"sn").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = ranks.keySet
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    def r9(d: Double): Double =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    var pr = nodes.map(_ -> 0.04).toMap
+    for (_ <- 1 to 3) {
+      val mass = edges.groupBy(_._2).view.mapValues(es =>
+        es.map(e => java.math.BigDecimal.valueOf(
+            r9(pr(e._1) * e._3.toDouble / outw(e._1).toDouble))
+          .setScale(9))
+          .reduce(_.add(_)).doubleValue).toMap
+      pr = nodes.map(n => n -> r9(0.006 + 0.85 * mass.getOrElse(n, 0.0)))
+        .toMap
+    }
+    nodes.foreach(n => assert(math.abs(pr(n) - ranks(n)) < 1e-12,
+      s"$n: recompute ${pr(n)} vs query ${ranks(n)}"))
+  }
+}
