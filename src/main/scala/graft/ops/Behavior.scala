@@ -204,13 +204,76 @@ object Behavior {
       |    AS DECIMAL(18,2)) AS avg_monetary
       |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // --- last-touch attribution -----------------------------------------------
+
+  /** q_attribution entry: each purchase attributed to the user's most
+    * recent preceding click/view within 1 hour (last-touch attribution
+    * with a lookback window), rolled up to per-channel conversion counts
+    * and revenue. The same carry-forward shape labels documents with
+    * the last upstream pipeline stage that touched them.
+    *
+    * Scale shape: one `last(ignoreNulls)` carry-forward window per user
+    * ordered by time — shards by user, single-value state, the exact
+    * streaming-friendly shape of [[TimeSeries.resampleQ]]'s gap fill;
+    * the rollup is a combinable groupBy over ≤ |channels|+1 groups.
+    * Money follows the dsum exact-decimal contract; the 1-hour cutoff
+    * compares timestamp differences as intervals — no epoch-double
+    * formatting dependence. */
+  def attributionQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+      .withColumn("t_type",
+        when($"event_type".isin("click", "view"), $"event_type"))
+      .withColumn("t_ts", when($"t_type".isNotNull, $"ts"))
+      .withColumn("lt_type", last($"t_type", ignoreNulls = true).over(w))
+      .withColumn("lt_ts", last($"t_ts", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("channel",
+        when($"lt_ts".isNotNull &&
+          $"ts" - $"lt_ts" <= expr("INTERVAL 1 HOUR"), $"lt_type")
+          .otherwise(lit("none")))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"value".cast("decimal(18,2)")).as("revenue"))
+      .select($"channel", $"n_purchases".cast("long").as("n_purchases"),
+        $"revenue".cast("decimal(18,2)").as("revenue"))
+      .orderBy($"channel")
+  }
+
+  val attributionSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    CASE WHEN event_type IN ('click', 'view') THEN event_type
+      |      END AS t_type
+      |  FROM events),
+      |carried AS (
+      |  SELECT *,
+      |    last_value(t_type IGNORE NULLS) OVER w AS lt_type,
+      |    last_value(CASE WHEN t_type IS NOT NULL THEN ts END IGNORE NULLS)
+      |      OVER w AS lt_ts
+      |  FROM marked
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT
+      |  CASE WHEN lt_ts IS NOT NULL AND ts - lt_ts <= INTERVAL 1 HOUR
+      |    THEN lt_type ELSE 'none' END AS channel,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      |FROM carried WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_retention" -> retentionQ,
     "q_seq_transitions" -> transitionsQ,
-    "q_rfm_segments" -> rfmQ)
+    "q_rfm_segments" -> rfmQ,
+    "q_attribution" -> attributionQ)
 
   def oracle: Map[String, String] = Map(
     "q_cohort_retention" -> retentionSql,
     "q_seq_transitions" -> transitionsSql,
-    "q_rfm_segments" -> rfmSql)
+    "q_rfm_segments" -> rfmSql,
+    "q_attribution" -> attributionSql)
 }

@@ -65,9 +65,66 @@ object Drift {
       |              / (CAST(n_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE))), 6) AS psi_term
       |FROM c, t ORDER BY event_type""".stripMargin
 
+  /** q_drift_ks entry: two-sample Kolmogorov–Smirnov statistic between
+    * the document-length distributions of two sources — the CONTINUOUS
+    * companion to [[psi]]'s categorical test (PSI needs binning choices;
+    * KS is binning-free, D = max |F₁(x) − F₂(x)| over the pooled
+    * support). The pre-mixing check that a new crawl's length profile
+    * matches the corpus it's joining.
+    *
+    * Scale shape: the corpus collapses to per-distinct-value pair
+    * counts FIRST (combinable groupBy, ≤ |distinct lengths| rows —
+    * value-bounded, not corpus-bounded); the ECDF is one cumulative
+    * window over that reduced table ordered by value. Cumulative counts
+    * are exact integers, so each ECDF point is one integer/integer IEEE
+    * division — both engines take the max over identical doubles. */
+  def ksQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .filter($"source".isin("src0", "src1"))
+      .groupBy($"n_chars".as("v"))
+      .agg(
+        sum(when($"source" === "src0", 1L).otherwise(0L)).as("c1"),
+        sum(when($"source" === "src1", 1L).otherwise(0L)).as("c2"))
+    val totals = d.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+    val w = Window.partitionBy(lit(0)).orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum1", sum($"c1").over(w))
+      .withColumn("cum2", sum($"c2").over(w))
+      .crossJoin(broadcast(totals))
+      .select(($"cum1".cast("double") / $"n1" -
+        $"cum2".cast("double") / $"n2").as("diff"), $"n1", $"n2")
+      .groupBy($"n1", $"n2")
+      .agg(round(max(abs($"diff")), 6).as("ks_stat"))
+      .select($"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"),
+        $"ks_stat")
+  }
+
+  val ksSql: String =
+    """WITH d AS (
+      |  SELECT n_chars AS v,
+      |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c2
+      |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+      |e AS (
+      |  SELECT
+      |    SUM(c1) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+      |    SUM(c2) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+      |  FROM d),
+      |t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM d)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  ROUND(MAX(ABS(CAST(cum1 AS DOUBLE) / n1
+      |    - CAST(cum2 AS DOUBLE) / n2)), 6) AS ks_stat
+      |FROM e, t GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_drift_psi" -> psi)
+    "q_drift_psi" -> psi,
+    "q_drift_ks" -> ksQ)
 
   def oracle: Map[String, String] = Map(
-    "q_drift_psi" -> psiSql)
+    "q_drift_psi" -> psiSql,
+    "q_drift_ks" -> ksSql)
 }

@@ -37,6 +37,66 @@ object Skew {
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total"))
 
+  /** q_skew_report entry: the key-distribution diagnosis you run BEFORE
+    * choosing a mitigation — per-key counts for orders-per-customer,
+    * summarized as cardinality, max/mean, R-7 p50/p90/p99, and the
+    * hottest key's share of all rows. A skew factor (max/mean) near 1
+    * says hash-partitioning is safe; a large one tells you which side
+    * needs salting, AQE skew splitting, or a broadcast.
+    *
+    * Scale shape: the corpus collapses to the per-key count table first
+    * (combinable groupBy, |keys| rows); the quantile pass runs the
+    * binsQ window-interpolation shape over ONE partition of that
+    * (already-reduced) table — swap `approx_percentile` when |keys|
+    * itself is huge. All stats from exact integers; rounds per the
+    * shared FP contract. */
+  def skewReportQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val counts = graft.Tables.t(s, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      .select($"n".cast("double").as("v"))
+    val one = lit(0)
+    val wOrd = Window.partitionBy(one).orderBy($"v")
+    val wAll = Window.partitionBy(one)
+    def interp(p: Double): Column = {
+      val idx = lit(p) * ($"cnt" - lit(1)).cast("double")
+      val d = abs(idx - ($"rn" - lit(1)).cast("double"))
+      round(sum(when(d < 1, $"v" * (lit(1d) - d)).otherwise(lit(0d))), 4)
+    }
+    counts
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy()
+      .agg(
+        count(lit(1)).cast("long").as("n_keys"),
+        sum($"v").cast("long").as("total_rows"),
+        max($"v").cast("long").as("max_n"),
+        round(sum($"v") / count(lit(1)), 6).as("mean_n"),
+        interp(0.5).as("p50"), interp(0.9).as("p90"), interp(0.99).as("p99"))
+      .withColumn("skew_factor",
+        round($"max_n" / $"mean_n", 6))
+      .withColumn("top_share",
+        round($"max_n".cast("double") / $"total_rows", 6))
+  }
+
+  val skewReportSql: String =
+    """WITH counts AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS v
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(v) AS BIGINT) AS total_rows,
+      |  CAST(MAX(v) AS BIGINT) AS max_n,
+      |  ROUND(SUM(v) / COUNT(*), 6) AS mean_n,
+      |  ROUND(quantile_cont(v, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(v, 0.9), 4) AS p90,
+      |  ROUND(quantile_cont(v, 0.99), 4) AS p99,
+      |  ROUND(CAST(MAX(v) AS BIGINT) / ROUND(SUM(v) / COUNT(*), 6), 6)
+      |    AS skew_factor,
+      |  ROUND(CAST(CAST(MAX(v) AS BIGINT) AS DOUBLE)
+      |    / CAST(SUM(v) AS BIGINT), 6) AS top_share
+      |FROM counts""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   /** q_agg_salted: the salted two-stage aggregate, driver-checked
@@ -46,11 +106,13 @@ object Skew {
     "q_agg_salted" -> ((s, dir) =>
       saltedCountSum(graft.Tables.t(s, dir, "lineitem"),
         "l_returnflag", "l_extendedprice")
-        .orderBy(col("l_returnflag"))))
+        .orderBy(col("l_returnflag"))),
+    "q_skew_report" -> skewReportQ)
 
   def oracle: Map[String, String] = Map(
     "q_agg_salted" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_skew_report" -> skewReportSql)
 }

@@ -1082,6 +1082,69 @@ object Text {
       |    / SUM(n_docs) OVER (PARTITION BY lang), 6) AS frac
       |FROM cells ORDER BY lang, guess""".stripMargin
 
+  /** Cohen's kappa for the langid labeler — chance-corrected agreement
+    * between the heuristic guess (rater B: `en-like`) and the ground
+    * label (rater A: `lang = 'en'`). The one-number inter-rater summary
+    * the confusion matrix above feeds; the same computation scores any
+    * pair of weak labelers before their labels are trusted for
+    * filtering.
+    *
+    * Scale shape: the 2×2 table is FOUR conditional sums in one
+    * codegen aggregate over one scan — no pivot, no join; kappa is
+    * arithmetic over a single broadcastable row. All counts exact
+    * integers; po/pe/kappa are shared-order IEEE expressions rounded
+    * to 6 dp. */
+  def kappaQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = withToks(s, dir)
+      .select($"lang",
+        round(expr(
+          "size(filter(toks, t -> t IN ('the','a','of','and','to','in')))")
+          .cast("double") / size($"toks"), 6).as("stop_ratio"))
+      .select(($"lang" === "en").as("a"), ($"stop_ratio" >= 0.08).as("b"))
+      .agg(
+        sum(when($"a" && $"b", 1L).otherwise(0L)).as("n11"),
+        sum(when($"a" && !$"b", 1L).otherwise(0L)).as("n10"),
+        sum(when(!$"a" && $"b", 1L).otherwise(0L)).as("n01"),
+        sum(when(!$"a" && !$"b", 1L).otherwise(0L)).as("n00"))
+    cells.select($"n11", $"n10", $"n01", $"n00",
+      ($"n11" + $"n10" + $"n01" + $"n00").as("n"))
+      .withColumn("po", ($"n11" + $"n00").cast("double") / $"n")
+      .withColumn("pe",
+        (($"n11" + $"n10") * ($"n11" + $"n01") +
+          ($"n01" + $"n00") * ($"n10" + $"n00")).cast("double") /
+          ($"n" * $"n"))
+      .select($"n11".cast("long").as("n11"), $"n10".cast("long").as("n10"),
+        $"n01".cast("long").as("n01"), $"n00".cast("long").as("n00"),
+        round($"po", 6).as("po"), round($"pe", 6).as("pe"),
+        round(($"po" - $"pe") / (lit(1d) - $"pe"), 6).as("kappa"))
+  }
+
+  val kappaSql: String =
+    s"""WITH d AS (SELECT lang, $toksSql AS toks FROM documents),
+      |r AS (SELECT lang = 'en' AS a,
+      |  ROUND(CAST(LEN(list_filter(toks,
+      |      t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |    / LEN(toks), 6) >= 0.08 AS b
+      |  FROM d),
+      |c AS (SELECT
+      |  SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+      |  SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+      |  SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+      |  SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00
+      |  FROM r),
+      |k AS (SELECT n11, n10, n01, n00, n11 + n10 + n01 + n00 AS n,
+      |  CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00) AS po,
+      |  CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+      |    AS DOUBLE) / ((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00))
+      |    AS pe
+      |  FROM c)
+      |SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+      |  CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+      |  ROUND(po, 6) AS po, ROUND(pe, 6) AS pe,
+      |  ROUND((po - pe) / (1 - pe), 6) AS kappa
+      |FROM k""".stripMargin
+
   /** Unicode NFC canonicalization audit: how many documents change
     * under [[graft.functions.NfcNormalize]] and the post-normalization
     * distinct-fingerprint count — the pre-dedup canonicalization gate
@@ -1115,6 +1178,7 @@ object Text {
     "q_text_zipf" -> zipfQ,
     "q_text_nfc" -> nfcQ,
     "q_langid_confusion" -> confusionQ,
+    "q_label_kappa" -> kappaQ,
     "q_text_stats" -> stats,
     "q_text_lang_agg" -> langAgg,
     "q_text_langid" -> langId,
@@ -1142,6 +1206,7 @@ object Text {
     "q_text_zipf" -> zipfSql,
     "q_text_nfc" -> nfcSql,
     "q_langid_confusion" -> confusionSql,
+    "q_label_kappa" -> kappaSql,
     "q_text_stats" -> statsSql,
     "q_text_lang_agg" -> langAggSql,
     "q_text_langid" -> langIdSql,

@@ -40,6 +40,71 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("attribution: purchases conserved, revenue conserved, channels from the touch set") {
+    import spark.implicits._
+    val rows = Behavior.attributionQ(spark, sfDir).collect()
+    val purchases = graft.Tables.t(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == purchases.count())
+    val total = purchases
+      .agg(org.apache.spark.sql.functions.sum(
+        $"value".cast("decimal(18,2)"))).head.getDecimal(0)
+    val attributed = rows.map(_.getAs[java.math.BigDecimal]("revenue"))
+      .reduce(_.add(_))
+    assert(attributed.compareTo(total) == 0,
+      s"revenue $attributed != $total")
+    val channels = rows.map(_.getAs[String]("channel")).toSet
+    assert(channels.subsetOf(Set("click", "view", "none")))
+  }
+
+  test("kappa: 2x2 table conserves docs; po/kappa recompute from the cells") {
+    val r = graft.ops.Text.kappaQ(spark, sfDir).collect().head
+    val (n11, n10, n01, n00) = (r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    val n = n11 + n10 + n01 + n00
+    assert(n == graft.Tables.t(spark, sfDir, "documents").count())
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10) * (n11 + n01) +
+      (n01 + n00) * (n10 + n00)).toDouble / (n * n)
+    val kappa = r.getAs[Double]("kappa")
+    assert(math.abs(kappa - (po - pe) / (1 - pe)) < 1e-6)
+    assert(kappa >= -1.0 && kappa <= 1.0)
+  }
+
+  test("skew report: exact cardinalities, ordered quantile ladder, share floor") {
+    import spark.implicits._
+    val r = Skew.skewReportQ(spark, sfDir).collect().head
+    val orders = graft.Tables.t(spark, sfDir, "orders")
+    assert(r.getAs[Long]("n_keys") ==
+      orders.select($"o_custkey").distinct().count())
+    assert(r.getAs[Long]("total_rows") == orders.count())
+    val (p50, p90, p99) = (r.getAs[Double]("p50"), r.getAs[Double]("p90"),
+      r.getAs[Double]("p99"))
+    assert(p50 <= p90 && p90 <= p99 && p99 <= r.getAs[Long]("max_n"))
+    assert(r.getAs[Double]("top_share") >= 1.0 / r.getAs[Long]("n_keys"))
+    assert(r.getAs[Double]("skew_factor") >= 1.0)
+  }
+
+  test("ks: statistic matches a driver-side two-sample recompute") {
+    import spark.implicits._
+    val r = Drift.ksQ(spark, sfDir).collect().head
+    val ks = r.getAs[Double]("ks_stat")
+    assert(ks >= 0.0 && ks <= 1.0)
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .filter($"source".isin("src0", "src1"))
+      .select($"source", $"n_chars").collect()
+    val a = docs.filter(_.getString(0) == "src0").map(_.getLong(1)).sorted
+    val b = docs.filter(_.getString(0) == "src1").map(_.getLong(1)).sorted
+    assert(a.length == r.getAs[Long]("n1") && b.length == r.getAs[Long]("n2"))
+    val support = (a ++ b).distinct.sorted
+    val d = support.map { x =>
+      val f1 = a.count(_ <= x).toDouble / a.length
+      val f2 = b.count(_ <= x).toDouble / b.length
+      math.abs(f1 - f2)
+    }.max
+    assert(math.abs(ks - d) < 1e-6, s"query $ks vs recompute $d")
+  }
+
   test("rfm: segments conserve the customer base; scores in range; recency marginals balanced") {
     import spark.implicits._
     val rows = Behavior.rfmQ(spark, sfDir).collect()
