@@ -339,6 +339,65 @@ object Text {
       |FROM b JOIN rates r ON b.source = r.source
       |GROUP BY b.source, r.pct ORDER BY b.source""".stripMargin
 
+  /** Temperature-scaled source mixing (the multilingual-training
+    * upsampling rule: sample source s with probability
+    * p_s^α / Σ p_t^α, α = 0.3) — flattens the natural size
+    * distribution so small sources aren't drowned, without the
+    * uniform-mix extreme. Reports, per source, its natural char share,
+    * its α-scaled sampling weight, the expected document allocation
+    * out of a 100k-doc budget, and the implied up/down-sampling factor.
+    *
+    * Scale shape: the corpus collapses to one combinable
+    * groupBy(source) of exact integer char sums; everything after is
+    * arithmetic over |sources| rows with a broadcast 1-row total —
+    * scan speed at any corpus size.
+    *
+    * Determinism: char counts are exact integers; shares, `power`, and
+    * ratios are shared-order IEEE expressions (libm parity as with
+    * ln in [[Drift.psi]]) rounded to 6 dp before output. */
+  def temperatureQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val alpha = 0.3
+    val bySrc = t(s, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+    val tot = bySrc.agg(sum($"chars").as("tot_chars"))
+    val scaled = bySrc.crossJoin(broadcast(tot))
+      .withColumn("p", $"chars".cast("double") / $"tot_chars")
+      .withColumn("pa", pow($"p", lit(alpha)))
+    val z = scaled.agg(sum(round($"pa", 9).cast("decimal(28,9)")).as("z"))
+    scaled.crossJoin(broadcast(z))
+      .withColumn("w", round($"pa", 9) / $"z".cast("double"))
+      .select($"source", $"n_docs".cast("long").as("n_docs"),
+        $"chars".cast("long").as("chars"),
+        round($"p", 6).as("p_natural"),
+        round($"w", 6).as("w_sampling"),
+        floor($"w" * lit(100000d)).cast("long").as("alloc_docs"),
+        round($"w" / $"p", 6).as("upsample_factor"))
+      .orderBy($"source")
+  }
+
+  val temperatureSql: String =
+    """WITH bysrc AS (
+      |  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT SUM(chars) AS tot_chars FROM bysrc),
+      |scaled AS (
+      |  SELECT source, n_docs, chars,
+      |    CAST(chars AS DOUBLE) / tot_chars AS p,
+      |    POWER(CAST(chars AS DOUBLE) / tot_chars, 0.3) AS pa
+      |  FROM bysrc, tot),
+      |z AS (SELECT SUM(CAST(ROUND(pa, 9) AS DECIMAL(28,9))) AS z
+      |  FROM scaled)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(chars AS BIGINT) AS chars,
+      |  ROUND(p, 6) AS p_natural,
+      |  ROUND(ROUND(pa, 9) / CAST(z AS DOUBLE), 6) AS w_sampling,
+      |  CAST(FLOOR(ROUND(pa, 9) / CAST(z AS DOUBLE) * 100000) AS BIGINT)
+      |    AS alloc_docs,
+      |  ROUND(ROUND(pa, 9) / CAST(z AS DOUBLE) / p, 6) AS upsample_factor
+      |FROM scaled, z ORDER BY source""".stripMargin
+
   /** Per-document top-3 TF-IDF terms — the keyword-extraction /
     * doc-representation primitive (smoothed IDF: ln((N+1)/(df+1))).
     *
@@ -1198,6 +1257,7 @@ object Text {
     "q_pack_sequences" -> ((s, dir) => packSequences(s, dir)),
     "q_split_assign" -> splitAssign,
     "q_sample_mixture" -> mixtureQ,
+    "q_sample_temperature" -> temperatureQ,
     "q_sample_stratified" -> ((s, dir) => stratifiedSample(s, dir)),
     "q_sample_weighted" -> ((s, dir) => weightedSample(s, dir)),
     "q_pack_buckets" -> packBucketsQ)
@@ -1226,6 +1286,7 @@ object Text {
     "q_pack_sequences" -> packSequencesSql,
     "q_split_assign" -> splitAssignSql,
     "q_sample_mixture" -> sampleMixtureSql,
+    "q_sample_temperature" -> temperatureSql,
     "q_sample_stratified" -> stratifiedSampleSql,
     "q_sample_weighted" -> weightedSampleSql,
     "q_pack_buckets" -> packBucketsSql)

@@ -105,6 +105,26 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(ks - d) < 1e-6, s"query $ks vs recompute $d")
   }
 
+  test("temperature mixing: weights normalize, flatten toward uniform, allocation fits the budget") {
+    val rows = graft.ops.Text.temperatureQ(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val w = rows.map(_.getAs[Double]("w_sampling"))
+    val p = rows.map(_.getAs[Double]("p_natural"))
+    assert(math.abs(w.sum - 1.0) < 1e-4)
+    assert(rows.map(_.getAs[Long]("alloc_docs")).sum <= 100000L)
+    // α < 1 flattens: smallest natural share is upsampled, largest is
+    // downsampled
+    val smallest = rows.minBy(_.getAs[Double]("p_natural"))
+    val largest = rows.maxBy(_.getAs[Double]("p_natural"))
+    assert(smallest.getAs[Double]("upsample_factor") > 1.0)
+    assert(largest.getAs[Double]("upsample_factor") < 1.0)
+    // order preserved: bigger source never gets smaller weight
+    val byP = rows.sortBy(_.getAs[Double]("p_natural"))
+      .map(_.getAs[Double]("w_sampling"))
+    assert(byP.zip(byP.tail).forall { case (a, b) => a <= b })
+    assert(p.sum > 0.999 && p.sum < 1.001)
+  }
+
   test("rfm: segments conserve the customer base; scores in range; recency marginals balanced") {
     import spark.implicits._
     val rows = Behavior.rfmQ(spark, sfDir).collect()
