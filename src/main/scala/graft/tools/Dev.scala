@@ -76,6 +76,9 @@ object Dev {
           "q_ts_trend" -> "bounded per-series grid dim (rows = series count, not events)",
           "q_agg_cms" -> "1-row CMS grid + 1-row total frame",
           "q_profile_overview" -> "1-row per-column profile frame (stack pivot)",
+          "q_drift_ks" -> "1-row (n1, n2) totals frame",
+          "q_rfm_segments" -> "three 1-row quartile-bound frames",
+          "q_sample_temperature" -> "1-row total-chars + 1-row normalizer frames",
           "q_similarity_topk" -> "bounded query-vector set",
           "q_similarity_ann" -> "bounded query-vector set",
           "q_similarity_ivf" -> "bounded query-vector set",
