@@ -52,6 +52,7 @@ object SparkEntry {
     graft.ops.Validate.queries ++
     graft.ops.Index.queries ++
     graft.ops.Skew.queries ++
+    graft.ops.Stats.queries ++
     graft.ops.Similarity.queries ++
     graft.ops.Centroids.queries ++
     graft.ops.EmbedStats.queries ++
@@ -88,6 +89,7 @@ object SparkEntry {
     graft.ops.Validate.oracle ++
     graft.ops.Index.oracle ++
     graft.ops.Skew.oracle ++
+    graft.ops.Stats.oracle ++
     graft.ops.Similarity.oracle ++
     graft.ops.Centroids.oracle ++
     graft.ops.EmbedStats.oracle ++

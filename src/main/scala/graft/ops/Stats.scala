@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Classical statistical audits over corpus metadata — the hypothesis
+  * tests a data-quality dashboard runs per batch: is language mix
+  * independent of source (χ²), do transaction amounts follow Benford's
+  * first-digit law (fabricated/synthetic-data alarm), and is a series
+  * self-correlated at daily lag (ACF)?
+  *
+  * Scale shapes: every test collapses the corpus to a tiny frame FIRST
+  * (contingency cells ≤ |langs|·|sources|, digit table ≤ 9 rows,
+  * hourly grid = time-range-sized) with one combinable groupBy; the
+  * test statistic is then arithmetic over that reduced frame with
+  * broadcast 1-row totals. Nothing downstream of the first aggregate
+  * ever sees corpus-sized data.
+  *
+  * Determinism: all counts are exact integers; per-cell float terms are
+  * shared-order IEEE expressions rounded to 9 dp and summed as
+  * DECIMAL(28,9) (order-independent), final statistics rounded to 6 dp.
+  */
+object Stats {
+
+  // --- chi-square test of independence --------------------------------------
+
+  /** q_stat_chi2 entry: χ² independence test of lang × source over
+    * documents — one row: table shape, dof, χ² statistic. */
+  def chi2Q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = t(s, dir, "documents")
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy($"lang").agg(sum($"o").as("r"))
+    val cols = cells.groupBy($"source").agg(sum($"o").as("c"))
+    val tot = cells.agg(sum($"o").as("n"),
+      countDistinct($"lang").as("nr"), countDistinct($"source").as("nc"))
+    cells
+      .join(broadcast(rows), "lang")
+      .join(broadcast(cols), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        $"r".cast("double") * $"c".cast("double") / $"n".cast("double"))
+      .withColumn("term",
+        round(($"o".cast("double") - $"e") * ($"o".cast("double") - $"e")
+          / $"e", 9).cast("decimal(28,9)"))
+      .groupBy($"n", $"nr", $"nc")
+      .agg(round(sum($"term").cast("double"), 6).as("chi2"))
+      .select($"n".cast("long").as("n"),
+        $"nr".cast("long").as("n_langs"), $"nc".cast("long").as("n_sources"),
+        (($"nr" - 1) * ($"nc" - 1)).cast("long").as("dof"), $"chi2")
+  }
+
+  val chi2Sql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, SUM(o) AS r FROM cells GROUP BY 1),
+      |c AS (SELECT source, SUM(o) AS c FROM cells GROUP BY 1),
+      |t AS (SELECT SUM(o) AS n, COUNT(DISTINCT lang) AS nr,
+      |  COUNT(DISTINCT source) AS nc FROM cells),
+      |terms AS (
+      |  SELECT n, nr, nc,
+      |    CAST(ROUND((CAST(o AS DOUBLE) - CAST(r.r AS DOUBLE)
+      |        * CAST(c.c AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(o AS DOUBLE) - CAST(r.r AS DOUBLE)
+      |        * CAST(c.c AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+      |        / CAST(n AS DOUBLE)), 9) AS DECIMAL(28,9)) AS term
+      |  FROM cells JOIN r USING (lang) JOIN c USING (source), t)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_langs,
+      |  CAST(nc AS BIGINT) AS n_sources,
+      |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+      |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+      |FROM terms GROUP BY n, nr, nc""".stripMargin
+
+  // --- Benford first-digit audit --------------------------------------------
+
+  /** q_profile_benford entry: first-significant-digit distribution of
+    * order totals vs Benford's log₁₀(1 + 1/d) expectation — the
+    * classic fabricated-numbers alarm; per digit: count, observed
+    * share, expected share, deviation. */
+  def benfordQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val digits = t(s, dir, "orders")
+      .select($"o_totalprice".as("v"))
+      .filter($"v" >= 1)
+      .withColumn("d",
+        floor($"v" / pow(lit(10d), floor(log10($"v")))).cast("int"))
+      .groupBy($"d").agg(count(lit(1)).as("n_orders"))
+    val tot = digits.agg(sum($"n_orders").as("n"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("share", round($"n_orders".cast("double") / $"n", 6))
+      .withColumn("benford",
+        round(log10(lit(1d) + lit(1d) / $"d".cast("double")), 6))
+      .select($"d", $"n_orders".cast("long").as("n_orders"),
+        $"share", $"benford",
+        round($"share" - $"benford", 6).as("deviation"))
+      .orderBy($"d")
+  }
+
+  val benfordSql: String =
+    """WITH digits AS (
+      |  SELECT CAST(FLOOR(o_totalprice
+      |      / POWER(10, FLOOR(LOG10(o_totalprice)))) AS INT) AS d,
+      |    COUNT(*) AS n_orders
+      |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+      |t AS (SELECT SUM(n_orders) AS n FROM digits)
+      |SELECT d, CAST(n_orders AS BIGINT) AS n_orders,
+      |  ROUND(CAST(n_orders AS DOUBLE) / n, 6) AS share,
+      |  ROUND(LOG10(1 + 1 / CAST(d AS DOUBLE)), 6) AS benford,
+      |  ROUND(ROUND(CAST(n_orders AS DOUBLE) / n, 6)
+      |    - ROUND(LOG10(1 + 1 / CAST(d AS DOUBLE)), 6), 6) AS deviation
+      |FROM digits, t ORDER BY d""".stripMargin
+
+  // --- autocorrelation at lag k ---------------------------------------------
+
+  /** q_ts_acf entry: autocorrelation of each event type's hourly count
+    * series at lag 1 and lag 24 — the numeric detector for the daily
+    * cycle [[TimeSeries.seasonalQ]] visualizes. ACF over the DENSIFIED
+    * grid (missing hours are true zeros), computed from exact integer
+    * sums (Σx, Σx², Σxy, n per lag) via the regression-sums shape of
+    * [[TimeSeries.trendQ]] — the only doubles are the final quotient's
+    * operands, identical in both engines. */
+  def acfQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val hourly = t(s, dir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |  timestamp'2024-01-30 23:00:00', interval 1 hour)) AS hour"""
+        .stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val dense = grid.crossJoin(broadcast(series))
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select($"event_type", $"hour",
+        coalesce($"cnt", lit(0L)).as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"hour")
+    def acfAt(lagK: Int): DataFrame = dense
+      .withColumn("y", lag($"x", lagK).over(w))
+      .filter($"y".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      .select($"event_type", lit(lagK).as("lag"),
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6).as("acf"))
+    acfAt(1).unionByName(acfAt(24))
+      .orderBy($"event_type", $"lag")
+  }
+
+  val acfSql: String = {
+    def at(k: Int): String =
+      s"""SELECT event_type, $k AS lag,
+         |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+         |      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+         |FROM (
+         |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+         |  FROM (
+         |    SELECT event_type, x,
+         |      lag(x, $k) OVER (PARTITION BY event_type ORDER BY hour) AS y
+         |    FROM dense) WHERE y IS NOT NULL GROUP BY event_type)""".stripMargin
+    s"""WITH grid AS (
+       |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+       |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour),
+       |hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |series AS (SELECT DISTINCT event_type FROM events),
+       |dense AS (
+       |  SELECT s.event_type, g.hour, COALESCE(h.cnt, 0) AS x
+       |  FROM grid g CROSS JOIN series s
+       |  LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = s.event_type)
+       |${at(1)}
+       |UNION ALL
+       |${at(24)}
+       |ORDER BY event_type, lag""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_chi2" -> chi2Q,
+    "q_profile_benford" -> benfordQ,
+    "q_ts_acf" -> acfQ)
+
+  def oracle: Map[String, String] = Map(
+    "q_stat_chi2" -> chi2Sql,
+    "q_profile_benford" -> benfordSql,
+    "q_ts_acf" -> acfSql)
+}

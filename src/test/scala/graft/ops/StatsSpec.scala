@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+class StatsSpec extends AnyFunSuite with SparkSpec {
+
+  test("chi2: conserves n, dof from table shape, statistic matches a driver recompute") {
+    import spark.implicits._
+    val r = Stats.chi2Q(spark, sfDir).collect().head
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    assert(r.getAs[Long]("n") == docs.count())
+    assert(r.getAs[Long]("dof") ==
+      (r.getAs[Long]("n_langs") - 1) * (r.getAs[Long]("n_sources") - 1))
+    val cells = docs.groupBy($"lang", $"source").count().collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    val rowT = cells.groupBy(_._1._1).view.mapValues(_.values.sum)
+    val colT = cells.groupBy(_._1._2).view.mapValues(_.values.sum)
+    val n = cells.values.sum.toDouble
+    val chi2 = cells.map { case ((l, s), o) =>
+      val e = rowT(l) * colT(s).toDouble / n
+      val t = (o - e) * (o - e) / e
+      BigDecimal(t).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-5,
+      s"query ${r.getAs[Double]("chi2")} vs recompute $chi2")
+  }
+
+  test("benford: digits 1-9, shares normalize, expectation is the log law") {
+    val rows = Stats.benfordQ(spark, sfDir).collect()
+    val digits = rows.map(_.getAs[Int]("d"))
+    assert(digits.toSet.subsetOf((1 to 9).toSet))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("d")
+      assert(math.abs(r.getAs[Double]("benford") -
+        math.log10(1 + 1.0 / d)) < 1e-6)
+      assert(math.abs(r.getAs[Double]("deviation") -
+        (r.getAs[Double]("share") - r.getAs[Double]("benford"))) < 1e-6)
+    }
+    // Benford expectations themselves normalize over 1..9
+    assert(math.abs((1 to 9).map(d => math.log10(1 + 1.0 / d)).sum - 1.0)
+      < 1e-9)
+  }
+
+  test("acf: bounded, present per (type, lag), lag-1 matches a driver recompute") {
+    import spark.implicits._
+    val rows = Stats.acfQ(spark, sfDir).collect()
+    val types = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type").distinct().count()
+    assert(rows.length == 2 * types)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("acf")) <= 1.0))
+    // recompute lag-1 ACF for one series from the densified hourly grid
+    val t0 = rows.head.getAs[String]("event_type")
+    val hourly = graft.Tables.t(spark, sfDir, "events")
+      .filter($"event_type" === t0)
+      .groupBy(org.apache.spark.sql.functions.date_trunc("hour", $"ts")
+        .as("hour"))
+      .count().collect()
+      .map(x => (x.getTimestamp(0).getTime, x.getLong(1))).toMap
+    val start = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val hours = (0 until 30 * 24)
+      .map(i => hourly.getOrElse(start + i * 3600000L, 0L))
+    val x = hours.dropRight(1).map(_.toDouble)
+    val y = hours.drop(1).map(_.toDouble)
+    val n = x.length
+    val (sx, sy) = (x.sum, y.sum)
+    val sxx = x.map(v => v * v).sum
+    val syy = y.map(v => v * v).sum
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val acf = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val got = rows.find(r => r.getAs[String]("event_type") == t0 &&
+      r.getAs[Int]("lag") == 1).get.getAs[Double]("acf")
+    assert(math.abs(got - acf) < 1e-5, s"query $got vs recompute $acf")
+  }
+}
