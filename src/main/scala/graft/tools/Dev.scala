@@ -77,6 +77,9 @@ object Dev {
           "q_agg_cms" -> "1-row CMS grid + 1-row total frame",
           "q_profile_overview" -> "1-row per-column profile frame (stack pivot)",
           "q_drift_ks" -> "1-row (n1, n2) totals frame",
+          "q_stat_chi2" -> "1-row (n, nr, nc) totals frame",
+          "q_profile_benford" -> "1-row total frame over the 9-digit table",
+          "q_ts_acf" -> "bounded per-series grid dim (rows = series count, not events)",
           "q_rfm_segments" -> "three 1-row quartile-bound frames",
           "q_sample_temperature" -> "1-row total-chars + 1-row normalizer frames",
           "q_similarity_topk" -> "bounded query-vector set",
