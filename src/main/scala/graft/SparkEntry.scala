@@ -58,6 +58,7 @@ object SparkEntry {
     graft.ops.EmbedStats.queries ++
     graft.ops.Skyline.queries ++
     graft.ops.Patterns.queries ++
+    graft.ops.Pca.queries ++
     graft.ops.Pii.queries ++
     graft.ops.Profile.queries ++
     graft.ops.Quantize.queries ++
@@ -95,6 +96,7 @@ object SparkEntry {
     graft.ops.EmbedStats.oracle ++
     graft.ops.Skyline.oracle ++
     graft.ops.Patterns.oracle ++
+    graft.ops.Pca.oracle ++
     graft.ops.Pii.oracle ++
     graft.ops.Profile.oracle ++
     graft.ops.Quantize.oracle ++
