@@ -25,17 +25,27 @@ object Tables {
     * session-wide side effects (ADVICE r1). */
   val nanosConf: String = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as long (legacy conf) and convert to a
-    * microsecond timestamp — the testdata is microsecond-exact
-    * (epoch_ns % 1000 == 0 for every row), so this matches the DuckDB
-    * oracle's TIMESTAMP_NS values exactly. */
+  /** FIXTURES.md only promises `ts: timestamp`; the driver has shipped it
+    * as TIMESTAMP(NANOS) (read as long via the legacy conf) in rounds ≤6
+    * and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark: TIMESTAMP_NTZ)
+    * from round 7 on. Branch on the schema Spark actually read so any of
+    * the three encodings loads identically:
+    *   - LongType (nanos-as-long): nanos are microsecond-exact in the
+    *     testdata, so `timestamp_micros(ts DIV 1000)` is lossless;
+    *   - TimestampNTZType: `cast("timestamp")` — the session tz is pinned
+    *     to UTC by every entrypoint, so the cast is an exact relabel;
+    *   - TimestampType: passthrough. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     if (spark.conf.getOption(nanosConf).forall(_ != "true"))
-      spark.conf.set(nanosConf, "true") // direct callers outside the entrypoints
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      spark.conf.set(nanosConf, "true") // harmless when the file isn't nanos
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
 
   /** Register every test table as a temp view (for spark.sql-style queries). */

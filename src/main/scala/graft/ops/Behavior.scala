@@ -162,8 +162,11 @@ object Behavior {
         $"m_dec")
       .groupBy($"r_score", $"f_score", $"m_score")
       .agg(count(lit(1)).as("n_customers"),
+        // OUTPUT type contract: rounded DOUBLE (2 dp is float64-exact at
+        // these magnitudes) so the driver's client-side serialization
+        // cannot diverge; the DECIMAL(18,2) money sum stays internal.
         round(sum($"m_dec").cast("double") / count(lit(1)), 2)
-          .cast("decimal(18,2)").as("avg_monetary"))
+          .as("avg_monetary"))
       .orderBy($"r_score", $"f_score", $"m_score")
   }
 
@@ -200,8 +203,7 @@ object Behavior {
       |  FROM metrics, b)
       |SELECT r_score, f_score, m_score,
       |  CAST(COUNT(*) AS BIGINT) AS n_customers,
-      |  CAST(ROUND(CAST(SUM(m_dec) AS DOUBLE) / COUNT(*), 2)
-      |    AS DECIMAL(18,2)) AS avg_monetary
+      |  ROUND(CAST(SUM(m_dec) AS DOUBLE) / COUNT(*), 2) AS avg_monetary
       |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   // --- last-touch attribution -----------------------------------------------

@@ -378,58 +378,34 @@ object Dedup {
     * Distributed shape: each round is one equi-join + min-aggregate on
     * node ids — label frames carry (id, label) only, never documents.
     * Only the EDGE LIST is cached (session CacheManager — freed by
-    * `clearCache`); each round's labels are RELIABLY CHECKPOINTED
-    * (`df.checkpoint`, eager) instead: lineage is cut per round, so no
-    * round ever recomputes an earlier one (the uncheckpointed variant is
-    * O(rounds²) joins), and the convergence check reads the
-    * just-written checkpoint files rather than re-executing the round's
-    * join. `localCheckpoint` is deliberately NOT used — its blocks
-    * bypass the CacheManager and measured as a cross-query storage leak
-    * (later dedup queries inflated up to 6×); reliable checkpoint files
-    * live in a temp dir outside executor storage memory, so
-    * `clearCache` semantics are unaffected (spec-asserted). Per-round
-    * cost is two small jobs (checkpoint write + file-scan convergence
-    * check) with a flat plan, rather than one job whose plan deepens
-    * every round.
-    *
-    * Throws `IllegalStateException` if `maxIter` rounds pass without
-    * convergence — a silent partial answer would split real components
-    * (rounds needed = graph diameter; near-clique dedup graphs converge
-    * in 2–3).
+    * `clearCache`); the round loop — eager per-round checkpointing,
+    * checkpoint-file convergence scan, throw on maxIter — is
+    * [[Iterate.fixpoint]], shared with [[Graph.pagerankConverged]].
+    * (`localCheckpoint` was measured here as a cross-query storage
+    * leak — later dedup queries inflated up to 6× — which is why
+    * Iterate uses reliable checkpoints; spec-asserted.)
     *
     * Returns (id, label) for every node that appears in `pairs`. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
-    if (s.sparkContext.getCheckpointDir.isEmpty)
-      s.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .distinct().cache()
-    var labels = edges.select($"src".as("id")).distinct()
+    val init = edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
+    // maxIter bound = duplicate-graph diameter; near-clique dedup
+    // graphs converge in 2-3 rounds
+    Iterate.fixpoint(init, maxIter, "duplicateClusters") { labels =>
       val nbrMin = edges.join(labels, $"dst" === $"id")
         .groupBy($"src").agg(min($"label").as("nbr"))
       // one join per round serves both the next labels and the
       // convergence check: a label changes iff a neighbour min is
       // strictly smaller than the current label
-      val next = labels.join(nbrMin, $"id" === $"src", "left")
+      labels.join(nbrMin, $"id" === $"src", "left")
         .select($"id", least($"label", coalesce($"nbr", $"label")).as("label"),
           (coalesce($"nbr", $"label") < $"label").as("chg"))
-        .checkpoint() // eager: materializes the round, cuts lineage
-      converged = next.filter($"chg").isEmpty // scans checkpoint files only
-      labels = next.drop("chg")
-      i += 1
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"duplicateClusters did not converge within maxIter=$maxIter rounds; " +
-          "raise maxIter (rounds needed = duplicate-graph diameter)")
-    labels
   }
 
   /** Driver-checkable clustering of the whole corpus: every doc with its
@@ -628,39 +604,69 @@ object Dedup {
       |JOIN documents db ON doc_b = db.doc_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Durable corpus LSH index — the amortization artifact behind
+    * [[incrementalQ]]. Built ONCE per corpus dir and persisted as two
+    * parquet tables (the [[Similarity.IvfIndex]] / [[PairArtifact]]
+    * pattern): `bands` = (doc_id, band, bh) LSH band keys for candidate
+    * lookup, `shingles` = (doc_id, sh) shingle sets for exact-Jaccard
+    * verification of candidates. Every later call — including from a
+    * fresh query in the same session — re-READS the artifact instead of
+    * re-running the corpus pass; at 100 TB the build is a once-per-
+    * corpus-version job and each ingest batch pays only index lookups.
+    * `builds` counts actual corpus passes so a spec can prove reuse. */
+  private[graft] object BandIndex {
+    private lazy val root =
+      java.nio.file.Files.createTempDirectory("graft-bandidx-").toString
+    private val paths = scala.collection.mutable.HashMap.empty[String, String]
+    @volatile private[graft] var builds: Int = 0
+    /** (bandKeys, shingleSets) read from the persisted artifact. */
+    def apply(s: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
+      val p = paths.getOrElseUpdate(dir, {
+        val out = s"$root/${Integer.toHexString(dir.hashCode)}"
+        shingleSets(t(s, dir, "documents"))
+          .write.mode("overwrite").parquet(s"$out/shingles")
+        // band keys derive from the persisted shingles, not a second
+        // corpus read — one documents scan total per corpus version
+        lshBands(s.read.parquet(s"$out/shingles"), bandRows = 2, lanes = Lanes)
+          .write.mode("overwrite").parquet(s"$out/bands")
+        builds += 1
+        out
+      })
+      (s.read.parquet(s"$p/bands"), s.read.parquet(s"$p/shingles"))
+    }
+  }
+
   /** Incremental dedup-on-ingest: match an incoming BATCH against the
     * existing CORPUS without comparing the corpus to itself — the shape a
     * production pipeline runs every crawl cycle, where re-deduplicating
     * 100 TB of history per batch is not an option.
     *
-    * The corpus side's (doc_id, band, bh) LSH band keys have the shape
-    * of a durable INDEX artifact: at scale they would be persisted once
-    * per corpus version (the [[Similarity.IvfIndex]] / [[PairArtifact]]
-    * parquet pattern) and each batch would pay only its own shingling +
-    * signatures plus an equi-join against the stored keys. Here the
-    * demo recomputes the corpus keys per session (plan-cache only) —
-    * the INDEX SHAPE is what's demonstrated; the per-batch bench cost
-    * includes the corpus pass. Candidate volume ∝ batch size ×
-    * true-collision density — the corpus enters only through index
-    * lookups, never a corpus×corpus or corpus×batch scan.
+    * The corpus side is the persisted [[BandIndex]] artifact: band keys
+    * for the candidate equi-join plus shingle sets for verification,
+    * built once per corpus version and re-read as parquet thereafter.
+    * A batch therefore pays only its OWN shingling + signatures, one
+    * equi-join against the stored keys, and exact Jaccard on the
+    * candidates — zero corpus passes per batch. Candidate volume ∝
+    * batch size × true-collision density — the corpus enters only
+    * through index lookups, never a corpus×corpus or corpus×batch scan.
     *
     * Fixture: 10% of the corpus re-arrives under new doc_ids (the same
     * simulated re-crawl as [[exact]]/[[embed]]), so every batch doc must
     * rediscover its original (J = 1) plus any of the original's planted
     * near-dup partners (J ≥ 0.8). Recall argument identical to [[near]]:
-    * a J ≥ 0.8 pair misses all 64 bands with prob (1−J²)^64 ≈ 4e-29. */
+    * a J ≥ 0.8 pair misses all 64 bands with prob at most
+    * (1−J²)^64 = 0.36^64 ≈ 4.0e-29. */
   def incrementalQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val corpus = t(s, dir, "documents")
-    val batch = corpus.filter($"doc_id" % 10 === 0)
+    val (corpusBands, corpusSh) = BandIndex(s, dir)
+    val batch = t(s, dir, "documents").filter($"doc_id" % 10 === 0)
       .withColumn("doc_id", $"doc_id" + 2000000L)
     // session-lifetime cache BY DESIGN (same convention as
-    // lshJaccardPairs): both shingle frames are re-read by the verify
-    // join below; freed only by spark.catalog.clearCache()
-    val corpusSh = shingleSets(corpus).cache()
+    // lshJaccardPairs): the batch shingles feed both the band build and
+    // the verify join below; freed only by spark.catalog.clearCache()
     val batchSh = shingleSets(batch).cache()
     val cand = lshBands(batchSh, bandRows = 2, lanes = Lanes).as("x")
-      .join(lshBands(corpusSh, bandRows = 2, lanes = Lanes).as("y"),
+      .join(corpusBands.as("y"),
         $"x.band" === $"y.band" && $"x.bh" === $"y.bh")
       .select($"x.doc_id".as("new_id"), $"y.doc_id".as("corpus_id"))
       .distinct()

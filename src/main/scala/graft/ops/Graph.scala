@@ -35,9 +35,11 @@ object Graph {
 
   private val iterations = 3
 
-  /** q_graph_pagerank entry: 3-iteration PageRank over the
-    * nation→nation trade graph; 25 rows, rank + in/out degree. */
-  def pagerankQ(s: SparkSession, dir: String): DataFrame = {
+  /** Weighted nation→nation trade edge list — one corpus pass of
+    * broadcast-dimension joins + a combinable groupBy, eagerly
+    * checkpointed so rank iterations re-read a tiny materialized table
+    * instead of re-running the corpus joins. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     if (s.sparkContext.getCheckpointDir.isEmpty)
       s.sparkContext.setCheckpointDir(
@@ -48,9 +50,7 @@ object Graph {
     val suppNation = t(s, dir, "supplier")
       .join(t(s, dir, "nation"), $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey", $"n_name".as("sn"))
-    // one corpus pass builds the weighted edge list; checkpoint cuts
-    // the lineage so iterations never re-run these joins
-    val edges = t(s, dir, "lineitem")
+    t(s, dir, "lineitem")
       .select($"l_orderkey", $"l_suppkey")
       .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
@@ -59,6 +59,13 @@ object Graph {
       .groupBy($"cn".as("src"), $"sn".as("dst"))
       .agg(count(lit(1)).as("w"))
       .checkpoint()
+  }
+
+  /** q_graph_pagerank entry: 3-iteration PageRank over the
+    * nation→nation trade graph; 25 rows, rank + in/out degree. */
+  def pagerankQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
     val outw = edges.groupBy($"src").agg(sum($"w").as("outw"))
     val nodes = t(s, dir, "nation").select($"n_name".as("node"))
     var pr = nodes.withColumn("pr", lit(0.04)) // 1/25 exactly
@@ -79,13 +86,55 @@ object Graph {
     }
     val indeg = edges.groupBy($"dst").agg(count(lit(1)).as("in_deg"))
     val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("out_deg"))
+    // OUTPUT type contract: pr is already rounded to 9 dp, so DOUBLE is
+    // exact here and survives the driver comparator's float64 client
+    // path; the DECIMAL(28,9) merges stay internal to the iteration.
     pr.join(broadcast(indeg), $"node" === $"dst", "left")
       .join(broadcast(outdeg), $"node" === $"src", "left")
       .select($"node".as("nation"),
-        $"pr".cast("decimal(12,9)").as("pagerank"),
+        $"pr".cast("double").as("pagerank"),
         coalesce($"in_deg", lit(0L)).cast("long").as("in_deg"),
         coalesce($"out_deg", lit(0L)).cast("long").as("out_deg"))
       .orderBy($"pagerank".desc, $"nation")
+  }
+
+  /** Production form of [[pagerankQ]]: iterate to CONVERGENCE via
+    * [[Iterate.fixpoint]] instead of a fixed unroll — stop when no
+    * node's rank moves by more than `tol` (ranks are rounded to 9 dp,
+    * so tol=0 means bit-identical two rounds running). Damping 0.85
+    * contracts the rank map by ≥0.15 per round, so the iteration count
+    * is O(log(1/tol)) — `maxIter` 60 covers tol down to 1e-9 with
+    * margin. Per-round cost identical to one [[pagerankQ]] iteration:
+    * |edges| contribution rows shuffle, rank frames broadcast.
+    *
+    * Not oracle-mirrored (the round count is data-dependent, so a
+    * chained-CTE oracle cannot express it); spec-verified instead:
+    * convergence is reached, a further step is a no-op, and the
+    * converged ranks agree with a deep fixed unroll. */
+  def pagerankConverged(s: SparkSession, dir: String,
+      tol: Double = 0.0, maxIter: Int = 60): DataFrame = {
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
+    val outw = edges.groupBy($"src").agg(sum($"w").as("outw"))
+    val nodes = t(s, dir, "nation").select($"n_name".as("node"))
+    val init = nodes.withColumn("pr", lit(0.04)) // 1/25 exactly
+    Iterate.fixpoint(init, maxIter, "pagerankConverged") { pr =>
+      val contribs = edges
+        .join(broadcast(outw), "src")
+        .join(broadcast(pr.withColumnRenamed("node", "src")), "src")
+        .select($"dst",
+          round($"pr" * $"w".cast("double") / $"outw".cast("double"), 9)
+            .cast("decimal(28,9)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("mass"))
+      nodes
+        .join(broadcast(pr.withColumnRenamed("pr", "prev")), "node")
+        .join(contribs, $"node" === $"dst", "left")
+        .select($"node",
+          round(lit(0.006) +
+            lit(0.85) * coalesce($"mass", lit(0)).cast("double"), 9).as("pr"),
+          $"prev")
+        .select($"node", $"pr", (abs($"pr" - $"prev") > tol).as("chg"))
+    }
   }
 
   val pagerankSql: String = {
@@ -118,7 +167,7 @@ object Graph {
        |${iter("pr1", "pr2")},
        |${iter("pr2", "pr3")}
        |SELECT p.node AS nation,
-       |  CAST(p.pr AS DECIMAL(12,9)) AS pagerank,
+       |  CAST(p.pr AS DOUBLE) AS pagerank,
        |  CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
        |  CAST(COALESCE(od.out_deg, 0) AS BIGINT) AS out_deg
        |FROM pr3 p

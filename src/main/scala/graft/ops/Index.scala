@@ -25,8 +25,11 @@ object Index {
     * full posting set (at 100 TB a common token's postings are the
     * corpus; an unbounded per-group array is an OOM by construction).
     * The df/n_occ aggregate and the top-k branch share one tf frame and
-    * rejoin on the token key. All emitted values are integers; array
-    * order is pinned by the (tf desc, doc_id) rank. */
+    * rejoin on the token key. Posting order is pinned by the
+    * (tf desc, doc_id) rank; the OUTPUT column is the list's canonical
+    * comma-joined string — a pandas comparator cannot sort/hash a
+    * list<int64> column, so array types never cross the result
+    * boundary (the bounded array stays internal). */
   def invertedQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tf = t(s, dir, "documents")
@@ -41,8 +44,9 @@ object Index {
       .withColumn("rk", row_number().over(wTok))
       .filter($"rk" <= 5)
       .groupBy($"tok")
-      .agg(transform(sort_array(collect_list(struct($"rk", $"doc_id"))),
-        x => x("doc_id")).as("top_docs"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct($"rk", $"doc_id"))),
+        x => x("doc_id")), ",").as("top_docs"))
     stats.join(posts, "tok")
       .orderBy($"df".desc, $"tok")
       .limit(40)
@@ -65,7 +69,7 @@ object Index {
       |    ROW_NUMBER() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS rk
       |  FROM tf),
       |posts AS (
-      |  SELECT tok, list(doc_id ORDER BY rk) AS top_docs
+      |  SELECT tok, array_to_string(list(doc_id ORDER BY rk), ',') AS top_docs
       |  FROM ranked WHERE rk <= 5 GROUP BY tok)
       |SELECT stats.tok, df, n_occ, top_docs
       |FROM stats JOIN posts USING (tok)

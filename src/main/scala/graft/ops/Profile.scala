@@ -124,15 +124,20 @@ object Profile {
       .select(Hashing.md5Long60(canon).as("h"))
       .agg(count(lit(1)).as("n_rows"),
         sum($"h".cast("decimal(38,0)")).as("checksum"))
-      .select($"n_rows", $"checksum".cast("decimal(38,0)").as("checksum"))
+      // OUTPUT type contract: the 23-digit digest cannot round-trip the
+      // driver comparator's float64/int64 client path, so the final
+      // column is pinned to its canonical VARCHAR form on both engines
+      // (decimal→string is plain digits in Spark and DuckDB alike); the
+      // DECIMAL(38,0) arithmetic stays internal where exactness matters.
+      .select($"n_rows", $"checksum".cast("decimal(38,0)").cast("string").as("checksum"))
   }
 
   val checksumSql: String =
     """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-      |  CAST(sum(CAST(('0x' || substr(md5(
+      |  CAST(CAST(sum(CAST(('0x' || substr(md5(
       |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
       |    || '|' || CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) || '|' || l_returnflag
-      |  ), 1, 15))::UBIGINT AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+      |  ), 1, 15))::UBIGINT AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
       |FROM lineitem""".stripMargin
 
   /** Equal-frequency (quantile) binning — feature discretization /

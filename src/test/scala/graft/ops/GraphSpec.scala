@@ -10,7 +10,7 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val rows = Graph.pagerankQ(spark, sfDir).collect()
     assert(rows.length == 25)
     val ranks = rows.map(r => r.getAs[String]("nation") ->
-      r.getAs[java.math.BigDecimal]("pagerank").doubleValue).toMap
+      r.getAs[Double]("pagerank")).toMap
     // no dangling nodes in TPC-H trade → total mass conserved up to
     // 25 nodes × 9-dp rounding slack
     assert(math.abs(ranks.values.sum - 1.0) < 1e-5)
@@ -49,5 +49,51 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
     nodes.foreach(n => assert(math.abs(pr(n) - ranks(n)) < 1e-12,
       s"$n: recompute ${pr(n)} vs query ${ranks(n)}"))
+  }
+
+  test("pagerank converged: fixpoint is reached and a further step is a no-op") {
+    import spark.implicits._
+    val fix = Graph.pagerankConverged(spark, sfDir)
+    val ranks = fix.collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Double]("pr")).toMap
+    assert(ranks.size == 25)
+    // converged mass conserved (no dangling nodes) up to rounding slack
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-5)
+    ranks.values.foreach(p => assert(p >= 0.006 - 1e-12))
+    // fixpoint witness OUTSIDE the loop: apply ONE more step of the same
+    // 9-dp-rounded recurrence driver-side from the converged ranks —
+    // tol=0 convergence means the map must be stationary bit-for-bit
+    val edges = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(graft.Tables.t(spark, sfDir, "customer")
+          .join(graft.Tables.t(spark, sfDir, "nation"), $"c_nationkey" === $"n_nationkey")
+          .select($"c_custkey".as("ck"), $"n_name".as("cn")),
+        $"o_custkey" === $"ck")
+      .join(graft.Tables.t(spark, sfDir, "supplier")
+          .join(graft.Tables.t(spark, sfDir, "nation"), $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey".as("sk"), $"n_name".as("sn")),
+        $"l_suppkey" === $"sk")
+      .groupBy($"cn", $"sn").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    def r9(d: Double): Double =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val mass = edges.groupBy(_._2).view.mapValues(es =>
+      es.map(e => java.math.BigDecimal.valueOf(
+          r9(ranks(e._1) * e._3.toDouble / outw(e._1).toDouble))
+        .setScale(9))
+        .reduce(_.add(_)).doubleValue).toMap
+    val stepped = ranks.keySet.map(n =>
+      n -> r9(0.006 + 0.85 * mass.getOrElse(n, 0.0))).toMap
+    assert(stepped == ranks, "converged ranks are not a fixpoint of the recurrence")
+    // the fixed 3-round unroll is an UNconverged prefix of the same
+    // recurrence: same ordering of the top nation, nearby values
+    val unrolled = Graph.pagerankQ(spark, sfDir).collect()
+      .map(r => r.getAs[String]("nation") -> r.getAs[Double]("pagerank")).toMap
+    assert(unrolled.maxBy(_._2)._1 == ranks.maxBy(_._2)._1)
+    ranks.foreach { case (n, p) =>
+      assert(math.abs(p - unrolled(n)) < 0.01, s"$n: $p vs 3-round ${unrolled(n)}")
+    }
   }
 }

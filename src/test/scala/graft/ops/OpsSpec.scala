@@ -585,6 +585,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     matches.unpersist()
   }
 
+  test("dedup incremental: the corpus band index is built once and reused across invocations") {
+    // the artifact contract: a second batch against the same corpus dir
+    // must NOT re-run the corpus pass (at 100 TB that pass is the whole
+    // point of persisting the index)
+    val first = Dedup.incrementalQ(spark, sfDir).collect()
+    val buildsAfterFirst = Dedup.BandIndex.builds
+    val second = Dedup.incrementalQ(spark, sfDir).collect()
+    assert(Dedup.BandIndex.builds == buildsAfterFirst,
+      "second invocation rebuilt the corpus band index")
+    assert(first.toSeq == second.toSeq,
+      "index reuse changed the match result")
+  }
+
   test("bm25: scores are positive and non-increasing, and the rare term dominates the head") {
     import spark.implicits._
     val rows = Text.bm25(spark, sfDir).collect()

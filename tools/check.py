@@ -8,8 +8,51 @@ from <out>/oracle_sql.json in DuckDB over the sf_dir tables, sorts columns
 by name, sorts rows, and compares values (exact, with a report of any
 float-level diffs). Dev tooling only — not part of the library.
 """
-import sys, json, glob, os, math
+import sys, json, glob, os, math, decimal
 import duckdb
+import numpy as np
+
+def driver_fragility(df, side):
+    """Driver-faithful canonicalization probe (VERDICT r7 item 5).
+
+    The driver normalizes results through pandas: columns sorted by
+    name, rows sorted by ALL columns via DataFrame.sort_values, values
+    hashed through the float64/int64 client path. Two output shapes
+    survive a value-level compare but break there:
+      - container-typed cells (list/ndarray/dict): sort_values builds a
+        Categorical over the column and crashes on unhashable values
+        (r7 q_text_inverted);
+      - Decimal cells that lose precision through float64 (>15-16
+        significant digits): the two engines' client serializations
+        diverge even when the values are identical (r7
+        q_profile_checksum).
+    Returns a list of fatal fragility strings (empty = driver-safe).
+    """
+    fatal = []
+    for c in df.columns:
+        if df[c].dtype != object:
+            continue
+        for v in df[c].dropna().head(200):
+            if isinstance(v, (list, tuple, dict, np.ndarray)):
+                fatal.append(f"{side} column {c}: unhashable container "
+                             f"{type(v).__name__} breaks driver sort_values")
+                break
+            if isinstance(v, decimal.Decimal):
+                try:
+                    roundtrip = decimal.Decimal(repr(float(v)))
+                except (OverflowError, ValueError):
+                    roundtrip = None
+                if roundtrip is None or roundtrip != v:
+                    fatal.append(f"{side} column {c}: decimal {v} does not "
+                                 f"round-trip float64 (driver hash unstable)")
+                    break
+    if not fatal:
+        try:
+            df[sorted(df.columns)].sort_values(by=sorted(df.columns))
+        except Exception as e:
+            fatal.append(f"{side}: driver-style sort_values raises "
+                         f"{type(e).__name__}: {e}")
+    return fatal
 
 def typenorm(t):
     """Collapse only spellings that serialize identically; keep width."""
@@ -84,6 +127,16 @@ def main():
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
+        # driver-faithful pandas probe on BOTH relations (re-materialized
+        # as DataFrames; fetchall above consumed the cursors)
+        frag = (driver_fragility(
+                    con.sql(f"SELECT * FROM read_parquet({files!r})").df(), "spark")
+                + driver_fragility(con.sql(oracle[name]).df(), "oracle"))
+        if frag:
+            for f in frag:
+                print(f"DRIVER-FRAGILE {name}: {f}")
+            n_fail += 1
+            continue
         g, e = norm(got), norm(exp)
         bad = None
         for i, (gr, er) in enumerate(zip(g, e)):
