@@ -43,6 +43,7 @@ object SparkEntry {
     graft.ops.Cdc.queries ++
     graft.ops.IntervalJoin.queries ++
     graft.ops.Classify.queries ++
+    graft.ops.Colloc.queries ++
     graft.ops.Dedup.queries ++
     graft.ops.Drift.queries ++
     graft.ops.Fuzzy.queries ++
@@ -81,6 +82,7 @@ object SparkEntry {
     graft.ops.Cdc.oracle ++
     graft.ops.IntervalJoin.oracle ++
     graft.ops.Classify.oracle ++
+    graft.ops.Colloc.oracle ++
     graft.ops.Dedup.oracle ++
     graft.ops.Drift.oracle ++
     graft.ops.Fuzzy.oracle ++

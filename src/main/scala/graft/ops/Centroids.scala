@@ -181,11 +181,64 @@ object Centroids {
       |SELECT label, vec_id, ROUND(d2, 6) AS d2, CAST(rk AS INT) AS rk
       |FROM r WHERE rk <= 5 ORDER BY label, rk""".stripMargin
 
+  /** q_embed_label_sim entry: pairwise cosine similarity between the
+    * per-label centroids — the cluster-confusability matrix ("which
+    * label pairs are near-duplicates in embedding space?") read before
+    * merging taxonomy classes or diagnosing a classifier's confusion
+    * hot-spots.
+    *
+    * Scale shape: the corpus-sized work is the ONE [[VecSum]] pass that
+    * [[centroid]] already pays (bounded per-partition buffers); the
+    * pairwise stage is |labels|² cells over the tiny centroid frame —
+    * a documented bounded broadcast NLJ (label_a < label_b), never a
+    * corpus×corpus product. Cosine runs on the exact fixed-point
+    * centroids with one shared left-to-right fold per side, so both
+    * engines divide identical doubles; rounded to 6 dp. */
+  def labelSimQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val cents = labelSums(s, dir)
+      .select($"label",
+        expr("transform(agg._2, m -> cast(m as double) / 1000000.0 / agg._1)").as("cv"))
+    val a = cents.select($"label".as("label_a"), $"cv".as("va"))
+    val b = cents.select($"label".as("label_b"), $"cv".as("vb"))
+    a.join(broadcast(b), $"label_a" < $"label_b")
+      .select($"label_a", $"label_b",
+        round(call_function("vec_dot", $"va", $"vb") /
+          (sqrt(call_function("vec_dot", $"va", $"va")) *
+            sqrt(call_function("vec_dot", $"vb", $"vb"))), 6).as("cosine"))
+      .orderBy($"label_a", $"label_b")
+  }
+
+  /** DuckDB twin: same micro-unit centroids; list_reduce seeds from the
+    * first element (0.0 + x ≡ x), matching vec_dot's fold order. */
+  val labelSimSql: String =
+    s"""WITH m AS (
+      |  SELECT label, i,
+      |    SUM(CAST(ROUND(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS s,
+      |    COUNT(*) AS n
+      |  FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(i) GROUP BY label, i),
+      |c AS (
+      |  SELECT label, list(CAST(s AS DOUBLE) / 1000000.0 / n ORDER BY i) AS cv
+      |  FROM m GROUP BY label)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  ROUND(
+      |    list_reduce(list_transform(range(1, ${Dim + 1}),
+      |      i -> a.cv[i] * b.cv[i]), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(range(1, ${Dim + 1}),
+      |        i -> a.cv[i] * a.cv[i]), (x, y) -> x + y))
+      |      * sqrt(list_reduce(list_transform(range(1, ${Dim + 1}),
+      |          i -> b.cv[i] * b.cv[i]), (x, y) -> x + y))), 6) AS cosine
+      |FROM c a JOIN c b ON a.label < b.label
+      |ORDER BY label_a, label_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_centroid" -> centroid,
-    "q_embed_outlier" -> outliers)
+    "q_embed_outlier" -> outliers,
+    "q_embed_label_sim" -> labelSimQ)
 
   def oracle: Map[String, String] = Map(
     "q_embed_centroid" -> centroidSql,
-    "q_embed_outlier" -> outliersSql)
+    "q_embed_outlier" -> outliersSql,
+    "q_embed_label_sim" -> labelSimSql)
 }

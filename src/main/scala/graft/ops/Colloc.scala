@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Token-frequency statistics beyond single-word counts: PMI
+  * collocations (which word PAIRS carry meaning — the phrase-mining /
+  * tokenizer-merge-candidate signal) and the Good–Turing
+  * frequency-of-frequencies profile (how much of the vocabulary is
+  * rare — the unseen-mass estimate behind LM smoothing and corpus
+  * growth planning).
+  */
+object Colloc {
+
+  /** q_text_pmi entry: top-25 adjacent-bigram collocations by pointwise
+    * mutual information, PMI = ln(P(w₁w₂) / (P(w₁)·P(w₂))), with a
+    * minimum pair count of 5 (raw PMI is maximized by hapax noise;
+    * the count floor is the standard Manning–Schütze guard).
+    *
+    * Scale shape: the corpus collapses to (w₁,w₂) pair counts and
+    * unigram counts FIRST — both map-side-combinable groupBys over the
+    * token stream; the text column itself never shuffles. The PMI join
+    * is pair-frame × two vocabulary-bounded unigram frames (broadcast);
+    * totals ride a broadcast 1-row frame. Counts are exact integers,
+    * PMI is one shared IEEE expression rounded to 6 dp; ties order by
+    * (w₁, w₂). */
+  def pmiQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+    val uni = toks
+      .select(explode($"toks").as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val pairs = toks
+      .filter(size($"toks") >= 2) // sequence(1,0) would descend
+      .select(explode(expr(
+        "filter(transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(toks[i-1] AS w1, toks[i] AS w2))," +
+          " p -> length(p.w1) > 0 AND length(p.w2) > 0)")).as("p"))
+      .select($"p.w1", $"p.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val totals = uni.agg(sum($"c").as("n_uni"))
+      .crossJoin(pairs.agg(sum($"c12").as("n_pairs")))
+    pairs.filter($"c12" >= 5)
+      .join(broadcast(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c", "c1")), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c", "c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select($"w1", $"w2", $"c12",
+        round(log(($"c12".cast("double") / $"n_pairs") /
+          (($"c1".cast("double") / $"n_uni") *
+            ($"c2".cast("double") / $"n_uni"))), 6).as("pmi"))
+      .orderBy($"pmi".desc, $"w1", $"w2")
+      .limit(25)
+  }
+
+  val pmiSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |uni AS (
+      |  SELECT w, COUNT(*) AS c FROM (
+      |    SELECT unnest(toks) AS w FROM tok) WHERE len(w) > 0 GROUP BY 1),
+      |pr AS (
+      |  SELECT p.w1, p.w2, COUNT(*) AS c12 FROM (
+      |    SELECT unnest(list_transform(range(1, len(toks)),
+      |      i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+      |    FROM tok) WHERE len(p.w1) > 0 AND len(p.w2) > 0 GROUP BY 1, 2),
+      |t AS (SELECT (SELECT SUM(c) FROM uni) AS n_uni,
+      |             (SELECT SUM(c12) FROM pr) AS n_pairs)
+      |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+      |  ROUND(ln((CAST(c12 AS DOUBLE) / n_pairs)
+      |    / ((CAST(u1.c AS DOUBLE) / n_uni) * (CAST(u2.c AS DOUBLE) / n_uni))), 6)
+      |    AS pmi
+      |FROM pr JOIN uni u1 ON pr.w1 = u1.w JOIN uni u2 ON pr.w2 = u2.w, t
+      |WHERE c12 >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 25""".stripMargin
+
+  /** q_text_freqfreq entry: Good–Turing frequency-of-frequencies over
+    * adjacent word BIGRAMS — for each bigram frequency r ≤ 10, how many
+    * distinct bigrams occur exactly r times (N_r), and the Good–Turing
+    * adjusted count r* = (r+1)·N_{r+1}/N_r (0 when no bigram has count
+    * r+1). N₁/N estimates the unseen-n-gram mass — the quantity behind
+    * LM smoothing and corpus-coverage planning. Bigrams, not unigrams:
+    * GT smoothing is an N-GRAM estimator (every unigram in this corpus
+    * is frequent, as in any corpus the interesting tail lives in the
+    * combinatorial n-gram space).
+    *
+    * Scale shape: bigram counts (map-side-combinable groupBy; the text
+    * column never shuffles) → one further groupBy(count) to the
+    * ≤|distinct frequencies| table — doubly collapsed before any join;
+    * the r+1 lookup is a self left join on the tiny frequency table
+    * (exact match on r+1, NOT lead(), which would silently pick the
+    * next PRESENT frequency across gaps). */
+  def freqFreqQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nr = t(s, dir, "documents")
+      .select(split(lower($"text"), " ").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(expr(
+        "filter(transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(toks[i-1] AS w1, toks[i] AS w2))," +
+          " p -> length(p.w1) > 0 AND length(p.w2) > 0)")).as("p"))
+      .groupBy($"p.w1", $"p.w2").agg(count(lit(1)).as("r"))
+      .groupBy($"r").agg(count(lit(1)).as("n_r"))
+    nr.as("a")
+      .join(broadcast(nr.as("b")), col("a.r") + 1 === col("b.r"), "left")
+      .filter(col("a.r") <= 10)
+      .select(col("a.r").as("r"), col("a.n_r").as("n_r"),
+        round((col("a.r") + 1).cast("double") *
+          coalesce(col("b.n_r"), lit(0L)).cast("double") /
+          col("a.n_r").cast("double"), 6).as("r_star"))
+      .orderBy($"r")
+  }
+
+  val freqFreqSql: String =
+    """WITH tok AS (
+      |  SELECT string_split(lower(text), ' ') AS toks FROM documents),
+      |cnt AS (
+      |  SELECT p.w1, p.w2, COUNT(*) AS r FROM (
+      |    SELECT unnest(list_transform(range(1, len(toks)),
+      |      i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+      |    FROM tok) WHERE len(p.w1) > 0 AND len(p.w2) > 0 GROUP BY 1, 2),
+      |nr AS (SELECT r, COUNT(*) AS n_r FROM cnt GROUP BY 1)
+      |SELECT a.r, CAST(a.n_r AS BIGINT) AS n_r,
+      |  ROUND((a.r + 1) * CAST(COALESCE(b.n_r, 0) AS DOUBLE)
+      |    / CAST(a.n_r AS DOUBLE), 6) AS r_star
+      |FROM nr a LEFT JOIN nr b ON a.r + 1 = b.r
+      |WHERE a.r <= 10 ORDER BY a.r""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_pmi" -> pmiQ,
+    "q_text_freqfreq" -> freqFreqQ)
+
+  def oracle: Map[String, String] = Map(
+    "q_text_pmi" -> pmiSql,
+    "q_text_freqfreq" -> freqFreqSql)
+}

@@ -120,11 +120,76 @@ object Drift {
       |    - CAST(cum2 AS DOUBLE) / n2)), 6) AS ks_stat
       |FROM e, t GROUP BY 1, 2""".stripMargin
 
+  /** q_drift_wasserstein entry: 1-Wasserstein (earth-mover) distance
+    * between the same two length distributions [[ksQ]] compares — the
+    * MAGNITUDE companion to KS's max-gap statistic (KS says "the CDFs
+    * separate"; W₁ = ∫|F₁−F₂| says "by this much total mass·distance",
+    * which is what a mixing-policy threshold actually wants).
+    *
+    * For discrete samples, W₁ = Σᵢ |F₁(vᵢ)−F₂(vᵢ)|·(vᵢ₊₁−vᵢ) over the
+    * sorted pooled support. Scale shape identical to [[ksQ]]: collapse
+    * to per-distinct-value pair counts first (value-bounded), one
+    * cumulative window + a `lead` for the gap. Determinism: each term
+    * is rounded to 9 dp and summed as DECIMAL(28,9) (order-independent
+    * exact merges — a raw double Σ would be partition-order-dependent),
+    * then the total rounds to 6 dp. */
+  def wassersteinQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .filter($"source".isin("src0", "src1"))
+      .groupBy($"n_chars".as("v"))
+      .agg(
+        sum(when($"source" === "src0", 1L).otherwise(0L)).as("c1"),
+        sum(when($"source" === "src1", 1L).otherwise(0L)).as("c2"))
+    val totals = d.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+    val wCum = Window.partitionBy(lit(0)).orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(lit(0)).orderBy($"v")
+    d.withColumn("cum1", sum($"c1").over(wCum))
+      .withColumn("cum2", sum($"c2").over(wCum))
+      .withColumn("gap", (lead($"v", 1).over(wLead) - $"v").cast("double"))
+      .crossJoin(broadcast(totals))
+      .select($"n1", $"n2",
+        when($"gap".isNull, lit(0d)) // last support point: no interval
+          .otherwise(round(abs($"cum1".cast("double") / $"n1" -
+            $"cum2".cast("double") / $"n2") * $"gap", 9))
+          .cast("decimal(28,9)").as("term"))
+      .groupBy($"n1", $"n2")
+      .agg(round(sum($"term").cast("double"), 6).as("w1_dist"))
+      .select($"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"),
+        $"w1_dist")
+  }
+
+  val wassersteinSql: String =
+    """WITH d AS (
+      |  SELECT n_chars AS v,
+      |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c2
+      |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+      |e AS (
+      |  SELECT v,
+      |    SUM(c1) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+      |    SUM(c2) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+      |    LEAD(v) OVER (ORDER BY v) - v AS gap
+      |  FROM d),
+      |t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM d)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  ROUND(CAST(SUM(CASE WHEN gap IS NULL THEN CAST(0 AS DECIMAL(28,9))
+      |    ELSE CAST(ROUND(ABS(CAST(cum1 AS DOUBLE) / n1
+      |      - CAST(cum2 AS DOUBLE) / n2) * CAST(gap AS DOUBLE), 9)
+      |      AS DECIMAL(28,9)) END) AS DOUBLE), 6) AS w1_dist
+      |FROM e, t GROUP BY n1, n2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_drift_psi" -> psi,
-    "q_drift_ks" -> ksQ)
+    "q_drift_ks" -> ksQ,
+    "q_drift_wasserstein" -> wassersteinQ)
 
   def oracle: Map[String, String] = Map(
     "q_drift_psi" -> psiSql,
-    "q_drift_ks" -> ksSql)
+    "q_drift_ks" -> ksSql,
+    "q_drift_wasserstein" -> wassersteinSql)
 }

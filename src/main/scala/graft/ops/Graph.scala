@@ -137,6 +137,79 @@ object Graph {
     }
   }
 
+  /** q_graph_triangles entry: per-node triangle count and local
+    * clustering coefficient over the UNDIRECTED trade graph — the
+    * community-density companion to [[pagerankQ]]'s centrality (a
+    * crawl-graph's clustering profile separates hub-and-spoke link
+    * farms from organically dense neighborhoods).
+    *
+    * Shape: the corpus pass is [[tradeEdges]] (paid once, checkpointed);
+    * everything after runs on the ≤|nodes|² edge list. Triangles are
+    * counted once each via the ordered-triple join (a<b, b<c, a—c), the
+    * standard distributed formulation — candidate volume is Σ per-node
+    * degree², never 3-way cartesian. Per-node counts explode each
+    * triangle to its 3 corners (combinable groupBy); clustering =
+    * 2·t / (deg·(deg−1)), exact integers until the final quotient. */
+  def trianglesQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = tradeEdges(s, dir)
+      .filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct()
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.v") === col("e2.u"))
+      .join(und.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val triPerNode = tri
+      .select(explode(array($"a", $"b", $"c")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+    val deg = und.select($"u".as("node"), $"v".as("nbr"))
+      .unionByName(und.select($"v".as("node"), $"u".as("nbr")))
+      .groupBy($"node").agg(count(lit(1)).as("degree"))
+    deg.join(broadcast(triPerNode), Seq("node"), "left")
+      .select($"node".as("nation"), $"degree",
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"),
+        when($"degree" > 1,
+          round(lit(2d) * coalesce($"n_triangles", lit(0L)).cast("double") /
+            ($"degree".cast("double") * ($"degree" - 1).cast("double")), 6))
+          .otherwise(lit(0d)).as("clustering"))
+      .orderBy($"nation")
+  }
+
+  val trianglesSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT
+      |    LEAST(cn.n_name, sn.n_name) AS u, GREATEST(cn.n_name, sn.n_name) AS v
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  WHERE cn.n_name <> sn.n_name),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
+      |tpn AS (
+      |  SELECT node, COUNT(*) AS n_triangles FROM (
+      |    SELECT a AS node FROM tri UNION ALL
+      |    SELECT b FROM tri UNION ALL
+      |    SELECT c FROM tri) GROUP BY 1),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS degree FROM (
+      |    SELECT u AS node, v AS nbr FROM e UNION ALL
+      |    SELECT v, u FROM e) GROUP BY 1)
+      |SELECT deg.node AS nation, CAST(degree AS BIGINT) AS degree,
+      |  CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+      |  CASE WHEN degree > 1 THEN
+      |    ROUND(2 * CAST(COALESCE(n_triangles, 0) AS DOUBLE)
+      |      / (CAST(degree AS DOUBLE) * (degree - 1)), 6)
+      |  ELSE 0 END AS clustering
+      |FROM deg LEFT JOIN tpn ON deg.node = tpn.node
+      |ORDER BY nation""".stripMargin
+
   val pagerankSql: String = {
     // one iteration as SQL, parameterized on the previous rank CTE
     def iter(prev: String, out: String): String =
@@ -179,8 +252,10 @@ object Graph {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_graph_pagerank" -> pagerankQ)
+    "q_graph_pagerank" -> pagerankQ,
+    "q_graph_triangles" -> trianglesQ)
 
   def oracle: Map[String, String] = Map(
-    "q_graph_pagerank" -> pagerankSql)
+    "q_graph_pagerank" -> pagerankSql,
+    "q_graph_triangles" -> trianglesSql)
 }

@@ -334,7 +334,202 @@ object Profile {
       |FROM dev JOIN mad USING (l_returnflag)
       |GROUP BY dev.l_returnflag ORDER BY dev.l_returnflag""".stripMargin
 
+  /** q_profile_gini entry: Gini coefficient of order value per priority
+    * class — the inequality/concentration profile of a numeric column
+    * ("is 90% of the revenue in 1% of the orders?"), the budget-audit
+    * companion to [[HeavyHitters]]' categorical concentration and the
+    * [[Skew]] report's key-level imbalance.
+    *
+    * Formula (sorted ascending, 1-based rank): G = 2·Σ(i·xᵢ)/(n·Σxᵢ)
+    * − (n+1)/n. One per-group sort (window row_number) + a combinable
+    * aggregate. Money follows the exact-decimal contract: xᵢ travels as
+    * DECIMAL(18,2) and i·xᵢ sums as DECIMAL(28,2) — both exact, so only
+    * the final quotient is IEEE. Tied values: rank order within a tie
+    * is engine-dependent but G is tie-invariant (equal xᵢ make Σi·xᵢ
+    * independent of which tie takes which rank). */
+  def giniQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"x")
+    t(s, dir, "orders")
+      .select($"o_orderpriority", $"o_totalprice".cast("decimal(18,2)").as("x"))
+      .withColumn("i", row_number().over(w))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sum_x"),
+        sum(($"i".cast("decimal(18,0)") * $"x").cast("decimal(28,2)"))
+          .as("sum_ix"))
+      .select($"o_orderpriority", $"n",
+        round(lit(2d) * $"sum_ix".cast("double") /
+            ($"n".cast("double") * $"sum_x".cast("double")) -
+          ($"n" + 1).cast("double") / $"n".cast("double"), 6).as("gini"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val giniSql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS i
+      |  FROM orders),
+      |a AS (
+      |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(x) AS sum_x,
+      |    SUM(CAST(CAST(i AS DECIMAL(18,0)) * x AS DECIMAL(28,2))) AS sum_ix
+      |  FROM r GROUP BY 1)
+      |SELECT o_orderpriority, n,
+      |  ROUND(2 * CAST(sum_ix AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE))
+      |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+      |FROM a ORDER BY o_orderpriority""".stripMargin
+
+  /** q_profile_corr entry: pairwise Pearson correlation matrix over the
+    * four lineitem numeric measures — the first page of any numeric
+    * data profile ("which measures are redundant / which co-move?"),
+    * and the input a feature-selection or drift-root-cause pass reads.
+    *
+    * Scale shape: ONE combinable aggregate computes all 15 sufficient
+    * statistics (n, Σx and Σx² per column, Σxy per pair) in a single
+    * corpus pass; the 6 matrix cells are scalar expressions over that
+    * 1-row frame, exploded to rows. Sums travel as exact decimals
+    * (values pinned to DECIMAL(18,2) first), so both engines evaluate
+    * the shared corr formula on identical doubles; rounded 6 dp. */
+  def corrQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = t(s, dir, "lineitem")
+      .select(cols.map(c => col(c).cast("decimal(18,2)").as(c)): _*)
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(col(c)).cast("decimal(38,2)").as(s"s_$c")) ++
+      cols.map(c => sum((col(c) * col(c)).cast("decimal(38,4)"))
+        .cast("decimal(38,4)").as(s"ss_$c")) ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        sum((col(a) * col(b)).cast("decimal(38,4)"))
+          .cast("decimal(38,4)").as(s"sp_${a}_$b") }.toSeq
+    val agg = li.agg(sums.head, sums.tail: _*)
+    def corr(a: String, b: String): Column = {
+      val n = col("n").cast("double")
+      val (sa, sb) = (col(s"s_$a").cast("double"), col(s"s_$b").cast("double"))
+      val (qa, qb) = (col(s"ss_$a").cast("double"), col(s"ss_$b").cast("double"))
+      val p = col(s"sp_${a}_$b").cast("double")
+      round((n * p - sa * sb) /
+        sqrt((n * qa - sa * sa) * (n * qb - sb * sb)), 6)
+    }
+    val cells = cols.combinations(2).map { case Seq(a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"), corr(a, b).as("corr"))
+    }.toSeq
+    agg.select(explode(array(cells: _*)).as("c"))
+      .select($"c.col_x", $"c.col_y", $"c.corr")
+      .orderBy($"col_x", $"col_y")
+  }
+
+  val corrSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val sums =
+      Seq("COUNT(*) AS n") ++
+      cols.map(c => s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_$c") ++
+      cols.map(c => s"CAST(SUM(CAST(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS ss_$c") ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        s"CAST(SUM(CAST(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sp_${a}_$b" }.toSeq
+    val cells = cols.combinations(2).map { case Seq(a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y,
+         |  ROUND((CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE)
+         |      - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+         |    / SQRT((CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
+         |        - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+         |      * (CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
+         |        - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6) AS corr
+         |FROM a""".stripMargin }.toSeq
+    s"""WITH a AS (SELECT ${sums.mkString(", ")} FROM lineitem)
+       |SELECT * FROM (${cells.mkString("\nUNION ALL\n")})
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
+  /** q_profile_theil entry: Theil T inequality index of order value,
+    * decomposed into BETWEEN-priority and WITHIN-priority components —
+    * the decomposition [[giniQ]] cannot give (Gini does not split
+    * additively): "is revenue concentration driven by the priority mix
+    * or by inequality inside each class?" — for a corpus, "is token
+    * concentration a source-mix effect or intra-source?".
+    *
+    * T = (1/n)Σ(xᵢ/μ)ln(xᵢ/μ); T_between = Σ_g s_g·ln(μ_g/μ);
+    * T_within = Σ_g s_g·T_g with s_g = (n_g/n)(μ_g/μ). Identity
+    * T = T_between + T_within is spec-checked.
+    *
+    * Scale shape: group means come from one combinable groupBy (exact
+    * DECIMAL(18,2) money sums); per-row log terms join the broadcast
+    * ≤|groups| mean frame, are rounded to 9 dp and summed as
+    * DECIMAL(28,9) (partition-order-independent), and the final
+    * assembly runs on the |groups|-row frame. Two scans total, both at
+    * scan speed. */
+  def theilQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = $"o_totalprice".cast("decimal(18,2)")
+    val groups = t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_g"), sum(x).as("sx_g"))
+    val totals = groups.agg(sum($"n_g").as("n"), sum($"sx_g").as("sx"))
+    val withMeans = t(s, dir, "orders")
+      .select($"o_orderpriority", x.cast("double").as("v"))
+      .join(broadcast(groups), "o_orderpriority")
+      .crossJoin(broadcast(totals))
+      .withColumn("mu", $"sx".cast("double") / $"n")
+      .withColumn("mu_g", $"sx_g".cast("double") / $"n_g")
+    val terms = withMeans
+      .groupBy($"o_orderpriority", $"n_g", $"mu_g", $"n", $"mu")
+      .agg(
+        sum(round(($"v" / $"mu") * log($"v" / $"mu"), 9)
+          .cast("decimal(28,9)")).as("t_tot_g"),
+        sum(round(($"v" / $"mu_g") * log($"v" / $"mu_g"), 9)
+          .cast("decimal(28,9)")).as("t_grp_g"))
+    terms
+      .select($"n", $"mu",
+        $"t_tot_g",
+        (($"n_g".cast("double") / $"n") * ($"mu_g" / $"mu") *
+          log($"mu_g" / $"mu")).as("between_g"),
+        (($"n_g".cast("double") / $"n") * ($"mu_g" / $"mu") *
+          ($"t_grp_g".cast("double") / $"n_g")).as("within_g"))
+      .groupBy($"n", $"mu")
+      .agg(
+        round(sum($"t_tot_g").cast("double") / $"n", 6).as("theil_total"),
+        round(sum(round($"between_g", 9).cast("decimal(28,9)")).cast("double"), 6)
+          .as("theil_between"),
+        round(sum(round($"within_g", 9).cast("decimal(28,9)")).cast("double"), 6)
+          .as("theil_within"))
+      .select($"n".cast("long").as("n"), round($"mu", 6).as("mean_value"),
+        $"theil_total", $"theil_between", $"theil_within")
+  }
+
+  val theilSql: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n_g,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx_g
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT SUM(n_g) AS n, SUM(sx_g) AS sx FROM g),
+      |rows_m AS (
+      |  SELECT o.o_orderpriority,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v,
+      |    g.n_g, CAST(g.sx_g AS DOUBLE) / g.n_g AS mu_g,
+      |    t.n, CAST(t.sx AS DOUBLE) / t.n AS mu
+      |  FROM orders o JOIN g USING (o_orderpriority) CROSS JOIN t),
+      |terms AS (
+      |  SELECT o_orderpriority, n_g, mu_g, n, mu,
+      |    SUM(CAST(ROUND((v / mu) * ln(v / mu), 9) AS DECIMAL(28,9))) AS t_tot_g,
+      |    SUM(CAST(ROUND((v / mu_g) * ln(v / mu_g), 9) AS DECIMAL(28,9))) AS t_grp_g
+      |  FROM rows_m GROUP BY 1, 2, 3, 4, 5)
+      |SELECT CAST(n AS BIGINT) AS n, ROUND(mu, 6) AS mean_value,
+      |  ROUND(CAST(SUM(t_tot_g) AS DOUBLE) / n, 6) AS theil_total,
+      |  ROUND(CAST(SUM(CAST(ROUND((CAST(n_g AS DOUBLE) / n) * (mu_g / mu)
+      |    * ln(mu_g / mu), 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS theil_between,
+      |  ROUND(CAST(SUM(CAST(ROUND((CAST(n_g AS DOUBLE) / n) * (mu_g / mu)
+      |    * (CAST(t_grp_g AS DOUBLE) / n_g), 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |    AS theil_within
+      |FROM terms GROUP BY n, mu""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_corr" -> corrQ,
+    "q_profile_theil" -> theilQ,
+    "q_profile_gini" -> giniQ,
     "q_profile_histogram" -> histogramQ,
     "q_profile_zscore" -> zscoreQ,
     "q_profile_checksum" -> checksumQ,
@@ -343,6 +538,9 @@ object Profile {
     "q_profile_mad" -> madQ)
 
   def oracle: Map[String, String] = Map(
+    "q_profile_corr" -> corrSql,
+    "q_profile_theil" -> theilSql,
+    "q_profile_gini" -> giniSql,
     "q_profile_histogram" -> histogramSql,
     "q_profile_zscore" -> zscoreSql,
     "q_profile_checksum" -> checksumSql,

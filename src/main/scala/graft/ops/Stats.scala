@@ -182,13 +182,91 @@ object Stats {
        |ORDER BY event_type, lag""".stripMargin
   }
 
+  /** q_stat_mannwhitney entry: Mann–Whitney U rank-sum test between the
+    * `value` distributions of click vs view events — the NONPARAMETRIC
+    * two-sample location test (t-tests assume normality; engagement
+    * values are long-tailed, so rank statistics are the operational
+    * choice for "did this cohort's metric shift?").
+    *
+    * Tied values get the average rank, computed WITHOUT materializing
+    * per-row ranks: collapse to per-distinct-value pair counts first
+    * (combinable groupBy, value-bounded), then avg rank of a value =
+    * (cumulative count before it) + (its count + 1)/2 — one cumulative
+    * window over the reduced table. Rank sums are exact in 0.5 units,
+    * so they travel as DECIMAL(28,1) (order-independent merges); only
+    * the final z-score divides doubles. The normal approximation is
+    * reported WITHOUT the tie-correction term (documented; both engines
+    * run the identical formula, and ties in a continuous double column
+    * are measure-zero). */
+  def mannWhitneyQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val d = t(s, dir, "events")
+      .filter($"event_type".isin("click", "view"))
+      .groupBy($"value".as("v"))
+      .agg(
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c2"))
+    val wCum = Window.partitionBy(lit(0)).orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = d
+      .withColumn("before", coalesce(sum($"c1" + $"c2").over(wCum), lit(0L)))
+      .withColumn("avg_rank",
+        ($"before".cast("decimal(18,1)") +
+          ($"c1" + $"c2" + 1).cast("decimal(18,1)") / 2).cast("decimal(18,1)"))
+    ranked
+      .agg(
+        sum($"c1").as("n1"), sum($"c2").as("n2"),
+        sum(($"c1".cast("decimal(18,1)") * $"avg_rank").cast("decimal(28,1)"))
+          .as("r1"))
+      .select($"n1", $"n2",
+        ($"r1".cast("double") - $"n1".cast("double") * ($"n1" + 1) / 2)
+          .as("u1"), $"r1")
+      .select($"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"),
+        round($"u1", 1).as("u1"),
+        round($"n1" * $"n2" - $"u1", 1).as("u2"),
+        round(($"u1" - $"n1".cast("double") * $"n2" / 2) /
+          sqrt($"n1".cast("double") * $"n2" * ($"n1" + $"n2" + 1) / 12), 6)
+          .as("z"))
+  }
+
+  val mannWhitneySql: String =
+    """WITH d AS (
+      |  SELECT value AS v,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+      |r AS (
+      |  SELECT c1, c2,
+      |    CAST(COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS DECIMAL(18,1))
+      |    + CAST(c1 + c2 + 1 AS DECIMAL(18,1)) / 2 AS avg_rank
+      |  FROM d),
+      |a AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+      |    SUM(CAST(CAST(c1 AS DECIMAL(18,1)) * avg_rank AS DECIMAL(28,1)))
+      |      AS r1
+      |  FROM r),
+      |u AS (
+      |  SELECT n1, n2,
+      |    CAST(r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1) / 2 AS u1
+      |  FROM a)
+      |SELECT n1, n2, ROUND(u1, 1) AS u1,
+      |  ROUND(n1 * n2 - u1, 1) AS u2,
+      |  ROUND((u1 - CAST(n1 AS DOUBLE) * n2 / 2)
+      |    / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12), 6) AS z
+      |FROM u""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stat_chi2" -> chi2Q,
     "q_profile_benford" -> benfordQ,
+    "q_stat_mannwhitney" -> mannWhitneyQ,
     "q_ts_acf" -> acfQ)
 
   def oracle: Map[String, String] = Map(
     "q_stat_chi2" -> chi2Sql,
     "q_profile_benford" -> benfordSql,
+    "q_stat_mannwhitney" -> mannWhitneySql,
     "q_ts_acf" -> acfSql)
 }

@@ -274,15 +274,101 @@ object TimeSeries {
       |    / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) AS r2
       |FROM a ORDER BY event_type""".stripMargin
 
+  /** q_ts_cusum entry: CUSUM changepoint scan per event-type series —
+    * the cumulative deviation-from-mean curve whose extremum locates
+    * the most likely level-shift hour (Page's CUSUM, the sequential
+    * change detector an ingestion monitor runs on arrival rates).
+    *
+    * Exact-arithmetic formulation: with hourly counts xⱼ on the dense
+    * 720-hour grid, CUSUMᵢ = Σ_{j≤i}(xⱼ − x̄) = cumᵢ − i·tot/nh; scaling
+    * by nh gives devᵢ = nh·cumᵢ − i·tot — ALL INTEGERS, so the argmax
+    * over |devᵢ| is decided on exact values (a double cumsum would let
+    * 1-ulp drift flip the winning hour between engines). The peak row
+    * is picked by a rank window ordered (|dev| desc, hour asc); only
+    * the reported cusum_peak = dev/nh divides doubles, rounded 6 dp.
+    *
+    * Scale shape: grid-sized frames (720·|types| rows) after one
+    * combinable groupBy of the corpus; cumsum + rank windows shard by
+    * event_type. */
+  def cusumQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val hourly = t(s, dir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |  timestamp'2024-01-30 23:00:00', interval 1 hour)) AS hour"""
+        .stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val dense = grid.crossJoin(broadcast(series))
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select($"event_type", $"hour", coalesce($"cnt", lit(0L)).as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"hour")
+    val wAll = Window.partitionBy($"event_type")
+    val scored = dense
+      .withColumn("i", row_number().over(w))
+      .withColumn("cum", sum($"x").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum($"x").over(wAll))
+      .withColumn("nh", count(lit(1)).over(wAll))
+      .withColumn("dev", $"nh" * $"cum" - $"i" * $"tot")
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"event_type").orderBy(abs($"dev").desc, $"hour")))
+      .filter($"rk" === 1)
+      .select($"event_type", $"nh".cast("long").as("n_hours"),
+        $"tot".cast("long").as("total"),
+        round($"tot".cast("double") / $"nh", 6).as("mean_rate"),
+        $"hour".as("peak_hour"),
+        round($"dev".cast("double") / $"nh", 6).as("cusum_peak"))
+      .orderBy($"event_type")
+  }
+
+  val cusumSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour),
+      |series AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT series.event_type, grid.hour, COALESCE(hourly.cnt, 0) AS x
+      |  FROM grid CROSS JOIN series
+      |  LEFT JOIN hourly ON hourly.hour = grid.hour
+      |    AND hourly.event_type = series.event_type),
+      |scored AS (
+      |  SELECT event_type, hour,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour) AS i,
+      |    SUM(x) OVER (PARTITION BY event_type ORDER BY hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(x) OVER (PARTITION BY event_type) AS tot,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nh
+      |  FROM dense),
+      |dev AS (
+      |  SELECT event_type, hour, nh, tot, nh * cum - i * tot AS dev,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY ABS(nh * cum - i * tot) DESC, hour) AS rk
+      |  FROM scored)
+      |SELECT event_type, CAST(nh AS BIGINT) AS n_hours,
+      |  CAST(tot AS BIGINT) AS total,
+      |  ROUND(CAST(tot AS DOUBLE) / nh, 6) AS mean_rate,
+      |  hour AS peak_hour,
+      |  ROUND(CAST(dev AS DOUBLE) / nh, 6) AS cusum_peak
+      |FROM dev WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_resample" -> resampleQ,
     "q_ts_ewma" -> ewmaQ,
     "q_ts_seasonal" -> seasonalQ,
+    "q_ts_cusum" -> cusumQ,
     "q_ts_trend" -> trendQ)
 
   def oracle: Map[String, String] = Map(
     "q_ts_resample" -> resampleSql,
     "q_ts_ewma" -> ewmaSql,
     "q_ts_seasonal" -> seasonalSql,
+    "q_ts_cusum" -> cusumSql,
     "q_ts_trend" -> trendSql)
 }

@@ -83,6 +83,11 @@ object Dev {
           "q_ts_acf" -> "bounded per-series grid dim (rows = series count, not events)",
           "q_rfm_segments" -> "three 1-row quartile-bound frames",
           "q_sample_temperature" -> "1-row total-chars + 1-row normalizer frames",
+          "q_text_pmi" -> "1-row (n_uni, n_pairs) totals frame",
+          "q_profile_theil" -> "1-row totals frame",
+          "q_drift_wasserstein" -> "1-row (n1, n2) totals frame",
+          "q_embed_label_sim" -> "bounded |labels|^2 centroid-pair grid",
+          "q_ts_cusum" -> "bounded per-series grid dim (rows = series count, not events)",
           "q_similarity_topk" -> "bounded query-vector set",
           "q_similarity_ann" -> "bounded query-vector set",
           "q_similarity_ivf" -> "bounded query-vector set",

@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Driver-side recomputes for the r8 analytics operators: each query's
+  * statistic is re-derived from first principles in plain Scala on the
+  * collected (tiny at sf0.001) inputs and compared to the distributed
+  * result — independent of both the Spark plan and the DuckDB oracle. */
+class AnalyticsSpec extends AnyFunSuite with SparkSpec {
+
+  test("gini: matches the textbook sorted-rank formula and sits in [0, 1)") {
+    import spark.implicits._
+    val got = Profile.giniQ(spark, sfDir).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("gini"))).toMap
+    val rows = graft.Tables.t(spark, sfDir, "orders")
+      .select($"o_orderpriority", $"o_totalprice").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    rows.groupBy(_._1).foreach { case (prio, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.size
+      val sumX = sorted.sum
+      val sumIx = sorted.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+      val gini = 2.0 * sumIx.toDouble / (n * sumX.toDouble) - (n + 1.0) / n
+      val (gn, gg) = got(prio)
+      assert(gn == n, s"$prio count")
+      assert(math.abs(gg - gini) < 1e-6, s"$prio: $gg vs $gini")
+      assert(gg >= 0.0 && gg < 1.0)
+    }
+  }
+
+  test("wasserstein: equals a direct pooled-support CDF integral and bounds KS from below on a unit grid") {
+    import spark.implicits._
+    val r = Drift.wassersteinQ(spark, sfDir).collect().head
+    val (n1, n2, w1) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Double]("w1_dist"))
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .filter($"source".isin("src0", "src1"))
+      .select($"source", $"n_chars").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val s1 = docs.collect { case ("src0", v) => v }.sorted
+    val s2 = docs.collect { case ("src1", v) => v }.sorted
+    assert(n1 == s1.length && n2 == s2.length)
+    val support = (s1 ++ s2).distinct.sorted
+    val direct = support.zip(support.tail).map { case (v, nxt) =>
+      val f1 = s1.count(_ <= v).toDouble / s1.length
+      val f2 = s2.count(_ <= v).toDouble / s2.length
+      BigDecimal(math.abs(f1 - f2) * (nxt - v))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(math.abs(w1 - direct) < 1e-5, s"$w1 vs $direct")
+    assert(w1 >= 0.0)
+  }
+
+  test("pmi: counts and scores match a driver recompute; output ordering is (pmi desc, words)") {
+    import spark.implicits._
+    val got = Colloc.pmiQ(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length <= 25)
+    val toks = graft.Tables.t(spark, sfDir, "documents")
+      .select(lower($"text")).as[String].collect()
+      .map(_.split(" ", -1).filter(_.nonEmpty).toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairs = toks.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nUni = uni.values.sum.toDouble
+    val nPairs = pairs.values.sum.toDouble
+    got.foreach { r =>
+      val (w1, w2, c12, pmi) = (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c12"), r.getAs[Double]("pmi"))
+      assert(pairs((w1, w2)) == c12, s"($w1,$w2) count")
+      assert(c12 >= 5)
+      val exp = math.log((c12 / nPairs) / ((uni(w1) / nUni) * (uni(w2) / nUni)))
+      assert(math.abs(pmi - exp) < 1e-5, s"($w1,$w2): $pmi vs $exp")
+    }
+    val keys = got.map(r => (-r.getAs[Double]("pmi"),
+      r.getAs[String]("w1"), r.getAs[String]("w2"))).toSeq
+    assert(keys == keys.sorted, "not ordered by (pmi desc, w1, w2)")
+  }
+
+  test("freqfreq: N_r counts bigrams exactly and r* follows the Good-Turing identity") {
+    import spark.implicits._
+    val got = Colloc.freqFreqQ(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("r") ->
+        (r.getAs[Long]("n_r"), r.getAs[Double]("r_star"))).toMap
+    val counts = graft.Tables.t(spark, sfDir, "documents")
+      .select(lower($"text")).as[String].collect()
+      .map(_.split(" ", -1).filter(_.nonEmpty).toSeq)
+      .flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    val nr = counts.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    nr.filter(_._1 <= 10).foreach { case (r, n) =>
+      val (gn, gstar) = got(r)
+      assert(gn == n, s"N_$r")
+      val expStar = (r + 1.0) * nr.getOrElse(r + 1, 0L) / n
+      assert(math.abs(gstar - expStar) < 1e-6, s"r*_$r: $gstar vs $expStar")
+    }
+    assert(got.keySet == nr.keySet.filter(_ <= 10))
+  }
+
+  test("triangles: per-node counts match a naive enumeration of the collected edge list") {
+    import spark.implicits._
+    val got = Graph.trianglesQ(spark, sfDir).collect()
+      .map(r => r.getAs[String]("nation") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          r.getAs[Double]("clustering"))).toMap
+    // rebuild the undirected graph naively from the same corpus joins
+    val cn = graft.Tables.t(spark, sfDir, "customer")
+      .join(graft.Tables.t(spark, sfDir, "nation"), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey".as("ck"), $"n_name".as("cn"))
+    val sn = graft.Tables.t(spark, sfDir, "supplier")
+      .join(graft.Tables.t(spark, sfDir, "nation"), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey".as("sk"), $"n_name".as("sn"))
+    val und = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(cn, $"o_custkey" === $"ck").join(sn, $"l_suppkey" === $"sk")
+      .filter($"cn" =!= $"sn")
+      .select($"cn", $"sn").distinct().collect()
+      .map(r => { val (a, b) = (r.getString(0), r.getString(1))
+        if (a < b) (a, b) else (b, a) }).toSet
+    val adj = (und.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    adj.foreach { case (node, nbrs) =>
+      val (deg, tri, coeff) = got(node)
+      assert(deg == nbrs.size, s"$node degree")
+      val expTri = nbrs.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }
+      assert(tri == expTri, s"$node triangles: $tri vs $expTri")
+      val expCoeff = if (deg > 1)
+        BigDecimal(2.0 * expTri / (deg.toDouble * (deg - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(math.abs(coeff - expCoeff) < 1e-9, s"$node clustering")
+    }
+    assert(got.keySet == adj.keySet)
+  }
+
+  test("corr matrix: 6 cells, symmetric-range values, matches plain-Scala Pearson") {
+    import spark.implicits._
+    val got = Profile.corrQ(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("col_x"), r.getAs[String]("col_y")) ->
+        r.getAs[Double]("corr")).toMap
+    assert(got.size == 6)
+    got.values.foreach(c => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val data = graft.Tables.t(spark, sfDir, "lineitem")
+      .select(cols.map(c => round(col(c).cast("double"), 2)): _*).collect()
+      .map(r => cols.indices.map(r.getDouble).toArray)
+    def pearson(i: Int, j: Int): Double = {
+      val n = data.length.toDouble
+      val (xs, ys) = (data.map(_(i)), data.map(_(j)))
+      val (sx, sy) = (BigDecimal(xs.map(BigDecimal(_)).sum.toDouble),
+        BigDecimal(ys.map(BigDecimal(_)).sum.toDouble))
+      val sxy = xs.zip(ys).map { case (a, b) => BigDecimal(a) * BigDecimal(b) }.sum
+      val sxx = xs.map(a => BigDecimal(a) * BigDecimal(a)).sum
+      val syy = ys.map(a => BigDecimal(a) * BigDecimal(a)).sum
+      ((n * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        math.sqrt((n * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          (n * syy.toDouble - sy.toDouble * sy.toDouble)))
+    }
+    for (Seq(a, b) <- cols.combinations(2)) {
+      val exp = pearson(cols.indexOf(a), cols.indexOf(b))
+      assert(math.abs(got((a, b)) - exp) < 1e-5, s"($a,$b): ${got((a, b))} vs $exp")
+    }
+  }
+
+  test("theil: decomposition identity holds and total matches a driver recompute") {
+    import spark.implicits._
+    val r = Profile.theilQ(spark, sfDir).collect().head
+    val (tot, btw, wth) = (r.getAs[Double]("theil_total"),
+      r.getAs[Double]("theil_between"), r.getAs[Double]("theil_within"))
+    assert(tot >= 0 && btw >= 0 && wth >= 0)
+    assert(math.abs(tot - (btw + wth)) < 1e-5,
+      s"decomposition: $tot != $btw + $wth")
+    val xs = graft.Tables.t(spark, sfDir, "orders")
+      .select(round($"o_totalprice".cast("double"), 2)).collect()
+      .map(_.getDouble(0))
+    assert(r.getAs[Long]("n") == xs.length)
+    val mu = xs.map(BigDecimal(_)).sum.toDouble / xs.length
+    val exp = xs.map(x => (x / mu) * math.log(x / mu)).sum / xs.length
+    assert(math.abs(tot - exp) < 1e-5, s"total $tot vs $exp")
+  }
+
+  test("label sim: 45 ordered pairs, cosine within [-1,1], self-consistent with collected centroids") {
+    import spark.implicits._
+    val rows = Centroids.labelSimQ(spark, sfDir).collect()
+    assert(rows.length == 45) // C(10,2)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("label_a") < r.getAs[Int]("label_b"))
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    // independent centroid recompute (micro-unit quantization) + cosine
+    val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"label", $"embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(x =>
+        math.round(x.toDouble * 1000000).toDouble / 1000000)))
+    val cents = vecs.groupBy(_._1).view.mapValues { vs =>
+      val n = vs.size
+      val dim = vs.head._2.size
+      (0 until dim).map(i => vs.map(_._2(i)).sum / n)
+    }.toMap
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Int]("label_a"), r.getAs[Int]("label_b"))
+      val exp = dot(cents(a), cents(b)) /
+        (math.sqrt(dot(cents(a), cents(a))) * math.sqrt(dot(cents(b), cents(b))))
+      assert(math.abs(r.getAs[Double]("cosine") - exp) < 1e-4,
+        s"($a,$b): ${r.getAs[Double]("cosine")} vs $exp")
+    }
+  }
+}

@@ -134,8 +134,7 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
     rows.foreach { r =>
       Seq("r_score", "f_score", "m_score").foreach(c =>
         assert(r.getAs[Int](c) >= 1 && r.getAs[Int](c) <= 4))
-      assert(r.getAs[java.math.BigDecimal]("avg_monetary")
-        .doubleValue > 0)
+      assert(r.getAs[Double]("avg_monetary") > 0)
     }
     // recency has few ties at this scale → quartile marginals near 25%
     val byR = rows.groupBy(_.getAs[Int]("r_score"))

@@ -20,7 +20,8 @@ class IndexSpec extends AnyFunSuite with SparkSpec {
     assert(top.getAs[Long]("df") == dfRecount,
       s"df(${tok}) ${top.getAs[Long]("df")} != recount $dfRecount")
     rows.foreach { r =>
-      val posts = r.getSeq[Long](r.fieldIndex("top_docs"))
+      // top_docs is the canonical comma-joined string (driver contract)
+      val posts = r.getAs[String]("top_docs").split(",").toSeq.map(_.toLong)
       assert(posts.nonEmpty && posts.size <= 5, "posting list must be bounded")
       assert(posts.distinct.size == posts.size, "no duplicate doc ids")
       assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("df"),
@@ -36,7 +37,7 @@ class IndexSpec extends AnyFunSuite with SparkSpec {
     val docs = graft.Tables.t(spark, sfDir, "documents")
     val top = Index.invertedQ(spark, sfDir).collect().head
     val tok = top.getAs[String]("tok")
-    val headDoc = top.getSeq[Long](top.fieldIndex("top_docs")).head
+    val headDoc = top.getAs[String]("top_docs").split(",").head.toLong
     val tfs = docs
       .select($"doc_id", explode(split(lower($"text"), " ")).as("t"))
       .filter($"t" === tok)

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSpec
 
@@ -73,5 +74,55 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     val got = rows.find(r => r.getAs[String]("event_type") == t0 &&
       r.getAs[Int]("lag") == 1).get.getAs[Double]("acf")
     assert(math.abs(got - acf) < 1e-5, s"query $got vs recompute $acf")
+  }
+
+  test("mann-whitney: U identities hold and match a naive per-row rank recompute") {
+    import spark.implicits._
+    val r = Stats.mannWhitneyQ(spark, sfDir).collect().head
+    val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+    val (u1, u2, z) = (r.getAs[Double]("u1"), r.getAs[Double]("u2"),
+      r.getAs[Double]("z"))
+    val vals = graft.Tables.t(spark, sfDir, "events")
+      .filter($"event_type".isin("click", "view"))
+      .select($"event_type", $"value").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    assert(n1 == vals.count(_._1 == "click") && n2 == vals.count(_._1 == "view"))
+    // naive tie-averaged ranks over the pooled sample
+    val sorted = vals.map(_._2).sorted
+    val avgRank = sorted.zipWithIndex.groupBy(_._1).view.mapValues(g =>
+      g.map(_._2 + 1).sum.toDouble / g.size).toMap
+    val r1 = vals.collect { case ("click", v) => avgRank(v) }.sum
+    val expU1 = r1 - n1 * (n1 + 1) / 2.0
+    assert(math.abs(u1 - expU1) < 1e-6, s"u1 $u1 vs $expU1")
+    assert(math.abs(u1 + u2 - n1.toDouble * n2) < 1e-6, "U1 + U2 must equal n1*n2")
+    val expZ = (expU1 - n1.toDouble * n2 / 2) /
+      math.sqrt(n1.toDouble * n2 * (n1 + n2 + 1) / 12)
+    assert(math.abs(z - expZ) < 1e-5, s"z $z vs $expZ")
+  }
+
+  test("cusum: peak matches an exact integer scan of the dense hourly series") {
+    import spark.implicits._
+    val rows = TimeSeries.cusumQ(spark, sfDir).collect()
+    val counts = graft.Tables.t(spark, sfDir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1).getTime), r.getLong(2)))
+      .toMap
+    val hours = (0 until 720).map(h =>
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + h * 3600000L)
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val xs = hours.map(h => counts.getOrElse((et, h), 0L))
+      val tot = xs.sum
+      assert(r.getAs[Long]("n_hours") == 720 && r.getAs[Long]("total") == tot)
+      // exact integer deviation scan, earliest hour wins ties
+      val devs = xs.scanLeft(0L)(_ + _).tail.zipWithIndex.map {
+        case (cum, i0) => (720L * cum - (i0 + 1) * tot, i0) }
+      val (bestDev, bestI) = devs.minBy { case (d, i) => (-math.abs(d), i) }
+      val expPeak = new java.sql.Timestamp(hours(bestI))
+      assert(r.getAs[java.sql.Timestamp]("peak_hour") == expPeak,
+        s"$et peak hour")
+      assert(math.abs(r.getAs[Double]("cusum_peak") - bestDev.toDouble / 720) < 1e-6)
+    }
   }
 }
