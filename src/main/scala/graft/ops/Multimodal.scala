@@ -40,6 +40,30 @@ object Multimodal {
       struct($"lang", $"source", $"n_chars").as("meta"))
   }
 
+  /** Folder-of-files ingestion — the OTHER way media arrives: not rows
+    * in a table but a directory tree of image/audio files. Spark's
+    * `binaryFile` source turns it into (path, modificationTime, length,
+    * content) rows; `pathGlobFilter` prunes by extension at LISTING
+    * time (non-matching files are never opened), and the source prunes
+    * the `content` column when a query reads only metadata — so "how
+    * many files / total bytes per extension" touches no payload. At
+    * 100 TB this is the entry point that turns an object-store prefix
+    * into a DataFrame with the same (payload, metadata) shape as
+    * [[mediaView]]; listing parallelizes across executors via
+    * InMemoryFileIndex. Spec-verified (no oracle: DuckDB has no
+    * directory source). */
+  def ingestFolder(s: SparkSession, folder: String, glob: String = "*"): DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(folder)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("file_name"),
+        $"length".as("n_bytes"),
+        $"modificationTime",
+        $"content".as("payload"))
+  }
+
   /** Metadata-filtered payload digest: filter on meta fields, then
     * length/md5 over the binary payload of survivors. */
   def multimodal(s: SparkSession, dir: String): DataFrame = {

@@ -199,6 +199,53 @@ object EventStreams {
       }
   }
 
+  final case class TypeMoments(n: Long, mean: Double, m2: Double)
+  final case class Anomaly(event_type: String, event_id: Long,
+    value: Double, z: Double)
+
+  /** Streaming anomaly flags per event type via WELFORD running moments
+    * — the arrival-time twin of the batch z-score profile: each event is
+    * scored against the statistics of everything that arrived BEFORE it
+    * (never itself), then absorbed. `mapGroupsWithState` keeps exactly
+    * three numbers (n, mean, M2) per event type — O(|types|) state
+    * forever, the canonical bounded-state online aggregation — and
+    * Welford's update is numerically stable where a naive Σx² running
+    * sum cancels catastrophically at large n.
+    *
+    * Scoring uses the SAMPLE stddev (M2/(n−1)) and starts only once
+    * `minN` prior observations exist (early arrivals score 0 — a z
+    * against 3 points is noise). Within a micro-batch, events are
+    * processed in (ts, event_id) order so replays are deterministic;
+    * across batches the trigger order IS the stream order, as for any
+    * online detector. */
+  def streamingAnomalies(events: Dataset[Event], minN: Long = 30,
+      zThresh: Double = 3.0): Dataset[Anomaly] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (et: String, it: Iterator[Event], state: GroupState[TypeMoments]) =>
+          var st = state.getOption.getOrElse(TypeMoments(0L, 0.0, 0.0))
+          val out = List.newBuilder[Anomaly]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (st.n >= minN) {
+              val sd = math.sqrt(st.m2 / (st.n - 1))
+              if (sd > 0) {
+                val z = (e.value - st.mean) / sd
+                if (math.abs(z) > zThresh) out += Anomaly(et, e.event_id, e.value, z)
+              }
+            }
+            // Welford absorb AFTER scoring: mean/M2 never include e itself
+            val n1 = st.n + 1
+            val d = e.value - st.mean
+            val mean1 = st.mean + d / n1
+            st = TypeMoments(n1, mean1, st.m2 + d * (e.value - mean1))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup — the ingestion-side twin of
     * [[graft.ops.Dedup.exact]]: arriving records are content-hashed and
     * only the first occurrence within the watermark horizon survives.

@@ -282,6 +282,33 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("multimodal ingestFolder: glob prunes at listing, payload round-trips, metadata query skips content") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-binfiles").toString
+    val payloads = Map("a.bin" -> Array[Byte](1, 2, 3, 4),
+      "b.bin" -> "hello media".getBytes("UTF-8"))
+    payloads.foreach { case (n, b) => Files.write(Paths.get(dir, n), b) }
+    Files.write(Paths.get(dir, "ignore.txt"), Array[Byte](9, 9))
+    val df = Multimodal.ingestFolder(spark, dir, glob = "*.bin")
+    val rows = df.collect().map(r =>
+      r.getAs[String]("file_name") -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(rows.keySet == payloads.keySet, "glob must prune non-matching files")
+    payloads.foreach { case (n, b) =>
+      assert(rows(n).toSeq == b.toSeq, s"$n payload round-trip") }
+    // metadata-only projection must not read the content column
+    val metaPlan = df.select($"file_name", $"n_bytes")
+      .queryExecution.executedPlan
+    val scans = metaPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc }
+    assert(scans.nonEmpty &&
+      scans.forall(!_.requiredSchema.fieldNames.contains("content")),
+      s"content column must be pruned for metadata queries:\n$metaPlan")
+    val sizes = df.select($"file_name", $"n_bytes").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == payloads.view.mapValues(_.length.toLong).toMap)
+  }
+
   test("multimodal frameSample: one row per stride window, narrow, deterministic") {
     import spark.implicits._
     val media = Multimodal.mediaView(spark, sfDir)

@@ -298,4 +298,44 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         "session_window end must be last event + gap")
     }
   }
+
+  test("streaming anomalies: Welford state flags only genuine outliers, never self-scores") {
+    import spark.implicits._
+    val in = MemoryStream[Event](spark)
+    val q = streamingAnomalies(in.toDS(), minN = 10, zThresh = 3.0)
+      .writeStream.format("memory").queryName("anomsink").outputMode("append").start()
+    try {
+      // 20 calm observations (values 1.0/2.0 alternating) in batch 1
+      val calm = (1 to 20).map(i =>
+        ev(i, f"2024-01-01 10:${i}%02d:00", v = if (i % 2 == 0) 2.0 else 1.0))
+      in.addData(calm: _*); drain(q)
+      assert(spark.table("anomsink").count() == 0,
+        "calm traffic must not alarm")
+      // batch 2: one wild value among normals
+      in.addData(
+        ev(21, "2024-01-01 11:01:00", v = 1.0),
+        ev(22, "2024-01-01 11:02:00", v = 50.0),
+        ev(23, "2024-01-01 11:03:00", v = 2.0))
+      drain(q)
+      val flagged = spark.table("anomsink").as[Anomaly].collect()
+      assert(flagged.map(_.event_id).toSet == Set(22L), "exactly the outlier")
+      val a = flagged.head
+      // prior-only stats: 21 calm points (11 × 1.0, 10 × 2.0) at the
+      // time event 22 is scored — replicate Welford in plain Scala
+      var (n, mean, m2) = (0L, 0.0, 0.0)
+      (calm.map(_.value) :+ 1.0).foreach { v =>
+        n += 1; val d = v - mean; mean += d / n; m2 += d * (v - mean)
+      }
+      val expZ = (50.0 - mean) / math.sqrt(m2 / (n - 1))
+      assert(math.abs(a.z - expZ) < 1e-9, s"z ${a.z} vs $expZ")
+      // event 23 was scored against stats that ABSORBED the outlier —
+      // the detector keeps learning — but 2.0 is still within 3σ of the
+      // post-outlier distribution, so it must not alarm (checked above
+      // by the exact flagged set)
+      // batch 3: state persisted across triggers — another spike alarms
+      in.addData(ev(24, "2024-01-01 11:10:00", v = 60.0)); drain(q)
+      assert(spark.table("anomsink").as[Anomaly].collect()
+        .map(_.event_id).toSet == Set(22L, 24L))
+    } finally q.stop()
+  }
 }
