@@ -55,9 +55,51 @@ object Patterns {
       |  CAST((length(seq) - length(regexp_replace(seq, 'vp', '', 'g'))) // 2 AS INT) AS view_then_purchase
       |FROM h WHERE user_id < 200 ORDER BY user_id""".stripMargin
 
+  /** q_seq_trigrams entry: the corpus-wide top-20 event-type TRIGRAMS
+    * (ordered within each user's history) — the third-order extension
+    * of [[graft.ops.Behavior]]'s first-order transition matrix, and the
+    * n-gram statistic behind next-event prediction baselines and
+    * journey-template mining ("view→view→purchase dominates
+    * signup→view→purchase").
+    *
+    * Scale shape: two `lead` windows per user ordered by (ts,
+    * event_id) — shards by user, no history strings materialized —
+    * then one map-side-combinable groupBy over ≤|types|³ keys. The
+    * top-20 cut orders (count desc, trigram) so ties are
+    * deterministic. */
+  def trigramsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("t2", lead($"event_type", 1).over(w))
+      .withColumn("t3", lead($"event_type", 2).over(w))
+      .filter($"t3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"t2", $"t3").as("trigram"))
+      .groupBy($"trigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"trigram")
+      .limit(20)
+  }
+
+  val trigramsSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS t1,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS t2,
+      |    LEAD(event_type, 2) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS t3
+      |  FROM events)
+      |SELECT t1 || '>' || t2 || '>' || t3 AS trigram, COUNT(*) AS n
+      |FROM s WHERE t3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_seq_pattern" -> sequenceQ)
+    "q_seq_pattern" -> sequenceQ,
+    "q_seq_trigrams" -> trigramsQ)
 
   def oracle: Map[String, String] = Map(
-    "q_seq_pattern" -> sequenceSql)
+    "q_seq_pattern" -> sequenceSql,
+    "q_seq_trigrams" -> trigramsSql)
 }

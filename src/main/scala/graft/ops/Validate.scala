@@ -70,9 +70,74 @@ object Validate {
       |  ROUND(CAST(n_violations AS DOUBLE) / n, 6) AS viol_frac
       |FROM u ORDER BY rule_name""".stripMargin
 
+  /** Functional-dependency audit for one candidate FD A → B: does each
+    * A value map to exactly one B value? Returns (n_groups,
+    * n_violating_groups, n_violating_rows): a violating group is an A
+    * with >1 distinct B; its rows beyond the majority B are the
+    * violating rows a repair pass would rewrite.
+    *
+    * Shape: one groupBy(A, B) collapse (combinable, value-bounded) →
+    * one groupBy(A) over the collapsed frame. The corpus is touched
+    * once; everything after runs on ≤|distinct (A,B)| rows. */
+  def fdAudit(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val ab = df.groupBy(a.as("graft_a"), b.as("graft_b"))
+      .agg(count(lit(1)).as("graft_n"))
+    ab.groupBy(col("graft_a"))
+      .agg(countDistinct(col("graft_b")).as("n_b"),
+        sum(col("graft_n")).as("rows_a"),
+        max(col("graft_n")).as("rows_majority"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n_b") > 1, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("n_b") > 1, col("rows_a") - col("rows_majority"))
+          .otherwise(0L)).cast("long").as("n_violating_rows"))
+  }
+
+  /** q_validate_fd entry: audit three candidate FDs of the star schema
+    * — two that must HOLD (`n_nationkey → n_regionkey` on nation,
+    * `c_custkey → c_mktsegment` on customer: key-determined) and one
+    * expected to FAIL (`l_partkey → l_suppkey` on lineitem: a part
+    * ships from several suppliers) — the schema-inference /
+    * denormalization-safety check a pipeline runs before assuming a
+    * column is join-stable. One row per audited FD. */
+  def fdQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def one(name: String, df: DataFrame, a: Column, b: Column): DataFrame =
+      fdAudit(df, a, b).select(lit(name).as("fd"), $"n_groups",
+        $"n_violating_groups", $"n_violating_rows")
+    one("nation_to_region", t(s, dir, "nation"), $"n_nationkey", $"n_regionkey")
+      .unionByName(one("cust_to_segment", t(s, dir, "customer"),
+        $"c_custkey", $"c_mktsegment"))
+      .unionByName(one("part_to_supp", t(s, dir, "lineitem"),
+        $"l_partkey", $"l_suppkey"))
+      .orderBy($"fd")
+  }
+
+  val fdSql: String = {
+    def one(name: String, table: String, a: String, b: String): String =
+      s"""SELECT '$name' AS fd, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  CAST(SUM(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating_groups,
+         |  CAST(SUM(CASE WHEN n_b > 1 THEN rows_a - rows_majority ELSE 0 END)
+         |    AS BIGINT) AS n_violating_rows
+         |FROM (
+         |  SELECT $a, COUNT(DISTINCT $b) AS n_b, SUM(n) AS rows_a,
+         |    MAX(n) AS rows_majority
+         |  FROM (SELECT $a, $b, COUNT(*) AS n FROM $table GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    s"""SELECT * FROM (
+       |${one("nation_to_region", "nation", "n_nationkey", "n_regionkey")}
+       |UNION ALL
+       |${one("cust_to_segment", "customer", "c_custkey", "c_mktsegment")}
+       |UNION ALL
+       |${one("part_to_supp", "lineitem", "l_partkey", "l_suppkey")})
+       |ORDER BY fd""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_validate_rules" -> rulesQ)
+    "q_validate_rules" -> rulesQ,
+    "q_validate_fd" -> fdQ)
 
   def oracle: Map[String, String] = Map(
-    "q_validate_rules" -> rulesSql)
+    "q_validate_rules" -> rulesSql,
+    "q_validate_fd" -> fdSql)
 }

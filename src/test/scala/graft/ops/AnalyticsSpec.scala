@@ -183,6 +183,48 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(tot - exp) < 1e-5, s"total $tot vs $exp")
   }
 
+  test("fd audit: key-determined FDs hold, part-to-supplier fails, violation rows match a naive recount") {
+    import spark.implicits._
+    val got = Validate.fdQ(spark, sfDir).collect()
+      .map(r => r.getAs[String]("fd") -> (r.getAs[Long]("n_groups"),
+        r.getAs[Long]("n_violating_groups"), r.getAs[Long]("n_violating_rows"))).toMap
+    assert(got("nation_to_region")._2 == 0, "nationkey determines regionkey")
+    assert(got("cust_to_segment")._2 == 0, "custkey is a key")
+    val li = graft.Tables.t(spark, sfDir, "lineitem")
+      .select($"l_partkey", $"l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = li.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expGroups = byPart.size.toLong
+    val violating = byPart.filter(_._2.distinct.size > 1)
+    val expViolRows = violating.values.map { supps =>
+      supps.size - supps.groupBy(identity).values.map(_.size).max
+    }.sum.toLong
+    assert(got("part_to_supp") ==
+      ((expGroups, violating.size.toLong, expViolRows)))
+  }
+
+  test("seq trigrams: counts match a driver-side per-user sequence recount") {
+    import spark.implicits._
+    val got = Patterns.trigramsQ(spark, sfDir).collect()
+      .map(r => r.getAs[String]("trigram") -> r.getAs[Long]("n"))
+    assert(got.nonEmpty && got.length <= 20)
+    val events = graft.Tables.t(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val counts = events.groupBy(_._1).values.flatMap { evs =>
+      val seq = evs.sortBy(e => (e._2, e._3)).map(_._4).toSeq
+      seq.sliding(3).filter(_.size == 3).map(_.mkString(">"))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (tri, n) =>
+      assert(counts(tri) == n, s"$tri: $n vs ${counts(tri)}") }
+    // the emitted page is the true top of the distribution
+    val floor = got.map(_._2).min
+    assert(counts.values.count(_ > floor) <= got.count(_._2 > floor),
+      "a higher-count trigram was left out of the top-20 page")
+    val ns = got.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
   test("label sim: 45 ordered pairs, cosine within [-1,1], self-consistent with collected centroids") {
     import spark.implicits._
     val rows = Centroids.labelSimQ(spark, sfDir).collect()
