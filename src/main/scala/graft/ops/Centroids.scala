@@ -232,13 +232,84 @@ object Centroids {
       |FROM c a JOIN c b ON a.label < b.label
       |ORDER BY label_a, label_b""".stripMargin
 
+  /** q_embed_silhouette entry: per-label centroid-based silhouette —
+    * for each vector, a = distance to its OWN label centroid, b =
+    * distance to the NEAREST OTHER centroid, s = (b−a)/max(a,b);
+    * averaged per label. The clustering-quality score read next to
+    * [[labelSimQ]]'s confusability matrix: s → 1 means tight separated
+    * labels, s ≤ 0 means the label overlaps a neighbor.
+    *
+    * Centroid-based (medoid-free) ON PURPOSE: the textbook silhouette
+    * is O(n²) pairwise distances — impossible at corpus scale — while
+    * the centroid variant is ONE map-only pass: the ≤|labels| exact
+    * fixed-point centroids ride a broadcast 1-row frame, each row
+    * computes its |labels| distances inside higher-order expressions
+    * (no explode — the row count never multiplies), and the per-label
+    * average is a combinable groupBy. Distances are shared
+    * left-to-right IEEE folds; per-row s rounds to 9 dp and sums as
+    * DECIMAL(28,9) (order-independent), avg rounds to 6. */
+  def silhouetteQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = labelSums(s, dir)
+      .select($"label".as("clabel"),
+        expr("transform(agg._2, m -> cast(m as double) / 1000000.0 / agg._1)").as("cv"))
+    val centsRow = cents.agg(
+      collect_list(struct($"clabel", $"cv")).as("cs"))
+    t(s, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .crossJoin(broadcast(centsRow))
+      .withColumn("dists", expr(
+        """transform(cs, c -> struct(c.clabel AS clabel,
+          |  sqrt(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),
+          |    0d, (acc, e) -> acc + e)) AS d))""".stripMargin))
+      .withColumn("a", expr("filter(dists, d -> d.clabel = label)[0].d"))
+      .withColumn("b", expr(
+        "array_min(transform(filter(dists, d -> d.clabel != label), d -> d.d))"))
+      .select($"label",
+        round(($"b" - $"a") / greatest($"a", $"b"), 9)
+          .cast("decimal(28,9)").as("s"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"s").cast("double") / count(lit(1)), 6).as("avg_silhouette"))
+      .orderBy($"label")
+  }
+
+  /** DuckDB twin: same micro-unit centroids; the 10-way expansion the
+    * Spark side avoids is fine at oracle scale. */
+  val silhouetteSql: String =
+    s"""WITH m AS (
+      |  SELECT label, i,
+      |    SUM(CAST(ROUND(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS s,
+      |    COUNT(*) AS n
+      |  FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(i) GROUP BY label, i),
+      |c AS (
+      |  SELECT label AS clabel, list(CAST(s AS DOUBLE) / 1000000.0 / n ORDER BY i) AS cv
+      |  FROM m GROUP BY label),
+      |d AS (
+      |  SELECT e.vec_id, e.label, c.clabel,
+      |    sqrt(list_reduce(list_transform(range(1, ${Dim + 1}),
+      |      i -> (e.embedding[i]::DOUBLE - c.cv[i]) * (e.embedding[i]::DOUBLE - c.cv[i])),
+      |      (x, y) -> x + y)) AS dist
+      |  FROM embeddings e CROSS JOIN c),
+      |ab AS (
+      |  SELECT vec_id, label,
+      |    MIN(CASE WHEN clabel = label THEN dist END) AS a,
+      |    MIN(CASE WHEN clabel <> label THEN dist END) AS b
+      |  FROM d GROUP BY 1, 2)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND(CAST(SUM(CAST(ROUND((b - a) / GREATEST(a, b), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS avg_silhouette
+      |FROM ab GROUP BY label ORDER BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_centroid" -> centroid,
     "q_embed_outlier" -> outliers,
+    "q_embed_silhouette" -> silhouetteQ,
     "q_embed_label_sim" -> labelSimQ)
 
   def oracle: Map[String, String] = Map(
     "q_embed_centroid" -> centroidSql,
     "q_embed_outlier" -> outliersSql,
+    "q_embed_silhouette" -> silhouetteSql,
     "q_embed_label_sim" -> labelSimSql)
 }

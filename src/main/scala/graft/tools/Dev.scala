@@ -87,6 +87,7 @@ object Dev {
           "q_profile_theil" -> "1-row totals frame",
           "q_drift_wasserstein" -> "1-row (n1, n2) totals frame",
           "q_embed_label_sim" -> "bounded |labels|^2 centroid-pair grid",
+          "q_embed_silhouette" -> "1-row all-centroids frame (map-only distance pass)",
           "q_ts_cusum" -> "bounded per-series grid dim (rows = series count, not events)",
           "q_similarity_topk" -> "bounded query-vector set",
           "q_similarity_ann" -> "bounded query-vector set",

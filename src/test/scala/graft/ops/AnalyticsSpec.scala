@@ -225,6 +225,41 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("silhouette: bounded in [-1,1], matches a driver recompute, plan is explode-free") {
+    import spark.implicits._
+    val q = Centroids.silhouetteQ(spark, sfDir)
+    assert(!q.queryExecution.executedPlan.toString.contains("Generate"),
+      "silhouette must not explode the per-vector distance rows")
+    val got = q.collect().map(r => r.getAs[Int]("label") ->
+      (r.getAs[Long]("n"), r.getAs[Double]("avg_silhouette"))).toMap
+    got.values.foreach { case (_, s) => assert(s >= -1.0 && s <= 1.0) }
+    // driver recompute: micro-quantized centroids, per-vector a/b/s
+    val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"label", $"embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(x =>
+        math.round(x.toDouble * 1000000).toDouble / 1000000).toArray))
+    val cents = vecs.groupBy(_._1).view.mapValues { vs =>
+      val dim = vs.head._2.length
+      Array.tabulate(dim)(i => vs.map(_._2(i)).sum / vs.size)
+    }.toMap
+    def dist(x: Array[Double], c: Array[Double]) =
+      math.sqrt(x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val expected = vecs.groupBy(_._1).map { case (lab, vs) =>
+      val ss = vs.map { case (_, v) =>
+        val a = dist(v, cents(lab))
+        val b = cents.collect { case (l, c) if l != lab => dist(v, c) }.min
+        BigDecimal((b - a) / math.max(a, b))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      lab -> (vs.size.toLong, (ss.sum.toDouble / vs.size))
+    }
+    expected.foreach { case (lab, (n, s)) =>
+      val (gn, gs) = got(lab)
+      assert(gn == n, s"label $lab n")
+      assert(math.abs(gs - s) < 1e-4, s"label $lab: $gs vs $s")
+    }
+  }
+
   test("label sim: 45 ordered pairs, cosine within [-1,1], self-consistent with collected centroids") {
     import spark.implicits._
     val rows = Centroids.labelSimQ(spark, sfDir).collect()
