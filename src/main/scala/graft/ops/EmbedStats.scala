@@ -164,11 +164,92 @@ object EmbedStats {
       |    / COUNT(*), 6) AS mean_norm
       |FROM n GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Output dimensionality of the JL projection — 64 → 16 cuts every
+    * downstream distance computation 4× at a bounded (~1/√16) pairwise
+    * distortion; the constant lives here so query and oracle share it. */
+  private val JlK = 16
+
+  /** q_embed_jl entry: Johnson–Lindenstrauss random projection with
+    * distortion accounting — project every vector 64 → 16 dims through
+    * a DETERMINISTIC Rademacher (±1/√k) matrix, then report how well
+    * pairwise distances survive (the JL lemma's promise) over the
+    * (vec_id, vec_id+1) pair chain: n_pairs, mean/min/max of the
+    * projected/original distance ratio. The scale path behind
+    * cheaper ANN and dedup: distances in 16 dims cost a quarter of 64.
+    *
+    * The projection matrix is ARITHMETIC, not stored: entry sign(i,j) =
+    * bit 16 of (i·k+j)·2654435761 mod 2³² — Knuth multiplicative
+    * mixing, exact in 64-bit integer ops on both engines, so Spark and
+    * DuckDB materialize the identical matrix without shipping one.
+    * Scale shape: projection is a per-row map (nested higher-order
+    * folds, no explode); the pair chain is one equi-join on vec_id+1;
+    * ratio stats are one combinable aggregate. Ratios round to 9 dp
+    * (mean sums as DECIMAL(28,9)); outputs round to 6. */
+  def jlQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = JlK
+    // ±1 entry for flat index idx = i*k + j, exact integer mixing
+    def signExpr(idx: String): String =
+      s"IF((((($idx) * 2654435761L) % 4294967296L) div 65536) % 2 = 0, 1.0d, -1.0d)"
+    val projected = t(s, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("p", expr(
+        s"""transform(sequence(0, ${k - 1}), j ->
+           |  aggregate(sequence(0, 63), 0d, (acc, i) ->
+           |    acc + element_at(v, i + 1) * ${signExpr(s"i * $k + j")})
+           |  / sqrt(cast($k as double)))""".stripMargin))
+      .select($"vec_id", $"v", $"p")
+    val dist = (a: String, b: String) =>
+      s"sqrt(aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0d, (acc, e) -> acc + e))"
+    projected.as("l")
+      .join(projected.as("r"), col("l.vec_id") + 1 === col("r.vec_id"))
+      .select(
+        expr(dist("l.v", "r.v")).as("d_orig"),
+        expr(dist("l.p", "r.p")).as("d_proj"))
+      .filter($"d_orig" > 0)
+      .select(round($"d_proj" / $"d_orig", 9).cast("decimal(28,9)").as("ratio"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum($"ratio").cast("double") / count(lit(1)), 6).as("mean_ratio"),
+        round(min($"ratio").cast("double"), 6).as("min_ratio"),
+        round(max($"ratio").cast("double"), 6).as("max_ratio"))
+  }
+
+  val jlSql: String = {
+    val k = JlK
+    def sign(idx: String): String =
+      s"CASE WHEN (((($idx) * 2654435761) % 4294967296) // 65536) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    s"""WITH p AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, 65), i -> embedding[i]::DOUBLE) AS v,
+       |    list_transform(range(0, $k), j ->
+       |      list_reduce(list_transform(range(0, 64), i ->
+       |        embedding[i + 1]::DOUBLE * (${sign(s"i * $k + j")})),
+       |        (x, y) -> x + y) / sqrt($k)) AS pv
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT
+       |    sqrt(list_reduce(list_transform(range(1, 65),
+       |      i -> (l.v[i] - r.v[i]) * (l.v[i] - r.v[i])), (x, y) -> x + y)) AS d_orig,
+       |    sqrt(list_reduce(list_transform(range(1, ${k + 1}),
+       |      i -> (l.pv[i] - r.pv[i]) * (l.pv[i] - r.pv[i])), (x, y) -> x + y)) AS d_proj
+       |  FROM p l JOIN p r ON l.vec_id + 1 = r.vec_id),
+       |ratios AS (
+       |  SELECT CAST(ROUND(d_proj / d_orig, 9) AS DECIMAL(28,9)) AS ratio
+       |  FROM d WHERE d_orig > 0)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  ROUND(CAST(SUM(ratio) AS DOUBLE) / COUNT(*), 6) AS mean_ratio,
+       |  ROUND(CAST(MIN(ratio) AS DOUBLE), 6) AS min_ratio,
+       |  ROUND(CAST(MAX(ratio) AS DOUBLE), 6) AS max_ratio
+       |FROM ratios""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_dims" -> dimsQ,
-    "q_embed_norms" -> normsQ)
+    "q_embed_norms" -> normsQ,
+    "q_embed_jl" -> jlQ)
 
   def oracle: Map[String, String] = Map(
     "q_embed_dims" -> dimsSql,
-    "q_embed_norms" -> normsSql)
+    "q_embed_norms" -> normsSql,
+    "q_embed_jl" -> jlSql)
 }

@@ -260,6 +260,37 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("jl projection: distortion stats match a driver recompute of the same arithmetic matrix") {
+    import spark.implicits._
+    val r = EmbedStats.jlQ(spark, sfDir).collect().head
+    val k = 16
+    def sign(idx: Long): Double =
+      if ((((idx * 2654435761L) % 4294967296L) / 65536) % 2 == 0) 1.0 else -1.0
+    val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(x => x.getLong(0) -> x.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def proj(v: Array[Double]): Array[Double] =
+      Array.tabulate(k)(j =>
+        (0 until 64).map(i => v(i) * sign(i.toLong * k + j)).sum / math.sqrt(k))
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val byId = vecs.toMap
+    val ratios = vecs.collect { case (id, v) if byId.contains(id + 1) =>
+      val w = byId(id + 1)
+      val dOrig = dist(v, w)
+      (dOrig, dist(proj(v), proj(w)) / dOrig)
+    }.collect { case (d, ratio) if d > 0 =>
+      BigDecimal(ratio).setScale(9, BigDecimal.RoundingMode.HALF_UP) }
+    assert(r.getAs[Long]("n_pairs") == ratios.length)
+    assert(math.abs(r.getAs[Double]("mean_ratio") -
+      ratios.sum.toDouble / ratios.length) < 1e-5)
+    assert(math.abs(r.getAs[Double]("min_ratio") - ratios.min.toDouble) < 1e-5)
+    assert(math.abs(r.getAs[Double]("max_ratio") - ratios.max.toDouble) < 1e-5)
+    // JL promise at k=16: the BULK of pairs inside a loose band; mean near 1
+    assert(r.getAs[Double]("mean_ratio") > 0.7 && r.getAs[Double]("mean_ratio") < 1.3)
+  }
+
   test("label sim: 45 ordered pairs, cosine within [-1,1], self-consistent with collected centroids") {
     import spark.implicits._
     val rows = Centroids.labelSimQ(spark, sfDir).collect()
