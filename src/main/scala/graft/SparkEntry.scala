@@ -44,6 +44,7 @@ object SparkEntry {
     graft.ops.IntervalJoin.queries ++
     graft.ops.Classify.queries ++
     graft.ops.Colloc.queries ++
+    graft.ops.Curate.queries ++
     graft.ops.Dedup.queries ++
     graft.ops.Drift.queries ++
     graft.ops.Fuzzy.queries ++
@@ -83,6 +84,7 @@ object SparkEntry {
     graft.ops.IntervalJoin.oracle ++
     graft.ops.Classify.oracle ++
     graft.ops.Colloc.oracle ++
+    graft.ops.Curate.oracle ++
     graft.ops.Dedup.oracle ++
     graft.ops.Drift.oracle ++
     graft.ops.Fuzzy.oracle ++

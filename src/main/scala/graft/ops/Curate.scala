@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** End-to-end curation composition — the operators of the Tier P
+  * families wired into the pipeline a user actually runs: quality gate
+  * → near-dedup → language selection, with per-stage funnel accounting
+  * (what each stage removed, per source), plus the tokenizer-coverage
+  * audit run on the survivors. These exist to prove the library's
+  * pieces COMPOSE — the funnel is the report a curation run publishes,
+  * not a new primitive.
+  */
+object Curate {
+
+  /** q_pipeline_curate entry: per-source funnel counts through three
+    * curation stages — quality (n_chars ≥ 100 AND ≥ 20 tokens),
+    * near-dedup (drop each verified near-dup pair's larger id — the
+    * [[Dedup.PairArtifact]] loser set), language selection (en/de/fr).
+    * Stages are CUMULATIVE (each applies on top of the previous), so
+    * the columns read left-to-right as the funnel narrows.
+    *
+    * Scale shape: ONE corpus scan; every stage is a boolean flag —
+    * quality is a per-row predicate, dedup membership is a broadcast
+    * left join against the tiny loser set, language is a literal
+    * domain — folded into one map-side-combinable groupBy(source).
+    * Adding a stage adds a conditional sum, not a pass (the
+    * [[Validate.report]] pattern applied to a pipeline). */
+  def curateQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val losers = Dedup.nearDupLosers(s, dir).withColumn("is_dup", lit(true))
+    t(s, dir, "documents")
+      .withColumn("pass_q",
+        $"n_chars" >= 100 && size(split(lower($"text"), " ")) >= 20)
+      .join(broadcast(losers), Seq("doc_id"), "left")
+      .withColumn("pass_dedup", $"pass_q" && $"is_dup".isNull)
+      .withColumn("pass_lang", $"pass_dedup" && $"lang".isin("en", "de", "fr"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"pass_q".cast("long")).as("n_quality"),
+        sum($"pass_dedup".cast("long")).as("n_dedup"),
+        sum($"pass_lang".cast("long")).as("n_final"))
+      .orderBy($"source")
+  }
+
+  val curateSql: String =
+    s"""${Dedup.shingledSql},
+      |losers AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+      |  WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / LEN(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      |f AS (
+      |  SELECT d.source,
+      |    (d.n_chars >= 100 AND len(string_split(lower(d.text), ' ')) >= 20)
+      |      AS pass_q,
+      |    (d.n_chars >= 100 AND len(string_split(lower(d.text), ' ')) >= 20
+      |      AND l.doc_id IS NULL) AS pass_dedup,
+      |    (d.n_chars >= 100 AND len(string_split(lower(d.text), ' ')) >= 20
+      |      AND l.doc_id IS NULL AND d.lang IN ('en', 'de', 'fr')) AS pass_lang
+      |  FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      |  CAST(SUM(CASE WHEN pass_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+      |  CAST(SUM(CASE WHEN pass_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
+  /** q_tokenize_coverage entry: tokenizer-coverage audit — apply a
+    * count-derived vocabulary (top-25 tokens) to every document and
+    * account the out-of-vocabulary mass per doc: n_tokens, n_oov,
+    * oov_rate. The pre-training check that a tokenizer (or vocab
+    * budget) actually covers the corpus it will train on; the per-doc
+    * grain surfaces WHICH documents are OOV-heavy (usually the
+    * non-target-language or corrupted ones).
+    *
+    * Scale shape: the vocabulary is vocabulary-bounded (top-k from one
+    * combinable count) and BROADCASTS into the token stream; the
+    * per-doc rollup is one map-side-combinable groupBy(doc_id). The
+    * text column never shuffles — only (doc_id, 1-bit membership)
+    * rows. */
+  def tokenizeCoverageQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("w"))
+      .filter(length($"w") > 0)
+    val vocab = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"w").limit(25)
+      .select($"w", lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"doc_id", $"n_tokens", $"n_oov",
+        round($"n_oov".cast("double") / $"n_tokens", 6).as("oov_rate"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenizeCoverageSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents) WHERE len(w) > 0),
+      |vocab AS (
+      |  SELECT w FROM (
+      |    SELECT w, COUNT(*) AS c FROM tok GROUP BY 1
+      |    ORDER BY c DESC, w LIMIT 25)),
+      |j AS (
+      |  SELECT t.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM tok t LEFT JOIN vocab v ON t.w = v.w)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+      |  ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_curate" -> curateQ,
+    "q_tokenize_coverage" -> tokenizeCoverageQ)
+
+  def oracle: Map[String, String] = Map(
+    "q_pipeline_curate" -> curateSql,
+    "q_tokenize_coverage" -> tokenizeCoverageSql)
+}

@@ -43,7 +43,7 @@ object Dedup {
   private def shingled(s: SparkSession, dir: String): DataFrame =
     shingleSets(t(s, dir, "documents"))
 
-  private val shingledSql =
+  private[ops] val shingledSql =
     """WITH dtok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
       |shing AS (SELECT doc_id,
       |  list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
@@ -338,12 +338,17 @@ object Dedup {
     * this corpus's groups are cliques) that keeps exactly the minimum
     * per group. Distributed shape: the pair list is tiny relative to
     * the corpus, so the anti-join broadcasts it. */
-  def dropNearDuplicates(s: SparkSession, dir: String): DataFrame = {
+  /** The ids removed by near-dedup (larger id of each verified pair) —
+    * rides [[PairArtifact]]; shared by [[dropNearDuplicates]] and the
+    * [[Curate]] funnel. */
+  private[ops] def nearDupLosers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val losers = PairArtifact.pairs(s, dir).select($"doc_b".as("doc_id")).distinct()
-    t(s, dir, "documents")
-      .join(losers, Seq("doc_id"), "left_anti")
+    PairArtifact.pairs(s, dir).select($"doc_b".as("doc_id")).distinct()
   }
+
+  def dropNearDuplicates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .join(nearDupLosers(s, dir), Seq("doc_id"), "left_anti")
 
   /** Driver-checkable projection of [[dropNearDuplicates]]: the ids
     * (plus lang, a cheap non-key column) that survive near-dedup —

@@ -291,6 +291,48 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Double]("mean_ratio") > 0.7 && r.getAs[Double]("mean_ratio") < 1.3)
   }
 
+  test("curate funnel: covers the corpus, narrows monotonically, dedup stage equals dropNearDuplicates") {
+    import spark.implicits._
+    val rows = Curate.curateQ(spark, sfDir).collect()
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      val (n, q, d, f) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_quality"),
+        r.getAs[Long]("n_dedup"), r.getAs[Long]("n_final"))
+      assert(n >= q && q >= d && d >= f, s"${r.getAs[String]("source")} funnel must narrow")
+    }
+    // the dedup stage must agree with the standalone operator composed
+    // with the same quality gate
+    val expDedup = Dedup.dropNearDuplicates(spark, sfDir)
+      .filter($"n_chars" >= 100 && size(split(lower($"text"), " ")) >= 20)
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dedup") ==
+        expDedup.getOrElse(r.getAs[String]("source"), 0L),
+        s"${r.getAs[String]("source")} dedup stage")
+    }
+  }
+
+  test("tokenize coverage: per-doc token counts conserve and oov equals a recount against the top-25 vocab") {
+    import spark.implicits._
+    val got = Curate.tokenizeCoverageQ(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"))).toMap
+    val texts = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).filter(_.nonEmpty).toSeq }
+    val counts = texts.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(25)
+      .map(_._1).toSet
+    texts.foreach { case (id, toks) =>
+      val (n, oov) = got(id)
+      assert(n == toks.size, s"doc $id token count")
+      assert(oov == toks.count(!vocab.contains(_)), s"doc $id oov")
+    }
+    assert(got.keySet == texts.map(_._1).toSet)
+  }
+
   test("label sim: 45 ordered pairs, cosine within [-1,1], self-consistent with collected centroids") {
     import spark.implicits._
     val rows = Centroids.labelSimQ(spark, sfDir).collect()
