@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -258,15 +258,86 @@ object Stats {
       |    / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12), 6) AS z
       |FROM u""".stripMargin
 
+  /** Number of bootstrap replicates; shared by query and oracle. */
+  private val BootB = 32
+
+  /** q_stat_bootstrap entry: a ONE-PASS deterministic half-sample
+    * bootstrap CI for the mean order value — the error-bar machinery
+    * for any corpus statistic when the analytic variance is untrusted
+    * (skewed money / power-law token counts). Each of the B=32
+    * replicates is the mean over a pseudo-random HALF of the rows
+    * (double-or-nothing weights w ∈ {0,2}: E[w]=1, Var[w]=1 — the
+    * generalized-bootstrap moment conditions), and the CI is read from
+    * the order statistics of the replicate means (2nd smallest / 2nd
+    * largest of 32 ≈ a 94% interval; the convention is pinned, not
+    * estimated).
+    *
+    * Membership is ARITHMETIC, not random-state: row i joins replicate
+    * b iff bit 16 of (i·B+b)·2654435761 mod 2³² is set — the same
+    * Knuth multiplicative mixing as the JL matrix, exact in 64-bit
+    * integer ops on both engines, so the "resamples" are identical
+    * everywhere with zero shuffled state. Scale shape: all B replicate
+    * (sum, count) pairs accumulate in ONE combinable aggregate over
+    * ONE scan — adding replicates adds conditional sums, not passes;
+    * money sums are exact DECIMAL(18,2), so each replicate mean is one
+    * IEEE division. The order-statistics step runs on the 1-row, 2B-
+    * column frame via array_sort. */
+  def bootstrapQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = BootB
+    def member(b: Int): Column = expr(
+      s"((((o_orderkey * $B + $b) * 2654435761L) % 4294967296L) div 65536) % 2 = 1")
+    val x = $"o_totalprice".cast("decimal(18,2)")
+    val aggs =
+      Seq(count(lit(1)).as("n"), sum(x).as("sx")) ++
+      (0 until B).map(b => sum(when(member(b), x)).as(s"s_$b")) ++
+      (0 until B).map(b => sum(when(member(b), 1L).otherwise(0L)).as(s"c_$b"))
+    val one = t(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+    val means = array((0 until B).map(b =>
+      col(s"s_$b").cast("double") / col(s"c_$b")): _*)
+    one
+      .select($"n", ($"sx".cast("double") / $"n").as("mean_value"),
+        array_sort(means).as("ms"))
+      .select($"n".cast("long").as("n"),
+        round($"mean_value", 6).as("mean_value"),
+        lit(B.toLong).as("n_replicates"),
+        round(element_at($"ms", 2), 6).as("boot_lo"),
+        round(element_at($"ms", B - 1), 6).as("boot_hi"))
+  }
+
+  val bootstrapSql: String = {
+    val B = BootB
+    def member(b: Int): String =
+      s"((((o_orderkey * $B + $b) * 2654435761) % 4294967296) // 65536) % 2 = 1"
+    val sums = (0 until B).map(b =>
+      s"SUM(CASE WHEN ${member(b)} THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s_$b")
+    val cnts = (0 until B).map(b =>
+      s"SUM(CASE WHEN ${member(b)} THEN 1 ELSE 0 END) AS c_$b")
+    val meanList = (0 until B).map(b => s"CAST(s_$b AS DOUBLE) / c_$b")
+      .mkString("list_sort([", ", ", "])")
+    s"""WITH a AS (
+       |  SELECT COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+       |    ${(sums ++ cnts).mkString(",\n    ")}
+       |  FROM orders),
+       |m AS (SELECT n, CAST(sx AS DOUBLE) / n AS mean_value,
+       |  $meanList AS ms FROM a)
+       |SELECT CAST(n AS BIGINT) AS n, ROUND(mean_value, 6) AS mean_value,
+       |  CAST($B AS BIGINT) AS n_replicates,
+       |  ROUND(ms[2], 6) AS boot_lo, ROUND(ms[${B - 1}], 6) AS boot_hi
+       |FROM m""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stat_chi2" -> chi2Q,
     "q_profile_benford" -> benfordQ,
     "q_stat_mannwhitney" -> mannWhitneyQ,
+    "q_stat_bootstrap" -> bootstrapQ,
     "q_ts_acf" -> acfQ)
 
   def oracle: Map[String, String] = Map(
     "q_stat_chi2" -> chi2Sql,
     "q_profile_benford" -> benfordSql,
     "q_stat_mannwhitney" -> mannWhitneySql,
+    "q_stat_bootstrap" -> bootstrapSql,
     "q_ts_acf" -> acfSql)
 }

@@ -100,6 +100,32 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(z - expZ) < 1e-5, s"z $z vs $expZ")
   }
 
+  test("bootstrap: replicate means match a driver recompute and bracket the mean plausibly") {
+    import spark.implicits._
+    val r = Stats.bootstrapQ(spark, sfDir).collect().head
+    val (n, mean, lo, hi) = (r.getAs[Long]("n"), r.getAs[Double]("mean_value"),
+      r.getAs[Double]("boot_lo"), r.getAs[Double]("boot_hi"))
+    assert(lo < mean && mean < hi, "CI must bracket the mean")
+    val rows = graft.Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_totalprice").collect()
+      .map(x => (x.getLong(0), BigDecimal(x.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    assert(n == rows.length)
+    def member(i: Long, b: Int): Boolean =
+      ((((i * 32 + b) * 2654435761L) % 4294967296L) / 65536) % 2 == 1
+    val reps = (0 until 32).map { b =>
+      val sel = rows.filter { case (i, _) => member(i, b) }
+      sel.map(_._2).sum.toDouble / sel.size
+    }.sorted
+    assert(math.abs(lo - reps(1)) < 1e-5, s"lo $lo vs ${reps(1)}")
+    assert(math.abs(hi - reps(30)) < 1e-5, s"hi $hi vs ${reps(30)}")
+    // half-sample bootstrap width ~ 2 z sd/sqrt(n/2); allow a wide band
+    val xs = rows.map(_._2.toDouble)
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+    val se = sd / math.sqrt(n / 2.0)
+    assert(hi - lo > se && hi - lo < 8 * se, s"CI width ${hi - lo} vs se $se")
+  }
+
   test("cusum: peak matches an exact integer scan of the dense hourly series") {
     import spark.implicits._
     val rows = TimeSeries.cusumQ(spark, sfDir).collect()
