@@ -94,9 +94,44 @@ object Pii {
       |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS redacted
       |FROM c ORDER BY doc_id LIMIT 300""".stripMargin
 
+  /** q_privacy_kanon entry: k-anonymity / l-diversity audit — group the
+    * table by its QUASI-IDENTIFIER projection (nation × market segment:
+    * the columns an adversary can link externally) and account each
+    * equivalence class: size (k-anonymity = min size), distinct
+    * sensitive values (l-diversity; sensitive attribute = account-
+    * balance k$-bucket), and an at-risk flag (size < 15). The
+    * release-readiness audit run before publishing any per-record
+    * extract — [[redactQ]] removes direct identifiers; this measures
+    * re-identification risk from the columns that remain.
+    *
+    * Scale shape: ONE combinable groupBy over the QI projection
+    * (classes ≤ the QI domain product, data-independent); both k and l
+    * come from the same aggregate (count + count distinct). At 100 TB
+    * this is a single scan-speed pass. */
+  def kanonQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .groupBy($"c_nationkey".as("nationkey"), $"c_mktsegment".as("segment"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(floor($"c_acctbal" / 1000).cast("long")).as("l_diversity"))
+      .select($"nationkey", $"segment", $"class_size", $"l_diversity",
+        ($"class_size" < 15).as("at_risk"))
+      .orderBy($"nationkey", $"segment")
+  }
+
+  val kanonSql: String =
+    """SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+      |  CAST(COUNT(*) AS BIGINT) AS class_size,
+      |  CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS BIGINT)
+      |    AS l_diversity,
+      |  COUNT(*) < 15 AS at_risk
+      |FROM customer GROUP BY 1, 2 ORDER BY nationkey, segment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_text_pii" -> redactQ)
+    "q_text_pii" -> redactQ,
+    "q_privacy_kanon" -> kanonQ)
 
   def oracle: Map[String, String] = Map(
-    "q_text_pii" -> redactSql)
+    "q_text_pii" -> redactSql,
+    "q_privacy_kanon" -> kanonSql)
 }

@@ -43,4 +43,23 @@ class PiiSpec extends AnyFunSuite with SparkSpec {
     // 4-octet prefix; this documents the known over-match of regex PII
     assert(ni == 1 && ne == 0)
   }
+
+  test("k-anonymity: classes partition the table and k/l match a driver recount") {
+    import spark.implicits._
+    val got = Pii.kanonQ(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("nationkey"), r.getAs[String]("segment")) ->
+        (r.getAs[Long]("class_size"), r.getAs[Long]("l_diversity"),
+          r.getAs[Boolean]("at_risk"))).toMap
+    val rows = graft.Tables.t(spark, sfDir, "customer")
+      .select($"c_nationkey", $"c_mktsegment", $"c_acctbal").collect()
+      .map(r => ((r.getInt(0), r.getString(1)),
+        math.floor(r.getDouble(2) / 1000).toLong))
+    assert(got.values.map(_._1).sum == rows.length, "classes partition the table")
+    rows.groupBy(_._1).foreach { case (qi, vs) =>
+      val (k, l, risk) = got(qi)
+      assert(k == vs.size, s"$qi size")
+      assert(l == vs.map(_._2).distinct.size, s"$qi l-diversity")
+      assert(risk == (vs.size < 15), s"$qi at-risk flag")
+    }
+  }
 }
