@@ -73,6 +73,72 @@ object Stats {
       |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2
       |FROM terms GROUP BY n, nr, nc""".stripMargin
 
+  /** q_stat_mi entry: mutual information between lang and source over
+    * documents, with its normalized form — the EFFECT-SIZE companion
+    * to [[chi2Q]] (χ² says "dependence is statistically detectable";
+    * MI in nats says HOW MUCH knowing the source tells you about the
+    * language, and NMI = MI/min(H(lang), H(source)) rescales that to
+    * [0,1] for cross-dataset comparison). The source-mix diagnostic a
+    * curation pass reads before stratifying by one of the two.
+    *
+    * Same contingency collapse as chi2: cells → broadcast marginals →
+    * per-cell p·ln(p/(pq)) terms rounded 9 dp, summed as
+    * DECIMAL(28,9); entropies from the tiny marginal frames the same
+    * way. Single corpus pass. */
+  def miQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = t(s, dir, "documents")
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy($"lang").agg(sum($"o").as("r"))
+    val cols = cells.groupBy($"source").agg(sum($"o").as("c"))
+    val tot = cells.agg(sum($"o").as("n"))
+    def entropy(m: DataFrame, cnt: String): DataFrame =
+      m.crossJoin(broadcast(tot))
+        .select(round(lit(-1d) * (col(cnt).cast("double") / col("n")) *
+          log(col(cnt).cast("double") / col("n")), 9)
+          .cast("decimal(28,9)").as("t"))
+        .agg(sum(col("t")).cast("double").as(s"h_$cnt"))
+    val mi = cells
+      .join(broadcast(rows), "lang")
+      .join(broadcast(cols), "source")
+      .crossJoin(broadcast(tot))
+      .select(round(($"o".cast("double") / $"n") *
+        log(($"o".cast("double") * $"n".cast("double")) /
+          ($"r".cast("double") * $"c".cast("double"))), 9)
+        .cast("decimal(28,9)").as("t"), $"n")
+      .groupBy($"n").agg(sum($"t").cast("double").as("mi"))
+    mi.crossJoin(broadcast(entropy(rows, "r")))
+      .crossJoin(broadcast(entropy(cols, "c")))
+      .select($"n".cast("long").as("n"),
+        round($"mi", 6).as("mi_nats"),
+        round($"h_r", 6).as("h_lang"),
+        round($"h_c", 6).as("h_source"),
+        round($"mi" / least($"h_r", $"h_c"), 6).as("nmi"))
+  }
+
+  val miSql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, SUM(o) AS r FROM cells GROUP BY 1),
+      |c AS (SELECT source, SUM(o) AS c FROM cells GROUP BY 1),
+      |t AS (SELECT SUM(o) AS n FROM cells),
+      |mi AS (
+      |  SELECT n, CAST(SUM(CAST(ROUND((CAST(o AS DOUBLE) / n)
+      |    * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+      |      / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE))), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE) AS mi
+      |  FROM cells JOIN r USING (lang) JOIN c USING (source), t GROUP BY n),
+      |hr AS (SELECT CAST(SUM(CAST(ROUND(-(CAST(r AS DOUBLE) / n)
+      |  * ln(CAST(r AS DOUBLE) / n), 9) AS DECIMAL(28,9))) AS DOUBLE) AS h_r
+      |  FROM r, t),
+      |hc AS (SELECT CAST(SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / n)
+      |  * ln(CAST(c AS DOUBLE) / n), 9) AS DECIMAL(28,9))) AS DOUBLE) AS h_c
+      |  FROM c, t)
+      |SELECT CAST(n AS BIGINT) AS n, ROUND(mi, 6) AS mi_nats,
+      |  ROUND(h_r, 6) AS h_lang, ROUND(h_c, 6) AS h_source,
+      |  ROUND(mi / LEAST(h_r, h_c), 6) AS nmi
+      |FROM mi, hr, hc""".stripMargin
+
   // --- Benford first-digit audit --------------------------------------------
 
   /** q_profile_benford entry: first-significant-digit distribution of
@@ -332,6 +398,7 @@ object Stats {
     "q_profile_benford" -> benfordQ,
     "q_stat_mannwhitney" -> mannWhitneyQ,
     "q_stat_bootstrap" -> bootstrapQ,
+    "q_stat_mi" -> miQ,
     "q_ts_acf" -> acfQ)
 
   def oracle: Map[String, String] = Map(
@@ -339,5 +406,6 @@ object Stats {
     "q_profile_benford" -> benfordSql,
     "q_stat_mannwhitney" -> mannWhitneySql,
     "q_stat_bootstrap" -> bootstrapSql,
+    "q_stat_mi" -> miSql,
     "q_ts_acf" -> acfSql)
 }

@@ -78,6 +78,7 @@ object Dev {
           "q_profile_overview" -> "1-row per-column profile frame (stack pivot)",
           "q_drift_ks" -> "1-row (n1, n2) totals frame",
           "q_stat_chi2" -> "1-row (n, nr, nc) totals frame",
+          "q_stat_mi" -> "1-row totals + two 1-row entropy frames",
           "q_embed_pca" -> "1-row norm/trace frames + 64-row broadcast vector",
           "q_profile_benford" -> "1-row total frame over the 9-digit table",
           "q_ts_acf" -> "bounded per-series grid dim (rows = series count, not events)",

@@ -126,6 +126,32 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(hi - lo > se && hi - lo < 8 * se, s"CI width ${hi - lo} vs se $se")
   }
 
+  test("mi: information identities hold and the statistic matches a driver recompute") {
+    import spark.implicits._
+    val r = Stats.miQ(spark, sfDir).collect().head
+    val (mi, hl, hs, nmi) = (r.getAs[Double]("mi_nats"), r.getAs[Double]("h_lang"),
+      r.getAs[Double]("h_source"), r.getAs[Double]("nmi"))
+    assert(mi >= 0 && mi <= math.min(hl, hs) + 1e-9, "0 <= MI <= min entropy")
+    assert(math.abs(nmi - mi / math.min(hl, hs)) < 1e-5)
+    val cells = graft.Tables.t(spark, sfDir, "documents")
+      .groupBy($"lang", $"source").count().collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    val n = cells.values.sum.toDouble
+    val pr = cells.groupBy(_._1._1).view.mapValues(_.values.sum / n)
+    val pc = cells.groupBy(_._1._2).view.mapValues(_.values.sum / n)
+    val expMi = cells.map { case ((l, s0), o) =>
+      val p = o / n
+      BigDecimal(p * math.log(p / (pr(l) * pc(s0))))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(math.abs(mi - expMi) < 1e-5, s"mi $mi vs $expMi")
+    def ent(ps: Iterable[Double]) = ps.map(p =>
+      BigDecimal(-p * math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    assert(math.abs(hl - ent(pr.values)) < 1e-5)
+    assert(math.abs(hs - ent(pc.values)) < 1e-5)
+  }
+
   test("cusum: peak matches an exact integer scan of the dense hourly series") {
     import spark.implicits._
     val rows = TimeSeries.cusumQ(spark, sfDir).collect()
