@@ -210,6 +210,51 @@ object Graph {
       |FROM deg LEFT JOIN tpn ON deg.node = tpn.node
       |ORDER BY nation""".stripMargin
 
+  /** q_graph_reciprocity entry: edge reciprocity of the DIRECTED trade
+    * graph — the fraction of src→dst trade edges whose reverse edge
+    * also exists, plus weighted reciprocity (min(w, w_rev) mass over
+    * total). [[trianglesQ]] reads cohesion of the undirected skeleton;
+    * reciprocity reads the asymmetry the undirection throws away
+    * (one-way trade relationships = crawl-graph link farms vs mutual
+    * citation). One self equi-join of the tiny edge list on the
+    * reversed key pair; exact integer sums until the final quotients. */
+  def reciprocityQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = tradeEdges(s, dir).filter($"src" =!= $"dst")
+    val rev = e.select($"src".as("rsrc"), $"dst".as("rdst"), $"w".as("w_rev"))
+    e.join(rev, $"src" === $"rdst" && $"dst" === $"rsrc", "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when($"w_rev".isNotNull, 1L).otherwise(0L)).as("n_reciprocal"),
+        sum($"w").as("w_total"),
+        sum(when($"w_rev".isNotNull, least($"w", $"w_rev")).otherwise(0L))
+          .as("w_mutual"))
+      .select($"n_edges", $"n_reciprocal",
+        round($"n_reciprocal".cast("double") / $"n_edges", 6)
+          .as("reciprocity"),
+        round($"w_mutual".cast("double") / $"w_total", 6)
+          .as("weighted_reciprocity"))
+  }
+
+  val reciprocitySql: String =
+    """WITH e AS (
+      |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  WHERE cn.n_name <> sn.n_name
+      |  GROUP BY 1, 2)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+      |  CAST(SUM(CASE WHEN r.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_reciprocal,
+      |  ROUND(CAST(SUM(CASE WHEN r.w IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS reciprocity,
+      |  ROUND(CAST(SUM(CASE WHEN r.w IS NOT NULL THEN LEAST(e.w, r.w)
+      |    ELSE 0 END) AS DOUBLE) / SUM(e.w), 6) AS weighted_reciprocity
+      |FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src""".stripMargin
+
   val pagerankSql: String = {
     // one iteration as SQL, parameterized on the previous rank CTE
     def iter(prev: String, out: String): String =
@@ -253,9 +298,11 @@ object Graph {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> pagerankQ,
-    "q_graph_triangles" -> trianglesQ)
+    "q_graph_triangles" -> trianglesQ,
+    "q_graph_reciprocity" -> reciprocityQ)
 
   def oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankSql,
-    "q_graph_triangles" -> trianglesSql)
+    "q_graph_triangles" -> trianglesSql,
+    "q_graph_reciprocity" -> reciprocitySql)
 }

@@ -139,6 +139,70 @@ object Stats {
       |  ROUND(mi / LEAST(h_r, h_c), 6) AS nmi
       |FROM mi, hr, hc""".stripMargin
 
+  /** q_stat_ab_lift entry: two-proportion z-test on conversion — users
+    * split into deterministic A/B cohorts (user_id parity: the
+    * assignment a real experiment platform would hash), conversion =
+    * "at least 14 purchase events" (the fixture's per-user purchase
+    * median, so the rate discriminates at every scale factor; a
+    * has-any-purchase definition saturates to p = 1 here, which zeroes
+    * the pooled variance — ANSI mode rightly refuses that division).
+    * Report per-cohort rates, the absolute lift, and the pooled-SE z
+    * statistic — the experiment readout every event pipeline ends at.
+    *
+    * Scale shape: conversion collapses per USER first (one combinable
+    * groupBy over user_id — a conditional count, never a distinct over
+    * raw events), then a 2-group conditional aggregate; all counts
+    * exact integers, one IEEE formula at the end. */
+  def abLiftQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val users = t(s, dir, "events")
+      .groupBy($"user_id")
+      .agg((sum(($"event_type" === "purchase").cast("long")) >= 14)
+        .cast("long").as("converted"))
+      .withColumn("cohort", ($"user_id" % 2 === 0).cast("int"))
+    users.agg(
+      sum(when($"cohort" === 1, 1L).otherwise(0L)).as("n_a"),
+      sum(when($"cohort" === 1, $"converted").otherwise(0L)).as("conv_a"),
+      sum(when($"cohort" === 0, 1L).otherwise(0L)).as("n_b"),
+      sum(when($"cohort" === 0, $"converted").otherwise(0L)).as("conv_b"))
+      .select($"n_a", $"conv_a", $"n_b", $"conv_b",
+        ($"conv_a".cast("double") / $"n_a").as("ra"),
+        ($"conv_b".cast("double") / $"n_b").as("rb"),
+        (($"conv_a" + $"conv_b").cast("double") / ($"n_a" + $"n_b")).as("p"))
+      .select($"n_a", $"conv_a", round($"ra", 6).as("rate_a"),
+        $"n_b", $"conv_b", round($"rb", 6).as("rate_b"),
+        round($"rb" - $"ra", 6).as("lift"),
+        round(($"rb" - $"ra") /
+          sqrt($"p" * (lit(1d) - $"p") *
+            (lit(1d) / $"n_a" + lit(1d) / $"n_b")), 6).as("z"))
+  }
+
+  val abLiftSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+      |      THEN 1 ELSE 0 END AS converted,
+      |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS cohort
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN cohort = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN cohort = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM u),
+      |m AS (
+      |  SELECT n_a, conv_a, n_b, conv_b,
+      |    CAST(conv_a AS DOUBLE) / n_a AS ra,
+      |    CAST(conv_b AS DOUBLE) / n_b AS rb,
+      |    CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p
+      |  FROM a)
+      |SELECT n_a, conv_a, ROUND(ra, 6) AS rate_a,
+      |  n_b, conv_b, ROUND(rb, 6) AS rate_b,
+      |  ROUND(rb - ra, 6) AS lift,
+      |  ROUND((rb - ra) / sqrt(p * (1 - p) * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+      |FROM m""".stripMargin
+
   // --- Benford first-digit audit --------------------------------------------
 
   /** q_profile_benford entry: first-significant-digit distribution of
@@ -399,6 +463,7 @@ object Stats {
     "q_stat_mannwhitney" -> mannWhitneyQ,
     "q_stat_bootstrap" -> bootstrapQ,
     "q_stat_mi" -> miQ,
+    "q_stat_ab_lift" -> abLiftQ,
     "q_ts_acf" -> acfQ)
 
   def oracle: Map[String, String] = Map(
@@ -407,5 +472,6 @@ object Stats {
     "q_stat_mannwhitney" -> mannWhitneySql,
     "q_stat_bootstrap" -> bootstrapSql,
     "q_stat_mi" -> miSql,
+    "q_stat_ab_lift" -> abLiftSql,
     "q_ts_acf" -> acfSql)
 }

@@ -133,11 +133,74 @@ object Validate {
        |ORDER BY fd""".stripMargin
   }
 
+  /** q_validate_fk entry: referential-integrity audit of every
+    * foreign-key edge in the star schema — per edge, child cardinality
+    * and orphan count (child keys with no parent). The
+    * join-coverage gate a pipeline runs before trusting any equi-join
+    * downstream: a silently-orphaned 2% does not error, it just
+    * vanishes from every inner join.
+    *
+    * Scale shape: each edge is one LEFT ANTI join counting survivors —
+    * dimension sides broadcast (nation/customer/part/supplier at their
+    * natural sizes), the two fact-fact edges shuffle on the key like
+    * any join; counts are map-side-combinable. Child keys are
+    * projected to the key column only before the join, so the audit
+    * ships keys, never rows. */
+  def fkQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def edge(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val keys = child.select(col(ck))
+      val orphans = keys.join(parent.select(col(pk)),
+        col(ck) === col(pk), "left_anti")
+      keys.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("edge"), $"n_child", $"n_orphans")
+    }
+    edge("lineitem_orders", t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey")
+      .unionByName(edge("lineitem_part", t(s, dir, "lineitem"), "l_partkey",
+        t(s, dir, "part"), "p_partkey"))
+      .unionByName(edge("lineitem_supplier", t(s, dir, "lineitem"), "l_suppkey",
+        t(s, dir, "supplier"), "s_suppkey"))
+      .unionByName(edge("orders_customer", t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey"))
+      .unionByName(edge("customer_nation", t(s, dir, "customer"), "c_nationkey",
+        t(s, dir, "nation"), "n_nationkey"))
+      .unionByName(edge("supplier_nation", t(s, dir, "supplier"), "s_nationkey",
+        t(s, dir, "nation"), "n_nationkey"))
+      .orderBy($"edge")
+  }
+
+  val fkSql: String = {
+    def edge(name: String, child: String, ck: String,
+        parent: String, pk: String): String =
+      s"""SELECT '$name' AS edge,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child) AS n_child,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child
+         |   WHERE $ck NOT IN (SELECT $pk FROM $parent)) AS n_orphans""".stripMargin
+    s"""SELECT * FROM (
+       |${edge("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+       |UNION ALL
+       |${edge("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey")}
+       |UNION ALL
+       |${edge("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey")}
+       |UNION ALL
+       |${edge("orders_customer", "orders", "o_custkey", "customer", "c_custkey")}
+       |UNION ALL
+       |${edge("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey")}
+       |UNION ALL
+       |${edge("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey")})
+       |ORDER BY edge""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_validate_rules" -> rulesQ,
-    "q_validate_fd" -> fdQ)
+    "q_validate_fd" -> fdQ,
+    "q_validate_fk" -> fkQ)
 
   def oracle: Map[String, String] = Map(
     "q_validate_rules" -> rulesSql,
-    "q_validate_fd" -> fdSql)
+    "q_validate_fd" -> fdSql,
+    "q_validate_fk" -> fkSql)
 }

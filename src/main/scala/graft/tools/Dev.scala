@@ -44,6 +44,10 @@ object Dev {
         println(s"twin-gate rows: ${g.count()}")
         graft.ops.Similarity.knnGraphHits(spark, dir)
           .groupBy(col("hits")).count().orderBy(col("hits")).show()
+      case "sql" =>
+        // raw SQL probe against the registered test tables
+        graft.Tables.registerAll(spark, dir)
+        spark.sql(args(1)).show(50, truncate = false)
       case "dump" =>
         // single-query verify dump (same shape Verify.scala writes), so
         // one new query can be oracle-checked without a full sweep
@@ -79,6 +83,7 @@ object Dev {
           "q_drift_ks" -> "1-row (n1, n2) totals frame",
           "q_stat_chi2" -> "1-row (n, nr, nc) totals frame",
           "q_stat_mi" -> "1-row totals + two 1-row entropy frames",
+          "q_validate_fk" -> "six (1-row x 1-row) per-edge count frames",
           "q_embed_pca" -> "1-row norm/trace frames + 64-row broadcast vector",
           "q_profile_benford" -> "1-row total frame over the 9-digit table",
           "q_ts_acf" -> "bounded per-series grid dim (rows = series count, not events)",

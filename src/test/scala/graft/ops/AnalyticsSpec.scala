@@ -333,6 +333,56 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got.keySet == texts.map(_._1).toSet)
   }
 
+  test("fk audit: TPC-H edges are orphan-free and a planted orphan is counted") {
+    import spark.implicits._
+    val got = Validate.fkQ(spark, sfDir).collect()
+      .map(r => r.getAs[String]("edge") ->
+        (r.getAs[Long]("n_child"), r.getAs[Long]("n_orphans"))).toMap
+    assert(got.size == 6)
+    // the generated star schema is referentially intact
+    got.foreach { case (e, (n, o)) =>
+      assert(o == 0, s"$e: unexpected orphans $o")
+      assert(n > 0, s"$e: empty child side")
+    }
+    assert(got("customer_nation")._1 ==
+      graft.Tables.t(spark, sfDir, "customer").count())
+    // the audit actually detects: a child frame with a planted bad key
+    val bad = graft.Tables.t(spark, sfDir, "customer")
+      .select($"c_nationkey").limit(5)
+      .unionByName(Seq(-999).toDF("c_nationkey"))
+    val orphan = bad.join(
+      graft.Tables.t(spark, sfDir, "nation").select($"n_nationkey"),
+      $"c_nationkey" === $"n_nationkey", "left_anti").count()
+    assert(orphan == 1L, "planted orphan must surface in an anti-join")
+  }
+
+  test("reciprocity: matches a driver recount over the collected directed edge list") {
+    import spark.implicits._
+    val r = Graph.reciprocityQ(spark, sfDir).collect().head
+    val edges = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(graft.Tables.t(spark, sfDir, "customer")
+          .join(graft.Tables.t(spark, sfDir, "nation"), $"c_nationkey" === $"n_nationkey")
+          .select($"c_custkey".as("ck"), $"n_name".as("cn")), $"o_custkey" === $"ck")
+      .join(graft.Tables.t(spark, sfDir, "supplier")
+          .join(graft.Tables.t(spark, sfDir, "nation"), $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey".as("sk"), $"n_name".as("sn")), $"l_suppkey" === $"sk")
+      .filter($"cn" =!= $"sn")
+      .groupBy($"cn", $"sn").count().collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    val nRec = edges.keys.count { case (u, v) => edges.contains((v, u)) }
+    val wMutual = edges.collect { case ((u, v), w) if edges.contains((v, u)) =>
+      math.min(w, edges((v, u))) }.sum
+    assert(r.getAs[Long]("n_edges") == edges.size)
+    assert(r.getAs[Long]("n_reciprocal") == nRec)
+    assert(math.abs(r.getAs[Double]("reciprocity") -
+      BigDecimal(nRec.toDouble / edges.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(r.getAs[Double]("weighted_reciprocity") -
+      BigDecimal(wMutual.toDouble / edges.values.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("label sim: 45 ordered pairs, cosine within [-1,1], self-consistent with collected centroids") {
     import spark.implicits._
     val rows = Centroids.labelSimQ(spark, sfDir).collect()

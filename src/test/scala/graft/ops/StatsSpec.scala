@@ -152,6 +152,25 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(hs - ent(pc.values)) < 1e-5)
   }
 
+  test("ab lift: cohorts partition users, z matches the pooled-SE formula") {
+    import spark.implicits._
+    val r = Stats.abLiftQ(spark, sfDir).collect().head
+    val (na, ca, nb, cb) = (r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("conv_b"))
+    val users = graft.Tables.t(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .agg(sum(($"event_type" === "purchase").cast("long")).as("np"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(na + nb == users.length, "cohorts partition the user base")
+    assert(ca == users.count { case (u, np) => u % 2 == 0 && np >= 14 })
+    assert(cb == users.count { case (u, np) => u % 2 == 1 && np >= 14 })
+    val (ra, rb) = (ca.toDouble / na, cb.toDouble / nb)
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = (rb - ra) / math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
+    assert(math.abs(r.getAs[Double]("lift") - (rb - ra)) < 1e-5)
+  }
+
   test("cusum: peak matches an exact integer scan of the dense hourly series") {
     import spark.implicits._
     val rows = TimeSeries.cusumQ(spark, sfDir).collect()
