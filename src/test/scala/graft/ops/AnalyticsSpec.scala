@@ -383,6 +383,22 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("one-scan proofs: corr, bootstrap, and rules each read their table exactly once") {
+    import org.apache.spark.sql.execution.ExplainMode
+    for ((name, df) <- Seq(
+        "corr" -> Profile.corrQ(spark, sfDir),
+        "bootstrap" -> Stats.bootstrapQ(spark, sfDir),
+        "rules" -> Validate.rulesQ(spark, sfDir))) {
+      // AQE query stages hide subplans from plan.collect, so count scan
+      // nodes in the formatted explain instead
+      val formatted = df.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(formatted).length
+      assert(scans == 1,
+        s"$name must scan its table exactly once, saw $scans:\n$formatted")
+    }
+  }
+
   test("label sim: 45 ordered pairs, cosine within [-1,1], self-consistent with collected centroids") {
     import spark.implicits._
     val rows = Centroids.labelSimQ(spark, sfDir).collect()
