@@ -661,11 +661,13 @@ object Dedup {
     * near-dup partners (J ≥ 0.8). Recall argument identical to [[near]]:
     * a J ≥ 0.8 pair misses all 64 bands with prob at most
     * (1−J²)^64 = 0.36^64 ≈ 4.0e-29. */
-  def incrementalQ(s: SparkSession, dir: String): DataFrame = {
+  /** Match one ingest batch of (doc_id, text) rows against the
+    * persisted corpus [[BandIndex]] — the shared core of the batch
+    * fixture query [[incrementalQ]] and the per-micro-batch body of
+    * [[graft.streaming.EventStreams.streamingIncrementalDedup]]. */
+  def matchBatch(batch: DataFrame, s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (corpusBands, corpusSh) = BandIndex(s, dir)
-    val batch = t(s, dir, "documents").filter($"doc_id" % 10 === 0)
-      .withColumn("doc_id", $"doc_id" + 2000000L)
     // session-lifetime cache BY DESIGN (same convention as
     // lshJaccardPairs): the batch shingles feed both the band build and
     // the verify join below; freed only by spark.catalog.clearCache()
@@ -684,6 +686,13 @@ object Dedup {
       .filter($"jacc" >= 0.8)
       .select($"new_id", $"corpus_id", round($"jacc", 6).as("jaccard"))
       .orderBy($"new_id", $"corpus_id")
+  }
+
+  def incrementalQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val batch = t(s, dir, "documents").filter($"doc_id" % 10 === 0)
+      .withColumn("doc_id", $"doc_id" + 2000000L)
+    matchBatch(batch, s, dir)
   }
 
   /** Oracle: exact all-pairs batch × corpus Jaccard. */

@@ -299,6 +299,35 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming incremental dedup: arriving re-crawls match the corpus index per micro-batch") {
+    import spark.implicits._
+    val dir = sfDir
+    val sink = java.nio.file.Files.createTempDirectory("graft-incdedup-sink").toString
+    // two re-crawled docs (same fixture transform as q_dedup_incremental)
+    val recrawls = graft.Tables.t(spark, dir, "documents")
+      .filter($"doc_id" % 10 === 0)
+      .orderBy($"doc_id").limit(2)
+      .select(($"doc_id" + 3000000L).as("doc_id"), $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)](spark)
+    val q = streamingIncrementalDedup(
+      in.toDF().toDF("doc_id", "text"), dir, sink)
+    try {
+      in.addData(recrawls.head); drain(q)
+      in.addData(recrawls.last); drain(q)
+    } finally q.stop()
+    val matches = spark.read.parquet(sink)
+      .select($"new_id", $"corpus_id", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // each re-crawl must rediscover its own original at J = 1 across
+    // SEPARATE micro-batches (index reused, not rebuilt)
+    val selfPairs = matches.filter(m => m._1 - 3000000L == m._2)
+    assert(selfPairs.map(_._1).toSet == recrawls.map(_._1).toSet,
+      s"each batch doc must match its original: $matches")
+    selfPairs.foreach(m => assert(m._3 == 1.0))
+    matches.foreach(m => assert(m._3 >= 0.8))
+  }
+
   test("streaming anomalies: Welford state flags only genuine outliers, never self-scores") {
     import spark.implicits._
     val in = MemoryStream[Event](spark)
