@@ -85,6 +85,36 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.size == 14)
   }
 
+  test("duplicateClusters equals driver-side union-find on seeded random graphs") {
+    import spark.implicits._
+    // randomized oracle check for the Iterate.fixpoint loop: min-label
+    // propagation must agree with classic union-find on arbitrary
+    // topologies (seeded → reproducible failures)
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical representative = min node id per component
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.groupBy(find).flatMap { case (_, members) =>
+        val m = members.min; members.map(_ -> m) }.toMap
+      val got = Dedup.duplicateClusters(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed: $got vs $expected")
+    }
+  }
+
   test("duplicateClusters checkpointed rounds leave no storage-memory leak") {
     import spark.implicits._
     val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
