@@ -130,11 +130,65 @@ object Colloc {
       |FROM nr a LEFT JOIN nr b ON a.r + 1 = b.r
       |WHERE a.r <= 10 ORDER BY a.r""".stripMargin
 
+  /** q_text_hapax entry: per-source hapax accounting over word bigrams
+    * — occurrences, distinct bigrams, hapax count (bigrams seen exactly
+    * once WITHIN the source), hapax ratio, and each source's share of
+    * the corpus-wide hapax mass. The per-slice diversity/novelty
+    * indicator behind [[freqFreqQ]]'s global N₁: a source whose hapax
+    * ratio spikes is novel (or corrupted); one whose ratio collapses is
+    * boilerplate.
+    *
+    * Scale shape: (source, bigram) counts are one map-side-combinable
+    * groupBy; the per-source rollup runs on the distinct-bigram frame;
+    * the corpus hapax total rides a broadcast 1-row frame. */
+  def hapaxQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = t(s, dir, "documents")
+      .select($"source", split(lower($"text"), " ").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"source", explode(expr(
+        "filter(transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(toks[i-1] AS w1, toks[i] AS w2))," +
+          " p -> length(p.w1) > 0 AND length(p.w2) > 0)")).as("p"))
+      .groupBy($"source", $"p.w1", $"p.w2").agg(count(lit(1)).as("c"))
+    val perSource = counts.groupBy($"source")
+      .agg(sum($"c").as("n_occurrences"),
+        count(lit(1)).as("n_distinct"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"))
+    val total = perSource.agg(sum($"n_hapax").as("tot_hapax"))
+    perSource.crossJoin(broadcast(total))
+      .select($"source", $"n_occurrences", $"n_distinct", $"n_hapax",
+        round($"n_hapax".cast("double") / $"n_distinct", 6).as("hapax_ratio"),
+        round($"n_hapax".cast("double") / $"tot_hapax", 6).as("hapax_share"))
+      .orderBy($"source")
+  }
+
+  val hapaxSql: String =
+    """WITH tok AS (
+      |  SELECT source, string_split(lower(text), ' ') AS toks FROM documents),
+      |cnt AS (
+      |  SELECT source, p.w1, p.w2, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(list_transform(range(1, len(toks)),
+      |      i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+      |    FROM tok) WHERE len(p.w1) > 0 AND len(p.w2) > 0 GROUP BY 1, 2, 3),
+      |ps AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |  FROM cnt GROUP BY 1),
+      |t AS (SELECT SUM(n_hapax) AS tot_hapax FROM ps)
+      |SELECT source, n_occurrences, n_distinct, n_hapax,
+      |  ROUND(CAST(n_hapax AS DOUBLE) / n_distinct, 6) AS hapax_ratio,
+      |  ROUND(CAST(n_hapax AS DOUBLE) / tot_hapax, 6) AS hapax_share
+      |FROM ps, t ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_pmi" -> pmiQ,
-    "q_text_freqfreq" -> freqFreqQ)
+    "q_text_freqfreq" -> freqFreqQ,
+    "q_text_hapax" -> hapaxQ)
 
   def oracle: Map[String, String] = Map(
     "q_text_pmi" -> pmiSql,
-    "q_text_freqfreq" -> freqFreqSql)
+    "q_text_freqfreq" -> freqFreqSql,
+    "q_text_hapax" -> hapaxSql)
 }

@@ -358,11 +358,46 @@ object TimeSeries {
       |  ROUND(CAST(dev AS DOUBLE) / nh, 6) AS cusum_peak
       |FROM dev WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  /** q_ts_dow_profile entry: weekday × hour traffic heatmap — event
+    * counts and share-of-total per (day-of-week, hour-of-day) cell,
+    * the operational load profile behind capacity planning and the
+    * weekly-seasonality baseline ([[seasonalQ]] models the daily
+    * cycle; this exposes the weekly one for a human).
+    *
+    * Scale shape: one map-side-combinable groupBy over ≤ 168 keys;
+    * the share divides by a broadcast 1-row total. Counts exact,
+    * one IEEE division, 6-dp rounding. Day-of-week numbering is
+    * pinned to ISO (1 = Monday) on both engines. */
+  def dowProfileQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = t(s, dir, "events")
+      .groupBy(dayofweek($"ts").as("dow_sun1"), hour($"ts").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      // Spark dayofweek is 1=Sunday; re-pin to ISO 1=Monday
+      .select((($"dow_sun1" + 5) % 7 + 1).as("iso_dow"), $"hour", $"n")
+    val total = cells.agg(sum($"n").as("tot"))
+    cells.crossJoin(broadcast(total))
+      .select($"iso_dow", $"hour", $"n",
+        round($"n".cast("double") / $"tot", 6).as("share"))
+      .orderBy($"iso_dow", $"hour")
+  }
+
+  val dowProfileSql: String =
+    """WITH c AS (
+      |  SELECT isodow(ts) AS iso_dow, CAST(hour(ts) AS INT) AS hour,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT SUM(n) AS tot FROM c)
+      |SELECT CAST(iso_dow AS INT) AS iso_dow, hour, CAST(n AS BIGINT) AS n,
+      |  ROUND(CAST(n AS DOUBLE) / tot, 6) AS share
+      |FROM c, t ORDER BY iso_dow, hour""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_resample" -> resampleQ,
     "q_ts_ewma" -> ewmaQ,
     "q_ts_seasonal" -> seasonalQ,
     "q_ts_cusum" -> cusumQ,
+    "q_ts_dow_profile" -> dowProfileQ,
     "q_ts_trend" -> trendQ)
 
   def oracle: Map[String, String] = Map(
@@ -370,5 +405,6 @@ object TimeSeries {
     "q_ts_ewma" -> ewmaSql,
     "q_ts_seasonal" -> seasonalSql,
     "q_ts_cusum" -> cusumSql,
+    "q_ts_dow_profile" -> dowProfileSql,
     "q_ts_trend" -> trendSql)
 }

@@ -95,6 +95,8 @@ object Dev {
           "q_embed_label_sim" -> "bounded |labels|^2 centroid-pair grid",
           "q_embed_silhouette" -> "1-row all-centroids frame (map-only distance pass)",
           "q_ts_cusum" -> "bounded per-series grid dim (rows = series count, not events)",
+          "q_ts_dow_profile" -> "1-row total frame over the <=168-cell grid",
+          "q_text_hapax" -> "1-row corpus-totals frame",
           "q_similarity_topk" -> "bounded query-vector set",
           "q_similarity_ann" -> "bounded query-vector set",
           "q_similarity_ivf" -> "bounded query-vector set",

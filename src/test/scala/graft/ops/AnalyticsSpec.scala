@@ -399,6 +399,46 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dow profile: cells conserve the corpus, shares normalize, ISO weekday pinning is correct") {
+    import spark.implicits._
+    val rows = TimeSeries.dowProfileQ(spark, sfDir).collect()
+    val events = graft.Tables.t(spark, sfDir, "events")
+    assert(rows.map(_.getAs[Long]("n")).sum == events.count())
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("iso_dow") >= 1 && r.getAs[Int]("iso_dow") <= 7)
+      assert(r.getAs[Int]("hour") >= 0 && r.getAs[Int]("hour") <= 23)
+    }
+    // ISO pinning: recount one cell driver-side from the raw timestamps
+    val (d0, h0) = (rows.head.getAs[Int]("iso_dow"), rows.head.getAs[Int]("hour"))
+    val exp = events.select($"ts").collect().count { r =>
+      val ldt = r.getTimestamp(0).toLocalDateTime
+      ldt.getDayOfWeek.getValue == d0 && ldt.getHour == h0
+    }
+    assert(rows.head.getAs[Long]("n") == exp, s"cell ($d0,$h0)")
+  }
+
+  test("hapax: per-source bigram accounting matches a driver recount") {
+    import spark.implicits._
+    val got = Colloc.hapaxQ(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("n_hapax"))).toMap
+    val bySource = graft.Tables.t(spark, sfDir, "documents")
+      .select($"source", lower($"text")).as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.flatMap { case (_, t) =>
+        val toks = t.split(" ", -1).filter(_.nonEmpty).toSeq
+        toks.zip(toks.drop(1))
+      }.groupBy(identity).view.mapValues(_.size).toMap)
+    bySource.foreach { case (src, counts) =>
+      val (occ, dis, hap) = got(src)
+      assert(occ == counts.values.sum, s"$src occurrences")
+      assert(dis == counts.size, s"$src distinct")
+      assert(hap == counts.values.count(_ == 1), s"$src hapax")
+    }
+    assert(got.keySet == bySource.keySet)
+  }
+
   test("label sim: 45 ordered pairs, cosine within [-1,1], self-consistent with collected centroids") {
     import spark.implicits._
     val rows = Centroids.labelSimQ(spark, sfDir).collect()
