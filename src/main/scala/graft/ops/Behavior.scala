@@ -41,7 +41,13 @@ object Behavior {
   /** q_cohort_retention entry: for each signup-week cohort, how many of
     * its users are active k weeks later, and what fraction of the
     * cohort that is. Week index = (days since 2024-01-01) div 7 — pure
-    * integer arithmetic, immune to engines' week-truncation choices. */
+    * integer arithmetic, immune to engines' week-truncation choices.
+    *
+    * The retention ratio is emitted as BASIS POINTS via integer floor
+    * division — `(n_active * 10000) div cohort_n` — never as a rounded
+    * double: ratios of small integers routinely land exactly on the
+    * half-tie at the rounding digit, where engines' `round`-on-double
+    * disagree (the driver-hash fragility class of CORRECTNESS r6–r8). */
   def retentionQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val weekly = t(s, dir, "events")
@@ -58,8 +64,8 @@ object Behavior {
       .select($"wk0".as("cohort_week"), $"week_offset",
         $"n_active".cast("long").as("n_active"),
         $"cohort_n".cast("long").as("cohort_n"),
-        round($"n_active" / $"cohort_n", 4).cast("decimal(8,4)")
-          .as("retention"))
+        expr("CAST((n_active * 10000) DIV cohort_n AS BIGINT)")
+          .as("retention_bp"))
       .orderBy($"cohort_week", $"week_offset")
   }
 
@@ -74,8 +80,8 @@ object Behavior {
       |SELECT c.wk0 AS cohort_week, w.wk - c.wk0 AS week_offset,
       |  CAST(COUNT(*) AS BIGINT) AS n_active,
       |  CAST(any_value(s.cohort_n) AS BIGINT) AS cohort_n,
-      |  CAST(ROUND(COUNT(*) / any_value(s.cohort_n), 4) AS DECIMAL(8,4))
-      |    AS retention
+      |  CAST((COUNT(*) * 10000) // any_value(s.cohort_n) AS BIGINT)
+      |    AS retention_bp
       |FROM weekly w JOIN cohorts c USING (user_id)
       |  JOIN sizes s ON s.wk0 = c.wk0
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
@@ -85,7 +91,9 @@ object Behavior {
   /** q_seq_transitions entry: first-order Markov transition counts and
     * probabilities between consecutive event types per user — the
     * navigation-flow / state-machine summary. Tie order pinned by
-    * (ts, event_id) so both engines see the same successor. */
+    * (ts, event_id) so both engines see the same successor.
+    * Transition probability emitted as basis points by pure integer
+    * floor division (same engine-neutral contract as [[retentionQ]]). */
   def transitionsQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val wSeq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -96,9 +104,9 @@ object Behavior {
       .filter($"dst".isNotNull)
       .groupBy($"src", $"dst")
       .agg(count(lit(1)).as("n"))
-      .withColumn("p",
-        round($"n" / sum($"n").over(wSrc), 4).cast("decimal(8,4)"))
-      .select($"src", $"dst", $"n".cast("long").as("n"), $"p")
+      .withColumn("total", sum($"n").over(wSrc))
+      .select($"src", $"dst", $"n".cast("long").as("n"),
+        expr("CAST((n * 10000) DIV total AS BIGINT)").as("p_bp"))
       .orderBy($"src", $"dst")
   }
 
@@ -112,8 +120,8 @@ object Behavior {
       |  SELECT src, dst, COUNT(*) AS n FROM seq
       |  WHERE dst IS NOT NULL GROUP BY 1, 2)
       |SELECT src, dst, CAST(n AS BIGINT) AS n,
-      |  CAST(ROUND(n / sum(n) OVER (PARTITION BY src), 4) AS DECIMAL(8,4))
-      |    AS p
+      |  CAST((n * 10000) // sum(n) OVER (PARTITION BY src) AS BIGINT)
+      |    AS p_bp
       |FROM cnt ORDER BY src, dst""".stripMargin
 
   // --- RFM segmentation -----------------------------------------------------

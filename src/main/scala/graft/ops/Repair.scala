@@ -28,105 +28,116 @@ object Repair {
     * computed over the SURVIVING values; report per-type imputation
     * accounting plus an order-independent checksum of the repaired
     * column so the oracle verifies every repaired row, not just the
-    * counts. */
+    * counts.
+    *
+    * Every emitted number is a BIGINT in micro units (value × 10⁶):
+    * source values are exact few-decimal doubles, so
+    * `cast(value as decimal(18,6)) * 1e6 → long` is lossless, the fill
+    * value is integer floor division of the scaled sum, and the
+    * repaired-column checksum is an integer sum. No IEEE division or
+    * `round`-on-double ever reaches the output (the CORRECTNESS r6–r8
+    * driver-hash fragility class). At petabyte row counts the micro
+    * sums would need DECIMAL(38,0) accumulators; the shape is unchanged. */
   def imputeQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dam = t(s, dir, "events")
       .select($"event_id", $"event_type",
         when($"event_id" % 10 === 0, lit(null)).otherwise($"value")
           .as("v"))
-    // fill = exact decimal sum cast to double ÷ exact count: ONE IEEE
-    // division, identical on both engines (native decimal division
-    // rounds differently per engine)
+      .withColumn("vm", ($"v".cast("decimal(18,6)") * 1000000).cast("long"))
+    // fill_micro = floor(sum(vm) / count(vm)): pure integer arithmetic
+    // over surviving (positive) values — bit-identical on both engines
     val stats = dam.groupBy($"event_type")
-      .agg((sum($"v".cast("decimal(18,6)")).cast("double") /
-        count($"v")).as("fill"))
+      .agg(expr("CAST(sum(vm) DIV count(vm) AS BIGINT)").as("fill_micro"))
     dam.join(broadcast(stats), "event_type")
-      .select($"event_type", $"v",
-        coalesce($"v", $"fill").as("repaired"))
+      .select($"event_type", $"vm",
+        coalesce($"vm", $"fill_micro").as("rm"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
-        sum($"v".isNull.cast("long")).as("n_imputed"),
-        round(max($"repaired") - min($"repaired"), 6).as("range_after"),
-        // round-to-6dp FIRST (half-away-from-zero, identical in both
-        // engines), THEN the exact decimal cast — a raw double→DECIMAL
-        // cast rounds at the 6th decimal with engine-dependent tie
-        // behavior (the repo-wide FP parity contract)
-        sum(round($"repaired", 6).cast("decimal(18,6)")).cast("decimal(28,6)")
-          .as("sum_after"))
+        sum($"vm".isNull.cast("long")).as("n_imputed"),
+        (max($"rm") - min($"rm")).as("range_micro"),
+        sum($"rm").cast("long").as("sum_micro"))
       .orderBy($"event_type")
   }
 
   val imputeSql: String =
     """WITH dam AS (
       |  SELECT event_id, event_type,
-      |    CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS v
+      |    CAST(CAST(CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END
+      |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
       |  FROM events),
       |st AS (
-      |  SELECT event_type,
-      |    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(v) AS fill
+      |  SELECT event_type, CAST(sum(vm) // count(vm) AS BIGINT) AS fill_micro
       |  FROM dam GROUP BY event_type),
       |r AS (
-      |  SELECT dam.event_type, v,
-      |    COALESCE(v, fill) AS repaired
+      |  SELECT dam.event_type, vm,
+      |    COALESCE(vm, fill_micro) AS rm
       |  FROM dam JOIN st USING (event_type))
       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-      |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
-      |  round(max(repaired) - min(repaired), 6) AS range_after,
-      |  CAST(sum(CAST(round(repaired, 6) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_after
+      |  CAST(sum(CASE WHEN vm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+      |  CAST(max(rm) - min(rm) AS BIGINT) AS range_micro,
+      |  CAST(sum(rm) AS BIGINT) AS sum_micro
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Winsorize per-type values at the exact p05/p95 ordered-row bounds
     * (rank r of n: p-quantile row = the value whose rank equals
     * ceil(p·n), ties broken by event_id — an exact, engine-neutral
     * definition, unlike interpolated quantiles whose FP differs).
-    * Report clip accounting and exact decimal sums before/after. */
+    * Everything — ranks, bounds, the clip, the output checksum — runs
+    * in micro-unit BIGINT space ([[imputeQ]]'s contract): the scaled
+    * values order identically to the doubles, ceil(p·n) is the integer
+    * identity ceil(k·n/20) = (k·n + 19) div 20, and the sums are
+    * integer-exact on both engines. */
   def winsorizeQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val ev = t(s, dir, "events").select($"event_id", $"event_type", $"value")
-    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val ev = t(s, dir, "events").select($"event_id", $"event_type",
+      ($"value".cast("decimal(18,6)") * 1000000).cast("long").as("vm"))
+    val w = Window.partitionBy($"event_type").orderBy($"vm", $"event_id")
     val ranked = ev
       .withColumn("r", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
     val bounds = ranked
-      .filter($"r" === ceil($"n" * 0.05) || $"r" === ceil($"n" * 0.95))
+      .filter(expr("r = (n + 19) DIV 20 OR r = (19 * n + 19) DIV 20"))
       .groupBy($"event_type")
-      .agg(min($"value").as("lo"), max($"value").as("hi"))
+      .agg(min($"vm").as("lo"), max($"vm").as("hi"))
     ev.join(broadcast(bounds), "event_type")
-      .select($"event_type", $"value",
-        least(greatest($"value", $"lo"), $"hi").as("clipped"),
-        ($"value" < $"lo" || $"value" > $"hi").cast("long").as("was_clipped"))
+      .select($"event_type", $"vm",
+        least(greatest($"vm", $"lo"), $"hi").as("cm"),
+        ($"vm" < $"lo" || $"vm" > $"hi").cast("long").as("was_clipped"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
-        sum($"was_clipped").as("n_clipped"),
-        min($"clipped").as("v_lo"), max($"clipped").as("v_hi"),
-        // round-then-cast, same parity contract as imputeQ above
-        sum(round($"clipped", 6).cast("decimal(18,6)")).cast("decimal(28,6)")
-          .as("sum_after"))
+        sum($"was_clipped").cast("long").as("n_clipped"),
+        min($"cm").as("v_lo_micro"), max($"cm").as("v_hi_micro"),
+        sum($"cm").cast("long").as("sum_micro"))
       .orderBy($"event_type")
   }
 
   val winsorizeSql: String =
-    """WITH ranked AS (
-      |  SELECT event_type, event_id, value,
-      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
-      |    count(*) OVER (PARTITION BY event_type) AS n
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
       |  FROM events),
+      |ranked AS (
+      |  SELECT event_type, event_id, vm,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY vm, event_id) AS r,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev),
       |b AS (
-      |  SELECT event_type, min(value) AS lo, max(value) AS hi
+      |  SELECT event_type, min(vm) AS lo, max(vm) AS hi
       |  FROM ranked
-      |  WHERE r = CAST(ceil(n * 0.05) AS BIGINT) OR r = CAST(ceil(n * 0.95) AS BIGINT)
+      |  WHERE r = (n + 19) // 20 OR r = (19 * n + 19) // 20
       |  GROUP BY event_type),
       |c AS (
-      |  SELECT e.event_type, value,
-      |    least(greatest(value, lo), hi) AS clipped,
-      |    CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END AS was_clipped
-      |  FROM events e JOIN b USING (event_type))
+      |  SELECT e.event_type, vm,
+      |    least(greatest(vm, lo), hi) AS cm,
+      |    CASE WHEN vm < lo OR vm > hi THEN 1 ELSE 0 END AS was_clipped
+      |  FROM ev e JOIN b USING (event_type))
       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(was_clipped) AS BIGINT) AS n_clipped,
-      |  min(clipped) AS v_lo, max(clipped) AS v_hi,
-      |  CAST(sum(CAST(round(clipped, 6) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_after
+      |  CAST(min(cm) AS BIGINT) AS v_lo_micro,
+      |  CAST(max(cm) AS BIGINT) AS v_hi_micro,
+      |  CAST(sum(cm) AS BIGINT) AS sum_micro
       |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

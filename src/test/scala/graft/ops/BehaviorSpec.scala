@@ -35,8 +35,11 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
     // each user's k events contribute exactly k-1 transitions
     assert(rows.map(_.getAs[Long]("n")).sum == nEvents - nUsers)
     rows.groupBy(_.getAs[String]("src")).foreach { case (src, rs) =>
-      val p = rs.map(_.getAs[java.math.BigDecimal]("p").doubleValue).sum
-      assert(math.abs(p - 1.0) < 0.01, s"src $src probs sum to $p")
+      // basis points from floor division: per-source sum lands in
+      // (10000 - |dst|, 10000] — each floor drops strictly less than 1 bp
+      val bp = rs.map(_.getAs[Long]("p_bp")).sum
+      assert(bp > 10000 - rs.length && bp <= 10000,
+        s"src $src p_bp sums to $bp over ${rs.length} cells")
     }
   }
 

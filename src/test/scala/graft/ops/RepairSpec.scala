@@ -16,7 +16,7 @@ class RepairSpec extends AnyFunSuite with SparkSpec {
       val n = r.getAs[Long]("n")
       val imputed = r.getAs[Long]("n_imputed")
       assert(imputed > 0 && imputed < n, "fixture must damage SOME rows")
-      assert(!r.isNullAt(r.fieldIndex("sum_after")),
+      assert(!r.isNullAt(r.fieldIndex("sum_micro")),
         "repaired sum must be defined (no nulls survived)")
     }
   }
@@ -34,7 +34,7 @@ class RepairSpec extends AnyFunSuite with SparkSpec {
       // ~10% of rows sit outside exact p05/p95 by construction
       assert(clipped > 0 && clipped < before(et) / 2,
         s"$et clipped $clipped of ${before(et)} — outside plausible band")
-      assert(r.getAs[Double]("v_lo") <= r.getAs[Double]("v_hi"))
+      assert(r.getAs[Long]("v_lo_micro") <= r.getAs[Long]("v_hi_micro"))
     }
   }
 
