@@ -55,6 +55,24 @@ object Dev {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"/tmp/graft_dump/${args(1)}")
         println(s"DUMPED /tmp/graft_dump/${args(1)}")
+      case "lint" =>
+        // output-path FP-parity lint (see Lint.scala): flag any query
+        // whose final output region rounds a double and casts it to
+        // DECIMAL — the recurring driver-hash fragility class
+        var bad = 0
+        graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          try {
+            val offenses = Lint.roundDecimalOffenses(fn(spark, dir))
+            if (offenses.nonEmpty) {
+              bad += 1
+              println(s"$name FLAG: ${offenses.mkString("; ")}")
+            } else println(s"$name ok")
+          } catch { case e: Throwable =>
+            println(s"$name ERROR ${Option(e.getMessage).getOrElse(e.getClass.getName).take(80)}")
+          }
+          spark.catalog.clearCache()
+        }
+        println(s"LINT ${if (bad == 0) "CLEAN" else s"$bad FLAGGED"}")
       case "audit" =>
         // plan red-flag sweep over every registered query: cartesians
         // (outside the documented bounded grid), nested-loop joins, and
