@@ -32,8 +32,12 @@ object Tables {
     * the three encodings loads identically:
     *   - LongType (nanos-as-long): nanos are microsecond-exact in the
     *     testdata, so `timestamp_micros(ts DIV 1000)` is lossless;
-    *   - TimestampNTZType: `cast("timestamp")` — the session tz is pinned
-    *     to UTC by every entrypoint, so the cast is an exact relabel;
+    *   - TimestampNTZType: `cast("timestamp")` — an exact relabel ONLY
+    *     under a UTC session tz, so the loader pins it itself (same
+    *     fallback pattern as `nanosConf` below): a direct caller with a
+    *     non-UTC session would otherwise silently shift every event
+    *     instant away from the oracle, unlike the nanos branch, which
+    *     is timezone-independent (ADVICE r8);
     *   - TimestampType: passthrough. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -43,7 +47,10 @@ object Tables {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType =>
+        if (spark.conf.get("spark.sql.session.timeZone", "") != "UTC")
+          spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _                => raw
     }
   }

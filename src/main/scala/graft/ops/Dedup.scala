@@ -322,8 +322,9 @@ object Dedup {
       java.nio.file.Files.createTempDirectory("graft-neardup-").toString
     private val paths = scala.collection.mutable.HashMap.empty[String, String]
     def pairs(s: SparkSession, dir: String): DataFrame = synchronized {
-      val p = paths.getOrElseUpdate(dir, {
-        val out = s"$root/${Integer.toHexString(dir.hashCode)}"
+      val k = Artifacts.key(dir)
+      val p = paths.getOrElseUpdate(k, {
+        val out = s"$root/$k"
         near(s, dir).write.mode("overwrite").parquet(out)
         out
       })
@@ -626,8 +627,9 @@ object Dedup {
     @volatile private[graft] var builds: Int = 0
     /** (bandKeys, shingleSets) read from the persisted artifact. */
     def apply(s: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
-      val p = paths.getOrElseUpdate(dir, {
-        val out = s"$root/${Integer.toHexString(dir.hashCode)}"
+      val k = Artifacts.key(dir)
+      val p = paths.getOrElseUpdate(k, {
+        val out = s"$root/$k"
         shingleSets(t(s, dir, "documents"))
           .write.mode("overwrite").parquet(s"$out/shingles")
         // band keys derive from the persisted shingles, not a second
@@ -666,12 +668,29 @@ object Dedup {
     * fixture query [[incrementalQ]] and the per-micro-batch body of
     * [[graft.streaming.EventStreams.streamingIncrementalDedup]]. */
   def matchBatch(batch: DataFrame, s: SparkSession, dir: String): DataFrame = {
+    // session-lifetime cache BY DESIGN for the batch fixture (same
+    // convention as lshJaccardPairs): the batch shingles feed both the
+    // band build and the verify join; freed by spark.catalog.clearCache()
+    matchFrom(shingleSets(batch).cache(), s, dir)
+  }
+
+  /** [[matchBatch]] with the shingle cache scoped to ONE micro-batch:
+    * caches, hands the matches to `write`, then unpersists in a
+    * finally. This is the continuous-stream form — a stream never runs
+    * the session-wide clearCache, so the session-lifetime convention of
+    * [[matchBatch]] would accumulate one cached shingle frame per
+    * trigger in executor storage for the stream's lifetime. */
+  def matchBatchScoped(batch: DataFrame, s: SparkSession, dir: String)(
+      write: DataFrame => Unit): Unit = {
+    val batchSh = shingleSets(batch).cache()
+    try write(matchFrom(batchSh, s, dir))
+    finally batchSh.unpersist()
+  }
+
+  private def matchFrom(batchSh: DataFrame, s: SparkSession,
+      dir: String): DataFrame = {
     import s.implicits._
     val (corpusBands, corpusSh) = BandIndex(s, dir)
-    // session-lifetime cache BY DESIGN (same convention as
-    // lshJaccardPairs): the batch shingles feed both the band build and
-    // the verify join below; freed only by spark.catalog.clearCache()
-    val batchSh = shingleSets(batch).cache()
     val cand = lshBands(batchSh, bandRows = 2, lanes = Lanes).as("x")
       .join(corpusBands.as("y"),
         $"x.band" === $"y.band" && $"x.bh" === $"y.bh")

@@ -51,8 +51,9 @@ object Sketches {
       java.nio.file.Files.createTempDirectory("graft-hll-").toString
     private val built = scala.collection.mutable.HashMap.empty[String, String]
     def of(s: SparkSession, dir: String): DataFrame = synchronized {
-      val p = built.getOrElseUpdate(dir, {
-        val path = s"$root/${Integer.toHexString(dir.hashCode)}"
+      val k = Artifacts.key(dir)
+      val p = built.getOrElseUpdate(k, {
+        val path = s"$root/$k"
         tokenSketches(s, dir).write.mode("overwrite").parquet(path)
         path
       })

@@ -142,23 +142,43 @@ object Stats {
   /** q_stat_ab_lift entry: two-proportion z-test on conversion — users
     * split into deterministic A/B cohorts (user_id parity: the
     * assignment a real experiment platform would hash), conversion =
-    * "at least 14 purchase events" (the fixture's per-user purchase
-    * median, so the rate discriminates at every scale factor; a
+    * "at least the median per-user purchase count" — the threshold is
+    * DERIVED from the data (lower median via a bounded count histogram),
+    * not hard-coded, so a regenerated fixture with a different value
+    * distribution cannot silently saturate the rate to 0 or 1 (a
     * has-any-purchase definition saturates to p = 1 here, which zeroes
-    * the pooled variance — ANSI mode rightly refuses that division).
+    * the pooled variance). The z statistic is additionally null-guarded
+    * on 0 < p < 1 in both engines, so a degenerate pooled rate yields
+    * NULL rather than an engine-dependent inf/error serialization.
     * Report per-cohort rates, the absolute lift, and the pooled-SE z
     * statistic — the experiment readout every event pipeline ends at.
     *
     * Scale shape: conversion collapses per USER first (one combinable
     * groupBy over user_id — a conditional count, never a distinct over
-    * raw events), then a 2-group conditional aggregate; all counts
-    * exact integers, one IEEE formula at the end. */
+    * raw events); the median comes from a histogram over the tiny
+    * purchase-count domain (a bounded window, never a global sort over
+    * users), then a 2-group conditional aggregate; all counts exact
+    * integers, one IEEE formula at the end. */
   def abLiftQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val users = t(s, dir, "events")
+    val perUser = t(s, dir, "events")
       .groupBy($"user_id")
-      .agg((sum(($"event_type" === "purchase").cast("long")) >= 14)
-        .cast("long").as("converted"))
+      .agg(sum(($"event_type" === "purchase").cast("long")).as("pc"))
+    // lower median of pc: smallest count whose cumulative user tally
+    // reaches half — the histogram has ≤ max(pc) rows, so the
+    // unpartitioned window is bounded by the count DOMAIN, not by users
+    val hist = perUser.groupBy($"pc").agg(count(lit(1)).as("c"))
+    val thr = hist
+      .withColumn("cum", sum($"c").over(
+        Window.orderBy($"pc").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("nu", sum($"c").over(
+        Window.orderBy($"pc").rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter($"cum" * 2 >= $"nu")
+      .agg(min($"pc").as("thr"))
+    val users = perUser.crossJoin(broadcast(thr))
+      .select($"user_id", ($"pc" >= $"thr").cast("long").as("converted"))
       .withColumn("cohort", ($"user_id" % 2 === 0).cast("int"))
     users.agg(
       sum(when($"cohort" === 1, 1L).otherwise(0L)).as("n_a"),
@@ -172,18 +192,30 @@ object Stats {
       .select($"n_a", $"conv_a", round($"ra", 6).as("rate_a"),
         $"n_b", $"conv_b", round($"rb", 6).as("rate_b"),
         round($"rb" - $"ra", 6).as("lift"),
-        round(($"rb" - $"ra") /
-          sqrt($"p" * (lit(1d) - $"p") *
-            (lit(1d) / $"n_a" + lit(1d) / $"n_b")), 6).as("z"))
+        when($"p" > 0d && $"p" < 1d,
+          round(($"rb" - $"ra") /
+            sqrt($"p" * (lit(1d) - $"p") *
+              (lit(1d) / $"n_a" + lit(1d) / $"n_b")), 6)).as("z"))
   }
 
   val abLiftSql: String =
-    """WITH u AS (
+    """WITH u0 AS (
       |  SELECT user_id,
-      |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
-      |      THEN 1 ELSE 0 END AS converted,
-      |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS cohort
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pc
       |  FROM events GROUP BY user_id),
+      |hist AS (SELECT pc, COUNT(*) AS c FROM u0 GROUP BY pc),
+      |cum AS (
+      |  SELECT pc,
+      |    SUM(c) OVER (ORDER BY pc ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER () AS nu
+      |  FROM hist),
+      |thr AS (SELECT MIN(pc) AS thr FROM cum WHERE cum * 2 >= nu),
+      |u AS (
+      |  SELECT user_id,
+      |    CASE WHEN pc >= (SELECT thr FROM thr) THEN 1 ELSE 0 END AS converted,
+      |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS cohort
+      |  FROM u0),
       |a AS (
       |  SELECT
       |    CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -200,7 +232,9 @@ object Stats {
       |SELECT n_a, conv_a, ROUND(ra, 6) AS rate_a,
       |  n_b, conv_b, ROUND(rb, 6) AS rate_b,
       |  ROUND(rb - ra, 6) AS lift,
-      |  ROUND((rb - ra) / sqrt(p * (1 - p) * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+      |  CASE WHEN p > 0 AND p < 1 THEN
+      |    ROUND((rb - ra) / sqrt(p * (1 - p) * (1.0 / n_a + 1.0 / n_b)), 6)
+      |  END AS z
       |FROM m""".stripMargin
 
   // --- Benford first-digit audit --------------------------------------------

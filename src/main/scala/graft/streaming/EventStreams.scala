@@ -255,14 +255,15 @@ object EventStreams {
     * is reused verbatim per trigger, the corpus index is amortized
     * parquet (zero corpus passes per batch), and the sink write is
     * wrapped in the micro-batch's transactional retry. State is the
-    * INDEX ARTIFACT, not stream state — nothing accumulates in
-    * executors across triggers. */
+    * INDEX ARTIFACT, not stream state — the scoped variant unpersists
+    * each trigger's shingle cache after its sink write, so nothing
+    * accumulates in executors across triggers. */
   def streamingIncrementalDedup(docs: DataFrame, dir: String,
       sink: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.Dedup.matchBatch(batch, batch.sparkSession, dir)
-          .write.mode("append").parquet(sink)
+        graft.ops.Dedup.matchBatchScoped(batch, batch.sparkSession, dir)(
+          _.write.mode("append").parquet(sink))
       }
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft-incdedup-ckpt").toString)

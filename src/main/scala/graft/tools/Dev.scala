@@ -115,6 +115,7 @@ object Dev {
           "q_ts_cusum" -> "bounded per-series grid dim (rows = series count, not events)",
           "q_ts_dow_profile" -> "1-row total frame over the <=168-cell grid",
           "q_text_hapax" -> "1-row corpus-totals frame",
+          "q_stat_ab_lift" -> "1-row median-threshold frame",
           "q_similarity_topk" -> "bounded query-vector set",
           "q_similarity_ann" -> "bounded query-vector set",
           "q_similarity_ivf" -> "bounded query-vector set",

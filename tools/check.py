@@ -11,6 +11,7 @@ float-level diffs). Dev tooling only — not part of the library.
 import sys, json, glob, os, math, decimal
 import duckdb
 import numpy as np
+import pandas as pd
 
 def driver_fragility(df, side):
     """Driver-faithful canonicalization probe (VERDICT r7 item 5).
@@ -32,20 +33,24 @@ def driver_fragility(df, side):
     for c in df.columns:
         if df[c].dtype != object:
             continue
-        for v in df[c].dropna().head(200):
-            if isinstance(v, (list, tuple, dict, np.ndarray)):
-                fatal.append(f"{side} column {c}: unhashable container "
-                             f"{type(v).__name__} breaks driver sort_values")
+        # scan EVERY value (r8 ADVICE: a fragile cell past row 200 must
+        # not escape the probe) — a vectorized isinstance map is cheap
+        # at these result sizes
+        col = df[c].dropna()
+        if col.map(lambda v: isinstance(v, (list, tuple, dict,
+                                            np.ndarray))).any():
+            fatal.append(f"{side} column {c}: unhashable container "
+                         f"breaks driver sort_values")
+            continue
+        for v in col[col.map(lambda v: isinstance(v, decimal.Decimal))]:
+            try:
+                roundtrip = decimal.Decimal(repr(float(v)))
+            except (OverflowError, ValueError):
+                roundtrip = None
+            if roundtrip is None or roundtrip != v:
+                fatal.append(f"{side} column {c}: decimal {v} does not "
+                             f"round-trip float64 (driver hash unstable)")
                 break
-            if isinstance(v, decimal.Decimal):
-                try:
-                    roundtrip = decimal.Decimal(repr(float(v)))
-                except (OverflowError, ValueError):
-                    roundtrip = None
-                if roundtrip is None or roundtrip != v:
-                    fatal.append(f"{side} column {c}: decimal {v} does not "
-                                 f"round-trip float64 (driver hash unstable)")
-                    break
     if not fatal:
         try:
             df[sorted(df.columns)].sort_values(by=sorted(df.columns))
@@ -127,11 +132,11 @@ def main():
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
-        # driver-faithful pandas probe on BOTH relations (re-materialized
-        # as DataFrames; fetchall above consumed the cursors)
-        frag = (driver_fragility(
-                    con.sql(f"SELECT * FROM read_parquet({files!r})").df(), "spark")
-                + driver_fragility(con.sql(oracle[name]).df(), "oracle"))
+        # driver-faithful pandas probe on BOTH result sets, built from the
+        # ALREADY-FETCHED rows (no re-execution; fetchall preserves the
+        # probe-relevant cell types — Decimals and containers stay object)
+        frag = (driver_fragility(pd.DataFrame(got, columns=gcols), "spark")
+                + driver_fragility(pd.DataFrame(exp, columns=secols), "oracle"))
         if frag:
             for f in frag:
                 print(f"DRIVER-FRAGILE {name}: {f}")
