@@ -140,6 +140,23 @@ object Profile {
       |  ), 1, 15))::UBIGINT AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
       |FROM lineitem""".stripMargin
 
+  /** Order-independent whole-table content digest — [[checksumQ]]'s
+    * integrity primitive generalized to ANY table: per-row 60-bit md5
+    * of the row's canonical JSON encoding (`to_json(struct(*))` — type-
+    * generic, deterministic for a fixed Spark version), summed as exact
+    * DECIMAL(38,0). Any value change anywhere flips the digest with
+    * probability 1 − 2⁻⁶⁰; row order and partitioning never do. Backs
+    * the testdata VALUE canary (TablesSpec): a silent driver
+    * regeneration of a fixture table is reported as DATA drift by name,
+    * instead of surfacing as unexplained oracle mismatches. */
+  def contentDigest(df: org.apache.spark.sql.DataFrame): String = {
+    val rowJson = to_json(struct(df.columns.map(col).toIndexedSeq: _*))
+    df.select(Hashing.md5Long60(rowJson).as("h"))
+      .agg(coalesce(sum(col("h").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("d"))
+      .head.getDecimal(0).toPlainString
+  }
+
   /** Equal-frequency (quantile) binning — feature discretization /
     * stratum construction: per-group quartile boundaries of a value
     * column, then every row assigned its bin by comparison against the

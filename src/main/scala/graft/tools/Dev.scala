@@ -55,6 +55,12 @@ object Dev {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"/tmp/graft_dump/${args(1)}")
         println(s"DUMPED /tmp/graft_dump/${args(1)}")
+      case "digests" =>
+        // value-level content digest per testdata table (the canary pins)
+        graft.Tables.names.foreach { n =>
+          val d = graft.ops.Profile.contentDigest(graft.Tables.t(spark, dir, n))
+          println(s"$n $d")
+        }
       case "lint" =>
         // output-path FP-parity lint (see Lint.scala): flag any query
         // whose final output region rounds a double and casts it to

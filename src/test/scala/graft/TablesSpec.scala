@@ -127,4 +127,31 @@ class TablesSpec extends AnyFunSuite with SparkSpec {
         s"$t.$c: expected a timestamp family type, got $dt")
     }
   }
+
+  /** VALUE canary (VERDICT r8 item 5), one level below the type canary:
+    * order-independent content digest of every sf0.001 table, pinned.
+    * A silent driver regeneration of the testdata now fails HERE with
+    * the table's name — DATA drift — instead of surfacing as
+    * unexplained oracle-hash mismatches attributed to code. Re-pin via
+    * `tools/run.sh graft.tools.Dev digests _ /root/testdata/sf0.001`
+    * after any ANNOUNCED testdata change (see TESTDATA.md). */
+  test("testdata canary: value-level content digests match the pinned fixture") {
+    val pinned = Map(
+      "region" -> "2736012084528620336",
+      "nation" -> "15886338548276458280",
+      "customer" -> "90326776359651293012",
+      "supplier" -> "5985731969539773853",
+      "part" -> "110527778413955420539",
+      "orders" -> "867174293061980389809",
+      "lineitem" -> "3446147368182980098735",
+      "events" -> "564779384670430261451",
+      "documents" -> "289223408762260790844",
+      "embeddings" -> "297593812458808418889")
+    val drift = Tables.names.flatMap { n =>
+      val got = graft.ops.Profile.contentDigest(Tables.t(spark, sfDir, n))
+      if (got == pinned(n)) None else Some(s"$n: digest $got != pinned ${pinned(n)}")
+    }
+    assert(drift.isEmpty,
+      s"TESTDATA VALUE DRIFT (regenerated fixture?):\n${drift.mkString("\n")}")
+  }
 }
