@@ -363,13 +363,71 @@ object Multimodal {
       |    // (8000 + (doc_id % 5) * 2000) AS BIGINT) AS duration_ms
       |FROM documents WHERE doc_id % 4 = 2 ORDER BY doc_id LIMIT 300""".stripMargin
 
+  /** Deterministic planted PNG per sampled doc: solid-color
+    * `(8 + id%13) × (8 + id%11)` image, RGB derived from doc_id —
+    * real codec bytes via the JDK encoder, shared by [[decodeQ]] and
+    * the decode specs. */
+  private[ops] def plantedPngs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").filter($"doc_id" % 20 === 1)
+      .select($"doc_id".as[Long])
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 13).toInt
+        val h = (8 + id % 11).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(((id * 37) % 256).toInt,
+          ((id * 59) % 256).toInt, ((id * 83) % 256).toInt))
+        g.fillRect(0, 0, w, h)
+        g.dispose()
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        (id, buf.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** q_multimodal_decode entry: REAL image decode, oracle-verified —
+    * the round-trip proof that [[extractFeatures]]'s decode path runs
+    * an actual codec, not header math. The fixture plants a genuine
+    * PNG per sampled doc (JDK `ImageIO` encoder, dimensions and color
+    * pure functions of doc_id), the query decodes the binary back
+    * through [[extractFeatures]], and the oracle recomputes the
+    * expected width/height/channels ARITHMETICALLY from doc_id without
+    * touching binary — a decoder that misreads any dimension field or
+    * fails to decode diverges immediately. Solid-color mean-luma
+    * recovery is pinned in the spec (the oracle cannot assert doubles
+    * from a codec). Scale shape: narrow 1:1 mapPartitions encode +
+    * decode over a pruned doc_id scan — no shuffle, each task decodes
+    * its own rows. */
+  def decodeQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(plantedPngs(s, dir)).toDF()
+      .select($"doc_id",
+        $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
+        $"channels".cast("long").as("n_channels"),
+        $"decoded".cast("long").as("decoded"))
+      .orderBy($"doc_id")
+  }
+
+  val decodeSql: String =
+    """SELECT doc_id,
+      |  CAST(8 + doc_id % 13 AS BIGINT) AS width,
+      |  CAST(8 + doc_id % 11 AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS n_channels,
+      |  CAST(1 AS BIGINT) AS decoded
+      |FROM documents WHERE doc_id % 20 = 1 ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal" -> multimodal,
     "q_multimodal_wav" -> wavQ,
-    "q_multimodal_sniff" -> sniffQ)
+    "q_multimodal_sniff" -> sniffQ,
+    "q_multimodal_decode" -> decodeQ)
 
   def oracle: Map[String, String] = Map(
     "q_multimodal" -> multimodalSql,
     "q_multimodal_wav" -> wavSql,
-    "q_multimodal_sniff" -> sniffSql)
+    "q_multimodal_sniff" -> sniffSql,
+    "q_multimodal_decode" -> decodeSql)
 }

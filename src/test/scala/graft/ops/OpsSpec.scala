@@ -392,6 +392,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("multimodal decodeQ fixture: solid-color luma recovered exactly from the codec round-trip") {
+    import spark.implicits._
+    // the oracle pins width/height/channels; mean_luma is the one field
+    // it cannot assert (a double out of a codec), so pin it here: a
+    // solid-color PNG is lossless, so the decoded per-pixel luma is the
+    // planted color's BT.601 luma to accumulation error
+    val feats = Multimodal.extractFeatures(
+      Multimodal.plantedPngs(spark, sfDir)).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { m =>
+      assert(m.decoded && m.channels == 3)
+      val id = m.doc_id
+      val (r, g, b) = (((id * 37) % 256).toInt, ((id * 59) % 256).toInt,
+        ((id * 83) % 256).toInt)
+      val want = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+      assert(math.abs(m.mean_luma - want) < 1e-9,
+        s"doc $id: luma ${m.mean_luma} != planted $want")
+      assert(m.width == 8 + id % 13 && m.height == 8 + id % 11)
+    }
+  }
+
   /** Encode a real PNG in-test (ImageIO, pure JDK) with pinned pixels. */
   private def pngBytes(pixels: Array[Array[Int]]): Array[Byte] = {
     val h = pixels.length
