@@ -46,6 +46,7 @@ object SparkEntry {
     graft.ops.Colloc.queries ++
     graft.ops.Curate.queries ++
     graft.ops.Dedup.queries ++
+    graft.ops.SpanRemoval.queries ++
     graft.ops.Drift.queries ++
     graft.ops.Fuzzy.queries ++
     graft.ops.Graph.queries ++
@@ -86,6 +87,7 @@ object SparkEntry {
     graft.ops.Colloc.oracle ++
     graft.ops.Curate.oracle ++
     graft.ops.Dedup.oracle ++
+    graft.ops.SpanRemoval.oracle ++
     graft.ops.Drift.oracle ++
     graft.ops.Fuzzy.oracle ++
     graft.ops.Graph.oracle ++

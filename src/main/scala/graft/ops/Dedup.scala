@@ -40,7 +40,7 @@ object Dedup {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(shinglesExpr).as("sh"))
 
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private[ops] def shingled(s: SparkSession, dir: String): DataFrame =
     shingleSets(t(s, dir, "documents"))
 
   private[ops] val shingledSql =
@@ -342,6 +342,12 @@ object Dedup {
   /** The ids removed by near-dedup (larger id of each verified pair) —
     * rides [[PairArtifact]]; shared by [[dropNearDuplicates]] and the
     * [[Curate]] funnel. */
+  /** The once-per-JVM verified near-dup pair artifact, for sibling
+    * operators that consume the pair list (sensitivity tuning, canonical
+    * selection) without re-running the LSH pipeline. */
+  private[ops] def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    PairArtifact.pairs(s, dir)
+
   private[ops] def nearDupLosers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     PairArtifact.pairs(s, dir).select($"doc_b".as("doc_id")).distinct()
