@@ -47,6 +47,7 @@ object SparkEntry {
     graft.ops.Curate.queries ++
     graft.ops.Dedup.queries ++
     graft.ops.SpanRemoval.queries ++
+    graft.ops.MinHashTune.queries ++
     graft.ops.Drift.queries ++
     graft.ops.Fuzzy.queries ++
     graft.ops.Graph.queries ++
@@ -88,6 +89,7 @@ object SparkEntry {
     graft.ops.Curate.oracle ++
     graft.ops.Dedup.oracle ++
     graft.ops.SpanRemoval.oracle ++
+    graft.ops.MinHashTune.oracle ++
     graft.ops.Drift.oracle ++
     graft.ops.Fuzzy.oracle ++
     graft.ops.Graph.oracle ++

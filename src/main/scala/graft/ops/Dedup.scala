@@ -339,15 +339,15 @@ object Dedup {
     * this corpus's groups are cliques) that keeps exactly the minimum
     * per group. Distributed shape: the pair list is tiny relative to
     * the corpus, so the anti-join broadcasts it. */
-  /** The ids removed by near-dedup (larger id of each verified pair) —
-    * rides [[PairArtifact]]; shared by [[dropNearDuplicates]] and the
-    * [[Curate]] funnel. */
   /** The once-per-JVM verified near-dup pair artifact, for sibling
     * operators that consume the pair list (sensitivity tuning, canonical
     * selection) without re-running the LSH pipeline. */
   private[ops] def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     PairArtifact.pairs(s, dir)
 
+  /** The ids removed by near-dedup (larger id of each verified pair) —
+    * rides [[PairArtifact]]; shared by [[dropNearDuplicates]] and the
+    * [[Curate]] funnel. */
   private[ops] def nearDupLosers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     PairArtifact.pairs(s, dir).select($"doc_b".as("doc_id")).distinct()
