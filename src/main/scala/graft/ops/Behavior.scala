@@ -275,15 +275,72 @@ object Behavior {
       |FROM carried WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_survival_km entry: the Kaplan–Meier life table over user
+    * LIFETIMES (days between a user's first and last event) — per
+    * distinct lifetime t: the risk set (users surviving ≥ t), the
+    * events (users ending exactly at t), and the discrete hazard
+    * d/n in basis points. These are the exact ingredients of the KM
+    * estimator S(t) = Π(1 − d_i/n_i); the product itself is a
+    * client-side fold over this tiny table, kept OUT of the output so
+    * the contract stays pure integer (the driver-hash lesson: a
+    * cumulative double product is the least portable expression there
+    * is). Every user is uncensored here (the fixture window closed),
+    * the standard complete-data special case.
+    *
+    * Scale: lifetimes are one combinable groupBy(user); the life table
+    * is one groupBy(lifetime) plus a cumulative window over DISTINCT
+    * lifetime values — calendar-bounded (≤ observation window in
+    * days), never user-bounded, so the single-task window holds at any
+    * corpus size. */
+  def survivalQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val life = t(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("tus"))
+      .groupBy($"user_id")
+      .agg(expr("(max(tus) - min(tus)) div 86400000000").as("lifetime_days"))
+    val byT = life.groupBy($"lifetime_days").agg(count(lit(1)).as("n_end"))
+    val wCum = Window.orderBy($"lifetime_days")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(lit(0))
+    byT
+      .withColumn("n_risk",
+        sum($"n_end").over(wAll) - coalesce(sum($"n_end").over(wCum), lit(0L)))
+      .select($"lifetime_days", $"n_risk", $"n_end",
+        expr("(10000 * n_end) div n_risk").as("hazard_bp"))
+      .orderBy($"lifetime_days")
+  }
+
+  val survivalSql: String =
+    """WITH life AS (
+      |  SELECT user_id,
+      |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000
+      |      AS lifetime_days
+      |  FROM events GROUP BY user_id),
+      |tab AS (
+      |  SELECT lifetime_days, COUNT(*) AS n_end FROM life GROUP BY 1),
+      |km AS (
+      |  SELECT lifetime_days, n_end,
+      |    CAST(SUM(n_end) OVER () AS BIGINT)
+      |      - CAST(COALESCE(SUM(n_end) OVER (ORDER BY lifetime_days
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS BIGINT) AS n_risk
+      |  FROM tab)
+      |SELECT lifetime_days, n_risk, CAST(n_end AS BIGINT) AS n_end,
+      |  (10000 * n_end) // n_risk AS hazard_bp
+      |FROM km ORDER BY lifetime_days""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_retention" -> retentionQ,
     "q_seq_transitions" -> transitionsQ,
     "q_rfm_segments" -> rfmQ,
-    "q_attribution" -> attributionQ)
+    "q_attribution" -> attributionQ,
+    "q_survival_km" -> survivalQ)
 
   def oracle: Map[String, String] = Map(
     "q_cohort_retention" -> retentionSql,
     "q_seq_transitions" -> transitionsSql,
     "q_rfm_segments" -> rfmSql,
-    "q_attribution" -> attributionSql)
+    "q_attribution" -> attributionSql,
+    "q_survival_km" -> survivalSql)
 }

@@ -113,11 +113,78 @@ object Curate {
       |  ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q_curate_canonical entry: canonical-document selection — the
+    * retention policy that turns duplicate CLUSTERS into a keep list.
+    * [[Dedup.dropNearDuplicates]]'s min-id policy is the cheap default;
+    * real curation keeps the BEST copy of each duplicated passage
+    * (crawls truncate, mirrors strip markup), and "best" here is the
+    * standard longest-copy heuristic: max n_chars, doc_id as the
+    * deterministic tiebreak. One row per non-singleton cluster: the
+    * representative, the kept doc, member count, kept/dropped chars.
+    *
+    * Distributed shape: clusters come from the checkpointed label
+    * propagation over the once-per-JVM pair artifact (graph of verified
+    * near-dups — tiny relative to the corpus), document lengths join in
+    * by id, and the per-cluster argmax is ONE map-side-combinable
+    * aggregate — `max(struct(n_chars, -doc_id))` packs the whole
+    * keep-policy into a comparable struct, so no window sort and no
+    * second shuffle. Corpus text never moves. */
+  def canonicalQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = Dedup.duplicateClusters(Dedup.verifiedPairs(s, dir))
+      .select($"id".as("doc_id"), $"label".as("cluster_id"))
+    val sized = labels.join(
+      t(s, dir, "documents").select($"doc_id", $"n_chars"), Seq("doc_id"))
+    sized
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum($"n_chars").as("total_chars"),
+        max(struct($"n_chars", (-$"doc_id").as("neg_id"))).as("best"))
+      .select($"cluster_id", (-$"best.neg_id").as("keep_id"),
+        $"n_members", $"best.n_chars".as("kept_chars"),
+        ($"total_chars" - $"best.n_chars").as("dropped_chars"))
+      .orderBy($"cluster_id")
+  }
+
+  /** Oracle twin: reachability clusters via the recursive walk (same
+    * shape as [[Dedup.clustersSql]]), argmax via a window. */
+  val canonicalSql: String =
+    s"""${Dedup.shingledSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+      |  WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / LEN(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |walk(id, r) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.r = e.src),
+      |labels AS (
+      |  SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id
+      |  FROM walk GROUP BY id),
+      |sized AS (
+      |  SELECT l.cluster_id, l.doc_id, d.n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+      |      ORDER BY d.n_chars DESC, l.doc_id) AS rk
+      |  FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+      |SELECT cluster_id,
+      |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS kept_chars,
+      |  CAST(SUM(n_chars) - MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+      |    AS dropped_chars
+      |FROM sized GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_curate" -> curateQ,
-    "q_tokenize_coverage" -> tokenizeCoverageQ)
+    "q_tokenize_coverage" -> tokenizeCoverageQ,
+    "q_curate_canonical" -> canonicalQ)
 
   def oracle: Map[String, String] = Map(
     "q_pipeline_curate" -> curateSql,
-    "q_tokenize_coverage" -> tokenizeCoverageSql)
+    "q_tokenize_coverage" -> tokenizeCoverageSql,
+    "q_curate_canonical" -> canonicalSql)
 }

@@ -186,13 +186,47 @@ object Fuzzy {
       |FROM c WHERE nxt IS NOT NULL
       |ORDER BY name, nxt LIMIT 500""".stripMargin
 
+  /** q_fuzzy_edit entry: the full Levenshtein similarity matrix over the
+    * DISTINCT part-name vocabulary, capped at edit distance 4 — the
+    * variant-spelling audit a catalog/entity pipeline runs over its
+    * value domain ("cold widget" vs "cold bracket"): which vocabulary
+    * entries are near-misses of each other, and how near.
+    *
+    * Scale contract: the grid is VOCABULARY-bounded (distinct names,
+    * Heaps-sublinear in corpus size), never row-bounded — the distinct
+    * set broadcasts and the all-pairs compare is |V|² scorer calls, the
+    * deliberate complement to [[sortedNeighborsQ]]'s blocking (which
+    * scales to row-sized domains but only sees adjacent candidates).
+    * Spark's codegen `levenshtein` vs DuckDB's builtin — same DP, same
+    * unit costs, exact integer output. */
+  def editMatrixQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = t(s, dir, "part").select($"p_name".as("name")).distinct()
+    names.as("a")
+      .join(broadcast(names.as("b")), $"a.name" < $"b.name")
+      .select($"a.name".as("name_a"), $"b.name".as("name_b"),
+        levenshtein($"a.name", $"b.name").cast("long").as("lev"))
+      .filter($"lev" <= 4)
+      .orderBy($"name_a", $"name_b")
+  }
+
+  val editMatrixSql: String =
+    """WITH v AS (SELECT DISTINCT p_name AS name FROM part)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+      |FROM v a JOIN v b ON a.name < b.name
+      |WHERE levenshtein(a.name, b.name) <= 4
+      |ORDER BY name_a, name_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_vocab" -> fuzzyVocabQ,
     "q_fuzzy_neighbors" -> sortedNeighborsQ,
-    "q_fuzzy_jw" -> jaroWinklerQ)
+    "q_fuzzy_jw" -> jaroWinklerQ,
+    "q_fuzzy_edit" -> editMatrixQ)
 
   def oracle: Map[String, String] = Map(
     "q_fuzzy_vocab" -> fuzzyVocabSql,
     "q_fuzzy_neighbors" -> sortedNeighborsSql,
-    "q_fuzzy_jw" -> jaroWinklerSql)
+    "q_fuzzy_jw" -> jaroWinklerSql,
+    "q_fuzzy_edit" -> editMatrixSql)
 }

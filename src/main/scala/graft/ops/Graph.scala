@@ -296,13 +296,93 @@ object Graph {
        |ORDER BY pagerank DESC, nation""".stripMargin
   }
 
+  /** q_graph_neighbor_sim entry: node-pair similarity by out-neighbor
+    * overlap — for every nation pair, the Jaccard of their STRONG
+    * trading-partner sets (basis points, integer division). "Which
+    * entities behave alike in the interaction graph" is the graph-side
+    * twin of embedding similarity — the entity-resolution /
+    * substitute-detection primitive — and on a near-complete graph it
+    * is only informative after sparsification, so edges first pass a
+    * p75 weight threshold (exact order-statistic SELECTION over the
+    * |V|²-bounded edge list, the [[Profile.percentileDiscQ]] idiom).
+    *
+    * Scale: everything after the edge build is |V|²-bounded (the edge
+    * list, the threshold window, the dst-keyed common-neighbor join,
+    * the node-pair grid) — node-COUNT-bounded work, independent of
+    * corpus rows; the one unbounded pass is the shared [[tradeEdges]]
+    * build every graph query amortizes. The pair grid is a broadcast
+    * NLJ by construction (25 nodes), whitelisted in the plan audit. */
+  def neighborSimQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
+    val wAll = Window.partitionBy(lit(0))
+    val thr = edges
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"w", $"src", $"dst")))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter($"rn" === expr("(75 * n + 99) div 100"))
+      .select($"w".as("thr"))
+    val strong = edges.join(broadcast(thr), $"w" >= $"thr")
+      .select($"src", $"dst")
+    val deg = strong.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val common = strong.as("a").join(strong.as("b"),
+        $"a.dst" === $"b.dst" && $"a.src" < $"b.src")
+      .groupBy($"a.src".as("na"), $"b.src".as("nb"))
+      .agg(count(lit(1)).as("n_common"))
+    deg.as("x")
+      .join(broadcast(deg.as("y")), $"x.src" < $"y.src")
+      .select($"x.src".as("nation_a"), $"y.src".as("nation_b"),
+        $"x.deg".as("deg_a"), $"y.deg".as("deg_b"))
+      .join(common,
+        $"nation_a" === $"na" && $"nation_b" === $"nb", "left")
+      .withColumn("n_common", coalesce($"n_common", lit(0L)))
+      .select($"nation_a", $"nation_b", $"deg_a", $"deg_b", $"n_common",
+        expr("(10000 * n_common) div (deg_a + deg_b - n_common)")
+          .as("jaccard_bp"))
+      .orderBy($"nation_a", $"nation_b")
+  }
+
+  val neighborSimSql: String =
+    """WITH edges AS (
+      |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT w, row_number() OVER (ORDER BY w, src, dst) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM edges),
+      |thr AS (SELECT w AS thr FROM rk WHERE rn = (75 * n + 99) // 100),
+      |strong AS (SELECT src, dst FROM edges, thr WHERE w >= thr),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM strong GROUP BY src),
+      |com AS (
+      |  SELECT a.src AS na, b.src AS nb, COUNT(*) AS n_common
+      |  FROM strong a JOIN strong b
+      |    ON a.dst = b.dst AND a.src < b.src
+      |  GROUP BY 1, 2)
+      |SELECT x.src AS nation_a, y.src AS nation_b,
+      |  CAST(x.deg AS BIGINT) AS deg_a, CAST(y.deg AS BIGINT) AS deg_b,
+      |  CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+      |  (10000 * COALESCE(c.n_common, 0))
+      |    // (x.deg + y.deg - COALESCE(c.n_common, 0)) AS jaccard_bp
+      |FROM deg x JOIN deg y ON x.src < y.src
+      |LEFT JOIN com c ON c.na = x.src AND c.nb = y.src
+      |ORDER BY nation_a, nation_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> pagerankQ,
     "q_graph_triangles" -> trianglesQ,
-    "q_graph_reciprocity" -> reciprocityQ)
+    "q_graph_reciprocity" -> reciprocityQ,
+    "q_graph_neighbor_sim" -> neighborSimQ)
 
   def oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankSql,
     "q_graph_triangles" -> trianglesSql,
-    "q_graph_reciprocity" -> reciprocitySql)
+    "q_graph_reciprocity" -> reciprocitySql,
+    "q_graph_neighbor_sim" -> neighborSimSql)
 }

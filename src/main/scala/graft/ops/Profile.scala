@@ -543,7 +543,57 @@ object Profile {
       |    AS theil_within
       |FROM terms GROUP BY n, mu""".stripMargin
 
+  /** q_agg_percentile_disc entry: EXACT discrete percentiles (p25 /
+    * p50 / p75 / p90 of `l_quantity`) per return flag — percentile_disc
+    * semantics, i.e. the smallest data value whose cumulative rank
+    * reaches p. The exact companion to `q_agg_approx_quantiles`: the
+    * approx sketch is the 100 TB default, but calibration and spot
+    * audits need the true order statistic, and SELECTION is the one
+    * percentile definition two engines can agree on byte-for-byte even
+    * over doubles (no interpolation arithmetic — the value at row
+    * ceil(p·n/100) is emitted verbatim from storage).
+    *
+    * Scale: one exchange keyed on the group serves the rank window and
+    * the final aggregate; the target-row positions are pure integer
+    * expressions of the per-group count, folded into conditional MAXes
+    * so no second pass and no collect. Groups are domain-bounded (3
+    * return flags); within-group sort is the unavoidable cost of exact
+    * order statistics (that's WHY the approx twin exists). */
+  def percentileDiscQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val byG = Window.partitionBy($"g").orderBy($"v")
+    val all = Window.partitionBy($"g")
+    val ranked = t(s, dir, "lineitem")
+      .select($"l_returnflag".as("g"), $"l_quantity".as("v"))
+      .withColumn("rn", row_number().over(byG))
+      .withColumn("n", count(lit(1)).over(all))
+    ranked
+      .groupBy($"g")
+      .agg(max($"n").as("n_rows"),
+        max(when($"rn" === expr("(25 * n + 99) div 100"), $"v")).as("p25"),
+        max(when($"rn" === expr("(50 * n + 99) div 100"), $"v")).as("p50"),
+        max(when($"rn" === expr("(75 * n + 99) div 100"), $"v")).as("p75"),
+        max(when($"rn" === expr("(90 * n + 99) div 100"), $"v")).as("p90"))
+      .orderBy($"g")
+  }
+
+  val percentileDiscSql: String =
+    """WITH r AS (
+      |  SELECT l_returnflag AS g, l_quantity AS v,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT g, CAST(MAX(n) AS BIGINT) AS n_rows,
+      |  MAX(CASE WHEN rn = (25 * n + 99) // 100 THEN v END) AS p25,
+      |  MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS p50,
+      |  MAX(CASE WHEN rn = (75 * n + 99) // 100 THEN v END) AS p75,
+      |  MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS p90
+      |FROM r GROUP BY g ORDER BY g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_percentile_disc" -> percentileDiscQ,
     "q_profile_corr" -> corrQ,
     "q_profile_theil" -> theilQ,
     "q_profile_gini" -> giniQ,
@@ -555,6 +605,7 @@ object Profile {
     "q_profile_mad" -> madQ)
 
   def oracle: Map[String, String] = Map(
+    "q_agg_percentile_disc" -> percentileDiscSql,
     "q_profile_corr" -> corrSql,
     "q_profile_theil" -> theilSql,
     "q_profile_gini" -> giniSql,

@@ -491,7 +491,88 @@ object Stats {
        |FROM m""".stripMargin
   }
 
+  /** q_stat_spearman entry: Spearman rank correlation between
+    * `l_quantity` and `l_discount` per return flag — the monotone-
+    * association test (Pearson on RANKS), the robust choice when a
+    * pipeline asks "does metric A track metric B?" on long-tailed
+    * columns. Both columns are heavily tied, so this is the
+    * tie-correct form: Pearson over AVERAGE ranks, not the 6Σd²
+    * shortcut (which is only valid tie-free).
+    *
+    * Exactness: average ranks are half-integers, so CENTERED DOUBLED
+    * ranks c = 2·rank − (n+1) = 2·(count below) + (count equal) − n
+    * are pure integers with Σc = 0 by construction; Σc_x c_y, Σc_x²,
+    * Σc_y² are exact BIGINTs (|c| < n keeps them under n³ « 2⁶³), and
+    * rho = S_xy / √S_xx / √S_yy is three correctly-rounded IEEE ops on
+    * identical integers — deterministic cross-engine, emitted at 6 dp
+    * alongside the exact ingredient sums.
+    *
+    * Scale: rank tables collapse to per-distinct-value counts first
+    * (combinable; value-bounded for both columns), cumulate in a tiny
+    * per-group window, and BROADCAST back onto the fact rows — the
+    * 600k-row side never sorts globally. One combinable aggregate
+    * finishes. */
+  def spearmanQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val rows = t(s, dir, "lineitem")
+      .select($"l_returnflag".as("g"), $"l_quantity".as("x"),
+        $"l_discount".as("y"))
+    // centered doubled average-ranks per distinct value of `c`
+    def centered(src: DataFrame, v: String, out: String): DataFrame = {
+      val byV = Window.partitionBy(col("g")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val all = Window.partitionBy(col("g"))
+      src.groupBy(col("g"), col(v)).agg(count(lit(1)).as("cnt"))
+        .withColumn("before", coalesce(sum($"cnt").over(byV), lit(0L)))
+        .withColumn("n", sum($"cnt").over(all))
+        .select(col("g"), col(v),
+          ($"before" * 2 + $"cnt" - $"n").as(out))
+    }
+    rows
+      .join(broadcast(centered(rows, "x", "cx")), Seq("g", "x"))
+      .join(broadcast(centered(rows, "y", "cy")), Seq("g", "y"))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"),
+        sum($"cx" * $"cy").as("s_xy"),
+        sum($"cx" * $"cx").as("s_xx"),
+        sum($"cy" * $"cy").as("s_yy"))
+      .select($"g", $"n", $"s_xy", $"s_xx", $"s_yy",
+        round($"s_xy".cast("double") / sqrt($"s_xx".cast("double"))
+          / sqrt($"s_yy".cast("double")), 6).as("rho"))
+      .orderBy($"g")
+  }
+
+  val spearmanSql: String = {
+    def centered(v: String, out: String): String =
+      s"""SELECT g, $v,
+         |    2 * CAST(COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY $v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT)
+         |    + cnt - CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS $out
+         |  FROM (SELECT g, $v, COUNT(*) AS cnt FROM rows GROUP BY g, $v)"""
+        .stripMargin
+    s"""WITH rows AS (
+      |  SELECT l_returnflag AS g, l_quantity AS x, l_discount AS y
+      |  FROM lineitem),
+      |rx AS (${centered("x", "cx")}),
+      |ry AS (${centered("y", "cy")}),
+      |j AS (
+      |  SELECT r.g, rx.cx, ry.cy
+      |  FROM rows r
+      |  JOIN rx ON r.g = rx.g AND r.x = rx.x
+      |  JOIN ry ON r.g = ry.g AND r.y = ry.y)
+      |SELECT g, COUNT(*) AS n,
+      |  CAST(SUM(cx * cy) AS BIGINT) AS s_xy,
+      |  CAST(SUM(cx * cx) AS BIGINT) AS s_xx,
+      |  CAST(SUM(cy * cy) AS BIGINT) AS s_yy,
+      |  ROUND(CAST(SUM(cx * cy) AS DOUBLE) / sqrt(CAST(SUM(cx * cx) AS DOUBLE))
+      |    / sqrt(CAST(SUM(cy * cy) AS DOUBLE)), 6) AS rho
+      |FROM j GROUP BY g ORDER BY g""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_spearman" -> spearmanQ,
     "q_stat_chi2" -> chi2Q,
     "q_profile_benford" -> benfordQ,
     "q_stat_mannwhitney" -> mannWhitneyQ,
@@ -501,6 +582,7 @@ object Stats {
     "q_ts_acf" -> acfQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_spearman" -> spearmanSql,
     "q_stat_chi2" -> chi2Sql,
     "q_profile_benford" -> benfordSql,
     "q_stat_mannwhitney" -> mannWhitneySql,

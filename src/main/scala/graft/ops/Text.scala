@@ -1233,7 +1233,53 @@ object Text {
       |  CAST(COUNT(DISTINCT md5(nfc_normalize(text))) AS BIGINT) AS n_distinct
       |FROM documents""".stripMargin
 
+  /** q_text_readability entry: readability-style surface statistics per
+    * document — sentence count (runs of [.!?]), word count, and a
+    * syllable ESTIMATE (runs of vowels incl. y; the standard cheap
+    * heuristic behind Flesch-family scores). The composite indices
+    * divide these three integers, so the emitted contract is the
+    * integers plus the two ratios as basis points (pure integer
+    * division — any Flesch variant is an affine map of them the caller
+    * applies client-side; keeping floats out of the output is the
+    * driver-hash lesson of rounds 6-8).
+    *
+    * Scale: three `regexp_extract_all` counts inside one projection —
+    * map-only, no shuffle, text never leaves the scan task. */
+  def readabilityQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", lower($"text").as("txt"))
+      .select($"doc_id",
+        greatest(expr("size(regexp_extract_all(txt, '[.!?]+', 0))"), lit(1))
+          .cast("long").as("n_sents"),
+        expr("size(regexp_extract_all(txt, '[a-z0-9]+', 0))")
+          .cast("long").as("n_words"),
+        expr("size(regexp_extract_all(txt, '[aeiouy]+', 0))")
+          .cast("long").as("n_syllables"))
+      .filter($"n_words" > 0)
+      .withColumn("words_per_sent_bp", expr("(10000 * n_words) div n_sents"))
+      .withColumn("syll_per_word_bp", expr("(10000 * n_syllables) div n_words"))
+      .orderBy($"doc_id")
+  }
+
+  val readabilitySql: String =
+    """WITH d AS (SELECT doc_id, lower(text) AS txt FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(greatest(len(regexp_extract_all(txt, '[.!?]+')), 1) AS BIGINT)
+      |      AS n_sents,
+      |    CAST(len(regexp_extract_all(txt, '[a-z0-9]+')) AS BIGINT)
+      |      AS n_words,
+      |    CAST(len(regexp_extract_all(txt, '[aeiouy]+')) AS BIGINT)
+      |      AS n_syllables
+      |  FROM d)
+      |SELECT doc_id, n_sents, n_words, n_syllables,
+      |  (10000 * n_words) // n_sents AS words_per_sent_bp,
+      |  (10000 * n_syllables) // n_words AS syll_per_word_bp
+      |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_readability" -> readabilityQ,
     "q_text_zipf" -> zipfQ,
     "q_text_nfc" -> nfcQ,
     "q_langid_confusion" -> confusionQ,
@@ -1263,6 +1309,7 @@ object Text {
     "q_pack_buckets" -> packBucketsQ)
 
   def oracle: Map[String, String] = Map(
+    "q_text_readability" -> readabilitySql,
     "q_text_zipf" -> zipfSql,
     "q_text_nfc" -> nfcSql,
     "q_langid_confusion" -> confusionSql,

@@ -392,13 +392,79 @@ object TimeSeries {
       |  ROUND(CAST(n AS DOUBLE) / tot, 6) AS share
       |FROM c, t ORDER BY iso_dow, hour""".stripMargin
 
+  /** q_ts_interarrival entry: per-user inter-event gap profile — event
+    * count, gap count, and the min / median / mean / max gap in
+    * MICROSECONDS. Interarrival structure is the load model behind
+    * capacity planning and the bot-vs-human signal behind traffic
+    * triage (metronomic medians = automation), and gaps in µs are pure
+    * integers, so the whole profile is exact: mean is integer division,
+    * median is percentile-disc row SELECTION (value at row
+    * ceil(n/2) in gap order) — no FP anywhere.
+    *
+    * Scale: one shuffle keyed on user_id serves both windows (lag for
+    * gaps, ranked selection over gaps); per-user state is the gap list,
+    * bounded by that user's events, and the output is one row per user.
+    * Ordering within ties pins (ts, event_id) so re-runs are stable. */
+  def interarrivalQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val gaps = t(s, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"))
+      .withColumn("gap_us", $"tus" - lag($"tus", 1).over(byUser))
+    // rank gaps per user; the same exchange's data, second sort only.
+    // NULLS LAST on both engines so the first event's null gap ranks
+    // after every real gap and non-null ranks are 1..n unshifted.
+    val byGap = Window.partitionBy($"user_id")
+      .orderBy($"gap_us".asc_nulls_last, $"event_id")
+    val cntW = Window.partitionBy($"user_id")
+    gaps
+      .withColumn("rk", when($"gap_us".isNotNull, row_number().over(byGap)))
+      .withColumn("ng", count($"gap_us").over(cntW))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count($"gap_us").as("n_gaps"),
+        min($"gap_us").as("min_gap_us"),
+        max(when($"rk" === expr("(ng + 1) div 2"), $"gap_us"))
+          .as("median_gap_us"),
+        expr("sum(gap_us) div count(gap_us)").as("mean_gap_us"),
+        max($"gap_us").as("max_gap_us"))
+      .filter($"n_gaps" > 0)
+      .orderBy($"user_id")
+  }
+
+  val interarrivalSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+      |g AS (
+      |  SELECT user_id, event_id, tus,
+      |    tus - lag(tus) OVER (PARTITION BY user_id
+      |      ORDER BY tus, event_id) AS gap_us
+      |  FROM e),
+      |r AS (
+      |  SELECT user_id, gap_us,
+      |    CASE WHEN gap_us IS NOT NULL THEN
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY gap_us NULLS LAST, event_id) END AS rk,
+      |    COUNT(gap_us) OVER (PARTITION BY user_id) AS ng
+      |  FROM g)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  COUNT(gap_us) AS n_gaps,
+      |  MIN(gap_us) AS min_gap_us,
+      |  MAX(CASE WHEN rk = (ng + 1) // 2 THEN gap_us END) AS median_gap_us,
+      |  CAST(SUM(gap_us) AS BIGINT) // COUNT(gap_us) AS mean_gap_us,
+      |  MAX(gap_us) AS max_gap_us
+      |FROM r GROUP BY user_id HAVING COUNT(gap_us) > 0
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_resample" -> resampleQ,
     "q_ts_ewma" -> ewmaQ,
     "q_ts_seasonal" -> seasonalQ,
     "q_ts_cusum" -> cusumQ,
     "q_ts_dow_profile" -> dowProfileQ,
-    "q_ts_trend" -> trendQ)
+    "q_ts_trend" -> trendQ,
+    "q_ts_interarrival" -> interarrivalQ)
 
   def oracle: Map[String, String] = Map(
     "q_ts_resample" -> resampleSql,
@@ -406,5 +472,6 @@ object TimeSeries {
     "q_ts_seasonal" -> seasonalSql,
     "q_ts_cusum" -> cusumSql,
     "q_ts_dow_profile" -> dowProfileSql,
-    "q_ts_trend" -> trendSql)
+    "q_ts_trend" -> trendSql,
+    "q_ts_interarrival" -> interarrivalSql)
 }

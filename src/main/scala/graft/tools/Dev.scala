@@ -125,7 +125,10 @@ object Dev {
           "q_similarity_topk" -> "bounded query-vector set",
           "q_similarity_ann" -> "bounded query-vector set",
           "q_similarity_ivf" -> "bounded query-vector set",
-          "q_similarity_ivf_search" -> "bounded query-vector set")
+          "q_similarity_ivf_search" -> "bounded query-vector set",
+          "q_fuzzy_edit" -> "vocabulary-bounded distinct-name grid",
+          "q_graph_neighbor_sim" ->
+            "1-row p75 threshold frame + 25-node nation pair grid")
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {
             val plan = fn(spark, dir).queryExecution.sparkPlan

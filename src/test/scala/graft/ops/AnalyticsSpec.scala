@@ -468,4 +468,94 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
         s"($a,$b): ${r.getAs[Double]("cosine")} vs $exp")
     }
   }
+
+  test("percentile disc: selection matches a driver-side sort and the ladder is ordered") {
+    import spark.implicits._
+    val rows = Profile.percentileDiscQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[String]("g")
+      val vs = graft.Tables.t(spark, sfDir, "lineitem")
+        .filter($"l_returnflag" === g).select($"l_quantity")
+        .collect().map(_.getDouble(0)).sorted
+      assert(r.getAs[Long]("n_rows") == vs.length)
+      def disc(p: Int): Double = vs((p * vs.length + 99) / 100 - 1)
+      assert(r.getAs[Double]("p25") == disc(25))
+      assert(r.getAs[Double]("p50") == disc(50))
+      assert(r.getAs[Double]("p75") == disc(75))
+      assert(r.getAs[Double]("p90") == disc(90))
+      assert(r.getAs[Double]("p25") <= r.getAs[Double]("p50"))
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p75"))
+      assert(r.getAs[Double]("p75") <= r.getAs[Double]("p90"))
+    }
+  }
+
+  test("interarrival: gap accounting is per-user consistent and bounded") {
+    val rows = TimeSeries.interarrivalQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_gaps") == r.getAs[Long]("n_events") - 1)
+      val mn = r.getAs[Long]("min_gap_us"); val md = r.getAs[Long]("median_gap_us")
+      val me = r.getAs[Long]("mean_gap_us"); val mx = r.getAs[Long]("max_gap_us")
+      assert(mn >= 0 && mn <= md && md <= mx)
+      assert(me >= mn && me <= mx)
+    }
+  }
+
+  test("edit matrix: pairs ordered, distances in (0, 4], consistent with a JVM Levenshtein") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = Fuzzy.editMatrixQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[String]("name_a"); val b = r.getAs[String]("name_b")
+      assert(a < b)
+      val d = r.getAs[Long]("lev")
+      assert(d > 0 && d <= 4)
+      assert(d == lev(a, b).toLong, s"($a,$b)")
+    }
+  }
+
+  test("neighbor sim: jaccard bounded by degree identities on every pair") {
+    val rows = Graph.neighborSimQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val da = r.getAs[Long]("deg_a"); val db = r.getAs[Long]("deg_b")
+      val c = r.getAs[Long]("n_common"); val j = r.getAs[Long]("jaccard_bp")
+      assert(c <= math.min(da, db))
+      assert(j >= 0 && j <= 10000)
+      // exact integer identity: bp = floor(10000*c/(da+db-c))
+      assert(j == 10000 * c / (da + db - c))
+    }
+  }
+
+  test("canonical selection: the kept doc maximizes n_chars within its cluster") {
+    import spark.implicits._
+    val canon = Curate.canonicalQ(spark, sfDir).collect()
+    assert(canon.nonEmpty)
+    val lens = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = Dedup.clustersQ(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    canon.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val keep = r.getAs[Long]("keep_id")
+      val members = clusters(cid)
+      assert(r.getAs[Long]("n_members") >= 2)
+      assert(members.contains(keep))
+      val best = members.map(m => (lens(m), -m)).max
+      assert(lens(keep) == best._1 && keep == -best._2)
+      assert(r.getAs[Long]("kept_chars") == lens(keep))
+      assert(r.getAs[Long]("dropped_chars") ==
+        members.map(lens).sum - lens(keep))
+    }
+  }
 }

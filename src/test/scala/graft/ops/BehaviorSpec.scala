@@ -147,4 +147,23 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
       assert(frac > 0.15 && frac < 0.35, s"r_score $s marginal $frac")
     }
   }
+
+  test("survival: life table conserves users, risk set telescopes, terminal hazard is certain") {
+    import spark.implicits._
+    val rows = Behavior.survivalQ(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("lifetime_days"))
+    assert(rows.nonEmpty)
+    val users = graft.Tables.t(spark, sfDir, "events")
+      .select($"user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_end")).sum == users)
+    assert(rows.head.getAs[Long]("n_risk") == users)
+    // n_risk(t_{i+1}) = n_risk(t_i) - n_end(t_i): everyone's uncensored
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_risk") ==
+        a.getAs[Long]("n_risk") - a.getAs[Long]("n_end"))
+    }
+    // at the last observed lifetime everyone still at risk ends there
+    assert(rows.last.getAs[Long]("hazard_bp") == 10000L)
+    rows.foreach(r => assert(r.getAs[Long]("hazard_bp") <= 10000L))
+  }
 }

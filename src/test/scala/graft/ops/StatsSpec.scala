@@ -196,4 +196,47 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(r.getAs[Double]("cusum_peak") - bestDev.toDouble / 720) < 1e-6)
     }
   }
+
+  test("spearman: centered-rank invariants hold and rho matches a naive per-row rank recompute") {
+    import spark.implicits._
+    val rows = Stats.spearmanQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val groups = graft.Tables.t(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val g = r.getAs[String]("g")
+      assert(r.getAs[Long]("n") == groups(g))
+      assert(r.getAs[Long]("s_xx") > 0 && r.getAs[Long]("s_yy") > 0)
+      assert(math.abs(r.getAs[Double]("rho")) <= 1.0)
+    }
+    // naive recompute for one group: average ranks, Pearson over them
+    val g0 = rows.head.getAs[String]("g")
+    val xy = graft.Tables.t(spark, sfDir, "lineitem")
+      .filter($"l_returnflag" === g0)
+      .select($"l_quantity", $"l_discount").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    def avgRanks(v: Array[Double]): Array[Double] = {
+      val sorted = v.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](v.length)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j + 1 < sorted.length && sorted(j + 1)._1 == sorted(i)._1) j += 1
+        val rank = (i + j + 2) / 2.0 // average of 1-based ranks i+1..j+1
+        (i to j).foreach(k => out(sorted(k)._2) = rank)
+        i = j + 1
+      }
+      out
+    }
+    val rx = avgRanks(xy.map(_._1)); val ry = avgRanks(xy.map(_._2))
+    val n = rx.length
+    val mx = rx.sum / n; val my = ry.sum / n
+    val sxy = rx.indices.map(i => (rx(i) - mx) * (ry(i) - my)).sum
+    val sxx = rx.map(v => (v - mx) * (v - mx)).sum
+    val syy = ry.map(v => (v - my) * (v - my)).sum
+    val expected = sxy / math.sqrt(sxx) / math.sqrt(syy)
+    val got = rows.find(_.getAs[String]("g") == g0).get.getAs[Double]("rho")
+    assert(math.abs(got - expected) < 1e-5, s"rho $got vs naive $expected")
+  }
 }
