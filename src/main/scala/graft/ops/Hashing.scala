@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * oracle (`('0x' || substr(md5(x), 1, 15))::UBIGINT::BIGINT`) — 64 bits
   * would overflow DuckDB's signed parse. Keep every derivation here so
   * the engine-equivalence contract lives in one place. */
-private[ops] object Hashing {
+private[graft] object Hashing {
 
   /** 60-bit non-negative md5-prefix hash of a column. */
   def md5Long60(c: Column): Column =

@@ -592,8 +592,48 @@ object Profile {
       |  MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS p90
       |FROM r GROUP BY g ORDER BY g""".stripMargin
 
+  /** q_agg_mode entry: exact per-group MODE (most frequent value,
+    * smallest-value tiebreak) of `l_quantity` per return flag plus its
+    * multiplicity and the share of the group it covers (basis points).
+    * The mode is the one central-tendency statistic SQL engines don't
+    * agree on a builtin for (and whose builtins tie-break
+    * nondeterministically) — this pins a deterministic contract.
+    *
+    * Scale: value-frequency table first (combinable groupBy, value-
+    * bounded), then the argmax packs into ONE comparable-struct MAX —
+    * `max(struct(cnt, -value))` — so the whole query is two combinable
+    * aggregates, no window, no second shuffle of fact rows. */
+  def modeQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val freq = t(s, dir, "lineitem")
+      .groupBy($"l_returnflag".as("g"), $"l_quantity".as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    freq
+      .groupBy($"g")
+      .agg(sum($"cnt").as("n_rows"),
+        max(struct($"cnt", (-$"v").as("nv"))).as("best"))
+      .select($"g", (-$"best.nv").as("mode_value"),
+        $"best.cnt".as("mode_n"), $"n_rows",
+        expr("(10000 * best.cnt) div n_rows").as("mode_share_bp"))
+      .orderBy($"g")
+  }
+
+  val modeSql: String =
+    """WITH f AS (
+      |  SELECT l_returnflag AS g, l_quantity AS v, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT g, v, cnt,
+      |    row_number() OVER (PARTITION BY g ORDER BY cnt DESC, v) AS rk,
+      |    CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n_rows
+      |  FROM f)
+      |SELECT g, v AS mode_value, cnt AS mode_n, n_rows,
+      |  (10000 * cnt) // n_rows AS mode_share_bp
+      |FROM r WHERE rk = 1 ORDER BY g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_percentile_disc" -> percentileDiscQ,
+    "q_agg_mode" -> modeQ,
     "q_profile_corr" -> corrQ,
     "q_profile_theil" -> theilQ,
     "q_profile_gini" -> giniQ,
@@ -606,6 +646,7 @@ object Profile {
 
   def oracle: Map[String, String] = Map(
     "q_agg_percentile_disc" -> percentileDiscSql,
+    "q_agg_mode" -> modeSql,
     "q_profile_corr" -> corrSql,
     "q_profile_theil" -> theilSql,
     "q_profile_gini" -> giniSql,

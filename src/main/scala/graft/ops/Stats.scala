@@ -571,8 +571,151 @@ object Stats {
       |FROM j GROUP BY g ORDER BY g""".stripMargin
   }
 
+  /** q_stat_ttest entry: Welch's unequal-variance t-test between the
+    * click and view cohorts' `value` distributions — the PARAMETRIC
+    * twin of [[mannWhitneyQ]] on the same two cohorts, so the suite
+    * demonstrates both halves of the standard two-sample toolkit on
+    * identical data. Welch (not pooled Student) because cohort
+    * variances are not assumed equal — the robust default.
+    *
+    * Exactness: per-cohort n, Σx, Σx² accumulate as DECIMAL(18,2)/
+    * DECIMAL(38,4) — order-independent merges; `value` is a 2-dp
+    * quantity ≤ ~10³, so the power sums stay far below 2⁵³ scaled
+    * units and the decimal→double casts are exact on both engines.
+    * t and the Welch–Satterthwaite df are then one fixed IEEE
+    * expression tree over identical doubles, rounded 6 dp.
+    *
+    * Scale: ONE combinable aggregate over one scan — conditional sums
+    * per cohort, the [[bootstrapQ]] shape; output is a single row. */
+  def ttestQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = $"value".cast("decimal(18,2)")
+    def member(tp: String): Column = $"event_type" === tp
+    val one = t(s, dir, "events")
+      .filter($"event_type".isin("click", "view"))
+      .agg(
+        sum(when(member("click"), 1L).otherwise(0L)).as("n1"),
+        sum(when(member("click"), x)).as("sx1"),
+        sum(when(member("click"), x * x)).as("sxx1"),
+        sum(when(member("view"), 1L).otherwise(0L)).as("n2"),
+        sum(when(member("view"), x)).as("sx2"),
+        sum(when(member("view"), x * x)).as("sxx2"))
+    one.select(
+        $"n1", $"n2",
+        ($"sx1".cast("double") / $"n1").as("m1"),
+        ($"sx2".cast("double") / $"n2").as("m2"),
+        (($"sxx1".cast("double") - $"sx1".cast("double")
+          * $"sx1".cast("double") / $"n1") / ($"n1" - 1)).as("v1"),
+        (($"sxx2".cast("double") - $"sx2".cast("double")
+          * $"sx2".cast("double") / $"n2") / ($"n2" - 1)).as("v2"))
+      .select($"n1", $"n2",
+        round($"m1", 6).as("mean_click"),
+        round($"m2", 6).as("mean_view"),
+        round(($"m1" - $"m2") / sqrt($"v1" / $"n1" + $"v2" / $"n2"), 6)
+          .as("t_welch"),
+        round(pow($"v1" / $"n1" + $"v2" / $"n2", 2) /
+          (pow($"v1" / $"n1", 2) / ($"n1" - 1)
+            + pow($"v2" / $"n2", 2) / ($"n2" - 1)), 2).as("df_welch"))
+  }
+
+  val ttestSql: String =
+    """WITH a AS (
+      |  SELECT
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN event_type = 'click'
+      |        THEN CAST(value AS DECIMAL(18,2)) END) AS sx1,
+      |    SUM(CASE WHEN event_type = 'click'
+      |        THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+      |        END) AS sxx1,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2,
+      |    SUM(CASE WHEN event_type = 'view'
+      |        THEN CAST(value AS DECIMAL(18,2)) END) AS sx2,
+      |    SUM(CASE WHEN event_type = 'view'
+      |        THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+      |        END) AS sxx2
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |m AS (
+      |  SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |    CAST(sx1 AS DOUBLE) / n1 AS m1, CAST(sx2 AS DOUBLE) / n2 AS m2,
+      |    (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+      |      / n1) / (n1 - 1) AS v1,
+      |    (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |      / n2) / (n2 - 1) AS v2
+      |  FROM a)
+      |SELECT n1, n2, ROUND(m1, 6) AS mean_click, ROUND(m2, 6) AS mean_view,
+      |  ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_welch,
+      |  ROUND(pow(v1 / n1 + v2 / n2, 2) /
+      |    (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 2)
+      |    AS df_welch
+      |FROM m""".stripMargin
+
+  /** q_stat_anova entry: one-way ANOVA F over the five event types'
+    * `value` distributions — "does ANY cohort's mean differ?", the
+    * k-group generalization of [[ttestQ]]. Group power sums accumulate
+    * as exact decimals in ONE combinable aggregate (conditional sums
+    * per type — the event-type domain is pinned, as throughout the
+    * suite); SSB/SSW then combine the five groups' terms in FIXED
+    * WRITTEN ORDER inside one expression, so no engine is free to
+    * reassociate the double additions. */
+  def anovaQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val x = $"value".cast("decimal(18,2)")
+    val aggs = types.flatMap { tp =>
+      val m = $"event_type" === tp
+      Seq(sum(when(m, 1L).otherwise(0L)).as(s"n_$tp"),
+        sum(when(m, x)).as(s"s_$tp"),
+        sum(when(m, x * x)).as(s"q_$tp"))
+    }
+    val one = t(s, dir, "events").agg(aggs.head, aggs.tail: _*)
+    val n = types.map(tp => col(s"n_$tp")).reduce(_ + _)
+    val sAll = types.map(tp => col(s"s_$tp").cast("double")).reduce(_ + _)
+    val ssb = types.map(tp =>
+      col(s"s_$tp").cast("double") * col(s"s_$tp").cast("double")
+        / col(s"n_$tp")).reduce(_ + _) - sAll * sAll / n
+    val ssw = types.map(tp =>
+      col(s"q_$tp").cast("double") - col(s"s_$tp").cast("double")
+        * col(s"s_$tp").cast("double") / col(s"n_$tp")).reduce(_ + _)
+    one.select(
+        n.cast("long").as("n"), lit(types.size.toLong).as("k"),
+        round(ssb, 6).as("ss_between"),
+        round(ssw, 6).as("ss_within"),
+        round((ssb / (types.size - 1)) / (ssw / (n - types.size)), 6)
+          .as("f_stat"))
+  }
+
+  val anovaSql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val aggs = types.flatMap { tp =>
+      Seq(s"SUM(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS n_$tp",
+        s"SUM(CASE WHEN event_type = '$tp' THEN CAST(value AS DECIMAL(18,2)) END) AS s_$tp",
+        s"""SUM(CASE WHEN event_type = '$tp'
+           | THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+           | END) AS q_$tp""".stripMargin.replace("\n", ""))
+    }
+    val n = types.map(tp => s"n_$tp").mkString(" + ")
+    val sAll = types.map(tp => s"CAST(s_$tp AS DOUBLE)").mkString(" + ")
+    val ssb = types.map(tp =>
+      s"CAST(s_$tp AS DOUBLE) * CAST(s_$tp AS DOUBLE) / n_$tp")
+      .mkString(" + ") + s" - ($sAll) * ($sAll) / ($n)"
+    val ssw = types.map(tp =>
+      s"CAST(q_$tp AS DOUBLE) - CAST(s_$tp AS DOUBLE) * CAST(s_$tp AS DOUBLE) / n_$tp")
+      .mkString(" + ")
+    s"""WITH a AS (
+       |  SELECT ${aggs.mkString(",\n    ")}
+       |  FROM events)
+       |SELECT CAST($n AS BIGINT) AS n, CAST(${types.size} AS BIGINT) AS k,
+       |  ROUND($ssb, 6) AS ss_between,
+       |  ROUND($ssw, 6) AS ss_within,
+       |  ROUND((($ssb) / ${types.size - 1}) / (($ssw) / (($n) - ${types.size})), 6)
+       |    AS f_stat
+       |FROM a""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stat_spearman" -> spearmanQ,
+    "q_stat_ttest" -> ttestQ,
+    "q_stat_anova" -> anovaQ,
     "q_stat_chi2" -> chi2Q,
     "q_profile_benford" -> benfordQ,
     "q_stat_mannwhitney" -> mannWhitneyQ,
@@ -583,6 +726,8 @@ object Stats {
 
   def oracle: Map[String, String] = Map(
     "q_stat_spearman" -> spearmanSql,
+    "q_stat_ttest" -> ttestSql,
+    "q_stat_anova" -> anovaSql,
     "q_stat_chi2" -> chi2Sql,
     "q_profile_benford" -> benfordSql,
     "q_stat_mannwhitney" -> mannWhitneySql,

@@ -194,13 +194,72 @@ object Validate {
        |ORDER BY edge""".stripMargin
   }
 
+  /** q_validate_islands entry: gaps-and-islands audit of the event-id
+    * sequence per event type — for each type, how fragmented its slice
+    * of the global id sequence is: id count, contiguous-run count,
+    * longest run, and internal holes (ids between the slice's min and
+    * max that belong to other types). The completeness check an
+    * ingestion pipeline runs on any sequenced feed (Kafka offsets, CDC
+    * LSNs, export file counters): n_runs == 1 and n_missing == 0 means
+    * the feed arrived whole; anything else localizes the loss.
+    *
+    * Scale: the classic `id − row_number()` island key — one exchange
+    * keyed on the type (each partition sorts its own slice), runs
+    * collapse by (type, island) with map-side combine, and the final
+    * per-type rollup is domain-bounded. Pure integer arithmetic. */
+  def islandsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val byT = Window.partitionBy($"event_type").orderBy($"event_id")
+    val runs = t(s, dir, "events")
+      .select($"event_type", $"event_id")
+      .withColumn("isl", $"event_id" - row_number().over(byT))
+      .groupBy($"event_type", $"isl")
+      .agg(count(lit(1)).as("run_len"))
+    runs
+      .groupBy($"event_type")
+      .agg(sum($"run_len").as("n_ids"),
+        count(lit(1)).as("n_runs"),
+        max($"run_len").as("max_run"))
+      .join(
+        t(s, dir, "events").groupBy($"event_type")
+          .agg((max($"event_id") - min($"event_id") + 1).as("span")),
+        Seq("event_type"))
+      .select($"event_type", $"n_ids", $"n_runs", $"max_run",
+        ($"span" - $"n_ids").as("n_missing_internal"))
+      .orderBy($"event_type")
+  }
+
+  val islandsSql: String =
+    """WITH i AS (
+      |  SELECT event_type, event_id,
+      |    event_id - row_number() OVER (PARTITION BY event_type
+      |      ORDER BY event_id) AS isl
+      |  FROM events),
+      |runs AS (
+      |  SELECT event_type, isl, COUNT(*) AS run_len
+      |  FROM i GROUP BY 1, 2),
+      |per AS (
+      |  SELECT event_type, CAST(SUM(run_len) AS BIGINT) AS n_ids,
+      |    COUNT(*) AS n_runs, MAX(run_len) AS max_run
+      |  FROM runs GROUP BY 1),
+      |span AS (
+      |  SELECT event_type, MAX(event_id) - MIN(event_id) + 1 AS span
+      |  FROM events GROUP BY 1)
+      |SELECT p.event_type, p.n_ids, p.n_runs, p.max_run,
+      |  s.span - p.n_ids AS n_missing_internal
+      |FROM per p JOIN span s ON p.event_type = s.event_type
+      |ORDER BY p.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_validate_rules" -> rulesQ,
     "q_validate_fd" -> fdQ,
-    "q_validate_fk" -> fkQ)
+    "q_validate_fk" -> fkQ,
+    "q_validate_islands" -> islandsQ)
 
   def oracle: Map[String, String] = Map(
     "q_validate_rules" -> rulesSql,
     "q_validate_fd" -> fdSql,
-    "q_validate_fk" -> fkSql)
+    "q_validate_fk" -> fkSql,
+    "q_validate_islands" -> islandsSql)
 }

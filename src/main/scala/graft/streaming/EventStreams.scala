@@ -381,17 +381,79 @@ object EventStreams {
       .foreachBatch((df: DataFrame, _: Long) => snapshotBatch(df, path))
       .start()
 
+  /** q_stream_disorder entry: out-of-orderness profile per event type —
+    * the measurement that SIZES A WATERMARK. For each event, disorder =
+    * how far its timestamp lags the maximum timestamp already seen in
+    * its user's arrival stream (0 for in-order); the per-type rollup
+    * reports how many events a 10-minute watermark would call late and
+    * the worst lag a watermark would have to absorb for zero loss.
+    *
+    * The fixture's ids are time-ordered (a clean export), so arrival
+    * order is SIMULATED with a deterministic md5 jitter on the id
+    * (events shuffle up to ~20 positions — network-style reordering),
+    * identically on both engines; on real ingest the arrival sequence
+    * is the ingest offset and the jitter disappears.
+    *
+    * Scale: arrival ranking and the running max share one exchange
+    * keyed on user_id (per-user streams are the unit watermarks act
+    * on); the rollup is domain-bounded, all integers (µs). */
+  def disorderBatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val jittered = graft.Tables.t(s, dir, "events")
+      .select($"event_type", $"user_id", $"event_id",
+        unix_micros($"ts").as("tus"))
+      .withColumn("arrival",
+        $"event_id" + graft.ops.Hashing.md5Bucket(
+          $"event_id".cast("string"), 40) - 20)
+    val byArr = Window.partitionBy($"user_id")
+      .orderBy($"arrival", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    jittered
+      .withColumn("lag_us",
+        greatest(coalesce(max($"tus").over(byArr) - $"tus", lit(0L)), lit(0L)))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"lag_us" > 0L, 1L).otherwise(0L)).as("n_disordered"),
+        sum(when($"lag_us" > 600000000L, 1L).otherwise(0L)).as("n_late_10m"),
+        max($"lag_us").as("max_lag_us"))
+      .orderBy($"event_type")
+  }
+
+  val disorderBatchSql: String =
+    """WITH j AS (
+      |  SELECT event_type, user_id, event_id, epoch_us(ts) AS tus,
+      |    event_id + ('0x' || substr(md5(event_id::VARCHAR), 1, 15))
+      |      ::UBIGINT::BIGINT % 40 - 20 AS arrival
+      |  FROM events),
+      |l AS (
+      |  SELECT event_type,
+      |    greatest(COALESCE(MAX(tus) OVER (PARTITION BY user_id
+      |      ORDER BY arrival, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - tus, 0), 0)
+      |      AS lag_us
+      |  FROM j)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN lag_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_disordered,
+      |  CAST(SUM(CASE WHEN lag_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late_10m,
+      |  MAX(lag_us) AS max_lag_us
+      |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> windowBatch,
     "q_stream_sliding" -> slidingBatch,
     "q_sessionize" -> sessionizeBatch,
-    "q_event_funnel" -> funnelBatch)
+    "q_event_funnel" -> funnelBatch,
+    "q_stream_disorder" -> disorderBatch)
 
   def oracle: Map[String, String] = Map(
     "q_stream_window" -> windowBatchSql,
     "q_stream_sliding" -> slidingBatchSql,
     "q_sessionize" -> sessionizeBatchSql,
-    "q_event_funnel" -> funnelBatchSql)
+    "q_event_funnel" -> funnelBatchSql,
+    "q_stream_disorder" -> disorderBatchSql)
 }

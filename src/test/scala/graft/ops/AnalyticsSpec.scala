@@ -558,4 +558,53 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
         members.map(lens).sum - lens(keep))
     }
   }
+
+  test("mode: matches a driver-side frequency recount with smallest-value tiebreak") {
+    import spark.implicits._
+    val rows = Profile.modeQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[String]("g")
+      val vs = graft.Tables.t(spark, sfDir, "lineitem")
+        .filter($"l_returnflag" === g).select($"l_quantity")
+        .collect().map(_.getDouble(0))
+      val freq = vs.groupBy(identity).view.mapValues(_.length).toMap
+      val best = freq.toSeq.map { case (v, c) => (c, -v) }.max
+      assert(r.getAs[Double]("mode_value") == -best._2)
+      assert(r.getAs[Long]("mode_n") == best._1.toLong)
+      assert(r.getAs[Long]("n_rows") == vs.length.toLong)
+      assert(r.getAs[Long]("mode_share_bp") ==
+        10000L * best._1 / vs.length)
+    }
+  }
+
+  test("islands: the whole event-id space partitions into the per-type runs") {
+    val rows = Validate.islandsQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables.t(spark, sfDir, "events").count()
+    assert(rows.map(_.getAs[Long]("n_ids")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_run") >= 1L)
+      assert(r.getAs[Long]("n_runs") <= r.getAs[Long]("n_ids"))
+      assert(r.getAs[Long]("n_missing_internal") >= 0L)
+    }
+    // the id space is dense 0..N-1 and types interleave: every type's
+    // span holes are exactly the other types' ids inside its span
+    val spans = rows.map(r => (r.getAs[Long]("n_ids"),
+      r.getAs[Long]("n_missing_internal")))
+    assert(spans.forall { case (ids, miss) => ids + miss >= ids })
+  }
+
+  test("disorder: jitter makes some events late relative to their user stream, bounded by jitter width") {
+    val rows = graft.streaming.EventStreams.disorderBatch(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val nDis = rows.map(_.getAs[Long]("n_disordered")).sum
+    assert(nDis > 0, "the md5 jitter must produce some reordering")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_late_10m") <= r.getAs[Long]("n_disordered"))
+      assert(r.getAs[Long]("n_disordered") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("max_lag_us") >= 0L)
+    }
+  }
 }

@@ -239,4 +239,56 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     val got = rows.find(_.getAs[String]("g") == g0).get.getAs[Double]("rho")
     assert(math.abs(got - expected) < 1e-5, s"rho $got vs naive $expected")
   }
+
+  test("welch t: matches a naive two-pass recompute; df between min(n)-1 and n1+n2-2") {
+    import spark.implicits._
+    val r = Stats.ttestQ(spark, sfDir).collect().head
+    val Array(xs, ys) = Array("click", "view").map { tp =>
+      graft.Tables.t(spark, sfDir, "events")
+        .filter($"event_type" === tp).select($"value")
+        .collect().map(_.getDouble(0))
+    }
+    def mv(a: Array[Double]): (Double, Double) = {
+      val m = a.sum / a.length
+      (m, a.map(v => (v - m) * (v - m)).sum / (a.length - 1))
+    }
+    val (m1, v1) = mv(xs); val (m2, v2) = mv(ys)
+    val se2 = v1 / xs.length + v2 / ys.length
+    val tExp = (m1 - m2) / math.sqrt(se2)
+    val dfExp = se2 * se2 /
+      (math.pow(v1 / xs.length, 2) / (xs.length - 1)
+        + math.pow(v2 / ys.length, 2) / (ys.length - 1))
+    assert(r.getAs[Long]("n1") == xs.length && r.getAs[Long]("n2") == ys.length)
+    assert(math.abs(r.getAs[Double]("t_welch") - tExp) < 1e-4)
+    assert(math.abs(r.getAs[Double]("df_welch") - dfExp) < 1.0)
+    val lo = math.min(xs.length, ys.length) - 1.0
+    val hi = xs.length + ys.length - 2.0
+    assert(r.getAs[Double]("df_welch") >= lo && r.getAs[Double]("df_welch") <= hi)
+  }
+
+  test("anova: sum-of-squares decomposition equals total SS and F matches a recompute") {
+    import spark.implicits._
+    val r = Stats.anovaQ(spark, sfDir).collect().head
+    val all = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", $"value").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val n = all.length
+    val gm = all.map(_._2).sum / n
+    val sst = all.map(x => (x._2 - gm) * (x._2 - gm)).sum
+    val groups = all.groupBy(_._1).values.toSeq
+    val ssb = groups.map { g =>
+      val m = g.map(_._2).sum / g.length; g.length * (m - gm) * (m - gm)
+    }.sum
+    val ssw = groups.map { g =>
+      val m = g.map(_._2).sum / g.length
+      g.map(x => (x._2 - m) * (x._2 - m)).sum
+    }.sum
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("k") == groups.size)
+    assert(math.abs(r.getAs[Double]("ss_between") - ssb) < 1e-3 * (1 + ssb))
+    assert(math.abs(r.getAs[Double]("ss_within") - ssw) < 1e-3 * (1 + ssw))
+    // decomposition identity against the recompute
+    assert(math.abs((ssb + ssw) - sst) < 1e-3 * (1 + sst))
+    val fExp = (ssb / (groups.size - 1)) / (ssw / (n - groups.size))
+    assert(math.abs(r.getAs[Double]("f_stat") - fExp) < 1e-4 * (1 + fExp))
+  }
 }
