@@ -178,13 +178,72 @@ object Curate {
       |    AS dropped_chars
       |FROM sized GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  /** q_curate_curriculum entry: curriculum construction — each language
+    * track orders its documents by a difficulty proxy (n_chars: longer
+    * = harder, the standard cheap proxy) and cuts them into four
+    * quartile PHASES, each deterministically sharded 4 ways by the md5
+    * coin; the output is the (lang, phase, shard) manifest (doc count +
+    * char mass) a staged training run consumes. Curriculum ordering +
+    * sharding is how "easy-to-hard" training schedules are actually fed.
+    *
+    * Exactness: phase boundaries are quartile ROW POSITIONS (rank ≤
+    * ceil(q·n/4)-style integer cuts), not value thresholds — duplicate
+    * lengths at a boundary split deterministically by (n_chars, doc_id)
+    * order, and no value arithmetic enters. All-integer output.
+    *
+    * Scale: ranking windows are language-partition-bounded; production
+    * swaps the exact rank for `approxQuantile` phase thresholds at
+    * corpus scale (the suite's exact/approx pairing, documented at
+    * [[Profile.percentileDiscQ]]). */
+  def curriculumQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val byLang = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+    val all = Window.partitionBy($"lang")
+    t(s, dir, "documents")
+      .select($"lang", $"doc_id", $"n_chars")
+      .withColumn("rk", row_number().over(byLang))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("phase",
+        when($"rk" <= expr("(25 * n + 99) div 100"), 1L)
+          .when($"rk" <= expr("(50 * n + 99) div 100"), 2L)
+          .when($"rk" <= expr("(75 * n + 99) div 100"), 3L)
+          .otherwise(4L))
+      .withColumn("shard", Hashing.md5Bucket($"doc_id".cast("string"), 4))
+      .groupBy($"lang", $"phase", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"lang", $"phase", $"shard")
+  }
+
+  val curriculumSql: String =
+    """WITH r AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+      |      AS rk,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |p AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    CASE WHEN rk <= (25 * n + 99) // 100 THEN 1
+      |         WHEN rk <= (50 * n + 99) // 100 THEN 2
+      |         WHEN rk <= (75 * n + 99) // 100 THEN 3
+      |         ELSE 4 END AS phase,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 4
+      |      AS shard
+      |  FROM r)
+      |SELECT lang, CAST(phase AS BIGINT) AS phase, shard,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM p GROUP BY 1, 2, 3 ORDER BY lang, phase, shard""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_curate" -> curateQ,
     "q_tokenize_coverage" -> tokenizeCoverageQ,
-    "q_curate_canonical" -> canonicalQ)
+    "q_curate_canonical" -> canonicalQ,
+    "q_curate_curriculum" -> curriculumQ)
 
   def oracle: Map[String, String] = Map(
     "q_pipeline_curate" -> curateSql,
     "q_tokenize_coverage" -> tokenizeCoverageSql,
-    "q_curate_canonical" -> canonicalSql)
+    "q_curate_canonical" -> canonicalSql,
+    "q_curate_curriculum" -> curriculumSql)
 }

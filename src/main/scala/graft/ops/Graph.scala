@@ -374,6 +374,60 @@ object Graph {
       |LEFT JOIN com c ON c.na = x.src AND c.nb = y.src
       |ORDER BY nation_a, nation_b""".stripMargin
 
+  /** k-core extraction — iterative peeling to a fixpoint: repeatedly
+    * drop nodes whose degree in the UNDIRECTED strong trade graph falls
+    * below `k` until every survivor has ≥ k strong partners. The
+    * "dense-interaction nucleus" selector (spam rings, core trading
+    * blocs, well-connected crawl hubs); with [[Iterate.fixpoint]] the
+    * loop is checkpointed per round and converges in ≤ diameter·k-ish
+    * rounds on real graphs.
+    *
+    * Per round: surviving edges = edges semi-joined to surviving nodes
+    * on BOTH endpoints (two broadcast joins — node frames are |V|
+    * rows), one combinable degree aggregate, one filter. Node-bounded
+    * work after the shared [[tradeEdges]] build.
+    *
+    * Not oracle-registered: the round count is data-dependent, which a
+    * chained-CTE oracle cannot express (same stance as
+    * [[pagerankConverged]]); the spec verifies against an in-memory
+    * peel of the collected edge list. */
+  def kcore(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
+    val wAll = Window.partitionBy(lit(0))
+    val thr = edges
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"w", $"src", $"dst")))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter($"rn" === expr("(75 * n + 99) div 100"))
+      .select($"w".as("thr"))
+    val und = edges.join(broadcast(thr), $"w" >= $"thr")
+      .select($"src", $"dst")
+      .unionByName(edges.join(broadcast(thr), $"w" >= $"thr")
+        .select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .cache()
+    // state = (id, alive); a round flips alive→false where the degree
+    // among still-alive neighbours dropped below k; fixpoint = no flip
+    val init = und.select($"src".as("id")).distinct()
+      .withColumn("alive", lit(true))
+    val converged = Iterate.fixpoint(init, 30, s"kcore($k)") { nodes =>
+      val alive = nodes.filter($"alive").select($"id")
+      val deg = und
+        .join(broadcast(alive.select($"id".as("src"))), Seq("src"))
+        .join(broadcast(alive.select($"id".as("dst"))), Seq("dst"))
+        .groupBy($"src").agg(count(lit(1)).as("deg"))
+      nodes
+        .join(deg, $"id" === $"src", "left")
+        .select($"id", $"alive",
+          ($"alive" && coalesce($"deg", lit(0L)) >= k).as("alive2"))
+        .select($"id", $"alive2".as("alive"),
+          ($"alive2" =!= $"alive").as("chg"))
+    }
+    converged.filter($"alive").select($"id".as("node")).orderBy($"node")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> pagerankQ,
     "q_graph_triangles" -> trianglesQ,

@@ -738,6 +738,57 @@ object Text {
       |SELECT lang, doc_id, CAST(rk AS INT) AS rk
       |FROM r WHERE rk <= 15 ORDER BY lang, rk""".stripMargin
 
+  /** q_sample_balanced entry: class-balanced downsampling — every
+    * language keeps exactly the MINORITY class's count, selected in
+    * deterministic md5-hash order (the same coin as splits/stratified,
+    * so balance composes with them). The class-imbalance corrective for
+    * classifier training sets and language-conditioned eval suites.
+    * Output is the per-class accounting plus `kept_id_sum`, an
+    * order-free exact membership digest: two engines agree on it iff
+    * they kept EXACTLY the same documents.
+    *
+    * Scale: per-class counts are one combinable aggregate; the global
+    * minority count is a 1-row broadcast; selection is one hash-ranked
+    * window per class (class-partition-bounded sort). Nothing
+    * corpus-global. */
+  def balancedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"lang", $"doc_id",
+        shiftright(Hashing.md5Long60($"doc_id".cast("string")), 7).as("hv"))
+    val target = docs.groupBy($"lang").count()
+      .agg(min($"count").as("tgt"))
+    val ranked = docs.withColumn("rk",
+      row_number().over(Window.partitionBy($"lang").orderBy($"hv", $"doc_id")))
+    ranked
+      .crossJoin(broadcast(target))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when($"rk" <= $"tgt", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"rk" <= $"tgt", $"doc_id")).as("kept_id_sum"))
+      .orderBy($"lang")
+  }
+
+  val balancedSampleSql: String =
+    """WITH h AS (
+      |  SELECT lang, doc_id,
+      |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT >> 7)
+      |      AS hv
+      |  FROM documents),
+      |tgt AS (
+      |  SELECT MIN(c) AS tgt FROM (
+      |    SELECT COUNT(*) AS c FROM h GROUP BY lang)),
+      |r AS (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+      |  FROM h)
+      |SELECT lang, COUNT(*) AS n_before,
+      |  CAST(SUM(CASE WHEN rk <= tgt THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rk <= tgt THEN doc_id END) AS BIGINT)
+      |    AS kept_id_sum
+      |FROM r, tgt GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Repetition signals — the Gopher-family "repetitive text" quality
     * filters (Rae et al. 2021, public): fraction of tokens accounted for
     * by the most frequent token, fraction of word-bigram occurrences
@@ -1306,6 +1357,7 @@ object Text {
     "q_sample_temperature" -> temperatureQ,
     "q_sample_stratified" -> ((s, dir) => stratifiedSample(s, dir)),
     "q_sample_weighted" -> ((s, dir) => weightedSample(s, dir)),
+    "q_sample_balanced" -> balancedSample,
     "q_pack_buckets" -> packBucketsQ)
 
   def oracle: Map[String, String] = Map(
@@ -1336,5 +1388,6 @@ object Text {
     "q_sample_temperature" -> temperatureSql,
     "q_sample_stratified" -> stratifiedSampleSql,
     "q_sample_weighted" -> weightedSampleSql,
+    "q_sample_balanced" -> balancedSampleSql,
     "q_pack_buckets" -> packBucketsSql)
 }

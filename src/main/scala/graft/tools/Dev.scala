@@ -129,7 +129,8 @@ object Dev {
           "q_fuzzy_edit" -> "vocabulary-bounded distinct-name grid",
           "q_graph_neighbor_sim" ->
             "1-row p75 threshold frame + 25-node nation pair grid",
-          "q_minhash_sensitivity" -> "1-row truth-count totals frame")
+          "q_minhash_sensitivity" -> "1-row truth-count totals frame",
+          "q_sample_balanced" -> "1-row minority-class-count frame")
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {
             val plan = fn(spark, dir).queryExecution.sparkPlan

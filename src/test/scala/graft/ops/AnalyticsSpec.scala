@@ -607,4 +607,48 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("max_lag_us") >= 0L)
     }
   }
+
+  test("balanced sample: every class keeps exactly the minority count, ids verified by digest") {
+    import spark.implicits._
+    val rows = graft.ops.Text.balancedSample(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    val minClass = rows.map(_.getAs[Long]("n_before")).min
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") == minClass)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_before"))
+    }
+    // digest equals a driver-side recompute of the same hash-order pick
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"lang", $"doc_id",
+        shiftright(graft.ops.Hashing.md5Long60($"doc_id".cast("string")), 7)
+          .as("hv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val kept = ds.sortBy(d => (d._3, d._2)).take(minClass.toInt)
+      val expSum = kept.map(_._2).sum
+      val got = rows.find(_.getAs[String]("lang") == lang).get
+      assert(got.getAs[Long]("kept_id_sum") == expSum, s"lang $lang digest")
+    }
+  }
+
+  test("curriculum: phases partition each language track and quartile cuts are respected") {
+    val rows = Curate.curriculumQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    val langTotals = graft.Tables.t(spark, sfDir, "documents")
+      .groupBy(org.apache.spark.sql.functions.col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rs) =>
+      val n = langTotals(lang)
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == n, s"$lang partition")
+      // each phase's total across shards is the quartile slice width
+      val perPhase = rs.groupBy(_.getAs[Long]("phase")).view
+        .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+      def cut(p: Long) = (p * n + 99) / 100
+      assert(perPhase.getOrElse(1L, 0L) == cut(25))
+      assert(perPhase.getOrElse(2L, 0L) == cut(50) - cut(25))
+      assert(perPhase.getOrElse(3L, 0L) == cut(75) - cut(50))
+      assert(perPhase.getOrElse(4L, 0L) == n - cut(75))
+    }
+  }
 }

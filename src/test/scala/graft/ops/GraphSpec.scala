@@ -96,4 +96,41 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(p - unrolled(n)) < 0.01, s"$n: $p vs 3-round ${unrolled(n)}")
     }
   }
+
+  test("kcore: distributed peeling equals an in-memory peel of the same strong graph") {
+    import spark.implicits._
+    val k = 3
+    val got = Graph.kcore(spark, sfDir, k).collect().map(_.getString(0)).toSet
+    // rebuild the same p75-strong undirected edge list in memory
+    val edges = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(graft.Tables.t(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .join(graft.Tables.t(spark, sfDir, "nation").as("cn"),
+        $"c_nationkey" === $"cn.n_nationkey")
+      .join(graft.Tables.t(spark, sfDir, "supplier"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(graft.Tables.t(spark, sfDir, "nation").as("sn"),
+        $"s_nationkey" === $"sn.n_nationkey")
+      .groupBy($"cn.n_name".as("src"), $"sn.n_name".as("dst"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val sorted = edges.sortBy(e => (e._3, e._1, e._2))
+    val thr = sorted((75 * sorted.length + 99) / 100 - 1)._3
+    var und = edges.filter(_._3 >= thr)
+      .flatMap(e => Seq((e._1, e._2), (e._2, e._1))).distinct
+    // naive peel to fixpoint
+    var changed = true
+    while (changed) {
+      val deg = und.groupBy(_._1).view.mapValues(_.length).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = und.filter(e => keep(e._1) && keep(e._2))
+      changed = next.length != und.length
+      und = next
+    }
+    val expected = und.map(_._1).toSet
+    assert(got == expected, s"kcore mismatch: got $got expected $expected")
+    assert(got.nonEmpty, "p75-strong trade graph should retain a 3-core")
+  }
 }
