@@ -86,11 +86,81 @@ object AsOf {
       |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= pts
       |ORDER BY c.event_id LIMIT 500""".stripMargin
 
+  /** FORWARD as-of join — for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` in the same key (pandas `merge_asof
+    * direction='forward'`). The mirror of [[joinAsOf]]: identical
+    * single-exchange union-window shape, with the sort reversed and
+    * left rows ordered BEFORE right rows at equal ts (side 0 < 1 in
+    * descending-side order) so equality matches inclusively. */
+  def joinAsOfForward(left: DataFrame, right: DataFrame,
+                      key: String, ts: String): DataFrame = {
+    val lPay = left.columns.filterNot(c => c == key || c == ts)
+    val rPay = right.columns.filterNot(c => c == key || c == ts)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rPay.map(c => right.schema(right.schema.fieldIndex(c))))
+    def nulls(src: DataFrame, cols: Seq[String]): Seq[Column] =
+      cols.map(c => lit(null).cast(src.schema(c).dataType).as(c))
+    val lTagged = left.select(
+      Seq(col(key), col(ts), lit(1).as("__side")) ++
+        lPay.map(col) :+ lit(null).cast(rStructType).as("__r"): _*)
+    val rTagged = right.select(
+      Seq(col(key), col(ts), lit(0).as("__side")) ++
+        nulls(left, lPay.toSeq) :+ struct(rPay.map(col): _*).as("__r"): _*)
+    // descending ts: "earliest right at or after left.ts" becomes the
+    // last right seen walking down from the future; right rows (side 0)
+    // at equal ts sort BEFORE the left row, keeping >= inclusive
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(Seq(col(key), col(ts)) ++ lPay.map(col) ++
+        rPay.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
+  /** q_join_asof_fwd entry: each purchase joined to the user's NEXT
+    * click at or after it — the "what did the buyer do next"
+    * direction; time-to-next-action in µs rides along. */
+  def purchasesToNextClick(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts",
+        $"event_id".as("c_event"), $"ts".as("c_ts"))
+    joinAsOfForward(purchases, clicks, key = "user_id", ts = "ts")
+      .filter($"c_event".isNotNull)
+      .select($"event_id", $"user_id", $"c_event",
+        (unix_micros($"c_ts") - unix_micros($"ts")).as("wait_us"))
+      .orderBy($"event_id")
+      .limit(500)
+  }
+
+  /** Oracle: DuckDB ASOF JOIN only matches backward (`>=`), so the
+    * forward direction is expressed by ASOF-joining NEGATED timestamps
+    * — order-reversal is exactly what [[joinAsOfForward]] does too. */
+  val purchasesToNextClickSql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, event_id, -epoch_us(ts) AS nts
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, -epoch_us(ts) AS nts, event_id AS c_event,
+      |    epoch_us(ts) AS c_us
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, c_event,
+      |  c_us - epoch_us(p.ts) AS wait_us
+      |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.nts >= c.nts
+      |ORDER BY p.event_id LIMIT 500""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_join_asof" -> clicksToPurchases)
+    "q_join_asof" -> clicksToPurchases,
+    "q_join_asof_fwd" -> purchasesToNextClick)
 
   def oracle: Map[String, String] = Map(
-    "q_join_asof" -> clicksToPurchasesSql)
+    "q_join_asof" -> clicksToPurchasesSql,
+    "q_join_asof_fwd" -> purchasesToNextClickSql)
 }

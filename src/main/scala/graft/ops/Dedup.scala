@@ -738,6 +738,74 @@ object Dedup {
       |      / LEN(list_distinct(list_concat(b.sh, a.sh))) >= 0.8
       |ORDER BY new_id, corpus_id""".stripMargin
 
+  /** q_contamination_ngram entry: n-gram-level train/eval decontamination
+    * — for every TEST-split document, how much of it is covered by
+    * word-8-grams that also occur anywhere in the TRAIN split. This is
+    * the published decontamination method of the open LLM reports
+    * (n-gram overlap against eval sets), and the fine-grained complement
+    * of [[contaminationQ]]'s document-level LSH: a test doc can leak
+    * through training VERBATIM PASSAGES without being a near-dup of any
+    * single train doc.
+    *
+    * Output per test doc: distinct 8-grams, how many are train-shared,
+    * and the share in basis points (pure integers). Split assignment is
+    * the suite-wide [[Hashing.splitLabel]] md5 coin, so this composes
+    * with every other split-aware operator.
+    *
+    * Scale: the only exchange is keyed on the GRAM (train grams
+    * distinct-collapse map-side; test grams semi-join against them) —
+    * candidate volume is gram-vocabulary-bounded, documents never
+    * shuffle, and the per-doc rollup is combinable. */
+  def contaminationNgramQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    val grams = t(s, dir, "documents")
+      .withColumn("split", Hashing.splitLabel($"doc_id".cast("string")))
+      .filter($"split".isin("train", "test"))
+      .withColumn("toks", split(lower($"text"), " "))
+      .filter(size($"toks") >= k)
+      .select($"doc_id", $"split", explode(expr(
+        s"array_distinct(transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k))))"))
+        .as("gram"))
+    val trainGrams = grams.filter($"split" === "train")
+      .select($"gram").distinct().withColumn("in_train", lit(1L))
+    grams.filter($"split" === "test")
+      .join(trainGrams, Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"in_train", lit(0L))).as("n_shared"))
+      .select($"doc_id", $"n_grams", $"n_shared",
+        expr("(10000 * n_shared) div n_grams").as("shared_bp"))
+      .orderBy($"doc_id")
+  }
+
+  val contaminationNgramSql: String =
+    """WITH sp AS (
+      |  SELECT doc_id, lower(text) AS txt,
+      |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+      |           ::UBIGINT::BIGINT % 100 < 80 THEN 'train'
+      |         WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+      |           ::UBIGINT::BIGINT % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, split, string_split(txt, ' ') AS toks FROM sp
+      |  WHERE split IN ('train', 'test')),
+      |g AS (
+      |  SELECT doc_id, split, unnest(list_distinct(list_transform(
+      |    range(1, len(toks) - 6),
+      |    i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+      |  FROM tok WHERE len(toks) >= 8),
+      |tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train')
+      |SELECT t.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shared,
+      |  CAST((10000 * SUM(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END))
+      |    // COUNT(*) AS BIGINT) AS shared_bp
+      |FROM g t LEFT JOIN tr ON t.gram = tr.gram
+      |WHERE t.split = 'test'
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -751,7 +819,8 @@ object Dedup {
     "q_dedup_substring" -> substringQ,
     "q_dedup_incremental" -> incrementalQ,
     "q_dedup_source_matrix" -> sourceMatrixQ,
-    "q_split_contamination" -> contaminationQ)
+    "q_split_contamination" -> contaminationQ,
+    "q_contamination_ngram" -> contaminationNgramQ)
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> exactSql,
@@ -764,5 +833,6 @@ object Dedup {
     "q_dedup_substring" -> substringSql,
     "q_dedup_incremental" -> incrementalSql,
     "q_dedup_source_matrix" -> sourceMatrixSql,
-    "q_split_contamination" -> contaminationSql)
+    "q_split_contamination" -> contaminationSql,
+    "q_contamination_ngram" -> contaminationNgramSql)
 }

@@ -392,22 +392,8 @@ object Graph {
     * [[pagerankConverged]]); the spec verifies against an in-memory
     * peel of the collected edge list. */
   def kcore(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val edges = tradeEdges(s, dir)
-    val wAll = Window.partitionBy(lit(0))
-    val thr = edges
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(lit(0)).orderBy($"w", $"src", $"dst")))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .filter($"rn" === expr("(75 * n + 99) div 100"))
-      .select($"w".as("thr"))
-    val und = edges.join(broadcast(thr), $"w" >= $"thr")
-      .select($"src", $"dst")
-      .unionByName(edges.join(broadcast(thr), $"w" >= $"thr")
-        .select($"dst".as("src"), $"src".as("dst")))
-      .distinct()
-      .cache()
+    val und = strongUndirected(s, dir).cache()
     // state = (id, alive); a round flips alive→false where the degree
     // among still-alive neighbours dropped below k; fixpoint = no flip
     val init = und.select($"src".as("id")).distinct()
@@ -428,15 +414,118 @@ object Graph {
     converged.filter($"alive").select($"id".as("node")).orderBy($"node")
   }
 
+  /** The p75-strong undirected edge list shared by [[kcore]], [[bfsQ]],
+    * and [[neighborSimQ]]'s sparsification: edges at or above the exact
+    * p75 weight (order-statistic selection over the |V|²-bounded list),
+    * symmetrized. */
+  private[ops] def strongUndirected(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
+    val wAll = Window.partitionBy(lit(0))
+    val thr = edges
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"w", $"src", $"dst")))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter($"rn" === expr("(75 * n + 99) div 100"))
+      .select($"w".as("thr"))
+    val strong = edges.join(broadcast(thr), $"w" >= $"thr")
+      .select($"src", $"dst")
+    strong.unionByName(strong.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+  }
+
+  /** q_graph_bfs entry: single-source BFS hop distances from NATION_0
+    * over the strong undirected trade graph — "how many strong-trade
+    * hops away is every entity from an anchor", the reachability /
+    * blast-radius primitive (supply-chain exposure, crawl frontier
+    * depth, influence radius). Unreached nodes are reported with hop
+    * −1 so the output also names the disconnected remainder.
+    *
+    * Iterative frontier relaxation via [[Iterate.fixpoint]] (hop(v) →
+    * min(hop(v), min over nbrs hop+1); converges in diameter rounds,
+    * each one equi-join + combinable min over (id, hop) frames); the
+    * oracle expresses the same reachability as a recursive CTE with a
+    * min-hop rollup, the [[Dedup.clustersSql]] stance. */
+  def bfsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inf = 999L
+    val und = strongUndirected(s, dir).cache()
+    // anchor = highest-strong-degree node (smallest name on ties) — a
+    // data-chosen hub, so the query is non-vacuous at every SF; the
+    // oracle derives the same anchor from the same frame
+    val root = und.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .orderBy($"deg".desc, $"src").limit(1)
+      .select($"src".as("root"))
+    val init = t(s, dir, "nation").select($"n_name".as("id"))
+      .crossJoin(broadcast(root))
+      .withColumn("hop", when($"id" === $"root", 0L).otherwise(inf))
+    val converged = Iterate.fixpoint(init, 30, "bfs") { state =>
+      val relaxed = und
+        .join(state.select($"id".as("dst"), ($"hop" + 1).as("cand")),
+          Seq("dst"))
+        .groupBy($"src").agg(min($"cand").as("nbr"))
+      state
+        .join(relaxed, $"id" === $"src", "left")
+        .select($"id", $"root",
+          least($"hop", coalesce($"nbr", $"hop")).as("hop"),
+          (coalesce($"nbr", $"hop") < $"hop").as("chg"))
+    }
+    converged
+      .select($"id".as("node"), $"root",
+        when($"hop" >= inf, lit(-1L)).otherwise($"hop").as("hop"))
+      .orderBy($"node")
+  }
+
+  val bfsSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT w, row_number() OVER (ORDER BY w, src, dst) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM edges),
+      |thr AS (SELECT w AS thr FROM rk WHERE rn = (75 * n + 99) // 100),
+      |st AS (SELECT src, dst FROM edges, thr WHERE w >= thr),
+      |-- explicit DISTINCT, not bare UNION: inside WITH RECURSIVE,
+      |-- DuckDB 1.0 skips the dedup of a non-recursive CTE's UNION,
+      |-- which would double edge degrees and move the anchor
+      |und AS (SELECT DISTINCT src, dst FROM (
+      |        SELECT src, dst FROM st
+      |        UNION ALL SELECT dst, src FROM st)),
+      |best AS (
+      |  SELECT src AS root FROM (
+      |    SELECT src, COUNT(*) AS deg FROM und GROUP BY src
+      |    ORDER BY deg DESC, src LIMIT 1)),
+      |walk(node, hop) AS (
+      |  SELECT root, 0 FROM best
+      |  UNION
+      |  SELECT u.dst, w.hop + 1
+      |  FROM walk w JOIN und u ON w.node = u.src
+      |  WHERE w.hop < 30),
+      |dist AS (SELECT node, MIN(hop) AS hop FROM walk GROUP BY node)
+      |SELECT n.n_name AS node, (SELECT root FROM best) AS root,
+      |  CAST(COALESCE(d.hop, -1) AS BIGINT) AS hop
+      |FROM nation n LEFT JOIN dist d ON n.n_name = d.node
+      |ORDER BY node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> pagerankQ,
     "q_graph_triangles" -> trianglesQ,
     "q_graph_reciprocity" -> reciprocityQ,
-    "q_graph_neighbor_sim" -> neighborSimQ)
+    "q_graph_neighbor_sim" -> neighborSimQ,
+    "q_graph_bfs" -> bfsQ)
 
   def oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankSql,
     "q_graph_triangles" -> trianglesSql,
     "q_graph_reciprocity" -> reciprocitySql,
-    "q_graph_neighbor_sim" -> neighborSimSql)
+    "q_graph_neighbor_sim" -> neighborSimSql,
+    "q_graph_bfs" -> bfsSql)
 }

@@ -130,7 +130,8 @@ object Dev {
           "q_graph_neighbor_sim" ->
             "1-row p75 threshold frame + 25-node nation pair grid",
           "q_minhash_sensitivity" -> "1-row truth-count totals frame",
-          "q_sample_balanced" -> "1-row minority-class-count frame")
+          "q_sample_balanced" -> "1-row minority-class-count frame",
+          "q_graph_bfs" -> "1-row p75 threshold frame over the node-bounded edge list")
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {
             val plan = fn(spark, dir).queryExecution.sparkPlan

@@ -22,6 +22,8 @@ class RegistrySpec extends AnyFunSuite {
     "Colloc" -> graft.ops.Colloc.queries,
     "Curate" -> graft.ops.Curate.queries,
     "Dedup" -> graft.ops.Dedup.queries,
+    "SpanRemoval" -> graft.ops.SpanRemoval.queries,
+    "MinHashTune" -> graft.ops.MinHashTune.queries,
     "Drift" -> graft.ops.Drift.queries,
     "Fuzzy" -> graft.ops.Fuzzy.queries,
     "Graph" -> graft.ops.Graph.queries,

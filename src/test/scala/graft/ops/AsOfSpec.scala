@@ -56,4 +56,30 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
       .filter($"p_ts".isNotNull && $"p_ts" > $"ts").count()
     assert(viol == 0)
   }
+
+  test("forward: picks the earliest at-or-after right row, verified against a naive recompute") {
+    import spark.implicits._
+    val ev = graft.Tables.t(spark, sfDir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .groupBy(_._1)
+    val got = AsOf.purchasesToNextClick(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("c_event")).toMap
+    var checked = 0
+    purchases.foreach { case (u, pts, pid) =>
+      val next = clicks.getOrElse(u, Array.empty)
+        .filter(_._2 >= pts)
+      if (next.nonEmpty) {
+        val best = next.minBy(c => (c._2, c._3))
+        // got is LIMIT 500 by event_id — only check covered purchases
+        got.get(pid).foreach { ce => assert(ce == best._3, s"purchase $pid")
+          checked += 1 }
+      } else assert(!got.contains(pid))
+    }
+    assert(checked > 50, s"only $checked forward matches checked")
+  }
 }

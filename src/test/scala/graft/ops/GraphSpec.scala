@@ -133,4 +133,33 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected, s"kcore mismatch: got $got expected $expected")
     assert(got.nonEmpty, "p75-strong trade graph should retain a 3-core")
   }
+
+  test("bfs: hop distances match an in-memory BFS over the same strong graph") {
+    val rows = Graph.bfsQ(spark, sfDir).collect()
+    val got = rows.map(r => r.getString(0) -> r.getAs[Long]("hop")).toMap
+    val root = rows.head.getAs[String]("root")
+    assert(got.size == 25)
+    assert(got(root) == 0L)
+    // driver-side BFS over the SAME collected strong edge list
+    val adj = Graph.strongUndirected(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the anchor is the max-degree node, smallest name on ties
+    val expectedRoot = adj.toSeq.map { case (n, ns) => (-ns.size, n) }
+      .min._2
+    assert(root == expectedRoot)
+    val dist = scala.collection.mutable.Map(root -> 0L)
+    var frontier = Set(root)
+    var h = 0L
+    while (frontier.nonEmpty) {
+      h += 1
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = h)
+    }
+    got.foreach { case (n, hop) =>
+      assert(hop == dist.getOrElse(n, -1L), s"$n: $hop vs ${dist.get(n)}")
+    }
+    assert(got.values.count(_ > 0) > 0, "some node reached beyond the source")
+  }
 }

@@ -874,4 +874,43 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       assert(cells.map(_.getAs[String]("guess")).distinct.length == cells.length)
     }
   }
+
+  test("ngram contamination: covers exactly the test split and matches a driver recount") {
+    import spark.implicits._
+    val rows = Dedup.contaminationNgramQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // driver-side recount of the same 8-gram overlap
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", lower($"text").as("txt")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      val b = java.lang.Long.parseLong(hex, 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    def grams(txt: String): Set[String] = {
+      val toks = txt.split(" ", -1)
+      if (toks.length < 8) Set.empty
+      else (0 to toks.length - 8).map(i =>
+        toks.slice(i, i + 8).mkString(" ")).toSet
+    }
+    val trainGrams = docs.filter(d => splitOf(d._1) == "train")
+      .flatMap(d => grams(d._2)).toSet
+    val testDocs = docs.filter(d =>
+      splitOf(d._1) == "test" && grams(d._2).nonEmpty)
+    assert(rows.length == testDocs.length)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    testDocs.foreach { case (id, txt) =>
+      val g = grams(txt)
+      val shared = g.count(trainGrams)
+      val r = byId(id)
+      assert(r.getAs[Long]("n_grams") == g.size, s"doc $id grams")
+      assert(r.getAs[Long]("n_shared") == shared, s"doc $id shared")
+      assert(r.getAs[Long]("shared_bp") == 10000L * shared / g.size)
+    }
+    // the fixture's seeded near-dups must leak at least one gram
+    assert(rows.map(_.getAs[Long]("n_shared")).sum > 0)
+  }
 }
