@@ -806,6 +806,55 @@ object Dedup {
       |WHERE t.split = 'test'
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** q_dedup_norm entry: normalization-invariant exact dedup — content
+    * digests over NFC-normalized, lower-cased, whitespace-squeezed text,
+    * catching the trivial variants byte-exact dedup misses (case flips,
+    * doubled spaces, composed/decomposed unicode — the classic
+    * re-scrape / re-encode noise). Exercised against a deterministic
+    * variant re-crawl (every 7th doc reappears upper-cased with doubled
+    * spaces under a new id): each caught group reports its kept id,
+    * copy count, and how many RAW byte-forms it had (≥2 proves the
+    * normalizer earned its keep — byte-exact dedup saw distinct
+    * contents).
+    *
+    * Scale: identical shape to [[exact]] — the shuffle key is the
+    * 64-char digest of the normalized text; normalization itself is
+    * map-side (the native codegen [[graft.functions]] NFC expression +
+    * one regex), so the corpus never moves un-collapsed. */
+  def normDedupQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val d = t(s, dir, "documents").select($"doc_id", $"text")
+    val variants = d.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 3000000L).as("doc_id"),
+        regexp_replace(upper($"text"), " ", "  ").as("text"))
+    d.unionByName(variants)
+      .withColumn("norm", expr(
+        "nfc_normalize(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"))
+      .groupBy(sha2($"norm", 256).as("norm_sha"))
+      .agg(min($"doc_id").as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(sha2($"text", 256)).as("n_raw_forms"))
+      .filter($"n_copies" >= 2)
+      .orderBy($"keep_id")
+  }
+
+  val normDedupSql: String =
+    """WITH crawl AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, replace(upper(text), ' ', '  ')
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |n AS (
+      |  SELECT doc_id, text,
+      |    nfc_normalize(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |      AS norm
+      |  FROM crawl)
+      |SELECT sha256(norm) AS norm_sha, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies,
+      |  CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_raw_forms
+      |FROM n GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY keep_id""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -820,7 +869,8 @@ object Dedup {
     "q_dedup_incremental" -> incrementalQ,
     "q_dedup_source_matrix" -> sourceMatrixQ,
     "q_split_contamination" -> contaminationQ,
-    "q_contamination_ngram" -> contaminationNgramQ)
+    "q_contamination_ngram" -> contaminationNgramQ,
+    "q_dedup_norm" -> normDedupQ)
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> exactSql,
@@ -834,5 +884,6 @@ object Dedup {
     "q_dedup_incremental" -> incrementalSql,
     "q_dedup_source_matrix" -> sourceMatrixSql,
     "q_split_contamination" -> contaminationSql,
-    "q_contamination_ngram" -> contaminationNgramSql)
+    "q_contamination_ngram" -> contaminationNgramSql,
+    "q_dedup_norm" -> normDedupSql)
 }

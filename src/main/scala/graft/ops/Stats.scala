@@ -712,10 +712,89 @@ object Stats {
        |FROM a""".stripMargin
   }
 
+  /** q_stat_wilson entry: Wilson score 95% confidence interval for each
+    * event type's "high-value rate" (share of events with `value` at or
+    * above the GLOBAL exact median — a data-derived success criterion,
+    * the [[abLiftQ]] hardening applied from birth). Wilson is the
+    * interval that stays sane at extreme rates and small n, which is
+    * why proportion dashboards use it over the naive normal interval.
+    *
+    * The rate itself is integer basis points; lo/hi are one fixed IEEE
+    * expression tree over (k, n) integers (z = 1.96 literal), rounded
+    * 6 dp — the [[mannWhitneyQ]] determinism contract.
+    *
+    * Scale: the median threshold is an order-statistic SELECTION over
+    * the value-bounded distinct frame (1-row broadcast); the per-type
+    * rollup is one combinable conditional-sum aggregate. */
+  def wilsonQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    // exact global median of `value` by selection over distinct values
+    val byV = Window.partitionBy(lit(0)).orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(lit(0))
+    val med = ev.groupBy($"value").agg(count(lit(1)).as("c"))
+      .withColumn("before", coalesce(sum($"c").over(byV), lit(0L)))
+      .withColumn("n", sum($"c").over(wAll))
+      .filter($"before" < expr("(50 * n + 99) div 100") &&
+        $"before" + $"c" >= expr("(50 * n + 99) div 100"))
+      .select($"value".as("thr"))
+    val z = 1.96
+    val agg = ev.crossJoin(broadcast(med))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"value" >= $"thr", 1L).otherwise(0L)).as("k"))
+    val nD = $"n".cast("double"); val p = $"k".cast("double") / nD
+    val denom = lit(1.0) + lit(z * z) / nD
+    val center = (p + lit(z * z) / (lit(2.0) * nD)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      lit(z * z) / (lit(4.0) * nD * nD)) / denom
+    agg.select($"event_type", $"n", $"k",
+        expr("(10000 * k) div n").as("rate_bp"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"))
+      .orderBy($"event_type")
+  }
+
+  val wilsonSql: String =
+    """WITH f AS (SELECT value AS v, COUNT(*) AS c FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT v AS thr FROM (
+      |    SELECT v, c,
+      |      COALESCE(SUM(c) OVER (ORDER BY v
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS before,
+      |      SUM(c) OVER () AS n
+      |    FROM f)
+      |  WHERE before < (50 * n + 99) // 100
+      |    AND before + c >= (50 * n + 99) // 100),
+      |a AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CASE WHEN value >= thr THEN 1 ELSE 0 END) AS k
+      |  FROM events, m GROUP BY event_type),
+      |w AS (
+      |  SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |    CAST(k AS DOUBLE) / n AS p, CAST(n AS DOUBLE) AS nd
+      |  FROM a)
+      |SELECT event_type, n, k, (10000 * k) // n AS rate_bp,
+      |  ROUND((p + 1.96 * 1.96 / (2.0 * nd))
+      |    / (1.0 + 1.96 * 1.96 / nd)
+      |    - 1.96 * sqrt(p * (1.0 - p) / nd
+      |        + 1.96 * 1.96 / (4.0 * nd * nd))
+      |      / (1.0 + 1.96 * 1.96 / nd), 6) AS wilson_lo,
+      |  ROUND((p + 1.96 * 1.96 / (2.0 * nd))
+      |    / (1.0 + 1.96 * 1.96 / nd)
+      |    + 1.96 * sqrt(p * (1.0 - p) / nd
+      |        + 1.96 * 1.96 / (4.0 * nd * nd))
+      |      / (1.0 + 1.96 * 1.96 / nd), 6) AS wilson_hi
+      |FROM w ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stat_spearman" -> spearmanQ,
     "q_stat_ttest" -> ttestQ,
     "q_stat_anova" -> anovaQ,
+    "q_stat_wilson" -> wilsonQ,
     "q_stat_chi2" -> chi2Q,
     "q_profile_benford" -> benfordQ,
     "q_stat_mannwhitney" -> mannWhitneyQ,
@@ -728,6 +807,7 @@ object Stats {
     "q_stat_spearman" -> spearmanSql,
     "q_stat_ttest" -> ttestSql,
     "q_stat_anova" -> anovaSql,
+    "q_stat_wilson" -> wilsonSql,
     "q_stat_chi2" -> chi2Sql,
     "q_profile_benford" -> benfordSql,
     "q_stat_mannwhitney" -> mannWhitneySql,

@@ -131,7 +131,8 @@ object Dev {
             "1-row p75 threshold frame + 25-node nation pair grid",
           "q_minhash_sensitivity" -> "1-row truth-count totals frame",
           "q_sample_balanced" -> "1-row minority-class-count frame",
-          "q_graph_bfs" -> "1-row p75 threshold frame over the node-bounded edge list")
+          "q_graph_bfs" -> "1-row p75 threshold frame over the node-bounded edge list",
+          "q_stat_wilson" -> "1-row exact-median threshold frame")
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {
             val plan = fn(spark, dir).queryExecution.sparkPlan

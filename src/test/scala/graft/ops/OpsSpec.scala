@@ -913,4 +913,18 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     // the fixture's seeded near-dups must leak at least one gram
     assert(rows.map(_.getAs[Long]("n_shared")).sum > 0)
   }
+
+  test("norm dedup: catches every planted case/whitespace variant that byte dedup misses") {
+    import spark.implicits._
+    val rows = Dedup.normDedupQ(spark, sfDir).collect()
+    val planted = graft.Tables.t(spark, sfDir, "documents")
+      .filter($"doc_id" % 7 === 0).count()
+    assert(rows.length == planted, s"${rows.length} groups vs $planted planted")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_copies") == 2L)
+      // two RAW byte forms per group — byte-exact dedup would not merge
+      assert(r.getAs[Long]("n_raw_forms") == 2L)
+      assert(r.getAs[Long]("keep_id") < 3000000L, "original id wins")
+    }
+  }
 }

@@ -291,4 +291,23 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     val fExp = (ssb / (groups.size - 1)) / (ssw / (n - groups.size))
     assert(math.abs(r.getAs[Double]("f_stat") - fExp) < 1e-4 * (1 + fExp))
   }
+
+  test("wilson: interval brackets the rate, narrows with n, matches the textbook formula") {
+    val rows = Stats.wilsonQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val k = r.getAs[Long]("k")
+      val p = k.toDouble / n
+      val lo = r.getAs[Double]("wilson_lo"); val hi = r.getAs[Double]("wilson_hi")
+      assert(lo <= p && p <= hi, s"${r.getAs[String]("event_type")}")
+      assert(lo >= 0.0 && hi <= 1.0)
+      val z = 1.96; val zz = z * z
+      val den = 1.0 + zz / n
+      val c = (p + zz / (2.0 * n)) / den
+      val h = z * math.sqrt(p * (1 - p) / n + zz / (4.0 * n * n)) / den
+      assert(math.abs(lo - (c - h)) < 1e-5)
+      assert(math.abs(hi - (c + h)) < 1e-5)
+      assert(r.getAs[Long]("rate_bp") == 10000L * k / n)
+    }
+  }
 }
