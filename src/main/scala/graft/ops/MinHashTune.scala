@@ -45,11 +45,21 @@ object MinHashTune {
   /** q_minhash_sensitivity: recall/volume grid over band configs. */
   def sensitivityQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ex = Dedup.shingled(s, dir)
+    // two independent 60-bit lanes per md5 (hex chars 1-15 and 16-30 of
+    // the 128-bit digest): 16 lanes cost 8 hashes per shingle, not 16.
+    // The digests are materialized in a projection BEFORE the aggregate
+    // so the hash count is guaranteed (not left to expression CSE);
+    // mirrored exactly in the oracle.
+    val exh = Dedup.shingled(s, dir)
       .select($"doc_id", explode($"sh").as("g"))
-    val laneMins = (0 until Lanes).map(j =>
-      min(Hashing.md5Long60(concat_ws("|", lit(j), $"g"))).as(s"s$j"))
-    val sig = ex.groupBy($"doc_id").agg(laneMins.head, laneMins.tail: _*)
+      .select(Seq($"doc_id") ++ (0 until Lanes / 2).map(i =>
+        md5(concat_ws("|", lit(i), $"g")).as(s"h$i")): _*)
+    val laneMins = (0 until Lanes).map { j =>
+      val off = 1 + 15 * (j % 2)
+      min(conv(substring(col(s"h${j / 2}"), off, 15), 16, 10).cast("long"))
+        .as(s"s$j")
+    }
+    val sig = exh.groupBy($"doc_id").agg(laneMins.head, laneMins.tail: _*)
     // every config's band keys from the one signature: 16+8+4+2 rows/doc
     val bandStructs = RowConfigs.flatMap { r =>
       (0 until Lanes / r).map { b =>
@@ -97,7 +107,8 @@ object MinHashTune {
       |ex AS (SELECT doc_id, unnest(sh) AS g FROM shing),
       |lanes AS (
       |  SELECT doc_id, j,
-      |    min(('0x' || substr(md5(j::VARCHAR || '|' || g), 1, 15))
+      |    min(('0x' || substr(md5((j // 2)::VARCHAR || '|' || g),
+      |                        1 + 15 * (j % 2), 15))
       |        ::UBIGINT::BIGINT) AS v
       |  FROM ex CROSS JOIN (SELECT unnest(range($Lanes)) AS j) l
       |  GROUP BY doc_id, j),

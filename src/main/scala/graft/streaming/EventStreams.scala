@@ -441,6 +441,79 @@ object EventStreams {
       |  MAX(lag_us) AS max_lag_us
       |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q_anomaly_running entry: the BATCH ANCHOR of the streaming Welford
+    * anomaly detector — per event type, every event is z-scored against
+    * the running mean/variance of all PRIOR events (30-event warmup),
+    * and the rollup reports how many crossed |z| > 3. Same semantics
+    * the `mapGroupsWithState` stream applies per trigger; anchoring it
+    * as a deterministic batch query is what makes the streaming
+    * operator oracle-checkable.
+    *
+    * Exactness: prefix count/sum/sumsq accumulate as DECIMAL(18,2)/
+    * DECIMAL(38,4) cumulative windows — exact at any prefix, so each
+    * row's z is one fixed IEEE tree over exact inputs; ordering is
+    * pinned by (ts, event_id).
+    *
+    * Scale: one exchange keyed on the type serves all three prefix
+    * windows and the final combinable rollup. */
+  def anomalyBatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val x = $"value".cast("decimal(18,2)")
+    val scored = graft.Tables.t(s, dir, "events")
+      .select($"event_type", $"ts", $"event_id", $"value", x.as("xd"))
+      .withColumn("cnt", count($"xd").over(w))
+      .withColumn("sx", sum($"xd").over(w))
+      .withColumn("sxx", sum(($"xd" * $"xd").cast("decimal(38,4)")).over(w))
+      // ANSI mode: divisions only materialize under the warmup guard
+      .withColumn("mean_p",
+        when($"cnt" >= 30, $"sx".cast("double") / $"cnt"))
+      .withColumn("var_p",
+        when($"cnt" >= 30,
+          ($"sxx".cast("double") - $"sx".cast("double")
+            * $"sx".cast("double") / $"cnt") / ($"cnt" - 1)))
+      .withColumn("z",
+        when($"var_p" > 0.0, ($"value" - $"mean_p") / sqrt($"var_p")))
+    scored
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count($"z").as("n_scored"),
+        sum(when(abs($"z") > 3.0, 1L).otherwise(0L)).as("n_anomalies"),
+        round(max(abs($"z")), 6).as("max_abs_z"))
+      .orderBy($"event_type")
+  }
+
+  val anomalyBatchSql: String =
+    """WITH p AS (
+      |  SELECT event_type, value,
+      |    COUNT(CAST(value AS DECIMAL(18,2))) OVER w AS cnt,
+      |    SUM(CAST(value AS DECIMAL(18,2))) OVER w AS sx,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2))
+      |        * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) OVER w
+      |      AS sxx
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT event_type,
+      |    CASE WHEN cnt >= 30 THEN
+      |      CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+      |          * CAST(sx AS DOUBLE) / cnt) / (cnt - 1) > 0.0
+      |      THEN (value - CAST(sx AS DOUBLE) / cnt)
+      |        / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+      |            * CAST(sx AS DOUBLE) / cnt) / (cnt - 1))
+      |      END
+      |    END AS z
+      |  FROM p)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(z) AS n_scored,
+      |  CAST(SUM(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_anomalies,
+      |  ROUND(MAX(abs(z)), 6) AS max_abs_z
+      |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -448,12 +521,14 @@ object EventStreams {
     "q_stream_sliding" -> slidingBatch,
     "q_sessionize" -> sessionizeBatch,
     "q_event_funnel" -> funnelBatch,
-    "q_stream_disorder" -> disorderBatch)
+    "q_stream_disorder" -> disorderBatch,
+    "q_anomaly_running" -> anomalyBatch)
 
   def oracle: Map[String, String] = Map(
     "q_stream_window" -> windowBatchSql,
     "q_stream_sliding" -> slidingBatchSql,
     "q_sessionize" -> sessionizeBatchSql,
     "q_event_funnel" -> funnelBatchSql,
-    "q_stream_disorder" -> disorderBatchSql)
+    "q_stream_disorder" -> disorderBatchSql,
+    "q_anomaly_running" -> anomalyBatchSql)
 }

@@ -367,4 +367,40 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         .map(_.event_id).toSet == Set(22L, 24L))
     } finally q.stop()
   }
+
+  test("anomaly batch anchor: rollup matches a sequential driver-side Welford scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = EventStreams.anomalyBatch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byType = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", $"ts", $"event_id", $"value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val tp = r.getAs[String]("event_type")
+      val seq = byType(tp).sortBy(e => (e._2, e._3)).map(_._4)
+      var cnt = 0L; var sx = BigDecimal(0); var sxx = BigDecimal(0)
+      var scored = 0L; var anom = 0L; var maxZ = 0.0
+      seq.foreach { v =>
+        if (cnt >= 30) {
+          val m = sx.toDouble / cnt
+          val va = (sxx.toDouble - sx.toDouble * sx.toDouble / cnt) / (cnt - 1)
+          if (va > 0) {
+            val z = (v - m) / math.sqrt(va)
+            scored += 1
+            if (math.abs(z) > 3.0) anom += 1
+            if (math.abs(z) > maxZ) maxZ = math.abs(z)
+          }
+        }
+        val vd = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        cnt += 1; sx += vd; sxx += (vd * vd)
+      }
+      assert(r.getAs[Long]("n_events") == seq.length.toLong, s"$tp n")
+      assert(r.getAs[Long]("n_scored") == scored, s"$tp scored")
+      assert(r.getAs[Long]("n_anomalies") == anom, s"$tp anomalies")
+      assert(math.abs(r.getAs[Double]("max_abs_z") - maxZ) < 1e-5, s"$tp maxz")
+    }
+  }
 }
