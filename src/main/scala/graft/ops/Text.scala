@@ -789,6 +789,40 @@ object Text {
       |    AS kept_id_sum
       |FROM r, tgt GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Compression-ratio quality signal — deflate each document and
+    * report compressed/raw size in basis points. The production corpus
+    * filter the web-scale pipelines publish (highly compressible ⇒
+    * repetitive boilerplate / generated spam; incompressible ⇒ possibly
+    * binary junk): a cheap, language-agnostic complement to the
+    * token-level [[repetition]] heuristics.
+    *
+    * Spec-verified, not oracle-registered: the DEFLATE byte stream is
+    * JVM-library-specific, so no SQL engine can mirror it — exactly the
+    * class of operator the `mapPartitions` escape hatch exists for. The
+    * shape is still scan-local: one Deflater per partition (reset per
+    * row, never reallocated), no shuffle, output is 4 small columns. */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](16384)
+        it.map { case (id, txt) =>
+          val bytes = txt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished())
+            compressed += deflater.deflate(buf)
+          val raw = math.max(1L, bytes.length.toLong)
+          (id, bytes.length.toLong, compressed, 10000L * compressed / raw)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_compressed", "ratio_bp")
+  }
+
   /** Repetition signals — the Gopher-family "repetitive text" quality
     * filters (Rae et al. 2021, public): fraction of tokens accounted for
     * by the most frequent token, fraction of word-bigram occurrences

@@ -631,6 +631,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("compression ratio: deterministic, bounded, and ranks repetitive text below novel text") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val a = Text.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val b = Text.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(a == b, "deflate output must be run-deterministic")
+    assert(a.nonEmpty)
+    a.values.foreach(v => assert(v > 0 && v < 12000))
+    // a planted pathological pair: pure repetition compresses far
+    // better than the same-length word soup
+    val planted = Seq(
+      (900001L, "spam " * 200),
+      (900002L, (1 to 200).map(i => s"w${i * 7919 % 997}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val p = Text.compressionRatio(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(p(900001L) < p(900002L) / 2,
+      s"repetition ${p(900001L)} vs novel ${p(900002L)}")
+  }
+
   test("curriculum: phases partition each language track and quartile cuts are respected") {
     val rows = Curate.curriculumQ(spark, sfDir).collect()
     assert(rows.nonEmpty)
