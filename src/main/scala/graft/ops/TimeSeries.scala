@@ -457,6 +457,79 @@ object TimeSeries {
       |FROM r GROUP BY user_id HAVING COUNT(gap_us) > 0
       |ORDER BY user_id""".stripMargin
 
+  /** q_ts_concurrency entry: peak concurrent user sessions per day —
+    * the interval-stabbing / sweep-line primitive behind capacity
+    * questions ("how many sessions were open at once?"). Each user's
+    * activity span [first event, last event] becomes a +1/−1 delta
+    * pair; the peak at any instant is the running sum of deltas in time
+    * order (+1 before −1 at ties, so a session ending exactly when
+    * another starts counts both).
+    *
+    * Distributed shape — the two-level prefix sum, NOT one global
+    * window: deltas cumulate WITHIN their day partition (day-keyed
+    * exchange), per-day totals cumulate across days in a second
+    * window that is CALENDAR-bounded (≤ observation days — the
+    * [[graft.ops.Skyline]] cross-partition correction applied to
+    * time), and each day's peak is carry-in + its local running max.
+    * All integers; ties are order-insensitive for the peak (prefix
+    * sums over identical deltas are permutation-invariant).
+    */
+  def concurrencyQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val spans = t(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(min(unix_micros($"ts")).as("t0"), max(unix_micros($"ts")).as("t1"))
+    val deltas = spans.select($"t0".as("t"), lit(1L).as("d"))
+      .unionByName(spans.select(($"t1" + 1).as("t"), lit(-1L).as("d")))
+      .withColumn("day", expr("t div 86400000000"))
+    val inDay = Window.partitionBy($"day").orderBy($"t", $"d".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = deltas.withColumn("run", sum($"d").over(inDay))
+    val perDay = run.groupBy($"day")
+      .agg(max($"run").as("local_peak"),
+        sum($"d").as("day_total"),
+        sum(when($"d" === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when($"d" === -1L, 1L).otherwise(0L)).as("n_ends"))
+    val acrossDays = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDay
+      .withColumn("carry", coalesce(sum($"day_total").over(acrossDays), lit(0L)))
+      // the day's peak can also be its carried-in level (a day whose
+      // first delta is an end never exceeds the level it started at)
+      .select($"day", $"n_starts", $"n_ends",
+        greatest($"carry", $"carry" + $"local_peak").as("peak_concurrent"))
+      .orderBy($"day")
+  }
+
+  val concurrencySql: String =
+    """WITH spans AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+      |  FROM events GROUP BY user_id),
+      |deltas AS (
+      |  SELECT t0 AS t, CAST(1 AS BIGINT) AS d FROM spans
+      |  UNION ALL
+      |  SELECT t1 + 1, CAST(-1 AS BIGINT) FROM spans),
+      |r AS (
+      |  SELECT t // 86400000000 AS day, t, d,
+      |    SUM(d) OVER (PARTITION BY t // 86400000000 ORDER BY t, d DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM deltas),
+      |per AS (
+      |  SELECT day, CAST(MAX(run) AS BIGINT) AS local_peak,
+      |    CAST(SUM(d) AS BIGINT) AS day_total,
+      |    CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+      |    CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+      |  FROM r GROUP BY day)
+      |SELECT day, n_starts, n_ends,
+      |  CAST(greatest(
+      |    COALESCE(SUM(day_total) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+      |    COALESCE(SUM(day_total) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + local_peak) AS BIGINT) AS peak_concurrent
+      |FROM per ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_resample" -> resampleQ,
     "q_ts_ewma" -> ewmaQ,
@@ -464,7 +537,8 @@ object TimeSeries {
     "q_ts_cusum" -> cusumQ,
     "q_ts_dow_profile" -> dowProfileQ,
     "q_ts_trend" -> trendQ,
-    "q_ts_interarrival" -> interarrivalQ)
+    "q_ts_interarrival" -> interarrivalQ,
+    "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
     "q_ts_resample" -> resampleSql,
@@ -473,5 +547,6 @@ object TimeSeries {
     "q_ts_cusum" -> cusumSql,
     "q_ts_dow_profile" -> dowProfileSql,
     "q_ts_trend" -> trendSql,
-    "q_ts_interarrival" -> interarrivalSql)
+    "q_ts_interarrival" -> interarrivalSql,
+    "q_ts_concurrency" -> concurrencySql)
 }

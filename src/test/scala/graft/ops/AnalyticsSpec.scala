@@ -631,6 +631,35 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("concurrency: two-level prefix sweep equals an in-memory sweep line") {
+    import spark.implicits._
+    val got = TimeSeries.concurrencyQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val spans = graft.Tables.t(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.min(unix_micros($"ts")).as("t0"),
+        org.apache.spark.sql.functions.max(unix_micros($"ts")).as("t1"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val deltas = (spans.map(s => (s._1, 1L)) ++ spans.map(s => (s._2 + 1, -1L)))
+      .sortBy(d => (d._1, -d._2))
+    var level = 0L
+    val byDay = scala.collection.mutable.LinkedHashMap[Long, (Long, Long, Long)]()
+    deltas.foreach { case (t, d) =>
+      val day = t / 86400000000L
+      // a day's peak starts at the level carried INTO the day
+      val entry = byDay.getOrElse(day, (0L, 0L, level))
+      level += d
+      byDay(day) = (entry._1 + (if (d > 0) 1 else 0),
+        entry._2 + (if (d < 0) 1 else 0),
+        math.max(entry._3, level))
+    }
+    val expected = byDay.toSeq.map { case (day, (st, en, pk)) =>
+      (day, st, en, pk) }.sortBy(_._1)
+    assert(got.toSeq == expected,
+      s"sweep mismatch:\n got ${got.toSeq}\n exp $expected")
+  }
+
   test("compression ratio: deterministic, bounded, and ranks repetitive text below novel text") {
     import spark.implicits._
     val docs = graft.Tables.t(spark, sfDir, "documents")
