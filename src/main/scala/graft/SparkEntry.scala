@@ -56,6 +56,7 @@ object SparkEntry {
     graft.ops.Validate.queries ++
     graft.ops.Index.queries ++
     graft.ops.Skew.queries ++
+    graft.ops.Spatial.queries ++
     graft.ops.Stats.queries ++
     graft.ops.Similarity.queries ++
     graft.ops.Centroids.queries ++
@@ -98,6 +99,7 @@ object SparkEntry {
     graft.ops.Validate.oracle ++
     graft.ops.Index.oracle ++
     graft.ops.Skew.oracle ++
+    graft.ops.Spatial.oracle ++
     graft.ops.Stats.oracle ++
     graft.ops.Similarity.oracle ++
     graft.ops.Centroids.oracle ++

@@ -32,6 +32,7 @@ class RegistrySpec extends AnyFunSuite {
     "Validate" -> graft.ops.Validate.queries,
     "Index" -> graft.ops.Index.queries,
     "Skew" -> graft.ops.Skew.queries,
+    "Spatial" -> graft.ops.Spatial.queries,
     "Stats" -> graft.ops.Stats.queries,
     "Similarity" -> graft.ops.Similarity.queries,
     "Centroids" -> graft.ops.Centroids.queries,

@@ -631,6 +631,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("spatial join: grid-bucketed pairs equal a naive all-pairs distance scan") {
+    import spark.implicits._
+    val got = Spatial.spatialQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // derive the same md5 positions driver-side
+    def h60(sfx: String)(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((id.toString + sfx).getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16) % 9000
+    }
+    val ids = graft.Tables.t(spark, sfDir, "customer")
+      .select($"c_custkey").collect().map(_.getLong(0))
+    val pos = ids.map(id => id -> (h60(":x")(id), h60(":y")(id))).toMap
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      dx = pos(i)._1 - pos(j)._1; dy = pos(i)._2 - pos(j)._2
+      d2 = dx * dx + dy * dy if d2 <= 10000L
+    } yield (i, j) -> d2).toMap
+    assert(got == expected,
+      s"pair sets differ: got ${got.size} expected ${expected.size}")
+    assert(got.nonEmpty, "the 90x90 plane should yield close pairs")
+  }
+
   test("concurrency: two-level prefix sweep equals an in-memory sweep line") {
     import spark.implicits._
     val got = TimeSeries.concurrencyQ(spark, sfDir).collect()
