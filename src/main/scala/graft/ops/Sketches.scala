@@ -222,13 +222,97 @@ object Sketches {
       |FROM e WHERE len(tok) > 0
       |GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 40""".stripMargin
 
+  /** q_bloom_fp entry: Bloom-filter behavior, measured exactly — build
+    * an m=4096-bit, k=3 filter over the TRAIN split's content digests
+    * (bit positions are md5-derived, the cross-engine hash contract),
+    * probe every TEST doc, and report the observed false-positive rate
+    * in basis points next to the filter's actual bit load. Every test
+    * doc is a true negative (contents are distinct), so every positive
+    * IS a false positive — the query measures exactly the quantity the
+    * (m, k, n) theory predicts, and the spec checks the prediction.
+    *
+    * Distributed shape of a Bloom build at scale: the filter is the
+    * DISTINCT SET of set-bit positions (≤ m rows — a combinable
+    * distinct, not a bit-array in driver memory); membership probes
+    * join the k probe positions against it and demand k hits. All
+    * integers end to end. */
+  def bloomFpQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = 4096
+    val k = 3
+    val docs = t(s, dir, "documents")
+      .withColumn("split", Hashing.splitLabel($"doc_id".cast("string")))
+      .withColumn("sha", sha2($"text", 256))
+    def pos(i: Int): Column =
+      Hashing.md5Long60(concat($"sha", lit(s":$i"))) % m
+    val bits = docs.filter($"split" === "train")
+      .select(explode(array((0 until k).map(pos): _*)).as("b"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val probes = docs.filter($"split" === "test")
+      .select($"doc_id", posexplode(array((0 until k).map(pos): _*))
+        .as(Seq("i", "b")))
+    val perDoc = probes.join(bits, Seq("b"), "left")
+      .groupBy($"doc_id")
+      .agg((sum(coalesce($"hit", lit(0L))) === k).as("bloom_positive"))
+    val trainN = docs.filter($"split" === "train")
+      .agg(count(lit(1)).as("n_train"))
+    perDoc
+      .agg(count(lit(1)).as("n_test"),
+        sum(when($"bloom_positive", 1L).otherwise(0L)).as("n_false_pos"))
+      .crossJoin(broadcast(trainN))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
+      .select(lit(m.toLong).as("m_bits"), lit(k.toLong).as("k_hashes"),
+        $"n_train", $"bits_set", $"n_test", $"n_false_pos",
+        expr("(10000 * n_false_pos) div n_test").as("fp_bp"))
+  }
+
+  val bloomFpSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, sha256(text) AS sha,
+      |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+      |           ::UBIGINT::BIGINT % 100 < 80 THEN 'train'
+      |         WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+      |           ::UBIGINT::BIGINT % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |bits AS (
+      |  SELECT DISTINCT
+      |    ('0x' || substr(md5(sha || ':' || i.x::VARCHAR), 1, 15))
+      |      ::UBIGINT::BIGINT % 4096 AS b
+      |  FROM d CROSS JOIN (SELECT unnest([0, 1, 2]) AS x) i
+      |  WHERE split = 'train'),
+      |probes AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(sha || ':' || i.x::VARCHAR), 1, 15))
+      |      ::UBIGINT::BIGINT % 4096 AS b
+      |  FROM d CROSS JOIN (SELECT unnest([0, 1, 2]) AS x) i
+      |  WHERE split = 'test'),
+      |per AS (
+      |  SELECT p.doc_id,
+      |    (SUM(CASE WHEN bits.b IS NOT NULL THEN 1 ELSE 0 END) = 3)
+      |      AS bloom_positive
+      |  FROM probes p LEFT JOIN bits ON p.b = bits.b
+      |  GROUP BY p.doc_id)
+      |SELECT CAST(4096 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k_hashes,
+      |  (SELECT COUNT(*) FROM d WHERE split = 'train') AS n_train,
+      |  (SELECT COUNT(*) FROM bits) AS bits_set,
+      |  COUNT(*) AS n_test,
+      |  CAST(SUM(CASE WHEN bloom_positive THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_false_pos,
+      |  CAST((10000 * SUM(CASE WHEN bloom_positive THEN 1 ELSE 0 END))
+      |    // COUNT(*) AS BIGINT) AS fp_bp
+      |FROM per""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_hll_merge" -> hllMergeQ,
     "q_source_overlap" -> sourceOverlapQ,
-    "q_agg_cms" -> cmsQ)
+    "q_agg_cms" -> cmsQ,
+    "q_bloom_fp" -> bloomFpQ)
 
   def oracle: Map[String, String] = Map(
     "q_agg_hll_merge" -> hllMergeSql,
     "q_source_overlap" -> sourceOverlapSql,
-    "q_agg_cms" -> cmsSql)
+    "q_agg_cms" -> cmsSql,
+    "q_bloom_fp" -> bloomFpSql)
 }

@@ -233,4 +233,19 @@ class FuzzySketchSpec extends AnyFunSuite with SparkSpec {
         d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     d(a.length)(b.length)
   }
+
+  test("bloom fp audit: bit accounting and false-positive rate obey the filter identities") {
+    val r = Sketches.bloomFpQ(spark, sfDir).collect().head
+    val m = r.getAs[Long]("m_bits"); val k = r.getAs[Long]("k_hashes")
+    val bits = r.getAs[Long]("bits_set"); val nTrain = r.getAs[Long]("n_train")
+    assert(bits <= math.min(m, k * nTrain))
+    assert(bits >= 1)
+    assert(r.getAs[Long]("n_false_pos") <= r.getAs[Long]("n_test"))
+    // observed FP rate within a loose band of the (load)^k theory:
+    // small n_test, so allow 0..5x the expectation plus slack
+    val load = bits.toDouble / m
+    val pTheory = math.pow(load, k.toDouble)
+    val pObs = r.getAs[Long]("n_false_pos").toDouble / r.getAs[Long]("n_test")
+    assert(pObs <= 5 * pTheory + 0.1, s"observed $pObs vs theory $pTheory")
+  }
 }
