@@ -855,6 +855,58 @@ object Dedup {
       |  CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_raw_forms
       |FROM n GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY keep_id""".stripMargin
 
+  /** q_dedup_containment entry: ASYMMETRIC near-dup detection by shingle
+    * CONTAINMENT — |A∩B| / min(|A|,|B|) ≥ 0.9. Jaccard misses the
+    * subset case (a short doc pasted whole into a long one dilutes the
+    * union), and containment is the published fix (Broder's resemblance
+    * vs containment distinction); a curation pipeline needs both axes.
+    *
+    * Blocking: candidates are doc pairs sharing a RARE shingle
+    * (document frequency 2–10). Rare-gram blocking is the scalable
+    * complement of MinHash banding for containment — a contained doc
+    * shares ALL its shingles with its container, so any of its
+    * non-boilerplate (rare) shingles names the pair; candidate volume
+    * is Σ_rare df² , bounded by the df cap, never all-pairs. The
+    * in-candidate verify is exact and integer (basis points).
+    *
+    * Oracle: exact all-pairs containment (feasible at oracle scale),
+    * so the driver compare also PROVES the blocking's recall is 1.0 on
+    * this corpus — same stance as the LSH near-dup family. */
+  def containmentQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingled(s, dir).cache()
+    val ex = sh.select($"doc_id", explode($"sh").as("g"))
+    val rare = ex.groupBy($"g").agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= 2 && $"df" <= 10)
+      .select($"g")
+    val rareDocs = ex.join(rare, Seq("g"))
+    val cand = rareDocs.as("x").join(rareDocs.as("y"),
+        $"x.g" === $"y.g" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.as("a"), $"doc_a" === $"a.doc_id")
+      .join(sh.as("b"), $"doc_b" === $"b.doc_id")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"a.sh", $"b.sh")).cast("long").as("n_common"),
+        least(size($"a.sh"), size($"b.sh")).cast("long").as("min_size"))
+      .withColumn("containment_bp", expr("(10000 * n_common) div min_size"))
+      .filter($"containment_bp" >= 9000)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val containmentSql: String =
+    s"""$shingledSql
+      |SELECT doc_a, doc_b, n_common, min_size,
+      |  (10000 * n_common) // min_size AS containment_bp
+      |FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(LEN(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+      |    CAST(least(LEN(a.sh), LEN(b.sh)) AS BIGINT) AS min_size
+      |  FROM shing a JOIN shing b ON a.doc_id < b.doc_id)
+      |WHERE (10000 * n_common) // min_size >= 9000
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -870,7 +922,8 @@ object Dedup {
     "q_dedup_source_matrix" -> sourceMatrixQ,
     "q_split_contamination" -> contaminationQ,
     "q_contamination_ngram" -> contaminationNgramQ,
-    "q_dedup_norm" -> normDedupQ)
+    "q_dedup_norm" -> normDedupQ,
+    "q_dedup_containment" -> containmentQ)
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> exactSql,
@@ -885,5 +938,6 @@ object Dedup {
     "q_dedup_source_matrix" -> sourceMatrixSql,
     "q_split_contamination" -> contaminationSql,
     "q_contamination_ngram" -> contaminationNgramSql,
-    "q_dedup_norm" -> normDedupSql)
+    "q_dedup_norm" -> normDedupSql,
+    "q_dedup_containment" -> containmentSql)
 }

@@ -269,7 +269,42 @@ object SetOpsScalars {
 
   // --- registry -------------------------------------------------------------
 
+  /** q_scalar_bits entry: bitwise scalar surface — AND/OR/XOR, shifts,
+    * popcount over integer keys; pure integer semantics identical on
+    * every engine, codegen'd end to end (bit tricks are the backbone of
+    * hash partitioners, bitmap indexes, and flag columns). */
+  def scalarBits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.t(s, dir, "lineitem")
+      .filter($"l_orderkey" < 64)
+      .select($"l_orderkey", $"l_linenumber",
+        ($"l_orderkey" * 8 + $"l_linenumber").as("key"))
+      .select($"l_orderkey", $"l_linenumber",
+        expr("key & 255").as("band"),
+        expr("key | 4096").as("flagged"),
+        expr("key ^ 85").as("mixed"),
+        expr("shiftleft(key, 3)").as("shl3"),
+        expr("shiftright(key, 2)").as("shr2"),
+        expr("bit_count(key)").cast("long").as("popcount"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val scalarBitsSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  key & 255 AS band,
+      |  key | 4096 AS flagged,
+      |  xor(key, 85) AS mixed,
+      |  key << 3 AS shl3,
+      |  key >> 2 AS shr2,
+      |  CAST(bit_count(key) AS BIGINT) AS popcount
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    l_orderkey * 8 + l_linenumber AS key
+      |  FROM lineitem WHERE l_orderkey < 64)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_bits" -> scalarBits,
     "q_union_all" -> unionAll,
     "q_union_distinct" -> unionDistinct,
     "q_intersect" -> intersectQ,
@@ -282,6 +317,7 @@ object SetOpsScalars {
     "q_scalar_conditional" -> scalarConditional)
 
   def oracle: Map[String, String] = Map(
+    "q_scalar_bits" -> scalarBitsSql,
     "q_union_all" -> unionAllSql,
     "q_union_distinct" -> unionDistinctSql,
     "q_intersect" -> intersectSql,

@@ -914,6 +914,34 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.getAs[Long]("n_shared")).sum > 0)
   }
 
+  test("containment: bounds hold, rare-gram blocking covers the exact all-pairs answer") {
+    import spark.implicits._
+    val rows = Dedup.containmentQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("n_common") <= r.getAs[Long]("min_size"))
+      val bp = r.getAs[Long]("containment_bp")
+      assert(bp >= 9000 && bp <= 10000)
+    }
+    // exact all-pairs recompute over the same shingle sets
+    val sets = graft.Tables.t(spark, sfDir, "documents")
+      .withColumn("toks", split(lower($"text"), " "))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))")
+        .as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      ms = math.min(sa.size, sb.size)
+      if ms > 0 && 10000L * inter / ms >= 9000
+    } yield (a, b)).toSet
+    assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet == expected, "blocking missed or invented a pair")
+  }
+
   test("norm dedup: catches every planted case/whitespace variant that byte dedup misses") {
     import spark.implicits._
     val rows = Dedup.normDedupQ(spark, sfDir).collect()
