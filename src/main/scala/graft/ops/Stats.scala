@@ -538,8 +538,12 @@ object Stats {
         sum($"cx" * $"cx").as("s_xx"),
         sum($"cy" * $"cy").as("s_yy"))
       .select($"g", $"n", $"s_xy", $"s_xx", $"s_yy",
-        round($"s_xy".cast("double") / sqrt($"s_xx".cast("double"))
-          / sqrt($"s_yy".cast("double")), 6).as("rho"))
+        // a constant column (zero rank variance) has no defined rho —
+        // emit NULL, not a division-by-zero infinity (the
+        // testdata-regeneration hardening stance, ADVICE r8)
+        when($"s_xx" > 0L && $"s_yy" > 0L,
+          round($"s_xy".cast("double") / sqrt($"s_xx".cast("double"))
+            / sqrt($"s_yy".cast("double")), 6)).as("rho"))
       .orderBy($"g")
   }
 
@@ -566,8 +570,10 @@ object Stats {
       |  CAST(SUM(cx * cy) AS BIGINT) AS s_xy,
       |  CAST(SUM(cx * cx) AS BIGINT) AS s_xx,
       |  CAST(SUM(cy * cy) AS BIGINT) AS s_yy,
-      |  ROUND(CAST(SUM(cx * cy) AS DOUBLE) / sqrt(CAST(SUM(cx * cx) AS DOUBLE))
-      |    / sqrt(CAST(SUM(cy * cy) AS DOUBLE)), 6) AS rho
+      |  CASE WHEN SUM(cx * cx) > 0 AND SUM(cy * cy) > 0 THEN
+      |    ROUND(CAST(SUM(cx * cy) AS DOUBLE)
+      |      / sqrt(CAST(SUM(cx * cx) AS DOUBLE))
+      |      / sqrt(CAST(SUM(cy * cy) AS DOUBLE)), 6) END AS rho
       |FROM j GROUP BY g ORDER BY g""".stripMargin
   }
 
@@ -611,11 +617,15 @@ object Stats {
       .select($"n1", $"n2",
         round($"m1", 6).as("mean_click"),
         round($"m2", 6).as("mean_view"),
-        round(($"m1" - $"m2") / sqrt($"v1" / $"n1" + $"v2" / $"n2"), 6)
+        // degenerate zero-variance cohorts → NULL, not an infinity
+        // (testdata-regeneration hardening, ADVICE r8)
+        when($"v1" + $"v2" > 0.0,
+          round(($"m1" - $"m2") / sqrt($"v1" / $"n1" + $"v2" / $"n2"), 6))
           .as("t_welch"),
-        round(pow($"v1" / $"n1" + $"v2" / $"n2", 2) /
-          (pow($"v1" / $"n1", 2) / ($"n1" - 1)
-            + pow($"v2" / $"n2", 2) / ($"n2" - 1)), 2).as("df_welch"))
+        when($"v1" + $"v2" > 0.0,
+          round(pow($"v1" / $"n1" + $"v2" / $"n2", 2) /
+            (pow($"v1" / $"n1", 2) / ($"n1" - 1)
+              + pow($"v2" / $"n2", 2) / ($"n2" - 1)), 2)).as("df_welch"))
   }
 
   val ttestSql: String =
@@ -643,10 +653,12 @@ object Stats {
       |      / n2) / (n2 - 1) AS v2
       |  FROM a)
       |SELECT n1, n2, ROUND(m1, 6) AS mean_click, ROUND(m2, 6) AS mean_view,
-      |  ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_welch,
-      |  ROUND(pow(v1 / n1 + v2 / n2, 2) /
-      |    (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 2)
-      |    AS df_welch
+      |  CASE WHEN v1 + v2 > 0.0 THEN
+      |    ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) END AS t_welch,
+      |  CASE WHEN v1 + v2 > 0.0 THEN
+      |    ROUND(pow(v1 / n1 + v2 / n2, 2) /
+      |      (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 2)
+      |  END AS df_welch
       |FROM m""".stripMargin
 
   /** q_stat_anova entry: one-way ANOVA F over the five event types'
@@ -680,7 +692,9 @@ object Stats {
         n.cast("long").as("n"), lit(types.size.toLong).as("k"),
         round(ssb, 6).as("ss_between"),
         round(ssw, 6).as("ss_within"),
-        round((ssb / (types.size - 1)) / (ssw / (n - types.size)), 6)
+        // all-groups-constant degenerate case → NULL, not infinity
+        when(ssw > 0.0,
+          round((ssb / (types.size - 1)) / (ssw / (n - types.size)), 6))
           .as("f_stat"))
   }
 
@@ -707,8 +721,9 @@ object Stats {
        |SELECT CAST($n AS BIGINT) AS n, CAST(${types.size} AS BIGINT) AS k,
        |  ROUND($ssb, 6) AS ss_between,
        |  ROUND($ssw, 6) AS ss_within,
-       |  ROUND((($ssb) / ${types.size - 1}) / (($ssw) / (($n) - ${types.size})), 6)
-       |    AS f_stat
+       |  CASE WHEN ($ssw) > 0.0 THEN
+       |    ROUND((($ssb) / ${types.size - 1}) / (($ssw) / (($n) - ${types.size})), 6)
+       |  END AS f_stat
        |FROM a""".stripMargin
   }
 
