@@ -805,7 +805,95 @@ object Stats {
       |      / (1.0 + 1.96 * 1.96 / nd), 6) AS wilson_hi
       |FROM w ORDER BY event_type""".stripMargin
 
+  /** q_sample_neyman entry: Neyman-optimal sample allocation — split a
+    * fixed budget of B=1000 draws across the customer market segments
+    * proportionally to n_h·s_h (stratum size × stddev of account
+    * balance), the variance-minimizing allocation for stratified
+    * estimation; integerized by LARGEST-REMAINDER apportionment so the
+    * allocations sum to exactly B. The eval-set / survey-sampling
+    * planner: where to spend a labeling budget.
+    *
+    * Determinism: stddevs come from exact decimal power sums; the
+    * weight total and the floor-sum are CUMULATIVE window folds in
+    * segment order (sequential left folds — order-defined on both
+    * engines, unlike a free-order aggregate over doubles); remainder
+    * ranking ties break by segment name. Output is pure integers plus
+    * the 6-dp stddev.
+    *
+    * Scale: one combinable power-sum aggregate over the fact table;
+    * everything after runs on the ≤|strata| frame. */
+  def neymanQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val B = 1000
+    val x = $"c_acctbal".cast("decimal(18,2)")
+    val per = t(s, dir, "customer")
+      .groupBy($"c_mktsegment".as("stratum"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("s1"),
+        sum(x * x).cast("double").as("s2"))
+      .withColumn("sd",
+        sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)))
+      .withColumn("w", $"n" * $"sd")
+    val ordered = Window.orderBy($"stratum")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.orderBy($"stratum")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val sized = per
+      // sequential fold in segment order — order-defined on both engines
+      .withColumn("wtot", max(sum($"w").over(ordered)).over(full))
+      .withColumn("exact", lit(B) * $"w" / $"wtot")
+      .withColumn("base", floor($"exact").cast("long"))
+      .withColumn("frac", $"exact" - floor($"exact"))
+      .withColumn("base_tot", max(sum($"base").over(ordered)).over(full))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"frac".desc, $"stratum")))
+    sized
+      .select($"stratum", $"n".as("n_rows"),
+        round($"sd", 6).as("sd_bal"),
+        ($"base" + when($"rk" <= lit(B.toLong) - $"base_tot", 1L)
+          .otherwise(0L)).as("alloc"))
+      .orderBy($"stratum")
+  }
+
+  val neymanSql: String =
+    """WITH per AS (
+      |  SELECT c_mktsegment AS stratum, COUNT(*) AS n,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))
+      |      * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      |  FROM customer GROUP BY 1),
+      |sd AS (
+      |  SELECT stratum, n,
+      |    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd,
+      |    n * sqrt((s2 - s1 * s1 / n) / (n - 1)) AS w
+      |  FROM per),
+      |tot AS (
+      |  SELECT *, MAX(cw) OVER () AS wtot FROM (
+      |    SELECT *, SUM(w) OVER (ORDER BY stratum
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      |    FROM sd)),
+      |ex AS (
+      |  SELECT stratum, n, sd,
+      |    1000 * w / wtot AS exact,
+      |    CAST(floor(1000 * w / wtot) AS BIGINT) AS base,
+      |    1000 * w / wtot - floor(1000 * w / wtot) AS frac
+      |  FROM tot),
+      |bt AS (
+      |  SELECT *, MAX(cb) OVER () AS base_tot FROM (
+      |    SELECT *, SUM(base) OVER (ORDER BY stratum
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      |    FROM ex)),
+      |rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY frac DESC, stratum) AS rk
+      |  FROM bt)
+      |SELECT stratum, CAST(n AS BIGINT) AS n_rows, ROUND(sd, 6) AS sd_bal,
+      |  CAST(base + CASE WHEN rk <= 1000 - base_tot THEN 1 ELSE 0 END
+      |    AS BIGINT) AS alloc
+      |FROM rk ORDER BY stratum""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_neyman" -> neymanQ,
     "q_stat_spearman" -> spearmanQ,
     "q_stat_ttest" -> ttestQ,
     "q_stat_anova" -> anovaQ,
@@ -819,6 +907,7 @@ object Stats {
     "q_ts_acf" -> acfQ)
 
   def oracle: Map[String, String] = Map(
+    "q_sample_neyman" -> neymanSql,
     "q_stat_spearman" -> spearmanSql,
     "q_stat_ttest" -> ttestSql,
     "q_stat_anova" -> anovaSql,

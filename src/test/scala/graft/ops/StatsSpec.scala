@@ -292,6 +292,29 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getAs[Double]("f_stat") - fExp) < 1e-4 * (1 + fExp))
   }
 
+  test("neyman: allocations sum to the budget and stay within 1 of the real-valued optimum") {
+    import spark.implicits._
+    val rows = Stats.neymanQ(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 1000L)
+    // recompute the real-valued optimum from the data
+    val stats = graft.Tables.t(spark, sfDir, "customer")
+      .select($"c_mktsegment", $"c_acctbal").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    val w = stats.view.mapValues { xs =>
+      val v = xs.map(_._2); val m = v.map(_ / v.length).sum * 1.0
+      val mean = v.sum / v.length
+      val sd = math.sqrt(v.map(x => (x - mean) * (x - mean)).sum / (v.length - 1))
+      v.length * sd
+    }.toMap
+    val wtot = w.values.sum
+    rows.foreach { r =>
+      val ideal = 1000.0 * w(r.getAs[String]("stratum")) / wtot
+      val alloc = r.getAs[Long]("alloc").toDouble
+      assert(math.abs(alloc - ideal) < 1.0 + 1e-6,
+        s"${r.getAs[String]("stratum")}: $alloc vs ideal $ideal")
+    }
+  }
+
   test("wilson: interval brackets the rate, narrows with n, matches the textbook formula") {
     val rows = Stats.wilsonQ(spark, sfDir).collect()
     assert(rows.nonEmpty)
