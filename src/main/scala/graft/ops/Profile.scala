@@ -631,9 +631,99 @@ object Profile {
       |  (10000 * cnt) // n_rows AS mode_share_bp
       |FROM r WHERE rk = 1 ORDER BY g""".stripMargin
 
+  /** q_profile_abc entry: ABC / Pareto revenue classification — rank
+    * customers by lifetime revenue and cut the ranking at 80% / 95% of
+    * cumulative revenue: class A carries the first 80%, B the next 15%,
+    * C the tail. The inventory-management classic, and in a data
+    * pipeline the "which keys deserve a cache/special-casing" report.
+    *
+    * All-integer contract: revenue travels as CENTS (BIGINT, exact from
+    * the DECIMAL source), class thresholds are integer
+    * cross-multiplications (100·cum < 80·total), shares are integer
+    * basis points.
+    *
+    * Distributed shape — the two-level prefix again, not one global
+    * sort: per-customer revenues cumulate within fixed-width revenue
+    * BUCKETS (bucket-keyed exchange, descending), bucket totals
+    * cumulate across the ≤(max_rev/width) bucket frame, and each row's
+    * global cumulative-before is carry + local prefix. Same skeleton as
+    * [[TimeSeries.concurrencyQ]] over value space instead of time. */
+  def abcQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val rev = t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg((sum($"o_totalprice".cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val bucketed = rev.withColumn("bkt", expr("cents div 1000000"))
+    val inBkt = Window.partitionBy($"bkt")
+      .orderBy($"cents".desc, $"o_custkey")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = bucketed
+      .withColumn("before_local", coalesce(sum($"cents").over(inBkt), lit(0L)))
+    val perBkt = bucketed.groupBy($"bkt").agg(sum($"cents").as("bkt_total"))
+    val acrossBkt = Window.orderBy($"bkt".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = perBkt
+      .withColumn("carry", coalesce(sum($"bkt_total").over(acrossBkt), lit(0L)))
+      .select($"bkt", $"carry")
+    val total = rev.agg(sum($"cents").as("total"))
+    local.join(carry, Seq("bkt"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_before", $"carry" + $"before_local")
+      .withColumn("cls",
+        when($"cum_before" * 100 < $"total" * 80, "A")
+          .when($"cum_before" * 100 < $"total" * 95, "B")
+          .otherwise("C"))
+      .groupBy($"cls")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"cents").as("revenue_cents"))
+      .crossJoin(broadcast(total))
+      .select($"cls", $"n_customers", $"revenue_cents",
+        expr("(10000 * revenue_cents) div total").as("revenue_share_bp"))
+      .orderBy($"cls")
+  }
+
+  val abcSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |b AS (SELECT o_custkey, cents, cents // 1000000 AS bkt FROM rev),
+      |loc AS (
+      |  SELECT o_custkey, cents, bkt,
+      |    CAST(COALESCE(SUM(cents) OVER (PARTITION BY bkt
+      |      ORDER BY cents DESC, o_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS before_local
+      |  FROM b),
+      |pb AS (SELECT bkt, CAST(SUM(cents) AS BIGINT) AS bkt_total
+      |       FROM b GROUP BY bkt),
+      |cr AS (
+      |  SELECT bkt,
+      |    CAST(COALESCE(SUM(bkt_total) OVER (ORDER BY bkt DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS carry
+      |  FROM pb),
+      |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+      |cls AS (
+      |  SELECT l.cents,
+      |    CASE WHEN (l.before_local + c.carry) * 100 < t.total * 80 THEN 'A'
+      |         WHEN (l.before_local + c.carry) * 100 < t.total * 95 THEN 'B'
+      |         ELSE 'C' END AS cls,
+      |    t.total
+      |  FROM loc l JOIN cr c ON l.bkt = c.bkt, t)
+      |SELECT cls, COUNT(*) AS n_customers,
+      |  CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+      |  CAST((10000 * SUM(cents)) // MAX(total) AS BIGINT)
+      |    AS revenue_share_bp
+      |FROM cls GROUP BY cls ORDER BY cls""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_percentile_disc" -> percentileDiscQ,
     "q_agg_mode" -> modeQ,
+    "q_profile_abc" -> abcQ,
     "q_profile_corr" -> corrQ,
     "q_profile_theil" -> theilQ,
     "q_profile_gini" -> giniQ,
@@ -647,6 +737,7 @@ object Profile {
   def oracle: Map[String, String] = Map(
     "q_agg_percentile_disc" -> percentileDiscSql,
     "q_agg_mode" -> modeSql,
+    "q_profile_abc" -> abcSql,
     "q_profile_corr" -> corrSql,
     "q_profile_theil" -> theilSql,
     "q_profile_gini" -> giniSql,

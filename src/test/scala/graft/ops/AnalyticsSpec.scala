@@ -631,6 +631,30 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("abc: two-level cumulative classification equals a global-sort recompute") {
+    import spark.implicits._
+    val rows = Profile.abcQ(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rev = graft.Tables.t(spark, sfDir, "orders")
+      .groupBy($"o_custkey")
+      .agg((sum($"o_totalprice".cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(r => (-r._2, r._1))
+    val total = rev.map(_._2).sum
+    var cum = 0L
+    val classed = rev.map { case (_, c) =>
+      val cls = if (cum * 100 < total * 80) "A"
+        else if (cum * 100 < total * 95) "B" else "C"
+      cum += c
+      (cls, c)
+    }
+    val expected = classed.groupBy(_._1).view.mapValues(g =>
+      (g.length.toLong, g.map(_._2).sum)).toMap
+    assert(rows == expected, s"got $rows expected $expected")
+    assert(rows("A")._2 * 100 >= total * 79, "class A carries ~80% of revenue")
+  }
+
   test("spatial join: grid-bucketed pairs equal a naive all-pairs distance scan") {
     import spark.implicits._
     val got = Spatial.spatialQ(spark, sfDir).collect()
