@@ -186,15 +186,63 @@ object Cdc {
       |            ELSE 'same' END) <> 'same'
       |ORDER BY user_id""".stripMargin
 
+  /** q_cdc_pit entry: POINT-IN-TIME lookup against the SCD2 history —
+    * for every purchase, the activity state (the user's latest
+    * non-purchase event type) that was valid at the purchase instant,
+    * plus how long the user had been in that state (µs). The classic
+    * warehouse query an SCD2 dimension exists to answer, composed from
+    * [[scd2]] + [[AsOf.joinAsOf]]: a version table's PIT lookup IS an
+    * as-of join on `valid_from` (intervals partition each key's
+    * timeline, so the latest version starting ≤ ts is the valid one —
+    * no BETWEEN range join and its O(n·versions) blow-up).
+    *
+    * Scale: the dimension is change-density-sized; the as-of union
+    * window is ONE key exchange over probes + versions. Output is
+    * integers + the state string. */
+  def pitQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val log = t(s, dir, "events").filter($"user_id" < 50)
+    val dim = scd2(log.filter($"event_type" =!= "purchase"),
+        $"user_id", $"ts", $"event_id", $"event_type")
+      .select($"user_id", $"valid_from".as("ts"),
+        $"attr".as("state"), $"valid_from".as("vf"))
+    val probes = log.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    AsOf.joinAsOf(probes, dim, key = "user_id", ts = "ts")
+      .filter($"state".isNotNull)
+      .select($"event_id", $"user_id", $"state",
+        (unix_micros($"ts") - unix_micros($"vf")).as("in_state_us"))
+      .orderBy($"event_id")
+  }
+
+  val pitSql: String =
+    """WITH log AS (SELECT * FROM events WHERE user_id < 50),
+      |c AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM log WHERE event_type <> 'purchase'),
+      |dim AS (
+      |  SELECT user_id, event_type AS state, ts AS vf
+      |  FROM c WHERE prev IS NULL OR prev <> event_type),
+      |p AS (SELECT user_id, ts, event_id FROM log
+      |      WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, state,
+      |  epoch_us(p.ts) - epoch_us(vf) AS in_state_us
+      |FROM p ASOF JOIN dim ON p.user_id = dim.user_id AND p.ts >= dim.vf
+      |ORDER BY p.event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_latest" -> latestQ,
     "q_cdc_scd2" -> scd2Q,
     "q_cdc_rollup_merge" -> rollupMergeQ,
-    "q_cdc_diff" -> diffQ)
+    "q_cdc_diff" -> diffQ,
+    "q_cdc_pit" -> pitQ)
 
   def oracle: Map[String, String] = Map(
     "q_cdc_latest" -> latestSql,
     "q_cdc_scd2" -> scd2Sql,
     "q_cdc_rollup_merge" -> rollupMergeSql,
-    "q_cdc_diff" -> diffSql)
+    "q_cdc_diff" -> diffSql,
+    "q_cdc_pit" -> pitSql)
 }

@@ -68,4 +68,32 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
       .groupBy($"user_id").count().filter($"count" =!= 1)
     assert(opens.isEmpty, "exactly one open interval per key")
   }
+
+  test("pit lookup: every purchase lands inside its version's validity interval") {
+    import spark.implicits._
+    val log = graft.Tables.t(spark, sfDir, "events").filter($"user_id" < 50)
+    val dim = Cdc.scd2(log.filter($"event_type" =!= "purchase"),
+        $"user_id", $"ts", $"event_id", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime,
+        Option(r.getTimestamp(3)).map(_.getTime)))
+    val got = Cdc.pitQ(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val purchases = log.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getTimestamp(2).getTime))
+      .toMap
+    got.foreach { r =>
+      val (u, pts) = purchases(r.getAs[Long]("event_id"))
+      assert(u == r.getAs[Long]("user_id"))
+      val st = r.getAs[String]("state")
+      // the reported version must contain the purchase instant
+      val hit = dim.filter(d => d._1 == u && d._2 == st &&
+        d._3 <= pts && d._4.forall(pts < _))
+      assert(hit.nonEmpty, s"purchase at $pts not inside a '$st' interval")
+      assert(st != "purchase")
+      assert(r.getAs[Long]("in_state_us") >= 0)
+    }
+  }
 }
