@@ -95,11 +95,88 @@ object Patterns {
       |FROM s WHERE t3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20""".stripMargin
 
+  /** q_seq_stationary entry: the steady-state distribution of the
+    * event-type Markov chain — where [[Behavior.transitionsQ]]'s
+    * first-order matrix says "what happens NEXT", the stationary π
+    * says where the process SPENDS ITS TIME in the long run (π = πP),
+    * the summary behind load forecasting and absorbing-state checks.
+    * Three unrolled power-iteration steps from the uniform start —
+    * enough to converge to 9 dp on a 5-state well-mixed chain, and a
+    * fixed unroll is what a chained-CTE oracle can mirror (the
+    * [[Graph.pagerankQ]] stance; [[Iterate.fixpoint]] is the
+    * production to-convergence form).
+    *
+    * Determinism contract (pagerank's): transition probabilities and
+    * every per-edge term are rounded to 9 dp and SUMMED AS
+    * DECIMAL(28,9) — order-independent exact merges — and each new π
+    * re-rounds to 9 dp, so both engines iterate on identical doubles.
+    *
+    * Scale: the chain lives on the |states|² matrix (domain-bounded);
+    * the one corpus-sized pass is the consecutive-pair count, which is
+    * [[Behavior.transitionsQ]]'s single exchange. */
+  def stationaryQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val wSeq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wSrc = Window.partitionBy($"src")
+    val p = t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("src"))
+      .withColumn("dst", lead($"src", 1).over(wSeq))
+      .filter($"dst".isNotNull)
+      .groupBy($"src", $"dst")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round($"n".cast("double") / sum($"n").over(wSrc), 9))
+      .select($"src", $"dst", $"p")
+    val states = p.select($"src".as("state")).distinct()
+    var pi = states.withColumn("pi", lit(0.2)) // uniform over 5 states
+    for (_ <- 1 to 3) {
+      pi = p
+        .join(broadcast(pi.withColumnRenamed("state", "src")), "src")
+        .select($"dst",
+          round($"pi" * $"p", 9).cast("decimal(28,9)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("mass"))
+        .select($"dst".as("state"),
+          round($"mass".cast("double"), 9).as("pi"))
+    }
+    pi.select($"state", $"pi").orderBy($"state")
+  }
+
+  val stationarySql: String = {
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT dst AS state,
+         |    ROUND(CAST(SUM(CAST(ROUND(pr.pi * p.p, 9) AS DECIMAL(28,9)))
+         |      AS DOUBLE), 9) AS pi
+         |  FROM p JOIN $prev pr ON pr.state = p.src
+         |  GROUP BY dst)""".stripMargin
+    s"""WITH seq AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |cnt AS (
+      |  SELECT src, dst, COUNT(*) AS n FROM seq
+      |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |p AS (
+      |  SELECT src, dst,
+      |    ROUND(CAST(n AS DOUBLE)
+      |      / SUM(n) OVER (PARTITION BY src), 9) AS p
+      |  FROM cnt),
+      |pi0 AS (SELECT DISTINCT src AS state, 0.2::DOUBLE AS pi FROM p),
+      |${iter("pi0", "pi1")},
+      |${iter("pi1", "pi2")},
+      |${iter("pi2", "pi3")}
+      |SELECT state, pi FROM pi3 ORDER BY state""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seq_pattern" -> sequenceQ,
-    "q_seq_trigrams" -> trigramsQ)
+    "q_seq_trigrams" -> trigramsQ,
+    "q_seq_stationary" -> stationaryQ)
 
   def oracle: Map[String, String] = Map(
     "q_seq_pattern" -> sequenceSql,
-    "q_seq_trigrams" -> trigramsSql)
+    "q_seq_trigrams" -> trigramsSql,
+    "q_seq_stationary" -> stationarySql)
 }

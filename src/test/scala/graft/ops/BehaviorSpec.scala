@@ -148,6 +148,26 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("stationary: pi sums to ~1 and is a fixpoint of the transition matrix") {
+    import spark.implicits._
+    val pi = Patterns.stationaryQ(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pi.size == 5)
+    assert(math.abs(pi.values.sum - 1.0) < 1e-6)
+    // one more exact step must move nothing by more than the rounding
+    // tolerance at 3 iterations on a well-mixed 5-state chain
+    val p = Behavior.transitionsQ(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n")))
+    val totals = p.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val next = p.groupBy(_._2).map { case (dst, es) =>
+      dst -> es.map(e =>
+        pi(e._1) * (e._3.toDouble / totals(e._1))).sum
+    }
+    next.foreach { case (stc, v) =>
+      assert(math.abs(v - pi(stc)) < 1e-3, s"$stc: $v vs ${pi(stc)}")
+    }
+  }
+
   test("survival: life table conserves users, risk set telescopes, terminal hazard is certain") {
     import spark.implicits._
     val rows = Behavior.survivalQ(spark, sfDir).collect()
