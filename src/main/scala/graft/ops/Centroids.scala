@@ -301,15 +301,83 @@ object Centroids {
       |    AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS avg_silhouette
       |FROM ab GROUP BY label ORDER BY label""".stripMargin
 
+  /** q_semdedup_prune entry: SemDeDup-style semantic redundancy pruning
+    * (Abbas et al. 2023, arXiv:2303.09540) — within each embedding
+    * cluster (the staged `label`), the vectors CLOSEST to the cluster
+    * centroid carry the least marginal information, so the top 10% by
+    * centroid cosine are marked for removal. The semantic complement of
+    * [[outliers]] (which surfaces the FARTHEST points as mislabeled):
+    * one operator trims redundancy, the other trims noise — together
+    * they bracket the within-cluster keep band a curation run uses.
+    *
+    * Scale shape: identical to [[outliers]] — exact fixed-point
+    * centroids (one [[VecSum]] pass) broadcast against the corpus, the
+    * cosine is a shared left-to-right IEEE fold per row; the 10% cut is
+    * a label-partition-bounded rank window over (cosine desc, vec_id)
+    * with an exact integer prune count (n div 10), so ties are
+    * deterministic and both engines cut identically. */
+  def semDedupQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val cents = labelSums(s, dir)
+      .select($"label", $"agg._1".as("n"),
+        expr("transform(agg._2, m -> cast(m as double) / 1000000.0 / agg._1)").as("cv"))
+    t(s, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .join(broadcast(cents), "label")
+      .withColumn("cos",
+        call_function("vec_dot", $"v", $"cv") /
+          (sqrt(call_function("vec_dot", $"v", $"v")) *
+            sqrt(call_function("vec_dot", $"cv", $"cv"))))
+      .withColumn("rk", row_number().over(Window.partitionBy($"label")
+        .orderBy($"cos".desc, $"vec_id")))
+      .filter($"rk" <= expr("n div 10"))
+      .select($"label", $"vec_id", $"rk".cast("int").as("rk"),
+        round($"cos", 6).as("cos_centroid"))
+      .orderBy($"label", $"rk")
+  }
+
+  /** DuckDB twin: same micro-unit centroids and fold order as
+    * [[outliersSql]], cosine instead of squared distance, rank
+    * ascending-by-redundancy. */
+  val semDedupSql: String =
+    s"""WITH m AS (
+      |  SELECT label, i,
+      |    SUM(CAST(ROUND(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS s,
+      |    COUNT(*) AS n
+      |  FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(i) GROUP BY label, i),
+      |c AS (
+      |  SELECT label, MAX(n) AS n,
+      |    list(CAST(s AS DOUBLE) / 1000000.0 / n ORDER BY i) AS cv
+      |  FROM m GROUP BY label),
+      |d AS (
+      |  SELECT e.label, e.vec_id, c.n,
+      |    list_reduce(list_transform(range(1, ${Dim + 1}),
+      |        i -> e.embedding[i]::DOUBLE * c.cv[i]), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(range(1, ${Dim + 1}),
+      |        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x, y) -> x + y))
+      |      * sqrt(list_reduce(list_transform(range(1, ${Dim + 1}),
+      |          i -> c.cv[i] * c.cv[i]), (x, y) -> x + y))) AS cos
+      |  FROM embeddings e JOIN c USING (label)),
+      |r AS (
+      |  SELECT label, vec_id, n, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos DESC, vec_id) AS rk
+      |  FROM d)
+      |SELECT label, vec_id, CAST(rk AS INT) AS rk, ROUND(cos, 6) AS cos_centroid
+      |FROM r WHERE rk <= n // 10 ORDER BY label, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_centroid" -> centroid,
     "q_embed_outlier" -> outliers,
     "q_embed_silhouette" -> silhouetteQ,
-    "q_embed_label_sim" -> labelSimQ)
+    "q_embed_label_sim" -> labelSimQ,
+    "q_semdedup_prune" -> semDedupQ)
 
   def oracle: Map[String, String] = Map(
     "q_embed_centroid" -> centroidSql,
     "q_embed_outlier" -> outliersSql,
     "q_embed_silhouette" -> silhouetteSql,
-    "q_embed_label_sim" -> labelSimSql)
+    "q_embed_label_sim" -> labelSimSql,
+    "q_semdedup_prune" -> semDedupSql)
 }

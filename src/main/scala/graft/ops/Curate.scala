@@ -235,13 +235,95 @@ object Curate {
       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM p GROUP BY 1, 2, 3 ORDER BY lang, phase, shard""".stripMargin
 
+  /** q_sample_dsir entry: DSIR-style importance weighting (Xie et al.
+    * 2023, arXiv:2302.03169 "Data Selection for Language Models via
+    * Importance Resampling") — score every raw document by how much it
+    * resembles a TARGET distribution (here: the `en` slice standing in
+    * for a curated target corpus) under a hashed bag-of-words feature
+    * model: logw(doc) = Σ_b n_b(doc) · ln(p̂_target(b)/p̂_raw(b)) over
+    * B=256 hashed token buckets with add-one smoothing. Documents with
+    * high logw are up-sampled into the training mix — the
+    * distribution-matching selection step between raw crawl and
+    * training set.
+    *
+    * Scale shape: both distributions collapse to B-row bucket-count
+    * frames in one combinable groupBy each (the corpus tokenizes ONCE;
+    * buckets ride the [[Hashing.md5Long60]] contract so both engines
+    * hash identically); the per-bucket log-ratio (one shared IEEE
+    * expression, rounded 9 dp to a DECIMAL(18,9)) broadcasts back into
+    * the token stream, and each doc's weight is an EXACT decimal
+    * dot-product (integer counts × 9-dp-decimal ratios summed as
+    * DECIMAL(28,9)) — order-independent, so the ranking is stable
+    * under any partitioning. Text never shuffles; only (doc_id,
+    * bucket, count) rows do. */
+  def dsirQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 256
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", $"lang", explode(split(lower($"text"), " ")).as("w"))
+      .withColumn("b", Hashing.md5Bucket($"w", B))
+    val docBuckets = toks.groupBy($"doc_id", $"b")
+      .agg(count(lit(1)).as("c"))
+    val raw = toks.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter($"lang" === "en")
+      .groupBy($"b").agg(count(lit(1)).as("ct"))
+    val totals = toks.agg(
+      count(lit(1)).as("nr"),
+      sum(($"lang" === "en").cast("long")).as("nt"))
+    // add-one smoothing over the full B-bucket domain on both sides
+    val ratio = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(totals))
+      .select($"b",
+        round(log((coalesce($"ct", lit(0L)) + 1).cast("double") /
+            ($"nt" + B).cast("double")) -
+          log(($"cr" + 1).cast("double") / ($"nr" + B).cast("double")), 9)
+          .cast("decimal(18,9)").as("lr"))
+    docBuckets.join(broadcast(ratio), "b")
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_toks"),
+        sum(($"c".cast("decimal(18,1)") * $"lr").cast("decimal(28,9)"))
+          .as("w"))
+      .select($"doc_id", $"n_toks".cast("long").as("n_toks"),
+        round($"w".cast("double"), 6).as("logw"))
+      .filter($"doc_id" < 300)
+      .orderBy($"doc_id")
+  }
+
+  val dsirSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(w), 1, 15))::UBIGINT::BIGINT % 256 AS b
+      |  FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      |        FROM documents)),
+      |db AS (SELECT doc_id, b, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      |raw AS (SELECT b, COUNT(*) AS cr FROM toks GROUP BY b),
+      |tgt AS (SELECT b, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY b),
+      |tot AS (
+      |  SELECT COUNT(*) AS nr,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+      |  FROM toks),
+      |ratio AS (
+      |  SELECT raw.b,
+      |    CAST(ROUND(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+      |        / CAST(nt + 256 AS DOUBLE))
+      |      - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 256 AS DOUBLE)), 9)
+      |      AS DECIMAL(18,9)) AS lr
+      |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+      |  ROUND(CAST(SUM(CAST(CAST(c AS DECIMAL(18,1)) * lr AS DECIMAL(28,9)))
+      |    AS DOUBLE), 6) AS logw
+      |FROM db JOIN ratio USING (b)
+      |WHERE doc_id < 300
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_dsir" -> dsirQ,
     "q_pipeline_curate" -> curateQ,
     "q_tokenize_coverage" -> tokenizeCoverageQ,
     "q_curate_canonical" -> canonicalQ,
     "q_curate_curriculum" -> curriculumQ)
 
   def oracle: Map[String, String] = Map(
+    "q_sample_dsir" -> dsirSql,
     "q_pipeline_curate" -> curateSql,
     "q_tokenize_coverage" -> tokenizeCoverageSql,
     "q_curate_canonical" -> canonicalSql,

@@ -915,6 +915,51 @@ object Dedup {
       |WHERE (10000 * n_common) // min_size >= 9000
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q_dedup_prefix entry: EXACT similarity self-join via prefix
+    * filtering (Bayardo et al. "Scaling Up All Pairs" / Xiao et al.
+    * PPJoin) — the deterministic-recall alternative to MinHash LSH:
+    * under a global rare-first token order, two sets with Jaccard ≥ τ
+    * MUST share a token in their first |X| − ⌈τ|X|⌉ + 1 tokens, so
+    * joining on prefix tokens alone finds EVERY qualifying pair (recall
+    * is a theorem, not a banding probability — the property audits and
+    * legal-compliance dedup need). Same output contract as [[near]];
+    * the oracle is the exact all-pairs truth, so a PASS certifies
+    * recall 1.0.
+    *
+    * Scale shape: candidate volume is Σ_prefix-token df² where the
+    * global (df asc, token) order puts each doc's RAREST shingles in
+    * its prefix — candidates scale with how rare-token-sharing the
+    * corpus is, never all-pairs. The prefix cut is a per-doc-bounded
+    * rank window; ⌈0.8n⌉ is exact integer arithmetic ((4n+4) div 5)
+    * on both engines. One gram-keyed exchange; documents never
+    * shuffle. */
+  def prefixJaccardQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val sh = shingled(s, dir).cache()
+    val ex = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("g"))
+    // shingle sets are distinct per doc, so count(*) = document frequency
+    val dfreq = ex.groupBy($"g").agg(count(lit(1)).as("df"))
+    val pref = ex.join(dfreq, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"g")))
+      .filter($"rk" <= $"n" - expr("(4 * n + 4) div 5") + 1)
+      .select($"doc_id", $"g")
+    val cand = pref.as("x").join(pref.as("y"),
+        $"x.g" === $"y.g" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    val j = size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+      size(array_union($"a.sh", $"b.sh"))
+    cand
+      .join(sh.as("a"), $"doc_a" === $"a.doc_id")
+      .join(sh.as("b"), $"doc_b" === $"b.doc_id")
+      .select($"doc_a", $"doc_b", j.as("jacc"))
+      .filter($"jacc" >= 0.8)
+      .select($"doc_a", $"doc_b", round($"jacc", 6).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -931,7 +976,8 @@ object Dedup {
     "q_split_contamination" -> contaminationQ,
     "q_contamination_ngram" -> contaminationNgramQ,
     "q_dedup_norm" -> normDedupQ,
-    "q_dedup_containment" -> containmentQ)
+    "q_dedup_containment" -> containmentQ,
+    "q_dedup_prefix" -> prefixJaccardQ)
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> exactSql,
@@ -947,5 +993,7 @@ object Dedup {
     "q_split_contamination" -> contaminationSql,
     "q_contamination_ngram" -> contaminationNgramSql,
     "q_dedup_norm" -> normDedupSql,
-    "q_dedup_containment" -> containmentSql)
+    "q_dedup_containment" -> containmentSql,
+    // exact all-pairs truth: a hash-green row certifies recall 1.0
+    "q_dedup_prefix" -> nearSql)
 }

@@ -515,7 +515,106 @@ object Graph {
       |FROM nation n LEFT JOIN dist d ON n.n_name = d.node
       |ORDER BY node""".stripMargin
 
+  /** q_graph_hits entry: HITS hubs-and-authorities over the directed
+    * trade graph — PageRank's bipartite-role twin: a nation is a strong
+    * AUTHORITY when strong hubs buy from it, a strong HUB when it buys
+    * from strong authorities (here: consumer-side vs producer-side
+    * prominence; on a link corpus, directory pages vs content pages —
+    * the crawl-frontier prioritization signal PageRank's single score
+    * conflates). Three unrolled mutual-reinforcement steps, L1
+    * normalization per step.
+    *
+    * Same determinism contract and scale shape as [[pagerankQ]]: the
+    * corpus pass is the shared checkpointed [[tradeEdges]] build; each
+    * half-step shuffles |edges| contribution rows with per-edge terms
+    * rounded 9 dp and summed as DECIMAL(28,9); normalization divides
+    * by a broadcast 1-row L1 total (audit-whitelisted) and re-rounds
+    * to 9 dp so both engines iterate on identical doubles. */
+  def hitsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
+    val nodes = t(s, dir, "nation").select($"n_name".as("node"))
+    var hub = nodes.withColumn("h", lit(0.04)) // 1/25 exactly
+    var auth: DataFrame = nodes.withColumn("a", lit(0.04))
+    for (_ <- 1 to iterations) {
+      val araw = edges
+        .join(broadcast(hub.withColumnRenamed("node", "src")), "src")
+        .select($"dst",
+          round($"h" * $"w".cast("double"), 9).cast("decimal(28,9)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("raw"))
+      val atot = araw.agg(sum($"raw").as("tot"))
+      auth = nodes.join(araw, $"node" === $"dst", "left")
+        .crossJoin(broadcast(atot))
+        .select($"node",
+          round(coalesce($"raw", lit(0)).cast("double") /
+            $"tot".cast("double"), 9).as("a"))
+      val hraw = edges
+        .join(broadcast(auth.withColumnRenamed("node", "dst")), "dst")
+        .select($"src",
+          round($"a" * $"w".cast("double"), 9).cast("decimal(28,9)").as("c"))
+        .groupBy($"src").agg(sum($"c").as("raw"))
+      val htot = hraw.agg(sum($"raw").as("tot"))
+      hub = nodes.join(hraw, $"node" === $"src", "left")
+        .crossJoin(broadcast(htot))
+        .select($"node",
+          round(coalesce($"raw", lit(0)).cast("double") /
+            $"tot".cast("double"), 9).as("h"))
+    }
+    auth.join(hub, "node")
+      .select($"node".as("nation"),
+        $"a".cast("double").as("authority"),
+        $"h".cast("double").as("hub"))
+      .orderBy($"authority".desc, $"nation")
+  }
+
+  val hitsSql: String = {
+    // one mutual-reinforcement step as SQL, parameterized on the
+    // previous hub CTE; emits authority CTE `outA` and hub CTE `outH`
+    def iter(prevH: String, outA: String, outH: String): String =
+      s"""${outA}_raw AS (
+         |  SELECT e.dst,
+         |    SUM(CAST(ROUND(p.h * CAST(e.w AS DOUBLE), 9)
+         |      AS DECIMAL(28,9))) AS raw
+         |  FROM edges e JOIN $prevH p ON p.node = e.src
+         |  GROUP BY e.dst),
+         |$outA AS (
+         |  SELECT n.node,
+         |    ROUND(CAST(COALESCE(r.raw, 0) AS DOUBLE)
+         |      / (SELECT CAST(SUM(raw) AS DOUBLE) FROM ${outA}_raw), 9) AS a
+         |  FROM nodes n LEFT JOIN ${outA}_raw r ON n.node = r.dst),
+         |${outH}_raw AS (
+         |  SELECT e.src,
+         |    SUM(CAST(ROUND(q.a * CAST(e.w AS DOUBLE), 9)
+         |      AS DECIMAL(28,9))) AS raw
+         |  FROM edges e JOIN $outA q ON q.node = e.dst
+         |  GROUP BY e.src),
+         |$outH AS (
+         |  SELECT n.node,
+         |    ROUND(CAST(COALESCE(r.raw, 0) AS DOUBLE)
+         |      / (SELECT CAST(SUM(raw) AS DOUBLE) FROM ${outH}_raw), 9) AS h
+         |  FROM nodes n LEFT JOIN ${outH}_raw r ON n.node = r.src)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT n_name AS node FROM nation),
+       |h0 AS (SELECT node, 0.04::DOUBLE AS h FROM nodes),
+       |${iter("h0", "a1", "h1")},
+       |${iter("h1", "a2", "h2")},
+       |${iter("h2", "a3", "h3")}
+       |SELECT a.node AS nation, CAST(a.a AS DOUBLE) AS authority,
+       |  CAST(h.h AS DOUBLE) AS hub
+       |FROM a3 a JOIN h3 h ON a.node = h.node
+       |ORDER BY authority DESC, nation""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_hits" -> hitsQ,
     "q_graph_pagerank" -> pagerankQ,
     "q_graph_triangles" -> trianglesQ,
     "q_graph_reciprocity" -> reciprocityQ,
@@ -523,6 +622,7 @@ object Graph {
     "q_graph_bfs" -> bfsQ)
 
   def oracle: Map[String, String] = Map(
+    "q_graph_hits" -> hitsSql,
     "q_graph_pagerank" -> pagerankSql,
     "q_graph_triangles" -> trianglesSql,
     "q_graph_reciprocity" -> reciprocitySql,

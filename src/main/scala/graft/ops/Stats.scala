@@ -892,7 +892,216 @@ object Stats {
       |    AS BIGINT) AS alloc
       |FROM rk ORDER BY stratum""".stripMargin
 
+  // --- Cramér's V -----------------------------------------------------------
+
+  /** q_stat_cramers entry: Cramér's V effect size for the lang × source
+    * association — the THIRD leg of the dependence readout next to
+    * [[chi2Q]] (detectability) and [[miQ]] (information): V rescales χ²
+    * to [0,1] independent of n, so "is this association big enough to
+    * stratify on?" compares across corpora of different sizes, which
+    * raw χ² (∝ n) cannot. V = sqrt(χ² / (n · min(nr−1, nc−1))).
+    *
+    * Same contingency collapse as [[chi2Q]]; V is one extra IEEE
+    * expression over the already-rounded 6-dp χ² (both engines divide
+    * the identical rounded statistic, so no new float surface opens).
+    * Single corpus pass, everything downstream ≤ |langs|·|sources|. */
+  def cramersQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    chi2Q(s, dir)
+      .select($"n", $"dof", $"chi2",
+        round(sqrt($"chi2" /
+          ($"n".cast("double") *
+            least($"n_langs" - 1, $"n_sources" - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
+  val cramersSql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, SUM(o) AS r FROM cells GROUP BY 1),
+      |c AS (SELECT source, SUM(o) AS c FROM cells GROUP BY 1),
+      |t AS (SELECT SUM(o) AS n, COUNT(DISTINCT lang) AS nr,
+      |  COUNT(DISTINCT source) AS nc FROM cells),
+      |terms AS (
+      |  SELECT n, nr, nc,
+      |    CAST(ROUND((CAST(o AS DOUBLE) - CAST(r.r AS DOUBLE)
+      |        * CAST(c.c AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(o AS DOUBLE) - CAST(r.r AS DOUBLE)
+      |        * CAST(c.c AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+      |        / CAST(n AS DOUBLE)), 9) AS DECIMAL(28,9)) AS term
+      |  FROM cells JOIN r USING (lang) JOIN c USING (source), t),
+      |q AS (
+      |  SELECT CAST(n AS BIGINT) AS n, nr, nc,
+      |    CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+      |    ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+      |  FROM terms GROUP BY n, nr, nc)
+      |SELECT n, dof, chi2,
+      |  ROUND(sqrt(chi2 / (CAST(n AS DOUBLE)
+      |    * LEAST(nr - 1, nc - 1))), 6) AS cramers_v
+      |FROM q""".stripMargin
+
+  // --- Kendall tau-b --------------------------------------------------------
+
+  /** q_stat_kendall entry: Kendall τ-b rank correlation between
+    * l_quantity and l_discount — the concordance-based companion to
+    * [[spearmanQ]]: τ counts pairwise order agreements instead of
+    * correlating ranks, so it is robust to extreme rank ties and has a
+    * direct probabilistic reading (P(concordant) − P(discordant)).
+    * The tie-corrected τ-b form handles the heavily-tied discrete
+    * domains an integer/decimal column audit actually meets.
+    *
+    * Scale shape: the corpus collapses to the (x, y) JOINT FREQUENCY
+    * table first (one combinable groupBy, ≤ |x-domain|·|y-domain| ≈
+    * 550 cells here) — concordant/discordant/tie pair counts are then
+    * exact integer sums over the cell-pair grid (a broadcast NLJ on
+    * the value-bounded cell table, audit-whitelisted; candidate volume
+    * is domain², never rows²). All counts BIGINT-exact; τ divides
+    * doubles once in a fixed written order. */
+  def kendallQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = t(s, dir, "lineitem")
+      .groupBy($"l_quantity".as("x"), $"l_discount".as("y"))
+      .agg(count(lit(1)).as("c"))
+    val a = cells.select($"x".as("xa"), $"y".as("ya"), $"c".as("ca"))
+    val b = cells.select($"x".as("xb"), $"y".as("yb"), $"c".as("cb"))
+    // each unordered x-differing cell pair counted once via xa < xb
+    val pairs = a.join(broadcast(b), $"xa" < $"xb")
+      .agg(
+        sum(when($"ya" < $"yb", $"ca" * $"cb").otherwise(0L)).as("conc"),
+        sum(when($"ya" > $"yb", $"ca" * $"cb").otherwise(0L)).as("disc"))
+    val tx = cells.groupBy($"x").agg(sum($"c").as("t"))
+      .agg(sum($"t" * ($"t" - 1) / 2).as("ties_x"), sum($"t").as("n"))
+    val ty = cells.groupBy($"y").agg(sum($"c").as("t"))
+      .agg(sum($"t" * ($"t" - 1) / 2).as("ties_y"))
+    pairs.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .withColumn("n0", $"n" * ($"n" - 1) / 2)
+      .select($"n".cast("long").as("n"),
+        $"conc".cast("long").as("concordant"),
+        $"disc".cast("long").as("discordant"),
+        $"ties_x".cast("long").as("ties_x"),
+        $"ties_y".cast("long").as("ties_y"),
+        round(($"conc" - $"disc").cast("double") /
+          sqrt(($"n0" - $"ties_x").cast("double") *
+            ($"n0" - $"ties_y").cast("double")), 6).as("tau_b"))
+  }
+
+  val kendallSql: String =
+    """WITH cells AS (
+      |  SELECT l_quantity AS x, l_discount AS y, COUNT(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (
+      |  SELECT
+      |    SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS conc,
+      |    SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS disc
+      |  FROM cells a JOIN cells b ON a.x < b.x),
+      |tx AS (
+      |  SELECT SUM(t * (t - 1) // 2) AS ties_x, SUM(t) AS n
+      |  FROM (SELECT x, SUM(c) AS t FROM cells GROUP BY x)),
+      |ty AS (
+      |  SELECT SUM(t * (t - 1) // 2) AS ties_y
+      |  FROM (SELECT y, SUM(c) AS t FROM cells GROUP BY y))
+      |SELECT CAST(n AS BIGINT) AS n, CAST(conc AS BIGINT) AS concordant,
+      |  CAST(disc AS BIGINT) AS discordant,
+      |  CAST(ties_x AS BIGINT) AS ties_x, CAST(ties_y AS BIGINT) AS ties_y,
+      |  ROUND(CAST(conc - disc AS DOUBLE)
+      |    / sqrt(CAST(n * (n - 1) // 2 - ties_x AS DOUBLE)
+      |      * CAST(n * (n - 1) // 2 - ties_y AS DOUBLE)), 6) AS tau_b
+      |FROM p, tx, ty""".stripMargin
+
+  // --- Kruskal–Wallis H -----------------------------------------------------
+
+  /** q_stat_kruskal entry: Kruskal–Wallis H rank test of the `value`
+    * distributions across ALL five event types — the k-group
+    * generalization of [[mannWhitneyQ]] exactly as [[anovaQ]] is of
+    * [[ttestQ]], and the nonparametric member of that pair: "does ANY
+    * event type's engagement distribution sit elsewhere?", asked
+    * without the normality assumption long-tailed values break.
+    *
+    * Rank machinery inherited from Mann–Whitney: collapse to
+    * per-distinct-value per-group counts (one combinable groupBy),
+    * tie-averaged ranks from ONE cumulative window over the reduced
+    * frame, per-group rank sums exact in 0.5 units as DECIMAL(28,1).
+    * H and its tie correction CT = 1 − Σ(t³−t)/(N³−N) are assembled on
+    * the 5-row group frame in a fixed IEEE order, rounded 6 dp. */
+  def kruskalQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val d = t(s, dir, "events")
+      .groupBy($"value".as("v"), $"event_type".as("g"))
+      .agg(count(lit(1)).as("c"))
+    val tv = d.groupBy($"v").agg(sum($"c").as("t"))
+    val wCum = Window.partitionBy(lit(0)).orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = tv
+      .withColumn("before", coalesce(sum($"t").over(wCum), lit(0L)))
+      .withColumn("avg_rank",
+        ($"before".cast("decimal(18,1)") +
+          ($"t" + 1).cast("decimal(18,1)") / 2).cast("decimal(18,1)"))
+    val groups = d.join(ranked.select($"v", $"avg_rank"), "v")
+      .groupBy($"g")
+      .agg(sum($"c").as("nj"),
+        sum(($"c".cast("decimal(18,1)") * $"avg_rank").cast("decimal(28,1)"))
+          .as("rj"))
+    val ties = tv.agg(sum($"t" * $"t" * $"t" - $"t").as("tsum"),
+      sum($"t").as("n"))
+    groups.crossJoin(broadcast(ties))
+      .select($"nj", $"rj", $"n", $"tsum",
+        round($"rj".cast("double") * $"rj".cast("double") /
+          $"nj".cast("double"), 9).cast("decimal(28,9)").as("term"))
+      .groupBy($"n", $"tsum")
+      .agg(count(lit(1)).as("k"), sum($"term").as("ssum"))
+      .select($"n", $"tsum", $"k",
+        (lit(12d) / ($"n".cast("double") * ($"n" + 1)) *
+          $"ssum".cast("double") - lit(3d) * ($"n" + 1)).as("h"))
+      .select($"n".cast("long").as("n"), $"k".cast("long").as("k"),
+        ($"k" - 1).cast("long").as("dof"),
+        round($"h", 6).as("h"),
+        round($"h" / (lit(1d) - $"tsum".cast("double") /
+          ($"n".cast("double") * $"n" * $"n" - $"n")), 6).as("h_tie_adj"))
+  }
+
+  val kruskalSql: String =
+    """WITH d AS (
+      |  SELECT value AS v, event_type AS g, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |tv AS (SELECT v, SUM(c) AS t FROM d GROUP BY v),
+      |r AS (
+      |  SELECT v,
+      |    CAST(COALESCE(SUM(t) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS DECIMAL(18,1))
+      |    + CAST(t + 1 AS DECIMAL(18,1)) / 2 AS avg_rank
+      |  FROM tv),
+      |grp AS (
+      |  SELECT g, SUM(c) AS nj,
+      |    SUM(CAST(CAST(c AS DECIMAL(18,1)) * avg_rank AS DECIMAL(28,1)))
+      |      AS rj
+      |  FROM d JOIN r USING (v) GROUP BY g),
+      |ties AS (SELECT SUM(t * t * t - t) AS tsum, SUM(t) AS n FROM tv),
+      |terms AS (
+      |  SELECT n, tsum,
+      |    CAST(ROUND(CAST(rj AS DOUBLE) * CAST(rj AS DOUBLE)
+      |      / CAST(nj AS DOUBLE), 9) AS DECIMAL(28,9)) AS term
+      |  FROM grp, ties),
+      |agg AS (
+      |  SELECT n, tsum, COUNT(*) AS k, SUM(term) AS ssum
+      |  FROM terms GROUP BY n, tsum),
+      |h AS (
+      |  SELECT n, tsum, k,
+      |    12.0 / (CAST(n AS DOUBLE) * (n + 1)) * CAST(ssum AS DOUBLE)
+      |      - 3.0 * (n + 1) AS h
+      |  FROM agg)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |  CAST(k - 1 AS BIGINT) AS dof, ROUND(h, 6) AS h,
+      |  ROUND(h / (1.0 - CAST(tsum AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_tie_adj
+      |FROM h""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_cramers" -> cramersQ,
+    "q_stat_kendall" -> kendallQ,
+    "q_stat_kruskal" -> kruskalQ,
     "q_sample_neyman" -> neymanQ,
     "q_stat_spearman" -> spearmanQ,
     "q_stat_ttest" -> ttestQ,
@@ -907,6 +1116,9 @@ object Stats {
     "q_ts_acf" -> acfQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_cramers" -> cramersSql,
+    "q_stat_kendall" -> kendallSql,
+    "q_stat_kruskal" -> kruskalSql,
     "q_sample_neyman" -> neymanSql,
     "q_stat_spearman" -> spearmanSql,
     "q_stat_ttest" -> ttestSql,

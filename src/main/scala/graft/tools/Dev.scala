@@ -134,7 +134,12 @@ object Dev {
           "q_graph_bfs" -> "1-row p75 threshold frame over the node-bounded edge list",
           "q_stat_wilson" -> "1-row exact-median threshold frame",
           "q_bloom_fp" -> "two 1-row filter-stats frames",
-          "q_profile_abc" -> "1-row total-revenue frame (used twice)")
+          "q_profile_abc" -> "1-row total-revenue frame (used twice)",
+          "q_stat_cramers" -> "1-row (n, nr, nc) totals frame (chi2 base)",
+          "q_stat_kendall" -> "value-domain-bounded cell-pair grid (<=550 cells) + two 1-row tie frames",
+          "q_stat_kruskal" -> "1-row (n, tie-sum) totals frame",
+          "q_graph_hits" -> "1-row L1-normalization totals frames (six, one per half-step)",
+          "q_sample_dsir" -> "1-row (raw, target) token-totals frame over the 256-bucket ratio table")
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {
             val plan = fn(spark, dir).queryExecution.sparkPlan

@@ -749,4 +749,46 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       assert(perPhase.getOrElse(4L, 0L) == n - cut(75))
     }
   }
+
+  test("dsir: weights match a driver-side hashed-ngram recompute and separate the target slice") {
+    import spark.implicits._
+    val got = Curate.dsirQ(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Double]("logw"))).toMap
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", lower($"text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(w: String): Int = {
+      val hex = md.digest(w.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 256).toInt
+    }
+    val tokens = docs.map { case (id, lang, text) =>
+      (id, lang, text.split(" ", -1).map(bucket)) }
+    val nr = tokens.map(_._3.length.toLong).sum
+    val nt = tokens.filter(_._2 == "en").map(_._3.length.toLong).sum
+    val cr = tokens.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = tokens.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def r9(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d).setScale(9, java.math.RoundingMode.HALF_UP)
+    val lr = cr.keys.map(b => b -> r9(
+      math.log((ct.getOrElse(b, 0L) + 1).toDouble / (nt + 256)) -
+        math.log((cr(b) + 1).toDouble / (nr + 256)))).toMap
+    tokens.filter(_._1 < 300).foreach { case (id, _, bs) =>
+      val w = bs.groupBy(identity).map { case (b, os) =>
+        lr(b).multiply(java.math.BigDecimal.valueOf(os.length.toLong)) }
+        .reduce(_.add(_))
+      val expect = w.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      val (nToks, logw) = got(id)
+      assert(nToks == bs.length, s"doc $id n_toks")
+      assert(math.abs(logw - expect) < 2e-6, s"doc $id: $logw vs $expect")
+    }
+    // the operator's point: the target slice scores higher on average
+    val byLang = docs.filter(_._1 < 300).map(d => (d._2 == "en", got(d._1)._2))
+    val enMean = byLang.filter(_._1).map(_._2).sum / byLang.count(_._1)
+    val restMean = byLang.filterNot(_._1).map(_._2).sum / byLang.count(!_._1)
+    assert(enMean > restMean, s"en mean $enMean !> rest mean $restMean")
+  }
 }

@@ -28,4 +28,28 @@ class CentroidsSpec extends AnyFunSuite with SparkSpec {
         .sortBy(_._1).toSeq
     assert(via(base.repartition(13)) == via(base.repartition(2)))
   }
+
+  test("semdedup prune: exactly n div 10 most-centroid-similar per label, disjoint from outliers") {
+    import spark.implicits._
+    val rows = Centroids.semDedupQ(spark, "/root/testdata/sf0.001").collect()
+    val perLabel = graft.Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .groupBy($"label").count().collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    val pruned = rows.groupBy(_.getAs[Int]("label"))
+    pruned.foreach { case (l, rs) =>
+      assert(rs.length == (perLabel(l) / 10).toInt,
+        s"label $l pruned ${rs.length} of ${perLabel(l)}")
+      // ranks are 1..k and cosine is non-increasing in rank
+      val byRk = rs.sortBy(_.getAs[Int]("rk"))
+      assert(byRk.map(_.getAs[Int]("rk")).toSeq == (1 to rs.length))
+      val cs = byRk.map(_.getAs[Double]("cos_centroid"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // the redundancy prune (closest to centroid) and the outlier list
+    // (farthest) must never name the same vector
+    val outliers = Centroids.outliers(spark, "/root/testdata/sf0.001")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val prunedIds = rows.map(_.getAs[Long]("vec_id")).toSet
+    assert(prunedIds.intersect(outliers).isEmpty)
+  }
 }

@@ -162,4 +162,59 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
     assert(got.values.count(_ > 0) > 0, "some node reached beyond the source")
   }
+
+  test("hits: L1-normalized scores match a driver-side recompute") {
+    import spark.implicits._
+    val rows = Graph.hitsQ(spark, sfDir).collect()
+    assert(rows.length == 25)
+    val auth = rows.map(r => r.getAs[String]("nation") ->
+      r.getAs[Double]("authority")).toMap
+    val hub = rows.map(r => r.getAs[String]("nation") ->
+      r.getAs[Double]("hub")).toMap
+    // L1 normalization: each score vector sums to 1 up to 25×9-dp slack
+    assert(math.abs(auth.values.sum - 1.0) < 1e-6)
+    assert(math.abs(hub.values.sum - 1.0) < 1e-6)
+    auth.values.foreach(a => assert(a >= 0.0))
+    hub.values.foreach(h => assert(h >= 0.0))
+
+    // independent recompute with the identical rounding contract
+    val cn = graft.Tables.t(spark, sfDir, "customer")
+      .join(graft.Tables.t(spark, sfDir, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey".as("ck"), $"n_name".as("cn"))
+    val sn = graft.Tables.t(spark, sfDir, "supplier")
+      .join(graft.Tables.t(spark, sfDir, "nation"),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey".as("sk"), $"n_name".as("sn"))
+    val edges = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(cn, $"o_custkey" === $"ck").join(sn, $"l_suppkey" === $"sk")
+      .groupBy($"cn", $"sn").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = auth.keySet
+    def r9(d: Double): Double =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    def half(prev: Map[String, Double], byDst: Boolean): Map[String, Double] = {
+      val raw = edges.groupBy(e => if (byDst) e._2 else e._1).view
+        .mapValues(es =>
+          es.map(e => java.math.BigDecimal.valueOf(
+              r9(prev(if (byDst) e._1 else e._2) * e._3.toDouble))
+            .setScale(9))
+            .reduce(_.add(_)).doubleValue).toMap
+      val tot = raw.values.map(java.math.BigDecimal.valueOf(_).setScale(9))
+        .reduce(_.add(_)).doubleValue
+      nodes.map(n => n -> r9(raw.getOrElse(n, 0.0) / tot)).toMap
+    }
+    var h = nodes.map(_ -> 0.04).toMap
+    var a = Map.empty[String, Double]
+    for (_ <- 1 to 3) { a = half(h, byDst = true); h = half(a, byDst = false) }
+    nodes.foreach { n =>
+      assert(math.abs(a(n) - auth(n)) < 1e-12,
+        s"$n auth: recompute ${a(n)} vs query ${auth(n)}")
+      assert(math.abs(h(n) - hub(n)) < 1e-12,
+        s"$n hub: recompute ${h(n)} vs query ${hub(n)}")
+    }
+  }
 }

@@ -56,6 +56,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(lsh == exact)
   }
 
+  test("dedup prefix: prefix filtering reproduces exact all-pairs answer (recall theorem)") {
+    import spark.implicits._
+    val d = graft.Tables.t(spark, sfDir, "documents")
+      .withColumn("toks", split(lower($"text"), " "))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))")
+        .as("sh"))
+    val jac = size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+      size(array_union($"a.sh", $"b.sh"))
+    val exact = d.as("a").join(d.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), jac.as("j"))
+      .filter($"j" >= 0.8)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.prefixJaccardQ(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == exact, s"prefix ${got.size} pairs vs exact ${exact.size}")
+  }
+
   test("dropNearDuplicates keeps group minima and all singletons") {
     import spark.implicits._
     val pairs = Dedup.near(spark, sfDir).collect()

@@ -333,4 +333,71 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("rate_bp") == 10000L * k / n)
     }
   }
+
+  test("cramers: V in [0,1] and matches sqrt(chi2/(n*min(r-1,c-1)))") {
+    val v = Stats.cramersQ(spark, sfDir).collect().head
+    val c = Stats.chi2Q(spark, sfDir).collect().head
+    assert(v.getAs[Double]("chi2") == c.getAs[Double]("chi2"))
+    val expect = math.sqrt(c.getAs[Double]("chi2") /
+      (c.getAs[Long]("n").toDouble *
+        math.min(c.getAs[Long]("n_langs") - 1, c.getAs[Long]("n_sources") - 1)))
+    val got = v.getAs[Double]("cramers_v")
+    assert(got >= 0.0 && got <= 1.0)
+    assert(math.abs(got - expect) < 1e-5, s"query $got vs recompute $expect")
+  }
+
+  test("kendall: counts and tau-b match a naive all-pairs recompute") {
+    import spark.implicits._
+    val r = Stats.kendallQ(spark, sfDir).collect().head
+    val xy = graft.Tables.t(spark, sfDir, "lineitem")
+      .select($"l_quantity".cast("double"), $"l_discount".cast("double"))
+      .collect().map(w => (w.getDouble(0), w.getDouble(1)))
+    var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+    for (i <- xy.indices; j <- (i + 1) until xy.length) {
+      val ((xa, ya), (xb, yb)) = (xy(i), xy(j))
+      if (xa == xb) tx += 1
+      if (ya == yb) ty += 1
+      if (xa != xb && ya != yb) {
+        if ((xa < xb) == (ya < yb)) conc += 1 else disc += 1
+      }
+    }
+    val n = xy.length.toLong
+    val n0 = n * (n - 1) / 2
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("concordant") == conc, s"conc ${r.getAs[Long]("concordant")} vs $conc")
+    assert(r.getAs[Long]("discordant") == disc)
+    assert(r.getAs[Long]("ties_x") == tx)
+    assert(r.getAs[Long]("ties_y") == ty)
+    val tau = (conc - disc).toDouble /
+      math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+    assert(math.abs(r.getAs[Double]("tau_b") - tau) < 1e-5)
+  }
+
+  test("kruskal: H matches a naive per-row average-rank recompute") {
+    import spark.implicits._
+    val r = Stats.kruskalQ(spark, sfDir).collect().head
+    val rows = graft.Tables.t(spark, sfDir, "events")
+      .select($"value", $"event_type").collect()
+      .map(w => (w.getDouble(0), w.getString(1)))
+    val n = rows.length
+    // average ranks with ties
+    val byV = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    val sortedV = byV.keys.toArray.sorted
+    var before = 0L
+    val avgRank = scala.collection.mutable.Map[Double, Double]()
+    for (v <- sortedV) { avgRank(v) = before + (byV(v) + 1) / 2.0; before += byV(v) }
+    val groups = rows.groupBy(_._2)
+    val ssum = groups.values.map { g =>
+      val rj = g.map(p => avgRank(p._1)).sum
+      rj * rj / g.length
+    }.sum
+    val h = 12.0 / (n.toDouble * (n + 1)) * ssum - 3.0 * (n + 1)
+    val tsum = byV.values.map(t => t.toLong * t * t - t).sum
+    val hAdj = h / (1.0 - tsum.toDouble / (n.toDouble * n * n - n))
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("k") == groups.size)
+    assert(math.abs(r.getAs[Double]("h") - h) < 1e-4,
+      s"query ${r.getAs[Double]("h")} vs recompute $h")
+    assert(math.abs(r.getAs[Double]("h_tie_adj") - hAdj) < 1e-4)
+  }
 }
