@@ -419,15 +419,94 @@ object Multimodal {
       |  CAST(1 AS BIGINT) AS decoded
       |FROM documents WHERE doc_id % 20 = 1 ORDER BY doc_id""".stripMargin
 
+  /** The planted PCM sample formula, shared by the [[pcmQ]] fixture,
+    * its oracle, and the spec: sample k of doc `id` is
+    * ((id·31 + 7k²) mod 2048) − 1024 — a deterministic full-swing
+    * signed-16-bit-range waveform. */
+  private val PcmN = 64
+  private def pcmSample(k: String): String =
+    s"((doc_id * 31 + 7 * $k * $k) % 2048) - 1024"
+
+  /** q_multimodal_pcm entry: real SIGNAL statistics from raw PCM audio
+    * bytes — each audio doc carries a true 44-byte WAV header plus a
+    * 64-sample 16-bit LE data chunk (planted from the [[pcmSample]]
+    * formula), and the query PARSES the samples back out of the binary
+    * (LE signed shorts from `hex(payload)` — the [[wavQ]] field idiom
+    * extended to the data section) and computes sum-of-squares energy,
+    * RMS, peak amplitude, and zero-crossing count — the loudness /
+    * clipping / silence screen an audio-curation pass runs before any
+    * codec-level work. The oracle recomputes every statistic from the
+    * generative formula WITHOUT touching binary, so one flipped byte,
+    * a wrong offset, or a sign-extension bug fails the compare.
+    *
+    * Scale shape: pure map stage over the audio partition — sample
+    * extraction and all four statistics are higher-order expressions
+    * over a 64-element array inside one projection; scan speed, zero
+    * exchange, integers exact until the single shared RMS sqrt. */
+  def pcmQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dataHex = s"""concat_ws('', transform(sequence(0, ${PcmN - 1}), k ->
+      |  concat(lpad(hex(((${pcmSample("k")} + 65536) % 65536) % 256), 2, '0'),
+      |         lpad(hex(((${pcmSample("k")} + 65536) % 65536) div 256), 2, '0'))))""".stripMargin
+    val withPcm = t(s, dir, "documents")
+      .filter($"doc_id" % 4 === 2) // the sniff fixture's audio partition
+      .withColumn("payload",
+        concat(wavHeader("1", "8000", "16", PcmN.toString), unhex(expr(dataHex))))
+      .withColumn("hx", hex($"payload"))
+    // LE signed int16 at data byte 45+2k (1-based): hi·256+lo, sign-fold
+    val smp = s"""transform(sequence(0, ${PcmN - 1}), k ->
+      |  if(cast(conv(concat(substring(hx, (45 + 2 * k) * 2 + 1, 2),
+      |                      substring(hx, (44 + 2 * k) * 2 + 1, 2)), 16, 10)
+      |          as bigint) >= 32768,
+      |     cast(conv(concat(substring(hx, (45 + 2 * k) * 2 + 1, 2),
+      |                      substring(hx, (44 + 2 * k) * 2 + 1, 2)), 16, 10)
+      |          as bigint) - 65536,
+      |     cast(conv(concat(substring(hx, (45 + 2 * k) * 2 + 1, 2),
+      |                      substring(hx, (44 + 2 * k) * 2 + 1, 2)), 16, 10)
+      |          as bigint)))""".stripMargin
+    withPcm
+      .withColumn("smp", expr(smp))
+      .select($"doc_id",
+        expr(leValExpr("hx", 41, 4)).as("data_bytes"),
+        expr("aggregate(smp, 0L, (a, x) -> a + x * x)").as("sum_sq"),
+        expr("array_max(transform(smp, x -> abs(x)))").as("peak_abs"),
+        expr(s"""size(filter(sequence(1, ${PcmN - 1}), k ->
+          |  (element_at(smp, k + 1) >= 0) != (element_at(smp, k) >= 0)))""".stripMargin)
+          .cast("long").as("zero_cross"))
+      .withColumn("rms",
+        round(sqrt($"sum_sq".cast("double") / PcmN), 6))
+      .orderBy($"doc_id")
+      .limit(200)
+  }
+
+  val pcmSql: String = {
+    val smp = s"list_transform(range(0, $PcmN), k -> ${pcmSample("k")})"
+    s"""WITH d AS (
+      |  SELECT doc_id, $smp AS smp
+      |  FROM documents WHERE doc_id % 4 = 2 ORDER BY doc_id LIMIT 200)
+      |SELECT doc_id,
+      |  CAST(2 * $PcmN AS BIGINT) AS data_bytes,
+      |  CAST(list_reduce(list_transform(smp, x -> x * x),
+      |    (a, b) -> a + b) AS BIGINT) AS sum_sq,
+      |  CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak_abs,
+      |  CAST(len(list_filter(range(1, $PcmN),
+      |    k -> (smp[k + 1] >= 0) <> (smp[k] >= 0))) AS BIGINT) AS zero_cross,
+      |  ROUND(sqrt(CAST(list_reduce(list_transform(smp, x -> x * x),
+      |    (a, b) -> a + b) AS DOUBLE) / $PcmN), 6) AS rms
+      |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal" -> multimodal,
     "q_multimodal_wav" -> wavQ,
     "q_multimodal_sniff" -> sniffQ,
-    "q_multimodal_decode" -> decodeQ)
+    "q_multimodal_decode" -> decodeQ,
+    "q_multimodal_pcm" -> pcmQ)
 
   def oracle: Map[String, String] = Map(
     "q_multimodal" -> multimodalSql,
     "q_multimodal_wav" -> wavSql,
     "q_multimodal_sniff" -> sniffSql,
-    "q_multimodal_decode" -> decodeSql)
+    "q_multimodal_decode" -> decodeSql,
+    "q_multimodal_pcm" -> pcmSql)
 }

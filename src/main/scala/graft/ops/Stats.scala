@@ -1098,7 +1098,81 @@ object Stats {
       |    / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_tie_adj
       |FROM h""".stripMargin
 
+  // --- Wald–Wolfowitz runs test ---------------------------------------------
+
+  /** q_stat_runs entry: Wald–Wolfowitz runs test for randomness of the
+    * click / non-click arrival sequence in global (ts, event_id) order
+    * — too FEW runs means the binary symbol clusters (bursty bot
+    * traffic, batched replays, sessionized clumping), too many means
+    * alternation (interleaved dedup artifacts); the sequencing
+    * companion to the distributional tests ([[mannWhitneyQ]] and
+    * friends see the same counts in any order and can't tell).
+    *
+    * Scale shape: the global run count decomposes exactly into
+    * within-day boundaries + cross-day boundaries (days are contiguous
+    * prefixes of the ts order) — so the corpus pass is a DAY-keyed
+    * window (the two-level sweep-line idiom of the concurrency query),
+    * never a single global sort; per-day first/last symbols come from
+    * one combinable min/max-struct aggregate and the cross-day lag
+    * runs over the ≤observed-days frame. Exact integers until the
+    * final z, which is null-guarded against the degenerate one-symbol
+    * sequence. */
+  def runsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"ts", $"event_id", to_date($"ts").as("day"),
+        ($"event_type" === "click").cast("long").as("x"))
+    val wDay = Window.partitionBy($"day").orderBy($"ts", $"event_id")
+    val within = ev
+      .withColumn("px", lag($"x", 1).over(wDay))
+      .agg(sum(when($"px".isNotNull && $"px" =!= $"x", 1L).otherwise(0L))
+          .as("wb"),
+        sum($"x").as("n1"), count(lit(1)).as("n"))
+    val days = ev.groupBy($"day").agg(
+      min(struct($"ts", $"event_id", $"x")).getField("x").as("first_x"),
+      max(struct($"ts", $"event_id", $"x")).getField("x").as("last_x"))
+    val wD = Window.orderBy($"day")
+    val cross = days
+      .withColumn("pl", lag($"last_x", 1).over(wD))
+      .agg(sum(when($"pl".isNotNull && $"pl" =!= $"first_x", 1L).otherwise(0L))
+        .as("cb"))
+    within.crossJoin(broadcast(cross))
+      .select($"n", $"n1", ($"n" - $"n1").as("n2"),
+        ($"wb" + $"cb" + 1).as("runs"))
+      .select($"n".cast("long").as("n"), $"n1".cast("long").as("n1"),
+        $"n2".cast("long").as("n2"), $"runs".cast("long").as("runs"),
+        when($"n1" > 0 && $"n2" > 0 && $"n" > 1,
+          round(($"runs".cast("double") -
+            (lit(1d) + lit(2d) * $"n1" * $"n2" / $"n")) /
+            sqrt(lit(2d) * $"n1" * $"n2" *
+              (lit(2d) * $"n1" * $"n2" - $"n") /
+              ($"n".cast("double") * $"n" * ($"n" - 1))), 6)).as("z"))
+  }
+
+  val runsSql: String =
+    """WITH s AS (
+      |  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS x,
+      |    LAG(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY ts, event_id) AS px
+      |  FROM events),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN px IS NOT NULL AND px <> x THEN 1 ELSE 0 END)
+      |      + 1 AS BIGINT) AS runs
+      |  FROM s)
+      |SELECT n, n1, n - n1 AS n2, runs,
+      |  CASE WHEN n1 > 0 AND n - n1 > 0 AND n > 1 THEN
+      |    ROUND((CAST(runs AS DOUBLE)
+      |        - (1.0 + 2.0 * n1 * (n - n1) / n))
+      |      / sqrt(2.0 * n1 * (n - n1) * (2.0 * n1 * (n - n1) - n)
+      |        / (CAST(n AS DOUBLE) * n * (n - 1))), 6)
+      |  END AS z
+      |FROM a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_runs" -> runsQ,
     "q_stat_cramers" -> cramersQ,
     "q_stat_kendall" -> kendallQ,
     "q_stat_kruskal" -> kruskalQ,
@@ -1116,6 +1190,7 @@ object Stats {
     "q_ts_acf" -> acfQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_runs" -> runsSql,
     "q_stat_cramers" -> cramersSql,
     "q_stat_kendall" -> kendallSql,
     "q_stat_kruskal" -> kruskalSql,

@@ -1182,6 +1182,96 @@ object Text {
       |    AS intercept
       |FROM s""".stripMargin
 
+  /** q_text_heaps entry: Heaps'-law vocabulary-growth fit — cumulative
+    * (tokens seen, distinct vocabulary) at 16 corpus checkpoints plus
+    * the log–log regression V ≈ K·nᵝ. The growth-side companion to
+    * [[zipfQ]]'s rank–frequency fit: β (typically 0.4–0.6 for natural
+    * text) is the capacity-planning number behind vocabulary budgets,
+    * hash sizing, and "how much NEW vocabulary will the next crawl
+    * add" — and a β near 1 flags synthetic/ID-like token streams.
+    *
+    * Scale shape: corpus work is two combinable collapses — per-doc
+    * token counts, and min(doc_id) per token (the one token-keyed
+    * exchange, [[vocabQ]]'s shape) — each bucketed to 16 checkpoint
+    * cells by exact integer arithmetic against a broadcast 1-row
+    * max-id frame. Cumulation, logs, and the regression (the
+    * [[zipfQ]] dsum idiom: 9-dp-rounded terms summed as
+    * DECIMAL(28,9)) all run on the 16-row grid. */
+  def heapsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val dmax = t(s, dir, "documents").agg((max($"doc_id") + 1).as("d"))
+    val bE = "least(doc_id div ((d + 15) div 16), 15)"
+    val tokB = withToks(s, dir).select($"doc_id", size($"toks").as("nt"))
+      .crossJoin(broadcast(dmax))
+      .groupBy(expr(bE).as("b")).agg(sum($"nt").as("toks"))
+    val vocB = withToks(s, dir)
+      .select($"doc_id", explode($"toks").as("token"))
+      .groupBy($"token").agg(min($"doc_id").as("doc_id"))
+      .crossJoin(broadcast(dmax))
+      .groupBy(expr(bE).as("b")).agg(count(lit(1)).as("v"))
+    val wCum = Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, 0)
+    val grid = tokB.join(vocB, Seq("b"), "left")
+      .withColumn("n_toks_cum", sum($"toks").over(wCum))
+      .withColumn("vocab_cum", sum(coalesce($"v", lit(0L))).over(wCum))
+      .select($"b", $"n_toks_cum", $"vocab_cum")
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 9).cast("decimal(28,9)")).cast("double")
+    val xy = grid.select(log($"n_toks_cum".cast("double")).as("x"),
+      log($"vocab_cum".cast("double")).as("y"))
+    val fit = xy.agg(count(lit(1)).cast("double").as("n"), dsum($"x").as("sx"),
+        dsum($"y").as("sy"), dsum($"x" * $"y").as("sxy"),
+        dsum($"x" * $"x").as("sxx"))
+      .withColumn("beta_raw",
+        ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
+      .select(round($"beta_raw", 6).as("beta"),
+        round(exp(($"sy" - $"beta_raw" * $"sx") / $"n"), 6).as("k_fit"))
+    grid.crossJoin(broadcast(fit))
+      .select($"b".cast("int").as("checkpoint"),
+        $"n_toks_cum".cast("long").as("n_toks_cum"),
+        $"vocab_cum".cast("long").as("vocab_cum"),
+        $"beta", $"k_fit")
+      .orderBy($"checkpoint")
+  }
+
+  val heapsSql: String =
+    s"""WITH dm AS (SELECT MAX(doc_id) + 1 AS d FROM documents),
+      |tb AS (
+      |  SELECT LEAST(doc_id // ((d + 15) // 16), 15) AS b,
+      |    SUM(len($toksSql)) AS toks
+      |  FROM documents, dm GROUP BY 1),
+      |fd AS (
+      |  SELECT token, MIN(doc_id) AS doc_id FROM (
+      |    SELECT doc_id, unnest($toksSql) AS token FROM documents)
+      |  GROUP BY token),
+      |vb AS (
+      |  SELECT LEAST(doc_id // ((d + 15) // 16), 15) AS b, COUNT(*) AS v
+      |  FROM fd, dm GROUP BY 1),
+      |grid AS (
+      |  SELECT tb.b,
+      |    SUM(toks) OVER (ORDER BY tb.b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_toks_cum,
+      |    SUM(COALESCE(v, 0)) OVER (ORDER BY tb.b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_cum
+      |  FROM tb LEFT JOIN vb ON tb.b = vb.b),
+      |xy AS (SELECT ln(CAST(n_toks_cum AS DOUBLE)) AS x,
+      |  ln(CAST(vocab_cum AS DOUBLE)) AS y FROM grid),
+      |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |  CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+      |  CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+      |  CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+      |  FROM xy),
+      |fit AS (
+      |  SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+      |    ROUND(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+      |      / n), 6) AS k_fit
+      |  FROM s)
+      |SELECT CAST(b AS INT) AS checkpoint,
+      |  CAST(n_toks_cum AS BIGINT) AS n_toks_cum,
+      |  CAST(vocab_cum AS BIGINT) AS vocab_cum, beta, k_fit
+      |FROM grid, fit ORDER BY checkpoint""".stripMargin
+
   /** Language-ID confusion matrix: the [[langId]] heuristic's guesses
     * cross-tabulated against the labeled `lang` column, with per-label
     * coverage fractions — the evaluation table that turns a heuristic
@@ -1366,6 +1456,7 @@ object Text {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_readability" -> readabilityQ,
     "q_text_zipf" -> zipfQ,
+    "q_text_heaps" -> heapsQ,
     "q_text_nfc" -> nfcQ,
     "q_langid_confusion" -> confusionQ,
     "q_label_kappa" -> kappaQ,
@@ -1397,6 +1488,7 @@ object Text {
   def oracle: Map[String, String] = Map(
     "q_text_readability" -> readabilitySql,
     "q_text_zipf" -> zipfSql,
+    "q_text_heaps" -> heapsSql,
     "q_text_nfc" -> nfcSql,
     "q_langid_confusion" -> confusionSql,
     "q_label_kappa" -> kappaSql,

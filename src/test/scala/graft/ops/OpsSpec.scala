@@ -975,4 +975,77 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("keep_id") < 3000000L, "original id wins")
     }
   }
+
+  test("heaps: cumulatives are monotone, totals reconcile, beta matches a driver fit") {
+    import spark.implicits._
+    val rows = Text.heapsQ(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("checkpoint"))
+    assert(rows.nonEmpty && rows.length <= 16)
+    val nts = rows.map(_.getAs[Long]("n_toks_cum"))
+    val vs = rows.map(_.getAs[Long]("vocab_cum"))
+    assert(nts.zip(nts.tail).forall { case (a, b) => a <= b })
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b })
+    // the last checkpoint covers the whole corpus
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select(lower($"text")).as[String].collect()
+    val allToks = docs.flatMap(_.split(" ", -1))
+    assert(nts.last == allToks.length.toLong)
+    assert(vs.last == allToks.distinct.length.toLong)
+    // vocabulary can't exceed tokens; growth exponent is sublinear-ish
+    rows.foreach(r => assert(r.getAs[Long]("vocab_cum") <=
+      r.getAs[Long]("n_toks_cum")))
+    // the synthetic corpus draws from a tiny closed vocabulary, so V(n)
+    // saturates almost immediately and beta legitimately fits ~0; on
+    // natural text it lands in the 0.4-0.6 band
+    val beta = rows.head.getAs[Double]("beta")
+    assert(beta >= 0.0 && beta <= 1.0, s"beta $beta")
+    // driver-side plain-double fit over the same 16 grid points
+    val xy = nts.zip(vs).map { case (n, v) =>
+      (math.log(n.toDouble), math.log(v.toDouble)) }
+    val m = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val expBeta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert(math.abs(beta - expBeta) <= 1e-5, s"$beta vs $expBeta")
+    assert(math.abs(rows.head.getAs[Double]("k_fit") -
+      math.exp((sy - expBeta * sx) / m)) <= 1e-4)
+  }
+
+  test("runs test: two-level day decomposition equals a sequential global scan") {
+    import spark.implicits._
+    val r = graft.ops.Stats.runsQ(spark, sfDir).collect().head
+    val seq = graft.Tables.t(spark, sfDir, "events")
+      .select($"ts", $"event_id", ($"event_type" === "click").cast("int"))
+      .collect().map(w => (w.getTimestamp(0), w.getLong(1), w.getInt(2)))
+      .sortBy(t => (t._1.getTime, t._2)).map(_._3)
+    val runs = 1 + seq.zip(seq.tail).count { case (a, b) => a != b }
+    val n = seq.length.toLong
+    val n1 = seq.count(_ == 1).toLong
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("n1") == n1)
+    assert(r.getAs[Long]("n2") == n - n1)
+    assert(r.getAs[Long]("runs") == runs.toLong,
+      s"two-level ${r.getAs[Long]("runs")} vs sequential $runs")
+    val mu = 1.0 + 2.0 * n1 * (n - n1) / n
+    val s2 = 2.0 * n1 * (n - n1) * (2.0 * n1 * (n - n1) - n) /
+      (n.toDouble * n * (n - 1))
+    assert(math.abs(r.getAs[Double]("z") - (runs - mu) / math.sqrt(s2)) < 1e-5)
+  }
+
+  test("pcm: parsed-from-binary statistics equal the generative formula") {
+    val rows = Multimodal.pcmQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val smp = (0 until 64).map(k => ((id * 31 + 7L * k * k) % 2048) - 1024)
+      assert(r.getAs[Long]("data_bytes") == 128L)
+      assert(r.getAs[Long]("sum_sq") == smp.map(x => x * x).sum)
+      assert(r.getAs[Long]("peak_abs") == smp.map(math.abs).max)
+      val zc = smp.zip(smp.tail).count { case (a, b) => (a >= 0) != (b >= 0) }
+      assert(r.getAs[Long]("zero_cross") == zc.toLong)
+      assert(math.abs(r.getAs[Double]("rms") -
+        math.sqrt(smp.map(x => x * x).sum.toDouble / 64)) < 1e-5)
+    }
+  }
 }
