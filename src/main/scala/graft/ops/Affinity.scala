@@ -49,9 +49,67 @@ object Affinity {
       |ORDER BY n_orders DESC, brand_a, brand_b
       |LIMIT 50""".stripMargin
 
+  /** q_affinity_cosine entry: item-item cosine similarity over order
+    * baskets — [[pairsQ]]'s raw co-occurrence normalized by each
+    * brand's own order frequency, cos(a,b) = co(a,b)/√(n_a·n_b): the
+    * popularity-corrected score that makes a niche pair with 80%
+    * overlap outrank two megabrands that co-occur by volume alone —
+    * the standard item-item collaborative-filtering similarity
+    * (Sarwar et al. 2001) and the recommendation-candidate generator.
+    *
+    * Scale shape: [[pairsQ]]'s contained pair stage (distinct baskets
+    * first, per-order fan-out ≤ basket width²) plus one combinable
+    * per-brand order count broadcast into the ≤|brands|² pair frame;
+    * exact integers until the one shared cosine expression, 6 dp. */
+  def cosineQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baskets = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+      .join(t(s, dir, "part").select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"p_brand".as("b"))
+      .distinct()
+    val freq = baskets.groupBy($"b").agg(count(lit(1)).as("nb"))
+    val pairs = baskets.as("x").join(baskets.as("y"),
+        $"x.ok" === $"y.ok" && $"x.b" < $"y.b")
+      .groupBy($"x.b".as("brand_a"), $"y.b".as("brand_b"))
+      .agg(count(lit(1)).as("co"))
+    pairs
+      .join(broadcast(freq.select($"b".as("brand_a"), $"nb".as("n_a"))), "brand_a")
+      .join(broadcast(freq.select($"b".as("brand_b"), $"nb".as("n_b"))), "brand_b")
+      .select($"brand_a", $"brand_b", $"n_a", $"n_b", $"co",
+        round($"co".cast("double") /
+          sqrt($"n_a".cast("double") * $"n_b".cast("double")), 6)
+          .as("cosine"))
+      .orderBy($"cosine".desc, $"brand_a", $"brand_b")
+      .limit(50)
+  }
+
+  val cosineSql: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |freq AS (SELECT b, COUNT(*) AS nb FROM baskets GROUP BY b),
+      |pairs AS (
+      |  SELECT x.b AS brand_a, y.b AS brand_b, COUNT(*) AS co
+      |  FROM baskets x JOIN baskets y ON x.ok = y.ok AND x.b < y.b
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b,
+      |  CAST(fa.nb AS BIGINT) AS n_a, CAST(fb.nb AS BIGINT) AS n_b,
+      |  CAST(co AS BIGINT) AS co,
+      |  ROUND(CAST(co AS DOUBLE)
+      |    / sqrt(CAST(fa.nb AS DOUBLE) * CAST(fb.nb AS DOUBLE)), 6) AS cosine
+      |FROM pairs
+      |JOIN freq fa ON fa.b = brand_a
+      |JOIN freq fb ON fb.b = brand_b
+      |ORDER BY cosine DESC, brand_a, brand_b
+      |LIMIT 50""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_affinity_pairs" -> pairsQ)
+    "q_affinity_pairs" -> pairsQ,
+    "q_affinity_cosine" -> cosineQ)
 
   def oracle: Map[String, String] = Map(
-    "q_affinity_pairs" -> pairsSql)
+    "q_affinity_pairs" -> pairsSql,
+    "q_affinity_cosine" -> cosineSql)
 }

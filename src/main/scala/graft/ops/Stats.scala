@@ -1098,6 +1098,101 @@ object Stats {
       |    / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_tie_adj
       |FROM h""".stripMargin
 
+  // --- two-feature OLS ------------------------------------------------------
+
+  /** q_stat_ols entry: closed-form two-feature ordinary least squares —
+    * lineitem extended price regressed on quantity and discount percent
+    * via the normal equations, with R². The multivariate step past
+    * [[graft.ops.TimeSeries]]'s single-series trend line: effect
+    * attribution ("how much of price moves with quantity vs discount")
+    * is the workhorse audit before anyone fits an actual model, and
+    * at 100 TB it must come out of sufficient statistics, not a
+    * solver library.
+    *
+    * Scale shape: ONE combinable aggregate computes all nine
+    * sufficient statistics (n, Σq, Σd, Σq², Σd², Σqd, Σy, Σqy, Σdy,
+    * plus Σy² for R²) in a single scan; the 3×3 solve is Cramer's rule
+    * on the 1-row frame. Determinism: discount is quantized to exact
+    * integer percent (its domain is 0.00–0.10 in cents), money rides
+    * DECIMAL(18,2)/(28,2|38,4) sums, so every sufficient statistic is
+    * EXACT and the centered S-terms + solve are one shared IEEE
+    * expression tree on identical inputs. */
+  def olsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = t(s, dir, "lineitem").select(
+      $"l_quantity".cast("long").as("q"),
+      round($"l_discount" * 100).cast("long").as("d"),
+      $"l_extendedprice".cast("decimal(18,2)").as("y"))
+    val a = rows.agg(
+      count(lit(1)).as("n"), sum($"q").as("sq"), sum($"d").as("sd"),
+      sum($"q" * $"q").as("sqq"), sum($"d" * $"d").as("sdd"),
+      sum($"q" * $"d").as("sqd"),
+      sum($"y").as("sy"),
+      sum(($"q".cast("decimal(18,1)") * $"y").cast("decimal(28,2)")).as("sqy"),
+      sum(($"d".cast("decimal(18,1)") * $"y").cast("decimal(28,2)")).as("sdy"),
+      sum(($"y" * $"y").cast("decimal(38,4)")).as("syy"))
+    a.select($"n".cast("double").as("n"), $"sq".cast("double").as("sq"),
+        $"sd".cast("double").as("sd"), $"sqq".cast("double").as("sqq"),
+        $"sdd".cast("double").as("sdd"), $"sqd".cast("double").as("sqd"),
+        $"sy".cast("double").as("sy"), $"sqy".cast("double").as("sqy"),
+        $"sdy".cast("double").as("sdy"), $"syy".cast("double").as("syy"))
+      .withColumn("s11", $"n" * $"sqq" - $"sq" * $"sq")
+      .withColumn("s22", $"n" * $"sdd" - $"sd" * $"sd")
+      .withColumn("s12", $"n" * $"sqd" - $"sq" * $"sd")
+      .withColumn("sy1", $"n" * $"sqy" - $"sq" * $"sy")
+      .withColumn("sy2", $"n" * $"sdy" - $"sd" * $"sy")
+      .withColumn("syc", $"n" * $"syy" - $"sy" * $"sy")
+      .withColumn("det", $"s11" * $"s22" - $"s12" * $"s12")
+      .withColumn("b1", ($"sy1" * $"s22" - $"sy2" * $"s12") / $"det")
+      .withColumn("b2", ($"sy2" * $"s11" - $"sy1" * $"s12") / $"det")
+      .select($"n".cast("long").as("n"),
+        round(($"sy" - $"b1" * $"sq" - $"b2" * $"sd") / $"n", 6)
+          .as("intercept"),
+        round($"b1", 6).as("b_quantity"),
+        round($"b2", 6).as("b_discount_pct"),
+        round(($"b1" * $"sy1" + $"b2" * $"sy2") / $"syc", 6).as("r2"))
+  }
+
+  val olsSql: String =
+    """WITH r AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(q) AS DOUBLE) AS sq, CAST(SUM(d) AS DOUBLE) AS sd,
+      |    CAST(SUM(q * q) AS DOUBLE) AS sqq,
+      |    CAST(SUM(d * d) AS DOUBLE) AS sdd,
+      |    CAST(SUM(q * d) AS DOUBLE) AS sqd,
+      |    CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(CAST(q AS DECIMAL(18,1)) * y AS DECIMAL(28,2)))
+      |      AS DOUBLE) AS sqy,
+      |    CAST(SUM(CAST(CAST(d AS DECIMAL(18,1)) * y AS DECIMAL(28,2)))
+      |      AS DOUBLE) AS sdy,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      |  FROM r),
+      |c AS (
+      |  SELECT n, sq, sd, sy,
+      |    n * sqq - sq * sq AS s11,
+      |    n * sdd - sd * sd AS s22,
+      |    n * sqd - sq * sd AS s12,
+      |    n * sqy - sq * sy AS sy1,
+      |    n * sdy - sd * sy AS sy2,
+      |    n * syy - sy * sy AS syc
+      |  FROM a),
+      |b AS (
+      |  SELECT n, sq, sd, sy, sy1, sy2, syc,
+      |    (sy1 * s22 - sy2 * s12) / (s11 * s22 - s12 * s12) AS b1,
+      |    (sy2 * s11 - sy1 * s12) / (s11 * s22 - s12 * s12) AS b2
+      |  FROM c)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  ROUND((sy - b1 * sq - b2 * sd) / n, 6) AS intercept,
+      |  ROUND(b1, 6) AS b_quantity,
+      |  ROUND(b2, 6) AS b_discount_pct,
+      |  ROUND((b1 * sy1 + b2 * sy2) / syc, 6) AS r2
+      |FROM b""".stripMargin
+
   // --- Wald–Wolfowitz runs test ---------------------------------------------
 
   /** q_stat_runs entry: Wald–Wolfowitz runs test for randomness of the
@@ -1173,6 +1268,7 @@ object Stats {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stat_runs" -> runsQ,
+    "q_stat_ols" -> olsQ,
     "q_stat_cramers" -> cramersQ,
     "q_stat_kendall" -> kendallQ,
     "q_stat_kruskal" -> kruskalQ,
@@ -1191,6 +1287,7 @@ object Stats {
 
   def oracle: Map[String, String] = Map(
     "q_stat_runs" -> runsSql,
+    "q_stat_ols" -> olsSql,
     "q_stat_cramers" -> cramersSql,
     "q_stat_kendall" -> kendallSql,
     "q_stat_kruskal" -> kruskalSql,

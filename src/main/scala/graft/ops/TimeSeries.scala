@@ -530,7 +530,121 @@ object TimeSeries {
       |    + local_peak) AS BIGINT) AS peak_concurrent
       |FROM per ORDER BY day""".stripMargin
 
+  /** q_ts_decompose entry: STL-lite trend/seasonal/residual
+    * decomposition of each event type's hourly series — trend from a
+    * centered 25-hour moving average, hour-of-day seasonal means of
+    * the detrended series, and the per-type SEASONAL STRENGTH
+    * F = max(0, 1 − Var(resid)/Var(detrended)) (Wang–Hyndman–Smith
+    * feature form): the one number that says whether the daily cycle
+    * explains a series before anyone trusts [[seasonalQ]]'s per-hour
+    * baseline for anomaly work.
+    *
+    * Scale shape: the corpus collapses to the densified (type, hour)
+    * grid FIRST ([[seasonalQ]]'s bounded grid dim — rows = series ×
+    * calendar hours, never events); the MA is a 25-row window per
+    * type, the seasonal means a combinable groupBy over ≤ series·24
+    * keys, the variances one aggregate with the 9-dp-rounded
+    * DECIMAL(28,9) sum contract. Edge hours without a full 25-hour
+    * window are excluded exactly (window row count = 25), identically
+    * on both engines. */
+  def decomposeQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = t(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("d"), hour($"ts").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val grid = s.sql(
+      """SELECT to_date(hr) AS d, hour(hr) AS h FROM (
+        |  SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |    timestamp'2024-01-30 23:00:00', interval 1 hour)) AS hr)"""
+        .stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val dense = grid.crossJoin(broadcast(series))
+      .join(counts, Seq("event_type", "d", "h"), "left")
+      .select($"event_type", $"d", $"h", coalesce($"n", lit(0L)).as("n"))
+    val ma = Window.partitionBy($"event_type").orderBy($"d", $"h")
+      .rowsBetween(-12, 12)
+    val detr = dense
+      .withColumn("win_n", count(lit(1)).over(ma))
+      .withColumn("trend", sum($"n").over(ma).cast("double") / lit(25.0))
+      .filter($"win_n" === 25)
+      .withColumn("detr", $"n".cast("double") - $"trend")
+    val seas = detr.groupBy($"event_type", $"h")
+      .agg(round(sum(round($"detr", 9).cast("decimal(28,9)")).cast("double") /
+        count(lit(1)), 9).as("seas"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 9).cast("decimal(28,9)")).cast("double")
+    detr.join(seas, Seq("event_type", "h"))
+      .withColumn("resid", $"detr" - $"seas")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("m"),
+        dsum($"detr").as("sx"), dsum($"detr" * $"detr").as("sxx"),
+        dsum($"resid").as("rx"), dsum($"resid" * $"resid").as("rxx"))
+      .withColumn("var_d",
+        $"sxx" / $"m" - ($"sx" / $"m") * ($"sx" / $"m"))
+      .withColumn("var_r",
+        $"rxx" / $"m" - ($"rx" / $"m") * ($"rx" / $"m"))
+      .select($"event_type", $"m".cast("long").as("n_hours"),
+        round($"var_d", 6).as("var_detrended"),
+        round($"var_r", 6).as("var_resid"),
+        round(greatest(lit(0d), lit(1d) - $"var_r" / $"var_d"), 6)
+          .as("seasonal_strength"))
+      .orderBy($"event_type")
+  }
+
+  val decomposeSql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(EXTRACT(hour FROM ts) AS INT) AS h, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT CAST(hr AS DATE) AS d, CAST(EXTRACT(hour FROM hr) AS INT) AS h
+      |  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hr)),
+      |series AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT series.event_type, grid.d, grid.h, COALESCE(c.n, 0) AS n
+      |  FROM grid CROSS JOIN series
+      |  LEFT JOIN c ON c.event_type = series.event_type
+      |    AND c.d = grid.d AND c.h = grid.h),
+      |w AS (
+      |  SELECT event_type, d, h, n,
+      |    COUNT(*) OVER ma AS win_n,
+      |    CAST(SUM(n) OVER ma AS DOUBLE) / 25.0 AS trend
+      |  FROM dense
+      |  WINDOW ma AS (PARTITION BY event_type ORDER BY d, h
+      |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |detr AS (
+      |  SELECT event_type, d, h, CAST(n AS DOUBLE) - trend AS detr
+      |  FROM w WHERE win_n = 25),
+      |seas AS (
+      |  SELECT event_type, h,
+      |    ROUND(CAST(SUM(CAST(ROUND(detr, 9) AS DECIMAL(28,9))) AS DOUBLE)
+      |      / COUNT(*), 9) AS seas
+      |  FROM detr GROUP BY 1, 2),
+      |r AS (
+      |  SELECT detr.event_type, detr.detr, detr.detr - seas AS resid
+      |  FROM detr JOIN seas ON detr.event_type = seas.event_type
+      |    AND detr.h = seas.h),
+      |a AS (
+      |  SELECT event_type, COUNT(*) AS m,
+      |    CAST(SUM(CAST(ROUND(detr, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ROUND(detr * detr, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ROUND(resid, 9) AS DECIMAL(28,9))) AS DOUBLE) AS rx,
+      |    CAST(SUM(CAST(ROUND(resid * resid, 9) AS DECIMAL(28,9))) AS DOUBLE) AS rxx
+      |  FROM r GROUP BY event_type),
+      |v AS (
+      |  SELECT event_type, m,
+      |    sxx / m - (sx / m) * (sx / m) AS var_d,
+      |    rxx / m - (rx / m) * (rx / m) AS var_r
+      |  FROM a)
+      |SELECT event_type, CAST(m AS BIGINT) AS n_hours,
+      |  ROUND(var_d, 6) AS var_detrended,
+      |  ROUND(var_r, 6) AS var_resid,
+      |  ROUND(GREATEST(0.0, 1.0 - var_r / var_d), 6) AS seasonal_strength
+      |FROM v ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_decompose" -> decomposeQ,
     "q_ts_resample" -> resampleQ,
     "q_ts_ewma" -> ewmaQ,
     "q_ts_seasonal" -> seasonalQ,
@@ -541,6 +655,7 @@ object TimeSeries {
     "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_decompose" -> decomposeSql,
     "q_ts_resample" -> resampleSql,
     "q_ts_ewma" -> ewmaSql,
     "q_ts_seasonal" -> seasonalSql,

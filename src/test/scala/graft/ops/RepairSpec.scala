@@ -230,4 +230,71 @@ class RepairSpec extends AnyFunSuite with SparkSpec {
       parsed.getLong(4) == 16L && parsed.getLong(5) == 2048L,
       s"parse drifted from golden: $parsed")
   }
+
+  test("affinity cosine: score equals co/sqrt(na*nb) and popularity-corrects the raw count") {
+    import spark.implicits._
+    val rows = Affinity.cosineQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // recount the two marginals and the co-occurrence for the top pair
+    val baskets = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "part"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byBrand = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("brand_a"), r.getAs[String]("brand_b"))
+      assert(a < b)
+      assert(r.getAs[Long]("n_a") == byBrand(a))
+      assert(r.getAs[Long]("n_b") == byBrand(b))
+      val orders = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val co = orders.values.count(s => s.contains(a) && s.contains(b)).toLong
+      assert(r.getAs[Long]("co") == co)
+      val c = r.getAs[Double]("cosine")
+      assert(c > 0.0 && c <= 1.0)
+      assert(math.abs(c - co / math.sqrt(
+        byBrand(a).toDouble * byBrand(b))) < 1e-5)
+    }
+  }
+
+  test("decompose: grid-exact hour count, variance ordering, strength matches a driver recompute") {
+    import spark.implicits._
+    val rows = TimeSeries.decomposeQ(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hours") == 720L - 24L) // 30 days minus MA edges
+      val (vd, vr) = (r.getAs[Double]("var_detrended"), r.getAs[Double]("var_resid"))
+      val st = r.getAs[Double]("seasonal_strength")
+      assert(vr >= 0 && vd > 0)
+      assert(st >= 0.0 && st <= 1.0)
+      assert(math.abs(st - math.max(0.0, 1.0 - vr / vd)) < 2e-6)
+    }
+    // full recompute for one series from the raw events
+    val t0 = rows.head.getAs[String]("event_type")
+    val counts = graft.Tables.t(spark, sfDir, "events")
+      .filter($"event_type" === t0)
+      .groupBy(date_trunc("hour", $"ts").as("hr"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val start = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val series = (0 until 720).map(i => counts.getOrElse(start + i * 3600000L, 0L))
+    val trend = (12 until 708).map(i =>
+      (i - 12 to i + 12).map(series).sum.toDouble / 25.0)
+    val detr = (12 until 708).map(i => series(i) - trend(i - 12))
+    val hod = (12 until 708).map(_ % 24)
+    val seas = hod.zip(detr).groupBy(_._1).view.mapValues { xs =>
+      val s = xs.map(p => BigDecimal(p._2).setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+      BigDecimal(s.toDouble / xs.length).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val resid = hod.zip(detr).map { case (h, x) => x - seas(h) }
+    def variance(xs: Seq[Double]): Double = {
+      def ds(vs: Seq[Double]) = vs.map(v =>
+        BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val m = xs.length
+      ds(xs.map(x => x * x)) / m - (ds(xs) / m) * (ds(xs) / m)
+    }
+    val got = rows.find(_.getAs[String]("event_type") == t0).get
+    assert(math.abs(got.getAs[Double]("var_detrended") - variance(detr)) < 1e-4,
+      s"${got.getAs[Double]("var_detrended")} vs ${variance(detr)}")
+    assert(math.abs(got.getAs[Double]("var_resid") - variance(resid)) < 1e-4)
+  }
 }

@@ -373,6 +373,39 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getAs[Double]("tau_b") - tau) < 1e-5)
   }
 
+  test("ols: coefficients match a driver-side normal-equations solve; r2 in (0,1]") {
+    import spark.implicits._
+    val r = Stats.olsQ(spark, sfDir).collect().head
+    val rows = graft.Tables.t(spark, sfDir, "lineitem")
+      .select($"l_quantity".cast("double"), $"l_discount".cast("double"),
+        $"l_extendedprice".cast("double")).collect()
+      .map(w => (w.getDouble(0), math.round(w.getDouble(1) * 100).toDouble,
+        w.getDouble(2)))
+    val n = rows.length.toDouble
+    val sq = rows.map(_._1).sum; val sd = rows.map(_._2).sum
+    val sqq = rows.map(x => x._1 * x._1).sum
+    val sdd = rows.map(x => x._2 * x._2).sum
+    val sqd = rows.map(x => x._1 * x._2).sum
+    val sy = rows.map(_._3).sum
+    val sqy = rows.map(x => x._1 * x._3).sum
+    val sdy = rows.map(x => x._2 * x._3).sum
+    val syy = rows.map(x => x._3 * x._3).sum
+    val (s11, s22, s12) = (n * sqq - sq * sq, n * sdd - sd * sd, n * sqd - sq * sd)
+    val (sy1, sy2, syc) = (n * sqy - sq * sy, n * sdy - sd * sy, n * syy - sy * sy)
+    val det = s11 * s22 - s12 * s12
+    val b1 = (sy1 * s22 - sy2 * s12) / det
+    val b2 = (sy2 * s11 - sy1 * s12) / det
+    assert(r.getAs[Long]("n") == rows.length.toLong)
+    assert(math.abs(r.getAs[Double]("b_quantity") - b1) < 1e-3,
+      s"${r.getAs[Double]("b_quantity")} vs $b1")
+    assert(math.abs(r.getAs[Double]("b_discount_pct") - b2) < 1e-3)
+    assert(math.abs(r.getAs[Double]("intercept") -
+      (sy - b1 * sq - b2 * sd) / n) < 1e-2)
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 > 0.0 && r2 <= 1.0)
+    assert(math.abs(r2 - (b1 * sy1 + b2 * sy2) / syc) < 1e-4)
+  }
+
   test("kruskal: H matches a naive per-row average-rank recompute") {
     import spark.implicits._
     val r = Stats.kruskalQ(spark, sfDir).collect().head
