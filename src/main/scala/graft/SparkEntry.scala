@@ -57,6 +57,7 @@ object SparkEntry {
     graft.ops.Index.queries ++
     graft.ops.Skew.queries ++
     graft.ops.Spatial.queries ++
+    graft.ops.Shard.queries ++
     graft.ops.Stats.queries ++
     graft.ops.Similarity.queries ++
     graft.ops.Centroids.queries ++
@@ -100,6 +101,7 @@ object SparkEntry {
     graft.ops.Index.oracle ++
     graft.ops.Skew.oracle ++
     graft.ops.Spatial.oracle ++
+    graft.ops.Shard.oracle ++
     graft.ops.Stats.oracle ++
     graft.ops.Similarity.oracle ++
     graft.ops.Centroids.oracle ++

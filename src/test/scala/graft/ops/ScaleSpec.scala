@@ -197,4 +197,40 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("shard rebalance: rendezvous moves ~1/17 of keys, mod moves ~16/17, winners match a JVM recompute") {
+    val r = Shard.rebalanceQ(spark, "/root/testdata/sf0.001").collect().head
+    val n = r.getAs[Long]("n_docs")
+    val (mm, mr) = (r.getAs[Long]("moved_mod"), r.getAs[Long]("moved_rdv"))
+    // mod-grow reshuffles almost everything; rendezvous only the 1/17 slice
+    assert(mr * 5 < mm, s"rendezvous $mr should be far below mod $mm")
+    // binomial slack: p = 1/17, allow 4 sigma around np
+    val p = 1.0 / 17
+    val slack = 4 * math.sqrt(n * p * (1 - p))
+    assert(math.abs(mr - n * p) <= slack, s"moved_rdv $mr vs expected ${n * p}")
+    assert(r.getAs[Long]("moved_mod_bp") == 10000 * mm / n)
+    assert(r.getAs[Long]("moved_rdv_bp") == 10000 * mr / n)
+
+    // JVM recompute of the rendezvous winner for a sample of keys
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(key: String): Long = {
+      val hex = md.digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def winner(id: Long, shards: Int): Int =
+      (0 until shards).maxBy(j => (w(s"$id:$j"), j))
+    import spark.implicits._
+    val got = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.expr(
+          """array_max(transform(sequence(0, 16), j -> struct(
+            |  cast(conv(substring(md5(concat(cast(doc_id as string), ':',
+            |    cast(j as string))), 1, 15), 16, 10) as bigint) as w,
+            |  j as j))).j""".stripMargin).as("r17"))
+      .collect().map(r2 => (r2.getLong(0), r2.getInt(1)))
+    got.take(50).foreach { case (id, j) =>
+      assert(j == winner(id, 17), s"doc $id winner")
+    }
+  }
 }
