@@ -315,8 +315,71 @@ object Curate {
       |WHERE doc_id < 300
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q_sample_negatives entry: NEGATIVE SAMPLING for recommender /
+    * contrastive training — for each customer, 5 part brands they have
+    * NEVER ordered, drawn in deterministic md5(customer:brand) order
+    * from the brand domain: the (user, item⁻) pairs implicit-feedback
+    * training needs (the data records only positives; the model also
+    * needs credible non-interactions, sampled reproducibly so every
+    * rerun builds the identical training set).
+    *
+    * Scale shape: positives collapse to DISTINCT (customer, brand)
+    * once (combinable); the candidate space is customers × the
+    * 25-value brand DOMAIN (a bounded broadcast grid — items are a
+    * catalog, not a corpus), negatives drop out via one LEFT ANTI
+    * join, and the per-customer cut is a customer-partition-bounded
+    * rank window over the [[Hashing.md5Long60]] order. */
+  def negativesQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val users = t(s, dir, "customer")
+      .filter($"c_custkey" < 100).select($"c_custkey")
+    val brands = t(s, dir, "part").select($"p_brand").distinct()
+    val pos = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(t(s, dir, "part").select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .select($"o_custkey".as("c_custkey"), $"p_brand")
+      .distinct()
+    users.crossJoin(broadcast(brands))
+      .join(pos, Seq("c_custkey", "p_brand"), "left_anti")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"c_custkey").orderBy(
+          Hashing.md5Long60(concat($"c_custkey".cast("string"), lit(":"),
+            $"p_brand")), $"p_brand")))
+      .filter($"rk" <= 5)
+      .select($"c_custkey", $"p_brand".as("neg_brand"),
+        $"rk".cast("int").as("rk"))
+      .orderBy($"c_custkey", $"rk")
+  }
+
+  val negativesSql: String =
+    """WITH users AS (
+      |  SELECT c_custkey FROM customer WHERE c_custkey < 100),
+      |brands AS (SELECT DISTINCT p_brand FROM part),
+      |pos AS (
+      |  SELECT DISTINCT o_custkey AS c_custkey, p_brand
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey),
+      |cand AS (
+      |  SELECT u.c_custkey, b.p_brand
+      |  FROM users u CROSS JOIN brands b
+      |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+      |    WHERE p.c_custkey = u.c_custkey AND p.p_brand = b.p_brand)),
+      |rk AS (
+      |  SELECT c_custkey, p_brand,
+      |    ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY
+      |      ('0x' || substr(md5(c_custkey::VARCHAR || ':' || p_brand), 1, 15))
+      |        ::UBIGINT::BIGINT, p_brand) AS rk
+      |  FROM cand)
+      |SELECT c_custkey, p_brand AS neg_brand, CAST(rk AS INT) AS rk
+      |FROM rk WHERE rk <= 5 ORDER BY c_custkey, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_dsir" -> dsirQ,
+    "q_sample_negatives" -> negativesQ,
     "q_pipeline_curate" -> curateQ,
     "q_tokenize_coverage" -> tokenizeCoverageQ,
     "q_curate_canonical" -> canonicalQ,
@@ -324,6 +387,7 @@ object Curate {
 
   def oracle: Map[String, String] = Map(
     "q_sample_dsir" -> dsirSql,
+    "q_sample_negatives" -> negativesSql,
     "q_pipeline_curate" -> curateSql,
     "q_tokenize_coverage" -> tokenizeCoverageSql,
     "q_curate_canonical" -> canonicalSql,

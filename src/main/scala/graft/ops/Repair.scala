@@ -140,11 +140,89 @@ object Repair {
       |  CAST(sum(cm) AS BIGINT) AS sum_micro
       |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q_repair_interpolate entry: time-aware LINEAR interpolation of
+    * missing values per user series — the repair [[imputeQ]]'s group
+    * mean cannot give when the signal has local structure: each
+    * planted null (same every-10th-event defect pattern) is filled on
+    * the line between its nearest non-null neighbors in the user's
+    * (ts, event_id) order, weighted by actual timestamp distance;
+    * series edges fall back to the one available neighbor
+    * (ffill/bfill), tagged per row.
+    *
+    * Scale shape: one user-keyed exchange serves both
+    * neighbor-window scans (ignore-null last/first over the same
+    * sort); the fill is a pure map. Determinism: anchors are exact
+    * (micros, micro-unit value) longs; the interpolation is ONE
+    * shared IEEE expression on identical inputs, rounded to 6 dp, and
+    * emitted as DOUBLE (never decimal-cast — the r6–r8 driver-hash
+    * lesson). */
+  def interpolateQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val dam = t(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts",
+        when($"event_id" % 10 === 0, lit(null)).otherwise($"value")
+          .as("v"))
+    val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val after = ord.rowsBetween(1, Window.unboundedFollowing)
+    dam
+      .withColumn("vp", last(when($"v".isNotNull, $"v"), ignoreNulls = true)
+        .over(before))
+      .withColumn("tp", last(when($"v".isNotNull, unix_micros($"ts")),
+        ignoreNulls = true).over(before))
+      .withColumn("vn", first(when($"v".isNotNull, $"v"), ignoreNulls = true)
+        .over(after))
+      .withColumn("tn", first(when($"v".isNotNull, unix_micros($"ts")),
+        ignoreNulls = true).over(after))
+      .filter($"v".isNull)
+      .select($"event_id", $"user_id",
+        when($"vp".isNotNull && $"vn".isNotNull, lit("interp"))
+          .when($"vp".isNotNull, lit("ffill")).otherwise(lit("bfill"))
+          .as("method"),
+        round(
+          when($"vp".isNotNull && $"vn".isNotNull,
+            $"vp" + ($"vn" - $"vp") *
+              ((unix_micros($"ts").cast("double") - $"tp") / ($"tn" - $"tp")))
+            .otherwise(coalesce($"vp", $"vn")), 6).as("v_filled"))
+      .orderBy($"event_id")
+  }
+
+  val interpolateSql: String =
+    """WITH dam AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, event_id, ts, v,
+      |    last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+      |      OVER bef AS vp,
+      |    last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END
+      |      IGNORE NULLS) OVER bef AS tp,
+      |    first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+      |      OVER aft AS vn,
+      |    first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END
+      |      IGNORE NULLS) OVER aft AS tn
+      |  FROM dam
+      |  WINDOW bef AS (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    aft AS (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, user_id,
+      |  CASE WHEN vp IS NOT NULL AND vn IS NOT NULL THEN 'interp'
+      |       WHEN vp IS NOT NULL THEN 'ffill' ELSE 'bfill' END AS method,
+      |  ROUND(CASE WHEN vp IS NOT NULL AND vn IS NOT NULL THEN
+      |      vp + (vn - vp) * ((CAST(epoch_us(ts) AS DOUBLE) - tp) / (tn - tp))
+      |    ELSE COALESCE(vp, vn) END, 6) AS v_filled
+      |FROM w WHERE v IS NULL ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repair_impute" -> imputeQ,
-    "q_repair_winsorize" -> winsorizeQ)
+    "q_repair_winsorize" -> winsorizeQ,
+    "q_repair_interpolate" -> interpolateQ)
 
   def oracle: Map[String, String] = Map(
     "q_repair_impute" -> imputeSql,
-    "q_repair_winsorize" -> winsorizeSql)
+    "q_repair_winsorize" -> winsorizeSql,
+    "q_repair_interpolate" -> interpolateSql)
 }

@@ -418,9 +418,59 @@ object Similarity {
     """SELECT vec_id AS query_id, 1 AS recall_ok
       |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
 
+  /** q_embed_hard_negatives entry: contrastive hard-negative mining —
+    * for each query vector, the top-5 most-cosine-similar corpus
+    * vectors whose LABEL DIFFERS: the highest-value negatives for
+    * contrastive/triplet training (random negatives are trivially far
+    * and teach nothing; the near-miss with the wrong label is where
+    * the gradient is). The training-pair construction step between
+    * embedding generation and contrastive fine-tuning.
+    *
+    * Scale shape: [[topk]]'s exact-scoring plan with one extra
+    * predicate — the bounded query set broadcasts, the label filter
+    * rides the same join, and the per-query top-5 goes through the
+    * bounded [[TopKByScore]] aggregator (≤5 rows of partial state
+    * map-side, never a rank window over the corpus). In production the
+    * scoring side swaps to the ANN/IVF candidates exactly as
+    * [[annCheck]] does — the mining contract is unchanged. */
+  def hardNegativesQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+        $"v".as("qv"), $"nrm".as("qn"))
+    val c = e.filter($"vec_id" >= 10)
+      .select($"vec_id", $"label", $"v", $"nrm")
+    val scored = c.join(broadcast(q), $"label" =!= $"qlabel")
+      .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"nrm"))
+    topkByKey(scored, 5, "query_id", "cos", "score", "rn")
+  }
+
+  val hardNegativesSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+      |                     (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+      |      FROM e WHERE vec_id < 10),
+      |c AS (SELECT vec_id, label, v, nrm FROM e WHERE vec_id >= 10),
+      |sc AS (
+      |  SELECT query_id, vec_id,
+      |    list_reduce(list_transform(range(1, 65), i -> qv[i] * v[i]),
+      |                (a, b) -> a + b) / (qn * nrm) AS cos
+      |  FROM q JOIN c ON c.label <> q.qlabel),
+      |rk AS (
+      |  SELECT query_id, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn
+      |  FROM sc)
+      |SELECT query_id, vec_id, ROUND(cos, 6) AS score, CAST(rn AS INT) AS rn
+      |FROM rk WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_hard_negatives" -> hardNegativesQ,
     "q_similarity_topk" -> topk,
     "q_similarity_ann" -> annCheck,
     "q_similarity_ivf" -> ivfCheck,
@@ -431,6 +481,7 @@ object Similarity {
     * [[recallCheck]]) so the driver records a full hash-compared row;
     * raw approximate top-k output is exercised by the recall specs. */
   def oracle: Map[String, String] = Map(
+    "q_embed_hard_negatives" -> hardNegativesSql,
     "q_similarity_topk" -> topkSql,
     "q_similarity_ann" -> recallCheckSql,
     "q_similarity_ivf" -> recallCheckSql,

@@ -142,6 +142,8 @@ object Dev {
           "q_sample_dsir" -> "1-row (raw, target) token-totals frame over the 256-bucket ratio table",
           "q_stat_runs" -> "1-row cross-day boundary-count frame",
           "q_ts_decompose" -> "bounded per-series grid dim (rows = series count, not events)",
+          "q_embed_hard_negatives" -> "bounded query-vector set (label-mismatch predicate)",
+          "q_sample_negatives" -> "bounded customers x 25-value brand-domain grid",
           "q_text_heaps" -> "1-row max-id frame + 1-row regression-fit frame over the 16-row grid")
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {

@@ -750,6 +750,36 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("negatives: sampled pairs are true non-interactions in deterministic hash order") {
+    import spark.implicits._
+    val rows = Curate.negativesQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pos = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(graft.Tables.t(spark, sfDir, "part"),
+        $"l_partkey" === $"p_partkey")
+      .select($"o_custkey", $"p_brand").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    rows.foreach { r =>
+      val (c, b) = (r.getAs[Long]("c_custkey"), r.getAs[String]("neg_brand"))
+      assert(!pos.contains((c, b)), s"($c, $b) was actually purchased")
+      assert(r.getAs[Int]("rk") >= 1 && r.getAs[Int]("rk") <= 5)
+    }
+    // determinism: one customer's negatives follow the md5(cust:brand) order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s0: String): Long = java.lang.Long.parseLong(
+      md.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val brands = graft.Tables.t(spark, sfDir, "part")
+      .select($"p_brand").distinct().collect().map(_.getString(0))
+    val c0 = rows.head.getAs[Long]("c_custkey")
+    val expect = brands.filterNot(b => pos.contains((c0, b)))
+      .sortBy(b => (h(s"$c0:$b"), b)).take(5).toSeq
+    val got = rows.filter(_.getAs[Long]("c_custkey") == c0)
+      .sortBy(_.getAs[Int]("rk")).map(_.getAs[String]("neg_brand")).toSeq
+    assert(got == expect)
+  }
+
   test("dsir: weights match a driver-side hashed-ngram recompute and separate the target slice") {
     import spark.implicits._
     val got = Curate.dsirQ(spark, sfDir).collect()

@@ -52,4 +52,30 @@ class CentroidsSpec extends AnyFunSuite with SparkSpec {
     val prunedIds = rows.map(_.getAs[Long]("vec_id")).toSet
     assert(prunedIds.intersect(outliers).isEmpty)
   }
+
+  test("hard negatives: every mined vector has a different label and beats all other wrong-label vectors") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.hardNegativesQ(spark, dir).collect()
+    val emb = graft.Tables.t(spark, dir, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val byId = emb.map(e => e._1 -> e).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val (_, qlabel, qv) = byId(qid)
+      assert(rs.length == 5)
+      rs.foreach(r => assert(byId(r.getAs[Long]("vec_id"))._2 != qlabel))
+      // driver-side exact top-5 over wrong-label corpus vectors
+      val expect = emb.filter(e => e._1 >= 10 && e._2 != qlabel)
+        .map(e => (e._1, cos(qv, e._3)))
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+      val got = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("vec_id")).toSeq
+      assert(got == expect, s"query $qid: $got vs $expect")
+    }
+  }
 }

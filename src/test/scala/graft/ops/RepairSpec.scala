@@ -231,6 +231,43 @@ class RepairSpec extends AnyFunSuite with SparkSpec {
       s"parse drifted from golden: $parsed")
   }
 
+  test("interpolate: fills exactly the planted nulls, interp values sit on the neighbor line") {
+    import spark.implicits._
+    val rows = Repair.interpolateQ(spark, sfDir).collect()
+    val events = graft.Tables.t(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime * 1000, r.getDouble(3)))
+    val planted = events.count(_._2 % 10 == 0)
+    assert(rows.length == planted, s"${rows.length} filled vs $planted planted")
+    // sequential per-user recompute of the three fill modes
+    val byUser = events.groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._3, e._2))).toMap
+    val got = rows.map(r => r.getAs[Long]("event_id") ->
+      (r.getAs[String]("method"), r.getAs[Double]("v_filled"))).toMap
+    byUser.values.foreach { seq =>
+      seq.zipWithIndex.filter(_._1._2 % 10 == 0).foreach { case (e, i) =>
+        val prev = seq.take(i).filter(_._2 % 10 != 0).lastOption
+        val next = seq.drop(i + 1).filter(_._2 % 10 != 0).headOption
+        val (method, v) = got(e._2)
+        (prev, next) match {
+          case (Some(p), Some(nx)) =>
+            assert(method == "interp")
+            val expect = p._4 + (nx._4 - p._4) *
+              ((e._3.toDouble - p._3) / (nx._3 - p._3))
+            assert(math.abs(v - expect) < 1e-5, s"event ${e._2}: $v vs $expect")
+            // betweenness: a linear fill never overshoots its anchors
+            assert(v >= math.min(p._4, nx._4) - 1e-6 &&
+              v <= math.max(p._4, nx._4) + 1e-6)
+          case (Some(p), None) =>
+            assert(method == "ffill" && math.abs(v - p._4) < 1e-6)
+          case (None, Some(nx)) =>
+            assert(method == "bfill" && math.abs(v - nx._4) < 1e-6)
+          case _ => fail(s"event ${e._2}: no anchors at all")
+        }
+      }
+    }
+  }
+
   test("affinity cosine: score equals co/sqrt(na*nb) and popularity-corrects the raw count") {
     import spark.implicits._
     val rows = Affinity.cosineQ(spark, sfDir).collect()
