@@ -330,7 +330,69 @@ object Behavior {
       |  (10000 * n_end) // n_risk AS hazard_bp
       |FROM km ORDER BY lifetime_days""".stripMargin
 
+  /** q_label_churn entry: leakage-safe churn-label construction — the
+    * supervised-training-set builder for retention models: a cutoff 7
+    * days before the corpus end splits time into a FEATURE window
+    * (activity counts, recency, purchases — computed strictly before
+    * the cutoff) and a LABEL window (churned = zero events at-or-after
+    * it). The split-by-time discipline is the whole point: computing
+    * any feature over the label window is target leakage, and this
+    * operator encodes the boundary once so every downstream model
+    * inherits it.
+    *
+    * Scale shape: the cutoff is a 1-row broadcast (audit-whitelisted);
+    * features and the label flag fold into ONE combinable
+    * groupBy(user) of conditional aggregates over one scan. Pure
+    * integer outputs (recency in whole hours). */
+  def churnQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = t(s, dir, "events")
+      .agg((max(unix_micros($"ts")) - 7L * 86400L * 1000000L).as("cut"))
+    t(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("tu"), $"event_type")
+      .crossJoin(broadcast(cutoff))
+      .groupBy($"user_id")
+      .agg(
+        sum(($"tu" < $"cut").cast("long")).as("n_before"),
+        sum(($"tu" < $"cut" && $"event_type" === "purchase").cast("long"))
+          .as("n_purchases"),
+        max(when($"tu" < $"cut", $"tu")).as("last_before"),
+        max($"cut").as("cut"),
+        sum(($"tu" >= $"cut").cast("long")).as("n_after"))
+      .filter($"n_before" > 0)
+      .select($"user_id",
+        expr("(cut - last_before) div 3600000000").as("recency_hours"),
+        $"n_before".cast("long").as("n_events"),
+        $"n_purchases".cast("long").as("n_purchases"),
+        ($"n_after" === 0).cast("int").as("churned"))
+      .filter($"user_id" < 300)
+      .orderBy($"user_id")
+  }
+
+  val churnSql: String =
+    """WITH cut AS (
+      |  SELECT MAX(epoch_us(ts)) - 7::BIGINT * 86400 * 1000000 AS cut
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN epoch_us(ts) < cut THEN 1 ELSE 0 END) AS n_before,
+      |    SUM(CASE WHEN epoch_us(ts) < cut AND event_type = 'purchase'
+      |        THEN 1 ELSE 0 END) AS n_purchases,
+      |    MAX(CASE WHEN epoch_us(ts) < cut THEN epoch_us(ts) END)
+      |      AS last_before,
+      |    MAX(cut) AS cut,
+      |    SUM(CASE WHEN epoch_us(ts) >= cut THEN 1 ELSE 0 END) AS n_after
+      |  FROM events, cut GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST((cut - last_before) // 3600000000 AS BIGINT) AS recency_hours,
+      |  CAST(n_before AS BIGINT) AS n_events,
+      |  CAST(n_purchases AS BIGINT) AS n_purchases,
+      |  CAST(CASE WHEN n_after = 0 THEN 1 ELSE 0 END AS INT) AS churned
+      |FROM u WHERE n_before > 0 AND user_id < 300
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_churn" -> churnQ,
     "q_cohort_retention" -> retentionQ,
     "q_seq_transitions" -> transitionsQ,
     "q_rfm_segments" -> rfmQ,
@@ -338,6 +400,7 @@ object Behavior {
     "q_survival_km" -> survivalQ)
 
   def oracle: Map[String, String] = Map(
+    "q_label_churn" -> churnSql,
     "q_cohort_retention" -> retentionSql,
     "q_seq_transitions" -> transitionsSql,
     "q_rfm_segments" -> rfmSql,

