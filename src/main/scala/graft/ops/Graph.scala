@@ -543,11 +543,16 @@ object Graph {
           round($"h" * $"w".cast("double"), 9).cast("decimal(28,9)").as("c"))
         .groupBy($"dst").agg(sum($"c").as("raw"))
       val atot = araw.agg(sum($"raw").as("tot"))
+      // each score frame is read twice (next half-step + final join) and
+      // sits atop a branching plan (raw + its total); an eager checkpoint
+      // of the 25-row frame cuts the lineage so the 6 half-steps cost
+      // 6 edge joins, not 2^6 recomputes (measured 7.8s -> linear)
       auth = nodes.join(araw, $"node" === $"dst", "left")
         .crossJoin(broadcast(atot))
         .select($"node",
           round(coalesce($"raw", lit(0)).cast("double") /
             $"tot".cast("double"), 9).as("a"))
+        .checkpoint()
       val hraw = edges
         .join(broadcast(auth.withColumnRenamed("node", "dst")), "dst")
         .select($"src",
@@ -559,6 +564,7 @@ object Graph {
         .select($"node",
           round(coalesce($"raw", lit(0)).cast("double") /
             $"tot".cast("double"), 9).as("h"))
+        .checkpoint()
     }
     auth.join(hub, "node")
       .select($"node".as("nation"),
