@@ -592,6 +592,52 @@ object Profile {
       |  MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS p90
       |FROM r GROUP BY g ORDER BY g""".stripMargin
 
+  /** q_agg_weighted_median entry: exact WEIGHTED median per group —
+    * the revenue value v* where half the group's QUANTITY sits at or
+    * below (lower weighted median: smallest v with 2·cumweight(≤v) ≥
+    * total) — the volume-aware center [[percentileDiscQ]]'s unweighted
+    * selection misses when row counts and business weight diverge
+    * (one 50-unit line ≠ one 1-unit line).
+    *
+    * Scale shape: the fact table collapses to per-(group, value)
+    * weight sums FIRST (combinable, value-bounded), the cumulative
+    * runs over the reduced frame, and the answer is one MIN per group
+    * — exact integers/decimals throughout, no FP contract. */
+  def weightedMedianQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val wv = t(s, dir, "lineitem")
+      .select($"l_returnflag".as("g"),
+        $"l_extendedprice".cast("decimal(18,2)").as("v"),
+        $"l_quantity".cast("long").as("w"))
+      .groupBy($"g", $"v").agg(sum($"w").as("cw"))
+    val cum = Window.partitionBy($"g").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy($"g")
+    wv.withColumn("cum", sum($"cw").over(cum))
+      .withColumn("tw", sum($"cw").over(tot))
+      .filter($"cum" * 2 >= $"tw")
+      .groupBy($"g")
+      .agg(max($"tw").cast("long").as("total_weight"),
+        min($"v").as("w_median"))
+      .orderBy($"g")
+  }
+
+  val weightedMedianSql: String =
+    """WITH wv AS (
+      |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+      |    SUM(CAST(l_quantity AS BIGINT)) AS cw
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT g, v,
+      |    SUM(cw) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cw) OVER (PARTITION BY g) AS tw
+      |  FROM wv)
+      |SELECT g, CAST(MAX(tw) AS BIGINT) AS total_weight, MIN(v) AS w_median
+      |FROM c WHERE cum * 2 >= tw
+      |GROUP BY g ORDER BY g""".stripMargin
+
   /** q_agg_mode entry: exact per-group MODE (most frequent value,
     * smallest-value tiebreak) of `l_quantity` per return flag plus its
     * multiplicity and the share of the group it covers (basis points).
@@ -722,6 +768,7 @@ object Profile {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_percentile_disc" -> percentileDiscQ,
+    "q_agg_weighted_median" -> weightedMedianQ,
     "q_agg_mode" -> modeQ,
     "q_profile_abc" -> abcQ,
     "q_profile_corr" -> corrQ,
@@ -736,6 +783,7 @@ object Profile {
 
   def oracle: Map[String, String] = Map(
     "q_agg_percentile_disc" -> percentileDiscSql,
+    "q_agg_weighted_median" -> weightedMedianSql,
     "q_agg_mode" -> modeSql,
     "q_profile_abc" -> abcSql,
     "q_profile_corr" -> corrSql,

@@ -216,13 +216,85 @@ object Repair {
       |    ELSE COALESCE(vp, vn) END, 6) AS v_filled
       |FROM w WHERE v IS NULL ORDER BY event_id""".stripMargin
 
+  /** q_repair_qnorm entry: cross-source QUANTILE NORMALIZATION table —
+    * for every source and decile, the source's exact n_chars value at
+    * that decile next to the POOLED corpus value at the same decile,
+    * and the shift between them: the batch-effect correction map
+    * (microarray quantile normalization, applied to corpus slices)
+    * that re-expresses "source A's 70th-percentile document" in pooled
+    * terms before any cross-source length threshold is applied.
+    *
+    * Selection is [[Profile.percentileDiscQ]]'s exact ordered-row
+    * idiom (rank = ⌈d·n/10⌉, integer arithmetic) per source and
+    * pooled; all outputs are exact integers. The pooled ranking uses
+    * one global sort window over the documents METADATA frame —
+    * corpus-rows-sized but thin; the production swap is
+    * approxQuantile, exactly as the curriculum op documents. */
+  def qnormQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = t(s, dir, "documents").select($"source", $"n_chars")
+    def selCols = (1 to 9).map(d =>
+      max(when($"rn" === expr(s"($d * n + 9) div 10"), $"n_chars"))
+        .as(s"p$d"))
+    val stackExpr = "stack(9, " +
+      (1 to 9).map(d => s"$d, p$d").mkString(", ") + ") as (decile, v)"
+    val srcRows = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"n_chars")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+      .groupBy($"source").agg(selCols.head, selCols.tail: _*)
+      .select($"source", expr(stackExpr))
+      .select($"source", $"decile", $"v".as("src_val"))
+    val pooledRows = docs
+      .withColumn("rn", row_number().over(Window.orderBy($"n_chars")))
+      .withColumn("n", count(lit(1)).over())
+      .groupBy().agg(selCols.head, selCols.tail: _*)
+      .select(expr(stackExpr))
+      .select($"decile", $"v".as("pooled_val"))
+    srcRows.join(broadcast(pooledRows), "decile")
+      .select($"source", $"decile".cast("int").as("decile"),
+        $"src_val".cast("long").as("src_val"),
+        $"pooled_val".cast("long").as("pooled_val"),
+        ($"pooled_val" - $"src_val").cast("long").as("shift"))
+      .orderBy($"source", $"decile")
+  }
+
+  val qnormSql: String =
+    """WITH rs AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents),
+      |src AS (
+      |  SELECT source, d,
+      |    MAX(CASE WHEN rn = (d * n + 9) // 10 THEN n_chars END) AS src_val
+      |  FROM rs, range(1, 10) t(d) GROUP BY source, d),
+      |rg AS (
+      |  SELECT n_chars,
+      |    row_number() OVER (ORDER BY n_chars) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM documents),
+      |pooledq AS (
+      |  SELECT d,
+      |    MAX(CASE WHEN rn = (d * n + 9) // 10 THEN n_chars END) AS pooled_val
+      |  FROM rg, range(1, 10) t(d) GROUP BY d)
+      |SELECT source, CAST(d AS INT) AS decile,
+      |  CAST(src_val AS BIGINT) AS src_val,
+      |  CAST(pooled_val AS BIGINT) AS pooled_val,
+      |  CAST(pooled_val - src_val AS BIGINT) AS shift
+      |FROM src JOIN pooledq USING (d)
+      |ORDER BY source, decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repair_impute" -> imputeQ,
     "q_repair_winsorize" -> winsorizeQ,
-    "q_repair_interpolate" -> interpolateQ)
+    "q_repair_interpolate" -> interpolateQ,
+    "q_repair_qnorm" -> qnormQ)
 
   def oracle: Map[String, String] = Map(
     "q_repair_impute" -> imputeSql,
     "q_repair_winsorize" -> winsorizeSql,
-    "q_repair_interpolate" -> interpolateSql)
+    "q_repair_interpolate" -> interpolateSql,
+    "q_repair_qnorm" -> qnormSql)
 }

@@ -231,6 +231,51 @@ class RepairSpec extends AnyFunSuite with SparkSpec {
       s"parse drifted from golden: $parsed")
   }
 
+  test("weighted median: matches a driver-side cumulative-weight scan") {
+    import spark.implicits._
+    val rows = Profile.weightedMedianQ(spark, sfDir).collect()
+    val li = graft.Tables.t(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice".cast("double"),
+        $"l_quantity".cast("long")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    rows.foreach { r =>
+      val g = r.getAs[String]("g")
+      val grp = li.filter(_._1 == g).sortBy(_._2)
+      val tw = grp.map(_._3).sum
+      assert(r.getAs[Long]("total_weight") == tw)
+      var cum = 0L
+      val med = grp.find { e => cum += e._3; cum * 2 >= tw }.get._2
+      assert(r.getAs[java.math.BigDecimal]("w_median").doubleValue == med,
+        s"$g: ${r.getAs[java.math.BigDecimal]("w_median")} vs $med")
+    }
+  }
+
+  test("qnorm: decile selections are exact order statistics and shifts reconcile") {
+    import spark.implicits._
+    val rows = Repair.qnormQ(spark, sfDir).collect()
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"source", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val pooledSorted = docs.map(_._2).sorted
+    val n = pooledSorted.length
+    rows.foreach { r =>
+      val (src, d) = (r.getAs[String]("source"), r.getAs[Int]("decile"))
+      val srcSorted = docs.filter(_._1 == src).map(_._2).sorted
+      val m = srcSorted.length
+      val expSrc = srcSorted((d * m + 9) / 10 - 1)
+      val expPool = pooledSorted((d * n + 9) / 10 - 1)
+      assert(r.getAs[Long]("src_val") == expSrc, s"$src d$d src")
+      assert(r.getAs[Long]("pooled_val") == expPool, s"$src d$d pooled")
+      assert(r.getAs[Long]("shift") == expPool - expSrc)
+    }
+    // 9 deciles per source, monotone within each source
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      assert(rs.length == 9)
+      val vs = rs.sortBy(_.getAs[Int]("decile")).map(_.getAs[Long]("src_val"))
+      assert(vs.zip(vs.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("interpolate: fills exactly the planted nulls, interp values sit on the neighbor line") {
     import spark.implicits._
     val rows = Repair.interpolateQ(spark, sfDir).collect()
