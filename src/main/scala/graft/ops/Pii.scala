@@ -127,11 +127,69 @@ object Pii {
       |  COUNT(*) < 15 AS at_risk
       |FROM customer GROUP BY 1, 2 ORDER BY nationkey, segment""".stripMargin
 
+  /** q_privacy_dp_hist entry: ε-differentially-private histogram
+    * release — the Laplace mechanism (Dwork et al. 2006) over the
+    * per-language document counts: each count is published with
+    * Laplace(1/ε) noise (sensitivity 1 for a disjoint histogram) and
+    * clamped at zero. The released-aggregate complement of
+    * [[kanonQ]]'s row-level audit: k-anonymity gates what microdata
+    * may leave, the DP histogram is how AGGREGATES leave.
+    *
+    * Noise is SEEDED through the [[graft.ops.Hashing.md5Long60]]
+    * contract (inverse-CDF of an md5-derived uniform) — the test-mode
+    * discipline for DP pipelines: the mechanism's transform is exactly
+    * the production one, but replayable, so the release is assertable
+    * in CI; production swaps the seeded uniform for a CSPRNG draw and
+    * nothing else changes. The true counts ride alongside for
+    * calibration audits of the mechanism itself (never published).
+    *
+    * Scale shape: one combinable groupBy to the |langs|-row histogram;
+    * the mechanism is a per-row scalar expression. */
+  def dpHistQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val eps = 1.0
+    // u in (0,1): 60-bit hash reduced to 1e6 grid, offset half a cell
+    val u = (Hashing.md5Long60(concat(lit("dp:"), $"lang")) % 1000000)
+      .cast("double").plus(0.5).divide(1000000.0)
+    val lap = when(u < 0.5, lit(1.0 / eps) * log(u * 2.0))
+      .otherwise(lit(-1.0 / eps) * log((lit(1.0) - u) * 2.0))
+    t(s, dir, "documents")
+      .groupBy($"lang").agg(count(lit(1)).as("n_true"))
+      .select($"lang", $"n_true".cast("long").as("n_true"),
+        round(lap, 6).as("noise"),
+        greatest(lit(0L),
+          floor($"n_true".cast("double") + lap).cast("long"))
+          .as("n_released"),
+        lit(eps).as("epsilon"))
+      .orderBy($"lang")
+  }
+
+  val dpHistSql: String =
+    """WITH h AS (SELECT lang, COUNT(*) AS n_true FROM documents GROUP BY lang),
+      |m AS (
+      |  SELECT lang, n_true,
+      |    (CAST(('0x' || substr(md5('dp:' || lang), 1, 15))::UBIGINT::BIGINT
+      |      % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+      |  FROM h),
+      |n AS (
+      |  SELECT lang, n_true,
+      |    CASE WHEN u < 0.5 THEN 1.0 * ln(u * 2.0)
+      |         ELSE -1.0 * ln((1.0 - u) * 2.0) END AS lap
+      |  FROM m)
+      |SELECT lang, CAST(n_true AS BIGINT) AS n_true,
+      |  ROUND(lap, 6) AS noise,
+      |  GREATEST(0, CAST(FLOOR(CAST(n_true AS DOUBLE) + lap) AS BIGINT))
+      |    AS n_released,
+      |  CAST(1.0 AS DOUBLE) AS epsilon
+      |FROM n ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_pii" -> redactQ,
-    "q_privacy_kanon" -> kanonQ)
+    "q_privacy_kanon" -> kanonQ,
+    "q_privacy_dp_hist" -> dpHistQ)
 
   def oracle: Map[String, String] = Map(
     "q_text_pii" -> redactSql,
-    "q_privacy_kanon" -> kanonSql)
+    "q_privacy_kanon" -> kanonSql,
+    "q_privacy_dp_hist" -> dpHistSql)
 }

@@ -643,7 +643,84 @@ object TimeSeries {
       |  ROUND(GREATEST(0.0, 1.0 - var_r / var_d), 6) AS seasonal_strength
       |FROM v ORDER BY event_type""".stripMargin
 
+  /** q_ts_expfit entry: exponential interarrival fit + KS
+    * goodness-of-fit per event type — λ̂ = 1/mean-gap (the MLE) and
+    * the Kolmogorov–Smirnov distance between the empirical gap CDF
+    * and Exp(λ̂): the "is this actually a Poisson process?"
+    * answer behind every queueing/capacity model and anomaly baseline
+    * that assumes memoryless arrivals (a large D = bursty or
+    * scheduled traffic; the fit parameters feed the
+    * [[graft.ops.Drift]] monitors as reference distributions).
+    *
+    * Scale shape: gaps come from one type-keyed lag window; the CDF
+    * comparison collapses to per-DISTINCT-gap counts first (the
+    * [[graft.ops.Stats.mannWhitneyQ]] value-collapse), one cumulative
+    * window over the reduced frame, and D is a combinable MAX of
+    * per-row 9-dp-rounded terms (max is order-independent, so no
+    * decimal sum contract is needed). Exact integers to the final
+    * IEEE formulas. */
+  def expfitQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lagW = Window.partitionBy($"event_type").orderBy($"tu", $"event_id")
+    val gaps = t(s, dir, "events")
+      .select($"event_type", unix_micros($"ts").as("tu"), $"event_id")
+      .withColumn("g", $"tu" - lag($"tu", 1).over(lagW))
+      .filter($"g".isNotNull)
+      .groupBy($"event_type", $"g").agg(count(lit(1)).as("c"))
+    val tot = gaps.groupBy($"event_type")
+      .agg(sum($"c").as("n"), sum($"g" * $"c").as("sg"))
+    val cum = Window.partitionBy($"event_type").orderBy($"g")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    gaps.join(broadcast(tot), "event_type")
+      .withColumn("cumc", sum($"c").over(cum))
+      .withColumn("lam", $"n".cast("double") / $"sg".cast("double"))
+      .withColumn("fexp",
+        lit(1.0) - exp(lit(-1.0) * $"lam" * $"g".cast("double")))
+      .withColumn("term", round(greatest(
+        abs($"cumc".cast("double") / $"n" - $"fexp"),
+        abs(($"cumc" - $"c").cast("double") / $"n" - $"fexp")), 9))
+      .groupBy($"event_type")
+      .agg(max($"n").cast("long").as("n_gaps"),
+        expr("max(sg div n)").cast("long").as("mean_gap_us"),
+        round(max($"lam") * 3.6e9, 6).as("rate_per_hour"),
+        round(max($"term"), 6).as("ks_d"))
+      .orderBy($"event_type")
+  }
+
+  val expfitSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS tu,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id) AS pu
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, tu - pu AS g, COUNT(*) AS c
+      |  FROM e WHERE pu IS NOT NULL GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, SUM(c) AS n, SUM(g * c) AS sg
+      |  FROM g GROUP BY event_type),
+      |k AS (
+      |  SELECT g.event_type, g.g, g.c, t.n, t.sg,
+      |    SUM(c) OVER (PARTITION BY g.event_type ORDER BY g.g
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+      |    CAST(n AS DOUBLE) / CAST(sg AS DOUBLE) AS lam
+      |  FROM g JOIN t USING (event_type)),
+      |d AS (
+      |  SELECT event_type, n, sg, lam,
+      |    ROUND(GREATEST(
+      |      ABS(CAST(cumc AS DOUBLE) / n
+      |        - (1.0 - exp(-1.0 * lam * CAST(g AS DOUBLE)))),
+      |      ABS(CAST(cumc - c AS DOUBLE) / n
+      |        - (1.0 - exp(-1.0 * lam * CAST(g AS DOUBLE))))), 9) AS term
+      |  FROM k)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+      |  CAST(MAX(sg // n) AS BIGINT) AS mean_gap_us,
+      |  ROUND(MAX(lam) * 3.6e9, 6) AS rate_per_hour,
+      |  ROUND(MAX(term), 6) AS ks_d
+      |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_expfit" -> expfitQ,
     "q_ts_decompose" -> decomposeQ,
     "q_ts_resample" -> resampleQ,
     "q_ts_ewma" -> ewmaQ,
@@ -655,6 +732,7 @@ object TimeSeries {
     "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_expfit" -> expfitSql,
     "q_ts_decompose" -> decomposeSql,
     "q_ts_resample" -> resampleSql,
     "q_ts_ewma" -> ewmaSql,

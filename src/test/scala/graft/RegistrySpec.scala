@@ -33,6 +33,7 @@ class RegistrySpec extends AnyFunSuite {
     "Index" -> graft.ops.Index.queries,
     "Skew" -> graft.ops.Skew.queries,
     "Spatial" -> graft.ops.Spatial.queries,
+    "Shard" -> graft.ops.Shard.queries,
     "Stats" -> graft.ops.Stats.queries,
     "Similarity" -> graft.ops.Similarity.queries,
     "Centroids" -> graft.ops.Centroids.queries,

@@ -231,6 +231,58 @@ class RepairSpec extends AnyFunSuite with SparkSpec {
       s"parse drifted from golden: $parsed")
   }
 
+  test("expfit: lambda and KS distance match a sequential recompute per type") {
+    import spark.implicits._
+    val rows = TimeSeries.expfitQ(spark, sfDir).collect()
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", unix_micros($"ts"), $"event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val t0 = r.getAs[String]("event_type")
+      val ts = ev.filter(_._1 == t0).sortBy(e => (e._2, e._3)).map(_._2)
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      assert(r.getAs[Long]("n_gaps") == gaps.length.toLong)
+      val mean = gaps.sum / gaps.length
+      assert(r.getAs[Long]("mean_gap_us") == mean)
+      val lam = gaps.length.toDouble / gaps.sum
+      assert(math.abs(r.getAs[Double]("rate_per_hour") - lam * 3.6e9) < 1e-3)
+      // sequential KS over the sorted distinct support
+      val byG = gaps.groupBy(identity).view.mapValues(_.length).toMap
+      var cum = 0L
+      val n = gaps.length.toDouble
+      val d = byG.keys.toSeq.sorted.map { g =>
+        val c = byG(g); cum += c
+        val fe = 1.0 - math.exp(-lam * g)
+        math.max(math.abs(cum / n - fe), math.abs((cum - c) / n - fe))
+      }.max
+      assert(math.abs(r.getAs[Double]("ks_d") - d) < 1e-5,
+        s"$t0: ${r.getAs[Double]("ks_d")} vs $d")
+      assert(r.getAs[Double]("ks_d") >= 0 && r.getAs[Double]("ks_d") <= 1)
+    }
+  }
+
+  test("dp hist: noise equals the seeded inverse-CDF draw and release is clamped floor") {
+    import spark.implicits._
+    val rows = Pii.dpHistQ(spark, sfDir).collect()
+    val truth = graft.Tables.t(spark, sfDir, "documents")
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert(r.getAs[Long]("n_true") == truth(lang))
+      val hex = md.digest(s"dp:$lang".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16) % 1000000 + 0.5) / 1000000.0
+      val lap = if (u < 0.5) 1.0 * math.log(u * 2.0)
+                else -1.0 * math.log((1.0 - u) * 2.0)
+      assert(math.abs(r.getAs[Double]("noise") - lap) < 1e-5, s"$lang noise")
+      val released = math.max(0L, math.floor(truth(lang) + lap).toLong)
+      assert(r.getAs[Long]("n_released") == released)
+      assert(r.getAs[Double]("epsilon") == 1.0)
+    }
+  }
+
   test("weighted median: matches a driver-side cumulative-weight scan") {
     import spark.implicits._
     val rows = Profile.weightedMedianQ(spark, sfDir).collect()
