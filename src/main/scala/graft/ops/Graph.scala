@@ -619,7 +619,92 @@ object Graph {
        |ORDER BY authority DESC, nation""".stripMargin
   }
 
+  /** q_graph_assortativity entry: degree assortativity of the trade
+    * graph (Newman 2002) — the Pearson correlation between the
+    * out-degree of an edge's source and the in-degree of its target:
+    * positive = hubs trade with hubs (resilient core), negative =
+    * hub-and-spoke (failure-prone star topology). The one-number
+    * topology summary read next to [[trianglesQ]]'s local density and
+    * [[reciprocityQ]]'s asymmetry.
+    *
+    * Scale shape: degrees are two combinable groupBys over the shared
+    * checkpointed edge list; each edge then joins its two (≤|V|-row,
+    * broadcast) degree frames and the correlation is ONE combinable
+    * aggregate of exact integer power sums — the [[Profile]] Pearson
+    * idiom on the edge frame. Exact integers until the final shared
+    * IEEE formula, 6 dp. */
+  def assortativityQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    // the raw trade graph is near-complete (uniform degrees → zero
+    // variance → r undefined), so correlate over the p75-STRONG edges —
+    // the same sparsification neighborSimQ documents; thr is an exact
+    // order-statistic selection over the |V|²-bounded edge list
+    val edges = tradeEdges(s, dir)
+    val thr = edges
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"w", $"src", $"dst")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(0))))
+      .filter($"rn" === expr("(75 * n + 99) div 100"))
+      .select($"w".as("thr"))
+    val strong = edges.join(broadcast(thr), $"w" >= $"thr")
+      .select($"src", $"dst")
+    val outd = strong.groupBy($"src").agg(count(lit(1)).as("dx"))
+    val ind = strong.groupBy($"dst").agg(count(lit(1)).as("dy"))
+    strong
+      .join(broadcast(outd), "src")
+      .join(broadcast(ind), "dst")
+      .agg(count(lit(1)).as("m"), sum($"dx").as("sx"), sum($"dy").as("sy"),
+        sum($"dx" * $"dx").as("sxx"), sum($"dy" * $"dy").as("syy"),
+        sum($"dx" * $"dy").as("sxy"))
+      .withColumn("vx", $"m".cast("double") * $"sxx" -
+        $"sx".cast("double") * $"sx")
+      .withColumn("vy", $"m".cast("double") * $"syy" -
+        $"sy".cast("double") * $"sy")
+      .select($"m".cast("long").as("n_edges"),
+        when($"vx" > 0d && $"vy" > 0d,
+          round(($"m".cast("double") * $"sxy" -
+            $"sx".cast("double") * $"sy") /
+            (sqrt($"vx") * sqrt($"vy")), 6)).as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    """WITH edges AS (
+      |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  GROUP BY 1, 2),
+      |thr AS (
+      |  SELECT w AS thr FROM (
+      |    SELECT w, row_number() OVER (ORDER BY w, src, dst) AS rn,
+      |      COUNT(*) OVER () AS n
+      |    FROM edges)
+      |  WHERE rn = (75 * n + 99) // 100),
+      |strong AS (SELECT src, dst FROM edges, thr WHERE w >= thr),
+      |od AS (SELECT src, COUNT(*) AS dx FROM strong GROUP BY src),
+      |id AS (SELECT dst, COUNT(*) AS dy FROM strong GROUP BY dst),
+      |a AS (
+      |  SELECT COUNT(*) AS m, SUM(dx) AS sx, SUM(dy) AS sy,
+      |    SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy, SUM(dx * dy) AS sxy
+      |  FROM strong JOIN od USING (src) JOIN id USING (dst)),
+      |v AS (
+      |  SELECT m, sx, sy, sxy,
+      |    CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx,
+      |    CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy
+      |  FROM a)
+      |SELECT CAST(m AS BIGINT) AS n_edges,
+      |  CASE WHEN vx > 0 AND vy > 0 THEN
+      |    ROUND((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |      / (sqrt(vx) * sqrt(vy)), 6)
+      |  END AS assortativity
+      |FROM v""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_assortativity" -> assortativityQ,
     "q_graph_hits" -> hitsQ,
     "q_graph_pagerank" -> pagerankQ,
     "q_graph_triangles" -> trianglesQ,
@@ -628,6 +713,7 @@ object Graph {
     "q_graph_bfs" -> bfsQ)
 
   def oracle: Map[String, String] = Map(
+    "q_graph_assortativity" -> assortativitySql,
     "q_graph_hits" -> hitsSql,
     "q_graph_pagerank" -> pagerankSql,
     "q_graph_triangles" -> trianglesSql,

@@ -163,6 +163,42 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.count(_ > 0) > 0, "some node reached beyond the source")
   }
 
+  test("assortativity: matches a JVM Pearson over the p75-strong edge endpoints") {
+    import spark.implicits._
+    val r = Graph.assortativityQ(spark, sfDir).collect().head
+    // rebuild the weighted edge list and sparsify identically
+    val cn = graft.Tables.t(spark, sfDir, "customer")
+      .join(graft.Tables.t(spark, sfDir, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey".as("ck"), $"n_name".as("cn"))
+    val sn = graft.Tables.t(spark, sfDir, "supplier")
+      .join(graft.Tables.t(spark, sfDir, "nation"),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey".as("sk"), $"n_name".as("sn"))
+    val edges = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(cn, $"o_custkey" === $"ck").join(sn, $"l_suppkey" === $"sk")
+      .groupBy($"cn", $"sn").count()
+      .collect().map(w => (w.getString(0), w.getString(1), w.getLong(2)))
+    val sorted = edges.sortBy(e => (e._3, e._1, e._2))
+    val thr = sorted((75 * sorted.length + 99) / 100 - 1)._3
+    val strong = edges.filter(_._3 >= thr).map(e => (e._1, e._2))
+    assert(r.getAs[Long]("n_edges") == strong.length.toLong)
+    val dx = strong.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val dy = strong.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val xs = strong.map(e => dx(e._1)); val ys = strong.map(e => dy(e._2))
+    val m = strong.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map(p => p._1 * p._2).sum
+    val (sxx, syy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
+    val expect = (m * sxy - sx * sy) /
+      (math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy))
+    val got = r.getAs[Double]("assortativity")
+    assert(math.abs(got - expect) < 1e-5, s"$got vs $expect")
+    assert(got >= -1.0 && got <= 1.0)
+  }
+
   test("hits: L1-normalized scores match a driver-side recompute") {
     import spark.implicits._
     val rows = Graph.hitsQ(spark, sfDir).collect()
