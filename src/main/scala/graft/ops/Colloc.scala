@@ -182,12 +182,73 @@ object Colloc {
       |  ROUND(CAST(n_hapax AS DOUBLE) / tot_hapax, 6) AS hapax_share
       |FROM ps, t ORDER BY source""".stripMargin
 
+  /** q_text_ctfidf entry: class-based TF-IDF (c-TF-IDF, the BERTopic
+    * cluster-characterization statistic — Grootendorst 2022,
+    * arXiv:2203.05794) — each SOURCE slice's top-5 most-distinctive
+    * terms by W(t,c) = tf(t,c) · ln(1 + A/f(t)), where tf counts the
+    * term in the class, f(t) is its corpus frequency, and A is the
+    * average class size in tokens: the "what characterizes this
+    * slice/cluster" readout a curation run prints per source, domain,
+    * or embedding cluster before rebalancing the mix.
+    *
+    * Scale shape: the corpus collapses to (class, term) counts and a
+    * corpus term-frequency frame (both map-side-combinable,
+    * vocab-bounded); the weight is one shared IEEE expression over
+    * exact integers (rounded 6 dp before ranking, term tiebreak); the
+    * top-5 cut is a class-partition-bounded rank window over the
+    * vocabulary-sized frame. Corpus text never shuffles. */
+  def ctfidfQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"source", explode(split(lower($"text"), " ")).as("term"))
+    val tf = toks.groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+    val f = toks.groupBy($"term").agg(count(lit(1)).as("f"))
+    val a = toks.agg((count(lit(1)).cast("double") /
+      countDistinct($"source")).as("avg_class"))
+    tf.join(f, "term").crossJoin(broadcast(a))
+      .withColumn("w", round($"tf".cast("double") *
+        log(lit(1.0) + $"avg_class" / $"f".cast("double")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"w".desc, $"term")))
+      .filter($"rk" <= 5)
+      .select($"source", $"term", $"tf".cast("long").as("tf"),
+        $"w".as("ctfidf"), $"rk".cast("int").as("rk"))
+      .orderBy($"source", $"rk")
+  }
+
+  val ctfidfSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |f AS (SELECT term, COUNT(*) AS f FROM toks GROUP BY term),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT source)
+      |    AS avg_class
+      |  FROM toks),
+      |w AS (
+      |  SELECT source, term, tf,
+      |    ROUND(CAST(tf AS DOUBLE)
+      |      * ln(1.0 + avg_class / CAST(f AS DOUBLE)), 6) AS w
+      |  FROM tf JOIN f USING (term), a),
+      |r AS (
+      |  SELECT source, term, tf, w,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY w DESC, term) AS rk
+      |  FROM w)
+      |SELECT source, term, CAST(tf AS BIGINT) AS tf, w AS ctfidf,
+      |  CAST(rk AS INT) AS rk
+      |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_ctfidf" -> ctfidfQ,
     "q_text_pmi" -> pmiQ,
     "q_text_freqfreq" -> freqFreqQ,
     "q_text_hapax" -> hapaxQ)
 
   def oracle: Map[String, String] = Map(
+    "q_text_ctfidf" -> ctfidfSql,
     "q_text_pmi" -> pmiSql,
     "q_text_freqfreq" -> freqFreqSql,
     "q_text_hapax" -> hapaxSql)

@@ -976,6 +976,32 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ctfidf: weights match a driver recompute and each source gets exactly 5 ranked terms") {
+    import spark.implicits._
+    val rows = Colloc.ctfidfQ(spark, sfDir).collect()
+    val toks = graft.Tables.t(spark, sfDir, "documents")
+      .select($"source", lower($"text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(t => (r.getString(0), t)))
+    val nSources = toks.map(_._1).distinct.length
+    val avgClass = toks.length.toDouble / nSources
+    val f = toks.groupBy(_._2).view.mapValues(_.length).toMap
+    val tf = toks.groupBy(identity).view.mapValues(_.length).toMap
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      assert(rs.length == 5)
+      assert(rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Int]("rk")).toSeq == (1 to 5))
+      rs.foreach { r =>
+        val term = r.getAs[String]("term")
+        assert(r.getAs[Long]("tf") == tf((src, term)).toLong)
+        val w = tf((src, term)) * math.log(1.0 + avgClass / f(term))
+        assert(math.abs(r.getAs[Double]("ctfidf") - w) < 1e-5,
+          s"$src/$term: ${r.getAs[Double]("ctfidf")} vs $w")
+      }
+      // weights are non-increasing in rank
+      val ws = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("ctfidf"))
+      assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("bpe train: the three learned merges equal a JVM reference trainer") {
     import spark.implicits._
     val got = Text.bpeTrainQ(spark, sfDir).collect()
