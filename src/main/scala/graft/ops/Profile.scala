@@ -638,6 +638,56 @@ object Profile {
       |FROM c WHERE cum * 2 >= tw
       |GROUP BY g ORDER BY g""".stripMargin
 
+  /** q_agg_trimmed_mean entry: exact 5%-trimmed mean per event type —
+    * DROP the bottom and top 5% of rows by rank and average the
+    * interior: the robust center that, unlike
+    * [[graft.ops.Repair.winsorizeQ]]'s CLIP (which keeps outlier rows
+    * at the fence value), removes their weight entirely — the pair
+    * brackets how much of a metric's level is tail-driven.
+    *
+    * Same exact micro-unit contract as winsorize: ranks over scaled
+    * BIGINTs (ties by event_id), the trim count k = ⌈0.05·n⌉ is
+    * integer arithmetic, and the interior mean is integer floor
+    * division — bit-identical on both engines, no FP anywhere. */
+  def trimmedMeanQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ev = t(s, dir, "events").select($"event_id", $"event_type",
+      ($"value".cast("decimal(18,6)") * 1000000).cast("long").as("vm"))
+    val w = Window.partitionBy($"event_type").orderBy($"vm", $"event_id")
+    ev.withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .withColumn("k", expr("(5 * n + 99) div 100"))
+      .groupBy($"event_type")
+      .agg(max($"n").cast("long").as("n"),
+        max($"k" * 2).cast("long").as("n_dropped"),
+        expr("CAST(sum(vm) DIV count(vm) AS BIGINT)").as("mean_micro"),
+        expr("""CAST(sum(CASE WHEN r > k AND r <= n - k THEN vm END)
+          | DIV count(CASE WHEN r > k AND r <= n - k THEN vm END)
+          | AS BIGINT)""".stripMargin).as("trimmed_mean_micro"))
+      .orderBy($"event_type")
+  }
+
+  val trimmedMeanSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, vm,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY vm, event_id) AS r,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    (5 * COUNT(*) OVER (PARTITION BY event_type) + 99) // 100 AS k
+      |  FROM ev)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST(MAX(k * 2) AS BIGINT) AS n_dropped,
+      |  CAST(SUM(vm) // COUNT(vm) AS BIGINT) AS mean_micro,
+      |  CAST(SUM(CASE WHEN r > k AND r <= n - k THEN vm END)
+      |    // COUNT(CASE WHEN r > k AND r <= n - k THEN vm END)
+      |    AS BIGINT) AS trimmed_mean_micro
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q_agg_mode entry: exact per-group MODE (most frequent value,
     * smallest-value tiebreak) of `l_quantity` per return flag plus its
     * multiplicity and the share of the group it covers (basis points).
@@ -769,6 +819,7 @@ object Profile {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_percentile_disc" -> percentileDiscQ,
     "q_agg_weighted_median" -> weightedMedianQ,
+    "q_agg_trimmed_mean" -> trimmedMeanQ,
     "q_agg_mode" -> modeQ,
     "q_profile_abc" -> abcQ,
     "q_profile_corr" -> corrQ,
@@ -784,6 +835,7 @@ object Profile {
   def oracle: Map[String, String] = Map(
     "q_agg_percentile_disc" -> percentileDiscSql,
     "q_agg_weighted_median" -> weightedMedianSql,
+    "q_agg_trimmed_mean" -> trimmedMeanSql,
     "q_agg_mode" -> modeSql,
     "q_profile_abc" -> abcSql,
     "q_profile_corr" -> corrSql,

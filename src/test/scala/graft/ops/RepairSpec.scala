@@ -283,6 +283,28 @@ class RepairSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("trimmed mean: interior average matches a driver-side sort-and-drop recompute") {
+    import spark.implicits._
+    val rows = Profile.trimmedMeanQ(spark, sfDir).collect()
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type",
+        ($"value".cast("decimal(18,6)") * 1000000).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val t0 = r.getAs[String]("event_type")
+      val vs = ev.filter(_._1 == t0).map(_._2).sorted
+      val n = vs.length
+      val k = (5 * n + 99) / 100
+      assert(r.getAs[Long]("n") == n.toLong)
+      assert(r.getAs[Long]("n_dropped") == 2L * k)
+      assert(r.getAs[Long]("mean_micro") == vs.sum / n)
+      val interior = vs.slice(k, n - k)
+      assert(r.getAs[Long]("trimmed_mean_micro") ==
+        interior.sum / interior.length,
+        s"$t0: ${r.getAs[Long]("trimmed_mean_micro")} vs ${interior.sum / interior.length}")
+    }
+  }
+
   test("weighted median: matches a driver-side cumulative-weight scan") {
     import spark.implicits._
     val rows = Profile.weightedMedianQ(spark, sfDir).collect()
