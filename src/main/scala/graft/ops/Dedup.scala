@@ -322,7 +322,7 @@ object Dedup {
       java.nio.file.Files.createTempDirectory("graft-neardup-").toString
     private val paths = scala.collection.mutable.HashMap.empty[String, String]
     def pairs(s: SparkSession, dir: String): DataFrame = synchronized {
-      val k = Artifacts.key(dir)
+      val k = Artifacts.tableKey(s, dir, "documents")
       val p = paths.getOrElseUpdate(k, {
         val out = s"$root/$k"
         near(s, dir).write.mode("overwrite").parquet(out)
@@ -633,7 +633,7 @@ object Dedup {
     @volatile private[graft] var builds: Int = 0
     /** (bandKeys, shingleSets) read from the persisted artifact. */
     def apply(s: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
-      val k = Artifacts.key(dir)
+      val k = Artifacts.tableKey(s, dir, "documents")
       val p = paths.getOrElseUpdate(k, {
         val out = s"$root/$k"
         shingleSets(t(s, dir, "documents"))

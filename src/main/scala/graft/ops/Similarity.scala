@@ -259,10 +259,11 @@ object Similarity {
       java.nio.file.Files.createTempDirectory("graft-ivf-").toString
     private val idx = scala.collection.mutable.HashMap.empty[String, IvfIndex]
     def of(s: SparkSession, dir: String): IvfIndex = synchronized {
-      idx.getOrElseUpdate(Artifacts.key(dir), {
+      val k = Artifacts.tableKey(s, dir, "embeddings")
+      idx.getOrElseUpdate(k, {
         import s.implicits._
         val fitted = fitIvf(vecs(s, dir).filter($"vec_id" >= 10))
-        val p = s"$root/${Artifacts.key(dir)}"
+        val p = s"$root/$k"
         fitted.cells.write.mode("overwrite").parquet(p)
         fitted.copy(cells = s.read.parquet(p))
       })

@@ -51,7 +51,7 @@ object Sketches {
       java.nio.file.Files.createTempDirectory("graft-hll-").toString
     private val built = scala.collection.mutable.HashMap.empty[String, String]
     def of(s: SparkSession, dir: String): DataFrame = synchronized {
-      val k = Artifacts.key(dir)
+      val k = Artifacts.tableKey(s, dir, "documents")
       val p = built.getOrElseUpdate(k, {
         val path = s"$root/$k"
         tokenSketches(s, dir).write.mode("overwrite").parquet(path)
