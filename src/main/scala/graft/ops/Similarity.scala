@@ -123,6 +123,20 @@ object Similarity {
   private val Tables_ = 8 // LSH tables
   private val Bits = 3    // sign bits (bucket 0..7) per table
 
+  /** Expected vectors per SRP bucket the self-join families aim for.
+    * 40 reproduces the historical 6-bit width at the oracle/bench
+    * fixtures (≤2,560 vectors) and doubles the bucket count with every
+    * corpus doubling beyond them. */
+  private[ops] val TargetOccupancy = 40
+
+  /** Bucket-count sizing for corpus self-joins: smallest width ≥6 with
+    * expected occupancy ≤ [[TargetOccupancy]]. */
+  private[ops] def adaptiveBits(n: Long): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / TargetOccupancy)) / math.log(2.0)).toInt
+    math.max(6, needed)
+  }
+
   /** Deterministic ±1 hyperplane components, (table, bit) → 64 dims —
     * a fixed literal the plan folds once (splitmix64-style bit mix; any
     * fixed pseudo-random signs work, determinism is all that matters). */
@@ -327,15 +341,26 @@ object Similarity {
     * re-joined, then scored once and reduced per source id by the
     * bounded [[TopKByScore]] aggregator.
     *
-    * Scale: candidate volume = Σ_buckets occupancy² per table — set
-    * `bits` so the expected bucket occupancy stays O(n / 2^bits) small;
-    * the pair-dedup shuffle carries 16-byte id pairs, vectors travel
-    * only for the surviving candidate set. No stage is O(n²). */
+    * Scale: candidate volume = Σ_buckets occupancy² per table. With a
+    * FIXED bit width that is quadratic in corpus size — the r10 sf1
+    * scale-decade bench caught exactly that (26× runtime per 10× data,
+    * the suite's only super-linear query). `bits = 0` (the default)
+    * therefore self-sizes from the corpus count: the bucket count
+    * doubles whenever the corpus does, holding expected occupancy at
+    * ~[[TargetOccupancy]] so candidates grow LINEARLY
+    * (n × occupancy × tables). Recall of the registered gate is
+    * bit-width-invariant — it asserts planted identical twins, which
+    * land in the same bucket at any width; general neighbor recall at
+    * higher widths is what the `tables` union is for. The count is one
+    * column-pruned pass, amortized against the quadratic join it
+    * prevents. The pair-dedup shuffle carries 16-byte id pairs; vectors
+    * travel only for the surviving candidate set. No stage is O(n²). */
   def knnGraph(e: DataFrame, k: Int = 5,
-               tables: Int = 8, bits: Int = 6): DataFrame = {
+               tables: Int = 8, bits: Int = 0): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    val b = bucketed(e, tables, bits)
+    val b0 = if (bits > 0) bits else adaptiveBits(e.count())
+    val b = bucketed(e, tables, b0)
     val cand = b.select($"vec_id".as("a_id"), $"tbl", $"bucket")
       .join(b.select($"vec_id".as("b_id"), $"tbl", $"bucket"),
         Seq("tbl", "bucket"))

@@ -604,6 +604,25 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(edges.sorted.sameElements(again.sorted))
   }
 
+  test("adaptiveBits: historical width at fixture scale, occupancy held constant beyond it") {
+    // ≤ 2560 vectors (40 × 2^6) must reproduce the historical 6-bit
+    // width — oracle output and sf0.1 bench bands depend on it
+    assert(Seq(1L, 200L, 2400L, 2560L).forall(Similarity.adaptiveBits(_) == 6))
+    // beyond the fixtures: bucket count doubles when the corpus does,
+    // expected occupancy stays ≤ TargetOccupancy (linear candidates)
+    assert(Similarity.adaptiveBits(24000L) == 10)
+    Seq(5000L, 24000L, 240000L, 2400000L).foreach { n =>
+      val b = Similarity.adaptiveBits(n)
+      assert(n.toDouble / (1L << b) <= Similarity.TargetOccupancy,
+        s"occupancy exceeds target at n=$n bits=$b")
+      assert(b >= 6)
+    }
+    // monotone: more data never means fewer buckets
+    val widths = Seq(1000L, 10000L, 100000L, 1000000L, 10000000L)
+      .map(Similarity.adaptiveBits)
+    assert(widths == widths.sorted)
+  }
+
   test("substringSpans: shared passages found exactly, short overlaps dropped, case-folded") {
     import spark.implicits._
     val shared = ("the quick brown fox jumps over the lazy dog " * 3).take(100)
