@@ -433,6 +433,31 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("multimodal decodeMultiQ fixture: jpeg/gif/bmp all real-decode; luma exact for lossless, near for jpeg") {
+    import spark.implicits._
+    val planted = Multimodal.plantedImages(spark, sfDir)
+    val fmts = planted.select($"doc_id".as[Long], $"format".as[String])
+      .collect().toMap
+    assert(fmts.values.toSet == Set("jpeg", "gif", "bmp"),
+      "fixture must exercise all three container formats")
+    val feats = Multimodal.extractFeatures(planted).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { m =>
+      assert(m.decoded && m.channels == 3,
+        s"doc ${m.doc_id} (${fmts(m.doc_id)}): not real-decoded")
+      val id = m.doc_id
+      val (r, g, b) = (((id * 37) % 256).toInt, ((id * 59) % 256).toInt,
+        ((id * 83) % 256).toInt)
+      val want = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+      // gif (palette holds the one color) and bmp are lossless; jpeg is
+      // a lossy codec — a solid block reconstructs within a few levels
+      val tol = if (fmts(id) == "jpeg") 0.03 else 1e-9
+      assert(math.abs(m.mean_luma - want) < tol,
+        s"doc $id (${fmts(id)}): luma ${m.mean_luma} != planted $want")
+      assert(m.width == 8 + id % 13 && m.height == 8 + id % 11)
+    }
+  }
+
   /** Encode a real PNG in-test (ImageIO, pure JDK) with pinned pixels. */
   private def pngBytes(pixels: Array[Array[Int]]): Array[Byte] = {
     val h = pixels.length
