@@ -259,14 +259,19 @@ object EventStreams {
     * each trigger's shingle cache after its sink write, so nothing
     * accumulates in executors across triggers. */
   def streamingIncrementalDedup(docs: DataFrame, dir: String,
-      sink: String): org.apache.spark.sql.streaming.StreamingQuery =
+      sink: String, checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Dedup.matchBatchScoped(batch, batch.sparkSession, dir)(
           _.write.mode("append").parquet(sink))
       }
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-incdedup-ckpt").toString)
+      // a STABLE checkpoint is what makes the loop restartable: a new
+      // run of the same query resumes from the committed source offsets
+      // (file-source: the processed-files log) instead of re-matching —
+      // pass one in production; the temp default serves one-shot tests
+      .option("checkpointLocation", checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-incdedup-ckpt").toString))
       .start()
 
   /** Streaming exact dedup — the ingestion-side twin of
