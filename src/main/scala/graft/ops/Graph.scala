@@ -703,6 +703,88 @@ object Graph {
       |  END AS assortativity
       |FROM v""".stripMargin
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC 2014) — the sub-diameter-rounds alternative to
+    * [[Dedup.duplicateClusters]]'s min-label propagation. Propagation
+    * needs diameter(G) rounds; on a 100 TB duplicate graph with long
+    * chains (crawl re-post chains, quote cascades) that can be
+    * hundreds. The star operations contract paths aggressively and
+    * converge in O(log n) rounds regardless of diameter:
+    *  - LARGE-STAR, per node u over its full neighborhood:
+    *    m = min(Γ(u) ∪ {u}); re-point every neighbor v > u at m.
+    *  - SMALL-STAR, per node u over its ≤-neighbors (canonical child →
+    *    parent edges grouped by child): m = min of u's parents; point
+    *    u and each of its other parents at m.
+    * Both are one groupBy-min + one join — label frames carry ids
+    * only, never documents. Each round is eagerly checkpointed (the
+    * [[Iterate]] rationale: lineage cut, no O(rounds²) recompute);
+    * convergence is edge-set stability, checked as (count,
+    * order-independent hash-sum) on the just-checkpointed frame — two
+    * cheap scans, no extra join. At the fixpoint the edge set IS the
+    * component star: every non-root points at its component min.
+    *
+    * Returns (id, label) for every node in `pairs` — the
+    * [[Dedup.duplicateClusters]] contract, spec-asserted equal. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+    // canonical child → parent (child > parent) edges
+    var state = pairs
+      .select(greatest($"doc_a", $"doc_b").as("id"),
+        least($"doc_a", $"doc_b").as("parent"))
+      .filter($"id" =!= $"parent").distinct().checkpoint()
+    def digest(e: DataFrame): (Long, String) = {
+      // decimal sum: exact and overflow-free (ANSI long sum would throw)
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64($"id", $"parent").cast("decimal(38,0)"))).head
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+    }
+    var d = digest(state)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the undirected view: v > u re-pointed at
+      // m = min(Γ(u) ∪ {u}); every emitted edge keeps child > parent
+      val und = state.select($"id".as("u"), $"parent".as("v"))
+        .unionByName(state.select($"parent".as("u"), $"id".as("v")))
+      val mins = und.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      val large = und.join(mins, "u").filter($"v" > $"u")
+        .select($"v".as("id"), $"m".as("parent")).distinct()
+      // small-star on the canonical edges: per child u with parent set
+      // P(u), m = min P(u); emit (u, m) and (p, m) for p ∈ P(u), p ≠ m
+      val pmin = large.groupBy($"id").agg(min($"parent").as("m"))
+      val next = pmin.select($"id", $"m".as("parent"))
+        .unionByName(
+          large.join(pmin, "id").filter($"parent" =!= $"m")
+            .select($"parent".as("id"), $"m".as("parent")))
+        .filter($"id" =!= $"parent")
+        .distinct().checkpoint()
+      val d2 = digest(next)
+      converged = d2 == d
+      d = d2
+      state = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within maxIter=$maxIter")
+    lastRounds = i
+    state.select($"id", $"parent".as("label"))
+      .unionByName(
+        state.select($"parent".as("id")).distinct()
+          .join(state.select($"id"), Seq("id"), "left_anti")
+          .select($"id", $"id".as("label")))
+  }
+
+  /** Rounds the last [[connectedComponentsStar]] call took — spec probe
+    * for the O(log n)-vs-diameter claim. */
+  @volatile private[graft] var lastRounds: Int = 0
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_assortativity" -> assortativityQ,
     "q_graph_hits" -> hitsQ,

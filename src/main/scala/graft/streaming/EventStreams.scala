@@ -521,7 +521,103 @@ object EventStreams {
 
   // --- registry -------------------------------------------------------------
 
+  /** Per-type historical value profile — the static side of
+    * [[streamingWindowAnomalies]]: exact decimal power sums collapsed
+    * to (event_type, n_g, gmean, gvar). O(types) rows — broadcasts. */
+  def typeProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = $"value".cast("decimal(18,2)")
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_g"),
+        sum(x).as("sx"),
+        sum((x * x).cast("decimal(38,4)")).as("sxx"))
+      .select($"event_type", $"n_g",
+        ($"sx".cast("double") / $"n_g").as("gmean"),
+        (($"n_g".cast("double") * $"sxx".cast("double") -
+          $"sx".cast("double") * $"sx".cast("double")) /
+          ($"n_g".cast("double") * ($"n_g" - 1).cast("double"))).as("gvar"))
+  }
+
+  /** Window-level anomaly scoring shared by the batch twin and the
+    * stream: per (sliding window, type), flag windows whose mean value
+    * drifts more than 3 standard errors from the historical profile —
+    * the load/revenue drift monitor a pipeline runs over its ingest.
+    * All aggregates route through exact decimals; the z comparison is
+    * one fixed IEEE tree over those exact inputs on both engines. */
+  private def scoreWindows(windowed: DataFrame, profile: DataFrame): DataFrame =
+    windowed
+      .join(broadcast(profile), "event_type") // O(types) rows — static dim
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        when(abs(col("wsum").cast("double") / col("n_events") - col("gmean")) >
+          lit(3.0) * sqrt(col("gvar") / col("n_events")), 1)
+          .otherwise(0).cast("int").as("flagged"))
+
+  private def windowedSums(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("wsum"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("wsum"))
+
+  /** q_anomaly_windows entry: the BATCH TWIN of
+    * [[streamingWindowAnomalies]] — 1-day windows sliding every 12 h,
+    * each scored against the global per-type profile. Deterministic end
+    * to end (decimal sums, pinned expression tree), so the DuckDB
+    * oracle can assert the streaming operator's exact finalization
+    * semantics via this anchor. Scale: one window exchange + a
+    * broadcast profile join — no second pass over events. */
+  def windowAnomalyBatch(s: SparkSession, dir: String): DataFrame =
+    scoreWindows(windowedSums(t(s, dir, "events")), typeProfile(s, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** The batch twin over an arbitrary events frame — what the streaming
+    * spec compares finalized windows against. */
+  private[graft] def windowAnomalyBatchOn(events: DataFrame,
+      profile: DataFrame): DataFrame =
+    scoreWindows(windowedSums(events), profile)
+
+  val windowAnomalySql: String =
+    """WITH p AS (
+      |  SELECT event_type, COUNT(*) AS n_g,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+      |        AS DECIMAL(38,4))) AS sxx
+      |  FROM events GROUP BY event_type),
+      |prof AS (
+      |  SELECT event_type, CAST(sx AS DOUBLE) / n_g AS gmean,
+      |    (CAST(n_g AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      / (CAST(n_g AS DOUBLE) * CAST(n_g - 1 AS DOUBLE)) AS gvar
+      |  FROM p),
+      |w AS (
+      |  SELECT time_bucket(INTERVAL '12 hours', ts) - k * INTERVAL '12 hours'
+      |      AS window_start,
+      |    event_type, COUNT(*) AS n_events,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS wsum
+      |  FROM events, (SELECT UNNEST([0, 1]) AS k)
+      |  GROUP BY 1, 2)
+      |SELECT w.window_start, w.event_type, w.n_events,
+      |  CAST(CASE WHEN abs(CAST(wsum AS DOUBLE) / n_events - gmean)
+      |    > 3.0 * sqrt(gvar / n_events) THEN 1 ELSE 0 END AS INT) AS flagged
+      |FROM w JOIN prof ON w.event_type = prof.event_type
+      |ORDER BY window_start, w.event_type""".stripMargin
+
+  /** Streaming form of [[windowAnomalyBatch]]: watermarked sliding
+    * windows stream-static-joined against the broadcast historical
+    * profile; Append mode emits each window's verdict exactly once when
+    * the watermark passes it. The watermark is what the
+    * `q_stream_disorder` profile SIZES: late arrivals within it are
+    * folded into their windows before finalization (the spec proves
+    * equality with the batch twin under disorder); arrivals beyond it
+    * are dropped — bounded state, explicitly surfaced staleness. */
+  def streamingWindowAnomalies(events: DataFrame, profile: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    scoreWindows(windowedSums(events.withWatermark("ts", watermark)), profile)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_windows" -> windowAnomalyBatch,
     "q_stream_window" -> windowBatch,
     "q_stream_sliding" -> slidingBatch,
     "q_sessionize" -> sessionizeBatch,
@@ -531,6 +627,7 @@ object EventStreams {
 
   def oracle: Map[String, String] = Map(
     "q_stream_window" -> windowBatchSql,
+    "q_anomaly_windows" -> windowAnomalySql,
     "q_stream_sliding" -> slidingBatchSql,
     "q_sessionize" -> sessionizeBatchSql,
     "q_event_funnel" -> funnelBatchSql,

@@ -253,4 +253,36 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
         s"$n hub: recompute ${h(n)} vs query ${hub(n)}")
     }
   }
+
+  test("connected components (large-star/small-star): equal to min-label propagation on the real near-dup graph") {
+    import spark.implicits._
+    val pairs = graft.ops.Dedup.near(spark, sfDir)
+      .select($"doc_a", $"doc_b")
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = labelsOf(Graph.connectedComponentsStar(pairs))
+    val prop = labelsOf(graft.ops.Dedup.duplicateClusters(pairs))
+    assert(star == prop,
+      "star CC must produce the identical (id → component-min) map")
+  }
+
+  test("connected components (large-star/small-star): chain of 200 converges in O(log n) rounds, labels exact") {
+    import spark.implicits._
+    // a 200-node path: diameter 199 — min-label propagation needs ~199
+    // rounds; the star alternation must land in O(log n)
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Graph.connectedComponentsStar(chain, maxIter = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 200 && labels.forall(_._2 == 0L),
+      "every chain node must label to the component min")
+    assert(Graph.lastRounds <= 10,
+      s"star CC took ${Graph.lastRounds} rounds on a 200-chain — not sub-diameter")
+    // two disjoint components stay disjoint
+    val two = ((0L until 20L).map(i => (i, i + 1)) ++
+      (100L until 120L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val l2 = Graph.connectedComponentsStar(two).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 20L).forall(n => l2(n) == 0L))
+    assert((100L to 120L).forall(n => l2(n) == 100L))
+  }
 }

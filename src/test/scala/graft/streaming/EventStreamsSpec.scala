@@ -367,6 +367,47 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       s"restart re-emitted matches: ${pairCounts.filter(_._2 > 1).toMap}")
   }
 
+  test("streaming window anomalies: late-within-watermark folds in, late-beyond drops, finalized windows equal the batch twin") {
+    import spark.implicits._
+    val profile = typeProfile(spark, sfDir)
+    val in = MemoryStream[Event](spark)
+    val q = streamingWindowAnomalies(in.toDS().toDF(), profile, watermark = "1 hour")
+      .writeStream.format("memory").queryName("winanom").outputMode("append").start()
+    val onTime = Seq(
+      ev(1, "2024-01-01 10:00:00", typ = "click", v = 2.0),
+      ev(2, "2024-01-01 10:30:00", typ = "view", v = 3.0),
+      ev(3, "2024-01-01 11:00:00", typ = "click", v = 1.5))
+    val lateOk = ev(4, "2024-01-01 09:45:00", typ = "click", v = 2.5) // watermark still 10:00
+    val advance = ev(5, "2024-01-03 00:00:00", typ = "view", v = 1.0)
+    val lateDropped = ev(6, "2024-01-01 08:00:00", typ = "click", v = 99.0)
+    val sentinel = ev(7, "2024-01-10 00:00:00", typ = "view", v = 1.0)
+    try {
+      in.addData(onTime: _*); drain(q)
+      in.addData(lateOk); drain(q)    // disorder within the watermark: must fold
+      in.addData(advance); drain(q)   // watermark → 2024-01-02 23:00
+      in.addData(lateDropped); drain(q) // 46 h late: must be dropped
+      in.addData(sentinel); drain(q)  // finalize everything before Jan 9
+    } finally q.stop()
+    val got = spark.table("winanom")
+      .select($"window_start", $"event_type", $"n_events", $"flagged")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    // the batch twin over exactly the NON-dropped events, restricted to
+    // the finalized (pre-sentinel) window range
+    val kept = (onTime :+ lateOk :+ advance).toDS().toDF()
+    val want = graft.streaming.EventStreams
+      .windowAnomalyBatchOn(kept, profile)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got == want,
+      s"finalized streaming windows must equal the batch twin:\n got $got\n want $want")
+    // the dropped event's value (99.0) must appear in NO window count:
+    // its two windows were already finalized with the on-time events only
+    val jan1Click = got.filter(w => w._2 == "click")
+    assert(jan1Click.nonEmpty && jan1Click.forall(_._3 == 3L),
+      s"beyond-watermark event leaked into a finalized window: $jan1Click")
+  }
+
   test("streaming anomalies: Welford state flags only genuine outliers, never self-scores") {
     import spark.implicits._
     val in = MemoryStream[Event](spark)
