@@ -703,6 +703,102 @@ object Graph {
       |  END AS assortativity
       |FROM v""".stripMargin
 
+  /** q_graph_modularity entry: Newman–Girvan MODULARITY of the region
+    * partition over the undirected trade graph — "how much more trade
+    * stays inside a region than a random rewiring would put there", the
+    * quality score every community-detection loop (Louvain, label
+    * propagation) greedily climbs. Per region c:
+    * Q_c = in_c/m − (deg_c/(2m))², with in_c = weight inside c, deg_c =
+    * total degree of c's nodes, m = total undirected weight (self-loops
+    * excluded, directed weights collapsed u<v).
+    *
+    * Everything up to the final Q_c is exact integer arithmetic on the
+    * 25-node collapsed graph; the one double division is a fixed tree
+    * over those integers — engine-portable. Scale: the corpus pass is
+    * [[tradeEdges]]'s checkpointed collapse; all graph-side frames are
+    * node/edge-bounded and broadcast; the 1-row total-weight frame is a
+    * whitelisted broadcast cross join. */
+  def modularityQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = tradeEdges(s, dir).filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"),
+        greatest($"src", $"dst").as("v"), $"w")
+      .groupBy($"u", $"v").agg(sum($"w").as("w"))
+    val regionOf = t(s, dir, "nation")
+      .join(t(s, dir, "region"), $"n_regionkey" === $"r_regionkey")
+      .select($"n_name".as("node"), $"r_name".as("community"))
+    val total = und.agg(sum($"w").as("m")) // 1 row — broadcast NLJ below
+    val degs = und.select($"u".as("node"), $"w")
+      .unionByName(und.select($"v".as("node"), $"w"))
+      .groupBy($"node").agg(sum($"w").as("d"))
+      .join(broadcast(regionOf), "node")
+      .groupBy($"community").agg(sum($"d").as("deg_w"))
+    val internal = und
+      .join(broadcast(regionOf.withColumnRenamed("node", "u")
+        .withColumnRenamed("community", "cu")), "u")
+      .join(broadcast(regionOf.withColumnRenamed("node", "v")
+        .withColumnRenamed("community", "cv")), "v")
+      .filter($"cu" === $"cv")
+      .groupBy($"cu".as("community")).agg(sum($"w").as("in_w"))
+    t(s, dir, "region").select($"r_name".as("community"))
+      .join(degs, Seq("community"), "left")
+      .join(internal, Seq("community"), "left")
+      .crossJoin(broadcast(total))
+      .select($"community",
+        coalesce($"in_w", lit(0L)).cast("long").as("in_w"),
+        coalesce($"deg_w", lit(0L)).cast("long").as("deg_w"),
+        round(coalesce($"in_w", lit(0L)).cast("double") / $"m".cast("double") -
+          (coalesce($"deg_w", lit(0L)).cast("double") /
+            (lit(2.0) * $"m".cast("double"))) *
+          (coalesce($"deg_w", lit(0L)).cast("double") /
+            (lit(2.0) * $"m".cast("double"))), 6).as("q_contrib"))
+      .orderBy($"community")
+  }
+
+  val modularitySql: String =
+    """WITH e AS (
+      |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  WHERE cn.n_name <> sn.n_name
+      |  GROUP BY 1, 2),
+      |und AS (
+      |  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, SUM(w) AS w
+      |  FROM e GROUP BY 1, 2),
+      |reg AS (
+      |  SELECT n.n_name AS node, r.r_name AS community
+      |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+      |tot AS (SELECT SUM(w) AS m FROM und),
+      |degs AS (
+      |  SELECT community, SUM(d) AS deg_w FROM (
+      |    SELECT node, SUM(w) AS d FROM (
+      |      SELECT u AS node, w FROM und
+      |      UNION ALL SELECT v AS node, w FROM und) GROUP BY node)
+      |  JOIN reg USING (node) GROUP BY community),
+      |intra AS (
+      |  SELECT ru.community, SUM(w) AS in_w
+      |  FROM und
+      |  JOIN reg ru ON und.u = ru.node
+      |  JOIN reg rv ON und.v = rv.node
+      |  WHERE ru.community = rv.community
+      |  GROUP BY 1)
+      |SELECT r.r_name AS community,
+      |  CAST(COALESCE(in_w, 0) AS BIGINT) AS in_w,
+      |  CAST(COALESCE(deg_w, 0) AS BIGINT) AS deg_w,
+      |  ROUND(CAST(COALESCE(in_w, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+      |    - (CAST(COALESCE(deg_w, 0) AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+      |      * (CAST(COALESCE(deg_w, 0) AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))), 6)
+      |    AS q_contrib
+      |FROM region r
+      |LEFT JOIN degs ON r.r_name = degs.community
+      |LEFT JOIN intra ON r.r_name = intra.community
+      |CROSS JOIN tot
+      |ORDER BY community""".stripMargin
+
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SOCC 2014) — the sub-diameter-rounds alternative to
@@ -787,6 +883,7 @@ object Graph {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_assortativity" -> assortativityQ,
+    "q_graph_modularity" -> modularityQ,
     "q_graph_hits" -> hitsQ,
     "q_graph_pagerank" -> pagerankQ,
     "q_graph_triangles" -> trianglesQ,
@@ -796,6 +893,7 @@ object Graph {
 
   def oracle: Map[String, String] = Map(
     "q_graph_assortativity" -> assortativitySql,
+    "q_graph_modularity" -> modularitySql,
     "q_graph_hits" -> hitsSql,
     "q_graph_pagerank" -> pagerankSql,
     "q_graph_triangles" -> trianglesSql,

@@ -1266,7 +1266,97 @@ object Stats {
       |  END AS z
       |FROM a""".stripMargin
 
+  /** Two-sided normal p-value `2(1 − Φ(|z|))` as ONE SQL expression
+    * string — Abramowitz & Stegun 26.2.17 (|ε| < 7.5e-8, far inside the
+    * 8 dp the output pins). The SAME string evaluates on Spark (via
+    * `expr`) and DuckDB (spliced into the oracle), so both engines run
+    * the identical IEEE tree — the trick that lets a p-value be
+    * hash-compared at all. */
+  private[ops] def normP2(z: String): String = {
+    val t = s"(1.0 / (1.0 + 0.2316419 * abs($z)))"
+    val poly = s"($t * (0.319381530 + $t * (-0.356563782 + $t * " +
+      s"(1.781477937 + $t * (-1.821255978 + $t * 1.330274429)))))"
+    s"(2.0 * ((exp(-(($z) * ($z)) / 2.0) / 2.5066282746310002) * $poly))"
+  }
+
+  /** q_stat_bh entry: BENJAMINI–HOCHBERG FDR control over the
+    * per-event-type high-value-rate tests — the missing meta-layer
+    * above the suite's individual tests: run one two-proportion z test
+    * per type (its rate of value > 100 vs all OTHER types pooled), then
+    * apply the BH step-up at α = 0.05: reject the k smallest p-values
+    * where k = max{i : p_(i) ≤ i·α/m}. Without multiplicity control a
+    * dashboard of m monitors fires a false alarm ~mα of the time; BH is
+    * the standard fix, and it is pure rank arithmetic — exactly the
+    * kind of post-processing that belongs in-plan rather than in a
+    * notebook.
+    *
+    * Exactness: counts are integers; z and p are one fixed IEEE tree
+    * over them ([[normP2]] runs verbatim on both engines); the BH
+    * cutoff compares p against i·α/m in DOUBLE on both sides. The
+    * step-up MAX runs over the m-row (|types|-bounded) frame. */
+  def bhQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val per = t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(($"value" > 100.0).cast("long")).as("x"))
+    val tot = per.agg(sum($"n").as("nn"), sum($"x").as("xx")) // 1 row
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("z", expr(
+        """((CAST(x AS DOUBLE) / n) - (CAST(xx - x AS DOUBLE) / (nn - n)))
+          | / sqrt((CAST(xx AS DOUBLE) / nn) * (1.0 - CAST(xx AS DOUBLE) / nn)
+          |        * (1.0 / n + 1.0 / (nn - n)))""".stripMargin))
+      .withColumn("p", expr(normP2("z")))
+    val wOrd = Window.partitionBy(lit(1)).orderBy($"p", $"event_type")
+    val wAll = Window.partitionBy(lit(1))
+    scored
+      .withColumn("p_rank", row_number().over(wOrd))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("kstar", max(when(
+        $"p" <= $"p_rank".cast("double") * 0.05 / $"m".cast("double"),
+        $"p_rank").otherwise(0)).over(wAll))
+      .select($"event_type", $"n".cast("long").as("n"),
+        $"x".cast("long").as("n_high"),
+        round($"z", 6).as("z"),
+        round($"p", 8).as("p_value"),
+        $"p_rank".cast("int").as("p_rank"),
+        ($"p_rank" <= $"kstar").cast("int").as("rejected"))
+      .orderBy($"event_type")
+  }
+
+  val bhSql: String = {
+    val z =
+      """((CAST(x AS DOUBLE) / n) - (CAST(xx - x AS DOUBLE) / (nn - n)))
+        | / sqrt((CAST(xx AS DOUBLE) / nn) * (1.0 - CAST(xx AS DOUBLE) / nn)
+        |        * (1.0 / n + 1.0 / (nn - n)))""".stripMargin
+    s"""WITH per AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS x
+      |  FROM events GROUP BY event_type),
+      |tot AS (SELECT SUM(n) AS nn, SUM(x) AS xx FROM per),
+      |scored AS (
+      |  SELECT event_type, n, x, $z AS z
+      |  FROM per CROSS JOIN tot),
+      |pv AS (
+      |  SELECT event_type, n, x, z, ${normP2("z")} AS p FROM scored),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY p, event_type) AS p_rank,
+      |    COUNT(*) OVER () AS m
+      |  FROM pv),
+      |ks AS (
+      |  SELECT *, MAX(CASE WHEN p <= CAST(p_rank AS DOUBLE) * 0.05
+      |      / CAST(m AS DOUBLE) THEN p_rank ELSE 0 END) OVER () AS kstar
+      |  FROM rk)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS n_high,
+      |  ROUND(z, 6) AS z, ROUND(p, 8) AS p_value,
+      |  CAST(p_rank AS INT) AS p_rank,
+      |  CAST(CASE WHEN p_rank <= kstar THEN 1 ELSE 0 END AS INT) AS rejected
+      |FROM ks ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_bh" -> bhQ,
     "q_stat_runs" -> runsQ,
     "q_stat_ols" -> olsQ,
     "q_stat_cramers" -> cramersQ,
@@ -1286,6 +1376,7 @@ object Stats {
     "q_ts_acf" -> acfQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_bh" -> bhSql,
     "q_stat_runs" -> runsSql,
     "q_stat_ols" -> olsSql,
     "q_stat_cramers" -> cramersSql,

@@ -719,7 +719,69 @@ object TimeSeries {
       |  ROUND(MAX(term), 6) AS ks_d
       |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q_ts_theilsen entry: THEIL–SEN robust trend per event type — the
+    * median of all pairwise slopes between daily totals. OLS
+    * ([[trendQ]]) moves arbitrarily far under one corrupted day;
+    * Theil–Sen has a 29% breakdown point, which is why monitoring
+    * pipelines prefer it for "is this metric drifting" over dirty
+    * telemetry. Median = the LOWER median by exact row selection
+    * (position ⌈n/2⌉ of the slope order) — deterministic on both
+    * engines without an averaging convention.
+    *
+    * Scale shape: the corpus collapses to (type, day) daily totals
+    * FIRST (one combinable groupBy); the pairwise self-join runs on
+    * that calendar-bounded frame — days², not events², and the join is
+    * type-keyed (equi), so it shuffles the tiny daily frame only. At
+    * 100 TB the daily frame is still |types| × |days|. */
+  def theilSenQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(sum($"value".cast("decimal(18,2)")).as("v"))
+      .withColumn("day", datediff($"d", lit("2024-01-01").cast("date")))
+    val a = daily.select($"event_type", $"day".as("di"), $"v".as("vi"))
+    val b = daily.select($"event_type", $"day".as("dj"), $"v".as("vj"))
+    val slopes = a.join(b, "event_type").filter($"di" < $"dj")
+      .select($"event_type",
+        (($"vj" - $"vi").cast("double") / ($"dj" - $"di").cast("double"))
+          .as("slope"))
+    val w = Window.partitionBy($"event_type").orderBy($"slope")
+    val n = Window.partitionBy($"event_type")
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(n))
+      .filter($"rn" === expr("(np + 1) div 2")) // lower median, 1-based
+      .select($"event_type",
+        $"np".cast("long").as("n_pairs"),
+        round($"slope", 6).as("theil_sen_slope"))
+      .orderBy($"event_type")
+  }
+
+  val theilSenSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS v
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (
+      |  SELECT event_type, date_diff('day', DATE '2024-01-01', d) AS day, v
+      |  FROM daily),
+      |slopes AS (
+      |  SELECT a.event_type,
+      |    CAST(b.v - a.v AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+      |  FROM dd a JOIN dd b
+      |    ON a.event_type = b.event_type AND a.day < b.day),
+      |rk AS (
+      |  SELECT event_type, slope,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS np
+      |  FROM slopes)
+      |SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+      |  ROUND(slope, 6) AS theil_sen_slope
+      |FROM rk WHERE rn = (np + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_theilsen" -> theilSenQ,
     "q_ts_expfit" -> expfitQ,
     "q_ts_decompose" -> decomposeQ,
     "q_ts_resample" -> resampleQ,
@@ -732,6 +794,7 @@ object TimeSeries {
     "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_theilsen" -> theilSenSql,
     "q_ts_expfit" -> expfitSql,
     "q_ts_decompose" -> decomposeSql,
     "q_ts_resample" -> resampleSql,

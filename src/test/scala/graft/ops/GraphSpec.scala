@@ -254,6 +254,31 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("modularity: region partition Q matches a driver recompute; degree and weight identities hold") {
+    import spark.implicits._
+    val rows = Graph.modularityQ(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val inW = rows.map(_.getAs[Long]("in_w"))
+    val degW = rows.map(_.getAs[Long]("deg_w"))
+    // identity: Σ deg_c = 2m and Σ in_c ≤ m
+    val m = degW.sum / 2
+    assert(degW.sum % 2 == 0 && inW.sum <= m)
+    // driver recompute from the raw undirected edge list
+    val regionOf = graft.Tables.t(spark, sfDir, "nation")
+      .join(graft.Tables.t(spark, sfDir, "region"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_name", $"r_name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val want = r.getAs[Long]("in_w").toDouble / m -
+        math.pow(r.getAs[Long]("deg_w").toDouble / (2.0 * m), 2)
+      assert(math.abs(r.getAs[Double]("q_contrib") -
+        BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-6,
+        s"${r.getString(0)}: q_contrib mismatch")
+    }
+    assert(regionOf.values.toSet.size == 5)
+  }
+
   test("connected components (large-star/small-star): equal to min-label propagation on the real near-dup graph") {
     import spark.implicits._
     val pairs = graft.ops.Dedup.near(spark, sfDir)

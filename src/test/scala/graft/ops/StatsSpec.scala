@@ -433,4 +433,72 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       s"query ${r.getAs[Double]("h")} vs recompute $h")
     assert(math.abs(r.getAs[Double]("h_tie_adj") - hAdj) < 1e-4)
   }
+
+  test("bh: p-values match a JVM recompute and the step-up decisions follow Benjamini-Hochberg exactly") {
+    import spark.implicits._
+    val rows = Stats.bhQ(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val counts = graft.Tables.t(spark, sfDir, "events")
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          ($"value" > 100.0).cast("long")).as("x"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nn = counts.values.map(_._1).sum.toDouble
+    val xx = counts.values.map(_._2).sum.toDouble
+    def phiTail(z: Double): Double = {
+      val t = 1.0 / (1.0 + 0.2316419 * math.abs(z))
+      val poly = t * (0.319381530 + t * (-0.356563782 + t *
+        (1.781477937 + t * (-1.821255978 + t * 1.330274429))))
+      2.0 * (math.exp(-z * z / 2.0) / 2.5066282746310002 * poly)
+    }
+    val want = counts.map { case (ty, (n, x)) =>
+      val p1 = x.toDouble / n
+      val p2 = (xx - x) / (nn - n)
+      val pp = xx / nn
+      val z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1.0 / n + 1.0 / (nn - n)))
+      ty -> phiTail(z)
+    }
+    val ranked = want.toSeq.sortBy { case (ty, p) => (p, ty) }.zipWithIndex
+      .map { case ((ty, p), i) => (ty, p, i + 1) }
+    val kstar = ranked.filter { case (_, p, i) => p <= i * 0.05 / 5 }
+      .map(_._3).maxOption.getOrElse(0)
+    rows.foreach { r =>
+      val ty = r.getString(0)
+      val p = want(ty)
+      assert(math.abs(r.getAs[Double]("p_value") - p) < 1e-7,
+        s"$ty: p ${r.getAs[Double]("p_value")} vs recompute $p")
+      val rank = ranked.find(_._1 == ty).get._3
+      assert(r.getAs[Int]("p_rank") == rank)
+      assert(r.getAs[Int]("rejected") == (if (rank <= kstar) 1 else 0),
+        s"$ty: BH decision mismatch (kstar=$kstar)")
+    }
+  }
+
+  test("theil-sen: per-type slope equals a JVM pairwise-median recompute") {
+    import spark.implicits._
+    val rows = TimeSeries.theilSenQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.t(spark, sfDir, "events")
+      .groupBy($"event_type", org.apache.spark.sql.functions.to_date($"ts").as("d"))
+      .agg(org.apache.spark.sql.functions.sum(
+        $"value".cast("decimal(18,2)")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getDecimal(2).doubleValue()))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val ty = r.getString(0)
+      val pts = daily(ty).map(t => (t._2, t._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1).toDouble).sorted
+      assert(r.getAs[Long]("n_pairs") == slopes.length)
+      val lowerMedian = slopes((slopes.length + 1) / 2 - 1)
+      assert(math.abs(r.getAs[Double]("theil_sen_slope") -
+        BigDecimal(lowerMedian).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-6,
+        s"$ty: slope mismatch")
+    }
+  }
 }
