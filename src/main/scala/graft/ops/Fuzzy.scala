@@ -218,13 +218,114 @@ object Fuzzy {
       |WHERE levenshtein(a.name, b.name) <= 4
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** q_entity_resolution entry: the END-TO-END entity-resolution
+    * pipeline in one plan — blocking → fuzzy verify → transitive
+    * closure → canonicalization — the composition every master-data /
+    * training-metadata dedup job runs, here with each stage being a
+    * suite-proven operator:
+    *  1. fixture: every distinct part name yields a clean record and a
+    *     deterministically typo'd one (last character truncated — the
+    *     classic data-entry error), so ground truth is arithmetic and
+    *     the normalized sort key keeps every variant inside its clean
+    *     record's neighborhood window BY CONSTRUCTION;
+    *  2. blocking: sorted-neighborhood over a NORMALIZED sort key
+    *     (spaces squished — Hernández–Stolfo's key-normalization step:
+    *     raw order scatters "big bolt" and its typo "bigbolt" across
+    *     the whole "big *" family), window 8 — O(n·w) candidates, no
+    *     fuzzy self-join;
+    *  3. verify: native codegen [[graft.functions.JaroWinkler]] ≥ 0.88
+    *     (bit-identical to DuckDB's builtin);
+    *  4. closure: [[Graph.connectedComponentsStar]] — A~B, B~C groups
+    *     {A,B,C} even when A≁C directly (the case pair-dropping misses);
+    *  5. canonical: min record id per entity + entity size.
+    * The oracle recomputes all five stages in SQL (recursive-CTE
+    * closure), so a regression in ANY stage diverges.
+    *
+    * Scale shape: records only ever carry (rid, name); candidates are
+    * O(n·w); the closure runs on verified pairs (∝ duplicate density);
+    * the vocabulary fixture is bounded but nothing in the plan depends
+    * on that — on a 10⁹-record catalog the same plan shuffles ids and
+    * short names only. */
+  def entityResolutionQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val rk = t(s, dir, "part").select($"p_name".as("nm")).distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy($"nm")))
+    val typo = expr("substr(nm, 1, length(nm) - 1)")
+    val recs = rk.select(($"rk" * 2).cast("long").as("rid"), $"nm".as("name"))
+      .unionByName(rk.select(($"rk" * 2 + 1).cast("long").as("rid"),
+        typo.as("name")))
+    val keyed = recs.withColumn("srt", regexp_replace($"name", " ", ""))
+    val w = Window.partitionBy(lit(1)).orderBy($"srt", $"rid")
+    val withLeads = keyed.select($"rid".as("ra"), $"name".as("na"),
+      array((1 to 8).map(i => struct(lead($"rid", i).over(w).as("rb"),
+        lead($"name", i).over(w).as("nb"))): _*).as("cs"))
+    val cands = withLeads
+      .select($"ra", $"na", explode($"cs").as("c"))
+      .filter($"c.rb".isNotNull)
+    val pairs = cands
+      .filter(expr("jaro_winkler(na, c.nb)") >= 0.88)
+      .select($"ra".as("doc_a"), $"c.rb".as("doc_b"))
+    val labels = Graph.connectedComponentsStar(pairs)
+      .select($"id".as("rid"), $"label")
+    val ent = recs.join(labels, Seq("rid"), "left")
+      .select($"rid", $"name", coalesce($"label", $"rid").as("entity_id"))
+    val sizes = ent.groupBy($"entity_id").agg(count(lit(1)).as("n_records"))
+    ent.join(sizes, "entity_id")
+      .select($"rid".as("record_id"), $"name", $"entity_id",
+        $"n_records".cast("long").as("n_records"))
+      .orderBy($"record_id")
+  }
+
+  val entityResolutionSql: String = {
+    // window 8 over the normalized sort key, one fixed-offset select per
+    // lead (DuckDB lead() takes a constant offset)
+    val candUnion = (1 to 8).map(i =>
+      s"""  SELECT rid AS ra, name AS na,
+         |    lead(rid, $i) OVER (ORDER BY srt, rid) AS rb,
+         |    lead(name, $i) OVER (ORDER BY srt, rid) AS nb FROM keyed""".stripMargin)
+      .mkString("\n  UNION ALL\n")
+    s"""WITH RECURSIVE nm AS (SELECT DISTINCT p_name AS nm FROM part),
+      |rk AS (SELECT nm, ROW_NUMBER() OVER (ORDER BY nm) AS rk FROM nm),
+      |recs AS (
+      |  SELECT 2 * rk AS rid, nm AS name FROM rk
+      |  UNION ALL
+      |  SELECT 2 * rk + 1, substr(nm, 1, LEN(nm) - 1) FROM rk),
+      |keyed AS (SELECT rid, name, replace(name, ' ', '') AS srt FROM recs),
+      |cand AS (
+      |$candUnion),
+      |pairs AS (
+      |  SELECT ra, rb FROM cand
+      |  WHERE rb IS NOT NULL AND jaro_winkler_similarity(na, nb) >= 0.88),
+      |edges AS (SELECT ra AS src, rb AS dst FROM pairs
+      |  UNION SELECT rb, ra FROM pairs),
+      |walk(id, r) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.r = e.src),
+      |labels AS (SELECT id AS rid, LEAST(id, MIN(r)) AS ent
+      |  FROM walk GROUP BY id),
+      |ent AS (
+      |  SELECT r.rid, r.name, COALESCE(l.ent, r.rid) AS entity_id
+      |  FROM recs r LEFT JOIN labels l ON r.rid = l.rid),
+      |sz AS (SELECT entity_id, COUNT(*) AS n_records FROM ent GROUP BY 1)
+      |SELECT e.rid AS record_id, e.name, e.entity_id,
+      |  CAST(sz.n_records AS BIGINT) AS n_records
+      |FROM ent e JOIN sz USING (entity_id)
+      |ORDER BY record_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entity_resolution" -> entityResolutionQ,
     "q_fuzzy_vocab" -> fuzzyVocabQ,
     "q_fuzzy_neighbors" -> sortedNeighborsQ,
     "q_fuzzy_jw" -> jaroWinklerQ,
     "q_fuzzy_edit" -> editMatrixQ)
 
   def oracle: Map[String, String] = Map(
+    "q_entity_resolution" -> entityResolutionSql,
     "q_fuzzy_vocab" -> fuzzyVocabSql,
     "q_fuzzy_neighbors" -> sortedNeighborsSql,
     "q_fuzzy_jw" -> jaroWinklerSql,

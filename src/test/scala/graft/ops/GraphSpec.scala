@@ -254,6 +254,21 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("entity resolution: every typo'd variant resolves to its clean record's entity") {
+    val rows = graft.ops.Fuzzy.entityResolutionQ(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val nNames = graft.Tables.t(spark, sfDir, "part")
+      .select("p_name").distinct().count().toInt
+    assert(rows.size == 2 * nNames, s"$nNames clean + $nNames typo'd records")
+    // ground truth: records 2k (clean) and 2k+1 (typo) are the same entity
+    (1 to nNames).foreach { k =>
+      assert(rows(2L * k) == rows(2L * k + 1),
+        s"record pair $k split across entities")
+    }
+    // an entity id is always one of its member record ids (min-label)
+    rows.values.foreach(e => assert(rows.contains(e) && rows(e) == e))
+  }
+
   test("modularity: region partition Q matches a driver recompute; degree and weight identities hold") {
     import spark.implicits._
     val rows = Graph.modularityQ(spark, sfDir).collect()
