@@ -36,6 +36,31 @@ import scala.util.Random
   * layout check.py consumes. `props.SqlDifferentialProps` drives the
   * same generator in-JVM for structural guarantees; the cross-engine
   * run is `tools/fuzz.sh`.
+  *
+  * FINDINGS LOG — genuine engine divergences this fuzzer surfaced
+  * (each verified by hand, then excluded from generation since the
+  * gate requires parity on every emitted case):
+  *  1. ROLLUP/CUBE over EMPTY input: Spark emits 0 rows; DuckDB (and
+  *     Postgres, per the SQL standard's grouping-set semantics) emits
+  *     the grand-total row `(NULL…, COUNT=0)`. Spark's Expand operator
+  *     produces nothing from nothing — an engine-level divergence any
+  *     migration off/onto Spark must account for. Generator: no WHERE
+  *     under hierarchical grouping (base tables are never empty).
+  *  2. Not an engine bug but a fixture fact worth recording:
+  *     (l_orderkey, l_linenumber) is NOT unique in the synthetic
+  *     lineitem (unlike real TPC-H), so LIMIT under that ORDER BY is
+  *     nondeterministic. Generator: every LIMIT orders by ALL output
+  *     columns — boundary ties then carry identical values, making the
+  *     result multiset deterministic.
+  *  3. ROLLUP/CUBE over JOIN-EQUAL key pairs: for
+  *     `a JOIN b ON a.x = b.y GROUP BY ROLLUP(a.x, b.y)`, Spark emits
+  *     the standard level-(x) rows `(x, NULL, …)` while DuckDB
+  *     propagates the join equivalence INTO the grouping-set output and
+  *     emits `(x, x, …)` — its optimizer rewrites b.y to a.x before
+  *     Expand, erasing the NULL the grouping set is defined to produce.
+  *     Verified by hand on supplier⋈nation (Spark `(0, NULL, 2)` vs
+  *     DuckDB `(0, 0, 2)`). Generator: hierarchical grouping is skipped
+  *     when the chosen keys contain both sides of any join equality.
   */
 object Fuzz {
 
@@ -249,8 +274,12 @@ object Fuzz {
     r.shuffle(pool).take(1 + r.nextInt(4)).distinct
   }
 
-  private def orderKey(base: Tbl): String =
-    base.key.map(k => s"${base.name}.$k NULLS FIRST").mkString(", ")
+  /** Total order over ALL output columns (by ordinal): the fixture's
+    * lineitem key is NOT unique (findings log item 2), so a LIMIT is
+    * value-deterministic only when boundary ties carry identical
+    * output values — i.e. when the sort covers every emitted column. */
+  private def orderAll(nCols: Int): String =
+    (1 to nCols).map(i => s"$i NULLS FIRST").mkString(", ")
 
   // ---- query shapes ----------------------------------------------------
 
@@ -260,8 +289,70 @@ object Fuzz {
     val aggs = aggExprs(r, joined)
     val having =
       if (r.nextInt(3) == 0) s"\nHAVING COUNT(*) >= ${1 + r.nextInt(4)}" else ""
+    // 1-in-3: hierarchical grouping (ROLLUP/CUBE) — the NULL-keyed
+    // grand-total rows are a classic parity trap
+    val keyList = keys.map(_._1).mkString(", ")
+    // findings log item 3: no join-equal key PAIRS under ROLLUP/CUBE
+    val joinEqual = joined.flatMap(t => t.dims
+      .filter(d => joined.exists(_.name == d.table))
+      .map(d => Set(s"${t.name}.${d.fk}", s"${d.table}.${d.pk}")))
+    val keySet = keys.map(_._1).toSet
+    val hierarchical = keys.size > 1 && r.nextInt(3) == 0 &&
+      !joinEqual.exists(_.subsetOf(keySet))
+    val grouping =
+      if (hierarchical) s"GROUP BY ${pick(r, Seq("ROLLUP", "CUBE"))}($keyList)"
+      else s"GROUP BY $keyList"
     val sel = (keys.map { case (e, a) => s"$e AS $a" } ++ aggs).mkString(", ")
-    s"SELECT $sel\n$from${wherePreds(r, joined)}\nGROUP BY ${keys.map(_._1).mkString(", ")}$having"
+    // findings log item 1: no WHERE under ROLLUP/CUBE — Spark and the
+    // standard disagree on grouping sets over EMPTY input
+    val where = if (hierarchical) "" else wherePreds(r, joined)
+    s"SELECT $sel\n$from$where\n$grouping$having"
+  }
+
+  /** CTE: an aggregate summary re-joined against its base table. */
+  private def cteQuery(r: Random): String = {
+    val base = pick(r, bases)
+    if (base.cats.isEmpty) return aggQuery(r)
+    val cat = pick(r, base.cats.keys.toSeq.sorted)
+    val cols = (base.key.map(k => s"${base.name}.$k") :+
+      s"${base.name}.$cat").distinct
+    s"WITH summary AS (\n" +
+      s"  SELECT $cat AS grp, COUNT(*) AS grp_n\n" +
+      s"  FROM ${base.name}\n  WHERE ${predicate(r, Seq(base))}\n" +
+      s"  GROUP BY $cat)\n" +
+      s"SELECT ${cols.mkString(", ")}, summary.grp_n\n" +
+      s"FROM ${base.name} JOIN summary ON ${base.name}.$cat = summary.grp" +
+      s"${wherePreds(r, Seq(base))}\n" +
+      s"ORDER BY ${orderAll(cols.size + 1)}\nLIMIT ${5 + r.nextInt(40)}"
+  }
+
+  /** Computed scalar projections — CASE bands, string fns, arithmetic. */
+  private def computedQuery(r: Random): String = {
+    val (joined, from) = joinChain(r)
+    val base = joined.head
+    val t = pick(r, joined)
+    val comps = Seq.newBuilder[String]
+    if (t.cats.nonEmpty) {
+      val c = pick(r, t.cats.keys.toSeq.sorted)
+      comps += s"upper(${t.name}.$c) AS up_$c"
+      comps += s"CAST(length(${t.name}.$c) AS BIGINT) AS len_$c"
+      comps += s"substr(${t.name}.$c, 1, ${1 + r.nextInt(4)}) AS pre_$c"
+    }
+    if (t.nums.nonEmpty) {
+      val (c, lo, hi) = pick(r, t.nums)
+      val mid = BigDecimal((lo + hi) / 2).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      comps += s"CASE WHEN ${t.name}.$c >= $mid THEN 'hi' ELSE 'lo' END AS band_$c"
+    }
+    if (t.ints.nonEmpty) {
+      val c = pick(r, t.ints)
+      comps += s"CAST(${t.name}.$c * 2 + 1 AS BIGINT) AS c_$c"
+    }
+    val all = comps.result()
+    if (all.isEmpty) return projQuery(r)
+    val chosen = r.shuffle(all).take(1 + r.nextInt(math.min(3, all.size))).distinct
+    val cols = base.key.map(k => s"${base.name}.$k") ++ chosen
+    s"SELECT ${cols.mkString(", ")}\n$from${wherePreds(r, joined)}" +
+      s"\nORDER BY ${orderAll(cols.size)}\nLIMIT ${5 + r.nextInt(40)}"
   }
 
   private def projQuery(r: Random): String = {
@@ -269,7 +360,7 @@ object Fuzz {
     val base = joined.head
     val cols = (base.key.map(k => s"${base.name}.$k") ++ projCols(r, joined)).distinct
     s"SELECT ${cols.mkString(", ")}\n$from${wherePreds(r, joined)}" +
-      s"\nORDER BY ${orderKey(base)}\nLIMIT ${5 + r.nextInt(40)}"
+      s"\nORDER BY ${orderAll(cols.size)}\nLIMIT ${5 + r.nextInt(40)}"
   }
 
   private def setOpQuery(r: Random): String = {
@@ -280,7 +371,8 @@ object Fuzz {
       val rr = r.shuffle(pool).take(1 + r.nextInt(2)).distinct
       rr.map(c => s"${base.name}.$c")
     }
-    val op = pick(r, Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT"))
+    val op = pick(r, Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT",
+      "INTERSECT ALL", "EXCEPT ALL"))
     def side = s"SELECT ${cols.mkString(", ")} FROM ${base.name}" +
       s"\nWHERE ${predicate(r, Seq(base))}"
     s"$side\n$op\n$side"
@@ -320,7 +412,7 @@ object Fuzz {
     s"SELECT ${cols.mkString(", ")}\nFROM ${base.name}\n" +
       s"WHERE $ex (SELECT 1 FROM ${d.table}\n" +
       s"  WHERE ${base.name}.${d.fk} = ${d.table}.${d.pk} AND ${predicate(r, Seq(dim))})" +
-      s"\nORDER BY ${orderKey(base)}\nLIMIT ${5 + r.nextInt(40)}"
+      s"\nORDER BY ${orderAll(cols.size)}\nLIMIT ${5 + r.nextInt(40)}"
   }
 
   private def scalarSubQuery(r: Random): String = {
@@ -334,7 +426,7 @@ object Fuzz {
     val cols = (base.key.map(k => s"${base.name}.$k") ++ projCols(r, Seq(base))).distinct
     s"SELECT ${cols.mkString(", ")}\nFROM ${base.name}\n" +
       s"WHERE ${base.name}.$c $cmp (SELECT $f($c) * $frac FROM ${base.name})" +
-      s"\nORDER BY ${orderKey(base)}\nLIMIT ${5 + r.nextInt(40)}"
+      s"\nORDER BY ${orderAll(cols.size)}\nLIMIT ${5 + r.nextInt(40)}"
   }
 
   private def leftJoinQuery(r: Random): String = {
@@ -352,20 +444,22 @@ object Fuzz {
       s"LEFT JOIN (SELECT * FROM ${d.table} WHERE ${predicate(r, Seq(dim))}) f" +
       s"\n  ON ${base.name}.${d.fk} = f.${d.pk}" +
       s"\nWHERE ${base.name}.${base.key.head} % ${3 + r.nextInt(5)} = 0" +
-      s"\nORDER BY ${orderKey(base)}\nLIMIT ${10 + r.nextInt(40)}"
+      s"\nORDER BY ${orderAll(cols.size)}\nLIMIT ${10 + r.nextInt(40)}"
   }
 
   /** The deterministic case list for (seed, n). */
   def cases(seed: Long, n: Int): Seq[Case] = {
     val r = new Random(seed)
     (0 until n).map { i =>
-      val sql = r.nextInt(7) match {
+      val sql = r.nextInt(9) match {
         case 0 | 1 => aggQuery(r) // weight aggregation highest
         case 2     => projQuery(r)
         case 3     => setOpQuery(r)
         case 4     => windowQuery(r)
         case 5     => pick(r, Seq(semiQuery _, leftJoinQuery _))(r)
         case 6     => scalarSubQuery(r)
+        case 7     => cteQuery(r)
+        case 8     => computedQuery(r)
       }
       Case(f"fuzz_$i%04d", sql)
     }
