@@ -183,13 +183,70 @@ object Drift {
       |      AS DECIMAL(28,9)) END) AS DOUBLE), 6) AS w1_dist
       |FROM e, t GROUP BY n1, n2""".stripMargin
 
+  /** q_drift_jsd entry: per-category Jensen–Shannon divergence and
+    * squared-Hellinger terms between the same reference/current category
+    * mixes [[psi]] compares — the BOUNDED companions to PSI. PSI blows
+    * up (ln p/q → ∞) when a category collapses toward zero on one side,
+    * so alerting thresholds on it are scale-dependent; JSD is bounded by
+    * ln 2 and Hellinger² by 1, which makes a single global threshold
+    * meaningful across feeds of any cardinality. Terms: with m=(p+q)/2,
+    * jsd = ½·p·ln(p/m) + ½·q·ln(q/m); hell = ½·(√p − √q)².
+    *
+    * Scale shape identical to [[psi]]: one combinable groupBy over the
+    * category column, a broadcast 1-row totals frame, O(|categories|)
+    * output — a scan-speed single pass at any corpus size. Determinism:
+    * integer counts → the same IEEE double ln/sqrt on both engines. */
+  def jsdQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"ts" < lit("2024-01-16").cast("timestamp"), 1L).otherwise(0L))
+          .as("n_ref"),
+        sum(when($"ts" >= lit("2024-01-16").cast("timestamp"), 1L).otherwise(0L))
+          .as("n_cur"))
+    val totals = counts.agg(
+      sum($"n_ref").as("tot_ref"), sum($"n_cur").as("tot_cur"))
+    val p = $"n_ref".cast("double") / $"tot_ref".cast("double")
+    val q = $"n_cur".cast("double") / $"tot_cur".cast("double")
+    val m = (p + q) / lit(2d)
+    counts.crossJoin(broadcast(totals))
+      .select($"event_type", $"n_ref", $"n_cur",
+        round(p * log(p / m) / lit(2d) + q * log(q / m) / lit(2d), 6)
+          .as("jsd_term"),
+        round((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q)) / lit(2d), 6)
+          .as("hell_term"))
+      .orderBy($"event_type")
+  }
+
+  val jsdSql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM events GROUP BY event_type),
+      |t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+      |             CAST(SUM(n_cur) AS BIGINT) AS tot_cur FROM c),
+      |s AS (
+      |  SELECT event_type, n_ref, n_cur,
+      |    CAST(n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE) AS p,
+      |    CAST(n_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE) AS q
+      |  FROM c, t)
+      |SELECT event_type, n_ref, n_cur,
+      |  ROUND(p * ln(p / ((p + q) / 2)) / 2
+      |      + q * ln(q / ((p + q) / 2)) / 2, 6) AS jsd_term,
+      |  ROUND((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q)) / 2, 6) AS hell_term
+      |FROM s ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_drift_psi" -> psi,
     "q_drift_ks" -> ksQ,
-    "q_drift_wasserstein" -> wassersteinQ)
+    "q_drift_wasserstein" -> wassersteinQ,
+    "q_drift_jsd" -> jsdQ)
 
   def oracle: Map[String, String] = Map(
     "q_drift_psi" -> psiSql,
     "q_drift_ks" -> ksSql,
-    "q_drift_wasserstein" -> wassersteinSql)
+    "q_drift_wasserstein" -> wassersteinSql,
+    "q_drift_jsd" -> jsdSql)
 }

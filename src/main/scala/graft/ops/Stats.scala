@@ -1355,7 +1355,145 @@ object Stats {
       |FROM ks ORDER BY event_type""".stripMargin
   }
 
+  /** q_stat_dispersion entry: Poisson overdispersion index of the DAILY
+    * arrival counts per event type — the standard "is a Poisson rate
+    * model even tenable?" audit before any rate-based alerting. For
+    * daily counts c₁…c_n: D = s²/c̄ (variance-to-mean ratio, 1 under
+    * Poisson) and the dispersion statistic χ² = (n−1)·D ~ χ²(n−1).
+    * D ≫ 1 (bursty users, campaign spikes) means Poisson thresholds
+    * under-alarm and a negative-binomial model is needed.
+    *
+    * Scale shape: two nested combinable aggregations — events collapse
+    * to (type, day) counts (calendar-bounded), then to one row per type
+    * carrying Σc and Σc² as EXACT integers. Determinism: mean/var/D are
+    * one fixed IEEE tree over those integers, identical on both
+    * engines; s² uses the numerically-exact (Σc² − (Σc)²/n)/(n−1) form
+    * which is safe here because counts are small integers. */
+  def dispersionQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val mean = $"sum_c".cast("double") / $"n_days".cast("double")
+    val variance = ($"sum_c2".cast("double") -
+      $"sum_c".cast("double") * $"sum_c".cast("double") /
+        $"n_days".cast("double")) / ($"n_days".cast("double") - lit(1d))
+    daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"c").as("sum_c"),
+        sum($"c" * $"c").as("sum_c2"))
+      .select($"event_type", $"n_days", $"sum_c".as("total"),
+        round(mean, 6).as("daily_mean"),
+        round(variance / mean, 6).as("dispersion"),
+        round(($"n_days".cast("double") - lit(1d)) * variance / mean, 6)
+          .as("chi2"))
+      .orderBy($"event_type")
+  }
+
+  val dispersionSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(c) AS BIGINT) AS sum_c,
+      |    CAST(SUM(c * c) AS BIGINT) AS sum_c2
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n_days, sum_c AS total,
+      |  ROUND(CAST(sum_c AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS daily_mean,
+      |  ROUND(((CAST(sum_c2 AS DOUBLE) - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE)
+      |      / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0))
+      |    / (CAST(sum_c AS DOUBLE) / CAST(n_days AS DOUBLE)), 6) AS dispersion,
+      |  ROUND((CAST(n_days AS DOUBLE) - 1.0)
+      |    * ((CAST(sum_c2 AS DOUBLE) - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE)
+      |      / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0))
+      |    / (CAST(sum_c AS DOUBLE) / CAST(n_days AS DOUBLE)), 6) AS chi2
+      |FROM a ORDER BY event_type""".stripMargin
+
+  /** q_stat_logrank entry: the LOG-RANK test comparing the survival of
+    * two user cohorts (even vs odd user_id) — the inferential companion
+    * to the q_survival_km life table: KM DESCRIBES each curve, log-rank
+    * answers "do the cohorts retain differently?" At each distinct
+    * lifetime t with d total endings (d₁ in cohort 1) and n at risk (n₁
+    * in cohort 1): O−E accumulates d₁ − d·n₁/n and the hypergeometric
+    * variance d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1); z = (O−E)/√ΣV.
+    *
+    * Scale shape: users collapse to one lifetime row each (combinable
+    * groupBy over user), the event-time table is groupBy(lifetime) —
+    * calendar-bounded — and the at-risk sets are one DESCENDING
+    * cumulative window over it; no self-join against the user table.
+    * Determinism: d/n counts are exact integers; each time-point's
+    * O−E and V terms round to 9 dp and sum as DECIMAL(28,9) (order-
+    * independent), and z is one IEEE tree over the two exact sums. */
+  def logrankQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val life = t(s, dir, "events")
+      .select($"user_id", expr("unix_micros(ts)").as("tus"))
+      .groupBy($"user_id")
+      .agg(expr("(max(tus) - min(tus)) div 86400000000").as("lt"),
+        (max($"user_id") % 2).as("grp"))
+    val byT = life.groupBy($"lt")
+      .agg(count(lit(1)).as("d"),
+        sum(when($"grp" === 1, 1L).otherwise(0L)).as("d1"))
+    val wRisk = Window.orderBy($"lt".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = byT
+      .withColumn("n", sum($"d").over(wRisk))
+      .withColumn("n1", sum($"d1").over(wRisk))
+      .select(
+        round($"d1".cast("double") -
+          $"d".cast("double") * $"n1" / $"n", 9)
+          .cast("decimal(28,9)").as("oe"),
+        when($"n" > 1,
+          round($"d".cast("double") * ($"n1".cast("double") / $"n") *
+            (lit(1d) - $"n1".cast("double") / $"n") *
+            ($"n" - $"d").cast("double") / ($"n".cast("double") - lit(1d)), 9))
+          .otherwise(lit(0d)).cast("decimal(28,9)").as("v"))
+    terms.agg(
+      round(sum($"oe").cast("double"), 6).as("o_minus_e"),
+      round(sum($"v").cast("double"), 6).as("variance"),
+      round(sum($"oe").cast("double") /
+        sqrt(sum($"v").cast("double")), 6).as("z"))
+  }
+
+  val logrankSql: String =
+    """WITH life AS (
+      |  SELECT user_id,
+      |    (CAST(epoch_us(MAX(ts)) AS BIGINT) - CAST(epoch_us(MIN(ts)) AS BIGINT))
+      |      // 86400000000 AS lt,
+      |    MAX(user_id) % 2 AS grp
+      |  FROM events GROUP BY user_id),
+      |byt AS (
+      |  SELECT lt, CAST(COUNT(*) AS BIGINT) AS d,
+      |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1
+      |  FROM life GROUP BY lt),
+      |risk AS (
+      |  SELECT d, d1,
+      |    SUM(d) OVER (ORDER BY lt DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+      |    SUM(d1) OVER (ORDER BY lt DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1
+      |  FROM byt),
+      |terms AS (
+      |  SELECT
+      |    CAST(ROUND(CAST(d1 AS DOUBLE)
+      |      - CAST(d AS DOUBLE) * n1 / n, 9) AS DECIMAL(28,9)) AS oe,
+      |    CAST(CASE WHEN n > 1 THEN
+      |      ROUND(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
+      |        * (1.0 - CAST(n1 AS DOUBLE) / n)
+      |        * CAST(n - d AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0), 9)
+      |      ELSE 0.0 END AS DECIMAL(28,9)) AS v
+      |  FROM risk)
+      |SELECT
+      |  ROUND(CAST(SUM(oe) AS DOUBLE), 6) AS o_minus_e,
+      |  ROUND(CAST(SUM(v) AS DOUBLE), 6) AS variance,
+      |  ROUND(CAST(SUM(oe) AS DOUBLE) / sqrt(CAST(SUM(v) AS DOUBLE)), 6) AS z
+      |FROM terms""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_dispersion" -> dispersionQ,
+    "q_stat_logrank" -> logrankQ,
     "q_stat_bh" -> bhQ,
     "q_stat_runs" -> runsQ,
     "q_stat_ols" -> olsQ,
@@ -1376,6 +1514,8 @@ object Stats {
     "q_ts_acf" -> acfQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_dispersion" -> dispersionSql,
+    "q_stat_logrank" -> logrankSql,
     "q_stat_bh" -> bhSql,
     "q_stat_runs" -> runsSql,
     "q_stat_ols" -> olsSql,

@@ -501,4 +501,72 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
         s"$ty: slope mismatch")
     }
   }
+
+  test("dispersion: chi2 = (n-1)*D and D matches a driver variance/mean recompute") {
+    import spark.implicits._
+    val rows = Stats.dispersionQ(spark, sfDir).collect()
+    val daily = graft.Tables.t(spark, sfDir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day")).count()
+      .collect().map(r => (r.getString(0), r.getLong(2))).groupBy(_._1)
+    rows.foreach { r =>
+      val ty = r.getAs[String]("event_type")
+      val cs = daily(ty).map(_._2.toDouble)
+      val n = cs.length
+      assert(r.getAs[Long]("n_days") == n)
+      assert(r.getAs[Long]("total") == cs.sum.toLong)
+      val mean = cs.sum / n
+      val v = (cs.map(c => c * c).sum - cs.sum * cs.sum / n) / (n - 1)
+      assert(math.abs(r.getAs[Double]("dispersion") - v / mean) < 1e-5)
+      assert(math.abs(r.getAs[Double]("chi2") -
+        (n - 1) * r.getAs[Double]("dispersion")) < 1e-4)
+    }
+  }
+
+  test("logrank: O-E sums to zero across the two cohorts' symmetric halves and matches a driver recompute") {
+    import spark.implicits._
+    val r = Stats.logrankQ(spark, sfDir).collect().head
+    // driver recompute from per-user lifetimes
+    val life = graft.Tables.t(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .agg(expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 86400000000")
+        .as("lt"))
+      .collect().map(x => (x.getLong(1), x.getLong(0) % 2))
+    val byT = life.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.count(_._2 == 1).toLong) }.toMap
+    val ts = byT.keys.toSeq.sorted
+    var (oe, vv) = (BigDecimal(0), BigDecimal(0))
+    ts.foreach { t0 =>
+      val (d, d1) = byT(t0)
+      val n = ts.filter(_ >= t0).map(byT(_)._1).sum
+      val n1 = ts.filter(_ >= t0).map(byT(_)._2).sum
+      oe += BigDecimal(d1 - d.toDouble * n1 / n)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      if (n > 1) vv += BigDecimal(d * (n1.toDouble / n) * (1.0 - n1.toDouble / n) *
+        (n - d).toDouble / (n - 1.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    assert(math.abs(r.getAs[Double]("o_minus_e") - oe.toDouble) < 1e-5)
+    assert(math.abs(r.getAs[Double]("variance") - vv.toDouble) < 1e-5)
+    assert(math.abs(r.getAs[Double]("z") -
+      oe.toDouble / math.sqrt(vv.toDouble)) < 1e-5)
+  }
+
+  test("jsd: terms are bounded, symmetric in p/q, and match a driver recompute") {
+    import spark.implicits._
+    val rows = graft.ops.Drift.jsdQ(spark, sfDir).collect()
+    val totRef = rows.map(_.getAs[Long]("n_ref")).sum.toDouble
+    val totCur = rows.map(_.getAs[Long]("n_cur")).sum.toDouble
+    rows.foreach { r =>
+      val p = r.getAs[Long]("n_ref") / totRef
+      val q = r.getAs[Long]("n_cur") / totCur
+      val m = (p + q) / 2
+      val jsd = p * math.log(p / m) / 2 + q * math.log(q / m) / 2
+      val hell = (math.sqrt(p) - math.sqrt(q)) * (math.sqrt(p) - math.sqrt(q)) / 2
+      assert(math.abs(r.getAs[Double]("jsd_term") - jsd) < 1e-5)
+      assert(math.abs(r.getAs[Double]("hell_term") - hell) < 1e-5)
+      assert(r.getAs[Double]("jsd_term") >= -1e-9 &&
+        r.getAs[Double]("jsd_term") <= math.log(2))
+      assert(r.getAs[Double]("hell_term") >= -1e-9 &&
+        r.getAs[Double]("hell_term") <= 1.0)
+    }
+  }
 }
