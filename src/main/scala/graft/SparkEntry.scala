@@ -43,6 +43,7 @@ object SparkEntry {
     graft.ops.Cdc.queries ++
     graft.ops.IntervalJoin.queries ++
     graft.ops.Classify.queries ++
+    graft.ops.Cluster.queries ++
     graft.ops.Colloc.queries ++
     graft.ops.Curate.queries ++
     graft.ops.Dedup.queries ++
@@ -87,6 +88,7 @@ object SparkEntry {
     graft.ops.Cdc.oracle ++
     graft.ops.IntervalJoin.oracle ++
     graft.ops.Classify.oracle ++
+    graft.ops.Cluster.oracle ++
     graft.ops.Colloc.oracle ++
     graft.ops.Curate.oracle ++
     graft.ops.Dedup.oracle ++

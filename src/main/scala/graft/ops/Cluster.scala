@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means (Lloyd's algorithm) over the `embeddings` table —
+  * the unsupervised-clustering primitive the curation suite was missing:
+  * domain discovery, cluster-balanced sampling, and SemDeDup-style
+  * pruning all start from "cluster the corpus", and every hyperscale
+  * pipeline runs exactly this loop (assign each vector to its nearest
+  * centroid; recompute centroids; repeat).
+  *
+  * Scale shape — the canonical broadcast-iterate pattern:
+  *   - centroids are a k-row frame BROADCAST to the assignment stage;
+  *     the corpus never shuffles for assignment (one narrow pass per
+  *     round, distance via a codegen'd `zip_with`/`aggregate` fold —
+  *     no UDF, no explode);
+  *   - the centroid update reuses [[Centroids.VecSum]]: whole vectors
+  *     fold into one (count, 64-wide sum) buffer per cluster map-side,
+  *     so only k × partitions buffers cross the exchange regardless of
+  *     corpus size (the posexplode alternative ships dim× the corpus);
+  *   - each round's k-row centroid frame is eagerly checkpointed, so
+  *     round r+1's plan starts from files, not a lineage replaying
+  *     every earlier round (the same O(rounds²) trap [[Iterate]]
+  *     documents).
+  *
+  * Determinism — the whole loop is EXACT integer arithmetic, so Spark
+  * and the DuckDB oracle agree bit-for-bit with no FP-order caveats:
+  *   - vectors quantize to micro-units once ([[Centroids.micro]]:
+  *     round(x·10⁶) as long), as in the centroid/outlier family;
+  *   - squared L2 distances are integer sums (≤ 64·(4·10⁶)² ≈ 10¹⁵,
+  *     far inside long range); ties break to the smallest cluster id
+  *     via a lexicographic (dist, cid) struct-min;
+  *   - updated centroids re-quantize as round(sum/n) — one IEEE double
+  *     divide over exact integers (sums ≤ 2⁵³, exactly representable),
+  *     identical on both engines;
+  *   - inertia sums distances as DECIMAL(28,0): exact and
+  *     order-independent where a raw long sum would overflow past
+  *     ~10⁵ vectors and a double sum would be partition-order noise.
+  *
+  * Init is the k vectors with the smallest vec_id (k-means++ needs
+  * weighted randomness the cross-engine contract can't pin; fixed init
+  * exercises the identical loop). Two full Lloyd rounds, then a final
+  * assignment against the round-2 centroids for reporting — enough to
+  * show real centroid movement (round 1 strictly decreases inertia on
+  * this corpus, asserted in the spec) while keeping the oracle's
+  * chained-CTE mirror readable.
+  */
+object Cluster {
+
+  private[ops] val K = 4
+  private[ops] val Rounds = 2
+
+  /** One assignment pass: nearest (exact integer L2², tie → smaller
+    * cid) of each vector to the broadcast k-row centroid frame. */
+  private def assign(mv: DataFrame, cent: DataFrame): DataFrame = {
+    val s = mv.sparkSession
+    import s.implicits._
+    mv.crossJoin(broadcast(cent))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(mv, cv, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as bigint), (acc, v) -> acc + v)"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"dist", $"cid")).as("m"))
+      .select($"vec_id", $"m.cid".as("cid"), $"m.dist".as("dist"))
+  }
+
+  /** Centroid update through [[Centroids.VecSum]] (bounded-state
+    * map-side fold), re-quantized to micro-units. */
+  private def update(mv: DataFrame, assigned: DataFrame): DataFrame = {
+    val s = mv.sparkSession
+    import s.implicits._
+    assigned.join(mv, "vec_id")
+      .select($"cid".as[Int], $"mv".as[Seq[Long]])
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(Centroids.VecSum.column(Centroids.Dim).name("agg"))
+      .toDF("cid", "agg")
+      .select($"cid", expr(
+        "transform(agg._2, s -> cast(round(cast(s as double) / agg._1) as bigint))")
+        .as("cv"))
+  }
+
+  /** q_cluster_kmeans entry: per-cluster size, exact inertia (micro²
+    * units), and mean squared distance after [[Rounds]] Lloyd rounds
+    * from the fixed smallest-vec_id init. */
+  def kmeansQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+    val mv = Centroids.micro(s, dir).select($"vec_id", $"mv")
+    var cent = mv.orderBy($"vec_id").limit(K)
+      .withColumn("cid", row_number().over(Window.orderBy($"vec_id")) - 1)
+      .select($"cid", $"mv".as("cv"))
+      .checkpoint()
+    for (_ <- 1 to Rounds)
+      cent = update(mv, assign(mv, cent)).checkpoint()
+    assign(mv, cent)
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n"),
+        sum($"dist".cast("decimal(28,0)")).cast("decimal(28,0)")
+          .as("inertia_u2"))
+      .select($"cid".cast("long").as("cid"), $"n", $"inertia_u2",
+        round($"inertia_u2".cast("double") / $"n" / lit(1e12), 6)
+          .as("mean_sq"))
+      .orderBy($"cid")
+  }
+
+  /** The oracle mirrors the loop as chained CTEs: one (assign, argmin,
+    * per-dim sum, re-quantize) block per round over the `range(1, 65)`
+    * dim index, exactly the integer arithmetic the Spark side runs. */
+  val kmeansSql: String = {
+    val dim = Centroids.Dim
+    def assignBlock(cIn: String, idx: Int): String =
+      s"""a$idx AS (
+         |  SELECT m.vec_id, c.cid,
+         |    SUM((m.mv[i] - c.cv[i]) * (m.mv[i] - c.cv[i])) AS d
+         |  FROM mv m CROSS JOIN $cIn c CROSS JOIN range(1, ${dim + 1}) t(i)
+         |  GROUP BY m.vec_id, c.cid),
+         |b$idx AS (
+         |  SELECT vec_id, cid, d,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |  FROM a$idx)""".stripMargin
+    def updateBlock(idx: Int): String =
+      s"""s$idx AS (
+         |  SELECT b.cid, t.i, SUM(m.mv[i]) AS sv, COUNT(*) AS n
+         |  FROM b$idx b JOIN mv m USING (vec_id)
+         |  CROSS JOIN range(1, ${dim + 1}) t(i)
+         |  WHERE b.rn = 1 GROUP BY b.cid, t.i),
+         |c${idx + 1} AS (
+         |  SELECT cid,
+         |    list(CAST(ROUND(CAST(sv AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
+         |  FROM s$idx GROUP BY cid)""".stripMargin
+    s"""WITH mv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, mv AS cv
+       |  FROM (SELECT * FROM mv ORDER BY vec_id LIMIT $K)),
+       |${assignBlock("c0", 0)},
+       |${updateBlock(0)},
+       |${assignBlock("c1", 1)},
+       |${updateBlock(1)},
+       |${assignBlock("c2", 2)}
+       |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(d) AS DECIMAL(28,0)) AS inertia_u2,
+       |  ROUND(CAST(CAST(SUM(d) AS DECIMAL(28,0)) AS DOUBLE) / COUNT(*)
+       |    / 1e12, 6) AS mean_sq
+       |FROM b2 WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_kmeans" -> kmeansQ)
+
+  def oracle: Map[String, String] = Map(
+    "q_cluster_kmeans" -> kmeansSql)
+}

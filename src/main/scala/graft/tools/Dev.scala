@@ -150,7 +150,9 @@ object Dev {
           "q_graph_modularity" -> "1-row total-weight frame over the 5-region partition table",
           "q_stat_bh" -> "1-row (N, X) totals frame over the |types|-row test table",
           "q_text_ctfidf" -> "1-row average-class-size frame over the vocab-bounded weight table",
-          "q_text_heaps" -> "1-row max-id frame + 1-row regression-fit frame over the 16-row grid")
+          "q_text_heaps" -> "1-row max-id frame + 1-row regression-fit frame over the 16-row grid",
+          "q_drift_jsd" -> "1-row totals frame",
+          "q_cluster_kmeans" -> "k-row (k=4) broadcast centroid frame per Lloyd round")
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {
             val plan = fn(spark, dir).queryExecution.sparkPlan

@@ -19,6 +19,7 @@ class RegistrySpec extends AnyFunSuite {
     "Cdc" -> graft.ops.Cdc.queries,
     "IntervalJoin" -> graft.ops.IntervalJoin.queries,
     "Classify" -> graft.ops.Classify.queries,
+    "Cluster" -> graft.ops.Cluster.queries,
     "Colloc" -> graft.ops.Colloc.queries,
     "Curate" -> graft.ops.Curate.queries,
     "Dedup" -> graft.ops.Dedup.queries,
