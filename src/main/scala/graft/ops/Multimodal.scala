@@ -557,13 +557,194 @@ object Multimodal {
       |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-image decoded-pixel statistics row: exact channel sums + a
+    * 4-bin red-channel histogram — everything integer. */
+  final case class PixelStats(doc_id: Long, n_px: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      h0: Long, h1: Long, h2: Long, h3: Long)
+
+  /** Deterministic planted GRADIENT PNG per sampled doc: pixel (x, y)
+    * of doc `id` has r = (37·id + 5x + 3y) % 256, g = (59·id + 7x + y)
+    * % 256, b = (83·id + x + 11y) % 256 — every pixel distinct, so a
+    * decoder that transposes axes, flips rows, drops a channel, or
+    * misreads stride diverges (a solid fill, as in [[plantedPngs]],
+    * can't catch any of those). PNG is lossless: decoded samples ARE
+    * the formula. */
+  private[ops] def plantedGradientPngs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").filter($"doc_id" % 20 === 7)
+      .select($"doc_id".as[Long])
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 13).toInt
+        val h = (8 + id % 11).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((37 * id + 5 * x + 3 * y) % 256).toInt
+            val g = ((59 * id + 7 * x + y) % 256).toInt
+            val b = ((83 * id + x + 11 * y) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        (id, buf.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** q_multimodal_pixels entry: REAL pixel-level statistics from
+    * decoded image content — per-channel sums (exact integers) and a
+    * 4-bin red histogram over a planted gradient PNG, the
+    * channel-mean / color-histogram feature pass an image-curation
+    * pipeline runs after decode (dedup by color signature, filter
+    * near-black/blown-out captures). The oracle recomputes every
+    * statistic ARITHMETICALLY from the gradient formula over a
+    * (width × height) index grid without touching binary, so the
+    * compare certifies actual decoded sample values, not just header
+    * fields — strictly stronger than [[decodeQ]]'s dimension check.
+    * Scale shape: narrow 1:1 encode+decode+fold over a pruned doc_id
+    * scan; zero exchange; integers end-to-end (means divide exact
+    * sums). */
+  def pixelsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    plantedGradientPngs(s, dir)
+      .select($"doc_id".as[Long], $"payload".as[Array[Byte]])
+      .mapPartitions(_.map { case (id, bytes) =>
+        val im = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (im.getWidth, im.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        val hist = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            sr += r; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            hist(r / 64) += 1
+            x += 1
+          }
+          y += 1
+        }
+        PixelStats(id, w.toLong * h, sr, sg, sb,
+          hist(0), hist(1), hist(2), hist(3))
+      }).toDF()
+      .select($"doc_id", $"n_px", $"sum_r", $"sum_g", $"sum_b",
+        round($"sum_r".cast("double") / $"n_px", 6).as("mean_r"),
+        $"h0", $"h1", $"h2", $"h3")
+      .orderBy($"doc_id")
+  }
+
+  val pixelsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
+      |  FROM documents WHERE doc_id % 20 = 7),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    (37 * doc_id + 5 * x.i + 3 * y.j) % 256 AS r,
+      |    (59 * doc_id + 7 * x.i + y.j) % 256 AS g,
+      |    (83 * doc_id + x.i + 11 * y.j) % 256 AS b
+      |  FROM d CROSS JOIN range(0, 21) x(i) CROSS JOIN range(0, 19) y(j)
+      |  WHERE x.i < w AND y.j < h)
+      |SELECT doc_id, CAST(w * h AS BIGINT) AS n_px,
+      |  CAST(SUM(r) AS BIGINT) AS sum_r,
+      |  CAST(SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(SUM(b) AS BIGINT) AS sum_b,
+      |  ROUND(CAST(CAST(SUM(r) AS BIGINT) AS DOUBLE) / (w * h), 6) AS mean_r,
+      |  CAST(SUM(CASE WHEN r // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+      |  CAST(SUM(CASE WHEN r // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+      |  CAST(SUM(CASE WHEN r // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+      |  CAST(SUM(CASE WHEN r // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
+  /** q_multimodal_pitch entry: autocorrelation periodicity analysis of
+    * the [[pcmQ]] PCM signal — for each candidate lag 1..16, the raw
+    * autocorrelation Σₖ x[k]·x[k−lag] over the parsed samples, keeping
+    * the lag with the maximum (tie → smallest lag): the classic
+    * pitch-detection / periodicity screen, run here ENTIRELY in exact
+    * integer arithmetic (products ≤ 2²⁰·64 per doc — no FP anywhere,
+    * so Spark and the oracle agree bit-for-bit including argmax
+    * ties). Samples come from the real WAV binary exactly as [[pcmQ]]
+    * parses it; the oracle regenerates them from the planted formula.
+    * Scale shape: one projection with a 16-lag higher-order fold per
+    * row; scan speed, zero exchange. */
+  def pitchQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dataHex = s"""concat_ws('', transform(sequence(0, ${PcmN - 1}), k ->
+      |  concat(lpad(hex(((${pcmSample("k")} + 65536) % 65536) % 256), 2, '0'),
+      |         lpad(hex(((${pcmSample("k")} + 65536) % 65536) div 256), 2, '0'))))""".stripMargin
+    val smp = s"""transform(sequence(0, ${PcmN - 1}), k ->
+      |  if(cast(conv(concat(substring(hx, (45 + 2 * k) * 2 + 1, 2),
+      |                      substring(hx, (44 + 2 * k) * 2 + 1, 2)), 16, 10)
+      |          as bigint) >= 32768,
+      |     cast(conv(concat(substring(hx, (45 + 2 * k) * 2 + 1, 2),
+      |                      substring(hx, (44 + 2 * k) * 2 + 1, 2)), 16, 10)
+      |          as bigint) - 65536,
+      |     cast(conv(concat(substring(hx, (45 + 2 * k) * 2 + 1, 2),
+      |                      substring(hx, (44 + 2 * k) * 2 + 1, 2)), 16, 10)
+      |          as bigint)))""".stripMargin
+    t(s, dir, "documents")
+      .filter($"doc_id" % 4 === 2)
+      .withColumn("payload",
+        concat(wavHeader("1", "8000", "16", PcmN.toString), unhex(expr(dataHex))))
+      .withColumn("hx", hex($"payload"))
+      .withColumn("smp", expr(smp))
+      .withColumn("ac", expr(s"""transform(sequence(1, 16), lg ->
+        |  aggregate(sequence(lg, ${PcmN - 1}), 0L,
+        |    (a, k) -> a + element_at(smp, k + 1) * element_at(smp, k - lg + 1)))"""
+        .stripMargin))
+      .withColumn("energy",
+        expr("aggregate(smp, 0L, (a, x) -> a + x * x)"))
+      .select($"doc_id",
+        expr("""aggregate(sequence(1, 16), named_struct('lg', 0L, 'v', -1000000000000000L),
+          |  (best, lg) -> if(element_at(ac, cast(lg as int)) > best.v,
+          |    named_struct('lg', cast(lg as bigint), 'v', element_at(ac, cast(lg as int))),
+          |    best)).lg""".stripMargin).as("best_lag"),
+        expr("array_max(ac)").as("ac_peak"),
+        $"energy",
+        round(expr("array_max(ac)").cast("double") /
+          $"energy".cast("double"), 6).as("ac_norm"))
+      .orderBy($"doc_id")
+      .limit(200)
+  }
+
+  val pitchSql: String = {
+    val smp = s"list_transform(range(0, $PcmN), k -> ${pcmSample("k")})"
+    s"""WITH d AS (
+      |  SELECT doc_id, $smp AS smp
+      |  FROM documents WHERE doc_id % 4 = 2 ORDER BY doc_id LIMIT 200),
+      |ac AS (
+      |  SELECT doc_id, smp, lg.lag,
+      |    CAST(list_reduce(list_transform(range(lag, $PcmN),
+      |      k -> smp[k + 1] * smp[k - lag + 1]), (a, b) -> a + b) AS BIGINT) AS acv
+      |  FROM d CROSS JOIN range(1, 17) lg(lag)),
+      |best AS (
+      |  SELECT doc_id, smp, lag, acv,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY acv DESC, lag) AS rn
+      |  FROM ac)
+      |SELECT doc_id, CAST(lag AS BIGINT) AS best_lag, acv AS ac_peak,
+      |  CAST(list_reduce(list_transform(smp, x -> x * x),
+      |    (a, b) -> a + b) AS BIGINT) AS energy,
+      |  ROUND(CAST(acv AS DOUBLE) / CAST(list_reduce(list_transform(smp,
+      |    x -> x * x), (a, b) -> a + b) AS DOUBLE), 6) AS ac_norm
+      |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal" -> multimodal,
     "q_multimodal_wav" -> wavQ,
     "q_multimodal_sniff" -> sniffQ,
     "q_multimodal_decode" -> decodeQ,
     "q_multimodal_decode_multi" -> decodeMultiQ,
-    "q_multimodal_pcm" -> pcmQ)
+    "q_multimodal_pcm" -> pcmQ,
+    "q_multimodal_pixels" -> pixelsQ,
+    "q_multimodal_pitch" -> pitchQ)
 
   def oracle: Map[String, String] = Map(
     "q_multimodal" -> multimodalSql,
@@ -571,5 +752,7 @@ object Multimodal {
     "q_multimodal_sniff" -> sniffSql,
     "q_multimodal_decode" -> decodeSql,
     "q_multimodal_decode_multi" -> decodeMultiSql,
-    "q_multimodal_pcm" -> pcmSql)
+    "q_multimodal_pcm" -> pcmSql,
+    "q_multimodal_pixels" -> pixelsSql,
+    "q_multimodal_pitch" -> pitchSql)
 }

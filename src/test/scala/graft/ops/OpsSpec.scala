@@ -1154,4 +1154,44 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
         math.sqrt(smp.map(x => x * x).sum.toDouble / 64)) < 1e-5)
     }
   }
+
+  test("pixels: gradient PNG decode recovers every channel sum and histogram bin exactly") {
+    val rows = Multimodal.pixelsQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = ((8 + id % 13).toInt, (8 + id % 11).toInt)
+      val px = for { x <- 0 until w; y <- 0 until h } yield
+        (((37 * id + 5 * x + 3 * y) % 256).toInt,
+          ((59 * id + 7 * x + y) % 256).toInt,
+          ((83 * id + x + 11 * y) % 256).toInt)
+      assert(r.getAs[Long]("n_px") == w.toLong * h)
+      assert(r.getAs[Long]("sum_r") == px.map(_._1.toLong).sum)
+      assert(r.getAs[Long]("sum_g") == px.map(_._2.toLong).sum)
+      assert(r.getAs[Long]("sum_b") == px.map(_._3.toLong).sum)
+      val hist = px.groupBy(_._1 / 64).view.mapValues(_.size.toLong).toMap
+      (0 to 3).foreach(b => assert(
+        r.getAs[Long](s"h$b") == hist.getOrElse(b, 0L), s"doc $id bin $b"))
+      assert(math.abs(r.getAs[Double]("mean_r") -
+        px.map(_._1.toLong).sum.toDouble / (w * h)) < 1e-5)
+    }
+  }
+
+  test("pitch: integer autocorrelation argmax matches a driver recompute including ties") {
+    val rows = Multimodal.pitchQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val smp = (0 until 64).map(k => ((id * 31 + 7L * k * k) % 2048) - 1024)
+      val ac = (1 to 16).map(lag =>
+        (lag, (lag until 64).map(k => smp(k) * smp(k - lag)).sum))
+      val (bestLag, peak) = ac.minBy { case (lag, v) => (-v, lag) }
+      assert(r.getAs[Long]("best_lag") == bestLag.toLong, s"doc $id")
+      assert(r.getAs[Long]("ac_peak") == peak)
+      val energy = smp.map(x => x * x).sum
+      assert(r.getAs[Long]("energy") == energy)
+      assert(math.abs(r.getAs[Double]("ac_norm") -
+        peak.toDouble / energy) < 1e-5)
+    }
+  }
 }
