@@ -241,13 +241,82 @@ object Colloc {
       |  CAST(rk AS INT) AS rk
       |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
 
+  /** q_text_kneser_ney entry: interpolated KNESER–NEY smoothed bigram
+    * probabilities (d = 0.75) for the corpus's top bigrams — the
+    * language-model smoothing that made n-gram LMs competitive
+    * (Kneser & Ney 1995; Chen & Goodman 1999's benchmark winner) and
+    * the natural upgrade to the suite's raw-MLE bigram scorer: the
+    * continuation probability P_cont(w₂) = N₁₊(·w₂)/N₁₊(··) backs off
+    * to "how many contexts does w₂ follow?" rather than raw frequency
+    * (the classic "San Francisco" → "Francisco" artifact), and the
+    * absolute-discount interpolation
+    * P(w₂|w₁) = (c₁₂ − d)/c(w₁) + d·N₁₊(w₁·)/c(w₁) · P_cont(w₂)
+    * redistributes exactly the discounted mass.
+    *
+    * Scale shape: the corpus collapses to bigram counts in one
+    * combinable groupBy (the only corpus-sized exchange); context,
+    * continuation, and type-total frames all derive from that
+    * vocabulary-bounded table and broadcast. Determinism: every count
+    * is an exact integer; p_kn is one fixed IEEE tree over them. */
+  def kneserNeyQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = t(s, dir, "documents")
+      .select(split(lower($"text"), " ").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(expr(
+        "filter(transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(toks[i-1] AS w1, toks[i] AS w2))," +
+          " p -> length(p.w1) > 0 AND length(p.w2) > 0)")).as("p"))
+      .select($"p.w1", $"p.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val ctx = pairs.groupBy($"w1")
+      .agg(sum($"c12").as("c_ctx"), count(lit(1)).as("n_fwd"))
+    val back = pairs.groupBy($"w2").agg(count(lit(1)).as("n_back"))
+    val types = pairs.agg(count(lit(1)).as("n_types"))
+    val d = lit(0.75d)
+    pairs
+      .join(broadcast(ctx), "w1")
+      .join(broadcast(back), "w2")
+      .crossJoin(broadcast(types))
+      .select($"w1", $"w2", $"c12", $"c_ctx", $"n_fwd", $"n_back",
+        round(($"c12".cast("double") - d) / $"c_ctx" +
+          d * $"n_fwd".cast("double") / $"c_ctx" *
+            ($"n_back".cast("double") / $"n_types"), 6).as("p_kn"))
+      .orderBy($"c12".desc, $"w1", $"w2")
+      .limit(20)
+  }
+
+  val kneserNeySql: String =
+    """WITH tok AS (
+      |  SELECT string_split(lower(text), ' ') AS toks FROM documents),
+      |pairs AS (
+      |  SELECT p.w1, p.w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+      |    SELECT unnest(list_transform(range(1, len(toks)),
+      |      i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+      |    FROM tok) WHERE len(p.w1) > 0 AND len(p.w2) > 0 GROUP BY 1, 2),
+      |ctx AS (
+      |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c_ctx,
+      |    CAST(COUNT(*) AS BIGINT) AS n_fwd
+      |  FROM pairs GROUP BY w1),
+      |back AS (
+      |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_back FROM pairs GROUP BY w2),
+      |ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM pairs)
+      |SELECT p.w1, p.w2, p.c12, c.c_ctx, c.n_fwd, b.n_back,
+      |  ROUND((CAST(p.c12 AS DOUBLE) - 0.75) / c.c_ctx
+      |    + 0.75 * CAST(c.n_fwd AS DOUBLE) / c.c_ctx
+      |      * (CAST(b.n_back AS DOUBLE) / t.n_types), 6) AS p_kn
+      |FROM pairs p JOIN ctx c USING (w1) JOIN back b USING (w2), ty t
+      |ORDER BY p.c12 DESC, p.w1, p.w2 LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_kneser_ney" -> kneserNeyQ,
     "q_text_ctfidf" -> ctfidfQ,
     "q_text_pmi" -> pmiQ,
     "q_text_freqfreq" -> freqFreqQ,
     "q_text_hapax" -> hapaxQ)
 
   def oracle: Map[String, String] = Map(
+    "q_text_kneser_ney" -> kneserNeySql,
     "q_text_ctfidf" -> ctfidfSql,
     "q_text_pmi" -> pmiSql,
     "q_text_freqfreq" -> freqFreqSql,

@@ -881,7 +881,101 @@ object Graph {
     * for the O(log n)-vs-diameter claim. */
   @volatile private[graft] var lastRounds: Int = 0
 
+  /** q_graph_closeness entry: CLOSENESS + HARMONIC centrality of every
+    * nation over the p75-strong undirected trade graph — the
+    * "which hub reaches the network fastest?" ranking that complements
+    * [[bfsQ]]'s single-source distances with the all-sources view.
+    * Closeness(v) = (reach(v) − 1) / Σᵤ d(v,u) over v's reachable set
+    * (0 when v is isolated); harmonic(v) = Σᵤ 1/d(v,u) — defined even
+    * on disconnected graphs, which is why both are reported.
+    *
+    * Implementation: MULTI-SOURCE BFS — one [[Iterate.fixpoint]] over
+    * the (root, node, hop) frame relaxes every source simultaneously
+    * (per round: one join of the frame against the edge list + a
+    * (root, node) min — the same plan a single source needs, ×|V|
+    * frame rows, NOT ×|V| passes over the data). The frame is
+    * node²-bounded (nations: 625 rows) regardless of corpus size; the
+    * corpus is touched exactly once, in the shared edge collapse.
+    *
+    * Determinism: hops are exact integers; closeness is one IEEE
+    * divide of exact ints; harmonic's 1/d terms round to 9 dp and sum
+    * as DECIMAL(28,9) (order-independent). */
+  def closenessQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inf = 999L
+    val und = strongUndirected(s, dir).cache()
+    val nodes = t(s, dir, "nation").select($"n_name".as("id"))
+    val init = nodes.select($"id".as("root"))
+      .crossJoin(nodes)
+      .withColumn("hop", when($"id" === $"root", 0L).otherwise(inf))
+    val converged = Iterate.fixpoint(init, 30, "closeness multi-bfs") { state =>
+      val relaxed = state
+        .select($"root".as("r2"), $"id".as("dst"), ($"hop" + 1).as("cand"))
+        .join(und, Seq("dst"))
+        .groupBy($"r2", $"src").agg(min($"cand").as("nbr"))
+      state
+        .join(relaxed, $"id" === $"src" && $"root" === $"r2", "left")
+        .select($"root", $"id",
+          least($"hop", coalesce($"nbr", $"hop")).as("hop"),
+          (coalesce($"nbr", $"hop") < $"hop").as("chg"))
+    }
+    converged
+      .groupBy($"root")
+      .agg(
+        sum(when($"hop" < inf, 1L).otherwise(0L)).as("n_reach"),
+        sum(when($"hop" > 0 && $"hop" < inf, $"hop").otherwise(0L))
+          .as("sum_dist"),
+        sum(when($"hop" > 0 && $"hop" < inf,
+          round(lit(1d) / $"hop", 9)).otherwise(lit(0d))
+          .cast("decimal(28,9)")).as("harm"))
+      .select($"root".as("node"), $"n_reach", $"sum_dist",
+        when($"sum_dist" > 0,
+          round(($"n_reach" - 1).cast("double") / $"sum_dist", 6))
+          .otherwise(lit(0d)).as("closeness"),
+        round($"harm".cast("double"), 6).as("harmonic"))
+      .orderBy($"node")
+  }
+
+  val closenessSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT w, row_number() OVER (ORDER BY w, src, dst) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM edges),
+      |thr AS (SELECT w AS thr FROM rk WHERE rn = (75 * n + 99) // 100),
+      |st AS (SELECT src, dst FROM edges, thr WHERE w >= thr),
+      |und AS (SELECT DISTINCT src, dst FROM (
+      |        SELECT src, dst FROM st
+      |        UNION ALL SELECT dst, src FROM st)),
+      |walk(root, node, hop) AS (
+      |  SELECT n_name, n_name, 0 FROM nation
+      |  UNION
+      |  SELECT w.root, u.dst, w.hop + 1
+      |  FROM walk w JOIN und u ON w.node = u.src
+      |  WHERE w.hop < 30),
+      |dist AS (SELECT root, node, MIN(hop) AS hop FROM walk GROUP BY 1, 2)
+      |SELECT root AS node,
+      |  CAST(COUNT(*) AS BIGINT) AS n_reach,
+      |  CAST(SUM(CASE WHEN hop > 0 THEN hop ELSE 0 END) AS BIGINT) AS sum_dist,
+      |  CASE WHEN SUM(CASE WHEN hop > 0 THEN hop ELSE 0 END) > 0 THEN
+      |    ROUND(CAST(COUNT(*) - 1 AS DOUBLE)
+      |      / SUM(CASE WHEN hop > 0 THEN hop ELSE 0 END), 6)
+      |  ELSE 0.0 END AS closeness,
+      |  ROUND(CAST(SUM(CAST(CASE WHEN hop > 0
+      |    THEN ROUND(1.0 / hop, 9) ELSE 0.0 END AS DECIMAL(28,9)))
+      |    AS DOUBLE), 6) AS harmonic
+      |FROM dist GROUP BY root ORDER BY node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_closeness" -> closenessQ,
     "q_graph_assortativity" -> assortativityQ,
     "q_graph_modularity" -> modularityQ,
     "q_graph_hits" -> hitsQ,
@@ -892,6 +986,7 @@ object Graph {
     "q_graph_bfs" -> bfsQ)
 
   def oracle: Map[String, String] = Map(
+    "q_graph_closeness" -> closenessSql,
     "q_graph_assortativity" -> assortativitySql,
     "q_graph_modularity" -> modularitySql,
     "q_graph_hits" -> hitsSql,

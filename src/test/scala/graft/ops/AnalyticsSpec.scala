@@ -821,4 +821,42 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     val restMean = byLang.filterNot(_._1).map(_._2).sum / byLang.count(!_._1)
     assert(enMean > restMean, s"en mean $enMean !> rest mean $restMean")
   }
+
+  test("kneser-ney: probabilities match a driver recompute and sum to 1 over the full event space") {
+    import spark.implicits._
+    val rows = Colloc.kneserNeyQ(spark, sfDir).collect()
+    assert(rows.length == 20)
+    // recompute all bigram counts on the driver
+    val bigrams = graft.Tables.t(spark, sfDir, "documents")
+      .select($"text").collect().map(_.getString(0))
+      .flatMap { txt =>
+        val t = txt.toLowerCase.split(" ")
+        t.zip(t.tail).filter { case (a, b) => a.nonEmpty && b.nonEmpty }
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cCtx = bigrams.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nFwd = bigrams.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val nBack = bigrams.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val nTypes = bigrams.size.toLong
+    val d = 0.75
+    rows.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      assert(r.getAs[Long]("c12") == bigrams((w1, w2)))
+      assert(r.getAs[Long]("c_ctx") == cCtx(w1))
+      assert(r.getAs[Long]("n_fwd") == nFwd(w1))
+      assert(r.getAs[Long]("n_back") == nBack(w2))
+      val p = (bigrams((w1, w2)) - d) / cCtx(w1) +
+        d * nFwd(w1) / cCtx(w1) * (nBack(w2).toDouble / nTypes)
+      assert(math.abs(r.getAs[Double]("p_kn") - p) < 1e-5, s"($w1,$w2)")
+      assert(p > 0 && p < 1)
+    }
+    // mass conservation: for one context, discounted mass + backoff = 1
+    // over the FULL vocabulary (sum of P_cont over all w2 is 1 exactly)
+    val w1 = rows.head.getAs[String]("w1")
+    val obs = bigrams.collect { case ((a, b), c) if a == w1 => (b, c) }
+    val direct = obs.map { case (_, c) => (c - d) / cCtx(w1) }.sum
+    val lambda = d * nFwd(w1) / cCtx(w1)
+    assert(math.abs(direct + lambda - 1.0) < 1e-9,
+      s"discount identity: $direct + $lambda")
+  }
 }

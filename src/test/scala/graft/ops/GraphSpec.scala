@@ -325,4 +325,40 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert((0L to 20L).forall(n => l2(n) == 0L))
     assert((100L to 120L).forall(n => l2(n) == 100L))
   }
+
+  test("closeness: per-node closeness and harmonic match an all-sources driver BFS") {
+    val rows = Graph.closenessQ(spark, sfDir).collect()
+    assert(rows.length == 25)
+    val adj = Graph.strongUndirected(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val root = r.getAs[String]("node")
+      val dist = scala.collection.mutable.Map(root -> 0L)
+      var frontier = Set(root)
+      var h = 0L
+      while (frontier.nonEmpty) {
+        h += 1
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .filterNot(dist.contains)
+        frontier.foreach(n => dist(n) = h)
+      }
+      assert(r.getAs[Long]("n_reach") == dist.size, s"$root reach")
+      val sd = dist.values.filter(_ > 0).sum
+      assert(r.getAs[Long]("sum_dist") == sd, s"$root sum_dist")
+      val closeness = if (sd > 0) (dist.size - 1).toDouble / sd else 0.0
+      assert(math.abs(r.getAs[Double]("closeness") - closeness) < 1e-5)
+      val harm = dist.values.filter(_ > 0)
+        .map(d => BigDecimal(1.0 / d).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      assert(math.abs(r.getAs[Double]("harmonic") - harm) < 1e-5, s"$root harmonic")
+    }
+    // on this connected trade graph the max-degree hub also wins closeness
+    val best = rows.maxBy(_.getAs[Double]("closeness")).getAs[String]("node")
+    val hub = adj.toSeq.map { case (n, ns) => (-ns.size, n) }.min._2
+    assert(rows.exists(_.getAs[String]("node") == hub))
+    assert(rows.find(_.getAs[String]("node") == best).get
+      .getAs[Double]("closeness") >= rows.find(_.getAs[String]("node") == hub)
+      .get.getAs[Double]("closeness"))
+  }
 }
