@@ -780,7 +780,151 @@ object TimeSeries {
       |FROM rk WHERE rn = (np + 1) // 2
       |ORDER BY event_type""".stripMargin
 
+  /** q_ts_xcorr entry: CROSS-correlation between the hourly `click`
+    * and `purchase` series at lags −3..+3 — the lead–lag detector that
+    * answers "do purchases follow clicks, and by how many hours?": the
+    * lag with max r is the funnel delay, and an asymmetric correlogram
+    * (r(+L) ≫ r(−L)) is the causality-direction smoke test. At lag L,
+    * x_t (clicks) pairs with y_{t+L} (purchases) over the densified
+    * 720-hour January grid — densified because skipping empty hours
+    * would silently misalign the lag (the same reason [[Stats.acfQ]]
+    * densifies).
+    *
+    * Scale shape: one combinable (type, hour) collapse; the correlogram
+    * runs on the calendar-bounded dense frame (720 rows × 7 lags).
+    * Determinism: counts are exact integers — every Pearson sum (Σx,
+    * Σy, Σxy, …) is integer arithmetic, and r is one IEEE tree at the
+    * end. */
+  def xcorrQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val hourly = t(s, dir, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("xc"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("yc"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |  timestamp'2024-01-30 23:00:00', interval 1 hour)) AS hour"""
+        .stripMargin)
+    val dense = grid.join(hourly, Seq("hour"), "left")
+      .select($"hour", coalesce($"xc", lit(0L)).as("x"),
+        coalesce($"yc", lit(0L)).as("y"))
+    val w = Window.orderBy($"hour")
+    def rAt(lagK: Int): DataFrame = dense
+      .withColumn("ys", lag($"y", -lagK).over(w)) // y_{t+L}
+      .filter($"ys".isNotNull)
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"ys").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"ys" * $"ys").as("syy"),
+        sum($"x" * $"ys").as("sxy"))
+      .select(lit(lagK.toLong).as("lag"), $"n",
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6).as("r"))
+    (-3 to 3).map(rAt).reduce(_ unionByName _)
+      .orderBy($"lag")
+  }
+
+  val xcorrSql: String = {
+    def at(k: Int): String =
+      s"""SELECT CAST($k AS BIGINT) AS lag, n,
+         |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+         |      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+         |FROM (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+         |    SUM(ys) AS sy, SUM(x * x) AS sxx, SUM(ys * ys) AS syy,
+         |    SUM(x * ys) AS sxy
+         |  FROM (
+         |    SELECT x, lag(y, ${-k}) OVER (ORDER BY hour) AS ys
+         |    FROM dense) WHERE ys IS NOT NULL)""".stripMargin
+    s"""WITH grid AS (
+       |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+       |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour),
+       |hourly AS (
+       |  SELECT date_trunc('hour', ts) AS hour,
+       |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS xc,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS yc
+       |  FROM events WHERE event_type IN ('click', 'purchase')
+       |  GROUP BY 1),
+       |dense AS (
+       |  SELECT g.hour, COALESCE(h.xc, 0) AS x, COALESCE(h.yc, 0) AS y
+       |  FROM grid g LEFT JOIN hourly h ON h.hour = g.hour)
+       |${(-3 to 3).map(at).mkString("\nUNION ALL\n")}
+       |ORDER BY lag""".stripMargin
+  }
+
+  /** q_ts_holt entry: HOLT'S LINEAR TREND (double exponential
+    * smoothing, α = 0.5, β = 0.3) over each event type's daily series —
+    * the one-pass level+trend forecaster operations teams actually run
+    * for capacity lines: unlike the suite's EWMA (level only) it
+    * carries an explicit trend state, so the 1-step-ahead forecast
+    * l_n + b_n extrapolates growth instead of lagging it.
+    *
+    * The recursion (l_t = αx_t + (1−α)(l_{t−1}+b_{t−1});
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}; init l₁ = x₁, b₁ = x₂−x₁)
+    * is inherently sequential per series — on the Spark side it runs
+    * as a codegen'd `aggregate` fold over the sorted calendar-bounded
+    * daily array (30 elements; the corpus collapses to (type, day)
+    * counts first), and the oracle mirrors it as a recursive CTE
+    * stepping the SAME formula text. Determinism: both engines fold
+    * the identical IEEE expression left-to-right over identical
+    * integer inputs, so every intermediate double matches bit-for-bit
+    * — the [[Stats.normP2]] shared-expression trick applied to a
+    * recurrence. */
+  def holtQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("c"))
+    daily.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"d", $"c"))).as("arr"))
+      .withColumn("xs", expr("transform(arr, e -> cast(e.c as double))"))
+      .filter(size($"xs") >= 2)
+      .withColumn("st", expr(
+        """aggregate(slice(xs, 2, size(xs) - 1),
+          |  named_struct('l', xs[0], 'b', xs[1] - xs[0]),
+          |  (st, x) -> named_struct(
+          |    'l', 0.5 * x + 0.5 * (st.l + st.b),
+          |    'b', 0.3 * ((0.5 * x + 0.5 * (st.l + st.b)) - st.l)
+          |         + 0.7 * st.b))""".stripMargin))
+      .select($"event_type",
+        size($"xs").cast("long").as("n_days"),
+        round($"st.l", 6).as("level"),
+        round($"st.b", 6).as("trend"),
+        round($"st.l" + $"st.b", 6).as("forecast"))
+      .orderBy($"event_type")
+  }
+
+  val holtSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, CAST(c AS DOUBLE) AS x,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM daily),
+      |rec(event_type, i, n, l, b) AS (
+      |  SELECT i1.event_type, 2, i1.n, i1.x,
+      |    (SELECT x FROM idx i2
+      |     WHERE i2.event_type = i1.event_type AND i2.i = 2) - i1.x
+      |  FROM idx i1 WHERE i1.i = 1 AND i1.n >= 2
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1, r.n,
+      |    0.5 * d.x + 0.5 * (r.l + r.b),
+      |    0.3 * ((0.5 * d.x + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b
+      |  FROM rec r JOIN idx d ON d.event_type = r.event_type AND d.i = r.i
+      |  WHERE r.i <= r.n)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |  ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+      |  ROUND(l + b, 6) AS forecast
+      |FROM rec WHERE i = n + 1 ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_xcorr" -> xcorrQ,
+    "q_ts_holt" -> holtQ,
     "q_ts_theilsen" -> theilSenQ,
     "q_ts_expfit" -> expfitQ,
     "q_ts_decompose" -> decomposeQ,
@@ -794,6 +938,8 @@ object TimeSeries {
     "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_xcorr" -> xcorrSql,
+    "q_ts_holt" -> holtSql,
     "q_ts_theilsen" -> theilSenSql,
     "q_ts_expfit" -> expfitSql,
     "q_ts_decompose" -> decomposeSql,

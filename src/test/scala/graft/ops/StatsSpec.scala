@@ -502,6 +502,62 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("xcorr: r matches a driver Pearson over the shifted dense series; lags cover -3..3") {
+    import spark.implicits._
+    val rows = TimeSeries.xcorrQ(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == (-3L to 3L))
+    val hourly = graft.Tables.t(spark, sfDir, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("xc"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("yc"))
+      .collect().map(r => (r.getTimestamp(0).getTime, (r.getLong(1), r.getLong(2)))).toMap
+    val start = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val xs = (0 until 720).map(i => hourly.getOrElse(start + i * 3600000L, (0L, 0L))._1)
+    val ys = (0 until 720).map(i => hourly.getOrElse(start + i * 3600000L, (0L, 0L))._2)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("lag").toInt
+      val pairs = (0 until 720).flatMap { t =>
+        val u = t + k
+        if (u >= 0 && u < 720) Some((xs(t), ys(u))) else None
+      }
+      val n = pairs.length
+      assert(r.getAs[Long]("n") == n)
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val exp = (n * sxy - sx * sy).toDouble /
+        math.sqrt(((n * sxx - sx * sx) * (n * syy - sy * sy)).toDouble)
+      assert(math.abs(r.getAs[Double]("r") - exp) < 1e-5, s"lag $k")
+      assert(math.abs(r.getAs[Double]("r")) <= 1.0)
+    }
+  }
+
+  test("holt: level/trend equal a sequential driver fold and the forecast is their sum") {
+    import spark.implicits._
+    val rows = TimeSeries.holtQ(spark, sfDir).collect()
+    val daily = graft.Tables.t(spark, sfDir, "events")
+      .groupBy($"event_type", to_date($"ts").as("d")).count()
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val ty = r.getAs[String]("event_type")
+      val xs = daily(ty).sortBy(_._2.toEpochDay).map(_._3.toDouble)
+      assert(r.getAs[Long]("n_days") == xs.length)
+      var l = xs(0)
+      var b = xs(1) - xs(0)
+      xs.drop(1).foreach { x =>
+        val l2 = 0.5 * x + 0.5 * (l + b)
+        b = 0.3 * (l2 - l) + 0.7 * b
+        l = l2
+      }
+      assert(math.abs(r.getAs[Double]("level") - l) < 1e-5, s"$ty level")
+      assert(math.abs(r.getAs[Double]("trend") - b) < 1e-5, s"$ty trend")
+      assert(math.abs(r.getAs[Double]("forecast") - (l + b)) < 1e-5)
+    }
+  }
+
   test("dispersion: chi2 = (n-1)*D and D matches a driver variance/mean recompute") {
     import spark.implicits._
     val rows = Stats.dispersionQ(spark, sfDir).collect()
