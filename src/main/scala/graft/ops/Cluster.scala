@@ -153,9 +153,135 @@ object Cluster {
        |FROM b2 WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin
   }
 
+  private[ops] val PqSubs = 8    // subspaces (64 dims → 8×8)
+  private[ops] val PqSubDim = 8
+  private[ops] val PqK = 4       // codes per subspace
+
+  /** q_cluster_pq entry: PRODUCT QUANTIZATION codebook training (Jégou
+    * et al., TPAMI 2011) — split each 64-dim embedding into 8
+    * contiguous 8-dim subvectors and k-means each subspace
+    * independently (k = 4, one Lloyd round from the shared
+    * smallest-vec_id init), reporting per-(subspace, code) cell sizes
+    * and exact distortion. PQ is how billion-vector ANN indexes
+    * actually store vectors (8 codes ≈ 8 bytes vs 256 bytes of floats
+    * — a 32× compression here); the per-subspace distortion table is
+    * the codebook-quality audit run before committing an index build.
+    *
+    * Scale shape: the subvector explode is a narrow 8× row map of
+    * 9-element rows (NOT 64× scalar rows); each subspace's loop is the
+    * same broadcast-assign / bounded-VecSum-update as [[kmeansQ]],
+    * with (sub, cid) as the compound key — all 8 subspaces train in
+    * the SAME two exchanges, not 8 sequential jobs. Determinism:
+    * identical micro-unit integer contract as [[kmeansQ]] — distances,
+    * tie-breaks, and re-quantized centroids are exact on both
+    * engines. */
+  def pqQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+    val mv = Centroids.micro(s, dir).select($"vec_id", $"mv")
+    val sub = mv.select($"vec_id", explode(expr(
+      s"transform(sequence(0, ${PqSubs - 1}), s0 -> " +
+        s"struct(s0 AS sub, slice(mv, $PqSubDim * s0 + 1, $PqSubDim) AS sv))"))
+      .as("e"))
+      .select($"vec_id", $"e.sub".as("sub"), $"e.sv".as("sv"))
+    val ids = mv.orderBy($"vec_id").limit(PqK)
+      .withColumn("cid", row_number().over(Window.orderBy($"vec_id")) - 1)
+      .select($"vec_id", $"cid")
+    def assignSub(cent: DataFrame): DataFrame =
+      sub.join(broadcast(cent), "sub")
+        .withColumn("dist", expr(
+          "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
+            "cast(0 as bigint), (acc, v) -> acc + v)"))
+        .groupBy($"vec_id", $"sub")
+        .agg(min(struct($"dist", $"cid")).as("m"))
+        .select($"vec_id", $"sub", $"m.cid".as("cid"), $"m.dist".as("dist"))
+    val cent0 = sub.join(broadcast(ids), "vec_id")
+      .select($"sub", $"cid", $"sv".as("cv"))
+      .checkpoint()
+    val cent1 = assignSub(cent0).join(sub, Seq("vec_id", "sub"))
+      .select($"sub".as[Int], $"cid".as[Int], $"sv".as[Seq[Long]])
+      .groupByKey { case (s0, c0, _) => (s0, c0) }
+      .mapValues(_._3)
+      .agg(Centroids.VecSum.column(PqSubDim).name("agg"))
+      .toDF("key", "agg")
+      .select($"key._1".as("sub"), $"key._2".as("cid"), expr(
+        "transform(agg._2, s -> cast(round(cast(s as double) / agg._1) as bigint))")
+        .as("cv"))
+      .checkpoint()
+    assignSub(cent1)
+      .groupBy($"sub", $"cid")
+      .agg(count(lit(1)).as("n"),
+        sum($"dist".cast("decimal(28,0)")).cast("decimal(28,0)")
+          .as("distortion_u2"))
+      .select($"sub".cast("long").as("sub"), $"cid".cast("long").as("cid"),
+        $"n", $"distortion_u2",
+        round($"distortion_u2".cast("double") / $"n" / lit(1e12), 6)
+          .as("mean_sq"))
+      .orderBy($"sub", $"cid")
+  }
+
+  /** Oracle: the same subspace loop over `range` grids — subvector
+    * slices via DuckDB's 1-based inclusive list slicing. */
+  val pqSql: String = {
+    val (m, sd, k) = (PqSubs, PqSubDim, PqK)
+    s"""WITH mv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, s.s AS sub,
+       |    mv[$sd * s.s + 1 : $sd * s.s + $sd] AS sv
+       |  FROM mv CROSS JOIN range(0, $m) s(s)),
+       |ids AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+       |  FROM (SELECT vec_id FROM mv ORDER BY vec_id LIMIT $k)),
+       |c0 AS (
+       |  SELECT v.sub, i.cid, v.sv AS cv FROM sub v JOIN ids i USING (vec_id)),
+       |a0 AS (
+       |  SELECT v.vec_id, v.sub, c.cid,
+       |    SUM((v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i])) AS d
+       |  FROM sub v JOIN c0 c ON c.sub = v.sub
+       |  CROSS JOIN range(1, ${sd + 1}) t(i)
+       |  GROUP BY 1, 2, 3),
+       |b0 AS (
+       |  SELECT vec_id, sub, cid, d,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+       |  FROM a0),
+       |s0 AS (
+       |  SELECT b.sub, b.cid, t.i, SUM(v.sv[i]) AS sv_sum, COUNT(*) AS n
+       |  FROM b0 b JOIN sub v ON v.vec_id = b.vec_id AND v.sub = b.sub
+       |  CROSS JOIN range(1, ${sd + 1}) t(i)
+       |  WHERE b.rn = 1 GROUP BY 1, 2, 3),
+       |c1 AS (
+       |  SELECT sub, cid,
+       |    list(CAST(ROUND(CAST(sv_sum AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
+       |  FROM s0 GROUP BY 1, 2),
+       |a1 AS (
+       |  SELECT v.vec_id, v.sub, c.cid,
+       |    SUM((v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i])) AS d
+       |  FROM sub v JOIN c1 c ON c.sub = v.sub
+       |  CROSS JOIN range(1, ${sd + 1}) t(i)
+       |  GROUP BY 1, 2, 3),
+       |b1 AS (
+       |  SELECT vec_id, sub, cid, d,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+       |  FROM a1)
+       |SELECT CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS cid,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(d) AS DECIMAL(28,0)) AS distortion_u2,
+       |  ROUND(CAST(CAST(SUM(d) AS DECIMAL(28,0)) AS DOUBLE) / COUNT(*)
+       |    / 1e12, 6) AS mean_sq
+       |FROM b1 WHERE rn = 1 GROUP BY sub, cid ORDER BY sub, cid""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_cluster_kmeans" -> kmeansQ)
+    "q_cluster_kmeans" -> kmeansQ,
+    "q_cluster_pq" -> pqQ)
 
   def oracle: Map[String, String] = Map(
-    "q_cluster_kmeans" -> kmeansSql)
+    "q_cluster_kmeans" -> kmeansSql,
+    "q_cluster_pq" -> pqSql)
 }

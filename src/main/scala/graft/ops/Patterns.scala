@@ -170,13 +170,107 @@ object Patterns {
       |SELECT state, pi FROM pi3 ORDER BY state""".stripMargin
   }
 
+  /** q_seq_entropy_rate entry: the ENTROPY RATE of the event-type
+    * Markov chain — H = Σ_s π_s · H(next | s) with H(next | s) =
+    * −Σ_d P(s,d)·ln P(s,d) — the single number that says how
+    * PREDICTABLE user behavior is (0 = deterministic next-step, ln 5 ≈
+    * 1.609 = uniform over the 5 types). Session-model fit, anomaly
+    * baselines, and compression bounds on event logs all start here;
+    * it composes the suite's transition matrix (q_seq_transitions) and
+    * stationary distribution (q_seq_stationary) into their canonical
+    * scalar summary. Output is one row per state (π, conditional
+    * entropy, contribution) so the decomposition is auditable; the
+    * rate is the contribution sum (asserted in the spec).
+    *
+    * Scale shape: the corpus collapses once to the |types|² transition
+    * table (one windowed pass + combinable groupBy); the 3-step power
+    * iteration and entropy arithmetic run on ≤25-row broadcast frames.
+    * Determinism: P and π round to 9 dp as in q_seq_stationary; each
+    * −p·ln p term rounds to 9 dp and sums as DECIMAL(28,9). */
+  def entropyRateQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val wSeq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wSrc = Window.partitionBy($"src")
+    val p = t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("src"))
+      .withColumn("dst", lead($"src", 1).over(wSeq))
+      .filter($"dst".isNotNull)
+      .groupBy($"src", $"dst")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round($"n".cast("double") / sum($"n").over(wSrc), 9))
+      .select($"src", $"dst", $"p")
+    val states = p.select($"src".as("state")).distinct()
+    var pi = states.withColumn("pi", lit(0.2))
+    for (_ <- 1 to 3) {
+      pi = p
+        .join(broadcast(pi.withColumnRenamed("state", "src")), "src")
+        .select($"dst",
+          round($"pi" * $"p", 9).cast("decimal(28,9)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("mass"))
+        .select($"dst".as("state"),
+          round($"mass".cast("double"), 9).as("pi"))
+    }
+    val hCond = p
+      .select($"src",
+        round(-$"p" * log($"p"), 9).cast("decimal(28,9)").as("t"))
+      .groupBy($"src")
+      .agg(round(sum($"t").cast("double"), 9).as("h_cond"))
+    hCond
+      .join(broadcast(pi.withColumnRenamed("state", "src")), "src")
+      .select($"src".as("state"), $"pi",
+        round($"h_cond", 6).as("h_cond"),
+        round($"pi" * $"h_cond", 6).as("contribution"))
+      .orderBy($"state")
+  }
+
+  val entropyRateSql: String = {
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT dst AS state,
+         |    ROUND(CAST(SUM(CAST(ROUND(pr.pi * p.p, 9) AS DECIMAL(28,9)))
+         |      AS DOUBLE), 9) AS pi
+         |  FROM p JOIN $prev pr ON pr.state = p.src
+         |  GROUP BY dst)""".stripMargin
+    s"""WITH seq AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |cnt AS (
+      |  SELECT src, dst, COUNT(*) AS n FROM seq
+      |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |p AS (
+      |  SELECT src, dst,
+      |    ROUND(CAST(n AS DOUBLE)
+      |      / SUM(n) OVER (PARTITION BY src), 9) AS p
+      |  FROM cnt),
+      |pi0 AS (SELECT DISTINCT src AS state, 0.2::DOUBLE AS pi FROM p),
+      |${iter("pi0", "pi1")},
+      |${iter("pi1", "pi2")},
+      |${iter("pi2", "pi3")},
+      |hc AS (
+      |  SELECT src,
+      |    ROUND(CAST(SUM(CAST(ROUND(-p * ln(p), 9) AS DECIMAL(28,9)))
+      |      AS DOUBLE), 9) AS h_cond
+      |  FROM p GROUP BY src)
+      |SELECT hc.src AS state, pi3.pi,
+      |  ROUND(hc.h_cond, 6) AS h_cond,
+      |  ROUND(pi3.pi * hc.h_cond, 6) AS contribution
+      |FROM hc JOIN pi3 ON pi3.state = hc.src
+      |ORDER BY state""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seq_pattern" -> sequenceQ,
     "q_seq_trigrams" -> trigramsQ,
-    "q_seq_stationary" -> stationaryQ)
+    "q_seq_stationary" -> stationaryQ,
+    "q_seq_entropy_rate" -> entropyRateQ)
 
   def oracle: Map[String, String] = Map(
     "q_seq_pattern" -> sequenceSql,
     "q_seq_trigrams" -> trigramsSql,
-    "q_seq_stationary" -> stationarySql)
+    "q_seq_stationary" -> stationarySql,
+    "q_seq_entropy_rate" -> entropyRateSql)
 }

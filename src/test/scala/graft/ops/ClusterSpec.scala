@@ -78,4 +78,37 @@ class ClusterSpec extends AnyFunSuite with SparkSpec {
     assert(i1 < i0, s"round 1 must improve: $i1 vs $i0")
     assert(i2 <= i1, s"round 2 must not regress: $i2 vs $i1")
   }
+
+  test("pq: per-subspace cells match an independent JVM Lloyd on each 8-dim slice; distortion beats one shared codebook") {
+    import spark.implicits._
+    val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)
+        .map(x => rnd(x.toDouble * 1000000)).toArray))
+      .toSeq
+    val rows = Cluster.pqQ(spark, sfDir).collect()
+    assert(rows.length <= Cluster.PqSubs * Cluster.PqK)
+    // every subspace partitions the corpus
+    rows.groupBy(_.getAs[Long]("sub")).foreach { case (sub, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sum == vecs.length, s"sub $sub")
+    }
+    var pqTotal = BigInt(0)
+    (0 until Cluster.PqSubs).foreach { sub =>
+      val sl = vecs.map { case (id, v) =>
+        (id, v.slice(sub * Cluster.PqSubDim, (sub + 1) * Cluster.PqSubDim)) }
+      val exp = lloyd(sl, Cluster.PqK, 1)
+      rows.filter(_.getAs[Long]("sub") == sub).foreach { r =>
+        val cid = r.getAs[Long]("cid").toInt
+        val (n, dist) = exp(cid)
+        assert(r.getAs[Long]("n") == n, s"sub $sub cell $cid size")
+        assert(BigInt(r.getAs[java.math.BigDecimal]("distortion_u2")
+          .toBigInteger) == dist, s"sub $sub cell $cid distortion")
+      }
+      pqTotal += exp.values.map(_._2).sum
+    }
+    // PQ's whole point: 8 independent 4-entry codebooks (4^8 effective
+    // codewords) quantize tighter than ONE 4-entry full-width codebook
+    val whole = lloyd(vecs, Cluster.PqK, 1).values.map(_._2).sum
+    assert(pqTotal < whole, s"pq $pqTotal !< single codebook $whole")
+  }
 }

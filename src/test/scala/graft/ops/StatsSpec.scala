@@ -558,6 +558,41 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("entropy rate: decomposition matches a driver recompute and is bounded by ln(#states)") {
+    import spark.implicits._
+    val rows = graft.ops.Patterns.entropyRateQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // driver recompute of P, pi (3 power steps from uniform), H
+    val seqs = graft.Tables.t(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime, r.getLong(2), r.getString(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(t => (t._1, t._2)).map(_._3))
+    val trans = seqs.values.flatMap(s0 => s0.zip(s0.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bySrc = trans.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def r9(d: Double) = BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val p = trans.map { case ((a, b), n) => ((a, b), r9(n.toDouble / bySrc(a))) }
+    val states = bySrc.keys.toSeq.sorted
+    var pi = states.map(_ -> 0.2).toMap
+    (1 to 3).foreach { _ =>
+      pi = states.map { d =>
+        d -> r9(p.collect { case ((a, b), pv) if b == d =>
+          BigDecimal(r9(pi(a) * pv)) }.sum.toDouble)
+      }.toMap
+    }
+    val hTot = rows.map(_.getAs[Double]("contribution")).sum
+    assert(hTot > 0 && hTot <= math.log(states.size) + 1e-6)
+    rows.foreach { r =>
+      val st = r.getAs[String]("state")
+      assert(math.abs(r.getAs[Double]("pi") - pi(st)) < 1e-6, s"$st pi")
+      val h = p.collect { case ((a, _), pv) if a == st =>
+        BigDecimal(r9(-pv * math.log(pv))) }.sum.toDouble
+      assert(math.abs(r.getAs[Double]("h_cond") - h) < 1e-5, s"$st h")
+      assert(math.abs(r.getAs[Double]("contribution") -
+        BigDecimal(pi(st) * h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
+    }
+  }
+
   test("dispersion: chi2 = (n-1)*D and D matches a driver variance/mean recompute") {
     import spark.implicits._
     val rows = Stats.dispersionQ(spark, sfDir).collect()
