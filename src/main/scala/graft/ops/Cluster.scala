@@ -175,32 +175,45 @@ object Cluster {
     * identical micro-unit integer contract as [[kmeansQ]] — distances,
     * tie-breaks, and re-quantized centroids are exact on both
     * engines. */
-  def pqQ(s: SparkSession, dir: String): DataFrame = {
+  /** Subvector explode + assignment helper shared by [[pqQ]] and
+    * [[pqSearchQ]]. */
+  private def pqSubvecs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Centroids.micro(s, dir).select($"vec_id", $"mv")
+      .select($"vec_id", explode(expr(
+        s"transform(sequence(0, ${PqSubs - 1}), s0 -> " +
+          s"struct(s0 AS sub, slice(mv, $PqSubDim * s0 + 1, $PqSubDim) AS sv))"))
+        .as("e"))
+      .select($"vec_id", $"e.sub".as("sub"), $"e.sv".as("sv"))
+  }
+
+  private def assignSub(sub: DataFrame, cent: DataFrame): DataFrame = {
+    val s = sub.sparkSession
+    import s.implicits._
+    sub.join(broadcast(cent), "sub")
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as bigint), (acc, v) -> acc + v)"))
+      .groupBy($"vec_id", $"sub")
+      .agg(min(struct($"dist", $"cid")).as("m"))
+      .select($"vec_id", $"sub", $"m.cid".as("cid"), $"m.dist".as("dist"))
+  }
+
+  /** The trained (sub, cid, cv) codebook after one Lloyd round from the
+    * shared smallest-vec_id init — checkpointed k×m-row frame. */
+  private def pqCodebook(s: SparkSession, dir: String, sub: DataFrame): DataFrame = {
     import s.implicits._
     if (s.sparkContext.getCheckpointDir.isEmpty)
       s.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
-    val mv = Centroids.micro(s, dir).select($"vec_id", $"mv")
-    val sub = mv.select($"vec_id", explode(expr(
-      s"transform(sequence(0, ${PqSubs - 1}), s0 -> " +
-        s"struct(s0 AS sub, slice(mv, $PqSubDim * s0 + 1, $PqSubDim) AS sv))"))
-      .as("e"))
-      .select($"vec_id", $"e.sub".as("sub"), $"e.sv".as("sv"))
-    val ids = mv.orderBy($"vec_id").limit(PqK)
+    val ids = Centroids.micro(s, dir).select($"vec_id", $"mv")
+      .orderBy($"vec_id").limit(PqK)
       .withColumn("cid", row_number().over(Window.orderBy($"vec_id")) - 1)
       .select($"vec_id", $"cid")
-    def assignSub(cent: DataFrame): DataFrame =
-      sub.join(broadcast(cent), "sub")
-        .withColumn("dist", expr(
-          "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
-            "cast(0 as bigint), (acc, v) -> acc + v)"))
-        .groupBy($"vec_id", $"sub")
-        .agg(min(struct($"dist", $"cid")).as("m"))
-        .select($"vec_id", $"sub", $"m.cid".as("cid"), $"m.dist".as("dist"))
     val cent0 = sub.join(broadcast(ids), "vec_id")
       .select($"sub", $"cid", $"sv".as("cv"))
       .checkpoint()
-    val cent1 = assignSub(cent0).join(sub, Seq("vec_id", "sub"))
+    assignSub(sub, cent0).join(sub, Seq("vec_id", "sub"))
       .select($"sub".as[Int], $"cid".as[Int], $"sv".as[Seq[Long]])
       .groupByKey { case (s0, c0, _) => (s0, c0) }
       .mapValues(_._3)
@@ -210,7 +223,13 @@ object Cluster {
         "transform(agg._2, s -> cast(round(cast(s as double) / agg._1) as bigint))")
         .as("cv"))
       .checkpoint()
-    assignSub(cent1)
+  }
+
+  def pqQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = pqSubvecs(s, dir)
+    val cent1 = pqCodebook(s, dir, sub)
+    assignSub(sub, cent1)
       .groupBy($"sub", $"cid")
       .agg(count(lit(1)).as("n"),
         sum($"dist".cast("decimal(28,0)")).cast("decimal(28,0)")
@@ -222,9 +241,49 @@ object Cluster {
       .orderBy($"sub", $"cid")
   }
 
+  /** q_cluster_pq_search entry: ASYMMETRIC-DISTANCE (ADC) top-k search
+    * over the PQ-encoded corpus — the read path that justifies the
+    * codebook: every vector is stored as 8 one-byte codes, and a query
+    * is answered by (1) building a per-query (sub, code) → distance
+    * LOOKUP TABLE against the codebook (queries × 8 × 4 entries — a
+    * broadcast, never a corpus shuffle of vectors) and (2) summing 8
+    * table hits per candidate. This is exactly how IVF-PQ indexes
+    * score billions of candidates without touching a float. Queries
+    * are the bounded `vec_id % 97 = 0` set (self-match excluded);
+    * top-10 per query by (adc, vec_id).
+    *
+    * Scale shape: after encode, the corpus moves as (vec_id, sub,
+    * code) triples — 8 small ints per vector; the LUT join is a
+    * broadcast hash join; the only exchange is the (query, vec)
+    * aggregation of 8 rows each. Determinism: ADC distances are exact
+    * integer sums; ranking ties break on vec_id. */
+  def pqSearchQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = pqSubvecs(s, dir)
+    val cent1 = pqCodebook(s, dir, sub)
+    val codes = assignSub(sub, cent1).select($"vec_id", $"sub", $"cid")
+    val lut = sub.filter($"vec_id" % 97 === 0)
+      .withColumnRenamed("vec_id", "qid")
+      .join(broadcast(cent1), "sub")
+      .withColumn("d", expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as bigint), (acc, v) -> acc + v)"))
+      .select($"qid", $"sub", $"cid", $"d")
+    val w = Window.partitionBy($"qid").orderBy($"adc", $"vec_id")
+    codes.join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"d").as("adc"))
+      .filter($"qid" =!= $"vec_id")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"qid", $"rank".cast("long").as("rank"), $"vec_id",
+        $"adc".cast("decimal(28,0)").as("adc_u2"))
+      .orderBy($"qid", $"rank")
+  }
+
   /** Oracle: the same subspace loop over `range` grids — subvector
     * slices via DuckDB's 1-based inclusive list slicing. */
-  val pqSql: String = {
+  private val pqPrefixSql: String = {
     val (m, sd, k) = (PqSubs, PqSubDim, PqK)
     s"""WITH mv AS (
        |  SELECT vec_id,
@@ -268,20 +327,49 @@ object Cluster {
        |b1 AS (
        |  SELECT vec_id, sub, cid, d,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
-       |  FROM a1)
+       |  FROM a1)""".stripMargin
+  }
+
+  val pqSql: String =
+    s"""$pqPrefixSql
        |SELECT CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS cid,
        |  CAST(COUNT(*) AS BIGINT) AS n,
        |  CAST(SUM(d) AS DECIMAL(28,0)) AS distortion_u2,
        |  ROUND(CAST(CAST(SUM(d) AS DECIMAL(28,0)) AS DOUBLE) / COUNT(*)
        |    / 1e12, 6) AS mean_sq
        |FROM b1 WHERE rn = 1 GROUP BY sub, cid ORDER BY sub, cid""".stripMargin
+
+  val pqSearchSql: String = {
+    val sd = PqSubDim
+    s"""$pqPrefixSql,
+       |codes AS (SELECT vec_id, sub, cid FROM b1 WHERE rn = 1),
+       |lut AS (
+       |  SELECT v.vec_id AS qid, v.sub, c.cid,
+       |    SUM((v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i])) AS d
+       |  FROM sub v JOIN c1 c ON c.sub = v.sub
+       |  CROSS JOIN range(1, ${sd + 1}) t(i)
+       |  WHERE v.vec_id % 97 = 0
+       |  GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT l.qid, co.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc
+       |  FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT qid, vec_id, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+       |  FROM adc WHERE qid <> vec_id)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+       |  CAST(adc AS DECIMAL(28,0)) AS adc_u2
+       |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cluster_kmeans" -> kmeansQ,
-    "q_cluster_pq" -> pqQ)
+    "q_cluster_pq" -> pqQ,
+    "q_cluster_pq_search" -> pqSearchQ)
 
   def oracle: Map[String, String] = Map(
     "q_cluster_kmeans" -> kmeansSql,
-    "q_cluster_pq" -> pqSql)
+    "q_cluster_pq" -> pqSql,
+    "q_cluster_pq_search" -> pqSearchSql)
 }

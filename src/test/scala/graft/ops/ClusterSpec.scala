@@ -111,4 +111,78 @@ class ClusterSpec extends AnyFunSuite with SparkSpec {
     val whole = lloyd(vecs, Cluster.PqK, 1).values.map(_._2).sum
     assert(pqTotal < whole, s"pq $pqTotal !< single codebook $whole")
   }
+
+  test("pq search: ADC values match a driver recompute and recall@10 vs exact top-10 is usable") {
+    import spark.implicits._
+    val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)
+        .map(x => rnd(x.toDouble * 1000000)).toArray))
+      .toSeq
+    val byId = vecs.toMap
+    // retrain the codebook + codes on the driver (same exact contract)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val m = Cluster.PqSubs; val sd = Cluster.PqSubDim; val k = Cluster.PqK
+    def sl(v: Array[Long], sub: Int) = v.slice(sub * sd, (sub + 1) * sd)
+    val codebook: Map[Int, Seq[(Int, Array[Long])]] = (0 until m).map { sub =>
+      val sv = vecs.map { case (id, v) => (id, sl(v, sub)) }
+      var cent = sv.sortBy(_._1).take(k).zipWithIndex
+        .map { case ((_, v), i) => (i, v) }
+      // one Lloyd round
+      val asg = sv.map { case (id, v) =>
+        (id, cent.map { case (c, cv) => (c, d2(v, cv)) }
+          .minBy { case (c, d) => (d, c) }._1) }
+      cent = asg.groupBy(_._2).toSeq.map { case (cid, mem) =>
+        val vs = mem.map { case (id, _) => sv.find(_._1 == id).get._2 }
+        (cid, vs.transpose.map(_.sum)
+          .map(x => rnd(x.toDouble / vs.length)).toArray)
+      }.sortBy(_._1)
+      sub -> cent
+    }.toMap
+    def code(v: Array[Long], sub: Int): Int =
+      codebook(sub).map { case (c, cv) => (c, d2(sl(v, sub), cv)) }
+        .minBy { case (c, d) => (d, c) }._1
+    val rows = Cluster.pqSearchQ(spark, sfDir).collect()
+    val qids = rows.map(_.getAs[Long]("qid")).distinct
+    assert(qids.nonEmpty && qids.forall(_ % 97 == 0))
+    var recallSum = 0.0
+    qids.foreach { qid =>
+      val got = rows.filter(_.getAs[Long]("qid") == qid)
+        .sortBy(_.getAs[Long]("rank"))
+      assert(got.length == 10)
+      val q = byId(qid)
+      // driver ADC: lut distance from q's subvector to candidate's code centroid
+      got.foreach { r =>
+        val vid = r.getAs[Long]("vec_id")
+        val adc = (0 until m).map { sub =>
+          d2(sl(q, sub), codebook(sub).find(_._1 == code(byId(vid), sub)).get._2)
+        }.sum
+        assert(BigInt(r.getAs[java.math.BigDecimal]("adc_u2").toBigInteger)
+          == BigInt(adc), s"q $qid cand $vid adc")
+      }
+      val exactAll = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, d2(q, v)) }
+      val exact = exactAll.sortBy { case (id, d) => (d, id) }
+        .take(10).map(_._1).toSet
+      recallSum += got.map(_.getAs[Long]("vec_id")).count(exact) / 10.0
+      // retrieved candidates must be genuinely closer than average —
+      // the robust quality property that survives the distance
+      // concentration of near-uniform synthetic embeddings
+      val dAll = exactAll.map(_._2.toDouble).sum / exactAll.length
+      val dGot = got.map(r => d2(q, byId(r.getAs[Long]("vec_id"))).toDouble)
+        .sum / got.length
+      assert(dGot < dAll, s"q $qid: retrieved mean $dGot !< corpus mean $dAll")
+    }
+    // near-uniform random embeddings are PQ's worst case (distances
+    // concentrate), so absolute recall is low by construction — the
+    // gate is "far better than chance" (chance = 10/(n-1) ~ 0.02)
+    val recall = recallSum / qids.length
+    val chance = 10.0 / (vecs.length - 1)
+    assert(recall >= 3 * chance,
+      s"mean recall@10 $recall below 3x chance ${3 * chance}")
+  }
 }
