@@ -736,7 +736,87 @@ object Multimodal {
       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** Big-endian field read from a hex column: bytes `off..off+n-1`
+    * (0-based) as an unsigned integer — MP4/ISO-BMFF is big-endian, so
+    * the hex digits are already in place-value order. */
+  private[ops] def beValExpr(hexCol: String, off: Int, n: Int): String =
+    s"cast(conv(substring($hexCol, ${off * 2 + 1}, ${n * 2}), 16, 10) as bigint)"
+
+  /** q_multimodal_mp4 entry: VIDEO CONTAINER metadata via a real
+    * ISO-BMFF box walk — the piece of the video story that needs no
+    * codec: the fixture synthesizes a genuine `ftyp` + `moov`/`mvhd`
+    * box structure per video doc (variable-length compatible-brands
+    * list, timescale/duration from doc_id formulas), and the query
+    * WALKS the boxes from the binary — reads the ftyp box SIZE field
+    * to locate `moov` (a fixed-offset parser would break the moment
+    * the brand list length changes), verifies each 4CC tag, then
+    * extracts mvhd timescale/duration and derives the duration in
+    * seconds. This is exactly what ffprobe-style listing does before
+    * any decoder opens; frame DECODE remains env-blocked (no JDK video
+    * codec) and stubbed in [[frameSample]].
+    *
+    * The oracle recomputes every field arithmetically from doc_id —
+    * one wrong size read, endianness slip, or off-by-one in the walk
+    * diverges. Scale: pure map over the video partition; scan speed,
+    * zero exchange. */
+  def mp4Q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def be(v: String, n: Int): String =
+      s"lpad(hex($v), ${n * 2}, '0')"
+    // brands: 1 + id%3 of [isom, mp41, mp42]
+    val brandsHex = """CASE cast(doc_id % 3 as int)
+      |  WHEN 0 THEN '69736F6D'
+      |  WHEN 1 THEN concat('69736F6D', '6D703431')
+      |  ELSE concat('69736F6D', '6D703431', '6D703432') END""".stripMargin
+    val ftypSize = "(16 + 4 * (1 + doc_id % 3))"
+    val ts = "(600 + doc_id % 1000)"
+    val dur = "(600 + (doc_id * 13) % 90000)"
+    val payload = s"""unhex(concat(
+      |  ${be(ftypSize, 4)}, '66747970', '69736F6D', ${be("512", 4)},
+      |  $brandsHex,
+      |  ${be("116", 4)}, '6D6F6F76',
+      |  ${be("108", 4)}, '6D766864', '00000000',
+      |  '00000000', '00000000',
+      |  ${be(ts, 4)}, ${be(dur, 4)},
+      |  repeat('00', 80)))""".stripMargin
+    val withHx = t(s, dir, "documents")
+      .filter($"doc_id" % 4 === 3)
+      .withColumn("hx", hex(expr(payload)))
+    // the walk: ftyp size at 0 locates moov; every 4CC verified
+    val fsz = beValExpr("hx", 0, 4)
+    val moovOff = s"cast($fsz as int)"
+    withHx
+      .withColumn("ftyp_size", expr(fsz))
+      .withColumn("parsed",
+        expr(s"substring(hx, 9, 8) = '66747970'") &&
+          expr(s"substring(hx, $moovOff * 2 + 9, 8) = '6D6F6F76'") &&
+          expr(s"substring(hx, ($moovOff + 8) * 2 + 9, 8) = '6D766864'"))
+      .withColumn("timescale", expr(
+        s"cast(conv(substring(hx, ($moovOff + 8 + 20) * 2 + 1, 8), 16, 10) as bigint)"))
+      .withColumn("duration", expr(
+        s"cast(conv(substring(hx, ($moovOff + 8 + 24) * 2 + 1, 8), 16, 10) as bigint)"))
+      .select($"doc_id", $"ftyp_size",
+        expr("(ftyp_size - 16) div 4").as("n_brands"),
+        when($"parsed", 1L).otherwise(0L).as("parsed"),
+        $"timescale", $"duration",
+        round($"duration".cast("double") / $"timescale", 6).as("duration_s"))
+      .orderBy($"doc_id")
+      .limit(200)
+  }
+
+  val mp4Sql: String =
+    """SELECT doc_id,
+      |  CAST(16 + 4 * (1 + doc_id % 3) AS BIGINT) AS ftyp_size,
+      |  CAST(1 + doc_id % 3 AS BIGINT) AS n_brands,
+      |  CAST(1 AS BIGINT) AS parsed,
+      |  CAST(600 + doc_id % 1000 AS BIGINT) AS timescale,
+      |  CAST(600 + (doc_id * 13) % 90000 AS BIGINT) AS duration,
+      |  ROUND(CAST(600 + (doc_id * 13) % 90000 AS DOUBLE)
+      |    / (600 + doc_id % 1000), 6) AS duration_s
+      |FROM documents WHERE doc_id % 4 = 3 ORDER BY doc_id LIMIT 200""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_mp4" -> mp4Q,
     "q_multimodal" -> multimodal,
     "q_multimodal_wav" -> wavQ,
     "q_multimodal_sniff" -> sniffQ,
@@ -747,6 +827,7 @@ object Multimodal {
     "q_multimodal_pitch" -> pitchQ)
 
   def oracle: Map[String, String] = Map(
+    "q_multimodal_mp4" -> mp4Sql,
     "q_multimodal" -> multimodalSql,
     "q_multimodal_wav" -> wavSql,
     "q_multimodal_sniff" -> sniffSql,

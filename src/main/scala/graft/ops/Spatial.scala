@@ -93,9 +93,84 @@ object Spatial {
       |  <= ${RadiusH * RadiusH}
       |ORDER BY id_a, id_b""".stripMargin
 
+  private val MinPts = 2L
+
+  /** q_cluster_dbscan entry: GRID-based density clustering (the cell
+    * phase of GriDBSCAN / grid-DBSCAN) over the same md5-derived point
+    * field as [[spatialQ]] — dense cells (≥ [[MinPts]] residents)
+    * connect through their 8-neighborhood into clusters; sparse cells
+    * are noise. Density clustering is the family k-means can't cover
+    * (arbitrary-shape clusters, explicit noise), and the grid variant
+    * is the one that scales: density is a combinable cell count, and
+    * connectivity runs on the CELL graph (≤ 90² nodes regardless of
+    * corpus size), not on points.
+    *
+    * Cluster labels canonicalize to the minimum reachable cell id via
+    * [[Graph.connectedComponentsStar]] (O(log n) rounds); isolated
+    * dense cells keep their own id. Output: per cluster, cell count
+    * and resident point count — all exact integers.
+    *
+    * Scale shape: one corpus-sized combinable groupBy(cell); the
+    * adjacency self-join and component loop touch only the bounded
+    * dense-cell frame. At 100 TB the grid would size by data extent,
+    * keeping the cell graph millions of times smaller than the
+    * corpus. */
+  def dbscanQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dense = points(s, dir)
+      .groupBy($"cx", $"cy").agg(count(lit(1)).as("n"))
+      .filter($"n" >= MinPts)
+      .withColumn("cell", $"cx" * Cells + $"cy")
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1 if !(dx == 0 && dy == 0))
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val adj = dense
+      .select($"cell".as("doc_a"), $"cx", $"cy",
+        explode(array(offsets: _*)).as("o"))
+      .select($"doc_a", ($"cx" + $"o.dx").as("kx"), ($"cy" + $"o.dy").as("ky"))
+      .join(dense.select($"cell".as("doc_b"), $"cx".as("kx"),
+        $"cy".as("ky")), Seq("kx", "ky"))
+      .select($"doc_a", $"doc_b")
+    val labels = Graph.connectedComponentsStar(adj)
+    dense.join(labels, dense("cell") === labels("id"), "left")
+      .select($"cell", coalesce($"label", $"cell").as("cluster"), $"n")
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_cells"), sum($"n").as("n_points"))
+      .orderBy($"cluster")
+  }
+
+  val dbscanSql: String =
+    s"""WITH RECURSIVE pts AS (
+      |  SELECT c_custkey AS id,
+      |    ('0x' || substr(md5(c_custkey::VARCHAR || ':x'), 1, 15))
+      |      ::UBIGINT::BIGINT % ${Cells * 100} AS xi,
+      |    ('0x' || substr(md5(c_custkey::VARCHAR || ':y'), 1, 15))
+      |      ::UBIGINT::BIGINT % ${Cells * 100} AS yi
+      |  FROM customer),
+      |dense AS (
+      |  SELECT xi // 100 AS cx, yi // 100 AS cy,
+      |    (xi // 100) * $Cells + yi // 100 AS cell,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM pts GROUP BY 1, 2, 3 HAVING COUNT(*) >= $MinPts),
+      |adj AS (
+      |  SELECT a.cell AS ca, b.cell AS cb
+      |  FROM dense a JOIN dense b
+      |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+      |    AND a.cell <> b.cell),
+      |reach(c, r) AS (
+      |  SELECT cell, cell FROM dense
+      |  UNION
+      |  SELECT w.c, adj.cb FROM reach w JOIN adj ON adj.ca = w.r),
+      |lab AS (SELECT c AS cell, MIN(r) AS cluster FROM reach GROUP BY c)
+      |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  CAST(SUM(n) AS BIGINT) AS n_points
+      |FROM dense JOIN lab USING (cell)
+      |GROUP BY cluster ORDER BY cluster""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_join_spatial" -> spatialQ)
+    "q_join_spatial" -> spatialQ,
+    "q_cluster_dbscan" -> dbscanQ)
 
   def oracle: Map[String, String] = Map(
-    "q_join_spatial" -> spatialSql)
+    "q_join_spatial" -> spatialSql,
+    "q_cluster_dbscan" -> dbscanSql)
 }

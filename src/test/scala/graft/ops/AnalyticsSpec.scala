@@ -822,6 +822,50 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(enMean > restMean, s"en mean $enMean !> rest mean $restMean")
   }
 
+  test("grid dbscan: clusters equal a driver union-find over dense cells; noise points excluded") {
+    import spark.implicits._
+    val rows = Spatial.dbscanQ(spark, sfDir).collect()
+    // driver recompute: positions from the SAME md5 contract
+    val pts = graft.Tables.t(spark, sfDir, "customer")
+      .select($"c_custkey".as("id"))
+      .withColumn("xi", graft.ops.Hashing.md5Long60(
+        concat($"id".cast("string"), lit(":x"))) % 9000)
+      .withColumn("yi", graft.ops.Hashing.md5Long60(
+        concat($"id".cast("string"), lit(":y"))) % 9000)
+      .collect().map(r => (r.getLong(1) / 100, r.getLong(2) / 100))
+    val cellN = pts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dense = cellN.filter(_._2 >= 2).keys.toSet
+    // union-find over 8-neighborhood of dense cells
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def cid(c: (Long, Long)) = c._1 * 90 + c._2
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for (c <- dense; dx <- -1 to 1; dy <- -1 to 1 if (dx, dy) != ((0, 0))) {
+      val nb = (c._1 + dx, c._2 + dy)
+      if (dense(nb)) union(cid(c), cid(nb))
+    }
+    val expected = dense.groupBy(c => find(cid(c))).map { case (root, cs) =>
+      root -> (cs.size.toLong, cs.toSeq.map(cellN).sum)
+    }
+    assert(rows.length == expected.size,
+      s"${rows.length} clusters vs ${expected.size}")
+    rows.foreach { r =>
+      val (nc, np) = expected(r.getAs[Long]("cluster"))
+      assert(r.getAs[Long]("n_cells") == nc)
+      assert(r.getAs[Long]("n_points") == np)
+    }
+    // noise accounting: clustered points + sparse-cell points = corpus
+    val clustered = rows.map(_.getAs[Long]("n_points")).sum
+    val noise = cellN.filter(_._2 < 2).values.sum
+    assert(clustered + noise == pts.length)
+  }
+
   test("kneser-ney: probabilities match a driver recompute and sum to 1 over the full event space") {
     import spark.implicits._
     val rows = Colloc.kneserNeyQ(spark, sfDir).collect()

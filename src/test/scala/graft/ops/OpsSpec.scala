@@ -1155,6 +1155,44 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mp4: box walk recovers planted container metadata; layout matches hand-built golden bytes") {
+    val rows = Multimodal.mp4Q(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("parsed") == 1L, s"doc $id failed the 4CC walk")
+      assert(r.getAs[Long]("ftyp_size") == 16 + 4 * (1 + id % 3))
+      assert(r.getAs[Long]("n_brands") == 1 + id % 3)
+      assert(r.getAs[Long]("timescale") == 600 + id % 1000)
+      assert(r.getAs[Long]("duration") == 600 + (id * 13) % 90000)
+      assert(math.abs(r.getAs[Double]("duration_s") -
+        BigDecimal((600 + (id * 13) % 90000).toDouble / (600 + id % 1000))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // golden bytes: independently hand-build the structure for one doc
+    // and check the SAME walk a standards-compliant reader would do
+    val id = rows.head.getAs[Long]("doc_id")
+    val bb = java.nio.ByteBuffer.allocate(256)
+    val brands = Seq("isom", "mp41", "mp42").take(1 + (id % 3).toInt)
+    bb.putInt(16 + 4 * brands.length).put("ftyp".getBytes)
+      .put("isom".getBytes).putInt(512)
+    brands.foreach(b => bb.put(b.getBytes))
+    bb.putInt(116).put("moov".getBytes)
+      .putInt(108).put("mvhd".getBytes).putInt(0)
+      .putInt(0).putInt(0)
+      .putInt((600 + id % 1000).toInt).putInt((600 + (id * 13) % 90000).toInt)
+      .put(new Array[Byte](80))
+    val golden = java.util.Arrays.copyOf(bb.array(), bb.position())
+    // walk the golden bytes: size field locates moov, fields at spec offsets
+    val buf = java.nio.ByteBuffer.wrap(golden)
+    val fsz = buf.getInt(0)
+    assert(new String(golden, 4, 4) == "ftyp")
+    assert(new String(golden, fsz + 4, 4) == "moov")
+    assert(new String(golden, fsz + 12, 4) == "mvhd")
+    assert(buf.getInt(fsz + 8 + 20) == (600 + id % 1000).toInt)
+    assert(buf.getInt(fsz + 8 + 24) == (600 + (id * 13) % 90000).toInt)
+  }
+
   test("pixels: gradient PNG decode recovers every channel sum and histogram bin exactly") {
     val rows = Multimodal.pixelsQ(spark, sfDir).collect()
     assert(rows.nonEmpty)
