@@ -232,7 +232,74 @@ object Cdc {
       |FROM p ASOF JOIN dim ON p.user_id = dim.user_id AND p.ts >= dim.vf
       |ORDER BY p.event_id""".stripMargin
 
+  /** q_cdc_merge entry: MERGE semantics (upsert + delete) applied to a
+    * snapshot — the write-side primitive every lakehouse table format
+    * exposes as `MERGE INTO`, expressed as the join algebra a plain
+    * parquet pipeline runs: a deterministic change batch derived from
+    * recent orders (delete where custkey % 10 = 0, update otherwise —
+    * new balance = the customer's max recent order value; inserts are
+    * the % 7 = 0 changes re-keyed above the snapshot's key space)
+    * applied as anti-join (deletes) + left-join-coalesce (updates) +
+    * union (inserts), each surviving row tagged with its merge status.
+    *
+    * Scale shape: one shuffle on the merge key for the left join +
+    * anti join (the change batch is typically ≪ snapshot and
+    * broadcastable — here it's derived so AQE decides); no window, no
+    * second pass. Determinism: the change batch is a combinable
+    * groupBy; money goes through DECIMAL(12,2); statuses are pure CASE
+    * logic. */
+  def mergeQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snap = t(s, dir, "customer")
+      .select($"c_custkey".as("key"),
+        $"c_acctbal".cast("decimal(12,2)").as("acctbal"),
+        $"c_mktsegment".as("segment"))
+    val chg = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1998-01-01").cast("date"))
+      .groupBy($"o_custkey".as("key"))
+      .agg(max($"o_totalprice").cast("decimal(12,2)").as("amt"))
+    val deletes = chg.filter($"key" % 10 === 0).select($"key")
+    val updates = chg.filter($"key" % 10 =!= 0)
+      .select($"key", $"amt".as("new_bal"))
+    val inserts = chg.filter($"key" % 7 === 0)
+      .select(($"key" + 10000000L).as("key"), $"amt".as("acctbal"),
+        lit("NEW").as("segment"), lit("inserted").as("status"))
+    snap
+      .join(deletes, Seq("key"), "left_anti")
+      .join(updates, Seq("key"), "left")
+      .select($"key",
+        coalesce($"new_bal", $"acctbal").as("acctbal"), $"segment",
+        when($"new_bal".isNotNull, "updated").otherwise("kept").as("status"))
+      .unionByName(inserts)
+      .orderBy($"key")
+  }
+
+  val mergeSql: String =
+    """WITH snap AS (
+      |  SELECT c_custkey AS key, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal,
+      |    c_mktsegment AS segment
+      |  FROM customer),
+      |chg AS (
+      |  SELECT o_custkey AS key, CAST(MAX(o_totalprice) AS DECIMAL(12,2)) AS amt
+      |  FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+      |  GROUP BY 1),
+      |merged AS (
+      |  SELECT s.key,
+      |    COALESCE(u.amt, s.acctbal) AS acctbal, s.segment,
+      |    CASE WHEN u.key IS NOT NULL THEN 'updated' ELSE 'kept' END AS status
+      |  FROM snap s
+      |  LEFT JOIN (SELECT key, amt FROM chg WHERE key % 10 <> 0) u
+      |    ON u.key = s.key
+      |  WHERE s.key NOT IN (SELECT key FROM chg WHERE key % 10 = 0))
+      |SELECT * FROM merged
+      |UNION ALL
+      |SELECT key + 10000000 AS key, amt AS acctbal, 'NEW' AS segment,
+      |  'inserted' AS status
+      |FROM chg WHERE key % 7 = 0
+      |ORDER BY key""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_merge" -> mergeQ,
     "q_cdc_latest" -> latestQ,
     "q_cdc_scd2" -> scd2Q,
     "q_cdc_rollup_merge" -> rollupMergeQ,
@@ -240,6 +307,7 @@ object Cdc {
     "q_cdc_pit" -> pitQ)
 
   def oracle: Map[String, String] = Map(
+    "q_cdc_merge" -> mergeSql,
     "q_cdc_latest" -> latestSql,
     "q_cdc_scd2" -> scd2Sql,
     "q_cdc_rollup_merge" -> rollupMergeSql,

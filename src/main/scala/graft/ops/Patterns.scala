@@ -262,15 +262,83 @@ object Patterns {
       |ORDER BY state""".stripMargin
   }
 
+  /** q_seq_negation entry: NEGATIVE-pattern detection — the CEP
+    * semantics the suite's positive A-then-B matcher can't express:
+    * `view → click (≤ 30 min) → NO purchase (≤ 30 min after the
+    * click)` is the abandoned-funnel pattern, and the negation is the
+    * part that matters operationally (a match is an alert/retargeting
+    * candidate; MATCH_RECOGNIZE spells it `NOT purchase`). Positive
+    * steps are a user-keyed interval join; the negation is a LEFT ANTI
+    * join of the matched (view, click) pairs against purchases in the
+    * post-click window. Output: per user, total view→click chains,
+    * abandoned chains, and the abandonment rate.
+    *
+    * Scale shape: both joins shuffle on user_id only (the suite's
+    * standard interval-join posture; state ∝ rate × window at stream
+    * scale, corpus-keyed here); counts are exact and the rate is one
+    * IEEE divide. */
+  def negationQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("vid"), $"ts".as("vts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"event_id".as("cid"), $"ts".as("cts"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pts"))
+    val chains = v.join(c, $"user_id" === $"cu" &&
+        $"cts" > $"vts" && $"cts" <= $"vts" + expr("INTERVAL 30 MINUTES"))
+      .select($"user_id", $"vid", $"cid", $"cts")
+    val abandoned = chains.join(p, $"user_id" === $"pu" &&
+        $"pts" > $"cts" && $"pts" <= $"cts" + expr("INTERVAL 30 MINUTES"),
+        "left_anti")
+    chains.groupBy($"user_id").agg(count(lit(1)).as("n_chains"))
+      .join(abandoned.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_abandoned")), Seq("user_id"), "left")
+      .select($"user_id", $"n_chains",
+        coalesce($"n_abandoned", lit(0L)).as("n_abandoned"),
+        round(coalesce($"n_abandoned", lit(0L)).cast("double") /
+          $"n_chains", 6).as("abandon_rate"))
+      .orderBy($"user_id")
+  }
+
+  val negationSql: String =
+    """WITH v AS (
+      |  SELECT user_id, event_id AS vid, ts AS vts
+      |  FROM events WHERE event_type = 'view'),
+      |c AS (
+      |  SELECT user_id AS cu, event_id AS cid, ts AS cts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id AS pu, ts AS pts
+      |  FROM events WHERE event_type = 'purchase'),
+      |chains AS (
+      |  SELECT user_id, vid, cid, cts
+      |  FROM v JOIN c ON user_id = cu
+      |    AND cts > vts AND cts <= vts + INTERVAL 30 MINUTE),
+      |abandoned AS (
+      |  SELECT * FROM chains ch WHERE NOT EXISTS (
+      |    SELECT 1 FROM p WHERE pu = ch.user_id
+      |      AND pts > ch.cts AND pts <= ch.cts + INTERVAL 30 MINUTE)),
+      |na AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_abandoned
+      |  FROM abandoned GROUP BY 1)
+      |SELECT ch.user_id, CAST(COUNT(*) AS BIGINT) AS n_chains,
+      |  COALESCE(MAX(na.n_abandoned), 0) AS n_abandoned,
+      |  ROUND(CAST(COALESCE(MAX(na.n_abandoned), 0) AS DOUBLE)
+      |    / COUNT(*), 6) AS abandon_rate
+      |FROM chains ch LEFT JOIN na ON na.user_id = ch.user_id
+      |GROUP BY ch.user_id ORDER BY ch.user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seq_pattern" -> sequenceQ,
     "q_seq_trigrams" -> trigramsQ,
     "q_seq_stationary" -> stationaryQ,
-    "q_seq_entropy_rate" -> entropyRateQ)
+    "q_seq_entropy_rate" -> entropyRateQ,
+    "q_seq_negation" -> negationQ)
 
   def oracle: Map[String, String] = Map(
     "q_seq_pattern" -> sequenceSql,
     "q_seq_trigrams" -> trigramsSql,
     "q_seq_stationary" -> stationarySql,
-    "q_seq_entropy_rate" -> entropyRateSql)
+    "q_seq_entropy_rate" -> entropyRateSql,
+    "q_seq_negation" -> negationSql)
 }

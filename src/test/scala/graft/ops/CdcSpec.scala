@@ -96,4 +96,66 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("in_state_us") >= 0)
     }
   }
+
+  test("merge: statuses partition correctly and every row matches a driver-applied change batch") {
+    import spark.implicits._
+    val rows = Cdc.mergeQ(spark, sfDir).collect()
+    val snap = graft.Tables.t(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment").collect()
+      .map(r => (r.getLong(0), (BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP), r.getString(2)))).toMap
+    val chg = graft.Tables.t(spark, sfDir, "orders")
+      .filter($"o_orderdate" >= lit("1998-01-01").cast("date"))
+      .groupBy($"o_custkey").agg(max($"o_totalprice").as("amt")).collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP))).toMap
+    val expected = scala.collection.mutable.Map[Long, (BigDecimal, String, String)]()
+    snap.foreach { case (k, (bal, seg)) =>
+      if (!(chg.contains(k) && k % 10 == 0)) {
+        if (chg.contains(k) && k % 10 != 0) expected(k) = (chg(k), seg, "updated")
+        else expected(k) = (bal, seg, "kept")
+      }
+    }
+    chg.foreach { case (k, amt) =>
+      if (k % 7 == 0) expected(k + 10000000L) = (amt, "NEW", "inserted")
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("key")
+      val (bal, seg, st) = expected(k)
+      assert(BigDecimal(r.getAs[java.math.BigDecimal]("acctbal")) == bal, s"key $k bal")
+      assert(r.getAs[String]("segment") == seg, s"key $k seg")
+      assert(r.getAs[String]("status") == st, s"key $k status")
+    }
+    // deleted keys are genuinely absent
+    val out = rows.map(_.getAs[Long]("key")).toSet
+    chg.keys.filter(k => k % 10 == 0 && snap.contains(k))
+      .foreach(k => assert(!out.contains(k), s"key $k should be deleted"))
+  }
+
+  test("negation: abandoned chains match a driver NOT-EXISTS recompute") {
+    import spark.implicits._
+    val rows = graft.ops.Patterns.negationQ(spark, sfDir).collect()
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"user_id", $"event_type", $"ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val byUser = ev.groupBy(_._1)
+    val m30 = 30L * 60000
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val evs = byUser(u)
+      val views = evs.filter(_._2 == "view").map(_._3)
+      val clicks = evs.filter(_._2 == "click").map(_._3)
+      val purchases = evs.filter(_._2 == "purchase").map(_._3)
+      val chains = for {
+        v <- views; c <- clicks if c > v && c <= v + m30
+      } yield c
+      val abandoned = chains.filterNot(c =>
+        purchases.exists(p => p > c && p <= c + m30))
+      assert(r.getAs[Long]("n_chains") == chains.length, s"user $u chains")
+      assert(r.getAs[Long]("n_abandoned") == abandoned.length, s"user $u abandoned")
+      assert(math.abs(r.getAs[Double]("abandon_rate") -
+        abandoned.length.toDouble / chains.length) < 1e-5)
+    }
+  }
 }
