@@ -69,9 +69,157 @@ object Classify {
       |  CAST(sum_w > 0 AS INTEGER) AS label
       |FROM sc ORDER BY doc_id LIMIT 300""".stripMargin
 
+  /** (doc_id, score, y) for the full corpus: classifier score + the
+    * ground-truth label y = [lang = 'en'] the eval ops grade against. */
+  private def scored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
+      .filter(length($"tok") >= 1)
+      .withColumn("bucket", Hashing.md5Long60($"tok") % 1024)
+    toks.join(broadcast(weights(s)), "bucket")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum($"w").as("sum_w"))
+      .select($"doc_id",
+        round($"sum_w".cast("double") / ($"n_toks" * 1000d), 6).as("score"))
+      .join(t(s, dir, "documents").select($"doc_id",
+        ($"lang" === "en").cast("long").as("y")), "doc_id")
+  }
+
+  /** Shared oracle CTE producing the same (doc_id, score, y). */
+  private val scoredSql: String =
+    """w AS (
+      |  SELECT range AS bucket, (range * 2654435761) % 2001 - 1000 AS w
+      |  FROM range(0, 1024)),
+      |tk AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(t), 1, 15))::UBIGINT::BIGINT % 1024 AS bucket
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      |        FROM documents)
+      |  WHERE length(t) >= 1),
+      |sc AS (
+      |  SELECT tk.doc_id,
+      |    ROUND(CAST(CAST(SUM(w.w) AS BIGINT) AS DOUBLE)
+      |      / (COUNT(*) * 1000), 6) AS score
+      |  FROM tk JOIN w USING (bucket) GROUP BY tk.doc_id),
+      |scored AS (
+      |  SELECT sc.doc_id, sc.score,
+      |    CAST(d.lang = 'en' AS BIGINT) AS y
+      |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id)""".stripMargin
+
+  /** q_eval_auc entry: ROC AUC of the classifier score against the
+    * lang = 'en' ground truth via the rank statistic
+    * AUC = (R₁ − n₁(n₁+1)/2)/(n₁·n₀) — the Mann–Whitney identity, so
+    * the whole computation is the suite's exact tie-averaged-rank
+    * machinery: collapse to distinct score values with per-class
+    * counts (value-bounded, 6-dp score grid), one cumulative window
+    * for average ranks in exact DECIMAL, no per-pair work (the naive
+    * AUC is an n₁·n₀ pair scan — quadratic and unusable at corpus
+    * scale). Gini = 2·AUC − 1 rides along.
+    *
+    * This is the eval gate every trained filter ships through before
+    * running at 100 TB; a threshold-free ranking metric, unlike the
+    * confusion-matrix rows. */
+  def aucQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val d = scored(s, dir)
+      .groupBy($"score".as("v"))
+      .agg(sum($"y").as("c1"), sum(lit(1L) - $"y").as("c2"))
+    val wCum = Window.partitionBy(lit(0)).orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("before", coalesce(sum($"c1" + $"c2").over(wCum), lit(0L)))
+      .withColumn("avg_rank",
+        ($"before".cast("decimal(18,1)") +
+          ($"c1" + $"c2" + 1).cast("decimal(18,1)") / 2).cast("decimal(18,1)"))
+      .agg(sum($"c1").as("n1"), sum($"c2").as("n2"),
+        sum(($"c1".cast("decimal(18,1)") * $"avg_rank").cast("decimal(28,1)"))
+          .as("r1"))
+      .select($"n1".cast("long").as("n_pos"), $"n2".cast("long").as("n_neg"),
+        round(($"r1".cast("double") -
+          $"n1".cast("double") * ($"n1" + 1) / 2) /
+          ($"n1".cast("double") * $"n2"), 6).as("auc"),
+        round((($"r1".cast("double") -
+          $"n1".cast("double") * ($"n1" + 1) / 2) /
+          ($"n1".cast("double") * $"n2")) * 2 - 1, 6).as("gini"))
+  }
+
+  val aucSql: String =
+    s"""WITH $scoredSql,
+      |d AS (
+      |  SELECT score AS v,
+      |    CAST(SUM(y) AS BIGINT) AS c1,
+      |    CAST(SUM(1 - y) AS BIGINT) AS c2
+      |  FROM scored GROUP BY 1),
+      |rk AS (
+      |  SELECT c1, c2,
+      |    CAST(COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS DECIMAL(18,1))
+      |      + CAST(c1 + c2 + 1 AS DECIMAL(18,1)) / 2 AS avg_rank
+      |  FROM d),
+      |a AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+      |    SUM(CAST(CAST(c1 AS DECIMAL(18,1)) * CAST(avg_rank AS DECIMAL(18,1))
+      |      AS DECIMAL(28,1))) AS r1
+      |  FROM rk)
+      |SELECT n1 AS n_pos, n2 AS n_neg,
+      |  ROUND((CAST(r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1) / 2)
+      |    / (CAST(n1 AS DOUBLE) * n2), 6) AS auc,
+      |  ROUND(((CAST(r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1) / 2)
+      |    / (CAST(n1 AS DOUBLE) * n2)) * 2 - 1, 6) AS gini
+      |FROM a""".stripMargin
+
+  /** q_eval_calibration entry: RELIABILITY DIAGRAM of the classifier —
+    * scores map to pseudo-probabilities p = (score+1)/2, bin into 10
+    * equal-width bins, and each bin reports its size, mean predicted
+    * p, observed positive rate, and the (observed − predicted) gap:
+    * the table behind an ECE readout and the "is this filter's score a
+    * probability or just a ranking?" audit that decides whether
+    * thresholding at 0.9 means anything.
+    *
+    * Scale shape: one combinable groupBy(bin) — p and bin are
+    * projections. Determinism: per-row p rounds to 9 dp and sums as
+    * DECIMAL(28,9); counts exact; final ratios one IEEE tree. */
+  def calibrationQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    scored(s, dir)
+      .withColumn("p", ($"score" + 1d) / 2d)
+      .withColumn("bin", least(floor($"p" * 10), lit(9L)).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"),
+        sum(round($"p", 9).cast("decimal(28,9)")).as("sp"))
+      .select($"bin", $"n", $"n_pos",
+        round($"sp".cast("double") / $"n", 6).as("mean_p"),
+        round($"n_pos".cast("double") / $"n", 6).as("frac_pos"),
+        round($"n_pos".cast("double") / $"n" -
+          $"sp".cast("double") / $"n", 6).as("gap"))
+      .orderBy($"bin")
+  }
+
+  val calibrationSql: String =
+    s"""WITH $scoredSql,
+      |b AS (
+      |  SELECT LEAST(CAST(FLOOR(((score + 1) / 2) * 10) AS BIGINT), 9) AS bin,
+      |    (score + 1) / 2 AS p, y
+      |  FROM scored)
+      |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(y) AS BIGINT) AS n_pos,
+      |  ROUND(CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(28,9))) AS DOUBLE)
+      |    / COUNT(*), 6) AS mean_p,
+      |  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos,
+      |  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*)
+      |    - CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(28,9))) AS DOUBLE)
+      |      / COUNT(*), 6) AS gap
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_text_classify" -> classifyQ)
+    "q_text_classify" -> classifyQ,
+    "q_eval_auc" -> aucQ,
+    "q_eval_calibration" -> calibrationQ)
 
   def oracle: Map[String, String] = Map(
-    "q_text_classify" -> classifySql)
+    "q_text_classify" -> classifySql,
+    "q_eval_auc" -> aucSql,
+    "q_eval_calibration" -> calibrationSql)
 }

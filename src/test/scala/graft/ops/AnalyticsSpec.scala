@@ -822,6 +822,55 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(enMean > restMean, s"en mean $enMean !> rest mean $restMean")
   }
 
+  test("auc: rank-statistic AUC equals a naive pairwise scan; gini identity holds") {
+    import spark.implicits._
+    val r = Classify.aucQ(spark, sfDir).collect().head
+    // driver recompute: score every doc the same way, then the O(n1*n0)
+    // definition AUC = P(score_pos > score_neg) + 0.5 P(tie)
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+    def bucket(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % 1024
+    }
+    val scores = docs.map { case (id, text, lang) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val sw = toks.map(t => (bucket(t) * 2654435761L) % 2001L - 1000L).sum
+      val score = BigDecimal(sw.toDouble / (toks.length * 1000.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (score, lang == "en")
+    }
+    val pos = scores.filter(_._2).map(_._1)
+    val neg = scores.filterNot(_._2).map(_._1)
+    assert(r.getAs[Long]("n_pos") == pos.length)
+    assert(r.getAs[Long]("n_neg") == neg.length)
+    var num = 0.0
+    for (p <- pos; n <- neg)
+      num += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val auc = num / (pos.length.toLong * neg.length)
+    assert(math.abs(r.getAs[Double]("auc") - auc) < 1e-5, s"auc vs $auc")
+    assert(math.abs(r.getAs[Double]("gini") -
+      (2 * r.getAs[Double]("auc") - 1)) < 1e-5)
+  }
+
+  test("calibration: bins partition the corpus, gaps are consistent, ECE is bounded") {
+    val rows = Classify.calibrationQ(spark, sfDir).collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val docs = graft.Tables.t(spark, sfDir, "documents").count()
+    assert(n == docs, "bins must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bin") >= 0 && r.getAs[Long]("bin") <= 9)
+      assert(r.getAs[Double]("mean_p") >= 0 && r.getAs[Double]("mean_p") <= 1)
+      assert(math.abs(r.getAs[Double]("gap") -
+        (r.getAs[Double]("frac_pos") - r.getAs[Double]("mean_p"))) < 2e-6)
+    }
+    val ece = rows.map(r =>
+      r.getAs[Long]("n").toDouble / n * math.abs(r.getAs[Double]("gap"))).sum
+    assert(ece >= 0 && ece <= 1, s"ECE $ece out of range")
+  }
+
   test("grid dbscan: clusters equal a driver union-find over dense cells; noise points excluded") {
     import spark.implicits._
     val rows = Spatial.dbscanQ(spark, sfDir).collect()
