@@ -391,7 +391,82 @@ object Behavior {
       |FROM u WHERE n_before > 0 AND user_id < 300
       |ORDER BY user_id""".stripMargin
 
+  /** q_attribution_ushape entry: POSITION-BASED (U-shaped) multi-touch
+    * attribution — where q_attribution gives the last touch ALL credit,
+    * the U-shaped model splits each purchase's value across its WHOLE
+    * 1-hour touch journey: 1 touch → 100%; 2 → 50/50; k ≥ 3 → 40%
+    * first, 40% last, 20% shared by the middles — the standard
+    * marketing-mix compromise between first-touch (discovery) and
+    * last-touch (closing) bias. Rolled up to credited value per touch
+    * type.
+    *
+    * Scale shape: purchases interval-join their preceding touches on
+    * user_id (the suite's standard user-keyed range join), positions
+    * come from one (purchase, ts) window over the joined frame, and
+    * the rollup is a combinable groupBy over ≤ |types| rows.
+    * Determinism: credit fractions are exact CASE arithmetic over
+    * integer positions; each credited value rounds to 9 dp and sums as
+    * DECIMAL(28,9). */
+  def ushapeQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"event_id".as("pid"),
+        $"ts".as("pts"), $"value")
+    val touch = e.filter($"event_type".isin("view", "click"))
+      .select($"user_id", $"event_id".as("tid"), $"event_type".as("ttype"),
+        $"ts".as("tts"))
+    val joined = p.join(touch, $"pu" === $"user_id" &&
+      $"tts" < $"pts" && $"tts" >= $"pts" - expr("INTERVAL 1 HOUR"))
+    val w = Window.partitionBy($"pid").orderBy($"tts", $"tid")
+    val credit = joined
+      .withColumn("pos", row_number().over(w))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy($"pid")))
+      .withColumn("frac",
+        when($"k" === 1, lit(1d))
+          .when($"k" === 2, lit(0.5d))
+          .when($"pos" === 1 || $"pos" === $"k", lit(0.4d))
+          .otherwise(lit(0.2d) / ($"k" - 2)))
+    credit
+      .groupBy($"ttype")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(round($"value" * $"frac", 9).cast("decimal(28,9)")).as("cv"))
+      .select($"ttype".as("touch_type"), $"n_touches",
+        round($"cv".cast("double"), 6).as("credited_value"))
+      .orderBy($"touch_type")
+  }
+
+  val ushapeSql: String =
+    """WITH p AS (
+      |  SELECT user_id AS pu, event_id AS pid, ts AS pts, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |touch AS (
+      |  SELECT user_id, event_id AS tid, event_type AS ttype, ts AS tts
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |j AS (
+      |  SELECT pid, value, tid, ttype, tts
+      |  FROM p JOIN touch ON pu = user_id
+      |    AND tts < pts AND tts >= pts - INTERVAL 1 HOUR),
+      |pos AS (
+      |  SELECT pid, value, ttype,
+      |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts, tid) AS pos,
+      |    COUNT(*) OVER (PARTITION BY pid) AS k
+      |  FROM j),
+      |credit AS (
+      |  SELECT ttype, value,
+      |    CASE WHEN k = 1 THEN 1.0::DOUBLE
+      |         WHEN k = 2 THEN 0.5::DOUBLE
+      |         WHEN pos = 1 OR pos = k THEN 0.4::DOUBLE
+      |         ELSE 0.2::DOUBLE / (k - 2) END AS frac
+      |  FROM pos)
+      |SELECT ttype AS touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  ROUND(CAST(SUM(CAST(ROUND(value * frac, 9) AS DECIMAL(28,9)))
+      |    AS DOUBLE), 6) AS credited_value
+      |FROM credit GROUP BY ttype ORDER BY touch_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution_ushape" -> ushapeQ,
     "q_label_churn" -> churnQ,
     "q_cohort_retention" -> retentionQ,
     "q_seq_transitions" -> transitionsQ,
@@ -400,6 +475,7 @@ object Behavior {
     "q_survival_km" -> survivalQ)
 
   def oracle: Map[String, String] = Map(
+    "q_attribution_ushape" -> ushapeSql,
     "q_label_churn" -> churnSql,
     "q_cohort_retention" -> retentionSql,
     "q_seq_transitions" -> transitionsSql,

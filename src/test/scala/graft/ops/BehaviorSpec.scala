@@ -213,4 +213,45 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
     assert(labels == Set(0, 1) || labels == Set(0),
       "label must be well-formed; at sf0.001+ both classes usually appear")
   }
+
+  test("ushape attribution: per-journey credit fractions sum to 1 and totals match a driver recompute") {
+    import spark.implicits._
+    val rows = Behavior.ushapeQ(spark, sfDir).collect()
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"event_type", $"ts", $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime, r.getDouble(4)))
+    val byUser = ev.groupBy(_._1)
+    val h1 = 3600000L
+    def r9(d: Double) = BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val credit = scala.collection.mutable.Map[String, (Long, BigDecimal)]()
+    ev.filter(_._3 == "purchase").foreach { case (u, _, _, pts, v) =>
+      val touches = byUser(u)
+        .filter(t => (t._3 == "view" || t._3 == "click") &&
+          t._4 < pts && t._4 >= pts - h1)
+        .sortBy(t => (t._4, t._2))
+      val k = touches.length
+      if (k > 0) {
+        val fracs = touches.zipWithIndex.map { case (_, i) =>
+          if (k == 1) 1.0
+          else if (k == 2) 0.5
+          else if (i == 0 || i == k - 1) 0.4
+          else 0.2 / (k - 2)
+        }
+        assert(math.abs(fracs.sum - 1.0) < 1e-9, s"fractions must sum to 1 (k=$k)")
+        touches.zip(fracs).foreach { case (t, f) =>
+          val (n0, c0) = credit.getOrElse(t._3, (0L, BigDecimal(0)))
+          credit(t._3) = (n0 + 1, c0 + r9(v * f))
+        }
+      }
+    }
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ty = r.getAs[String]("touch_type")
+      val (n, c) = credit(ty)
+      assert(r.getAs[Long]("n_touches") == n, s"$ty touches")
+      assert(math.abs(r.getAs[Double]("credited_value") - c.toDouble) < 1e-5,
+        s"$ty credit")
+    }
+  }
 }
