@@ -483,6 +483,106 @@ object Text {
       .limit(20)
   }
 
+  /** q_eval_ndcg entry: NDCG@20 of the [[bm25]] ranking against a
+    * graded relevance oracle — rel(doc) = how many distinct query
+    * terms the document contains (0..3), exactly the `n_terms_hit` the
+    * BM25 row already carries. DCG = Σ (2^rel − 1)/log₂(rank + 1) over
+    * the BM25 order; IDCG re-ranks the WHOLE corpus by relevance
+    * (ideal ordering); NDCG = DCG/IDCG — the standard IR-eval readout
+    * (next to q_eval_auc's classification AUC) that answers "does the
+    * scorer put the most-relevant documents first?" Precision@10 rides
+    * along.
+    *
+    * Scale shape: identical to [[bm25]] (postings ∝ query hits) plus
+    * two bounded top-20 windows. Determinism: rel and ranks are exact
+    * integers; each gain term rounds to 9 dp and sums as
+    * DECIMAL(28,9); ties in both orderings break on doc_id. */
+  def ndcgQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val qTerms = Seq("dup", "vector", "spark")
+    val docs = withToks(s, dir).select($"doc_id", $"toks")
+    val dl = docs.select($"doc_id", size($"toks").cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg($"dl").as("avgdl"))
+    val tf = docs.select($"doc_id", explode($"toks").as("term"))
+      .filter($"term".isin(qTerms: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scoredDocs = tf.join(broadcast(docFreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+      .withColumn("w",
+        $"idf" * ($"tf" * 2.2) / ($"tf" + (lit(0.25) + $"dl" * 0.75 / $"avgdl") * 1.2))
+      .groupBy($"doc_id")
+      .agg(sum(round($"w", 9).cast("decimal(28,9)")).as("sc"),
+        count(lit(1)).as("rel")) // graded relevance = distinct terms hit
+    def gain(relCol: org.apache.spark.sql.Column,
+        rankCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round((pow(lit(2d), relCol.cast("double")) - 1d) /
+        (log(rankCol.cast("double") + 1d) / log(lit(2d))), 9)
+        .cast("decimal(28,9)")
+    val byScore = scoredDocs
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"sc".desc, $"doc_id")))
+      .filter($"rank" <= 20)
+    val byRel = scoredDocs
+      .withColumn("irank", row_number().over(
+        Window.orderBy($"rel".desc, $"doc_id")))
+      .filter($"irank" <= 20)
+    val dcg = byScore
+      .agg(sum(gain($"rel", $"rank")).as("dcg"),
+        sum(when($"rank" <= 10 && $"rel" > 0, 1L).otherwise(0L)).as("hits10"))
+    val idcg = byRel.agg(sum(gain($"rel", $"irank")).as("idcg"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(
+        round($"dcg".cast("double"), 6).as("dcg"),
+        round($"idcg".cast("double"), 6).as("idcg"),
+        round($"dcg".cast("double") / $"idcg".cast("double"), 6).as("ndcg"),
+        round($"hits10".cast("double") / 10d, 6).as("p_at_10"))
+  }
+
+  val ndcgSql: String =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tk),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM
+      |  (SELECT doc_id, unnest(toks) AS term FROM tk)
+      |  WHERE term IN ('dup', 'vector', 'spark') GROUP BY 1, 2),
+      |docf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id,
+      |    SUM(CAST(ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
+      |      AS DECIMAL(28,9))) AS sc,
+      |    CAST(COUNT(*) AS BIGINT) AS rel
+      |  FROM tf JOIN docf USING (term) JOIN dl ON tf.doc_id = dl.doc_id, st
+      |  GROUP BY tf.doc_id),
+      |bs AS (
+      |  SELECT rel, ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank
+      |  FROM sc),
+      |br AS (
+      |  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS irank
+      |  FROM sc),
+      |d AS (
+      |  SELECT
+      |    SUM(CAST(ROUND((POWER(2, CAST(rel AS DOUBLE)) - 1)
+      |      / (LN(CAST(rank AS DOUBLE) + 1) / LN(2.0::DOUBLE)), 9)
+      |      AS DECIMAL(28,9))) AS dcg,
+      |    CAST(SUM(CASE WHEN rank <= 10 AND rel > 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS hits10
+      |  FROM bs WHERE rank <= 20),
+      |i AS (
+      |  SELECT SUM(CAST(ROUND((POWER(2, CAST(rel AS DOUBLE)) - 1)
+      |    / (LN(CAST(irank AS DOUBLE) + 1) / LN(2.0::DOUBLE)), 9)
+      |    AS DECIMAL(28,9))) AS idcg
+      |  FROM br WHERE irank <= 20)
+      |SELECT ROUND(CAST(dcg AS DOUBLE), 6) AS dcg,
+      |  ROUND(CAST(idcg AS DOUBLE), 6) AS idcg,
+      |  ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg,
+      |  ROUND(CAST(hits10 AS DOUBLE) / 10, 6) AS p_at_10
+      |FROM d, i""".stripMargin
+
   val bm25Sql: String =
     s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
       |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tk),
@@ -1553,6 +1653,7 @@ object Text {
     "q_text_rollhash" -> rollhash,
     "q_text_tfidf" -> tfidf,
     "q_text_bm25" -> bm25,
+    "q_eval_ndcg" -> ndcgQ,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_train" -> bpeTrainQ,
     "q_text_novelty" -> novelty,
@@ -1586,6 +1687,7 @@ object Text {
     "q_text_rollhash" -> rollhashSql,
     "q_text_tfidf" -> tfidfSql,
     "q_text_bm25" -> bm25Sql,
+    "q_eval_ndcg" -> ndcgSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_train" -> bpeTrainSql,
     "q_text_novelty" -> noveltySql,

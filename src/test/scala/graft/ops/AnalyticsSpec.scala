@@ -822,6 +822,38 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(enMean > restMean, s"en mean $enMean !> rest mean $restMean")
   }
 
+  test("ndcg: identities hold and DCG/IDCG match a recompute from the BM25 ranking and raw text") {
+    import spark.implicits._
+    val r = Text.ndcgQ(spark, sfDir).collect().head
+    val (dcg, idcg, ndcg) = (r.getAs[Double]("dcg"), r.getAs[Double]("idcg"),
+      r.getAs[Double]("ndcg"))
+    assert(dcg > 0 && idcg >= dcg - 1e-9, "IDCG bounds DCG")
+    assert(math.abs(ndcg - dcg / idcg) < 1e-5)
+    assert(ndcg > 0 && ndcg <= 1 + 1e-9)
+    // relevance from raw text: distinct query terms present
+    val q = Set("dup", "vector", "spark")
+    val rels = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(x => (x.getLong(0),
+        x.getString(1).toLowerCase.split(" ").filter(q).distinct.length))
+      .filter(_._2 > 0)
+    def r9(d: Double) = BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    // IDCG recompute: ideal = rel desc, doc_id asc, top 20
+    val ideal = rels.sortBy { case (id, rel) => (-rel, id) }.take(20)
+    val expIdcg = ideal.zipWithIndex.map { case ((_, rel), i) =>
+      r9((math.pow(2, rel) - 1) / (math.log(i + 2) / math.log(2))) }.sum.toDouble
+    assert(math.abs(idcg - expIdcg) < 1e-5, s"idcg $idcg vs $expIdcg")
+    // DCG recompute from the BM25 top-20 ordering + recomputed rel
+    val relMap = rels.toMap
+    val top = Text.bm25(spark, sfDir).collect()
+    val expDcg = top.zipWithIndex.map { case (row, i) =>
+      val rel = relMap(row.getAs[Long]("doc_id"))
+      assert(rel == row.getAs[Int]("n_terms_hit"), "rel = distinct terms hit")
+      r9((math.pow(2, rel) - 1) / (math.log(i + 2) / math.log(2)))
+    }.sum.toDouble
+    assert(math.abs(dcg - expDcg) < 1e-5, s"dcg $dcg vs $expDcg")
+  }
+
   test("auc: rank-statistic AUC equals a naive pairwise scan; gini identity holds") {
     import spark.implicits._
     val r = Classify.aucQ(spark, sfDir).collect().head
