@@ -153,7 +153,8 @@ object Dev {
           "q_text_heaps" -> "1-row max-id frame + 1-row regression-fit frame over the 16-row grid",
           "q_drift_jsd" -> "1-row totals frame",
           "q_cluster_kmeans" -> "k-row (k=4) broadcast centroid frame per Lloyd round",
-          "q_text_kneser_ney" -> "1-row bigram-type-count totals frame")
+          "q_text_kneser_ney" -> "1-row bigram-type-count totals frame",
+          "q_eval_ndcg" -> "1-row IDCG frame joined to the 1-row DCG frame")
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {
             val plan = fn(spark, dir).queryExecution.sparkPlan
