@@ -308,7 +308,62 @@ object Colloc {
       |FROM pairs p JOIN ctx c USING (w1) JOIN back b USING (w2), ty t
       |ORDER BY p.c12 DESC, p.w1, p.w2 LIMIT 20""".stripMargin
 
+  /** q_text_burstiness entry: per-term BURSTINESS of the top-15 terms —
+    * the Fano factor (variance/mean of the per-document term count,
+    * zeros included) plus the Church–Gale within-document rate
+    * E[tf | tf>0] / E[tf]. Burstiness separates topical content words
+    * (arrive in clumps: Fano ≫ 1) from function words (Poisson-like:
+    * Fano ≈ 1) — the lexical statistic behind stopword induction and
+    * keyword weighting that raw frequency cannot see.
+    *
+    * Scale shape: one combinable (term, doc) tf collapse, then a
+    * vocabulary-bounded per-term aggregate carrying exact Σtf and Σtf²;
+    * the doc total is a broadcast 1-row frame. All moments from exact
+    * integers; ratios are one IEEE tree. */
+  def burstinessQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = t(s, dir, "documents")
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w", $"doc_id").agg(count(lit(1)).as("tf"))
+    val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
+    val n = $"nd".cast("double")
+    val mean = $"t_total".cast("double") / n
+    val variance = ($"sum_tf2".cast("double") -
+      $"t_total".cast("double") * $"t_total".cast("double") / n) / n
+    tf.groupBy($"w")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("t_total"),
+        sum($"tf" * $"tf").as("sum_tf2"))
+      .crossJoin(broadcast(nDocs))
+      .select($"w".as("term"), $"df", $"t_total",
+        round(variance / mean, 6).as("fano"),
+        round(($"t_total".cast("double") / $"df") / mean, 6).as("burstiness"))
+      .orderBy($"t_total".desc, $"term")
+      .limit(15)
+  }
+
+  val burstinessSql: String =
+    """WITH tf AS (
+      |  SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM
+      |    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |     FROM documents)
+      |  WHERE length(w) > 0 GROUP BY 1, 2),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+      |per AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+      |    CAST(SUM(tf) AS BIGINT) AS t_total,
+      |    CAST(SUM(tf * tf) AS BIGINT) AS sum_tf2
+      |  FROM tf GROUP BY w)
+      |SELECT w AS term, df, t_total,
+      |  ROUND(((CAST(sum_tf2 AS DOUBLE) - CAST(t_total AS DOUBLE)
+      |      * CAST(t_total AS DOUBLE) / CAST(nd AS DOUBLE)) / CAST(nd AS DOUBLE))
+      |    / (CAST(t_total AS DOUBLE) / CAST(nd AS DOUBLE)), 6) AS fano,
+      |  ROUND((CAST(t_total AS DOUBLE) / df)
+      |    / (CAST(t_total AS DOUBLE) / CAST(nd AS DOUBLE)), 6) AS burstiness
+      |FROM per, nd ORDER BY t_total DESC, term LIMIT 15""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_burstiness" -> burstinessQ,
     "q_text_kneser_ney" -> kneserNeyQ,
     "q_text_ctfidf" -> ctfidfQ,
     "q_text_pmi" -> pmiQ,
@@ -316,6 +371,7 @@ object Colloc {
     "q_text_hapax" -> hapaxQ)
 
   def oracle: Map[String, String] = Map(
+    "q_text_burstiness" -> burstinessSql,
     "q_text_kneser_ney" -> kneserNeySql,
     "q_text_ctfidf" -> ctfidfSql,
     "q_text_pmi" -> pmiSql,

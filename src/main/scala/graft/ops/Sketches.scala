@@ -304,13 +304,123 @@ object Sketches {
       |    // COUNT(*) AS BIGINT) AS fp_bp
       |FROM per""".stripMargin
 
+  private val ThetaK = 100
+  private val Hash60Max = 1.152921504606846976e18 // 2^60 as an exact double
+
+  /** q_agg_theta entry: θ-SKETCH (KMV) SET-OPERATION estimates between
+    * the src0 and src1 vocabularies — the sketch family that, unlike
+    * HLL, supports INTERSECTION and difference estimates: keep each
+    * set's k smallest hash values; θ = min of the two k-th minima; the
+    * union estimate is |{h < θ}|·2⁶⁰/θ over the merged sketch and the
+    * intersection estimate counts only hashes both sketches retain.
+    * This is how data platforms answer "how many users/tokens do these
+    * two feeds SHARE?" without co-shuffling the raw sets (Theta
+    * sketches in Druid/DataSketches). Exact counts and relative errors
+    * ride along so the row is its own accuracy audit.
+    *
+    * Determinism: the hash is the pinned [[Hashing.md5Long60]], so the
+    * k-minima, θ, and every estimate are bit-identical cross-engine —
+    * a θ-sketch can be ORACLE-CHECKED exactly, which no randomized-
+    * hash implementation allows. Scale shape: per-source k-minima come
+    * from one vocabulary-bounded window; everything downstream is
+    * ≤2k-row frames. */
+  def thetaQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    // universe: distinct customer keys ACTIVE in 1996 vs in 1998 —
+    // year-long activity windows overlap only through customers who
+    // ordered in both years, so the intersection is a strict subset of
+    // the union at every SF (part-level slices saturate — every part
+    // ships in every band — and the closed ~31-token text vocabulary
+    // is below any useful k)
+    val o = t(s, dir, "orders")
+    def yr(y: Int, tag: String) = o
+      .filter(year($"o_orderdate") === y)
+      .select(lit(tag).as("source"), $"o_custkey".cast("string").as("tok"))
+    val e = yr(1996, "y1996").unionByName(yr(1998, "y1998"))
+      .distinct()
+      .withColumn("h", Hashing.md5Long60($"tok"))
+    val sk = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"h")))
+      .filter($"rn" <= ThetaK)
+    val theta = sk.filter($"rn" === ThetaK)
+      .agg(min($"h").as("theta")) // min of the two k-th minima
+    val merged = sk.select($"source", $"h")
+      .crossJoin(broadcast(theta))
+      .filter($"h" < $"theta")
+    val counts = merged.groupBy($"h", $"theta")
+      .agg(count(lit(1)).as("n_src"))
+      .groupBy($"theta")
+      .agg(count(lit(1)).as("s_union"),
+        sum(when($"n_src" === 2, 1L).otherwise(0L)).as("s_both"))
+    val exact = e.groupBy($"tok").agg(count(lit(1)).as("n_src"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when($"n_src" === 2, 1L).otherwise(0L)).as("exact_inter"))
+    counts.crossJoin(broadcast(exact))
+      .select(lit(ThetaK.toLong).as("k"), $"s_union", $"s_both",
+        round($"s_union".cast("double") * Hash60Max /
+          $"theta".cast("double"), 3).as("est_union"),
+        round($"s_both".cast("double") * Hash60Max /
+          $"theta".cast("double"), 3).as("est_inter"),
+        $"exact_union", $"exact_inter",
+        round(abs($"s_union".cast("double") * Hash60Max /
+          $"theta".cast("double") - $"exact_union") /
+          $"exact_union", 6).as("err_union"),
+        round(abs($"s_both".cast("double") * Hash60Max /
+          $"theta".cast("double") - $"exact_inter") /
+          $"exact_inter", 6).as("err_inter"))
+  }
+
+  val thetaSql: String =
+    s"""WITH e AS (
+      |  SELECT DISTINCT source, tok FROM (
+      |    SELECT 'y1996' AS source, CAST(o_custkey AS VARCHAR) AS tok
+      |    FROM orders WHERE year(o_orderdate) = 1996
+      |    UNION ALL
+      |    SELECT 'y1998' AS source, CAST(o_custkey AS VARCHAR) AS tok
+      |    FROM orders WHERE year(o_orderdate) = 1998)),
+      |h AS (
+      |  SELECT source, tok,
+      |    ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+      |  FROM e),
+      |sk AS (
+      |  SELECT source, h,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      |  FROM h QUALIFY rn <= $ThetaK),
+      |th AS (SELECT MIN(h) AS theta FROM sk WHERE rn = $ThetaK),
+      |m AS (SELECT sk.h, th.theta FROM sk, th WHERE sk.h < th.theta),
+      |c AS (
+      |  SELECT theta, CAST(COUNT(*) AS BIGINT) AS s_union,
+      |    CAST(SUM(CASE WHEN n_src = 2 THEN 1 ELSE 0 END) AS BIGINT) AS s_both
+      |  FROM (SELECT h, theta, COUNT(*) AS n_src FROM m GROUP BY 1, 2)
+      |  GROUP BY theta),
+      |ex AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+      |    CAST(SUM(CASE WHEN n_src = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS exact_inter
+      |  FROM (SELECT tok, COUNT(*) AS n_src FROM e GROUP BY tok))
+      |SELECT CAST($ThetaK AS BIGINT) AS k, s_union, s_both,
+      |  ROUND(CAST(s_union AS DOUBLE) * $Hash60Max
+      |    / CAST(theta AS DOUBLE), 3) AS est_union,
+      |  ROUND(CAST(s_both AS DOUBLE) * $Hash60Max
+      |    / CAST(theta AS DOUBLE), 3) AS est_inter,
+      |  exact_union, exact_inter,
+      |  ROUND(ABS(CAST(s_union AS DOUBLE) * $Hash60Max
+      |    / CAST(theta AS DOUBLE) - exact_union) / exact_union, 6) AS err_union,
+      |  ROUND(ABS(CAST(s_both AS DOUBLE) * $Hash60Max
+      |    / CAST(theta AS DOUBLE) - exact_inter) / exact_inter, 6) AS err_inter
+      |FROM c, ex""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_theta" -> thetaQ,
     "q_agg_hll_merge" -> hllMergeQ,
     "q_source_overlap" -> sourceOverlapQ,
     "q_agg_cms" -> cmsQ,
     "q_bloom_fp" -> bloomFpQ)
 
   def oracle: Map[String, String] = Map(
+    "q_agg_theta" -> thetaSql,
     "q_agg_hll_merge" -> hllMergeSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_agg_cms" -> cmsSql,

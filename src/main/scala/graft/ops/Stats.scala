@@ -1491,7 +1491,103 @@ object Stats {
       |  ROUND(CAST(SUM(oe) AS DOUBLE) / sqrt(CAST(SUM(v) AS DOUBLE)), 6) AS z
       |FROM terms""".stripMargin
 
+  /** q_stat_power entry: A/B-test POWER ANALYSIS — given the observed
+    * cohort conversion rates of q_stat_ab_lift's design, the required
+    * per-arm sample size to detect that lift at α = 0.05 (two-sided)
+    * with 80% power:
+    * n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₁q₁ + p₂q₂))² / (p₂ − p₁)² —
+    * the planning arithmetic every experimentation platform runs
+    * BEFORE a test ships ("how long must this run?"), emitted next to
+    * the n actually available so `powered` is a one-glance verdict.
+    *
+    * Determinism: rates come from exact integer counts; the z
+    * constants are shared double literals; the whole n formula is one
+    * IEEE tree, ceil'd to an exact integer on both engines. */
+  def powerQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val perUser = t(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(sum(($"event_type" === "purchase").cast("long")).as("pc"))
+    val hist = perUser.groupBy($"pc").agg(count(lit(1)).as("c"))
+    val thr = hist
+      .withColumn("cum", sum($"c").over(
+        Window.orderBy($"pc").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("nu", sum($"c").over(
+        Window.orderBy($"pc").rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter($"cum" * 2 >= $"nu")
+      .agg(min($"pc").as("thr"))
+    val za = lit(1.959963984540054d) // z_{0.975}
+    val zb = lit(0.8416212335729143d) // z_{0.80}
+    perUser.crossJoin(broadcast(thr))
+      .select($"user_id", ($"pc" >= $"thr").cast("long").as("conv"),
+        ($"user_id" % 2 === 0).cast("int").as("cohort"))
+      .agg(
+        sum(when($"cohort" === 1, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"cohort" === 1, $"conv").otherwise(0L)).as("conv_a"),
+        sum(when($"cohort" === 0, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"cohort" === 0, $"conv").otherwise(0L)).as("conv_b"))
+      .select($"n_a", $"n_b",
+        ($"conv_a".cast("double") / $"n_a").as("p1"),
+        ($"conv_b".cast("double") / $"n_b").as("p2"),
+        (($"conv_a" + $"conv_b").cast("double") / ($"n_a" + $"n_b")).as("pb"))
+      .select($"n_a", $"n_b",
+        round($"p1", 6).as("rate_a"), round($"p2", 6).as("rate_b"),
+        round($"p2" - $"p1", 6).as("lift"),
+        ceil(pow(za * sqrt(lit(2d) * $"pb" * (lit(1d) - $"pb")) +
+          zb * sqrt($"p1" * (lit(1d) - $"p1") + $"p2" * (lit(1d) - $"p2")),
+          2d) / pow($"p2" - $"p1", 2d)).cast("long").as("n_required"))
+      .select($"rate_a", $"rate_b", $"lift", $"n_required",
+        least($"n_a", $"n_b").as("n_have"),
+        (least($"n_a", $"n_b") >= $"n_required").cast("long").as("powered"))
+  }
+
+  val powerSql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pc
+      |  FROM events GROUP BY user_id),
+      |h AS (SELECT pc, COUNT(*) AS c FROM pu GROUP BY pc),
+      |thr AS (
+      |  SELECT MIN(pc) AS thr FROM (
+      |    SELECT pc,
+      |      SUM(c) OVER (ORDER BY pc
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      SUM(c) OVER () AS nu
+      |    FROM h) WHERE cum * 2 >= nu),
+      |u AS (
+      |  SELECT CASE WHEN pu.pc >= thr.thr THEN 1 ELSE 0 END AS conv,
+      |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS cohort
+      |  FROM pu, thr),
+      |a AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN cohort = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN cohort = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM u),
+      |r AS (
+      |  SELECT n_a, n_b,
+      |    CAST(conv_a AS DOUBLE) / n_a AS p1,
+      |    CAST(conv_b AS DOUBLE) / n_b AS p2,
+      |    CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pb
+      |  FROM a)
+      |SELECT ROUND(p1, 6) AS rate_a, ROUND(p2, 6) AS rate_b,
+      |  ROUND(p2 - p1, 6) AS lift,
+      |  CAST(CEIL(POWER(1.959963984540054 * SQRT(2 * pb * (1 - pb))
+      |      + 0.8416212335729143 * SQRT(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+      |    / POWER(p2 - p1, 2)) AS BIGINT) AS n_required,
+      |  LEAST(n_a, n_b) AS n_have,
+      |  CAST(LEAST(n_a, n_b) >= CEIL(POWER(1.959963984540054
+      |      * SQRT(2 * pb * (1 - pb))
+      |      + 0.8416212335729143 * SQRT(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+      |    / POWER(p2 - p1, 2)) AS BIGINT) AS powered
+      |FROM r""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_power" -> powerQ,
     "q_stat_dispersion" -> dispersionQ,
     "q_stat_logrank" -> logrankQ,
     "q_stat_bh" -> bhQ,
@@ -1514,6 +1610,7 @@ object Stats {
     "q_ts_acf" -> acfQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_power" -> powerSql,
     "q_stat_dispersion" -> dispersionSql,
     "q_stat_logrank" -> logrankSql,
     "q_stat_bh" -> bhSql,

@@ -251,13 +251,95 @@ object Validate {
       |FROM per p JOIN span s ON p.event_type = s.event_type
       |ORDER BY p.event_type""".stripMargin
 
+  /** q_validate_freshness entry: ingestion FRESHNESS / completeness SLA
+    * audit per feed — for every (event_type, calendar day) on the
+    * densified January grid, today's arrival count is judged against
+    * the trailing-7-day MEDIAN (robust to yesterday's spike in a way a
+    * trailing mean isn't): `missing` if zero, `low` if under 50% of
+    * the median, `ok` otherwise. This is the data-contract monitor a
+    * pipeline runs before consuming any upstream feed — q_validate_
+    * islands finds sequence gaps; this row finds VOLUME regressions.
+    *
+    * Scale shape: the corpus collapses once to (type, day) counts
+    * (combinable, calendar-bounded); the median is an exact sort of
+    * each 7-element window frame on that tiny grid. Determinism: all
+    * counts and the 7-element median are exact integers; the one
+    * ratio rounds from exact operands. */
+  def freshnessQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val grid = s.sql(
+      """SELECT explode(sequence(date'2024-01-01', date'2024-01-30',
+        |  interval 1 day)) AS day""".stripMargin)
+    val types = t(s, dir, "events").select($"event_type").distinct()
+    val dense = grid.crossJoin(broadcast(types))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"c", lit(0L)).as("c"))
+    val w7 = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-7, -1)
+    dense
+      .withColumn("hist", collect_list($"c").over(w7))
+      .filter(size($"hist") === 7)
+      .withColumn("med", expr("sort_array(hist)[3]"))
+      .withColumn("status",
+        when($"c" === 0, "missing")
+          .when($"c" * 2 < $"med", "low")
+          .otherwise("ok"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days_checked"),
+        sum(when($"status" === "ok", 1L).otherwise(0L)).as("n_ok"),
+        sum(when($"status" === "low", 1L).otherwise(0L)).as("n_low"),
+        sum(when($"status" === "missing", 1L).otherwise(0L)).as("n_missing"),
+        min(when($"med" > 0,
+          round($"c".cast("double") / $"med", 6))).as("worst_ratio"))
+      .orderBy($"event_type")
+  }
+
+  val freshnessSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+      |    INTERVAL 1 DAY))::DATE AS day),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT ty.event_type, g.day, COALESCE(d.c, 0) AS c
+      |  FROM grid g CROSS JOIN ty
+      |  LEFT JOIN daily d ON d.event_type = ty.event_type AND d.day = g.day),
+      |hist AS (
+      |  SELECT event_type, day, c,
+      |    list_sort(list(c) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS h
+      |  FROM dense),
+      |judged AS (
+      |  SELECT event_type, c, h[4] AS med,
+      |    CASE WHEN c = 0 THEN 'missing'
+      |         WHEN c * 2 < h[4] THEN 'low'
+      |         ELSE 'ok' END AS status
+      |  FROM hist WHERE len(h) = 7)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days_checked,
+      |  CAST(SUM(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+      |  CAST(SUM(CASE WHEN status = 'low' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(SUM(CASE WHEN status = 'missing' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_missing,
+      |  MIN(CASE WHEN med > 0
+      |    THEN ROUND(CAST(c AS DOUBLE) / med, 6) END) AS worst_ratio
+      |FROM judged GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_validate_freshness" -> freshnessQ,
     "q_validate_rules" -> rulesQ,
     "q_validate_fd" -> fdQ,
     "q_validate_fk" -> fkQ,
     "q_validate_islands" -> islandsQ)
 
   def oracle: Map[String, String] = Map(
+    "q_validate_freshness" -> freshnessSql,
     "q_validate_rules" -> rulesSql,
     "q_validate_fd" -> fdSql,
     "q_validate_fk" -> fkSql,

@@ -822,6 +822,38 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(enMean > restMean, s"en mean $enMean !> rest mean $restMean")
   }
 
+  test("freshness: statuses match a driver trailing-median recompute; day accounting closes") {
+    import spark.implicits._
+    val rows = Validate.freshnessQ(spark, sfDir).collect()
+    val daily = graft.Tables.t(spark, sfDir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day")).count().collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate.toEpochDay), r.getLong(2)))
+      .toMap
+    val d0 = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    rows.foreach { r =>
+      val ty = r.getAs[String]("event_type")
+      val cs = (0 until 30).map(i => daily.getOrElse((ty, d0 + i), 0L))
+      var (ok, low, missing) = (0L, 0L, 0L)
+      var worst = Double.MaxValue
+      (7 until 30).foreach { i =>
+        val med = cs.slice(i - 7, i).sorted.apply(3)
+        val c = cs(i)
+        if (c == 0) missing += 1
+        else if (c * 2 < med) low += 1
+        else ok += 1
+        if (med > 0) worst = math.min(worst,
+          BigDecimal(c.toDouble / med).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      assert(r.getAs[Long]("n_days_checked") == 23, s"$ty days")
+      assert(r.getAs[Long]("n_ok") == ok, s"$ty ok")
+      assert(r.getAs[Long]("n_low") == low, s"$ty low")
+      assert(r.getAs[Long]("n_missing") == missing, s"$ty missing")
+      assert(math.abs(r.getAs[Double]("worst_ratio") - worst) < 1e-9, s"$ty worst")
+      assert(ok + low + missing == 23)
+    }
+  }
+
   test("ndcg: identities hold and DCG/IDCG match a recompute from the BM25 ranking and raw text") {
     import spark.implicits._
     val r = Text.ndcgQ(spark, sfDir).collect().head

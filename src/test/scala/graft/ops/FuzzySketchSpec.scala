@@ -248,4 +248,42 @@ class FuzzySketchSpec extends AnyFunSuite with SparkSpec {
     val pObs = r.getAs[Long]("n_false_pos").toDouble / r.getAs[Long]("n_test")
     assert(pObs <= 5 * pTheory + 0.1, s"observed $pObs vs theory $pTheory")
   }
+
+  test("theta sketch: k-minima, theta, and estimates match a driver KMV recompute; error inside 3 RSE") {
+    import spark.implicits._
+    val r = Sketches.thetaQ(spark, sfDir).collect().head
+    val k = r.getAs[Long]("k").toInt
+    // driver recompute with the SAME pinned hash
+    def h60(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val byYear = graft.Tables.t(spark, sfDir, "orders")
+      .select(year($"o_orderdate").as("y"), $"o_custkey").collect()
+      .map(x => (x.getInt(0), x.getLong(1)))
+      .filter(x => x._1 == 1996 || x._1 == 1998)
+      .distinct.groupBy(_._1)
+    val sets = byYear.view.mapValues(_.map(_._2.toString).toSet).toMap
+    val (a, b) = (sets(1996), sets(1998))
+    assert(a.size >= k && b.size >= k, "fixture must fill the sketch")
+    val skA = a.toSeq.map(h60).sorted.take(k)
+    val skB = b.toSeq.map(h60).sorted.take(k)
+    val theta = math.min(skA.last, skB.last)
+    val merged = (skA ++ skB).filter(_ < theta).distinct
+    val both = skA.toSet.intersect(skB.toSet).filter(_ < theta)
+    assert(r.getAs[Long]("s_union") == merged.size)
+    assert(r.getAs[Long]("s_both") == both.size)
+    val m = 1.152921504606846976e18
+    assert(math.abs(r.getAs[Double]("est_union") -
+      BigDecimal(merged.size * m / theta).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6)
+    assert(r.getAs[Long]("exact_union") == (a ++ b).size)
+    assert(r.getAs[Long]("exact_inter") == a.intersect(b).size)
+    // accuracy: KMV RSE ~ 1/sqrt(k-1); allow 3 RSE on this one draw
+    val rse = 1.0 / math.sqrt(k - 1.0)
+    assert(r.getAs[Double]("err_union") <= 3 * rse,
+      s"union err ${r.getAs[Double]("err_union")} vs 3*RSE ${3 * rse}")
+    assert(r.getAs[Long]("s_both") <= r.getAs[Long]("s_union"))
+  }
 }

@@ -558,6 +558,53 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("power: n_required matches the closed-form two-proportion formula from the observed rates") {
+    val r = Stats.powerQ(spark, sfDir).collect().head
+    val (p1, p2) = (r.getAs[Double]("rate_a"), r.getAs[Double]("rate_b"))
+    val pb = r.getAs[Double]("lift") // recompute pb from lift? use rates
+    val pbar = (p1 * r.getAs[Long]("n_have") + p2 * r.getAs[Long]("n_have")) /
+      (2.0 * r.getAs[Long]("n_have")) // equal-arm approximation check only
+    val za = 1.959963984540054
+    val zb = 0.8416212335729143
+    // direct formula from the reported (rounded) rates — tolerance covers
+    // the 6-dp rounding of the rates vs the query's exact-rate arithmetic
+    val pBar = (p1 + p2) / 2
+    val n = math.pow(za * math.sqrt(2 * pBar * (1 - pBar)) +
+      zb * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2) /
+      math.pow(p2 - p1, 2)
+    val got = r.getAs[Long]("n_required").toDouble
+    assert(math.abs(got - n) / n < 0.02, s"n_required $got vs ~$n")
+    assert(r.getAs[Long]("powered") ==
+      (if (r.getAs[Long]("n_have") >= r.getAs[Long]("n_required")) 1L else 0L))
+    assert(got > 0 && math.abs(pb) > 0)
+    assert(pbar > 0 && pbar < 1)
+  }
+
+  test("burstiness: fano and rate ratios match a driver per-document recount") {
+    import spark.implicits._
+    val rows = graft.ops.Colloc.burstinessQ(spark, sfDir).collect()
+    assert(rows.length == 15)
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"text").collect().map(_.getString(0))
+    val nd = docs.length.toDouble
+    rows.foreach { r =>
+      val term = r.getAs[String]("term")
+      val tfs = docs.map(_.toLowerCase.split(" ").count(_ == term).toLong)
+      val df = tfs.count(_ > 0).toLong
+      val tot = tfs.sum
+      assert(r.getAs[Long]("df") == df, s"$term df")
+      assert(r.getAs[Long]("t_total") == tot, s"$term total")
+      val mean = tot / nd
+      val variance = (tfs.map(x => x * x).sum - tot * tot / nd) / nd
+      assert(math.abs(r.getAs[Double]("fano") - variance / mean) < 1e-4,
+        s"$term fano")
+      assert(math.abs(r.getAs[Double]("burstiness") -
+        (tot.toDouble / df) / mean) < 1e-4, s"$term burstiness")
+      assert(r.getAs[Double]("burstiness") >= 1.0 - 1e-9,
+        "within-doc rate can't be below the global rate")
+    }
+  }
+
   test("entropy rate: decomposition matches a driver recompute and is bounded by ln(#states)") {
     import spark.implicits._
     val rows = graft.ops.Patterns.entropyRateQ(spark, sfDir).collect()
