@@ -279,7 +279,10 @@ object Fuzzy {
       .orderBy($"record_id")
   }
 
-  val entityResolutionSql: String = {
+  /** Shared oracle CTE chain of the ER pipeline, through the labeled
+    * `ent` (rid, name, entity_id) and `sz` frames — reused verbatim by
+    * the resolution and survivorship oracles. */
+  private val erPrefixSql: String = {
     // window 8 over the normalized sort key, one fixed-offset select per
     // lead (DuckDB lead() takes a constant offset)
     val candUnion = (1 to 8).map(i =>
@@ -310,14 +313,80 @@ object Fuzzy {
       |ent AS (
       |  SELECT r.rid, r.name, COALESCE(l.ent, r.rid) AS entity_id
       |  FROM recs r LEFT JOIN labels l ON r.rid = l.rid),
-      |sz AS (SELECT entity_id, COUNT(*) AS n_records FROM ent GROUP BY 1)
+      |sz AS (SELECT entity_id, COUNT(*) AS n_records FROM ent GROUP BY 1)""".stripMargin
+  }
+
+  val entityResolutionSql: String =
+    s"""$erPrefixSql
       |SELECT e.rid AS record_id, e.name, e.entity_id,
       |  CAST(sz.n_records AS BIGINT) AS n_records
       |FROM ent e JOIN sz USING (entity_id)
       |ORDER BY record_id""".stripMargin
+
+  /** q_entity_survivorship entry: GOLDEN-RECORD construction over the
+    * resolved entities — the master-data-management step AFTER entity
+    * resolution: each entity's duplicate records merge into one
+    * survivor by per-field rules. Fields are deterministic record
+    * attributes (updated_day = rid % 30; phone present only when
+    * rid % 5 ≠ 0); rules: name = most COMPLETE (longest, tie → lexic.
+    * max — here that provably recovers the un-truncated clean variant),
+    * updated_day = most RECENT, phone = most recent NON-NULL (the
+    * null-skipping rule trivial recency can't express). n_names > 1
+    * marks entities that actually had conflicting data.
+    *
+    * Scale shape: one groupBy(entity) over the labeled record frame —
+    * rules are max(struct(...)) semigroup merges, map-side
+    * combinable, no window over the corpus. */
+  def survivorshipQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = entityResolutionQ(s, dir)
+      .select($"record_id", $"name", $"entity_id")
+      .withColumn("updated_day", $"record_id" % 30)
+      .withColumn("phone",
+        when($"record_id" % 5 =!= 0,
+          concat(lit("P"), ($"record_id" * 7 % 10000).cast("string"))))
+    recs.groupBy($"entity_id")
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct($"name").as("n_names"),
+        max(struct(length($"name").as("l"), $"name")).getField("name")
+          .as("golden_name"),
+        max($"updated_day").as("last_day"),
+        max(when($"phone".isNotNull,
+          struct($"updated_day", (-$"record_id").as("nr"), $"phone")))
+          .getField("phone").as("golden_phone"))
+      .orderBy($"entity_id")
   }
 
+  val survivorshipSql: String =
+    s"""$erPrefixSql,
+      |fields AS (
+      |  SELECT entity_id, rid, name, rid % 30 AS updated_day,
+      |    CASE WHEN rid % 5 <> 0
+      |      THEN 'P' || CAST(rid * 7 % 10000 AS VARCHAR) END AS phone
+      |  FROM ent),
+      |gn AS (
+      |  SELECT entity_id, name AS golden_name FROM (
+      |    SELECT entity_id, name, ROW_NUMBER() OVER (PARTITION BY entity_id
+      |      ORDER BY LEN(name) DESC, name DESC) AS rn
+      |    FROM fields) WHERE rn = 1),
+      |gp AS (
+      |  SELECT entity_id, phone AS golden_phone FROM (
+      |    SELECT entity_id, phone, ROW_NUMBER() OVER (PARTITION BY entity_id
+      |      ORDER BY updated_day DESC, rid ASC) AS rn
+      |    FROM fields WHERE phone IS NOT NULL) WHERE rn = 1),
+      |agg AS (
+      |  SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_records,
+      |    CAST(COUNT(DISTINCT name) AS BIGINT) AS n_names,
+      |    CAST(MAX(updated_day) AS BIGINT) AS last_day
+      |  FROM fields GROUP BY 1)
+      |SELECT a.entity_id, a.n_records, a.n_names, gn.golden_name,
+      |  a.last_day, gp.golden_phone
+      |FROM agg a JOIN gn USING (entity_id)
+      |LEFT JOIN gp USING (entity_id)
+      |ORDER BY entity_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entity_survivorship" -> survivorshipQ,
     "q_entity_resolution" -> entityResolutionQ,
     "q_fuzzy_vocab" -> fuzzyVocabQ,
     "q_fuzzy_neighbors" -> sortedNeighborsQ,
@@ -326,6 +395,7 @@ object Fuzzy {
 
   def oracle: Map[String, String] = Map(
     "q_entity_resolution" -> entityResolutionSql,
+    "q_entity_survivorship" -> survivorshipSql,
     "q_fuzzy_vocab" -> fuzzyVocabSql,
     "q_fuzzy_neighbors" -> sortedNeighborsSql,
     "q_fuzzy_jw" -> jaroWinklerSql,

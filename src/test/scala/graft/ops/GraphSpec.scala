@@ -326,6 +326,44 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert((100L to 120L).forall(n => l2(n) == 100L))
   }
 
+  test("survivorship: golden fields obey the rules and the clean variant always wins the name") {
+    import spark.implicits._
+    val rows = graft.ops.Fuzzy.survivorshipQ(spark, sfDir).collect()
+    val recs = graft.ops.Fuzzy.entityResolutionQ(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("record_id"), r.getAs[String]("name"),
+        r.getAs[Long]("entity_id")))
+    val byEnt = recs.groupBy(_._3)
+    assert(rows.length == byEnt.size)
+    rows.foreach { r =>
+      val e = r.getAs[Long]("entity_id")
+      val members = byEnt(e)
+      assert(r.getAs[Long]("n_records") == members.length)
+      assert(r.getAs[Long]("n_names") == members.map(_._2).distinct.length)
+      // name rule: longest wins — for merged clean+typo pairs that IS
+      // the untruncated clean variant
+      val golden = members.map(_._2).maxBy(n => (n.length, n))
+      assert(r.getAs[String]("golden_name") == golden, s"entity $e name")
+      assert(members.forall(_._2.length <= golden.length))
+      // recency rule
+      assert(r.getAs[Long]("last_day") == members.map(_._1 % 30).max)
+      // most recent non-null phone
+      val phones = members.filter(_._1 % 5 != 0)
+        .map(m => (m._1 % 30, -m._1, s"P${m._1 * 7 % 10000}"))
+      val expPhone = if (phones.isEmpty) null
+        else phones.maxBy(p => (p._1, p._2))._3
+      assert(r.getAs[String]("golden_phone") == expPhone, s"entity $e phone")
+    }
+    // every resolved clean+typo pair's golden name is the clean (even-rid) one
+    byEnt.filter(_._2.length == 2).foreach { case (e, ms) =>
+      val clean = ms.find(_._1 % 2 == 0)
+      clean.foreach { c =>
+        val row = rows.find(_.getAs[Long]("entity_id") == e).get
+        assert(row.getAs[String]("golden_name") == c._2,
+          s"entity $e should keep the clean name")
+      }
+    }
+  }
+
   test("closeness: per-node closeness and harmonic match an all-sources driver BFS") {
     val rows = Graph.closenessQ(spark, sfDir).collect()
     assert(rows.length == 25)
