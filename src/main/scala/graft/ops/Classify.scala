@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables.t
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Hashed linear document classifier — the fastText-style shape of
@@ -213,13 +213,103 @@ object Classify {
       |      / COUNT(*), 6) AS gap
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** q_eval_f1 entry: thresholded CONFUSION-MATRIX readout of the
+    * classifier — per-class support, predicted count, true positives,
+    * precision, recall, and F1 at the natural score > 0 threshold,
+    * plus a macro row (class = -1) averaging the two classes. Together
+    * with the threshold-free AUC and the calibration table this
+    * completes the standard eval triptych every production filter
+    * ships with.
+    *
+    * Scale shape: the corpus collapses to SIX integer counts in one
+    * combinable aggregate (conditional sums over (y, pred)); every
+    * ratio is computed driver-free from that 1-row frame. Determinism:
+    * counts are exact integers; F1 via the 2·tp/(n_pred + n_true)
+    * identity — one IEEE division per cell, identical formula text on
+    * both engines, rounded to 6 dp. */
+  def f1Q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = scored(s, dir)
+      .withColumn("pred", ($"score" > 0d).cast("long"))
+      .agg(
+        sum(when($"y" === 1, 1L).otherwise(0L)).as("t1"),
+        sum(when($"pred" === 1, 1L).otherwise(0L)).as("p1"),
+        sum(when($"y" === 1 && $"pred" === 1, 1L).otherwise(0L)).as("tp1"),
+        sum(when($"y" === 0, 1L).otherwise(0L)).as("t0"),
+        sum(when($"pred" === 0, 1L).otherwise(0L)).as("p0"),
+        sum(when($"y" === 0 && $"pred" === 0, 1L).otherwise(0L)).as("tp0"))
+    def m(tp: Column, p: Column, tr: Column) = (
+      round(tp.cast("double") / p, 6),
+      round(tp.cast("double") / tr, 6),
+      round(lit(2d) * tp / (p + tr), 6))
+    val (pr1, rc1, f11) = m($"tp1", $"p1", $"t1")
+    val (pr0, rc0, f10) = m($"tp0", $"p0", $"t0")
+    c.select(explode(array(
+        struct(lit(1L).as("class"), $"t1".as("n_true"), $"p1".as("n_pred"),
+          $"tp1".as("tp"), pr1.as("precision"), rc1.as("recall"),
+          f11.as("f1")),
+        struct(lit(0L).as("class"), $"t0".as("n_true"), $"p0".as("n_pred"),
+          $"tp0".as("tp"), pr0.as("precision"), rc0.as("recall"),
+          f10.as("f1")),
+        struct(lit(-1L).as("class"),
+          ($"t1" + $"t0").as("n_true"), ($"p1" + $"p0").as("n_pred"),
+          ($"tp1" + $"tp0").as("tp"),
+          round(($"tp1".cast("double") / $"p1"
+            + $"tp0".cast("double") / $"p0") / 2, 6).as("precision"),
+          round(($"tp1".cast("double") / $"t1"
+            + $"tp0".cast("double") / $"t0") / 2, 6).as("recall"),
+          round((lit(2d) * $"tp1" / ($"p1" + $"t1")
+            + lit(2d) * $"tp0" / ($"p0" + $"t0")) / 2, 6).as("f1"))))
+        .as("r"))
+      .select($"r.*")
+      .withColumnRenamed("class", "cls")
+      .orderBy($"cls")
+  }
+
+  val f1Sql: String =
+    s"""WITH $scoredSql,
+      |c AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+      |    CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+      |    CAST(SUM(CASE WHEN y = 1 AND score > 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tp1,
+      |    CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0,
+      |    CAST(SUM(CASE WHEN NOT score > 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS p0,
+      |    CAST(SUM(CASE WHEN y = 0 AND NOT score > 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tp0
+      |  FROM scored)
+      |SELECT CAST(1 AS BIGINT) AS cls, t1 AS n_true, p1 AS n_pred,
+      |  tp1 AS tp,
+      |  ROUND(CAST(tp1 AS DOUBLE) / p1, 6) AS precision,
+      |  ROUND(CAST(tp1 AS DOUBLE) / t1, 6) AS recall,
+      |  ROUND(2.0::DOUBLE * tp1 / (p1 + t1), 6) AS f1
+      |FROM c
+      |UNION ALL
+      |SELECT CAST(0 AS BIGINT), t0, p0, tp0,
+      |  ROUND(CAST(tp0 AS DOUBLE) / p0, 6),
+      |  ROUND(CAST(tp0 AS DOUBLE) / t0, 6),
+      |  ROUND(2.0::DOUBLE * tp0 / (p0 + t0), 6)
+      |FROM c
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT), t1 + t0, p1 + p0, tp1 + tp0,
+      |  ROUND((CAST(tp1 AS DOUBLE) / p1 + CAST(tp0 AS DOUBLE) / p0) / 2, 6),
+      |  ROUND((CAST(tp1 AS DOUBLE) / t1 + CAST(tp0 AS DOUBLE) / t0) / 2, 6),
+      |  ROUND((2.0::DOUBLE * tp1 / (p1 + t1)
+      |    + 2.0::DOUBLE * tp0 / (p0 + t0)) / 2, 6)
+      |FROM c
+      |ORDER BY cls""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_classify" -> classifyQ,
     "q_eval_auc" -> aucQ,
-    "q_eval_calibration" -> calibrationQ)
+    "q_eval_calibration" -> calibrationQ,
+    "q_eval_f1" -> f1Q)
 
   def oracle: Map[String, String] = Map(
     "q_text_classify" -> classifySql,
     "q_eval_auc" -> aucSql,
-    "q_eval_calibration" -> calibrationSql)
+    "q_eval_calibration" -> calibrationSql,
+    "q_eval_f1" -> f1Sql)
 }

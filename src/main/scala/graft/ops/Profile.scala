@@ -816,7 +816,84 @@ object Profile {
       |    AS revenue_share_bp
       |FROM cls GROUP BY cls ORDER BY cls""".stripMargin
 
+  /** q_agg_moments entry: per-group HIGHER-MOMENT profile — skewness
+    * and excess kurtosis of `l_quantity` by return flag, from ONE pass
+    * of raw power sums (S₁..S₄). This is the mergeable-moments sketch:
+    * per-partition power sums add associatively, so the 100 TB shape is
+    * a single map-side-combinable aggregate carrying four numbers per
+    * group — the standard one-pass alternative to a two-pass central-
+    * moment computation, and the shape-profile input (is this column
+    * heavy-tailed? lopsided?) that mean/stddev profiling misses.
+    *
+    * Determinism contract: quantities quantize to integer CENTS
+    * (exact for the fixture's 2-dp values), power sums accumulate as
+    * DECIMAL(38,0) — EXACT under any partitioning (q⁴ ≤ 6.25e14 per
+    * row, so per-row powers stay in BIGINT). Central moments come from
+    * the raw-moment expansion in one IEEE tree with identical formula
+    * text on both engines; skew/kurtosis are scale-invariant so the
+    * ×100 quantization cancels; mean/stddev divide it back out. */
+  def momentsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = t(s, dir, "lineitem")
+      .select($"l_returnflag",
+        round($"l_quantity" * 100).cast("long").as("qi"))
+    val g = q.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"qi".cast("decimal(38,0)")).as("s1"),
+        sum(($"qi" * $"qi").cast("decimal(38,0)")).as("s2"),
+        sum(($"qi" * $"qi" * $"qi").cast("decimal(38,0)")).as("s3"),
+        sum(($"qi" * $"qi" * $"qi" * $"qi").cast("decimal(38,0)")).as("s4"))
+    val m1 = $"s1".cast("double") / $"n"
+    val m2 = $"s2".cast("double") / $"n" - m1 * m1
+    val m3 = $"s3".cast("double") / $"n" -
+      lit(3d) * m1 * ($"s2".cast("double") / $"n") + lit(2d) * m1 * m1 * m1
+    val m4 = $"s4".cast("double") / $"n" -
+      lit(4d) * m1 * ($"s3".cast("double") / $"n") +
+      lit(6d) * m1 * m1 * ($"s2".cast("double") / $"n") -
+      lit(3d) * m1 * m1 * m1 * m1
+    g.select($"l_returnflag", $"n",
+        round(m1 / 100d, 6).as("mean"),
+        round(sqrt(m2) / 100d, 6).as("stddev"),
+        round(m3 / pow(m2, 1.5d), 6).as("skewness"),
+        round(m4 / (m2 * m2) - 3d, 6).as("kurtosis_excess"))
+      .orderBy($"l_returnflag")
+  }
+
+  val momentsSql: String =
+    """WITH q AS (
+      |  SELECT l_returnflag,
+      |    CAST(ROUND(l_quantity * 100) AS BIGINT) AS qi
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(qi) AS DECIMAL(38,0)) AS s1,
+      |    CAST(SUM(qi * qi) AS DECIMAL(38,0)) AS s2,
+      |    CAST(SUM(qi * qi * qi) AS DECIMAL(38,0)) AS s3,
+      |    CAST(SUM(qi * qi * qi * qi) AS DECIMAL(38,0)) AS s4
+      |  FROM q GROUP BY l_returnflag),
+      |m AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(s1 AS DOUBLE) / n AS m1,
+      |    CAST(s2 AS DOUBLE) / n AS r2,
+      |    CAST(s3 AS DOUBLE) / n AS r3,
+      |    CAST(s4 AS DOUBLE) / n AS r4
+      |  FROM g),
+      |c AS (
+      |  SELECT l_returnflag, n, m1,
+      |    r2 - m1 * m1 AS m2,
+      |    r3 - 3.0::DOUBLE * m1 * r2 + 2.0::DOUBLE * m1 * m1 * m1 AS m3,
+      |    r4 - 4.0::DOUBLE * m1 * r3 + 6.0::DOUBLE * m1 * m1 * r2
+      |      - 3.0::DOUBLE * m1 * m1 * m1 * m1 AS m4
+      |  FROM m)
+      |SELECT l_returnflag, n,
+      |  ROUND(m1 / 100, 6) AS mean,
+      |  ROUND(SQRT(m2) / 100, 6) AS stddev,
+      |  ROUND(m3 / POWER(m2, 1.5::DOUBLE), 6) AS skewness,
+      |  ROUND(m4 / (m2 * m2) - 3.0::DOUBLE, 6) AS kurtosis_excess
+      |FROM c ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_moments" -> momentsQ,
     "q_agg_percentile_disc" -> percentileDiscQ,
     "q_agg_weighted_median" -> weightedMedianQ,
     "q_agg_trimmed_mean" -> trimmedMeanQ,
@@ -833,6 +910,7 @@ object Profile {
     "q_profile_mad" -> madQ)
 
   def oracle: Map[String, String] = Map(
+    "q_agg_moments" -> momentsSql,
     "q_agg_percentile_disc" -> percentileDiscSql,
     "q_agg_weighted_median" -> weightedMedianSql,
     "q_agg_trimmed_mean" -> trimmedMeanSql,

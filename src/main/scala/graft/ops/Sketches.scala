@@ -222,6 +222,97 @@ object Sketches {
       |FROM e WHERE len(tok) > 0
       |GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 40""".stripMargin
 
+  /** q_join_size_est entry: SELF-JOIN SIZE (second frequency moment F₂)
+    * estimation from a count-min grid — the AMS/CMS technique a planner
+    * uses to predict whether a key's join or sessionization self-join
+    * will explode, BEFORE paying for it. For each keyspace (event
+    * user_ids, lineitem part keys) every row increments one counter per
+    * grid row (d=4 row-seeded hashes into w=1024 buckets); the estimate
+    * is min over rows of Σ_b c_b² — an upper bound on the true
+    * Σ_k c_k² that collisions can only inflate. The exact F₂ rides
+    * along as the row's own accuracy audit: excess ≥ 0 always, and the
+    * Markov gate excess·w ≤ 32·N² holds per row with prob ≥ 1−1/32, so
+    * the min over 4 independent rows fails at ~1e-6.
+    *
+    * 100 TB shape: the sketch side NEVER shuffles by the raw key — the
+    * grid is d·w bounded cells built map-side-combinable; at real scale
+    * you'd publish the grid per ingestion batch (merge = cell-wise sum)
+    * and skip the exact side entirely. Determinism: positions come from
+    * [[Hashing.md5Long60]] (the pinned cross-engine hash), all counts
+    * and squares are exact integers summed as DECIMAL(38,0), so the
+    * estimate itself is bit-reproducible — unlike the envelope-gated
+    * q_agg_cms, the oracle compares EST values exactly. */
+  def joinSizeEstQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = 4
+    val w = 1024
+    val ks = t(s, dir, "events")
+      .select(lit("events.user_id").as("keyspace"),
+        $"user_id".cast("string").as("k"))
+      .unionAll(t(s, dir, "lineitem")
+        .select(lit("lineitem.l_partkey").as("keyspace"),
+          $"l_partkey".cast("string").as("k")))
+    val cells = ks
+      .select($"keyspace", posexplode(array((0 until d).map(r =>
+        Hashing.md5Long60(concat($"k", lit(s":$r"))) % w): _*))
+        .as(Seq("r", "b")))
+      .groupBy($"keyspace", $"r", $"b").agg(count(lit(1)).as("c"))
+    val est = cells.groupBy($"keyspace", $"r")
+      .agg(sum(($"c" * $"c").cast("decimal(38,0)")).as("e"))
+      .groupBy($"keyspace")
+      .agg(min($"e").cast("long").as("est_f2"))
+    val exact = ks.groupBy($"keyspace", $"k").agg(count(lit(1)).as("c"))
+      .groupBy($"keyspace")
+      .agg(sum(($"c" * $"c").cast("decimal(38,0)")).cast("long")
+          .as("exact_f2"),
+        sum($"c").cast("long").as("n_rows"))
+    est.join(exact, "keyspace")
+      .select($"keyspace", $"n_rows",
+        lit(d.toLong).as("depth"), lit(w.toLong).as("width"),
+        $"est_f2", $"exact_f2",
+        ($"est_f2" - $"exact_f2").as("excess"),
+        expr("(10000 * (est_f2 - exact_f2)) div exact_f2").as("rel_err_bp"),
+        (($"est_f2" - $"exact_f2") * w <=
+          lit(32L) * $"n_rows" * $"n_rows").cast("int").as("bound_ok"))
+      .orderBy($"keyspace")
+  }
+
+  val joinSizeEstSql: String =
+    """WITH ks AS (
+      |  SELECT 'events.user_id' AS keyspace, user_id::VARCHAR AS k
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey', l_partkey::VARCHAR FROM lineitem),
+      |cells AS (
+      |  SELECT keyspace, r.x AS r,
+      |    ('0x' || substr(md5(k || ':' || r.x::VARCHAR), 1, 15))
+      |      ::UBIGINT::BIGINT % 1024 AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM ks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS x) r
+      |  GROUP BY 1, 2, 3),
+      |est AS (
+      |  SELECT keyspace, CAST(MIN(e) AS BIGINT) AS est_f2
+      |  FROM (SELECT keyspace, r,
+      |          SUM(CAST(c * c AS DECIMAL(38,0))) AS e
+      |        FROM cells GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |ex AS (
+      |  SELECT keyspace,
+      |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS BIGINT) AS exact_f2,
+      |    CAST(SUM(c) AS BIGINT) AS n_rows
+      |  FROM (SELECT keyspace, k, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM ks GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT e.keyspace, x.n_rows,
+      |  CAST(4 AS BIGINT) AS depth, CAST(1024 AS BIGINT) AS width,
+      |  e.est_f2, x.exact_f2,
+      |  e.est_f2 - x.exact_f2 AS excess,
+      |  (10000 * (e.est_f2 - x.exact_f2)) // x.exact_f2 AS rel_err_bp,
+      |  CAST((e.est_f2 - x.exact_f2) * 1024 <= 32 * x.n_rows * x.n_rows
+      |    AS INTEGER) AS bound_ok
+      |FROM est e JOIN ex x ON e.keyspace = x.keyspace
+      |ORDER BY e.keyspace""".stripMargin
+
   /** q_bloom_fp entry: Bloom-filter behavior, measured exactly — build
     * an m=4096-bit, k=3 filter over the TRAIN split's content digests
     * (bit positions are md5-derived, the cross-engine hash contract),
@@ -417,12 +508,14 @@ object Sketches {
     "q_agg_hll_merge" -> hllMergeQ,
     "q_source_overlap" -> sourceOverlapQ,
     "q_agg_cms" -> cmsQ,
-    "q_bloom_fp" -> bloomFpQ)
+    "q_bloom_fp" -> bloomFpQ,
+    "q_join_size_est" -> joinSizeEstQ)
 
   def oracle: Map[String, String] = Map(
     "q_agg_theta" -> thetaSql,
     "q_agg_hll_merge" -> hllMergeSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_agg_cms" -> cmsSql,
-    "q_bloom_fp" -> bloomFpSql)
+    "q_bloom_fp" -> bloomFpSql,
+    "q_join_size_est" -> joinSizeEstSql)
 }

@@ -1016,4 +1016,100 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(direct + lambda - 1.0) < 1e-9,
       s"discount identity: $direct + $lambda")
   }
+
+  test("f1: confusion counts match a driver rescore; F1 and macro identities hold") {
+    import spark.implicits._
+    val rows = Classify.f1Q(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("cls") -> r).toMap
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang").collect()
+      .map(x => (x.getString(1), x.getString(2)))
+    def bucket(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % 1024
+    }
+    val preds = docs.map { case (text, lang) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val sw = toks.map(t => (bucket(t) * 2654435761L) % 2001L - 1000L).sum
+      val score = BigDecimal(sw.toDouble / (toks.length * 1000.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (if (lang == "en") 1L else 0L, if (score > 0) 1L else 0L)
+    }
+    for (c <- Seq(0L, 1L)) {
+      val r = rows(c)
+      val nTrue = preds.count(_._1 == c).toLong
+      val nPred = preds.count(_._2 == c).toLong
+      val tp = preds.count(p => p._1 == c && p._2 == c).toLong
+      assert(r.getAs[Long]("n_true") == nTrue, s"class $c support")
+      assert(r.getAs[Long]("n_pred") == nPred, s"class $c predicted")
+      assert(r.getAs[Long]("tp") == tp, s"class $c tp")
+      assert(math.abs(r.getAs[Double]("f1") -
+        2.0 * tp / (nPred + nTrue)) < 1e-6, s"class $c f1 identity")
+    }
+    val macroF1 = (rows(0L).getAs[Double]("f1") +
+      rows(1L).getAs[Double]("f1")) / 2
+    assert(math.abs(rows(-1L).getAs[Double]("f1") - macroF1) < 2e-6,
+      "macro row averages the per-class F1s")
+    assert(rows(-1L).getAs[Long]("tp") ==
+      rows(0L).getAs[Long]("tp") + rows(1L).getAs[Long]("tp"))
+  }
+
+  test("moments: one-pass skewness/kurtosis match a two-pass central-moment recompute") {
+    import spark.implicits._
+    val rows = Profile.momentsQ(spark, sfDir).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val qs = graft.Tables.t(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_quantity").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    qs.groupBy(_._1).foreach { case (flag, xs) =>
+      val v = xs.map(_._2)
+      val n = v.length.toDouble
+      val mean = v.sum / n
+      def cm(k: Int) = v.map(x => math.pow(x - mean, k)).sum / n
+      val (m2, m3, m4) = (cm(2), cm(3), cm(4))
+      val r = rows(flag)
+      assert(r.getAs[Long]("n") == v.length)
+      assert(math.abs(r.getAs[Double]("mean") - mean) < 1e-5, s"$flag mean")
+      assert(math.abs(r.getAs[Double]("stddev") - math.sqrt(m2)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("skewness") -
+        m3 / math.pow(m2, 1.5)) < 1e-4, s"$flag skew")
+      assert(math.abs(r.getAs[Double]("kurtosis_excess") -
+        (m4 / (m2 * m2) - 3)) < 1e-4, s"$flag kurtosis")
+    }
+  }
+
+  test("join size est: estimate bounds exact F2 from above and matches a driver CMS recompute") {
+    import spark.implicits._
+    val rows = Sketches.joinSizeEstQ(spark, sfDir).collect()
+      .map(r => r.getAs[String]("keyspace") -> r).toMap
+    assert(rows.keySet == Set("events.user_id", "lineitem.l_partkey"))
+    def md5mod(x: String, m: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % m
+    }
+    def check(keyspace: String, keys: Array[String]): Unit = {
+      val r = rows(keyspace)
+      val exact = keys.groupBy(identity).values
+        .map(g => g.length.toLong * g.length).sum
+      assert(r.getAs[Long]("n_rows") == keys.length, s"$keyspace rows")
+      assert(r.getAs[Long]("exact_f2") == exact, s"$keyspace exact F2")
+      // driver CMS: d=4 rows of w=1024 cells, est = min over rows of sum c^2
+      val est = (0 until 4).map { rr =>
+        keys.groupBy(k => md5mod(s"$k:$rr", 1024L)).values
+          .map(g => g.length.toLong * g.length).sum
+      }.min
+      assert(r.getAs[Long]("est_f2") == est, s"$keyspace estimate")
+      assert(est >= exact, "collisions can only inflate F2")
+      assert(r.getAs[Long]("excess") == est - exact)
+      assert(r.getAs[Int]("bound_ok") == 1, s"$keyspace Markov gate")
+    }
+    check("events.user_id",
+      graft.Tables.t(spark, sfDir, "events")
+        .select($"user_id".cast("string")).collect().map(_.getString(0)))
+    check("lineitem.l_partkey",
+      graft.Tables.t(spark, sfDir, "lineitem")
+        .select($"l_partkey".cast("string")).collect().map(_.getString(0)))
+  }
 }
