@@ -815,7 +815,132 @@ object Multimodal {
       |    / (600 + doc_id % 1000), 6) AS duration_s
       |FROM documents WHERE doc_id % 4 = 3 ORDER BY doc_id LIMIT 200""".stripMargin
 
+  /** Deterministic planted 9×8 GRADIENT PNGs for the perceptual-hash
+    * query: pixel gray value is the closed form
+    * v = (grp·31 + x·17 + y·7 + x·y) mod 200 (+3 for the odd variant),
+    * where grp pairs consecutive sampled docs. PNG is lossless, so the
+    * decoded pixels equal the formula exactly — which lets the DuckDB
+    * oracle recompute the hash ARITHMETICALLY, with no image codec. */
+  private[ops] def plantedGradients(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").filter($"doc_id" % 10 === 2)
+      .select($"doc_id".as[Long])
+      .mapPartitions(_.map { id =>
+        val grp = id / 20
+        val vr = (id / 10) % 2
+        val img = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            val v = ((grp * 31 + x * 17 + y * 7 + x * y) % 200 + vr * 3).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        (id, buf.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** One perceptually-hashed image: the 64-bit dHash packed as four
+    * 16-bit bands (the SimHash-style LSH-band layout). */
+  final case class DHashed(doc_id: Long, b0: Long, b1: Long, b2: Long,
+                           b3: Long, decoded: Boolean)
+
+  /** q_dedup_image entry: PERCEPTUAL near-dup detection over image
+    * CONTENT — the difference hash (dHash): decode each payload for
+    * real (ImageIO), compare horizontally adjacent pixel lumas into a
+    * 64-bit fingerprint, and cluster by fingerprint. The fixture
+    * plants gradient pairs that differ by a +3 global brightness shift
+    * — different BYTES (sha/exact dedup misses them; the spec pins
+    * that) but identical dHash, because adding a constant preserves
+    * every adjacent-pixel inequality. That invariance to brightness /
+    * contrast / re-encode is why production image dedup hashes pixels,
+    * not bytes.
+    *
+    * Scale shape: decode + hash is a narrow 1:1 mapPartitions (each
+    * task decodes its own parquet split; a thumbnail decode is
+    * KB-bounded work per row); the only exchange is the groupBy of
+    * 4×16-bit fingerprints — pixels never shuffle. At 100 TB the same
+    * four band columns feed the [[Dedup]] LSH band-join for
+    * Hamming ≤ k (not just = 0) candidate generation. The oracle
+    * recomputes the hash arithmetically from the planted closed form,
+    * so a decoder that misreads any pixel, row stride, or color
+    * channel diverges immediately. */
+  def dedupImageQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = plantedGradients(s, dir)
+      .select($"doc_id".as[Long], $"payload".as[Array[Byte]])
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) DHashed(id, -1L, -1L, -1L, -1L, decoded = false)
+        else {
+          def luma(x: Int, y: Int): Int = img.getRGB(x, y) & 0xff // gray
+          val bands = new Array[Long](4)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth - 1) {
+              if (luma(x + 1, y) > luma(x, y)) {
+                val i = y * 8 + x
+                bands(i / 16) |= 1L << (i % 16)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          DHashed(id, bands(0), bands(1), bands(2), bands(3),
+            decoded = true)
+        }
+      }).toDF()
+    hashed.groupBy($"b0", $"b1", $"b2", $"b3")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("lo_doc"), max($"doc_id").as("hi_doc"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"lo_doc")
+  }
+
+  val dedupImageSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id // 20 AS grp, (doc_id // 10) % 2 AS vr
+      |  FROM documents WHERE doc_id % 10 = 2),
+      |px AS (
+      |  SELECT doc_id, xx.x AS x, yy.y AS y,
+      |    (grp * 31 + xx.x * 17 + yy.y * 7 + xx.x * yy.y) % 200
+      |      + vr * 3 AS v
+      |  FROM d
+      |  CROSS JOIN (SELECT unnest(range(9)) AS x) xx
+      |  CROSS JOIN (SELECT unnest(range(8)) AS y) yy),
+      |bits AS (
+      |  SELECT a.doc_id, a.y * 8 + a.x AS i,
+      |    CAST(b.v > a.v AS BIGINT) AS bit
+      |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y
+      |    AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) END)
+      |      AS BIGINT) AS b0,
+      |    CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) END)
+      |      AS BIGINT) AS b1,
+      |    CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) END)
+      |      AS BIGINT) AS b2,
+      |    CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) END)
+      |      AS BIGINT) AS b3
+      |  FROM bits GROUP BY doc_id)
+      |SELECT b0, b1, b2, b3, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(doc_id) AS lo_doc, MAX(doc_id) AS hi_doc
+      |FROM h GROUP BY 1, 2, 3, 4
+      |HAVING COUNT(*) >= 2
+      |ORDER BY lo_doc""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_image" -> dedupImageQ,
     "q_multimodal_mp4" -> mp4Q,
     "q_multimodal" -> multimodal,
     "q_multimodal_wav" -> wavQ,
@@ -827,6 +952,7 @@ object Multimodal {
     "q_multimodal_pitch" -> pitchQ)
 
   def oracle: Map[String, String] = Map(
+    "q_dedup_image" -> dedupImageSql,
     "q_multimodal_mp4" -> mp4Sql,
     "q_multimodal" -> multimodalSql,
     "q_multimodal_wav" -> wavSql,

@@ -1215,6 +1215,44 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dedup image: brightness-shifted pairs share a dHash but differ in bytes") {
+    import spark.implicits._
+    val clusters = Multimodal.dedupImageQ(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("b0"), r.getAs[Long]("b1"),
+        r.getAs[Long]("b2"), r.getAs[Long]("b3")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("lo_doc"),
+          r.getAs[Long]("hi_doc"))).toMap
+    assert(clusters.nonEmpty, "planted pairs must cluster")
+    // driver recompute of the closed-form dHash per sampled doc
+    val planted = Multimodal.plantedGradients(spark, sfDir)
+      .select($"doc_id".as[Long], $"payload").collect()
+    def dhash(id: Long): (Long, Long, Long, Long) = {
+      val grp = id / 20; val vr = (id / 10) % 2
+      def v(x: Int, y: Int) = (grp * 31 + x * 17 + y * 7 + x * y) % 200 + vr * 3
+      val b = new Array[Long](4)
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (v(x + 1, y) > v(x, y)) { val i = y * 8 + x; b(i / 16) |= 1L << (i % 16) }
+      (b(0), b(1), b(2), b(3))
+    }
+    val ids = planted.map(_.getAs[Long]("doc_id"))
+    val expected = ids.groupBy(dhash).filter(_._2.length >= 2)
+      .map { case (h, ds) => h -> (ds.length.toLong, ds.min, ds.max) }
+    assert(clusters == expected, "clusters must equal the closed-form recompute")
+    // the +3 brightness variant shares its partner's hash...
+    val byGrp = ids.groupBy(_ / 20).filter(_._2.length == 2)
+    assert(byGrp.nonEmpty, "fixture must contain paired groups")
+    byGrp.foreach { case (g, pair) =>
+      assert(dhash(pair.min) == dhash(pair.max), s"group $g pair hash")
+    }
+    // ...but its payload BYTES differ — exact (sha) dedup would miss it
+    val payloads = planted.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    byGrp.take(5).foreach { case (_, pair) =>
+      assert(!java.util.Arrays.equals(payloads(pair.min), payloads(pair.max)),
+        "variant payload bytes must differ")
+    }
+  }
+
   test("pitch: integer autocorrelation argmax matches a driver recompute including ties") {
     val rows = Multimodal.pitchQ(spark, sfDir).collect()
     assert(rows.nonEmpty)
