@@ -183,13 +183,117 @@ object Pii {
       |  CAST(1.0 AS DOUBLE) AS epsilon
       |FROM n ORDER BY lang""".stripMargin
 
+  /** q_text_secrets entry: SECRET / CREDENTIAL detection — the safety
+    * filter a training-data pipeline runs before [[redactQ]]'s PII
+    * pass, because leaked API keys in a corpus are verbatim-memorizable
+    * and revocation-critical. Two detector classes: (a) a structural
+    * pattern (AWS-style `AKIA` key id), (b) the GENERIC high-entropy
+    * screen — any long alnum token whose character Shannon entropy
+    * clears 3.0 bits — which is how scanners catch credentials with no
+    * known prefix. The fixture plants, per doc, a deterministic key id,
+    * a `tok_`+md5 bearer token on every 4th doc, and a LOW-entropy
+    * 24×'a' decoy on every 5th doc that matches the length screen but
+    * must NOT be flagged — the entropy gate is doing real work, not
+    * just length matching. Redaction rides along.
+    *
+    * Scale shape: detection is a narrow regex map over the scan; the
+    * char-frequency entropy runs only on CANDIDATE tokens (≥ 20 alnum
+    * chars — a few per doc, not corpus tokens), keyed by (doc, token)
+    * so group size is token-length-bounded. Determinism: entropy terms
+    * round to 9 dp and sum as DECIMAL(28,9) (the [[graft.ops.Text]]
+    * entropy contract); the ≥ 3.0-bit flag compares that exact
+    * decimal. */
+  def secretsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyRe = "AKIA[0-9A-F]{16}"
+    val tokRe = "tok_[0-9a-f]{32}"
+    val candRe = "[A-Za-z0-9_]{20,}"
+    val planted = t(s, dir, "documents").select($"doc_id",
+      concat($"text",
+        lit(" key AKIA"),
+        upper(substring(md5($"doc_id".cast("string")), 1, 16)),
+        when($"doc_id" % 4 === 0,
+          concat(lit(" tok_"), md5(concat($"doc_id".cast("string"), lit("t")))))
+          .otherwise(lit("")),
+        when($"doc_id" % 5 === 0, lit(" aaaaaaaaaaaaaaaaaaaaaaaa"))
+          .otherwise(lit(""))).as("body"))
+    val cand = planted.select($"doc_id",
+      explode(regexp_extract_all($"body", lit(candRe), lit(0))).as("tok"))
+    val ent = cand
+      .select($"doc_id", $"tok", explode(expr(
+        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"))
+        .as("ch"))
+      .groupBy($"doc_id", $"tok", $"ch").agg(count(lit(1)).as("c"))
+      .withColumn("p", $"c".cast("double") / length($"tok"))
+      .withColumn("term",
+        round(-$"p" * log($"p") / log(lit(2d)), 9).cast("decimal(28,9)"))
+      .groupBy($"doc_id", $"tok").agg(sum($"term").as("h"))
+    val perDoc = ent.groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("n_candidates"),
+        sum(when($"h" >= 3.0, 1).otherwise(0)).cast("int")
+          .as("n_high_entropy"))
+    planted
+      .select($"doc_id",
+        size(regexp_extract_all($"body", lit(keyRe), lit(0))).as("n_keys"),
+        regexp_replace(regexp_replace($"body", keyRe, "[KEY]"),
+          tokRe, "[TOKEN]").as("redacted"))
+      .join(perDoc, "doc_id")
+      .select($"doc_id", $"n_keys", $"n_candidates", $"n_high_entropy",
+        $"redacted")
+      .orderBy($"doc_id")
+      .limit(300)
+  }
+
+  val secretsSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text || ' key AKIA'
+      |    || upper(substr(md5(doc_id::VARCHAR), 1, 16))
+      |    || CASE WHEN doc_id % 4 = 0
+      |         THEN ' tok_' || md5(doc_id::VARCHAR || 't') ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0
+      |         THEN ' aaaaaaaaaaaaaaaaaaaaaaaa' ELSE '' END AS body
+      |  FROM documents),
+      |cand AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(body, '[A-Za-z0-9_]{20,}')) AS tok
+      |  FROM b),
+      |f AS (
+      |  SELECT doc_id, tok, ch, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, tok,
+      |          unnest(list_transform(range(1, length(tok) + 1),
+      |            i -> tok[i:i])) AS ch
+      |        FROM cand)
+      |  GROUP BY 1, 2, 3),
+      |ent AS (
+      |  SELECT doc_id, tok,
+      |    SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / length(tok))
+      |      * LN(CAST(c AS DOUBLE) / length(tok)) / LN(2), 9)
+      |      AS DECIMAL(28,9))) AS h
+      |  FROM f GROUP BY 1, 2),
+      |per AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_candidates,
+      |    CAST(SUM(CASE WHEN h >= 3.0 THEN 1 ELSE 0 END) AS INT)
+      |      AS n_high_entropy
+      |  FROM ent GROUP BY doc_id)
+      |SELECT b.doc_id,
+      |  CAST(len(regexp_extract_all(body, 'AKIA[0-9A-F]{16}')) AS INT)
+      |    AS n_keys,
+      |  per.n_candidates, per.n_high_entropy,
+      |  regexp_replace(regexp_replace(body,
+      |    'AKIA[0-9A-F]{16}', '[KEY]', 'g'),
+      |    'tok_[0-9a-f]{32}', '[TOKEN]', 'g') AS redacted
+      |FROM b JOIN per ON b.doc_id = per.doc_id
+      |ORDER BY b.doc_id LIMIT 300""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_pii" -> redactQ,
+    "q_text_secrets" -> secretsQ,
     "q_privacy_kanon" -> kanonQ,
     "q_privacy_dp_hist" -> dpHistQ)
 
   def oracle: Map[String, String] = Map(
     "q_text_pii" -> redactSql,
+    "q_text_secrets" -> secretsSql,
     "q_privacy_kanon" -> kanonSql,
     "q_privacy_dp_hist" -> dpHistSql)
 }

@@ -600,6 +600,114 @@ object Text {
       |  CAST(COUNT(*) AS INT) AS n_terms_hit
       |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  /** q_rank_fusion entry: HYBRID retrieval by Reciprocal Rank Fusion
+    * (Cormack et al. 2009) — the standard way production search stacks
+    * combine a lexical ranker with a vector ranker without score
+    * calibration: rrf(d) = Σ_legs 1/(60 + rank_leg(d)), using only the
+    * RANKS. Leg 1 is the [[bm25]] top-20 for the fixed query terms;
+    * leg 2 is the cosine top-20 of the corpus against document 0's
+    * embedding (doc_id and vec_id are aligned in the fixture). Docs
+    * missing from a leg contribute 0 from it; the fused top-15 is the
+    * answer a RAG retriever would return.
+    *
+    * Scale shape: the lexical leg is the BM25 shape (postings ∝ query
+    * hits); the vector leg is a broadcast 1-row query against a narrow
+    * corpus scan, collapsed by the bounded [[Similarity.TopKByScore]]
+    * aggregator (map-side ≤k state — no corpus-wide sort). Fusion then
+    * operates on ≤40 rows. Determinism: ranks are exact integers with
+    * doc_id tiebreaks; each rrf term is 1/(60+r) in a fixed two-term
+    * IEEE sum, identical formula text on both engines. */
+  def rankFusionQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val qTerms = Seq("dup", "vector", "spark")
+    val docs = withToks(s, dir).select($"doc_id", $"toks")
+    val dl = docs.select($"doc_id", size($"toks").cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg($"dl").as("avgdl"))
+    val tf = docs.select($"doc_id", explode($"toks").as("term"))
+      .filter($"term".isin(qTerms: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val lex = tf.join(broadcast(docFreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+      .withColumn("w", $"idf" * ($"tf" * 2.2) /
+        ($"tf" + (lit(0.25) + $"dl" * 0.75 / $"avgdl") * 1.2))
+      .groupBy($"doc_id")
+      .agg(sum(round($"w", 9).cast("decimal(28,9)")).as("sc"))
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy($"sc".desc, $"doc_id")))
+      .filter($"lex_rank" <= 20)
+      .select($"doc_id", $"lex_rank")
+    val e = Similarity.widened(t(s, dir, "embeddings"))
+    val q = e.filter($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qn"))
+    val scored = e.filter($"vec_id" >= 1)
+      .crossJoin(broadcast(q))
+      .withColumn("query_id", lit(0L))
+      .withColumn("cos", Similarity.dot($"qv", $"v") / ($"qn" * $"nrm"))
+    val sem = Similarity
+      .topkByKey(scored, 20, "query_id", "cos", "sem_score", "sem_rank")
+      .select($"vec_id".as("doc_id"), $"sem_rank")
+    lex.join(sem, Seq("doc_id"), "full")
+      .select($"doc_id",
+        coalesce($"lex_rank", lit(0)).cast("int").as("lex_rank"),
+        coalesce($"sem_rank", lit(0)).cast("int").as("sem_rank"),
+        round(
+          coalesce(lit(1d) / (lit(60) + $"lex_rank"), lit(0d)) +
+          coalesce(lit(1d) / (lit(60) + $"sem_rank"), lit(0d)), 6).as("rrf"))
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy($"rrf".desc, $"doc_id")).cast("int"))
+      .filter($"fused_rank" <= 15)
+      .orderBy($"fused_rank")
+  }
+
+  val rankFusionSql: String =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tk),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM
+      |  (SELECT doc_id, unnest(toks) AS term FROM tk)
+      |  WHERE term IN ('dup', 'vector', 'spark') GROUP BY 1, 2),
+      |docf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |bs AS (SELECT tf.doc_id,
+      |    SUM(CAST(ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
+      |      AS DECIMAL(28,9))) AS sc
+      |  FROM tf JOIN docf USING (term) JOIN dl ON tf.doc_id = dl.doc_id, st
+      |  GROUP BY tf.doc_id),
+      |lex AS (SELECT doc_id, CAST(rk AS INT) AS lex_rank FROM
+      |  (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rk
+      |   FROM bs)
+      |  WHERE rk <= 20),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+      |                     (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |qv AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+      |cs AS (SELECT vec_id,
+      |    list_reduce(list_transform(range(1, 65), i -> qv[i] * v[i]),
+      |                (a, b) -> a + b) / (qn * nrm) AS cos
+      |  FROM e, qv WHERE vec_id >= 1),
+      |sem AS (SELECT vec_id AS doc_id, CAST(rk AS INT) AS sem_rank FROM
+      |  (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rk
+      |   FROM cs)
+      |  WHERE rk <= 20),
+      |fused AS (
+      |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+      |    COALESCE(lex_rank, 0) AS lex_rank,
+      |    COALESCE(sem_rank, 0) AS sem_rank,
+      |    ROUND(COALESCE(1.0::DOUBLE / (60 + lex_rank), 0.0::DOUBLE)
+      |      + COALESCE(1.0::DOUBLE / (60 + sem_rank), 0.0::DOUBLE), 6) AS rrf
+      |  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+      |SELECT doc_id, lex_rank, sem_rank, rrf,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+      |    AS fused_rank
+      |FROM fused
+      |QUALIFY fused_rank <= 15
+      |ORDER BY fused_rank""".stripMargin
+
   /** First BPE merge iteration — the tokenizer-training primitive: count
     * every adjacent character-pair occurrence across the corpus, weighted
     * by word frequency (the statistic whose argmax IS the first BPE
@@ -1653,6 +1761,7 @@ object Text {
     "q_text_rollhash" -> rollhash,
     "q_text_tfidf" -> tfidf,
     "q_text_bm25" -> bm25,
+    "q_rank_fusion" -> rankFusionQ,
     "q_eval_ndcg" -> ndcgQ,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_train" -> bpeTrainQ,
@@ -1687,6 +1796,7 @@ object Text {
     "q_text_rollhash" -> rollhashSql,
     "q_text_tfidf" -> tfidfSql,
     "q_text_bm25" -> bm25Sql,
+    "q_rank_fusion" -> rankFusionSql,
     "q_eval_ndcg" -> ndcgSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_train" -> bpeTrainSql,

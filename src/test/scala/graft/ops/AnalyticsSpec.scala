@@ -1079,6 +1079,73 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("rank fusion: rrf equals the two-term reciprocal identity and respects both legs") {
+    import spark.implicits._
+    val rows = Text.rankFusionQ(spark, sfDir).collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val lx = r.getAs[Int]("lex_rank"); val sm = r.getAs[Int]("sem_rank")
+      assert(lx >= 0 && lx <= 20 && sm >= 0 && sm <= 20)
+      assert(lx > 0 || sm > 0, "a fused doc must appear in some leg")
+      val exp = (if (lx > 0) 1.0 / (60 + lx) else 0.0) +
+        (if (sm > 0) 1.0 / (60 + sm) else 0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - exp) < 1e-6, "rrf identity")
+    }
+    // fused order is non-increasing in rrf with doc_id tiebreaks
+    val byRank = rows.sortBy(_.getAs[Int]("fused_rank"))
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      val (ra, rb) = (a.getAs[Double]("rrf"), b.getAs[Double]("rrf"))
+      assert(ra > rb || (ra == rb &&
+        a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+    case _ => ()
+    }
+    // a doc ranked #1 in BOTH legs would dominate: verify the top fused
+    // doc has the best attainable rrf among emitted rows
+    assert(byRank.head.getAs[Double]("rrf") ==
+      rows.map(_.getAs[Double]("rrf")).max)
+  }
+
+  test("secrets: planted keys detected, entropy gate passes md5 tokens and rejects the decoy") {
+    val rows = Pii.secretsQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("n_keys") == 1, s"doc $id planted key count")
+      // candidates: key (always) + tok_ (id%4==0) + decoy (id%5==0)
+      val expCand = 1 + (if (id % 4 == 0) 1 else 0) + (if (id % 5 == 0) 1 else 0)
+      assert(r.getAs[Int]("n_candidates") == expCand, s"doc $id candidates")
+      // driver entropy recompute under the 9-dp decimal contract; the
+      // 24x'a' decoy has zero entropy and must NEVER count (borderline
+      // md5 keys legitimately fall either side of 3.0 — doc 29's key
+      // is 2.9709 bits, and both engines agree)
+      def h(tok: String): BigDecimal = {
+        val L = tok.length
+        tok.groupBy(identity).values.map { g =>
+          val p = g.length.toDouble / L
+          BigDecimal(-p * math.log(p) / math.log(2))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+      }
+      def md5hex(x: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val toks = Seq("AKIA" + md5hex(id.toString).take(16).toUpperCase) ++
+        (if (id % 4 == 0) Seq("tok_" + md5hex(id.toString + "t")) else Nil) ++
+        (if (id % 5 == 0) Seq("a" * 24) else Nil)
+      val expHigh = toks.count(h(_) >= BigDecimal(3.0))
+      assert(r.getAs[Int]("n_high_entropy") == expHigh,
+        s"doc $id entropy gate")
+      if (id % 5 == 0)
+        assert(h("a" * 24) == BigDecimal(0), "decoy entropy is zero")
+      val red = r.getAs[String]("redacted")
+      assert(red.contains("[KEY]") && !red.matches(".*AKIA[0-9A-F]{16}.*"),
+        s"doc $id key redacted")
+      if (id % 4 == 0) assert(red.contains("[TOKEN]"), s"doc $id token redacted")
+      if (id % 5 == 0) assert(red.contains("aaaaaaaaaaaaaaaaaaaaaaaa"),
+        s"doc $id decoy survives redaction")
+    }
+  }
+
   test("join size est: estimate bounds exact F2 from above and matches a driver CMS recompute") {
     import spark.implicits._
     val rows = Sketches.joinSizeEstQ(spark, sfDir).collect()
