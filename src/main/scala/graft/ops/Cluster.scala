@@ -367,13 +367,117 @@ object Cluster {
        |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  private val KCenters = 8
+
+  /** Exact integer squared L2 between the row's `mv` and the broadcast
+    * center's `cv` — the [[assign]] distance, shared formula text. */
+  private val d2Expr =
+    "aggregate(zip_with(mv, cv, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0 as bigint), (acc, v) -> acc + v)"
+
+  /** q_coreset_kcenter entry: GREEDY k-CENTER coreset selection
+    * (Gonzalez's farthest-point traversal, the 2-approximation) — pick
+    * 8 maximally-spread embedding exemplars: start from vec 0, then
+    * repeatedly take the point FARTHEST from every chosen center. The
+    * data-selection / labeling-budget primitive: the chosen exemplars
+    * cover the corpus within the reported radius, which is also the
+    * coreset quality certificate (radius after j centers is monotone
+    * non-increasing — the spec pins it).
+    *
+    * Scale shape: each of the k rounds is one narrow corpus scan
+    * against a broadcast 1-row center (distance update + a bounded
+    * TakeOrdered argmax) — k scans total, no corpus self-join, min-
+    * distance state checkpointed per round (the [[kmeansQ]] loop
+    * contract). Determinism: micro-unit integers end to end
+    * ([[Centroids.micro]]); distances are exact BIGINT, argmax ties
+    * break on vec_id, so the traversal is bit-reproducible and the
+    * oracle mirrors it as an unrolled CTE chain. */
+  def kcenterQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+    val mv = Centroids.micro(s, dir).select($"vec_id", $"mv")
+    var md = mv
+      .crossJoin(broadcast(mv.filter($"vec_id" === 0).select($"mv".as("cv"))))
+      .withColumn("d", expr(d2Expr))
+      .select($"vec_id", $"mv", $"d")
+      .checkpoint()
+    var out = md.agg(max($"d").as("radius_u2"))
+      .select(lit(1).cast("int").as("center_rank"), lit(0L).as("vec_id"),
+        $"radius_u2")
+    for (j <- 2 to KCenters) {
+      val next = md.orderBy($"d".desc, $"vec_id").limit(1).checkpoint()
+      md = md
+        .crossJoin(broadcast(next.select($"mv".as("cv"))))
+        .withColumn("nd", expr(d2Expr))
+        .select($"vec_id", $"mv", least($"d", $"nd").as("d"))
+        .checkpoint()
+      out = out.unionByName(
+        next.select(lit(j).cast("int").as("center_rank"), $"vec_id")
+          .crossJoin(broadcast(md.agg(max($"d").as("radius_u2")))))
+    }
+    out.select($"center_rank", $"vec_id", $"radius_u2",
+        round($"radius_u2".cast("double") / 1e12, 6).as("radius_sq"))
+      .orderBy($"center_rank")
+  }
+
+  /** Oracle: the same traversal as an unrolled CTE chain — each step
+    * is (argmax of the running min-distance, distance to the new
+    * center over the dim index, LEAST-merge), exact integers. */
+  val kcenterSql: String = {
+    val dim = Centroids.Dim
+    def step(j: Int): String =
+      s"""n$j AS (
+         |  SELECT vec_id FROM d${j - 1} ORDER BY d DESC, vec_id LIMIT 1),
+         |nd$j AS (
+         |  SELECT m.vec_id,
+         |    SUM((m.mv[i] - c.cv[i]) * (m.mv[i] - c.cv[i])) AS nd
+         |  FROM mv m
+         |  CROSS JOIN (SELECT m2.mv AS cv FROM mv m2
+         |              JOIN n$j USING (vec_id)) c
+         |  CROSS JOIN range(1, ${dim + 1}) t(i)
+         |  GROUP BY m.vec_id),
+         |d$j AS (
+         |  SELECT a.vec_id, LEAST(a.d, b.nd) AS d
+         |  FROM d${j - 1} a JOIN nd$j b USING (vec_id))""".stripMargin
+    val steps = (2 to KCenters).map(step).mkString(",\n")
+    val rows = (2 to KCenters).map(j =>
+      s"""SELECT $j AS center_rank, (SELECT vec_id FROM n$j) AS vec_id,
+         |  (SELECT CAST(MAX(d) AS BIGINT) FROM d$j) AS radius_u2""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH mv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+       |  FROM embeddings),
+       |d1 AS (
+       |  SELECT m.vec_id,
+       |    SUM((m.mv[i] - c.cv[i]) * (m.mv[i] - c.cv[i])) AS d
+       |  FROM mv m
+       |  CROSS JOIN (SELECT mv AS cv FROM mv WHERE vec_id = 0) c
+       |  CROSS JOIN range(1, ${dim + 1}) t(i)
+       |  GROUP BY m.vec_id),
+       |$steps,
+       |u AS (
+       |SELECT 1 AS center_rank, CAST(0 AS BIGINT) AS vec_id,
+       |  (SELECT CAST(MAX(d) AS BIGINT) FROM d1) AS radius_u2
+       |UNION ALL
+       |$rows)
+       |SELECT CAST(center_rank AS INT) AS center_rank, vec_id, radius_u2,
+       |  ROUND(CAST(radius_u2 AS DOUBLE) / 1e12, 6) AS radius_sq
+       |FROM u ORDER BY center_rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cluster_kmeans" -> kmeansQ,
     "q_cluster_pq" -> pqQ,
-    "q_cluster_pq_search" -> pqSearchQ)
+    "q_cluster_pq_search" -> pqSearchQ,
+    "q_coreset_kcenter" -> kcenterQ)
 
   def oracle: Map[String, String] = Map(
     "q_cluster_kmeans" -> kmeansSql,
     "q_cluster_pq" -> pqSql,
-    "q_cluster_pq_search" -> pqSearchSql)
+    "q_cluster_pq_search" -> pqSearchSql,
+    "q_coreset_kcenter" -> kcenterSql)
 }

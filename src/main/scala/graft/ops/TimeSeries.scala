@@ -922,7 +922,87 @@ object TimeSeries {
       |  ROUND(l + b, 6) AS forecast
       |FROM rec WHERE i = n + 1 ORDER BY event_type""".stripMargin
 
+  /** q_ts_backtest entry: rolling-origin ONE-STEP-AHEAD forecast
+    * BACKTEST — the evaluation loop that decides whether a forecaster
+    * is allowed to page anyone: for each event type's daily series,
+    * replay history and score every t = 2..n one-step forecast from
+    * (a) the naive last-value carry-forward and (b) simple exponential
+    * smoothing (α = 0.5), reporting MAE and sMAPE for both plus the
+    * skill ratio mae_ses/mae_naive (< 1 ⇔ smoothing beats naive —
+    * the sanity bar most "models" fail on short series).
+    *
+    * Scale shape: same as [[holtQ]] — one combinable daily rollup,
+    * then ONE sequential fold per series over its own (bounded,
+    * calendar-length) array; series fold in parallel across types.
+    * Determinism: the fold is a sequential recurrence with error sums
+    * accumulated INSIDE the fold state, so both engines run the
+    * IDENTICAL IEEE operation sequence (the [[holtQ]] contract —
+    * Spark `aggregate` vs recursive CTE, same formula text). */
+  def backtestQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("c"))
+    daily.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"d", $"c"))).as("arr"))
+      .withColumn("xs", expr("transform(arr, e -> cast(e.c as double))"))
+      .filter(size($"xs") >= 3)
+      .withColumn("st", expr(
+        """aggregate(slice(xs, 2, size(xs) - 1),
+          |  named_struct('s', xs[0], 'prev', xs[0],
+          |    'sae_n', cast(0 as double), 'sae_s', cast(0 as double),
+          |    'sm_n', cast(0 as double), 'sm_s', cast(0 as double)),
+          |  (st, x) -> named_struct(
+          |    's', 0.5 * x + 0.5 * st.s,
+          |    'prev', x,
+          |    'sae_n', st.sae_n + abs(x - st.prev),
+          |    'sae_s', st.sae_s + abs(x - st.s),
+          |    'sm_n', st.sm_n + 2 * abs(x - st.prev) / (abs(x) + abs(st.prev)),
+          |    'sm_s', st.sm_s + 2 * abs(x - st.s) / (abs(x) + abs(st.s))))"""
+          .stripMargin))
+      .select($"event_type",
+        size($"xs").cast("long").as("n_days"),
+        round($"st.sae_n" / (size($"xs") - 1), 6).as("mae_naive"),
+        round($"st.sae_s" / (size($"xs") - 1), 6).as("mae_ses"),
+        round($"st.sm_n" / (size($"xs") - 1), 6).as("smape_naive"),
+        round($"st.sm_s" / (size($"xs") - 1), 6).as("smape_ses"),
+        round($"st.sae_s" / $"st.sae_n", 6).as("skill"))
+      .orderBy($"event_type")
+  }
+
+  val backtestSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, CAST(c AS DOUBLE) AS x,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM daily),
+      |rec(event_type, i, n, s, prev, sae_n, sae_s, sm_n, sm_s) AS (
+      |  SELECT event_type, 2, n, x, x,
+      |    0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+      |  FROM idx WHERE i = 1 AND n >= 3
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1, r.n,
+      |    0.5 * d.x + 0.5 * r.s,
+      |    d.x,
+      |    r.sae_n + ABS(d.x - r.prev),
+      |    r.sae_s + ABS(d.x - r.s),
+      |    r.sm_n + 2 * ABS(d.x - r.prev) / (ABS(d.x) + ABS(r.prev)),
+      |    r.sm_s + 2 * ABS(d.x - r.s) / (ABS(d.x) + ABS(r.s))
+      |  FROM rec r JOIN idx d ON d.event_type = r.event_type AND d.i = r.i
+      |  WHERE r.i <= r.n)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |  ROUND(sae_n / (n - 1), 6) AS mae_naive,
+      |  ROUND(sae_s / (n - 1), 6) AS mae_ses,
+      |  ROUND(sm_n / (n - 1), 6) AS smape_naive,
+      |  ROUND(sm_s / (n - 1), 6) AS smape_ses,
+      |  ROUND(sae_s / sae_n, 6) AS skill
+      |FROM rec WHERE i = n + 1 ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_backtest" -> backtestQ,
     "q_ts_xcorr" -> xcorrQ,
     "q_ts_holt" -> holtQ,
     "q_ts_theilsen" -> theilSenQ,
@@ -938,6 +1018,7 @@ object TimeSeries {
     "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_backtest" -> backtestSql,
     "q_ts_xcorr" -> xcorrSql,
     "q_ts_holt" -> holtSql,
     "q_ts_theilsen" -> theilSenSql,

@@ -1146,6 +1146,38 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ts backtest: fold errors equal a sequential driver replay; skill is the mae ratio") {
+    import spark.implicits._
+    val rows = TimeSeries.backtestQ(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val daily = graft.Tables.t(spark, sfDir, "events")
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getAs[java.sql.Date](1),
+        r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (et, xs) =>
+      val series = xs.sortBy(_._2.toString).map(_._3.toDouble)
+      if (series.length >= 3) {
+        var s0 = series.head; var prev = series.head
+        var (saeN, saeS, smN, smS) = (0.0, 0.0, 0.0, 0.0)
+        series.tail.foreach { x =>
+          saeN += math.abs(x - prev); saeS += math.abs(x - s0)
+          smN += 2 * math.abs(x - prev) / (math.abs(x) + math.abs(prev))
+          smS += 2 * math.abs(x - s0) / (math.abs(x) + math.abs(s0))
+          s0 = 0.5 * x + 0.5 * s0; prev = x
+        }
+        val n1 = series.length - 1
+        val r = rows(et)
+        assert(r.getAs[Long]("n_days") == series.length)
+        assert(math.abs(r.getAs[Double]("mae_naive") - saeN / n1) < 1e-6)
+        assert(math.abs(r.getAs[Double]("mae_ses") - saeS / n1) < 1e-6)
+        assert(math.abs(r.getAs[Double]("smape_naive") - smN / n1) < 1e-6)
+        assert(math.abs(r.getAs[Double]("smape_ses") - smS / n1) < 1e-6)
+        assert(math.abs(r.getAs[Double]("skill") - saeS / saeN) < 1e-6)
+      }
+    }
+  }
+
   test("join size est: estimate bounds exact F2 from above and matches a driver CMS recompute") {
     import spark.implicits._
     val rows = Sketches.joinSizeEstQ(spark, sfDir).collect()

@@ -185,4 +185,37 @@ class ClusterSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 3 * chance,
       s"mean recall@10 $recall below 3x chance ${3 * chance}")
   }
+
+  test("kcenter: traversal equals a driver greedy farthest-point; radius monotone non-increasing") {
+    import spark.implicits._
+    val rows = Cluster.kcenterQ(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("center_rank"))
+    assert(rows.length == 8)
+    val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id".as[Long], $"embedding".as[Seq[Float]]).collect()
+      .map { case (id, e) =>
+        id -> e.map(x => math.round(x.toDouble * 1000000)).toArray
+      }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // driver greedy: start at 0, then argmax of running min-distance
+    var centers = Vector(0L)
+    var md = vecs.map { case (id, v) => id -> d2(v, vecs(0L)) }
+    val expected = Vector.newBuilder[(Int, Long, Long)]
+    expected += ((1, 0L, md.values.max))
+    for (j <- 2 to 8) {
+      val next = md.toSeq.sortBy { case (id, d) => (-d, id) }.head._1
+      centers :+= next
+      md = md.map { case (id, d) => id -> math.min(d, d2(vecs(id), vecs(next))) }
+      expected += ((j, next, md.values.max))
+    }
+    val got = rows.map(r => (r.getAs[Int]("center_rank"),
+      r.getAs[Long]("vec_id"), r.getAs[Long]("radius_u2")))
+    assert(got.toVector == expected.result(), "greedy traversal mismatch")
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, "radius must not increase as centers are added")
+    case _ => ()
+    }
+    assert(centers.distinct.length == 8, "centers must be distinct")
+  }
 }
