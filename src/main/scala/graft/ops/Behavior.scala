@@ -465,7 +465,90 @@ object Behavior {
       |    AS DOUBLE), 6) AS credited_value
       |FROM credit GROUP BY ttype ORDER BY touch_type""".stripMargin
 
+  /** q_funnel_latency entry: TIME-TO-CONVERT percentiles — for every
+    * view that converts (first same-user purchase within the hour),
+    * the latency in seconds, profiled by the view's hour of day:
+    * conversion rate (basis points), exact p50/p90 latency (ordered-
+    * row discrete percentiles, the [[Profile.percentileDiscQ]]
+    * discipline), and the mean. q_event_funnel counts conversions;
+    * THIS is the "how fast" readout that sizes retargeting windows and
+    * stream-join watermarks (a p90 of 40 min says a 1 h join interval
+    * is right; 59 min says it's truncating).
+    *
+    * Scale shape: the interval join rides the user_id equi-key
+    * (per-user groups bounded); latencies collapse to one row per
+    * CONVERTING view; the percentile window partitions by hour (24
+    * groups) over that reduced frame. Latencies are exact integer
+    * seconds (µs div 1e6) — no FP until the final mean division. */
+  def funnelLatencyQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pts"))
+    val conv = v.join(p, $"user_id" === $"pu" &&
+        $"pts" >= $"view_ts" &&
+        $"pts" <= $"view_ts" + expr("INTERVAL 1 HOUR"))
+      .groupBy($"view_id", $"view_ts")
+      .agg(min(unix_micros($"pts")).as("first_us"))
+      .select(hour($"view_ts").cast("long").as("h"),
+        expr("(first_us - unix_micros(view_ts)) div 1000000").as("lat_s"))
+    val byH = Window.partitionBy($"h").orderBy($"lat_s")
+    val allH = Window.partitionBy($"h")
+    val ranked = conv
+      .withColumn("rn", row_number().over(byH))
+      .withColumn("n", count(lit(1)).over(allH))
+    val stats = ranked.groupBy($"h")
+      .agg(max($"n").as("n_conv"),
+        sum($"lat_s").as("sum_lat"),
+        max(when($"rn" === expr("(50 * n + 99) div 100"), $"lat_s")).as("p50_s"),
+        max(when($"rn" === expr("(90 * n + 99) div 100"), $"lat_s")).as("p90_s"))
+    val views = v.groupBy(hour($"view_ts").cast("long").as("h"))
+      .agg(count(lit(1)).as("n_views"))
+    views.join(stats, "h")
+      .select($"h", $"n_views", $"n_conv",
+        expr("(10000 * n_conv) div n_views").as("cr_bp"),
+        $"p50_s", $"p90_s",
+        round($"sum_lat".cast("double") / $"n_conv", 6).as("mean_s"))
+      .orderBy($"h")
+  }
+
+  val funnelLatencySql: String =
+    """WITH v AS (
+      |  SELECT user_id, event_id AS view_id, ts AS view_ts
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id AS pu, ts AS pts
+      |  FROM events WHERE event_type = 'purchase'),
+      |conv AS (
+      |  SELECT hour(view_ts) AS h,
+      |    (MIN(epoch_us(pts)) - epoch_us(view_ts)) // 1000000 AS lat_s
+      |  FROM v JOIN p ON user_id = pu
+      |    AND pts >= view_ts AND pts <= view_ts + INTERVAL 1 HOUR
+      |  GROUP BY view_id, view_ts),
+      |r AS (
+      |  SELECT h, lat_s,
+      |    row_number() OVER (PARTITION BY h ORDER BY lat_s) AS rn,
+      |    COUNT(*) OVER (PARTITION BY h) AS n
+      |  FROM conv),
+      |st AS (
+      |  SELECT h, CAST(MAX(n) AS BIGINT) AS n_conv,
+      |    CAST(SUM(lat_s) AS BIGINT) AS sum_lat,
+      |    MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN lat_s END) AS p50_s,
+      |    MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN lat_s END) AS p90_s
+      |  FROM r GROUP BY h),
+      |vh AS (SELECT hour(view_ts) AS h, CAST(COUNT(*) AS BIGINT) AS n_views
+      |  FROM v GROUP BY 1)
+      |SELECT vh.h, vh.n_views, st.n_conv,
+      |  (10000 * st.n_conv) // vh.n_views AS cr_bp,
+      |  st.p50_s, st.p90_s,
+      |  ROUND(CAST(sum_lat AS DOUBLE) / st.n_conv, 6) AS mean_s
+      |FROM vh JOIN st ON vh.h = st.h
+      |ORDER BY vh.h""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_latency" -> funnelLatencyQ,
     "q_attribution_ushape" -> ushapeQ,
     "q_label_churn" -> churnQ,
     "q_cohort_retention" -> retentionQ,
@@ -475,6 +558,7 @@ object Behavior {
     "q_survival_km" -> survivalQ)
 
   def oracle: Map[String, String] = Map(
+    "q_funnel_latency" -> funnelLatencySql,
     "q_attribution_ushape" -> ushapeSql,
     "q_label_churn" -> churnSql,
     "q_cohort_retention" -> retentionSql,

@@ -939,8 +939,140 @@ object Multimodal {
       |HAVING COUNT(*) >= 2
       |ORDER BY lo_doc""".stripMargin
 
+  /** Planted 9×8 gradients for the HAMMING near-dup query — three
+    * variants per group: base, +3 brightness (dHash-identical), and a
+    * 3-pixel perturbation that flips ≤ 6 dHash bits. Group patterns
+    * differ structurally (grp modulates the x/y coefficients), so
+    * cross-group fingerprints are far apart and the below-threshold
+    * pairs are the planted ones. Closed-form pixels, as with
+    * [[plantedGradients]], so the oracle recomputes everything
+    * arithmetically. */
+  private[ops] def plantedGradients3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").filter($"doc_id" % 10 === 3)
+      .select($"doc_id".as[Long])
+      .mapPartitions(_.map { id =>
+        val grp = id / 30
+        val vr = (id / 10) % 3
+        val img = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            var v = ((grp * 31 + x * (17 + grp % 5) + y * (7 + grp % 3)
+              + x * y) % 200).toInt
+            if (vr == 1) v += 3
+            if (vr == 2 && x == (grp % 7) && y % 3 == (grp % 3)) v += 37
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        (id, buf.toByteArray)
+      }).toDF("doc_id", "payload")
+  }
+
+  /** One hashed image for the Hamming query: full 64-bit dHash plus
+    * its 8 × 8-bit LSH bands. */
+  final case class DHashBands(doc_id: Long, h: Long, bands: Seq[Int])
+
+  /** q_dedup_image_hamming entry: image near-dup at Hamming DISTANCE —
+    * the [[dedupImageQ]] exact-fingerprint match generalized to
+    * Hamming ≤ 8, which is what catches re-encodes and small edits
+    * that flip a few bits. LSH layout: the 64-bit dHash splits into
+    * EIGHT 8-bit bands; by pigeonhole any pair within Hamming ≤ 7
+    * agrees on at least one band, so band-collision candidate
+    * generation has GUARANTEED recall at the ≤ 6-bit planted
+    * perturbation (the q_dedup_prefix exact-recall argument, in
+    * Hamming space); candidates then verify by popcount of the XOR.
+    *
+    * Scale shape: pixels hash once (narrow mapPartitions decode);
+    * the self-join is keyed by (band_idx, band_value) — candidates ∝
+    * Σ bucket-occupancy², never all-pairs; verification touches two
+    * 64-bit words per candidate. */
+  def dedupImageHammingQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = plantedGradients3(s, dir)
+      .select($"doc_id".as[Long], $"payload".as[Array[Byte]])
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        var h = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth - 1) {
+            if ((img.getRGB(x + 1, y) & 0xff) > (img.getRGB(x, y) & 0xff))
+              h |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        DHashBands(id, h,
+          (0 until 8).map(b => ((h >>> (b * 8)) & 0xffL).toInt))
+      }).toDF()
+    val bands = hashed.select($"doc_id", $"h",
+      posexplode($"bands").as(Seq("bidx", "bval")))
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.bidx" === $"b.bidx" && $"a.bval" === $"b.bval" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"a.h".as("ha"),
+        $"b.doc_id".as("doc_b"), $"b.h".as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+      .filter($"hamming" <= 8)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+      .limit(400)
+  }
+
+  val dedupImageHammingSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id // 30 AS grp, (doc_id // 10) % 3 AS vr
+      |  FROM documents WHERE doc_id % 10 = 3),
+      |px AS (
+      |  SELECT doc_id, xx.x AS x, yy.y AS y,
+      |    (grp * 31 + xx.x * (17 + grp % 5) + yy.y * (7 + grp % 3)
+      |      + xx.x * yy.y) % 200
+      |    + CASE WHEN vr = 1 THEN 3 ELSE 0 END
+      |    + CASE WHEN vr = 2 AND xx.x = grp % 7 AND yy.y % 3 = grp % 3
+      |           THEN 37 ELSE 0 END AS v
+      |  FROM d
+      |  CROSS JOIN (SELECT unnest(range(9)) AS x) xx
+      |  CROSS JOIN (SELECT unnest(range(8)) AS y) yy),
+      |bits AS (
+      |  SELECT a.doc_id, a.y * 8 + a.x AS i,
+      |    CAST(b.v > a.v AS BIGINT) AS bit
+      |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y
+      |    AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |bands AS (
+      |  SELECT doc_id, i // 8 AS bidx,
+      |    CAST(SUM(bit << (i % 8)) AS BIGINT) AS bval
+      |  FROM bits GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.bval = b.bval
+      |    AND a.doc_id < b.doc_id),
+      |ham AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INT)
+      |      AS hamming
+      |  FROM cand c
+      |  JOIN bits x ON x.doc_id = c.doc_a
+      |  JOIN bits y ON y.doc_id = c.doc_b AND y.i = x.i
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, hamming FROM ham
+      |WHERE hamming <= 8
+      |ORDER BY doc_a, doc_b LIMIT 400""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_image" -> dedupImageQ,
+    "q_dedup_image_hamming" -> dedupImageHammingQ,
     "q_multimodal_mp4" -> mp4Q,
     "q_multimodal" -> multimodal,
     "q_multimodal_wav" -> wavQ,
@@ -953,6 +1085,7 @@ object Multimodal {
 
   def oracle: Map[String, String] = Map(
     "q_dedup_image" -> dedupImageSql,
+    "q_dedup_image_hamming" -> dedupImageHammingSql,
     "q_multimodal_mp4" -> mp4Sql,
     "q_multimodal" -> multimodalSql,
     "q_multimodal_wav" -> wavSql,

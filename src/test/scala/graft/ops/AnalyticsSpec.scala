@@ -1178,6 +1178,38 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("funnel latency: per-hour percentiles equal a driver interval-join replay") {
+    import spark.implicits._
+    val got = Behavior.funnelLatencyQ(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("h") -> r).toMap
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"user_id", $"event_type", $"event_id",
+        unix_micros($"ts").as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val views = ev.filter(_._2 == "view")
+    val purch = ev.filter(_._2 == "purchase").groupBy(_._1)
+    val lats = views.flatMap { case (u, _, _, vus) =>
+      val firsts = purch.getOrElse(u, Array.empty[(Long, String, Long, Long)])
+        .map(_._4).filter(p => p >= vus && p <= vus + 3600000000L)
+      if (firsts.isEmpty) None
+      else Some(((vus / 3600000000L) % 24, (firsts.min - vus) / 1000000L))
+    }
+    val viewsPerH = views.groupBy(v => (v._4 / 3600000000L) % 24)
+      .map { case (h, vs) => h -> vs.length.toLong }
+    lats.groupBy(_._1).foreach { case (h, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length
+      val r = got(h)
+      assert(r.getAs[Long]("n_conv") == n, s"hour $h conversions")
+      assert(r.getAs[Long]("n_views") == viewsPerH(h), s"hour $h views")
+      assert(r.getAs[Long]("cr_bp") == 10000L * n / viewsPerH(h))
+      assert(r.getAs[Long]("p50_s") == sorted((50 * n + 99) / 100 - 1), s"hour $h p50")
+      assert(r.getAs[Long]("p90_s") == sorted((90 * n + 99) / 100 - 1), s"hour $h p90")
+      assert(math.abs(r.getAs[Double]("mean_s") -
+        sorted.sum.toDouble / n) < 1e-6, s"hour $h mean")
+    }
+  }
+
   test("join size est: estimate bounds exact F2 from above and matches a driver CMS recompute") {
     import spark.implicits._
     val rows = Sketches.joinSizeEstQ(spark, sfDir).collect()

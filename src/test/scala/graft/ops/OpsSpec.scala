@@ -1253,6 +1253,53 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dedup image hamming: band recall is exhaustive below threshold; planted variants pair up") {
+    import spark.implicits._
+    val got = Multimodal.dedupImageHammingQ(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    val ids = Multimodal.plantedGradients3(spark, sfDir)
+      .select($"doc_id".as[Long]).collect().sorted
+    assert(ids.nonEmpty)
+    // closed-form dHash per doc
+    def hash(id: Long): Long = {
+      val grp = id / 30; val vr = (id / 10) % 3
+      def v(x: Int, y: Int): Long = {
+        var b = (grp * 31 + x * (17 + grp % 5) + y * (7 + grp % 3) + x * y) % 200
+        if (vr == 1) b += 3
+        if (vr == 2 && x == grp % 7 && y % 3 == grp % 3) b += 37
+        b
+      }
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (v(x + 1, y) > v(x, y)) h |= 1L << (y * 8 + x)
+      h
+    }
+    val hs = ids.map(id => id -> hash(id)).toMap
+    // every planted 3-variant group: base~bright at hamming 0, perturbed <= 6
+    val groups = ids.groupBy(_ / 30).filter(_._2.length == 3)
+    assert(groups.nonEmpty, "fixture must contain full variant triples")
+    groups.foreach { case (g, trio) =>
+      val Array(base, bright, pert) = trio.sorted
+      assert(java.lang.Long.bitCount(hs(base) ^ hs(bright)) == 0, s"group $g brightness invariance")
+      val hp = java.lang.Long.bitCount(hs(base) ^ hs(pert))
+      assert(hp <= 6, s"group $g perturbation flips <= 6 bits, got $hp")
+      assert(got.contains((base, bright)) && got((base, bright)) == 0)
+      assert(got.contains((base, pert)) && got((base, pert)) == hp)
+    }
+    // exhaustive recall below the pigeonhole bound: every pair with
+    // hamming <= 7 MUST be in the result (8 bands of 8 bits)
+    val within = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      hd = java.lang.Long.bitCount(hs(ids(i)) ^ hs(ids(j)))
+      if hd <= 7
+    } yield (ids(i), ids(j)) -> hd).toMap
+    if (within.size <= 400) // LIMIT guards giant outputs only
+      within.foreach { case (pair, hd) =>
+        assert(got.get(pair).contains(hd), s"missed sub-threshold pair $pair")
+      }
+  }
+
   test("pitch: integer autocorrelation argmax matches a driver recompute including ties") {
     val rows = Multimodal.pitchQ(spark, sfDir).collect()
     assert(rows.nonEmpty)
