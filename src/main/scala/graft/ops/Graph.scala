@@ -974,7 +974,106 @@ object Graph {
       |    AS DOUBLE), 6) AS harmonic
       |FROM dist GROUP BY root ORDER BY node""".stripMargin
 
+  /** q_graph_mst entry: MAXIMUM SPANNING BACKBONE of the undirected
+    * nation trade graph by DISTRIBUTED Borůvka — each round every
+    * component selects its best incident cross-component edge (one
+    * groupBy argmin over a struct-ordered key), selected edges merge
+    * components via min-label propagation ([[Iterate.fixpoint]]), and
+    * components halve per round, so 5 rounds cover 25 nodes (log₂ n
+    * rounds for any n — the property that makes Borůvka THE spanning
+    * tree algorithm for Pregel/MapReduce-class systems, where
+    * Kruskal's sequential sorted scan and Prim's single frontier don't
+    * parallelize). The backbone is the "which trade corridors carry
+    * the network" summary.
+    *
+    * Correctness cross-check: edge order (w DESC, a, b) is a STRICT
+    * total order (pair keys are unique), so the maximum spanning tree
+    * is UNIQUE and the oracle may compute it with a completely
+    * different algorithm — sequential Kruskal, unrolled 24 steps of
+    * (best cross-component edge, component relabel) — and must land on
+    * the identical edge set. Integer weights end to end; no FP. */
+  def mstQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = tradeEdges(s, dir)
+      .filter($"src" =!= $"dst")
+      .groupBy(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .agg(sum($"w").as("w"))
+      .withColumn("negw", -$"w")
+      .checkpoint()
+    val nodes = und.select($"a".as("node"))
+      .union(und.select($"b".as("node"))).distinct()
+    var mst = und.filter(lit(false)).select($"a", $"b", $"w")
+    for (_ <- 1 to 5) { // components at least halve per round: 2^5 >= 25
+      val labels = Iterate.fixpoint(
+        nodes.withColumn("comp", $"node"), 30, "boruvka component merge") { st =>
+        val nb = mst.select($"a".as("node"), $"b".as("nb"))
+          .union(mst.select($"b".as("node"), $"a".as("nb")))
+        val best = nb.join(st.select($"node".as("nb"), $"comp".as("ncomp")), "nb")
+          .groupBy($"node").agg(min($"ncomp").as("mn"))
+        st.join(best, Seq("node"), "left")
+          .select($"node",
+            least($"comp", coalesce($"mn", $"comp")).as("newcomp"),
+            (least($"comp", coalesce($"mn", $"comp")) < $"comp").as("chg"))
+          .withColumnRenamed("newcomp", "comp")
+      }
+      val el = und
+        .join(labels.select($"node".as("a"), $"comp".as("ca")), "a")
+        .join(labels.select($"node".as("b"), $"comp".as("cb")), "b")
+        .filter($"ca" =!= $"cb")
+      val sel = el
+        .select($"ca".as("comp"), struct($"negw", $"a", $"b", $"w").as("e"))
+        .union(el.select($"cb".as("comp"), struct($"negw", $"a", $"b", $"w").as("e")))
+        .groupBy($"comp").agg(min($"e").as("e"))
+        .select($"e.a".as("a"), $"e.b".as("b"), $"e.w".as("w"))
+        .distinct()
+      mst = mst.union(sel).distinct().checkpoint()
+    }
+    mst.orderBy($"w".desc, $"a", $"b")
+  }
+
+  /** Oracle: sequential Kruskal over the same strict edge order,
+    * unrolled — step k picks the globally best edge joining two
+    * different components and relabels; empty steps no-op. */
+  val mstSql: String = {
+    def step(k: Int): String =
+      s"""e$k AS MATERIALIZED (
+         |  SELECT l1.comp AS ca, l2.comp AS cb, u.a, u.b, u.w
+         |  FROM und u
+         |  JOIN l$k l1 ON u.a = l1.node
+         |  JOIN l$k l2 ON u.b = l2.node
+         |  WHERE l1.comp <> l2.comp
+         |  ORDER BY u.w DESC, u.a, u.b LIMIT 1),
+         |l${k + 1} AS MATERIALIZED (
+         |  SELECT l.node,
+         |    CASE WHEN l.comp IN (SELECT ca FROM e$k UNION ALL
+         |                         SELECT cb FROM e$k)
+         |         THEN (SELECT LEAST(ca, cb) FROM e$k)
+         |         ELSE l.comp END AS comp
+         |  FROM l$k l)""".stripMargin
+    val steps = (0 until 24).map(step).mkString(",\n")
+    val unions = (0 until 24)
+      .map(k => s"SELECT a, b, w FROM e$k").mkString("\nUNION ALL\n")
+    s"""WITH und AS MATERIALIZED (
+       |  SELECT LEAST(cn.n_name, sn.n_name) AS a,
+       |    GREATEST(cn.n_name, sn.n_name) AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |  WHERE cn.n_name <> sn.n_name
+       |  GROUP BY 1, 2),
+       |l0 AS (SELECT a AS node, a AS comp FROM und
+       |       UNION SELECT b, b FROM und),
+       |$steps
+       |$unions
+       |ORDER BY w DESC, a, b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_mst" -> mstQ,
     "q_graph_closeness" -> closenessQ,
     "q_graph_assortativity" -> assortativityQ,
     "q_graph_modularity" -> modularityQ,
@@ -986,6 +1085,7 @@ object Graph {
     "q_graph_bfs" -> bfsQ)
 
   def oracle: Map[String, String] = Map(
+    "q_graph_mst" -> mstSql,
     "q_graph_closeness" -> closenessSql,
     "q_graph_assortativity" -> assortativitySql,
     "q_graph_modularity" -> modularitySql,

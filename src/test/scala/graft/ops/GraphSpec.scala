@@ -399,4 +399,46 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .getAs[Double]("closeness") >= rows.find(_.getAs[String]("node") == hub)
       .get.getAs[Double]("closeness"))
   }
+
+  test("mst: Boruvka equals a driver Kruskal; result spans all trading nations") {
+    import spark.implicits._
+    val got = Graph.mstQ(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("w"))).toSet
+    // driver recompute of the undirected weighted trade graph
+    val e = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(graft.Tables.t(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .join(graft.Tables.t(spark, sfDir, "nation").as("cn"),
+        $"c_nationkey" === $"cn.n_nationkey")
+      .join(graft.Tables.t(spark, sfDir, "supplier"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(graft.Tables.t(spark, sfDir, "nation").as("sn"),
+        $"s_nationkey" === $"sn.n_nationkey")
+      .select($"cn.n_name".as("c"), $"sn.n_name".as("s")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(p => p._1 != p._2)
+      .groupBy(p => (Seq(p._1, p._2).min, Seq(p._1, p._2).max))
+      .map { case (k, v) => (k._1, k._2, v.length.toLong) }.toSeq
+    val nodes = e.flatMap(x => Seq(x._1, x._2)).distinct
+    // driver Kruskal on (w desc, a, b) with union-find
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    val mst = scala.collection.mutable.Set.empty[(String, String, Long)]
+    e.sortBy { case (a, b, w) => (-w, a, b) }.foreach { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; mst += ((a, b, w)) }
+    }
+    assert(got == mst.toSet, "Boruvka must equal sequential Kruskal")
+    assert(got.size == nodes.size - 1, "tree spans the trading nations")
+    // spanning check: the edge set connects every node
+    val p2 = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def f2(x: String): String =
+      if (p2(x) == x) x else { val r = f2(p2(x)); p2(x) = r; r }
+    got.foreach { case (a, b, _) => p2(f2(a)) = f2(b) }
+    assert(nodes.map(f2).toSet.size == 1, "single connected component")
+  }
 }
