@@ -832,6 +832,96 @@ object Text {
       |ORDER BY round""".stripMargin
   }
 
+  /** q_bpe_encode entry: APPLY the trained tokenizer — the encode half
+    * that closes the [[bpeTrainQ]] loop: run the same 3 merge rounds
+    * and report, per round, the corpus-weighted total symbol count and
+    * the basis-point compression vs the character baseline (round 0).
+    * This is the readout that justifies a tokenizer: each merge buys a
+    * measurable reduction in tokens-per-corpus, and a merge table that
+    * stops paying for itself shows up immediately as a flat curve.
+    *
+    * Scale shape: identical to training — the corpus collapses to the
+    * word VOCABULARY first (Heaps'-bounded), merges broadcast as 1-row
+    * frames, and each round's total is one combinable weighted sum
+    * over vocabulary rows. All integers; no FP contract. */
+  def bpeEncodeQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var seqs = withToks(s, dir)
+      .select(explode($"toks").as("w"))
+      .filter($"w".rlike("^[a-z]+$"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select(concat(regexp_replace($"w", "(.)", " $1 "), lit(" </w> "))
+        .as("seq"), $"cnt")
+    def totalOf(round: Int, df: DataFrame): DataFrame =
+      df.select($"cnt",
+          size(split(trim($"seq"), "  ")).cast("long").as("k"))
+        .agg(sum($"cnt" * $"k").as("total_syms"))
+        .select(lit(round).cast("long").as("round"), $"total_syms")
+    var out = totalOf(0, seqs)
+    val pairsOf = """transform(sequence(1, size(syms) - 1),
+      | i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"""
+      .stripMargin
+    for (r <- 1 to 3) {
+      val best = seqs
+        .withColumn("syms", split(trim($"seq"), "  "))
+        .select($"cnt", explode(expr(pairsOf)).as("p"))
+        .groupBy($"p").agg(sum($"cnt").as("total"))
+        .orderBy($"total".desc, $"p").limit(1)
+      seqs = seqs.crossJoin(broadcast(best.select($"p".as("bp"))))
+        .select(expr(
+          """replace(seq, concat(' ', replace(bp, ' ', '  '), ' '),
+            |  concat(' ', replace(bp, ' ', ''), ' '))""".stripMargin)
+          .as("seq"), $"cnt")
+      out = out.unionByName(totalOf(r, seqs))
+    }
+    val base = out.filter($"round" === 0)
+      .select($"total_syms".as("t0"))
+    out.crossJoin(broadcast(base))
+      .select($"round", $"total_syms",
+        expr("(10000 * (t0 - total_syms)) div t0").as("saved_bp"))
+      .orderBy($"round")
+  }
+
+  val bpeEncodeSql: String = {
+    def round(prev: String, b: String, v: String): String =
+      s"""$b AS (
+         |  SELECT p, SUM(cnt) AS total FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |      i -> syms[i] || ' ' || syms[i + 1])) AS p
+         |    FROM (SELECT string_split(trim(seq), '  ') AS syms, cnt
+         |          FROM $prev))
+         |  GROUP BY p ORDER BY total DESC, p LIMIT 1),
+         |$v AS (
+         |  SELECT replace(seq, ' ' || replace(p, ' ', '  ') || ' ',
+         |    ' ' || replace(p, ' ', '') || ' ') AS seq, cnt
+         |  FROM $prev, $b)""".stripMargin
+    def tot(round: Int, v: String): String =
+      s"""SELECT $round AS round,
+         |  CAST(SUM(cnt * len(string_split(trim(seq), '  '))) AS BIGINT)
+         |    AS total_syms
+         |FROM $v""".stripMargin
+    s"""WITH v0 AS (
+      |  SELECT ' ' || regexp_replace(w, '(.)', '\\1  ', 'g') || '</w> ' AS seq,
+      |    COUNT(*) AS cnt
+      |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
+      |${round("v0", "b1", "v1")},
+      |${round("v1", "b2", "v2")},
+      |${round("v2", "b3", "v3")},
+      |u AS (
+      |${tot(0, "v0")}
+      |UNION ALL
+      |${tot(1, "v1")}
+      |UNION ALL
+      |${tot(2, "v2")}
+      |UNION ALL
+      |${tot(3, "v3")}),
+      |t0 AS (SELECT total_syms AS t0 FROM u WHERE round = 0)
+      |SELECT CAST(round AS BIGINT) AS round, total_syms,
+      |  (10000 * (t0 - total_syms)) // t0 AS saved_bp
+      |FROM u, t0 ORDER BY round""".stripMargin
+  }
+
   /** Per-document novelty / boilerplate score: the fraction of a doc's
     * distinct word-3-shingles that also occur in at least one OTHER
     * document. High shared_frac = boilerplate/templated content (the
@@ -1762,6 +1852,7 @@ object Text {
     "q_text_tfidf" -> tfidf,
     "q_text_bm25" -> bm25,
     "q_rank_fusion" -> rankFusionQ,
+    "q_bpe_encode" -> bpeEncodeQ,
     "q_eval_ndcg" -> ndcgQ,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_train" -> bpeTrainQ,
@@ -1797,6 +1888,7 @@ object Text {
     "q_text_tfidf" -> tfidfSql,
     "q_text_bm25" -> bm25Sql,
     "q_rank_fusion" -> rankFusionSql,
+    "q_bpe_encode" -> bpeEncodeSql,
     "q_eval_ndcg" -> ndcgSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_train" -> bpeTrainSql,

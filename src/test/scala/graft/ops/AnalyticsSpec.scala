@@ -1210,6 +1210,34 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bpe encode: baseline equals chars+1 per word; each merge saves at most its pair count") {
+    import spark.implicits._
+    val rows = Text.bpeEncodeQ(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("round") ->
+        (r.getAs[Long]("total_syms"), r.getAs[Long]("saved_bp"))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L))
+    // round 0 = sum over word occurrences of (chars + </w>)
+    val words = graft.Tables.t(spark, sfDir, "documents")
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .filter($"w".rlike("^[a-z]+$"))
+      .collect().map(_.getString(0))
+    val expT0 = words.map(_.length.toLong + 1).sum
+    assert(rows(0L)._1 == expT0, "baseline symbol count")
+    // totals strictly decrease (every learned merge fires somewhere)
+    // and each round's saving is bounded by that merge's pair count
+    val pairCounts = Text.bpeTrainQ(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("round").toLong -> r.getAs[Long]("pair_count"))
+      .toMap
+    for (r <- 1L to 3L) {
+      val saved = rows(r - 1)._1 - rows(r)._1
+      assert(saved > 0, s"round $r must reduce symbols")
+      assert(saved <= pairCounts(r),
+        s"round $r saving $saved exceeds pair count ${pairCounts(r)}")
+      assert(rows(r)._2 == 10000L * (expT0 - rows(r)._1) / expT0,
+        s"round $r saved_bp identity")
+    }
+  }
+
   test("join size est: estimate bounds exact F2 from above and matches a driver CMS recompute") {
     import spark.implicits._
     val rows = Sketches.joinSizeEstQ(spark, sfDir).collect()
