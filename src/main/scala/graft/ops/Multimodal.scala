@@ -557,6 +557,108 @@ object Multimodal {
       |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  /** The planted VAD waveform: 128 samples in four 32-sample frames;
+    * frames alternate QUIET/LOUD by ((frame + doc_id) mod 2) — quiet
+    * frames carry a tiny ±4 noise floor, loud frames the full-swing
+    * [[pcmSample]]-style signal — so every doc has exactly two active
+    * and two silent frames at deterministic positions. */
+  private val VadN = 128
+  private val VadFrame = 32
+  private def vadSample(k: String): String =
+    s"""if (((($k div $VadFrame) + doc_id) % 2) = 0,
+       |  ((doc_id + $k) % 9) - 4,
+       |  ((doc_id * 31 + 7 * $k * $k) % 2048) - 1024)""".stripMargin
+
+  /** q_multimodal_vad entry: frame-energy VOICE-ACTIVITY DETECTION —
+    * the silence-trimming screen an audio-curation pass runs to drop
+    * dead air before paying for transcription: parse the 16-bit PCM
+    * samples back out of real WAV bytes (the [[pcmQ]] hex idiom),
+    * compute per-32-sample-frame energy, and gate each frame at the
+    * INTEGER threshold Σx² ≥ 32·64² (≡ frame RMS ≥ 64, with no FP
+    * compare anywhere). Per doc: active-frame count and ratio, the
+    * first/last active frame (the trim points), and the peak frame
+    * energy. The planted waveform alternates quiet/loud frames, so
+    * the expected activity pattern is closed-form and the oracle
+    * recomputes it without touching binary.
+    *
+    * Scale shape: pure map stage — sample parse, frame energies, and
+    * gates are higher-order expressions inside one projection over the
+    * pruned audio partition; zero exchange, all integers. */
+  def vadQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nf = VadN / VadFrame
+    val gate = VadFrame.toLong * 64 * 64
+    val dataHex = s"""concat_ws('', transform(sequence(0, ${VadN - 1}), k ->
+      |  concat(lpad(hex(((${vadSample("k")} + 65536) % 65536) % 256), 2, '0'),
+      |         lpad(hex(((${vadSample("k")} + 65536) % 65536) div 256), 2, '0'))))""".stripMargin
+    val withPcm = t(s, dir, "documents")
+      .filter($"doc_id" % 4 === 2) // the sniff fixture's audio partition
+      .withColumn("payload",
+        concat(wavHeader("1", "8000", "16", VadN.toString), unhex(expr(dataHex))))
+      .withColumn("hx", hex($"payload"))
+    val smp = s"""transform(sequence(0, ${VadN - 1}), k ->
+      |  if(cast(conv(concat(substring(hx, (45 + 2 * k) * 2 + 1, 2),
+      |                      substring(hx, (44 + 2 * k) * 2 + 1, 2)), 16, 10)
+      |          as bigint) >= 32768,
+      |     cast(conv(concat(substring(hx, (45 + 2 * k) * 2 + 1, 2),
+      |                      substring(hx, (44 + 2 * k) * 2 + 1, 2)), 16, 10)
+      |          as bigint) - 65536,
+      |     cast(conv(concat(substring(hx, (45 + 2 * k) * 2 + 1, 2),
+      |                      substring(hx, (44 + 2 * k) * 2 + 1, 2)), 16, 10)
+      |          as bigint)))""".stripMargin
+    withPcm
+      .withColumn("smp", expr(smp))
+      .withColumn("fsq", expr(s"""transform(sequence(0, ${nf - 1}), f ->
+        |  aggregate(slice(smp, f * $VadFrame + 1, $VadFrame), 0L,
+        |    (a, x) -> a + x * x))""".stripMargin))
+      .select($"doc_id",
+        lit(nf.toLong).as("n_frames"),
+        expr(s"size(filter(fsq, e -> e >= $gate))").cast("long")
+          .as("n_active"),
+        expr(s"(10000 * size(filter(fsq, e -> e >= $gate))) div $nf")
+          .as("active_bp"),
+        expr(s"""array_min(filter(transform(sequence(0, ${nf - 1}),
+          |  f -> if(element_at(fsq, f + 1) >= $gate, f, -1)),
+          |  x -> x >= 0))""".stripMargin).cast("long").as("first_active"),
+        expr(s"""array_max(transform(sequence(0, ${nf - 1}),
+          |  f -> if(element_at(fsq, f + 1) >= $gate, f, -1)))"""
+          .stripMargin).cast("long").as("last_active"),
+        expr("array_max(fsq)").as("peak_frame_energy"))
+      .orderBy($"doc_id")
+      .limit(200)
+  }
+
+  val vadSql: String = {
+    val nf = VadN / VadFrame
+    val gate = VadFrame.toLong * 64 * 64
+    val sample = s"""CASE WHEN ((k // $VadFrame) + doc_id) % 2 = 0
+       | THEN (doc_id + k) % 9 - 4
+       | ELSE (doc_id * 31 + 7 * k * k) % 2048 - 1024 END""".stripMargin
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, $VadN), k -> $sample) AS smp
+      |  FROM documents WHERE doc_id % 4 = 2 ORDER BY doc_id LIMIT 200),
+      |f AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, $nf), f ->
+      |      list_reduce(list_transform(smp[f * $VadFrame + 1 :
+      |          f * $VadFrame + $VadFrame], x -> x * x),
+      |        (a, b) -> a + b)) AS fsq
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST($nf AS BIGINT) AS n_frames,
+      |  CAST(len(list_filter(fsq, e -> e >= $gate)) AS BIGINT) AS n_active,
+      |  (10000 * len(list_filter(fsq, e -> e >= $gate))) // $nf AS active_bp,
+      |  CAST(list_min(list_filter(list_transform(range(0, $nf),
+      |    f -> CASE WHEN fsq[f + 1] >= $gate THEN f ELSE -1 END),
+      |    x -> x >= 0)) AS BIGINT) AS first_active,
+      |  CAST(list_max(list_transform(range(0, $nf),
+      |    f -> CASE WHEN fsq[f + 1] >= $gate THEN f ELSE -1 END))
+      |    AS BIGINT) AS last_active,
+      |  CAST(list_max(fsq) AS BIGINT) AS peak_frame_energy
+      |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-image decoded-pixel statistics row: exact channel sums + a
     * 4-bin red-channel histogram — everything integer. */
   final case class PixelStats(doc_id: Long, n_px: Long,
@@ -1080,6 +1182,7 @@ object Multimodal {
     "q_multimodal_decode" -> decodeQ,
     "q_multimodal_decode_multi" -> decodeMultiQ,
     "q_multimodal_pcm" -> pcmQ,
+    "q_multimodal_vad" -> vadQ,
     "q_multimodal_pixels" -> pixelsQ,
     "q_multimodal_pitch" -> pitchQ)
 
@@ -1093,6 +1196,7 @@ object Multimodal {
     "q_multimodal_decode" -> decodeSql,
     "q_multimodal_decode_multi" -> decodeMultiSql,
     "q_multimodal_pcm" -> pcmSql,
+    "q_multimodal_vad" -> vadSql,
     "q_multimodal_pixels" -> pixelsSql,
     "q_multimodal_pitch" -> pitchSql)
 }

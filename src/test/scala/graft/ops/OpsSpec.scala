@@ -1300,6 +1300,30 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       }
   }
 
+  test("vad: frame energies from parsed WAV bytes match the generative formula; quiet/loud alternate") {
+    val rows = Multimodal.vadQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      def sample(k: Long): Long =
+        if (((k / 32) + id) % 2 == 0) (id + k) % 9 - 4
+        else (id * 31 + 7 * k * k) % 2048 - 1024
+      val fsq = (0 until 4).map(f =>
+        (f * 32 until (f + 1) * 32).map(k => { val x = sample(k); x * x }).sum)
+      val gate = 32L * 64 * 64
+      val active = fsq.zipWithIndex.filter(_._1 >= gate).map(_._2)
+      assert(r.getAs[Long]("n_frames") == 4)
+      assert(r.getAs[Long]("n_active") == active.length, s"doc $id actives")
+      assert(r.getAs[Long]("active_bp") == 10000L * active.length / 4)
+      assert(r.getAs[Long]("first_active") == active.min, s"doc $id trim start")
+      assert(r.getAs[Long]("last_active") == active.max, s"doc $id trim end")
+      assert(r.getAs[Long]("peak_frame_energy") == fsq.max, s"doc $id peak")
+      // the planted pattern: loud frames are exactly those with odd (f+id)
+      val expActive = (0 until 4).filter(f => (f + id) % 2 == 1)
+      assert(active == expActive, s"doc $id quiet/loud alternation")
+    }
+  }
+
   test("pitch: integer autocorrelation argmax matches a driver recompute including ties") {
     val rows = Multimodal.pitchQ(spark, sfDir).collect()
     assert(rows.nonEmpty)
