@@ -285,15 +285,98 @@ object Pii {
       |FROM b JOIN per ON b.doc_id = per.doc_id
       |ORDER BY b.doc_id LIMIT 300""".stripMargin
 
+  /** q_privacy_rr entry: LOCAL differential privacy by generalized
+    * RANDOMIZED RESPONSE — the collection-side counterpart of
+    * [[dpHistQ]]'s curator-side Laplace release: each event reports
+    * its TRUE type with probability p = 3/4 and each of the other 4
+    * types with q = 1/16 (ε = ln(p/q) = ln 12 ≈ 2.48), then the
+    * aggregator DEBIASES the noisy counts with the closed form
+    * n̂_v = (16·f_v − n)/11 and the true counts ride along as the
+    * accuracy audit. Rational design probabilities make the mechanism
+    * EXACT integer arithmetic: the per-row coin is
+    * md5(event_id) mod 16 (< 12 → truth; else the (r−12)-th other
+    * value in sorted-type order) — the pinned cross-engine hash, so
+    * even the "random" reports are bit-reproducible and the oracle
+    * compares estimates exactly.
+    *
+    * Scale shape: the mechanism is a narrow projection (broadcast
+    * 5-row type dimension for index mapping); reported and true
+    * counts are two combinable groupBys; the total arrives as a
+    * broadcast 1-row frame. */
+  def rrQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val types = e.select($"event_type").distinct()
+      .withColumn("ti",
+        row_number().over(Window.orderBy($"event_type")) - 1)
+    val coin = Hashing.md5Long60(concat($"event_id".cast("string"),
+      lit(":rr"))) % 16
+    val rep = e.join(broadcast(types), "event_type")
+      .withColumn("r", coin)
+      .withColumn("rep_ti",
+        when($"r" < 12, $"ti")
+          .otherwise(when($"r" - 12 < $"ti", $"r" - 12)
+            .otherwise($"r" - 12 + 1)))
+    val f = rep.join(broadcast(types
+        .select($"ti".as("rep_ti"), $"event_type".as("reported"))), "rep_ti")
+      .groupBy($"reported").agg(count(lit(1)).as("f"))
+    val truth = e.groupBy($"event_type").agg(count(lit(1)).as("n_true"))
+    val tot = e.agg(count(lit(1)).as("n"))
+    truth.join(f, $"event_type" === $"reported")
+      .crossJoin(broadcast(tot))
+      .select($"event_type", $"n_true", $"f".as("n_reported"),
+        round((lit(16d) * $"f" - $"n") / 11d, 6).as("est"),
+        round(abs((lit(16d) * $"f" - $"n") / 11d - $"n_true"), 6)
+          .as("abs_err"),
+        expr(s"(10000 * abs(16 * f - n - 11 * n_true)) div (11 * n)")
+          .as("err_share_bp"))
+      .orderBy($"event_type")
+  }
+
+  val rrSql: String =
+    """WITH e AS (SELECT event_id, event_type FROM events),
+      |types AS (
+      |  SELECT event_type,
+      |    ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS ti
+      |  FROM (SELECT DISTINCT event_type FROM e)),
+      |rep AS (
+      |  SELECT e.event_type, t.ti,
+      |    ('0x' || substr(md5(e.event_id::VARCHAR || ':rr'), 1, 15))
+      |      ::UBIGINT::BIGINT % 16 AS r
+      |  FROM e JOIN types t ON e.event_type = t.event_type),
+      |rp AS (
+      |  SELECT CASE WHEN r < 12 THEN ti
+      |              WHEN r - 12 < ti THEN r - 12
+      |              ELSE r - 12 + 1 END AS rep_ti
+      |  FROM rep),
+      |f AS (
+      |  SELECT t.event_type AS reported, CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM rp JOIN types t ON rp.rep_ti = t.ti
+      |  GROUP BY 1),
+      |truth AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+      |  FROM e GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
+      |SELECT truth.event_type, n_true, f AS n_reported,
+      |  ROUND((16.0::DOUBLE * f - n) / 11, 6) AS est,
+      |  ROUND(ABS((16.0::DOUBLE * f - n) / 11 - n_true), 6) AS abs_err,
+      |  (10000 * ABS(16 * f - n - 11 * n_true)) // (11 * n)
+      |    AS err_share_bp
+      |FROM truth JOIN f ON truth.event_type = f.reported, tot
+      |ORDER BY truth.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_pii" -> redactQ,
     "q_text_secrets" -> secretsQ,
+    "q_privacy_rr" -> rrQ,
     "q_privacy_kanon" -> kanonQ,
     "q_privacy_dp_hist" -> dpHistQ)
 
   def oracle: Map[String, String] = Map(
     "q_text_pii" -> redactSql,
     "q_text_secrets" -> secretsSql,
+    "q_privacy_rr" -> rrSql,
     "q_privacy_kanon" -> kanonSql,
     "q_privacy_dp_hist" -> dpHistSql)
 }

@@ -61,6 +61,52 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** q_agg_argmax entry: the ARGMAX scalar-aggregate surface —
+    * `max_by`/`min_by` (which order's key carries the extreme price),
+    * `count_if`, and `bool_and`/`bool_or` — the Tier-D aggregates that
+    * answer "WHICH row holds the extreme", not just the extreme value.
+    * Determinism: max_by is tie-UNDEFINED in both engines, so the
+    * ordering key is price-cents zero-padded with the orderkey
+    * appended — lexicographic = (price, key), strictly unique — making
+    * the selected row well-defined under any partitioning.
+    *
+    * Scale shape: one map-side-combinable aggregate; the argmax state
+    * is one (key, value) pair per group per partition. */
+  def aggArgmax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ordKey = concat(
+      lpad(round($"o_totalprice" * 100).cast("long").cast("string"), 12, "0"),
+      lpad($"o_orderkey".cast("string"), 12, "0"))
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        max_by($"o_orderkey", ordKey).as("priciest_order"),
+        min_by($"o_orderkey", ordKey).as("cheapest_order"),
+        max(round($"o_totalprice" * 100).cast("long")).as("max_price_cents"),
+        expr("count_if(o_totalprice > 100000)").as("n_big"),
+        expr("bool_and(o_totalprice > 0)").cast("int").as("all_positive"),
+        expr("bool_or(o_orderstatus = 'F')").cast("int").as("any_finished"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val aggArgmaxSql: String =
+    """WITH o AS (
+      |  SELECT *,
+      |    lpad(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 12, '0')
+      |      || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ok
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  max_by(o_orderkey, ok) AS priciest_order,
+      |  min_by(o_orderkey, ok) AS cheapest_order,
+      |  CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS max_price_cents,
+      |  CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+      |  CAST(bool_and(o_totalprice > 0) AS INT) AS all_positive,
+      |  CAST(bool_or(o_orderstatus = 'F') AS INT) AS any_finished
+      |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** COUNT/SUM DISTINCT + plain agg in one pass: Spark plans expand +
     * two-phase agg; distinct keys shuffle once on (group, value). */
   def aggDistinct(s: SparkSession, dir: String): DataFrame = {
@@ -903,6 +949,7 @@ object Relational {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
+    "q_agg_argmax" -> aggArgmax,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_stats" -> aggStats,
     "q_agg_stats2" -> aggStats2,
@@ -939,6 +986,7 @@ object Relational {
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
+    "q_agg_argmax" -> aggArgmaxSql,
     "q_agg_distinct" -> aggDistinctSql,
     "q_agg_stats" -> aggStatsSql,
     "q_agg_stats2" -> aggStats2Sql,

@@ -161,7 +161,8 @@ object Dev {
           "q_validate_freshness" -> "bounded per-feed calendar grid dim (rows = feed count, not events)",
           "q_rank_fusion" -> "1-row (n_docs, avgdl) stats frame + 1-row query-vector frame (bm25 + cosine legs)",
           "q_coreset_kcenter" -> "1-row center-vector frame per greedy round + 1-row radius frame (k=8 bounded)",
-          "q_bpe_encode" -> "1-row best-merge frame per round + 1-row baseline-total frame (bpe_train loop shape)")
+          "q_bpe_encode" -> "1-row best-merge frame per round + 1-row baseline-total frame (bpe_train loop shape)",
+          "q_privacy_rr" -> "1-row total-count frame (debias denominator)")
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {
             val plan = fn(spark, dir).queryExecution.sparkPlan

@@ -1238,6 +1238,65 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("argmax surface: max_by/min_by tie-proof keys match a driver scan; boolean aggs hold") {
+    import spark.implicits._
+    val rows = graft.queries.Relational.aggArgmax(spark, sfDir).collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r).toMap
+    val os = graft.Tables.t(spark, sfDir, "orders")
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        $"o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100), r.getString(3)))
+    os.groupBy(_._1).foreach { case (prio, xs) =>
+      val r = rows(prio)
+      val byKey = xs.sortBy { case (_, k, c, _) => (c, k) }
+      assert(r.getAs[Long]("priciest_order") == byKey.last._2, s"$prio argmax")
+      assert(r.getAs[Long]("cheapest_order") == byKey.head._2, s"$prio argmin")
+      assert(r.getAs[Long]("max_price_cents") == xs.map(_._3).max)
+      assert(r.getAs[Long]("n_big") == xs.count(_._3 > 10000000L).toLong)
+      assert(r.getAs[Int]("all_positive") == (if (xs.forall(_._3 > 0)) 1 else 0))
+      assert(r.getAs[Int]("any_finished") ==
+        (if (xs.exists(_._4 == "F")) 1 else 0))
+    }
+  }
+
+  test("randomized response: mechanism replays exactly; debiased estimates sum to n") {
+    import spark.implicits._
+    val rows = Pii.rrQ(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val types = ev.map(_._2).distinct.sorted
+    val ti = types.zipWithIndex.toMap
+    def md5mod(x: String, m: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % m
+    }
+    val reported = ev.map { case (id, et) =>
+      val r = md5mod(s"$id:rr", 16)
+      val t0 = ti(et)
+      val rep = if (r < 12) t0
+        else if (r - 12 < t0) (r - 12).toInt else (r - 12).toInt + 1
+      types(rep)
+    }
+    val f = reported.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val n = ev.length.toLong
+    var estSum = 0.0
+    types.foreach { et =>
+      val r = rows(et)
+      assert(r.getAs[Long]("n_reported") == f(et), s"$et reported count")
+      assert(r.getAs[Long]("n_true") == ev.count(_._2 == et).toLong)
+      val est = (16.0 * f(et) - n) / 11
+      assert(math.abs(r.getAs[Double]("est") - est) < 1e-6, s"$et debias")
+      estSum += est
+    }
+    assert(f.values.sum == n, "reports partition the events")
+    assert(math.abs(estSum - n) < 1e-6,
+      "debiased estimates sum to n (the mechanism's mass identity)")
+  }
+
   test("join size est: estimate bounds exact F2 from above and matches a driver CMS recompute") {
     import spark.implicits._
     val rows = Sketches.joinSizeEstQ(spark, sfDir).collect()
