@@ -301,15 +301,94 @@ object Classify {
       |FROM c
       |ORDER BY cls""".stripMargin
 
+  /** q_eval_avgprec entry: AVERAGE PRECISION (area under the PR curve,
+    * step-function convention) of the classifier against the lang='en'
+    * truth — the ranking metric that, unlike ROC AUC, does not reward
+    * true negatives and is therefore THE eval for imbalanced retrieval
+    * and filtering tasks (a rare-class filter can post AUC .95 while
+    * its PR curve collapses). Definition is the threshold-sum form
+    * AP = Σ_v (R_v − R_{v−1})·P_v over DISTINCT score thresholds —
+    * exactly computable on the value-bounded score grid, no per-pair
+    * or per-document rank pass (the naive ranked scan is a global sort
+    * of the corpus; the grid is ≤ 10⁶ rows at any SF by the 6-dp score
+    * contract). Interpolated precision at recall ≥ {50,80,90}% rides
+    * along via integer-exact recall gates (2·cum1 ≥ n1 etc. — no FP
+    * compare), the operating points a deployment thresholds at.
+    *
+    * Scale shape: one combinable grid collapse, one cumulative window
+    * over the grid, totals as a broadcast 1-row frame. Determinism:
+    * counts exact; per-threshold terms are shared-order IEEE doubles
+    * rounded to 12 dp summed as DECIMAL(28,12); finals round 6 dp. */
+  def avgprecQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val d = scored(s, dir)
+      .groupBy($"score".as("v"))
+      .agg(sum($"y").as("c1"), sum(lit(1L) - $"y").as("c2"))
+    val wCum = Window.partitionBy(lit(0)).orderBy($"v".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = d.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+    d.withColumn("cum1", sum($"c1").over(wCum))
+      .withColumn("cum", sum($"c1" + $"c2").over(wCum))
+      .crossJoin(broadcast(tot))
+      .withColumn("prec", round($"cum1".cast("double") / $"cum", 6))
+      .agg(
+        min($"n1").as("n_pos"), min($"n2").as("n_neg"),
+        sum(round($"c1".cast("double") * $"cum1" / $"cum", 12)
+          .cast("decimal(28,12)")).as("apsum"),
+        max(when($"cum1" * 2 >= $"n1", $"prec")).as("p_at_r50"),
+        max(when($"cum1" * 5 >= $"n1" * 4, $"prec")).as("p_at_r80"),
+        max(when($"cum1" * 10 >= $"n1" * 9, $"prec")).as("p_at_r90"))
+      .select($"n_pos".cast("long").as("n_pos"),
+        $"n_neg".cast("long").as("n_neg"),
+        round($"apsum".cast("double") / $"n_pos", 6).as("ap"),
+        $"p_at_r50", $"p_at_r80", $"p_at_r90")
+  }
+
+  val avgprecSql: String =
+    s"""WITH $scoredSql,
+      |d AS (
+      |  SELECT score AS v,
+      |    CAST(SUM(y) AS BIGINT) AS c1,
+      |    CAST(SUM(1 - y) AS BIGINT) AS c2
+      |  FROM scored GROUP BY 1),
+      |cum AS (
+      |  SELECT c1,
+      |    SUM(c1) OVER (ORDER BY v DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+      |    SUM(c1 + c2) OVER (ORDER BY v DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d),
+      |tot AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      |  FROM d),
+      |a AS (
+      |  SELECT MIN(n1) AS n_pos, MIN(n2) AS n_neg,
+      |    SUM(CAST(ROUND(CAST(c1 AS DOUBLE) * cum1 / cum, 12)
+      |      AS DECIMAL(28,12))) AS apsum,
+      |    MAX(CASE WHEN cum1 * 2 >= n1
+      |      THEN ROUND(CAST(cum1 AS DOUBLE) / cum, 6) END) AS p_at_r50,
+      |    MAX(CASE WHEN cum1 * 5 >= n1 * 4
+      |      THEN ROUND(CAST(cum1 AS DOUBLE) / cum, 6) END) AS p_at_r80,
+      |    MAX(CASE WHEN cum1 * 10 >= n1 * 9
+      |      THEN ROUND(CAST(cum1 AS DOUBLE) / cum, 6) END) AS p_at_r90
+      |  FROM cum, tot)
+      |SELECT n_pos, n_neg,
+      |  ROUND(CAST(apsum AS DOUBLE) / n_pos, 6) AS ap,
+      |  p_at_r50, p_at_r80, p_at_r90
+      |FROM a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_classify" -> classifyQ,
     "q_eval_auc" -> aucQ,
     "q_eval_calibration" -> calibrationQ,
+    "q_eval_avgprec" -> avgprecQ,
     "q_eval_f1" -> f1Q)
 
   def oracle: Map[String, String] = Map(
     "q_text_classify" -> classifySql,
     "q_eval_auc" -> aucSql,
     "q_eval_calibration" -> calibrationSql,
+    "q_eval_avgprec" -> avgprecSql,
     "q_eval_f1" -> f1Sql)
 }

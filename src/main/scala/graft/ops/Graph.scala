@@ -975,60 +975,67 @@ object Graph {
       |FROM dist GROUP BY root ORDER BY node""".stripMargin
 
   /** q_graph_mst entry: MAXIMUM SPANNING BACKBONE of the undirected
-    * nation trade graph by DISTRIBUTED Borůvka — each round every
-    * component selects its best incident cross-component edge (one
-    * groupBy argmin over a struct-ordered key), selected edges merge
-    * components via min-label propagation ([[Iterate.fixpoint]]), and
-    * components halve per round, so 5 rounds cover 25 nodes (log₂ n
-    * rounds for any n — the property that makes Borůvka THE spanning
-    * tree algorithm for Pregel/MapReduce-class systems, where
-    * Kruskal's sequential sorted scan and Prim's single frontier don't
-    * parallelize). The backbone is the "which trade corridors carry
-    * the network" summary.
+    * nation trade graph by the KSV MapReduce-MST shape (Karloff, Suri
+    * & Vassilvitskii, SODA 2010, whose flagship example is exactly
+    * MST): stage 1 runs a LOCAL maximum-spanning-forest Kruskal inside
+    * every partition of the edge list — by the cycle property, an edge
+    * rejected by any partition's local forest is the strictly-lightest
+    * edge of a cycle it closes there, hence provably outside the
+    * global MST, so survivors shrink to ≤ partitions·(nodes−1) while
+    * never losing a tree edge — and stage 2 solves that bounded union
+    * exactly in one task. Two `mapPartitions` passes, zero iterative
+    * rounds. This replaced a 5-round distributed Borůvka whose
+    * per-round label-propagation sync cost 54s (and a log-squaring
+    * contraction variant, 227s) on a 25-node graph — the r10 bench
+    * lesson: for a component graph bounded by nodes², round-free
+    * filter-then-solve beats ANY convergence loop, because each Spark
+    * round costs scheduler latency regardless of data volume. At
+    * 100 TB the heavy pass is the checkpointed lineitem→edge
+    * aggregation; stage 1 is embarrassingly parallel over arbitrary
+    * edge volume with memory bounded per partition, and graphs whose
+    * stage-2 survivor set still overflows one task take another
+    * stage-1 round on a coarser partitioning (KSV proves O(1) rounds
+    * suffice for m = n^(1+c)).
     *
     * Correctness cross-check: edge order (w DESC, a, b) is a STRICT
     * total order (pair keys are unique), so the maximum spanning tree
     * is UNIQUE and the oracle may compute it with a completely
     * different algorithm — sequential Kruskal, unrolled 24 steps of
     * (best cross-component edge, component relabel) — and must land on
-    * the identical edge set. Integer weights end to end; no FP. */
+    * the identical edge set; uniqueness also makes the result
+    * independent of the stage-1 partitioning. Integer weights end to
+    * end; no FP. */
   def mstQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val und = tradeEdges(s, dir)
       .filter($"src" =!= $"dst")
       .groupBy(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
       .agg(sum($"w").as("w"))
-      .withColumn("negw", -$"w")
-      .checkpoint()
-    val nodes = und.select($"a".as("node"))
-      .union(und.select($"b".as("node"))).distinct()
-    var mst = und.filter(lit(false)).select($"a", $"b", $"w")
-    for (_ <- 1 to 5) { // components at least halve per round: 2^5 >= 25
-      val labels = Iterate.fixpoint(
-        nodes.withColumn("comp", $"node"), 30, "boruvka component merge") { st =>
-        val nb = mst.select($"a".as("node"), $"b".as("nb"))
-          .union(mst.select($"b".as("node"), $"a".as("nb")))
-        val best = nb.join(st.select($"node".as("nb"), $"comp".as("ncomp")), "nb")
-          .groupBy($"node").agg(min($"ncomp").as("mn"))
-        st.join(best, Seq("node"), "left")
-          .select($"node",
-            least($"comp", coalesce($"mn", $"comp")).as("newcomp"),
-            (least($"comp", coalesce($"mn", $"comp")) < $"comp").as("chg"))
-          .withColumnRenamed("newcomp", "comp")
+    // Local max-spanning-forest Kruskal over one partition's edges:
+    // sort by the strict total order, keep an edge iff it joins two
+    // distinct union-find components. O(m log m) time, O(nodes) state.
+    def msf(it: Iterator[(String, String, Long)])
+        : Iterator[(String, String, Long)] = {
+      val edges = it.toArray
+      java.util.Arrays.sort(edges, Ordering.by {
+        e: (String, String, Long) => (-e._3, e._1, e._2) })
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
       }
-      val el = und
-        .join(labels.select($"node".as("a"), $"comp".as("ca")), "a")
-        .join(labels.select($"node".as("b"), $"comp".as("cb")), "b")
-        .filter($"ca" =!= $"cb")
-      val sel = el
-        .select($"ca".as("comp"), struct($"negw", $"a", $"b", $"w").as("e"))
-        .union(el.select($"cb".as("comp"), struct($"negw", $"a", $"b", $"w").as("e")))
-        .groupBy($"comp").agg(min($"e").as("e"))
-        .select($"e.a".as("a"), $"e.b".as("b"), $"e.w".as("w"))
-        .distinct()
-      mst = mst.union(sel).distinct().checkpoint()
+      edges.iterator.filter { case (a, b, _) =>
+        val ra = find(a); val rb = find(b)
+        ra != rb && { parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb; true }
+      }
     }
-    mst.orderBy($"w".desc, $"a", $"b")
+    val typed = und.select($"a", $"b", $"w").as[(String, String, Long)]
+    val mst = typed.mapPartitions(msf) // stage 1: per-partition MSF filter
+      .coalesce(1).mapPartitions(msf)  // stage 2: bounded survivor union, exact
+    mst.toDF("a", "b", "w").orderBy($"w".desc, $"a", $"b")
   }
 
   /** Oracle: sequential Kruskal over the same strict edge order,

@@ -1586,7 +1586,106 @@ object Stats {
       |    / POWER(p2 - p1, 2)) AS BIGINT) AS powered
       |FROM r""".stripMargin
 
+  /** q_eval_conformal entry: SPLIT-CONFORMAL prediction-interval
+    * calibration — the distribution-free coverage guarantee every
+    * deployed regressor can ship with regardless of how bad the model
+    * is. Orders split 50/25/25 train/calibration/test on the pinned
+    * md5 coin; the "model" is the per-priority floored-cents mean of
+    * the TRAIN split; nonconformity is the absolute residual in
+    * integer cents; q̂ is the ⌈0.9·(n_cal+1)⌉-th smallest calibration
+    * residual (the finite-sample-corrected split-conformal quantile,
+    * an exact integer order statistic — no FP quantile estimate); the
+    * TEST split then reports empirical coverage of ŷ ± q̂, which the
+    * conformal theorem guarantees ≥ 90% in expectation — the audit row
+    * a training pipeline checks before trusting model error bars.
+    *
+    * Scale shape: the corpus collapses per (group, fold) in one
+    * combinable pass except the calibration rank, a per-group window
+    * over the CALIBRATION SAMPLE only (a fixed-rate subsample by
+    * design — at 100 TB the calibration split is capped upstream, the
+    * train/test sides stay pure aggregates); model and q̂ frames are
+    * group-bounded broadcasts. Determinism: integer arithmetic
+    * throughout — floored-cents mean, integer residuals, order-
+    * statistic q̂; the only double is the final coverage ratio (6 dp).
+    */
+  def conformalQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("fold", Hashing.md5Long60(
+        concat($"o_orderkey".cast("string"), lit(":conf"))) % 4)
+    val model = o.filter($"fold" <= 1).groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_train"),
+        expr("sum(cents) div count(1)").as("yhat_cents"))
+    val cal = o.filter($"fold" === 2).join(broadcast(model), "o_orderpriority")
+      .select($"o_orderpriority", $"o_orderkey",
+        abs($"cents" - $"yhat_cents").as("r"))
+    val calN = cal.groupBy($"o_orderpriority").agg(count(lit(1)).as("n_cal"))
+    val wR = Window.partitionBy($"o_orderpriority").orderBy($"r", $"o_orderkey")
+    val qhat = cal.withColumn("rn", row_number().over(wR))
+      .join(broadcast(calN), "o_orderpriority")
+      .filter($"rn" === expr("(9 * (n_cal + 1) + 9) div 10"))
+      .select($"o_orderpriority", $"n_cal", $"r".as("qhat_cents"))
+    o.filter($"fold" === 3).join(broadcast(model), "o_orderpriority")
+      .join(broadcast(qhat), "o_orderpriority")
+      .groupBy($"o_orderpriority")
+      .agg(min($"n_train").as("n_train"), min($"n_cal").as("n_cal"),
+        count(lit(1)).as("n_test"),
+        min($"yhat_cents").as("yhat_cents"),
+        min($"qhat_cents").as("qhat_cents"),
+        sum((abs($"cents" - $"yhat_cents") <= $"qhat_cents").cast("long"))
+          .as("n_covered"))
+      .select($"o_orderpriority", $"n_train", $"n_cal", $"n_test",
+        $"yhat_cents", $"qhat_cents", $"n_covered",
+        round($"n_covered".cast("double") / $"n_test", 6).as("coverage"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val conformalSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    ('0x' || substr(md5(o_orderkey::VARCHAR || ':conf'), 1, 15))
+      |      ::UBIGINT::BIGINT % 4 AS fold
+      |  FROM orders),
+      |model AS (
+      |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_train,
+      |    CAST(SUM(cents) // COUNT(*) AS BIGINT) AS yhat_cents
+      |  FROM o WHERE fold <= 1 GROUP BY 1),
+      |cal AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    ABS(cents - yhat_cents) AS r
+      |  FROM o JOIN model USING (o_orderpriority) WHERE fold = 2),
+      |caln AS (
+      |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_cal
+      |  FROM cal GROUP BY 1),
+      |rk AS (
+      |  SELECT o_orderpriority, r,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY r, o_orderkey) AS rn
+      |  FROM cal),
+      |qh AS (
+      |  SELECT o_orderpriority, n_cal, r AS qhat_cents
+      |  FROM rk JOIN caln USING (o_orderpriority)
+      |  WHERE rn = (9 * (n_cal + 1) + 9) // 10),
+      |tst AS (
+      |  SELECT o_orderpriority,
+      |    CAST(COUNT(*) AS BIGINT) AS n_test,
+      |    CAST(SUM(CASE WHEN ABS(cents - yhat_cents) <= qhat_cents
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      |  FROM o JOIN model USING (o_orderpriority)
+      |    JOIN qh USING (o_orderpriority)
+      |  WHERE fold = 3 GROUP BY 1)
+      |SELECT o_orderpriority, n_train, n_cal, n_test,
+      |  yhat_cents, qhat_cents, n_covered,
+      |  ROUND(CAST(n_covered AS DOUBLE) / n_test, 6) AS coverage
+      |FROM model JOIN qh USING (o_orderpriority)
+      |  JOIN tst USING (o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_conformal" -> conformalQ,
     "q_stat_power" -> powerQ,
     "q_stat_dispersion" -> dispersionQ,
     "q_stat_logrank" -> logrankQ,
@@ -1610,6 +1709,7 @@ object Stats {
     "q_ts_acf" -> acfQ)
 
   def oracle: Map[String, String] = Map(
+    "q_eval_conformal" -> conformalSql,
     "q_stat_power" -> powerSql,
     "q_stat_dispersion" -> dispersionSql,
     "q_stat_logrank" -> logrankSql,

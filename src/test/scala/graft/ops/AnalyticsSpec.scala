@@ -1330,4 +1330,88 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       graft.Tables.t(spark, sfDir, "lineitem")
         .select($"l_partkey".cast("string")).collect().map(_.getString(0)))
   }
+
+  test("avgprec: threshold-sum AP equals a driver ranked-scan; interpolated precisions nest") {
+    import spark.implicits._
+    val r = Classify.avgprecQ(spark, sfDir).collect().head
+    // driver rescore (same recipe as the auc spec), then the tied-threshold
+    // AP definition: AP = Σ_v c1_v · (cum1_v / cum_v) / n_pos over DISTINCT
+    // score values v walked in descending order.
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+    def bucket(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % 1024
+    }
+    val scores = docs.map { case (_, text, lang) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val sw = toks.map(t => (bucket(t) * 2654435761L) % 2001L - 1000L).sum
+      val score = BigDecimal(sw.toDouble / (toks.length * 1000.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (score, if (lang == "en") 1L else 0L)
+    }
+    val nPos = scores.count(_._2 == 1L).toLong
+    val byV = scores.groupBy(_._1).toSeq.sortBy(-_._1)
+      .map { case (v, xs) => (v, xs.count(_._2 == 1L).toLong, xs.length.toLong) }
+    var cum1 = 0L; var cum = 0L; var apsum = 0.0
+    var p50 = 0.0; var p80 = 0.0; var p90 = 0.0
+    byV.foreach { case (_, c1, c) =>
+      cum1 += c1; cum += c
+      val prec = cum1.toDouble / cum
+      apsum += c1 * prec
+      if (cum1 * 2 >= nPos) p50 = math.max(p50, prec)
+      if (cum1 * 5 >= nPos * 4) p80 = math.max(p80, prec)
+      if (cum1 * 10 >= nPos * 9) p90 = math.max(p90, prec)
+    }
+    assert(r.getAs[Long]("n_pos") == nPos)
+    assert(r.getAs[Long]("n_neg") == scores.length - nPos)
+    assert(math.abs(r.getAs[Double]("ap") - apsum / nPos) < 1e-5)
+    assert(math.abs(r.getAs[Double]("p_at_r50") - p50) < 1e-5)
+    assert(math.abs(r.getAs[Double]("p_at_r80") - p80) < 1e-5)
+    assert(math.abs(r.getAs[Double]("p_at_r90") - p90) < 1e-5)
+    // max over a recall-superset can only be larger: p@r50 ≥ p@r80 ≥ p@r90
+    assert(r.getAs[Double]("p_at_r50") >= r.getAs[Double]("p_at_r80"))
+    assert(r.getAs[Double]("p_at_r80") >= r.getAs[Double]("p_at_r90"))
+    assert(r.getAs[Double]("ap") > 0 && r.getAs[Double]("ap") <= 1)
+  }
+
+  test("conformal: split replay matches exactly; q-hat is the finite-sample order statistic") {
+    import spark.implicits._
+    val got = Stats.conformalQ(spark, sfDir).collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r).toMap
+    def fold(key: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key:conf".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % 4
+    }
+    val orders = graft.Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toLongExact))
+    orders.groupBy(_._2).foreach { case (prio, xs) =>
+      val train = xs.filter(x => fold(x._1) <= 1)
+      val yhat = Math.floorDiv(train.map(_._3).sum, train.length.toLong)
+      val cal = xs.filter(x => fold(x._1) == 2)
+        .map(x => (math.abs(x._3 - yhat), x._1)).sortBy(identity)
+      val rank = (9 * (cal.length + 1) + 9) / 10 // ceil(0.9 (n+1))
+      val qhat = cal(rank - 1)._1
+      val tst = xs.filter(x => fold(x._1) == 3)
+      val covered = tst.count(x => math.abs(x._3 - yhat) <= qhat).toLong
+      val r = got(prio)
+      assert(r.getAs[Long]("n_train") == train.length, s"$prio train")
+      assert(r.getAs[Long]("n_cal") == cal.length, s"$prio cal")
+      assert(r.getAs[Long]("n_test") == tst.length, s"$prio test")
+      assert(r.getAs[Long]("yhat_cents") == yhat, s"$prio yhat")
+      assert(r.getAs[Long]("qhat_cents") == qhat, s"$prio qhat")
+      assert(r.getAs[Long]("n_covered") == covered, s"$prio covered")
+      assert(math.abs(r.getAs[Double]("coverage")
+        - covered.toDouble / tst.length) < 1e-5)
+      // distribution-free guarantee holds in expectation at level 0.9;
+      // allow finite-sample slack at sf0.001 group sizes (~75/fold)
+      assert(r.getAs[Double]("coverage") > 0.75, s"$prio coverage collapsed")
+    }
+  }
 }

@@ -400,7 +400,7 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .get.getAs[Double]("closeness"))
   }
 
-  test("mst: Boruvka equals a driver Kruskal; result spans all trading nations") {
+  test("mst: KSV filter-then-solve equals a driver Kruskal; spans all trading nations") {
     import spark.implicits._
     val got = Graph.mstQ(spark, sfDir).collect()
       .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
@@ -432,7 +432,7 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { parent(ra) = rb; mst += ((a, b, w)) }
     }
-    assert(got == mst.toSet, "Boruvka must equal sequential Kruskal")
+    assert(got == mst.toSet, "KSV MST must equal sequential Kruskal")
     assert(got.size == nodes.size - 1, "tree spans the trading nations")
     // spanning check: the edge set connects every node
     val p2 = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
