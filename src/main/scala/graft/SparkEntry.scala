@@ -66,6 +66,8 @@ object SparkEntry {
     graft.ops.Skyline.queries ++
     graft.ops.Patterns.queries ++
     graft.ops.Pca.queries ++
+    graft.ops.Preference.queries ++
+    graft.ops.Winnow.queries ++
     graft.ops.Pii.queries ++
     graft.ops.Profile.queries ++
     graft.ops.Quantize.queries ++
@@ -111,6 +113,8 @@ object SparkEntry {
     graft.ops.Skyline.oracle ++
     graft.ops.Patterns.oracle ++
     graft.ops.Pca.oracle ++
+    graft.ops.Preference.oracle ++
+    graft.ops.Winnow.oracle ++
     graft.ops.Pii.oracle ++
     graft.ops.Profile.oracle ++
     graft.ops.Quantize.oracle ++

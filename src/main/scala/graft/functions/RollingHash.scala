@@ -123,8 +123,17 @@ object GraftFunctions {
       else throw new IllegalArgumentException(
         s"jaro_winkler requires exactly 2 arguments, got ${children.length}"))
 
+  private[functions] val winnowSpec
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_prints"),
+    new ExpressionInfo(classOf[WinnowPrints].getName, "winnow_prints"),
+    (children: Seq[Expression]) =>
+      if (children.length == 1) WinnowPrints(children.head)
+      else throw new IllegalArgumentException(
+        s"winnow_prints requires exactly 1 argument, got ${children.length}"))
+
   private[functions] def specs =
-    Seq(rollingHashSpec, vecDotSpec, nfcSpec, jaroWinklerSpec)
+    Seq(rollingHashSpec, vecDotSpec, nfcSpec, jaroWinklerSpec, winnowSpec)
 
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

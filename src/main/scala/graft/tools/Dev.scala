@@ -155,6 +155,7 @@ object Dev {
           "q_cluster_kmeans" -> "k-row (k=4) broadcast centroid frame per Lloyd round",
           "q_text_kneser_ney" -> "1-row bigram-type-count totals frame",
           "q_eval_ndcg" -> "1-row IDCG frame joined to the 1-row DCG frame",
+          "q_eval_avgprec" -> "1-row class-totals frame broadcast over the score grid",
           "q_stat_power" -> "1-row median-threshold frame (ab_lift design)",
           "q_text_burstiness" -> "1-row doc-count frame",
           "q_agg_theta" -> "1-row theta + 1-row exact-counts frames",

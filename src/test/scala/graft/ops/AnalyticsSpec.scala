@@ -1377,6 +1377,101 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Double]("ap") > 0 && r.getAs[Double]("ap") <= 1)
   }
 
+  test("winnow: pair replay matches; selection obeys the w-window guarantee per doc") {
+    import spark.implicits._
+    val got = Winnow.winnowQ(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("shared"), r.getAs[Long]("prints_a"),
+          r.getAs[Long]("prints_b"), r.getAs[Double]("jaccard"))).toMap
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val K = 8; val W = 4; val P = 1000000007L
+    def printsOf(text: String): Set[Long] = {
+      if (text.length < K + W - 1) Set.empty
+      else {
+        val hs = (0 to text.length - K).map { i =>
+          text.substring(i, i + K).foldLeft(0L)((h, c) => (h * 31 + c) % P)
+        }
+        (0 to hs.length - W).map(i => hs.slice(i, i + W).min).toSet
+      }
+    }
+    val pr = docs.map { case (id, t) => id -> printsOf(t) }.toMap
+    // guarantee: per doc, ≥ 1 print per window and ≤ all grams selected
+    docs.foreach { case (id, t) =>
+      if (t.length >= K + W - 1) {
+        val n = pr(id).size
+        assert(n >= 1 && n <= t.length - K + 1, s"doc $id selection size")
+      }
+    }
+    val df = pr.toSeq.flatMap { case (id, ps) => ps.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val informative = df.filter { case (_, c) => c >= 2 && c <= 50 }.keySet
+    val pri = pr.view.mapValues(_.intersect(informative)).toMap
+    val allPairs = (for {
+      (a, pa) <- pri.toSeq; (b, pb) <- pri.toSeq if a < b
+      sh = pa.intersect(pb).size if sh > 0
+    } yield (a, b, sh.toLong, pa.size.toLong, pb.size.toLong))
+      .sortBy { case (a, b, sh, _, _) => (-sh, a, b) }.take(40)
+    assert(got.size == allPairs.size.min(40))
+    allPairs.foreach { case (a, b, sh, na, nb) =>
+      val (gs, ga, gb, gj) = got((a, b))
+      assert(gs == sh, s"pair ($a,$b) shared")
+      assert(ga == na && gb == nb, s"pair ($a,$b) print counts")
+      assert(math.abs(gj - sh.toDouble / (na + nb - sh)) < 1e-6)
+    }
+  }
+
+  test("bradley-terry: integer MM replay matches exactly; strengths order by win rate") {
+    import spark.implicits._
+    val got = Preference.btQ(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    // driver replay: per-user exact-decimal totals -> tournament -> 20
+    // rounds of the same fixed-point MM over BigInt
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"user_id", $"event_type", $"value").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val ut = ev.groupBy(x => (x._1, x._2)).map { case ((u, t), xs) =>
+      (u, t, xs.map(_._3).sum) }.toSeq
+    val cmp = ut.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      for { a <- xs; b <- xs if a._2 < b._2 && a._3 != b._3 }
+        yield if (a._3 > b._3) (a._2, b._2) else (b._2, a._2)
+    }
+    val m = cmp.groupBy(identity).map { case ((w, l), v) => (w, l, v.size.toLong) }.toSeq
+    val items = m.flatMap(x => Seq(x._1, x._2)).distinct.sorted
+    val wins = items.map(i => i -> m.filter(_._1 == i).map(_._3).sum).toMap
+    val mm = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    m.foreach { case (w, l, n) => mm((w, l)) += n; mm((l, w)) += n }
+    val U = BigInt("1000000000000000000"); val N9 = BigInt(1000000000)
+    var p = items.map(_ -> N9 / items.length).toMap
+    for (_ <- 1 to Preference.Iters) {
+      val praw = items.map { i =>
+        val denom = items.filter(j => j != i && mm((i, j)) > 0)
+          .map(j => BigInt(mm((i, j))) * U / (p(i) + p(j))).sum
+        i -> (if (denom == 0) p(i) else BigInt(wins(i)) * U / denom)
+      }.toMap
+      val tot = praw.values.sum
+      p = items.map(i => i -> praw(i) * N9 / tot).toMap
+    }
+    assert(got.keySet == items.toSet)
+    items.foreach { i =>
+      val comps = items.filter(_ != i).map(j => mm((i, j))).sum
+      val r = got(i)
+      assert(r.getAs[Long]("wins") == wins(i), s"$i wins")
+      assert(r.getAs[Long]("losses") == comps - wins(i), s"$i losses")
+      assert(r.getAs[Long]("comparisons") == comps, s"$i comps")
+      assert(math.abs(r.getAs[Double]("strength")
+        - p(i).toDouble / 1e9) < 1e-9, s"$i strength")
+    }
+    // strengths sum to ~1 and the rank-1 item has the top strength
+    assert(math.abs(got.values.map(_.getAs[Double]("strength")).sum - 1.0) < 1e-6)
+    val byRank = got.values.toSeq.sortBy(_.getAs[Long]("rnk"))
+    assert(byRank.map(_.getAs[Double]("strength")) ==
+      byRank.map(_.getAs[Double]("strength")).sorted.reverse)
+  }
+
   test("conformal: split replay matches exactly; q-hat is the finite-sample order statistic") {
     import spark.implicits._
     val got = Stats.conformalQ(spark, sfDir).collect()
