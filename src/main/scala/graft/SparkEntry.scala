@@ -68,6 +68,7 @@ object SparkEntry {
     graft.ops.Pca.queries ++
     graft.ops.Preference.queries ++
     graft.ops.Winnow.queries ++
+    graft.ops.Retrieval.queries ++
     graft.ops.Pii.queries ++
     graft.ops.Profile.queries ++
     graft.ops.Quantize.queries ++
@@ -115,6 +116,7 @@ object SparkEntry {
     graft.ops.Pca.oracle ++
     graft.ops.Preference.oracle ++
     graft.ops.Winnow.oracle ++
+    graft.ops.Retrieval.oracle ++
     graft.ops.Pii.oracle ++
     graft.ops.Profile.oracle ++
     graft.ops.Quantize.oracle ++

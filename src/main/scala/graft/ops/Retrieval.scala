@@ -1,0 +1,255 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Retrieval-quality evaluation and re-ranking beyond [[Text.ndcgQ]]:
+  * per-query MRR / recall@k (the eval grid every retrieval change ships
+  * against) and Maximal Marginal Relevance re-ranking (Carbonell &
+  * Goldstein, SIGIR 1998 — the standard diversity pass between a
+  * retriever and a RAG context window, where near-duplicate top hits
+  * waste the token budget).
+  *
+  * Both share [[Text]]'s BM25 machinery and its determinism contract:
+  * per-term weights round to 9 dp and merge as DECIMAL(28,9); every
+  * ordering breaks ties on doc_id.
+  */
+object Retrieval {
+
+  private val QTerms = Seq("dup", "vector", "spark")
+  private val RelTf = 3   // single-term relevance: doc mentions term ≥ 3×
+  private val TopN = 20   // MMR candidate pool
+  private val Select = 5  // MMR picks
+  private val Lambda = 0.7
+
+  /** Single-term BM25 postings: (term, doc_id, score DECIMAL(18,9),
+    * tf) for the three query terms. */
+  private def postings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Text.withToks(s, dir).select($"doc_id", $"toks")
+    val dl = docs.select($"doc_id", size($"toks").cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg($"dl").as("avgdl"))
+    val tf = docs.select($"doc_id", explode($"toks").as("term"))
+      .filter($"term".isin(QTerms: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(docFreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+      .select($"term", $"doc_id", $"tf",
+        round($"idf" * ($"tf" * 2.2) /
+          ($"tf" + (lit(0.25) + $"dl" * 0.75 / $"avgdl") * 1.2), 9)
+          .cast("decimal(18,9)").as("score"))
+  }
+
+  private val postingsSql: String =
+    s"""tk AS MATERIALIZED (SELECT doc_id, ${Text.toksSql} AS toks FROM documents),
+       |dl AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tk),
+       |st AS MATERIALIZED (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+       |tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf FROM
+       |  (SELECT doc_id, unnest(toks) AS term FROM tk)
+       |  WHERE term IN ('dup', 'vector', 'spark') GROUP BY 1, 2),
+       |docf AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |po AS MATERIALIZED (
+       |  SELECT term, tf.doc_id, tf,
+       |    CAST(ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
+       |      AS DECIMAL(18,9)) AS score
+       |  FROM tf JOIN docf USING (term) JOIN dl ON tf.doc_id = dl.doc_id, st)"""
+      .stripMargin
+
+  /** q_eval_mrr entry: per-query-term reciprocal rank, recall@10, and
+    * precision@10 of the single-term BM25 ranking, with relevance =
+    * "mentions the term ≥ [[RelTf]] times". The spec asserts the MRR
+    * mean identity over the three rows. */
+  def mrrQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranked = postings(s, dir)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"term").orderBy($"score".desc, $"doc_id")))
+      .withColumn("rel", ($"tf" >= RelTf).cast("long"))
+    ranked.groupBy($"term")
+      .agg(count(lit(1)).as("n_ranked"),
+        sum($"rel").as("n_relevant"),
+        min(when($"rel" === 1, $"rnk")).as("first_rank"),
+        sum(when($"rel" === 1 && $"rnk" <= 10, 1L).otherwise(0L)).as("hits10"))
+      .select($"term", $"n_ranked", $"n_relevant",
+        coalesce($"first_rank", lit(0L)).cast("long").as("first_rank"),
+        round(coalesce(lit(1.0) / $"first_rank", lit(0.0)), 6).as("rr"),
+        round(when($"n_relevant" > 0,
+          $"hits10".cast("double") / $"n_relevant").otherwise(0.0), 6)
+          .as("r_at_10"),
+        round($"hits10".cast("double") / least(lit(10L), $"n_ranked"), 6)
+          .as("p_at_10"))
+      .orderBy($"term")
+  }
+
+  val mrrSql: String =
+    s"""WITH $postingsSql,
+       |rk AS (
+       |  SELECT term, doc_id, tf, score,
+       |    ROW_NUMBER() OVER (PARTITION BY term
+       |      ORDER BY score DESC, doc_id) AS rnk,
+       |    CASE WHEN tf >= $RelTf THEN 1 ELSE 0 END AS rel
+       |  FROM po),
+       |a AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+       |    CAST(SUM(rel) AS BIGINT) AS n_relevant,
+       |    MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rank,
+       |    CAST(SUM(CASE WHEN rel = 1 AND rnk <= 10 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits10
+       |  FROM rk GROUP BY term)
+       |SELECT term, n_ranked, n_relevant,
+       |  CAST(COALESCE(first_rank, 0) AS BIGINT) AS first_rank,
+       |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / first_rank, 0.0), 6) AS rr,
+       |  ROUND(CASE WHEN n_relevant > 0
+       |    THEN CAST(hits10 AS DOUBLE) / n_relevant ELSE 0.0 END, 6) AS r_at_10,
+       |  ROUND(CAST(hits10 AS DOUBLE) / LEAST(10, n_ranked), 6) AS p_at_10
+       |FROM a ORDER BY term""".stripMargin
+
+  /** q_search_mmr entry: MMR re-ranking of the top-[[TopN]] multi-term
+    * BM25 pool down to [[Select]] diverse picks — greedy
+    * argmax λ·score_norm − (1−λ)·max-Jaccard-to-selected over the
+    * candidates' token sets.
+    *
+    * Scale shape: the candidate pool is top-N-bounded BEFORE any
+    * pairwise work, so the similarity join is ≤ N² rows regardless of
+    * corpus size, and the greedy loop solves in one bounded task (the
+    * [[Graph.mstQ]] filter-then-solve discipline — no per-pick Spark
+    * round). Determinism: scores and Jaccards are 9-dp decimals; the
+    * MMR objective recomputes identically from them in both engines;
+    * all argmaxes tie-break on doc_id. */
+  def mmrQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cand = postings(s, dir)
+      .groupBy($"doc_id").agg(sum($"score").as("sc"))
+      .withColumn("rnk", row_number().over(Window.orderBy($"sc".desc, $"doc_id")))
+      .filter($"rnk" <= TopN)
+    val smax = cand.agg(max($"sc").as("smax"))
+    val scored = cand.crossJoin(broadcast(smax))
+      .select($"doc_id",
+        round($"sc".cast("double") / $"smax".cast("double"), 9)
+          .cast("decimal(18,9)").as("s"))
+    val ctoks = scored.select($"doc_id")
+      .join(Text.withToks(s, dir).select($"doc_id",
+        array_distinct($"toks").as("ts")), "doc_id")
+      .select($"doc_id", explode($"ts").as("tok"))
+    val sizes = ctoks.groupBy($"doc_id").agg(count(lit(1)).as("nt"))
+    val sims = ctoks.as("x").join(ctoks.as("y"),
+        $"x.tok" === $"y.tok" && $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("a"), $"y.doc_id".as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("a"), $"nt".as("na")), "a")
+      .join(sizes.select($"doc_id".as("b"), $"nt".as("nb")), "b")
+      .select($"a", $"b",
+        round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 9)
+          .cast("decimal(18,9)").as("j"))
+    // bounded greedy solve over N candidates + ≤N² sims in one task
+    val tagged = scored.select(lit(0).as("kind"), $"doc_id".as("a"),
+        lit(-1L).as("b"), $"s".cast("double").as("v"))
+      .unionByName(sims.select(lit(1).as("kind"), $"a", $"b",
+        $"j".cast("double").as("v")))
+    tagged.as[(Int, Long, Long, Double)].coalesce(1)
+      .mapPartitions { it =>
+        val rows = it.toArray
+        val s = rows.filter(_._1 == 0).map(r => r._2 -> r._4).toMap
+        val jm = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+          .withDefaultValue(0.0)
+        rows.filter(_._1 == 1).foreach { r =>
+          jm((r._2, r._3)) = r._4; jm((r._3, r._2)) = r._4 }
+        def r9(d: Double): Double =
+          java.math.BigDecimal.valueOf(d).setScale(9,
+            java.math.RoundingMode.HALF_UP).doubleValue
+        var selected = Vector.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Long, Double, Double, Double)]
+        for (step <- 1 to Select) {
+          val best = s.keys.filter(d => !selected.contains(d)).map { d =>
+            val msim = if (selected.isEmpty) 0.0
+              else selected.map(x => jm((d, x))).max
+            val mmr = r9(Lambda * s(d) - (1 - Lambda) * msim)
+            (d, msim, mmr)
+          }.minBy { case (d, _, m) => (-m, d) }
+          selected :+= best._1
+          out += ((step, best._1, s(best._1), best._2, best._3))
+        }
+        out.iterator
+      }
+      .toDF("step", "doc_id", "s_norm", "max_sim", "mmr")
+      .select($"step".cast("long").as("step"), $"doc_id",
+        round($"s_norm", 6).as("s_norm"), round($"max_sim", 6).as("max_sim"),
+        round($"mmr", 6).as("mmr"))
+      .orderBy($"step")
+  }
+
+  val mmrSql: String = {
+    val lam = Lambda
+    val picks = (1 to Select).map { k =>
+      val prev = s"sel${k - 1}"
+      s"""pick$k AS MATERIALIZED (
+         |  SELECT c.doc_id, c.s,
+         |    COALESCE((SELECT MAX(sm.j) FROM sym sm JOIN $prev p
+         |      ON sm.a = c.doc_id AND sm.b = p.doc_id), 0.0) AS msim
+         |  FROM scored c
+         |  WHERE c.doc_id NOT IN (SELECT doc_id FROM $prev)),
+         |best$k AS MATERIALIZED (
+         |  SELECT $k AS step, doc_id, s, msim,
+         |    ROUND($lam * CAST(s AS DOUBLE) - ${1 - lam} * msim, 9) AS mmr
+         |  FROM pick$k
+         |  ORDER BY mmr DESC, doc_id LIMIT 1),
+         |sel$k AS MATERIALIZED (
+         |  SELECT doc_id FROM $prev UNION ALL SELECT doc_id FROM best$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    val union = (1 to Select).map(k => s"SELECT * FROM best$k").mkString("\n  UNION ALL ")
+    s"""WITH $postingsSql,
+       |cand AS MATERIALIZED (
+       |  SELECT doc_id, sc FROM (
+       |    SELECT doc_id, SUM(score) AS sc,
+       |      ROW_NUMBER() OVER (ORDER BY SUM(score) DESC, doc_id) AS rnk
+       |    FROM po GROUP BY doc_id)
+       |  WHERE rnk <= $TopN),
+       |scored AS MATERIALIZED (
+       |  SELECT doc_id, CAST(ROUND(CAST(sc AS DOUBLE)
+       |    / (SELECT CAST(MAX(sc) AS DOUBLE) FROM cand), 9)
+       |    AS DECIMAL(18,9)) AS s
+       |  FROM cand),
+       |ct AS MATERIALIZED (
+       |  SELECT c.doc_id, unnest(list_distinct(tk.toks)) AS tok
+       |  FROM scored c JOIN tk ON tk.doc_id = c.doc_id),
+       |sz AS MATERIALIZED (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM ct GROUP BY 1),
+       |sims AS MATERIALIZED (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |    CAST(ROUND(CAST(COUNT(*) AS DOUBLE)
+       |      / (MIN(sa.nt) + MIN(sb.nt) - COUNT(*)), 9) AS DECIMAL(18,9)) AS j
+       |  FROM ct x JOIN ct y ON x.tok = y.tok AND x.doc_id < y.doc_id
+       |    JOIN sz sa ON sa.doc_id = x.doc_id
+       |    JOIN sz sb ON sb.doc_id = y.doc_id
+       |  GROUP BY 1, 2),
+       |sym AS MATERIALIZED (
+       |  SELECT a, b, CAST(j AS DOUBLE) AS j FROM sims
+       |  UNION ALL SELECT b, a, CAST(j AS DOUBLE) AS j FROM sims),
+       |sel0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0),
+       |$picks
+       |SELECT CAST(step AS BIGINT) AS step, doc_id,
+       |  ROUND(CAST(s AS DOUBLE), 6) AS s_norm,
+       |  ROUND(msim, 6) AS max_sim, ROUND(mmr, 6) AS mmr
+       |FROM ($union)
+       |ORDER BY step""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_mrr" -> mrrQ,
+    "q_search_mmr" -> mmrQ)
+
+  def oracle: Map[String, String] = Map(
+    "q_eval_mrr" -> mrrSql,
+    "q_search_mmr" -> mmrSql)
+}

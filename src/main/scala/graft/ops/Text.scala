@@ -25,10 +25,10 @@ object Text {
 
   /** documents + a `toks` column; single tokenization point so every
     * operator (and the oracle SQL) agrees on the token stream. */
-  private def withToks(s: SparkSession, dir: String): DataFrame =
+  private[ops] def withToks(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").withColumn("toks", split(lower(col("text")), " "))
 
-  private val toksSql = "string_split(lower(text), ' ')"
+  private[ops] val toksSql = "string_split(lower(text), ' ')"
 
   /** Per-document statistics: whitespace token count, distinct-token
     * count, regex token count (BPE-ish `[a-z0-9]+` word pieces), mean

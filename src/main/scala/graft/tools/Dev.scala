@@ -156,6 +156,8 @@ object Dev {
           "q_text_kneser_ney" -> "1-row bigram-type-count totals frame",
           "q_eval_ndcg" -> "1-row IDCG frame joined to the 1-row DCG frame",
           "q_eval_avgprec" -> "1-row class-totals frame broadcast over the score grid",
+          "q_eval_mrr" -> "1-row (n_docs, avgdl) BM25 stats frame",
+          "q_search_mmr" -> "1-row BM25 stats + 1-row max-score frame over the top-20 pool",
           "q_stat_power" -> "1-row median-threshold frame (ab_lift design)",
           "q_text_burstiness" -> "1-row doc-count frame",
           "q_agg_theta" -> "1-row theta + 1-row exact-counts frames",
