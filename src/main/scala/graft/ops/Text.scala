@@ -1761,6 +1761,82 @@ object Text {
       |  ROUND((po - pe) / (1 - pe), 6) AS kappa
       |FROM k""".stripMargin
 
+  /** q_label_krippendorff entry: KRIPPENDORFF'S ALPHA over THREE
+    * binary raters of the "is this English?" label — the agreement
+    * coefficient that, unlike [[kappaQ]]'s two-rater Cohen's kappa,
+    * handles any number of raters AND missing ratings, which is the
+    * actual shape of crowd/model labeling runs (annotators skip
+    * units). Raters: A = the lang field, B = the stop-ratio heuristic
+    * (same 6-dp contract as kappa), C = contains the token 'the' but
+    * ABSTAINS on documents under 20 tokens — so the missing-data path
+    * is genuinely exercised. Nominal-metric coincidence form:
+    * α = 1 − D_o/D_e with per-unit disagreement Σ n_u0·n_u1·2/(m_u−1).
+    *
+    * Scale shape: one map stage per document (three boolean raters),
+    * one global integer aggregate — scan-bound at any corpus size.
+    * Determinism: with m_u ∈ {2,3}, 2·D_o has an INTEGER numerator
+    * (4 or 2 times n_u0·n_u1), so α = 1 − DoNum·(n−1)/(4·N0·N1) is a
+    * ratio of exact integers — no FP contract needed anywhere. */
+  def krippendorffQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rated = withToks(s, dir)
+      .select($"lang", $"toks",
+        round(expr(
+          "size(filter(toks, t -> t IN ('the','a','of','and','to','in')))")
+          .cast("double") / size($"toks"), 6).as("stop_ratio"))
+      .select(
+        ($"lang" === "en").cast("int").as("ra"),
+        ($"stop_ratio" >= 0.08).cast("int").as("rb"),
+        when(size($"toks") >= 20,
+          array_contains($"toks", "the").cast("int")).as("rc"))
+      .select(
+        ($"ra" + $"rb" + coalesce($"rc", lit(0))).as("n1"),
+        (lit(2) + when($"rc".isNotNull, 1).otherwise(0)).as("m"))
+      .select($"n1", ($"m" - $"n1").as("n0"), $"m")
+    rated.agg(
+        count(lit(1)).as("n_units"),
+        sum($"m").as("n_vals"),
+        sum($"n0").as("nn0"),
+        sum($"n1").as("nn1"),
+        sum(when($"m" === 2, lit(4) * $"n0" * $"n1")
+          .otherwise(lit(2) * $"n0" * $"n1")).as("do_num"))
+      .select($"n_units", $"n_vals".cast("long").as("n_vals"),
+        $"nn0".cast("long").as("n0"), $"nn1".cast("long").as("n1"),
+        round($"do_num".cast("double") / 2d / $"n_vals", 6).as("d_o"),
+        round(lit(2d) * $"nn0" * $"nn1" /
+          ($"n_vals".cast("double") * ($"n_vals" - 1)), 6).as("d_e"),
+        round(lit(1d) - $"do_num".cast("double") * ($"n_vals" - 1) /
+          (lit(4d) * $"nn0" * $"nn1"), 6).as("alpha"))
+  }
+
+  val krippendorffSql: String =
+    s"""WITH d AS (SELECT lang, $toksSql AS toks FROM documents),
+      |r AS (SELECT
+      |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ra,
+      |  CASE WHEN ROUND(CAST(LEN(list_filter(toks,
+      |      t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |    / LEN(toks), 6) >= 0.08 THEN 1 ELSE 0 END AS rb,
+      |  CASE WHEN LEN(toks) >= 20
+      |    THEN CAST(list_contains(toks, 'the') AS INT) END AS rc
+      |  FROM d),
+      |u AS (SELECT ra + rb + COALESCE(rc, 0) AS n1,
+      |  2 + CASE WHEN rc IS NOT NULL THEN 1 ELSE 0 END AS m FROM r),
+      |v AS (SELECT n1, m - n1 AS n0, m FROM u),
+      |a AS (SELECT
+      |  CAST(COUNT(*) AS BIGINT) AS n_units,
+      |  CAST(SUM(m) AS BIGINT) AS n_vals,
+      |  CAST(SUM(n0) AS BIGINT) AS n0,
+      |  CAST(SUM(n1) AS BIGINT) AS n1,
+      |  CAST(SUM(CASE WHEN m = 2 THEN 4 * n0 * n1
+      |    ELSE 2 * n0 * n1 END) AS BIGINT) AS do_num
+      |  FROM v)
+      |SELECT n_units, n_vals, n0, n1,
+      |  ROUND(CAST(do_num AS DOUBLE) / 2 / n_vals, 6) AS d_o,
+      |  ROUND(2.0 * n0 * n1 / (CAST(n_vals AS DOUBLE) * (n_vals - 1)), 6) AS d_e,
+      |  ROUND(1.0 - CAST(do_num AS DOUBLE) * (n_vals - 1)
+      |    / (4.0 * n0 * n1), 6) AS alpha
+      |FROM a""".stripMargin
+
   /** Unicode NFC canonicalization audit: how many documents change
     * under [[graft.functions.NfcNormalize]] and the post-normalization
     * distinct-fingerprint count — the pre-dedup canonicalization gate
@@ -1842,6 +1918,7 @@ object Text {
     "q_text_nfc" -> nfcQ,
     "q_langid_confusion" -> confusionQ,
     "q_label_kappa" -> kappaQ,
+    "q_label_krippendorff" -> krippendorffQ,
     "q_text_stats" -> stats,
     "q_text_lang_agg" -> langAgg,
     "q_text_langid" -> langId,
@@ -1878,6 +1955,7 @@ object Text {
     "q_text_nfc" -> nfcSql,
     "q_langid_confusion" -> confusionSql,
     "q_label_kappa" -> kappaSql,
+    "q_label_krippendorff" -> krippendorffSql,
     "q_text_stats" -> statsSql,
     "q_text_lang_agg" -> langAggSql,
     "q_text_langid" -> langIdSql,

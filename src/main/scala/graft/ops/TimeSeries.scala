@@ -1001,7 +1001,82 @@ object TimeSeries {
       |  ROUND(sae_s / sae_n, 6) AS skill
       |FROM rec WHERE i = n + 1 ORDER BY event_type""".stripMargin
 
+  /** q_ts_sax entry: SAX symbolization (Lin, Keogh, Lonardi & Chiu,
+    * DMKD 2007) of each event type's DAILY value series — z-normalize
+    * per series, discretize each day into a 4-letter alphabet at the
+    * standard Gaussian breakpoints (−0.6745, 0, 0.6745), and assemble
+    * one WORD per (series, week). SAX is how time-series corpora get
+    * indexed, clustered, and motif-mined at scale: a month of doubles
+    * becomes a handful of short strings that equal-width hashing,
+    * grouping, and edit-distance all handle natively.
+    *
+    * Scale shape: the daily collapse is one combinable exchange; μ/σ
+    * reduce to one row per series and broadcast back; word assembly is
+    * a per-(series, week) sort of ≤ 7 symbols. Determinism: daily sums
+    * are exact integer cents; Σx and Σx² reduce as DECIMAL(38,0), so
+    * μ and σ are one shared IEEE expression of exact integers — the
+    * z-scores are bit-identical across engines and partitionings; the
+    * breakpoint CASE and string assembly are exact. */
+  def saxQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+    val stats = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("nd"),
+        sum($"cents".cast("decimal(38,0)")).as("sx"),
+        sum(($"cents".cast("decimal(38,0)") * $"cents").cast("decimal(38,0)"))
+          .as("sxx"))
+      .select($"event_type", $"nd",
+        ($"sx".cast("double") / $"nd").as("mu"),
+        sqrt(($"sxx".cast("double") -
+          $"sx".cast("double") * $"sx".cast("double") / $"nd") /
+          ($"nd" - 1)).as("sigma"))
+    val sym = daily.join(broadcast(stats), "event_type")
+      .withColumn("z", ($"cents".cast("double") - $"mu") / $"sigma")
+      .withColumn("sym",
+        when($"z" < -0.6745, "a").when($"z" < 0.0, "b")
+          .when($"z" < 0.6745, "c").otherwise("d"))
+    sym.groupBy($"event_type", date_trunc("week", $"d").as("week_start"))
+      .agg(count(lit(1)).as("n_days"),
+        array_join(expr("transform(array_sort(collect_list(struct(d, sym))), x -> x.sym)"), "")
+          .as("word"))
+      .select($"event_type", $"week_start".cast("date").as("week_start"),
+        $"n_days", $"word")
+      .orderBy($"event_type", $"week_start")
+  }
+
+  val saxSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, COUNT(*) AS nd,
+      |    CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |    CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS sxx
+      |  FROM daily GROUP BY 1),
+      |mo AS (
+      |  SELECT event_type, nd, CAST(sx AS DOUBLE) / nd AS mu,
+      |    SQRT((CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nd) / (nd - 1)) AS sigma
+      |  FROM st),
+      |sy AS (
+      |  SELECT d.event_type, d.d,
+      |    CASE WHEN (CAST(cents AS DOUBLE) - mu) / sigma < -0.6745 THEN 'a'
+      |         WHEN (CAST(cents AS DOUBLE) - mu) / sigma < 0.0 THEN 'b'
+      |         WHEN (CAST(cents AS DOUBLE) - mu) / sigma < 0.6745 THEN 'c'
+      |         ELSE 'd' END AS sym
+      |  FROM daily d JOIN mo ON mo.event_type = d.event_type)
+      |SELECT event_type, CAST(date_trunc('week', d) AS DATE) AS week_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  string_agg(sym, '' ORDER BY d) AS word
+      |FROM sy GROUP BY 1, 2 ORDER BY event_type, week_start""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_sax" -> saxQ,
     "q_ts_backtest" -> backtestQ,
     "q_ts_xcorr" -> xcorrQ,
     "q_ts_holt" -> holtQ,
@@ -1018,6 +1093,7 @@ object TimeSeries {
     "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_sax" -> saxSql,
     "q_ts_backtest" -> backtestSql,
     "q_ts_xcorr" -> xcorrSql,
     "q_ts_holt" -> holtSql,

@@ -1377,6 +1377,76 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Double]("ap") > 0 && r.getAs[Double]("ap") <= 1)
   }
 
+  test("sax: symbols replay from exact moments; words cover every observed day") {
+    import spark.implicits._
+    val got = TimeSeries.saxQ(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("week_start").toString) ->
+        (r.getAs[Long]("n_days"), r.getAs[String]("word"))).toMap
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", date_trunc("day", $"ts").as("d"), $"value")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toLocalDateTime.toLocalDate,
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toLongExact))
+    ev.groupBy(_._1).foreach { case (tpe, xs) =>
+      val daily = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val vals = daily.values.toSeq
+      val nd = vals.size
+      val mu = vals.map(BigInt(_)).sum.toDouble / nd
+      val sigma = math.sqrt((vals.map(v => BigInt(v) * BigInt(v)).sum.toDouble
+        - vals.map(BigInt(_)).sum.toDouble * vals.map(BigInt(_)).sum.toDouble / nd)
+        / (nd - 1))
+      def sym(c: Long): String = {
+        val z = (c.toDouble - mu) / sigma
+        if (z < -0.6745) "a" else if (z < 0.0) "b"
+        else if (z < 0.6745) "c" else "d"
+      }
+      // ISO Monday week start, matching date_trunc('week') in both engines
+      daily.keys.groupBy(d => d.minusDays(d.getDayOfWeek.getValue - 1))
+        .foreach { case (wk, days) =>
+          val word = days.toSeq.sorted.map(d => sym(daily(d))).mkString
+          val (gn, gw) = got((tpe, wk.toString))
+          assert(gn == days.size, s"$tpe $wk day count")
+          assert(gw == word, s"$tpe $wk word")
+        }
+    }
+    // alphabet sanity: only a-d appear
+    assert(got.values.forall(_._2.forall(c => c >= 'a' && c <= 'd')))
+  }
+
+  test("krippendorff: alpha matches the coincidence-matrix recompute with missing ratings") {
+    import spark.implicits._
+    val r = Text.krippendorffQ(spark, sfDir).collect().head
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"lang", $"text").collect()
+      .map(x => (x.getString(0), x.getString(1).toLowerCase.split(" ").toSeq))
+    val units = docs.map { case (lang, toks) =>
+      val ra = if (lang == "en") 1 else 0
+      val stop = BigDecimal(
+        toks.count(Set("the", "a", "of", "and", "to", "in")).toDouble / toks.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rb = if (stop >= 0.08) 1 else 0
+      val rc = if (toks.size >= 20) Some(if (toks.contains("the")) 1 else 0) else None
+      val ratings = Seq(ra, rb) ++ rc
+      (ratings.count(_ == 1), ratings.count(_ == 0))
+    }
+    val n = units.map(u => u._1 + u._2).sum.toLong
+    val n1 = units.map(_._1).sum.toLong
+    val n0 = units.map(_._2).sum.toLong
+    // D_o = (1/n) Σ_u 2 n_u0 n_u1 / (m_u - 1); D_e = 2 N0 N1 / (n (n-1))
+    val dO = units.map { case (u1, u0) =>
+      2.0 * u0 * u1 / (u0 + u1 - 1) }.sum / n
+    val dE = 2.0 * n0 * n1 / (n.toDouble * (n - 1))
+    assert(r.getAs[Long]("n_units") == units.length)
+    assert(r.getAs[Long]("n_vals") == n)
+    assert(r.getAs[Long]("n0") == n0 && r.getAs[Long]("n1") == n1)
+    assert(math.abs(r.getAs[Double]("d_o") - dO) < 1e-5)
+    assert(math.abs(r.getAs[Double]("d_e") - dE) < 1e-5)
+    assert(math.abs(r.getAs[Double]("alpha") - (1.0 - dO / dE)) < 1e-5)
+    assert(r.getAs[Double]("alpha") > -1.0 && r.getAs[Double]("alpha") <= 1.0)
+  }
+
   test("mrr: per-term rank replay matches; reciprocal-rank and recall identities hold") {
     import spark.implicits._
     val got = Retrieval.mrrQ(spark, sfDir).collect()
