@@ -317,7 +317,7 @@ object Dedup {
     * itself still runs the live pipeline — it IS the LSH benchmark
     * entry; the artifact holds its exact output, so consumers are
     * byte-identical to recomputing. */
-  private object PairArtifact {
+  private[ops] object PairArtifact {
     private lazy val root =
       java.nio.file.Files.createTempDirectory("graft-neardup-").toString
     private val paths = scala.collection.mutable.HashMap.empty[String, String]

@@ -493,10 +493,98 @@ object Similarity {
       |SELECT query_id, vec_id, ROUND(cos, 6) AS score, CAST(rn AS INT) AS rn
       |FROM rk WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** q_embed_matryoshka entry: PREFIX-TRUNCATION retrieval-fidelity
+    * audit — the check a Matryoshka-representation deployment (MRL,
+    * Kusupati et al., NeurIPS 2022) runs before serving truncated
+    * vectors: re-rank each query's cosine top-10 using only the first
+    * 16 / 32 / 64 dims (renormalized) and report overlap@10 with the
+    * full-width ranking plus whether the top-1 survives. The 64-dim
+    * rows are the in-result control (overlap must be 10), so the
+    * output is self-validating.
+    *
+    * Scale shape: one broadcast-bounded query set × corpus scan per
+    * width through the same [[TopKByScore]] bounded aggregator as
+    * [[topk]]; the overlap join runs on the ≤ queries×widths×10 result
+    * frames. Determinism: truncated dots/norms are [[dot]] left-fold
+    * chains over slices — bit-identical to the oracle's list_reduce —
+    * and every ranking tie-breaks on vec_id. */
+  def matryoshkaQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val c = e.filter($"vec_id" >= 10).select($"vec_id", $"v")
+    val scored = c.join(broadcast(q))
+    def ranked(d: Int): DataFrame =
+      topkByKey(
+        scored.withColumn("cos",
+          dot(slice($"qv", 1, d), slice($"v", 1, d)) /
+            (sqrt(dot(slice($"qv", 1, d), slice($"qv", 1, d))) *
+              sqrt(dot(slice($"v", 1, d), slice($"v", 1, d))))),
+        10, "query_id", "cos", "score", "rn")
+        .withColumn("dims", lit(d.toLong))
+    val top = ranked(16).unionByName(ranked(32)).unionByName(ranked(64))
+    val full = top.filter($"dims" === 64)
+      .select($"query_id", $"vec_id", $"rn".as("rn_full"))
+    val t1f = full.filter($"rn_full" === 1)
+      .select($"query_id", $"vec_id".as("top1_full"))
+    val t1t = top.filter($"rn" === 1)
+      .select($"query_id", $"dims", $"vec_id".as("top1_trunc"))
+    val ov = top
+      .join(full.select($"query_id", $"vec_id"), Seq("query_id", "vec_id"),
+        "left_semi")
+      .groupBy($"query_id", $"dims").agg(count(lit(1)).as("overlap10"))
+    t1t.join(ov, Seq("query_id", "dims"), "left")
+      .join(broadcast(t1f), "query_id")
+      .select($"query_id", $"dims",
+        coalesce($"overlap10", lit(0L)).as("overlap10"),
+        $"top1_full", $"top1_trunc",
+        ($"top1_full" === $"top1_trunc").cast("int").as("top1_match"))
+      .orderBy($"query_id", $"dims")
+  }
+
+  val matryoshkaSql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS MATERIALIZED (
+      |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |c AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+      |sc AS MATERIALIZED (
+      |  SELECT query_id, vec_id, d.d AS dims,
+      |    list_reduce(list_transform(range(1, d.d + 1), i -> qv[i] * v[i]),
+      |                (a, b) -> a + b)
+      |    / (sqrt(list_reduce(list_transform(range(1, d.d + 1), i -> qv[i] * qv[i]),
+      |                        (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_transform(range(1, d.d + 1), i -> v[i] * v[i]),
+      |                          (a, b) -> a + b))) AS cos
+      |  FROM q, c, (VALUES (16), (32), (64)) d(d)),
+      |rk AS MATERIALIZED (
+      |  SELECT query_id, vec_id, dims,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id, dims
+      |      ORDER BY cos DESC, vec_id ASC) AS rn
+      |  FROM sc),
+      |top AS MATERIALIZED (SELECT * FROM rk WHERE rn <= 10),
+      |f64 AS MATERIALIZED (
+      |  SELECT query_id, vec_id, rn FROM top WHERE dims = 64),
+      |ov AS (
+      |  SELECT t.query_id, t.dims, CAST(COUNT(f.vec_id) AS BIGINT) AS overlap10
+      |  FROM top t LEFT JOIN f64 f
+      |    ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+      |  GROUP BY 1, 2),
+      |t1f AS (SELECT query_id, vec_id AS top1_full FROM f64 WHERE rn = 1),
+      |t1t AS (SELECT query_id, dims, vec_id AS top1_trunc FROM top WHERE rn = 1)
+      |SELECT t.query_id, CAST(t.dims AS BIGINT) AS dims, ov.overlap10,
+      |  f.top1_full, t.top1_trunc,
+      |  CAST(f.top1_full = t.top1_trunc AS INT) AS top1_match
+      |FROM t1t t JOIN ov ON ov.query_id = t.query_id AND ov.dims = t.dims
+      |  JOIN t1f f ON f.query_id = t.query_id
+      |ORDER BY t.query_id, t.dims""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_hard_negatives" -> hardNegativesQ,
+    "q_embed_matryoshka" -> matryoshkaQ,
     "q_similarity_topk" -> topk,
     "q_similarity_ann" -> annCheck,
     "q_similarity_ivf" -> ivfCheck,
@@ -508,6 +596,7 @@ object Similarity {
     * raw approximate top-k output is exercised by the recall specs. */
   def oracle: Map[String, String] = Map(
     "q_embed_hard_negatives" -> hardNegativesSql,
+    "q_embed_matryoshka" -> matryoshkaSql,
     "q_similarity_topk" -> topkSql,
     "q_similarity_ann" -> recallCheckSql,
     "q_similarity_ivf" -> recallCheckSql,

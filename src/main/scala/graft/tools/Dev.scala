@@ -123,6 +123,7 @@ object Dev {
           "q_text_hapax" -> "1-row corpus-totals frame",
           "q_stat_ab_lift" -> "1-row median-threshold frame",
           "q_similarity_topk" -> "bounded query-vector set",
+          "q_embed_matryoshka" -> "bounded query-vector set per truncation width",
           "q_similarity_ann" -> "bounded query-vector set",
           "q_similarity_ivf" -> "bounded query-vector set",
           "q_similarity_ivf_search" -> "bounded query-vector set",

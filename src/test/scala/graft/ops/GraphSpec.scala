@@ -441,4 +441,32 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     got.foreach { case (a, b, _) => p2(f2(a)) = f2(b) }
     assert(nodes.map(f2).toSet.size == 1, "single connected component")
   }
+
+  test("ccStar: equals min-label propagation on the dedup pair graph") {
+    import spark.implicits._
+    val pairs = Dedup.PairArtifact.pairs(spark, sfDir)
+      .select($"doc_a".as("u"), $"doc_b".as("v"))
+    val (labels, rounds) = Graph.ccStar(pairs)
+    val got = labels.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    val expected = Dedup.duplicateClusters(
+      Dedup.PairArtifact.pairs(spark, sfDir)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(got == expected, "star contraction must agree with label propagation")
+    assert(rounds >= 1)
+  }
+
+  test("ccStar: sub-diameter rounds on a 100-node chain that label propagation cannot finish") {
+    import spark.implicits._
+    // path graph 0-1-2-...-99: diameter 99. Min-label propagation moves
+    // the 0 label one hop per round (duplicateClusters' default budget of
+    // 20 rounds throws); star contraction collapses it in ~log n rounds.
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("u", "v")
+    val (labels, rounds) = Graph.ccStar(chain)
+    val got = labels.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(got.size == 100)
+    assert(got.values.forall(_ == 0L), "one component rooted at 0")
+    assert(rounds <= 12, s"expected O(log n) rounds, got $rounds")
+  }
 }

@@ -231,6 +231,43 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("matryoshka: driver replay of truncated rankings; 64-dim control rows are perfect") {
+    import spark.implicits._
+    val rows = Similarity.matryoshkaQ(spark, sfDir).collect()
+    assert(rows.length == 30) // 10 queries x 3 widths
+    // the full-width rows are their own control
+    rows.filter(_.getAs[Long]("dims") == 64L).foreach { r =>
+      assert(r.getAs[Long]("overlap10") == 10L)
+      assert(r.getAs[Int]("top1_match") == 1)
+      assert(r.getAs[Long]("top1_full") == r.getAs[Long]("top1_trunc"))
+    }
+    // independent replay of overlap@10 and top-1 per (query, width)
+    val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val queries = vecs.filter(_._1 < 10)
+    val corpus = vecs.filter(_._1 >= 10)
+    def cos(q: Array[Double], v: Array[Double], d: Int): Double = {
+      var num = 0.0; var nq = 0.0; var nv = 0.0; var i = 0
+      while (i < d) { num += q(i) * v(i); nq += q(i) * q(i); nv += v(i) * v(i); i += 1 }
+      num / (math.sqrt(nq) * math.sqrt(nv))
+    }
+    def top10(q: Array[Double], d: Int): Seq[Long] =
+      corpus.map { case (id, v) => (id, cos(q, v, d)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("dims")) -> r).toMap
+    queries.foreach { case (qid, qv) =>
+      val full = top10(qv, 64).toSet
+      Seq(16, 32, 64).foreach { d =>
+        val t = top10(qv, d)
+        val r = got((qid, d.toLong))
+        assert(r.getAs[Long]("overlap10") == t.toSet.intersect(full).size.toLong,
+          s"q$qid d$d overlap")
+        assert(r.getAs[Long]("top1_trunc") == t.head, s"q$qid d$d top1")
+      }
+    }
+  }
+
   private def neighborPairs(rows: Array[org.apache.spark.sql.Row]) =
     rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
 
