@@ -245,11 +245,141 @@ object Retrieval {
        |ORDER BY step""".stripMargin
   }
 
+  private val PrfDocs = 5    // pseudo-relevant pool
+  private val PrfTerms = 3   // expansion terms
+  private val Beta = 0.5     // expansion-term weight (Rocchio β)
+
+  /** q_search_rocchio entry: PSEUDO-RELEVANCE-FEEDBACK query expansion
+    * (Rocchio, 1971 — the classical relevance-feedback operator, run
+    * in its blind/PRF form): take the original query's BM25 top-5 as
+    * assumed-relevant, mine their [[PrfTerms]] strongest non-query
+    * terms by summed TF-IDF, re-score the corpus with the expanded
+    * weighted query (original terms weight 1, expansion terms
+    * [[Beta]]), and emit the new top-10 with each doc's original rank
+    * — the recall-rescue pass a lexical retrieval stack runs when the
+    * user's three words under-specify the need.
+    *
+    * Scale shape: both scoring passes are postings-bounded (the term
+    * `isin` filter rides the token explode); the feedback pool is
+    * top-5-bounded before any term mining, and the mined vocabulary
+    * frame is ≤ pool×doc-length rows collapsing to [[PrfTerms]]. All
+    * the [[Text]] BM25 determinism contracts apply; expansion-term
+    * selection orders by (tfidf DESC, term) on 9-dp decimals. */
+  def rocchioQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Text.withToks(s, dir).select($"doc_id", $"toks")
+    val dl = docs.select($"doc_id", size($"toks").cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg($"dl").as("avgdl"))
+    // pass 1: original-query BM25 -> top-PrfDocs pseudo-relevant pool
+    val orig = postings(s, dir)
+      .groupBy($"doc_id").agg(sum($"score").as("sc"))
+      .withColumn("rn_orig",
+        row_number().over(Window.orderBy($"sc".desc, $"doc_id")))
+    val pool = orig.filter($"rn_orig" <= PrfDocs).select($"doc_id")
+    // expansion mining: summed TF-IDF of non-query terms inside the pool
+    val poolTerms = docs.join(broadcast(pool), "doc_id")
+      .select($"doc_id", explode($"toks").as("term"))
+      .filter(!$"term".isin(QTerms: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val docFreqAll = docs.select($"doc_id", explode($"toks").as("term"))
+      .filter(!$"term".isin(QTerms: _*)).distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val expansion = poolTerms.join(docFreqAll, "term")
+      .crossJoin(broadcast(stats))
+      .groupBy($"term")
+      .agg(sum(round($"tf" * log(($"n_docs" + 1.0) / ($"df" + 1.0)), 9)
+        .cast("decimal(28,9)")).as("tfidf"))
+      .orderBy($"tfidf".desc, $"term")
+      .limit(PrfTerms)
+      .select($"term", lit(Beta).as("qw"))
+    val expanded = expansion
+      .unionByName(QTerms.toDF("term").withColumn("qw", lit(1.0)))
+    // pass 2: weighted BM25 over the expanded term set
+    val tf2 = docs.select($"doc_id", explode($"toks").as("term"))
+      .join(broadcast(expanded), "term")
+      .groupBy($"doc_id", $"term", $"qw").agg(count(lit(1)).as("tf"))
+    val df2 = tf2.groupBy($"term").agg(count(lit(1)).as("df"))
+    val rescored = tf2.join(broadcast(df2), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+      .withColumn("w", $"qw" * $"idf" * ($"tf" * 2.2) /
+        ($"tf" + (lit(0.25) + $"dl" * 0.75 / $"avgdl") * 1.2))
+      .groupBy($"doc_id")
+      .agg(sum(round($"w", 9).cast("decimal(28,9)")).as("sc2"),
+        count(lit(1)).cast("int").as("n_terms_hit"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy($"sc2".desc, $"doc_id")))
+      .filter($"rn" <= 10)
+    rescored.join(orig.select($"doc_id", $"rn_orig"), Seq("doc_id"), "left")
+      .select($"rn".cast("long").as("rn"), $"doc_id",
+        round($"sc2".cast("double"), 6).as("score"), $"n_terms_hit",
+        coalesce(when($"rn_orig" <= 10, $"rn_orig"), lit(0L)).cast("long")
+          .as("rn_orig_top10"))
+      .orderBy($"rn")
+  }
+
+  val rocchioSql: String =
+    s"""WITH $postingsSql,
+       |orig AS MATERIALIZED (
+       |  SELECT doc_id, SUM(score) AS sc,
+       |    ROW_NUMBER() OVER (ORDER BY SUM(score) DESC, doc_id) AS rn_orig
+       |  FROM po GROUP BY doc_id),
+       |pool AS MATERIALIZED (SELECT doc_id FROM orig WHERE rn_orig <= $PrfDocs),
+       |pterms AS MATERIALIZED (
+       |  SELECT t.doc_id, t.term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM tk) t
+       |  JOIN pool USING (doc_id)
+       |  WHERE t.term NOT IN ('dup', 'vector', 'spark')
+       |  GROUP BY 1, 2),
+       |dfall AS MATERIALIZED (
+       |  SELECT term, COUNT(*) AS df FROM (
+       |    SELECT DISTINCT doc_id, unnest(toks) AS term FROM tk)
+       |  WHERE term NOT IN ('dup', 'vector', 'spark') GROUP BY 1),
+       |expansion AS MATERIALIZED (
+       |  SELECT term, $Beta AS qw FROM (
+       |    SELECT p.term,
+       |      SUM(CAST(ROUND(p.tf * LN((n_docs + 1.0) / (df + 1.0)), 9)
+       |        AS DECIMAL(28,9))) AS tfidf
+       |    FROM pterms p JOIN dfall USING (term), st
+       |    GROUP BY p.term ORDER BY tfidf DESC, p.term LIMIT $PrfTerms)),
+       |expanded AS MATERIALIZED (
+       |  SELECT * FROM expansion
+       |  UNION ALL SELECT unnest(['dup', 'vector', 'spark']), 1.0),
+       |tf2 AS MATERIALIZED (
+       |  SELECT t.doc_id, t.term, e.qw, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM tk) t
+       |  JOIN expanded e USING (term)
+       |  GROUP BY 1, 2, 3),
+       |df2 AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM tf2 GROUP BY 1),
+       |re AS MATERIALIZED (
+       |  SELECT tf2.doc_id,
+       |    SUM(CAST(ROUND(qw * LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
+       |      AS DECIMAL(28,9))) AS sc2,
+       |    CAST(COUNT(*) AS INT) AS n_terms_hit
+       |  FROM tf2 JOIN df2 USING (term)
+       |    JOIN dl ON tf2.doc_id = dl.doc_id, st
+       |  GROUP BY tf2.doc_id),
+       |rk AS (
+       |  SELECT doc_id, sc2, n_terms_hit,
+       |    ROW_NUMBER() OVER (ORDER BY sc2 DESC, doc_id) AS rn
+       |  FROM re)
+       |SELECT CAST(rk.rn AS BIGINT) AS rn, rk.doc_id,
+       |  ROUND(CAST(sc2 AS DOUBLE), 6) AS score, n_terms_hit,
+       |  CAST(COALESCE(CASE WHEN o.rn_orig <= 10 THEN o.rn_orig END, 0)
+       |    AS BIGINT) AS rn_orig_top10
+       |FROM rk LEFT JOIN orig o ON o.doc_id = rk.doc_id
+       |WHERE rk.rn <= 10 ORDER BY rn""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_eval_mrr" -> mrrQ,
-    "q_search_mmr" -> mmrQ)
+    "q_search_mmr" -> mmrQ,
+    "q_search_rocchio" -> rocchioQ)
 
   def oracle: Map[String, String] = Map(
     "q_eval_mrr" -> mrrSql,
-    "q_search_mmr" -> mmrSql)
+    "q_search_mmr" -> mmrSql,
+    "q_search_rocchio" -> rocchioSql)
 }

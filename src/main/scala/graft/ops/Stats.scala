@@ -1684,7 +1684,102 @@ object Stats {
       |  JOIN tst USING (o_orderpriority)
       |ORDER BY o_orderpriority""".stripMargin
 
+  private val SprtP0 = 0.25   // H0: high-value rate
+  private val SprtP1 = 0.35   // H1: elevated rate
+  private val SprtAlpha = 0.05
+  private val SprtCut = 150.0 // "high-value" event threshold
+  private def d12(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(12, java.math.RoundingMode.HALF_UP)
+  private val SprtIncPos = d12(math.log(SprtP1 / SprtP0)).toPlainString
+  private val SprtIncNeg = d12(math.log((1 - SprtP1) / (1 - SprtP0))).toPlainString
+  private val SprtBound = d12(math.log((1 - SprtAlpha) / SprtAlpha)).toPlainString
+
+  /** q_stat_sprt entry: Wald's SEQUENTIAL PROBABILITY RATIO TEST over
+    * each event type's time-ordered stream — the early-stopping monitor
+    * behind every "call the A/B test as soon as the evidence suffices"
+    * readout (Wald 1945; the expected sample size is provably minimal
+    * among all tests of the same error rates). Observation = event
+    * value > [[SprtCut]]; the log-likelihood-ratio walk adds one of two
+    * constants per event (H1 rate [[SprtP1]] vs H0 [[SprtP0]]) and the
+    * test decides at the first crossing of ±ln((1−α)/α).
+    *
+    * Scale shape: one ranked window per series (the same shape as every
+    * cumulative monitor here) and a 5-row first-crossing join. In a
+    * production stream this is a running per-key state of ONE number —
+    * the batch walk is its replayable anchor. Determinism: the two
+    * increments and the boundary are 12-dp decimal LITERALS computed
+    * once and baked into both plans; the walk is an exact decimal
+    * cumulative sum, so crossings are integer-exact. */
+  def sprtQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val walk = t(s, dir, "events")
+      .select($"event_type", $"ts", $"event_id",
+        ($"value" > SprtCut).as("x"))
+      .withColumn("inc",
+        when($"x", lit(SprtIncPos).cast("decimal(14,12)"))
+          .otherwise(lit(SprtIncNeg).cast("decimal(14,12)")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"ts", $"event_id")))
+      .withColumn("cum", sum($"inc").over(w))
+    val bound = lit(SprtBound).cast("decimal(14,12)")
+    val agg = walk.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_obs"),
+        sum($"x".cast("long")).as("n_high"),
+        min(when($"cum" >= bound || $"cum" <= -bound, $"rn")).as("dn"),
+        round(sum($"inc").cast("double"), 6).as("llr_final"))
+    agg.join(walk.select($"event_type", $"rn".as("dn"), $"cum"),
+        Seq("event_type", "dn"), "left")
+      .select($"event_type", $"n_obs", $"n_high",
+        coalesce($"dn", lit(0L)).cast("long").as("decision_n"),
+        when($"cum" >= bound, "accept_h1")
+          .when($"cum" <= -bound, "accept_h0")
+          .otherwise("continue").as("decision"),
+        round(coalesce($"cum".cast("double"), lit(0.0)), 6)
+          .as("llr_at_decision"),
+        $"llr_final")
+      .orderBy($"event_type")
+  }
+
+  val sprtSql: String =
+    s"""WITH walk AS MATERIALIZED (
+      |  SELECT event_type, ts, event_id,
+      |    CASE WHEN value > $SprtCut THEN 1 ELSE 0 END AS x,
+      |    CASE WHEN value > $SprtCut
+      |      THEN CAST('$SprtIncPos' AS DECIMAL(14,12))
+      |      ELSE CAST('$SprtIncNeg' AS DECIMAL(14,12)) END AS inc,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |c AS MATERIALIZED (
+      |  SELECT event_type, rn, x, inc,
+      |    SUM(inc) OVER (PARTITION BY event_type ORDER BY rn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM walk),
+      |a AS MATERIALIZED (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+      |    CAST(SUM(x) AS BIGINT) AS n_high,
+      |    MIN(CASE WHEN cum >= CAST('$SprtBound' AS DECIMAL(14,12))
+      |      OR cum <= -CAST('$SprtBound' AS DECIMAL(14,12))
+      |      THEN rn END) AS dn,
+      |    ROUND(CAST(SUM(inc) AS DOUBLE), 6) AS llr_final
+      |  FROM c GROUP BY 1)
+      |SELECT a.event_type, n_obs, n_high,
+      |  CAST(COALESCE(dn, 0) AS BIGINT) AS decision_n,
+      |  CASE WHEN c.cum >= CAST('$SprtBound' AS DECIMAL(14,12))
+      |    THEN 'accept_h1'
+      |    WHEN c.cum <= -CAST('$SprtBound' AS DECIMAL(14,12))
+      |    THEN 'accept_h0'
+      |    ELSE 'continue' END AS decision,
+      |  ROUND(COALESCE(CAST(c.cum AS DOUBLE), 0.0), 6) AS llr_at_decision,
+      |  llr_final
+      |FROM a LEFT JOIN c ON c.event_type = a.event_type AND c.rn = a.dn
+      |ORDER BY a.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_sprt" -> sprtQ,
     "q_eval_conformal" -> conformalQ,
     "q_stat_power" -> powerQ,
     "q_stat_dispersion" -> dispersionQ,
@@ -1709,6 +1804,7 @@ object Stats {
     "q_ts_acf" -> acfQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_sprt" -> sprtSql,
     "q_eval_conformal" -> conformalSql,
     "q_stat_power" -> powerSql,
     "q_stat_dispersion" -> dispersionSql,

@@ -158,6 +158,7 @@ object Dev {
           "q_eval_ndcg" -> "1-row IDCG frame joined to the 1-row DCG frame",
           "q_eval_avgprec" -> "1-row class-totals frame broadcast over the score grid",
           "q_eval_mrr" -> "1-row (n_docs, avgdl) BM25 stats frame",
+          "q_search_rocchio" -> "1-row BM25 stats frame in both scoring passes",
           "q_search_mmr" -> "1-row BM25 stats + 1-row max-score frame over the top-20 pool",
           "q_stat_power" -> "1-row median-threshold frame (ab_lift design)",
           "q_text_burstiness" -> "1-row doc-count frame",

@@ -1377,6 +1377,93 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Double]("ap") > 0 && r.getAs[Double]("ap") <= 1)
   }
 
+  test("rocchio: full PRF replay matches - pool, expansion terms, and re-ranked top-10") {
+    import spark.implicits._
+    val got = Retrieval.rocchioQ(spark, sfDir).collect()
+    assert(got.map(_.getAs[Long]("rn")).toSeq == (1L to 10L))
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ").toSeq))
+    val qTerms = Set("dup", "vector", "spark")
+    val nDocs = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum.toDouble / nDocs
+    def r9(d: Double) = BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def bm25(terms: Map[String, Double]): Map[Long, BigDecimal] = {
+      val dfs = terms.keys.map(t =>
+        t -> docs.count(_._2.contains(t))).toMap
+      docs.flatMap { case (id, toks) =>
+        val sc = terms.toSeq.flatMap { case (term, qw) =>
+          val tf = toks.count(_ == term)
+          if (tf == 0) None else {
+            val df = dfs(term)
+            val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+            Some(r9(qw * idf * (tf * 2.2) /
+              (tf + (0.25 + toks.length * 0.75 / avgdl) * 1.2)))
+          }
+        }
+        if (sc.isEmpty) None else Some(id -> sc.sum)
+      }.toMap
+    }
+    val orig = bm25(qTerms.map(_ -> 1.0).toMap)
+    val origRank = orig.toSeq.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val pool = origRank.filter(_._2 <= 5).keySet
+    // expansion: top-3 non-query terms by summed tf-idf inside the pool
+    val dfAll = docs.flatMap(_._2).distinct.filterNot(qTerms)
+      .map(t => t -> docs.count(_._2.contains(t))).toMap
+    val tfidf = docs.filter(d => pool(d._1))
+      .flatMap { case (_, toks) => toks.filterNot(qTerms)
+        .groupBy(identity).map { case (t, xs) =>
+          t -> r9(xs.size * math.log((nDocs + 1.0) / (dfAll(t) + 1.0))) } }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (t, v) => (-v, t) }.take(3).map(_._1)
+    val expanded = bm25(
+      qTerms.map(_ -> 1.0).toMap ++ tfidf.map(_ -> 0.5).toMap)
+    val top10 = expanded.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    got.zip(top10).foreach { case (r, (id, s)) =>
+      assert(r.getAs[Long]("doc_id") == id, s"rank ${r.getAs[Long]("rn")}")
+      assert(math.abs(r.getAs[Double]("score") - s.toDouble) < 1e-5)
+      val o = origRank.get(id).filter(_ <= 10).getOrElse(0)
+      assert(r.getAs[Long]("rn_orig_top10") == o, s"doc $id orig rank")
+    }
+  }
+
+  test("sprt: decimal walk replay matches; decision flags are consistent") {
+    import spark.implicits._
+    val got = Stats.sprtQ(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val incPos = BigDecimal(math.log(0.35 / 0.25))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val incNeg = BigDecimal(math.log(0.65 / 0.75))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val bound = BigDecimal(math.log(0.95 / 0.05))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", $"ts", $"event_id", $"value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    ev.groupBy(_._1).foreach { case (tpe, xs) =>
+      val walk = xs.sortBy(x => (x._2.getTime, x._2.getNanos, x._3))
+        .map(x => if (x._4 > 150.0) incPos else incNeg)
+      val cums = walk.scanLeft(BigDecimal(0))(_ + _).tail
+      val dn = cums.indexWhere(c => c >= bound || c <= -bound) + 1
+      val r = got(tpe)
+      assert(r.getAs[Long]("n_obs") == xs.length)
+      assert(r.getAs[Long]("n_high") == xs.count(_._4 > 150.0))
+      assert(r.getAs[Long]("decision_n") == (if (dn == 0) 0 else dn), s"$tpe dn")
+      val expectedDecision =
+        if (dn == 0) "continue"
+        else if (cums(dn - 1) >= bound) "accept_h1" else "accept_h0"
+      assert(r.getAs[String]("decision") == expectedDecision, s"$tpe decision")
+      assert(math.abs(r.getAs[Double]("llr_final") - cums.last.toDouble) < 1e-5)
+      if (dn > 0)
+        assert(math.abs(r.getAs[Double]("llr_at_decision")
+          - cums(dn - 1).toDouble) < 1e-5)
+      // consistency: continue <=> no decision index
+      assert((r.getAs[String]("decision") == "continue") ==
+        (r.getAs[Long]("decision_n") == 0L))
+    }
+  }
+
   test("sax: symbols replay from exact moments; words cover every observed day") {
     import spark.implicits._
     val got = TimeSeries.saxQ(spark, sfDir).collect()
