@@ -665,6 +665,9 @@ object Multimodal {
       sum_r: Long, sum_g: Long, sum_b: Long,
       h0: Long, h1: Long, h2: Long, h3: Long)
 
+  final case class ThumbBlock(doc_id: Long, by: Long, bx: Long,
+      n_px: Long, mean_luma: Long)
+
   /** Deterministic planted GRADIENT PNG per sampled doc: pixel (x, y)
     * of doc `id` has r = (37·id + 5x + 3y) % 256, g = (59·id + 7x + y)
     * % 256, b = (83·id + x + 11y) % 256 — every pixel distinct, so a
@@ -764,6 +767,68 @@ object Multimodal {
       |  CAST(SUM(CASE WHEN r // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
       |  CAST(SUM(CASE WHEN r // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3
       |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
+  /** q_multimodal_resize entry: the brief's RESIZE / feature-extract
+    * step made real and oracle-exact — decode each planted gradient
+    * PNG and block-mean downsample it to a 4×4 luma thumbnail (each
+    * target cell averages its source block, the box-filter resize
+    * every thumbnail/preprocessing pipeline runs before a vision
+    * model). All arithmetic is integer — luma = (r+g+b) div 3, cell
+    * mean = floor(Σluma / n) — so the oracle recomputes every cell
+    * ARITHMETICALLY from the planted per-pixel formula without
+    * decoding: a codec that misdecodes ANY pixel, or a resampler that
+    * mis-assigns a block boundary (bx = x·4 div w), diverges on some
+    * cell. Scale shape: narrow 1:1 mapPartitions decode+downsample,
+    * zero exchange — thumbnails stream out at scan speed. */
+  def resizeQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    plantedGradientPngs(s, dir)
+      .select($"doc_id".as[Long], $"payload".as[Array[Byte]])
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val im = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (im.getWidth, im.getHeight)
+        val sums = Array.ofDim[Long](4, 4)
+        val cnts = Array.ofDim[Long](4, 4)
+        var y = 0
+        while (y < h) {
+          val by = y * 4 / h
+          var x = 0
+          while (x < w) {
+            val bx = x * 4 / w
+            val rgb = im.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)) / 3
+            sums(by)(bx) += luma
+            cnts(by)(bx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        for (by <- 0 until 4; bx <- 0 until 4)
+          yield ThumbBlock(id, by, bx, cnts(by)(bx),
+            sums(by)(bx) / cnts(by)(bx))
+      }).toDF()
+      .orderBy($"doc_id", $"by", $"bx")
+  }
+
+  val resizeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
+      |  FROM documents WHERE doc_id % 20 = 7),
+      |px AS (
+      |  SELECT doc_id, w, h, x.i AS x, y.j AS y,
+      |    ((37 * doc_id + 5 * x.i + 3 * y.j) % 256
+      |     + (59 * doc_id + 7 * x.i + y.j) % 256
+      |     + (83 * doc_id + x.i + 11 * y.j) % 256) // 3 AS luma
+      |  FROM d CROSS JOIN range(0, 21) x(i) CROSS JOIN range(0, 19) y(j)
+      |  WHERE x.i < w AND y.j < h)
+      |SELECT doc_id, CAST(y * 4 // h AS BIGINT) AS by,
+      |  CAST(x * 4 // w AS BIGINT) AS bx,
+      |  CAST(COUNT(*) AS BIGINT) AS n_px,
+      |  CAST(SUM(luma) // COUNT(*) AS BIGINT) AS mean_luma
+      |FROM px GROUP BY doc_id, y * 4 // h, x * 4 // w
+      |ORDER BY doc_id, by, bx""".stripMargin
 
   /** q_multimodal_pitch entry: autocorrelation periodicity analysis of
     * the [[pcmQ]] PCM signal — for each candidate lag 1..16, the raw
@@ -1184,6 +1249,7 @@ object Multimodal {
     "q_multimodal_pcm" -> pcmQ,
     "q_multimodal_vad" -> vadQ,
     "q_multimodal_pixels" -> pixelsQ,
+    "q_multimodal_resize" -> resizeQ,
     "q_multimodal_pitch" -> pitchQ)
 
   def oracle: Map[String, String] = Map(
@@ -1198,5 +1264,6 @@ object Multimodal {
     "q_multimodal_pcm" -> pcmSql,
     "q_multimodal_vad" -> vadSql,
     "q_multimodal_pixels" -> pixelsSql,
+    "q_multimodal_resize" -> resizeSql,
     "q_multimodal_pitch" -> pitchSql)
 }

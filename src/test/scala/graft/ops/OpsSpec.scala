@@ -1252,6 +1252,32 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("resize: 4x4 block-mean thumbnail equals the per-pixel formula recompute") {
+    val rows = Multimodal.resizeQ(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length % 16 == 0)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, blocks) =>
+      assert(blocks.length == 16, s"doc $id block count")
+      val (w, h) = ((8 + id % 13).toInt, (8 + id % 11).toInt)
+      assert(blocks.map(_.getAs[Long]("n_px")).sum == w.toLong * h,
+        s"doc $id blocks partition the image")
+      val sums = Array.ofDim[Long](4, 4)
+      val cnts = Array.ofDim[Long](4, 4)
+      for (x <- 0 until w; y <- 0 until h) {
+        val luma = (((37 * id + 5 * x + 3 * y) % 256)
+          + ((59 * id + 7 * x + y) % 256)
+          + ((83 * id + x + 11 * y) % 256)) / 3
+        sums(y * 4 / h)(x * 4 / w) += luma
+        cnts(y * 4 / h)(x * 4 / w) += 1
+      }
+      blocks.foreach { b =>
+        val (by, bx) = (b.getAs[Long]("by").toInt, b.getAs[Long]("bx").toInt)
+        assert(b.getAs[Long]("n_px") == cnts(by)(bx), s"doc $id ($by,$bx) count")
+        assert(b.getAs[Long]("mean_luma") == sums(by)(bx) / cnts(by)(bx),
+          s"doc $id ($by,$bx) mean")
+      }
+    }
+  }
+
   test("dedup image: brightness-shifted pairs share a dHash but differ in bytes") {
     import spark.implicits._
     val clusters = Multimodal.dedupImageQ(spark, sfDir).collect()
