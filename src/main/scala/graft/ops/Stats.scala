@@ -1778,7 +1778,87 @@ object Stats {
       |FROM a LEFT JOIN c ON c.event_type = a.event_type AND c.rn = a.dn
       |ORDER BY a.event_type""".stripMargin
 
+  /** q_stat_shrinkage entry: EMPIRICAL-BAYES beta-binomial shrinkage
+    * of each nation's urgent-order rate toward the cross-nation prior
+    * (Robbins 1956 / the Efron–Morris "batting average" estimator) —
+    * the smoothing every per-source quality score, per-seller defect
+    * rate, and per-slice toxicity rate needs before small-sample
+    * groups are ranked: a 3-order nation with one urgent order is NOT
+    * a 33% urgent source. Prior (α, β) by method of moments from the
+    * unweighted raw-rate mean and variance; strength clamps at 0 when
+    * the between-group variance exceeds the binomial ceiling (then the
+    * posterior is the raw rate).
+    *
+    * Scale shape: one combinable (nation) aggregate → a 25-row frame;
+    * the prior reduces to ONE row and broadcasts back. Determinism:
+    * counts are exact integers; rates and moments are one shared IEEE
+    * expression tree over them (6-dp rounding only at output), the
+    * same contract as every closed-form statistic here. */
+  def shrinkageQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perNation = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(t(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n"),
+        sum(($"o_orderpriority" === "1-URGENT").cast("long")).as("k"))
+      .withColumn("p", $"k".cast("double") / $"n")
+    val prior = perNation
+      .select(round($"p", 12).cast("decimal(28,12)").as("pr"),
+        round($"p" * $"p", 12).cast("decimal(28,12)").as("pr2"))
+      .agg(count(lit(1)).as("g"), sum($"pr").as("sp"), sum($"pr2").as("sp2"))
+      .select($"g", ($"sp".cast("double") / $"g").as("pbar"),
+        (($"sp2".cast("double") -
+          $"sp".cast("double") * $"sp".cast("double") / $"g") /
+          ($"g" - 1)).as("v"))
+      .select($"pbar", $"v",
+        greatest(lit(0.0),
+          $"pbar" * (lit(1.0) - $"pbar") / $"v" - 1.0).as("strength"))
+    perNation.crossJoin(broadcast(prior))
+      .select($"n_name", $"n", $"k",
+        round($"p", 6).as("raw_rate"),
+        round($"pbar", 6).as("prior_rate"),
+        round($"strength", 6).as("prior_strength"),
+        round(($"k" + $"strength" * $"pbar") / ($"n" + $"strength"), 6)
+          .as("shrunk_rate"),
+        round($"n" / ($"n" + $"strength"), 6).as("self_weight"))
+      .orderBy($"n_name")
+  }
+
+  val shrinkageSql: String =
+    """WITH pn AS MATERIALIZED (
+      |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS k
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name),
+      |pr AS MATERIALIZED (
+      |  SELECT COUNT(*) AS g,
+      |    SUM(CAST(ROUND(CAST(k AS DOUBLE) / n, 12)
+      |      AS DECIMAL(28,12))) AS sp,
+      |    SUM(CAST(ROUND((CAST(k AS DOUBLE) / n) * (CAST(k AS DOUBLE) / n),
+      |      12) AS DECIMAL(28,12))) AS sp2
+      |  FROM pn),
+      |mo AS (
+      |  SELECT g, CAST(sp AS DOUBLE) / g AS pbar,
+      |    (CAST(sp2 AS DOUBLE)
+      |      - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / g) / (g - 1) AS v
+      |  FROM pr),
+      |st AS (
+      |  SELECT pbar, v,
+      |    GREATEST(0.0, pbar * (1.0 - pbar) / v - 1.0) AS strength
+      |  FROM mo)
+      |SELECT n_name, n, k,
+      |  ROUND(CAST(k AS DOUBLE) / n, 6) AS raw_rate,
+      |  ROUND(pbar, 6) AS prior_rate,
+      |  ROUND(strength, 6) AS prior_strength,
+      |  ROUND((k + strength * pbar) / (n + strength), 6) AS shrunk_rate,
+      |  ROUND(n / (n + strength), 6) AS self_weight
+      |FROM pn, st ORDER BY n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_shrinkage" -> shrinkageQ,
     "q_stat_sprt" -> sprtQ,
     "q_eval_conformal" -> conformalQ,
     "q_stat_power" -> powerQ,
@@ -1804,6 +1884,7 @@ object Stats {
     "q_ts_acf" -> acfQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_shrinkage" -> shrinkageSql,
     "q_stat_sprt" -> sprtSql,
     "q_eval_conformal" -> conformalSql,
     "q_stat_power" -> powerSql,

@@ -1428,6 +1428,42 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("shrinkage: EB posterior replay matches; shrinkage pulls small groups harder") {
+    import spark.implicits._
+    val rows = Stats.shrinkageQ(spark, sfDir).collect()
+    val counts = graft.Tables.t(spark, sfDir, "orders")
+      .join(graft.Tables.t(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .join(graft.Tables.t(spark, sfDir, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byNation = counts.groupBy(_._1).view.mapValues { xs =>
+      (xs.size.toLong, xs.count(_._2 == "1-URGENT").toLong) }.toMap
+    val ps = byNation.toSeq.sortBy(_._1).map { case (_, (n, k)) => k.toDouble / n }
+    val g = ps.size
+    val pbar = ps.sum / g
+    val v = (ps.map(p => p * p).sum - g * pbar * pbar) / (g - 1)
+    val strength = math.max(0.0, pbar * (1 - pbar) / v - 1.0)
+    rows.foreach { r =>
+      val (n, k) = byNation(r.getAs[String]("n_name"))
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("k") == k)
+      assert(math.abs(r.getAs[Double]("raw_rate") - k.toDouble / n) < 1e-5)
+      assert(math.abs(r.getAs[Double]("prior_rate") - pbar) < 1e-5)
+      assert(math.abs(r.getAs[Double]("prior_strength") - strength) < 1e-4)
+      assert(math.abs(r.getAs[Double]("shrunk_rate")
+        - (k + strength * pbar) / (n + strength)) < 1e-5)
+      // posterior sits between raw rate and prior (the shrinkage property)
+      val (lo, hi) = (math.min(k.toDouble / n, pbar), math.max(k.toDouble / n, pbar))
+      assert(r.getAs[Double]("shrunk_rate") >= lo - 1e-6 &&
+        r.getAs[Double]("shrunk_rate") <= hi + 1e-6)
+    }
+    // smaller n => lower self-weight (pulled harder toward the prior)
+    val byN = rows.sortBy(_.getAs[Long]("n"))
+    val weights = byN.map(_.getAs[Double]("self_weight"))
+    assert(weights.zip(weights.tail).forall { case (a, b) => a <= b + 1e-9 })
+  }
+
   test("sprt: decimal walk replay matches; decision flags are consistent") {
     import spark.implicits._
     val got = Stats.sprtQ(spark, sfDir).collect()
