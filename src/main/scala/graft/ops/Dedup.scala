@@ -75,6 +75,76 @@ object Dedup {
       |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM crawl GROUP BY content_sha ORDER BY keep_id""".stripMargin
 
+  /** q_dedup_yield entry: the DEDUP YIELD CURVE — per ingestion batch
+    * (arrival order over the [[exact]] re-crawl simulation, 1000 docs
+    * per batch), how many documents are content-NOVEL vs already seen,
+    * with cumulative totals. This is the curve a crawl operation
+    * watches to decide when a source is exhausted: novelty rate decays
+    * as the corpus saturates (here the re-crawl batches post ~0%), and
+    * the marginal cost of another crawl stops paying.
+    *
+    * Scale shape: novelty is "doc_id == min(doc_id) of its sha-256
+    * group" — one digest-keyed combinable aggregate plus an equi-join
+    * back (both shuffle 64-byte keys, never text); the per-batch
+    * rollup is batch-count-bounded and the cumulative window runs over
+    * that tiny frame. All-integer counts; rates are single divisions
+    * rounded at 6 dp. */
+  def yieldQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    val recrawl = d.filter($"doc_id" % 10 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+    val crawl = d.unionByName(recrawl)
+      .select($"doc_id", sha2($"text", 256).as("sha"))
+    val firsts = crawl.groupBy($"sha").agg(min($"doc_id").as("first_id"))
+    val per = crawl.join(firsts, "sha")
+      .select(expr("doc_id div 1000").as("batch"),
+        ($"doc_id" === $"first_id").cast("long").as("novel"))
+      .groupBy($"batch")
+      .agg(count(lit(1)).as("n_docs"), sum($"novel").as("n_novel"))
+    val w = Window.orderBy($"batch")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    per
+      .withColumn("cum_docs", sum($"n_docs").over(w))
+      .withColumn("cum_novel", sum($"n_novel").over(w))
+      .select($"batch", $"n_docs", $"n_novel",
+        round($"n_novel".cast("double") / $"n_docs", 6).as("novelty_rate"),
+        $"cum_docs", $"cum_novel",
+        round($"cum_novel".cast("double") / $"cum_docs", 6).as("cum_rate"))
+      .orderBy($"batch")
+  }
+
+  val yieldSql: String =
+    """WITH crawl AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+      |sh AS (SELECT doc_id, sha256(text) AS sha FROM crawl),
+      |fi AS (SELECT sha, MIN(doc_id) AS first_id FROM sh GROUP BY sha),
+      |fl AS (
+      |  SELECT doc_id // 1000 AS batch,
+      |    CASE WHEN doc_id = first_id THEN 1 ELSE 0 END AS novel
+      |  FROM sh JOIN fi USING (sha)),
+      |per AS (
+      |  SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(novel) AS BIGINT) AS n_novel
+      |  FROM fl GROUP BY batch),
+      |c AS (
+      |  SELECT batch, n_docs, n_novel,
+      |    CAST(SUM(n_docs) OVER (ORDER BY batch
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_docs,
+      |    CAST(SUM(n_novel) OVER (ORDER BY batch
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_novel
+      |  FROM per)
+      |SELECT batch, n_docs, n_novel,
+      |  ROUND(CAST(n_novel AS DOUBLE) / n_docs, 6) AS novelty_rate,
+      |  cum_docs, cum_novel,
+      |  ROUND(CAST(cum_novel AS DOUBLE) / cum_docs, 6) AS cum_rate
+      |FROM c ORDER BY batch""".stripMargin
+
   /** MinHash lanes and LSH bands, built codegen-first: shingles are
     * EXPLODED and each lane is a native `min(xxhash64(h, j))` aggregate —
     * higher-order array lambdas are interpreted per-row in Spark (no
@@ -964,6 +1034,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> exact,
+    "q_dedup_yield" -> yieldQ,
     "q_dedup_near" -> near,
     "q_dedup_ngram" -> nearNgram,
     "q_dedup_simhash" -> simhash,
@@ -981,6 +1052,7 @@ object Dedup {
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" -> exactSql,
+    "q_dedup_yield" -> yieldSql,
     "q_dedup_near" -> nearSql,
     "q_dedup_ngram" -> nearNgramSql,
     "q_dedup_simhash" -> simhashSql,

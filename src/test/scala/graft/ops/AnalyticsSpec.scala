@@ -1428,6 +1428,33 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("yield curve: batches partition the crawl; recrawl batch posts zero novelty") {
+    import spark.implicits._
+    val rows = Dedup.yieldQ(spark, sfDir).collect()
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val crawl = docs ++ docs.filter(_._1 % 10 == 0)
+      .map { case (id, t) => (id + 1000000L, t) }
+    val firstOf = crawl.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val per = crawl.groupBy(_._1 / 1000).view.mapValues { xs =>
+      (xs.size.toLong, xs.count { case (id, t) => firstOf(t) == id }.toLong) }
+      .toSeq.sortBy(_._1)
+    assert(rows.map(_.getAs[Long]("batch")).toSeq == per.map(_._1))
+    var (cd, cn) = (0L, 0L)
+    rows.zip(per).foreach { case (r, (_, (n, nov))) =>
+      cd += n; cn += nov
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_novel") == nov)
+      assert(r.getAs[Long]("cum_docs") == cd && r.getAs[Long]("cum_novel") == cn)
+      assert(math.abs(r.getAs[Double]("novelty_rate") - nov.toDouble / n) < 1e-6)
+      assert(math.abs(r.getAs[Double]("cum_rate") - cn.toDouble / cd) < 1e-6)
+    }
+    // the re-crawl batch (ids >= 1000000) is pure duplicates
+    val recrawlRow = rows.find(_.getAs[Long]("batch") >= 1000L).get
+    assert(recrawlRow.getAs[Long]("n_novel") == 0L)
+  }
+
   test("shrinkage: EB posterior replay matches; shrinkage pulls small groups harder") {
     import spark.implicits._
     val rows = Stats.shrinkageQ(spark, sfDir).collect()
