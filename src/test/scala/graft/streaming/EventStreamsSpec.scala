@@ -367,6 +367,60 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       s"restart re-emitted matches: ${pairCounts.filter(_._2 > 1).toMap}")
   }
 
+  test("sliding disorder x anomaly join: finalized joined windows equal the batch twin; beyond-watermark drops from both legs") {
+    import spark.implicits._
+    // (event_id, ts, arr_ts, event_type, value)
+    val in = MemoryStream[(Long, Timestamp, Timestamp, String, Double)](spark)
+    val stream = in.toDF()
+      .toDF("event_id", "ts", "arr_ts", "event_type", "value")
+    val q = EventStreams.slidingDisorderAnomalyJoin(stream,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("disanom")
+      .outputMode("append").start()
+    def row(id: Long, at: String, arrivedAt: String, typ: String, v: Double) =
+      (id, ts(at), ts(arrivedAt), typ, v)
+    val onTime = Seq(
+      row(1, "2024-01-01 10:05:00", "2024-01-01 10:06:00", "click", 10.0),
+      row(2, "2024-01-01 10:10:00", "2024-01-01 10:40:00", "click", 99.0), // late arrival + flagged
+      row(3, "2024-01-01 10:20:00", "2024-01-01 10:21:00", "view", 60.0))  // flagged
+    val lateOk = row(4, "2024-01-01 09:50:00", "2024-01-01 11:00:00", "click", 70.0)
+    val advance = row(5, "2024-01-02 12:00:00", "2024-01-02 12:00:30", "view", 1.0)
+    val lateDropped = row(6, "2024-01-01 08:00:00", "2024-01-02 13:00:00", "click", 99.0)
+    val sentinel = row(7, "2024-01-09 00:00:00", "2024-01-09 00:00:10", "view", 1.0)
+    try {
+      in.addData(onTime: _*); drain(q)
+      in.addData(lateOk); drain(q)      // within the 1h watermark: folds in
+      in.addData(advance); drain(q)     // watermark advances a day
+      in.addData(lateDropped); drain(q) // beyond watermark: both legs drop it
+      in.addData(sentinel); drain(q)    // finalize everything earlier
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))
+    val got = spark.table("disanom").collect().map(key).toSet
+    val kept = (onTime :+ lateOk :+ advance)
+      .toDF("event_id", "ts", "arr_ts", "event_type", "value")
+    val wantAll = EventStreams.slidingDisorderAnomalyBatchOn(kept)
+      .collect().map(key)
+    // streaming finalizes only windows fully before the final watermark
+    // (sentinel - 1h); every such batch row must appear exactly once
+    val horizon = ts("2024-01-08 00:00:00")
+    val want = wantAll.filter(_._1.before(horizon)).toSet
+    assert(want.subsetOf(got),
+      s"finalized joined windows missing:\n got $got\n want $want")
+    // the beyond-watermark event (value 99 at 08:00) leaked nowhere: its
+    // two windows (07:30, 08:00) must be absent or not count it
+    assert(got.filter(r => r._1 == ts("2024-01-01 07:30:00")
+      || r._1 == ts("2024-01-01 08:00:00")).forall(_._3 == 0L))
+    // the joined readout separates the legs: the sliding 09:30-10:30
+    // click window holds ids 1, 2, 4 — 2 flagged (99, 70) and 2 late
+    // arrivals (ids 2 and 4, > 15 min after event time)
+    val w0930click = got.find(r => r._1 == ts("2024-01-01 09:30:00")
+      && r._2 == "click")
+    assert(w0930click.exists(r => r._3 == 3L && r._4 == 2L && r._5 == 2L),
+      s"09:30 click window wrong: $w0930click")
+  }
+
   test("streaming window anomalies: late-within-watermark folds in, late-beyond drops, finalized windows equal the batch twin") {
     import spark.implicits._
     val profile = typeProfile(spark, sfDir)
