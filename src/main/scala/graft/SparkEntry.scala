@@ -69,6 +69,7 @@ object SparkEntry {
     graft.ops.Preference.queries ++
     graft.ops.Winnow.queries ++
     graft.ops.Retrieval.queries ++
+    graft.ops.Isotonic.queries ++
     graft.ops.Pii.queries ++
     graft.ops.Profile.queries ++
     graft.ops.Quantize.queries ++
@@ -117,6 +118,7 @@ object SparkEntry {
     graft.ops.Preference.oracle ++
     graft.ops.Winnow.oracle ++
     graft.ops.Retrieval.oracle ++
+    graft.ops.Isotonic.oracle ++
     graft.ops.Pii.oracle ++
     graft.ops.Profile.oracle ++
     graft.ops.Quantize.oracle ++

@@ -71,7 +71,7 @@ object Classify {
 
   /** (doc_id, score, y) for the full corpus: classifier score + the
     * ground-truth label y = [lang = 'en'] the eval ops grade against. */
-  private def scored(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def scored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = t(s, dir, "documents")
       .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
@@ -87,7 +87,7 @@ object Classify {
   }
 
   /** Shared oracle CTE producing the same (doc_id, score, y). */
-  private val scoredSql: String =
+  private[ops] val scoredSql: String =
     """w AS (
       |  SELECT range AS bucket, (range * 2654435761) % 2001 - 1000 AS w
       |  FROM range(0, 1024)),

@@ -1611,10 +1611,19 @@ object Stats {
   def conformalQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+    // checkpointed: five consumers (model/cal/calN/q-hat/test) would
+    // otherwise each rescan parquet and recompute the md5 fold — the
+    // r10 sf1 bench measured that recompute amplification at 6 scans
+    // (29s vs ~5s); one narrow (key, prio, cents, fold) materialization
+    // is what a production pipeline would persist anyway
     val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority",
         ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
       .withColumn("fold", Hashing.md5Long60(
         concat($"o_orderkey".cast("string"), lit(":conf"))) % 4)
+      .checkpoint()
     val model = o.filter($"fold" <= 1).groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_train"),
         expr("sum(cents) div count(1)").as("yhat_cents"))

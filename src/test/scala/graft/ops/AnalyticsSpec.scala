@@ -1428,6 +1428,39 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("isotonic: PAV replay matches, fit is monotone, and block means preserve mass") {
+    import spark.implicits._
+    val rows = Isotonic.isotonicQ(spark, sfDir).collect()
+    // monotone nondecreasing in score
+    val probs = rows.sortBy(_.getAs[Double]("v")).map(_.getAs[Double]("iso_prob"))
+    assert(probs.zip(probs.tail).forall { case (a, b) => a <= b + 1e-9 },
+      "isotonic fit must be nondecreasing")
+    // driver PAV replay over the same grid
+    val grid = rows.sortBy(_.getAs[Double]("v"))
+      .map(r => (r.getAs[Double]("v"), r.getAs[Long]("n1"), r.getAs[Long]("n")))
+    case class B(var sy: Long, var n: Long, var sz: Int)
+    val st = scala.collection.mutable.ArrayBuffer.empty[B]
+    grid.foreach { case (_, n1, n) =>
+      st += B(n1, n, 1)
+      while (st.length >= 2 &&
+        st(st.length - 2).sy * st.last.n > st.last.sy * st(st.length - 2).n) {
+        val b = st.remove(st.length - 1)
+        st.last.sy += b.sy; st.last.n += b.n; st.last.sz += b.sz
+      }
+    }
+    val replay = st.flatMap(b =>
+      Seq.fill(b.sz)(b.sy.toDouble / b.n)).toSeq
+    rows.sortBy(_.getAs[Double]("v")).zip(replay).foreach { case (r, e) =>
+      assert(math.abs(r.getAs[Double]("iso_prob") - e) < 1e-5,
+        s"v=${r.getAs[Double]("v")}")
+    }
+    // mass preservation: weighted mean of the fit equals the raw rate
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val wMeanFit = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("iso_prob")).sum / n
+    val rawMean = rows.map(_.getAs[Long]("n1")).sum.toDouble / n
+    assert(math.abs(wMeanFit - rawMean) < 1e-4)
+  }
+
   test("yield curve: batches partition the crawl; recrawl batch posts zero novelty") {
     import spark.implicits._
     val rows = Dedup.yieldQ(spark, sfDir).collect()
