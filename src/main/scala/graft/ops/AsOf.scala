@@ -154,13 +154,101 @@ object AsOf {
       |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.nts >= c.nts
       |ORDER BY p.event_id LIMIT 500""".stripMargin
 
+  /** q_join_asof_near entry: the THIRD as-of direction — each click
+    * joined to the user's NEAREST purchase in time, either side, tie →
+    * the earlier one (pandas `merge_asof direction='nearest'`
+    * semantics). Completes the backward/forward/nearest triple, the
+    * full mode set of every as-of API. Composition: one backward and
+    * one forward pass ([[joinAsOf]] / [[joinAsOfForward]] — each a
+    * single key exchange + sort), then a per-click pick of the smaller
+    * absolute gap. At 100 TB this is two windowed passes over the same
+    * key partitioning — AQE reuses the exchange — plus a click-keyed
+    * equi-join of two already-collapsed frames. Integer-µs gaps; the
+    * direction label makes the tie rule auditable in the output. */
+  def clicksToNearestPurchase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id")
+    val pb = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id".as("b_event"),
+        $"value".as("b_value"), $"ts".as("b_ts"))
+    val pf = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id".as("f_event"),
+        $"value".as("f_value"), $"ts".as("f_ts"))
+    val bwd = joinAsOf(clicks, pb, key = "user_id", ts = "ts")
+      .select($"event_id", $"user_id", $"ts", $"b_event", $"b_value",
+        (unix_micros($"ts") - unix_micros($"b_ts")).as("b_gap"))
+    val fwd = joinAsOfForward(clicks, pf, key = "user_id", ts = "ts")
+      .select($"event_id", $"f_event", $"f_value",
+        (unix_micros($"f_ts") - unix_micros($"ts")).as("f_gap"))
+    bwd.join(fwd, "event_id")
+      .filter($"b_event".isNotNull || $"f_event".isNotNull)
+      .select($"event_id", $"user_id",
+        when($"b_event".isNotNull &&
+            ($"f_event".isNull || $"b_gap" <= $"f_gap"), "backward")
+          .otherwise("forward").as("direction"),
+        when($"b_event".isNotNull &&
+            ($"f_event".isNull || $"b_gap" <= $"f_gap"), $"b_event")
+          .otherwise($"f_event").as("p_event"),
+        when($"b_event".isNotNull &&
+            ($"f_event".isNull || $"b_gap" <= $"f_gap"), $"b_value")
+          .otherwise($"f_value").as("p_value"),
+        when($"b_event".isNotNull &&
+            ($"f_event".isNull || $"b_gap" <= $"f_gap"), $"b_gap")
+          .otherwise($"f_gap").as("gap_us"))
+      .orderBy($"event_id")
+      .limit(500)
+  }
+
+  /** Oracle: two DuckDB ASOF joins (the forward one on negated
+    * timestamps, as in [[purchasesToNextClickSql]]) combined with the
+    * identical tie-to-backward CASE. */
+  val clicksToNearestPurchaseSql: String =
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, ts AS pts, event_id AS p_event, value AS p_value
+      |  FROM events WHERE event_type = 'purchase'),
+      |b AS (
+      |  SELECT c.event_id, c.user_id, c.ts, p_event AS b_event,
+      |    p_value AS b_value, epoch_us(c.ts) - epoch_us(pts) AS b_gap
+      |  FROM c ASOF LEFT JOIN p
+      |    ON c.user_id = p.user_id AND c.ts >= pts),
+      |cf AS (SELECT user_id, ts, event_id, -epoch_us(ts) AS nts FROM c),
+      |pf AS (SELECT user_id, -epoch_us(pts) AS nts, p_event AS f_event,
+      |         p_value AS f_value, epoch_us(pts) AS p_us FROM p),
+      |f AS (
+      |  SELECT cf.event_id, f_event, f_value,
+      |    p_us - epoch_us(cf.ts) AS f_gap
+      |  FROM cf ASOF LEFT JOIN pf
+      |    ON cf.user_id = pf.user_id AND cf.nts >= pf.nts)
+      |SELECT b.event_id, b.user_id,
+      |  CASE WHEN b_event IS NOT NULL
+      |    AND (f_event IS NULL OR b_gap <= f_gap)
+      |    THEN 'backward' ELSE 'forward' END AS direction,
+      |  CASE WHEN b_event IS NOT NULL
+      |    AND (f_event IS NULL OR b_gap <= f_gap)
+      |    THEN b_event ELSE f_event END AS p_event,
+      |  CASE WHEN b_event IS NOT NULL
+      |    AND (f_event IS NULL OR b_gap <= f_gap)
+      |    THEN b_value ELSE f_value END AS p_value,
+      |  CASE WHEN b_event IS NOT NULL
+      |    AND (f_event IS NULL OR b_gap <= f_gap)
+      |    THEN b_gap ELSE f_gap END AS gap_us
+      |FROM b JOIN f ON f.event_id = b.event_id
+      |WHERE b_event IS NOT NULL OR f_event IS NOT NULL
+      |ORDER BY b.event_id LIMIT 500""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_asof" -> clicksToPurchases,
-    "q_join_asof_fwd" -> purchasesToNextClick)
+    "q_join_asof_fwd" -> purchasesToNextClick,
+    "q_join_asof_near" -> clicksToNearestPurchase)
 
   def oracle: Map[String, String] = Map(
     "q_join_asof" -> clicksToPurchasesSql,
-    "q_join_asof_fwd" -> purchasesToNextClickSql)
+    "q_join_asof_fwd" -> purchasesToNextClickSql,
+    "q_join_asof_near" -> clicksToNearestPurchaseSql)
 }

@@ -82,4 +82,47 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     }
     assert(checked > 50, s"only $checked forward matches checked")
   }
+
+  test("nearest: picks the min-|gap| purchase either side, tie to backward") {
+    import spark.implicits._
+    val ev = graft.Tables.t(spark, sfDir, "events")
+    def us(t: Timestamp): Long = t.getTime * 1000 + t.getNanos / 1000 % 1000
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id").collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2)))
+      .groupBy(_._1)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id").collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2)))
+    val got = AsOf.clicksToNearestPurchase(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("direction"), r.getAs[Long]("p_event"),
+          r.getAs[Long]("gap_us"))).toMap
+    var checked = 0
+    clicks.foreach { case (u, cts, cid) =>
+      val ps = purchases.getOrElse(u, Array.empty)
+      if (ps.isEmpty) assert(!got.contains(cid))
+      else got.get(cid).foreach { case (dir, pe, gap) =>
+        // nearest by |gap|; tie prefers backward; within a side,
+        // the as-of joins pick latest-prior / earliest-after, which on
+        // distinct event times is unique per side
+        val bwd = ps.filter(_._2 <= cts)
+          .sortBy(p => (-p._2, p._3)).headOption
+        val fwd = ps.filter(_._2 >= cts)
+          .sortBy(p => (p._2, p._3)).headOption
+        val bGap = bwd.map(p => cts - p._2)
+        val fGap = fwd.map(p => p._2 - cts)
+        val wantBackward = bGap.isDefined &&
+          (fGap.isEmpty || bGap.get <= fGap.get)
+        assert(dir == (if (wantBackward) "backward" else "forward"),
+          s"click $cid direction")
+        val want = if (wantBackward) bwd.get else fwd.get
+        assert(pe == want._3 &&
+          gap == (if (wantBackward) bGap.get else fGap.get),
+          s"click $cid pick")
+        checked += 1
+      }
+    }
+    assert(checked > 50, s"only $checked nearest matches checked")
+  }
 }
