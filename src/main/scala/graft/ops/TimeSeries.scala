@@ -1017,7 +1017,10 @@ object TimeSeries {
     * μ and σ are one shared IEEE expression of exact integers — the
     * z-scores are bit-identical across engines and partitionings; the
     * breakpoint CASE and string assembly are exact. */
-  def saxQ(s: SparkSession, dir: String): DataFrame = {
+  /** Per-(series, day) z-score and SAX symbol — the shared frame under
+    * [[saxQ]] (word assembly) and [[saxDistQ]] (MINDIST). Exact
+    * integer-cents moments; see [[saxQ]] for the contract. */
+  private def saxDaily(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val daily = t(s, dir, "events")
       .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
@@ -1033,12 +1036,51 @@ object TimeSeries {
         sqrt(($"sxx".cast("double") -
           $"sx".cast("double") * $"sx".cast("double") / $"nd") /
           ($"nd" - 1)).as("sigma"))
-    val sym = daily.join(broadcast(stats), "event_type")
+    daily.join(broadcast(stats), "event_type")
       .withColumn("z", ($"cents".cast("double") - $"mu") / $"sigma")
       .withColumn("sym",
         when($"z" < -0.6745, "a").when($"z" < 0.0, "b")
           .when($"z" < 0.6745, "c").otherwise("d"))
-    sym.groupBy($"event_type", date_trunc("week", $"d").as("week_start"))
+      .withColumn("si",
+        when($"z" < -0.6745, 0).when($"z" < 0.0, 1)
+          .when($"z" < 0.6745, 2).otherwise(3))
+  }
+
+  /** The shared daily/z/symbol CTE chain for the SAX oracles. */
+  private val saxDailySql: String =
+    """daily AS MATERIALIZED (
+      |  SELECT event_type, date_trunc('day', ts) AS d,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |st AS MATERIALIZED (
+      |  SELECT event_type, COUNT(*) AS nd,
+      |    CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |    CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS sxx
+      |  FROM daily GROUP BY 1),
+      |mo AS MATERIALIZED (
+      |  SELECT event_type, nd, CAST(sx AS DOUBLE) / nd AS mu,
+      |    SQRT((CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nd) / (nd - 1)) AS sigma
+      |  FROM st),
+      |sy AS MATERIALIZED (
+      |  SELECT d.event_type, d.d,
+      |    (CAST(cents AS DOUBLE) - mu) / sigma AS z,
+      |    CASE WHEN (CAST(cents AS DOUBLE) - mu) / sigma < -0.6745 THEN 'a'
+      |         WHEN (CAST(cents AS DOUBLE) - mu) / sigma < 0.0 THEN 'b'
+      |         WHEN (CAST(cents AS DOUBLE) - mu) / sigma < 0.6745 THEN 'c'
+      |         ELSE 'd' END AS sym,
+      |    CASE WHEN (CAST(cents AS DOUBLE) - mu) / sigma < -0.6745 THEN 0
+      |         WHEN (CAST(cents AS DOUBLE) - mu) / sigma < 0.0 THEN 1
+      |         WHEN (CAST(cents AS DOUBLE) - mu) / sigma < 0.6745 THEN 2
+      |         ELSE 3 END AS si
+      |  FROM daily d JOIN mo ON mo.event_type = d.event_type)"""
+      .stripMargin
+
+  def saxQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    saxDaily(s, dir)
+      .groupBy($"event_type", date_trunc("week", $"d").as("week_start"))
       .agg(count(lit(1)).as("n_days"),
         array_join(expr("transform(array_sort(collect_list(struct(d, sym))), x -> x.sym)"), "")
           .as("word"))
@@ -1048,35 +1090,81 @@ object TimeSeries {
   }
 
   val saxSql: String =
-    """WITH daily AS (
-      |  SELECT event_type, date_trunc('day', ts) AS d,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
-      |      AS BIGINT) AS cents
-      |  FROM events GROUP BY 1, 2),
-      |st AS (
-      |  SELECT event_type, COUNT(*) AS nd,
-      |    CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
-      |    CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS sxx
-      |  FROM daily GROUP BY 1),
-      |mo AS (
-      |  SELECT event_type, nd, CAST(sx AS DOUBLE) / nd AS mu,
-      |    SQRT((CAST(sxx AS DOUBLE)
-      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nd) / (nd - 1)) AS sigma
-      |  FROM st),
-      |sy AS (
-      |  SELECT d.event_type, d.d,
-      |    CASE WHEN (CAST(cents AS DOUBLE) - mu) / sigma < -0.6745 THEN 'a'
-      |         WHEN (CAST(cents AS DOUBLE) - mu) / sigma < 0.0 THEN 'b'
-      |         WHEN (CAST(cents AS DOUBLE) - mu) / sigma < 0.6745 THEN 'c'
-      |         ELSE 'd' END AS sym
-      |  FROM daily d JOIN mo ON mo.event_type = d.event_type)
+    s"""WITH $saxDailySql
       |SELECT event_type, CAST(date_trunc('week', d) AS DATE) AS week_start,
       |  CAST(COUNT(*) AS BIGINT) AS n_days,
       |  string_agg(sym, '' ORDER BY d) AS word
       |FROM sy GROUP BY 1, 2 ORDER BY event_type, week_start""".stripMargin
 
+  /** q_ts_sax_dist entry: SAX MINDIST between every pair of event
+    * types' weekly symbol strings, with the LOWER-BOUNDING LEMMA as an
+    * in-result gate — MINDIST(Â, B̂) ≤ dist(A, B) in z-space (Lin et
+    * al., DMKD 2007, the property that makes SAX an INDEX: a symbolic
+    * prune can never miss a true near-neighbor). Cell distance is 0
+    * for adjacent-or-equal symbols, else the breakpoint gap; with one
+    * symbol per day the √(n/w) factor is 1. `tightness` =
+    * mindist/dist is the index-selectivity readout.
+    *
+    * Determinism: squared cell gaps are EXACT decimal literals
+    * (0.6745² = 0.45495025, 1.349² = 1.819801) summed as decimals;
+    * z-gap squares round to 12 dp and sum as decimals; the gate
+    * compares decimals with a 1e-9 guard for the 12-dp truncation.
+    * Scale: the daily frame is series×days; the pair join is
+    * types²-bounded per day. */
+  def saxDistQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = saxDaily(s, dir)
+    val a = d.select($"event_type".as("type_a"), $"d",
+      date_trunc("week", $"d").as("wk"), $"z".as("za"), $"si".as("sa"))
+    val b = d.select($"event_type".as("type_b"), $"d",
+      $"z".as("zb"), $"si".as("sb"))
+    val cell2 = when(abs($"sa" - $"sb") <= 1, lit("0"))
+      .when(abs($"sa" - $"sb") === 2, lit("0.45495025"))
+      .otherwise(lit("1.819801")).cast("decimal(28,12)")
+    a.join(b, Seq("d")).filter($"type_a" < $"type_b")
+      .groupBy($"wk", $"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_days"),
+        sum(cell2).as("msum"),
+        sum(round(($"za" - $"zb") * ($"za" - $"zb"), 12)
+          .cast("decimal(28,12)")).as("dsum"))
+      .select($"wk".cast("date").as("week_start"), $"type_a", $"type_b",
+        $"n_days",
+        round(sqrt($"msum".cast("double")), 6).as("mindist"),
+        round(sqrt($"dsum".cast("double")), 6).as("dist"),
+        ($"msum" <= $"dsum" + lit("0.000000001").cast("decimal(28,12)"))
+          .cast("int").as("bound_ok"),
+        when($"dsum" > 0, round(sqrt($"msum".cast("double")) /
+          sqrt($"dsum".cast("double")), 6)).otherwise(0.0).as("tightness"))
+      .orderBy($"week_start", $"type_a", $"type_b")
+  }
+
+  val saxDistSql: String =
+    s"""WITH $saxDailySql,
+      |pr AS (
+      |  SELECT date_trunc('week', a.d) AS wk,
+      |    a.event_type AS type_a, b.event_type AS type_b,
+      |    CASE WHEN ABS(a.si - b.si) <= 1 THEN CAST('0' AS DECIMAL(28,12))
+      |         WHEN ABS(a.si - b.si) = 2 THEN CAST('0.45495025' AS DECIMAL(28,12))
+      |         ELSE CAST('1.819801' AS DECIMAL(28,12)) END AS cell2,
+      |    CAST(ROUND((a.z - b.z) * (a.z - b.z), 12) AS DECIMAL(28,12)) AS zg2
+      |  FROM sy a JOIN sy b ON a.d = b.d AND a.event_type < b.event_type),
+      |ag AS (
+      |  SELECT wk, type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(cell2) AS DECIMAL(38,12)) AS msum,
+      |    CAST(SUM(zg2) AS DECIMAL(38,12)) AS dsum
+      |  FROM pr GROUP BY 1, 2, 3)
+      |SELECT CAST(wk AS DATE) AS week_start, type_a, type_b, n_days,
+      |  ROUND(SQRT(CAST(msum AS DOUBLE)), 6) AS mindist,
+      |  ROUND(SQRT(CAST(dsum AS DOUBLE)), 6) AS dist,
+      |  CAST(msum <= dsum + CAST('0.000000001' AS DECIMAL(28,12)) AS INT)
+      |    AS bound_ok,
+      |  CASE WHEN dsum > 0 THEN ROUND(SQRT(CAST(msum AS DOUBLE))
+      |    / SQRT(CAST(dsum AS DOUBLE)), 6) ELSE 0.0 END AS tightness
+      |FROM ag ORDER BY week_start, type_a, type_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_sax" -> saxQ,
+    "q_ts_sax_dist" -> saxDistQ,
     "q_ts_backtest" -> backtestQ,
     "q_ts_xcorr" -> xcorrQ,
     "q_ts_holt" -> holtQ,
@@ -1094,6 +1182,7 @@ object TimeSeries {
 
   def oracle: Map[String, String] = Map(
     "q_ts_sax" -> saxSql,
+    "q_ts_sax_dist" -> saxDistSql,
     "q_ts_backtest" -> backtestSql,
     "q_ts_xcorr" -> xcorrSql,
     "q_ts_holt" -> holtSql,

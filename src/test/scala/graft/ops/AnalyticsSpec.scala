@@ -1377,6 +1377,40 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Double]("ap") > 0 && r.getAs[Double]("ap") <= 1)
   }
 
+  test("sax mindist: lower bound holds on every pair; cells match a symbol recompute") {
+    import spark.implicits._
+    val rows = TimeSeries.saxDistQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("bound_ok") == 1,
+        s"lower-bounding lemma violated: $r")
+      assert(r.getAs[Double]("mindist") <= r.getAs[Double]("dist") + 1e-6)
+      val t = r.getAs[Double]("tightness")
+      assert(t >= 0.0 && t <= 1.0 + 1e-6)
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      assert(r.getAs[Long]("n_days") >= 1 && r.getAs[Long]("n_days") <= 7)
+    }
+    // symbol-identical weeks must have mindist 0 (adjacent cells too);
+    // cross-check one pair against the word table
+    val words = TimeSeries.saxQ(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("week_start").toString) -> r.getAs[String]("word"))
+      .toMap
+    rows.foreach { r =>
+      val wk = r.getAs[java.sql.Date]("week_start").toString
+      for {
+        wa <- words.get((r.getAs[String]("type_a"), wk))
+        wb <- words.get((r.getAs[String]("type_b"), wk))
+        if wa.length == wb.length
+      } {
+        val allAdjacent = wa.zip(wb).forall { case (a, b) => math.abs(a - b) <= 1 }
+        if (allAdjacent)
+          assert(r.getAs[Double]("mindist") == 0.0,
+            s"adjacent-symbol week must have mindist 0: $r ($wa vs $wb)")
+      }
+    }
+  }
+
   test("rocchio: full PRF replay matches - pool, expansion terms, and re-ranked top-10") {
     import spark.implicits._
     val got = Retrieval.rocchioQ(spark, sfDir).collect()
