@@ -366,17 +366,99 @@ object Pii {
       |FROM truth JOIN f ON truth.event_type = f.reported, tot
       |ORDER BY truth.event_type""".stripMargin
 
+  /** q_privacy_dp_mean entry: ε-DP CLIPPED-MEAN release of per-user
+    * spend by event type — the third mechanism of the privacy family
+    * (histogram = counting query, randomized response = local DP, this
+    * = the bounded-sensitivity NUMERIC aggregate every DP deployment
+    * actually releases). Per-user totals clip at C (the contribution
+    * bound that caps sensitivity at C/n per user), the Laplace noise
+    * on the SUM has scale C/ε, and the released mean divides by the
+    * true user count. The clip fraction is the utility-audit column:
+    * a cap that bites 30% of users biases the mean more than the
+    * noise does.
+    *
+    * Determinism: same pinned-uniform Laplace derivation as
+    * [[dpHistQ]] (60-bit md5 → 1e6 grid → inverse CDF) keyed by the
+    * release group, so both engines draw the identical noise — the
+    * pattern that makes a randomized mechanism oracle-testable.
+    * Scale: one (user, type) combinable collapse, one 5-row release
+    * frame. */
+  def dpMeanQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val eps = 1.0
+    val capCents = 100000L // clip per-user totals at 1000.00
+    val perUser = t(s, dir, "events")
+      .groupBy($"event_type", $"user_id")
+      .agg(sum(($"value".cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+      .select($"event_type",
+        least($"cents", lit(capCents)).as("clipped"),
+        ($"cents" > capCents).cast("long").as("at_cap"))
+    val u = (Hashing.md5Long60(concat(lit("dpmean:"), $"event_type"))
+      % 1000000).cast("double").plus(0.5).divide(1000000.0)
+    val lap = when(u < 0.5, lit(capCents / eps) * log(u * 2.0))
+      .otherwise(lit(-capCents / eps) * log((lit(1.0) - u) * 2.0))
+    perUser.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"clipped").as("csum"),
+        sum($"at_cap").as("n_clipped"))
+      .select($"event_type", $"n_users", $"n_clipped",
+        round($"n_clipped".cast("double") / $"n_users", 6).as("clip_frac"),
+        round($"csum".cast("double") / $"n_users" / 100.0, 6)
+          .as("true_mean"),
+        round(lap / 100.0, 6).as("noise"),
+        round(($"csum".cast("double") + lap) / $"n_users" / 100.0, 6)
+          .as("released_mean"),
+        lit(eps).as("epsilon"))
+      .orderBy($"event_type")
+  }
+
+  val dpMeanSql: String =
+    """WITH pu AS (
+      |  SELECT event_type, user_id,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |cl AS (
+      |  SELECT event_type, LEAST(cents, 100000) AS clipped,
+      |    CASE WHEN cents > 100000 THEN 1 ELSE 0 END AS at_cap
+      |  FROM pu),
+      |ag AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(clipped) AS BIGINT) AS csum,
+      |    CAST(SUM(at_cap) AS BIGINT) AS n_clipped
+      |  FROM cl GROUP BY 1),
+      |m AS (
+      |  SELECT *,
+      |    (CAST(('0x' || substr(md5('dpmean:' || event_type), 1, 15))
+      |      ::UBIGINT::BIGINT % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+      |  FROM ag),
+      |n AS (
+      |  SELECT *, CASE WHEN u < 0.5 THEN 100000.0 * ln(u * 2.0)
+      |    ELSE -100000.0 * ln((1.0 - u) * 2.0) END AS lap
+      |  FROM m)
+      |SELECT event_type, n_users, n_clipped,
+      |  ROUND(CAST(n_clipped AS DOUBLE) / n_users, 6) AS clip_frac,
+      |  ROUND(CAST(csum AS DOUBLE) / n_users / 100.0, 6) AS true_mean,
+      |  ROUND(lap / 100.0, 6) AS noise,
+      |  ROUND((CAST(csum AS DOUBLE) + lap) / n_users / 100.0, 6)
+      |    AS released_mean,
+      |  CAST(1.0 AS DOUBLE) AS epsilon
+      |FROM n ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_pii" -> redactQ,
     "q_text_secrets" -> secretsQ,
     "q_privacy_rr" -> rrQ,
     "q_privacy_kanon" -> kanonQ,
-    "q_privacy_dp_hist" -> dpHistQ)
+    "q_privacy_dp_hist" -> dpHistQ,
+    "q_privacy_dp_mean" -> dpMeanQ)
 
   def oracle: Map[String, String] = Map(
     "q_text_pii" -> redactSql,
     "q_text_secrets" -> secretsSql,
     "q_privacy_rr" -> rrSql,
     "q_privacy_kanon" -> kanonSql,
-    "q_privacy_dp_hist" -> dpHistSql)
+    "q_privacy_dp_hist" -> dpHistSql,
+    "q_privacy_dp_mean" -> dpMeanSql)
 }

@@ -62,4 +62,40 @@ class PiiSpec extends AnyFunSuite with SparkSpec {
       assert(risk == (vs.size < 15), s"$qi at-risk flag")
     }
   }
+
+  test("dp mean: clipped-sum replay matches; released = true + noise/n; clip audit exact") {
+    import spark.implicits._
+    val rows = Pii.dpMeanQ(spark, sfDir).collect()
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", $"user_id", $"value").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toLongExact))
+    def lapOf(tpe: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dpmean:$tpe".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(md.take(15), 16) % 1000000
+        .toLong).toDouble.+(0.5) / 1000000.0
+      if (u < 0.5) 100000.0 * math.log(u * 2.0)
+      else -100000.0 * math.log((1.0 - u) * 2.0)
+    }
+    rows.foreach { r =>
+      val tpe = r.getAs[String]("event_type")
+      val totals = ev.filter(_._1 == tpe).groupBy(_._2)
+        .map { case (_, xs) => xs.map(_._3).sum }.toSeq
+      val clipped = totals.map(math.min(_, 100000L))
+      val nClip = totals.count(_ > 100000L).toLong
+      assert(r.getAs[Long]("n_users") == totals.size)
+      assert(r.getAs[Long]("n_clipped") == nClip)
+      assert(math.abs(r.getAs[Double]("true_mean")
+        - clipped.sum.toDouble / totals.size / 100.0) < 1e-5)
+      assert(math.abs(r.getAs[Double]("noise") - lapOf(tpe) / 100.0) < 1e-5)
+      assert(math.abs(r.getAs[Double]("released_mean")
+        - (clipped.sum + lapOf(tpe)) / totals.size / 100.0) < 1e-5)
+      // released error is bounded by |noise|/n (the clip already inside true_mean)
+      assert(math.abs(r.getAs[Double]("released_mean")
+        - r.getAs[Double]("true_mean"))
+        <= math.abs(r.getAs[Double]("noise")) / totals.size + 1e-5)
+    }
+  }
 }
