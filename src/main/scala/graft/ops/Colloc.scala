@@ -362,7 +362,99 @@ object Colloc {
       |    / (CAST(t_total AS DOUBLE) / CAST(nd AS DOUBLE)), 6) AS burstiness
       |FROM per, nd ORDER BY t_total DESC, term LIMIT 15""".stripMargin
 
+  /** q_text_rake entry: RAKE keyphrase extraction (Rose, Engel, Cramer
+    * & Cowley 2010) — candidate phrases are the maximal stopword-free
+    * token runs (the gaps-and-islands split every phrase miner uses);
+    * each word scores degree/frequency, where degree sums the lengths
+    * of every phrase containing the word (rewarding words that live in
+    * long collocations); a phrase scores the sum of its words. The
+    * corpus-level top-30 is the keyword list a topic-labeling or
+    * index-building pass feeds on — unsupervised, language-agnostic,
+    * and one of the few keyphrase methods that needs no model.
+    *
+    * Scale shape: the islands trick is one window per document
+    * (position − rank over non-stop tokens — group size bounded by doc
+    * length), word statistics collapse to the VOCABULARY (Heaps-law
+    * bounded, broadcastable), and phrase scoring joins phrase words
+    * against that frame. Determinism: degree and freq are exact
+    * integers; word scores round to 9 dp as decimals and phrase scores
+    * sum exactly; ties order by phrase text. */
+  def rakeQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    val tk = Text.withToks(s, dir)
+      .select($"doc_id", posexplode($"toks").as(Seq("pos", "term")))
+    val nonStop = tk.filter(!$"term".isin(stops: _*))
+      .withColumn("grp", $"pos" - row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"pos")))
+    val phrases = nonStop.groupBy($"doc_id", $"grp")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(pos, term))), x -> x.term)"),
+        " ").as("phrase"),
+        count(lit(1)).as("plen"))
+    // word statistics over ALL phrase occurrences: freq = appearances,
+    // degree = Σ lengths of containing phrases
+    val words = phrases
+      .select($"phrase", $"plen", explode(split($"phrase", " ")).as("term"))
+    val wordScore = words.groupBy($"term")
+      .agg(count(lit(1)).as("freq"), sum($"plen").as("degree"))
+      .select($"term",
+        round($"degree".cast("double") / $"freq", 9)
+          .cast("decimal(18,9)").as("wscore"))
+    // a DISTINCT phrase scores the sum of its words' scores (with
+    // within-phrase multiplicity); occurrences counted separately
+    val pw = phrases.select($"phrase").distinct()
+      .select($"phrase", explode(split($"phrase", " ")).as("term"))
+    val score = pw.join(wordScore, "term")
+      .groupBy($"phrase")
+      .agg(sum($"wscore").as("score"), count(lit(1)).as("n_words"))
+    val occ = phrases.groupBy($"phrase").agg(count(lit(1)).as("n_occ"))
+    score.join(occ, "phrase")
+      .orderBy($"score".desc, $"phrase")
+      .limit(30)
+      .select($"phrase", $"n_words".cast("long").as("n_words"), $"n_occ",
+        round($"score".cast("double"), 6).as("score"))
+  }
+
+  val rakeSql: String =
+    """WITH dtok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |tk AS (
+      |  SELECT doc_id, p.pos AS pos, p.term AS term FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+      |      i -> {'pos': i, 'term': toks[i]})) AS p
+      |    FROM dtok)),
+      |ns AS (
+      |  SELECT doc_id, pos, term,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM tk WHERE term NOT IN ('the', 'a', 'of', 'and', 'to', 'in')),
+      |ph AS MATERIALIZED (
+      |  SELECT doc_id, grp, string_agg(term, ' ' ORDER BY pos) AS phrase,
+      |    CAST(COUNT(*) AS BIGINT) AS plen
+      |  FROM ns GROUP BY 1, 2),
+      |w AS (
+      |  SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS term FROM ph),
+      |ws AS MATERIALIZED (
+      |  SELECT term, CAST(ROUND(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 9)
+      |    AS DECIMAL(18,9)) AS wscore
+      |  FROM w GROUP BY 1),
+      |pw AS (
+      |  SELECT phrase, unnest(string_split(phrase, ' ')) AS term
+      |  FROM (SELECT DISTINCT phrase FROM ph)),
+      |sc AS (
+      |  SELECT phrase, CAST(SUM(wscore) AS DECIMAL(38,9)) AS score,
+      |    CAST(COUNT(*) AS BIGINT) AS n_words
+      |  FROM pw JOIN ws USING (term) GROUP BY 1),
+      |occ AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+      |        FROM ph GROUP BY 1)
+      |SELECT sc.phrase, n_words, n_occ,
+      |  ROUND(CAST(score AS DOUBLE), 6) AS score
+      |FROM sc JOIN occ USING (phrase)
+      |ORDER BY sc.score DESC, sc.phrase LIMIT 30""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_rake" -> rakeQ,
     "q_text_burstiness" -> burstinessQ,
     "q_text_kneser_ney" -> kneserNeyQ,
     "q_text_ctfidf" -> ctfidfQ,
@@ -371,6 +463,7 @@ object Colloc {
     "q_text_hapax" -> hapaxQ)
 
   def oracle: Map[String, String] = Map(
+    "q_text_rake" -> rakeSql,
     "q_text_burstiness" -> burstinessSql,
     "q_text_kneser_ney" -> kneserNeySql,
     "q_text_ctfidf" -> ctfidfSql,

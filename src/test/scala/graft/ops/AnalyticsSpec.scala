@@ -1377,6 +1377,45 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Double]("ap") > 0 && r.getAs[Double]("ap") <= 1)
   }
 
+  test("rake: phrase scores replay from a driver islands split; stopwords never appear") {
+    import spark.implicits._
+    val rows = Colloc.rakeQ(spark, sfDir).collect()
+    assert(rows.length == 30)
+    val stops = Set("the", "a", "of", "and", "to", "in")
+    rows.foreach { r =>
+      val words = r.getAs[String]("phrase").split(" ")
+      assert(words.forall(w => !stops(w)), s"stopword in ${r.getAs[String]("phrase")}")
+      assert(r.getAs[Long]("n_words") == words.length)
+    }
+    // driver replay: phrases per doc, word degree/freq, phrase scores
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"text").collect().map(_.getString(0).toLowerCase.split(" ").toSeq)
+    val phrases = docs.flatMap { toks =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      toks.foreach { t =>
+        if (stops(t)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur ::= t
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val degree = phrases.flatMap(p => p.map(_ -> p.length))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def ws(w: String) = BigDecimal(degree(w).toDouble / freq(w))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val scores = phrases.distinct
+      .map(p => p.mkString(" ") -> p.map(ws).sum).toMap
+    val occ = phrases.groupBy(_.mkString(" ")).view.mapValues(_.size).toMap
+    val top = scores.toSeq.sortBy { case (p, sc) => (-sc, p) }.take(30)
+    rows.zip(top).foreach { case (r, (p, sc)) =>
+      assert(r.getAs[String]("phrase") == p, s"rank order at $p")
+      assert(math.abs(r.getAs[Double]("score") - sc.toDouble) < 1e-5)
+      assert(r.getAs[Long]("n_occ") == occ(p))
+    }
+  }
+
   test("sax mindist: lower bound holds on every pair; cells match a symbol recompute") {
     import spark.implicits._
     val rows = TimeSeries.saxDistQ(spark, sfDir).collect()
