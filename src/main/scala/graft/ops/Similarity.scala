@@ -493,6 +493,45 @@ object Similarity {
       |SELECT query_id, vec_id, ROUND(cos, 6) AS score, CAST(rn AS INT) AS rn
       |FROM rk WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** q_similarity_mips entry: MAXIMUM-INNER-PRODUCT top-10 — the
+    * retrieval objective of recommender and two-tower ranking models,
+    * where vector NORM carries signal (popularity, confidence) and
+    * cosine's normalization would erase it; on this corpus the MIPS
+    * and cosine rankings genuinely differ. Same bounded
+    * [[TopKByScore]] shape as [[topk]]; the spec additionally proves
+    * the Shrivastava–Li norm-augmentation reduction (NeurIPS 2014):
+    * appending √(M²−‖x‖²) to corpus vectors and 0 to queries makes
+    * cosine order equal MIPS order — the published bridge that lets
+    * every cosine-ANN index here serve MIPS. */
+  def mipsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val c = e.filter($"vec_id" >= 10).select($"vec_id", $"v")
+    val scored = c.join(broadcast(q))
+      .withColumn("ip", dot($"qv", $"v"))
+    topkByKey(scored, 10, "query_id", "ip", "score", "rn")
+  }
+
+  val mipsSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+      |sc AS (
+      |  SELECT query_id, vec_id,
+      |    list_reduce(list_transform(range(1, 65), i -> qv[i] * v[i]),
+      |                (a, b) -> a + b) AS ip
+      |  FROM q, c),
+      |rk AS (
+      |  SELECT query_id, vec_id, ip,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ip DESC, vec_id ASC) AS rn
+      |  FROM sc)
+      |SELECT query_id, vec_id, ROUND(ip, 6) AS score, CAST(rn AS INT) AS rn
+      |FROM rk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
   /** q_embed_matryoshka entry: PREFIX-TRUNCATION retrieval-fidelity
     * audit — the check a Matryoshka-representation deployment (MRL,
     * Kusupati et al., NeurIPS 2022) runs before serving truncated
@@ -586,6 +625,7 @@ object Similarity {
     "q_embed_hard_negatives" -> hardNegativesQ,
     "q_embed_matryoshka" -> matryoshkaQ,
     "q_similarity_topk" -> topk,
+    "q_similarity_mips" -> mipsQ,
     "q_similarity_ann" -> annCheck,
     "q_similarity_ivf" -> ivfCheck,
     "q_similarity_ivf_search" -> ivfSearchCheck,
@@ -598,6 +638,7 @@ object Similarity {
     "q_embed_hard_negatives" -> hardNegativesSql,
     "q_embed_matryoshka" -> matryoshkaSql,
     "q_similarity_topk" -> topkSql,
+    "q_similarity_mips" -> mipsSql,
     "q_similarity_ann" -> recallCheckSql,
     "q_similarity_ivf" -> recallCheckSql,
     "q_similarity_ivf_search" -> recallCheckSql,

@@ -231,6 +231,37 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mips: driver replay; norm-augmentation makes cosine order equal MIPS order") {
+    import spark.implicits._
+    val rows = Similarity.mipsQ(spark, sfDir).collect()
+    val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val queries = vecs.filter(_._1 < 10)
+    val corpus = vecs.filter(_._1 >= 10)
+    def ip(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val got = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(got.size == 10 && got.values.forall(_.length == 10))
+    queries.foreach { case (qid, qv) =>
+      val want = corpus.map { case (id, v) => (id, ip(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSeq
+      val g = got(qid).sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("vec_id")).toSeq
+      assert(g == want, s"query $qid MIPS ranking")
+      // Shrivastava-Li reduction: augment corpus with sqrt(M^2-|x|^2),
+      // queries with 0; cosine order on augmented vectors = MIPS order
+      // (query norm is a per-query constant; corpus augmented norms all
+      // equal M, so cosine ∝ inner product)
+      val m = math.sqrt(corpus.map(v => ip(v._2, v._2)).max) + 1e-9
+      val augRank = corpus.map { case (id, v) =>
+        val aug = v :+ math.sqrt(m * m - ip(v, v))
+        val qa = qv :+ 0.0
+        (id, ip(qa, aug) / (math.sqrt(ip(qa, qa)) * math.sqrt(ip(aug, aug))))
+      }.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSeq
+      assert(augRank == want, s"query $qid augmentation equivalence")
+    }
+  }
+
   test("matryoshka: driver replay of truncated rankings; 64-dim control rows are perfect") {
     import spark.implicits._
     val rows = Similarity.matryoshkaQ(spark, sfDir).collect()
