@@ -132,10 +132,13 @@ object Retrieval {
       .withColumn("rnk", row_number().over(Window.orderBy($"sc".desc, $"doc_id")))
       .filter($"rnk" <= TopN)
     val smax = cand.agg(max($"sc").as("smax"))
+    // rounded DOUBLES, not round→decimal casts: nothing downstream sums
+    // these (they feed the bounded greedy solve and 6-dp output), and
+    // keeping them double keeps the output path clean for tools.Lint —
+    // the decimal cast here was a value-preserving round-trip anyway.
     val scored = cand.crossJoin(broadcast(smax))
       .select($"doc_id",
-        round($"sc".cast("double") / $"smax".cast("double"), 9)
-          .cast("decimal(18,9)").as("s"))
+        round($"sc".cast("double") / $"smax".cast("double"), 9).as("s"))
     val ctoks = scored.select($"doc_id")
       .join(Text.withToks(s, dir).select($"doc_id",
         array_distinct($"toks").as("ts")), "doc_id")
@@ -148,8 +151,7 @@ object Retrieval {
       .join(sizes.select($"doc_id".as("a"), $"nt".as("na")), "a")
       .join(sizes.select($"doc_id".as("b"), $"nt".as("nb")), "b")
       .select($"a", $"b",
-        round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 9)
-          .cast("decimal(18,9)").as("j"))
+        round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 9).as("j"))
     // bounded greedy solve over N candidates + ≤N² sims in one task
     val tagged = scored.select(lit(0).as("kind"), $"doc_id".as("a"),
         lit(-1L).as("b"), $"s".cast("double").as("v"))
@@ -216,9 +218,8 @@ object Retrieval {
        |    FROM po GROUP BY doc_id)
        |  WHERE rnk <= $TopN),
        |scored AS MATERIALIZED (
-       |  SELECT doc_id, CAST(ROUND(CAST(sc AS DOUBLE)
-       |    / (SELECT CAST(MAX(sc) AS DOUBLE) FROM cand), 9)
-       |    AS DECIMAL(18,9)) AS s
+       |  SELECT doc_id, ROUND(CAST(sc AS DOUBLE)
+       |    / (SELECT CAST(MAX(sc) AS DOUBLE) FROM cand), 9) AS s
        |  FROM cand),
        |ct AS MATERIALIZED (
        |  SELECT c.doc_id, unnest(list_distinct(tk.toks)) AS tok
@@ -227,8 +228,8 @@ object Retrieval {
        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM ct GROUP BY 1),
        |sims AS MATERIALIZED (
        |  SELECT x.doc_id AS a, y.doc_id AS b,
-       |    CAST(ROUND(CAST(COUNT(*) AS DOUBLE)
-       |      / (MIN(sa.nt) + MIN(sb.nt) - COUNT(*)), 9) AS DECIMAL(18,9)) AS j
+       |    ROUND(CAST(COUNT(*) AS DOUBLE)
+       |      / (MIN(sa.nt) + MIN(sb.nt) - COUNT(*)), 9) AS j
        |  FROM ct x JOIN ct y ON x.tok = y.tok AND x.doc_id < y.doc_id
        |    JOIN sz sa ON sa.doc_id = x.doc_id
        |    JOIN sz sb ON sb.doc_id = y.doc_id
@@ -373,13 +374,97 @@ object Retrieval {
        |FROM rk LEFT JOIN orig o ON o.doc_id = rk.doc_id
        |WHERE rk.rn <= 10 ORDER BY rn""".stripMargin
 
+  private val Mu = 500 // Dirichlet pseudo-count (μ)
+
+  /** q_search_qlm entry: DIRICHLET-SMOOTHED QUERY-LIKELIHOOD retrieval
+    * (Zhai & Lafferty, SIGIR 2001) — the language-modeling ranking
+    * function next to BM25: score(d) = Σ_t ln((tf + μ·cf_t/|C|) / (dl + μ)).
+    * Decomposed into its rank-equivalent postings form (Zhai's eq. 6,
+    * dropping the doc-independent Σ_t ln(μ·cf_t/|C|) constant):
+    * Σ_{t: tf>0} ln(1 + tf·|C|/(μ·cf_t)) − |q|·ln(dl + μ), so only
+    * posting hits and one doc-length term contribute — a doc with zero
+    * hits still scores (its length prior), which is what separates QLM
+    * from BM25's hits-only scoring and why μ doubles as the length
+    * normalizer. Emits the top-10 with per-doc hit counts.
+    *
+    * Scale shape: postings ∝ query hits ride the token explode's
+    * `isin` filter; the length term is a map-stage expression over the
+    * doc-length frame; top-10 is a distributed TakeOrdered, not a
+    * global window. Determinism: every ln argument is an exact
+    * integer-derived rational (one correctly-rounded double division),
+    * ln rounds to 9 dp before the DECIMAL(28,9) sum — the BM25
+    * contract. */
+  def qlmQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Text.withToks(s, dir).select($"doc_id", $"toks")
+    val dl = docs.select($"doc_id", size($"toks").cast("long").as("dl"))
+    val terms = docs.select($"doc_id", explode($"toks").as("term"))
+    val coll = terms.agg(count(lit(1)).as("c_total"))
+    val qterms = terms.filter($"term".isin(QTerms: _*))
+    val cf = qterms.groupBy($"term").agg(count(lit(1)).as("cf"))
+    val hits = qterms
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .join(broadcast(cf), "term").crossJoin(broadcast(coll))
+      .groupBy($"doc_id")
+      .agg(sum(round(log(lit(1.0) + ($"tf" * $"c_total") * lit(1.0)
+          / (lit(Mu.toDouble) * $"cf")), 9)
+        .cast("decimal(28,9)")).as("hit_score"),
+        count(lit(1)).cast("int").as("n_terms_hit"))
+    dl.join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"dl",
+        coalesce($"n_terms_hit", lit(0)).as("n_terms_hit"),
+        (coalesce($"hit_score", lit(BigDecimal(0)).cast("decimal(28,9)"))
+          - lit(QTerms.size) * round(log($"dl" + Mu), 9).cast("decimal(28,9)"))
+          .as("sc"))
+      .orderBy($"sc".desc, $"doc_id").limit(10)
+      .withColumn("rn", row_number().over(Window.orderBy($"sc".desc, $"doc_id")))
+      .select($"rn".cast("long").as("rn"), $"doc_id", $"dl", $"n_terms_hit",
+        round($"sc".cast("double"), 6).as("score"))
+      .orderBy($"rn")
+  }
+
+  val qlmSql: String = {
+    val terms = QTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, ${Text.toksSql} AS toks FROM documents),
+       |te AS MATERIALIZED (SELECT doc_id, unnest(toks) AS term FROM tk),
+       |dl AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+       |coll AS MATERIALIZED (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS c_total FROM te),
+       |cf AS MATERIALIZED (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM te
+       |  WHERE term IN ($terms) GROUP BY 1),
+       |hits AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    SUM(CAST(ROUND(LN(1.0 + (tf * c_total) * 1.0
+       |      / ($Mu.0 * cf)), 9) AS DECIMAL(28,9))) AS hit_score,
+       |    CAST(COUNT(*) AS INT) AS n_terms_hit
+       |  FROM (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM te
+       |        WHERE term IN ($terms) GROUP BY 1, 2)
+       |  JOIN cf USING (term), coll
+       |  GROUP BY doc_id),
+       |sc AS (
+       |  SELECT dl.doc_id, dl.dl, COALESCE(n_terms_hit, 0) AS n_terms_hit,
+       |    COALESCE(hit_score, CAST(0 AS DECIMAL(28,9)))
+       |      - ${QTerms.size} * CAST(ROUND(LN(dl.dl + $Mu), 9)
+       |        AS DECIMAL(28,9)) AS sc
+       |  FROM dl LEFT JOIN hits ON hits.doc_id = dl.doc_id)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS BIGINT)
+       |    AS rn,
+       |  doc_id, dl, n_terms_hit, ROUND(CAST(sc AS DOUBLE), 6) AS score
+       |FROM sc ORDER BY sc DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_eval_mrr" -> mrrQ,
     "q_search_mmr" -> mmrQ,
+    "q_search_qlm" -> qlmQ,
     "q_search_rocchio" -> rocchioQ)
 
   def oracle: Map[String, String] = Map(
     "q_eval_mrr" -> mrrSql,
     "q_search_mmr" -> mmrSql,
+    "q_search_qlm" -> qlmSql,
     "q_search_rocchio" -> rocchioSql)
 }

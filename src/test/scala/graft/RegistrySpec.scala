@@ -40,6 +40,10 @@ class RegistrySpec extends AnyFunSuite {
     "Centroids" -> graft.ops.Centroids.queries,
     "EmbedStats" -> graft.ops.EmbedStats.queries,
     "Skyline" -> graft.ops.Skyline.queries,
+    "Retrieval" -> graft.ops.Retrieval.queries,
+    "Winnow" -> graft.ops.Winnow.queries,
+    "Preference" -> graft.ops.Preference.queries,
+    "Isotonic" -> graft.ops.Isotonic.queries,
     "Patterns" -> graft.ops.Patterns.queries,
     "Pca" -> graft.ops.Pca.queries,
     "Pii" -> graft.ops.Pii.queries,

@@ -1741,6 +1741,42 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("qlm: Dirichlet query-likelihood top-10 matches a full driver replay; length prior orders zero-hit docs") {
+    import spark.implicits._
+    val got = Retrieval.qlmQ(spark, sfDir).collect()
+    assert(got.length == 10)
+    assert(got.map(_.getAs[Long]("rn")).toSeq == (1L to 10L))
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ").toSeq))
+    val qterms = Seq("dup", "vector", "spark")
+    val cTotal = docs.map(_._2.length.toLong).sum
+    val cf = qterms.map(t => t -> docs.map(_._2.count(_ == t).toLong).sum).toMap
+    val mu = 500
+    def r9(d: Double) = BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val scored = docs.map { case (id, ts) =>
+      val hits = qterms.map(t => t -> ts.count(_ == t).toLong).filter(_._2 > 0)
+      val hitScore = hits.map { case (t, tf) =>
+        r9(math.log(1.0 + (tf * cTotal) * 1.0 / (mu.toDouble * cf(t)))) }.sum
+      val sc = hitScore - 3 * r9(math.log(ts.length + mu.toDouble))
+      (id, ts.length.toLong, hits.length, sc)
+    }.sortBy { case (id, _, _, sc) => (-sc, id) }.take(10)
+    got.zip(scored).foreach { case (r, (id, dl, nh, sc)) =>
+      assert(r.getAs[Long]("doc_id") == id)
+      assert(r.getAs[Long]("dl") == dl)
+      assert(r.getAs[Int]("n_terms_hit") == nh)
+      assert(math.abs(r.getAs[Double]("score") - sc.toDouble) < 1e-6)
+    }
+    // the decomposition keeps the length prior alive for zero-hit docs:
+    // among zero-hit docs the score must be strictly decreasing in dl
+    val zero = scored.filter(_._3 == 0).toSeq
+    zero.sliding(2).foreach {
+      case Seq((_, d1, _, s1), (_, d2, _, s2)) =>
+        if (d1 < d2) assert(s1 > s2) else if (d1 > d2) assert(s1 < s2)
+      case _ =>
+    }
+  }
+
   test("mmr: greedy replay matches the pick sequence; picks are distinct and bounded") {
     import spark.implicits._
     val rows = Retrieval.mmrQ(spark, sfDir).collect()
