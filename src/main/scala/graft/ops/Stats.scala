@@ -1866,7 +1866,109 @@ object Stats {
       |  ROUND(n / (n + strength), 6) AS self_weight
       |FROM pn, st ORDER BY n_name""".stripMargin
 
+  /** q_stat_levene entry: BROWN–FORSYTHE variance-equality test across
+    * the five event types (Levene's test with the group MEDIAN as the
+    * center — the robust form actually recommended since Brown &
+    * Forsythe 1974). The test every pooled-variance procedure (ANOVA,
+    * pooled t) should run first: W is the one-way ANOVA F statistic
+    * computed on z_ij = |x_ij − med_j|.
+    *
+    * Exactness contract: centers are the LOWER MEDIAN (the
+    * ⌈n/2⌉-th ordered value — `percentile_disc`' s choice), so med_j,
+    * z_ij, and z² are exact cents/cent² decimals; the power sums merge
+    * exactly and W reduces to a few correctly-rounded double ops at the
+    * very end — the [[anovaQ]] discipline applied to deviations.
+    *
+    * Scale shape: one per-group ordered window for the median (5 keys —
+    * at a real corpus this is the exact-percentile family's documented
+    * n·log n pass; an approx-quantile center is the 100-TB variant),
+    * medians broadcast back as a 5-row frame, then one combinable
+    * conditional-sum pass. */
+  def leveneQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ev = t(s, dir, "events")
+      .select($"event_type", $"value".cast("decimal(18,2)").as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"x")
+    val med = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_type")))
+      .filter($"rn" === floor(($"cnt" + 1) / 2))
+      .select($"event_type", $"x".as("med"))
+    val z = ev.join(broadcast(med), "event_type")
+      .select($"event_type", abs($"x" - $"med").as("z"), $"med")
+    val aggs = types.flatMap { tp =>
+      val m = $"event_type" === tp
+      Seq(sum(when(m, 1L).otherwise(0L)).as(s"n_$tp"),
+        sum(when(m, $"z")).as(s"s_$tp"),
+        sum(when(m, $"z" * $"z")).as(s"q_$tp"),
+        max(when(m, $"med")).as(s"med_$tp"))
+    }
+    val one = z.agg(aggs.head, aggs.tail: _*)
+    val n = types.map(tp => col(s"n_$tp")).reduce(_ + _)
+    val sAll = types.map(tp => col(s"s_$tp").cast("double")).reduce(_ + _)
+    val ssb = types.map(tp =>
+      col(s"s_$tp").cast("double") * col(s"s_$tp").cast("double")
+        / col(s"n_$tp")).reduce(_ + _) - sAll * sAll / n
+    val ssw = types.map(tp =>
+      col(s"q_$tp").cast("double") - col(s"s_$tp").cast("double")
+        * col(s"s_$tp").cast("double") / col(s"n_$tp")).reduce(_ + _)
+    val medCols = types.map(tp =>
+      col(s"med_$tp").cast("double").as(s"med_$tp"))
+    one.select(Seq(
+        n.cast("long").as("n"), lit(types.size.toLong).as("k"),
+        round(ssb, 6).as("ss_between"),
+        round(ssw, 6).as("ss_within"),
+        when(ssw > 0.0,
+          round((ssb / (types.size - 1)) / (ssw / (n - types.size)), 6))
+          .as("w_stat")) ++ medCols: _*)
+  }
+
+  val leveneSql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val aggs = types.flatMap { tp =>
+      Seq(s"SUM(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS n_$tp",
+        s"SUM(CASE WHEN event_type = '$tp' THEN z END) AS s_$tp",
+        s"SUM(CASE WHEN event_type = '$tp' THEN z * z END) AS q_$tp",
+        s"MAX(CASE WHEN event_type = '$tp' THEN med END) AS med_$tp")
+    }
+    val n = types.map(tp => s"n_$tp").mkString(" + ")
+    val sAll = types.map(tp => s"CAST(s_$tp AS DOUBLE)").mkString(" + ")
+    val ssb = types.map(tp =>
+      s"CAST(s_$tp AS DOUBLE) * CAST(s_$tp AS DOUBLE) / n_$tp")
+      .mkString(" + ") + s" - ($sAll) * ($sAll) / ($n)"
+    val ssw = types.map(tp =>
+      s"CAST(q_$tp AS DOUBLE) - CAST(s_$tp AS DOUBLE) * CAST(s_$tp AS DOUBLE) / n_$tp")
+      .mkString(" + ")
+    val medSel = types.map(tp =>
+      s"CAST(med_$tp AS DOUBLE) AS med_$tp").mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x FROM events),
+       |med AS MATERIALIZED (
+       |  SELECT event_type, x AS med FROM (
+       |    SELECT event_type, x,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+       |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+       |    FROM ev)
+       |  WHERE rn = (cnt + 1) // 2),
+       |z AS (
+       |  SELECT e.event_type, ABS(e.x - m.med) AS z, m.med
+       |  FROM ev e JOIN med m USING (event_type)),
+       |a AS (SELECT ${aggs.mkString(",\n    ")} FROM z)
+       |SELECT CAST($n AS BIGINT) AS n, CAST(${types.size} AS BIGINT) AS k,
+       |  ROUND($ssb, 6) AS ss_between,
+       |  ROUND($ssw, 6) AS ss_within,
+       |  CASE WHEN ($ssw) > 0.0 THEN
+       |    ROUND((($ssb) / ${types.size - 1}) / (($ssw) / (($n) - ${types.size})), 6)
+       |  END AS w_stat,
+       |  $medSel
+       |FROM a""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_levene" -> leveneQ,
     "q_stat_shrinkage" -> shrinkageQ,
     "q_stat_sprt" -> sprtQ,
     "q_eval_conformal" -> conformalQ,
@@ -1893,6 +1995,7 @@ object Stats {
     "q_ts_acf" -> acfQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_levene" -> leveneSql,
     "q_stat_shrinkage" -> shrinkageSql,
     "q_stat_sprt" -> sprtSql,
     "q_eval_conformal" -> conformalSql,

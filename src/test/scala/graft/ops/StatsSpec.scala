@@ -266,6 +266,39 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Double]("df_welch") >= lo && r.getAs[Double]("df_welch") <= hi)
   }
 
+  test("levene (brown-forsythe): W matches a driver recompute over |x - group lower median|") {
+    import spark.implicits._
+    val r = Stats.leveneQ(spark, sfDir).collect().head
+    val all = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", $"value").collect()
+      .map(x => (x.getString(0), BigDecimal(x.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val groups = all.groupBy(_._1)
+    // lower median = the ceil(n/2)-th ordered value, exactly as the query
+    val med = groups.map { case (tp, g) =>
+      val sorted = g.map(_._2).sorted
+      tp -> sorted((sorted.length + 1) / 2 - 1)
+    }
+    med.foreach { case (tp, m) =>
+      assert(r.getAs[Double](s"med_$tp") == m.toDouble, s"median $tp") }
+    val z = all.map { case (tp, x) => (tp, (x - med(tp)).abs) }
+    val n = z.length
+    val zAll = z.map(_._2).sum
+    val gm = zAll.toDouble / n
+    val zg = z.groupBy(_._1)
+    val ssb = zg.values.map { g =>
+      val m = g.map(_._2).sum.toDouble / g.length
+      g.length * (m - gm) * (m - gm) }.sum
+    val ssw = zg.values.map { g =>
+      val m = g.map(_._2).sum.toDouble / g.length
+      g.map(x => (x._2.toDouble - m) * (x._2.toDouble - m)).sum }.sum
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("k") == zg.size)
+    assert(math.abs(r.getAs[Double]("ss_between") - ssb) < 1e-3 * (1 + ssb))
+    assert(math.abs(r.getAs[Double]("ss_within") - ssw) < 1e-3 * (1 + ssw))
+    val wExp = (ssb / (zg.size - 1)) / (ssw / (n - zg.size))
+    assert(math.abs(r.getAs[Double]("w_stat") - wExp) < 1e-4 * (1 + wExp))
+  }
+
   test("anova: sum-of-squares decomposition equals total SS and F matches a recompute") {
     import spark.implicits._
     val r = Stats.anovaQ(spark, sfDir).collect().head
