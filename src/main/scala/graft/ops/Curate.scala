@@ -377,7 +377,122 @@ object Curate {
       |SELECT c_custkey, p_brand AS neg_brand, CAST(rk AS INT) AS rk
       |FROM rk WHERE rk <= 5 ORDER BY c_custkey, rk""".stripMargin
 
+  /** q_curate_budget entry: TOKEN-BUDGET GREEDY SELECTION per source —
+    * the knapsack every training-mix build solves: given a per-source
+    * token budget (here 50% of the source's tokens, scale-free), take
+    * documents in density order (distinct-tokens per token — "novel
+    * token yield per token paid", the TTR) until the budget is spent.
+    * Greedy-by-density is the fractional-knapsack optimum; the integral
+    * prefix rule used here (take while the running total fits, stop at
+    * the first overflow) is its standard LP-relaxation rounding, and
+    * the first rejected doc is reported per source so the rounding gap
+    * is visible in the result.
+    *
+    * Output per source: corpus size, budget, selected count/tokens,
+    * budget utilization, the distinct-token yield bought, the density
+    * cut where the budget ran out, and the first-reject doc.
+    *
+    * Scale shape: per-doc stats are a map stage; budgets are one
+    * combinable agg broadcast back (one row per source); the greedy is
+    * ONE ranked window per source over (density, doc_id) — the same
+    * exchange the curriculum build pays. Density ordering uses 9-dp
+    * rounded doubles (identical in both engines), ties on doc_id. */
+  def budgetQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"density".desc, $"doc_id")
+    val docs = Text.withToks(s, dir)
+      .select($"doc_id", $"source", size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("n_uniq"))
+      .withColumn("density",
+        round($"n_uniq".cast("double") / $"n_tokens", 9))
+    val budgets = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+      .withColumn("budget", floor($"total_tokens" / 2).cast("long"))
+    val ranked = docs.join(broadcast(budgets), "source")
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("take", $"cum_tokens" <= $"budget")
+    ranked.groupBy($"source")
+      .agg(max($"n_docs").as("n_docs"),
+        max($"total_tokens").as("total_tokens"),
+        max($"budget").as("budget"),
+        sum(when($"take", 1L).otherwise(0L)).as("n_selected"),
+        sum(when($"take", $"n_tokens").otherwise(0L)).as("tokens_selected"),
+        sum(when($"take", $"n_uniq").otherwise(0L)).as("uniq_yield"),
+        min(when($"take", $"density")).as("density_cut"))
+      .join(
+        ranked.filter(!$"take")
+          .withColumn("rj", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"source")
+              .orderBy($"rn")))
+          .filter($"rj" === 1)
+          .select($"source", $"doc_id".as("first_reject_doc"),
+            $"n_tokens".as("first_reject_tokens")),
+        Seq("source"), "left")
+      .select($"source", $"n_docs", $"total_tokens", $"budget",
+        $"n_selected", $"tokens_selected",
+        round($"tokens_selected".cast("double") / $"budget", 6)
+          .as("utilization"),
+        $"uniq_yield", $"density_cut",
+        coalesce($"first_reject_doc", lit(-1L)).as("first_reject_doc"),
+        coalesce($"first_reject_tokens", lit(0L)).as("first_reject_tokens"))
+      .orderBy($"source")
+  }
+
+  val budgetSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(${graft.ops.Text.toksSql}) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(${graft.ops.Text.toksSql})) AS BIGINT)
+       |      AS n_uniq
+       |  FROM documents),
+       |dd AS (
+       |  SELECT *, ROUND(CAST(n_uniq AS DOUBLE) / n_tokens, 9) AS density
+       |  FROM d),
+       |b AS (
+       |  SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       |    CAST(FLOOR(SUM(n_tokens) / 2) AS BIGINT) AS budget
+       |  FROM dd GROUP BY 1),
+       |rk AS (
+       |  SELECT dd.*, b.n_docs, b.total_tokens, b.budget,
+       |    SUM(n_tokens) OVER (PARTITION BY dd.source
+       |      ORDER BY density DESC, doc_id) AS cum_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY dd.source
+       |      ORDER BY density DESC, doc_id) AS rn
+       |  FROM dd JOIN b USING (source)),
+       |sel AS (
+       |  SELECT source, MAX(n_docs) AS n_docs,
+       |    MAX(total_tokens) AS total_tokens, MAX(budget) AS budget,
+       |    SUM(CASE WHEN cum_tokens <= budget THEN 1 ELSE 0 END)
+       |      AS n_selected,
+       |    SUM(CASE WHEN cum_tokens <= budget THEN n_tokens ELSE 0 END)
+       |      AS tokens_selected,
+       |    SUM(CASE WHEN cum_tokens <= budget THEN n_uniq ELSE 0 END)
+       |      AS uniq_yield,
+       |    MIN(CASE WHEN cum_tokens <= budget THEN density END)
+       |      AS density_cut
+       |  FROM rk GROUP BY 1),
+       |rej AS (
+       |  SELECT source, doc_id AS first_reject_doc,
+       |    n_tokens AS first_reject_tokens
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |          ORDER BY rn) AS rj
+       |        FROM rk WHERE cum_tokens > budget)
+       |  WHERE rj = 1)
+       |SELECT sel.source, n_docs,
+       |  CAST(total_tokens AS BIGINT) AS total_tokens, budget,
+       |  CAST(n_selected AS BIGINT) AS n_selected,
+       |  CAST(tokens_selected AS BIGINT) AS tokens_selected,
+       |  ROUND(CAST(tokens_selected AS DOUBLE) / budget, 6) AS utilization,
+       |  CAST(uniq_yield AS BIGINT) AS uniq_yield, density_cut,
+       |  COALESCE(first_reject_doc, -1) AS first_reject_doc,
+       |  COALESCE(first_reject_tokens, 0) AS first_reject_tokens
+       |FROM sel LEFT JOIN rej ON rej.source = sel.source
+       |ORDER BY sel.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curate_budget" -> budgetQ,
     "q_sample_dsir" -> dsirQ,
     "q_sample_negatives" -> negativesQ,
     "q_pipeline_curate" -> curateQ,
@@ -386,6 +501,7 @@ object Curate {
     "q_curate_curriculum" -> curriculumQ)
 
   def oracle: Map[String, String] = Map(
+    "q_curate_budget" -> budgetSql,
     "q_sample_dsir" -> dsirSql,
     "q_sample_negatives" -> negativesSql,
     "q_pipeline_curate" -> curateSql,

@@ -729,6 +729,38 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       s"repetition ${p(900001L)} vs novel ${p(900002L)}")
   }
 
+  test("budget selection: greedy prefix matches a driver knapsack replay per source") {
+    import spark.implicits._
+    val got = Curate.budgetQ(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"source", $"text").collect()
+      .map { r =>
+        val toks = r.getString(2).toLowerCase.split(" ").toSeq
+        (r.getLong(0), r.getString(1), toks.length.toLong,
+          toks.distinct.length.toLong)
+      }
+    docs.groupBy(_._2).foreach { case (src, g) =>
+      def d9(u: Long, n: Long) = BigDecimal(u.toDouble / n)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val budget = g.map(_._3).sum / 2
+      val order = g.sortBy { case (id, _, n, u) => (-d9(u, n), id) }
+      var cum = 0L
+      val taken = order.takeWhile { case (_, _, n, _) => cum += n; cum <= budget }
+      val r = got(src)
+      assert(r.getAs[Long]("budget") == budget, s"$src budget")
+      assert(r.getAs[Long]("n_selected") == taken.length, s"$src n_selected")
+      assert(r.getAs[Long]("tokens_selected") == taken.map(_._3).sum)
+      assert(r.getAs[Long]("uniq_yield") == taken.map(_._4).sum)
+      // the greedy is budget-feasible and the FIRST reject would overflow
+      assert(r.getAs[Long]("tokens_selected") <= budget)
+      val rej = order.drop(taken.length).headOption
+      assert(r.getAs[Long]("first_reject_doc") == rej.map(_._1).getOrElse(-1L))
+      rej.foreach { rj =>
+        assert(taken.map(_._3).sum + rj._3 > budget, s"$src reject overflow") }
+    }
+  }
+
   test("curriculum: phases partition each language track and quartile cuts are respected") {
     val rows = Curate.curriculumQ(spark, sfDir).collect()
     assert(rows.nonEmpty)
