@@ -922,6 +922,98 @@ object TimeSeries {
       |  ROUND(l + b, 6) AS forecast
       |FROM rec WHERE i = n + 1 ORDER BY event_type""".stripMargin
 
+  /** q_ts_holt_winters entry: ADDITIVE HOLT–WINTERS (triple exponential
+    * smoothing, period m = 7) over each event type's daily counts —
+    * [[holtQ]] plus the seasonal component, i.e. the classical
+    * forecaster for anything with a weekly rhythm. Standard two-season
+    * initialization: l₀ = mean(week 1), b₀ = (mean(week 2) −
+    * mean(week 1))/7, s_i = x_i − l₀; updates (α=.5, β=.3, γ=.2) run
+    * from day 15:
+    * l_t = α(x_t − s_{t−7}) + (1−α)(l_{t−1} + b_{t−1}),
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1},
+    * s_t = γ(x_t − l_t) + (1−γ)s_{t−7}.
+    *
+    * Determinism is the [[holtQ]] contract: the recurrence runs as ONE
+    * sequential fold per series (Spark `aggregate` vs DuckDB recursive
+    * CTE) with every compound expression expanded identically, so both
+    * engines execute the same IEEE sequence; the rotating 7-slot
+    * seasonal state is an in-fold array. Scale shape: one combinable
+    * daily rollup, then one bounded per-series fold; series parallelize
+    * across keys. */
+  def holtWintersQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("c"))
+    daily.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"d", $"c"))).as("arr"))
+      .withColumn("xs", expr("transform(arr, e -> cast(e.c as double))"))
+      .filter(size($"xs") >= 15)
+      .withColumn("l0", expr(
+        "(xs[0]+xs[1]+xs[2]+xs[3]+xs[4]+xs[5]+xs[6])/7"))
+      .withColumn("b0", expr(
+        "((xs[7]+xs[8]+xs[9]+xs[10]+xs[11]+xs[12]+xs[13])/7 - l0)/7"))
+      .withColumn("seas0", expr("transform(slice(xs, 1, 7), v -> v - l0)"))
+      .withColumn("st", expr(
+        """aggregate(slice(xs, 15, size(xs) - 14),
+          |  named_struct('l', l0, 'b', b0, 'seas', seas0),
+          |  (st, x) -> named_struct(
+          |    'l', 0.5 * (x - st.seas[0]) + 0.5 * (st.l + st.b),
+          |    'b', 0.3 * ((0.5 * (x - st.seas[0]) + 0.5 * (st.l + st.b))
+          |           - st.l) + 0.7 * st.b,
+          |    'seas', concat(slice(st.seas, 2, 6), array(
+          |      0.2 * (x - (0.5 * (x - st.seas[0]) + 0.5 * (st.l + st.b)))
+          |        + 0.8 * st.seas[0]))))""".stripMargin))
+      .select($"event_type",
+        size($"xs").cast("long").as("n_days"),
+        round($"st.l", 6).as("level"),
+        round($"st.b", 6).as("trend"),
+        round(expr("st.seas[0]"), 6).as("season_next"),
+        round(expr("st.l + st.b + st.seas[0]"), 6).as("forecast"),
+        round(expr("array_max(st.seas) - array_min(st.seas)"), 6)
+          .as("seasonal_amplitude"))
+      .orderBy($"event_type")
+  }
+
+  val holtWintersSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |arr AS (
+      |  SELECT event_type,
+      |    list_transform(list(c ORDER BY d), v -> CAST(v AS DOUBLE)) AS a
+      |  FROM daily GROUP BY 1),
+      |init0 AS (
+      |  SELECT event_type, CAST(len(a) AS BIGINT) AS n, a,
+      |    (a[1]+a[2]+a[3]+a[4]+a[5]+a[6]+a[7])/7 AS l0
+      |  FROM arr WHERE len(a) >= 15),
+      |init AS (
+      |  SELECT event_type, n, a, l0,
+      |    ((a[8]+a[9]+a[10]+a[11]+a[12]+a[13]+a[14])/7 - l0)/7 AS b0,
+      |    list_transform(a[1:7], v -> v - l0) AS seas0
+      |  FROM init0),
+      |idx AS (
+      |  SELECT event_type, unnest(a) AS x,
+      |    unnest(range(1, len(a) + 1)) AS i
+      |  FROM init),
+      |rec(event_type, i, n, l, b, seas) AS (
+      |  SELECT event_type, 15, n, l0, b0, seas0 FROM init
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1, r.n,
+      |    0.5 * (d.x - r.seas[1]) + 0.5 * (r.l + r.b),
+      |    0.3 * ((0.5 * (d.x - r.seas[1]) + 0.5 * (r.l + r.b)) - r.l)
+      |      + 0.7 * r.b,
+      |    r.seas[2:7] || [0.2 * (d.x - (0.5 * (d.x - r.seas[1])
+      |      + 0.5 * (r.l + r.b))) + 0.8 * r.seas[1]]
+      |  FROM rec r JOIN idx d ON d.event_type = r.event_type AND d.i = r.i
+      |  WHERE r.i <= r.n)
+      |SELECT event_type, n AS n_days,
+      |  ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+      |  ROUND(seas[1], 6) AS season_next,
+      |  ROUND(l + b + seas[1], 6) AS forecast,
+      |  ROUND(list_max(seas) - list_min(seas), 6) AS seasonal_amplitude
+      |FROM rec WHERE i = n + 1 ORDER BY event_type""".stripMargin
+
   /** q_ts_backtest entry: rolling-origin ONE-STEP-AHEAD forecast
     * BACKTEST — the evaluation loop that decides whether a forecaster
     * is allowed to page anyone: for each event type's daily series,
@@ -1168,6 +1260,7 @@ object TimeSeries {
     "q_ts_backtest" -> backtestQ,
     "q_ts_xcorr" -> xcorrQ,
     "q_ts_holt" -> holtQ,
+    "q_ts_holt_winters" -> holtWintersQ,
     "q_ts_theilsen" -> theilSenQ,
     "q_ts_expfit" -> expfitQ,
     "q_ts_decompose" -> decomposeQ,
@@ -1186,6 +1279,7 @@ object TimeSeries {
     "q_ts_backtest" -> backtestSql,
     "q_ts_xcorr" -> xcorrSql,
     "q_ts_holt" -> holtSql,
+    "q_ts_holt_winters" -> holtWintersSql,
     "q_ts_theilsen" -> theilSenSql,
     "q_ts_expfit" -> expfitSql,
     "q_ts_decompose" -> decomposeSql,

@@ -591,6 +591,38 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("holt-winters: level/trend/seasonal state equal a sequential driver fold with a rotating 7-slot buffer") {
+    import spark.implicits._
+    val rows = TimeSeries.holtWintersQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.t(spark, sfDir, "events")
+      .groupBy($"event_type", to_date($"ts").as("d")).count()
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val ty = r.getAs[String]("event_type")
+      val xs = daily(ty).sortBy(_._2.toEpochDay).map(_._3.toDouble)
+      assert(xs.length >= 15 && r.getAs[Long]("n_days") == xs.length)
+      var l = (xs(0) + xs(1) + xs(2) + xs(3) + xs(4) + xs(5) + xs(6)) / 7
+      var b = ((xs(7) + xs(8) + xs(9) + xs(10) + xs(11) + xs(12) + xs(13)) / 7 - l) / 7
+      var seas = xs.take(7).map(_ - l).toVector
+      xs.drop(14).foreach { x =>
+        val sh = seas.head
+        val l2 = 0.5 * (x - sh) + 0.5 * (l + b)
+        b = 0.3 * (l2 - l) + 0.7 * b
+        val s2 = 0.2 * (x - l2) + 0.8 * sh
+        seas = seas.tail :+ s2
+        l = l2
+      }
+      assert(math.abs(r.getAs[Double]("level") - l) < 1e-5, s"$ty level")
+      assert(math.abs(r.getAs[Double]("trend") - b) < 1e-5, s"$ty trend")
+      assert(math.abs(r.getAs[Double]("season_next") - seas.head) < 1e-5)
+      assert(math.abs(r.getAs[Double]("forecast") - (l + b + seas.head)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("seasonal_amplitude") -
+        (seas.max - seas.min)) < 1e-5)
+    }
+  }
+
   test("power: n_required matches the closed-form two-proportion formula from the observed rates") {
     val r = Stats.powerQ(spark, sfDir).collect().head
     val (p1, p2) = (r.getAs[Double]("rate_a"), r.getAs[Double]("rate_b"))
