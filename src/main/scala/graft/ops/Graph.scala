@@ -718,6 +718,141 @@ object Graph {
     * [[tradeEdges]]'s checkpointed collapse; all graph-side frames are
     * node/edge-bounded and broadcast; the 1-row total-weight frame is a
     * whitelisted broadcast cross join. */
+  /** q_graph_communities entry: weighted synchronous LABEL-PROPAGATION
+    * community detection (Raghavan–Albert–Kumara 2007) over the
+    * p90-strong undirected trade graph — three synchronized rounds
+    * where every node adopts the label with the LARGEST incident edge
+    * weight among its neighbors (tie → smallest label), then a
+    * modularity readout of the discovered partition (the same
+    * q_contrib arithmetic as [[modularityQ]], whose partition is
+    * region-GIVEN; here the partition is LEARNED from edge structure).
+    * Min-label propagation finds connected components; weighted
+    * mode-label propagation is what finds communities — the round is
+    * one aggregate + one per-node argmax window, the Pregel step shape.
+    *
+    * Determinism: synchronous rounds (no update-order dependence), a
+    * fixed round budget (a snapshot, since raw LPA may oscillate), and
+    * the (weight DESC, label ASC) argmax tie-break — all integer
+    * weights, zero FP until the final q_contrib division. Scale shape:
+    * each round exchanges the edge-bounded (node, lbl) frame; labels
+    * broadcast back for the readout; the 1-row threshold/total frames
+    * are whitelisted broadcasts. */
+  def communitiesQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val und = tradeEdges(s, dir).filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"),
+        greatest($"src", $"dst").as("v"), $"w")
+      .groupBy($"u", $"v").agg(sum($"w").as("w"))
+    val wAll = Window.partitionBy(lit(0))
+    val thr = und
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"w", $"u", $"v")))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter($"rn" === expr("(90 * n + 99) div 100"))
+      .select($"w".as("thr"))
+    val strong = und.join(broadcast(thr), $"w" >= $"thr")
+      .select($"u", $"v", $"w")
+    val sym = strong.select($"u".as("node"), $"v".as("nbr"), $"w")
+      .unionByName(strong.select($"v".as("node"), $"u".as("nbr"), $"w"))
+    def lpaRound(labels: DataFrame): DataFrame = {
+      val wArg = Window.partitionBy($"node").orderBy($"ws".desc, $"lbl")
+      sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy($"node", $"lbl").agg(sum($"w").as("ws"))
+        .withColumn("rn", row_number().over(wArg))
+        .filter($"rn" === 1)
+        .select($"node", $"lbl")
+    }
+    val l0 = sym.select($"node").distinct().select($"node", $"node".as("lbl"))
+    val l3 = lpaRound(lpaRound(lpaRound(l0)))
+    val total = strong.agg(sum($"w").as("m")) // 1-row broadcast (whitelist)
+    val tagged = strong
+      .join(broadcast(l3.select($"node".as("u"), $"lbl".as("cu"))), "u")
+      .join(broadcast(l3.select($"node".as("v"), $"lbl".as("cv"))), "v")
+    val inW = tagged.filter($"cu" === $"cv")
+      .groupBy($"cu".as("community")).agg(sum($"w").as("in_w"))
+    val degW = sym.join(broadcast(l3), "node")
+      .groupBy($"lbl".as("community")).agg(sum($"w").as("deg_w"))
+    val sizes = l3.groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_members"))
+    sizes.join(degW, Seq("community"), "left")
+      .join(inW, Seq("community"), "left")
+      .crossJoin(broadcast(total))
+      .select($"community", $"n_members",
+        coalesce($"in_w", lit(0L)).cast("long").as("in_w"),
+        coalesce($"deg_w", lit(0L)).cast("long").as("deg_w"),
+        round(coalesce($"in_w", lit(0L)).cast("double") / $"m".cast("double")
+          - (coalesce($"deg_w", lit(0L)).cast("double") /
+              (lit(2.0) * $"m".cast("double"))) *
+            (coalesce($"deg_w", lit(0L)).cast("double") /
+              (lit(2.0) * $"m".cast("double"))), 6).as("q_contrib"))
+      .orderBy($"community")
+  }
+
+  val communitiesSql: String = {
+    def lpa(prev: String, cur: String): String =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT s.node, l.lbl, SUM(s.w) AS ws,
+         |      ROW_NUMBER() OVER (PARTITION BY s.node
+         |        ORDER BY SUM(s.w) DESC, l.lbl) AS rn
+         |    FROM sym s JOIN $prev l ON l.node = s.nbr
+         |    GROUP BY s.node, l.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |  WHERE cn.n_name <> sn.n_name
+       |  GROUP BY 1, 2),
+       |und AS (
+       |  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, SUM(w) AS w
+       |  FROM e GROUP BY 1, 2),
+       |st AS (
+       |  SELECT w AS thr FROM (
+       |    SELECT w, ROW_NUMBER() OVER (ORDER BY w, u, v) AS rn,
+       |      COUNT(*) OVER () AS n
+       |    FROM und)
+       |  WHERE rn = (90 * n + 99) // 100),
+       |strong AS MATERIALIZED (
+       |  SELECT u, v, w FROM und, st WHERE w >= thr),
+       |sym AS MATERIALIZED (
+       |  SELECT u AS node, v AS nbr, w FROM strong
+       |  UNION ALL SELECT v AS node, u AS nbr, w FROM strong),
+       |l0 AS (SELECT DISTINCT node, node AS lbl FROM sym),
+       |${lpa("l0", "l1")},
+       |${lpa("l1", "l2")},
+       |${lpa("l2", "l3")},
+       |tot AS (SELECT SUM(w) AS m FROM strong),
+       |inw AS (
+       |  SELECT lu.lbl AS community, SUM(strong.w) AS in_w
+       |  FROM strong
+       |  JOIN l3 lu ON strong.u = lu.node
+       |  JOIN l3 lv ON strong.v = lv.node
+       |  WHERE lu.lbl = lv.lbl GROUP BY 1),
+       |degw AS (
+       |  SELECT l.lbl AS community, SUM(s.w) AS deg_w
+       |  FROM sym s JOIN l3 l ON l.node = s.node GROUP BY 1),
+       |sizes AS (
+       |  SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM l3 GROUP BY 1)
+       |SELECT sizes.community, n_members,
+       |  CAST(COALESCE(in_w, 0) AS BIGINT) AS in_w,
+       |  CAST(COALESCE(deg_w, 0) AS BIGINT) AS deg_w,
+       |  ROUND(CAST(COALESCE(in_w, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+       |    - (CAST(COALESCE(deg_w, 0) AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+       |      * (CAST(COALESCE(deg_w, 0) AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))),
+       |    6) AS q_contrib
+       |FROM sizes
+       |LEFT JOIN degw ON degw.community = sizes.community
+       |LEFT JOIN inw ON inw.community = sizes.community, tot
+       |ORDER BY sizes.community""".stripMargin
+  }
+
   def modularityQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val und = tradeEdges(s, dir).filter($"src" =!= $"dst")
@@ -1159,6 +1294,7 @@ object Graph {
     "q_graph_closeness" -> closenessQ,
     "q_graph_assortativity" -> assortativityQ,
     "q_graph_modularity" -> modularityQ,
+    "q_graph_communities" -> communitiesQ,
     "q_graph_hits" -> hitsQ,
     "q_graph_pagerank" -> pagerankQ,
     "q_graph_triangles" -> trianglesQ,
@@ -1171,6 +1307,7 @@ object Graph {
     "q_graph_closeness" -> closenessSql,
     "q_graph_assortativity" -> assortativitySql,
     "q_graph_modularity" -> modularitySql,
+    "q_graph_communities" -> communitiesSql,
     "q_graph_hits" -> hitsSql,
     "q_graph_pagerank" -> pagerankSql,
     "q_graph_triangles" -> trianglesSql,

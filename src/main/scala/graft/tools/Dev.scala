@@ -149,6 +149,7 @@ object Dev {
           "q_label_churn" -> "1-row cutoff-timestamp frame",
           "q_graph_assortativity" -> "1-row p75 threshold frame over the node-bounded edge list",
           "q_graph_modularity" -> "1-row total-weight frame over the 5-region partition table",
+          "q_graph_communities" -> "1-row p90 threshold + 1-row total-weight frames over the node-bounded edge list",
           "q_stat_bh" -> "1-row (N, X) totals frame over the |types|-row test table",
           "q_text_ctfidf" -> "1-row average-class-size frame over the vocab-bounded weight table",
           "q_text_heaps" -> "1-row max-id frame + 1-row regression-fit frame over the 16-row grid",

@@ -294,6 +294,60 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(regionOf.values.toSet.size == 5)
   }
 
+  test("communities: 3-round weighted LPA matches a driver replay; partition identities hold") {
+    import spark.implicits._
+    val rows = Graph.communitiesQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // driver replay: rebuild the p90-strong graph and run 3 synchronous
+    // weighted mode-label rounds with the (w DESC, lbl ASC) tie-break
+    val raw = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(graft.Tables.t(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .join(graft.Tables.t(spark, sfDir, "nation").as("cn"),
+        $"c_nationkey" === $"cn.n_nationkey")
+      .join(graft.Tables.t(spark, sfDir, "supplier"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(graft.Tables.t(spark, sfDir, "nation").as("sn"),
+        $"s_nationkey" === $"sn.n_nationkey")
+      .filter($"cn.n_name" =!= $"sn.n_name")
+      .groupBy($"cn.n_name".as("src"), $"sn.n_name".as("dst")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val und = raw.map { case (a, b, w) =>
+      (Seq(a, b).min, Seq(a, b).max) -> w }
+      .groupBy(_._1).map { case (k, g) => (k._1, k._2, g.map(_._2).sum) }.toSeq
+    val sorted = und.sortBy { case (u, v, w) => (w, u, v) }
+    val thr = sorted((90 * sorted.length + 99) / 100 - 1)._3
+    val strong = und.filter(_._3 >= thr)
+    val sym = strong.flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+    var lbl = sym.map(_._1).distinct.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      lbl = sym.groupBy(_._1).map { case (node, es) =>
+        val byLbl = es.groupBy(e => lbl(e._2))
+          .map { case (l, g) => l -> g.map(_._3).sum }
+        node -> byLbl.toSeq.sortBy { case (l, w) => (-w, l) }.head._1
+      }
+    }
+    val comms = lbl.groupBy(_._2).map { case (c, ms) => c -> ms.keys.toSet }
+    assert(rows.map(_.getAs[String]("community")).toSet == comms.keySet)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") ==
+        comms(r.getAs[String]("community")).size)
+    }
+    // partition identities over the strong graph
+    val m = strong.map(_._3).sum
+    assert(rows.map(_.getAs[Long]("deg_w")).sum == 2 * m)
+    assert(rows.map(_.getAs[Long]("in_w")).sum <= m)
+    rows.foreach { r =>
+      val want = r.getAs[Long]("in_w").toDouble / m -
+        math.pow(r.getAs[Long]("deg_w").toDouble / (2.0 * m), 2)
+      assert(math.abs(r.getAs[Double]("q_contrib") -
+        BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) <= 1e-6)
+    }
+  }
+
   test("connected components (large-star/small-star): equal to min-label propagation on the real near-dup graph") {
     import spark.implicits._
     val pairs = graft.ops.Dedup.near(spark, sfDir)
