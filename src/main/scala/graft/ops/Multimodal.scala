@@ -668,6 +668,9 @@ object Multimodal {
   final case class ThumbBlock(doc_id: Long, by: Long, bx: Long,
       n_px: Long, mean_luma: Long)
 
+  final case class SharpStats(doc_id: Long, n_px: Long, n_pairs: Long,
+      grad_sum: Long, edge_count: Long)
+
   /** Deterministic planted GRADIENT PNG per sampled doc: pixel (x, y)
     * of doc `id` has r = (37·id + 5x + 3y) % 256, g = (59·id + 7x + y)
     * % 256, b = (83·id + x + 11y) % 256 — every pixel distinct, so a
@@ -767,6 +770,80 @@ object Multimodal {
       |  CAST(SUM(CASE WHEN r // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
       |  CAST(SUM(CASE WHEN r // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3
       |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
+  /** q_multimodal_sharpness entry: the BLUR / FLAT-IMAGE SCREEN — mean
+    * absolute horizontal luma gradient plus an edge-pixel count over
+    * REAL decoded pixels; the cheap sharpness signal an image-curation
+    * pipeline gates on before paying for any vision model (a blank,
+    * blurred, or single-color image has near-zero gradient mass).
+    * ENTIRELY integer arithmetic: luma = (r+g+b) div 3, gradient =
+    * |luma(x+1,y) − luma(x,y)|, means as basis points by integer
+    * division — so the DuckDB oracle recomputes every gradient pair
+    * ARITHMETICALLY from the planted per-pixel formula without
+    * decoding (the [[resizeQ]] proof shape: any codec/stride/axis
+    * error diverges). Scale shape: narrow 1:1 mapPartitions decode,
+    * zero exchange — the screen runs at scan speed. */
+  def sharpnessQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    plantedGradientPngs(s, dir)
+      .select($"doc_id".as[Long], $"payload".as[Array[Byte]])
+      .mapPartitions(_.map { case (id, bytes) =>
+        val im = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (im.getWidth, im.getHeight)
+        def luma(x: Int, y: Int): Int = {
+          val rgb = im.getRGB(x, y)
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        }
+        var gradSum = 0L
+        var edges = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w - 1) {
+            val d = math.abs(luma(x + 1, y) - luma(x, y))
+            gradSum += d
+            if (d >= 32) edges += 1
+            x += 1
+          }
+          y += 1
+        }
+        SharpStats(id, w.toLong * h, (w - 1).toLong * h, gradSum, edges)
+      }).toDF()
+      .select($"doc_id", $"n_px", $"n_pairs", $"grad_sum",
+        expr("(10000 * grad_sum) div n_pairs").as("grad_mean_bp"),
+        $"edge_count",
+        expr("(10000 * edge_count) div n_pairs").as("edge_bp"))
+      .orderBy($"doc_id")
+  }
+
+  val sharpnessSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
+      |  FROM documents WHERE doc_id % 20 = 7),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    (((37 * doc_id + 5 * x.i + 3 * y.j) % 256)
+      |     + ((59 * doc_id + 7 * x.i + y.j) % 256)
+      |     + ((83 * doc_id + x.i + 11 * y.j) % 256)) // 3 AS luma,
+      |    (((37 * doc_id + 5 * (x.i + 1) + 3 * y.j) % 256)
+      |     + ((59 * doc_id + 7 * (x.i + 1) + y.j) % 256)
+      |     + ((83 * doc_id + (x.i + 1) + 11 * y.j) % 256)) // 3 AS luma_next
+      |  FROM d CROSS JOIN range(0, 21) x(i) CROSS JOIN range(0, 19) y(j)
+      |  WHERE x.i < w - 1 AND y.j < h),
+      |g AS (
+      |  SELECT doc_id, MAX(w * h) AS n_px, COUNT(*) AS n_pairs,
+      |    SUM(ABS(luma_next - luma)) AS grad_sum,
+      |    SUM(CASE WHEN ABS(luma_next - luma) >= 32 THEN 1 ELSE 0 END)
+      |      AS edge_count
+      |  FROM px GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_px AS BIGINT) AS n_px,
+      |  CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(grad_sum AS BIGINT) AS grad_sum,
+      |  CAST((10000 * grad_sum) // n_pairs AS BIGINT) AS grad_mean_bp,
+      |  CAST(edge_count AS BIGINT) AS edge_count,
+      |  CAST((10000 * edge_count) // n_pairs AS BIGINT) AS edge_bp
+      |FROM g ORDER BY doc_id""".stripMargin
 
   /** q_multimodal_resize entry: the brief's RESIZE / feature-extract
     * step made real and oracle-exact — decode each planted gradient
@@ -1249,6 +1326,7 @@ object Multimodal {
     "q_multimodal_pcm" -> pcmQ,
     "q_multimodal_vad" -> vadQ,
     "q_multimodal_pixels" -> pixelsQ,
+    "q_multimodal_sharpness" -> sharpnessQ,
     "q_multimodal_resize" -> resizeQ,
     "q_multimodal_pitch" -> pitchQ)
 
@@ -1264,6 +1342,7 @@ object Multimodal {
     "q_multimodal_pcm" -> pcmSql,
     "q_multimodal_vad" -> vadSql,
     "q_multimodal_pixels" -> pixelsSql,
+    "q_multimodal_sharpness" -> sharpnessSql,
     "q_multimodal_resize" -> resizeSql,
     "q_multimodal_pitch" -> pitchSql)
 }

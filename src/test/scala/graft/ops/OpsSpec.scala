@@ -1283,6 +1283,29 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sharpness: horizontal gradient mass equals the per-pixel formula recompute") {
+    val rows = Multimodal.sharpnessQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = ((8 + id % 13).toInt, (8 + id % 11).toInt)
+      def luma(x: Int, y: Int): Int =
+        ((((37 * id + 5 * x + 3 * y) % 256) +
+          ((59 * id + 7 * x + y) % 256) +
+          ((83 * id + x + 11 * y) % 256)) / 3).toInt
+      val diffs = for { y <- 0 until h; x <- 0 until w - 1 }
+        yield math.abs(luma(x + 1, y) - luma(x, y)).toLong
+      assert(r.getAs[Long]("n_px") == w.toLong * h)
+      assert(r.getAs[Long]("n_pairs") == (w - 1).toLong * h)
+      assert(r.getAs[Long]("grad_sum") == diffs.sum, s"doc $id grad")
+      assert(r.getAs[Long]("edge_count") == diffs.count(_ >= 32))
+      assert(r.getAs[Long]("grad_mean_bp") ==
+        10000 * diffs.sum / ((w - 1).toLong * h))
+      assert(r.getAs[Long]("edge_bp") ==
+        10000 * diffs.count(_ >= 32) / ((w - 1).toLong * h))
+    }
+  }
+
   test("resize: 4x4 block-mean thumbnail equals the per-pixel formula recompute") {
     val rows = Multimodal.resizeQ(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length % 16 == 0)
