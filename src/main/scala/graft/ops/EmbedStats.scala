@@ -243,13 +243,110 @@ object EmbedStats {
        |FROM ratios""".stripMargin
   }
 
+  /** q_embed_cka entry: LINEAR CKA (centered kernel alignment,
+    * Kornblith et al. 2019) between the full 64-d embedding space and
+    * each Matryoshka prefix width {8, 16, 32, 64} — the
+    * representation-GEOMETRY audit next to [[Similarity.matryoshkaQ]]'s
+    * ranking-level overlap@10: CKA(X, X₍w₎) = ‖X̃ᵀỸ‖²_F /
+    * (‖X̃ᵀX̃‖_F · ‖ỸᵀỸ‖_F) over column-centered features. Width 64 is
+    * the in-result control (CKA ≡ 1).
+    *
+    * Exactness: vectors quantize to MILLI-units (coarser than
+    * [[Centroids.micro]]'s 1e6 — sized so the n-scaled centered moment
+    * A_ij = n·Σx_i x_j − Σx_i·Σx_j and its squared Frobenius sums stay
+    * inside DECIMAL(38,0) through sf1 and beyond); every A_ij is an
+    * exact integer, and the final CKA is two correctly-rounded sqrts
+    * and one division. Because each prefix Y is a column subset of X,
+    * ALL three Frobenius sums are index-range reductions over the ONE
+    * 64×64 cross-moment matrix.
+    *
+    * Scale shape: one corpus pass through the bounded-state
+    * [[Centroids.VecSum]] (4160-slot buffer: 64² products + 64 sums
+    * per row, merged map-side); everything after runs on a 1-row frame
+    * against the 4-row width grid (whitelisted broadcast). */
+  def ckaQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prods = t(s, dir, "embeddings")
+      .withColumn("mx", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"))
+      .withColumn("pr", expr(
+        "concat(flatten(transform(mx, a -> transform(mx, b -> a * b))), mx)"))
+      .select($"pr".as[Seq[Long]])
+    val one = prods.groupByKey(_ => 0).mapValues(identity)
+      .agg(Centroids.VecSum.column(64 * 64 + 64).name("agg"))
+      .toDF("k", "agg")
+      .select($"agg._1".as("n"), $"agg._2".as("arr"))
+      // A(i,j) at flat k = i·64 + j, exact decimal(38,0)
+      .withColumn("amat", expr(
+        """transform(sequence(0, 4095), k ->
+          |  cast(n as decimal(38,0)) * cast(element_at(arr, k + 1) as decimal(38,0))
+          |  - cast(element_at(arr, cast(4097 + k div 64 as int)) as decimal(38,0))
+          |    * cast(element_at(arr, cast(4097 + k % 64 as int)) as decimal(38,0)))"""
+          .stripMargin))
+    def frob(cond: String): String =
+      s"""aggregate(sequence(0, 4095), cast(0 as decimal(38,0)),
+         |  (acc, k) -> acc + CASE WHEN $cond
+         |    THEN element_at(amat, k + 1) * element_at(amat, k + 1)
+         |    ELSE cast(0 as decimal(38,0)) END)""".stripMargin
+    Seq(8, 16, 32, 64).toDF("width")
+      .crossJoin(broadcast(one))
+      .withColumn("f_xy", expr(frob("k % 64 < width")))
+      .withColumn("f_yy", expr(frob("k div 64 < width AND k % 64 < width")))
+      .withColumn("f_xx", expr(frob("true")))
+      .select($"width".cast("long").as("width"), lit(64L).as("d_full"), $"n",
+        round($"f_xy".cast("double") /
+          (sqrt($"f_xx".cast("double")) * sqrt($"f_yy".cast("double"))), 6)
+          .as("cka"),
+        round(sqrt($"f_yy".cast("double")) / sqrt($"f_xx".cast("double")), 6)
+          .as("frob_share"))
+      .orderBy($"width")
+  }
+
+  val ckaSql: String =
+    """WITH mv AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(ROUND(x::DOUBLE * 1000) AS BIGINT)) AS mx
+      |  FROM embeddings),
+      |nn AS (SELECT COUNT(*) AS n FROM mv),
+      |sx AS MATERIALIZED (
+      |  SELECT t.i AS i, SUM(mx[t.i + 1]) AS s
+      |  FROM mv CROSS JOIN range(0, 64) t(i) GROUP BY 1),
+      |sxy AS MATERIALIZED (
+      |  SELECT ti.i AS i, tj.j AS j, SUM(mx[ti.i + 1] * mx[tj.j + 1]) AS p
+      |  FROM mv CROSS JOIN range(0, 64) ti(i) CROSS JOIN range(0, 64) tj(j)
+      |  GROUP BY 1, 2),
+      |a AS MATERIALIZED (
+      |  SELECT sxy.i, sxy.j,
+      |    CAST(nn.n AS HUGEINT) * p
+      |      - CAST(si.s AS HUGEINT) * sj.s AS a, nn.n
+      |  FROM sxy
+      |  JOIN sx si ON si.i = sxy.i
+      |  JOIN sx sj ON sj.i = sxy.j, nn),
+      |w AS (SELECT unnest([8, 16, 32, 64]) AS width),
+      |f AS (
+      |  SELECT width, MAX(n) AS n,
+      |    SUM(CASE WHEN j < width THEN a * a END) AS f_xy,
+      |    SUM(CASE WHEN i < width AND j < width THEN a * a END) AS f_yy,
+      |    SUM(a * a) AS f_xx
+      |  FROM a, w GROUP BY width)
+      |SELECT CAST(width AS BIGINT) AS width, CAST(64 AS BIGINT) AS d_full,
+      |  CAST(n AS BIGINT) AS n,
+      |  ROUND(CAST(f_xy AS DOUBLE)
+      |    / (sqrt(CAST(f_xx AS DOUBLE)) * sqrt(CAST(f_yy AS DOUBLE))), 6)
+      |    AS cka,
+      |  ROUND(sqrt(CAST(f_yy AS DOUBLE)) / sqrt(CAST(f_xx AS DOUBLE)), 6)
+      |    AS frob_share
+      |FROM f ORDER BY width""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_dims" -> dimsQ,
     "q_embed_norms" -> normsQ,
+    "q_embed_cka" -> ckaQ,
     "q_embed_jl" -> jlQ)
 
   def oracle: Map[String, String] = Map(
     "q_embed_dims" -> dimsSql,
     "q_embed_norms" -> normsSql,
+    "q_embed_cka" -> ckaSql,
     "q_embed_jl" -> jlSql)
 }

@@ -88,4 +88,36 @@ class EmbedStatsSpec extends AnyFunSuite with SparkSpec {
         s"part ($p, $sz) not covered by any frontier point")
     }
   }
+
+  test("cka: width-64 control is exactly 1, curve is monotone, and width-16 matches a driver recompute") {
+    import spark.implicits._
+    val rows = EmbedStats.ckaQ(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("width") -> r).toMap
+    assert(rows.keySet == Set(8L, 16L, 32L, 64L))
+    assert(rows(64L).getAs[Double]("cka") == 1.0)
+    assert(rows(64L).getAs[Double]("frob_share") == 1.0)
+    val ckas = Seq(8L, 16L, 32L, 64L).map(w => rows(w).getAs[Double]("cka"))
+    assert(ckas == ckas.sorted, s"cka not monotone in width: $ckas")
+    // driver recompute of width 16 from the exact milli-int moments
+    val mv = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(x =>
+        BigDecimal(x.toDouble * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+    val n = BigInt(mv.length)
+    val sx = Array.tabulate(64)(i => BigInt(mv.map(_(i)).sum))
+    def a(i: Int, j: Int): BigInt =
+      n * BigInt(mv.map(v => v(i) * v(j)).sum) - sx(i) * sx(j)
+    var (fxy, fyy, fxx) = (BigInt(0), BigInt(0), BigInt(0))
+    for (i <- 0 until 64; j <- 0 until 64) {
+      val sq = a(i, j) * a(i, j)
+      fxx += sq
+      if (j < 16) fxy += sq
+      if (i < 16 && j < 16) fyy += sq
+    }
+    val want = fxy.toDouble / (math.sqrt(fxx.toDouble) * math.sqrt(fyy.toDouble))
+    assert(math.abs(rows(16L).getAs[Double]("cka") - want) < 1e-6)
+    assert(math.abs(rows(16L).getAs[Double]("frob_share") -
+      math.sqrt(fyy.toDouble) / math.sqrt(fxx.toDouble)) < 1e-6)
+  }
 }
