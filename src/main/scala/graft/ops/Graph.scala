@@ -414,6 +414,66 @@ object Graph {
     converged.filter($"alive").select($"id".as("node")).orderBy($"node")
   }
 
+  /** q_graph_kcore entry: the 3-CORE of the p75-strong undirected trade
+    * graph — iterative peeling (drop nodes with induced degree < k
+    * until fixpoint) via [[Iterate.fixpoint]], upgraded from spec-only
+    * to ORACLE-BACKED: the DuckDB twin runs the identical peeling as a
+    * recursive CTE carrying the alive-set as a list column for a fixed
+    * 30-round budget (peeling is monotone, so extra rounds after
+    * convergence are no-ops — the same reason the Spark fixpoint can
+    * stop early and still agree). Output is each core member with its
+    * degree INSIDE the core (≥ k by definition — the in-result gate).
+    *
+    * Scale shape: per round one degree aggregate over the node-bounded
+    * edge list with the alive set broadcast; the 1-row p75 threshold
+    * frame is a whitelisted broadcast. */
+  def kcoreQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val core = kcore(s, dir, 3)
+    val und = strongUndirected(s, dir)
+    und
+      .join(broadcast(core.select($"node".as("src"))), Seq("src"))
+      .join(broadcast(core.select($"node".as("dst"))), Seq("dst"))
+      .groupBy($"src".as("node")).agg(count(lit(1)).as("deg_in_core"))
+      .orderBy($"node")
+  }
+
+  val kcoreSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  GROUP BY 1, 2),
+      |st AS (
+      |  SELECT w AS thr FROM (
+      |    SELECT w, ROW_NUMBER() OVER (ORDER BY w, src, dst) AS rn,
+      |      COUNT(*) OVER () AS n
+      |    FROM e)
+      |  WHERE rn = (75 * n + 99) // 100),
+      |sym AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT src, dst FROM e, st WHERE w >= thr
+      |    UNION ALL SELECT dst, src FROM e, st WHERE w >= thr)),
+      |rec(round, alive) AS (
+      |  SELECT 0, (SELECT list(DISTINCT src ORDER BY src) FROM sym)
+      |  UNION ALL
+      |  SELECT round + 1, COALESCE(
+      |    (SELECT list(n ORDER BY n) FROM (
+      |       SELECT u.n AS n
+      |       FROM unnest(r.alive) AS u(n)
+      |       JOIN sym s ON s.src = u.n AND list_contains(r.alive, s.dst)
+      |       GROUP BY u.n HAVING COUNT(*) >= 3)), [])
+      |  FROM rec r WHERE round < 30)
+      |SELECT u.n AS node,
+      |  (SELECT COUNT(*) FROM sym s
+      |   WHERE s.src = u.n AND list_contains(a.alive, s.dst)) AS deg_in_core
+      |FROM (SELECT alive FROM rec WHERE round = 30) a, unnest(a.alive) AS u(n)
+      |ORDER BY node""".stripMargin
+
   /** The p75-strong undirected edge list shared by [[kcore]], [[bfsQ]],
     * and [[neighborSimQ]]'s sparsification: edges at or above the exact
     * p75 weight (order-statistic selection over the |V|²-bounded list),
@@ -1295,6 +1355,7 @@ object Graph {
     "q_graph_assortativity" -> assortativityQ,
     "q_graph_modularity" -> modularityQ,
     "q_graph_communities" -> communitiesQ,
+    "q_graph_kcore" -> kcoreQ,
     "q_graph_hits" -> hitsQ,
     "q_graph_pagerank" -> pagerankQ,
     "q_graph_triangles" -> trianglesQ,
@@ -1308,6 +1369,7 @@ object Graph {
     "q_graph_assortativity" -> assortativitySql,
     "q_graph_modularity" -> modularitySql,
     "q_graph_communities" -> communitiesSql,
+    "q_graph_kcore" -> kcoreSql,
     "q_graph_hits" -> hitsSql,
     "q_graph_pagerank" -> pagerankSql,
     "q_graph_triangles" -> trianglesSql,

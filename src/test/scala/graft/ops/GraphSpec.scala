@@ -132,6 +132,15 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val expected = und.map(_._1).toSet
     assert(got == expected, s"kcore mismatch: got $got expected $expected")
     assert(got.nonEmpty, "p75-strong trade graph should retain a 3-core")
+    // the oracle-registered query: same membership, induced degree >= k
+    val q = Graph.kcoreQ(spark, sfDir).collect()
+    assert(q.map(_.getString(0)).toSet == expected)
+    val degIn = und.filter(e => expected(e._1) && expected(e._2))
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    q.foreach { r =>
+      val d = r.getAs[Long]("deg_in_core")
+      assert(d >= k && d == degIn(r.getString(0)), s"${r.getString(0)} deg")
+    }
   }
 
   test("bfs: hop distances match an in-memory BFS over the same strong graph") {
