@@ -135,6 +135,7 @@ object Dev {
           "q_sample_balanced" -> "1-row minority-class-count frame",
           "q_graph_bfs" -> "1-row p75 threshold frame over the node-bounded edge list",
           "q_graph_kcore" -> "1-row p75 threshold frame over the node-bounded edge list",
+          "q_graph_scc" -> "1-row p75 threshold frame over the node-bounded edge list",
           "q_stat_wilson" -> "1-row exact-median threshold frame",
           "q_bloom_fp" -> "two 1-row filter-stats frames",
           "q_profile_abc" -> "1-row total-revenue frame (used twice)",

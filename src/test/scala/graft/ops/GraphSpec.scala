@@ -303,6 +303,56 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(regionOf.values.toSet.size == 5)
   }
 
+  test("scc: repeated-squaring closure equals a driver DFS mutual-reachability recompute") {
+    import spark.implicits._
+    val rows = Graph.sccQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // rebuild the p75-strong DIRECTED edge list
+    val edges = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(graft.Tables.t(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .join(graft.Tables.t(spark, sfDir, "nation").as("cn"),
+        $"c_nationkey" === $"cn.n_nationkey")
+      .join(graft.Tables.t(spark, sfDir, "supplier"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(graft.Tables.t(spark, sfDir, "nation").as("sn"),
+        $"s_nationkey" === $"sn.n_nationkey")
+      .filter($"cn.n_name" =!= $"sn.n_name")
+      .groupBy($"cn.n_name".as("src"), $"sn.n_name".as("dst")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val sorted = edges.sortBy(e => (e._3, e._1, e._2))
+    val thr = sorted((75 * sorted.length + 99) / 100 - 1)._3
+    val strong = edges.filter(_._3 >= thr).map(e => (e._1, e._2))
+    val adj = strong.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = strong.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    def reachFrom(u: String): Set[String] = {
+      var seen = Set(u); var frontier = Set(u)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      seen
+    }
+    val reach = nodes.map(n => n -> reachFrom(n)).toMap
+    val expected = nodes.map { u =>
+      val scc = nodes.filter(v => reach(u)(v) && reach(v)(u))
+      u -> (scc.min, scc.size.toLong)
+    }.toMap
+    assert(rows.length == nodes.length)
+    rows.foreach { r =>
+      val (id, sz) = expected(r.getAs[String]("node"))
+      assert(r.getAs[String]("scc_id") == id, s"${r.getString(0)} id")
+      assert(r.getAs[Long]("scc_size") == sz, s"${r.getString(0)} size")
+      assert(r.getAs[Boolean]("is_trivial") == (sz == 1L))
+    }
+    // directed structure is non-trivial: at least one multi-node SCC
+    // AND at least one singleton (the undirected version can't show this)
+    assert(rows.exists(_.getAs[Long]("scc_size") > 1))
+    assert(rows.exists(_.getAs[Long]("scc_size") == 1))
+  }
+
   test("communities: 3-round weighted LPA matches a driver replay; partition identities hold") {
     import spark.implicits._
     val rows = Graph.communitiesQ(spark, sfDir).collect()
