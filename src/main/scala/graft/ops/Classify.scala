@@ -378,10 +378,100 @@ object Classify {
       |  p_at_r50, p_at_r80, p_at_r90
       |FROM a""".stripMargin
 
+  /** q_eval_brier entry: MURPHY DECOMPOSITION of the Brier score —
+    * Brier = RELIABILITY − RESOLUTION + UNCERTAINTY over the same
+    * 10-bin table as [[calibrationQ]], plus the raw (unbinned) Brier
+    * and the within-bin variance gap between the two. The
+    * decomposition is what turns "the Brier is 0.21" into an
+    * actionable split: REL is fixable by recalibration (isotonic/
+    * Platt), RES is the model's actual discrimination, UNC is the
+    * dataset's irreducible base-rate entropy — the readout that says
+    * whether to recalibrate or retrain.
+    *
+    * Determinism: raw Brier sums per-row round((p−y)², 9) decimals
+    * (the dsum contract); REL/RES sum per-BIN rounded decimal terms
+    * over the 10-row frame so even the tiny final reduction is
+    * order-free; UNC and the identity assemble from exact counts with
+    * one division each. Scale shape: identical to calibration — one
+    * combinable binning pass, then arithmetic on a ≤10-row frame. */
+  def brierQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = scored(s, dir).withColumn("p", ($"score" + 1d) / 2d)
+    val raw = p.agg(count(lit(1)).as("n"), sum($"y").as("n_pos"),
+      sum(round(($"p" - $"y") * ($"p" - $"y"), 9).cast("decimal(28,9)"))
+        .as("sq"))
+    val bins = p
+      .withColumn("bin", least(floor($"p" * 10), lit(9L)).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("nk"), sum($"y").as("posk"),
+        sum(round($"p", 9).cast("decimal(28,9)")).as("spk"))
+    val terms = bins.crossJoin(broadcast(raw))
+      .select(
+        round($"nk" * ($"spk".cast("double") / $"nk"
+          - $"posk".cast("double") / $"nk")
+          * ($"spk".cast("double") / $"nk"
+            - $"posk".cast("double") / $"nk"), 9)
+          .cast("decimal(28,9)").as("rel_t"),
+        round($"nk" * ($"posk".cast("double") / $"nk"
+          - $"n_pos".cast("double") / $"n")
+          * ($"posk".cast("double") / $"nk"
+            - $"n_pos".cast("double") / $"n"), 9)
+          .cast("decimal(28,9)").as("res_t"))
+      .agg(sum($"rel_t").as("rel_s"), sum($"res_t").as("res_s"))
+    raw.crossJoin(broadcast(terms))
+      .select($"n", $"n_pos",
+        round($"n_pos".cast("double") / $"n", 6).as("base_rate"),
+        round($"sq".cast("double") / $"n", 6).as("brier_raw"),
+        round($"rel_s".cast("double") / $"n", 6).as("reliability"),
+        round($"res_s".cast("double") / $"n", 6).as("resolution"),
+        round(($"n_pos".cast("double") / $"n")
+          * (lit(1d) - $"n_pos".cast("double") / $"n"), 6).as("uncertainty"),
+        round($"rel_s".cast("double") / $"n" - $"res_s".cast("double") / $"n"
+          + ($"n_pos".cast("double") / $"n")
+            * (lit(1d) - $"n_pos".cast("double") / $"n"), 6)
+          .as("brier_binned"))
+  }
+
+  val brierSql: String =
+    s"""WITH $scoredSql,
+      |pp AS (SELECT (score + 1) / 2 AS p, y FROM scored),
+      |raw AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+      |    SUM(CAST(ROUND((p - y) * (p - y), 9) AS DECIMAL(28,9))) AS sq
+      |  FROM pp),
+      |bins AS (
+      |  SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin,
+      |    COUNT(*) AS nk, SUM(y) AS posk,
+      |    SUM(CAST(ROUND(p, 9) AS DECIMAL(28,9))) AS spk
+      |  FROM pp GROUP BY 1),
+      |terms AS (
+      |  SELECT
+      |    SUM(CAST(ROUND(nk * (CAST(spk AS DOUBLE) / nk
+      |        - CAST(posk AS DOUBLE) / nk)
+      |      * (CAST(spk AS DOUBLE) / nk - CAST(posk AS DOUBLE) / nk), 9)
+      |      AS DECIMAL(28,9))) AS rel_s,
+      |    SUM(CAST(ROUND(nk * (CAST(posk AS DOUBLE) / nk
+      |        - CAST(n_pos AS DOUBLE) / n)
+      |      * (CAST(posk AS DOUBLE) / nk - CAST(n_pos AS DOUBLE) / n), 9)
+      |      AS DECIMAL(28,9))) AS res_s
+      |  FROM bins, raw)
+      |SELECT n, n_pos,
+      |  ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS base_rate,
+      |  ROUND(CAST(sq AS DOUBLE) / n, 6) AS brier_raw,
+      |  ROUND(CAST(rel_s AS DOUBLE) / n, 6) AS reliability,
+      |  ROUND(CAST(res_s AS DOUBLE) / n, 6) AS resolution,
+      |  ROUND((CAST(n_pos AS DOUBLE) / n)
+      |    * (1 - CAST(n_pos AS DOUBLE) / n), 6) AS uncertainty,
+      |  ROUND(CAST(rel_s AS DOUBLE) / n - CAST(res_s AS DOUBLE) / n
+      |    + (CAST(n_pos AS DOUBLE) / n)
+      |      * (1 - CAST(n_pos AS DOUBLE) / n), 6) AS brier_binned
+      |FROM raw, terms""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_classify" -> classifyQ,
     "q_eval_auc" -> aucQ,
     "q_eval_calibration" -> calibrationQ,
+    "q_eval_brier" -> brierQ,
     "q_eval_avgprec" -> avgprecQ,
     "q_eval_f1" -> f1Q)
 
@@ -389,6 +479,7 @@ object Classify {
     "q_text_classify" -> classifySql,
     "q_eval_auc" -> aucSql,
     "q_eval_calibration" -> calibrationSql,
+    "q_eval_brier" -> brierSql,
     "q_eval_avgprec" -> avgprecSql,
     "q_eval_f1" -> f1Sql)
 }

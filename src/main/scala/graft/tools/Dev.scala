@@ -123,6 +123,7 @@ object Dev {
           "q_ts_dow_profile" -> "1-row total frame over the <=168-cell grid",
           "q_text_hapax" -> "1-row corpus-totals frame",
           "q_stat_ab_lift" -> "1-row median-threshold frame",
+          "q_eval_brier" -> "two 1-row totals/decomposition frames over the 10-bin table",
           "q_similarity_topk" -> "bounded query-vector set",
           "q_embed_matryoshka" -> "bounded query-vector set per truncation width",
           "q_similarity_ann" -> "bounded query-vector set",

@@ -951,6 +951,41 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       (2 * r.getAs[Double]("auc") - 1)) < 1e-5)
   }
 
+  test("brier: Murphy decomposition matches a driver recompute and the binned identity holds") {
+    val r = Classify.brierQ(spark, sfDir).collect().head
+    // identity: brier_binned = REL - RES + UNC (assembled in-query; here
+    // re-asserted from the reported components)
+    assert(math.abs(r.getAs[Double]("brier_binned") -
+      (r.getAs[Double]("reliability") - r.getAs[Double]("resolution")
+        + r.getAs[Double]("uncertainty"))) < 2e-6)
+    // driver recompute from the scored frame (same (score, y) contract)
+    val sc = Classify.scored(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("score"),
+        org.apache.spark.sql.functions.col("y"))
+      .collect().map(x => (x.getDouble(0), x.getLong(1)))
+    val n = sc.length
+    val base = sc.map(_._2).sum.toDouble / n
+    val ps = sc.map { case (score, y) => ((score + 1) / 2, y) }
+    val raw = ps.map { case (p, y) => (p - y) * (p - y) }.sum / n
+    val bins = ps.groupBy { case (p, _) => math.min((p * 10).toInt, 9) }
+    val rel = bins.values.map { g =>
+      val pb = g.map(_._1).sum / g.length
+      val ob = g.map(_._2).sum.toDouble / g.length
+      g.length * (pb - ob) * (pb - ob) }.sum / n
+    val res = bins.values.map { g =>
+      val ob = g.map(_._2).sum.toDouble / g.length
+      g.length * (ob - base) * (ob - base) }.sum / n
+    assert(r.getAs[Long]("n") == n)
+    assert(math.abs(r.getAs[Double]("base_rate") - base) < 1e-5)
+    assert(math.abs(r.getAs[Double]("brier_raw") - raw) < 1e-5)
+    assert(math.abs(r.getAs[Double]("reliability") - rel) < 1e-5)
+    assert(math.abs(r.getAs[Double]("resolution") - res) < 1e-5)
+    assert(math.abs(r.getAs[Double]("uncertainty") - base * (1 - base)) < 1e-5)
+    // the binned Brier differs from raw only by the within-bin variance,
+    // which is nonnegative: brier_raw >= brier_binned
+    assert(r.getAs[Double]("brier_raw") >= r.getAs[Double]("brier_binned") - 1e-6)
+  }
+
   test("calibration: bins partition the corpus, gaps are consistent, ECE is bounded") {
     val rows = Classify.calibrationQ(spark, sfDir).collect()
     val n = rows.map(_.getAs[Long]("n")).sum
