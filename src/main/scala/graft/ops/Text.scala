@@ -287,6 +287,69 @@ object Text {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM l GROUP BY split ORDER BY split""".stripMargin
 
+  /** q_split_groupfold entry: GROUPED K-FOLD assignment (scikit's
+    * GroupKFold, hash-deterministic) — folds are assigned to the GROUP
+    * (user), not the row, so no user's events straddle a fold boundary:
+    * the split that prevents user-level leakage when evaluating any
+    * per-event model (churn, conversion, anomaly). Per fold: user and
+    * event counts, event share, purchase rate (the label-balance
+    * readout — grouped folds trade balance for leak-freedom and this
+    * column shows the price), and a COMPUTED leaky-user count (users
+    * seen in >1 fold — zero by construction, the in-result gate).
+    *
+    * Scale shape: fold is a map-stage hash of the group key; per-fold
+    * stats are one combinable aggregate; the audit runs on the
+    * user-fold frame (one row per user). Determinism: md5-bucket
+    * assignment, exact counts, one division per rate. */
+  def groupFoldQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .withColumn("fold", pmod(Hashing.md5Long60($"user_id".cast("string")),
+        lit(5L)))
+    val userFolds = ev.select($"user_id", $"fold").distinct()
+    val leak = userFolds.groupBy($"user_id")
+      .agg(countDistinct($"fold").as("nf"))
+    val leakyPerFold = userFolds.join(leak, "user_id")
+      .groupBy($"fold")
+      .agg(sum(when($"nf" > 1, 1L).otherwise(0L)).as("leaky_users"))
+    val tot = ev.agg(count(lit(1)).as("n_total"))
+    ev.groupBy($"fold")
+      .agg(countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"))
+      .join(leakyPerFold, "fold")
+      .crossJoin(broadcast(tot))
+      .select($"fold", $"n_users", $"n_events",
+        round($"n_events".cast("double") / $"n_total", 6).as("event_share"),
+        round($"n_purchase".cast("double") / $"n_events", 6)
+          .as("purchase_rate"),
+        $"leaky_users")
+      .orderBy($"fold")
+  }
+
+  val groupFoldSql: String =
+    """WITH ev AS (
+      |  SELECT *,
+      |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 5
+      |      AS fold
+      |  FROM events),
+      |uf AS (SELECT DISTINCT user_id, fold FROM ev),
+      |lk AS (SELECT user_id, COUNT(DISTINCT fold) AS nf FROM uf GROUP BY 1),
+      |lpf AS (
+      |  SELECT fold, SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS leaky_users
+      |  FROM uf JOIN lk USING (user_id) GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_total FROM ev)
+      |SELECT ev.fold,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_total), 6) AS event_share,
+      |  ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*), 6) AS purchase_rate,
+      |  CAST(MAX(leaky_users) AS BIGINT) AS leaky_users
+      |FROM ev JOIN lpf ON lpf.fold = ev.fold, tot
+      |GROUP BY ev.fold ORDER BY ev.fold""".stripMargin
+
   /** Training-mix construction: down-sample each source to a target
     * rate so the retained corpus matches a desired mixture (the knob
     * every LLM data pipeline turns: web-heavy in, balanced out). The
@@ -1941,6 +2004,7 @@ object Text {
     "q_vocab_top" -> vocabQ,
     "q_pack_sequences" -> ((s, dir) => packSequences(s, dir)),
     "q_split_assign" -> splitAssign,
+    "q_split_groupfold" -> groupFoldQ,
     "q_sample_mixture" -> mixtureQ,
     "q_sample_temperature" -> temperatureQ,
     "q_sample_stratified" -> ((s, dir) => stratifiedSample(s, dir)),
@@ -1978,6 +2042,7 @@ object Text {
     "q_vocab_top" -> vocabSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_split_assign" -> splitAssignSql,
+    "q_split_groupfold" -> groupFoldSql,
     "q_sample_mixture" -> sampleMixtureSql,
     "q_sample_temperature" -> temperatureSql,
     "q_sample_stratified" -> stratifiedSampleSql,

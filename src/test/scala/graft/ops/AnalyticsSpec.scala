@@ -951,6 +951,36 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       (2 * r.getAs[Double]("auc") - 1)) < 1e-5)
   }
 
+  test("groupfold: folds partition users, counts match a driver replay, zero leaky users") {
+    import spark.implicits._
+    val rows = Text.groupFoldQ(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("fold")).toSet == (0L to 4L).toSet)
+    rows.foreach(r => assert(r.getAs[Long]("leaky_users") == 0))
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"user_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def fold(uid: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(15), 16) % 5
+    }
+    val byFold = ev.groupBy(e => fold(e._1))
+    val nTotal = ev.length
+    rows.foreach { r =>
+      val f = r.getAs[Long]("fold")
+      val g = byFold(f)
+      assert(r.getAs[Long]("n_events") == g.length, s"fold $f events")
+      assert(r.getAs[Long]("n_users") == g.map(_._1).distinct.length)
+      assert(math.abs(r.getAs[Double]("event_share") -
+        g.length.toDouble / nTotal) < 1e-5)
+      assert(math.abs(r.getAs[Double]("purchase_rate") -
+        g.count(_._2 == "purchase").toDouble / g.length) < 1e-5)
+    }
+    // grouped assignment means a user's fold is a function of the user
+    assert(ev.map(_._1).distinct.forall(u => byFold(fold(u)).exists(_._1 == u)))
+  }
+
   test("brier: Murphy decomposition matches a driver recompute and the binned identity holds") {
     val r = Classify.brierQ(spark, sfDir).collect().head
     // identity: brier_binned = REL - RES + UNC (assembled in-query; here
