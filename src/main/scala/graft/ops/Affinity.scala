@@ -105,11 +105,85 @@ object Affinity {
       |ORDER BY cosine DESC, brand_a, brand_b
       |LIMIT 50""".stripMargin
 
+  private val MinSupport = 20L // orders; the Apriori prune
+
+  /** q_affinity_rules entry: directed ASSOCIATION RULES A → B over the
+    * order×brand baskets — the full Agrawal–Srikant metric set that
+    * [[pairsQ]]'s co-occurrence counts feed: support, confidence
+    * P(B|A), lift P(B|A)/P(B), and conviction (1−P(B))/(1−P(B|A))
+    * (∞-guarded to NULL at confidence 1 — conviction is the
+    * implication-strength reading lift lacks, since lift is symmetric
+    * and conviction is not). Top-20 by (lift, antecedent, consequent)
+    * above the [[MinSupport]]-order support floor.
+    *
+    * Scale shape: the support prune IS the scale story (Apriori's
+    * downward-closure: pairs below min-support never form rules, which
+    * bounds the pair self-join the same way df-caps bound the dedup
+    * joins); baskets collapse to distinct (order, brand) first; counts
+    * are exact integers, one division per metric. */
+  def rulesQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baskets = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+      .join(t(s, dir, "part").select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"p_brand".as("b"))
+      .distinct()
+    val tot = baskets.select($"ok").distinct().agg(count(lit(1)).as("n_tot"))
+    val supp = baskets.groupBy($"b").agg(count(lit(1)).as("n_b"))
+    val both = baskets.as("x").join(baskets.as("y"),
+        $"x.ok" === $"y.ok" && $"x.b" =!= $"y.b")
+      .groupBy($"x.b".as("ante"), $"y.b".as("cons"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter($"n_both" >= MinSupport)
+    both
+      .join(supp.select($"b".as("ante"), $"n_b".as("n_ante")), "ante")
+      .join(supp.select($"b".as("cons"), $"n_b".as("n_cons")), "cons")
+      .crossJoin(broadcast(tot))
+      .select($"ante", $"cons", $"n_both",
+        round($"n_both".cast("double") / $"n_tot", 6).as("support"),
+        round($"n_both".cast("double") / $"n_ante", 6).as("confidence"),
+        round(($"n_both".cast("double") / $"n_ante")
+          / ($"n_cons".cast("double") / $"n_tot"), 6).as("lift"),
+        when($"n_both" < $"n_ante",
+          round((lit(1d) - $"n_cons".cast("double") / $"n_tot")
+            / (lit(1d) - $"n_both".cast("double") / $"n_ante"), 6))
+          .as("conviction"))
+      .orderBy($"lift".desc, $"ante", $"cons")
+      .limit(20)
+  }
+
+  val rulesSql: String =
+    s"""WITH baskets AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |tot AS (SELECT COUNT(DISTINCT ok) AS n_tot FROM baskets),
+       |supp AS (SELECT b, COUNT(*) AS n_b FROM baskets GROUP BY 1),
+       |pb AS (
+       |  SELECT x.b AS ante, y.b AS cons, COUNT(*) AS n_both
+       |  FROM baskets x JOIN baskets y ON x.ok = y.ok AND x.b <> y.b
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport)
+       |SELECT ante, cons, CAST(n_both AS BIGINT) AS n_both,
+       |  ROUND(CAST(n_both AS DOUBLE) / n_tot, 6) AS support,
+       |  ROUND(CAST(n_both AS DOUBLE) / sa.n_b, 6) AS confidence,
+       |  ROUND((CAST(n_both AS DOUBLE) / sa.n_b)
+       |    / (CAST(sc.n_b AS DOUBLE) / n_tot), 6) AS lift,
+       |  CASE WHEN n_both < sa.n_b THEN
+       |    ROUND((1 - CAST(sc.n_b AS DOUBLE) / n_tot)
+       |      / (1 - CAST(n_both AS DOUBLE) / sa.n_b), 6)
+       |  END AS conviction
+       |FROM pb
+       |JOIN supp sa ON sa.b = pb.ante
+       |JOIN supp sc ON sc.b = pb.cons, tot
+       |ORDER BY lift DESC, ante, cons LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_affinity_pairs" -> pairsQ,
+    "q_affinity_rules" -> rulesQ,
     "q_affinity_cosine" -> cosineQ)
 
   def oracle: Map[String, String] = Map(
     "q_affinity_pairs" -> pairsSql,
+    "q_affinity_rules" -> rulesSql,
     "q_affinity_cosine" -> cosineSql)
 }

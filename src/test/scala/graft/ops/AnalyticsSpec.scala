@@ -951,6 +951,40 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       (2 * r.getAs[Double]("auc") - 1)) < 1e-5)
   }
 
+  test("association rules: metrics match a driver recompute; conviction guarded at confidence 1") {
+    import spark.implicits._
+    val rows = Affinity.rulesQ(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val baskets = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "part"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nTot = baskets.map(_._1).distinct.length
+    val nB = baskets.groupBy(_._2).view.mapValues(_.length).toMap
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val coCounts = byOrder.values.toSeq
+      .flatMap(bs => for (a <- bs; b <- bs if a != b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // lifts are sorted descending (the declared order)
+    val lifts = rows.map(_.getAs[Double]("lift")).toSeq
+    assert(lifts == lifts.sorted.reverse)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("ante"), r.getAs[String]("cons"))
+      val co = coCounts((a, b))
+      assert(co >= 20 && r.getAs[Long]("n_both") == co)
+      val conf = co.toDouble / nB(a)
+      assert(math.abs(r.getAs[Double]("support") - co.toDouble / nTot) < 1e-5)
+      assert(math.abs(r.getAs[Double]("confidence") - conf) < 1e-5)
+      assert(math.abs(r.getAs[Double]("lift") -
+        conf / (nB(b).toDouble / nTot)) < 1e-5)
+      if (co < nB(a))
+        assert(math.abs(r.getAs[Double]("conviction") -
+          (1 - nB(b).toDouble / nTot) / (1 - conf)) < 1e-4)
+      else assert(r.isNullAt(r.fieldIndex("conviction")))
+    }
+  }
+
   test("groupfold: folds partition users, counts match a driver replay, zero leaky users") {
     import spark.implicits._
     val rows = Text.groupFoldQ(spark, sfDir).collect()
