@@ -285,6 +285,99 @@ object Stats {
     * sums (Σx, Σx², Σxy, n per lag) via the regression-sums shape of
     * [[TimeSeries.trendQ]] — the only doubles are the final quotient's
     * operands, identical in both engines. */
+  /** q_ts_period entry: PERIOD DETECTION by full-correlogram argmax —
+    * the ACF of [[acfQ]] computed at EVERY lag 2..36 over each event
+    * type's dense hourly grid, with the dominant period = the lag of
+    * maximal autocorrelation (tie → smallest lag) and the lag-24
+    * reference value alongside (the daily rhythm the fixture should
+    * rediscover). This is how a pipeline DISCOVERS the seasonality that
+    * [[graft.ops.TimeSeries.holtWintersQ]] and the seasonal decompose
+    * assume as given.
+    *
+    * Scale shape: one dense calendar grid per series (bounded dim),
+    * lag pairs via ONE integer-index self-join against the 35-row lag
+    * dimension (no 35 window passes), per-(series, lag) exact integer
+    * power sums, then the argmax runs on a ≤ series×35 frame.
+    * Determinism: moments are exact integers; one sqrt + one division
+    * per cell rounded to 6 dp; argmax tie-breaks on the smaller lag
+    * over identical rounded values. */
+  def periodQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val hourly = t(s, dir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |  timestamp'2024-01-30 23:00:00', interval 1 hour)) AS hour"""
+        .stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val dense = grid.crossJoin(broadcast(series))
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select($"event_type", $"hour", coalesce($"cnt", lit(0L)).as("x"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"hour")).cast("long"))
+    val lags = (2 to 36).map(_.toLong).toDF("k")
+    val acf = dense.as("a").crossJoin(broadcast(lags))
+      .join(dense.as("b"),
+        $"b.event_type" === $"a.event_type" && $"b.idx" === $"a.idx" + $"k")
+      .groupBy($"a.event_type".as("event_type"), $"k")
+      .agg(count(lit(1)).as("n"), sum($"a.x").as("sx"), sum($"b.x").as("sy"),
+        sum($"a.x" * $"a.x").as("sxx"), sum($"b.x" * $"b.x").as("syy"),
+        sum($"a.x" * $"b.x").as("sxy"))
+      .select($"event_type", $"k",
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6).as("acf"))
+    acf
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"acf".desc, $"k")))
+      .withColumn("acf24", max(when($"k" === 24, $"acf")).over(
+        Window.partitionBy($"event_type")))
+      .filter($"rn" === 1)
+      .select($"event_type", $"k".as("best_lag"), $"acf".as("best_acf"),
+        $"acf24".as("acf_at_24"))
+      .orderBy($"event_type")
+  }
+
+  val periodSql: String =
+    """WITH grid AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour),
+      |hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |series AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT s.event_type, g.hour, COALESCE(h.cnt, 0) AS x,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type ORDER BY g.hour)
+      |      AS BIGINT) AS idx
+      |  FROM grid g CROSS JOIN series s
+      |  LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = s.event_type),
+      |lags AS (SELECT unnest(range(2, 37)) AS k),
+      |acf AS (
+      |  SELECT event_type, k,
+      |    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+      |        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+      |  FROM (
+      |    SELECT a.event_type, l.k, COUNT(*) AS n,
+      |      SUM(a.x) AS sx, SUM(b.x) AS sy,
+      |      SUM(a.x * a.x) AS sxx, SUM(b.x * b.x) AS syy,
+      |      SUM(a.x * b.x) AS sxy
+      |    FROM dense a CROSS JOIN lags l
+      |    JOIN dense b ON b.event_type = a.event_type AND b.idx = a.idx + l.k
+      |    GROUP BY 1, 2)),
+      |best AS (
+      |  SELECT event_type, k, acf,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY acf DESC, k) AS rn,
+      |    MAX(CASE WHEN k = 24 THEN acf END)
+      |      OVER (PARTITION BY event_type) AS acf24
+      |  FROM acf)
+      |SELECT event_type, k AS best_lag, acf AS best_acf, acf24 AS acf_at_24
+      |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   def acfQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
@@ -1992,7 +2085,8 @@ object Stats {
     "q_stat_bootstrap" -> bootstrapQ,
     "q_stat_mi" -> miQ,
     "q_stat_ab_lift" -> abLiftQ,
-    "q_ts_acf" -> acfQ)
+    "q_ts_acf" -> acfQ,
+    "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
     "q_stat_levene" -> leveneSql,
@@ -2019,5 +2113,6 @@ object Stats {
     "q_stat_bootstrap" -> bootstrapSql,
     "q_stat_mi" -> miSql,
     "q_stat_ab_lift" -> abLiftSql,
-    "q_ts_acf" -> acfSql)
+    "q_ts_acf" -> acfSql,
+    "q_ts_period" -> periodSql)
 }

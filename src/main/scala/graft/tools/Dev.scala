@@ -112,6 +112,7 @@ object Dev {
           "q_embed_cka" -> "4-row width grid x 1-row cross-moment frame",
           "q_profile_benford" -> "1-row total frame over the 9-digit table",
           "q_ts_acf" -> "bounded per-series grid dim (rows = series count, not events)",
+          "q_ts_period" -> "bounded per-series grid dim x 35-row lag dim",
           "q_rfm_segments" -> "three 1-row quartile-bound frames",
           "q_sample_temperature" -> "1-row total-chars + 1-row normalizer frames",
           "q_text_pmi" -> "1-row (n_uni, n_pairs) totals frame",

@@ -266,6 +266,41 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Double]("df_welch") >= lo && r.getAs[Double]("df_welch") <= hi)
   }
 
+  test("period: correlogram argmax matches a driver ACF sweep over lags 2..36") {
+    import spark.implicits._
+    val rows = Stats.periodQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val hourly = graft.Tables.t(spark, sfDir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour")).count()
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1)
+    val gridStart = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    rows.foreach { r =>
+      val ty = r.getAs[String]("event_type")
+      val byHour = hourly(ty).map(e => e._2 -> e._3).toMap
+      val xs = (0 until 30 * 24).map { h =>
+        byHour.getOrElse(new java.sql.Timestamp(
+          gridStart.getTime + h * 3600L * 1000), 0L)
+      }.toArray
+      def acfAt(k: Int): Double = {
+        val pairs = xs.dropRight(k).zip(xs.drop(k))
+        val n = pairs.length.toLong
+        val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val v = (n * sxy - sx * sy).toDouble /
+          math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val sweep = (2 to 36).map(k => k -> acfAt(k))
+      val best = sweep.minBy { case (k, a) => (-a, k) }
+      assert(r.getAs[Long]("best_lag") == best._1, s"$ty best lag")
+      assert(math.abs(r.getAs[Double]("best_acf") - best._2) < 1e-6)
+      assert(math.abs(r.getAs[Double]("acf_at_24") - acfAt(24)) < 1e-6)
+    }
+  }
+
   test("levene (brown-forsythe): W matches a driver recompute over |x - group lower median|") {
     import spark.implicits._
     val r = Stats.leveneQ(spark, sfDir).collect().head
