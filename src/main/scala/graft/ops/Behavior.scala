@@ -547,7 +547,75 @@ object Behavior {
       |FROM vh JOIN st ON vh.h = st.h
       |ORDER BY vh.h""".stripMargin
 
+  /** q_behavior_stickiness entry: DAU / WAU / MAU engagement table per
+    * event type — average daily, ISO-week, and calendar-month distinct
+    * users plus the DAU/MAU STICKINESS ratio (the "how many of your
+    * monthlies show up daily" product metric every engagement dashboard
+    * leads with; 1.0 = everyone daily, ~0.03 = monthly-only drift).
+    * Averages weight each calendar bucket equally (the dashboard
+    * convention), so the ratio is avg-DAU over avg-MAU.
+    *
+    * Scale shape: three combinable distinct-count rollups (day, week,
+    * month — each one exchange keyed by (type, bucket)) collapsing to a
+    * ≤ series-count frame each; the final assembly is a 3-way join of
+    * bounded frames. Determinism: exact distinct counts; two divisions
+    * at 6 dp. */
+  def stickinessQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").select($"event_type", $"user_id", $"ts")
+    val dau = ev.groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(countDistinct($"user_id").as("u"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"u").as("su"))
+    val wau = ev.groupBy($"event_type",
+        year($"ts").as("y"), weekofyear($"ts").as("w"))
+      .agg(countDistinct($"user_id").as("u"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_weeks"), sum($"u").as("sw"))
+    val mau = ev.groupBy($"event_type", date_trunc("month", $"ts").as("m"))
+      .agg(countDistinct($"user_id").as("u"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_months"), sum($"u").as("sm"))
+    dau.join(wau, "event_type").join(mau, "event_type")
+      .select($"event_type", $"n_days", $"n_weeks", $"n_months",
+        round($"su".cast("double") / $"n_days", 6).as("avg_dau"),
+        round($"sw".cast("double") / $"n_weeks", 6).as("avg_wau"),
+        round($"sm".cast("double") / $"n_months", 6).as("avg_mau"),
+        round(($"su".cast("double") / $"n_days")
+          / ($"sm".cast("double") / $"n_months"), 6).as("stickiness"))
+      .orderBy($"event_type")
+  }
+
+  val stickinessSql: String =
+    """WITH dau AS (
+      |  SELECT event_type, COUNT(*) AS n_days, SUM(u) AS su FROM (
+      |    SELECT event_type, CAST(ts AS DATE) AS d,
+      |      COUNT(DISTINCT user_id) AS u
+      |    FROM events GROUP BY 1, 2) GROUP BY 1),
+      |wau AS (
+      |  SELECT event_type, COUNT(*) AS n_weeks, SUM(u) AS sw FROM (
+      |    SELECT event_type, year(ts) AS y, weekofyear(ts) AS w,
+      |      COUNT(DISTINCT user_id) AS u
+      |    FROM events GROUP BY 1, 2, 3) GROUP BY 1),
+      |mau AS (
+      |  SELECT event_type, COUNT(*) AS n_months, SUM(u) AS sm FROM (
+      |    SELECT event_type, date_trunc('month', ts) AS m,
+      |      COUNT(DISTINCT user_id) AS u
+      |    FROM events GROUP BY 1, 2) GROUP BY 1)
+      |SELECT event_type,
+      |  CAST(n_days AS BIGINT) AS n_days,
+      |  CAST(n_weeks AS BIGINT) AS n_weeks,
+      |  CAST(n_months AS BIGINT) AS n_months,
+      |  ROUND(CAST(su AS DOUBLE) / n_days, 6) AS avg_dau,
+      |  ROUND(CAST(sw AS DOUBLE) / n_weeks, 6) AS avg_wau,
+      |  ROUND(CAST(sm AS DOUBLE) / n_months, 6) AS avg_mau,
+      |  ROUND((CAST(su AS DOUBLE) / n_days)
+      |    / (CAST(sm AS DOUBLE) / n_months), 6) AS stickiness
+      |FROM dau JOIN wau USING (event_type) JOIN mau USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_behavior_stickiness" -> stickinessQ,
     "q_funnel_latency" -> funnelLatencyQ,
     "q_attribution_ushape" -> ushapeQ,
     "q_label_churn" -> churnQ,
@@ -558,6 +626,7 @@ object Behavior {
     "q_survival_km" -> survivalQ)
 
   def oracle: Map[String, String] = Map(
+    "q_behavior_stickiness" -> stickinessSql,
     "q_funnel_latency" -> funnelLatencySql,
     "q_attribution_ushape" -> ushapeSql,
     "q_label_churn" -> churnSql,

@@ -951,6 +951,40 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       (2 * r.getAs[Double]("auc") - 1)) < 1e-5)
   }
 
+  test("stickiness: DAU/WAU/MAU averages match a driver recompute and obey containment bounds") {
+    import spark.implicits._
+    val rows = Behavior.stickinessQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", $"user_id", to_date($"ts").as("d"),
+        weekofyear($"ts").as("w"), year($"ts").as("y"),
+        date_trunc("month", $"ts").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDate(2), (r.getInt(4), r.getInt(3)), r.getTimestamp(5)))
+    val byType = ev.groupBy(_._1)
+    rows.foreach { r =>
+      val ty = r.getAs[String]("event_type")
+      val g = byType(ty)
+      val dau = g.groupBy(_._3).values.map(_.map(_._2).distinct.size)
+      val wau = g.groupBy(_._4).values.map(_.map(_._2).distinct.size)
+      val mau = g.groupBy(_._5).values.map(_.map(_._2).distinct.size)
+      assert(r.getAs[Long]("n_days") == dau.size)
+      assert(r.getAs[Long]("n_weeks") == wau.size)
+      assert(r.getAs[Long]("n_months") == mau.size)
+      val aDau = dau.sum.toDouble / dau.size
+      val aWau = wau.sum.toDouble / wau.size
+      val aMau = mau.sum.toDouble / mau.size
+      assert(math.abs(r.getAs[Double]("avg_dau") - aDau) < 1e-5)
+      assert(math.abs(r.getAs[Double]("avg_wau") - aWau) < 1e-5)
+      assert(math.abs(r.getAs[Double]("avg_mau") - aMau) < 1e-5)
+      assert(math.abs(r.getAs[Double]("stickiness") - aDau / aMau) < 1e-5)
+      // containment: a day's actives are a subset of the month's
+      assert(aDau <= aWau + 1e-9 && aWau <= aMau + 1e-9)
+      assert(r.getAs[Double]("stickiness") > 0 &&
+        r.getAs[Double]("stickiness") <= 1.0 + 1e-9)
+    }
+  }
+
   test("association rules: metrics match a driver recompute; conviction guarded at confidence 1") {
     import spark.implicits._
     val rows = Affinity.rulesQ(spark, sfDir).collect()
