@@ -160,6 +160,43 @@ object SetOpsScalars {
       |  TRIM('  x  ') AS trimmed
       |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin
 
+  /** q_scalar_regex entry: the REGEX scalar surface beyond
+    * [[scalarString]]'s single extract — global regexp_replace (Spark
+    * replaces all by default; the DuckDB twin passes the 'g' option),
+    * regexp_extract_all counts, boolean rlike/regexp_matches, and an
+    * anchored word extract. Patterns stay inside the RE2 ∩ java.util.regex
+    * common subset (no backreferences/lookaround — RE2 has neither), which
+    * is exactly the subset a cross-engine pipeline can rely on. */
+  def scalarRegex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select($"p_partkey",
+        $"p_name",
+        regexp_extract($"p_name", "^([a-z]+)", 1).as("first_word"),
+        regexp_extract($"p_name", "\\b([aeiou][a-z]*)", 1)
+          .as("first_vowel_word"),
+        regexp_replace($"p_name", "[aeiou]", "*").as("vowels_masked"),
+        size(regexp_extract_all($"p_name", lit("[a-z]+"), lit(0)))
+          .cast("long").as("n_words"),
+        size(regexp_extract_all($"p_name", lit("a"), lit(0)))
+          .cast("long").as("n_a"),
+        $"p_name".rlike("^[^aeiou]").as("starts_consonant"),
+        $"p_name".rlike("(ee|oo|ll|ss)").as("has_double"))
+      .orderBy($"p_partkey")
+      .limit(200)
+  }
+
+  val scalarRegexSql: String =
+    """SELECT p_partkey, p_name,
+      |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+      |  regexp_extract(p_name, '\b([aeiou][a-z]*)', 1) AS first_vowel_word,
+      |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS vowels_masked,
+      |  CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
+      |  CAST(len(regexp_extract_all(p_name, 'a')) AS BIGINT) AS n_a,
+      |  regexp_matches(p_name, '^[^aeiou]') AS starts_consonant,
+      |  regexp_matches(p_name, '(ee|oo|ll|ss)') AS has_double
+      |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin
+
   // --- Scalar: math ---------------------------------------------------------
 
   /** Math sweep. Exact group (abs/ceil/floor/round/sqrt/mod/greatest/least)
@@ -312,6 +349,7 @@ object SetOpsScalars {
     "q_except" -> exceptQ,
     "q_except_all" -> exceptAll,
     "q_scalar_string" -> scalarString,
+    "q_scalar_regex" -> scalarRegex,
     "q_scalar_math" -> scalarMath,
     "q_scalar_datetime" -> scalarDatetime,
     "q_scalar_conditional" -> scalarConditional)
@@ -325,6 +363,7 @@ object SetOpsScalars {
     "q_except" -> exceptSql,
     "q_except_all" -> exceptAllSql,
     "q_scalar_string" -> scalarStringSql,
+    "q_scalar_regex" -> scalarRegexSql,
     "q_scalar_math" -> scalarMathSql,
     "q_scalar_datetime" -> scalarDatetimeSql,
     "q_scalar_conditional" -> scalarConditionalSql)
