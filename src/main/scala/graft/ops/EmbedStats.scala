@@ -338,15 +338,121 @@ object EmbedStats {
       |    AS frob_share
       |FROM f ORDER BY width""".stripMargin
 
+  /** q_embed_isotropy entry: ISOTROPY / ANISOTROPY audit of the
+    * embedding space — the mean pairwise dot product over all n(n−1)
+    * vector pairs normalized by the mean squared norm (≈ the expected
+    * random-pair cosine: ~0 for an isotropic cloud, → 1 when every
+    * vector points the same way — the anisotropy pathology Mu &
+    * Viswanath 2018 and Ethayarajh 2019 showed makes raw cosines
+    * uninformative), plus the ROGUE-DIMENSION readout (the single
+    * dimension's share of total variance — the "outlier dims" BERT
+    * phenomenon) and the squared-norm coefficient of variation.
+    *
+    * Exactness: the pairwise-mean needs NO pair join — the algebraic
+    * identity Σ_{i≠j}⟨x_i,x_j⟩ = ‖Σx‖² − Σ‖x‖² turns it into
+    * one-pass moments; milli-unit dims (dot moments) and centi-unit
+    * squared norms (norm moments, sized so Σ(‖x‖²)² stays in longs
+    * through sf10) make every moment an exact integer; each output is
+    * a couple of correctly-rounded double ops over exact decimals.
+    * Scale shape: ONE corpus pass through the bounded VecSum (130-slot
+    * buffer), then a 1-row frame. */
+  def isotropyQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prods = t(s, dir, "embeddings")
+      .withColumn("mx", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"))
+      .withColumn("cx", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 100) as bigint))"))
+      .withColumn("r2", expr(
+        "aggregate(cx, 0L, (acc, v) -> acc + v * v)"))
+      .withColumn("pr", expr(
+        "concat(mx, transform(mx, v -> v * v), array(r2, r2 * r2))"))
+      .select($"pr".as[Seq[Long]])
+    prods.groupByKey(_ => 0).mapValues(identity)
+      .agg(Centroids.VecSum.column(64 + 64 + 2).name("agg"))
+      .toDF("kk", "agg")
+      .select($"agg._1".as("n"), $"agg._2".as("arr"))
+      // ‖S‖² and Σ_d var_d in exact decimal; Q and norm moments in longs
+      .withColumn("s2", expr(
+        """aggregate(sequence(0, 63), cast(0 as decimal(38,0)), (acc, d) ->
+          |  acc + cast(element_at(arr, d + 1) as decimal(38,0))
+          |      * cast(element_at(arr, d + 1) as decimal(38,0)))"""
+          .stripMargin))
+      .withColumn("q", expr(
+        "aggregate(sequence(64, 127), 0L, (acc, i) -> acc + element_at(arr, cast(i + 1 as int)))"))
+      .withColumn("var_tot", expr(
+        """aggregate(sequence(0, 63), cast(0 as decimal(38,0)), (acc, d) ->
+          |  acc + (cast(n as decimal(38,0))
+          |           * cast(element_at(arr, cast(d + 65 as int)) as decimal(38,0))
+          |         - cast(element_at(arr, d + 1) as decimal(38,0))
+          |           * cast(element_at(arr, d + 1) as decimal(38,0))))"""
+          .stripMargin))
+      .withColumn("var_max", expr(
+        """array_max(transform(sequence(0, 63), d ->
+          |  cast(n as decimal(38,0))
+          |    * cast(element_at(arr, cast(d + 65 as int)) as decimal(38,0))
+          |  - cast(element_at(arr, d + 1) as decimal(38,0))
+          |    * cast(element_at(arr, d + 1) as decimal(38,0))))"""
+          .stripMargin))
+      .select($"n",
+        round(($"s2".cast("double") - $"q".cast("double"))
+          / (($"n" - 1).cast("double") * $"q".cast("double")), 6)
+          .as("mean_pair_dot_ratio"),
+        round($"var_max".cast("double") / $"var_tot".cast("double"), 6)
+          .as("top_var_share"),
+        round(sqrt(($"n" * expr("element_at(arr, 130)")
+            - expr("element_at(arr, 129)") * expr("element_at(arr, 129)"))
+            .cast("double"))
+          / expr("element_at(arr, 129)").cast("double"), 6)
+          .as("norm_sq_cv"))
+  }
+
+  val isotropySql: String =
+    """WITH mv AS MATERIALIZED (
+      |  SELECT
+      |    list_transform(embedding, x -> CAST(ROUND(x::DOUBLE * 1000)
+      |      AS BIGINT)) AS mx,
+      |    list_reduce(list_transform(embedding,
+      |      x -> CAST(ROUND(x::DOUBLE * 100) AS BIGINT) *
+      |           CAST(ROUND(x::DOUBLE * 100) AS BIGINT)),
+      |      (a, b) -> a + b) AS r2
+      |  FROM embeddings),
+      |nn AS (SELECT COUNT(*) AS n, SUM(r2) AS sr2, SUM(r2 * r2) AS sr4
+      |       FROM mv),
+      |dimsums AS (
+      |  SELECT t.d AS d, SUM(mx[t.d + 1]) AS s, SUM(mx[t.d + 1] * mx[t.d + 1]) AS q
+      |  FROM mv CROSS JOIN range(0, 64) t(d) GROUP BY 1),
+      |agg AS (
+      |  SELECT
+      |    SUM(CAST(s AS HUGEINT) * s) AS s2,
+      |    SUM(q) AS qq,
+      |    SUM(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) AS var_tot,
+      |    MAX(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) AS var_max
+      |  FROM dimsums, nn),
+      |qn AS (
+      |  SELECT SUM(q) AS qn FROM (
+      |    SELECT SUM(mx[t.d + 1] * mx[t.d + 1]) AS q
+      |    FROM mv CROSS JOIN range(0, 64) t(d) GROUP BY t.d))
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  ROUND((CAST(s2 AS DOUBLE) - CAST(qq AS DOUBLE))
+      |    / ((n - 1) * CAST(qq AS DOUBLE)), 6) AS mean_pair_dot_ratio,
+      |  ROUND(CAST(var_max AS DOUBLE) / CAST(var_tot AS DOUBLE), 6)
+      |    AS top_var_share,
+      |  ROUND(SQRT(CAST(n * sr4 - sr2 * sr2 AS DOUBLE))
+      |    / CAST(sr2 AS DOUBLE), 6) AS norm_sq_cv
+      |FROM agg, nn""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_dims" -> dimsQ,
     "q_embed_norms" -> normsQ,
     "q_embed_cka" -> ckaQ,
+    "q_embed_isotropy" -> isotropyQ,
     "q_embed_jl" -> jlQ)
 
   def oracle: Map[String, String] = Map(
     "q_embed_dims" -> dimsSql,
     "q_embed_norms" -> normsSql,
     "q_embed_cka" -> ckaSql,
+    "q_embed_isotropy" -> isotropySql,
     "q_embed_jl" -> jlSql)
 }

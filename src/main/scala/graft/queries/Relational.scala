@@ -736,6 +736,59 @@ object Relational {
     """SELECT o_orderkey, o_totalprice, o_orderdate
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
 
+  /** q_sort_nulls entry: NULL-ORDERING parity — the cross-engine trap
+    * this suite exists to pin: Spark's default is NULLS FIRST on ASC /
+    * NULLS LAST on DESC, DuckDB's default is NULLS LAST everywhere, so
+    * any ORDER BY over a nullable key silently disagrees unless the
+    * placement is EXPLICIT. This query spells out all four combinations
+    * (asc/desc × nulls first/last) over a key that is genuinely null
+    * (clerk numbers nulled for every 7th order) and ranks with each —
+    * a pipeline that copies its ORDER BY between engines without the
+    * NULLS clause gets a red diff here, which is the point. */
+  def sortNulls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .select($"o_orderkey",
+        when($"o_orderkey" % 7 === 0, lit(null).cast("long"))
+          .otherwise($"o_orderkey" % 100).as("k"))
+      .filter($"o_orderkey" <= 400)
+    val base = Seq(
+      ("asc_nulls_first", $"k".asc_nulls_first),
+      ("asc_nulls_last", $"k".asc_nulls_last),
+      ("desc_nulls_first", $"k".desc_nulls_first),
+      ("desc_nulls_last", $"k".desc_nulls_last))
+    base.map { case (name, ord) =>
+      o.select(lit(name).as("ordering"), $"o_orderkey", $"k")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(0)).orderBy(ord, $"o_orderkey".asc)))
+        .filter($"rn" <= 5)
+    }.reduce(_ unionByName _)
+      .withColumn("rn", $"rn".cast("long"))
+      .orderBy($"ordering", $"rn")
+  }
+
+  val sortNullsSql: String = {
+    def one(name: String, clause: String): String =
+      s"""SELECT ordering, o_orderkey, k, rn FROM (
+         |  SELECT '$name' AS ordering, o_orderkey, k,
+         |    ROW_NUMBER() OVER (ORDER BY $clause, o_orderkey ASC) AS rn
+         |  FROM b) WHERE rn <= 5""".stripMargin
+    s"""WITH b AS (
+       |  SELECT o_orderkey,
+       |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+       |         ELSE o_orderkey % 100 END AS k
+       |  FROM orders WHERE o_orderkey <= 400)
+       |${one("asc_nulls_first", "k ASC NULLS FIRST")}
+       |UNION ALL
+       |${one("asc_nulls_last", "k ASC NULLS LAST")}
+       |UNION ALL
+       |${one("desc_nulls_first", "k DESC NULLS FIRST")}
+       |UNION ALL
+       |${one("desc_nulls_last", "k DESC NULLS LAST")}
+       |ORDER BY ordering, rn""".stripMargin
+  }
+
   /** LIMIT + OFFSET pagination over a total order. */
   def limitOffset(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -975,6 +1028,7 @@ object Relational {
     "q_join_range" -> joinRange,
     "q_join_multiway" -> joinMultiway,
     "q_sort_limit" -> sortLimit,
+    "q_sort_nulls" -> sortNulls,
     "q_limit_offset" -> limitOffset,
     "q_scalar_subquery" -> scalarSubquery,
     "q_correlated_subquery" -> correlatedSubquery,
@@ -1012,6 +1066,7 @@ object Relational {
     "q_join_range" -> joinRangeSql,
     "q_join_multiway" -> joinMultiwaySql,
     "q_sort_limit" -> sortLimitSql,
+    "q_sort_nulls" -> sortNullsSql,
     "q_limit_offset" -> limitOffsetSql,
     "q_scalar_subquery" -> scalarSubquerySql,
     "q_correlated_subquery" -> correlatedSubquerySql,

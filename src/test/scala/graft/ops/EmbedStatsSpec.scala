@@ -89,6 +89,33 @@ class EmbedStatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("isotropy: pairwise-mean identity matches an explicit pair-loop recompute") {
+    import spark.implicits._
+    val r = EmbedStats.isotropyQ(spark, sfDir).collect().head
+    val mv = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(x => BigDecimal(x.toDouble * 1000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+    val n = mv.length
+    assert(r.getAs[Long]("n") == n)
+    // explicit O(n²) pair loop — the identity ‖Σx‖² − Σ‖x‖² must equal it
+    val sums = Array.tabulate(64)(d => mv.map(_(d)).sum)
+    val q = mv.map(v => v.map(x => x * x).sum).sum
+    val s2 = sums.map(s => BigInt(s) * BigInt(s)).sum
+    val pairSum = s2 - q // = Σ_{i≠j} ⟨x_i, x_j⟩ by algebra
+    var explicit = BigInt(0)
+    for (i <- 0 until math.min(n, 60); j <- 0 until math.min(n, 60) if i != j)
+      explicit += (0 until 64).map(d => mv(i)(d) * mv(j)(d)).sum
+    // spot-verify the identity on the 60-vector prefix
+    val sums60 = Array.tabulate(64)(d => mv.take(60).map(_(d)).sum)
+    val q60 = mv.take(60).map(v => v.map(x => x * x).sum).sum
+    assert(sums60.map(s => BigInt(s) * BigInt(s)).sum - q60 == explicit)
+    val want = (s2.toDouble - q.toDouble) / ((n - 1).toDouble * q.toDouble)
+    assert(math.abs(r.getAs[Double]("mean_pair_dot_ratio") - want) < 1e-6)
+    assert(r.getAs[Double]("top_var_share") >= 1.0 / 64 - 1e-6)
+    assert(r.getAs[Double]("norm_sq_cv") >= 0)
+  }
+
   test("cka: width-64 control is exactly 1, curve is monotone, and width-16 matches a driver recompute") {
     import spark.implicits._
     val rows = EmbedStats.ckaQ(spark, sfDir).collect()
