@@ -138,6 +138,29 @@ object EventStreams {
       |FROM sess GROUP BY user_id, session_no
       |ORDER BY user_id, session_no LIMIT 500""".stripMargin
 
+  /** NATIVE session windows — Spark's built-in `session_window` (gap-
+    * based dynamic windows, engine-managed state) over the same 30-min
+    * gap as [[sessionize]]/[[sessionizeBatch]]: the declarative form
+    * that runs identically on batch AND streaming frames, with
+    * watermark-driven state eviction for free. Boundary semantics match
+    * the lag-based batch form INCLUDING the edge: a gap of exactly the
+    * threshold merges in both (native windows are [ts, ts+gap] for
+    * merging purposes; the lag form breaks only on `> gap`) — the spec
+    * pins this. Prefer this form at scale: no per-user window sort, and
+    * streaming state is evicted by watermark instead of
+    * mapGroupsWithState timeouts. */
+  def nativeSessionize(events: DataFrame, gap: String = "30 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val base = watermark.fold(events)(w => events.withWatermark("ts", w))
+    base
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+  }
+
   /** Running per-user totals: bounded state (one row per user), updated
     * each trigger. */
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {

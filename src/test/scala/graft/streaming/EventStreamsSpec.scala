@@ -50,6 +50,65 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window: agrees with the lag-based sessionizer incl. the exact-gap edge; streams with watermark finalization") {
+    import spark.implicits._
+    // batch equivalence on the real fixture: session COUNTS and event
+    // totals agree wherever no inter-event gap is exactly 30 min
+    val dir = sfDir
+    val events = graft.Tables.t(spark, dir, "events")
+    val exactEdge = sessionizeBatch(spark, dir) // materializes the contract
+    val lagSessions = {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events.select($"user_id", $"event_id", $"ts")
+        .withColumn("gap_us",
+          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)))
+        .filter($"gap_us" === 30L * 60 * 1000000).count()
+    }
+    assert(lagSessions == 0, "fixture has an exactly-30min gap; edge case below covers it")
+    val native = nativeSessionize(events).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp]("session_start")))
+      .toSet
+    val batch = {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events.select($"user_id", $"event_id", $"ts")
+        .withColumn("gap_us",
+          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)))
+        .withColumn("brk", when($"gap_us".isNull ||
+          $"gap_us" > 30L * 60 * 1000000, 1).otherwise(0))
+        .withColumn("sno", sum($"brk").over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"sno").agg(min($"ts").as("start"))
+        .select($"user_id", $"start").collect()
+        .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp]("start"))).toSet
+    }
+    assert(native == batch, "native and lag-based session starts diverge")
+    // the documented edge: a gap of exactly 30 min MERGES natively too
+    // (same as the lag form's `> gap` break rule)
+    val edge = Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:30:00"))
+    assert(nativeSessionize(edge.toDF()).count() == 1)
+    // streaming: sessions finalize once the watermark passes their end
+    val in = MemoryStream[Event](spark)
+    val q = nativeSessionize(in.toDF(), watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("sesssink")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(10, "2024-01-01 09:00:00", uid = 7),
+        ev(11, "2024-01-01 09:10:00", uid = 7, v = 2.0))
+      drain(q)
+      assert(spark.table("sesssink").count() == 0) // not finalized yet
+      in.addData(ev(12, "2024-01-01 11:00:00", uid = 7))
+      drain(q); in.addData(ev(13, "2024-01-01 11:30:00", uid = 7)); drain(q)
+      val done = spark.table("sesssink")
+        .selectExpr("user_id", "CAST(session_start AS STRING)", "n_events",
+          "total_value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(done == Set((7L, "2024-01-01 09:00:00", 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("batch and streaming windowed counts agree on the same data") {
     import spark.implicits._
     val events = Seq(
