@@ -179,6 +179,44 @@ object Windows {
       |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey LIMIT 400""".stripMargin
 
+  /** q_win_time_range entry: TIME-INTERVAL RANGE frames — the rolling
+    * "events in the trailing hour" window keyed by event TIME, not row
+    * count ([[rangeFrame]]'s numeric range applied to timestamps): each
+    * event sees the count/value-sum of everything from its own type in
+    * the preceding hour. Spark's rangeBetween needs a numeric ordering
+    * key, so the frame rides epoch-MICROsecond integers (exact — no
+    * sub-second truncation to disagree over); DuckDB's twin states the
+    * same frame in its native idiom, RANGE BETWEEN INTERVAL 1 HOUR
+    * PRECEDING over the timestamp itself. The per-row trailing window
+    * is what rate limiting, burst detection, and trailing-velocity
+    * features compute at scale. */
+  def timeRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"tus")
+      .rangeBetween(-3600L * 1000000, Window.currentRow)
+    t(s, dir, "events")
+      .select($"event_id", $"event_type", $"ts",
+        unix_micros($"ts").as("tus"), $"value")
+      .withColumn("n_trailing_1h", count(lit(1)).over(w))
+      .withColumn("sum_trailing_1h",
+        sum($"value".cast("decimal(18,2)")).over(w).cast("double"))
+      .filter($"event_id" <= 300)
+      .select($"event_id", $"event_type", $"n_trailing_1h",
+        $"sum_trailing_1h")
+      .orderBy($"event_id")
+  }
+
+  val timeRangeSql: String =
+    """SELECT event_id, event_type,
+      |  COUNT(*) OVER w AS n_trailing_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    AS sum_trailing_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY ts
+      |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |QUALIFY event_id <= 300
+      |ORDER BY event_id""".stripMargin
+
   /** Scale-safe distribution variant (VERDICT r2 item 10): the same
     * percent_rank / cume_dist / ntile family, but partitioned by
     * c_nationkey — each nation's ranks are computed inside its own
@@ -234,6 +272,7 @@ object Windows {
     "q_win_lag_lead" -> lagLead,
     "q_win_frames" -> frames,
     "q_win_range_frame" -> rangeFrame,
+    "q_win_time_range" -> timeRange,
     "q_win_first_last_nth" -> firstLastNth,
     "q_win_distribution" -> distribution,
     "q_win_distribution_part" -> distributionBucketed,
@@ -244,6 +283,7 @@ object Windows {
     "q_win_lag_lead" -> lagLeadSql,
     "q_win_frames" -> framesSql,
     "q_win_range_frame" -> rangeFrameSql,
+    "q_win_time_range" -> timeRangeSql,
     "q_win_first_last_nth" -> firstLastNthSql,
     "q_win_distribution" -> distributionSql,
     "q_win_distribution_part" -> distributionBucketedSql,
