@@ -137,6 +137,7 @@ object Dev {
           "q_sample_balanced" -> "1-row minority-class-count frame",
           "q_split_groupfold" -> "1-row event-total frame",
           "q_affinity_rules" -> "1-row basket-total frame",
+          "q_rec_coverage" -> "three 1-row audit frames over the item-bounded lists",
           "q_graph_bfs" -> "1-row p75 threshold frame over the node-bounded edge list",
           "q_graph_kcore" -> "1-row p75 threshold frame over the node-bounded edge list",
           "q_graph_scc" -> "1-row p75 threshold frame over the node-bounded edge list",

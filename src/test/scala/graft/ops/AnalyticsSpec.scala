@@ -951,6 +951,52 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       (2 * r.getAs[Double]("auc") - 1)) < 1e-5)
   }
 
+  test("rec coverage: audit matches a driver top-k replay; gini and coverage bounded") {
+    import spark.implicits._
+    val r = Affinity.recCoverageQ(spark, sfDir).collect().head
+    val baskets = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "part"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val nB = baskets.groupBy(_._2).view.mapValues(_.length).toMap
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val co = byOrder.values.toSeq
+      .flatMap(bs => for (a <- bs; b <- bs if a != b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    def cos(a: String, b: String): BigDecimal =
+      co.get((a, b)).map(c => BigDecimal(
+        c / math.sqrt(nB(a).toDouble * nB(b).toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).getOrElse(BigDecimal(0))
+    val srcs = co.keys.map(_._1).toSeq.distinct
+    val lists = srcs.map { s =>
+      s -> co.keys.filter(_._1 == s).map(_._2).toSeq
+        .sortBy(d => (-cos(s, d), d)).take(5)
+    }.toMap
+    val allBrands = graft.Tables.t(spark, sfDir, "part")
+      .select($"p_brand").distinct().collect().map(_.getString(0))
+    val exposure = allBrands.map(b =>
+      b -> lists.values.map(_.count(_ == b)).sum).toMap
+    val n = allBrands.length
+    assert(r.getAs[Long]("n_items") == n)
+    assert(r.getAs[Long]("n_lists") == lists.size)
+    val covered = exposure.count(_._2 > 0)
+    assert(math.abs(r.getAs[Double]("catalog_coverage") -
+      covered.toDouble / n) < 1e-6)
+    val xs = exposure.toSeq.sortBy { case (b, x) => (x, b) }.map(_._2)
+    val sx = xs.map(_.toLong).sum
+    val six = xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+    val gini = (2.0 * six - (n + 1).toDouble * sx) / (n.toDouble * sx)
+    assert(math.abs(r.getAs[Double]("exposure_gini") - gini) < 1e-6)
+    assert(r.getAs[Double]("exposure_gini") >= 0 &&
+      r.getAs[Double]("exposure_gini") <= 1)
+    val pairCos = lists.values.toSeq.flatMap { l =>
+      for (i <- l.indices; j <- l.indices if l(i) < l(j)) yield cos(l(i), l(j))
+    }
+    assert(math.abs(r.getAs[Double]("mean_intralist_cos") -
+      (pairCos.sum / pairCos.length).toDouble) < 1e-5)
+  }
+
   test("stickiness: DAU/WAU/MAU averages match a driver recompute and obey containment bounds") {
     import spark.implicits._
     val rows = Behavior.stickinessQ(spark, sfDir).collect()
