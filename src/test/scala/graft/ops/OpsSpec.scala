@@ -1283,6 +1283,45 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("frames: every animated-GIF frame decodes to its planted color, in order") {
+    import spark.implicits._
+    val rows = Multimodal.framesQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = (2 + id % 3).toInt
+      assert(r.getAs[Long]("n_frames") == n, s"doc $id frame count")
+      assert(r.getAs[Long]("w") == 4 + id % 5)
+      assert(r.getAs[Long]("h") == 4 + id % 3)
+      def luma(f: Int): Long =
+        (((37 * id + 11 * f) % 256) + ((59 * id + 7 * f) % 256) +
+          ((83 * id + 3 * f) % 256)) / 3
+      assert(r.getAs[Long]("first_luma") == luma(0))
+      assert(r.getAs[Long]("last_luma") == luma(n - 1))
+      assert(r.getAs[Long]("sum_luma") == (0 until n).map(luma).sum)
+    }
+    // exhaustive per-frame decode of one payload: every frame, every
+    // ordered position — stronger than the first/last/sum the query pins
+    val (id, bytes) = Multimodal.plantedGifs(spark, sfDir)
+      .orderBy($"doc_id").limit(1)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).head
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    reader.setInput(iis)
+    val n = reader.getNumImages(true)
+    (0 until n).foreach { f =>
+      val im = reader.read(f)
+      val rgb = im.getRGB(0, 0)
+      assert(((rgb >> 16) & 0xff) == ((37 * id + 11 * f) % 256).toInt, s"f$f r")
+      assert(((rgb >> 8) & 0xff) == ((59 * id + 7 * f) % 256).toInt, s"f$f g")
+      assert((rgb & 0xff) == ((83 * id + 3 * f) % 256).toInt, s"f$f b")
+      // solid frame: corner pixel equals the center pixel
+      assert(im.getRGB(im.getWidth - 1, im.getHeight - 1) == rgb)
+    }
+    reader.dispose(); iis.close()
+  }
+
   test("sharpness: horizontal gradient mass equals the per-pixel formula recompute") {
     val rows = Multimodal.sharpnessQ(spark, sfDir).collect()
     assert(rows.nonEmpty)
