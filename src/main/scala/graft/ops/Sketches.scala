@@ -95,6 +95,75 @@ object Sketches {
       |UNION ALL SELECT source, n_exact, 1 AS est_ok FROM allr
       |ORDER BY source""".stripMargin
 
+  private val OverlapSrcs = Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** q_hll_overlap entry: AUDIENCE-OVERLAP estimation by sketch
+    * INCLUSION–EXCLUSION — for each pair of the five pinned sources,
+    * est|A∩B| = est|A| + est|B| − est|A∪B| from the persisted HLL
+    * sketches (union via `hll_union`; HLL can merge but NOT intersect,
+    * so inclusion–exclusion is how every audience/reach system answers
+    * overlap questions from sketches), gated in-plan against the EXACT
+    * vocabulary intersection. The gate envelope is wider than
+    * [[hllMergeQ]]'s single-estimate bound because three estimate
+    * errors compound — that compounding IS the documented cost of
+    * sketch intersection, visible here next to the exact truth.
+    *
+    * Output stays engine-portable ([[hllMergeQ]] discipline): exact
+    * counts + the gate bit; estimates stay internal. Scale shape: the
+    * pair grid is 10 rows over the bounded sketch artifact; exact
+    * intersections ride the vocabulary-bounded token join. */
+  def hllOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sk = SketchArtifact.of(s, dir).filter($"source".isin(OverlapSrcs: _*))
+    val pairs = sk.as("a").join(sk.as("b"), $"a.source" < $"b.source")
+      .select($"a.source".as("src_a"), $"b.source".as("src_b"),
+        hll_sketch_estimate($"a.sk").as("ea"),
+        hll_sketch_estimate($"b.sk").as("eb"),
+        hll_sketch_estimate(hll_union($"a.sk", $"b.sk")).as("eu"))
+      .withColumn("est_inter", $"ea" + $"eb" - $"eu")
+    val toks = t(s, dir, "documents")
+      .filter($"source".isin(OverlapSrcs: _*))
+      .select($"source", explode(split(lower($"text"), " ")).as("tok"))
+      .distinct()
+    val exact = toks.as("x").join(toks.as("y"),
+        $"x.tok" === $"y.tok" && $"x.source" < $"y.source")
+      .groupBy($"x.source".as("src_a"), $"y.source".as("src_b"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    val sizes = toks.groupBy($"source").agg(count(lit(1)).as("n"))
+    pairs.join(exact, Seq("src_a", "src_b"))
+      .join(sizes.select($"source".as("src_a"), $"n".as("n_exact_a")), "src_a")
+      .join(sizes.select($"source".as("src_b"), $"n".as("n_exact_b")), "src_b")
+      .select($"src_a", $"src_b", $"n_exact_a", $"n_exact_b",
+        $"n_exact_inter",
+        (abs($"est_inter" - $"n_exact_inter").cast("double") <=
+          greatest(lit(50d), $"n_exact_inter" * 0.15)).cast("int")
+          .as("incl_excl_ok"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  /** DuckDB twin: exact pairwise vocabulary intersections; every
+    * inclusion–exclusion gate must hold. */
+  val hllOverlapSql: String = {
+    val srcs = OverlapSrcs.map(s => s"'$s'").mkString(", ")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT DISTINCT source, unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents WHERE source IN ($srcs)),
+       |sz AS (SELECT source, COUNT(*) AS n FROM v GROUP BY 1),
+       |inter AS (
+       |  SELECT x.source AS src_a, y.source AS src_b,
+       |    COUNT(*) AS n_exact_inter
+       |  FROM v x JOIN v y ON x.tok = y.tok AND x.source < y.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b,
+       |  CAST(sa.n AS BIGINT) AS n_exact_a, CAST(sb.n AS BIGINT) AS n_exact_b,
+       |  CAST(n_exact_inter AS BIGINT) AS n_exact_inter,
+       |  1 AS incl_excl_ok
+       |FROM inter
+       |JOIN sz sa ON sa.source = src_a
+       |JOIN sz sb ON sb.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   /** Cross-source VOCABULARY overlap matrix — the token-level
     * complement of [[Dedup]]'s doc-level source matrix: for every
     * source pair, the exact distinct-token intersection and its Jaccard
@@ -506,6 +575,7 @@ object Sketches {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_theta" -> thetaQ,
     "q_agg_hll_merge" -> hllMergeQ,
+    "q_hll_overlap" -> hllOverlapQ,
     "q_source_overlap" -> sourceOverlapQ,
     "q_agg_cms" -> cmsQ,
     "q_bloom_fp" -> bloomFpQ,
@@ -514,6 +584,7 @@ object Sketches {
   def oracle: Map[String, String] = Map(
     "q_agg_theta" -> thetaSql,
     "q_agg_hll_merge" -> hllMergeSql,
+    "q_hll_overlap" -> hllOverlapSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_agg_cms" -> cmsSql,
     "q_bloom_fp" -> bloomFpSql,

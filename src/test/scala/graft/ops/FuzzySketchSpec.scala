@@ -57,6 +57,25 @@ class FuzzySketchSpec extends AnyFunSuite with SparkSpec {
       s"estimate outside envelope for ${r.getAs[String]("source")}"))
   }
 
+  test("hll overlap: inclusion-exclusion gates hold and exact intersections match a driver recompute") {
+    import spark.implicits._
+    val rows = Sketches.hllOverlapQ(spark, sfDir).collect()
+    assert(rows.length == 10, "C(5,2) source pairs")
+    rows.foreach(r => assert(r.getAs[Int]("incl_excl_ok") == 1,
+      s"${r.getString(0)}x${r.getString(1)} estimate outside envelope"))
+    val vocab = graft.Tables.t(spark, sfDir, "documents")
+      .filter($"source".isin("src0", "src1", "src2", "src3", "src4"))
+      .select($"source", explode(split(lower($"text"), " ")).as("tok"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(r.getAs[Long]("n_exact_a") == vocab(a).size)
+      assert(r.getAs[Long]("n_exact_b") == vocab(b).size)
+      assert(r.getAs[Long]("n_exact_inter") == (vocab(a) & vocab(b)).size)
+    }
+  }
+
   test("hll: union estimate is partition-invariant and merge-order-free") {
     import spark.implicits._
     val toks = graft.Tables.t(spark, sfDir, "documents")
