@@ -446,7 +446,81 @@ object Pii {
       |  CAST(1.0 AS DOUBLE) AS epsilon
       |FROM n ORDER BY event_type""".stripMargin
 
+  private val SuppressK = 8L // minimum publishable cell size
+
+  /** q_privacy_suppress entry: SMALL-CELL SUPPRESSION with
+    * COMPLEMENTARY suppression — the tabular-release discipline (the
+    * census-bureau practice) the DP mechanisms here sit beside: cells
+    * of the nation × market-segment customer cross-tab below
+    * [[SuppressK]] are primary-suppressed, and any nation with EXACTLY
+    * ONE primary suppression also suppresses its smallest released
+    * cell — because a single suppressed cell is recoverable from the
+    * published nation margin, which is the subtraction attack
+    * complementary suppression exists to block. Per nation: cell
+    * counts, primary/complementary suppression counts, and
+    * released/suppressed mass (the margins a reviewer checks).
+    *
+    * Scale shape: one combinable cross-tab aggregate, then windows over
+    * the |nations|×|segments| ≤ 125-cell frame — release auditing
+    * never touches row-level data again. All-integer arithmetic. */
+  def suppressQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val cells = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), $"c_mktsegment".as("seg"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("primary", $"cnt" < SuppressK)
+    val byNation = Window.partitionBy($"nation")
+    val relRank = Window.partitionBy($"nation", $"primary")
+      .orderBy($"cnt", $"seg")
+    val marked = cells
+      .withColumn("n_primary",
+        sum(when($"primary", 1L).otherwise(0L)).over(byNation))
+      .withColumn("rel_rank", row_number().over(relRank))
+      .withColumn("complementary",
+        !$"primary" && $"n_primary" === 1 && $"rel_rank" === 1)
+      .withColumn("suppressed", $"primary" || $"complementary")
+    marked.groupBy($"nation")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when($"primary", 1L).otherwise(0L)).as("n_primary"),
+        sum(when($"complementary", 1L).otherwise(0L)).as("n_complementary"),
+        sum(when(!$"suppressed", $"cnt").otherwise(0L)).as("released_mass"),
+        sum(when($"suppressed", $"cnt").otherwise(0L)).as("suppressed_mass"))
+      .orderBy($"nation")
+  }
+
+  val suppressSql: String =
+    s"""WITH cells AS (
+       |  SELECT n_name AS nation, c_mktsegment AS seg, COUNT(*) AS cnt,
+       |    COUNT(*) < $SuppressK AS pri
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2),
+       |marked AS (
+       |  SELECT *,
+       |    SUM(CASE WHEN pri THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY nation) AS n_primary,
+       |    ROW_NUMBER() OVER (PARTITION BY nation, pri
+       |      ORDER BY cnt, seg) AS rel_rank
+       |  FROM cells),
+       |fin AS (
+       |  SELECT *,
+       |    (NOT pri) AND n_primary = 1 AND rel_rank = 1 AS comp,
+       |    pri OR ((NOT pri) AND n_primary = 1 AND rel_rank = 1)
+       |      AS suppressed
+       |  FROM marked)
+       |SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |  CAST(SUM(CASE WHEN pri THEN 1 ELSE 0 END) AS BIGINT) AS n_primary,
+       |  CAST(SUM(CASE WHEN comp THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_complementary,
+       |  CAST(SUM(CASE WHEN NOT suppressed THEN cnt ELSE 0 END) AS BIGINT)
+       |    AS released_mass,
+       |  CAST(SUM(CASE WHEN suppressed THEN cnt ELSE 0 END) AS BIGINT)
+       |    AS suppressed_mass
+       |FROM fin GROUP BY nation ORDER BY nation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_privacy_suppress" -> suppressQ,
     "q_text_pii" -> redactQ,
     "q_text_secrets" -> secretsQ,
     "q_privacy_rr" -> rrQ,
@@ -455,6 +529,7 @@ object Pii {
     "q_privacy_dp_mean" -> dpMeanQ)
 
   def oracle: Map[String, String] = Map(
+    "q_privacy_suppress" -> suppressSql,
     "q_text_pii" -> redactSql,
     "q_text_secrets" -> secretsSql,
     "q_privacy_rr" -> rrSql,

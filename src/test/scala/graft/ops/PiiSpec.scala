@@ -98,4 +98,33 @@ class PiiSpec extends AnyFunSuite with SparkSpec {
         <= math.abs(r.getAs[Double]("noise")) / totals.size + 1e-5)
     }
   }
+
+  test("suppression: primary/complementary marks match a driver replay; no nation leaks a single recoverable cell") {
+    import spark.implicits._
+    val rows = graft.ops.Pii.suppressQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cells = graft.Tables.t(spark, sfDir, "customer")
+      .join(graft.Tables.t(spark, sfDir, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"c_mktsegment").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val nation = r.getAs[String]("nation")
+      val g = cells(nation)
+      val primary = g.filter(_._3 < 8)
+      val comp =
+        if (primary.length == 1)
+          g.filter(_._3 >= 8).sortBy(c => (c._3, c._2)).take(1)
+        else Array.empty[(String, String, Long)]
+      assert(r.getAs[Long]("n_cells") == g.length)
+      assert(r.getAs[Long]("n_primary") == primary.length, s"$nation primary")
+      assert(r.getAs[Long]("n_complementary") == comp.length, s"$nation comp")
+      val suppressed = (primary ++ comp).map(_._3).sum
+      assert(r.getAs[Long]("suppressed_mass") == suppressed)
+      assert(r.getAs[Long]("released_mass") == g.map(_._3).sum - suppressed)
+      // the invariant the rule exists for: never exactly one suppressed cell
+      assert(primary.length + comp.length != 1, s"$nation leaks one cell")
+    }
+  }
 }
