@@ -51,6 +51,7 @@ object SparkEntry {
     graft.ops.MinHashTune.queries ++
     graft.ops.Drift.queries ++
     graft.ops.Fuzzy.queries ++
+    graft.ops.LabelNoise.queries ++
     graft.ops.Graph.queries ++
     graft.ops.HeavyHitters.queries ++
     graft.ops.Sketches.queries ++
@@ -100,6 +101,7 @@ object SparkEntry {
     graft.ops.MinHashTune.oracle ++
     graft.ops.Drift.oracle ++
     graft.ops.Fuzzy.oracle ++
+    graft.ops.LabelNoise.oracle ++
     graft.ops.Graph.oracle ++
     graft.ops.HeavyHitters.oracle ++
     graft.ops.Sketches.oracle ++

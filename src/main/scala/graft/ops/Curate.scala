@@ -491,7 +491,66 @@ object Curate {
        |FROM sel LEFT JOIN rej ON rej.source = sel.source
        |ORDER BY sel.source""".stripMargin
 
+  /** q_curate_ccnet entry: CCNet-style head/middle/tail quality
+    * bucketing (Wenzek et al. 2020) — per-LANGUAGE terciles of the
+    * corpus-LM cross-entropy ([[Text.ceAll]]), the partition the CCNet
+    * pipeline publishes so downstream training mixes can oversample
+    * the "head" (most corpus-like) slice per language. Reports, per
+    * (lang, tier): doc count, character mass, and mean cross-entropy.
+    *
+    * Contract: tier = NTILE(3) over (cross_entropy ASC, doc_id ASC)
+    * within each language — head is the LOWEST-CE (most fluent)
+    * tercile, mirroring CCNet's perplexity ordering; docs with <2
+    * tokens carry no bigram CE and are excluded (both engines). Mean
+    * CE sums exact DECIMAL(18,6) components (CE is 6-dp by
+    * construction) so the per-tier mean is partitioning-independent.
+    *
+    * Scale shape: the CE pass is one corpus scan against broadcast
+    * vocabulary-bounded model tables; bucketing shuffles only the
+    * (doc_id, lang, n_chars, ce) SLIM frame — corpus text never moves
+    * — and the tier rollup is map-side combinable. The per-lang NTILE
+    * sort is the oracle-exact stand-in for what a 100 TB run would do
+    * with two approx-percentile cutpoints per language (one
+    * approx_percentile pass + a broadcast cutoff join — no sort); the
+    * exact form keeps the query value-hash-checkable. */
+  def ccnetQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ce = Text.ceAll(s, dir).select($"doc_id", $"cross_entropy")
+    val slim = t(s, dir, "documents").select($"doc_id", $"lang", $"n_chars")
+    slim.join(ce, Seq("doc_id"))
+      .withColumn("bk", ntile(3).over(
+        Window.partitionBy($"lang").orderBy($"cross_entropy", $"doc_id")))
+      .withColumn("tier",
+        when($"bk" === 1, "head").when($"bk" === 2, "middle")
+          .otherwise("tail"))
+      .groupBy($"lang", $"tier")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("char_mass"),
+        sum($"cross_entropy".cast("decimal(18,6)")).as("sce"))
+      .select($"lang", $"tier", $"n_docs".cast("long").as("n_docs"),
+        $"char_mass".cast("long").as("char_mass"),
+        round($"sce".cast("double") / $"n_docs", 6).as("mean_ce"))
+      .orderBy($"lang", $"tier")
+  }
+
+  val ccnetSql: String =
+    s"""WITH ${Text.ceCtesSql},
+      |b AS (
+      |  SELECT d.lang, d.n_chars, ce.cross_entropy,
+      |    NTILE(3) OVER (PARTITION BY d.lang
+      |      ORDER BY ce.cross_entropy, d.doc_id) AS bk
+      |  FROM documents d JOIN ce USING (doc_id))
+      |SELECT lang,
+      |  CASE bk WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS char_mass,
+      |  ROUND(CAST(SUM(CAST(cross_entropy AS DECIMAL(18,6))) AS DOUBLE)
+      |        / COUNT(*), 6) AS mean_ce
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curate_ccnet" -> ccnetQ,
     "q_curate_budget" -> budgetQ,
     "q_sample_dsir" -> dsirQ,
     "q_sample_negatives" -> negativesQ,
@@ -501,6 +560,7 @@ object Curate {
     "q_curate_curriculum" -> curriculumQ)
 
   def oracle: Map[String, String] = Map(
+    "q_curate_ccnet" -> ccnetSql,
     "q_curate_budget" -> budgetSql,
     "q_sample_dsir" -> dsirSql,
     "q_sample_negatives" -> negativesSql,

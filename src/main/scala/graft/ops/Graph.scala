@@ -1442,7 +1442,90 @@ object Graph {
     (labels, rounds)
   }
 
+  /** q_graph_katz entry: truncated KATZ centrality (Katz 1953) over
+    * the directed nation→nation trade graph — the walk-counting
+    * centrality that credits a node for ALL inbound walks, not just
+    * direct edges: κ = Σ_{t=1..T} α^t · (Aᵀ)^t · 1, here T=6 terms at
+    * α=0.03 (safely below 1/λ_max for a ≤25-node graph, so the
+    * truncation is within α^7/(1−α) of the infinite sum). PageRank
+    * divides influence by out-degree; Katz doesn't — a hub passing
+    * walks to everyone raises ALL its partners, which is why Katz is
+    * the standard choice for "how reachable is this entity" in trade /
+    * citation networks.
+    *
+    * Determinism contract (the [[pagerankQ]] pattern): per-edge
+    * contributions α·(1+κ_t(u)) are rounded to 9 dp and merged as
+    * DECIMAL(28,9), so every iterate is an exact multiple of 1e-9 —
+    * bit-identical on both engines regardless of partitioning.
+    *
+    * Scale shape: per iteration one |edges|-row shuffle (the groupBy
+    * dst) with the 25-row rank frame BROADCAST — identical cost to a
+    * PageRank step; the unweighted edge set is the checkpointed
+    * [[tradeEdges]] aggregate, built once. */
+  def katzQ(s: SparkSession, dir: String, iterations: Int = 6): DataFrame = {
+    import s.implicits._
+    val edges = tradeEdges(s, dir).select($"src", $"dst").distinct()
+    val nodes = t(s, dir, "nation").select($"n_name".as("node"))
+    var k = nodes.withColumn("kz", lit(0.0))
+    for (_ <- 1 to iterations) {
+      val contribs = edges
+        .join(broadcast(k.withColumnRenamed("node", "src")), "src")
+        .select($"dst",
+          round(lit(0.03) * (lit(1.0) + $"kz"), 9)
+            .cast("decimal(28,9)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("mass"))
+      k = nodes.join(contribs, $"node" === $"dst", "left")
+        .select($"node", coalesce($"mass", lit(0)).cast("double").as("kz"))
+    }
+    val indeg = edges.groupBy($"dst").agg(count(lit(1)).as("in_deg"))
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("out_deg"))
+    k.join(broadcast(indeg), $"node" === $"dst", "left")
+      .join(broadcast(outdeg), $"node" === $"src", "left")
+      .select($"node".as("nation"), $"kz".cast("double").as("katz"),
+        coalesce($"in_deg", lit(0L)).cast("long").as("in_deg"),
+        coalesce($"out_deg", lit(0L)).cast("long").as("out_deg"))
+      .orderBy($"katz".desc, $"nation")
+  }
+
+  val katzSql: String = {
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT n.node, CAST(COALESCE(m.mass, 0) AS DOUBLE) AS kz
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst,
+         |      SUM(CAST(ROUND(0.03 * (1.0 + p.kz), 9) AS DECIMAL(28,9)))
+         |        AS mass
+         |    FROM edges e JOIN $prev p ON p.node = e.src
+         |    GROUP BY e.dst) m ON n.node = m.dst)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey),
+       |nodes AS (SELECT n_name AS node FROM nation),
+       |k0 AS (SELECT node, 0.0::DOUBLE AS kz FROM nodes),
+       |${iter("k0", "k1")},
+       |${iter("k1", "k2")},
+       |${iter("k2", "k3")},
+       |${iter("k3", "k4")},
+       |${iter("k4", "k5")},
+       |${iter("k5", "k6")}
+       |SELECT p.node AS nation, p.kz AS katz,
+       |  CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
+       |  CAST(COALESCE(od.out_deg, 0) AS BIGINT) AS out_deg
+       |FROM k6 p
+       |LEFT JOIN (SELECT dst, COUNT(*) AS in_deg FROM edges GROUP BY 1) i
+       |  ON p.node = i.dst
+       |LEFT JOIN (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY 1) od
+       |  ON p.node = od.src
+       |ORDER BY katz DESC, nation""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_katz" -> ((s, dir) => katzQ(s, dir)),
     "q_graph_mst" -> mstQ,
     "q_graph_closeness" -> closenessQ,
     "q_graph_assortativity" -> assortativityQ,
@@ -1458,6 +1541,7 @@ object Graph {
     "q_graph_bfs" -> bfsQ)
 
   def oracle: Map[String, String] = Map(
+    "q_graph_katz" -> katzSql,
     "q_graph_mst" -> mstSql,
     "q_graph_closeness" -> closenessSql,
     "q_graph_assortativity" -> assortativitySql,

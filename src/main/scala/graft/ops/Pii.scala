@@ -519,7 +519,102 @@ object Pii {
        |    AS suppressed_mass
        |FROM fin GROUP BY nation ORDER BY nation""".stripMargin
 
+  /** q_privacy_tclose entry: T-CLOSENESS audit (Li, Li & Venkatasubramanian,
+    * ICDE 2007) — the release gate k-anonymity and l-diversity miss:
+    * a class can be large AND diverse yet still leak if its SENSITIVE
+    * distribution differs from the table's (the "everyone in this
+    * class is in the top balance band" attack). For each
+    * quasi-identifier class (nationkey, segment) — the same classes
+    * [[kanonQ]] audits — compute the Earth-Mover's Distance between
+    * the class's account-balance band distribution and the global one
+    * over the ORDERED bands (1000-width, the l-diversity bucketing),
+    * EMD = Σ_k |cumulative(p−q)| / (m−1), and flag classes past
+    * t = 0.2.
+    *
+    * Determinism: the cumulative difference at band k is carried as
+    * the exact integer N·C_k − n_c·G_k (class/global cumulative
+    * counts cross-multiplied), so EMD is ONE division of exact
+    * bigints, rounded to 6 dp — partitioning-independent.
+    *
+    * Scale shape: two combinable groupBys (class×band, band) over one
+    * scan; the EMD windows run on the |classes|×|bands| grid (125×11
+    * here — bounded by the released table's dimensionality, never by
+    * row count), with the band dimension and the 1-row total
+    * BROADCAST. */
+  def tcloseQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cust = t(s, dir, "customer")
+      .select($"c_nationkey".as("nationkey"), $"c_mktsegment".as("segment"),
+        floor($"c_acctbal" / 1000).cast("long").as("b"))
+    val global = cust.groupBy($"b").agg(count(lit(1)).as("g"))
+    val totals = cust.agg(count(lit(1)).as("nt"))
+    val classes = cust.groupBy($"nationkey", $"segment")
+      .agg(count(lit(1)).as("nc"))
+    val classCnt = cust.groupBy($"nationkey", $"segment", $"b")
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy($"nationkey", $"segment").orderBy($"b")
+    val wf = Window.partitionBy($"nationkey", $"segment")
+    classes.crossJoin(broadcast(global)).crossJoin(broadcast(totals))
+      .join(classCnt, Seq("nationkey", "segment", "b"), "left")
+      .withColumn("c", coalesce($"c", lit(0L)))
+      .withColumn("ck", sum($"c").over(wc))
+      .withColumn("gk", sum($"g").over(wc))
+      .withColumn("rn", row_number().over(wc))
+      .withColumn("m", count(lit(1)).over(wf))
+      .filter($"rn" < $"m")
+      .groupBy($"nationkey", $"segment")
+      .agg(max($"nc").as("class_size"), max($"nt").as("nt"),
+        max($"m").as("m"),
+        sum(abs($"nt" * $"ck" - $"nc" * $"gk")).as("emdnum"))
+      .select($"nationkey", $"segment",
+        $"class_size".cast("long").as("class_size"),
+        round($"emdnum".cast("double") /
+          ($"class_size" * $"nt" * ($"m" - 1)).cast("double"), 6).as("emd"))
+      .withColumn("exceeds_t", $"emd" > 0.2)
+      .orderBy($"nationkey", $"segment")
+  }
+
+  val tcloseSql: String =
+    """WITH cust AS (
+      |  SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+      |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS b
+      |  FROM customer),
+      |global AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS g FROM cust GROUP BY 1),
+      |totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM cust),
+      |classes AS (
+      |  SELECT nationkey, segment, CAST(COUNT(*) AS BIGINT) AS nc
+      |  FROM cust GROUP BY 1, 2),
+      |cc AS (
+      |  SELECT nationkey, segment, b, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM cust GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT cl.nationkey, cl.segment, cl.nc, t.nt, g.b, g.g,
+      |    COALESCE(cc.c, 0) AS c
+      |  FROM classes cl CROSS JOIN global g CROSS JOIN totals t
+      |  LEFT JOIN cc ON cc.nationkey = cl.nationkey
+      |    AND cc.segment = cl.segment AND cc.b = g.b),
+      |cum AS (
+      |  SELECT nationkey, segment, nc, nt,
+      |    SUM(c) OVER (PARTITION BY nationkey, segment ORDER BY b) AS ck,
+      |    SUM(g) OVER (PARTITION BY nationkey, segment ORDER BY b) AS gk,
+      |    ROW_NUMBER() OVER (PARTITION BY nationkey, segment ORDER BY b) AS rn,
+      |    COUNT(*) OVER (PARTITION BY nationkey, segment) AS m
+      |  FROM grid),
+      |agg AS (
+      |  SELECT nationkey, segment, MAX(nc) AS class_size, MAX(nt) AS nt,
+      |    MAX(m) AS m,
+      |    SUM(ABS(nt * ck - nc * gk)) AS emdnum
+      |  FROM cum WHERE rn < m GROUP BY 1, 2)
+      |SELECT nationkey, segment, CAST(class_size AS BIGINT) AS class_size,
+      |  ROUND(CAST(emdnum AS DOUBLE)
+      |    / CAST(class_size * nt * (m - 1) AS DOUBLE), 6) AS emd,
+      |  ROUND(CAST(emdnum AS DOUBLE)
+      |    / CAST(class_size * nt * (m - 1) AS DOUBLE), 6) > 0.2 AS exceeds_t
+      |FROM agg ORDER BY nationkey, segment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_privacy_tclose" -> tcloseQ,
     "q_privacy_suppress" -> suppressQ,
     "q_text_pii" -> redactQ,
     "q_text_secrets" -> secretsQ,
@@ -529,6 +624,7 @@ object Pii {
     "q_privacy_dp_mean" -> dpMeanQ)
 
   def oracle: Map[String, String] = Map(
+    "q_privacy_tclose" -> tcloseSql,
     "q_privacy_suppress" -> suppressSql,
     "q_text_pii" -> redactSql,
     "q_text_secrets" -> secretsSql,

@@ -1055,6 +1055,14 @@ object Text {
     * executor. */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    ceAll(s, dir).orderBy($"doc_id").limit(300)
+  }
+
+  /** Every document's bigram-LM cross-entropy (the [[lmScore]] model
+    * contract, un-limited) — shared by the LM-score query and the
+    * CCNet head/middle/tail bucketing in [[Curate.ccnetQ]]. */
+  private[ops] def ceAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val bigramsOf =
       "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2))"
     val docBi = withToks(s, dir)
@@ -1077,12 +1085,13 @@ object Text {
         sum(round($"lp", 9).cast("decimal(28,9)")).as("slp"))
       .select($"doc_id", $"n_bigrams",
         round(-($"slp".cast("double")) / $"n_bigrams", 6).as("cross_entropy"))
-      .orderBy($"doc_id")
-      .limit(300)
   }
 
-  val lmScoreSql: String =
-    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  /** DuckDB CTE chain computing `ce(doc_id, n_bigrams, cross_entropy)`
+    * — the oracle twin of [[ceAll]], shared by [[lmScoreSql]] and the
+    * CCNet bucketing oracle. */
+  private[ops] val ceCtesSql: String =
+    s"""tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
       |db AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
       |  FROM tk, unnest(range(1, len(toks))) AS u(i)
       |  WHERE len(toks) >= 2),
@@ -1092,10 +1101,15 @@ object Text {
       |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uc),
       |sc AS (SELECT doc_id,
       |    LN((CAST(cb AS DOUBLE) + 1.0) / (CAST(cu AS DOUBLE) + v)) AS lp
-      |  FROM db JOIN bc USING (w1, w2) JOIN uc USING (w1), v)
-      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  FROM db JOIN bc USING (w1, w2) JOIN uc USING (w1), v),
+      |ce AS (SELECT doc_id, COUNT(*) AS n_bigrams,
       |  ROUND(-CAST(SUM(CAST(ROUND(lp, 9) AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS cross_entropy
-      |FROM sc GROUP BY doc_id ORDER BY doc_id LIMIT 300""".stripMargin
+      |FROM sc GROUP BY doc_id)""".stripMargin
+
+  val lmScoreSql: String =
+    s"""WITH $ceCtesSql
+      |SELECT doc_id, n_bigrams, cross_entropy
+      |FROM ce ORDER BY doc_id LIMIT 300""".stripMargin
 
   /** Deterministic per-stratum fixed-size sampling: each language keeps
     * its k=20 docs with the smallest 53-bit md5 hash of the doc id —

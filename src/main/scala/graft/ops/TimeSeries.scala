@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
@@ -1254,7 +1254,268 @@ object TimeSeries {
       |    / SQRT(CAST(dsum AS DOUBLE)), 6) ELSE 0.0 END AS tightness
       |FROM ag ORDER BY week_start, type_a, type_b""".stripMargin
 
+  /** q_ts_hurst entry: HURST EXPONENT by rescaled-range (R/S) analysis
+    * (Hurst 1951; Mandelbrot & Wallis 1969) over the global dense
+    * hourly event-count series — the long-range-dependence diagnostic
+    * that tells a capacity planner whether load fluctuations are
+    * mean-reverting (H < 0.5), memoryless (H ≈ 0.5), or PERSISTENT
+    * (H > 0.5, the "bursts cluster" regime where naive Poisson sizing
+    * underprovisions). Method: for block sizes n ∈ {8,16,32,64} split
+    * the 720-hour series into ⌊720/n⌋ full blocks; per block compute
+    * the range R of cumulative mean-deviations and the population std
+    * S; H = the log-log OLS slope of the per-size mean R/S against n.
+    *
+    * Determinism contract: all block moments stay EXACT integers —
+    * the cumulative deviation is carried as Z·n = n·prefix − j·sum
+    * (bigint), so R/S = (max−min)/sqrt(n·Σx²−S²) is one sqrt + one
+    * division per block; per-size means merge 9-dp DECIMAL(28,9)
+    * components; the final slope is a fixed-order scalar expression
+    * over four 9-dp logs (equally-spaced design: slope =
+    * (−1.5y₈ −0.5y₁₆ +0.5y₃₂ +1.5y₆₄)/(5·ln2)). Zero-variance blocks
+    * are excluded on both engines.
+    *
+    * Scale shape: the dense grid is time-range-bounded (720 rows here;
+    * at 100 TB you shard R/S by series key and this is per-series
+    * work); the one shuffle keys on (n, block) so prefix windows run
+    * partition-local, and everything after the per-block rollup is a
+    * ≤ Σ⌊720/n⌋-row frame. */
+  def hurstQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = t(s, dir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |  timestamp'2024-01-30 23:00:00', interval 1 hour)) AS hour"""
+        .stripMargin)
+    val dense = grid.join(hourly, Seq("hour"), "left")
+      .select($"hour", coalesce($"cnt", lit(0L)).as("x"))
+      .withColumn("idx",
+        (row_number().over(Window.orderBy($"hour")) - 1).cast("long"))
+    val sizes = Seq(8L, 16L, 32L, 64L).toDF("n")
+    val wb = Window.partitionBy($"n", $"blk").orderBy($"idx")
+    val wf = Window.partitionBy($"n", $"blk")
+    val pre = dense.crossJoin(broadcast(sizes))
+      .withColumn("blk", expr("idx div n"))
+      .withColumn("p", sum($"x").over(wb))
+      .withColumn("j", row_number().over(wb).cast("long"))
+      .withColumn("sm", sum($"x").over(wf))
+      .withColumn("q", sum($"x" * $"x").over(wf))
+      .withColumn("cb", count(lit(1)).over(wf))
+      .filter($"cb" === $"n")
+      .withColumn("zn", $"n" * $"p" - $"j" * $"sm")
+    val rs = pre.groupBy($"n", $"blk")
+      .agg(max($"zn").as("mx"), min($"zn").as("mn"),
+        max($"sm").as("sm"), max($"q").as("q"))
+      .filter($"n" * $"q" - $"sm" * $"sm" > 0)
+      .select($"n",
+        (($"mx" - $"mn").cast("double") /
+          sqrt(($"n" * $"q" - $"sm" * $"sm").cast("double"))).as("rs"))
+    val per = rs.groupBy($"n")
+      .agg(count(lit(1)).as("nb"),
+        sum(round($"rs", 9).cast("decimal(28,9)")).as("srs"))
+      .select($"n", ($"srs".cast("double") / $"nb").as("mrs"))
+      .withColumn("y", round(log($"mrs"), 9))
+    per.agg(
+      max(when($"n" === 8, round($"mrs", 6))).as("rs8"),
+      max(when($"n" === 16, round($"mrs", 6))).as("rs16"),
+      max(when($"n" === 32, round($"mrs", 6))).as("rs32"),
+      max(when($"n" === 64, round($"mrs", 6))).as("rs64"),
+      max(when($"n" === 8, $"y")).as("y3"),
+      max(when($"n" === 16, $"y")).as("y4"),
+      max(when($"n" === 32, $"y")).as("y5"),
+      max(when($"n" === 64, $"y")).as("y6"))
+      .select($"rs8", $"rs16", $"rs32", $"rs64",
+        expr("round(((-1.5)*y3 + (-0.5)*y4 + 0.5*y5 + 1.5*y6) / (5 * 0.6931471805599453), 6)")
+          .as("hurst"))
+  }
+
+  val hurstSql: String =
+    """WITH grid AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour),
+      |hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |dense AS (
+      |  SELECT g.hour, COALESCE(h.cnt, 0) AS x,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY g.hour) AS BIGINT) - 1 AS idx
+      |  FROM grid g LEFT JOIN hourly h ON h.hour = g.hour),
+      |sizes AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS n),
+      |pre AS (
+      |  SELECT n, idx // n AS blk, idx, x,
+      |    SUM(x) OVER (PARTITION BY n, idx // n ORDER BY idx) AS p,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY n, idx // n ORDER BY idx)
+      |      AS BIGINT) AS j,
+      |    SUM(x) OVER (PARTITION BY n, idx // n) AS sm,
+      |    SUM(x * x) OVER (PARTITION BY n, idx // n) AS q,
+      |    COUNT(*) OVER (PARTITION BY n, idx // n) AS cb
+      |  FROM dense CROSS JOIN sizes),
+      |z AS (SELECT n, blk, n * p - j * sm AS zn, sm, q FROM pre WHERE cb = n),
+      |bs AS (
+      |  SELECT n, blk, MAX(zn) AS mx, MIN(zn) AS mn,
+      |    MAX(sm) AS sm, MAX(q) AS q
+      |  FROM z GROUP BY 1, 2),
+      |rs AS (
+      |  SELECT n, CAST(mx - mn AS DOUBLE)
+      |    / SQRT(CAST(n * q - sm * sm AS DOUBLE)) AS rs
+      |  FROM bs WHERE n * q - sm * sm > 0),
+      |per AS (
+      |  SELECT n, COUNT(*) AS nb,
+      |    SUM(CAST(ROUND(rs, 9) AS DECIMAL(28,9))) AS srs
+      |  FROM rs GROUP BY 1),
+      |y AS (
+      |  SELECT n, CAST(srs AS DOUBLE) / nb AS mrs,
+      |    ROUND(LN(CAST(srs AS DOUBLE) / nb), 9) AS y
+      |  FROM per)
+      |SELECT
+      |  MAX(CASE WHEN n = 8 THEN ROUND(mrs, 6) END) AS rs8,
+      |  MAX(CASE WHEN n = 16 THEN ROUND(mrs, 6) END) AS rs16,
+      |  MAX(CASE WHEN n = 32 THEN ROUND(mrs, 6) END) AS rs32,
+      |  MAX(CASE WHEN n = 64 THEN ROUND(mrs, 6) END) AS rs64,
+      |  ROUND(((-1.5) * MAX(CASE WHEN n = 8 THEN y END)
+      |    + (-0.5) * MAX(CASE WHEN n = 16 THEN y END)
+      |    + 0.5 * MAX(CASE WHEN n = 32 THEN y END)
+      |    + 1.5 * MAX(CASE WHEN n = 64 THEN y END))
+      |    / (5 * 0.6931471805599453), 6) AS hurst
+      |FROM y""".stripMargin
+
+  /** q_ts_ar2 entry: AR(2) autoregression fit by YULE-WALKER (the
+    * moment-matching solve every ARIMA library starts from) per event
+    * type's dense hourly series, with an in-sample one-step backtest
+    * over the final 120 hours against the naive x̂=x_{t−1} carry —
+    * the go/no-go readout for "does linear memory beat persistence on
+    * this series". φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²) from
+    * the lag-1/lag-2 Pearson pair autocorrelations (the [[Stats.acfQ]]
+    * estimator), prediction x̂_t = μ + φ₁(x_{t−1}−μ) + φ₂(x_{t−2}−μ).
+    *
+    * Determinism: r₁/r₂ come from exact integer power sums (6 dp);
+    * φ's and μ are fixed-order scalar chains rounded to 9 dp;
+    * per-row absolute errors are rounded to 9 dp and merged as
+    * DECIMAL(28,9), so MAEs cannot drift with partitioning.
+    *
+    * Scale shape: the dense grid is time-range-bounded; lag features
+    * are two `lag` windows over the per-series partition (one
+    * shuffle); both correlation aggregates and the backtest rollup
+    * are map-side combinable; the 5-row parameter frame broadcasts
+    * back. Identical cost to ONE [[Stats.acfQ]] pass plus a scan. */
+  def ar2Q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = t(s, dir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |  timestamp'2024-01-30 23:00:00', interval 1 hour)) AS hour"""
+        .stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val w = Window.partitionBy($"event_type").orderBy($"hour")
+    val dense = grid.crossJoin(broadcast(series))
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select($"event_type", $"hour", coalesce($"cnt", lit(0L)).as("x"))
+      .withColumn("idx",
+        (row_number().over(w) - 1).cast("long"))
+      .withColumn("x1", lag($"x", 1).over(w))
+      .withColumn("x2", lag($"x", 2).over(w))
+    def rAt(xc: String, lagCol: String): Column =
+      round((count(lit(1)) * sum(col(xc) * col(lagCol)) -
+        sum(col(xc)) * sum(col(lagCol))).cast("double") /
+        sqrt((count(lit(1)) * sum(col(xc) * col(xc)) -
+          sum(col(xc)) * sum(col(xc))).cast("double") *
+          (count(lit(1)) * sum(col(lagCol) * col(lagCol)) -
+            sum(col(lagCol)) * sum(col(lagCol))).cast("double")), 6)
+    val r1 = dense.filter($"x1".isNotNull).groupBy($"event_type")
+      .agg(rAt("x", "x1").as("r1"))
+    val r2 = dense.filter($"x2".isNotNull).groupBy($"event_type")
+      .agg(rAt("x", "x2").as("r2"))
+    val mu = dense.groupBy($"event_type")
+      .agg(round(sum($"x").cast("double") / count(lit(1)), 9).as("mu"))
+    val params = r1.join(r2, Seq("event_type")).join(mu, Seq("event_type"))
+      .select($"event_type",
+        expr("round(r1 * (1 - r2) / (1 - r1 * r1), 9)").as("phi1"),
+        expr("round((r2 - r1 * r1) / (1 - r1 * r1), 9)").as("phi2"),
+        $"mu")
+    dense.filter($"idx" >= 600 && $"x2".isNotNull)
+      .join(broadcast(params), Seq("event_type"))
+      .withColumn("pred",
+        expr("mu + phi1 * (x1 - mu) + phi2 * (x2 - mu)"))
+      .withColumn("e_ar", round(abs($"x" - $"pred"), 9).cast("decimal(28,9)"))
+      .withColumn("e_nv",
+        round(abs(($"x" - $"x1").cast("double")), 9).cast("decimal(28,9)"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_test"), max($"phi1").as("p1"),
+        max($"phi2").as("p2"), sum($"e_ar").as("sar"), sum($"e_nv").as("snv"))
+      .select($"event_type", $"n_test".cast("long").as("n_test"),
+        round($"p1", 6).as("phi1"), round($"p2", 6).as("phi2"),
+        round($"sar".cast("double") / $"n_test", 6).as("mae_ar2"),
+        round($"snv".cast("double") / $"n_test", 6).as("mae_naive"))
+      .withColumn("ar2_wins", $"mae_ar2" < $"mae_naive")
+      .orderBy($"event_type")
+  }
+
+  val ar2Sql: String = {
+    def rSel(pair: String, out: String): String =
+      s"""$out AS (
+         |  SELECT event_type,
+         |    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+         |        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+         |  FROM (
+         |    SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM($pair) AS sy,
+         |      SUM(x * x) AS sxx, SUM($pair * $pair) AS syy,
+         |      SUM(x * $pair) AS sxy
+         |    FROM lagged WHERE $pair IS NOT NULL GROUP BY 1))""".stripMargin
+    s"""WITH grid AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour),
+      |hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |series AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT s.event_type, g.hour, COALESCE(h.cnt, 0) AS x
+      |  FROM grid g CROSS JOIN series s
+      |  LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = s.event_type),
+      |lagged AS (
+      |  SELECT event_type, hour, x,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour)
+      |      AS BIGINT) - 1 AS idx,
+      |    LAG(x, 1) OVER (PARTITION BY event_type ORDER BY hour) AS x1,
+      |    LAG(x, 2) OVER (PARTITION BY event_type ORDER BY hour) AS x2
+      |  FROM dense),
+      |${rSel("x1", "r1t")},
+      |${rSel("x2", "r2t")},
+      |mu AS (
+      |  SELECT event_type,
+      |    ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 9) AS mu
+      |  FROM dense GROUP BY 1),
+      |params AS (
+      |  SELECT r1t.event_type,
+      |    ROUND(r1t.r * (1 - r2t.r) / (1 - r1t.r * r1t.r), 9) AS phi1,
+      |    ROUND((r2t.r - r1t.r * r1t.r) / (1 - r1t.r * r1t.r), 9) AS phi2,
+      |    mu.mu
+      |  FROM r1t JOIN r2t ON r1t.event_type = r2t.event_type
+      |  JOIN mu ON mu.event_type = r1t.event_type),
+      |bt AS (
+      |  SELECT l.event_type, p.phi1, p.phi2,
+      |    CAST(ROUND(ABS(l.x - (p.mu + p.phi1 * (l.x1 - p.mu)
+      |      + p.phi2 * (l.x2 - p.mu))), 9) AS DECIMAL(28,9)) AS e_ar,
+      |    CAST(ROUND(ABS(CAST(l.x - l.x1 AS DOUBLE)), 9)
+      |      AS DECIMAL(28,9)) AS e_nv
+      |  FROM lagged l JOIN params p ON p.event_type = l.event_type
+      |  WHERE l.idx >= 600 AND l.x2 IS NOT NULL)
+      |SELECT event_type, COUNT(*) AS n_test,
+      |  ROUND(MAX(phi1), 6) AS phi1, ROUND(MAX(phi2), 6) AS phi2,
+      |  ROUND(CAST(SUM(e_ar) AS DOUBLE) / COUNT(*), 6) AS mae_ar2,
+      |  ROUND(CAST(SUM(e_nv) AS DOUBLE) / COUNT(*), 6) AS mae_naive,
+      |  ROUND(CAST(SUM(e_ar) AS DOUBLE) / COUNT(*), 6)
+      |    < ROUND(CAST(SUM(e_nv) AS DOUBLE) / COUNT(*), 6) AS ar2_wins
+      |FROM bt GROUP BY 1 ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_ar2" -> ar2Q,
+    "q_ts_hurst" -> hurstQ,
     "q_ts_sax" -> saxQ,
     "q_ts_sax_dist" -> saxDistQ,
     "q_ts_backtest" -> backtestQ,
@@ -1274,6 +1535,8 @@ object TimeSeries {
     "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_ar2" -> ar2Sql,
+    "q_ts_hurst" -> hurstSql,
     "q_ts_sax" -> saxSql,
     "q_ts_sax_dist" -> saxDistSql,
     "q_ts_backtest" -> backtestSql,

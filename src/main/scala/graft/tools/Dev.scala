@@ -176,7 +176,16 @@ object Dev {
           "q_rank_fusion" -> "1-row (n_docs, avgdl) stats frame + 1-row query-vector frame (bm25 + cosine legs)",
           "q_coreset_kcenter" -> "1-row center-vector frame per greedy round + 1-row radius frame (k=8 bounded)",
           "q_bpe_encode" -> "1-row best-merge frame per round + 1-row baseline-total frame (bpe_train loop shape)",
-          "q_privacy_rr" -> "1-row total-count frame (debias denominator)")
+          "q_privacy_rr" -> "1-row total-count frame (debias denominator)",
+          "q_hll_overlap" -> "1-row HLL sketch frames (per source + union) + 1-row exact-counts frame",
+          "q_search_qlm" -> "1-row collection-stats frame (Dirichlet mu normalizer)",
+          "q_similarity_mips" -> "bounded query-vector set (norm-augmented)",
+          "q_stat_shrinkage" -> "1-row method-of-moments prior (alpha, beta) frame",
+          "q_curate_ccnet" -> "1-row vocabulary-size frame (lm CE model, lm_score shape)",
+          "q_label_noise" -> "bounded probe-panel broadcast (fixed stride sample)",
+          "q_privacy_tclose" -> "bounded sensitive-band dim (<=11 rows) x 1-row total frame",
+          "q_ts_ar2" -> "bounded per-series grid dim + 5-row AR-parameter frame",
+          "q_ts_hurst" -> "4-row block-size dim over the time-bounded grid")
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {
             val plan = fn(spark, dir).queryExecution.sparkPlan

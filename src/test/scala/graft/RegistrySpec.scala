@@ -27,6 +27,7 @@ class RegistrySpec extends AnyFunSuite {
     "MinHashTune" -> graft.ops.MinHashTune.queries,
     "Drift" -> graft.ops.Drift.queries,
     "Fuzzy" -> graft.ops.Fuzzy.queries,
+    "LabelNoise" -> graft.ops.LabelNoise.queries,
     "Graph" -> graft.ops.Graph.queries,
     "HeavyHitters" -> graft.ops.HeavyHitters.queries,
     "Sketches" -> graft.ops.Sketches.queries,

@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Driver-side recomputes for the r10 session additions: CCNet
+  * bucketing, kNN label-noise, Katz centrality, t-closeness, Hurst
+  * R/S, and the AR(2) backtest — each statistic re-derived in plain
+  * Scala on collected sf0.001 inputs, independent of both the Spark
+  * plan and the DuckDB oracle. */
+class CurationAuditSpec extends AnyFunSuite with SparkSpec {
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("ccnet: tiers partition the scored corpus per lang and mean CE is monotone head<=middle<=tail") {
+    import spark.implicits._
+    val rows = Curate.ccnetQ(spark, sfDir).collect()
+    val scored = Text.ceAll(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == scored,
+      "tier doc counts must cover every doc that carries a CE")
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val byTier = rs.map(r => r.getAs[String]("tier") -> r.getAs[Double]("mean_ce")).toMap
+      for (a <- byTier.get("head"); b <- byTier.get("middle"))
+        assert(a <= b, s"$lang head>middle")
+      for (b <- byTier.get("middle"); c <- byTier.get("tail"))
+        assert(b <= c, s"$lang middle>tail")
+      rs.foreach(r => assert(r.getAs[Long]("char_mass") > 0))
+    }
+  }
+
+  test("label noise: probe accounting exact, bp fields bounded, flags match a driver kNN recompute") {
+    import spark.implicits._
+    val rows = LabelNoise.noiseQ(spark, sfDir).collect()
+    val e = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val probes = e.filter(_._1 % 5 == 0)
+    assert(rows.map(_.getAs[Long]("n_probes")).sum == probes.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("noise_bp") >= 0 && r.getAs[Long]("noise_bp") <= 10000)
+      assert(r.getAs[Long]("agree_bp") >= 0 && r.getAs[Long]("agree_bp") <= 10000)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val flaggedByLabel = probes.map { case (pid, own, pv) =>
+      val top = e.filter(_._1 != pid)
+        .map { case (vid, lb, v) => (vid, lb, cos(pv, v)) }
+        .sortBy { case (vid, _, c) => (-c, vid) }.take(5)
+      val pred = top.groupBy(_._2).view.mapValues(_.length).toSeq
+        .sortBy { case (lb, c) => (-c, lb) }.head._1
+      (own, if (pred != own) 1L else 0L,
+        top.count(_._2 == own).toLong)
+    }.groupBy(_._1)
+    rows.foreach { r =>
+      val lb = r.getAs[Int]("label")
+      val g = flaggedByLabel(lb)
+      assert(r.getAs[Long]("n_probes") == g.length)
+      assert(r.getAs[Long]("n_flagged") == g.map(_._2).sum,
+        s"label $lb flags disagree with driver kNN")
+      assert(r.getAs[Long]("agree_bp") ==
+        10000L * g.map(_._3).sum / (5L * g.length))
+    }
+  }
+
+  test("katz: matches a driver power-series recompute under the 9-dp contract") {
+    import spark.implicits._
+    val got = Graph.katzQ(spark, sfDir).collect()
+      .map(r => r.getAs[String]("nation") -> r.getAs[Double]("katz")).toMap
+    val edges = got.keySet // ensure non-empty result first
+    assert(edges.nonEmpty)
+    // rebuild the distinct nation->nation edge list
+    val e = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(graft.Tables.t(spark, sfDir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(graft.Tables.t(spark, sfDir, "nation").select($"n_nationkey", $"n_name".as("cn")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(graft.Tables.t(spark, sfDir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(graft.Tables.t(spark, sfDir, "nation").select($"n_nationkey".as("sk"), $"n_name".as("sn")),
+        $"s_nationkey" === $"sk")
+      .select($"cn", $"sn").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val nodes = graft.Tables.t(spark, sfDir, "nation")
+      .select($"n_name").collect().map(_.getString(0))
+    var k = nodes.map(_ -> 0.0).toMap
+    for (_ <- 1 to 6) {
+      val mass = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          BigDecimal(round9(0.03 * (1.0 + k(src))))
+        }.sum.toDouble
+      }
+      k = nodes.map(n => n -> mass.getOrElse(n, 0.0)).toMap
+    }
+    nodes.foreach { n =>
+      assert(math.abs(got(n) - k(n)) < 1e-12,
+        s"$n katz ${got(n)} vs recompute ${k(n)}")
+    }
+  }
+
+  test("tclose: class sizes cover the table, EMD bounded and equal to a driver recompute") {
+    import spark.implicits._
+    val rows = Pii.tcloseQ(spark, sfDir).collect()
+    val cust = graft.Tables.t(spark, sfDir, "customer")
+      .select($"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 1000).cast("long")).collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1), r.getLong(2)))
+    assert(rows.map(_.getAs[Long]("class_size")).sum == cust.length)
+    val bands = cust.map(_._3).distinct.sorted
+    val n = cust.length.toLong
+    val globalCum = bands.map(b => b -> cust.count(_._3 <= b).toLong).toMap
+    rows.foreach { r =>
+      val emd = r.getAs[Double]("emd")
+      assert(emd >= 0.0 && emd <= 1.0)
+      val nk = r.getAs[Int]("nationkey").toLong
+      val seg = r.getAs[String]("segment")
+      val cls = cust.filter(c => c._1 == nk && c._2 == seg)
+      val nc = cls.length.toLong
+      val num = bands.dropRight(1).map { b =>
+        math.abs(n * cls.count(_._3 <= b).toLong - nc * globalCum(b))
+      }.sum
+      val expect = BigDecimal(num.toDouble / (nc * n * (bands.length - 1)).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(emd - expect) < 1e-9, s"class ($nk,$seg)")
+    }
+  }
+
+  test("hurst: R/S means match a driver recompute and H is the 4-point log-log slope") {
+    import spark.implicits._
+    val row = TimeSeries.hurstQ(spark, sfDir).collect().head
+    val hourly = graft.Tables.t(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour")).count()
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val start = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val xs = (0 until 720).map(i => hourly.getOrElse(start + i * 3600000L, 0L))
+    def meanRS(n: Int): Double = {
+      val rss = xs.grouped(n).filter(_.length == n).flatMap { blk =>
+        val s = blk.sum
+        val q = blk.map(x => x * x).sum
+        if (n * q - s * s <= 0) None
+        else {
+          val zn = blk.indices.map { j =>
+            n * blk.take(j + 1).sum - (j + 1).toLong * s
+          }
+          Some(round9((zn.max - zn.min).toDouble /
+            math.sqrt((n * q - s * s).toDouble)))
+        }
+      }.toSeq
+      rss.map(BigDecimal(_)).sum.toDouble / rss.length
+    }
+    val exp = Map(8 -> meanRS(8), 16 -> meanRS(16), 32 -> meanRS(32), 64 -> meanRS(64))
+    for ((nm, n) <- Seq("rs8" -> 8, "rs16" -> 16, "rs32" -> 32, "rs64" -> 64)) {
+      assert(math.abs(row.getAs[Double](nm) -
+        BigDecimal(exp(n)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"$nm mismatch")
+    }
+    val ys = Seq(8, 16, 32, 64).map(n => round9(math.log(exp(n))))
+    val h = (-1.5 * ys(0) + -0.5 * ys(1) + 0.5 * ys(2) + 1.5 * ys(3)) /
+      (5 * 0.6931471805599453)
+    assert(math.abs(row.getAs[Double]("hurst") - h) < 1e-6)
+    assert(row.getAs[Double]("hurst") > 0.0 && row.getAs[Double]("hurst") < 1.5)
+  }
+
+  test("ar2: backtest covers the last 120 hours and phis obey the Yule-Walker identities from the series ACF") {
+    import spark.implicits._
+    val rows = TimeSeries.ar2Q(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_test") == 120)
+      assert(r.getAs[Double]("mae_ar2") >= 0.0)
+      assert(r.getAs[Double]("mae_naive") >= 0.0)
+    }
+    // recompute phi1/phi2 for the first event type from its dense series
+    val t0 = rows.head.getAs[String]("event_type")
+    val hourly = graft.Tables.t(spark, sfDir, "events")
+      .filter($"event_type" === t0)
+      .groupBy(date_trunc("hour", $"ts").as("hour")).count()
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val start = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val xs = (0 until 720).map(i => hourly.getOrElse(start + i * 3600000L, 0L))
+    def pearson(lagK: Int): Double = {
+      val pairs = xs.drop(lagK).zip(xs.dropRight(lagK))
+      val n = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      BigDecimal((n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (r1, r2) = (pearson(1), pearson(2))
+    val phi1 = round9(r1 * (1 - r2) / (1 - r1 * r1))
+    val phi2 = round9((r2 - r1 * r1) / (1 - r1 * r1))
+    val got = rows.head
+    assert(math.abs(got.getAs[Double]("phi1") -
+      BigDecimal(phi1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(got.getAs[Double]("phi2") -
+      BigDecimal(phi2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+}
