@@ -1418,7 +1418,48 @@ object Multimodal {
       |WHERE hamming <= 8
       |ORDER BY doc_a, doc_b LIMIT 400""".stripMargin
 
+  /** q_multimodal_png_header entry: codec-free PNG metadata extraction
+    * as PURE Catalyst expressions over the binary column — the 100 TB
+    * multimodal pattern that matters most in practice: a metadata
+    * sweep (dimensions, bit depth, color model) over billions of
+    * images must NOT decode pixels. PNG pins the IHDR chunk to a fixed
+    * offset (8-byte signature, 4-byte length, "IHDR", then big-endian
+    * width/height and depth/color bytes — ISO 15948 §5.3/11.2.2), so
+    * the parse is `substring`/`hex`/`conv` column arithmetic: fully
+    * codegen'd, scan-speed, zero per-row JVM object churn — vs the
+    * [[decodeQ]] family's deliberate full-codec path.
+    *
+    * Payloads are the SAME real ImageIO-encoded PNGs as [[decodeQ]],
+    * so the oracle's arithmetic truth (dimensions are functions of
+    * doc_id; JDK writes TYPE_INT_RGB as 8-bit truecolor, color type
+    * 2) certifies the byte-offset parse against a genuine encoder. */
+  def pngHeaderQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    plantedPngs(s, dir)
+      .select($"doc_id",
+        (hex(expr("substring(payload, 1, 8)")) === "89504E470D0A1A0A")
+          .as("sig_ok"),
+        expr("cast(conv(hex(substring(payload, 17, 4)), 16, 10) as bigint)")
+          .as("width"),
+        expr("cast(conv(hex(substring(payload, 21, 4)), 16, 10) as bigint)")
+          .as("height"),
+        expr("cast(conv(hex(substring(payload, 25, 1)), 16, 10) as bigint)")
+          .as("bit_depth"),
+        expr("cast(conv(hex(substring(payload, 26, 1)), 16, 10) as bigint)")
+          .as("color_type"))
+      .orderBy($"doc_id")
+  }
+
+  val pngHeaderSql: String =
+    """SELECT doc_id, TRUE AS sig_ok,
+      |  CAST(8 + doc_id % 13 AS BIGINT) AS width,
+      |  CAST(8 + doc_id % 11 AS BIGINT) AS height,
+      |  CAST(8 AS BIGINT) AS bit_depth,
+      |  CAST(2 AS BIGINT) AS color_type
+      |FROM documents WHERE doc_id % 20 = 1 ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_png_header" -> pngHeaderQ,
     "q_dedup_image" -> dedupImageQ,
     "q_dedup_image_hamming" -> dedupImageHammingQ,
     "q_multimodal_mp4" -> mp4Q,
@@ -1436,6 +1477,7 @@ object Multimodal {
     "q_multimodal_pitch" -> pitchQ)
 
   def oracle: Map[String, String] = Map(
+    "q_multimodal_png_header" -> pngHeaderSql,
     "q_dedup_image" -> dedupImageSql,
     "q_dedup_image_hamming" -> dedupImageHammingSql,
     "q_multimodal_mp4" -> mp4Sql,

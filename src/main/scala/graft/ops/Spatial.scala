@@ -166,11 +166,90 @@ object Spatial {
       |FROM dense JOIN lab USING (cell)
       |GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  /** q_join_nn_radius entry: DIRECTED nearest-neighbor-within-radius
+    * join — for EVERY point, its single closest other point at
+    * distance ≤ 1.0 unit (ties → smaller neighbor id), the "snap each
+    * record to its nearest station/store/anchor" lookup that differs
+    * from [[spatialQ]]'s pair enumeration in two ways: it is directed
+    * (each point owns one answer row) and it reduces candidates to an
+    * argmin instead of emitting them.
+    *
+    * The bounded-radius contract is what makes EXACT grid search
+    * possible at scale: a 1.0-unit radius with 1.0-unit cells means
+    * the true NN (if any) lives in the 3×3 cell neighborhood, so the
+    * argmin over those candidates is provably the global
+    * within-radius argmin — no iterative ring expansion, no
+    * approximation. Unbounded all-points NN needs the ring walk;
+    * pipelines choose a radius cap precisely to stay in this shape.
+    *
+    * Scale shape: one exchange keyed on cell id; candidates ∝ local
+    * density × 9 cells; the per-point argmin is a map-side-combinable
+    * `min(struct(dist², id))` — no window, no candidate shuffle to a
+    * single task. Integer-hundredth arithmetic end-to-end (the
+    * [[points]] contract), so both engines agree exactly. */
+  def nnRadiusQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = points(s, dir)
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val probes = pts
+      .select($"id".as("id_a"), $"xi".as("xa"), $"yi".as("ya"),
+        explode(array(offsets: _*)).as("o"), $"cx", $"cy")
+      .select($"id_a", $"xa", $"ya",
+        ($"cx" + $"o.dx").as("kx"), ($"cy" + $"o.dy").as("ky"))
+    probes
+      .join(pts.select($"id".as("id_b"), $"xi".as("xb"), $"yi".as("yb"),
+          $"cx".as("kx"), $"cy".as("ky")),
+        Seq("kx", "ky"))
+      .filter($"id_a" =!= $"id_b")
+      .withColumn("dist2_h2",
+        ($"xa" - $"xb") * ($"xa" - $"xb") + ($"ya" - $"yb") * ($"ya" - $"yb"))
+      .filter($"dist2_h2" <= RadiusH * RadiusH)
+      .groupBy($"id_a".as("id"))
+      .agg(min(struct($"dist2_h2", $"id_b")).as("nn"))
+      .select($"id", $"nn.id_b".as("nn_id"), $"nn.dist2_h2".as("dist2_h2"))
+      .orderBy($"id")
+  }
+
+  val nnRadiusSql: String =
+    s"""WITH pts AS (
+      |  SELECT c_custkey AS id,
+      |    ('0x' || substr(md5(c_custkey::VARCHAR || ':x'), 1, 15))
+      |      ::UBIGINT::BIGINT % ${Cells * 100} AS xi,
+      |    ('0x' || substr(md5(c_custkey::VARCHAR || ':y'), 1, 15))
+      |      ::UBIGINT::BIGINT % ${Cells * 100} AS yi
+      |  FROM customer),
+      |cells AS (SELECT id, xi, yi, xi // 100 AS cx, yi // 100 AS cy
+      |          FROM pts),
+      |probes AS (
+      |  SELECT id AS id_a, xi AS xa, yi AS ya,
+      |    cx + o.dx AS kx, cy + o.dy AS ky
+      |  FROM cells CROSS JOIN (
+      |    SELECT dx.x AS dx, dy.x AS dy
+      |    FROM (SELECT unnest([-1, 0, 1]) AS x) dx,
+      |         (SELECT unnest([-1, 0, 1]) AS x) dy) o),
+      |cand AS (
+      |  SELECT p.id_a, c.id AS id_b,
+      |    (p.xa - c.xi) * (p.xa - c.xi) + (p.ya - c.yi) * (p.ya - c.yi)
+      |      AS dist2_h2
+      |  FROM probes p JOIN cells c ON p.kx = c.cx AND p.ky = c.cy
+      |    AND p.id_a <> c.id
+      |  WHERE (p.xa - c.xi) * (p.xa - c.xi) + (p.ya - c.yi) * (p.ya - c.yi)
+      |    <= ${RadiusH * RadiusH})
+      |SELECT id_a AS id, id_b AS nn_id, dist2_h2 FROM (
+      |  SELECT id_a, id_b, dist2_h2,
+      |    ROW_NUMBER() OVER (PARTITION BY id_a
+      |      ORDER BY dist2_h2, id_b) AS rn
+      |  FROM cand)
+      |WHERE rn = 1 ORDER BY id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_spatial" -> spatialQ,
+    "q_join_nn_radius" -> nnRadiusQ,
     "q_cluster_dbscan" -> dbscanQ)
 
   def oracle: Map[String, String] = Map(
     "q_join_spatial" -> spatialSql,
+    "q_join_nn_radius" -> nnRadiusSql,
     "q_cluster_dbscan" -> dbscanSql)
 }

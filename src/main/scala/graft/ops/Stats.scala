@@ -2060,7 +2060,105 @@ object Stats {
        |FROM a""".stripMargin
   }
 
+  /** q_stat_meta entry: FIXED-EFFECT META-ANALYSIS of a replicated A/B
+    * readout — the inverse-variance pooling (plus Cochran's Q and
+    * Higgins' I² heterogeneity) every experimentation platform runs
+    * when one treatment is measured across K independent strata and
+    * the per-stratum estimates must be combined instead of pooled
+    * raw (Simpson-safe). Strata = the five event types; within each,
+    * cohort A/B = user-id parity, outcome = value > 50; effect
+    * d = p_B − p_A with sampling variance v = p_A(1−p_A)/n_A +
+    * p_B(1−p_B)/n_B; pooled = Σ(d/v)/Σ(1/v), SE = 1/√Σ(1/v),
+    * Q = Σ w(d−pooled)², I² = max(0, (Q−(K−1))/Q).
+    *
+    * Determinism: per-stratum d and v are fixed-order IEEE chains
+    * over exact integer counts; weights and weighted terms are
+    * rounded to 9 dp and merged as DECIMAL(28,9) so the K-term sums
+    * cannot drift with partitioning.
+    *
+    * Scale shape: ONE map-side-combinable groupBy(event_type) over
+    * the corpus; everything downstream runs on the K-row stratum
+    * frame with two 1-row broadcasts (pooled, Q). */
+  def metaQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val strata = t(s, dir, "events")
+      .select($"event_type", ($"user_id" % 2 === 1).cast("int").as("a"),
+        ($"value" > 50.0).cast("long").as("hi"))
+      .groupBy($"event_type")
+      .agg(sum(when($"a" === 1, 1L).otherwise(0L)).as("na"),
+        sum(when($"a" === 1, $"hi").otherwise(0L)).as("xa"),
+        sum(when($"a" === 0, 1L).otherwise(0L)).as("nb"),
+        sum(when($"a" === 0, $"hi").otherwise(0L)).as("xb"))
+      .withColumn("pa", $"xa".cast("double") / $"na")
+      .withColumn("pb", $"xb".cast("double") / $"nb")
+      .withColumn("d", $"pb" - $"pa")
+      .withColumn("v", expr("pa * (1 - pa) / na + pb * (1 - pb) / nb"))
+      .filter($"v" > 0)
+      .withColumn("w", expr("round(1 / v, 9)"))
+      .withColumn("wd", expr("round(d / v, 9)"))
+    val sums = strata.agg(count(lit(1)).as("k"),
+      sum($"w".cast("decimal(28,9)")).as("sw"),
+      sum($"wd".cast("decimal(28,9)")).as("swd"))
+      .withColumn("pooled",
+        expr("round(cast(swd as double) / cast(sw as double), 9)"))
+    val qsum = strata.crossJoin(broadcast(sums.select($"pooled")))
+      .agg(sum(expr(
+        "cast(round(w * (d - pooled) * (d - pooled), 9) as decimal(28,9))"))
+        .as("qsum"))
+    sums.crossJoin(broadcast(qsum))
+      .select($"k".cast("long").as("k"),
+        round($"pooled", 6).as("pooled_lift"),
+        expr("round(1 / sqrt(cast(sw as double)), 6)").as("se"),
+        expr("round(cast(qsum as double), 6)").as("q_stat"),
+        expr("""round(case when cast(qsum as double) > 0
+          then greatest(0.0, (cast(qsum as double) - (k - 1))
+            / cast(qsum as double)) else 0.0 end, 6)""").as("i2"))
+  }
+
+  val metaSql: String =
+    """WITH strata AS (
+      |  SELECT event_type,
+      |    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS na,
+      |    SUM(CASE WHEN user_id % 2 = 1 AND value > 50.0 THEN 1 ELSE 0 END) AS xa,
+      |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS nb,
+      |    SUM(CASE WHEN user_id % 2 = 0 AND value > 50.0 THEN 1 ELSE 0 END) AS xb
+      |  FROM events GROUP BY 1),
+      |eff AS (
+      |  SELECT *,
+      |    ROUND(1 / v, 9) AS w, ROUND(d / v, 9) AS wd
+      |  FROM (
+      |    SELECT event_type, pb - pa AS d,
+      |      pa * (1 - pa) / na + pb * (1 - pb) / nb AS v
+      |    FROM (
+      |      SELECT event_type, na, nb,
+      |        CAST(xa AS DOUBLE) / na AS pa,
+      |        CAST(xb AS DOUBLE) / nb AS pb
+      |      FROM strata))
+      |  WHERE v > 0),
+      |sums AS (
+      |  SELECT COUNT(*) AS k,
+      |    SUM(CAST(w AS DECIMAL(28,9))) AS sw,
+      |    SUM(CAST(wd AS DECIMAL(28,9))) AS swd
+      |  FROM eff),
+      |pooledt AS (
+      |  SELECT k, sw,
+      |    ROUND(CAST(swd AS DOUBLE) / CAST(sw AS DOUBLE), 9) AS pooled
+      |  FROM sums),
+      |qt AS (
+      |  SELECT SUM(CAST(ROUND(e.w * (e.d - p.pooled) * (e.d - p.pooled), 9)
+      |    AS DECIMAL(28,9))) AS qsum
+      |  FROM eff e CROSS JOIN pooledt p)
+      |SELECT CAST(p.k AS BIGINT) AS k,
+      |  ROUND(p.pooled, 6) AS pooled_lift,
+      |  ROUND(1 / SQRT(CAST(p.sw AS DOUBLE)), 6) AS se,
+      |  ROUND(CAST(q.qsum AS DOUBLE), 6) AS q_stat,
+      |  ROUND(CASE WHEN CAST(q.qsum AS DOUBLE) > 0
+      |    THEN GREATEST(0.0, (CAST(q.qsum AS DOUBLE) - (p.k - 1))
+      |      / CAST(q.qsum AS DOUBLE)) ELSE 0.0 END, 6) AS i2
+      |FROM pooledt p CROSS JOIN qt q""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_meta" -> metaQ,
     "q_stat_levene" -> leveneQ,
     "q_stat_shrinkage" -> shrinkageQ,
     "q_stat_sprt" -> sprtQ,
@@ -2089,6 +2187,7 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_meta" -> metaSql,
     "q_stat_levene" -> leveneSql,
     "q_stat_shrinkage" -> shrinkageSql,
     "q_stat_sprt" -> sprtSql,

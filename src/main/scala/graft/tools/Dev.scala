@@ -185,7 +185,8 @@ object Dev {
           "q_label_noise" -> "bounded probe-panel broadcast (fixed stride sample)",
           "q_privacy_tclose" -> "bounded sensitive-band dim (<=11 rows) x 1-row total frame",
           "q_ts_ar2" -> "bounded per-series grid dim + 5-row AR-parameter frame",
-          "q_ts_hurst" -> "4-row block-size dim over the time-bounded grid")
+          "q_ts_hurst" -> "4-row block-size dim over the time-bounded grid",
+          "q_stat_meta" -> "1-row pooled-effect + 1-row Q frames over the 5-stratum table")
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {
             val plan = fn(spark, dir).queryExecution.sparkPlan

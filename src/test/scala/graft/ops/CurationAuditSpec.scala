@@ -166,6 +166,84 @@ class CurationAuditSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Double]("hurst") > 0.0 && row.getAs[Double]("hurst") < 1.5)
   }
 
+  test("nn radius: matches a brute-force within-radius argmin over all collected points") {
+    import spark.implicits._
+    val got = Spatial.nnRadiusQ(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("nn_id"), r.getAs[Long]("dist2_h2"))).toMap
+    val pts = graft.Tables.t(spark, sfDir, "customer")
+      .select($"c_custkey").collect().map(_.getLong(0)).map { id =>
+      def h(s: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        val hex = md.take(8).map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      (id, h(s"$id:x") % 9000, h(s"$id:y") % 9000)
+    }
+    val expect = pts.flatMap { case (id, x, y) =>
+      val cands = pts.filter(_._1 != id).map { case (i2, x2, y2) =>
+        (i2, (x - x2) * (x - x2) + (y - y2) * (y - y2))
+      }.filter(_._2 <= 10000L)
+      if (cands.isEmpty) None
+      else Some(id -> cands.minBy { case (i2, d2) => (d2, i2) })
+    }.toMap
+    assert(got == expect, s"got ${got.size} rows, expected ${expect.size}")
+  }
+
+  test("png header: byte-offset parse agrees with the real codec decode on every planted image") {
+    import spark.implicits._
+    val hdr = Multimodal.pngHeaderQ(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("width"), r.getAs[Long]("height"),
+          r.getAs[Long]("bit_depth"), r.getAs[Long]("color_type"),
+          r.getAs[Boolean]("sig_ok"))).toMap
+    assert(hdr.nonEmpty)
+    hdr.foreach { case (id, (w, h, bd, ct, sig)) =>
+      assert(sig, s"doc $id signature")
+      assert(w == 8 + id % 13 && h == 8 + id % 11, s"doc $id dims")
+      assert(bd == 8 && ct == 2, s"doc $id depth/color")
+    }
+    // cross-check against the full-codec path on the same payloads
+    val dec = Multimodal.decodeQ(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("width"), r.getAs[Long]("height"))).toMap
+    assert(dec.keySet == hdr.keySet)
+    dec.foreach { case (id, (w, h)) =>
+      assert(hdr(id)._1 == w && hdr(id)._2 == h, s"doc $id codec mismatch")
+    }
+  }
+
+  test("meta: pooled lift, SE, Q and I2 match a driver inverse-variance recompute") {
+    import spark.implicits._
+    val row = Stats.metaQ(spark, sfDir).collect().head
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", $"user_id", $"value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val strata = ev.groupBy(_._1).values.flatMap { es =>
+      val a = es.filter(_._2 % 2 == 1); val b = es.filter(_._2 % 2 == 0)
+      val (na, nb) = (a.length.toLong, b.length.toLong)
+      val (xa, xb) = (a.count(_._3 > 50.0).toLong, b.count(_._3 > 50.0).toLong)
+      val pa = xa.toDouble / na; val pb = xb.toDouble / nb
+      val d = pb - pa
+      val v = pa * (1 - pa) / na + pb * (1 - pb) / nb
+      if (v > 0) Some((d, v)) else None
+    }.toSeq
+    val sw = strata.map(x => BigDecimal(round9(1 / x._2))).sum
+    val swd = strata.map(x => BigDecimal(round9(x._1 / x._2))).sum
+    val pooled = round9(swd.toDouble / sw.toDouble)
+    val q = strata.map { case (d, v) =>
+      BigDecimal(round9(round9(1 / v) * (d - pooled) * (d - pooled)))
+    }.sum.toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Long]("k") == strata.length)
+    assert(math.abs(row.getAs[Double]("pooled_lift") - r6(pooled)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("se") - r6(1 / math.sqrt(sw.toDouble))) < 1e-9)
+    assert(math.abs(row.getAs[Double]("q_stat") - r6(q)) < 1e-9)
+    val i2 = if (q > 0) math.max(0.0, (q - (strata.length - 1)) / q) else 0.0
+    assert(math.abs(row.getAs[Double]("i2") - r6(i2)) < 1e-9)
+  }
+
   test("ar2: backtest covers the last 120 hours and phis obey the Yule-Walker identities from the series ACF") {
     import spark.implicits._
     val rows = TimeSeries.ar2Q(spark, sfDir).collect()
