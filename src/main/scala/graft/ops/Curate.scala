@@ -549,7 +549,111 @@ object Curate {
       |        / COUNT(*), 6) AS mean_ce
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q_curate_gopher entry: the GOPHER quality-rule suite (Rae et al.
+    * 2021 §A1.1 — the rule set carried forward by MassiveText /
+    * RefinedWeb / FineWeb) as a per-source pass-rate report. The five
+    * rules expressible over this fixture, each exact:
+    *   1. word count in [50, 100 000];
+    *   2. mean word length in [3, 10] — tested as the INTEGER
+    *      inequality 3·n ≤ Σlen ≤ 10·n, no division;
+    *   3. ≥ 80% of words contain an alphabetic character
+    *      (5·n_alpha ≥ 4·n);
+    *   4. stop-word evidence: ≥ 2 occurrences from the 8-word Gopher
+    *      stop list;
+    *   5. repetition: the most frequent word ≤ 20% of the doc
+    *      (5·max_count ≤ n — the top-gram slice of Gopher §A1.1's
+    *      repetition family).
+    *
+    * Scale shape: rules 1-4 are pure map-stage higher-order
+    * expressions over the token array (no explode, no shuffle); rule
+    * 5 is the one token-keyed exchange (per-doc mode count), merged
+    * back by doc_id; the report is a map-side-combinable
+    * groupBy(source). All comparisons integer — both engines agree
+    * exactly. */
+  def gopherQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = "array('the','be','to','of','and','that','have','with')"
+    val base = t(s, dir, "documents")
+      .withColumn("toks", split(lower($"text"), " "))
+      .select($"doc_id", $"source",
+        size($"toks").as("nw"),
+        expr("aggregate(toks, 0, (a, x) -> a + length(x))").as("sumlen"),
+        expr("size(filter(toks, t -> t rlike '[a-z]'))").as("n_alpha"),
+        expr(s"size(filter(toks, t -> array_contains($stop, t)))").as("n_stop"))
+    val maxTok = t(s, dir, "documents")
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("maxc"))
+    base.join(maxTok, Seq("doc_id"))
+      .select($"source",
+        ($"nw" >= 50 && $"nw" <= 100000).cast("long").as("r_wc"),
+        ($"sumlen" >= lit(3) * $"nw" && $"sumlen" <= lit(10) * $"nw")
+          .cast("long").as("r_wl"),
+        (lit(5) * $"n_alpha" >= lit(4) * $"nw").cast("long").as("r_al"),
+        ($"n_stop" >= 2).cast("long").as("r_sw"),
+        (lit(5) * $"maxc" <= $"nw").cast("long").as("r_rep"))
+      .withColumn("all5",
+        ($"r_wc" + $"r_wl" + $"r_al" + $"r_sw" + $"r_rep" === 5).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"r_wc").as("pass_wordcount"),
+        sum($"r_wl").as("pass_wordlen"),
+        sum($"r_al").as("pass_alpha"),
+        sum($"r_sw").as("pass_stopword"),
+        sum($"r_rep").as("pass_repetition"),
+        sum($"all5").as("pass_all"))
+      .select($"source", $"n_docs".cast("long").as("n_docs"),
+        $"pass_wordcount".cast("long").as("pass_wordcount"),
+        $"pass_wordlen".cast("long").as("pass_wordlen"),
+        $"pass_alpha".cast("long").as("pass_alpha"),
+        $"pass_stopword".cast("long").as("pass_stopword"),
+        $"pass_repetition".cast("long").as("pass_repetition"),
+        $"pass_all".cast("long").as("pass_all"),
+        expr("(10000 * pass_all) div n_docs").as("pass_bp"))
+      .orderBy($"source")
+  }
+
+  val gopherSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, source,
+      |    len(toks) AS nw,
+      |    CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sumlen,
+      |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+      |    len(list_filter(toks, t -> list_contains(
+      |      ['the','be','to','of','and','that','have','with'], t))) AS n_stop
+      |  FROM tk),
+      |mx AS (
+      |  SELECT doc_id, MAX(c) AS maxc FROM (
+      |    SELECT doc_id, tok, COUNT(*) AS c
+      |    FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |flags AS (
+      |  SELECT b.source,
+      |    CASE WHEN b.nw >= 50 AND b.nw <= 100000 THEN 1 ELSE 0 END AS r_wc,
+      |    CASE WHEN b.sumlen >= 3 * b.nw AND b.sumlen <= 10 * b.nw
+      |      THEN 1 ELSE 0 END AS r_wl,
+      |    CASE WHEN 5 * b.n_alpha >= 4 * b.nw THEN 1 ELSE 0 END AS r_al,
+      |    CASE WHEN b.n_stop >= 2 THEN 1 ELSE 0 END AS r_sw,
+      |    CASE WHEN 5 * m.maxc <= b.nw THEN 1 ELSE 0 END AS r_rep
+      |  FROM base b JOIN mx m USING (doc_id))
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(r_wc) AS BIGINT) AS pass_wordcount,
+      |  CAST(SUM(r_wl) AS BIGINT) AS pass_wordlen,
+      |  CAST(SUM(r_al) AS BIGINT) AS pass_alpha,
+      |  CAST(SUM(r_sw) AS BIGINT) AS pass_stopword,
+      |  CAST(SUM(r_rep) AS BIGINT) AS pass_repetition,
+      |  CAST(SUM(CASE WHEN r_wc + r_wl + r_al + r_sw + r_rep = 5
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS pass_all,
+      |  CAST((10000 * SUM(CASE WHEN r_wc + r_wl + r_al + r_sw + r_rep = 5
+      |    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS pass_bp
+      |FROM flags GROUP BY 1 ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curate_gopher" -> gopherQ,
     "q_curate_ccnet" -> ccnetQ,
     "q_curate_budget" -> budgetQ,
     "q_sample_dsir" -> dsirQ,
@@ -560,6 +664,7 @@ object Curate {
     "q_curate_curriculum" -> curriculumQ)
 
   def oracle: Map[String, String] = Map(
+    "q_curate_gopher" -> gopherSql,
     "q_curate_ccnet" -> ccnetSql,
     "q_curate_budget" -> budgetSql,
     "q_sample_dsir" -> dsirSql,

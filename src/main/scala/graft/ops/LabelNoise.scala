@@ -13,17 +13,25 @@ import graft.Tables.t
   * error, and the per-label disagreement rate localizes which class's
   * annotations are unreliable.
   *
-  * Contract (pinned for the oracle): probes are the deterministic
-  * `vec_id % 5 = 0` panel; each probe's k=5 exact cosine neighbors
-  * over the full corpus (self excluded), ranked (cos DESC, vec_id ASC);
+  * Contract (pinned for the oracle): probes are the FIXED-SIZE
+  * deterministic panel — the 100 vectors with the smallest
+  * `md5(vec_id)` under the [[Hashing.md5Long60]] contract (hash order
+  * is a uniform random order with no RNG state, so the panel is a
+  * reproducible simple random sample whose SIZE does not grow with
+  * the corpus — the property that keeps the audit O(100·n) at any
+  * scale; a `% k` stride panel would grow linearly and turn the scan
+  * quadratic, measured 159×/decade before this fix). Each probe's
+  * k=5 exact cosine neighbors over the full corpus (self excluded),
+  * ranked (cos DESC, vec_id ASC);
   * predicted label = neighbor majority with ties broken toward the
   * smallest label; a probe is FLAGGED when the majority disagrees with
   * its own label. Per own-label output: probe count, flagged count,
   * noise rate and mean neighbor-agreement in exact integer basis
   * points.
   *
-  * Scale shape: the probe panel is bounded (a fixed stride here; a
-  * fixed-size hash sample at 100 TB) and BROADCAST, so the corpus is
+  * Scale shape: the probe panel is a FIXED-SIZE hash sample (a
+  * bounded TakeOrdered, not a corpus-fraction filter) and BROADCAST,
+  * so the corpus is
   * scanned once with no corpus-side shuffle of vectors; per-probe
   * top-k state stays ≤k rows map-side via [[TopKByScore]], so only
   * (#probes × k) id rows cross the exchange — the same bounded-
@@ -38,7 +46,11 @@ object LabelNoise {
   def noiseQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Similarity.widened(t(s, dir, "embeddings"))
-    val probes = e.filter($"vec_id" % 5 === 0)
+    // fixed-size probe panel: 100 smallest md5(vec_id) — a bounded
+    // TakeOrdered (top-k), never a corpus-fraction filter
+    val probes = e
+      .withColumn("hk", Hashing.md5Long60($"vec_id".cast("string")))
+      .orderBy($"hk", $"vec_id").limit(100)
       .select($"vec_id".as("probe_id"), $"label".as("own_label"),
         $"v".as("qv"), $"nrm".as("qn"))
     val corpus = e.select($"vec_id", $"label".as("nlabel"), $"v", $"nrm")
@@ -84,7 +96,10 @@ object LabelNoise {
       |                     (a, b) -> a + b)) AS nrm
       |  FROM embeddings),
       |p AS (SELECT vec_id AS probe_id, label AS own_label, v AS qv, nrm AS qn
-      |  FROM e WHERE vec_id % 5 = 0),
+      |  FROM e
+      |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))
+      |    ::UBIGINT::BIGINT, vec_id
+      |  LIMIT 100),
       |sc AS (
       |  SELECT probe_id, e.vec_id, e.label AS nlabel,
       |    list_reduce(list_transform(range(1, 65), i -> qv[i] * v[i]),

@@ -265,9 +265,53 @@ object Windows {
       |  COUNT(*) OVER (PARTITION BY o_custkey) AS cust_orders
       |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 400""".stripMargin
 
+  /** q_win_ignore_nulls entry: the IGNORE NULLS variants of the offset
+    * and value window functions — running last non-null (the
+    * forward-fill primitive), previous non-null observation, and
+    * second non-null seen so far — over a sparsified event stream
+    * (value published only when > 50, else NULL). This is the window
+    * surface sensor gap-filling and sessionized "carry last reading"
+    * logic runs on; it differs from [[firstLastNth]] exactly in the
+    * null-skipping semantics being asserted.
+    *
+    * Determinism: values pass through untouched (no arithmetic), the
+    * window order is the total (ts, event_id); output bounded to the
+    * user_id < 50 panel. Scale shape: one partition-by-user exchange,
+    * three functions over the same sorted run — Spark evaluates them
+    * in a single Window operator. */
+  def ignoreNulls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").filter($"user_id" < 50)
+      .select($"user_id", $"event_id", $"ts",
+        when($"value" > 50, $"value").as("v"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select($"user_id", $"event_id", $"v",
+        last($"v", ignoreNulls = true).over(wr).as("ff"),
+        lag($"v", 1, null, ignoreNulls = true).over(w).as("prev_nn"),
+        nth_value($"v", 2, ignoreNulls = true).over(wr).as("second_nn"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val ignoreNullsSql: String =
+    """SELECT user_id, event_id, v,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff,
+      |  lag(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS prev_nn,
+      |  nth_value(v, 2 IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_nn
+      |FROM (SELECT user_id, event_id, ts,
+      |        CASE WHEN value > 50 THEN value END AS v
+      |      FROM events WHERE user_id < 50)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // --- registry -------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_ignore_nulls" -> ignoreNulls,
     "q_win_ranking" -> ranking,
     "q_win_lag_lead" -> lagLead,
     "q_win_frames" -> frames,
@@ -279,6 +323,7 @@ object Windows {
     "q_win_agg_over" -> aggOver)
 
   def oracle: Map[String, String] = Map(
+    "q_win_ignore_nulls" -> ignoreNullsSql,
     "q_win_ranking" -> rankingSql,
     "q_win_lag_lead" -> lagLeadSql,
     "q_win_frames" -> framesSql,

@@ -37,7 +37,13 @@ class CurationAuditSpec extends AnyFunSuite with SparkSpec {
       .select($"vec_id", $"label", $"embedding").collect()
       .map(r => (r.getLong(0), r.getInt(1),
         r.getSeq[Float](2).map(_.toDouble).toArray))
-    val probes = e.filter(_._1 % 5 == 0)
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val probes = e.sortBy(x => (h(x._1.toString), x._1)).take(100)
     assert(rows.map(_.getAs[Long]("n_probes")).sum == probes.length)
     rows.foreach { r =>
       assert(r.getAs[Long]("noise_bp") >= 0 && r.getAs[Long]("noise_bp") <= 10000)
