@@ -467,7 +467,68 @@ object Classify {
       |      * (1 - CAST(n_pos AS DOUBLE) / n), 6) AS brier_binned
       |FROM raw, terms""".stripMargin
 
+  /** q_eval_lift entry: DECILE GAINS / LIFT table — the targeting
+    * readout that turns a ranked score into a business decision
+    * ("mailing the top 2 deciles captures X% of positives at Y× random
+    * lift"): docs ranked (score DESC, doc_id ASC) into NTILE(10)
+    * deciles; per decile the positive count, cumulative gain, and
+    * lift vs the base rate — all in exact integer basis points
+    * (gain = 10000·cum_pos div total_pos; lift = 10000·n_pos·N div
+    * (n·total_pos)), so both engines agree bit-for-bit. The
+    * operational companion to [[aucQ]] (which integrates the whole
+    * curve into one number and hides WHERE the gains are).
+    *
+    * Scale shape: one [[scored]] pass, one global rank for the decile
+    * cut (the oracle-exact stand-in for two approx-percentile
+    * cutpoints at 100 TB — same note as the CCNet terciles), then
+    * every window runs on the 10-row decile frame. */
+  def liftQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val d = scored(s, dir)
+      .withColumn("dec",
+        ntile(10).over(Window.orderBy($"score".desc, $"doc_id")))
+      .groupBy($"dec")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"))
+    val wCum = Window.orderBy($"dec")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy($"dec")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    d.withColumn("cum_pos", sum($"n_pos").over(wCum))
+      .withColumn("tp", sum($"n_pos").over(wAll))
+      .withColumn("tn", sum($"n").over(wAll))
+      .select($"dec".cast("int").as("decile"),
+        $"n".cast("long").as("n"),
+        $"n_pos".cast("long").as("n_pos"),
+        $"cum_pos".cast("long").as("cum_pos"),
+        expr("(10000 * cum_pos) div tp").as("gain_bp"),
+        expr("(10000 * n_pos * tn) div (n * tp)").as("lift_bp"))
+      .orderBy($"decile")
+  }
+
+  val liftSql: String =
+    s"""WITH $scoredSql,
+      |dd AS (
+      |  SELECT NTILE(10) OVER (ORDER BY score DESC, doc_id) AS dec, y
+      |  FROM scored),
+      |d AS (
+      |  SELECT dec, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS n_pos
+      |  FROM dd GROUP BY 1),
+      |c AS (
+      |  SELECT dec, n, n_pos,
+      |    SUM(n_pos) OVER (ORDER BY dec
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+      |    SUM(n_pos) OVER () AS tp, SUM(n) OVER () AS tn
+      |  FROM d)
+      |SELECT CAST(dec AS INT) AS decile, n, n_pos,
+      |  CAST(cum_pos AS BIGINT) AS cum_pos,
+      |  CAST((10000 * cum_pos) // tp AS BIGINT) AS gain_bp,
+      |  CAST((10000 * n_pos * tn) // (n * tp) AS BIGINT) AS lift_bp
+      |FROM c ORDER BY decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_lift" -> liftQ,
     "q_text_classify" -> classifyQ,
     "q_eval_auc" -> aucQ,
     "q_eval_calibration" -> calibrationQ,
@@ -476,6 +537,7 @@ object Classify {
     "q_eval_f1" -> f1Q)
 
   def oracle: Map[String, String] = Map(
+    "q_eval_lift" -> liftSql,
     "q_text_classify" -> classifySql,
     "q_eval_auc" -> aucSql,
     "q_eval_calibration" -> calibrationSql,

@@ -2157,7 +2157,132 @@ object Stats {
       |      / CAST(q.qsum AS DOUBLE)) ELSE 0.0 END, 6) AS i2
       |FROM pooledt p CROSS JOIN qt q""".stripMargin
 
+  /** q_ts_granger entry: GRANGER lead-lag screen at lag 1 over every
+    * ordered pair of the five event-type hourly series — "does
+    * knowing series B an hour ago improve the forecast of series A
+    * beyond A's own history?", the standard causal-direction triage
+    * for metric incident analysis and feature-lag selection
+    * (Granger 1969). Run via the partial-correlation identity (no
+    * matrix solve): with r₁ = corr(x, x₋₁), r₂ = corr(x, z₋₁),
+    * r₃ = corr(x₋₁, z₋₁), the partial r_p = (r₂ − r₁r₃)/
+    * √((1−r₁²)(1−r₃²)), and the incremental-regressor F(1, n−3) =
+    * (n−3)·r_p²/(1−r_p²) — algebraically the RSS-ratio test without
+    * ever fitting either regression.
+    *
+    * Determinism: the three Pearson terms come from exact integer
+    * power sums over the dense grid (the [[periodQ]] estimator),
+    * rounded to 6 dp; r_p and F are fixed-order scalar chains (9/6
+    * dp). Significance pinned at the F(1, ∞) 5% critical value 3.84.
+    *
+    * Scale shape: one grid collapse per series; the pair frame is
+    * ONE integer-index equi-join of the lagged frame against the
+    * 5-series cause frame (≤ 720·20 rows), then a combinable
+    * 10-sum aggregate per ordered pair — bounded by |types|², never
+    * by event volume. */
+  def grangerQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val hourly = t(s, dir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |  timestamp'2024-01-30 23:00:00', interval 1 hour)) AS hour"""
+        .stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val w = Window.partitionBy($"event_type").orderBy($"hour")
+    val dense = grid.crossJoin(broadcast(series))
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select($"event_type", $"hour", coalesce($"cnt", lit(0L)).as("x"))
+      .withColumn("idx", (row_number().over(w) - 1).cast("long"))
+    val lagged = dense
+      .withColumn("x1", lag($"x", 1).over(w))
+      .filter($"x1".isNotNull)
+      .select($"event_type".as("etype"), $"idx", $"x", $"x1")
+    val cause = dense
+      .select($"event_type".as("ctype"), ($"idx" + 1).as("idx"),
+        $"x".as("z1"))
+    def r(su: Column, sa: Column, sb: Column, saa: Column, sbb: Column,
+          sab: Column): Column =
+      round((su * sab - sa * sb).cast("double") /
+        sqrt((su * saa - sa * sa).cast("double") *
+          (su * sbb - sb * sb).cast("double")), 6)
+    lagged.join(cause, Seq("idx"))
+      .filter($"etype" =!= $"ctype")
+      .groupBy($"etype", $"ctype")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"x1").as("sx1"), sum($"z1").as("sz1"),
+        sum($"x" * $"x").as("sxx"), sum($"x1" * $"x1").as("sx1x1"),
+        sum($"z1" * $"z1").as("sz1z1"),
+        sum($"x" * $"x1").as("sxx1"), sum($"x" * $"z1").as("sxz1"),
+        sum($"x1" * $"z1").as("sx1z1"))
+      .select($"etype".as("effect_type"), $"ctype".as("cause_type"),
+        $"n".cast("long").as("n"),
+        r($"n", $"sx", $"sx1", $"sxx", $"sx1x1", $"sxx1").as("r1"),
+        r($"n", $"sx", $"sz1", $"sxx", $"sz1z1", $"sxz1").as("r2"),
+        r($"n", $"sx1", $"sz1", $"sx1x1", $"sz1z1", $"sx1z1").as("r3"))
+      .withColumn("rp", expr(
+        "round((r2 - r1 * r3) / sqrt((1 - r1 * r1) * (1 - r3 * r3)), 9)"))
+      .select($"effect_type", $"cause_type", $"n",
+        round($"rp", 6).as("r_partial"),
+        expr("round((n - 3) * rp * rp / (1 - rp * rp), 6)").as("f_stat"),
+        (expr("(n - 3) * rp * rp / (1 - rp * rp)") > 3.84)
+          .as("significant"))
+      .orderBy($"effect_type", $"cause_type")
+  }
+
+  val grangerSql: String = {
+    def rs(su: String, sa: String, sb: String, saa: String, sbb: String,
+           sab: String): String =
+      s"""ROUND(CAST($su * $sab - $sa * $sb AS DOUBLE)
+         | / SQRT(CAST($su * $saa - $sa * $sa AS DOUBLE)
+         |   * CAST($su * $sbb - $sb * $sb AS DOUBLE)), 6)""".stripMargin
+    s"""WITH grid AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour),
+      |hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |series AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT s.event_type, g.hour, COALESCE(h.cnt, 0) AS x,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type ORDER BY g.hour)
+      |      AS BIGINT) - 1 AS idx
+      |  FROM grid g CROSS JOIN series s
+      |  LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = s.event_type),
+      |lagged AS (
+      |  SELECT event_type AS etype, idx, x,
+      |    LAG(x, 1) OVER (PARTITION BY event_type ORDER BY idx) AS x1
+      |  FROM dense QUALIFY x1 IS NOT NULL),
+      |cause AS (SELECT event_type AS ctype, idx + 1 AS idx, x AS z1 FROM dense),
+      |sums AS (
+      |  SELECT etype, ctype, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(x1) AS sx1, SUM(z1) AS sz1,
+      |    SUM(x * x) AS sxx, SUM(x1 * x1) AS sx1x1, SUM(z1 * z1) AS sz1z1,
+      |    SUM(x * x1) AS sxx1, SUM(x * z1) AS sxz1, SUM(x1 * z1) AS sx1z1
+      |  FROM lagged JOIN cause USING (idx)
+      |  WHERE etype <> ctype GROUP BY 1, 2),
+      |rr AS (
+      |  SELECT etype AS effect_type, ctype AS cause_type,
+      |    CAST(n AS BIGINT) AS n,
+      |    ${rs("n", "sx", "sx1", "sxx", "sx1x1", "sxx1")} AS r1,
+      |    ${rs("n", "sx", "sz1", "sxx", "sz1z1", "sxz1")} AS r2,
+      |    ${rs("n", "sx1", "sz1", "sx1x1", "sz1z1", "sx1z1")} AS r3
+      |  FROM sums),
+      |rp AS (
+      |  SELECT effect_type, cause_type, n,
+      |    ROUND((r2 - r1 * r3)
+      |      / SQRT((1 - r1 * r1) * (1 - r3 * r3)), 9) AS rp
+      |  FROM rr)
+      |SELECT effect_type, cause_type, n,
+      |  ROUND(rp, 6) AS r_partial,
+      |  ROUND((n - 3) * rp * rp / (1 - rp * rp), 6) AS f_stat,
+      |  (n - 3) * rp * rp / (1 - rp * rp) > 3.84 AS significant
+      |FROM rp ORDER BY effect_type, cause_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_granger" -> grangerQ,
     "q_stat_meta" -> metaQ,
     "q_stat_levene" -> leveneQ,
     "q_stat_shrinkage" -> shrinkageQ,
@@ -2187,6 +2312,7 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_granger" -> grangerSql,
     "q_stat_meta" -> metaSql,
     "q_stat_levene" -> leveneSql,
     "q_stat_shrinkage" -> shrinkageSql,

@@ -250,6 +250,75 @@ class CurationAuditSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(row.getAs[Double]("i2") - r6(i2)) < 1e-9)
   }
 
+  test("lift: deciles equal a driver NTILE replay and the last cumulative gain is exactly 10000 bp") {
+    import spark.implicits._
+    val rows = Classify.liftQ(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    assert(rows.last.getAs[Long]("gain_bp") == 10000L)
+    val sc = Classify.scored(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"), r.getAs[Long]("y")))
+      .sortBy { case (id, s, _) => (-s, id) }
+    val n = sc.length
+    val base = n / 10; val extra = n % 10
+    var off = 0
+    val expect = (1 to 10).map { d =>
+      val sz = base + (if (d <= extra) 1 else 0)
+      val slice = sc.slice(off, off + sz); off += sz
+      (d, sz.toLong, slice.map(_._3).sum)
+    }
+    rows.zip(expect).foreach { case (r, (d, sz, pos)) =>
+      assert(r.getAs[Int]("decile") == d)
+      assert(r.getAs[Long]("n") == sz, s"decile $d size")
+      assert(r.getAs[Long]("n_pos") == pos, s"decile $d positives")
+    }
+    val tp = expect.map(_._3).sum
+    var cum = 0L
+    rows.zip(expect).foreach { case (r, (d, sz, pos)) =>
+      cum += pos
+      assert(r.getAs[Long]("cum_pos") == cum)
+      assert(r.getAs[Long]("gain_bp") == 10000L * cum / tp)
+      assert(r.getAs[Long]("lift_bp") == 10000L * pos * n / (sz * tp), s"decile $d lift")
+    }
+  }
+
+  test("granger: 20 ordered pairs, partial correlation bounded, F matches a driver recompute for one pair") {
+    import spark.implicits._
+    val rows = Stats.grangerQ(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("r_partial")) <= 1.0)
+      assert(r.getAs[Long]("n") == 719)
+      assert(r.getAs[Double]("f_stat") >= 0.0)
+    }
+    val r0 = rows.head
+    val (et, ct) = (r0.getAs[String]("effect_type"), r0.getAs[String]("cause_type"))
+    def seriesOf(t0: String): IndexedSeq[Long] = {
+      val hourly = graft.Tables.t(spark, sfDir, "events")
+        .filter($"event_type" === t0)
+        .groupBy(date_trunc("hour", $"ts").as("hour")).count()
+        .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+      val start = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+      (0 until 720).map(i => hourly.getOrElse(start + i * 3600000L, 0L))
+    }
+    val xs = seriesOf(et); val zs = seriesOf(ct)
+    val rows3 = (1 until 720).map(i => (xs(i), xs(i - 1), zs(i - 1)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pear(f: ((Long, Long, Long)) => Long, g: ((Long, Long, Long)) => Long): Double = {
+      val n = rows3.length.toLong
+      val sa = rows3.map(f).sum; val sb = rows3.map(g).sum
+      val saa = rows3.map(t => f(t) * f(t)).sum
+      val sbb = rows3.map(t => g(t) * g(t)).sum
+      val sab = rows3.map(t => f(t) * g(t)).sum
+      r6((n * sab - sa * sb).toDouble /
+        math.sqrt((n * saa - sa * sa).toDouble * (n * sbb - sb * sb).toDouble))
+    }
+    val (r1, r2, r3) = (pear(_._1, _._2), pear(_._1, _._3), pear(_._2, _._3))
+    val rp = round9((r2 - r1 * r3) / math.sqrt((1 - r1 * r1) * (1 - r3 * r3)))
+    val f = r6((719 - 3) * rp * rp / (1 - rp * rp))
+    assert(math.abs(r0.getAs[Double]("r_partial") - r6(rp)) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("f_stat") - f) < 1e-9)
+  }
+
   test("ar2: backtest covers the last 120 hours and phis obey the Yule-Walker identities from the series ACF") {
     import spark.implicits._
     val rows = TimeSeries.ar2Q(spark, sfDir).collect()
