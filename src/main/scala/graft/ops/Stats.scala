@@ -2281,7 +2281,76 @@ object Stats {
       |FROM rp ORDER BY effect_type, cause_type""".stripMargin
   }
 
+  /** q_stat_tost entry: EQUIVALENCE testing by TWO ONE-SIDED TESTS
+    * (Schuirmann 1987) — the procedure for proving the ABSENCE of an
+    * effect, which the ordinary z-test cannot do (failing to reject ≠
+    * equivalence): the A/B high-value rate difference (user-parity
+    * cohorts, value > 50) is declared equivalent iff BOTH one-sided
+    * tests reject at 5% against the ±0.02 margin: z_low = (d+m)/se >
+    * 1.644854 AND z_high = (d−m)/se < −1.644854. Emits both z's, the
+    * classic difference z, and the equivalent/different verdicts —
+    * the launch-review readout for "the cheaper variant is no worse".
+    *
+    * Determinism: counts are exact integers; d, se, and the three z's
+    * are one fixed-order IEEE chain each, rounded at 6 dp; verdicts
+    * compare the unrounded chain against literal constants —
+    * identical text on both engines.
+    *
+    * Scale shape: ONE combinable global aggregate; everything else is
+    * scalar arithmetic on a 1-row frame. */
+  def tostQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select(($"user_id" % 2 === 1).cast("int").as("a"),
+        ($"value" > 50.0).cast("long").as("hi"))
+      .agg(sum(when($"a" === 1, 1L).otherwise(0L)).as("na"),
+        sum(when($"a" === 1, $"hi").otherwise(0L)).as("xa"),
+        sum(when($"a" === 0, 1L).otherwise(0L)).as("nb"),
+        sum(when($"a" === 0, $"hi").otherwise(0L)).as("xb"))
+      .withColumn("pa", $"xa".cast("double") / $"na")
+      .withColumn("pb", $"xb".cast("double") / $"nb")
+      .withColumn("d", $"pb" - $"pa")
+      .withColumn("se",
+        expr("sqrt(pa * (1 - pa) / na + pb * (1 - pb) / nb)"))
+      .select($"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
+        round($"pa", 6).as("rate_a"), round($"pb", 6).as("rate_b"),
+        round($"d", 6).as("diff"),
+        round(expr("d / se"), 6).as("z_diff"),
+        round(expr("(d + 0.02) / se"), 6).as("z_low"),
+        round(expr("(d - 0.02) / se"), 6).as("z_high"),
+        (expr("(d + 0.02) / se") > 1.644854 &&
+          expr("(d - 0.02) / se") < -1.644854).as("equivalent"),
+        (abs(expr("d / se")) > 1.959964).as("different"))
+  }
+
+  val tostSql: String =
+    """WITH c AS (
+      |  SELECT
+      |    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS na,
+      |    SUM(CASE WHEN user_id % 2 = 1 AND value > 50.0 THEN 1 ELSE 0 END) AS xa,
+      |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS nb,
+      |    SUM(CASE WHEN user_id % 2 = 0 AND value > 50.0 THEN 1 ELSE 0 END) AS xb
+      |  FROM events),
+      |e AS (
+      |  SELECT na, nb, pa, pb, pb - pa AS d,
+      |    SQRT(pa * (1 - pa) / na + pb * (1 - pb) / nb) AS se
+      |  FROM (SELECT na, nb,
+      |          CAST(xa AS DOUBLE) / na AS pa,
+      |          CAST(xb AS DOUBLE) / nb AS pb
+      |        FROM c))
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  ROUND(pa, 6) AS rate_a, ROUND(pb, 6) AS rate_b,
+      |  ROUND(d, 6) AS diff,
+      |  ROUND(d / se, 6) AS z_diff,
+      |  ROUND((d + 0.02) / se, 6) AS z_low,
+      |  ROUND((d - 0.02) / se, 6) AS z_high,
+      |  ((d + 0.02) / se > 1.644854 AND (d - 0.02) / se < -1.644854)
+      |    AS equivalent,
+      |  ABS(d / se) > 1.959964 AS different
+      |FROM e""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_tost" -> tostQ,
     "q_ts_granger" -> grangerQ,
     "q_stat_meta" -> metaQ,
     "q_stat_levene" -> leveneQ,
@@ -2312,6 +2381,7 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_tost" -> tostSql,
     "q_ts_granger" -> grangerSql,
     "q_stat_meta" -> metaSql,
     "q_stat_levene" -> leveneSql,

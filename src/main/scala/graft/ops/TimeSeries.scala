@@ -1513,7 +1513,115 @@ object TimeSeries {
       |FROM bt GROUP BY 1 ORDER BY event_type""".stripMargin
   }
 
+  /** q_ts_croston entry: CROSTON'S METHOD (1972) for INTERMITTENT
+    * demand — the forecaster for series that are mostly zeros with
+    * occasional spikes, where exponential smoothing of the raw series
+    * collapses toward zero between events. Series: hourly counts of
+    * HIGH-VALUE events (value > 120, ≈ the p90 tail) per event type —
+    * genuinely sparse. Croston smooths two series separately at
+    * α = 0.1: demand SIZE z (updated only on demand hours) and
+    * inter-demand INTERVAL p (periods since the previous demand);
+    * forecast = z/p demand per hour. Init: first demand's size and
+    * its 1-based position.
+    *
+    * Determinism: the [[holtQ]] fold contract — one sequential
+    * `aggregate` fold per series whose IEEE expression text is
+    * mirrored verbatim by the oracle's recursive CTE, so the floating
+    * chain is bit-identical; output rounded at 6 dp.
+    *
+    * Scale shape: one combinable hourly collapse; the fold runs once
+    * per series over the calendar-bounded array (720 doubles) —
+    * series parallelize across keys, the fold never shuffles. */
+  def crostonQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = t(s, dir, "events")
+      .filter($"value" > 120.0)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |  timestamp'2024-01-30 23:00:00', interval 1 hour)) AS hour"""
+        .stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    grid.crossJoin(broadcast(series))
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select($"event_type", $"hour",
+        coalesce($"c", lit(0L)).cast("double").as("x"))
+      .groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"hour", $"x"))).as("arr"))
+      .withColumn("xs", expr("transform(arr, e -> e.x)"))
+      .withColumn("st", expr(
+        """aggregate(xs,
+          |  named_struct('z', cast(0.0 as double), 'p', cast(0.0 as double),
+          |               'q', cast(0.0 as double), 'started', false,
+          |               'n_demands', cast(0L as bigint)),
+          |  (st, x) -> if(x > 0.0,
+          |    if(st.started,
+          |      named_struct(
+          |        'z', st.z + 0.1 * (x - st.z),
+          |        'p', st.p + 0.1 * ((st.q + 1.0) - st.p),
+          |        'q', cast(0.0 as double), 'started', true,
+          |        'n_demands', st.n_demands + 1L),
+          |      named_struct(
+          |        'z', x, 'p', st.q + 1.0,
+          |        'q', cast(0.0 as double), 'started', true,
+          |        'n_demands', 1L)),
+          |    named_struct('z', st.z, 'p', st.p, 'q', st.q + 1.0,
+          |      'started', st.started, 'n_demands', st.n_demands)))"""
+          .stripMargin))
+      .filter($"st.started")
+      .select($"event_type",
+        $"st.n_demands".as("n_demands"),
+        round($"st.z", 6).as("demand_size"),
+        round($"st.p", 6).as("demand_interval"),
+        round($"st.z" / $"st.p", 6).as("forecast_per_hour"))
+      .orderBy($"event_type")
+  }
+
+  /** Oracle twin: the same fold as a recursive CTE over the dense
+    * indexed grid — identical IEEE update expressions. */
+  val crostonSql: String =
+    """WITH RECURSIVE grid AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour),
+      |hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS c
+      |  FROM events WHERE value > 120.0 GROUP BY 1, 2),
+      |series AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT s.event_type, CAST(COALESCE(h.c, 0) AS DOUBLE) AS x,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type ORDER BY g.hour)
+      |      AS BIGINT) AS i,
+      |    COUNT(*) OVER (PARTITION BY s.event_type) AS n
+      |  FROM grid g CROSS JOIN series s
+      |  LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = s.event_type),
+      |rec(event_type, i, n, z, p, q, started, n_demands) AS (
+      |  SELECT event_type, 0, n, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+      |    FALSE, CAST(0 AS BIGINT)
+      |  FROM dense WHERE i = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1, r.n,
+      |    CASE WHEN d.x > 0.0 THEN
+      |      CASE WHEN r.started THEN r.z + 0.1 * (d.x - r.z) ELSE d.x END
+      |    ELSE r.z END,
+      |    CASE WHEN d.x > 0.0 THEN
+      |      CASE WHEN r.started THEN r.p + 0.1 * ((r.q + 1.0) - r.p)
+      |        ELSE r.q + 1.0 END
+      |    ELSE r.p END,
+      |    CASE WHEN d.x > 0.0 THEN 0.0 ELSE r.q + 1.0 END,
+      |    r.started OR d.x > 0.0,
+      |    r.n_demands + CASE WHEN d.x > 0.0 THEN 1 ELSE 0 END
+      |  FROM rec r JOIN dense d
+      |    ON d.event_type = r.event_type AND d.i = r.i + 1
+      |  WHERE r.i < r.n)
+      |SELECT event_type, n_demands,
+      |  ROUND(z, 6) AS demand_size,
+      |  ROUND(p, 6) AS demand_interval,
+      |  ROUND(z / p, 6) AS forecast_per_hour
+      |FROM rec WHERE i = n AND started ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_croston" -> crostonQ,
     "q_ts_ar2" -> ar2Q,
     "q_ts_hurst" -> hurstQ,
     "q_ts_sax" -> saxQ,
@@ -1535,6 +1643,7 @@ object TimeSeries {
     "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_croston" -> crostonSql,
     "q_ts_ar2" -> ar2Sql,
     "q_ts_hurst" -> hurstSql,
     "q_ts_sax" -> saxSql,

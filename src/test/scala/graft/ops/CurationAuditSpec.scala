@@ -319,6 +319,56 @@ class CurationAuditSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r0.getAs[Double]("f_stat") - f) < 1e-9)
   }
 
+  test("croston: fold equals a sequential driver replay and demand counts match the nonzero hours") {
+    import spark.implicits._
+    val rows = TimeSeries.crostonQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val start = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    rows.foreach { r =>
+      val t0 = r.getAs[String]("event_type")
+      val hourly = graft.Tables.t(spark, sfDir, "events")
+        .filter($"event_type" === t0 && $"value" > 120.0)
+        .groupBy(date_trunc("hour", $"ts").as("hour")).count()
+        .collect().map(x => x.getTimestamp(0).getTime -> x.getLong(1)).toMap
+      val xs = (0 until 720).map(i => hourly.getOrElse(start + i * 3600000L, 0L).toDouble)
+      var z = 0.0; var p = 0.0; var q = 0.0; var started = false; var nd = 0L
+      xs.foreach { x =>
+        if (x > 0.0) {
+          if (started) { z = z + 0.1 * (x - z); p = p + 0.1 * ((q + 1.0) - p) }
+          else { z = x; p = q + 1.0; started = true }
+          q = 0.0; nd += 1
+        } else q += 1.0
+      }
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Long]("n_demands") == nd, s"$t0 demand count")
+      assert(math.abs(r.getAs[Double]("demand_size") - r6(z)) < 1e-9, s"$t0 size")
+      assert(math.abs(r.getAs[Double]("demand_interval") - r6(p)) < 1e-9, s"$t0 interval")
+      assert(math.abs(r.getAs[Double]("forecast_per_hour") - r6(z / p)) < 1e-9, s"$t0 forecast")
+    }
+  }
+
+  test("tost: counts and all three z statistics match a driver recompute, verdicts self-consistent") {
+    import spark.implicits._
+    val r = Stats.tostQ(spark, sfDir).collect().head
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"user_id", $"value").collect()
+      .map(x => (x.getLong(0), x.getDouble(1)))
+    val a = ev.filter(_._1 % 2 == 1); val b = ev.filter(_._1 % 2 == 0)
+    val (na, nb) = (a.length.toLong, b.length.toLong)
+    val pa = a.count(_._2 > 50.0).toDouble / na
+    val pb = b.count(_._2 > 50.0).toDouble / nb
+    val d = pb - pa
+    val se = math.sqrt(pa * (1 - pa) / na + pb * (1 - pb) / nb)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(math.abs(r.getAs[Double]("z_diff") - r6(d / se)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("z_low") - r6((d + 0.02) / se)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("z_high") - r6((d - 0.02) / se)) < 1e-9)
+    assert(r.getAs[Boolean]("equivalent") ==
+      ((d + 0.02) / se > 1.644854 && (d - 0.02) / se < -1.644854))
+    assert(r.getAs[Boolean]("different") == (math.abs(d / se) > 1.959964))
+  }
+
   test("ar2: backtest covers the last 120 hours and phis obey the Yule-Walker identities from the series ACF") {
     import spark.implicits._
     val rows = TimeSeries.ar2Q(spark, sfDir).collect()
