@@ -165,10 +165,17 @@ final class HttpTable(tableName: String, tableSchema: StructType,
 final class HttpScanBuilder(full: StructType, rows: Array[String],
                             src: Source)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate.{
+    Aggregation, Count, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.{
+    Expression => V2Expression, NamedReference}
+
   private var required: StructType = full
   private var pushed: Array[sources.Filter] = Array.empty
   private var limit: Int = -1
+  private var aggResult: Option[(String, StructType)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -181,18 +188,115 @@ final class HttpScanBuilder(full: StructType, rows: Array[String],
 
   override def pushLimit(n: Int): Boolean = { limit = n; false }
 
-  override def build(): Scan = {
-    val mapper = new ObjectMapper()
+  // --- aggregate pushdown (COMPLETE): global COUNT(*)/COUNT(col)/MIN/MAX
+  // are answered from the driver-held snapshot without shipping a single
+  // data row to executors — "SELECT count(*) FROM api_table" becomes a
+  // 1-row scan. Complete (not partial) pushdown is only claimed when
+  // every aggregate is computable exactly here; grouped or unsupported
+  // aggregations fall back to the normal scan untouched. Because this
+  // builder reports every filter as residual, Spark only routes an
+  // aggregate here when no Filter sits between it and the scan — the
+  // unfiltered-rollup fast path, exact by construction.
+
+  private def soleField(e: V2Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      val n = nr.fieldNames.head
+      if (full.fieldNames.contains(n)) Some(n) else None
+    case _ => None
+  }
+
+  /** Supported plan: per aggregate, (kind, column). Min/max only on the
+    * scalar types whose JSON round-trip is value-exact. */
+  private def aggPlanOf(agg: Aggregation): Option[Seq[(String, String)]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    def minMaxOk(n: String): Boolean = full(n).dataType match {
+      case LongType | DoubleType | StringType | BooleanType => true
+      case _ => false
+    }
+    val specs: Seq[Option[(String, String)]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(("count_star", ""))
+      case c: Count if !c.isDistinct => soleField(c.column).map(("count", _))
+      case m: Min => soleField(m.column).filter(minMaxOk).map(("min", _))
+      case m: Max => soleField(m.column).filter(minMaxOk).map(("max", _))
+      case _ => None
+    }
+    if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.map(_.get))
+    else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    aggPlanOf(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = aggPlanOf(agg) match {
+    case None => false
+    case Some(specs) =>
+      val mapper = new ObjectMapper()
+      val nodes = prunedLines(mapper).map { line =>
+        try mapper.readTree(line) catch { case _: Exception => null }
+      }.filter(n => n != null && n.isObject)
+      def valuesOf(col: String): Array[JsonNode] = nodes
+        .map(_.get(col))
+        .filter(v => v != null && !v.isNull)
+        .filter(v => full(col).dataType match { // reader-convert validity
+          case LongType => v.canConvertToLong
+          case DoubleType => v.isNumber
+          case BooleanType => v.isBoolean
+          case _ => true // strings coerce via text/toString, never null
+        })
+      val out = mapper.createObjectNode()
+      val fields = specs.zipWithIndex.map { case ((kind, col), i) =>
+        val name = s"agg_$i"
+        kind match {
+          case "count_star" =>
+            out.put(name, nodes.length.toLong)
+            StructField(name, LongType, nullable = false)
+          case "count" =>
+            out.put(name, valuesOf(col).length.toLong)
+            StructField(name, LongType, nullable = false)
+          case mm =>
+            val dt = full(col).dataType
+            val vs = valuesOf(col)
+            val sign = if (mm == "min") -1 else 1
+            if (vs.isEmpty) out.putNull(name)
+            else dt match {
+              case LongType =>
+                out.put(name, vs.map(_.asLong)
+                  .reduce((a, b) => if (java.lang.Long.compare(a, b) * sign >= 0) a else b))
+              case DoubleType =>
+                out.put(name, vs.map(_.asDouble)
+                  .reduce((a, b) => if (java.lang.Double.compare(a, b) * sign >= 0) a else b))
+              case BooleanType =>
+                out.put(name, vs.map(_.asBoolean)
+                  .reduce((a, b) => if (java.lang.Boolean.compare(a, b) * sign >= 0) a else b))
+              case _ => // StringType: UTF8String binary order = Spark's
+                out.put(name, vs
+                  .map(v => if (v.isTextual) v.asText else v.toString)
+                  .map(UTF8String.fromString)
+                  .reduce((a, b) => if (a.compareTo(b) * sign >= 0) a else b)
+                  .toString)
+            }
+            StructField(name, dt, nullable = true)
+        }
+      }
+      aggResult = Some((mapper.writeValueAsString(out), StructType(fields)))
+      true
+  }
+
+  private def prunedLines(mapper: ObjectMapper): Array[String] = {
     val afterFilters =
       if (pushed.isEmpty) rows
       else rows.filter { line =>
         val node = try mapper.readTree(line) catch { case _: Exception => null }
         pushed.forall(f => JsonPredicate.matches(node, f))
       }
-    val afterLimit =
-      if (limit >= 0 && limit < afterFilters.length) afterFilters.take(limit)
-      else afterFilters
-    new HttpScan(afterLimit, required, full.length, src)
+    if (limit >= 0 && limit < afterFilters.length) afterFilters.take(limit)
+    else afterFilters
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((line, schema)) => new HttpScan(Array(line), schema, full.length, src)
+    case None =>
+      new HttpScan(prunedLines(new ObjectMapper()), required, full.length, src)
   }
 }
 

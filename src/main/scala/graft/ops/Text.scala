@@ -1988,7 +1988,107 @@ object Text {
       |  (10000 * n_syllables) // n_words AS syll_per_word_bp
       |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin
 
+  /** q_text_mtld entry: MTLD lexical diversity (Measure of Textual
+    * Lexical Diversity, McCarthy & Jarvis 2010) — the length-robust
+    * replacement for raw type-token ratio: walk the token stream
+    * counting a FACTOR each time the running TTR drops below 0.72
+    * (then reset), add the proportional partial factor
+    * (1−TTR_final)/0.28 at the end, and report tokens/factors —
+    * averaged over the forward and backward walks. TTR punishes long
+    * documents by construction; MTLD is the diversity signal quality
+    * filters can threshold independent of length.
+    *
+    * Determinism: the in-walk threshold test is the EXACT integer
+    * comparison 100·|types| < 72·count (no FP in the fold's control
+    * flow); the only floating arithmetic is the factor increments and
+    * the final partial — a fixed-order chain mirrored verbatim by the
+    * oracle's recursive CTE. Output 6 dp, first 300 docs with ≥ 10
+    * tokens.
+    *
+    * Scale shape: two per-doc sequential folds (forward/backward)
+    * over the token array — pure map stage, zero exchange; the
+    * rank-ordered LIMIT is a TakeOrdered. The seen-set is bounded by
+    * the factor segment's type count (resets at every factor), not
+    * by doc length. */
+  def mtldQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def fold(arr: String): String =
+      s"""aggregate($arr,
+         |  named_struct('f', cast(0.0 as double),
+         |    'seen', cast(array() as array<string>), 'cnt', 0),
+         |  (st, tk) -> if(
+         |    100 * size(if(array_contains(st.seen, tk), st.seen,
+         |      concat(st.seen, array(tk)))) < 72 * (st.cnt + 1),
+         |    named_struct('f', st.f + 1.0,
+         |      'seen', cast(array() as array<string>), 'cnt', 0),
+         |    named_struct('f', st.f,
+         |      'seen', if(array_contains(st.seen, tk), st.seen,
+         |        concat(st.seen, array(tk))), 'cnt', st.cnt + 1)),
+         |  st -> st.f + if(st.cnt > 0,
+         |    (1.0 - size(st.seen) / cast(st.cnt as double)) / 0.28, 0.0))"""
+        .stripMargin
+    withToks(s, dir)
+      .filter(size($"toks") >= 10)
+      .select($"doc_id", $"toks", size($"toks").as("n_toks"))
+      .withColumn("ff", expr(fold("toks")))
+      .withColumn("fb", expr(fold("reverse(toks)")))
+      .select($"doc_id", $"n_toks".cast("long").as("n_toks"),
+        round($"ff", 6).as("factors_fwd"),
+        when($"ff" > 0 && $"fb" > 0,
+          round(($"n_toks" / $"ff" + $"n_toks" / $"fb") / 2.0, 6))
+          .as("mtld"))
+      .orderBy($"doc_id")
+      .limit(300)
+  }
+
+  val mtldSql: String =
+    s"""WITH RECURSIVE tk AS (
+      |  SELECT doc_id, $toksSql AS toks, len($toksSql) AS n
+      |  FROM documents WHERE len($toksSql) >= 10),
+      |bothdir AS (
+      |  SELECT doc_id, toks, n, 'f' AS dir FROM tk
+      |  UNION ALL
+      |  SELECT doc_id, list_reverse(toks), n, 'b' FROM tk),
+      |rec(doc_id, dir, i, n, f, seen, cnt) AS (
+      |  SELECT doc_id, dir, 0, n, 0.0::DOUBLE, []::VARCHAR[], 0 FROM bothdir
+      |  UNION ALL
+      |  SELECT r.doc_id, r.dir, r.i + 1, r.n,
+      |    CASE WHEN 100 * len(CASE WHEN list_contains(r.seen, b.toks[r.i + 1])
+      |        THEN r.seen ELSE list_append(r.seen, b.toks[r.i + 1]) END)
+      |        < 72 * (r.cnt + 1)
+      |      THEN r.f + 1.0 ELSE r.f END,
+      |    CASE WHEN 100 * len(CASE WHEN list_contains(r.seen, b.toks[r.i + 1])
+      |        THEN r.seen ELSE list_append(r.seen, b.toks[r.i + 1]) END)
+      |        < 72 * (r.cnt + 1)
+      |      THEN []::VARCHAR[]
+      |      ELSE CASE WHEN list_contains(r.seen, b.toks[r.i + 1])
+      |        THEN r.seen ELSE list_append(r.seen, b.toks[r.i + 1]) END END,
+      |    CASE WHEN 100 * len(CASE WHEN list_contains(r.seen, b.toks[r.i + 1])
+      |        THEN r.seen ELSE list_append(r.seen, b.toks[r.i + 1]) END)
+      |        < 72 * (r.cnt + 1)
+      |      THEN 0 ELSE r.cnt + 1 END
+      |  FROM rec r JOIN bothdir b
+      |    ON b.doc_id = r.doc_id AND b.dir = r.dir
+      |  WHERE r.i < r.n),
+      |fin AS (
+      |  SELECT doc_id, dir, n,
+      |    f + CASE WHEN cnt > 0
+      |      THEN (1.0 - len(seen) / CAST(cnt AS DOUBLE)) / 0.28
+      |      ELSE 0.0 END AS ft
+      |  FROM rec WHERE i = n),
+      |pivoted AS (
+      |  SELECT doc_id, MAX(n) AS n,
+      |    MAX(CASE WHEN dir = 'f' THEN ft END) AS ff,
+      |    MAX(CASE WHEN dir = 'b' THEN ft END) AS fb
+      |  FROM fin GROUP BY 1)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+      |  ROUND(ff, 6) AS factors_fwd,
+      |  CASE WHEN ff > 0 AND fb > 0
+      |    THEN ROUND((n / ff + n / fb) / 2.0, 6) END AS mtld
+      |FROM pivoted ORDER BY doc_id LIMIT 300""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_mtld" -> mtldQ,
     "q_text_readability" -> readabilityQ,
     "q_text_zipf" -> zipfQ,
     "q_text_heaps" -> heapsQ,
@@ -2034,6 +2134,7 @@ object Text {
     "q_langid_confusion" -> confusionSql,
     "q_label_kappa" -> kappaSql,
     "q_label_krippendorff" -> krippendorffSql,
+    "q_text_mtld" -> mtldSql,
     "q_text_stats" -> statsSql,
     "q_text_lang_agg" -> langAggSql,
     "q_text_langid" -> langIdSql,

@@ -54,6 +54,46 @@ class HttpTableProviderSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("aggregate pushdown: global count/min/max answered by a 1-row scan, no HashAggregate") {
+    StubServer.withServer({ case ("GET", "/users", _) => (200, users) }) { srv =>
+      val df = spark.read.format("http").option("url", srv.url("/users")).load()
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.col("score")).as("ns"),
+          org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("score")).as("mn"),
+          org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("name")).as("mx"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("HashAggregate"),
+        s"aggregate was not completely pushed:\n$plan")
+      val scan = scanOf(df)
+      assert(scan.description().contains("rows=1"),
+        s"pushed-aggregate scan should hold exactly one row: ${scan.description()}")
+      val r = df.collect().head
+      assert(r.getAs[Long]("n") == 3L)
+      assert(r.getAs[Long]("ns") == 3L)
+      assert(r.getAs[Double]("mn") == 7.25)
+      assert(r.getAs[String]("mx") == "cyd")
+    }
+  }
+
+  test("aggregate pushdown declines grouped, distinct, and filtered aggregations (exactness guard)") {
+    StubServer.withServer({ case ("GET", "/users", _) => (200, users) }) { srv =>
+      def load() = spark.read.format("http").option("url", srv.url("/users")).load()
+      import org.apache.spark.sql.functions._
+      // grouped: stays a real aggregate, values still correct
+      val g = load().groupBy("active").agg(count(lit(1)).as("n")).orderBy("active")
+      assert(g.queryExecution.executedPlan.toString.contains("HashAggregate"))
+      assert(g.collect().map(r => (r.getBoolean(0), r.getLong(1))).toSeq ==
+        Seq((false, 1L), (true, 2L)))
+      // count distinct: declined
+      val d = load().agg(countDistinct(col("active")).as("n"))
+      assert(d.queryExecution.executedPlan.toString.contains("HashAggregate"))
+      assert(d.collect().head.getLong(0) == 2L)
+      // a residual filter between aggregate and scan blocks pushdown; result exact
+      val f = load().filter(col("score") > 7.5).agg(count(lit(1)).as("n"))
+      assert(f.collect().head.getLong(0) == 2L)
+    }
+  }
+
   test("array and nested struct columns decode; empty array stays empty") {
     StubServer.withServer({ case ("GET", "/users", _) => (200, users) }) { srv =>
       val df = spark.read.format("http").option("url", srv.url("/users")).load()

@@ -347,6 +347,36 @@ class CurationAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mtld: fold equals a sequential driver replay on every returned doc") {
+    import spark.implicits._
+    val rows = Text.mtldQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", lower($"text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    def factors(toks: Seq[String]): Double = {
+      var f = 0.0; var seen = List.empty[String]; var cnt = 0
+      toks.foreach { tk =>
+        val seen2 = if (seen.contains(tk)) seen else seen :+ tk
+        val cnt2 = cnt + 1
+        if (100 * seen2.length < 72 * cnt2) { f += 1.0; seen = Nil; cnt = 0 }
+        else { seen = seen2; cnt = cnt2 }
+      }
+      if (cnt > 0) f += (1.0 - seen.length / cnt.toDouble) / 0.28
+      f
+    }
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_toks") == toks.length)
+      val ff = factors(toks); val fb = factors(toks.reverse)
+      assert(math.abs(r.getAs[Double]("factors_fwd") - r6(ff)) < 1e-9)
+      if (ff > 0 && fb > 0)
+        assert(math.abs(r.getAs[Double]("mtld") -
+          r6((toks.length / ff + toks.length / fb) / 2.0)) < 1e-9)
+    }
+  }
+
   test("tost: counts and all three z statistics match a driver recompute, verdicts self-consistent") {
     import spark.implicits._
     val r = Stats.tostQ(spark, sfDir).collect().head
