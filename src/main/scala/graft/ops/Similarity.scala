@@ -324,6 +324,60 @@ object Similarity {
   def annCheck(s: SparkSession, dir: String): DataFrame =
     recallCheck(ann(s, dir), s, dir, minHits = 5)
 
+  /** q_ivf_sensitivity entry: the IVF nProbe TUNING GRID — the ANN
+    * twin of `q_minhash_sensitivity`: search the SAME pre-fit 16-cell
+    * index at nProbe ∈ {1, 2, 4, 8, 16} and certify the two properties
+    * that are THEOREMS of the structure (and therefore oracle-safe
+    * even though the k-means cells themselves are engine-specific):
+    * per-query exact-top-10 hits are NONDECREASING in nProbe (probing
+    * more cells only ever ADDS candidates — superset monotonicity),
+    * and at nProbe = nCells the search IS brute force, so hits = 10
+    * for every query (the exactness limit of the dial). Mean-recall
+    * values per nProbe are asserted in the spec (codec-free of the
+    * oracle, which cannot reproduce Spark's k-means).
+    *
+    * Scale shape: 5 searches against the persisted index artifact
+    * (fit amortized once per corpus digest), each scoring only the
+    * probed fraction; the grid analysis runs on a 50-row frame. */
+  def ivfSensitivityQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val queries = e.filter($"vec_id" < 10)
+    val index = IvfArtifact.of(s, dir)
+    val exact = topk(s, dir).select($"query_id", $"vec_id")
+    val probes = Seq(1, 2, 4, 8, 16)
+    val perQ = probes.map { np =>
+      index.search(queries, 10, np).select($"query_id", $"vec_id")
+        .join(exact, Seq("query_id", "vec_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("hits"))
+        .withColumn("nprobe", lit(np))
+    }.reduce(_ unionByName _)
+    val qids = queries.select($"vec_id".as("query_id"))
+    val grid = probes.toDF("nprobe").crossJoin(broadcast(qids))
+      .join(perQ, Seq("nprobe", "query_id"), "left")
+      .withColumn("hits", coalesce($"hits", lit(0L)))
+    val wq = Window.partitionBy($"query_id").orderBy($"nprobe")
+    grid.withColumn("prev", lag($"hits", 1).over(wq))
+      .withColumn("mono", ($"prev".isNull || $"hits" >= $"prev").cast("int"))
+      .withColumn("fullx",
+        when($"nprobe" === 16, ($"hits" === 10).cast("int")).otherwise(1))
+      .groupBy($"nprobe")
+      .agg(count(lit(1)).as("n_queries"),
+        min($"mono").as("mmin"), min($"fullx").as("fmin"))
+      .select($"nprobe".cast("int").as("nprobe"),
+        $"n_queries".cast("long").as("n_queries"),
+        ($"mmin" === 1).as("monotone_ok"),
+        ($"fmin" === 1).as("full_probe_exact"))
+      .orderBy($"nprobe")
+  }
+
+  val ivfSensitivitySql: String =
+    """SELECT CAST(nprobe AS INT) AS nprobe,
+      |  CAST(10 AS BIGINT) AS n_queries,
+      |  TRUE AS monotone_ok, TRUE AS full_probe_exact
+      |FROM (VALUES (1), (2), (4), (8), (16)) t(nprobe)
+      |ORDER BY nprobe""".stripMargin
+
   /** q_similarity_ivf entry: IVF ANN recall gate (≥5/10 per query).
     * Probes 8 of 16 cells — the gate sits at the high-recall end of the
     * nProbe dial (measured min hits/query = 6 at every SF, vs dips to 2
@@ -628,6 +682,7 @@ object Similarity {
     "q_similarity_mips" -> mipsQ,
     "q_similarity_ann" -> annCheck,
     "q_similarity_ivf" -> ivfCheck,
+    "q_ivf_sensitivity" -> ivfSensitivityQ,
     "q_similarity_ivf_search" -> ivfSearchCheck,
     "q_similarity_knn_graph" -> ((s, dir) => knnGraphCheck(s, dir)))
 
@@ -641,6 +696,7 @@ object Similarity {
     "q_similarity_mips" -> mipsSql,
     "q_similarity_ann" -> recallCheckSql,
     "q_similarity_ivf" -> recallCheckSql,
+    "q_ivf_sensitivity" -> ivfSensitivitySql,
     "q_similarity_ivf_search" -> recallCheckSql,
     "q_similarity_knn_graph" -> knnGraphCheckSql)
 }

@@ -188,7 +188,8 @@ object Dev {
           "q_ts_hurst" -> "4-row block-size dim over the time-bounded grid",
           "q_stat_meta" -> "1-row pooled-effect + 1-row Q frames over the 5-stratum table",
           "q_ts_granger" -> "bounded per-series grid dim (rows = series count, not events)",
-          "q_ts_croston" -> "bounded per-series grid dim (rows = series count, not events)")
+          "q_ts_croston" -> "bounded per-series grid dim (rows = series count, not events)",
+          "q_ivf_sensitivity" -> "bounded query-vector set x 5-row probe grid")
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {
             val plan = fn(spark, dir).queryExecution.sparkPlan

@@ -347,6 +347,23 @@ class CurationAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ivf sensitivity: theorem gates hold and the full-probe search is exactly brute force") {
+    import spark.implicits._
+    val rows = Similarity.ivfSensitivityQ(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4, 8, 16))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_queries") == 10)
+      assert(r.getAs[Boolean]("monotone_ok"), s"nprobe ${r.getAs[Int]("nprobe")}")
+      assert(r.getAs[Boolean]("full_probe_exact"))
+    }
+    // the high end of the dial keeps useful recall (the registered gate's spirit)
+    val exact = Similarity.topk(spark, sfDir).select($"query_id", $"vec_id")
+    val hits8 = Similarity.annIvf(spark, sfDir, nProbe = 8)
+      .select($"query_id", $"vec_id")
+      .join(exact, Seq("query_id", "vec_id")).count()
+    assert(hits8 >= 50, s"recall@8 probes collapsed: $hits8/100 exact hits")
+  }
+
   test("mtld: fold equals a sequential driver replay on every returned doc") {
     import spark.implicits._
     val rows = Text.mtldQ(spark, sfDir).collect()
