@@ -269,6 +269,46 @@ object EventStreams {
       }
   }
 
+  final case class HHState(counters: Map[String, Long], n: Long)
+  final case class HHSummary(event_type: String, n_seen: Long,
+    n_counters: Int, top_user: String, top_lb: Long)
+
+  /** Streaming HEAVY HITTERS per event type — the Misra–Gries summary
+    * ([[graft.ops.MisraGries]], reused verbatim as the state-update
+    * function) maintained continuously in `mapGroupsWithState`: O(k)
+    * counters per event type FOREVER, emitting the refreshed summary
+    * (top key + its lower-bound count) every trigger in Update mode.
+    * The arrival-time twin of the batch `q_agg_heavy_hitters` rollup —
+    * "which users dominate this event type RIGHT NOW" without ever
+    * holding a per-user map.
+    *
+    * The MG guarantee survives streaming unchanged because the sketch
+    * is a left fold and the stream IS a left fold: any key with true
+    * frequency > n/(k+1) is present, and each counter undercounts by
+    * at most n/(k+1). Within a micro-batch events fold in (ts,
+    * event_id) order so replays are deterministic; across batches the
+    * trigger order is the stream order, as for any online summary. */
+  def streamingHeavyHitters(events: Dataset[Event], k: Int = 8)
+      : Dataset[HHSummary] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val mg = new graft.ops.MisraGries(k)
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (et: String, it: Iterator[Event], state: GroupState[HHState]) =>
+          var st = state.getOption.getOrElse(HHState(Map.empty, 0L))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            st = HHState(mg.reduce(st.counters, e.user_id.toString), st.n + 1)
+          }
+          state.update(st)
+          if (st.counters.isEmpty) HHSummary(et, st.n, 0, "", 0L)
+          else {
+            val (tu, tc) = st.counters.maxBy { case (u, c) => (c, u) }
+            HHSummary(et, st.n, st.counters.size, tu, tc)
+          }
+      }
+  }
+
   /** Streaming NEAR-dedup-on-ingest: every arriving micro-batch of
     * (doc_id, text) documents is matched against the persisted corpus
     * [[graft.ops.Dedup.BandIndex]] and the verified matches land in a

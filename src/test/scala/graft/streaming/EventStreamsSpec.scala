@@ -521,6 +521,44 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       s"beyond-watermark event leaked into a finalized window: $jan1Click")
   }
 
+  test("streaming heavy hitters: state equals a sequential Misra-Gries replay and obeys the MG guarantee") {
+    import spark.implicits._
+    val in = MemoryStream[Event](spark)
+    val k = 3
+    val q = streamingHeavyHitters(in.toDS(), k = k)
+      .writeStream.format("memory").queryName("hhsink").outputMode("update").start()
+    try {
+      // batch 1: user 7 dominates clicks; batch 2 keeps pushing 7 + noise
+      val b1 = (1 to 12).map(i =>
+        ev(i, f"2024-01-01 10:${i}%02d:00", uid = if (i % 2 == 0) 7L else i.toLong))
+      val b2 = (13 to 24).map(i =>
+        ev(i, f"2024-01-01 11:${i - 12}%02d:00", uid = if (i % 3 == 0) 7L else i.toLong))
+      in.addData(b1: _*); drain(q)
+      in.addData(b2: _*); drain(q)
+      val last = spark.table("hhsink").as[HHSummary].collect()
+        .filter(_.event_type == "click").maxBy(_.n_seen)
+      // sequential driver replay with the same per-batch (ts, id) fold order
+      val mg = new graft.ops.MisraGries(k)
+      var st = Map.empty[String, Long]
+      Seq(b1, b2).foreach(_.sortBy(e => (e.ts.getTime, e.event_id))
+        .foreach(e => st = mg.reduce(st, e.user_id.toString)))
+      assert(last.n_seen == 24L)
+      assert(last.n_counters == st.size)
+      val (eu, ec) = st.maxBy { case (u, c) => (c, u) }
+      assert(last.top_user == eu && last.top_lb == ec,
+        s"streaming (${last.top_user},${last.top_lb}) vs replay ($eu,$ec)")
+      // MG guarantee vs exact counts: every counter is a lower bound and
+      // undercounts by at most n/(k+1); the dominant key must be present
+      val exact = (b1 ++ b2).groupBy(_.user_id.toString).view.mapValues(_.size.toLong).toMap
+      val n = 24L
+      st.foreach { case (u, c) =>
+        assert(c <= exact(u), s"counter for $u overcounts")
+        assert(exact(u) - c <= n / (k + 1), s"counter for $u undercounts past the bound")
+      }
+      assert(st.contains("7"), "dominant key must survive in the sketch")
+    } finally q.stop()
+  }
+
   test("streaming anomalies: Welford state flags only genuine outliers, never self-scores") {
     import spark.implicits._
     val in = MemoryStream[Event](spark)
