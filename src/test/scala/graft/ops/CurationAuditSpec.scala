@@ -30,6 +30,34 @@ class CurationAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ccnet scale path: approx-percentile cutoffs reproduce the exact NTILE tiers almost everywhere") {
+    import spark.implicits._
+    // the documented 100 TB form: two approx_percentile cutpoints per
+    // language + a broadcast cutoff join — no per-lang global sort
+    val ce = Text.ceAll(spark, sfDir).select($"doc_id", $"cross_entropy")
+    val slim = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"lang").join(ce, Seq("doc_id"))
+    val cuts = slim.groupBy($"lang")
+      .agg(expr("percentile_approx(cross_entropy, array(0.3333333, 0.6666667), 10000)").as("c"))
+      .select($"lang", $"c"(0).as("c1"), $"c"(1).as("c2"))
+    val approx = slim.join(org.apache.spark.sql.functions.broadcast(cuts), Seq("lang"))
+      .withColumn("tier",
+        when($"cross_entropy" <= $"c1", "head")
+          .when($"cross_entropy" <= $"c2", "middle").otherwise("tail"))
+      .groupBy($"lang", $"tier").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = Curate.ccnetQ(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("tier")) ->
+        r.getAs[Long]("n_docs")).toMap
+    // per (lang, tier) the two paths may disagree only at cut boundaries
+    // (ties / approx error) — bound the disagreement to 10% of the tier
+    exact.foreach { case (k, n) =>
+      val a = approx.getOrElse(k, 0L)
+      assert(math.abs(a - n) <= math.max(2L, n / 10),
+        s"$k exact=$n approx=$a — cutoff path diverged beyond boundary noise")
+    }
+  }
+
   test("label noise: probe accounting exact, bp fields bounded, flags match a driver kNN recompute") {
     import spark.implicits._
     val rows = LabelNoise.noiseQ(spark, sfDir).collect()
