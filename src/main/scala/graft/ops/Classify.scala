@@ -527,7 +527,73 @@ object Classify {
       |  CAST((10000 * n_pos * tn) // (n * tp) AS BIGINT) AS lift_bp
       |FROM c ORDER BY decile""".stripMargin
 
+  /** q_eval_mcnemar entry: McNEMAR'S TEST for comparing two classifiers
+    * on the SAME examples (McNemar 1947; Dietterich, Neural Computation
+    * 1998 — the recommended paired test for classifier comparison): only
+    * the DISCORDANT pairs carry information — b = examples A gets right
+    * and B wrong, c = the reverse — and under H₀ (equal accuracy) the
+    * discordants split Binomial(b+c, ½); the continuity-corrected
+    * statistic (|b−c|−1)²/(b+c) ~ χ²₁. The unpaired two-proportion test
+    * ([[graft.ops.Stats]] ttest/ab_lift idiom) is WRONG here — it
+    * ignores the per-example pairing and overstates variance; McNemar
+    * is how model A-vs-B evals on a shared holdout must be scored.
+    *
+    * Fixture: the two "classifiers" are two operating points of the
+    * shared [[scored]] lexicon model (thresholds 0.06 and 0.18 — both
+    * sides of the score median, so each dominates on a different
+    * class), predicting y = (lang = 'en').
+    *
+    * Scale shape: one map-stage classification + ONE combinable global
+    * aggregate — four integer cells out; the statistic is scalar
+    * arithmetic on exact integers (single IEEE divisions, round 6).
+    * At 100 TB the eval costs exactly one corpus pass. */
+  def mcnemarQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = scored(s, dir).select(
+      (($"score" >= 0.06) === ($"y" === 1L)).cast("long").as("a_ok"),
+      (($"score" >= 0.18) === ($"y" === 1L)).cast("long").as("b_ok"))
+      .agg(count(lit(1)).as("n"),
+        sum($"a_ok").as("na"), sum($"b_ok").as("nb"),
+        sum(when($"a_ok" === 1L && $"b_ok" === 0L, 1L).otherwise(0L))
+          .as("b"),
+        sum(when($"a_ok" === 0L && $"b_ok" === 1L, 1L).otherwise(0L))
+          .as("c"))
+    cells.select($"n".cast("long").as("n"),
+      round($"na".cast("double") / $"n", 6).as("acc_a"),
+      round($"nb".cast("double") / $"n", 6).as("acc_b"),
+      $"b".cast("long").as("disc_a_only"),
+      $"c".cast("long").as("disc_b_only"),
+      round(pow(abs($"b" - $"c") - lit(1.0), 2)
+        / ($"b" + $"c").cast("double"), 6).as("mcnemar_chi2"),
+      (pow(abs($"b" - $"c") - lit(1.0), 2) / ($"b" + $"c").cast("double")
+        > lit(3.841459)).as("significant_05"))
+  }
+
+  val mcnemarSql: String =
+    s"""WITH $scoredSql,
+      |cls AS (
+      |  SELECT
+      |    CASE WHEN (score >= 0.06) = (y = 1) THEN 1 ELSE 0 END AS a_ok,
+      |    CASE WHEN (score >= 0.18) = (y = 1) THEN 1 ELSE 0 END AS b_ok
+      |  FROM scored),
+      |cells AS (
+      |  SELECT COUNT(*) AS n, SUM(a_ok) AS na, SUM(b_ok) AS nb,
+      |    SUM(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END) AS b,
+      |    SUM(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END) AS c
+      |  FROM cls)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  ROUND(CAST(na AS DOUBLE) / n, 6) AS acc_a,
+      |  ROUND(CAST(nb AS DOUBLE) / n, 6) AS acc_b,
+      |  CAST(b AS BIGINT) AS disc_a_only,
+      |  CAST(c AS BIGINT) AS disc_b_only,
+      |  ROUND(POW(ABS(b - c) - 1.0, 2) / CAST(b + c AS DOUBLE), 6)
+      |    AS mcnemar_chi2,
+      |  POW(ABS(b - c) - 1.0, 2) / CAST(b + c AS DOUBLE) > 3.841459
+      |    AS significant_05
+      |FROM cells""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_mcnemar" -> mcnemarQ,
     "q_eval_lift" -> liftQ,
     "q_text_classify" -> classifyQ,
     "q_eval_auc" -> aucQ,
@@ -537,6 +603,7 @@ object Classify {
     "q_eval_f1" -> f1Q)
 
   def oracle: Map[String, String] = Map(
+    "q_eval_mcnemar" -> mcnemarSql,
     "q_eval_lift" -> liftSql,
     "q_text_classify" -> classifySql,
     "q_eval_auc" -> aucSql,

@@ -247,27 +247,12 @@ object Fuzzy {
     * on that — on a 10⁹-record catalog the same plan shuffles ids and
     * short names only. */
   def entityResolutionQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val rk = t(s, dir, "part").select($"p_name".as("nm")).distinct()
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(lit(1)).orderBy($"nm")))
-    val typo = expr("substr(nm, 1, length(nm) - 1)")
-    val recs = rk.select(($"rk" * 2).cast("long").as("rid"), $"nm".as("name"))
-      .unionByName(rk.select(($"rk" * 2 + 1).cast("long").as("rid"),
-        typo.as("name")))
-    val keyed = recs.withColumn("srt", regexp_replace($"name", " ", ""))
-    val w = Window.partitionBy(lit(1)).orderBy($"srt", $"rid")
-    val withLeads = keyed.select($"rid".as("ra"), $"name".as("na"),
-      array((1 to 8).map(i => struct(lead($"rid", i).over(w).as("rb"),
-        lead($"name", i).over(w).as("nb"))): _*).as("cs"))
-    val cands = withLeads
-      .select($"ra", $"na", explode($"cs").as("c"))
-      .filter($"c.rb".isNotNull)
-    val pairs = cands
-      .filter(expr("jaro_winkler(na, c.nb)") >= 0.88)
-      .select($"ra".as("doc_a"), $"c.rb".as("doc_b"))
+    val recs = erRecords(s, dir)
+    val pairs = erCandidates(s, dir)
+      .filter(expr("jaro_winkler(na, nb)") >= 0.88)
+      .select($"ra".as("doc_a"), $"rb".as("doc_b"))
     val labels = Graph.connectedComponentsStar(pairs)
       .select($"id".as("rid"), $"label")
     val ent = recs.join(labels, Seq("rid"), "left")
@@ -277,6 +262,97 @@ object Fuzzy {
       .select($"rid".as("record_id"), $"name", $"entity_id",
         $"n_records".cast("long").as("n_records"))
       .orderBy($"record_id")
+  }
+
+  /** ER fixture records: every distinct part name as a clean record
+    * (rid = 2·rank) plus its last-char-truncated typo (rid = 2·rank+1),
+    * so ground truth is arithmetic — records a, b co-refer iff
+    * a div 2 = b div 2. Shared by [[entityResolutionQ]] (which resolves
+    * blind) and [[fellegiSunterQ]] (which uses the truth labels to fit
+    * match weights). */
+  private def erRecords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val rk = t(s, dir, "part").select($"p_name".as("nm")).distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy($"nm")))
+    val typo = expr("substr(nm, 1, length(nm) - 1)")
+    rk.select(($"rk" * 2).cast("long").as("rid"), $"nm".as("name"))
+      .unionByName(rk.select(($"rk" * 2 + 1).cast("long").as("rid"),
+        typo.as("name")))
+  }
+
+  /** Sorted-neighborhood candidate pairs (window 8 over the normalized
+    * sort key) over [[erRecords]]: (ra, na, rb, nb). O(n·w) rows, the
+    * blocking output every downstream linkage stage consumes. */
+  private def erCandidates(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val keyed = erRecords(s, dir)
+      .withColumn("srt", regexp_replace($"name", " ", ""))
+    val w = Window.partitionBy(lit(1)).orderBy($"srt", $"rid")
+    keyed.select($"rid".as("ra"), $"name".as("na"),
+        array((1 to 8).map(i => struct(lead($"rid", i).over(w).as("rb"),
+          lead($"name", i).over(w).as("nb"))): _*).as("cs"))
+      .select($"ra", $"na", explode($"cs").as("c"))
+      .filter($"c.rb".isNotNull)
+      .select($"ra", $"na", $"c.rb".as("rb"), $"c.nb".as("nb"))
+  }
+
+  /** q_er_fellegi_sunter entry: FELLEGI–SUNTER probabilistic record
+    * linkage weights (Fellegi & Sunter, JASA 1969 — the foundational
+    * model behind every production linker: Splink, dedupe.io, census
+    * linkage). For each agreement PATTERN γ of the comparison vector —
+    * here (name agreement level: exact / close[jw ≥ 0.88] / diff) ×
+    * (first-token agreement) — estimate m(γ) = P(γ | match) and
+    * u(γ) = P(γ | non-match) from the labeled candidate pairs, and
+    * report the log₂ likelihood-ratio match weight. Pairs scoring
+    * above/below thresholds auto-link/auto-reject; the band between is
+    * clerical review — the weights ARE the linker.
+    *
+    * The fixture's arithmetic ground truth (records co-refer iff
+    * rid div 2 agrees, see [[erRecords]]) stands in for the labeled
+    * training pairs a real deployment gets from clerical review or EM;
+    * estimation is counting per pattern with add-half (Jeffreys)
+    * smoothing so empty cells stay finite.
+    *
+    * Scale shape: candidates are O(n·w) from blocking; the pattern
+    * grid is FEATURE-bounded (≤ 6 rows), so m/u estimation is one
+    * map-side-combinable groupBy plus a window over the tiny grid —
+    * at 10⁹ records the weights still cost one pass over candidates.
+    *
+    * Determinism contract: m, u, and the weight are single IEEE
+    * divisions of exactly-representable integers(+0.5) — the weight's
+    * operand is formed as one cross-multiplied ratio, not a quotient
+    * of quotients — so both engines round identical doubles. */
+  def fellegiSunterQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val feat = erCandidates(s, dir).select(
+      when($"na" === $"nb", "exact")
+        .when(expr("jaro_winkler(na, nb)") >= 0.88, "close")
+        .otherwise("diff").as("name_lvl"),
+      when(expr("split_part(na, ' ', 1) = split_part(nb, ' ', 1)"), 1L)
+        .otherwise(0L).as("tok1_agree"),
+      when(expr("ra div 2") === expr("rb div 2"), 1L).otherwise(0L)
+        .as("is_match"))
+    val pat = feat.groupBy($"name_lvl", $"tok1_agree")
+      .agg(sum($"is_match").as("n_match"),
+        sum(lit(1L) - $"is_match").as("n_unmatch"))
+    val wAll = Window.partitionBy(lit(0))
+    pat
+      .withColumn("tm", sum($"n_match").over(wAll))
+      .withColumn("tu", sum($"n_unmatch").over(wAll))
+      .select($"name_lvl", $"tok1_agree",
+        $"n_match".cast("long").as("n_match"),
+        $"n_unmatch".cast("long").as("n_unmatch"),
+        round(($"n_match" + lit(0.5)) / ($"tm" + lit(1L)), 6).as("m_prob"),
+        round(($"n_unmatch" + lit(0.5)) / ($"tu" + lit(1L)), 6).as("u_prob"),
+        round(log2((($"n_match" + lit(0.5)) * ($"tu" + lit(1L))) /
+          (($"n_unmatch" + lit(0.5)) * ($"tm" + lit(1L)))), 6)
+          .as("fs_weight"))
+      .orderBy($"name_lvl", $"tok1_agree")
   }
 
   /** Shared oracle CTE chain of the ER pipeline, through the labeled
@@ -315,6 +391,34 @@ object Fuzzy {
       |  FROM recs r LEFT JOIN labels l ON r.rid = l.rid),
       |sz AS (SELECT entity_id, COUNT(*) AS n_records FROM ent GROUP BY 1)""".stripMargin
   }
+
+  val fellegiSunterSql: String =
+    s"""$erPrefixSql,
+      |feat AS (
+      |  SELECT
+      |    CASE WHEN na = nb THEN 'exact'
+      |         WHEN jaro_winkler_similarity(na, nb) >= 0.88 THEN 'close'
+      |         ELSE 'diff' END AS name_lvl,
+      |    CASE WHEN split_part(na, ' ', 1) = split_part(nb, ' ', 1)
+      |         THEN 1 ELSE 0 END AS tok1_agree,
+      |    CASE WHEN ra // 2 = rb // 2 THEN 1 ELSE 0 END AS is_match
+      |  FROM cand WHERE rb IS NOT NULL),
+      |pat AS (
+      |  SELECT name_lvl, tok1_agree,
+      |    SUM(is_match) AS n_match, SUM(1 - is_match) AS n_unmatch
+      |  FROM feat GROUP BY 1, 2)
+      |SELECT name_lvl, CAST(tok1_agree AS BIGINT) AS tok1_agree,
+      |  CAST(n_match AS BIGINT) AS n_match,
+      |  CAST(n_unmatch AS BIGINT) AS n_unmatch,
+      |  ROUND((n_match + 0.5) / (SUM(n_match) OVER () + 1), 6) AS m_prob,
+      |  ROUND((n_unmatch + 0.5) / (SUM(n_unmatch) OVER () + 1), 6)
+      |    AS u_prob,
+      |  ROUND(log2(((n_match + 0.5) * (SUM(n_unmatch) OVER () + 1))
+      |    / ((n_unmatch + 0.5) * (SUM(n_match) OVER () + 1))), 6)
+      |    AS fs_weight
+      |FROM pat
+      |ORDER BY name_lvl, tok1_agree""".stripMargin
+
 
   val entityResolutionSql: String =
     s"""$erPrefixSql
@@ -388,6 +492,7 @@ object Fuzzy {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_entity_survivorship" -> survivorshipQ,
     "q_entity_resolution" -> entityResolutionQ,
+    "q_er_fellegi_sunter" -> fellegiSunterQ,
     "q_fuzzy_vocab" -> fuzzyVocabQ,
     "q_fuzzy_neighbors" -> sortedNeighborsQ,
     "q_fuzzy_jw" -> jaroWinklerQ,
@@ -396,6 +501,7 @@ object Fuzzy {
   def oracle: Map[String, String] = Map(
     "q_entity_resolution" -> entityResolutionSql,
     "q_entity_survivorship" -> survivorshipSql,
+    "q_er_fellegi_sunter" -> fellegiSunterSql,
     "q_fuzzy_vocab" -> fuzzyVocabSql,
     "q_fuzzy_neighbors" -> sortedNeighborsSql,
     "q_fuzzy_jw" -> jaroWinklerSql,

@@ -374,6 +374,90 @@ object Graph {
       |LEFT JOIN com c ON c.na = x.src AND c.nb = y.src
       |ORDER BY nation_a, nation_b""".stripMargin
 
+  /** q_graph_adamic_adar entry: ADAMIC–ADAR link prediction over the
+    * p75-strong undirected trade graph — for every NON-adjacent node
+    * pair, score the likelihood of a future/missing edge as
+    * Σ_{z ∈ Γ(u)∩Γ(v)} 1/ln(deg z) (Adamic & Adar, "Friends and
+    * neighbors on the Web", Social Networks 2003). The inverse-log
+    * weighting is what separates it from [[neighborSimQ]]'s Jaccard: a
+    * shared RARE partner (low degree) is strong evidence two entities
+    * belong together, a shared hub says almost nothing — the same
+    * inverse-document-frequency physics as TF-IDF, applied to graph
+    * neighborhoods. The production uses are candidate generation for
+    * entity resolution and knowledge-graph completion.
+    *
+    * Scale shape: the common-neighbor join is keyed on the shared
+    * neighbor z — per-z work is deg(z)² candidate pairs, the standard
+    * AA cost model; on power-law graphs the hub term dominates, so the
+    * deg ≥ 2 scoring floor doubles as documentation of where a hub cap
+    * (drop z above a degree ceiling — LSH-style candidate bounding)
+    * slots in at 10⁹ nodes. Everything after the shared [[tradeEdges]]
+    * corpus pass is |V|²-bounded.
+    *
+    * Determinism contract: each neighbor's 1/ln(deg) term is one IEEE
+    * double rounded to 12 dp and summed as DECIMAL(20,12) — an
+    * order-independent exact merge (the [[pagerankQ]] contract), so
+    * both engines produce identical scores regardless of join order.
+    * Common neighbors of degree 1 cannot occur in a consistent
+    * undirected graph (z adjacent to both u and v has deg ≥ 2); the
+    * explicit deg ≥ 2 guard documents the ln(1)=0 pole anyway. */
+  def adamicAdarQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = strongUndirected(s, dir)
+    val deg = und.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val terms = und.as("a").join(und.as("b"),
+        $"a.dst" === $"b.dst" && $"a.src" < $"b.src")
+      .select($"a.src".as("na"), $"b.src".as("nb"), $"a.dst".as("z"))
+      .join(deg.select($"src".as("z"), $"deg"), Seq("z"))
+      .filter($"deg" >= 2)
+    val scored = terms.groupBy($"na", $"nb").agg(
+      count(lit(1)).as("n_common"),
+      sum(round(lit(1.0) / log($"deg"), 12).cast("decimal(20,12)"))
+        .as("aa"))
+    val existing = und.filter($"src" < $"dst")
+      .select($"src".as("na"), $"dst".as("nb"))
+    scored.join(existing, Seq("na", "nb"), "left_anti")
+      .select($"na".as("nation_a"), $"nb".as("nation_b"),
+        $"n_common".cast("long").as("n_common"),
+        round($"aa".cast("double"), 6).as("adamic_adar"))
+      .orderBy($"nation_a", $"nation_b")
+  }
+
+  val adamicAdarSql: String =
+    """WITH edges AS (
+      |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT w, row_number() OVER (ORDER BY w, src, dst) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM edges),
+      |thr AS (SELECT w AS thr FROM rk WHERE rn = (75 * n + 99) // 100),
+      |st AS (SELECT src, dst FROM edges, thr WHERE w >= thr),
+      |und AS (SELECT DISTINCT src, dst FROM (
+      |        SELECT src, dst FROM st
+      |        UNION ALL SELECT dst, src FROM st)),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+      |scored AS (
+      |  SELECT a.src AS na, b.src AS nb, COUNT(*) AS n_common,
+      |    SUM(CAST(ROUND(1.0 / ln(d.deg), 12) AS DECIMAL(20,12))) AS aa
+      |  FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+      |  JOIN deg d ON a.dst = d.src
+      |  WHERE d.deg >= 2
+      |  GROUP BY 1, 2)
+      |SELECT na AS nation_a, nb AS nation_b,
+      |  CAST(n_common AS BIGINT) AS n_common,
+      |  ROUND(CAST(aa AS DOUBLE), 6) AS adamic_adar
+      |FROM scored s
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM und u WHERE u.src = s.na AND u.dst = s.nb)
+      |ORDER BY nation_a, nation_b""".stripMargin
+
   /** k-core extraction — iterative peeling to a fixpoint: repeatedly
     * drop nodes whose degree in the UNDIRECTED strong trade graph falls
     * below `k` until every survivor has ≥ k strong partners. The
@@ -1538,6 +1622,7 @@ object Graph {
     "q_graph_triangles" -> trianglesQ,
     "q_graph_reciprocity" -> reciprocityQ,
     "q_graph_neighbor_sim" -> neighborSimQ,
+    "q_graph_adamic_adar" -> adamicAdarQ,
     "q_graph_bfs" -> bfsQ)
 
   def oracle: Map[String, String] = Map(
@@ -1554,5 +1639,6 @@ object Graph {
     "q_graph_triangles" -> trianglesSql,
     "q_graph_reciprocity" -> reciprocitySql,
     "q_graph_neighbor_sim" -> neighborSimSql,
+    "q_graph_adamic_adar" -> adamicAdarSql,
     "q_graph_bfs" -> bfsSql)
 }

@@ -2349,7 +2349,186 @@ object Stats {
       |  ABS(d / se) > 1.959964 AS different
       |FROM e""".stripMargin
 
+  /** q_stat_fisher_exact entry: FISHER'S EXACT TEST (one-sided) on a
+    * 2×2 per nation — the small-sample independence test the χ² family
+    * ([[chi2Q]]) cannot replace when cell counts are single-digit: the
+    * p-value is the exact hypergeometric tail, no asymptotic
+    * approximation. Production shape: audit panels (human-labeled QA
+    * samples, per-segment spot checks) are SMALL by construction even
+    * when the corpus is 100 TB, and exact tests are the only honest
+    * inference on them.
+    *
+    * Fixture: per nation, a fixed-SIZE panel — the 10 smallest-md5(key)
+    * customers in each of two market segments (the [[Hashing]] panel
+    * idiom: fixed size, never fixed stride — the q_label_noise lesson) —
+    * tested for high account balance (> 5000) × segment association.
+    * One-sided tail P(X ≥ k | margins): inclusion is determined by the
+    * integer k alone (no FP pmf comparisons, which is why the one-sided
+    * tail is the hash-exact choice over the two-sided test).
+    *
+    * Determinism contract: with N = 20 every binomial coefficient is
+    * exact 64-bit integer arithmetic (20! < 2⁶³; `factorial` + integer
+    * div), the tail numerator is an exact integer sum, and the p-value
+    * is ONE IEEE division of exact integers — bit-identical across
+    * engines, no rounding tolerance anywhere.
+    *
+    * Scale shape: panel selection is a per-(nation, segment) top-10
+    * window over a column-pruned customer scan; the j-grid is ≤ 11
+    * rows per nation. Everything after the scan is panel-bounded. */
+  def fisherExactQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val base = t(s, dir, "customer")
+      .filter($"c_mktsegment".isin("BUILDING", "AUTOMOBILE"))
+      .select($"c_nationkey", $"c_mktsegment".as("seg"), $"c_custkey",
+        ($"c_acctbal" > 5000.0).cast("long").as("hi"))
+    val w = Window.partitionBy($"c_nationkey", $"seg")
+      .orderBy(Hashing.md5Long60($"c_custkey".cast("string")), $"c_custkey")
+    val cells = base.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_panel"),
+        sum($"hi").as("kk"),
+        sum(when($"seg" === "BUILDING", $"hi").otherwise(0L)).as("k_obs"),
+        sum(when($"seg" === "BUILDING", 1L).otherwise(0L)).as("n_a"))
+      .filter($"n_panel" === 20 && $"n_a" === 10)
+    val terms = cells
+      .select($"c_nationkey", $"kk", $"k_obs",
+        explode(expr("sequence(k_obs, 10)")).as("j"))
+      .withColumn("t", expr(
+        """CASE WHEN j <= kk AND 10 - j <= 20 - kk
+          |THEN (factorial(cast(kk as int))
+          |      div (factorial(cast(j as int))
+          |           * factorial(cast(kk - j as int))))
+          |   * (factorial(cast(20 - kk as int))
+          |      div (factorial(cast(10 - j as int))
+          |           * factorial(cast(20 - kk - 10 + j as int))))
+          |ELSE 0 END""".stripMargin))
+    terms.groupBy($"c_nationkey", $"kk", $"k_obs")
+      .agg(sum($"t").as("num"))
+      .join(broadcast(t(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"),
+        $"kk".cast("long").as("k_total"),
+        $"k_obs".cast("long").as("k_building"),
+        ($"num".cast("double") / lit(184756.0)).as("p_one_sided"))
+      .orderBy($"nation")
+  }
+
+  /** Oracle twin: identical exact-integer tail; C(20,10) = 184756. */
+  val fisherExactSql: String =
+    """WITH base AS (
+      |  SELECT c_nationkey, c_mktsegment AS seg, c_custkey,
+      |    CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END AS hi
+      |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+      |panel AS (
+      |  SELECT * FROM (
+      |    SELECT base.*, row_number() OVER (PARTITION BY c_nationkey, seg
+      |      ORDER BY ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))
+      |        ::UBIGINT::BIGINT, c_custkey) AS rn
+      |    FROM base) WHERE rn <= 10),
+      |cells AS (
+      |  SELECT c_nationkey, SUM(hi) AS kk,
+      |    SUM(CASE WHEN seg = 'BUILDING' THEN hi ELSE 0 END) AS k_obs
+      |  FROM panel GROUP BY 1
+      |  HAVING COUNT(*) = 20
+      |     AND SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) = 10),
+      |terms AS (
+      |  SELECT c_nationkey, kk, k_obs, r.range AS j,
+      |    CASE WHEN r.range <= kk AND 10 - r.range <= 20 - kk
+      |    THEN CAST((factorial(kk::INT) // (factorial(r.range::INT)
+      |           * factorial((kk - r.range)::INT)))
+      |       * (factorial((20 - kk)::INT) // (factorial((10 - r.range)::INT)
+      |           * factorial((20 - kk - 10 + r.range)::INT))) AS BIGINT)
+      |    ELSE 0 END AS t
+      |  FROM cells, range(0, 11) r WHERE r.range >= k_obs)
+      |SELECT n.n_name AS nation, CAST(c.kk AS BIGINT) AS k_total,
+      |  CAST(c.k_obs AS BIGINT) AS k_building,
+      |  CAST(s.num AS DOUBLE) / 184756.0 AS p_one_sided
+      |FROM (SELECT c_nationkey, SUM(t) AS num FROM terms GROUP BY 1) s
+      |JOIN cells c USING (c_nationkey)
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |ORDER BY nation""".stripMargin
+
+  /** q_stat_jackknife entry: DELETE-A-GROUP JACKKNIFE variance of a
+    * ratio metric (Kott, "The delete-a-group jackknife", JOS 2001 —
+    * the production variance estimator for ratio/regression metrics on
+    * data too large to bootstrap: revenue-per-unit here, CTR /
+    * cost-per-click / dedup-yield-per-source in pipeline dashboards).
+    * Rows hash into G = 20 random groups BY ORDER KEY (the PSU — rows
+    * of one order are correlated and must leave together, the
+    * clustered-sampling correctness point a row-level jackknife gets
+    * wrong); θ̂₍g₎ re-estimates the ratio with group g deleted, and
+    * Var = (G−1)/G · Σ (θ̂₍g₎ − θ̂)².
+    *
+    * Scale shape: ONE map-side-combinable groupBy over the corpus
+    * (G-bounded frame out), then all leave-one-out re-estimates are
+    * arithmetic on the 20-row frame — the whole-corpus "recompute
+    * without each group" is free because the ratio's sufficient
+    * statistics subtract. This subtract-from-totals trick is why DAG
+    * jackknife costs one pass at 100 TB while the bootstrap costs B.
+    *
+    * Determinism contract: group sums are exact (long quantity,
+    * DECIMAL(38,2) revenue); each θ̂₍g₎ is one IEEE division of
+    * exactly-representable operands, rounded to 9 dp; squared
+    * deviations round to DECIMAL(38,15) before the order-independent
+    * exact sum. */
+  def jackknifeQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val grp = t(s, dir, "lineitem")
+      .select((Hashing.md5Long60($"l_orderkey".cast("string")) % 20).as("g"),
+        $"l_quantity".cast("long").as("q"),
+        $"l_extendedprice".cast("decimal(18,2)").as("r"))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"q").as("qg"),
+        sum($"r").cast("decimal(38,2)").as("rg"))
+    val wAll = Window.partitionBy(lit(0))
+    grp
+      .withColumn("qt", sum($"qg").over(wAll))
+      .withColumn("rt", sum($"rg").over(wAll))
+      .withColumn("theta_hat", round($"rt".cast("double") / $"qt", 9))
+      .withColumn("theta_loo",
+        round(($"rt" - $"rg").cast("double") / ($"qt" - $"qg"), 9))
+      .withColumn("term",
+        round(pow($"theta_loo" - $"theta_hat", 2), 15)
+          .cast("decimal(38,15)"))
+      .withColumn("ssq", sum($"term").over(wAll))
+      .select($"g".cast("long").as("g"), $"n".cast("long").as("n_rows"),
+        $"theta_loo", $"theta_hat",
+        round(sqrt(lit(19.0) / lit(20.0) * $"ssq".cast("double")), 9)
+          .as("se_jack"))
+      .orderBy($"g")
+  }
+
+  val jackknifeSql: String =
+    """WITH grp AS (
+      |  SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))
+      |      ::UBIGINT::BIGINT % 20 AS g,
+      |    COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS qg,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |      AS DECIMAL(38,2)) AS rg
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (
+      |  SELECT g, n, qg, rg, SUM(qg) OVER () AS qt, SUM(rg) OVER () AS rt
+      |  FROM grp),
+      |loo AS (
+      |  SELECT g, n,
+      |    ROUND(CAST(rt AS DOUBLE) / qt, 9) AS theta_hat,
+      |    ROUND(CAST(rt - rg AS DOUBLE) / (qt - qg), 9) AS theta_loo
+      |  FROM tot),
+      |dev AS (
+      |  SELECT *, CAST(ROUND(POW(theta_loo - theta_hat, 2), 15)
+      |    AS DECIMAL(38,15)) AS term FROM loo)
+      |SELECT CAST(g AS BIGINT) AS g, CAST(n AS BIGINT) AS n_rows,
+      |  theta_loo, theta_hat,
+      |  ROUND(SQRT(19.0 / 20.0 * CAST(SUM(term) OVER () AS DOUBLE)), 9)
+      |    AS se_jack
+      |FROM dev ORDER BY g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_fisher_exact" -> fisherExactQ,
+    "q_stat_jackknife" -> jackknifeQ,
     "q_stat_tost" -> tostQ,
     "q_ts_granger" -> grangerQ,
     "q_stat_meta" -> metaQ,
@@ -2381,6 +2560,8 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_fisher_exact" -> fisherExactSql,
+    "q_stat_jackknife" -> jackknifeSql,
     "q_stat_tost" -> tostSql,
     "q_ts_granger" -> grangerSql,
     "q_stat_meta" -> metaSql,

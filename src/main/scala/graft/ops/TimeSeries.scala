@@ -1620,7 +1620,91 @@ object TimeSeries {
       |  ROUND(z / p, 6) AS forecast_per_hour
       |FROM rec WHERE i = n AND started ORDER BY event_type""".stripMargin
 
+  /** q_ts_changepoint entry: OPTIMAL SINGLE CHANGEPOINT per series by
+    * two-segment least squares — for each event type's daily-count
+    * series, the split k* maximizing SSE(total) − SSE(left) − SSE(right)
+    * (the scan that binary segmentation and PELT, Killick et al. JASA
+    * 2012, apply recursively; one level is the "did the metric shift,
+    * and when" primitive behind deploy regression detection and drift
+    * root-causing). Complements [[cusumQ]]: CUSUM detects drift online
+    * against a FIXED reference mean; the changepoint scan finds the
+    * single best retrospective break with both segment means free.
+    *
+    * Distributed shape: one combinable daily collapse over the corpus,
+    * then every candidate split is scored from per-series prefix sums —
+    * two window passes over the calendar-bounded grid (T ≤ days), no
+    * per-split re-aggregation (the O(T²) naïve shape), no corpus
+    * re-scan. At 100 TB the scan costs one pass + a days-sized window.
+    *
+    * Determinism: all sums are exact integers; every derived quantity
+    * (SSE terms, gain) is the same sequence of IEEE ops on identical
+    * operands in both engines, so even the UNROUNDED gain ordering
+    * matches — the argmax needs no rounding contract, only the day
+    * tiebreak for exact ties. */
+  def changepointQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("v"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val wAll = Window.partitionBy($"event_type")
+    val pre = daily
+      .withColumn("k", row_number().over(w))
+      .withColumn("s1", sum($"v").over(w))
+      .withColumn("s2", sum($"v" * $"v").over(w))
+      .withColumn("tt", count(lit(1)).over(wAll))
+      .withColumn("s1t", sum($"v").over(wAll))
+      .withColumn("s2t", sum($"v" * $"v").over(wAll))
+    val gains = pre.filter($"k" < $"tt")
+      .withColumn("gain",
+        ($"s2t" - $"s1t" * $"s1t" / $"tt")
+          - ($"s2" - $"s1" * $"s1" / $"k")
+          - (($"s2t" - $"s2")
+             - ($"s1t" - $"s1") * ($"s1t" - $"s1") / ($"tt" - $"k")))
+    gains
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"gain".desc, $"day")))
+      .filter($"rn" === 1)
+      .select($"event_type", $"tt".cast("long").as("n_days"),
+        $"day".as("last_day_left"),
+        round($"gain", 6).as("sse_gain"),
+        round($"s1" / $"k", 6).as("mean_left"),
+        round(($"s1t" - $"s1") / ($"tt" - $"k"), 6).as("mean_right"))
+      .orderBy($"event_type")
+  }
+
+  val changepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS v
+      |  FROM events GROUP BY 1, 2),
+      |pre AS (
+      |  SELECT event_type, day, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+      |    SUM(v) OVER (PARTITION BY event_type ORDER BY day) AS s1,
+      |    SUM(v * v) OVER (PARTITION BY event_type ORDER BY day) AS s2,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS tt,
+      |    SUM(v) OVER (PARTITION BY event_type) AS s1t,
+      |    SUM(v * v) OVER (PARTITION BY event_type) AS s2t
+      |  FROM daily),
+      |gains AS (
+      |  SELECT *,
+      |    (s2t - s1t * s1t / tt)
+      |      - (s2 - s1 * s1 / k)
+      |      - ((s2t - s2) - (s1t - s1) * (s1t - s1) / (tt - k)) AS gain
+      |  FROM pre WHERE k < tt),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY gain DESC, day) AS rn FROM gains)
+      |SELECT event_type, CAST(tt AS BIGINT) AS n_days,
+      |  day AS last_day_left,
+      |  ROUND(gain, 6) AS sse_gain,
+      |  ROUND(s1 / k, 6) AS mean_left,
+      |  ROUND((s1t - s1) / (tt - k), 6) AS mean_right
+      |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_changepoint" -> changepointQ,
     "q_ts_croston" -> crostonQ,
     "q_ts_ar2" -> ar2Q,
     "q_ts_hurst" -> hurstQ,
@@ -1643,6 +1727,7 @@ object TimeSeries {
     "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_changepoint" -> changepointSql,
     "q_ts_croston" -> crostonSql,
     "q_ts_ar2" -> ar2Sql,
     "q_ts_hurst" -> hurstSql,
