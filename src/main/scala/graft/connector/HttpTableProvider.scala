@@ -166,15 +166,18 @@ final class HttpScanBuilder(full: StructType, rows: Array[String],
                             src: Source)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownTopN
     with SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.aggregate.{
     Aggregation, Count, CountStar, Max, Min}
   import org.apache.spark.sql.connector.expressions.{
-    Expression => V2Expression, NamedReference}
+    Expression => V2Expression, NamedReference, SortDirection, SortOrder}
 
   private var required: StructType = full
   private var pushed: Array[sources.Filter] = Array.empty
   private var limit: Int = -1
+  private var topN: Int = -1
+  private var topKey: Option[(String, Boolean)] = None // (column, ascending)
   private var aggResult: Option[(String, StructType)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -187,6 +190,74 @@ final class HttpScanBuilder(full: StructType, rows: Array[String],
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def pushLimit(n: Int): Boolean = { limit = n; false }
+
+  // --- top-N pushdown (PARTIAL): ORDER BY col LIMIT n ships only the n
+  // best snapshot rows to executors instead of the whole table. Spark
+  // re-sorts and re-limits above the scan (isPartiallyPushed), so the
+  // driver-side sort only has to guarantee a SUPERSET-of-top-n, which
+  // it does by declining anything whose ordering could diverge from
+  // Spark's: multi-key sorts, nested/array keys, and — because a
+  // missing or null key's rank depends on the null ordering — any
+  // snapshot where the key is absent, null, or not value-convertible
+  // on even one row. Comparators mirror Spark exactly where accepted
+  // (Long/Boolean natural, java.lang.Double.compare for NaN/-0.0,
+  // UTF8String binary order for strings).
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (orders.length != 1 || n <= 0) return false
+    val o = orders.head
+    soleField(o.expression()) match {
+      case Some(col) =>
+        val typeOk = full(col).dataType match {
+          case LongType | DoubleType | StringType | BooleanType => true
+          case _ => false
+        }
+        if (!typeOk) return false
+        val mapper = new ObjectMapper()
+        val keyTotal = rows.forall { line =>
+          val node = try mapper.readTree(line) catch { case _: Exception => null }
+          node != null && node.isObject && {
+            val v = node.get(col)
+            v != null && !v.isNull && (full(col).dataType match {
+              case LongType => v.canConvertToLong
+              case DoubleType => v.isNumber
+              case BooleanType => v.isBoolean
+              case _ => true
+            })
+          }
+        }
+        if (!keyTotal) return false
+        topKey = Some((col, o.direction() == SortDirection.ASCENDING))
+        topN = n
+        true
+      case None => false
+    }
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** The n best rows under the accepted single-key ordering (only
+    * reached when [[pushTopN]] proved the key total and convertible). */
+  private def applyTopN(lines: Array[String], mapper: ObjectMapper): Array[String] =
+    topKey match {
+      case Some((col, asc)) if topN >= 0 && topN < lines.length =>
+        def node(line: String): JsonNode = mapper.readTree(line).get(col)
+        val sorted = full(col).dataType match {
+          case LongType =>
+            lines.map(l => (node(l).asLong, l)).sortBy(_._1).map(_._2)
+          case DoubleType =>
+            lines.map(l => (node(l).asDouble, l))
+              .sortWith((a, b) => java.lang.Double.compare(a._1, b._1) < 0)
+              .map(_._2)
+          case BooleanType =>
+            lines.map(l => (node(l).asBoolean, l)).sortBy(_._1).map(_._2)
+          case _ =>
+            lines.map { l =>
+              val v = node(l)
+              (UTF8String.fromString(if (v.isTextual) v.asText else v.toString), l)
+            }.sortWith((a, b) => a._1.compareTo(b._1) < 0).map(_._2)
+        }
+        (if (asc) sorted else sorted.reverse).take(topN)
+      case _ => lines
+    }
 
   // --- aggregate pushdown (COMPLETE): global COUNT(*)/COUNT(col)/MIN/MAX
   // are answered from the driver-held snapshot without shipping a single
@@ -289,8 +360,9 @@ final class HttpScanBuilder(full: StructType, rows: Array[String],
         val node = try mapper.readTree(line) catch { case _: Exception => null }
         pushed.forall(f => JsonPredicate.matches(node, f))
       }
-    if (limit >= 0 && limit < afterFilters.length) afterFilters.take(limit)
-    else afterFilters
+    val afterTopN = applyTopN(afterFilters, mapper)
+    if (limit >= 0 && limit < afterTopN.length) afterTopN.take(limit)
+    else afterTopN
   }
 
   override def build(): Scan = aggResult match {

@@ -185,6 +185,39 @@ class HttpTableProviderSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("top-N pushdown ships only the n best rows; Spark re-sorts above the scan") {
+    StubServer.withServer({ case ("GET", "/users", _) => (200, users) }) { srv =>
+      import org.apache.spark.sql.functions.col
+      val df = spark.read.format("http").option("url", srv.url("/users")).load()
+        .orderBy(col("score").desc).limit(2)
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.scan.asInstanceOf[HttpScan]
+      }.getOrElse(fail("no BatchScanExec in plan"))
+      assert(scan.planInputPartitions()
+        .map(_.asInstanceOf[HttpInputPartition].rows.length).sum == 2,
+        "top-2 scan should hold exactly two snapshot rows")
+      assert(df.collect().map(_.getAs[String]("name")).toSeq == Seq("ann", "cyd"))
+    }
+  }
+
+  test("top-N pushdown declines multi-key and nested-key sorts but results stay correct") {
+    StubServer.withServer({ case ("GET", "/users", _) => (200, users) }) { srv =>
+      import org.apache.spark.sql.functions.col
+      def load() = spark.read.format("http").option("url", srv.url("/users")).load()
+      val multi = load().orderBy(col("active").desc, col("score")).limit(2)
+      val multiScan = multi.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.scan.asInstanceOf[HttpScan]
+      }.getOrElse(fail("no BatchScanExec in plan"))
+      assert(multiScan.planInputPartitions()
+        .map(_.asInstanceOf[HttpInputPartition].rows.length).sum == 3,
+        "multi-key sort must not prune the snapshot")
+      assert(multi.collect().map(_.getAs[String]("name")).toSeq == Seq("cyd", "ann"))
+      // nested key: ordering semantics not guaranteed to match → declined
+      val nested = load().orderBy(col("address.city")).limit(1)
+      assert(nested.collect().map(_.getAs[String]("name")).toSeq == Seq("bob"))
+    }
+  }
+
   test("missing url option is a typed config error") {
     val e = intercept[ConfigError] {
       HttpTableProvider.toSource(new CaseInsensitiveStringMap(Map.empty[String, String].asJava))
