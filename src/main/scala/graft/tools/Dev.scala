@@ -92,6 +92,7 @@ object Dev {
         val boundedBroadcast = Map(
           "q_join_cross" -> "25-cell region x nation grid",
           "q_drift_psi" -> "1-row totals frame",
+          "q_stat_cuped" -> "1-row pooled-moments frame",
           "q_profile_histogram" -> "1-row min/max frame",
           "q_text_tfidf" -> "1-row corpus-size frame",
           "q_text_bm25" -> "1-row (n_docs, avgdl) stats frame",
