@@ -613,7 +613,89 @@ object Pii {
       |    / CAST(class_size * nt * (m - 1) AS DOUBLE), 6) > 0.2 AS exceeds_t
       |FROM agg ORDER BY nationkey, segment""".stripMargin
 
+  /** q_privacy_exponential entry: the EXPONENTIAL MECHANISM (McSherry &
+    * Talwar, FOCS 2007) — ε-DP selection of a DISCRETE output, the
+    * third of the three canonical DP primitives after the Laplace
+    * release ([[dpHistQ]]) and randomized response ([[rrQ]]): when the
+    * release is a category (the majority language per source, the best
+    * split point, the top query), adding noise to counts and arg-maxing
+    * leaks through ties — the exponential mechanism instead samples
+    * candidate r with probability ∝ exp(ε·score(r)/(2Δ)). Implemented
+    * by the Gumbel-max identity (argmax of score/(2Δ/ε) + Gumbel noise
+    * IS an exponential-mechanism draw — how production DP-SQL engines
+    * implement it): per candidate, a pinned uniform (60-bit md5 → 1e6
+    * grid, the [[dpHistQ]] derivation, keyed by source × candidate) →
+    * Gumbel −ln(−ln u), added to ε·count/2 (Δ = 1 for disjoint counts).
+    *
+    * The candidate DOMAIN is the global language set — public,
+    * data-independent per source (a per-source support set would leak
+    * which languages exist in a source) — hence the deliberate
+    * domain-grid cross join (audit-whitelisted, |langs| per source).
+    * The true majority is reported alongside as the utility audit (the
+    * [[dpMeanQ]] clip-fraction pattern): at ε = 1 most sources release
+    * their true winner; disagreements mark close races, which is
+    * exactly the mechanism's privacy working.
+    *
+    * Scale: one combinable (source, lang) count, a bounded domain grid,
+    * one per-source top-1 window. Gumbel keys differ at O(1) while ln
+    * ulp noise is 1e-16 — argmax is engine-stable. */
+  def exponentialQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val eps = 1.0
+    val docs = t(s, dir, "documents")
+    val counts = docs.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n"))
+    val grid = docs.select($"source").distinct()
+      .crossJoin(broadcast(docs.select($"lang").distinct()))
+      .join(counts, Seq("source", "lang"), "left")
+      .withColumn("n", coalesce($"n", lit(0L)))
+    val u = (Hashing.md5Long60(concat(lit("em:"), $"source", lit(":"),
+        $"lang")) % 1000000).cast("double").plus(0.5).divide(1000000.0)
+    val keyed = grid
+      .withColumn("gumbel", -log(-log(u)))
+      .withColumn("key", lit(eps / 2.0) * $"n" + $"gumbel")
+    val wSel = Window.partitionBy($"source").orderBy($"key".desc, $"lang")
+    val wTrue = Window.partitionBy($"source").orderBy($"n".desc, $"lang")
+    keyed
+      .withColumn("rn", row_number().over(wSel))
+      .withColumn("true_lang", first($"lang").over(wTrue))
+      .filter($"rn" === 1)
+      .select($"source", $"lang".as("lang_released"),
+        $"n".cast("long").as("n_released_lang"),
+        $"true_lang", ($"lang" === $"true_lang").as("matches_true"),
+        lit(eps).as("epsilon"))
+      .orderBy($"source")
+  }
+
+  val exponentialSql: String =
+    """WITH counts AS (
+      |  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.source, l.lang, COALESCE(c.n, 0) AS n
+      |  FROM (SELECT DISTINCT source FROM documents) s
+      |  CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+      |  LEFT JOIN counts c ON c.source = s.source AND c.lang = l.lang),
+      |keyed AS (
+      |  SELECT *,
+      |    -ln(-ln((CAST(('0x' || substr(md5('em:' || source || ':' || lang),
+      |        1, 15))::UBIGINT::BIGINT % 1000000 AS DOUBLE) + 0.5)
+      |      / 1000000.0)) AS gumbel
+      |  FROM grid),
+      |sel AS (
+      |  SELECT *, 0.5 * n + gumbel AS key,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY 0.5 * n + gumbel DESC, lang) AS rn,
+      |    first_value(lang) OVER (PARTITION BY source
+      |      ORDER BY n DESC, lang) AS true_lang
+      |  FROM keyed)
+      |SELECT source, lang AS lang_released,
+      |  CAST(n AS BIGINT) AS n_released_lang, true_lang,
+      |  lang = true_lang AS matches_true, CAST(1.0 AS DOUBLE) AS epsilon
+      |FROM sel WHERE rn = 1 ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_privacy_exponential" -> exponentialQ,
     "q_privacy_tclose" -> tcloseQ,
     "q_privacy_suppress" -> suppressQ,
     "q_text_pii" -> redactQ,
@@ -624,6 +706,7 @@ object Pii {
     "q_privacy_dp_mean" -> dpMeanQ)
 
   def oracle: Map[String, String] = Map(
+    "q_privacy_exponential" -> exponentialSql,
     "q_privacy_tclose" -> tcloseSql,
     "q_privacy_suppress" -> suppressSql,
     "q_text_pii" -> redactSql,

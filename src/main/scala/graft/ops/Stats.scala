@@ -2749,7 +2749,103 @@ object Stats {
       |  ROUND(CAST(SUM(term) OVER () AS DOUBLE), 6) AS ate_standardized
       |FROM dd ORDER BY nation""".stripMargin
 
+  /** q_sample_pps entry: SYSTEMATIC PROBABILITY-PROPORTIONAL-TO-SIZE
+    * sampling (the classical survey design — Madow 1949; the workhorse
+    * for audit sampling and monetary-unit sampling): order the units by
+    * a pinned hash (the "random order" systematic PPS requires), lay
+    * n = 50 equally-spaced points over the cumulative size axis with a
+    * pinned fractional start, and select every unit whose cumulative
+    * interval contains a point — inclusion probability exactly
+    * n·size/T with ZERO variance in the sample's size coverage, the
+    * property iid weighted draws lack. Units larger than the step can
+    * be hit multiple times (reported as multiplicity, the
+    * monetary-unit-sampling convention). Sizes are per-customer order
+    * revenue in whole dollars; zero-size units are excluded (PPS is
+    * defined on positive sizes).
+    *
+    * Determinism/exactness: selection is PURE INTEGER arithmetic —
+    * point k lands at (u0 + k·g)·T/(g·n) with the start u0 on a g=10⁴
+    * md5 grid, and hit counting is the exact ceiling-division
+    * #{k : (u0 + k·g)·T < c·g·n}, no FP anywhere (c·g·n ≤ T·5·10⁵
+    * stays in int64 through ~sf10; the decimal(38,0) upgrade is a
+    * one-line cast). Only the reported Horvitz–Thompson weight
+    * divides, once, at display.
+    *
+    * Scale note: the cumulative axis is a global ordered prefix sum,
+    * here one whole-frame window over the UNIT table (fine for the
+    * fixture's unit counts); at 10⁹ units the same math runs as the
+    * standard two-pass distributed prefix sum (per-partition totals,
+    * broadcast offsets) — the selection formula is unchanged. */
+  def ppsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val sz = t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(expr(
+        "CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT)")
+        .as("size"))
+      .filter($"size" > 0)
+      .withColumn("h",
+        Hashing.md5Long60(concat(lit("pps:"), $"o_custkey".cast("string"))))
+    val wOrd = Window.partitionBy(lit(0)).orderBy($"h", $"o_custkey")
+    val wAll = Window.partitionBy(lit(0))
+    sz
+      .withColumn("c", sum($"size").over(wOrd))
+      .withColumn("tt", sum($"size").over(wAll))
+      .withColumn("u0", Hashing.md5Long60(lit("pps:start")) % 10000L)
+      .withColumn("a_c", $"c" * lit(500000L) - $"u0" * $"tt")
+      .withColumn("a_p", ($"c" - $"size") * lit(500000L) - $"u0" * $"tt")
+      .withColumn("b", lit(10000L) * $"tt")
+      .withColumn("fc", when($"a_c" <= 0, lit(0L))
+        .otherwise(least(lit(50L), expr("(a_c + b - 1) div b"))))
+      .withColumn("fp", when($"a_p" <= 0, lit(0L))
+        .otherwise(least(lit(50L), expr("(a_p + b - 1) div b"))))
+      .withColumn("n_hits", $"fc" - $"fp")
+      .filter($"n_hits" > 0)
+      .select($"o_custkey".as("custkey"), $"size".as("size_dollars"),
+        $"n_hits".cast("long").as("n_hits"),
+        round($"tt".cast("double") / (lit(50.0) * $"size"), 6)
+          .as("ht_weight"))
+      .orderBy($"custkey")
+  }
+
+  val ppsSql: String =
+    """WITH sz AS (
+      |  SELECT o_custkey,
+      |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT)
+      |      AS size,
+      |    ('0x' || substr(md5('pps:' || o_custkey::VARCHAR), 1, 15))
+      |      ::UBIGINT::BIGINT AS h
+      |  FROM orders GROUP BY 1
+      |  HAVING CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2))))
+      |    AS BIGINT) > 0),
+      |cum AS (
+      |  SELECT *,
+      |    SUM(size) OVER (ORDER BY h, o_custkey) AS c,
+      |    SUM(size) OVER () AS tt,
+      |    ('0x' || substr(md5('pps:start'), 1, 15))::UBIGINT::BIGINT
+      |      % 10000 AS u0
+      |  FROM sz),
+      |f AS (
+      |  SELECT *,
+      |    c * 500000 - u0 * tt AS a_c,
+      |    (c - size) * 500000 - u0 * tt AS a_p,
+      |    10000 * tt AS b
+      |  FROM cum),
+      |hits AS (
+      |  SELECT *,
+      |    (CASE WHEN a_c <= 0 THEN 0
+      |          ELSE LEAST(50, (a_c + b - 1) // b) END)
+      |    - (CASE WHEN a_p <= 0 THEN 0
+      |            ELSE LEAST(50, (a_p + b - 1) // b) END) AS n_hits
+      |  FROM f)
+      |SELECT o_custkey AS custkey, size AS size_dollars,
+      |  CAST(n_hits AS BIGINT) AS n_hits,
+      |  ROUND(CAST(tt AS DOUBLE) / (50.0 * size), 6) AS ht_weight
+      |FROM hits WHERE n_hits > 0 ORDER BY custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_pps" -> ppsQ,
     "q_stat_cuped" -> cupedQ,
     "q_stat_standardize" -> standardizeQ,
     "q_stat_fisher_exact" -> fisherExactQ,
@@ -2785,6 +2881,7 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_sample_pps" -> ppsSql,
     "q_stat_cuped" -> cupedSql,
     "q_stat_standardize" -> standardizeSql,
     "q_stat_fisher_exact" -> fisherExactSql,
