@@ -489,7 +489,80 @@ object Fuzzy {
       |LEFT JOIN gp USING (entity_id)
       |ORDER BY entity_id""".stripMargin
 
+  /** q_er_blocking_quality entry: BLOCKING QUALITY metrics — the two
+    * numbers that justify any blocking scheme (Christen, "Data
+    * Matching", 2012, ch. 7): REDUCTION RATIO (how much of the naïve
+    * N(N−1)/2 comparison space the blocker skips) and PAIRS
+    * COMPLETENESS (recall: what fraction of TRUE matching pairs
+    * survive into the candidate set). A blocker is only as good as
+    * RR·PC — sorted-neighborhood here is audited against the fixture's
+    * arithmetic ground truth ([[erRecords]]: records co-refer iff
+    * rid div 2 agrees). This is the measurement a linkage pipeline
+    * runs BEFORE trusting [[entityResolutionQ]]'s output at 10⁹ rows,
+    * where the comparison space the blocker skips is the entire cost.
+    *
+    * All counts are exact integers (candidate pairs deduped on the
+    * unordered pair key; true pairs counted arithmetically); the two
+    * ratios are single IEEE divisions rounded at display. */
+  def blockingQualityQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tot = erRecords(s, dir).agg(count(lit(1)).as("n"))
+    val agg = erCandidates(s, dir)
+      .select(least($"ra", $"rb").as("a"), greatest($"ra", $"rb").as("b"))
+      .distinct()
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(expr("a div 2") === expr("b div 2"), 1L).otherwise(0L))
+          .as("n_true_found"))
+    agg.crossJoin(broadcast(tot))
+      .select($"n".cast("long").as("n_records"),
+        expr("n * (n - 1) div 2").cast("long").as("n_all_pairs"),
+        $"n_cand".cast("long").as("n_candidates"),
+        // every clean record has exactly one typo twin → N/2 true pairs
+        expr("n div 2").cast("long").as("n_true_pairs"),
+        $"n_true_found".cast("long").as("n_true_in_candidates"),
+        round(lit(1.0)
+          - $"n_cand" / expr("cast(n * (n - 1) div 2 as double)"), 6)
+          .as("reduction_ratio"),
+        round($"n_true_found" / expr("cast(n div 2 as double)"), 6)
+          .as("pairs_completeness"))
+  }
+
+  val blockingQualitySql: String = {
+    val candUnion = (1 to 8).map(i =>
+      s"""  SELECT rid AS ra,
+         |    lead(rid, $i) OVER (ORDER BY srt, rid) AS rb FROM keyed""".stripMargin)
+      .mkString("\n  UNION ALL\n")
+    s"""WITH nm AS (SELECT DISTINCT p_name AS nm FROM part),
+      |rk AS (SELECT nm, ROW_NUMBER() OVER (ORDER BY nm) AS rk FROM nm),
+      |recs AS (
+      |  SELECT 2 * rk AS rid, nm AS name FROM rk
+      |  UNION ALL
+      |  SELECT 2 * rk + 1, substr(nm, 1, LEN(nm) - 1) FROM rk),
+      |keyed AS (SELECT rid, name, replace(name, ' ', '') AS srt FROM recs),
+      |cand AS (
+      |$candUnion),
+      |cp AS (
+      |  SELECT DISTINCT LEAST(ra, rb) AS a, GREATEST(ra, rb) AS b
+      |  FROM cand WHERE rb IS NOT NULL),
+      |tot AS (SELECT COUNT(*) AS n FROM recs),
+      |agg AS (
+      |  SELECT COUNT(*) AS n_cand,
+      |    SUM(CASE WHEN a // 2 = b // 2 THEN 1 ELSE 0 END) AS n_true_found
+      |  FROM cp)
+      |SELECT CAST(n AS BIGINT) AS n_records,
+      |  CAST(n * (n - 1) // 2 AS BIGINT) AS n_all_pairs,
+      |  CAST(n_cand AS BIGINT) AS n_candidates,
+      |  CAST(n // 2 AS BIGINT) AS n_true_pairs,
+      |  CAST(n_true_found AS BIGINT) AS n_true_in_candidates,
+      |  ROUND(1.0 - n_cand / CAST(n * (n - 1) // 2 AS DOUBLE), 6)
+      |    AS reduction_ratio,
+      |  ROUND(n_true_found / CAST(n // 2 AS DOUBLE), 6)
+      |    AS pairs_completeness
+      |FROM agg, tot""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_er_blocking_quality" -> blockingQualityQ,
     "q_entity_survivorship" -> survivorshipQ,
     "q_entity_resolution" -> entityResolutionQ,
     "q_er_fellegi_sunter" -> fellegiSunterQ,
@@ -499,6 +572,7 @@ object Fuzzy {
     "q_fuzzy_edit" -> editMatrixQ)
 
   def oracle: Map[String, String] = Map(
+    "q_er_blocking_quality" -> blockingQualitySql,
     "q_entity_resolution" -> entityResolutionSql,
     "q_entity_survivorship" -> survivorshipSql,
     "q_er_fellegi_sunter" -> fellegiSunterSql,

@@ -94,9 +94,143 @@ object Shard {
       |FROM a""".stripMargin
   }
 
+  /** q_shard_ring entry: CONSISTENT-RING HASHING with virtual nodes
+    * (Karger et al., STOC 1997 — the scheme behind Dynamo/Cassandra
+    * partitioning and most distributed caches): each node owns 16
+    * pinned-hash positions on a ring; a key belongs to the first node
+    * position clockwise from the key's hash. The operator assigns every
+    * customer key under an 8-node and a 9-node ring and reports, per
+    * node: key counts before/after the grow and how many moved IN. Two
+    * theorems are visible in the output: (1) ~1/9 of keys move on a
+    * 8→9 grow, (2) EVERY moved key lands on the new node — n_moved_in
+    * is zero for all pre-existing nodes, the locality guarantee that
+    * distinguishes the ring from rehash-everything (and that
+    * [[rebalanceQ]]'s rendezvous scheme shares but cannot show
+    * per-node, having no ring to localize on). Virtual nodes are what
+    * keeps per-node load within a few percent of fair — the spread is
+    * readable directly from n_after.
+    *
+    * Scale shape: the ring is a ≤144-entry sorted array built by a
+    * bounded aggregate and BROADCAST as one row; assignment is a pure
+    * per-key map (first array element ≥ key hash, wrap to [0]) — no
+    * join keyed by the corpus, no sort of the keys, embarrassingly
+    * parallel at 10⁹ keys. The per-node rollup is one combinable
+    * groupBy over ≤ 9 distinct values.
+    *
+    * Determinism: positions and key hashes ride [[Hashing.md5Long60]];
+    * the ring array is array_sort'ed on (pos, node) so even a 60-bit
+    * collision would order identically in both engines. */
+  def ringQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    def ringOf(nNodes: Int, as: String): DataFrame =
+      s.range(nNodes).select(concat(lit("n"), $"id").as("node"))
+        .crossJoin(s.range(16).select($"id".as("v")))
+        .select(struct(
+          Hashing.md5Long60(concat(lit("ring:"), $"node", lit(":"), $"v"))
+            .as("pos"),
+          $"node").as("e"))
+        .agg(array_sort(collect_list($"e")).as(as))
+    val keys = t(s, dir, "customer").select(
+      $"c_custkey".as("key"),
+      Hashing.md5Long60(concat(lit("key:"), $"c_custkey".cast("string")))
+        .as("kpos"))
+    def assign(ring: String): org.apache.spark.sql.Column = coalesce(
+      // get(): null on the empty filter result (ANSI-safe), wrap to [0]
+      expr(s"get(filter($ring, e -> e.pos >= kpos), 0).node"),
+      expr(s"get($ring, 0).node"))
+    val assigned = keys
+      .crossJoin(broadcast(ringOf(8, "r8")))
+      .crossJoin(broadcast(ringOf(9, "r9")))
+      .select($"key", assign("r8").as("before"), assign("r9").as("after"))
+    val nodes = s.range(9).select(concat(lit("n"), $"id").as("node"))
+    val nb = assigned.groupBy($"before".as("node"))
+      .agg(count(lit(1)).as("n_before"))
+    val na = assigned.groupBy($"after".as("node"))
+      .agg(count(lit(1)).as("n_after"))
+    val mi = assigned.filter($"before" =!= $"after")
+      .groupBy($"after".as("node")).agg(count(lit(1)).as("n_moved_in"))
+    val wAll = Window.partitionBy(lit(0))
+    nodes
+      .join(nb, Seq("node"), "left")
+      .join(na, Seq("node"), "left")
+      .join(mi, Seq("node"), "left")
+      .select($"node",
+        coalesce($"n_before", lit(0L)).cast("long").as("n_before"),
+        coalesce($"n_after", lit(0L)).cast("long").as("n_after"),
+        coalesce($"n_moved_in", lit(0L)).cast("long").as("n_moved_in"))
+      .withColumn("moved_fraction",
+        round(sum($"n_moved_in").over(wAll).cast("double")
+          / sum($"n_after").over(wAll), 6))
+      .orderBy($"node")
+  }
+
+  /** DuckDB twin: the clockwise-successor lookup runs as a MIN-over-
+    * following window on the unioned (keys + ring) position axis —
+    * MIN skips the key rows' NULLs, so no IGNORE NULLS dependency. */
+  val ringSql: String = {
+    // NOTE: fragments are embedded in an outer stripMargin string, so no
+    // continuation line here may START with "||" (the outer strip would
+    // eat one pipe and leave a bitwise-or)
+    def ring(n: Int, out: String): String =
+      s"""$out AS (
+         |  SELECT ('0x' || substr(md5('ring:n' || nd.range::VARCHAR ||
+         |      ':' || v.range::VARCHAR), 1, 15))::UBIGINT::BIGINT AS pos,
+         |    'n' || nd.range::VARCHAR AS node
+         |  FROM range(0, $n) nd, range(0, 16) v)""".stripMargin
+    def assign(ringName: String, out: String): String =
+      s"""${out}_c AS (
+         |  SELECT kpos AS pos, 0 AS is_ring, key,
+         |    NULL::VARCHAR AS rnode FROM keys
+         |  UNION ALL
+         |  SELECT pos, 1, NULL, node FROM $ringName),
+         |${out}_w AS (
+         |  SELECT key,
+         |    MIN(CASE WHEN is_ring = 1 THEN pos END) OVER (
+         |      ORDER BY pos, is_ring
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+         |  FROM ${out}_c),
+         |$out AS (
+         |  SELECT w.key, r.node
+         |  FROM ${out}_w w
+         |  JOIN $ringName r ON r.pos = COALESCE(w.nxt,
+         |    (SELECT MIN(pos) FROM $ringName))
+         |  WHERE w.key IS NOT NULL)""".stripMargin
+    s"""WITH ${ring(8, "ring8")},
+      |${ring(9, "ring9")},
+      |keys AS (
+      |  SELECT c_custkey AS key,
+      |    ('0x' || substr(md5('key:' || c_custkey::VARCHAR), 1, 15))
+      |      ::UBIGINT::BIGINT AS kpos
+      |  FROM customer),
+      |${assign("ring8", "a8")},
+      |${assign("ring9", "a9")},
+      |ba AS (
+      |  SELECT a8.key, a8.node AS b_node, a9.node AS a_node
+      |  FROM a8 JOIN a9 USING (key)),
+      |nodes AS (SELECT 'n' || r.range::VARCHAR AS node FROM range(0, 9) r),
+      |nb AS (SELECT b_node AS node, COUNT(*) AS n_before FROM ba GROUP BY 1),
+      |na AS (SELECT a_node AS node, COUNT(*) AS n_after FROM ba GROUP BY 1),
+      |mi AS (SELECT a_node AS node, COUNT(*) AS n_moved_in
+      |  FROM ba WHERE b_node <> a_node GROUP BY 1)
+      |SELECT n.node,
+      |  CAST(COALESCE(nb.n_before, 0) AS BIGINT) AS n_before,
+      |  CAST(COALESCE(na.n_after, 0) AS BIGINT) AS n_after,
+      |  CAST(COALESCE(mi.n_moved_in, 0) AS BIGINT) AS n_moved_in,
+      |  ROUND(CAST(SUM(COALESCE(mi.n_moved_in, 0)) OVER () AS DOUBLE)
+      |    / SUM(COALESCE(na.n_after, 0)) OVER (), 6) AS moved_fraction
+      |FROM nodes n
+      |LEFT JOIN nb ON n.node = nb.node
+      |LEFT JOIN na ON n.node = na.node
+      |LEFT JOIN mi ON n.node = mi.node
+      |ORDER BY n.node""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_shard_rebalance" -> rebalanceQ)
+    "q_shard_rebalance" -> rebalanceQ,
+    "q_shard_ring" -> ringQ)
 
   def oracle: Map[String, String] = Map(
-    "q_shard_rebalance" -> rebalanceSql)
+    "q_shard_rebalance" -> rebalanceSql,
+    "q_shard_ring" -> ringSql)
 }

@@ -93,6 +93,7 @@ object Dev {
           "q_join_cross" -> "25-cell region x nation grid",
           "q_drift_psi" -> "1-row totals frame",
           "q_stat_cuped" -> "1-row pooled-moments frame",
+          "q_er_blocking_quality" -> "two 1-row count frames",
           "q_privacy_exponential" -> "source x lang public-domain candidate grid (bounded dims)",
           "q_profile_histogram" -> "1-row min/max frame",
           "q_text_tfidf" -> "1-row corpus-size frame",
