@@ -112,6 +112,7 @@ object Dev {
           "q_stat_mi" -> "1-row totals + two 1-row entropy frames",
           "q_validate_fk" -> "six (1-row x 1-row) per-edge count frames",
           "q_embed_pca" -> "1-row norm/trace frames + 64-row broadcast vector",
+          "q_embed_spectrum" -> "1-row norm/trace frames + 64-row broadcast vectors (deflated pass)",
           "q_embed_cka" -> "4-row width grid x 1-row cross-moment frame",
           "q_profile_benford" -> "1-row total frame over the 9-digit table",
           "q_ts_acf" -> "bounded per-series grid dim (rows = series count, not events)",
