@@ -1703,7 +1703,100 @@ object TimeSeries {
       |  ROUND((s1t - s1) / (tt - k), 6) AS mean_right
       |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** q_ts_reconcile entry: HIERARCHICAL FORECAST RECONCILIATION
+    * (Hyndman et al., "Optimal combination forecasts for hierarchical
+    * time series", 2011 — the bottom-up / top-down coherence problem
+    * every metrics hierarchy has): per-type daily forecasts and the
+    * direct total forecast are produced INDEPENDENTLY, and because the
+    * base forecaster is nonlinear (exact 7-day MEDIAN — medians don't
+    * commute with addition), the bottom-up sum disagrees with the
+    * direct total. The operator reports both reconciliation policies
+    * side by side: bottom-up (coherent by construction, trusts the
+    * leaves) and top-down by historical proportions (trusts the total,
+    * distributes by 30-day share), plus the coherence gap the naive
+    * independent forecasts carry. The dashboard-vs-rollup discrepancy
+    * audit, at any hierarchy scale.
+    *
+    * Determinism: medians are exact order statistics over 7 integer
+    * daily counts (row_number = 4 of 7 — the percentile_disc idiom);
+    * shares and top-down values are single IEEE divisions of exact
+    * integers. The calendar bound (≤ days × types grid) makes every
+    * window frame bounded; the only corpus-sized work is the daily
+    * collapse. */
+  def reconcileQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("v"))
+    val last7 = daily.filter($"day" >= lit("2024-01-24").cast("date"))
+    // per-type median of the last-7 daily counts (exact order statistic)
+    val wTy = Window.partitionBy($"event_type").orderBy($"v", $"day")
+    val base = last7
+      .withColumn("rn", row_number().over(wTy))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .filter($"rn" === expr("(nn + 1) div 2"))
+      .select($"event_type", $"v".as("base_forecast"))
+    // direct total forecast: median of the last-7 TOTAL daily counts
+    val wTot = Window.partitionBy(lit(0)).orderBy($"tv", $"day")
+    val direct = last7.groupBy($"day").agg(sum($"v").as("tv"))
+      .withColumn("rn", row_number().over(wTot))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(0))))
+      .filter($"rn" === expr("(nn + 1) div 2"))
+      .select($"tv".as("direct_total"))
+    // 30-day historical shares for the top-down split
+    val shares = daily.groupBy($"event_type").agg(sum($"v").as("n30"))
+      .withColumn("tot30", sum($"n30").over(Window.partitionBy(lit(0))))
+    val wAll = Window.partitionBy(lit(0))
+    base.join(shares, "event_type")
+      .crossJoin(broadcast(direct))
+      .withColumn("bu_total", sum($"base_forecast").over(wAll))
+      .select($"event_type",
+        $"base_forecast".cast("long").as("base_forecast"),
+        round($"n30".cast("double") / $"tot30", 6).as("share_30d"),
+        round($"n30".cast("double") / $"tot30" * $"direct_total", 6)
+          .as("top_down_forecast"),
+        $"bu_total".cast("long").as("bottom_up_total"),
+        $"direct_total".cast("long").as("direct_total"),
+        ($"bu_total" - $"direct_total").cast("long").as("coherence_gap"))
+      .orderBy($"event_type")
+  }
+
+  val reconcileSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS v
+      |  FROM events GROUP BY 1, 2),
+      |last7 AS (SELECT * FROM daily WHERE day >= DATE '2024-01-24'),
+      |base AS (
+      |  SELECT event_type, v AS base_forecast FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY event_type
+      |        ORDER BY v, day) AS rn,
+      |      COUNT(*) OVER (PARTITION BY event_type) AS nn
+      |    FROM last7) WHERE rn = (nn + 1) // 2),
+      |direct AS (
+      |  SELECT tv AS direct_total FROM (
+      |    SELECT *, row_number() OVER (ORDER BY tv, day) AS rn,
+      |      COUNT(*) OVER () AS nn
+      |    FROM (SELECT day, SUM(v) AS tv FROM last7 GROUP BY 1))
+      |  WHERE rn = (nn + 1) // 2),
+      |shares AS (
+      |  SELECT event_type, SUM(v) AS n30, SUM(SUM(v)) OVER () AS tot30
+      |  FROM daily GROUP BY 1)
+      |SELECT b.event_type,
+      |  CAST(b.base_forecast AS BIGINT) AS base_forecast,
+      |  ROUND(CAST(s.n30 AS DOUBLE) / s.tot30, 6) AS share_30d,
+      |  ROUND(CAST(s.n30 AS DOUBLE) / s.tot30 * d.direct_total, 6)
+      |    AS top_down_forecast,
+      |  CAST(SUM(b.base_forecast) OVER () AS BIGINT) AS bottom_up_total,
+      |  CAST(d.direct_total AS BIGINT) AS direct_total,
+      |  CAST(SUM(b.base_forecast) OVER () - d.direct_total AS BIGINT)
+      |    AS coherence_gap
+      |FROM base b JOIN shares s ON b.event_type = s.event_type
+      |CROSS JOIN direct d
+      |ORDER BY b.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_reconcile" -> reconcileQ,
     "q_ts_changepoint" -> changepointQ,
     "q_ts_croston" -> crostonQ,
     "q_ts_ar2" -> ar2Q,
@@ -1727,6 +1820,7 @@ object TimeSeries {
     "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_reconcile" -> reconcileSql,
     "q_ts_changepoint" -> changepointSql,
     "q_ts_croston" -> crostonSql,
     "q_ts_ar2" -> ar2Sql,

@@ -94,6 +94,8 @@ object Dev {
           "q_drift_psi" -> "1-row totals frame",
           "q_stat_cuped" -> "1-row pooled-moments frame",
           "q_er_blocking_quality" -> "two 1-row count frames",
+          "q_ts_reconcile" -> "1-row direct-total forecast frame",
+          "q_shard_ring" -> "<=145-row ring-interval broadcast (range predicate)",
           "q_privacy_exponential" -> "source x lang public-domain candidate grid (bounded dims)",
           "q_profile_histogram" -> "1-row min/max frame",
           "q_text_tfidf" -> "1-row corpus-size frame",
