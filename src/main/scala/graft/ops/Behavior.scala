@@ -614,7 +614,114 @@ object Behavior {
       |FROM dau JOIN wau USING (event_type) JOIN mau USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  /** q_behavior_absorbing entry: ABSORBING MARKOV CHAIN value
+    * iteration — treat 'purchase' as an absorbing state of the
+    * [[transitionsQ]] chain and compute, per transient state, the
+    * horizon-8 expected steps to absorption t⁽ᵏ⁺¹⁾ = 1 + Q·t⁽ᵏ⁾ and
+    * absorption probability a⁽ᵏ⁺¹⁾ = P[·,purchase] + Q·a⁽ᵏ⁾ (the
+    * fundamental-matrix quantities (I−Q)⁻¹1 and (I−Q)⁻¹R, computed by
+    * truncated value iteration instead of a matrix inverse — the form
+    * that runs distributed). "How many interactions until conversion,
+    * starting from a view?" is the funnel question the raw transition
+    * matrix can't answer; the horizon-8 truncation is explicit in the
+    * column names (a longer horizon is more unrolled rounds).
+    *
+    * Scale shape: ONE corpus pass builds the transition frame
+    * (checkpointed — eight unrolled iterations would otherwise embed
+    * eight copies of the corpus aggregation in the final plan); every
+    * iteration is a join + combinable groupBy over the
+    * |states|²-bounded frame. The [[graft.ops.Graph.pagerankQ]]
+    * determinism contract: exact-integer transition ratios, per-term
+    * 9-dp rounds summed as DECIMAL(28,9), re-round per iteration. */
+  def absorbingQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+    val wSeq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val q = t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("src"))
+      .withColumn("dst", lead($"src", 1).over(wSeq))
+      .filter($"dst".isNotNull && $"src" =!= "purchase")
+      .groupBy($"src", $"dst")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum($"n").over(Window.partitionBy($"src")))
+      .select($"src", $"dst", $"n",
+        ($"n".cast("double") / $"tot").as("p"))
+      .checkpoint()
+    var st = q.select($"src".as("state")).distinct()
+      .withColumn("t", lit(0.0)).withColumn("a", lit(0.0))
+    for (_ <- 1 to 8) {
+      st = q
+        .join(st.select($"state".as("dst"), $"t", $"a"), Seq("dst"), "left")
+        .groupBy($"src")
+        .agg(
+          sum(round($"p" * coalesce($"t", lit(0.0)), 9)
+            .cast("decimal(28,9)")).cast("double").as("qt"),
+          sum(round($"p" * when($"dst" === "purchase", lit(1.0))
+            .otherwise(coalesce($"a", lit(0.0))), 9)
+            .cast("decimal(28,9)")).cast("double").as("qa"))
+        .select($"src".as("state"),
+          round(lit(1.0) + $"qt", 9).as("t"), round($"qa", 9).as("a"))
+    }
+    val direct = q.filter($"dst" === "purchase")
+      .select($"src".as("state"), round($"p", 6).as("p_purchase_1step"))
+    val outs = q.groupBy($"src".as("state"))
+      .agg(sum($"n").as("n_out"))
+    st.join(outs, "state").join(direct, Seq("state"), "left")
+      .select($"state", $"n_out".cast("long").as("n_out"),
+        coalesce($"p_purchase_1step", lit(0.0)).as("p_purchase_1step"),
+        $"t".as("exp_steps_h8"), $"a".as("p_absorbed_h8"))
+      .orderBy($"state")
+  }
+
+  val absorbingSql: String = {
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT q.src AS state,
+         |    ROUND(1.0 + CAST(SUM(CAST(ROUND(q.p * COALESCE(p.t, 0.0), 9)
+         |      AS DECIMAL(28,9))) AS DOUBLE), 9) AS t,
+         |    ROUND(CAST(SUM(CAST(ROUND(q.p * (CASE WHEN q.dst = 'purchase'
+         |        THEN 1.0 ELSE COALESCE(p.a, 0.0) END), 9)
+         |      AS DECIMAL(28,9))) AS DOUBLE), 9) AS a
+         |  FROM q LEFT JOIN $prev p ON q.dst = p.state GROUP BY 1)"""
+        .stripMargin
+    s"""WITH seq AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |cnt AS (
+      |  SELECT src, dst, COUNT(*) AS n FROM seq
+      |  WHERE dst IS NOT NULL AND src <> 'purchase' GROUP BY 1, 2),
+      |q AS (
+      |  SELECT src, dst, n,
+      |    CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS p
+      |  FROM cnt),
+      |k0 AS (SELECT DISTINCT src AS state, 0.0::DOUBLE AS t,
+      |  0.0::DOUBLE AS a FROM q),
+      |${iter("k0", "k1")},
+      |${iter("k1", "k2")},
+      |${iter("k2", "k3")},
+      |${iter("k3", "k4")},
+      |${iter("k4", "k5")},
+      |${iter("k5", "k6")},
+      |${iter("k6", "k7")},
+      |${iter("k7", "k8")},
+      |outs AS (SELECT src AS state, SUM(n) AS n_out FROM q GROUP BY 1),
+      |direct AS (
+      |  SELECT src AS state, ROUND(p, 6) AS p1 FROM q
+      |  WHERE dst = 'purchase')
+      |SELECT k8.state, CAST(o.n_out AS BIGINT) AS n_out,
+      |  COALESCE(d.p1, 0.0) AS p_purchase_1step,
+      |  k8.t AS exp_steps_h8, k8.a AS p_absorbed_h8
+      |FROM k8 JOIN outs o ON k8.state = o.state
+      |LEFT JOIN direct d ON k8.state = d.state
+      |ORDER BY k8.state""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_behavior_absorbing" -> absorbingQ,
     "q_behavior_stickiness" -> stickinessQ,
     "q_funnel_latency" -> funnelLatencyQ,
     "q_attribution_ushape" -> ushapeQ,
@@ -626,6 +733,7 @@ object Behavior {
     "q_survival_km" -> survivalQ)
 
   def oracle: Map[String, String] = Map(
+    "q_behavior_absorbing" -> absorbingSql,
     "q_behavior_stickiness" -> stickinessSql,
     "q_funnel_latency" -> funnelLatencySql,
     "q_attribution_ushape" -> ushapeSql,

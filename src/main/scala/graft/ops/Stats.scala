@@ -2844,7 +2844,81 @@ object Stats {
       |  ROUND(CAST(tt AS DOUBLE) / (50.0 * size), 6) AS ht_weight
       |FROM hits WHERE n_hits > 0 ORDER BY custkey""".stripMargin
 
+  /** q_stat_permutation entry: PAIRED PERMUTATION (sign-flip) TEST —
+    * the assumption-free alternative to the paired t-test (Fisher
+    * 1935; the randomization test every experimentation platform
+    * reaches for when normality is dubious): under H₀ the sign of each
+    * paired difference is exchangeable, so the null distribution of
+    * the mean difference is generated by flipping signs. Pairs here:
+    * per-day click − error counts over the 30-day calendar; B = 200
+    * resamples with pinned md5 sign flips (the [[Pii.dpHistQ]]
+    * pinned-uniform discipline — replayable in CI, swap a CSPRNG in
+    * production); p = (1 + #{b : |T_b| ≥ |T_obs|}) / (B + 1), the
+    * add-one convention that keeps p > 0.
+    *
+    * Exactness: T_b and T_obs share the denominator (n days), so the
+    * tail comparison reduces to |Σ ±d| ≥ |Σ d| on EXACT INTEGERS — the
+    * whole test is bit-exact across engines, no FP tolerance anywhere
+    * (the [[fisherExactQ]] property, achieved the same way: keep the
+    * decision arithmetic integral).
+    *
+    * Scale shape: the corpus collapses to the calendar grid in one
+    * combinable pass; the resample grid is B × days ≤ 6000 rows, and
+    * each resample is a combinable integer sum. B scales horizontally
+    * (rows = B × days, never corpus × B). */
+  def permutationQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = t(s, dir, "events")
+      .filter($"event_type".isin("click", "error"))
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(-1L))
+        .as("d"))
+    val obs = days.agg(count(lit(1)).as("n_days"), sum($"d").as("t_obs"))
+    val resamples = days
+      .select($"day", $"d", explode(expr("sequence(1, 200)")).as("b"))
+      .withColumn("sgn",
+        when(Hashing.md5Long60(concat(lit("perm:"), $"b", lit(":"),
+          $"day".cast("string"))) % 2 === 0, 1L).otherwise(-1L))
+      .groupBy($"b").agg(sum($"sgn" * $"d").as("tb"))
+    resamples.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("bb"),
+        sum((abs($"tb") >= abs($"t_obs")).cast("long")).as("n_extreme"),
+        max($"n_days").as("n_days"), max($"t_obs").as("t_sum"))
+      .select($"n_days".cast("long").as("n_days"),
+        round($"t_sum".cast("double") / $"n_days", 6).as("mean_diff"),
+        $"bb".cast("long").as("n_resamples"),
+        $"n_extreme".cast("long").as("n_extreme"),
+        (($"n_extreme" + 1).cast("double") / ($"bb" + 1)).as("p_value"))
+  }
+
+  val permutationSql: String =
+    """WITH days AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE -1 END) AS d
+      |  FROM events WHERE event_type IN ('click', 'error')
+      |  GROUP BY 1),
+      |obs AS (SELECT COUNT(*) AS n_days, SUM(d) AS t_obs FROM days),
+      |res AS (
+      |  SELECT b.range AS b,
+      |    SUM(CASE WHEN ('0x' || substr(md5('perm:' || b.range::VARCHAR
+      |        || ':' || day::VARCHAR), 1, 15))::UBIGINT::BIGINT % 2 = 0
+      |      THEN d ELSE -d END) AS tb
+      |  FROM days, range(1, 201) b GROUP BY 1),
+      |agg AS (
+      |  SELECT COUNT(*) AS bb,
+      |    SUM(CASE WHEN ABS(tb) >= ABS(o.t_obs) THEN 1 ELSE 0 END)
+      |      AS n_extreme,
+      |    MAX(o.n_days) AS n_days, MAX(o.t_obs) AS t_sum
+      |  FROM res, obs o)
+      |SELECT CAST(n_days AS BIGINT) AS n_days,
+      |  ROUND(CAST(t_sum AS DOUBLE) / n_days, 6) AS mean_diff,
+      |  CAST(bb AS BIGINT) AS n_resamples,
+      |  CAST(n_extreme AS BIGINT) AS n_extreme,
+      |  CAST(n_extreme + 1 AS DOUBLE) / (bb + 1) AS p_value
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_permutation" -> permutationQ,
     "q_sample_pps" -> ppsQ,
     "q_stat_cuped" -> cupedQ,
     "q_stat_standardize" -> standardizeQ,
@@ -2881,6 +2955,7 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_permutation" -> permutationSql,
     "q_sample_pps" -> ppsSql,
     "q_stat_cuped" -> cupedSql,
     "q_stat_standardize" -> standardizeSql,
