@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables.t
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Fuzzy vocabulary matching via SymSpell-style deletion neighborhoods —
@@ -392,6 +392,168 @@ object Fuzzy {
       |sz AS (SELECT entity_id, COUNT(*) AS n_records FROM ent GROUP BY 1)""".stripMargin
   }
 
+  /** One EM step over the pattern grid: given per-pattern posterior
+    * match probabilities `w`, re-estimate (π, m, u) by window sums and
+    * emit the re-scored posterior. Every aggregate rounds to 6 dp and
+    * merges as DECIMAL(38,6) (order-independent); every parameter is a
+    * division of identical doubles; the new posterior rounds to 9 dp —
+    * so both engines iterate on identical numbers. Param columns stay
+    * on the frame for the final readout. */
+  private def emStep(g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = g.sparkSession
+    import s.implicits._
+    val wAll = Window.partitionBy(lit(0))
+    val wA = Window.partitionBy($"name_lvl")
+    def dsum(c: Column, w: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(round(c, 6).cast("decimal(38,6)")).over(w).cast("double")
+    g.select($"name_lvl", $"tok1_agree", $"n", $"w")
+      .withColumn("sw_all", dsum($"n" * $"w", wAll))
+      .withColumn("su_all", dsum($"n" * (lit(1.0) - $"w"), wAll))
+      .withColumn("n_all", sum($"n").over(wAll))
+      .withColumn("sw_a", dsum($"n" * $"w", wA))
+      .withColumn("su_a", dsum($"n" * (lit(1.0) - $"w"), wA))
+      .withColumn("sw_b1", dsum($"n" * $"w" * $"tok1_agree", wAll))
+      .withColumn("su_b1",
+        dsum($"n" * (lit(1.0) - $"w") * $"tok1_agree", wAll))
+      .withColumn("pi", $"sw_all" / $"n_all")
+      .withColumn("m_a", $"sw_a" / $"sw_all")
+      .withColumn("u_a", $"su_a" / $"su_all")
+      .withColumn("m_b",
+        when($"tok1_agree" === 1L, $"sw_b1" / $"sw_all")
+          .otherwise(lit(1.0) - $"sw_b1" / $"sw_all"))
+      .withColumn("u_b",
+        when($"tok1_agree" === 1L, $"su_b1" / $"su_all")
+          .otherwise(lit(1.0) - $"su_b1" / $"su_all"))
+      .withColumn("num", $"pi" * $"m_a" * $"m_b")
+      .withColumn("w",
+        round($"num" / ($"num" + (lit(1.0) - $"pi") * $"u_a" * $"u_b"), 9))
+  }
+
+  /** q_er_em entry: UNSUPERVISED EM fitting of the Fellegi–Sunter
+    * parameters (Winkler 1988, "Using the EM algorithm for weight
+    * computation in the Fellegi–Sunter model" — how production linkers
+    * fit m/u WITHOUT labeled pairs, which is the situation every new
+    * linkage deployment is in): treat match status as the latent
+    * variable, assume conditional independence of the comparison
+    * features (name agreement level × first-token agreement), and
+    * alternate posterior scoring (E) with prevalence/m/u re-estimation
+    * (M) over the pattern-frequency grid. Five unrolled iterations
+    * from fixed literal starts; the labeled-fixture twin
+    * [[fellegiSunterQ]] is the external check that EM lands near the
+    * supervised weights.
+    *
+    * Scale shape: candidates collapse to the ≤6-row pattern grid in
+    * ONE combinable pass — EM iterates on the grid, never the pairs,
+    * so fitting costs the same at 10⁹ records as at 10³ (the reason
+    * EM-on-patterns is THE production method). Every E/M quantity is
+    * a window over the bounded grid. */
+  def emQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val grid = erCandidates(s, dir).select(
+        when($"na" === $"nb", "exact")
+          .when(expr("jaro_winkler(na, nb)") >= 0.88, "close")
+          .otherwise("diff").as("name_lvl"),
+        when(expr("split_part(na, ' ', 1) = split_part(nb, ' ', 1)"), 1L)
+          .otherwise(0L).as("tok1_agree"))
+      .groupBy($"name_lvl", $"tok1_agree")
+      .agg(count(lit(1)).as("n"))
+    // E-step 0 from fixed literal starts (π=0.1; mA .45/.45/.1,
+    // uA .05/.15/.8; mB(1)=.9, uB(1)=.3)
+    val init = grid
+      .withColumn("m_a0", when($"name_lvl" === "exact", 0.45)
+        .when($"name_lvl" === "close", 0.45).otherwise(0.1))
+      .withColumn("u_a0", when($"name_lvl" === "exact", 0.05)
+        .when($"name_lvl" === "close", 0.15).otherwise(0.8))
+      .withColumn("m_b0", when($"tok1_agree" === 1L, 0.9).otherwise(0.1))
+      .withColumn("u_b0", when($"tok1_agree" === 1L, 0.3).otherwise(0.7))
+      .withColumn("num", lit(0.1) * $"m_a0" * $"m_b0")
+      .withColumn("w",
+        round($"num" / ($"num" + lit(0.9) * $"u_a0" * $"u_b0"), 9))
+      .select($"name_lvl", $"tok1_agree", $"n", $"w")
+    val fitted = (1 to 5).foldLeft(init)((g, _) => emStep(g))
+    fitted.select($"name_lvl", $"tok1_agree",
+        $"n".cast("long").as("n"),
+        round($"w", 6).as("posterior_match"),
+        round($"pi", 6).as("pi"),
+        round($"m_a", 6).as("m_name"),
+        round($"u_a", 6).as("u_name"),
+        round(log2(($"m_a" * $"m_b") / ($"u_a" * $"u_b")), 6)
+          .as("em_weight"))
+      .orderBy($"name_lvl", $"tok1_agree")
+  }
+
+  val emSql: String = {
+    def step(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT name_lvl, tok1_agree, n, pi, m_a, u_a, m_b, u_b,
+         |    ROUND(pi * m_a * m_b
+         |      / (pi * m_a * m_b + (1.0 - pi) * u_a * u_b), 9) AS w
+         |  FROM (
+         |    SELECT *,
+         |      sw_all / n_all AS pi,
+         |      sw_a / sw_all AS m_a,
+         |      su_a / su_all AS u_a,
+         |      CASE WHEN tok1_agree = 1 THEN sw_b1 / sw_all
+         |           ELSE 1.0 - sw_b1 / sw_all END AS m_b,
+         |      CASE WHEN tok1_agree = 1 THEN su_b1 / su_all
+         |           ELSE 1.0 - su_b1 / su_all END AS u_b
+         |    FROM (
+         |      SELECT name_lvl, tok1_agree, n, w,
+         |        CAST(SUM(CAST(ROUND(n * w, 6) AS DECIMAL(38,6)))
+         |          OVER () AS DOUBLE) AS sw_all,
+         |        CAST(SUM(CAST(ROUND(n * (1.0 - w), 6) AS DECIMAL(38,6)))
+         |          OVER () AS DOUBLE) AS su_all,
+         |        SUM(n) OVER () AS n_all,
+         |        CAST(SUM(CAST(ROUND(n * w, 6) AS DECIMAL(38,6)))
+         |          OVER (PARTITION BY name_lvl) AS DOUBLE) AS sw_a,
+         |        CAST(SUM(CAST(ROUND(n * (1.0 - w), 6) AS DECIMAL(38,6)))
+         |          OVER (PARTITION BY name_lvl) AS DOUBLE) AS su_a,
+         |        CAST(SUM(CAST(ROUND(n * w * tok1_agree, 6)
+         |          AS DECIMAL(38,6))) OVER () AS DOUBLE) AS sw_b1,
+         |        CAST(SUM(CAST(ROUND(n * (1.0 - w) * tok1_agree, 6)
+         |          AS DECIMAL(38,6))) OVER () AS DOUBLE) AS su_b1
+         |      FROM $prev)))""".stripMargin
+    s"""$erPrefixSql,
+      |feat AS (
+      |  SELECT
+      |    CASE WHEN na = nb THEN 'exact'
+      |         WHEN jaro_winkler_similarity(na, nb) >= 0.88 THEN 'close'
+      |         ELSE 'diff' END AS name_lvl,
+      |    CASE WHEN split_part(na, ' ', 1) = split_part(nb, ' ', 1)
+      |         THEN 1 ELSE 0 END AS tok1_agree
+      |  FROM cand WHERE rb IS NOT NULL),
+      |grid AS (
+      |  SELECT name_lvl, tok1_agree, COUNT(*) AS n FROM feat GROUP BY 1, 2),
+      |g0 AS (
+      |  SELECT name_lvl, tok1_agree, n,
+      |    ROUND(num / (num + 0.9 * u_a0 * u_b0), 9) AS w
+      |  FROM (
+      |    SELECT *, 0.1 * m_a0 * m_b0 AS num FROM (
+      |      SELECT *,
+      |        CASE name_lvl WHEN 'exact' THEN 0.45 WHEN 'close' THEN 0.45
+      |          ELSE 0.1 END AS m_a0,
+      |        CASE name_lvl WHEN 'exact' THEN 0.05 WHEN 'close' THEN 0.15
+      |          ELSE 0.8 END AS u_a0,
+      |        CASE WHEN tok1_agree = 1 THEN 0.9 ELSE 0.1 END AS m_b0,
+      |        CASE WHEN tok1_agree = 1 THEN 0.3 ELSE 0.7 END AS u_b0
+      |      FROM grid))),
+      |${step("g0", "g1")},
+      |${step("g1", "g2")},
+      |${step("g2", "g3")},
+      |${step("g3", "g4")},
+      |${step("g4", "g5")}
+      |SELECT name_lvl, CAST(tok1_agree AS BIGINT) AS tok1_agree,
+      |  CAST(n AS BIGINT) AS n,
+      |  ROUND(w, 6) AS posterior_match,
+      |  ROUND(pi, 6) AS pi,
+      |  ROUND(m_a, 6) AS m_name,
+      |  ROUND(u_a, 6) AS u_name,
+      |  ROUND(log2((m_a * m_b) / (u_a * u_b)), 6) AS em_weight
+      |FROM g5 ORDER BY name_lvl, tok1_agree""".stripMargin
+  }
+
   val fellegiSunterSql: String =
     s"""$erPrefixSql,
       |feat AS (
@@ -566,6 +728,7 @@ object Fuzzy {
     "q_entity_survivorship" -> survivorshipQ,
     "q_entity_resolution" -> entityResolutionQ,
     "q_er_fellegi_sunter" -> fellegiSunterQ,
+    "q_er_em" -> emQ,
     "q_fuzzy_vocab" -> fuzzyVocabQ,
     "q_fuzzy_neighbors" -> sortedNeighborsQ,
     "q_fuzzy_jw" -> jaroWinklerQ,
@@ -576,6 +739,7 @@ object Fuzzy {
     "q_entity_resolution" -> entityResolutionSql,
     "q_entity_survivorship" -> survivorshipSql,
     "q_er_fellegi_sunter" -> fellegiSunterSql,
+    "q_er_em" -> emSql,
     "q_fuzzy_vocab" -> fuzzyVocabSql,
     "q_fuzzy_neighbors" -> sortedNeighborsSql,
     "q_fuzzy_jw" -> jaroWinklerSql,

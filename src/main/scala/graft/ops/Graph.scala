@@ -1346,6 +1346,102 @@ object Graph {
       |    AS DOUBLE), 6) AS harmonic
       |FROM dist GROUP BY root ORDER BY node""".stripMargin
 
+  /** q_graph_diameter entry: DISTANCE HISTOGRAM + exact and EFFECTIVE
+    * diameter of the strong undirected trade graph — the pairwise-hop
+    * distribution from multi-source BFS (the [[closenessQ]] frontier
+    * relaxation re-aggregated by distance instead of by root), the
+    * exact diameter (max finite hop), and the 90%-effective diameter
+    * (smallest h covering ≥ 90% of reachable ordered pairs — the
+    * metric reported for web/social graphs since Leskovec et al.'s
+    * densification studies, robust where one long chain distorts the
+    * true max). On a 10⁹-node graph the same histogram comes from
+    * HyperANF-style probabilistic frontiers; here the node-bounded
+    * exact BFS is both the operator and its own ground truth.
+    *
+    * Exactness: hop counts are integers; the 90% threshold test is
+    * 10·cum ≥ 9·total — integer arithmetic, no FP anywhere. */
+  def diameterQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val inf = 999L
+    val und = strongUndirected(s, dir).cache()
+    val nodes = t(s, dir, "nation").select($"n_name".as("id"))
+    val init = nodes.select($"id".as("root"))
+      .crossJoin(nodes)
+      .withColumn("hop", when($"id" === $"root", 0L).otherwise(inf))
+    val converged = Iterate.fixpoint(init, 30, "diameter multi-bfs") { state =>
+      val relaxed = state
+        .select($"root".as("r2"), $"id".as("dst"), ($"hop" + 1).as("cand"))
+        .join(und, Seq("dst"))
+        .groupBy($"r2", $"src").agg(min($"cand").as("nbr"))
+      state
+        .join(relaxed, $"id" === $"src" && $"root" === $"r2", "left")
+        .select($"root", $"id",
+          least($"hop", coalesce($"nbr", $"hop")).as("hop"),
+          (coalesce($"nbr", $"hop") < $"hop").as("chg"))
+    }
+    val hist = converged
+      .filter($"hop" > 0 && $"hop" < inf)
+      .groupBy($"hop").agg(count(lit(1)).as("n_pairs"))
+    val wCum = Window.partitionBy(lit(0)).orderBy($"hop")
+    val wAll = Window.partitionBy(lit(0))
+    hist
+      .withColumn("cum_pairs", sum($"n_pairs").over(wCum))
+      .withColumn("total", sum($"n_pairs").over(wAll))
+      .withColumn("diameter", max($"hop").over(wAll))
+      .withColumn("eff_diameter",
+        min(when($"cum_pairs" * 10 >= $"total" * 9, $"hop")).over(wAll))
+      .select($"hop".cast("long").as("hop"),
+        $"n_pairs".cast("long").as("n_pairs"),
+        $"cum_pairs".cast("long").as("cum_pairs"),
+        $"diameter".cast("long").as("diameter"),
+        $"eff_diameter".cast("long").as("eff_diameter_90"))
+      .orderBy($"hop")
+  }
+
+  val diameterSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT w, row_number() OVER (ORDER BY w, src, dst) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM edges),
+      |thr AS (SELECT w AS thr FROM rk WHERE rn = (75 * n + 99) // 100),
+      |st AS (SELECT src, dst FROM edges, thr WHERE w >= thr),
+      |und AS (SELECT DISTINCT src, dst FROM (
+      |        SELECT src, dst FROM st
+      |        UNION ALL SELECT dst, src FROM st)),
+      |walk(root, node, hop) AS (
+      |  SELECT n_name, n_name, 0 FROM nation
+      |  UNION
+      |  SELECT w.root, u.dst, w.hop + 1
+      |  FROM walk w JOIN und u ON w.node = u.src
+      |  WHERE w.hop < 30),
+      |dist AS (SELECT root, node, MIN(hop) AS hop FROM walk GROUP BY 1, 2),
+      |hist AS (
+      |  SELECT hop, COUNT(*) AS n_pairs FROM dist WHERE hop > 0
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT hop, n_pairs,
+      |    SUM(n_pairs) OVER (ORDER BY hop) AS cum_pairs,
+      |    SUM(n_pairs) OVER () AS total,
+      |    MAX(hop) OVER () AS diameter
+      |  FROM hist)
+      |SELECT CAST(hop AS BIGINT) AS hop,
+      |  CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(cum_pairs AS BIGINT) AS cum_pairs,
+      |  CAST(diameter AS BIGINT) AS diameter,
+      |  CAST(MIN(CASE WHEN cum_pairs * 10 >= total * 9 THEN hop END)
+      |    OVER () AS BIGINT) AS eff_diameter_90
+      |FROM cum ORDER BY hop""".stripMargin
+
   /** q_graph_mst entry: MAXIMUM SPANNING BACKBONE of the undirected
     * nation trade graph by the KSV MapReduce-MST shape (Karloff, Suri
     * & Vassilvitskii, SODA 2010, whose flagship example is exactly
@@ -1623,6 +1719,7 @@ object Graph {
     "q_graph_reciprocity" -> reciprocityQ,
     "q_graph_neighbor_sim" -> neighborSimQ,
     "q_graph_adamic_adar" -> adamicAdarQ,
+    "q_graph_diameter" -> diameterQ,
     "q_graph_bfs" -> bfsQ)
 
   def oracle: Map[String, String] = Map(
@@ -1640,5 +1737,6 @@ object Graph {
     "q_graph_reciprocity" -> reciprocitySql,
     "q_graph_neighbor_sim" -> neighborSimSql,
     "q_graph_adamic_adar" -> adamicAdarSql,
+    "q_graph_diameter" -> diameterSql,
     "q_graph_bfs" -> bfsSql)
 }

@@ -309,6 +309,67 @@ object EventStreams {
       }
   }
 
+  /** Token-bucket state in EXACT integer "units" = token × 60000, so a
+    * refill rate expressed per minute adds a whole number of units per
+    * elapsed millisecond and no FP ever enters an admission decision. */
+  final case class BucketState(units: Long, lastMs: Long)
+  final case class RateDecision(user_id: Long, event_id: Long,
+                                ts: Timestamp, allowed: Boolean,
+                                tokens_milli: Long)
+
+  /** Per-key TOKEN-BUCKET RATE LIMITING in a stream — the standard
+    * admission-control primitive (RFC 2697-style single-rate bucket):
+    * each key holds up to `capacity` tokens, refilled at `refillPerMin`
+    * tokens per minute of EVENT time; an event is admitted iff a whole
+    * token is available and spends it. In a training-data pipeline this
+    * is per-source crawl throttling and per-tenant ingest fairness; the
+    * streaming form keeps one O(1) bucket per key in the state store —
+    * exactly the state-sharding shape of [[runningUserTotals]], so a
+    * 1000-executor job shards buckets like any batch shuffle.
+    *
+    * Event-time semantics: events are processed in (ts, event_id)
+    * order WITHIN a micro-batch; an event arriving with ts behind the
+    * bucket's high-water mark refills nothing (elapsed clamps at 0)
+    * and the mark never moves backwards — the conservative policy for
+    * late data (never grant retroactive tokens). Decisions are pure
+    * integer arithmetic, so the spec's sequential driver replay must
+    * match bit-for-bit. */
+  def streamingRateLimit(events: Dataset[Event], capacity: Long = 3,
+      refillPerMin: Long = 2): Dataset[RateDecision] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[BucketState]) =>
+          var st = state.getOption
+            .getOrElse(BucketState(capacity * 60000L, Long.MinValue))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map {
+            e => val (d, next) = bucketDecide(st, e, capacity, refillPerMin)
+                 st = next; d
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** One admission decision — shared verbatim by the streaming operator
+    * and the spec's sequential replay (the [[streamingHeavyHitters]]
+    * shared-fold discipline). */
+  private[graft] def bucketDecide(st: BucketState, e: Event,
+      capacity: Long, refillPerMin: Long): (RateDecision, BucketState) = {
+    val capU = capacity * 60000L
+    val now = e.ts.getTime
+    val refill =
+      if (st.lastMs == Long.MinValue) 0L
+      else math.max(0L, now - st.lastMs) * refillPerMin
+    val avail = math.min(capU, st.units + refill)
+    val allowed = avail >= 60000L
+    val after = if (allowed) avail - 60000L else avail
+    (RateDecision(e.user_id, e.event_id, e.ts, allowed, after / 60L),
+      BucketState(after, math.max(now, st.lastMs)))
+  }
+
   /** Streaming NEAR-dedup-on-ingest: every arriving micro-batch of
     * (doc_id, text) documents is matched against the persisted corpus
     * [[graft.ops.Dedup.BandIndex]] and the verified matches land in a

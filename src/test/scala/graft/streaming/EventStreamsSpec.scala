@@ -147,6 +147,48 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming token-bucket rate limiter: decisions equal a sequential replay; bursts beyond capacity are denied") {
+    import spark.implicits._
+    import EventStreams.{BucketState, bucketDecide}
+    val in = MemoryStream[Event](spark)
+    val q = streamingRateLimit(in.toDS(), capacity = 3, refillPerMin = 2)
+      .writeStream.format("memory").queryName("ratesink").outputMode("append").start()
+    // burst of 5 in one minute (only 3 tokens), then a gap that refills,
+    // then a late event behind the high-water mark (no retroactive refill)
+    val batch1 = Seq(
+      ev(1, "2024-01-01 10:00:00", uid = 1, v = 1.0),
+      ev(2, "2024-01-01 10:00:10", uid = 1, v = 1.0),
+      ev(3, "2024-01-01 10:00:20", uid = 1, v = 1.0),
+      ev(4, "2024-01-01 10:00:30", uid = 1, v = 1.0),
+      ev(5, "2024-01-01 10:00:40", uid = 1, v = 1.0))
+    val batch2 = Seq(
+      ev(6, "2024-01-01 10:02:00", uid = 1, v = 1.0), // ~2.67 tokens refilled
+      ev(7, "2024-01-01 10:01:00", uid = 1, v = 1.0)) // late: behind mark
+    try {
+      in.addData(batch1: _*); drain(q)
+      in.addData(batch2: _*); drain(q)
+      val got = spark.table("ratesink")
+        .select($"event_id", $"allowed", $"tokens_milli")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      // sequential replay with the SAME decision function, batch order
+      // preserved (batch 2 sorts by ts, so the late event_id=7 runs last)
+      var st = BucketState(3 * 60000L, Long.MinValue)
+      val replay = (batch1 ++ batch2.sortBy(e => (e.ts.getTime, e.event_id)))
+        .map { e =>
+          val (d, n) = bucketDecide(st, e, 3, 2); st = n
+          (d.event_id, d.allowed, d.tokens_milli)
+        }.sortBy(_._1)
+      assert(got == replay, s"streaming decisions diverge from replay:\n$got\nvs\n$replay")
+      // the burst: 3 capacity tokens + 10 s gaps refill 1/3 token each, so
+      // the 4th event lands on EXACTLY 1.0 accumulated token (admitted)
+      // and the 5th is denied on a sub-token residue
+      assert(got.take(5).map(_._2) == Seq(true, true, true, true, false))
+      // refilled event admitted; the late one decides on residual tokens
+      assert(got.find(_._1 == 6L).exists(_._2 == true))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when a same-user event lands past the gap") {
     import spark.implicits._
     val in = MemoryStream[Event](spark)
