@@ -720,7 +720,57 @@ object Behavior {
       |ORDER BY k8.state""".stripMargin
   }
 
+  /** q_behavior_decay entry: EXPONENTIALLY TIME-DECAYED engagement
+    * scores — the feature-store staple (recency-weighted activity:
+    * each event contributes exp(−ln2·age/half-life), half-life 7 days,
+    * anchored at the fixed window end 2024-01-31): a user active
+    * yesterday outscores one equally active three weeks ago, without
+    * any hard recency cutoff. The same shape scores crawl sources by
+    * recency-weighted yield. Reported per user: raw event count vs
+    * decayed count and decayed value — the ranking differences between
+    * the two columns ARE the operator's point.
+    *
+    * Determinism: each event's decay term is one shared IEEE
+    * expression rounded to 9 dp; per-user sums merge as DECIMAL(28,9)
+    * (order-independent), value-weighted terms at 6 dp as
+    * DECIMAL(38,6). One combinable groupBy — scan-speed at 100 TB;
+    * the fixed anchor keeps the score reproducible (a NOW()-anchored
+    * score is recomputed per run by construction, same plan). */
+  def decayQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // exact integer microseconds on both sides (a seconds-level cast
+    // would TRUNCATE sub-second timestamps differently than the oracle)
+    val ageDays = (unix_micros(lit("2024-01-31 00:00:00").cast("timestamp"))
+      - unix_micros($"ts")).cast("double") / lit(86400.0e6)
+    val term = round(exp(lit(-0.09902102579427789) * ageDays), 9)
+    t(s, dir, "events")
+      .select($"user_id", $"value", term.as("w"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"w".cast("decimal(28,9)")).as("dc"),
+        sum(round($"w" * $"value", 6).cast("decimal(38,6)")).as("dv"))
+      .select($"user_id", $"n_events".cast("long").as("n_events"),
+        round($"dc".cast("double"), 6).as("decayed_count"),
+        round($"dv".cast("double"), 6).as("decayed_value"))
+      .orderBy($"user_id")
+  }
+
+  /** Oracle twin: −ln(2)/7 is pinned as its decimal literal on both
+    * sides so the per-event exponent is the identical double. */
+  val decaySql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  ROUND(CAST(SUM(CAST(ROUND(EXP(-0.09902102579427789 *
+      |    (CAST(epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+      |      - epoch_us(ts) AS DOUBLE) / 86400.0e6)), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS decayed_count,
+      |  ROUND(CAST(SUM(CAST(ROUND(ROUND(EXP(-0.09902102579427789 *
+      |    (CAST(epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+      |      - epoch_us(ts) AS DOUBLE) / 86400.0e6)), 9) * value, 6)
+      |    AS DECIMAL(38,6))) AS DOUBLE), 6) AS decayed_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_behavior_decay" -> decayQ,
     "q_behavior_absorbing" -> absorbingQ,
     "q_behavior_stickiness" -> stickinessQ,
     "q_funnel_latency" -> funnelLatencyQ,
@@ -733,6 +783,7 @@ object Behavior {
     "q_survival_km" -> survivalQ)
 
   def oracle: Map[String, String] = Map(
+    "q_behavior_decay" -> decaySql,
     "q_behavior_absorbing" -> absorbingSql,
     "q_behavior_stickiness" -> stickinessSql,
     "q_funnel_latency" -> funnelLatencySql,

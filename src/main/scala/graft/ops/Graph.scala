@@ -1442,6 +1442,86 @@ object Graph {
       |    OVER () AS BIGINT) AS eff_diameter_90
       |FROM cum ORDER BY hop""".stripMargin
 
+  /** q_graph_motifs entry: DIRECTED TRIAD MOTIF census over the
+    * p75-strong DIRECTED trade graph (Milo et al., "Network motifs",
+    * Science 2002): count two-hop paths a→b→c (a≠c) and classify each
+    * by its closure — CYCLIC (c→a closes a 3-cycle), TRANSITIVE (a→c
+    * closes a feed-forward triangle), or OPEN. The feed-forward /
+    * cycle ratio is the classic signature separating hierarchical flow
+    * networks from circulating ones; `n_cycles` reports closed triads
+    * divided by 3 (each cycle is counted once per rotation).
+    *
+    * Scale shape: the path join is keyed on the shared middle node b —
+    * per-b work is indeg(b)·outdeg(b), the standard motif-count cost —
+    * and closure tests are broadcast hash joins against the edge list;
+    * everything after the shared [[tradeEdges]] corpus pass is
+    * |V|²-bounded. Exact integers throughout. */
+  def motifsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
+    val wAll = Window.partitionBy(lit(0))
+    val thr = edges
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"w", $"src", $"dst")))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter($"rn" === expr("(75 * n + 99) div 100"))
+      .select($"w".as("thr"))
+    val st = edges.join(broadcast(thr), $"w" >= $"thr")
+      .filter($"src" =!= $"dst")
+      .select($"src", $"dst")
+    val paths = st.as("e1").join(st.as("e2"), $"e1.dst" === $"e2.src")
+      .filter($"e1.src" =!= $"e2.dst")
+      .select($"e1.src".as("a"), $"e1.dst".as("b"), $"e2.dst".as("c"))
+    val closed = paths
+      .join(broadcast(st.select($"src".as("c"), $"dst".as("a"))
+        .withColumn("cyc", lit(1L))), Seq("c", "a"), "left")
+      .join(broadcast(st.select($"src".as("a"), $"dst".as("c"))
+        .withColumn("ff", lit(1L))), Seq("a", "c"), "left")
+    closed.agg(count(lit(1)).as("n_paths"),
+        sum(coalesce($"cyc", lit(0L))).as("n_cyclic_paths"),
+        sum(coalesce($"ff", lit(0L))).as("n_ff"))
+      .select($"n_paths".cast("long").as("n_two_hop_paths"),
+        expr("CAST(n_cyclic_paths div 3 AS BIGINT)").as("n_cycles"),
+        $"n_ff".cast("long").as("n_feed_forward"),
+        expr("CAST((10000 * n_ff) div n_paths AS BIGINT)")
+          .as("ff_per_path_bp"))
+  }
+
+  val motifsSql: String =
+    """WITH edges AS (
+      |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT w, row_number() OVER (ORDER BY w, src, dst) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM edges),
+      |thr AS (SELECT w AS thr FROM rk WHERE rn = (75 * n + 99) // 100),
+      |st AS (SELECT src, dst FROM edges, thr
+      |  WHERE w >= thr AND src <> dst),
+      |paths AS (
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM st e1 JOIN st e2 ON e1.dst = e2.src
+      |  WHERE e1.src <> e2.dst),
+      |closed AS (
+      |  SELECT p.*,
+      |    CASE WHEN cy.src IS NOT NULL THEN 1 ELSE 0 END AS cyc,
+      |    CASE WHEN ff.src IS NOT NULL THEN 1 ELSE 0 END AS ff
+      |  FROM paths p
+      |  LEFT JOIN st cy ON cy.src = p.c AND cy.dst = p.a
+      |  LEFT JOIN st ff ON ff.src = p.a AND ff.dst = p.c)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_two_hop_paths,
+      |  CAST(SUM(cyc) // 3 AS BIGINT) AS n_cycles,
+      |  CAST(SUM(ff) AS BIGINT) AS n_feed_forward,
+      |  CAST((10000 * SUM(ff)) // COUNT(*) AS BIGINT) AS ff_per_path_bp
+      |FROM closed""".stripMargin
+
   /** q_graph_mst entry: MAXIMUM SPANNING BACKBONE of the undirected
     * nation trade graph by the KSV MapReduce-MST shape (Karloff, Suri
     * & Vassilvitskii, SODA 2010, whose flagship example is exactly
@@ -1720,6 +1800,7 @@ object Graph {
     "q_graph_neighbor_sim" -> neighborSimQ,
     "q_graph_adamic_adar" -> adamicAdarQ,
     "q_graph_diameter" -> diameterQ,
+    "q_graph_motifs" -> motifsQ,
     "q_graph_bfs" -> bfsQ)
 
   def oracle: Map[String, String] = Map(
@@ -1738,5 +1819,6 @@ object Graph {
     "q_graph_neighbor_sim" -> neighborSimSql,
     "q_graph_adamic_adar" -> adamicAdarSql,
     "q_graph_diameter" -> diameterSql,
+    "q_graph_motifs" -> motifsSql,
     "q_graph_bfs" -> bfsSql)
 }
