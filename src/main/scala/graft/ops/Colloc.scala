@@ -379,6 +379,121 @@ object Colloc {
     * against that frame. Determinism: degree and freq are exact
     * integers; word scores round to 9 dp as decimals and phrase scores
     * sum exactly; ties order by phrase text. */
+  /** q_text_textrank entry: TEXTRANK keyword extraction (Mihalcea &
+    * Tarau, EMNLP 2004) — PageRank over the word CO-OCCURRENCE graph:
+    * non-stopword tokens within distance ≤ 2 share an undirected edge
+    * weighted by co-occurrence count; 4 damped rank iterations; the
+    * top-20 words are the corpus keywords. [[rakeQ]]'s graph-based
+    * complement — RAKE scores words by their phrase neighborhoods,
+    * TextRank by global recommendation flow (a word matters when
+    * well-connected words co-occur with it), which is why the two
+    * survive together in production keyphrase stacks.
+    *
+    * Scale shape: the pair build is a per-document position self-join
+    * with 0 < Δpos ≤ 2 — O(corpus × window) rows, one exchange — and
+    * everything after collapses to the Heaps-bounded VOCABULARY graph
+    * (checkpointed; the rank loop re-reads the tiny frame, the
+    * [[graft.ops.Graph.pagerankQ]] lineage lesson). Determinism: the
+    * pagerank contract verbatim — exact integer weights, 9-dp rounded
+    * DECIMAL(28,9) contribution merges, re-round per iteration, dyadic
+    * start 0.125. */
+  def textrankQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    val tk = Text.withToks(s, dir)
+      .select($"doc_id", posexplode($"toks").as(Seq("pos", "term")))
+      .filter(!$"term".isin(stops: _*) && length($"term") >= 1)
+    val edges = tk.as("x").join(tk.as("y"),
+        $"x.doc_id" === $"y.doc_id" &&
+          $"y.pos" > $"x.pos" && $"y.pos" - $"x.pos" <= 2 &&
+          $"x.term" =!= $"y.term")
+      .select(least($"x.term", $"y.term").as("src"),
+        greatest($"x.term", $"y.term").as("dst"))
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      .checkpoint()
+    val und = edges.unionByName(
+      edges.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    val outw = und.groupBy($"src").agg(sum($"w").as("outw"))
+    val nodes = und.select($"src".as("node")).distinct()
+    var pr = nodes.withColumn("pr", lit(0.125)) // dyadic start
+    for (_ <- 1 to 4) {
+      val contribs = und
+        .join(outw, "src")
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .select($"dst",
+          round($"pr" * $"w".cast("double") / $"outw".cast("double"), 9)
+            .cast("decimal(28,9)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("mass"))
+      pr = nodes
+        .join(contribs, $"node" === $"dst", "left")
+        .select($"node",
+          round(lit(0.15) +
+            lit(0.85) * coalesce($"mass", lit(0)).cast("double"), 9)
+            .as("pr"))
+    }
+    val deg = und.groupBy($"src".as("node"))
+      .agg(count(lit(1)).as("degree"), sum($"w").as("cooc"))
+    pr.join(deg, "node")
+      .orderBy($"pr".desc, $"node")
+      .limit(20)
+      .select($"node".as("term"), $"pr".cast("double").as("textrank"),
+        $"degree".cast("long").as("degree"),
+        $"cooc".cast("long").as("n_cooc"))
+  }
+
+  val textrankSql: String = {
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT n.node,
+         |    ROUND(0.15 + 0.85 * CAST(COALESCE(m.mass, 0) AS DOUBLE), 9)
+         |      AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT u.dst,
+         |      SUM(CAST(ROUND(p.pr * CAST(u.w AS DOUBLE)
+         |        / CAST(o.outw AS DOUBLE), 9) AS DECIMAL(28,9))) AS mass
+         |    FROM und u
+         |    JOIN outw o ON o.src = u.src
+         |    JOIN $prev p ON p.node = u.src
+         |    GROUP BY u.dst) m ON n.node = m.dst)""".stripMargin
+    s"""WITH dtok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id, p.pos AS pos, p.term AS term FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+      |      i -> {'pos': i, 'term': toks[i]})) AS p
+      |    FROM dtok)
+      |  WHERE term NOT IN ('the', 'a', 'of', 'and', 'to', 'in')
+      |    AND length(term) >= 1),
+      |edges AS (
+      |  SELECT LEAST(x.term, y.term) AS src,
+      |    GREATEST(x.term, y.term) AS dst, COUNT(*) AS w
+      |  FROM tk x JOIN tk y ON x.doc_id = y.doc_id
+      |    AND y.pos > x.pos AND y.pos - x.pos <= 2
+      |    AND x.term <> y.term
+      |  GROUP BY 1, 2),
+      |und AS (
+      |  SELECT src, dst, w FROM edges
+      |  UNION ALL SELECT dst, src, w FROM edges),
+      |outw AS (SELECT src, SUM(w) AS outw FROM und GROUP BY 1),
+      |nodes AS (SELECT DISTINCT src AS node FROM und),
+      |p0 AS (SELECT node, 0.125::DOUBLE AS pr FROM nodes),
+      |${iter("p0", "p1")},
+      |${iter("p1", "p2")},
+      |${iter("p2", "p3")},
+      |${iter("p3", "p4")},
+      |deg AS (SELECT src AS node, COUNT(*) AS degree, SUM(w) AS cooc
+      |  FROM und GROUP BY 1)
+      |SELECT p.node AS term, p.pr AS textrank,
+      |  CAST(d.degree AS BIGINT) AS degree,
+      |  CAST(d.cooc AS BIGINT) AS n_cooc
+      |FROM p4 p JOIN deg d ON p.node = d.node
+      |ORDER BY p.pr DESC, p.node LIMIT 20""".stripMargin
+  }
+
   def rakeQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
@@ -455,6 +570,7 @@ object Colloc {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_rake" -> rakeQ,
+    "q_text_textrank" -> textrankQ,
     "q_text_burstiness" -> burstinessQ,
     "q_text_kneser_ney" -> kneserNeyQ,
     "q_text_ctfidf" -> ctfidfQ,
@@ -464,6 +580,7 @@ object Colloc {
 
   def oracle: Map[String, String] = Map(
     "q_text_rake" -> rakeSql,
+    "q_text_textrank" -> textrankSql,
     "q_text_burstiness" -> burstinessSql,
     "q_text_kneser_ney" -> kneserNeySql,
     "q_text_ctfidf" -> ctfidfSql,
