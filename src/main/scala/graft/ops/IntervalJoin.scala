@@ -76,9 +76,88 @@ object IntervalJoin {
       |FROM probe JOIN r ON up BETWEEN lo AND hi
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** The 13 Allen relations as one CASE over exact microsecond bounds —
+    * equality tests first (meets/starts/finishes/equal are measure-zero
+    * on continuous time but exact on integer timestamps), then the
+    * strict-order relations. Shared text with the oracle. */
+  private val allenCase: String =
+    """CASE
+      |  WHEN alo = blo AND ahi = bhi THEN 'equal'
+      |  WHEN ahi = blo THEN 'meets'
+      |  WHEN bhi = alo THEN 'met_by'
+      |  WHEN alo = blo AND ahi < bhi THEN 'starts'
+      |  WHEN alo = blo AND ahi > bhi THEN 'started_by'
+      |  WHEN ahi = bhi AND alo > blo THEN 'finishes'
+      |  WHEN ahi = bhi AND alo < blo THEN 'finished_by'
+      |  WHEN ahi < blo THEN 'before'
+      |  WHEN bhi < alo THEN 'after'
+      |  WHEN alo > blo AND ahi < bhi THEN 'during'
+      |  WHEN alo < blo AND ahi > bhi THEN 'contains'
+      |  WHEN alo < blo AND ahi > blo AND ahi < bhi THEN 'overlaps'
+      |  ELSE 'overlapped_by'
+      |END""".stripMargin
+
+  /** q_join_allen entry: ALLEN INTERVAL-RELATION census (Allen, CACM
+    * 1983 — the 13 mutually-exclusive, jointly-exhaustive relations
+    * between two intervals; the vocabulary of temporal reasoning and
+    * of every temporal-join optimizer): per user, the activity
+    * interval [first, last event] of each event type; for every type
+    * pair, classify the pair's relation and census the counts per
+    * (type_a, type_b, relation). "Does error activity sit INSIDE view
+    * activity or straddle it" is a temporal-containment question a
+    * plain overlap join can't distinguish — Allen's algebra can.
+    *
+    * Scale shape: ONE combinable groupBy to the (user × type) interval
+    * frame (≤ users × types rows), a per-user self-join (≤ C(types,2)
+    * pairs per user — bounded fan-out, no corpus self-join), and a
+    * census groupBy over ≤ types² × 13 cells. Classification is exact
+    * integer-microsecond comparisons — no FP anywhere. */
+  def allenQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val iv = graft.Tables.t(s, dir, "events")
+      .groupBy($"user_id", $"event_type")
+      .agg(min(unix_micros($"ts")).as("lo"),
+        max(unix_micros($"ts")).as("hi"),
+        count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+    val pairs = iv.as("a").join(iv.as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          $"a.event_type" < $"b.event_type")
+      .select($"a.event_type".as("type_a"), $"b.event_type".as("type_b"),
+        $"a.lo".as("alo"), $"a.hi".as("ahi"),
+        $"b.lo".as("blo"), $"b.hi".as("bhi"))
+    pairs
+      .withColumn("relation", expr(allenCase))
+      .groupBy($"type_a", $"type_b", $"relation")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select($"type_a", $"type_b", $"relation",
+        $"n_pairs".cast("long").as("n_pairs"))
+      .orderBy($"type_a", $"type_b", $"relation")
+  }
+
+  val allenSql: String =
+    s"""WITH iv AS (
+      |  SELECT user_id, event_type,
+      |    MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi
+      |  FROM iv a JOIN iv b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type)
+      |SELECT type_a, type_b,
+      |  ${allenCase.replace("\n", "\n      |  ")} AS relation,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM pairs
+      |GROUP BY 1, 2, 3
+      |ORDER BY type_a, type_b, relation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_join_interval" -> priceBandQ)
+    "q_join_interval" -> priceBandQ,
+    "q_join_allen" -> allenQ)
 
   def oracle: Map[String, String] = Map(
-    "q_join_interval" -> priceBandSql)
+    "q_join_interval" -> priceBandSql,
+    "q_join_allen" -> allenSql)
 }

@@ -2917,7 +2917,141 @@ object Stats {
       |  CAST(n_extreme + 1 AS DOUBLE) / (bb + 1) AS p_value
       |FROM agg""".stripMargin
 
+  /** q_stat_yuen entry: YUEN'S TRIMMED-MEAN t-TEST (Yuen, Biometrika
+    * 1974 — the robust two-sample comparison recommended by Wilcox's
+    * robust-statistics program): compare 10%-trimmed means using
+    * winsorized variances, with Yuen's effective degrees of freedom.
+    * Where [[ttestQ]] is wrecked by heavy tails and [[mannWhitneyQ]]
+    * changes the hypothesis to stochastic dominance, Yuen keeps "do
+    * central locations differ" while bounding any single point's
+    * influence — the robust A/B readout for skewed value metrics.
+    *
+    * Determinism/exactness: trim boundaries are exact order statistics
+    * (row_number over (value, key)); group sums are exact integer
+    * CENTS of winsorized values; means/variances/t are the same IEEE
+    * expression shape on identical operands in both engines.
+    *
+    * Scale shape: one ranked window per group (shards by group), then
+    * a combinable groupBy of winsorized sufficient statistics; the
+    * scalar chain runs on the 2-row group frame. */
+  def yuenQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val base = t(s, dir, "customer")
+      .filter($"c_mktsegment".isin("BUILDING", "AUTOMOBILE"))
+      .select($"c_mktsegment".as("grp"), $"c_custkey",
+        ($"c_acctbal".cast("decimal(18,2)") * 100).cast("long").as("vc"))
+    val w = Window.partitionBy($"grp").orderBy($"vc", $"c_custkey")
+    val ranked = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"grp")))
+      .withColumn("g", expr("n div 10"))
+    // winsorize: clamp rank ≤ g to the (g+1)-th value, rank > n−g to
+    // the (n−g)-th; trimmed rows are the strict interior
+    val bounds = ranked
+      .withColumn("lo_v", max(when($"rn" === $"g" + 1, $"vc"))
+        .over(Window.partitionBy($"grp")))
+      .withColumn("hi_v", max(when($"rn" === $"n" - $"g", $"vc"))
+        .over(Window.partitionBy($"grp")))
+      .withColumn("wv",
+        when($"rn" <= $"g", $"lo_v")
+          .when($"rn" > $"n" - $"g", $"hi_v")
+          .otherwise($"vc"))
+    val stats = bounds.groupBy($"grp").agg(
+      max($"n").as("n"), max($"g").as("g"),
+      sum(when($"rn" > $"g" && $"rn" <= $"n" - $"g", $"vc")
+        .otherwise(0L)).as("ts"),
+      sum($"wv").as("ws"),
+      sum(($"wv" * $"wv").cast("decimal(38,0)")).as("ws2"))
+      .withColumn("h", $"n" - lit(2) * $"g")
+      .withColumn("tmean", $"ts".cast("double") / $"h" / lit(100.0))
+      .withColumn("wvar",
+        ($"n".cast("double") * $"ws2".cast("double")
+          - $"ws".cast("double") * $"ws".cast("double"))
+        / ($"n".cast("double") * ($"n" - lit(1)).cast("double"))
+        / lit(10000.0))
+      .withColumn("d",
+        $"wvar" * ($"n" - lit(1)).cast("double")
+          / ($"h".cast("double") * ($"h" - lit(1)).cast("double")))
+    val wide = stats.filter($"grp" === "BUILDING")
+      .select($"n".as("n1"), $"h".as("h1"), $"tmean".as("tm1"),
+        $"wvar".as("wv1"), $"d".as("d1"))
+      .crossJoin(broadcast(stats.filter($"grp" === "AUTOMOBILE")
+        .select($"n".as("n2"), $"h".as("h2"), $"tmean".as("tm2"),
+          $"wvar".as("wv2"), $"d".as("d2"))))
+    wide.select(
+      $"n1".cast("long").as("n_building"),
+      $"n2".cast("long").as("n_automobile"),
+      round($"tm1", 6).as("tmean_building"),
+      round($"tm2", 6).as("tmean_automobile"),
+      round(($"tm1" - $"tm2") / sqrt($"d1" + $"d2"), 6).as("t_yuen"),
+      round(pow($"d1" + $"d2", 2)
+        / (pow($"d1", 2) / ($"h1" - lit(1)).cast("double")
+           + pow($"d2", 2) / ($"h2" - lit(1)).cast("double")), 6)
+        .as("df_yuen"),
+      (abs(($"tm1" - $"tm2") / sqrt($"d1" + $"d2")) > lit(1.959964))
+        .as("significant_05"))
+  }
+
+  val yuenSql: String =
+    """WITH base AS (
+      |  SELECT c_mktsegment AS grp, c_custkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY grp
+      |      ORDER BY vc, c_custkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY grp) AS n,
+      |    COUNT(*) OVER (PARTITION BY grp) // 10 AS g
+      |  FROM base),
+      |bounds AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN rn = g + 1 THEN vc END)
+      |      OVER (PARTITION BY grp) AS lo_v,
+      |    MAX(CASE WHEN rn = n - g THEN vc END)
+      |      OVER (PARTITION BY grp) AS hi_v
+      |  FROM ranked),
+      |wz AS (
+      |  SELECT *, CASE WHEN rn <= g THEN lo_v
+      |                 WHEN rn > n - g THEN hi_v
+      |                 ELSE vc END AS wv
+      |  FROM bounds),
+      |stats AS (
+      |  SELECT grp, MAX(n) AS n, MAX(g) AS g,
+      |    SUM(CASE WHEN rn > g AND rn <= n - g THEN vc ELSE 0 END) AS ts,
+      |    SUM(wv) AS ws,
+      |    SUM(CAST(wv * wv AS DECIMAL(38,0))) AS ws2
+      |  FROM wz GROUP BY 1),
+      |ext AS (
+      |  SELECT *, n - 2 * g AS h,
+      |    CAST(ts AS DOUBLE) / (n - 2 * g) / 100.0 AS tmean,
+      |    (CAST(n AS DOUBLE) * CAST(ws2 AS DOUBLE)
+      |      - CAST(ws AS DOUBLE) * CAST(ws AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0
+      |      AS wvar
+      |  FROM stats),
+      |dd AS (
+      |  SELECT *, wvar * CAST(n - 1 AS DOUBLE)
+      |    / (CAST(h AS DOUBLE) * CAST(h - 1 AS DOUBLE)) AS d
+      |  FROM ext),
+      |wide AS (
+      |  SELECT b.n AS n1, b.h AS h1, b.tmean AS tm1, b.d AS d1,
+      |    a.n AS n2, a.h AS h2, a.tmean AS tm2, a.d AS d2
+      |  FROM (SELECT * FROM dd WHERE grp = 'BUILDING') b,
+      |       (SELECT * FROM dd WHERE grp = 'AUTOMOBILE') a)
+      |SELECT CAST(n1 AS BIGINT) AS n_building,
+      |  CAST(n2 AS BIGINT) AS n_automobile,
+      |  ROUND(tm1, 6) AS tmean_building,
+      |  ROUND(tm2, 6) AS tmean_automobile,
+      |  ROUND((tm1 - tm2) / SQRT(d1 + d2), 6) AS t_yuen,
+      |  ROUND(POW(d1 + d2, 2)
+      |    / (POW(d1, 2) / CAST(h1 - 1 AS DOUBLE)
+      |       + POW(d2, 2) / CAST(h2 - 1 AS DOUBLE)), 6) AS df_yuen,
+      |  ABS((tm1 - tm2) / SQRT(d1 + d2)) > 1.959964 AS significant_05
+      |FROM wide""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_yuen" -> yuenQ,
     "q_stat_permutation" -> permutationQ,
     "q_sample_pps" -> ppsQ,
     "q_stat_cuped" -> cupedQ,
@@ -2955,6 +3089,7 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_yuen" -> yuenSql,
     "q_stat_permutation" -> permutationSql,
     "q_sample_pps" -> ppsSql,
     "q_stat_cuped" -> cupedSql,
