@@ -3050,7 +3050,185 @@ object Stats {
       |  ABS((tm1 - tm2) / SQRT(d1 + d2)) > 1.959964 AS significant_05
       |FROM wide""".stripMargin
 
+  /** q_ts_pacf entry: PARTIAL AUTOCORRELATION at lags 1–5 per hourly
+    * series via the DURBIN–LEVINSON recursion (Box–Jenkins model
+    * identification: the PACF cutting off after lag p IS the AR(p)
+    * signature — the ACF alone can't separate direct dependence from
+    * propagated dependence, which is the whole point of partialling).
+    * φ₁₁ = ρ₁; then φ_kk = (ρ_k − Σφ_{k−1,j}ρ_{k−j}) / (1 − Σφ_{k−1,j}ρ_j)
+    * and φ_kj = φ_{k−1,j} − φ_kk·φ_{k−1,k−j}. Complements [[acfQ]]
+    * (which reports raw ρ) and [[Stats ar2]]'s fixed-order Yule–Walker
+    * fit with the order-SELECTION diagnostic.
+    *
+    * Exactness: ρ_k comes from exact integer sufficient statistics in
+    * closed form (the [[acfQ]] idiom) and rounds to 9 dp BEFORE the
+    * recursion, so both engines run Durbin–Levinson on identical
+    * numbers; every recursion quantity re-rounds to 9 dp with
+    * DECIMAL(38,12) term merges.
+    *
+    * Scale shape: the corpus collapses once to the calendar-dense
+    * (series × hour) grid; the 5 lag-statistic passes are windows over
+    * that bounded grid; the recursion runs on ≤ series × 5 rows
+    * (checkpointed per step — the frames are tiny but each step
+    * branches on the previous one, the [[graft.ops.Pca.spectrumQ]]
+    * lineage lesson). */
+  def pacfQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+    val hourly = t(s, dir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |  timestamp'2024-01-30 23:00:00', interval 1 hour)) AS hour"""
+        .stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val dense = grid.crossJoin(broadcast(series))
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select($"event_type", $"hour", coalesce($"cnt", lit(0L)).as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"hour")
+    val glob = dense.groupBy($"event_type")
+      .agg(count(lit(1)).as("tt"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+    def lagStats(k: Int): DataFrame = dense
+      .withColumn("y", lag($"x", k).over(w))
+      .filter($"y".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("nk"), sum($"x" * $"y").as("sxy"),
+        sum($"x").as("sxl"), sum($"y").as("slx"))
+      .withColumn("k", lit(k))
+    val rho = (1 to 5).map(lagStats).reduce(_ unionByName _)
+      .join(glob, "event_type")
+      .withColumn("xbar", $"sx".cast("double") / $"tt")
+      .withColumn("c0",
+        $"sxx".cast("double") - $"sx".cast("double") * $"xbar")
+      .withColumn("ck",
+        $"sxy".cast("double") - $"xbar" * ($"sxl" + $"slx").cast("double")
+          + $"nk".cast("double") * $"xbar" * $"xbar")
+      .select($"event_type", $"k", round($"ck" / $"c0", 9).as("rho"))
+      .checkpoint()
+    var phi = rho.filter($"k" === 1)
+      .select($"event_type", lit(1).as("j"), $"rho".as("v"))
+    var heads = rho.filter($"k" === 1)
+      .select($"event_type", lit(1).as("lag"), $"rho".as("pacf"))
+    for (k <- 2 to 5) {
+      val sums = phi.as("p")
+        .join(rho.as("rn"), $"p.event_type" === $"rn.event_type" &&
+          $"rn.k" === lit(k) - $"p.j")
+        .join(rho.as("rj"), $"p.event_type" === $"rj.event_type" &&
+          $"rj.k" === $"p.j")
+        .groupBy($"p.event_type".as("event_type"))
+        .agg(sum(round($"p.v" * $"rn.rho", 12).cast("decimal(38,12)"))
+            .cast("double").as("num_s"),
+          sum(round($"p.v" * $"rj.rho", 12).cast("decimal(38,12)"))
+            .cast("double").as("den_s"))
+      val head = sums.join(rho.filter($"k" === k), "event_type")
+        .select($"event_type",
+          round(($"rho" - $"num_s") / (lit(1.0) - $"den_s"), 9).as("head"))
+      val phiM = phi.select($"event_type", (lit(k) - $"j").as("j"),
+        $"v".as("vm"))
+      phi = phi.join(phiM, Seq("event_type", "j"))
+        .join(head, "event_type")
+        .select($"event_type", $"j",
+          round($"v" - $"head" * $"vm", 9).as("v"))
+        .unionByName(head.select($"event_type", lit(k).as("j"),
+          $"head".as("v")))
+        .checkpoint()
+      heads = heads.unionByName(head.select($"event_type",
+        lit(k).as("lag"), $"head".as("pacf")))
+    }
+    heads
+      .join(rho.select($"event_type", $"k".as("lag"), $"rho"),
+        Seq("event_type", "lag"))
+      .select($"event_type", $"lag".cast("long").as("lag"),
+        $"rho".as("acf"), $"pacf")
+      .orderBy($"event_type", $"lag")
+  }
+
+  val pacfSql: String = {
+    def ls(k: Int): String =
+      s"""  SELECT event_type, $k AS k, COUNT(*) AS nk, SUM(x * y) AS sxy,
+         |    SUM(x) AS sxl, SUM(y) AS slx
+         |  FROM (
+         |    SELECT event_type, x,
+         |      lag(x, $k) OVER (PARTITION BY event_type ORDER BY hour) AS y
+         |    FROM dense) WHERE y IS NOT NULL GROUP BY event_type"""
+        .stripMargin
+    def step(k: Int, pPrev: String): String =
+      s"""s$k AS (
+         |  SELECT p.event_type,
+         |    CAST(SUM(CAST(ROUND(p.v * rn.rho, 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS num_s,
+         |    CAST(SUM(CAST(ROUND(p.v * rj.rho, 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS den_s
+         |  FROM $pPrev p
+         |  JOIN rho rn ON rn.event_type = p.event_type AND rn.k = $k - p.j
+         |  JOIN rho rj ON rj.event_type = p.event_type AND rj.k = p.j
+         |  GROUP BY 1),
+         |h$k AS (
+         |  SELECT s.event_type,
+         |    ROUND((r.rho - s.num_s) / (1.0 - s.den_s), 9) AS head
+         |  FROM s$k s JOIN rho r ON r.event_type = s.event_type
+         |    AND r.k = $k),
+         |p$k AS (
+         |  SELECT p.event_type, p.j, ROUND(p.v - h.head * m.v, 9) AS v
+         |  FROM $pPrev p
+         |  JOIN $pPrev m ON m.event_type = p.event_type AND m.j = $k - p.j
+         |  JOIN h$k h ON h.event_type = p.event_type
+         |  UNION ALL
+         |  SELECT event_type, $k, head FROM h$k)""".stripMargin
+    s"""WITH grid AS (
+       |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+       |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour),
+       |hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |series AS (SELECT DISTINCT event_type FROM events),
+       |dense AS (
+       |  SELECT s.event_type, g.hour, COALESCE(h.cnt, 0) AS x
+       |  FROM grid g CROSS JOIN series s
+       |  LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = s.event_type),
+       |gstats AS (
+       |  SELECT event_type, COUNT(*) AS tt, SUM(x) AS sx,
+       |    SUM(x * x) AS sxx
+       |  FROM dense GROUP BY 1),
+       |lagstats AS (
+       |${(1 to 5).map(ls).mkString("\n  UNION ALL\n")}),
+       |rho AS (
+       |  SELECT l.event_type, l.k,
+       |    ROUND((CAST(l.sxy AS DOUBLE)
+       |        - (CAST(g.sx AS DOUBLE) / g.tt)
+       |          * CAST(l.sxl + l.slx AS DOUBLE)
+       |        + CAST(l.nk AS DOUBLE) * (CAST(g.sx AS DOUBLE) / g.tt)
+       |          * (CAST(g.sx AS DOUBLE) / g.tt))
+       |      / (CAST(g.sxx AS DOUBLE)
+       |        - CAST(g.sx AS DOUBLE) * (CAST(g.sx AS DOUBLE) / g.tt)),
+       |      9) AS rho
+       |  FROM lagstats l JOIN gstats g ON l.event_type = g.event_type),
+       |p1 AS (SELECT event_type, 1 AS j, rho AS v FROM rho WHERE k = 1),
+       |h1 AS (SELECT event_type, rho AS head FROM rho WHERE k = 1),
+       |${step(2, "p1")},
+       |${step(3, "p2")},
+       |${step(4, "p3")},
+       |${step(5, "p4")},
+       |heads AS (
+       |  SELECT event_type, 1 AS lag, head AS pacf FROM h1
+       |  UNION ALL SELECT event_type, 2, head FROM h2
+       |  UNION ALL SELECT event_type, 3, head FROM h3
+       |  UNION ALL SELECT event_type, 4, head FROM h4
+       |  UNION ALL SELECT event_type, 5, head FROM h5)
+       |SELECT h.event_type, CAST(h.lag AS BIGINT) AS lag,
+       |  r.rho AS acf, h.pacf
+       |FROM heads h JOIN rho r
+       |  ON r.event_type = h.event_type AND r.k = h.lag
+       |ORDER BY h.event_type, h.lag""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_pacf" -> pacfQ,
     "q_stat_yuen" -> yuenQ,
     "q_stat_permutation" -> permutationQ,
     "q_sample_pps" -> ppsQ,
@@ -3089,6 +3267,7 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_pacf" -> pacfSql,
     "q_stat_yuen" -> yuenSql,
     "q_stat_permutation" -> permutationSql,
     "q_sample_pps" -> ppsSql,
