@@ -652,7 +652,129 @@ object Curate {
       |    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS pass_bp
       |FROM flags GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** q_curate_coverage entry: GREEDY MAXIMUM-COVERAGE source selection
+    * (Nemhauser, Wolsey & Fisher 1978 — the greedy algorithm achieves
+    * the optimal (1−1/e) approximation for submodular coverage, and
+    * max-coverage is THE budgeted-acquisition model: "we can license
+    * k = 4 crawl sources — which ones cover the most distinct
+    * content?"). Elements are 8-word content-chunk digests (the [[Dedup.paragraphQ]]
+    * unit — chunks DO repeat across sources, so a source of recycled
+    * boilerplate adds little); each greedy round picks
+    * the source with the largest UNCOVERED-digest count. Reported per
+    * round: the pick, its marginal gain, cumulative coverage, and the
+    * nonincreasing-gain column that is submodularity made visible.
+    *
+    * Distributed shape: ONE corpus pass to distinct (source, digest);
+    * each of the 4 rounds is an anti-join against the covered frame
+    * (digest-keyed, grows with coverage — never the corpus), one
+    * combinable count, and a 1-row deterministic argmax
+    * (TakeOrdered with the source tiebreak). Rounds are data-dependent
+    * picks, so covered/picked frames checkpoint per round (the
+    * [[graft.ops.Behavior.absorbingQ]] lineage discipline).
+    *
+    * Exactness: digests, counts, and basis points only. */
+  def coverageQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+    val base = t(s, dir, "documents")
+      .select($"source", explode(expr(
+        """transform(
+          |  sequence(0, cast(ceil(size(split(lower(text), ' ')) / 8.0)
+          |                   as int) - 1),
+          |  i -> array_join(slice(split(lower(text), ' '), i * 8 + 1, 8),
+          |                  ' '))""".stripMargin)).as("chunk"))
+      .select($"source", md5($"chunk").as("dig")).distinct()
+      .checkpoint()
+    val universe = base.select($"dig").distinct()
+      .agg(count(lit(1)).as("n_universe"))
+    var covered = base.filter(lit(false)).select($"dig") // empty, typed
+    var rows: DataFrame = null
+    for (r <- 1 to 4) {
+      val gains = base.join(covered, Seq("dig"), "left_anti")
+        .groupBy($"source").agg(count(lit(1)).as("n_new"))
+      val picked = gains
+        .orderBy($"n_new".desc, $"source").limit(1)
+        .withColumn("round", lit(r.toLong))
+        .checkpoint()
+      covered = covered
+        .unionByName(base.join(
+            picked.select($"source"), Seq("source"))
+          .select($"dig"))
+        .distinct()
+        .checkpoint()
+      val row = picked.crossJoin(broadcast(covered.agg(
+        count(lit(1)).as("n_covered"))))
+      rows = if (rows == null) row else rows.unionByName(row)
+    }
+    rows.crossJoin(broadcast(universe))
+      .select($"round", $"source".as("picked_source"),
+        $"n_new".cast("long").as("n_new"),
+        $"n_covered".cast("long").as("n_covered"),
+        expr("CAST((10000 * n_covered) div n_universe AS BIGINT)")
+          .as("coverage_bp"))
+      .orderBy($"round")
+  }
+
+  val coverageSql: String =
+    """WITH arr AS (
+      |  SELECT source, string_split(lower(text), ' ') AS ws FROM documents),
+      |base AS (
+      |  SELECT DISTINCT source,
+      |    md5(array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' '))
+      |      AS dig
+      |  FROM arr, LATERAL UNNEST(range(0,
+      |    CAST(ceil(len(ws) / 8.0) AS INT))) AS t(i)),
+      |uni AS (SELECT COUNT(DISTINCT dig) AS n_universe FROM base),
+      |g1 AS (SELECT source, COUNT(*) AS n_new FROM base GROUP BY 1),
+      |p1 AS (SELECT 1 AS round, source, n_new FROM g1
+      |  ORDER BY n_new DESC, source LIMIT 1),
+      |g2 AS (
+      |  SELECT b.source, COUNT(*) AS n_new FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM base c JOIN p1 ON c.source = p1.source
+      |    WHERE c.dig = b.dig)
+      |  GROUP BY 1),
+      |p2 AS (SELECT 2 AS round, source, n_new FROM g2
+      |  ORDER BY n_new DESC, source LIMIT 1),
+      |g3 AS (
+      |  SELECT b.source, COUNT(*) AS n_new FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM base c
+      |    WHERE c.dig = b.dig
+      |      AND c.source IN (SELECT source FROM p1
+      |                       UNION ALL SELECT source FROM p2))
+      |  GROUP BY 1),
+      |p3 AS (SELECT 3 AS round, source, n_new FROM g3
+      |  ORDER BY n_new DESC, source LIMIT 1),
+      |g4 AS (
+      |  SELECT b.source, COUNT(*) AS n_new FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM base c
+      |    WHERE c.dig = b.dig
+      |      AND c.source IN (SELECT source FROM p1
+      |                       UNION ALL SELECT source FROM p2
+      |                       UNION ALL SELECT source FROM p3))
+      |  GROUP BY 1),
+      |p4 AS (SELECT 4 AS round, source, n_new FROM g4
+      |  ORDER BY n_new DESC, source LIMIT 1),
+      |picks AS (
+      |  SELECT * FROM p1 UNION ALL SELECT * FROM p2
+      |  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4),
+      |cov AS (
+      |  SELECT p.round, COUNT(DISTINCT b.dig) AS n_covered
+      |  FROM picks p
+      |  JOIN picks q ON q.round <= p.round
+      |  JOIN base b ON b.source = q.source
+      |  GROUP BY 1)
+      |SELECT CAST(p.round AS BIGINT) AS round, p.source AS picked_source,
+      |  CAST(p.n_new AS BIGINT) AS n_new,
+      |  CAST(c.n_covered AS BIGINT) AS n_covered,
+      |  CAST((10000 * c.n_covered) // u.n_universe AS BIGINT)
+      |    AS coverage_bp
+      |FROM picks p JOIN cov c ON p.round = c.round, uni u
+      |ORDER BY p.round""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curate_coverage" -> coverageQ,
     "q_curate_gopher" -> gopherQ,
     "q_curate_ccnet" -> ccnetQ,
     "q_curate_budget" -> budgetQ,
@@ -664,6 +786,7 @@ object Curate {
     "q_curate_curriculum" -> curriculumQ)
 
   def oracle: Map[String, String] = Map(
+    "q_curate_coverage" -> coverageSql,
     "q_curate_gopher" -> gopherSql,
     "q_curate_ccnet" -> ccnetSql,
     "q_curate_budget" -> budgetSql,

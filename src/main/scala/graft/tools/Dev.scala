@@ -97,6 +97,7 @@ object Dev {
           "q_ts_reconcile" -> "1-row direct-total forecast frame",
           "q_stat_permutation" -> "1-row observed-statistic frame over the B x days grid",
           "q_stat_yuen" -> "two 1-row group-stat frames",
+          "q_curate_coverage" -> "per-round 1-row pick/coverage frames + 1-row universe frame",
           "q_ts_pacf" -> "bounded per-series grid dim (rows = series count, not events)",
           "q_shard_ring" -> "<=145-row ring-interval broadcast (range predicate)",
           "q_privacy_exponential" -> "source x lang public-domain candidate grid (bounded dims)",
