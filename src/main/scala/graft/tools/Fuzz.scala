@@ -447,11 +447,55 @@ object Fuzz {
       s"\nORDER BY ${orderAll(cols.size)}\nLIMIT ${10 + r.nextInt(40)}"
   }
 
+  /** Correlated COUNT subquery in the SELECT list — a decorrelation
+    * path (rewrite to an outer-joined aggregate) both engines must take
+    * without changing the per-row count; exact integers throughout. */
+  private def correlatedCountQuery(r: Random): String = {
+    val base = pick(r, Seq(lineitem, orders, orders, customer))
+    if (base.dims.isEmpty) return projQuery(r)
+    val d = pick(r, base.dims)
+    val dim = tables(d.table)
+    val cols = base.key.map(k => s"${base.name}.$k") :+
+      (s"CAST((SELECT COUNT(*) FROM ${d.table}\n" +
+        s"    WHERE ${base.name}.${d.fk} = ${d.table}.${d.pk}" +
+        s" AND ${predicate(r, Seq(dim))}) AS BIGINT) AS sub_n")
+    s"SELECT ${cols.mkString(", ")}\nFROM ${base.name}\n" +
+      s"WHERE ${base.name}.${base.key.head} % ${3 + r.nextInt(5)} = 0" +
+      s"\nORDER BY ${orderAll(cols.size)}\nLIMIT ${10 + r.nextInt(40)}"
+  }
+
+  /** LAG/LEAD value windows over the unique-key order — offset frames
+    * are a different execution path than the ranking functions of
+    * [[windowQuery]]; integral payloads keep the compare exact. */
+  private def lagLeadQuery(r: Random): String = {
+    val base = pick(r, Seq(lineitem, orders, customer, part))
+    val parts = base.cats.keys.toSeq.sorted
+    if (parts.isEmpty || base.bigs.isEmpty) return projQuery(r)
+    val partBy = s"${base.name}.${pick(r, parts)}"
+    val v = s"${base.name}.${pick(r, base.bigs)}"
+    val fn = pick(r, Seq("LAG", "LEAD"))
+    val off = 1 + r.nextInt(3)
+    val uk = base.key.map(k => s"${base.name}.$k")
+    // the fixture's declared keys are NOT unique (TPC-H-ish generator),
+    // so the lagged value column itself joins the sort: rows tied on
+    // the key emit their values in sorted order, making the window's
+    // output MULTISET deterministic even though row identity isn't
+    val ord = (uk :+ v).map(k => s"$k NULLS FIRST").mkString(", ")
+    // the outer select sees only the subquery alias — bare names
+    val cols = base.key :+ "pk_col" :+ "off_v"
+    s"SELECT ${cols.mkString(", ")} FROM (\n" +
+      s"  SELECT ${uk.mkString(", ")}, $partBy AS pk_col,\n" +
+      s"    CAST($fn($v, $off) OVER (PARTITION BY $partBy" +
+      s" ORDER BY $ord) AS BIGINT) AS off_v\n" +
+      s"  FROM ${base.name}${wherePreds(r, Seq(base))}\n) w" +
+      s"\nORDER BY ${orderAll(cols.size)}\nLIMIT ${10 + r.nextInt(40)}"
+  }
+
   /** The deterministic case list for (seed, n). */
   def cases(seed: Long, n: Int): Seq[Case] = {
     val r = new Random(seed)
     (0 until n).map { i =>
-      val sql = r.nextInt(9) match {
+      val sql = r.nextInt(11) match {
         case 0 | 1 => aggQuery(r) // weight aggregation highest
         case 2     => projQuery(r)
         case 3     => setOpQuery(r)
@@ -460,6 +504,8 @@ object Fuzz {
         case 6     => scalarSubQuery(r)
         case 7     => cteQuery(r)
         case 8     => computedQuery(r)
+        case 9     => correlatedCountQuery(r)
+        case 10    => lagLeadQuery(r)
       }
       Case(f"fuzz_$i%04d", sql)
     }

@@ -16,15 +16,12 @@ class SelectionSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.getAs[Long]("n_hits")).sum == 50L,
       "systematic PPS must place exactly n points")
     assert(rows.forall(_.getAs[Double]("ht_weight") > 0))
-    // inclusion is probability-proportional: every selected unit's
-    // cumulative interval contains >= 1 point, so size * 50 >= step
-    // cannot be asserted per-unit (small units enter by position), but
-    // multiplicity > 1 requires size > step = T/50
-    val multi = rows.filter(_.getAs[Long]("n_hits") > 1)
-    multi.foreach { r =>
-      assert(r.getAs[Long]("size_dollars") * 50 >
-        rows.map(_.getAs[Long]("size_dollars")).sum,
-        "a multi-hit unit must exceed the sampling step")
+    // multiplicity > 1 requires size > step = T/50, which by the
+    // Horvitz–Thompson identity weight = T/(50·size) is exactly
+    // weight < 1 — assertable from the output row alone
+    rows.filter(_.getAs[Long]("n_hits") > 1).foreach { r =>
+      assert(r.getAs[Double]("ht_weight") < 1.0,
+        "a multi-hit unit must exceed the sampling step (weight < 1)")
     }
   }
 
