@@ -456,13 +456,87 @@ object Retrieval {
        |FROM sc ORDER BY sc DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** q_eval_rbo entry: RANK-BIASED OVERLAP between the BM25 and
+    * query-likelihood top-10 rankings for the shared query (Webber,
+    * Moffat & Zobel, TOIS 2010 — the standard top-weighted similarity
+    * between indefinite rankings; Kendall's τ needs conjoint domains,
+    * RBO doesn't): RBO@k = (1−p)·Σ_{d≤k} p^{d−1}·|A_d ∩ B_d|/d with
+    * persistence p = 0.9. The two rankers are this library's own
+    * retrieval engines scoring the SAME query, so the number answers
+    * the ranker-migration question — "how much does the served top-10
+    * actually change if we swap scorers?" — that rank correlations on
+    * full domains can't.
+    *
+    * Shape: both rankings are k-bounded frames; the depth×overlap
+    * grid is ≤ k² rows (bounded theta join, audit-whitelisted); the
+    * prefix-overlap counts come from the max-rank distribution of the
+    * intersection — no per-depth re-ranking. Terms round to 12 dp and
+    * merge as DECIMAL(38,12). */
+  def rboQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val a = graft.ops.Text.bm25(s, dir)
+      .withColumn("ra", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"bm25".desc, $"doc_id")))
+      .filter($"ra" <= 10)
+      .select($"doc_id", $"ra")
+    val b = qlmQ(s, dir).select($"doc_id", $"rn".as("rb"))
+    val both = a.join(b, "doc_id")
+      .select(greatest($"ra", $"rb".cast("int")).as("mx"))
+    val depths = s.range(1, 11).select($"id".as("d"))
+    val xd = depths.join(both, $"mx" <= $"d", "left")
+      .groupBy($"d").agg(count($"mx").as("x_d"))
+    xd
+      .withColumn("term",
+        round(pow(lit(0.9), $"d" - 1) * $"x_d" / $"d", 12)
+          .cast("decimal(38,12)"))
+      .agg(max(when($"d" === 10, $"x_d")).as("x_10"),
+        sum($"term").as("terms"))
+      .select(lit(10L).as("k"), lit(0.9).as("p"),
+        $"x_10".cast("long").as("overlap_at_10"),
+        round($"x_10" / lit(10.0), 6).as("overlap_frac_at_10"),
+        round(lit(0.1) * $"terms".cast("double"), 6).as("rbo_at_10"))
+  }
+
+  val rboSql: String =
+    s"""WITH a AS (
+      |  SELECT doc_id, ra FROM (
+      |    SELECT doc_id,
+      |      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+      |    FROM (${graft.ops.Text.bm25Sql.replace("\n", "\n      |      ")}))
+      |  WHERE ra <= 10),
+      |b AS (
+      |  SELECT doc_id, rn AS rb FROM (
+      |    ${qlmSql.replace("\n", "\n      |    ")})),
+      |bth AS (
+      |  SELECT GREATEST(a.ra, CAST(b.rb AS INT)) AS mx
+      |  FROM a JOIN b USING (doc_id)),
+      |xd AS (
+      |  SELECT d.range AS d, COUNT(bth.mx) AS x_d
+      |  FROM range(1, 11) d LEFT JOIN bth ON bth.mx <= d.range
+      |  GROUP BY 1),
+      |tm AS (
+      |  SELECT d, x_d,
+      |    CAST(ROUND(POW(0.9, d - 1) * x_d / d, 12) AS DECIMAL(38,12))
+      |      AS term
+      |  FROM xd)
+      |SELECT CAST(10 AS BIGINT) AS k, 0.9::DOUBLE AS p,
+      |  CAST(MAX(CASE WHEN d = 10 THEN x_d END) AS BIGINT)
+      |    AS overlap_at_10,
+      |  ROUND(MAX(CASE WHEN d = 10 THEN x_d END) / 10.0, 6)
+      |    AS overlap_frac_at_10,
+      |  ROUND(0.1 * CAST(SUM(term) AS DOUBLE), 6) AS rbo_at_10
+      |FROM tm""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_rbo" -> rboQ,
     "q_eval_mrr" -> mrrQ,
     "q_search_mmr" -> mmrQ,
     "q_search_qlm" -> qlmQ,
     "q_search_rocchio" -> rocchioQ)
 
   def oracle: Map[String, String] = Map(
+    "q_eval_rbo" -> rboSql,
     "q_eval_mrr" -> mrrSql,
     "q_search_mmr" -> mmrSql,
     "q_search_qlm" -> qlmSql,

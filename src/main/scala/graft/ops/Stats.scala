@@ -3227,7 +3227,143 @@ object Stats {
        |ORDER BY h.event_type, h.lag""".stripMargin
   }
 
+  /** q_stat_did entry: DIFFERENCE-IN-DIFFERENCES — the workhorse
+    * quasi-experimental estimator (Card & Krueger 1994 canonically;
+    * every staged rollout that can't randomize): with arm = pinned md5
+    * user split and period = Jan 1–15 vs 16–30, the effect estimate is
+    * (T,post − T,pre) − (C,post − C,pre), which cancels both the fixed
+    * arm difference and the common time trend — the two confounders a
+    * naive post-period comparison absorbs. The z-statistic uses the
+    * four cells' user-level variances (unpaired form; the panel is
+    * balanced by construction so this is conservative). [[cupedQ]]'s
+    * sibling: CUPED reduces variance WITHIN a randomized experiment,
+    * DiD removes bias when assignment isn't random over time.
+    *
+    * Scale shape: ONE combinable per-user rollup (the only corpus
+    * exchange), then the four cells are conditional sums on the user
+    * frame and the estimator is scalar arithmetic on a 1-row frame.
+    *
+    * Exactness: integer cents throughout; cell means/variances from
+    * exact decimal sums; single IEEE divisions. */
+  def didQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val users = t(s, dir, "events")
+      .select($"user_id", $"ts",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy($"user_id")
+      .agg(sum(when($"ts" < lit("2024-01-16").cast("timestamp"), $"vc")
+          .otherwise(0L)).as("pre"),
+        sum(when($"ts" >= lit("2024-01-16").cast("timestamp"), $"vc")
+          .otherwise(0L)).as("post"))
+      .withColumn("arm", Hashing.md5Bucket($"user_id".cast("string"), 2))
+    def cell(armV: Int, c: String, nm: String): Seq[Column] = Seq(
+      sum(when($"arm" === armV, 1L).otherwise(0L)).as(s"n_$nm"),
+      sum(when($"arm" === armV, col(c)).otherwise(0L)).as(s"s_$nm"),
+      sum(when($"arm" === armV, (col(c) * col(c)).cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as(s"q_$nm"))
+    val allCells = cell(0, "pre", "c_pre") ++ cell(0, "post", "c_post") ++
+      cell(1, "pre", "t_pre") ++ cell(1, "post", "t_post")
+    val cells = users.agg(allCells.head, allCells.tail: _*)
+    def mean(nm: String): Column =
+      col(s"s_$nm").cast("double") / col(s"n_$nm") / lit(100.0)
+    def varOf(nm: String): Column =
+      (col(s"n_$nm").cast("double") * col(s"q_$nm").cast("double")
+        - col(s"s_$nm").cast("double") * col(s"s_$nm").cast("double")) /
+        (col(s"n_$nm").cast("double")
+          * (col(s"n_$nm") - lit(1)).cast("double")) / lit(10000.0)
+    val did = (mean("t_post") - mean("t_pre")) -
+      (mean("c_post") - mean("c_pre"))
+    val se = sqrt(
+      varOf("t_post") / col("n_t_post") + varOf("t_pre") / col("n_t_pre")
+        + varOf("c_post") / col("n_c_post")
+        + varOf("c_pre") / col("n_c_pre"))
+    cells.select(
+      col("n_c_pre").cast("long").as("n_control"),
+      col("n_t_pre").cast("long").as("n_treat"),
+      round(mean("c_pre"), 6).as("mean_c_pre"),
+      round(mean("c_post"), 6).as("mean_c_post"),
+      round(mean("t_pre"), 6).as("mean_t_pre"),
+      round(mean("t_post"), 6).as("mean_t_post"),
+      round(did, 6).as("did"),
+      round(did / se, 6).as("z"),
+      (abs(did / se) > lit(1.959964)).as("significant_05"))
+  }
+
+  val didSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+      |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS pre,
+      |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+      |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS post,
+      |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+      |      ::UBIGINT::BIGINT % 2 AS arm
+      |  FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT
+      |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_c,
+      |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_t,
+      |    SUM(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS s_c_pre,
+      |    SUM(CASE WHEN arm = 0 THEN post ELSE 0 END) AS s_c_post,
+      |    SUM(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS s_t_pre,
+      |    SUM(CASE WHEN arm = 1 THEN post ELSE 0 END) AS s_t_post,
+      |    SUM(CASE WHEN arm = 0
+      |      THEN CAST(pre * pre AS DECIMAL(38,0))
+      |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS q_c_pre,
+      |    SUM(CASE WHEN arm = 0
+      |      THEN CAST(post * post AS DECIMAL(38,0))
+      |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS q_c_post,
+      |    SUM(CASE WHEN arm = 1
+      |      THEN CAST(pre * pre AS DECIMAL(38,0))
+      |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS q_t_pre,
+      |    SUM(CASE WHEN arm = 1
+      |      THEN CAST(post * post AS DECIMAL(38,0))
+      |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS q_t_post
+      |  FROM u),
+      |m AS (
+      |  SELECT *,
+      |    CAST(s_c_pre AS DOUBLE) / n_c / 100.0 AS m_c_pre,
+      |    CAST(s_c_post AS DOUBLE) / n_c / 100.0 AS m_c_post,
+      |    CAST(s_t_pre AS DOUBLE) / n_t / 100.0 AS m_t_pre,
+      |    CAST(s_t_post AS DOUBLE) / n_t / 100.0 AS m_t_post,
+      |    (CAST(n_c AS DOUBLE) * CAST(q_c_pre AS DOUBLE)
+      |      - CAST(s_c_pre AS DOUBLE) * CAST(s_c_pre AS DOUBLE))
+      |      / (CAST(n_c AS DOUBLE) * CAST(n_c - 1 AS DOUBLE)) / 10000.0
+      |      AS v_c_pre,
+      |    (CAST(n_c AS DOUBLE) * CAST(q_c_post AS DOUBLE)
+      |      - CAST(s_c_post AS DOUBLE) * CAST(s_c_post AS DOUBLE))
+      |      / (CAST(n_c AS DOUBLE) * CAST(n_c - 1 AS DOUBLE)) / 10000.0
+      |      AS v_c_post,
+      |    (CAST(n_t AS DOUBLE) * CAST(q_t_pre AS DOUBLE)
+      |      - CAST(s_t_pre AS DOUBLE) * CAST(s_t_pre AS DOUBLE))
+      |      / (CAST(n_t AS DOUBLE) * CAST(n_t - 1 AS DOUBLE)) / 10000.0
+      |      AS v_t_pre,
+      |    (CAST(n_t AS DOUBLE) * CAST(q_t_post AS DOUBLE)
+      |      - CAST(s_t_post AS DOUBLE) * CAST(s_t_post AS DOUBLE))
+      |      / (CAST(n_t AS DOUBLE) * CAST(n_t - 1 AS DOUBLE)) / 10000.0
+      |      AS v_t_post
+      |  FROM cells),
+      |e AS (
+      |  SELECT *,
+      |    (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did,
+      |    SQRT(v_t_post / n_t + v_t_pre / n_t
+      |       + v_c_post / n_c + v_c_pre / n_c) AS se
+      |  FROM m)
+      |SELECT CAST(n_c AS BIGINT) AS n_control,
+      |  CAST(n_t AS BIGINT) AS n_treat,
+      |  ROUND(m_c_pre, 6) AS mean_c_pre,
+      |  ROUND(m_c_post, 6) AS mean_c_post,
+      |  ROUND(m_t_pre, 6) AS mean_t_pre,
+      |  ROUND(m_t_post, 6) AS mean_t_post,
+      |  ROUND(did, 6) AS did,
+      |  ROUND(did / se, 6) AS z,
+      |  ABS(did / se) > 1.959964 AS significant_05
+      |FROM e""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_did" -> didQ,
     "q_ts_pacf" -> pacfQ,
     "q_stat_yuen" -> yuenQ,
     "q_stat_permutation" -> permutationQ,
@@ -3267,6 +3403,7 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_did" -> didSql,
     "q_ts_pacf" -> pacfSql,
     "q_stat_yuen" -> yuenSql,
     "q_stat_permutation" -> permutationSql,
