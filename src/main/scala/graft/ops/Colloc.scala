@@ -494,6 +494,101 @@ object Colloc {
       |ORDER BY p.pr DESC, p.node LIMIT 20""".stripMargin
   }
 
+  /** q_text_burrows entry: BURROWS' DELTA stylometric distance between
+    * sources (Burrows, LLC 2002; Argamon's probabilistic reading) —
+    * z-score each source's relative frequency of the 20 most frequent
+    * corpus words against the across-source distribution, and Delta =
+    * mean |z_a − z_b| over the word panel. The standard authorship /
+    * style-drift measure: function-word profiles are topic-independent
+    * fingerprints, so two "sources" with near-zero Delta are one
+    * upstream generator in disguise — a provenance audit for crawl
+    * dedup ([[graft.ops.Dedup]] finds copied TEXT; Delta finds copied
+    * STYLE). Output: every source pair ordered by Delta.
+    *
+    * Scale shape: relative frequencies need ONE combinable
+    * (source, word) count; everything after lives on the
+    * |sources| × 20 panel (window z-scores, a bounded pair join).
+    *
+    * Exactness: frequencies round to 12 dp off exact integer ratios;
+    * panel moments merge as DECIMAL(38,12); z and Delta are shared
+    * IEEE shapes with 9-dp term rounds. */
+  def burrowsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val toks = Text.withToks(s, dir)
+      .select($"source", explode($"toks").as("w"))
+      .filter(length($"w") >= 1)
+    val mfw = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"w").limit(20).select($"w")
+    val totals = toks.groupBy($"source").agg(count(lit(1)).as("tot"))
+    val counts = toks.join(broadcast(mfw), Seq("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    val grid = totals.select($"source", $"tot")
+      .crossJoin(broadcast(mfw))
+      .join(counts, Seq("source", "w"), "left")
+      .select($"source", $"w",
+        round(coalesce($"c", lit(0L)).cast("double") / $"tot", 12)
+          .as("f"))
+    val wW = Window.partitionBy($"w")
+    val z = grid
+      .withColumn("n", count(lit(1)).over(wW))
+      .withColumn("sf", sum(round($"f", 12).cast("decimal(38,12)")).over(wW)
+        .cast("double"))
+      .withColumn("sf2",
+        sum(round($"f" * $"f", 12).cast("decimal(38,12)")).over(wW)
+          .cast("double"))
+      .withColumn("mu", $"sf" / $"n")
+      .withColumn("sd", sqrt(($"n" * $"sf2" - $"sf" * $"sf")
+        / ($"n" * ($"n" - lit(1)).cast("double"))))
+      .select($"source", $"w", (($"f" - $"mu") / $"sd").as("z"))
+    z.as("a").join(z.as("b"),
+        $"a.w" === $"b.w" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(sum(round(abs($"a.z" - $"b.z"), 9).cast("decimal(28,9)"))
+        .as("sd"), count(lit(1)).as("n_words"))
+      .select($"source_a", $"source_b",
+        $"n_words".cast("long").as("n_words"),
+        round($"sd".cast("double") / $"n_words", 6).as("delta"))
+      .orderBy($"delta", $"source_a", $"source_b")
+  }
+
+  val burrowsSql: String =
+    """WITH tok AS (
+      |  SELECT source, w FROM (
+      |    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents) WHERE length(w) >= 1),
+      |mfw AS (
+      |  SELECT w FROM (
+      |    SELECT w, COUNT(*) AS c FROM tok GROUP BY 1
+      |    ORDER BY c DESC, w LIMIT 20)),
+      |totals AS (SELECT source, COUNT(*) AS tot FROM tok GROUP BY 1),
+      |cnt AS (
+      |  SELECT source, w, COUNT(*) AS c
+      |  FROM tok JOIN mfw USING (w) GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.source, m.w,
+      |    ROUND(CAST(COALESCE(c.c, 0) AS DOUBLE) / t.tot, 12) AS f
+      |  FROM totals t CROSS JOIN mfw m
+      |  LEFT JOIN cnt c ON c.source = t.source AND c.w = m.w),
+      |z AS (
+      |  SELECT source, w, (f - mu) / sd AS z FROM (
+      |    SELECT *, sf / n AS mu,
+      |      SQRT((n * sf2 - sf * sf) / (n * CAST(n - 1 AS DOUBLE))) AS sd
+      |    FROM (
+      |      SELECT source, w, f,
+      |        COUNT(*) OVER (PARTITION BY w) AS n,
+      |        CAST(SUM(CAST(ROUND(f, 12) AS DECIMAL(38,12)))
+      |          OVER (PARTITION BY w) AS DOUBLE) AS sf,
+      |        CAST(SUM(CAST(ROUND(f * f, 12) AS DECIMAL(38,12)))
+      |          OVER (PARTITION BY w) AS DOUBLE) AS sf2
+      |      FROM grid)))
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  ROUND(CAST(SUM(CAST(ROUND(ABS(a.z - b.z), 9) AS DECIMAL(28,9)))
+      |    AS DOUBLE) / COUNT(*), 6) AS delta
+      |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY delta, source_a, source_b""".stripMargin
+
   def rakeQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
@@ -571,6 +666,7 @@ object Colloc {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_rake" -> rakeQ,
     "q_text_textrank" -> textrankQ,
+    "q_text_burrows" -> burrowsQ,
     "q_text_burstiness" -> burstinessQ,
     "q_text_kneser_ney" -> kneserNeyQ,
     "q_text_ctfidf" -> ctfidfQ,
@@ -581,6 +677,7 @@ object Colloc {
   def oracle: Map[String, String] = Map(
     "q_text_rake" -> rakeSql,
     "q_text_textrank" -> textrankSql,
+    "q_text_burrows" -> burrowsSql,
     "q_text_burstiness" -> burstinessSql,
     "q_text_kneser_ney" -> kneserNeySql,
     "q_text_ctfidf" -> ctfidfSql,

@@ -1522,6 +1522,80 @@ object Graph {
       |  CAST((10000 * SUM(ff)) // COUNT(*) AS BIGINT) AS ff_per_path_bp
       |FROM closed""".stripMargin
 
+  /** q_graph_powerlaw entry: DEGREE DISTRIBUTION + Hill/Clauset
+    * power-law exponent over the CUSTOMER interaction graph — the
+    * heavy-tail diagnostic (Clauset, Shalizi & Newman, SIAM Rev 2009:
+    * α̂ = 1 + n/Σ ln(dᵢ/(d_min − ½)) — the continuous-approximation
+    * MLE with the standard half-shift for integer degrees). Whether a
+    * graph is scale-free decides which algorithms survive it (hub caps
+    * for [[adamicAdarQ]], skew salting for joins), so the exponent is
+    * the first number a graph pipeline profiles. The 25-node nation
+    * graph is too small to carry a tail, so degree here is the
+    * per-customer ORDER count — a genuinely skewed integer
+    * distribution at every SF (the estimator, not the network, is
+    * the operator).
+    *
+    * Output: the degree histogram (degree, n_customers) with α̂ and
+    * d_min repeated — the histogram IS the evidence for or against
+    * the fitted tail.
+    *
+    * Exactness: degrees are exact integers; each ln term rounds to
+    * 12 dp into a DECIMAL(38,12) merge; α̂ is one division. d_min is
+    * pinned to the exact median degree (order statistic), the
+    * standard "fit the tail, not the body" cut. */
+  def powerlawQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val deg = t(s, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("d"))
+    val wOrd = Window.partitionBy(lit(0)).orderBy($"d", $"o_custkey")
+    val wAll = Window.partitionBy(lit(0))
+    val dmin = deg
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("nn", count(lit(1)).over(wAll))
+      .filter($"rn" === expr("(nn + 1) div 2"))
+      .select($"d".as("dmin"))
+    val tail = deg.crossJoin(broadcast(dmin)).filter($"d" >= $"dmin")
+      .agg(count(lit(1)).as("n_tail"),
+        sum(round(log($"d".cast("double") /
+          ($"dmin".cast("double") - lit(0.5))), 12)
+          .cast("decimal(38,12)")).as("slog"),
+        max($"dmin").as("dmin"))
+      .select($"dmin".cast("long").as("d_min"),
+        $"n_tail".cast("long").as("n_tail"),
+        round(lit(1.0) + $"n_tail".cast("double")
+          / $"slog".cast("double"), 6).as("alpha"))
+    deg.groupBy($"d").agg(count(lit(1)).as("n_customers"))
+      .crossJoin(broadcast(tail))
+      .select($"d".cast("long").as("degree"),
+        $"n_customers".cast("long").as("n_customers"),
+        $"d_min", $"n_tail", $"alpha")
+      .orderBy($"degree")
+  }
+
+  val powerlawSql: String =
+    """WITH deg AS (
+      |  SELECT o_custkey, COUNT(*) AS d FROM orders GROUP BY 1),
+      |dmin AS (
+      |  SELECT d AS dmin FROM (
+      |    SELECT d, row_number() OVER (ORDER BY d, o_custkey) AS rn,
+      |      COUNT(*) OVER () AS nn
+      |    FROM deg) WHERE rn = (nn + 1) // 2),
+      |tail AS (
+      |  SELECT CAST(MAX(dmin) AS BIGINT) AS d_min,
+      |    CAST(COUNT(*) AS BIGINT) AS n_tail,
+      |    ROUND(1.0 + CAST(COUNT(*) AS DOUBLE)
+      |      / CAST(SUM(CAST(ROUND(LN(CAST(d AS DOUBLE)
+      |          / (CAST(dmin AS DOUBLE) - 0.5)), 12)
+      |        AS DECIMAL(38,12))) AS DOUBLE), 6) AS alpha
+      |  FROM deg, dmin WHERE d >= dmin)
+      |SELECT CAST(d AS BIGINT) AS degree,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(ANY_VALUE(t.d_min) AS BIGINT) AS d_min,
+      |  CAST(ANY_VALUE(t.n_tail) AS BIGINT) AS n_tail,
+      |  ANY_VALUE(t.alpha) AS alpha
+      |FROM deg, tail t GROUP BY d ORDER BY degree""".stripMargin
+
   /** q_graph_mst entry: MAXIMUM SPANNING BACKBONE of the undirected
     * nation trade graph by the KSV MapReduce-MST shape (Karloff, Suri
     * & Vassilvitskii, SODA 2010, whose flagship example is exactly
@@ -1800,6 +1874,7 @@ object Graph {
     "q_graph_neighbor_sim" -> neighborSimQ,
     "q_graph_adamic_adar" -> adamicAdarQ,
     "q_graph_diameter" -> diameterQ,
+    "q_graph_powerlaw" -> powerlawQ,
     "q_graph_motifs" -> motifsQ,
     "q_graph_bfs" -> bfsQ)
 
@@ -1819,6 +1894,7 @@ object Graph {
     "q_graph_neighbor_sim" -> neighborSimSql,
     "q_graph_adamic_adar" -> adamicAdarSql,
     "q_graph_diameter" -> diameterSql,
+    "q_graph_powerlaw" -> powerlawSql,
     "q_graph_motifs" -> motifsSql,
     "q_graph_bfs" -> bfsSql)
 }
