@@ -769,7 +769,54 @@ object Behavior {
       |    AS DECIMAL(38,6))) AS DOUBLE), 6) AS decayed_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q_seq_paths entry: TOP USER JOURNEYS — each user's first four
+    * events as an ordered path string, counted across users: the
+    * Sankey/flow-diagram feed every product-analytics tool renders,
+    * and the k-step generalization of [[transitionsQ]]'s one-step
+    * matrix (a first-order chain CANNOT distinguish view>click>view>
+    * purchase from click>view>view>purchase; the path census can).
+    *
+    * Scale shape: one ranked window per user (shards by user) keeps
+    * only 4 rows each; the path string assembles from a per-user
+    * bounded collect (≤ 4 structs — never a corpus-sized array); the
+    * census is a combinable groupBy over ≤ |types|⁴ strings. Ties are
+    * pinned by (ts, event_id); the top-20 cut orders (count DESC,
+    * path). Pure strings and integers — no FP contract. */
+  def pathsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wSeq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val paths = t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("rn", row_number().over(wSeq))
+      .filter($"rn" <= 4)
+      .groupBy($"user_id")
+      .agg(array_join(expr(
+          """transform(array_sort(collect_list(struct(rn, event_type))),
+            |  x -> x.event_type)""".stripMargin), ">").as("path"),
+        count(lit(1)).as("plen"))
+      .filter($"plen" === 4)
+    paths.groupBy($"path").agg(count(lit(1)).as("n_users"))
+      .orderBy($"n_users".desc, $"path").limit(20)
+      .select($"path", $"n_users".cast("long").as("n_users"))
+  }
+
+  val pathsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id,
+      |    string_agg(event_type, '>' ORDER BY rn) AS path,
+      |    COUNT(*) AS plen
+      |  FROM seq WHERE rn <= 4 GROUP BY user_id)
+      |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM p WHERE plen = 4
+      |GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_paths" -> pathsQ,
     "q_behavior_decay" -> decayQ,
     "q_behavior_absorbing" -> absorbingQ,
     "q_behavior_stickiness" -> stickinessQ,
@@ -783,6 +830,7 @@ object Behavior {
     "q_survival_km" -> survivalQ)
 
   def oracle: Map[String, String] = Map(
+    "q_seq_paths" -> pathsSql,
     "q_behavior_decay" -> decaySql,
     "q_behavior_absorbing" -> absorbingSql,
     "q_behavior_stickiness" -> stickinessSql,
