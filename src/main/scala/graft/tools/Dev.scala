@@ -146,6 +146,8 @@ object Dev {
           "q_fuzzy_edit" -> "vocabulary-bounded distinct-name grid",
           "q_graph_neighbor_sim" ->
             "1-row p75 threshold frame + 25-node nation pair grid",
+          "q_graph_adamic_adar" -> "1-row p75 threshold frames (strong-graph cut)",
+          "q_graph_motifs" -> "1-row p75 threshold frame (strong-graph cut)",
           "q_minhash_sensitivity" -> "1-row truth-count totals frame",
           "q_sample_balanced" -> "1-row minority-class-count frame",
           "q_split_groupfold" -> "1-row event-total frame",
