@@ -3362,7 +3362,255 @@ object Stats {
       |  ABS(did / se) > 1.959964 AS significant_05
       |FROM e""".stripMargin
 
+  /** q_stat_cmh entry: COCHRAN–MANTEL–HAENSZEL pooled odds ratio +
+    * continuity-corrected χ² across nation-stratified 2×2 tables
+    * (Mantel & Haenszel 1959 — the stratified-association workhorse:
+    * pool the segment × high-balance association ACROSS nations
+    * without letting nation mix be a confounder). The odds-ratio
+    * pooling complement of [[standardizeQ]]'s risk-difference
+    * weighting; strata too small to inform (n < 2) drop out of the
+    * variance term naturally via the n−1 denominator guard.
+    *
+    * Scale: ONE combinable groupBy to the 25-stratum cell grid; the
+    * estimator is decimal-merged arithmetic on that grid. Per-stratum
+    * terms are exact-integer products in double (all < 2⁵³), rounded
+    * to 9 dp into DECIMAL(28,9) merges. */
+  def cmhQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = t(s, dir, "customer")
+      .filter($"c_mktsegment".isin("BUILDING", "AUTOMOBILE"))
+      .groupBy($"c_nationkey")
+      .agg(
+        sum(when($"c_mktsegment" === "BUILDING" && $"c_acctbal" > 5000.0,
+          1L).otherwise(0L)).as("a"),
+        sum(when($"c_mktsegment" === "BUILDING" && $"c_acctbal" <= 5000.0,
+          1L).otherwise(0L)).as("b"),
+        sum(when($"c_mktsegment" === "AUTOMOBILE" && $"c_acctbal" > 5000.0,
+          1L).otherwise(0L)).as("c"),
+        sum(when($"c_mktsegment" === "AUTOMOBILE" && $"c_acctbal" <= 5000.0,
+          1L).otherwise(0L)).as("d"))
+      .withColumn("n", $"a" + $"b" + $"c" + $"d")
+      .filter($"n" >= 2)
+    def dsum(c: Column) =
+      sum(round(c, 9).cast("decimal(28,9)")).cast("double")
+    val agg = cells.agg(
+      count(lit(1)).as("n_strata"),
+      sum($"a").as("sa"),
+      dsum($"a" * $"d" / $"n".cast("double")).as("s_ad"),
+      dsum($"b" * $"c" / $"n".cast("double")).as("s_bc"),
+      dsum(($"a" + $"b") * ($"a" + $"c") / $"n".cast("double")).as("s_e"),
+      dsum(($"a" + $"b") * ($"c" + $"d") * ($"a" + $"c") * ($"b" + $"d")
+        / ($"n".cast("double") * $"n".cast("double")
+          * ($"n" - lit(1)).cast("double"))).as("s_v"))
+    agg.select($"n_strata".cast("long").as("n_strata"),
+      $"sa".cast("long").as("sum_a"),
+      round($"s_ad" / $"s_bc", 6).as("or_mh"),
+      round(pow(abs($"sa" - $"s_e") - lit(0.5), 2) / $"s_v", 6)
+        .as("chi2_cmh"),
+      (pow(abs($"sa" - $"s_e") - lit(0.5), 2) / $"s_v" > lit(3.841459))
+        .as("significant_05"))
+  }
+
+  val cmhSql: String =
+    """WITH cells AS (
+      |  SELECT c_nationkey,
+      |    SUM(CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 5000.0
+      |      THEN 1 ELSE 0 END) AS a,
+      |    SUM(CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal <= 5000.0
+      |      THEN 1 ELSE 0 END) AS b,
+      |    SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 5000.0
+      |      THEN 1 ELSE 0 END) AS c,
+      |    SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' AND c_acctbal <= 5000.0
+      |      THEN 1 ELSE 0 END) AS d
+      |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      |  GROUP BY 1),
+      |k AS (SELECT *, a + b + c + d AS n FROM cells
+      |  WHERE a + b + c + d >= 2),
+      |agg AS (
+      |  SELECT COUNT(*) AS n_strata, SUM(a) AS sa,
+      |    CAST(SUM(CAST(ROUND(a * d / CAST(n AS DOUBLE), 9)
+      |      AS DECIMAL(28,9))) AS DOUBLE) AS s_ad,
+      |    CAST(SUM(CAST(ROUND(b * c / CAST(n AS DOUBLE), 9)
+      |      AS DECIMAL(28,9))) AS DOUBLE) AS s_bc,
+      |    CAST(SUM(CAST(ROUND((a + b) * (a + c) / CAST(n AS DOUBLE), 9)
+      |      AS DECIMAL(28,9))) AS DOUBLE) AS s_e,
+      |    CAST(SUM(CAST(ROUND((a + b) * (c + d) * (a + c) * (b + d)
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |         * CAST(n - 1 AS DOUBLE)), 9) AS DECIMAL(28,9)))
+      |      AS DOUBLE) AS s_v
+      |  FROM k)
+      |SELECT CAST(n_strata AS BIGINT) AS n_strata,
+      |  CAST(sa AS BIGINT) AS sum_a,
+      |  ROUND(s_ad / s_bc, 6) AS or_mh,
+      |  ROUND(POW(ABS(sa - s_e) - 0.5, 2) / s_v, 6) AS chi2_cmh,
+      |  POW(ABS(sa - s_e) - 0.5, 2) / s_v > 3.841459 AS significant_05
+      |FROM agg""".stripMargin
+
+  /** q_stat_welch_anova entry: WELCH'S HETEROSCEDASTIC ANOVA over the
+    * five market segments' account balances (Welch 1951) — the k-group
+    * location test that does NOT assume equal variances, which the
+    * classical F of [[anovaQ]] does; when group variances differ by
+    * 2–3× the classical F's size error is material and Welch's F* with
+    * Satterthwaite-style df is the recommended default (Delacre et
+    * al. 2019). Weights wᵢ = nᵢ/s²ᵢ; F* = Σwᵢ(mᵢ−x̄w)²/(k−1) over
+    * 1 + 2(k−2)/(k²−1)·Λ, df₂ = (k²−1)/(3Λ),
+    * Λ = Σ(1−wᵢ/W)²/(nᵢ−1).
+    *
+    * Scale: one combinable groupBy to k=5 sufficient-statistic rows;
+    * the scalar chain runs on that frame with 9-dp decimal merges
+    * for every cross-group sum. Cents-exact inputs. */
+  def welchAnovaQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val g = t(s, dir, "customer")
+      .select($"c_mktsegment".as("grp"),
+        ($"c_acctbal".cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n"), sum($"vc").as("sv"),
+        sum(($"vc" * $"vc").cast("decimal(38,0)")).as("sq"))
+      .withColumn("m", $"sv".cast("double") / $"n" / lit(100.0))
+      .withColumn("s2",
+        ($"n".cast("double") * $"sq".cast("double")
+          - $"sv".cast("double") * $"sv".cast("double"))
+        / ($"n".cast("double") * ($"n" - lit(1)).cast("double"))
+        / lit(10000.0))
+      .withColumn("w", $"n".cast("double") / $"s2")
+    val wAll = Window.partitionBy(lit(0))
+    def dsum(c: Column) =
+      sum(round(c, 9).cast("decimal(28,9)")).over(wAll).cast("double")
+    val withW = g
+      .withColumn("bw", dsum($"w"))
+      .withColumn("xw", dsum($"w" * $"m") / $"bw")
+      .withColumn("k", count(lit(1)).over(wAll))
+    val fin = withW
+      .withColumn("num_t", round($"w" * ($"m" - $"xw") * ($"m" - $"xw"), 9)
+        .cast("decimal(28,9)"))
+      .withColumn("lam_t",
+        round(($"bw" - $"w") * ($"bw" - $"w")
+          / ($"bw" * $"bw" * ($"n" - lit(1)).cast("double")), 9)
+        .cast("decimal(28,9)"))
+      .withColumn("num", sum($"num_t").over(wAll).cast("double"))
+      .withColumn("lam", sum($"lam_t").over(wAll).cast("double"))
+      .limit(1)
+    fin.select($"k".cast("long").as("k_groups"),
+        round($"num" / ($"k" - lit(1)).cast("double")
+          / (lit(1.0) + lit(2.0) * ($"k" - lit(2)).cast("double")
+            / (($"k" * $"k" - lit(1)).cast("double")) * $"lam"), 6)
+          .as("f_welch"),
+        round(($"k" * $"k" - lit(1)).cast("double") / (lit(3.0) * $"lam"),
+          6).as("df2"))
+  }
+
+  val welchAnovaSql: String =
+    """WITH g AS (
+      |  SELECT c_mktsegment AS grp, COUNT(*) AS n,
+      |    SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS sv,
+      |    SUM(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS DECIMAL(38,0))) AS sq
+      |  FROM customer GROUP BY 1),
+      |e AS (
+      |  SELECT *,
+      |    CAST(sv AS DOUBLE) / n / 100.0 AS m,
+      |    (CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+      |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0 AS s2
+      |  FROM g),
+      |w AS (SELECT *, CAST(n AS DOUBLE) / s2 AS w FROM e),
+      |t1 AS (
+      |  SELECT *,
+      |    CAST(SUM(CAST(ROUND(w, 9) AS DECIMAL(28,9))) OVER ()
+      |      AS DOUBLE) AS bw,
+      |    COUNT(*) OVER () AS k
+      |  FROM w),
+      |t2 AS (
+      |  SELECT *,
+      |    CAST(SUM(CAST(ROUND(w * m, 9) AS DECIMAL(28,9))) OVER ()
+      |      AS DOUBLE) / bw AS xw
+      |  FROM t1),
+      |t3 AS (
+      |  SELECT *,
+      |    CAST(SUM(CAST(ROUND(w * (m - xw) * (m - xw), 9)
+      |      AS DECIMAL(28,9))) OVER () AS DOUBLE) AS num,
+      |    CAST(SUM(CAST(ROUND((bw - w) * (bw - w)
+      |      / (bw * bw * CAST(n - 1 AS DOUBLE)), 9)
+      |      AS DECIMAL(28,9))) OVER () AS DOUBLE) AS lam
+      |  FROM t2)
+      |SELECT CAST(k AS BIGINT) AS k_groups,
+      |  ROUND(num / CAST(k - 1 AS DOUBLE)
+      |    / (1.0 + 2.0 * CAST(k - 2 AS DOUBLE)
+      |      / CAST(k * k - 1 AS DOUBLE) * lam), 6) AS f_welch,
+      |  ROUND(CAST(k * k - 1 AS DOUBLE) / (3.0 * lam), 6) AS df2
+      |FROM t3 LIMIT 1""".stripMargin
+
+  /** q_stat_hodges_lehmann entry: the HODGES–LEHMANN two-sample shift
+    * estimator — the median of all cross-pair differences xᵢ − yⱼ
+    * (Hodges & Lehmann 1963), the location estimate that goes with
+    * [[mannWhitneyQ]]'s test: robust (25% breakdown), and unlike the
+    * difference of medians it estimates the SHIFT directly. Panels are
+    * the 60 smallest-md5 click and view event values (the fixed-SIZE
+    * audit-panel idiom), so the 3 600-pair grid is bounded by design —
+    * the estimator a dashboard quotes next to the U test's p-value.
+    *
+    * Exactness: values are integer cents, differences exact integers,
+    * the median an explicit order statistic (lower middle at even
+    * counts, documented) — zero FP until the display division. */
+  def hodgesLehmannQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    def panel(tp: String): DataFrame = t(s, dir, "events")
+      .filter($"event_type" === tp)
+      .select($"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .withColumn("rn", row_number().over(Window.partitionBy(lit(0))
+        .orderBy(Hashing.md5Long60(concat(lit(s"hl:$tp:"),
+          $"event_id".cast("string"))), $"event_id")))
+      .filter($"rn" <= 60)
+    val diffs = panel("click").select($"vc".as("x"), $"event_id".as("ei"))
+      .crossJoin(panel("view").select($"vc".as("y"), $"event_id".as("ej")))
+      .select(($"x" - $"y").as("dc"), $"ei", $"ej")
+    val wOrd = Window.partitionBy(lit(0)).orderBy($"dc", $"ei", $"ej")
+    diffs
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(0))))
+      .filter($"rn" === expr("(nn + 1) div 2"))
+      .select($"nn".cast("long").as("n_pairs"),
+        ($"dc".cast("double") / lit(100.0)).as("hl_shift"))
+  }
+
+  val hodgesLehmannSql: String =
+    """WITH cp AS (
+      |  SELECT vc, event_id FROM (
+      |    SELECT event_id,
+      |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+      |      row_number() OVER (ORDER BY ('0x' || substr(md5('hl:click:'
+      |        || event_id::VARCHAR), 1, 15))::UBIGINT::BIGINT, event_id)
+      |        AS rn
+      |    FROM events WHERE event_type = 'click') WHERE rn <= 60),
+      |vp AS (
+      |  SELECT vc, event_id FROM (
+      |    SELECT event_id,
+      |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+      |      row_number() OVER (ORDER BY ('0x' || substr(md5('hl:view:'
+      |        || event_id::VARCHAR), 1, 15))::UBIGINT::BIGINT, event_id)
+      |        AS rn
+      |    FROM events WHERE event_type = 'view') WHERE rn <= 60),
+      |diffs AS (
+      |  SELECT c.vc - v.vc AS dc, c.event_id AS ei, v.event_id AS ej
+      |  FROM cp c CROSS JOIN vp v),
+      |rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY dc, ei, ej) AS rn,
+      |    COUNT(*) OVER () AS nn
+      |  FROM diffs)
+      |SELECT CAST(nn AS BIGINT) AS n_pairs,
+      |  CAST(dc AS DOUBLE) / 100.0 AS hl_shift
+      |FROM rk WHERE rn = (nn + 1) // 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_cmh" -> cmhQ,
+    "q_stat_welch_anova" -> welchAnovaQ,
+    "q_stat_hodges_lehmann" -> hodgesLehmannQ,
     "q_stat_did" -> didQ,
     "q_ts_pacf" -> pacfQ,
     "q_stat_yuen" -> yuenQ,
@@ -3403,6 +3651,9 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_cmh" -> cmhSql,
+    "q_stat_welch_anova" -> welchAnovaSql,
+    "q_stat_hodges_lehmann" -> hodgesLehmannSql,
     "q_stat_did" -> didSql,
     "q_ts_pacf" -> pacfSql,
     "q_stat_yuen" -> yuenSql,

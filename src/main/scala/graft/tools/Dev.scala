@@ -101,6 +101,7 @@ object Dev {
           "q_eval_rbo" -> "10-row depth dim x <=10-row rank intersection (bounded theta join)",
           "q_graph_powerlaw" -> "1-row d_min order-statistic + 1-row tail-fit frames",
           "q_text_burrows" -> "|sources|-row totals x 20-row MFW panel grid (bounded dims)",
+          "q_stat_hodges_lehmann" -> "60x60 fixed-size md5 panel pair grid",
           "q_ts_pacf" -> "bounded per-series grid dim (rows = series count, not events)",
           "q_shard_ring" -> "<=145-row ring-interval broadcast (range predicate)",
           "q_privacy_exponential" -> "source x lang public-domain candidate grid (bounded dims)",
