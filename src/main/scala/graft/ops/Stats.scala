@@ -3607,7 +3607,173 @@ object Stats {
       |  CAST(dc AS DOUBLE) / 100.0 AS hl_shift
       |FROM rk WHERE rn = (nn + 1) // 2""".stripMargin
 
+  /** q_stat_cronbach entry: CRONBACH'S ALPHA internal-consistency
+    * coefficient (Cronbach 1951) — treat each user's five per-type
+    * event counts as a 5-item instrument and ask whether the items
+    * measure one underlying trait (activity): α = k/(k−1) ·
+    * (1 − Σᵢvar(itemᵢ)/var(total)). The label-pipeline use is rater/
+    * probe batteries: a quality-score panel with low α is measuring
+    * several different things. Homogeneous synthetic users ⇒ α near
+    * its independent-items level — the output is the honest readout
+    * either way.
+    *
+    * Exactness: items are exact integer counts; all variances come
+    * from exact integer sufficient statistics (per-item and total
+    * sums/squares) in shared IEEE shapes; the per-item variance sum
+    * merges as 9-dp DECIMAL. One combinable per-user pivot + one
+    * global aggregate — two scan-speed passes at any scale. */
+  def cronbachQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val items = t(s, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+    val withTotal = items.withColumn("total",
+      types.map(col).reduce(_ + _))
+    def varCols(c: String) = Seq(
+      sum(col(c)).as(s"s_$c"),
+      sum((col(c) * col(c)).cast("decimal(38,0)")).as(s"q_$c"))
+    val aggCols = count(lit(1)).as("n") +:
+      (types :+ "total").flatMap(varCols)
+    val agg = withTotal.agg(aggCols.head, aggCols.tail: _*)
+    def varOf(c: String): Column =
+      ($"n".cast("double") * col(s"q_$c").cast("double")
+        - col(s"s_$c").cast("double") * col(s"s_$c").cast("double")) /
+        ($"n".cast("double") * ($"n" - lit(1)).cast("double"))
+    val sumItemVar = types.map(c => round(varOf(c), 9)
+      .cast("decimal(28,9)")).reduce(_ + _).cast("double")
+    agg.select($"n".cast("long").as("n_users"),
+      lit(types.size.toLong).as("k_items"),
+      round(sumItemVar, 6).as("sum_item_var"),
+      round(varOf("total"), 6).as("var_total"),
+      round(lit(types.size.toDouble / (types.size - 1))
+        * (lit(1.0) - sumItemVar / varOf("total")), 6).as("alpha"))
+  }
+
+  val cronbachSql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivots = types.map(t =>
+      s"SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS $t")
+      .mkString(",\n      |    ")
+    def stats(c: String) =
+      s"""SUM($c) AS s_$c,
+         |    SUM(CAST($c * $c AS DECIMAL(38,0))) AS q_$c""".stripMargin
+    def varOf(c: String) =
+      s"""(CAST(n AS DOUBLE) * CAST(q_$c AS DOUBLE)
+         |      - CAST(s_$c AS DOUBLE) * CAST(s_$c AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))""".stripMargin
+    val sumItemVar = types.map(t =>
+      s"CAST(ROUND(${varOf(t)}, 9) AS DECIMAL(28,9))").mkString("\n      + ")
+    s"""WITH items AS (
+      |  SELECT user_id,
+      |    $pivots
+      |  FROM events GROUP BY 1),
+      |wt AS (SELECT *, ${types.mkString(" + ")} AS total FROM items),
+      |agg AS (
+      |  SELECT COUNT(*) AS n,
+      |    ${(types :+ "total").map(stats).mkString(",\n      |    ")}
+      |  FROM wt),
+      |f AS (
+      |  SELECT n,
+      |    CAST($sumItemVar AS DOUBLE) AS siv,
+      |    ${varOf("total")} AS vt
+      |  FROM agg)
+      |SELECT CAST(n AS BIGINT) AS n_users,
+      |  CAST(${types.size} AS BIGINT) AS k_items,
+      |  ROUND(siv, 6) AS sum_item_var,
+      |  ROUND(vt, 6) AS var_total,
+      |  ROUND(${types.size}.0 / ${types.size - 1} * (1.0 - siv / vt), 6)
+      |    AS alpha
+      |FROM f""".stripMargin
+  }
+
+  /** q_stat_icc entry: INTRACLASS CORRELATION ICC(1,1) — one-way
+    * random-effects variance decomposition over users (Shrout & Fleiss
+    * 1979; Searle's unbalanced k₀): how much of event-value variance
+    * is BETWEEN users vs within them — the reliability/clustering
+    * readout that decides whether per-user modeling is worth anything
+    * and what a clustered design's effective sample size is (and the
+    * design-effect input the [[jackknifeQ]] PSU choice relies on).
+    * MSB/MSW from exact sufficient statistics;
+    * k₀ = (N − Σnᵢ²/N)/(G−1) handles unbalanced users.
+    *
+    * Scale: one combinable per-user rollup; the decomposition is
+    * arithmetic on a 1-row frame with 9-dp decimal merges for the
+    * across-user sums. */
+  def iccQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = t(s, dir, "events")
+      .select($"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("ni"), sum($"vc").as("si"),
+        sum(($"vc" * $"vc").cast("decimal(38,0)")).as("qi"))
+    val agg = per.agg(
+      count(lit(1)).as("g"), sum($"ni").as("nn"),
+      sum($"si").as("ss"), sum($"qi").as("qq"),
+      sum(round($"si".cast("double") * $"si".cast("double")
+        / $"ni".cast("double"), 9).cast("decimal(38,9)"))
+        .cast("double").as("ssn"),
+      sum($"ni" * $"ni").as("sn2"))
+    agg
+      .withColumn("ssb", $"ssn" - $"ss".cast("double")
+        * $"ss".cast("double") / $"nn".cast("double"))
+      .withColumn("ssw", $"qq".cast("double") - $"ssn")
+      .withColumn("msb", $"ssb" / ($"g" - lit(1)).cast("double"))
+      .withColumn("msw", $"ssw" / ($"nn" - $"g").cast("double"))
+      .withColumn("k0", ($"nn".cast("double")
+        - $"sn2".cast("double") / $"nn".cast("double"))
+        / ($"g" - lit(1)).cast("double"))
+      .select($"g".cast("long").as("n_users"),
+        $"nn".cast("long").as("n_events"),
+        round($"msb" / lit(10000.0), 6).as("msb"),
+        round($"msw" / lit(10000.0), 6).as("msw"),
+        round($"k0", 6).as("k0"),
+        round(($"msb" - $"msw")
+          / ($"msb" + ($"k0" - lit(1.0)) * $"msw"), 6).as("icc"))
+  }
+
+  val iccSql: String =
+    """WITH per AS (
+      |  SELECT user_id, COUNT(*) AS ni,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS si,
+      |    SUM(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS DECIMAL(38,0))) AS qi
+      |  FROM events GROUP BY 1),
+      |agg AS (
+      |  SELECT COUNT(*) AS g, SUM(ni) AS nn, SUM(si) AS ss,
+      |    SUM(qi) AS qq,
+      |    CAST(SUM(CAST(ROUND(CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+      |      / CAST(ni AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE)
+      |      AS ssn,
+      |    SUM(ni * ni) AS sn2
+      |  FROM per),
+      |d AS (
+      |  SELECT *,
+      |    ssn - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+      |      / CAST(nn AS DOUBLE) AS ssb,
+      |    CAST(qq AS DOUBLE) - ssn AS ssw,
+      |    (CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      / CAST(g - 1 AS DOUBLE) AS k0
+      |  FROM agg),
+      |m AS (
+      |  SELECT *, ssb / CAST(g - 1 AS DOUBLE) AS msb,
+      |    ssw / CAST(nn - g AS DOUBLE) AS msw
+      |  FROM d)
+      |SELECT CAST(g AS BIGINT) AS n_users, CAST(nn AS BIGINT) AS n_events,
+      |  ROUND(msb / 10000.0, 6) AS msb,
+      |  ROUND(msw / 10000.0, 6) AS msw,
+      |  ROUND(k0, 6) AS k0,
+      |  ROUND((msb - msw) / (msb + (k0 - 1.0) * msw), 6) AS icc
+      |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_icc" -> iccQ,
+    "q_stat_cronbach" -> cronbachQ,
     "q_stat_cmh" -> cmhQ,
     "q_stat_welch_anova" -> welchAnovaQ,
     "q_stat_hodges_lehmann" -> hodgesLehmannQ,
@@ -3651,6 +3817,8 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_icc" -> iccSql,
+    "q_stat_cronbach" -> cronbachSql,
     "q_stat_cmh" -> cmhSql,
     "q_stat_welch_anova" -> welchAnovaSql,
     "q_stat_hodges_lehmann" -> hodgesLehmannSql,
