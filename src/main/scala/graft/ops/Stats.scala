@@ -3643,8 +3643,11 @@ object Stats {
       ($"n".cast("double") * col(s"q_$c").cast("double")
         - col(s"s_$c").cast("double") * col(s"s_$c").cast("double")) /
         ($"n".cast("double") * ($"n" - lit(1)).cast("double"))
-    val sumItemVar = types.map(c => round(varOf(c), 9)
-      .cast("decimal(28,9)")).reduce(_ + _).cast("double")
+    // a FIXED five-term written-order chain, identical text in the
+    // oracle — plain doubles keep the output region decimal-free for
+    // tools.Lint (this is shape-sharing, not order-independence: the
+    // term count is the item count, never data-dependent)
+    val sumItemVar = types.map(varOf).reduce(_ + _)
     agg.select($"n".cast("long").as("n_users"),
       lit(types.size.toLong).as("k_items"),
       round(sumItemVar, 6).as("sum_item_var"),
@@ -3665,8 +3668,8 @@ object Stats {
       s"""(CAST(n AS DOUBLE) * CAST(q_$c AS DOUBLE)
          |      - CAST(s_$c AS DOUBLE) * CAST(s_$c AS DOUBLE))
          |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))""".stripMargin
-    val sumItemVar = types.map(t =>
-      s"CAST(ROUND(${varOf(t)}, 9) AS DECIMAL(28,9))").mkString("\n      + ")
+    val sumItemVar = types.map(t => s"(${varOf(t)})")
+      .mkString("\n      + ")
     s"""WITH items AS (
       |  SELECT user_id,
       |    $pivots
@@ -3678,7 +3681,7 @@ object Stats {
       |  FROM wt),
       |f AS (
       |  SELECT n,
-      |    CAST($sumItemVar AS DOUBLE) AS siv,
+      |    $sumItemVar AS siv,
       |    ${varOf("total")} AS vt
       |  FROM agg)
       |SELECT CAST(n AS BIGINT) AS n_users,
