@@ -249,7 +249,10 @@ object Behavior {
       .agg(count(lit(1)).as("n_purchases"),
         sum($"value".cast("decimal(18,2)")).as("revenue"))
       .select($"channel", $"n_purchases".cast("long").as("n_purchases"),
-        $"revenue".cast("decimal(18,2)").as("revenue"))
+        // exact decimal sum, cast ONCE to double at the output
+        // boundary (DECIMAL outputs are driver-hash-fragile — see
+        // Cluster.kmeansQ contract note)
+        $"revenue".cast("decimal(18,2)").cast("double").as("revenue"))
       .orderBy($"channel")
   }
 
@@ -271,7 +274,8 @@ object Behavior {
       |  CASE WHEN lt_ts IS NOT NULL AND ts - lt_ts <= INTERVAL 1 HOUR
       |    THEN lt_type ELSE 'none' END AS channel,
       |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      |    AS DOUBLE) AS revenue
       |FROM carried WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -246,8 +246,10 @@ object Cdc {
     * anti join (the change batch is typically ≪ snapshot and
     * broadcastable — here it's derived so AQE decides); no window, no
     * second pass. Determinism: the change batch is a combinable
-    * groupBy; money goes through DECIMAL(12,2); statuses are pure CASE
-    * logic. */
+    * groupBy; money goes through DECIMAL(12,2) and is cast ONCE to
+    * double at the output boundary (DECIMAL-typed output columns are
+    * driver-hash-fragile — see [[Cluster.kmeansQ]]'s contract note);
+    * statuses are pure CASE logic. */
   def mergeQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val snap = t(s, dir, "customer")
@@ -262,13 +264,15 @@ object Cdc {
     val updates = chg.filter($"key" % 10 =!= 0)
       .select($"key", $"amt".as("new_bal"))
     val inserts = chg.filter($"key" % 7 === 0)
-      .select(($"key" + 10000000L).as("key"), $"amt".as("acctbal"),
+      .select(($"key" + 10000000L).as("key"),
+        $"amt".cast("double").as("acctbal"),
         lit("NEW").as("segment"), lit("inserted").as("status"))
     snap
       .join(deletes, Seq("key"), "left_anti")
       .join(updates, Seq("key"), "left")
       .select($"key",
-        coalesce($"new_bal", $"acctbal").as("acctbal"), $"segment",
+        coalesce($"new_bal", $"acctbal").cast("double").as("acctbal"),
+        $"segment",
         when($"new_bal".isNotNull, "updated").otherwise("kept").as("status"))
       .unionByName(inserts)
       .orderBy($"key")
@@ -285,7 +289,7 @@ object Cdc {
       |  GROUP BY 1),
       |merged AS (
       |  SELECT s.key,
-      |    COALESCE(u.amt, s.acctbal) AS acctbal, s.segment,
+      |    CAST(COALESCE(u.amt, s.acctbal) AS DOUBLE) AS acctbal, s.segment,
       |    CASE WHEN u.key IS NOT NULL THEN 'updated' ELSE 'kept' END AS status
       |  FROM snap s
       |  LEFT JOIN (SELECT key, amt FROM chg WHERE key % 10 <> 0) u
@@ -293,8 +297,8 @@ object Cdc {
       |  WHERE s.key NOT IN (SELECT key FROM chg WHERE key % 10 = 0))
       |SELECT * FROM merged
       |UNION ALL
-      |SELECT key + 10000000 AS key, amt AS acctbal, 'NEW' AS segment,
-      |  'inserted' AS status
+      |SELECT key + 10000000 AS key, CAST(amt AS DOUBLE) AS acctbal,
+      |  'NEW' AS segment, 'inserted' AS status
       |FROM chg WHERE key % 7 = 0
       |ORDER BY key""".stripMargin
 

@@ -37,7 +37,13 @@ import org.apache.spark.sql.functions._
   *     identical on both engines;
   *   - inertia sums distances as DECIMAL(28,0): exact and
   *     order-independent where a raw long sum would overflow past
-  *     ~10⁵ vectors and a double sum would be partition-order noise.
+  *     ~10⁵ vectors and a double sum would be partition-order noise;
+  *     the OUTPUT column is that exact decimal cast ONCE to double
+  *     (identical round-to-nearest on both engines) — r10 forensics
+  *     showed DECIMAL-typed result columns serialize differently in
+  *     the driver's two client paths (pyarrow object-Decimal vs
+  *     duckdb float64) even when values match bit-for-bit, so no
+  *     query may emit a DECIMAL-typed output column.
   *
   * Init is the k vectors with the smallest vec_id (k-means++ needs
   * weighted randomness the cross-engine contract can't pin; fixed init
@@ -101,9 +107,10 @@ object Cluster {
       .groupBy($"cid")
       .agg(count(lit(1)).as("n"),
         sum($"dist".cast("decimal(28,0)")).cast("decimal(28,0)")
-          .as("inertia_u2"))
-      .select($"cid".cast("long").as("cid"), $"n", $"inertia_u2",
-        round($"inertia_u2".cast("double") / $"n" / lit(1e12), 6)
+          .as("i_dec"))
+      .select($"cid".cast("long").as("cid"), $"n",
+        $"i_dec".cast("double").as("inertia_u2"),
+        round($"i_dec".cast("double") / $"n" / lit(1e12), 6)
           .as("mean_sq"))
       .orderBy($"cid")
   }
@@ -147,7 +154,7 @@ object Cluster {
        |${updateBlock(1)},
        |${assignBlock("c2", 2)}
        |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
-       |  CAST(SUM(d) AS DECIMAL(28,0)) AS inertia_u2,
+       |  CAST(CAST(SUM(d) AS DECIMAL(28,0)) AS DOUBLE) AS inertia_u2,
        |  ROUND(CAST(CAST(SUM(d) AS DECIMAL(28,0)) AS DOUBLE) / COUNT(*)
        |    / 1e12, 6) AS mean_sq
        |FROM b2 WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin
@@ -233,10 +240,10 @@ object Cluster {
       .groupBy($"sub", $"cid")
       .agg(count(lit(1)).as("n"),
         sum($"dist".cast("decimal(28,0)")).cast("decimal(28,0)")
-          .as("distortion_u2"))
+          .as("d_dec"))
       .select($"sub".cast("long").as("sub"), $"cid".cast("long").as("cid"),
-        $"n", $"distortion_u2",
-        round($"distortion_u2".cast("double") / $"n" / lit(1e12), 6)
+        $"n", $"d_dec".cast("double").as("distortion_u2"),
+        round($"d_dec".cast("double") / $"n" / lit(1e12), 6)
           .as("mean_sq"))
       .orderBy($"sub", $"cid")
   }
@@ -281,7 +288,7 @@ object Cluster {
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 10)
       .select($"qid", $"rank".cast("long").as("rank"), $"vec_id",
-        $"adc".cast("decimal(28,0)").as("adc_u2"))
+        $"adc".cast("long").as("adc_u2"))
       .orderBy($"qid", $"rank")
   }
 
@@ -338,7 +345,7 @@ object Cluster {
     s"""$pqPrefixSql
        |SELECT CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS cid,
        |  CAST(COUNT(*) AS BIGINT) AS n,
-       |  CAST(SUM(d) AS DECIMAL(28,0)) AS distortion_u2,
+       |  CAST(CAST(SUM(d) AS DECIMAL(28,0)) AS DOUBLE) AS distortion_u2,
        |  ROUND(CAST(CAST(SUM(d) AS DECIMAL(28,0)) AS DOUBLE) / COUNT(*)
        |    / 1e12, 6) AS mean_sq
        |FROM b1 WHERE rn = 1 GROUP BY sub, cid ORDER BY sub, cid""".stripMargin
@@ -363,7 +370,7 @@ object Cluster {
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
        |  FROM adc WHERE qid <> vec_id)
        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
-       |  CAST(adc AS DECIMAL(28,0)) AS adc_u2
+       |  CAST(adc AS BIGINT) AS adc_u2
        |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 

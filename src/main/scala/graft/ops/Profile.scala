@@ -619,7 +619,11 @@ object Profile {
       .filter($"cum" * 2 >= $"tw")
       .groupBy($"g")
       .agg(max($"tw").cast("long").as("total_weight"),
-        min($"v").as("w_median"))
+        // output boundary: exact decimal cast ONCE to double — a
+        // DECIMAL-typed output column hash-diverges in the driver
+        // whenever str(Decimal) != repr(float), e.g. trailing-zero
+        // cents (see Cluster.kmeansQ contract note)
+        min($"v").cast("double").as("w_median"))
       .orderBy($"g")
   }
 
@@ -634,7 +638,8 @@ object Profile {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
       |    SUM(cw) OVER (PARTITION BY g) AS tw
       |  FROM wv)
-      |SELECT g, CAST(MAX(tw) AS BIGINT) AS total_weight, MIN(v) AS w_median
+      |SELECT g, CAST(MAX(tw) AS BIGINT) AS total_weight,
+      |  CAST(MIN(v) AS DOUBLE) AS w_median
       |FROM c WHERE cum * 2 >= tw
       |GROUP BY g ORDER BY g""".stripMargin
 

@@ -2569,8 +2569,8 @@ object Stats {
       .withColumn("arm", Hashing.md5Bucket($"user_id".cast("string"), 2))
     val mom = users.agg(count(lit(1)).as("n"),
       sum($"xc").as("sx"), sum($"yc").as("sy"),
-      sum(($"xc" * $"yc").cast("decimal(38,0)")).as("sxy"),
-      sum(($"xc" * $"xc").cast("decimal(38,0)")).as("sxx"))
+      sum($"xc".cast("decimal(19,0)") * $"yc".cast("decimal(19,0)")).as("sxy"),
+      sum($"xc".cast("decimal(19,0)") * $"xc".cast("decimal(19,0)")).as("sxx"))
     val adj = users.crossJoin(broadcast(mom))
       .withColumn("theta",
         ($"n".cast("double") * $"sxy".cast("double")
@@ -2624,8 +2624,8 @@ object Stats {
       |    ::UBIGINT::BIGINT % 2 AS arm FROM u),
       |mom AS (
       |  SELECT COUNT(*) AS n, SUM(xc) AS sx, SUM(yc) AS sy,
-      |    SUM(CAST(xc * yc AS DECIMAL(38,0))) AS sxy,
-      |    SUM(CAST(xc * xc AS DECIMAL(38,0))) AS sxx
+      |    SUM(CAST(xc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0))) AS sxy,
+      |    SUM(CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0))) AS sxx
       |  FROM ua),
       |adj AS (
       |  SELECT arm, yc / 100.0 AS y,
@@ -3259,7 +3259,8 @@ object Stats {
     def cell(armV: Int, c: String, nm: String): Seq[Column] = Seq(
       sum(when($"arm" === armV, 1L).otherwise(0L)).as(s"n_$nm"),
       sum(when($"arm" === armV, col(c)).otherwise(0L)).as(s"s_$nm"),
-      sum(when($"arm" === armV, (col(c) * col(c)).cast("decimal(38,0)"))
+      sum(when($"arm" === armV,
+          col(c).cast("decimal(19,0)") * col(c).cast("decimal(19,0)"))
         .otherwise(lit(0).cast("decimal(38,0)"))).as(s"q_$nm"))
     val allCells = cell(0, "pre", "c_pre") ++ cell(0, "post", "c_post") ++
       cell(1, "pre", "t_pre") ++ cell(1, "post", "t_post")
@@ -3310,16 +3311,16 @@ object Stats {
       |    SUM(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS s_t_pre,
       |    SUM(CASE WHEN arm = 1 THEN post ELSE 0 END) AS s_t_post,
       |    SUM(CASE WHEN arm = 0
-      |      THEN CAST(pre * pre AS DECIMAL(38,0))
+      |      THEN CAST(pre AS DECIMAL(19,0)) * CAST(pre AS DECIMAL(19,0))
       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS q_c_pre,
       |    SUM(CASE WHEN arm = 0
-      |      THEN CAST(post * post AS DECIMAL(38,0))
+      |      THEN CAST(post AS DECIMAL(19,0)) * CAST(post AS DECIMAL(19,0))
       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS q_c_post,
       |    SUM(CASE WHEN arm = 1
-      |      THEN CAST(pre * pre AS DECIMAL(38,0))
+      |      THEN CAST(pre AS DECIMAL(19,0)) * CAST(pre AS DECIMAL(19,0))
       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS q_t_pre,
       |    SUM(CASE WHEN arm = 1
-      |      THEN CAST(post * post AS DECIMAL(38,0))
+      |      THEN CAST(post AS DECIMAL(19,0)) * CAST(post AS DECIMAL(19,0))
       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS q_t_post
       |  FROM u),
       |m AS (
