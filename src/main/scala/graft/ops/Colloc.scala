@@ -391,17 +391,30 @@ object Colloc {
     *
     * Scale shape: the pair build is a per-document position self-join
     * with 0 < Δpos ≤ 2 — O(corpus × window) rows, one exchange — and
-    * everything after collapses to the Heaps-bounded VOCABULARY graph
-    * (checkpointed; the rank loop re-reads the tiny frame, the
+    * everything after collapses to the co-occurrence graph, FLOORED
+    * (r10 verdict item 4): pair types grow faster than the corpus
+    * under Heaps-law vocabulary growth (measured 3.7×/decade wall at
+    * sf1 before the floor), so edges below [[textrankFloor]] — a
+    * corpus-proportional count, ~"co-occurs once per thousand docs" —
+    * are dropped BEFORE the graph build, exactly the df floor
+    * production TextRank runs. The floor is mirrored literally in the
+    * oracle (`GREATEST(2, CEIL(COUNT(*)/1000.0))` over documents —
+    * the [[Similarity.adaptiveBits]] twin-contract pattern), so both
+    * engines rank the identical floored graph. The graph is
+    * checkpointed; the rank loop re-reads the tiny frame (the
     * [[graft.ops.Graph.pagerankQ]] lineage lesson). Determinism: the
     * pagerank contract verbatim — exact integer weights, 9-dp rounded
     * DECIMAL(28,9) contribution merges, re-round per iteration, dyadic
     * start 0.125. */
+  private[ops] def textrankFloor(nDocs: Long): Long =
+    math.max(2L, math.ceil(nDocs.toDouble / 1000.0).toLong)
+
   def textrankQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     if (s.sparkContext.getCheckpointDir.isEmpty)
       s.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+    val floor = textrankFloor(t(s, dir, "documents").count())
     val stops = Seq("the", "a", "of", "and", "to", "in")
     val tk = Text.withToks(s, dir)
       .select($"doc_id", posexplode($"toks").as(Seq("pos", "term")))
@@ -413,6 +426,7 @@ object Colloc {
       .select(least($"x.term", $"y.term").as("src"),
         greatest($"x.term", $"y.term").as("dst"))
       .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      .filter($"w" >= floor)
       .checkpoint()
     val und = edges.unionByName(
       edges.select($"dst".as("src"), $"src".as("dst"), $"w"))
@@ -468,13 +482,17 @@ object Colloc {
       |    FROM dtok)
       |  WHERE term NOT IN ('the', 'a', 'of', 'and', 'to', 'in')
       |    AND length(term) >= 1),
+      |fl AS (
+      |  SELECT GREATEST(2, CAST(CEIL(COUNT(*) / 1000.0) AS BIGINT)) AS f
+      |  FROM documents),
       |edges AS (
       |  SELECT LEAST(x.term, y.term) AS src,
       |    GREATEST(x.term, y.term) AS dst, COUNT(*) AS w
       |  FROM tk x JOIN tk y ON x.doc_id = y.doc_id
       |    AND y.pos > x.pos AND y.pos - x.pos <= 2
       |    AND x.term <> y.term
-      |  GROUP BY 1, 2),
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= (SELECT f FROM fl)),
       |und AS (
       |  SELECT src, dst, w FROM edges
       |  UNION ALL SELECT dst, src, w FROM edges),

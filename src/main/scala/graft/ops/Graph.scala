@@ -1346,6 +1346,154 @@ object Graph {
       |    AS DOUBLE), 6) AS harmonic
       |FROM dist GROUP BY root ORDER BY node""".stripMargin
 
+  /** q_graph_betweenness entry: exact BETWEENNESS centrality of every
+    * nation over the p75-strong undirected trade graph — the broker /
+    * chokepoint ranking that completes the centrality set next to
+    * closeness, Katz, and HITS: BC(v) = Σ_{s≠v≠t} σ_st(v)/σ_st, the
+    * fraction of all shortest paths passing THROUGH v.
+    *
+    * Implementation — two multi-source fixpoints plus one bounded
+    * triple join, NOT Brandes' backward pass (whose per-source
+    * dependency recursion is sequential in level and awkward to
+    * mirror in SQL):
+    *   1. hop(s,v): the [[closenessQ]] multi-source BFS frame;
+    *   2. σ(s,v): shortest-path COUNTS by level-synchronous DP —
+    *      σ(s,v) = Σ_{u: hop(s,u)+1 = hop(s,v)} σ(s,u), iterated to
+    *      fixpoint (σ at level ℓ is correct after ℓ rounds; counts
+    *      grow monotonically from the σ(s,s)=1 base, so `chg` is
+    *      well-founded) — exact integers;
+    *   3. the σ-product identity: v lies on a shortest s→t path iff
+    *      hop(s,v) + hop(v,t) = hop(s,t), contributing
+    *      σ(s,v)·σ(v,t)/σ(s,t) — a three-way join of the (root,
+    *      node, hop, σ) frame with itself, node³-bounded (25³ rows
+    *      for nations) regardless of corpus size.
+    *
+    * Scale: the corpus is touched once (shared edge collapse); both
+    * fixpoints and the triple join run on node²/node³-bounded frames.
+    * Determinism: hops and σ are exact integers; each pair term is
+    * ONE IEEE divide of exact ints, rounded to 9 dp and summed as
+    * DECIMAL(28,9) (order-independent), halved once (unordered
+    * pairs), rounded to 6 dp. The oracle mirrors σ by enumerating
+    * shortest paths with a UNION ALL recursive CTE (multiplicity =
+    * path count; terminates because hop strictly increases toward the
+    * precomputed dist) — the level-DP and the enumeration count the
+    * same DAG. */
+  def betweennessQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inf = 999L
+    val und = strongUndirected(s, dir).cache()
+    val nodes = t(s, dir, "nation").select($"n_name".as("id"))
+    val init = nodes.select($"id".as("root"))
+      .crossJoin(nodes)
+      .withColumn("hop", when($"id" === $"root", 0L).otherwise(inf))
+    val dist = Iterate.fixpoint(init, 30, "betweenness multi-bfs") { state =>
+      val relaxed = state
+        .select($"root".as("r2"), $"id".as("dst"), ($"hop" + 1).as("cand"))
+        .join(und, Seq("dst"))
+        .groupBy($"r2", $"src").agg(min($"cand").as("nbr"))
+      state
+        .join(relaxed, $"id" === $"src" && $"root" === $"r2", "left")
+        .select($"root", $"id",
+          least($"hop", coalesce($"nbr", $"hop")).as("hop"),
+          (coalesce($"nbr", $"hop") < $"hop").as("chg"))
+    }
+    val sig0 = dist
+      .withColumn("sigma", when($"hop" === 0, 1L).otherwise(0L))
+    val sig = Iterate.fixpoint(sig0, 30, "betweenness sigma-dp") { state =>
+      val contrib = state
+        .select($"root".as("r2"), $"id".as("src"),
+          ($"hop" + 1).as("hl"), $"sigma".as("s0"))
+        .join(und, Seq("src"))
+        .groupBy($"r2", $"dst", $"hl").agg(sum($"s0").as("sg"))
+      state
+        .join(contrib,
+          $"root" === $"r2" && $"id" === $"dst" && $"hop" === $"hl", "left")
+        .select($"root", $"id", $"hop",
+          when($"hop" === 0, lit(1L))
+            .otherwise(coalesce($"sg", lit(0L))).as("sigma"),
+          (when($"hop" === 0, lit(1L))
+            .otherwise(coalesce($"sg", lit(0L))) =!= $"sigma").as("chg"))
+    }
+    val f = sig.filter($"hop" < inf).cache()
+    val sv = f.select($"root".as("s"), $"id".as("v"),
+      $"hop".as("d1"), $"sigma".as("sig1"))
+    val vt = f.select($"root".as("v"), $"id".as("tt"),
+      $"hop".as("d2"), $"sigma".as("sig2"))
+    val st = f.select($"root".as("s"), $"id".as("tt"),
+      $"hop".as("d"), $"sigma".as("sigst"))
+    val bc = sv
+      .join(vt, "v").join(st, Seq("s", "tt"))
+      .filter($"s" =!= $"v" && $"tt" =!= $"v" && $"s" =!= $"tt" &&
+        $"d1" + $"d2" === $"d")
+      .groupBy($"v")
+      .agg(count(lit(1)).as("n_pairs_through"),
+        sum(round($"sig1".cast("double") * $"sig2".cast("double")
+          / $"sigst".cast("double"), 9).cast("decimal(28,9)")).as("m"))
+    nodes.join(bc, $"id" === $"v", "left")
+      .select($"id".as("node"),
+        round(coalesce($"m".cast("double"), lit(0d)) / 2, 6)
+          .as("betweenness"),
+        coalesce($"n_pairs_through", lit(0L)).cast("long")
+          .as("n_pairs_through"))
+      .orderBy($"node")
+  }
+
+  val betweennessSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT w, row_number() OVER (ORDER BY w, src, dst) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM edges),
+      |thr AS (SELECT w AS thr FROM rk WHERE rn = (75 * n + 99) // 100),
+      |stx AS (SELECT src, dst FROM edges, thr WHERE w >= thr),
+      |und AS (SELECT DISTINCT src, dst FROM (
+      |        SELECT src, dst FROM stx
+      |        UNION ALL SELECT dst, src FROM stx)),
+      |walk(root, node, hop) AS (
+      |  SELECT n_name, n_name, 0 FROM nation
+      |  UNION
+      |  SELECT w.root, u.dst, w.hop + 1
+      |  FROM walk w JOIN und u ON w.node = u.src
+      |  WHERE w.hop < 30),
+      |dist AS (SELECT root, node, MIN(hop) AS hop FROM walk GROUP BY 1, 2),
+      |sp(root, node, hop) AS (
+      |  SELECT n_name, n_name, 0 FROM nation
+      |  UNION ALL
+      |  SELECT p.root, u.dst, p.hop + 1
+      |  FROM sp p
+      |  JOIN und u ON u.src = p.node
+      |  JOIN dist dd ON dd.root = p.root AND dd.node = u.dst
+      |    AND dd.hop = p.hop + 1),
+      |sig AS (
+      |  SELECT s2.root, s2.node, dd.hop, COUNT(*) AS sigma
+      |  FROM sp s2 JOIN dist dd ON dd.root = s2.root AND dd.node = s2.node
+      |  WHERE s2.hop = dd.hop
+      |  GROUP BY 1, 2, 3),
+      |bc AS (
+      |  SELECT a.node AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pairs_through,
+      |    SUM(CAST(ROUND(CAST(a.sigma AS DOUBLE) * CAST(b.sigma AS DOUBLE)
+      |      / CAST(c.sigma AS DOUBLE), 9) AS DECIMAL(28,9))) AS m
+      |  FROM sig a
+      |  JOIN sig b ON b.root = a.node
+      |  JOIN sig c ON c.root = a.root AND c.node = b.node
+      |  WHERE a.root <> a.node AND b.node <> a.node AND a.root <> b.node
+      |    AND a.hop + b.hop = c.hop
+      |  GROUP BY 1)
+      |SELECT n.n_name AS node,
+      |  ROUND(COALESCE(CAST(bc.m AS DOUBLE), 0.0) / 2, 6) AS betweenness,
+      |  CAST(COALESCE(bc.n_pairs_through, 0) AS BIGINT) AS n_pairs_through
+      |FROM nation n LEFT JOIN bc ON bc.v = n.n_name
+      |ORDER BY node""".stripMargin
+
   /** q_graph_diameter entry: DISTANCE HISTOGRAM + exact and EFFECTIVE
     * diameter of the strong undirected trade graph — the pairwise-hop
     * distribution from multi-source BFS (the [[closenessQ]] frontier
@@ -1862,6 +2010,7 @@ object Graph {
     "q_graph_katz" -> ((s, dir) => katzQ(s, dir)),
     "q_graph_mst" -> mstQ,
     "q_graph_closeness" -> closenessQ,
+    "q_graph_betweenness" -> betweennessQ,
     "q_graph_assortativity" -> assortativityQ,
     "q_graph_modularity" -> modularityQ,
     "q_graph_communities" -> communitiesQ,
@@ -1882,6 +2031,7 @@ object Graph {
     "q_graph_katz" -> katzSql,
     "q_graph_mst" -> mstSql,
     "q_graph_closeness" -> closenessSql,
+    "q_graph_betweenness" -> betweennessSql,
     "q_graph_assortativity" -> assortativitySql,
     "q_graph_modularity" -> modularitySql,
     "q_graph_communities" -> communitiesSql,

@@ -12,12 +12,27 @@ import graft.Tables.t
   * never all-pairs — and the shuffle key is the cell id.
   *
   * The fixture has no coordinates, so each customer gets a
-  * deterministic md5-derived position on a 90×90 unit plane,
+  * deterministic md5-derived position on an n-derived square plane,
   * IDENTICALLY derivable in the DuckDB oracle (the suite's one
-  * cross-engine hash contract, [[Hashing]]). All arithmetic is integer
-  * HUNDREDTHS of a unit (coordinates 0..8999, cell = hundredths div
-  * 100, squared distance in hundredths² ≤ 1.6e8), so the operator is
-  * exact end-to-end: within-1.0-unit ⇔ dist2 ≤ 100².
+  * cross-engine hash contract, [[Hashing]]). The plane SIZE is the
+  * scale contract (r10 verdict item 3): a fixed 90×90 extent makes
+  * density — and with it in-cell candidates AND true output pairs —
+  * grow quadratically with the corpus (measured 8.2×/decade at sf1),
+  * which models nothing real: a growing corpus covers growing
+  * geography at roughly constant density. [[gridCells]] therefore
+  * derives the extent from the row count so expected occupancy per
+  * 1.0-unit cell is pinned at [[TargetPerCell]] (the
+  * [[Similarity.adaptiveBits]] twin-contract pattern — the oracle
+  * computes the same `GREATEST(90, CEIL(SQRT(n/2.0)))` from
+  * `COUNT(*)`, so positions agree bit-for-bit). The 90 floor keeps
+  * every corpus ≤ ~16k points — both oracle fixtures — on exactly
+  * the historical plane.
+  *
+  * All arithmetic is integer HUNDREDTHS of a unit (cell = hundredths
+  * div 100, squared distance in hundredths²), so the operator is
+  * exact end-to-end: within-1.0-unit ⇔ dist2 ≤ 100². Cell size stays
+  * equal to the radius — the minimum at which the 3×3 neighborhood
+  * provably covers the radius ball.
   *
   * Dedup-by-construction: only the EXPLODED side's smaller id may
   * match the resident side, so each qualifying unordered pair is
@@ -25,28 +40,59 @@ import graft.Tables.t
   */
 object Spatial {
 
-  private val Cells = 90 // 90x90 unit grid; coordinates in [0, 90)
-  private val RadiusH = 100L // 1.00 unit, in hundredths
+  private val MinCells = 90    // historical 90x90 floor (covers <=16.2k pts)
+  private val RadiusH = 100L   // 1.00 unit, in hundredths
 
-  /** (id, xi, yi, cx, cy) — integer-hundredth positions + home cell. */
-  private def points(s: SparkSession, dir: String): DataFrame = {
+  /** Expected points per 1.0-unit grid cell the extent aims for. */
+  private val TargetPerCell = 2.0
+
+  /** Side length (in 1.0-unit cells) of the point plane: smallest
+    * square with expected occupancy ≤ [[TargetPerCell]], floored at
+    * [[MinCells]]. Mirrored literally in every oracle
+    * (`GREATEST(90, CEIL(SQRT(COUNT(*) / 2.0)))` — sqrt/ceil/divide
+    * are all correctly-rounded IEEE ops, identical in both engines). */
+  private[ops] def gridCells(n: Long): Long =
+    math.max(MinCells.toLong,
+      math.ceil(math.sqrt(n.toDouble / TargetPerCell)).toLong)
+
+  /** The oracle twin of [[gridCells]] + position derivation, as a
+    * 1-row CTE `g(cells)` cross-joined into the point CTE. */
+  private def ptsSql: String =
+    s"""g AS (
+      |  SELECT GREATEST($MinCells,
+      |    CAST(CEIL(SQRT(COUNT(*) / $TargetPerCell)) AS BIGINT)) AS cells
+      |  FROM customer),
+      |pts AS (
+      |  SELECT c_custkey AS id,
+      |    ('0x' || substr(md5(c_custkey::VARCHAR || ':x'), 1, 15))
+      |      ::UBIGINT::BIGINT % (g.cells * 100) AS xi,
+      |    ('0x' || substr(md5(c_custkey::VARCHAR || ':y'), 1, 15))
+      |      ::UBIGINT::BIGINT % (g.cells * 100) AS yi
+      |  FROM customer CROSS JOIN g)""".stripMargin
+
+  /** (id, xi, yi, cx, cy) — integer-hundredth positions + home cell on
+    * the n-derived plane. */
+  private def points(s: SparkSession, dir: String, cells: Long): DataFrame = {
     import s.implicits._
     t(s, dir, "customer")
       .select($"c_custkey".as("id"))
       .withColumn("xi",
         Hashing.md5Long60(concat($"id".cast("string"), lit(":x")))
-          % (Cells * 100))
+          % (cells * 100))
       .withColumn("yi",
         Hashing.md5Long60(concat($"id".cast("string"), lit(":y")))
-          % (Cells * 100))
+          % (cells * 100))
       .withColumn("cx", expr("xi div 100"))
       .withColumn("cy", expr("yi div 100"))
   }
 
+  private def nCustomers(s: SparkSession, dir: String): Long =
+    t(s, dir, "customer").count()
+
   /** q_join_spatial entry: all customer pairs within 1.0 unit. */
   def spatialQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pts = points(s, dir)
+    val pts = points(s, dir, gridCells(nCustomers(s, dir)))
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
     val probes = pts
@@ -68,13 +114,7 @@ object Spatial {
   }
 
   val spatialSql: String =
-    s"""WITH pts AS (
-      |  SELECT c_custkey AS id,
-      |    ('0x' || substr(md5(c_custkey::VARCHAR || ':x'), 1, 15))
-      |      ::UBIGINT::BIGINT % ${Cells * 100} AS xi,
-      |    ('0x' || substr(md5(c_custkey::VARCHAR || ':y'), 1, 15))
-      |      ::UBIGINT::BIGINT % ${Cells * 100} AS yi
-      |  FROM customer),
+    s"""WITH $ptsSql,
       |cells AS (SELECT id, xi, yi, xi // 100 AS cx, yi // 100 AS cy
       |          FROM pts),
       |probes AS (
@@ -102,8 +142,8 @@ object Spatial {
     * are noise. Density clustering is the family k-means can't cover
     * (arbitrary-shape clusters, explicit noise), and the grid variant
     * is the one that scales: density is a combinable cell count, and
-    * connectivity runs on the CELL graph (≤ 90² nodes regardless of
-    * corpus size), not on points.
+    * connectivity runs on the CELL graph (occupancy-pinned: ~n/2 cells
+    * at most, orders of magnitude below the corpus), not on points.
     *
     * Cluster labels canonicalize to the minimum reachable cell id via
     * [[Graph.connectedComponentsStar]] (O(log n) rounds); isolated
@@ -112,15 +152,16 @@ object Spatial {
     *
     * Scale shape: one corpus-sized combinable groupBy(cell); the
     * adjacency self-join and component loop touch only the bounded
-    * dense-cell frame. At 100 TB the grid would size by data extent,
-    * keeping the cell graph millions of times smaller than the
-    * corpus. */
+    * dense-cell frame. The grid extent sizes by the data
+    * ([[gridCells]]), exactly the "grid sized by data extent" this
+    * Scaladoc promised before r11 made it real. */
   def dbscanQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dense = points(s, dir)
+    val cells = gridCells(nCustomers(s, dir))
+    val dense = points(s, dir, cells)
       .groupBy($"cx", $"cy").agg(count(lit(1)).as("n"))
       .filter($"n" >= MinPts)
-      .withColumn("cell", $"cx" * Cells + $"cy")
+      .withColumn("cell", $"cx" * cells + $"cy")
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1 if !(dx == 0 && dy == 0))
       yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
     val adj = dense
@@ -139,18 +180,12 @@ object Spatial {
   }
 
   val dbscanSql: String =
-    s"""WITH RECURSIVE pts AS (
-      |  SELECT c_custkey AS id,
-      |    ('0x' || substr(md5(c_custkey::VARCHAR || ':x'), 1, 15))
-      |      ::UBIGINT::BIGINT % ${Cells * 100} AS xi,
-      |    ('0x' || substr(md5(c_custkey::VARCHAR || ':y'), 1, 15))
-      |      ::UBIGINT::BIGINT % ${Cells * 100} AS yi
-      |  FROM customer),
+    s"""WITH RECURSIVE $ptsSql,
       |dense AS (
       |  SELECT xi // 100 AS cx, yi // 100 AS cy,
-      |    (xi // 100) * $Cells + yi // 100 AS cell,
+      |    (xi // 100) * g.cells + yi // 100 AS cell,
       |    CAST(COUNT(*) AS BIGINT) AS n
-      |  FROM pts GROUP BY 1, 2, 3 HAVING COUNT(*) >= $MinPts),
+      |  FROM pts CROSS JOIN g GROUP BY 1, 2, 3 HAVING COUNT(*) >= $MinPts),
       |adj AS (
       |  SELECT a.cell AS ca, b.cell AS cb
       |  FROM dense a JOIN dense b
@@ -183,13 +218,14 @@ object Spatial {
     * pipelines choose a radius cap precisely to stay in this shape.
     *
     * Scale shape: one exchange keyed on cell id; candidates ∝ local
-    * density × 9 cells; the per-point argmin is a map-side-combinable
-    * `min(struct(dist², id))` — no window, no candidate shuffle to a
-    * single task. Integer-hundredth arithmetic end-to-end (the
-    * [[points]] contract), so both engines agree exactly. */
+    * density × 9 cells, with density pinned by [[gridCells]]; the
+    * per-point argmin is a map-side-combinable `min(struct(dist², id))`
+    * — no window, no candidate shuffle to a single task. Integer-
+    * hundredth arithmetic end-to-end (the [[points]] contract), so
+    * both engines agree exactly. */
   def nnRadiusQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pts = points(s, dir)
+    val pts = points(s, dir, gridCells(nCustomers(s, dir)))
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
     val probes = pts
@@ -212,13 +248,7 @@ object Spatial {
   }
 
   val nnRadiusSql: String =
-    s"""WITH pts AS (
-      |  SELECT c_custkey AS id,
-      |    ('0x' || substr(md5(c_custkey::VARCHAR || ':x'), 1, 15))
-      |      ::UBIGINT::BIGINT % ${Cells * 100} AS xi,
-      |    ('0x' || substr(md5(c_custkey::VARCHAR || ':y'), 1, 15))
-      |      ::UBIGINT::BIGINT % ${Cells * 100} AS yi
-      |  FROM customer),
+    s"""WITH $ptsSql,
       |cells AS (SELECT id, xi, yi, xi // 100 AS cx, yi // 100 AS cy
       |          FROM pts),
       |probes AS (

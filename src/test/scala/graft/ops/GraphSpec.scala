@@ -513,6 +513,57 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       .get.getAs[Double]("closeness"))
   }
 
+  test("betweenness: sigma-product BC matches a driver all-pairs path count") {
+    val rows = Graph.betweennessQ(spark, sfDir).collect()
+    assert(rows.length == 25)
+    val adj = Graph.strongUndirected(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = rows.map(_.getAs[String]("node")).toSeq
+    // driver reference: per-source BFS with shortest-path counting
+    def bfsCount(root: String): (Map[String, Long], Map[String, Long]) = {
+      val dist = scala.collection.mutable.Map(root -> 0L)
+      val sigma = scala.collection.mutable.Map(root -> 1L)
+      var frontier = Seq(root)
+      var h = 0L
+      while (frontier.nonEmpty) {
+        h += 1
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)
+          .filter(w => !dist.contains(w) || dist(w) == h)
+          .map(w => (w, sigma(n)))).groupBy(_._1)
+        next.foreach { case (w, contribs) =>
+          if (!dist.contains(w)) { dist(w) = h; sigma(w) = 0L }
+          sigma(w) += contribs.map(_._2).sum
+        }
+        frontier = next.keys.filter(w => dist(w) == h).toSeq.distinct
+      }
+      (dist.toMap, sigma.toMap)
+    }
+    val per = nodes.map(n => n -> bfsCount(n)).toMap
+    rows.foreach { r =>
+      val v = r.getAs[String]("node")
+      var pairs = 0L
+      var acc = BigDecimal(0)
+      for (s0 <- nodes; t0 <- nodes
+           if s0 != v && t0 != v && s0 != t0
+             && per(s0)._1.contains(v) && per(v)._1.contains(t0)
+             && per(s0)._1.contains(t0)
+             && per(s0)._1(v) + per(v)._1(t0) == per(s0)._1(t0)) {
+        pairs += 1
+        acc += BigDecimal(
+          per(s0)._2(v).toDouble * per(v)._2(t0).toDouble
+            / per(s0)._2(t0).toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      assert(r.getAs[Long]("n_pairs_through") == pairs, s"$v pairs")
+      assert(math.abs(r.getAs[Double]("betweenness") - acc.toDouble / 2)
+        < 1e-5, s"$v betweenness")
+      assert(r.getAs[Double]("betweenness") >= 0.0)
+    }
+    // structure: some node carries positive betweenness on this graph
+    assert(rows.exists(_.getAs[Double]("betweenness") > 0.0))
+  }
+
   test("mst: KSV filter-then-solve equals a driver Kruskal; spans all trading nations") {
     import spark.implicits._
     val got = Graph.mstQ(spark, sfDir).collect()
