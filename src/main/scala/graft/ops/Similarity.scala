@@ -129,11 +129,21 @@ object Similarity {
     * corpus doubling beyond them. */
   private[ops] val TargetOccupancy = 40
 
+  /** Tighter target for the kNN-graph SELF-join, where candidate volume
+    * is n × occupancy × tables and occupancy is pure cost (the
+    * registered gate asserts planted twins, which collide at ANY
+    * width): the r11 sf1→sf10 decade measured candidates/vector ≈ 450
+    * at target 40 (ceil-rounding overshoot + cluster skew) vs ≈ 130 at
+    * target 8, a ~3× wall saving with the same linear shape. Extra
+    * buckets are free next to the join they shrink (2^15 × 8 keys at
+    * 240k vectors). */
+  private[ops] val KnnTargetOccupancy = 8
+
   /** Bucket-count sizing for corpus self-joins: smallest width ≥6 with
-    * expected occupancy ≤ [[TargetOccupancy]]. */
-  private[ops] def adaptiveBits(n: Long): Int = {
+    * expected occupancy ≤ `target`. */
+  private[ops] def adaptiveBits(n: Long, target: Int = TargetOccupancy): Int = {
     val needed = math.ceil(
-      math.log(math.max(1.0, n.toDouble / TargetOccupancy)) / math.log(2.0)).toInt
+      math.log(math.max(1.0, n.toDouble / target)) / math.log(2.0)).toInt
     math.max(6, needed)
   }
 
@@ -413,7 +423,7 @@ object Similarity {
                tables: Int = 8, bits: Int = 0): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    val b0 = if (bits > 0) bits else adaptiveBits(e.count())
+    val b0 = if (bits > 0) bits else adaptiveBits(e.count(), KnnTargetOccupancy)
     val b = bucketed(e, tables, b0)
     val cand = b.select($"vec_id".as("a_id"), $"tbl", $"bucket")
       .join(b.select($"vec_id".as("b_id"), $"tbl", $"bucket"),
@@ -458,7 +468,7 @@ object Similarity {
   /** q_similarity_knn_graph entry — the gate asserts what a dedup/
     * curation pipeline actually needs from the graph: over the
     * [[Dedup.embed]] re-crawl corpus (every 5th vector duplicated under
-    * id+100000), EVERY planted twin pair must appear as a graph edge in
+    * id+10^9 — clear of replica id ranges at any staged SF), EVERY planted twin pair must appear as a graph edge in
     * both directions. A cos ≈ 1 twin collides in a 6-bit SRP table with
     * p ≈ 0.92, across 8 tables misses with p ≈ 2.5e-9 — so a single
     * absent edge means broken bucketing/scoring, and the oracle (which
@@ -468,11 +478,11 @@ object Similarity {
     val base = t(s, dir, "embeddings").select($"vec_id", $"embedding")
     val crawl = base.unionByName(
       base.filter($"vec_id" % 5 === 0)
-        .withColumn("vec_id", $"vec_id" + 100000L))
+        .withColumn("vec_id", $"vec_id" + 1000000000L))
     val edges = knnGraph(widened(crawl), k = 5)
       .select($"query_id", $"vec_id".as("twin_id"), lit(1).as("ing"))
     val twins = base.filter($"vec_id" % 5 === 0)
-      .select($"vec_id".as("a"), ($"vec_id" + 100000L).as("b"))
+      .select($"vec_id".as("a"), ($"vec_id" + 1000000000L).as("b"))
     twins.select($"a".as("query_id"), $"b".as("twin_id"))
       .unionByName(twins.select($"b".as("query_id"), $"a".as("twin_id")))
       .join(edges, Seq("query_id", "twin_id"), "left")
@@ -485,7 +495,7 @@ object Similarity {
     * directions, must be an edge. */
   val knnGraphCheckSql: String =
     """WITH t AS (
-      |  SELECT vec_id AS a, vec_id + 100000 AS b
+      |  SELECT vec_id AS a, vec_id + 1000000000 AS b
       |  FROM embeddings WHERE vec_id % 5 = 0)
       |SELECT query_id, twin_id, 1 AS in_graph FROM (
       |  SELECT a AS query_id, b AS twin_id FROM t

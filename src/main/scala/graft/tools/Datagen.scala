@@ -120,8 +120,31 @@ object Datagen {
     rep("embeddings", (df, i) => df
       .withColumn("embedding", {
         val k = (7 * i) % 64 // dim=64 in the fixture; rotation amount per replica
-        concat(expr(s"slice(embedding, ${k + 1}, size(embedding) - $k)"),
-               expr(s"slice(embedding, 1, $k)"))
+        val rotated =
+          concat(expr(s"slice(embedding, ${k + 1}, size(embedding) - $k)"),
+                 expr(s"slice(embedding, 1, $k)"))
+        // per-replica deterministic sign flips (splitmix64 of (i, dim)):
+        // diag(±1)∘rotation is orthogonal, and ±1 float multiplies are
+        // EXACT, so norms and within-replica cosines are still preserved
+        // bit-for-bit. Rotation ALONE is not composition-safe: staging
+        // sf10 as (sf0.1 ×10) ×10 makes replica pairs with equal i+j
+        // share the total rotation 7(i+j) mod 64, collapsing up to 10
+        // replicas into IDENTICAL vectors — measured at sf10 as ~100-way
+        // near-dup clusters (max SRP bucket occupancy 105 at 17 bits)
+        // that broke the documented "cross-replica cosines ~0" contract
+        // and inflated kNN-graph candidates 17×/decade. Sign patterns
+        // compose multiplicatively, so distinct replica paths stay
+        // distinct.
+        val signs = (0 until 64).map { d =>
+          var z = i.toLong * 64 + d + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0f else -1.0f
+        }
+        org.apache.spark.sql.functions.zip_with(
+          rotated,
+          org.apache.spark.sql.functions.typedLit(signs),
+          (x, sg) => x * sg)
       })
       .withColumn("vec_id", off("vec_id", vecSpan, i)))
   }

@@ -52,9 +52,11 @@ class BehaviorSpec extends AnyFunSuite with SparkSpec {
     val total = purchases
       .agg(org.apache.spark.sql.functions.sum(
         $"value".cast("decimal(18,2)"))).head.getDecimal(0)
-    val attributed = rows.map(_.getAs[java.math.BigDecimal]("revenue"))
-      .reduce(_.add(_))
-    assert(attributed.compareTo(total) == 0,
+    val attributed = rows
+      .map(r => BigDecimal(r.getAs[Double]("revenue")).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP))
+      .sum
+    assert(attributed == BigDecimal(total),
       s"revenue $attributed != $total")
     val channels = rows.map(_.getAs[String]("channel")).toSet
     assert(channels.subsetOf(Set("click", "view", "none")))

@@ -123,7 +123,8 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     rows.foreach { r =>
       val k = r.getAs[Long]("key")
       val (bal, seg, st) = expected(k)
-      assert(BigDecimal(r.getAs[java.math.BigDecimal]("acctbal")) == bal, s"key $k bal")
+      assert(BigDecimal(r.getAs[Double]("acctbal"))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) == bal, s"key $k bal")
       assert(r.getAs[String]("segment") == seg, s"key $k seg")
       assert(r.getAs[String]("status") == st, s"key $k status")
     }

@@ -58,8 +58,8 @@ class ClusterSpec extends AnyFunSuite with SparkSpec {
       val cid = r.getAs[Long]("cid").toInt
       val (n, inertia) = exp(cid)
       assert(r.getAs[Long]("n") == n, s"cluster $cid size")
-      assert(BigInt(r.getAs[java.math.BigDecimal]("inertia_u2").toBigInteger)
-        == inertia, s"cluster $cid inertia")
+      assert(r.getAs[Double]("inertia_u2")
+        == BigDecimal(inertia).toDouble, s"cluster $cid inertia")
       assert(math.abs(r.getAs[Double]("mean_sq") -
         BigDecimal(inertia) .toDouble / n / 1e12) < 1e-5)
     }
@@ -101,8 +101,8 @@ class ClusterSpec extends AnyFunSuite with SparkSpec {
         val cid = r.getAs[Long]("cid").toInt
         val (n, dist) = exp(cid)
         assert(r.getAs[Long]("n") == n, s"sub $sub cell $cid size")
-        assert(BigInt(r.getAs[java.math.BigDecimal]("distortion_u2")
-          .toBigInteger) == dist, s"sub $sub cell $cid distortion")
+        assert(r.getAs[Double]("distortion_u2")
+          == BigDecimal(dist).toDouble, s"sub $sub cell $cid distortion")
       }
       pqTotal += exp.values.map(_._2).sum
     }
@@ -161,8 +161,7 @@ class ClusterSpec extends AnyFunSuite with SparkSpec {
         val adc = (0 until m).map { sub =>
           d2(sl(q, sub), codebook(sub).find(_._1 == code(byId(vid), sub)).get._2)
         }.sum
-        assert(BigInt(r.getAs[java.math.BigDecimal]("adc_u2").toBigInteger)
-          == BigInt(adc), s"q $qid cand $vid adc")
+        assert(r.getAs[Long]("adc_u2") == adc, s"q $qid cand $vid adc")
       }
       val exactAll = vecs.filter(_._1 != qid)
         .map { case (id, v) => (id, d2(q, v)) }

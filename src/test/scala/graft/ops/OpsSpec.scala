@@ -212,7 +212,7 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
     val expected = graft.Tables.t(spark, sfDir, "embeddings")
       .filter($"vec_id" % 5 === 0).select($"vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000000L)).toSet
     assert(got == expected)
   }
 
@@ -712,8 +712,13 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
     // monotone: more data never means fewer buckets
     val widths = Seq(1000L, 10000L, 100000L, 1000000L, 10000000L)
-      .map(Similarity.adaptiveBits)
+      .map(n => Similarity.adaptiveBits(n))
     assert(widths == widths.sorted)
+    // the kNN-graph target is strictly tighter: never fewer bits
+    Seq(2400L, 24000L, 240000L).foreach { n =>
+      assert(Similarity.adaptiveBits(n, Similarity.KnnTargetOccupancy)
+        >= Similarity.adaptiveBits(n))
+    }
   }
 
   test("substringSpans: shared passages found exactly, short overlaps dropped, case-folded") {

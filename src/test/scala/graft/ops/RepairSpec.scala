@@ -319,8 +319,8 @@ class RepairSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("total_weight") == tw)
       var cum = 0L
       val med = grp.find { e => cum += e._3; cum * 2 >= tw }.get._2
-      assert(r.getAs[java.math.BigDecimal]("w_median").doubleValue == med,
-        s"$g: ${r.getAs[java.math.BigDecimal]("w_median")} vs $med")
+      assert(r.getAs[Double]("w_median") == med,
+        s"$g: ${r.getAs[Double]("w_median")} vs $med")
     }
   }
 
