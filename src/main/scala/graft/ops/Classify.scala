@@ -592,7 +592,157 @@ object Classify {
       |    AS significant_05
       |FROM cells""".stripMargin
 
+  /** q_eval_bleu entry: corpus-level BLEU (Papineni et al., ACL 2002)
+    * per source — modified (clipped) n-gram precision for n = 1..4
+    * plus the brevity penalty, the reference metric every
+    * generation-eval harness reports. Candidate/reference pairs are
+    * deterministic: each doc against its source's NEXT doc by doc_id
+    * (consecutive same-source docs share register and vocabulary — a
+    * same-distribution baseline, which is exactly what corpus BLEU
+    * needs to produce mid-range, discriminative values). Clipping is
+    * per pair per gram: min(count_cand, count_ref).
+    *
+    * Scale shape: ONE flattened n∈1..4 gram explode per doc (O(4 ×
+    * corpus words) rows), counts collapse combinably per (doc, n,
+    * gram); the pair join touches gram-count rows, never documents;
+    * everything after lives on the (source, n) grid. Determinism:
+    * matches/totals/lengths are exact integers; each p_n is one IEEE
+    * divide; BLEU is the identical written chain
+    * bp · exp(0.25·(ln p1 + … + ln p4)) in both engines, rounded
+    * once to 6 dp; any zero match short-circuits to 0 before ln. */
+  def bleuQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", $"source", split(lower($"text"), " ").as("w"))
+      .withColumn("len", size($"w"))
+    val grams = toks.select($"doc_id", explode(expr(
+        """flatten(transform(array(1, 2, 3, 4), n ->
+          |  if(size(w) >= n,
+          |     transform(sequence(1, size(w) - n + 1),
+          |       i -> struct(n AS n, concat_ws(' ', slice(w, i, n)) AS g)),
+          |     array())))""".stripMargin)).as("e"))
+      .select($"doc_id", $"e.n".as("n"), $"e.g".as("g"))
+      .groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("c"))
+    val pairs = toks
+      .withColumn("ref_id", lead($"doc_id", 1).over(
+        Window.partitionBy($"source").orderBy($"doc_id")))
+      .filter($"ref_id".isNotNull)
+      .select($"source", $"doc_id".as("cand_id"), $"ref_id", $"len")
+    val lens = pairs
+      .join(toks.select($"doc_id".as("ref_id"), $"len".as("rlen")), "ref_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_pairs"), sum($"len").as("cand_words"),
+        sum($"rlen").as("ref_words"))
+    val cg = grams.withColumnRenamed("doc_id", "cand_id")
+      .withColumnRenamed("c", "cc")
+    val rg = grams.withColumnRenamed("doc_id", "ref_id")
+      .withColumnRenamed("c", "rc")
+    val matches = pairs.join(cg, "cand_id")
+      .join(rg, Seq("ref_id", "n", "g"))
+      .groupBy($"source", $"n")
+      .agg(sum(least($"cc", $"rc")).as("m"))
+    val totals = pairs.join(cg, "cand_id")
+      .groupBy($"source", $"n").agg(sum($"cc").as("tt"))
+    def cell(i: Int, c: String) =
+      sum(when($"n" === i, col(c)).otherwise(0L)).as(s"${c}$i")
+    val grid = totals.join(matches, Seq("source", "n"), "left")
+      .na.fill(0L, Seq("m"))
+      .groupBy($"source")
+      .agg(cell(1, "m"), cell(2, "m"), cell(3, "m"), cell(4, "m"),
+        cell(1, "tt"), cell(2, "tt"), cell(3, "tt"), cell(4, "tt"))
+    def p(i: Int) = col(s"m$i").cast("double") / col(s"tt$i").cast("double")
+    val bp = when($"cand_words" >= $"ref_words", lit(1.0))
+      .otherwise(exp(lit(1.0) - $"ref_words".cast("double")
+        / $"cand_words".cast("double")))
+    lens.join(grid, "source")
+      .select($"source", $"n_pairs",
+        $"cand_words".cast("long").as("cand_words"),
+        $"ref_words".cast("long").as("ref_words"),
+        round(p(1), 6).as("p1"), round(p(2), 6).as("p2"),
+        round(p(3), 6).as("p3"), round(p(4), 6).as("p4"),
+        round(bp, 6).as("brevity_penalty"),
+        when($"m1" === 0L || $"m2" === 0L || $"m3" === 0L || $"m4" === 0L,
+          lit(0.0))
+          .otherwise(round(bp * exp(lit(0.25) *
+            (log(p(1)) + log(p(2)) + log(p(3)) + log(p(4)))), 6))
+          .as("bleu"))
+      .orderBy($"source")
+  }
+
+  val bleuSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(lower(text), ' ') AS w,
+      |    len(string_split(lower(text), ' ')) AS l
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, nn.n AS n,
+      |    array_to_string(w[ii.i:ii.i + nn.n - 1], ' ') AS g,
+      |    COUNT(*) AS c
+      |  FROM toks
+      |  CROSS JOIN range(1, 5) nn(n)
+      |  CROSS JOIN range(1, 2000) ii(i)
+      |  WHERE l >= nn.n AND ii.i <= l - nn.n + 1
+      |  GROUP BY 1, 2, 3),
+      |pairs AS (
+      |  SELECT source, doc_id AS cand_id, l AS clen,
+      |    lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref_id
+      |  FROM toks
+      |  QUALIFY ref_id IS NOT NULL),
+      |lens AS (
+      |  SELECT p.source, COUNT(*) AS n_pairs, SUM(p.clen) AS cand_words,
+      |    SUM(r.l) AS ref_words
+      |  FROM pairs p JOIN toks r ON r.doc_id = p.ref_id
+      |  GROUP BY 1),
+      |matches AS (
+      |  SELECT p.source, cg.n, SUM(LEAST(cg.c, rg.c)) AS m
+      |  FROM pairs p
+      |  JOIN grams cg ON cg.doc_id = p.cand_id
+      |  JOIN grams rg ON rg.doc_id = p.ref_id
+      |    AND rg.n = cg.n AND rg.g = cg.g
+      |  GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT p.source, cg.n, SUM(cg.c) AS tt
+      |  FROM pairs p JOIN grams cg ON cg.doc_id = p.cand_id
+      |  GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.source,
+      |    SUM(CASE WHEN t.n = 1 THEN COALESCE(m.m, 0) ELSE 0 END) AS m1,
+      |    SUM(CASE WHEN t.n = 2 THEN COALESCE(m.m, 0) ELSE 0 END) AS m2,
+      |    SUM(CASE WHEN t.n = 3 THEN COALESCE(m.m, 0) ELSE 0 END) AS m3,
+      |    SUM(CASE WHEN t.n = 4 THEN COALESCE(m.m, 0) ELSE 0 END) AS m4,
+      |    SUM(CASE WHEN t.n = 1 THEN t.tt ELSE 0 END) AS tt1,
+      |    SUM(CASE WHEN t.n = 2 THEN t.tt ELSE 0 END) AS tt2,
+      |    SUM(CASE WHEN t.n = 3 THEN t.tt ELSE 0 END) AS tt3,
+      |    SUM(CASE WHEN t.n = 4 THEN t.tt ELSE 0 END) AS tt4
+      |  FROM totals t
+      |  LEFT JOIN matches m ON m.source = t.source AND m.n = t.n
+      |  GROUP BY 1)
+      |SELECT l.source, CAST(l.n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(l.cand_words AS BIGINT) AS cand_words,
+      |  CAST(l.ref_words AS BIGINT) AS ref_words,
+      |  ROUND(CAST(m1 AS DOUBLE) / CAST(tt1 AS DOUBLE), 6) AS p1,
+      |  ROUND(CAST(m2 AS DOUBLE) / CAST(tt2 AS DOUBLE), 6) AS p2,
+      |  ROUND(CAST(m3 AS DOUBLE) / CAST(tt3 AS DOUBLE), 6) AS p3,
+      |  ROUND(CAST(m4 AS DOUBLE) / CAST(tt4 AS DOUBLE), 6) AS p4,
+      |  ROUND(CASE WHEN l.cand_words >= l.ref_words THEN 1.0
+      |    ELSE EXP(1.0 - CAST(l.ref_words AS DOUBLE)
+      |      / CAST(l.cand_words AS DOUBLE)) END, 6) AS brevity_penalty,
+      |  CASE WHEN m1 = 0 OR m2 = 0 OR m3 = 0 OR m4 = 0 THEN 0.0
+      |  ELSE ROUND(
+      |    (CASE WHEN l.cand_words >= l.ref_words THEN 1.0
+      |     ELSE EXP(1.0 - CAST(l.ref_words AS DOUBLE)
+      |       / CAST(l.cand_words AS DOUBLE)) END)
+      |    * EXP(0.25 * (LN(CAST(m1 AS DOUBLE) / CAST(tt1 AS DOUBLE))
+      |                + LN(CAST(m2 AS DOUBLE) / CAST(tt2 AS DOUBLE))
+      |                + LN(CAST(m3 AS DOUBLE) / CAST(tt3 AS DOUBLE))
+      |                + LN(CAST(m4 AS DOUBLE) / CAST(tt4 AS DOUBLE)))), 6)
+      |  END AS bleu
+      |FROM lens l JOIN grid USING (source)
+      |ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_bleu" -> bleuQ,
     "q_eval_mcnemar" -> mcnemarQ,
     "q_eval_lift" -> liftQ,
     "q_text_classify" -> classifyQ,
@@ -603,6 +753,7 @@ object Classify {
     "q_eval_f1" -> f1Q)
 
   def oracle: Map[String, String] = Map(
+    "q_eval_bleu" -> bleuSql,
     "q_eval_mcnemar" -> mcnemarSql,
     "q_eval_lift" -> liftSql,
     "q_text_classify" -> classifySql,

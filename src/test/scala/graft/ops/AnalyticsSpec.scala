@@ -2158,4 +2158,50 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Double]("coverage") > 0.75, s"$prio coverage collapsed")
     }
   }
+
+  test("bleu: corpus BLEU matches a driver recompute of clipped n-gram precision") {
+    import spark.implicits._
+    val rows = Classify.bleuQ(spark, sfDir).collect()
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"source", $"doc_id", lower($"text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ", -1).toSeq))
+    val bySource = docs.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("source")).toSet == bySource.keySet)
+    def grams(w: Seq[String], n: Int): Map[String, Int] =
+      if (w.length < n) Map.empty
+      else w.sliding(n).map(_.mkString(" ")).toSeq.groupBy(identity)
+        .view.mapValues(_.size).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ds = bySource(src).sortBy(_._2)
+      val pairs = ds.zip(ds.tail)
+      assert(r.getAs[Long]("n_pairs") == pairs.length, s"$src pairs")
+      val candW = pairs.map(_._1._3.length.toLong).sum
+      val refW = pairs.map(_._2._3.length.toLong).sum
+      assert(r.getAs[Long]("cand_words") == candW, s"$src cand words")
+      assert(r.getAs[Long]("ref_words") == refW, s"$src ref words")
+      val mt = (1 to 4).map { n =>
+        val m = pairs.map { case (c, rf) =>
+          val cg = grams(c._3, n); val rg = grams(rf._3, n)
+          cg.map { case (g, cc) => math.min(cc, rg.getOrElse(g, 0)) }.sum.toLong
+        }.sum
+        val t = pairs.map { case (c, _) =>
+          math.max(c._3.length - n + 1, 0).toLong }.sum
+        (m, t)
+      }
+      val ps = mt.map { case (m, t) => m.toDouble / t }
+      (1 to 4).foreach { n =>
+        val exp = BigDecimal(ps(n - 1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getAs[Double](s"p$n") - exp) < 1e-9, s"$src p$n")
+      }
+      val bp = if (candW >= refW) 1.0 else math.exp(1.0 - refW.toDouble / candW)
+      val bleu = if (mt.exists(_._1 == 0L)) 0.0
+        else bp * math.exp(0.25 * ps.map(math.log).sum)
+      assert(math.abs(r.getAs[Double]("bleu") -
+        BigDecimal(bleu).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        < 1e-9, s"$src bleu")
+      assert(r.getAs[Double]("bleu") >= 0.0 && r.getAs[Double]("bleu") <= 1.0)
+    }
+  }
 }
