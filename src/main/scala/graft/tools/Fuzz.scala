@@ -251,7 +251,10 @@ object Fuzz {
     }
     if (t.nums.nonEmpty) opts += { () =>
       val (c, _, _) = pick(r, t.nums)
-      s"CAST(SUM(CAST(${t.name}.$c AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS dsum_$c"
+      // exact decimal sum, cast ONCE to DOUBLE at the output boundary —
+      // the suite-wide contract (DECIMAL output columns are
+      // driver-hash-fragile; see Cluster.kmeansQ and check.py's probe)
+      s"CAST(CAST(SUM(CAST(${t.name}.$c AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS dsum_$c"
     }
     if (t.nums.nonEmpty) opts += { () =>
       val (c, _, _) = pick(r, t.nums)
