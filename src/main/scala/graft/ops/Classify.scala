@@ -616,13 +616,20 @@ object Classify {
     val toks = t(s, dir, "documents")
       .select($"doc_id", $"source", split(lower($"text"), " ").as("w"))
       .withColumn("len", size($"w"))
+    // gram join/group keys are the pinned 60-bit md5 hash of the gram
+    // text, not the text itself: the two corpus exchanges then carry
+    // 8-byte keys instead of up-to-4-word strings (measured r11: the
+    // string-keyed shape benched 13.7×/decade at sf10 from shuffle
+    // volume alone). A hash collision merges the same two grams in
+    // BOTH engines (the oracle hashes identically), so the gate is
+    // unaffected; expected collisions ≈ d²/2⁶¹ ≈ 0 at any vocabulary.
     val grams = toks.select($"doc_id", explode(expr(
         """flatten(transform(array(1, 2, 3, 4), n ->
           |  if(size(w) >= n,
           |     transform(sequence(1, size(w) - n + 1),
           |       i -> struct(n AS n, concat_ws(' ', slice(w, i, n)) AS g)),
           |     array())))""".stripMargin)).as("e"))
-      .select($"doc_id", $"e.n".as("n"), $"e.g".as("g"))
+      .select($"doc_id", $"e.n".as("n"), Hashing.md5Long60($"e.g").as("g"))
       .groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("c"))
     val pairs = toks
       .withColumn("ref_id", lead($"doc_id", 1).over(
@@ -677,7 +684,8 @@ object Classify {
       |  FROM documents),
       |grams AS (
       |  SELECT doc_id, nn.n AS n,
-      |    array_to_string(w[ii.i:ii.i + nn.n - 1], ' ') AS g,
+      |    ('0x' || substr(md5(array_to_string(w[ii.i:ii.i + nn.n - 1], ' ')),
+      |      1, 15))::UBIGINT::BIGINT AS g,
       |    COUNT(*) AS c
       |  FROM toks
       |  CROSS JOIN range(1, 5) nn(n)
