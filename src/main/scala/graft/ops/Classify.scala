@@ -658,7 +658,11 @@ object Classify {
       .groupBy($"source")
       .agg(cell(1, "m"), cell(2, "m"), cell(3, "m"), cell(4, "m"),
         cell(1, "tt"), cell(2, "tt"), cell(3, "tt"), cell(4, "tt"))
-    def p(i: Int) = col(s"m$i").cast("double") / col(s"tt$i").cast("double")
+    // tt_i = 0 (every candidate in a source shorter than i tokens) would
+    // hit engine-divergent zero-divide semantics (Spark NULL vs DuckDB
+    // NaN); short-circuit to 0.0 in both engines, like the bleu column.
+    def p(i: Int) = when(col(s"tt$i") === 0L, lit(0.0))
+      .otherwise(col(s"m$i").cast("double") / col(s"tt$i").cast("double"))
     val bp = when($"cand_words" >= $"ref_words", lit(1.0))
       .otherwise(exp(lit(1.0) - $"ref_words".cast("double")
         / $"cand_words".cast("double")))
@@ -683,14 +687,15 @@ object Classify {
       |    len(string_split(lower(text), ' ')) AS l
       |  FROM documents),
       |grams AS (
-      |  SELECT doc_id, nn.n AS n,
-      |    ('0x' || substr(md5(array_to_string(w[ii.i:ii.i + nn.n - 1], ' ')),
+      |  SELECT doc_id, n,
+      |    ('0x' || substr(md5(array_to_string(w[i:i + n - 1], ' ')),
       |      1, 15))::UBIGINT::BIGINT AS g,
       |    COUNT(*) AS c
-      |  FROM toks
-      |  CROSS JOIN range(1, 5) nn(n)
-      |  CROSS JOIN range(1, 2000) ii(i)
-      |  WHERE l >= nn.n AND ii.i <= l - nn.n + 1
+      |  FROM (
+      |    SELECT doc_id, w, nn.n AS n,
+      |      unnest(generate_series(1, l - nn.n + 1)) AS i
+      |    FROM toks CROSS JOIN range(1, 5) nn(n)
+      |    WHERE l >= nn.n)
       |  GROUP BY 1, 2, 3),
       |pairs AS (
       |  SELECT source, doc_id AS cand_id, l AS clen,
@@ -729,10 +734,14 @@ object Classify {
       |SELECT l.source, CAST(l.n_pairs AS BIGINT) AS n_pairs,
       |  CAST(l.cand_words AS BIGINT) AS cand_words,
       |  CAST(l.ref_words AS BIGINT) AS ref_words,
-      |  ROUND(CAST(m1 AS DOUBLE) / CAST(tt1 AS DOUBLE), 6) AS p1,
-      |  ROUND(CAST(m2 AS DOUBLE) / CAST(tt2 AS DOUBLE), 6) AS p2,
-      |  ROUND(CAST(m3 AS DOUBLE) / CAST(tt3 AS DOUBLE), 6) AS p3,
-      |  ROUND(CAST(m4 AS DOUBLE) / CAST(tt4 AS DOUBLE), 6) AS p4,
+      |  ROUND(CASE WHEN tt1 = 0 THEN 0.0
+      |    ELSE CAST(m1 AS DOUBLE) / CAST(tt1 AS DOUBLE) END, 6) AS p1,
+      |  ROUND(CASE WHEN tt2 = 0 THEN 0.0
+      |    ELSE CAST(m2 AS DOUBLE) / CAST(tt2 AS DOUBLE) END, 6) AS p2,
+      |  ROUND(CASE WHEN tt3 = 0 THEN 0.0
+      |    ELSE CAST(m3 AS DOUBLE) / CAST(tt3 AS DOUBLE) END, 6) AS p3,
+      |  ROUND(CASE WHEN tt4 = 0 THEN 0.0
+      |    ELSE CAST(m4 AS DOUBLE) / CAST(tt4 AS DOUBLE) END, 6) AS p4,
       |  ROUND(CASE WHEN l.cand_words >= l.ref_words THEN 1.0
       |    ELSE EXP(1.0 - CAST(l.ref_words AS DOUBLE)
       |      / CAST(l.cand_words AS DOUBLE)) END, 6) AS brevity_penalty,

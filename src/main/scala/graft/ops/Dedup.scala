@@ -295,7 +295,8 @@ object Dedup {
   /** Smallest band count b with expected uniform occupancy per
     * compound key ≤ [[SimhashTargetOccupancy]] (effective key width
     * 60·(b−3)/b bits): 4 through the oracle/bench fixtures (≤ ~130k
-    * docs), 5 at sf1-scale, 6 past ~4·10⁹ docs. */
+    * docs, eff 15 bits), 5 to ~6.7·10⁷ docs (eff 24 bits), 6 to
+    * ~4.3·10⁹ (eff 30 bits), then 8/10/12. */
   private[ops] def simhashBands(n: Long): Int =
     Seq(4, 5, 6, 8, 10).find { b =>
       val eff = 60.0 * (b - 3) / b
