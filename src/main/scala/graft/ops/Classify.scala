@@ -758,8 +758,281 @@ object Classify {
       |FROM lens l JOIN grid USING (source)
       |ORDER BY source""".stripMargin
 
+  /** q_eval_rouge entry: corpus ROUGE-1/ROUGE-2 (Lin 2004 — the
+    * recall-oriented twin of BLEU) per source, over the same
+    * consecutive-document candidate/reference pairing as [[bleuQ]].
+    * For n ∈ {1, 2}: matches are clipped per pair per gram
+    * (min(count_cand, count_ref)); recall divides by REFERENCE gram
+    * totals (ROUGE's defining choice), precision by candidate totals,
+    * F1 = 2PR/(P+R). Corpus-level: sums over pairs, then one ratio —
+    * the micro-average variant, which is the one that decomposes into
+    * combinable aggregates at scale.
+    *
+    * Scale shape: one flattened n∈{1,2} gram explode per doc (O(2 ×
+    * corpus words) rows — half of BLEU's), counts collapse per
+    * (doc, n, gram-hash) with 8-byte md5Long60 keys (the r11 BLEU
+    * lesson: never shuffle gram STRINGS); pair joins move gram-count
+    * rows; the P/R/F arithmetic lives on the |sources| × 2 grid.
+    * Determinism: matches/totals exact integers, each ratio one IEEE
+    * divide, F guarded by the exact integer m = 0 short-circuit. */
+  def rougeQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", $"source", split(lower($"text"), " ").as("w"))
+    val grams = toks.select($"doc_id", explode(expr(
+        """flatten(transform(array(1, 2), n ->
+          |  if(size(w) >= n,
+          |     transform(sequence(1, size(w) - n + 1),
+          |       i -> struct(n AS n, concat_ws(' ', slice(w, i, n)) AS g)),
+          |     array())))""".stripMargin)).as("e"))
+      .select($"doc_id", $"e.n".as("n"), Hashing.md5Long60($"e.g").as("g"))
+      .groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("c"))
+    val pairs = toks
+      .withColumn("ref_id", lead($"doc_id", 1).over(
+        Window.partitionBy($"source").orderBy($"doc_id")))
+      .filter($"ref_id".isNotNull)
+      .select($"source", $"doc_id".as("cand_id"), $"ref_id")
+    val cg = grams.withColumnRenamed("doc_id", "cand_id")
+      .withColumnRenamed("c", "cc")
+    val rg = grams.withColumnRenamed("doc_id", "ref_id")
+      .withColumnRenamed("c", "rc")
+    val matches = pairs.join(cg, "cand_id")
+      .join(rg, Seq("ref_id", "n", "g"))
+      .groupBy($"source", $"n").agg(sum(least($"cc", $"rc")).as("m"))
+    val ct = pairs.join(cg, "cand_id")
+      .groupBy($"source", $"n").agg(sum($"cc").as("ct"))
+    val rt = pairs.join(rg, "ref_id")
+      .groupBy($"source", $"n").agg(sum($"rc").as("rt"))
+    def cell(i: Int, c: String) =
+      sum(when($"n" === i, col(c)).otherwise(0L)).as(s"${c}$i")
+    val grid = ct.join(rt, Seq("source", "n"))
+      .join(matches, Seq("source", "n"), "left")
+      .na.fill(0L, Seq("m"))
+      .groupBy($"source")
+      .agg(cell(1, "m"), cell(2, "m"), cell(1, "ct"), cell(2, "ct"),
+        cell(1, "rt"), cell(2, "rt"))
+    val nPairs = pairs.groupBy($"source").agg(count(lit(1)).as("n_pairs"))
+    def p(i: Int) = when(col(s"ct$i") === 0L, lit(0.0))
+      .otherwise(col(s"m$i").cast("double") / col(s"ct$i").cast("double"))
+    def r(i: Int) = when(col(s"rt$i") === 0L, lit(0.0))
+      .otherwise(col(s"m$i").cast("double") / col(s"rt$i").cast("double"))
+    def f(i: Int) = when(col(s"m$i") === 0L, lit(0.0))
+      .otherwise(lit(2.0) * p(i) * r(i) / (p(i) + r(i)))
+    nPairs.join(grid, "source")
+      .select($"source", $"n_pairs",
+        $"m1".cast("long").as("m1"), $"m2".cast("long").as("m2"),
+        round(p(1), 6).as("rouge1_p"), round(r(1), 6).as("rouge1_r"),
+        round(f(1), 6).as("rouge1_f"),
+        round(p(2), 6).as("rouge2_p"), round(r(2), 6).as("rouge2_r"),
+        round(f(2), 6).as("rouge2_f"))
+      .orderBy($"source")
+  }
+
+  val rougeSql: String = {
+    def p(i: Int) = s"CASE WHEN ct$i = 0 THEN 0.0 " +
+      s"ELSE CAST(m$i AS DOUBLE) / CAST(ct$i AS DOUBLE) END"
+    def r(i: Int) = s"CASE WHEN rt$i = 0 THEN 0.0 " +
+      s"ELSE CAST(m$i AS DOUBLE) / CAST(rt$i AS DOUBLE) END"
+    def f(i: Int) = s"CASE WHEN m$i = 0 THEN 0.0 " +
+      s"ELSE 2.0 * (${p(i)}) * (${r(i)}) / ((${p(i)}) + (${r(i)})) END"
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, string_split(lower(text), ' ') AS w,
+      |    len(string_split(lower(text), ' ')) AS l
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, n,
+      |    ('0x' || substr(md5(array_to_string(w[i:i + n - 1], ' ')),
+      |      1, 15))::UBIGINT::BIGINT AS g,
+      |    COUNT(*) AS c
+      |  FROM (
+      |    SELECT doc_id, w, nn.n AS n,
+      |      unnest(generate_series(1, l - nn.n + 1)) AS i
+      |    FROM toks CROSS JOIN range(1, 3) nn(n)
+      |    WHERE l >= nn.n)
+      |  GROUP BY 1, 2, 3),
+      |pairs AS (
+      |  SELECT source, doc_id AS cand_id,
+      |    lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref_id
+      |  FROM toks
+      |  QUALIFY ref_id IS NOT NULL),
+      |matches AS (
+      |  SELECT p.source, cg.n, SUM(LEAST(cg.c, rg.c)) AS m
+      |  FROM pairs p
+      |  JOIN grams cg ON cg.doc_id = p.cand_id
+      |  JOIN grams rg ON rg.doc_id = p.ref_id
+      |    AND rg.n = cg.n AND rg.g = cg.g
+      |  GROUP BY 1, 2),
+      |cts AS (
+      |  SELECT p.source, cg.n, SUM(cg.c) AS ct
+      |  FROM pairs p JOIN grams cg ON cg.doc_id = p.cand_id
+      |  GROUP BY 1, 2),
+      |rts AS (
+      |  SELECT p.source, rg.n, SUM(rg.c) AS rt
+      |  FROM pairs p JOIN grams rg ON rg.doc_id = p.ref_id
+      |  GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT c.source,
+      |    SUM(CASE WHEN c.n = 1 THEN COALESCE(m.m, 0) ELSE 0 END) AS m1,
+      |    SUM(CASE WHEN c.n = 2 THEN COALESCE(m.m, 0) ELSE 0 END) AS m2,
+      |    SUM(CASE WHEN c.n = 1 THEN c.ct ELSE 0 END) AS ct1,
+      |    SUM(CASE WHEN c.n = 2 THEN c.ct ELSE 0 END) AS ct2,
+      |    SUM(CASE WHEN c.n = 1 THEN r.rt ELSE 0 END) AS rt1,
+      |    SUM(CASE WHEN c.n = 2 THEN r.rt ELSE 0 END) AS rt2
+      |  FROM cts c
+      |  JOIN rts r ON r.source = c.source AND r.n = c.n
+      |  LEFT JOIN matches m ON m.source = c.source AND m.n = c.n
+      |  GROUP BY 1),
+      |np AS (SELECT source, COUNT(*) AS n_pairs FROM pairs GROUP BY 1)
+      |SELECT np.source, np.n_pairs,
+      |  CAST(m1 AS BIGINT) AS m1, CAST(m2 AS BIGINT) AS m2,
+      |  ROUND(${p(1)}, 6) AS rouge1_p, ROUND(${r(1)}, 6) AS rouge1_r,
+      |  ROUND(${f(1)}, 6) AS rouge1_f,
+      |  ROUND(${p(2)}, 6) AS rouge2_p, ROUND(${r(2)}, 6) AS rouge2_r,
+      |  ROUND(${f(2)}, 6) AS rouge2_f
+      |FROM np JOIN grid USING (source)
+      |ORDER BY source""".stripMargin
+  }
+
+  /** q_eval_chrf entry: corpus chrF2 (Popović 2015 — character n-gram
+    * F-score with β = 2, the WMT-standard neural-MT metric) per
+    * source, same consecutive-document pairing as [[bleuQ]]. Spaces
+    * are removed (the paper's default), character n-grams n ∈ 1..6 are
+    * counted with per-pair clipping; chrP/chrR are the arithmetic
+    * means over n of the per-order precision/recall (micro over pairs,
+    * macro over orders — the reference implementation's aggregation),
+    * chrF2 = 5·P·R / (4·P + R).
+    *
+    * Scale shape: the gram explode is O(6 × corpus chars) generated
+    * rows, collapsed map-side to distinct (doc, n, gram-hash) counts
+    * (≲ text length per order) before any shuffle; all joins move
+    * count rows keyed by the 8-byte md5Long60 hash; final arithmetic
+    * on the |sources| × 6 grid. Determinism: integer counts, each
+    * per-order ratio one IEEE divide, the mean a fixed 6-term written
+    * chain, zero denominators short-circuited identically. */
+  def chrfQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ch = t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        regexp_replace(lower($"text"), " ", "").as("c"))
+    val grams = ch.select($"doc_id", explode(expr(
+        """flatten(transform(array(1, 2, 3, 4, 5, 6), n ->
+          |  if(length(c) >= n,
+          |     transform(sequence(1, length(c) - n + 1),
+          |       i -> struct(n AS n, substring(c, i, n) AS g)),
+          |     array())))""".stripMargin)).as("e"))
+      .select($"doc_id", $"e.n".as("n"), Hashing.md5Long60($"e.g").as("g"))
+      .groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("cnt"))
+    val pairs = ch
+      .withColumn("ref_id", lead($"doc_id", 1).over(
+        Window.partitionBy($"source").orderBy($"doc_id")))
+      .filter($"ref_id".isNotNull)
+      .select($"source", $"doc_id".as("cand_id"), $"ref_id")
+    val cg = grams.withColumnRenamed("doc_id", "cand_id")
+      .withColumnRenamed("cnt", "cc")
+    val rg = grams.withColumnRenamed("doc_id", "ref_id")
+      .withColumnRenamed("cnt", "rc")
+    val matches = pairs.join(cg, "cand_id")
+      .join(rg, Seq("ref_id", "n", "g"))
+      .groupBy($"source", $"n").agg(sum(least($"cc", $"rc")).as("m"))
+    val ct = pairs.join(cg, "cand_id")
+      .groupBy($"source", $"n").agg(sum($"cc").as("ct"))
+    val rt = pairs.join(rg, "ref_id")
+      .groupBy($"source", $"n").agg(sum($"rc").as("rt"))
+    def cell(i: Int, c: String) =
+      sum(when($"n" === i, col(c)).otherwise(0L)).as(s"${c}$i")
+    val grid = ct.join(rt, Seq("source", "n"))
+      .join(matches, Seq("source", "n"), "left")
+      .na.fill(0L, Seq("m"))
+      .groupBy($"source")
+      .agg(cell(1, "m"), (1 to 6).flatMap(i =>
+        Seq(cell(i, "m"), cell(i, "ct"), cell(i, "rt"))).drop(1): _*)
+    val nPairs = pairs.groupBy($"source").agg(count(lit(1)).as("n_pairs"))
+    def p(i: Int) = when(col(s"ct$i") === 0L, lit(0.0))
+      .otherwise(col(s"m$i").cast("double") / col(s"ct$i").cast("double"))
+    def r(i: Int) = when(col(s"rt$i") === 0L, lit(0.0))
+      .otherwise(col(s"m$i").cast("double") / col(s"rt$i").cast("double"))
+    val chrp = (p(1) + p(2) + p(3) + p(4) + p(5) + p(6)) / lit(6.0)
+    val chrr = (r(1) + r(2) + r(3) + r(4) + r(5) + r(6)) / lit(6.0)
+    val chrf2 = when(chrp + chrr === 0.0, lit(0.0))
+      .otherwise(lit(5.0) * chrp * chrr / (lit(4.0) * chrp + chrr))
+    nPairs.join(grid, "source")
+      .select($"source", $"n_pairs",
+        $"m1".cast("long").as("m1"), $"m6".cast("long").as("m6"),
+        round(chrp, 6).as("chrf_p"), round(chrr, 6).as("chrf_r"),
+        round(chrf2, 6).as("chrf2"))
+      .orderBy($"source")
+  }
+
+  val chrfSql: String = {
+    def p(i: Int) = s"(CASE WHEN ct$i = 0 THEN 0.0 " +
+      s"ELSE CAST(m$i AS DOUBLE) / CAST(ct$i AS DOUBLE) END)"
+    def r(i: Int) = s"(CASE WHEN rt$i = 0 THEN 0.0 " +
+      s"ELSE CAST(m$i AS DOUBLE) / CAST(rt$i AS DOUBLE) END)"
+    val chrp = s"((${(1 to 6).map(p).mkString(" + ")}) / 6.0)"
+    val chrr = s"((${(1 to 6).map(r).mkString(" + ")}) / 6.0)"
+    val gridCells = (1 to 6).map(i =>
+      s"""    SUM(CASE WHEN c.n = $i THEN COALESCE(m.m, 0) ELSE 0 END) AS m$i,
+         |    SUM(CASE WHEN c.n = $i THEN c.ct ELSE 0 END) AS ct$i,
+         |    SUM(CASE WHEN c.n = $i THEN r.rt ELSE 0 END) AS rt$i"""
+        .stripMargin).mkString(",\n")
+    s"""WITH ch AS (
+      |  SELECT doc_id, source, replace(lower(text), ' ', '') AS c,
+      |    len(replace(lower(text), ' ', '')) AS l
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, n,
+      |    ('0x' || substr(md5(substr(c, i, n)), 1, 15))::UBIGINT::BIGINT AS g,
+      |    COUNT(*) AS cnt
+      |  FROM (
+      |    SELECT doc_id, c, nn.n AS n,
+      |      unnest(generate_series(1, l - nn.n + 1)) AS i
+      |    FROM ch CROSS JOIN range(1, 7) nn(n)
+      |    WHERE l >= nn.n)
+      |  GROUP BY 1, 2, 3),
+      |pairs AS (
+      |  SELECT source, doc_id AS cand_id,
+      |    lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref_id
+      |  FROM ch
+      |  QUALIFY ref_id IS NOT NULL),
+      |matches AS (
+      |  SELECT p.source, cg.n, SUM(LEAST(cg.cnt, rg.cnt)) AS m
+      |  FROM pairs p
+      |  JOIN grams cg ON cg.doc_id = p.cand_id
+      |  JOIN grams rg ON rg.doc_id = p.ref_id
+      |    AND rg.n = cg.n AND rg.g = cg.g
+      |  GROUP BY 1, 2),
+      |cts AS (
+      |  SELECT p.source, cg.n, SUM(cg.cnt) AS ct
+      |  FROM pairs p JOIN grams cg ON cg.doc_id = p.cand_id
+      |  GROUP BY 1, 2),
+      |rts AS (
+      |  SELECT p.source, rg.n, SUM(rg.cnt) AS rt
+      |  FROM pairs p JOIN grams rg ON rg.doc_id = p.ref_id
+      |  GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT c.source,
+      |$gridCells
+      |  FROM cts c
+      |  JOIN rts r ON r.source = c.source AND r.n = c.n
+      |  LEFT JOIN matches m ON m.source = c.source AND m.n = c.n
+      |  GROUP BY 1),
+      |np AS (SELECT source, COUNT(*) AS n_pairs FROM pairs GROUP BY 1)
+      |SELECT np.source, np.n_pairs,
+      |  CAST(m1 AS BIGINT) AS m1, CAST(m6 AS BIGINT) AS m6,
+      |  ROUND($chrp, 6) AS chrf_p,
+      |  ROUND($chrr, 6) AS chrf_r,
+      |  ROUND(CASE WHEN $chrp + $chrr = 0.0 THEN 0.0
+      |    ELSE 5.0 * $chrp * $chrr / (4.0 * $chrp + $chrr) END, 6) AS chrf2
+      |FROM np JOIN grid USING (source)
+      |ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_eval_bleu" -> bleuQ,
+    "q_eval_rouge" -> rougeQ,
+    "q_eval_chrf" -> chrfQ,
     "q_eval_mcnemar" -> mcnemarQ,
     "q_eval_lift" -> liftQ,
     "q_text_classify" -> classifyQ,
@@ -771,6 +1044,8 @@ object Classify {
 
   def oracle: Map[String, String] = Map(
     "q_eval_bleu" -> bleuSql,
+    "q_eval_rouge" -> rougeSql,
+    "q_eval_chrf" -> chrfSql,
     "q_eval_mcnemar" -> mcnemarSql,
     "q_eval_lift" -> liftSql,
     "q_text_classify" -> classifySql,

@@ -2006,7 +2006,91 @@ object Graph {
        |ORDER BY katz DESC, nation""".stripMargin
   }
 
+  /** q_graph_lpa entry: SYNCHRONOUS WEIGHTED LABEL PROPAGATION
+    * (Raghavan, Albert & Kumara 2007) over the undirected nation trade
+    * graph — 3 rounds, each node adopting the label carrying the
+    * largest summed incident edge weight among its neighbours, ties
+    * broken by the lexicographically smallest label (the deterministic
+    * variant: synchronous updates + total-order tiebreak make the
+    * round a pure function of the edge list, so Spark and the oracle
+    * agree exactly — the classic async/random-order LPA is
+    * unreproducible by design and useless under a correctness gate).
+    * Complements [[communitiesQ]] (connected components = the
+    * density-blind partition): LPA splits a connected graph into
+    * weight-coherent regions.
+    *
+    * Scale shape: the corpus cost is [[tradeEdges]] (paid once,
+    * checkpointed); each round shuffles |edges| (label, weight)
+    * contribution rows and argmaxes per node — the Pregel shape, 3
+    * fixed supersteps. Self-loops are excluded (a node's own label
+    * would otherwise dominate and freeze round 1). Determinism:
+    * weights are exact integer counts, the argmax compares integer
+    * sums with a string tiebreak. */
+  def lpaQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val e0 = tradeEdges(s, dir).filter($"src" =!= $"dst")
+    val und = e0.select($"src".as("a"), $"dst".as("b"), $"w")
+      .unionByName(e0.select($"dst".as("a"), $"src".as("b"), $"w"))
+      .groupBy($"a", $"b").agg(sum($"w").as("w"))
+    var lab = t(s, dir, "nation")
+      .select($"n_name".as("node"), $"n_name".as("label"))
+    val byNode = Window.partitionBy($"a").orderBy($"s".desc, $"nl".asc)
+    for (_ <- 1 to 3) {
+      lab = und
+        .join(lab.select($"node".as("b"), $"label".as("nl")), "b")
+        .groupBy($"a", $"nl").agg(sum($"w").as("s"))
+        .withColumn("rn", row_number().over(byNode))
+        .filter($"rn" === 1)
+        .select($"a".as("node"), $"nl".as("label"))
+    }
+    val sizes = lab.groupBy($"label").agg(count(lit(1)).as("community_size"))
+    lab.join(sizes, "label")
+      .select($"node", $"label", $"community_size".cast("long")
+        .as("community_size"))
+      .orderBy($"node")
+  }
+
+  val lpaSql: String = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT a AS node, nl AS label FROM (
+         |    SELECT u.a, l.label AS nl, SUM(u.w) AS s,
+         |      ROW_NUMBER() OVER (PARTITION BY u.a
+         |        ORDER BY SUM(u.w) DESC, l.label) AS rn
+         |    FROM und u JOIN $prev l ON l.node = u.b
+         |    GROUP BY u.a, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |  WHERE cn.n_name <> sn.n_name
+       |  GROUP BY 1, 2),
+       |und AS (
+       |  SELECT a, b, SUM(w) AS w FROM (
+       |    SELECT src AS a, dst AS b, w FROM edges
+       |    UNION ALL
+       |    SELECT dst AS a, src AS b, w FROM edges)
+       |  GROUP BY 1, 2),
+       |l0 AS (SELECT n_name AS node, n_name AS label FROM nation),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")}
+       |SELECT l.node, l.label,
+       |  CAST(c.cs AS BIGINT) AS community_size
+       |FROM l3 l
+       |JOIN (SELECT label, COUNT(*) AS cs FROM l3 GROUP BY 1) c
+       |  USING (label)
+       |ORDER BY node""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_lpa" -> lpaQ,
     "q_graph_katz" -> ((s, dir) => katzQ(s, dir)),
     "q_graph_mst" -> mstQ,
     "q_graph_closeness" -> closenessQ,
@@ -2028,6 +2112,7 @@ object Graph {
     "q_graph_bfs" -> bfsQ)
 
   def oracle: Map[String, String] = Map(
+    "q_graph_lpa" -> lpaSql,
     "q_graph_katz" -> katzSql,
     "q_graph_mst" -> mstSql,
     "q_graph_closeness" -> closenessSql,

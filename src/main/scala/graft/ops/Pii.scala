@@ -694,7 +694,79 @@ object Pii {
       |  lang = true_lang AS matches_true, CAST(1.0 AS DOUBLE) AS epsilon
       |FROM sel WHERE rn = 1 ORDER BY source""".stripMargin
 
+  /** q_privacy_ldiv entry: ℓ-DIVERSITY audit (Machanavajjhala et al.
+    * 2007) — the refinement k-anonymity ([[kanonQ]]) misses: a class
+    * can be large yet reveal everyone's sensitive value if that value
+    * is near-constant. Quasi-identifiers here are (nationkey,
+    * account-balance band of width 2000) and the sensitive attribute
+    * is the market segment (the INVERSE framing of kanonQ, which
+    * treats segment as quasi-identifying — together they audit both
+    * release shapes). Per class: distinct-ℓ, the top sensitive count
+    * r₁, RECURSIVE (c, ℓ)-diversity at (c=3, ℓ=2) — r₁ < 3·(n − r₁),
+    * an exact integer test — and ENTROPY ℓ-diversity: H(class) =
+    * −Σ (rᵢ/n)·ln(rᵢ/n) ≥ ln 2, i.e. effective diversity exp(H) ≥ 2.
+    *
+    * Scale shape: one combinable groupBy to (class, sensitive) counts
+    * (bounded by |nations|·|bands|·|segments|), then class-bounded
+    * frames. Determinism: counts and the recursive test are exact
+    * integers; entropy terms are the shared-order IEEE chain rounded
+    * to 12 dp and summed as DECIMAL(38,12) (order-independent), the
+    * ln 2 threshold computed as the same expression in both engines. */
+  def ldivQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val cnt = t(s, dir, "customer")
+      .groupBy($"c_nationkey".as("nationkey"),
+        floor($"c_acctbal" / lit(2000.0)).cast("long").as("band"),
+        $"c_mktsegment".as("seg"))
+      .agg(count(lit(1)).as("r"))
+    val cls = Window.partitionBy($"nationkey", $"band")
+    val frac = $"r".cast("double") / $"n".cast("double")
+    cnt
+      .withColumn("n", sum($"r").over(cls))
+      .withColumn("term",
+        round(-(frac * log(frac)), 12).cast("decimal(38,12)"))
+      .groupBy($"nationkey", $"band")
+      .agg(max($"n").as("n"), count(lit(1)).as("l_distinct"),
+        max($"r").as("r1"), sum($"term").cast("double").as("h"))
+      .select($"nationkey", $"band",
+        $"n".cast("long").as("n"),
+        $"l_distinct".cast("long").as("l_distinct"),
+        $"r1".cast("long").as("r1"),
+        ($"r1" < lit(3) * ($"n" - $"r1")).cast("int").as("rec_3_2"),
+        round($"h", 6).as("entropy"),
+        ($"h" >= log(lit(2.0))).cast("int").as("entropy_2"))
+      .orderBy($"nationkey", $"band")
+  }
+
+  val ldivSql: String =
+    """WITH cnt AS (
+      |  SELECT c_nationkey AS nationkey,
+      |    CAST(FLOOR(c_acctbal / CAST(2000 AS DOUBLE)) AS BIGINT) AS band,
+      |    c_mktsegment AS seg, COUNT(*) AS r
+      |  FROM customer GROUP BY 1, 2, 3),
+      |wn AS (
+      |  SELECT *, SUM(r) OVER (PARTITION BY nationkey, band) AS n
+      |  FROM cnt),
+      |cls AS (
+      |  SELECT nationkey, band, MAX(n) AS n, COUNT(*) AS l_distinct,
+      |    MAX(r) AS r1,
+      |    CAST(SUM(CAST(ROUND(-((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * LN(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))), 12)
+      |      AS DECIMAL(38,12))) AS DOUBLE) AS h
+      |  FROM wn GROUP BY 1, 2)
+      |SELECT nationkey, band, CAST(n AS BIGINT) AS n,
+      |  CAST(l_distinct AS BIGINT) AS l_distinct,
+      |  CAST(r1 AS BIGINT) AS r1,
+      |  CAST(CASE WHEN r1 < 3 * (n - r1) THEN 1 ELSE 0 END AS INT)
+      |    AS rec_3_2,
+      |  ROUND(h, 6) AS entropy,
+      |  CAST(CASE WHEN h >= LN(CAST(2 AS DOUBLE)) THEN 1 ELSE 0 END AS INT)
+      |    AS entropy_2
+      |FROM cls ORDER BY nationkey, band""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_privacy_ldiv" -> ldivQ,
     "q_privacy_exponential" -> exponentialQ,
     "q_privacy_tclose" -> tcloseQ,
     "q_privacy_suppress" -> suppressQ,
@@ -706,6 +778,7 @@ object Pii {
     "q_privacy_dp_mean" -> dpMeanQ)
 
   def oracle: Map[String, String] = Map(
+    "q_privacy_ldiv" -> ldivSql,
     "q_privacy_exponential" -> exponentialSql,
     "q_privacy_tclose" -> tcloseSql,
     "q_privacy_suppress" -> suppressSql,

@@ -3775,7 +3775,144 @@ object Stats {
       |  ROUND((msb - msw) / (msb + (k0 - 1.0) * msw), 6) AS icc
       |FROM m""".stripMargin
 
+  /** q_stat_gtest entry: G-TEST of independence (likelihood-ratio χ²,
+    * Sokal & Rohlf's recommended default) on the event_type ×
+    * value-band contingency table, reported NEXT TO Pearson's χ² on
+    * the same table so the two statistics are directly comparable
+    * (they share the asymptotic χ² null; G is additive across
+    * partitions of the table, which is why log-linear modelling is
+    * built on it). G = 2·Σ Oᵢⱼ·ln(Oᵢⱼ·N / (rᵢ·cⱼ)) over non-empty
+    * cells; Pearson via the algebraic identity χ² = N·(Σ Oᵢⱼ²/(rᵢ·cⱼ)
+    * − 1), which needs no explicit zero-cell expected counts.
+    *
+    * Scale shape: one combinable groupBy to the ≤ |types|·|bands|
+    * cell table; margins and the statistic live on that bounded
+    * frame. Determinism: counts exact integers; each cell term is one
+    * shared-order IEEE chain rounded to 10 dp and summed as
+    * DECIMAL(38,10). */
+  def gtestQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val cells = t(s, dir, "events")
+      .select($"event_type",
+        when($"value" < 5.0, "v0_lt5")
+          .when($"value" < 20.0, "v1_lt20")
+          .when($"value" < 100.0, "v2_lt100")
+          .otherwise("v3_ge100").as("band"))
+      .groupBy($"event_type", $"band").agg(count(lit(1)).as("o"))
+    val all = Window.partitionBy(lit(1))
+    val g = cells
+      .withColumn("rt", sum($"o").over(Window.partitionBy($"event_type")))
+      .withColumn("ct", sum($"o").over(Window.partitionBy($"band")))
+      .withColumn("nn", sum($"o").over(all))
+      .withColumn("gterm", round($"o".cast("double") *
+        log($"o".cast("double") * $"nn".cast("double") /
+          ($"rt".cast("double") * $"ct".cast("double"))), 10)
+        .cast("decimal(38,10)"))
+      .withColumn("pterm", round($"o".cast("double") * $"o".cast("double") /
+        ($"rt".cast("double") * $"ct".cast("double")), 10)
+        .cast("decimal(38,10)"))
+    g.groupBy()
+      .agg(max($"nn").as("n"),
+        countDistinct($"event_type").as("n_rows"),
+        countDistinct($"band").as("n_cols"),
+        sum($"gterm").cast("double").as("gs"),
+        sum($"pterm").cast("double").as("ps"))
+      .select($"n".cast("long").as("n"),
+        $"n_rows".cast("long").as("n_rows"),
+        $"n_cols".cast("long").as("n_cols"),
+        (($"n_rows" - 1) * ($"n_cols" - 1)).cast("long").as("dof"),
+        round(lit(2.0) * $"gs", 6).as("g_stat"),
+        round($"n".cast("double") * ($"ps" - lit(1.0)), 6).as("chi2_stat"))
+  }
+
+  val gtestSql: String =
+    """WITH cells AS (
+      |  SELECT event_type,
+      |    CASE WHEN value < 5.0 THEN 'v0_lt5'
+      |         WHEN value < 20.0 THEN 'v1_lt20'
+      |         WHEN value < 100.0 THEN 'v2_lt100'
+      |         ELSE 'v3_ge100' END AS band,
+      |    COUNT(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT *,
+      |    SUM(o) OVER (PARTITION BY event_type) AS rt,
+      |    SUM(o) OVER (PARTITION BY band) AS ct,
+      |    SUM(o) OVER () AS nn
+      |  FROM cells),
+      |terms AS (
+      |  SELECT nn, event_type, band,
+      |    CAST(ROUND(CAST(o AS DOUBLE) * LN(CAST(o AS DOUBLE)
+      |      * CAST(nn AS DOUBLE) / (CAST(rt AS DOUBLE)
+      |      * CAST(ct AS DOUBLE))), 10) AS DECIMAL(38,10)) AS gterm,
+      |    CAST(ROUND(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+      |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)), 10)
+      |      AS DECIMAL(38,10)) AS pterm
+      |  FROM m),
+      |agg AS (
+      |  SELECT MAX(nn) AS n,
+      |    COUNT(DISTINCT event_type) AS n_rows,
+      |    COUNT(DISTINCT band) AS n_cols,
+      |    CAST(SUM(gterm) AS DOUBLE) AS gs,
+      |    CAST(SUM(pterm) AS DOUBLE) AS ps
+      |  FROM terms)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_cols AS BIGINT) AS n_cols,
+      |  CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+      |  ROUND(2.0 * gs, 6) AS g_stat,
+      |  ROUND(CAST(n AS DOUBLE) * (ps - 1.0), 6) AS chi2_stat
+      |FROM agg""".stripMargin
+
+  /** q_sample_reservoir entry: WEIGHTED RESERVOIR SAMPLING, algorithm
+    * A-Res (Efraimidis & Spirakis 2006) — each item draws uniform
+    * u ∈ (0,1] and gets key u^(1/w); the k largest keys are a correct
+    * weighted-without-replacement sample. THE distributed/streaming
+    * sampling method: keys are assigned independently per item (pure
+    * map), the top-k merges associatively across partitions — exactly
+    * what a 1000-executor pipeline needs where sequential reservoir
+    * algorithms cannot run. Weight = n_chars (sample documents
+    * proportionally to their character mass). The uniform is the
+    * seeded [[graft.ops.Hashing.md5Long60]] contract (replayable:
+    * u = (h+1)/2⁶⁰, never 0), and keys are compared in the ln domain
+    * (ln(u)/w, order-isomorphic to u^(1/w), no underflow for huge w).
+    *
+    * Scale shape: one narrow projection + TakeOrdered(k) — no
+    * shuffle, no sort of the corpus; per-partition heaps of size k
+    * merge at the driver. Determinism: the key is a 2-op IEEE chain
+    * on an exact integer hash; ties broken by doc_id. */
+  def reservoirQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val two60 = lit(1152921504606846976L).cast("double") // 2^60, exact
+    t(s, dir, "documents")
+      .select($"doc_id", $"n_chars")
+      .withColumn("u",
+        (Hashing.md5Long60(concat(lit("res:"), $"doc_id")) + lit(1L))
+          .cast("double") / two60)
+      .withColumn("key_ln", log($"u") / $"n_chars".cast("double"))
+      .orderBy($"key_ln".desc, $"doc_id")
+      .limit(50)
+      .select($"doc_id", $"n_chars".as("weight"),
+        round($"key_ln", 12).as("key_ln"))
+  }
+
+  val reservoirSql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(('0x' || substr(md5('res:' || CAST(doc_id AS VARCHAR)),
+      |      1, 15))::UBIGINT::BIGINT + 1 AS DOUBLE)
+      |      / CAST(1152921504606846976 AS DOUBLE) AS u
+      |  FROM documents)
+      |SELECT doc_id, n_chars AS weight,
+      |  ROUND(LN(u) / CAST(n_chars AS DOUBLE), 12) AS key_ln
+      |FROM keyed
+      |ORDER BY LN(u) / CAST(n_chars AS DOUBLE) DESC, doc_id
+      |LIMIT 50""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_gtest" -> gtestQ,
+    "q_sample_reservoir" -> reservoirQ,
     "q_stat_icc" -> iccQ,
     "q_stat_cronbach" -> cronbachQ,
     "q_stat_cmh" -> cmhQ,
@@ -3821,6 +3958,8 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_gtest" -> gtestSql,
+    "q_sample_reservoir" -> reservoirSql,
     "q_stat_icc" -> iccSql,
     "q_stat_cronbach" -> cronbachSql,
     "q_stat_cmh" -> cmhSql,

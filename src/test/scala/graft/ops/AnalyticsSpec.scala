@@ -2204,4 +2204,89 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Double]("bleu") >= 0.0 && r.getAs[Double]("bleu") <= 1.0)
     }
   }
+
+  test("rouge: corpus ROUGE-1/2 P/R/F match a driver recompute of clipped grams") {
+    import spark.implicits._
+    val rows = Classify.rougeQ(spark, sfDir).collect()
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"source", $"doc_id", lower($"text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ", -1).toSeq))
+    val bySource = docs.groupBy(_._1)
+    def grams(w: Seq[String], n: Int): Map[String, Int] =
+      if (w.length < n) Map.empty
+      else w.sliding(n).map(_.mkString(" ")).toSeq.groupBy(identity)
+        .view.mapValues(_.size).toMap
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ds = bySource(src).sortBy(_._2)
+      val pairs = ds.zip(ds.tail)
+      assert(r.getAs[Long]("n_pairs") == pairs.length, s"$src pairs")
+      (1 to 2).foreach { n =>
+        val m = pairs.map { case (c, rf) =>
+          val cg = grams(c._3, n); val rg = grams(rf._3, n)
+          cg.map { case (g, cc) => math.min(cc, rg.getOrElse(g, 0)) }.sum.toLong
+        }.sum
+        val ct = pairs.map { case (c, _) =>
+          math.max(c._3.length - n + 1, 0).toLong }.sum
+        val rt = pairs.map { case (_, rf) =>
+          math.max(rf._3.length - n + 1, 0).toLong }.sum
+        assert(r.getAs[Long](s"m$n") == m, s"$src m$n")
+        val p = if (ct == 0) 0.0 else m.toDouble / ct
+        val rr = if (rt == 0) 0.0 else m.toDouble / rt
+        val f = if (m == 0) 0.0 else 2.0 * p * rr / (p + rr)
+        assert(math.abs(r.getAs[Double](s"rouge${n}_p") - r6(p)) < 1e-9, s"$src p$n")
+        assert(math.abs(r.getAs[Double](s"rouge${n}_r") - r6(rr)) < 1e-9, s"$src r$n")
+        assert(math.abs(r.getAs[Double](s"rouge${n}_f") - r6(f)) < 1e-9, s"$src f$n")
+        // F always lands between P and R (harmonic-mean bound)
+        assert(r.getAs[Double](s"rouge${n}_f") <=
+          math.max(r.getAs[Double](s"rouge${n}_p"),
+            r.getAs[Double](s"rouge${n}_r")) + 1e-9)
+      }
+    }
+  }
+
+  test("chrf: corpus chrF2 matches a driver recompute of char-gram means") {
+    import spark.implicits._
+    val rows = Classify.chrfQ(spark, sfDir).collect()
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"source", $"doc_id", lower($"text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).replace(" ", "")))
+    val bySource = docs.groupBy(_._1)
+    def grams(c: String, n: Int): Map[String, Int] =
+      if (c.length < n) Map.empty
+      else c.sliding(n).toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ds = bySource(src).sortBy(_._2)
+      val pairs = ds.zip(ds.tail)
+      assert(r.getAs[Long]("n_pairs") == pairs.length, s"$src pairs")
+      val perN = (1 to 6).map { n =>
+        val m = pairs.map { case (c, rf) =>
+          val cg = grams(c._3, n); val rg = grams(rf._3, n)
+          cg.map { case (g, cc) => math.min(cc, rg.getOrElse(g, 0)) }.sum.toLong
+        }.sum
+        val ct = pairs.map { case (c, _) =>
+          math.max(c._3.length - n + 1, 0).toLong }.sum
+        val rt = pairs.map { case (_, rf) =>
+          math.max(rf._3.length - n + 1, 0).toLong }.sum
+        (m, ct, rt)
+      }
+      assert(r.getAs[Long]("m1") == perN.head._1, s"$src m1")
+      assert(r.getAs[Long]("m6") == perN.last._1, s"$src m6")
+      val p = perN.map { case (m, ct, _) =>
+        if (ct == 0) 0.0 else m.toDouble / ct }.sum / 6.0
+      val rr = perN.map { case (m, _, rt) =>
+        if (rt == 0) 0.0 else m.toDouble / rt }.sum / 6.0
+      val f = if (p + rr == 0.0) 0.0 else 5.0 * p * rr / (4.0 * p + rr)
+      assert(math.abs(r.getAs[Double]("chrf_p") - r6(p)) < 1e-9, s"$src chrp")
+      assert(math.abs(r.getAs[Double]("chrf_r") - r6(rr)) < 1e-9, s"$src chrr")
+      assert(math.abs(r.getAs[Double]("chrf2") - r6(f)) < 1e-9, s"$src chrf2")
+      // char-1-gram precision dominates higher orders → chrP bounded by it
+      assert(r.getAs[Double]("chrf2") >= 0.0 && r.getAs[Double]("chrf2") <= 1.0)
+    }
+  }
 }

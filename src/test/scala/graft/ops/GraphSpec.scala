@@ -633,4 +633,52 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.forall(_ == 0L), "one component rooted at 0")
     assert(rounds <= 12, s"expected O(log n) rounds, got $rounds")
   }
+
+  test("lpa: 3 synchronous rounds match a driver replay; sizes partition the nodes") {
+    import spark.implicits._
+    val rows = Graph.lpaQ(spark, sfDir).collect()
+    assert(rows.length == 25)
+    // independent replay: collect the tiny undirected edge list, run the
+    // same synchronous max-weight/min-label update in plain Scala
+    val cn = graft.Tables.t(spark, sfDir, "customer")
+      .join(graft.Tables.t(spark, sfDir, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey".as("ck"), $"n_name".as("cn"))
+    val sn = graft.Tables.t(spark, sfDir, "supplier")
+      .join(graft.Tables.t(spark, sfDir, "nation"),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey".as("sk"), $"n_name".as("sn"))
+    val dir = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(cn, $"o_custkey" === $"ck").join(sn, $"l_suppkey" === $"sk")
+      .filter($"cn" =!= $"sn")
+      .groupBy($"cn", $"sn").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val und = (dir.map(e => ((e._1, e._2), e._3)) ++
+        dir.map(e => ((e._2, e._1), e._3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val nodes = graft.Tables.t(spark, sfDir, "nation")
+      .select($"n_name").collect().map(_.getString(0)).toSeq
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = nodes.map { v =>
+        // toSeq first: collecting (label, w) pairs straight out of the
+        // Map would itself build a Map and silently drop same-label
+        // contributions before the sum
+        val byLabel = und.toSeq.collect {
+          case ((a, b), w) if a == v => (lab(b), w)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        v -> byLabel.toSeq.minBy { case (l, s) => (-s, l) }._1
+      }.toMap
+    }
+    val sizes = lab.values.groupBy(identity).view.mapValues(_.size).toMap
+    rows.foreach { r =>
+      val node = r.getAs[String]("node")
+      assert(r.getAs[String]("label") == lab(node), s"$node label")
+      assert(r.getAs[Long]("community_size") == sizes(lab(node)), s"$node size")
+    }
+    assert(rows.map(_.getAs[Long]("community_size")).sum ==
+      sizes.values.map(s => s.toLong * s).sum, "sizes consistent per member")
+  }
 }

@@ -127,4 +127,39 @@ class PiiSpec extends AnyFunSuite with SparkSpec {
       assert(primary.length + comp.length != 1, s"$nation leaks one cell")
     }
   }
+
+  test("ldiv: entropy and recursive (3,2)-diversity match a driver recompute") {
+    import spark.implicits._
+    val rows = Pii.ldivQ(spark, sfDir).collect()
+    val cust = graft.Tables.t(spark, sfDir, "customer")
+      .select($"c_nationkey", $"c_acctbal", $"c_mktsegment").collect()
+      .map(r => ((r.getInt(0), math.floor(r.getDouble(1) / 2000.0).toLong),
+        r.getString(2)))
+    val byClass = cust.groupBy(_._1)
+    assert(rows.length == byClass.size)
+    def r12(d: Double): Double =
+      BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val key = (r.getAs[Int]("nationkey"), r.getAs[Long]("band"))
+      val segs = byClass(key).map(_._2)
+      val counts = segs.groupBy(identity).view.mapValues(_.size).values.toSeq
+      val n = counts.sum
+      assert(r.getAs[Long]("n") == n, s"$key n")
+      assert(r.getAs[Long]("l_distinct") == counts.size, s"$key l")
+      val r1 = counts.max
+      assert(r.getAs[Long]("r1") == r1, s"$key r1")
+      assert(r.getAs[Int]("rec_3_2") == (if (r1 < 3 * (n - r1)) 1 else 0))
+      val h = counts.map { c =>
+        val f = c.toDouble / n
+        BigDecimal(r12(-(f * math.log(f))))
+      }.sum.toDouble
+      assert(math.abs(r.getAs[Double]("entropy") -
+        BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        < 1e-9, s"$key entropy")
+      assert(r.getAs[Int]("entropy_2") ==
+        (if (h >= math.log(2.0)) 1 else 0), s"$key entropy flag")
+      // entropy ≤ ln(l_distinct): uniform is the max-entropy split
+      assert(h <= math.log(counts.size.toDouble) + 1e-9, s"$key bound")
+    }
+  }
 }

@@ -807,4 +807,72 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
         r.getAs[Double]("hell_term") <= 1.0)
     }
   }
+
+  test("gtest: G and Pearson chi2 match a driver recompute; G ~ chi2 on this table") {
+    import spark.implicits._
+    val row = Stats.gtestQ(spark, sfDir).collect().head
+    val cells = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", $"value").collect()
+      .map { r =>
+        val v = r.getDouble(1)
+        (r.getString(0),
+          if (v < 5.0) "v0" else if (v < 20.0) "v1"
+          else if (v < 100.0) "v2" else "v3")
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = cells.values.sum
+    val rt = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("n_rows") == rt.size)
+    assert(row.getAs[Long]("n_cols") == ct.size)
+    assert(row.getAs[Long]("dof") == (rt.size - 1).toLong * (ct.size - 1))
+    def r10(d: Double) =
+      BigDecimal(d).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val gs = cells.map { case ((a, b), o) =>
+      r10(o.toDouble * math.log(o.toDouble * n / (rt(a).toDouble * ct(b))))
+    }.sum.toDouble
+    val ps = cells.map { case ((a, b), o) =>
+      r10(o.toDouble * o / (rt(a).toDouble * ct(b)))
+    }.sum.toDouble
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getAs[Double]("g_stat") - r6(2.0 * gs)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("chi2_stat") - r6(n * (ps - 1.0))) < 1e-9)
+    // asymptotic equivalence sanity: same order of magnitude, both ≥ 0
+    assert(row.getAs[Double]("g_stat") >= 0.0)
+    assert(row.getAs[Double]("chi2_stat") >= 0.0)
+    assert(row.getAs[Double]("g_stat") <
+      4.0 * math.max(row.getAs[Double]("chi2_stat"), 1.0))
+  }
+
+  test("reservoir: A-Res keys match the hash contract; top-50 is the true top-50") {
+    import spark.implicits._
+    val rows = Stats.reservoirQ(spark, sfDir).collect()
+    assert(rows.length == 50)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: String): Long = {
+      val hex = md.digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val all = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars").collect()
+      .map { r =>
+        val id = r.getLong(0); val w = r.getLong(1)
+        val u = (h60(s"res:$id") + 1L).toDouble / 1152921504606846976L.toDouble
+        (id, w, math.log(u) / w.toDouble)
+      }
+    val expected = all.sortBy { case (id, _, k) => (-k, id) }.take(50)
+    rows.zip(expected).foreach { case (r, (id, w, k)) =>
+      assert(r.getAs[Long]("doc_id") == id)
+      assert(r.getAs[Long]("weight") == w)
+      assert(math.abs(r.getAs[Double]("key_ln") -
+        BigDecimal(k).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        < 1e-12, s"doc $id key")
+    }
+    // weighting sanity: the sample over-represents heavy docs vs uniform
+    val sampleMeanW = rows.map(_.getAs[Long]("weight")).sum.toDouble / 50
+    val popMeanW = all.map(_._2).sum.toDouble / all.length
+    assert(sampleMeanW > popMeanW, "weighted sampling should favor long docs")
+  }
 }
