@@ -773,7 +773,83 @@ object Curate {
       |FROM picks p JOIN cov c ON p.round = c.round, uni u
       |ORDER BY p.round""".stripMargin
 
+  /** q_curate_softdedup entry: DUPLICATE-AWARE SOFT WEIGHTING — instead
+    * of dropping duplicates (the [[graft.ops.Dedup]] hard path), keep
+    * every copy but down-weight members of a duplicate cluster of size
+    * c by c^(−β) (β = 0.5 here), the soft de-duplication stance: hard
+    * dedup assumes duplication carries zero signal, soft dedup keeps a
+    * diminishing-returns √c effective-count per cluster (β = 1
+    * recovers hard dedup exactly — Σ 1/c over members = one per
+    * cluster — which is why the report prints both). Clusters are the
+    * normalization-invariant digests of [[graft.ops.Dedup.normDedupQ]]
+    * over the same deterministic variant re-crawl (every 5th doc
+    * reappears upper-cased with doubled spaces under a new id, same
+    * source). Per source: raw mass, hard-dedup mass, soft effective
+    * mass, and the retained fraction in basis points.
+    *
+    * Scale shape: identical to exact dedup — the shuffle key is the
+    * 64-char digest of normalized text (map-side NFC + one regex), the
+    * per-cluster size joins back as one narrow frame, the report is a
+    * combinable groupBy(source). Determinism: c is an exact integer;
+    * c^(−0.5) is one IEEE pow per doc, 12-dp-rounded and summed as
+    * DECIMAL(38,12). */
+  def softdedupQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val d = t(s, dir, "documents").select($"doc_id", $"source", $"text")
+    val variants = d.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 4000000L).as("doc_id"), $"source",
+        regexp_replace(upper($"text"), " ", "  ").as("text"))
+    val crawl = d.unionByName(variants)
+      .withColumn("norm_sha", sha2(expr(
+        "nfc_normalize(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"),
+        256))
+    val sizes = crawl.groupBy($"norm_sha").agg(count(lit(1)).as("c"))
+    crawl.join(sizes, "norm_sha")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(($"c" >= 2).cast("long")).as("n_dup_docs"),
+        sum(round(lit(1.0) / $"c".cast("double"), 12)
+          .cast("decimal(38,12)")).as("hard"),
+        sum(round(pow($"c".cast("double"), -0.5), 12)
+          .cast("decimal(38,12)")).as("soft"))
+      .select($"source", $"n_docs".cast("long").as("n_docs"),
+        $"n_dup_docs".cast("long").as("n_dup_docs"),
+        round($"hard".cast("double"), 6).as("hard_mass"),
+        round($"soft".cast("double"), 6).as("soft_mass"),
+        floor(lit(10000.0) * $"soft".cast("double")
+          / $"n_docs".cast("double")).cast("long").as("soft_bp"))
+      .orderBy($"source")
+  }
+
+  val softdedupSql: String =
+    """WITH crawl AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, source, replace(upper(text), ' ', '  ')
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |keyed AS (
+      |  SELECT source,
+      |    sha256(nfc_normalize(trim(
+      |      regexp_replace(lower(text), '\s+', ' ', 'g')))) AS norm_sha
+      |  FROM crawl),
+      |sizes AS (SELECT norm_sha, COUNT(*) AS c FROM keyed GROUP BY 1)
+      |SELECT k.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN s.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_docs,
+      |  ROUND(CAST(SUM(CAST(ROUND(1.0 / CAST(s.c AS DOUBLE), 12)
+      |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS hard_mass,
+      |  ROUND(CAST(SUM(CAST(ROUND(POWER(CAST(s.c AS DOUBLE), -0.5), 12)
+      |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS soft_mass,
+      |  CAST(FLOOR(CAST(10000 AS DOUBLE)
+      |    * CAST(SUM(CAST(ROUND(POWER(CAST(s.c AS DOUBLE), -0.5), 12)
+      |        AS DECIMAL(38,12))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS soft_bp
+      |FROM keyed k JOIN sizes s USING (norm_sha)
+      |GROUP BY 1 ORDER BY k.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curate_softdedup" -> softdedupQ,
     "q_curate_coverage" -> coverageQ,
     "q_curate_gopher" -> gopherQ,
     "q_curate_ccnet" -> ccnetQ,
@@ -786,6 +862,7 @@ object Curate {
     "q_curate_curriculum" -> curriculumQ)
 
   def oracle: Map[String, String] = Map(
+    "q_curate_softdedup" -> softdedupSql,
     "q_curate_coverage" -> coverageSql,
     "q_curate_gopher" -> gopherSql,
     "q_curate_ccnet" -> ccnetSql,

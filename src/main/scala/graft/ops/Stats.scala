@@ -3910,9 +3910,175 @@ object Stats {
       |ORDER BY LN(u) / CAST(n_chars AS DOUBLE) DESC, doc_id
       |LIMIT 50""".stripMargin
 
+  /** q_sample_ht entry: POISSON PPS SAMPLING with the HORVITZ–THOMPSON
+    * estimator (Horvitz & Thompson 1952) — the survey-sampling
+    * workhorse a pipeline uses to AUDIT a huge table from a tiny
+    * probability sample with an unbiased total and a design-based
+    * standard error. Inclusion probability πᵢ = min(1, k·wᵢ/W) with
+    * w = order value and k = 500 expected draws; each order enters iff
+    * its seeded md5 uniform < πᵢ (independent Poisson sampling — the
+    * only design where distributed inclusion is a pure map).
+    * Estimates: total Σ_{sampled} vᵢ/πᵢ (unbiased for the true total),
+    * variance Σ vᵢ²(1−πᵢ)/πᵢ² (exact for Poisson designs).
+    *
+    * Scale shape: W is one combinable exact-decimal aggregate; the
+    * sample pass is a pure map + filter (no shuffle); estimator sums
+    * are combinable decimal-rounded aggregates over the ~k sampled
+    * rows. Determinism: money flows as DECIMAL(18,2) until the single
+    * π divide; per-row HT terms are a fixed IEEE chain rounded to 6 dp
+    * (they are O(W/k) ≈ 10⁵-sized — 6 dp keeps DECIMAL(38,6) exact)
+    * and summed order-independently. */
+  def htQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val two60 = lit(1152921504606846976L).cast("double")
+    val o = t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+    val tot = o.agg(
+      sum($"o_totalprice".cast("decimal(18,2)")).as("w_dec"),
+      count(lit(1)).as("n_pop"))
+    val base = o.crossJoin(broadcast(tot))
+      .withColumn("pi", least(lit(1.0),
+        lit(500.0) * $"o_totalprice" / $"w_dec".cast("double")))
+      .withColumn("u",
+        (Hashing.md5Long60(concat(lit("ht:"), $"o_orderkey")) + lit(1L))
+          .cast("double") / two60)
+      .filter($"u" < $"pi")
+    base.groupBy()
+      .agg(max($"n_pop").as("n_pop"),
+        max($"w_dec").as("w_dec"),
+        count(lit(1)).as("n_sample"),
+        sum(round($"o_totalprice" / $"pi", 6).cast("decimal(38,6)"))
+          .as("ht"),
+        sum(round($"o_totalprice" * $"o_totalprice" * (lit(1.0) - $"pi")
+          / ($"pi" * $"pi"), 6).cast("decimal(38,6)")).as("vht"))
+      .select($"n_pop".cast("long").as("n_pop"),
+        $"n_sample".cast("long").as("n_sample"),
+        $"w_dec".cast("double").as("true_total"),
+        round($"ht".cast("double"), 2).as("ht_total"),
+        round(sqrt($"vht".cast("double")), 2).as("ht_se"),
+        round((($"ht".cast("double") - $"w_dec".cast("double"))
+          / $"w_dec".cast("double")) * 10000.0, 2).as("rel_err_bp"))
+  }
+
+  val htSql: String =
+    """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+      |tot AS (
+      |  SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS w_dec,
+      |    COUNT(*) AS n_pop
+      |  FROM o),
+      |base AS (
+      |  SELECT o.*, tot.n_pop, tot.w_dec,
+      |    LEAST(1.0, 500.0 * o_totalprice / CAST(w_dec AS DOUBLE)) AS pi,
+      |    CAST(('0x' || substr(md5('ht:' || CAST(o_orderkey AS VARCHAR)),
+      |      1, 15))::UBIGINT::BIGINT + 1 AS DOUBLE)
+      |      / CAST(1152921504606846976 AS DOUBLE) AS u
+      |  FROM o CROSS JOIN tot),
+      |s AS (SELECT * FROM base WHERE u < pi)
+      |SELECT CAST(MAX(n_pop) AS BIGINT) AS n_pop,
+      |  COUNT(*) AS n_sample,
+      |  CAST(MAX(w_dec) AS DOUBLE) AS true_total,
+      |  ROUND(CAST(SUM(CAST(ROUND(o_totalprice / pi, 6)
+      |    AS DECIMAL(38,6))) AS DOUBLE), 2) AS ht_total,
+      |  ROUND(SQRT(CAST(SUM(CAST(ROUND(o_totalprice * o_totalprice
+      |    * (1.0 - pi) / (pi * pi), 6) AS DECIMAL(38,6))) AS DOUBLE)), 2)
+      |    AS ht_se,
+      |  ROUND(((CAST(SUM(CAST(ROUND(o_totalprice / pi, 6)
+      |    AS DECIMAL(38,6))) AS DOUBLE) - CAST(MAX(w_dec) AS DOUBLE))
+      |    / CAST(MAX(w_dec) AS DOUBLE)) * 10000.0, 2) AS rel_err_bp
+      |FROM s""".stripMargin
+
+  /** q_stat_bland_altman entry: BLAND–ALTMAN agreement analysis (Bland
+    * & Altman 1986) between two per-user measurement channels — mean
+    * click value vs mean view value — the method-comparison standard:
+    * not "are they correlated" (they always are) but "what is the bias
+    * and how wide are the 95% limits of agreement". Per user with both
+    * channels: d = mean_click − mean_view; report bias = mean(d),
+    * sd(d), LoA = bias ± 1.96·sd, and the fraction of users inside the
+    * limits (the ~95% the method promises).
+    *
+    * Scale shape: one combinable per-(user, channel) mean collapse,
+    * a 2-column pivot join, then 1-row moments over the user-bounded
+    * frame. Determinism: per-user means are exact-decimal sums with
+    * one divide; d-moments are 12-dp-rounded DECIMAL(38,12) sums; the
+    * within-limits test compares doubles computed by the identical
+    * chain in both engines. */
+  def blandAltmanQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = t(s, dir, "events")
+      .filter($"event_type".isin("click", "view"))
+      .groupBy($"user_id", $"event_type")
+      .agg((sum($"value".cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("m"))
+    val a = per.filter($"event_type" === "click")
+      .select($"user_id", $"m".as("ma"))
+    val b = per.filter($"event_type" === "view")
+      .select($"user_id", $"m".as("mb"))
+    val d = a.join(b, "user_id").withColumn("d", $"ma" - $"mb")
+    val agg = d.groupBy()
+      .agg(count(lit(1)).as("n"),
+        sum(round($"d", 12).cast("decimal(38,12)")).as("sd1"),
+        sum(round($"d" * $"d", 12).cast("decimal(38,12)")).as("sd2"))
+      .select($"n",
+        ($"sd1".cast("double") / $"n".cast("double")).as("bias"),
+        sqrt(($"sd2".cast("double") - $"sd1".cast("double")
+          * $"sd1".cast("double") / $"n".cast("double"))
+          / ($"n".cast("double") - lit(1.0))).as("sd"))
+      .withColumn("lo", $"bias" - lit(1.96) * $"sd")
+      .withColumn("hi", $"bias" + lit(1.96) * $"sd")
+    d.crossJoin(broadcast(agg))
+      .groupBy()
+      .agg(max($"n").as("n_users"),
+        max($"bias").as("bias"), max($"sd").as("sd"),
+        max($"lo").as("lo"), max($"hi").as("hi"),
+        sum(($"d" >= $"lo" && $"d" <= $"hi").cast("long")).as("n_within"))
+      .select($"n_users".cast("long").as("n_users"),
+        round($"bias", 6).as("bias_d"),
+        round($"sd", 6).as("sd_d"),
+        round($"lo", 6).as("loa_lo"),
+        round($"hi", 6).as("loa_hi"),
+        $"n_within".cast("long").as("n_within"),
+        expr("(10000 * n_within) div n_users").as("within_bp"))
+  }
+
+  val blandAltmanSql: String =
+    """WITH per AS (
+      |  SELECT user_id, event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT a.user_id, a.m - b.m AS d
+      |  FROM (SELECT user_id, m FROM per WHERE event_type = 'click') a
+      |  JOIN (SELECT user_id, m FROM per WHERE event_type = 'view') b
+      |    USING (user_id)),
+      |agg AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(ROUND(d, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(ROUND(d * d, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s2
+      |  FROM d),
+      |m AS (
+      |  SELECT n, s1 / CAST(n AS DOUBLE) AS bias,
+      |    SQRT((s2 - s1 * s1 / CAST(n AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) - 1.0)) AS sd
+      |  FROM agg),
+      |lim AS (
+      |  SELECT n, bias, sd, bias - 1.96 * sd AS lo, bias + 1.96 * sd AS hi
+      |  FROM m)
+      |SELECT CAST(MAX(l.n) AS BIGINT) AS n_users,
+      |  ROUND(MAX(l.bias), 6) AS bias_d,
+      |  ROUND(MAX(l.sd), 6) AS sd_d,
+      |  ROUND(MAX(l.lo), 6) AS loa_lo,
+      |  ROUND(MAX(l.hi), 6) AS loa_hi,
+      |  CAST(SUM(CASE WHEN d.d >= l.lo AND d.d <= l.hi THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_within,
+      |  CAST((10000 * SUM(CASE WHEN d.d >= l.lo AND d.d <= l.hi
+      |    THEN 1 ELSE 0 END)) // MAX(l.n) AS BIGINT) AS within_bp
+      |FROM d CROSS JOIN lim l""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stat_gtest" -> gtestQ,
     "q_sample_reservoir" -> reservoirQ,
+    "q_sample_ht" -> htQ,
+    "q_stat_bland_altman" -> blandAltmanQ,
     "q_stat_icc" -> iccQ,
     "q_stat_cronbach" -> cronbachQ,
     "q_stat_cmh" -> cmhQ,
@@ -3960,6 +4126,8 @@ object Stats {
   def oracle: Map[String, String] = Map(
     "q_stat_gtest" -> gtestSql,
     "q_sample_reservoir" -> reservoirSql,
+    "q_sample_ht" -> htSql,
+    "q_stat_bland_altman" -> blandAltmanSql,
     "q_stat_icc" -> iccSql,
     "q_stat_cronbach" -> cronbachSql,
     "q_stat_cmh" -> cmhSql,

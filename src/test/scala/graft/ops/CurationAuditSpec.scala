@@ -481,4 +481,40 @@ class CurationAuditSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got.getAs[Double]("phi2") -
       BigDecimal(phi2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+
+  test("softdedup: soft/hard masses match a driver recompute; beta=1 recovers cluster count") {
+    import spark.implicits._
+    val rows = Curate.softdedupQ(spark, sfDir).collect()
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val crawl = docs ++ docs.filter(_._1 % 5 == 0)
+      .map(d => (d._1 + 4000000L, d._2, d._3.toUpperCase.replace(" ", "  ")))
+    def norm(t: String): String =
+      java.text.Normalizer.normalize(
+        t.toLowerCase.replaceAll("\\s+", " ").trim,
+        java.text.Normalizer.Form.NFC)
+    val sizes = crawl.groupBy(d => norm(d._3)).view.mapValues(_.size).toMap
+    val bySource = crawl.groupBy(_._2)
+    def r12(d: Double) = BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.map(_.getAs[String]("source")).toSet == bySource.keySet)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ds = bySource(src)
+      val cs = ds.map(d => sizes(norm(d._3)))
+      assert(r.getAs[Long]("n_docs") == ds.length, s"$src n")
+      assert(r.getAs[Long]("n_dup_docs") == cs.count(_ >= 2), s"$src dups")
+      val hard = cs.map(c => r12(1.0 / c)).sum.toDouble
+      val soft = cs.map(c => r12(math.pow(c.toDouble, -0.5))).sum.toDouble
+      assert(math.abs(r.getAs[Double]("hard_mass") - r6(hard)) < 1e-9, s"$src hard")
+      assert(math.abs(r.getAs[Double]("soft_mass") - r6(soft)) < 1e-9, s"$src soft")
+      // beta ordering: hard (beta=1) <= soft (beta=0.5) <= raw count
+      assert(hard <= soft + 1e-9 && soft <= ds.length + 1e-9, s"$src order")
+      assert(r.getAs[Long]("soft_bp") == math.floor(10000.0 * soft / ds.length).toLong)
+    }
+    // global sanity: summing per-cluster 1/c over members counts clusters
+    val globalHard = crawl.map(d => 1.0 / sizes(norm(d._3))).sum
+    assert(math.abs(globalHard - sizes.size) < 1e-6)
+  }
 }

@@ -875,4 +875,72 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     val popMeanW = all.map(_._2).sum.toDouble / all.length
     assert(sampleMeanW > popMeanW, "weighted sampling should favor long docs")
   }
+
+  test("ht: Horvitz-Thompson totals match a driver replay; estimate is near-unbiased") {
+    import spark.implicits._
+    val row = Stats.htQ(spark, sfDir).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: String): Long = {
+      val hex = md.digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val orders = graft.Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val wDec = orders.map(o => BigDecimal(o._2).setScale(2)).sum
+    val w = wDec.toDouble
+    assert(row.getAs[Long]("n_pop") == orders.length)
+    assert(row.getAs[Double]("true_total") == w)
+    def r6bd(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val sampled = orders.map { case (k, v) =>
+      val pi = math.min(1.0, 500.0 * v / w)
+      val u = (h60(s"ht:$k") + 1L).toDouble / 1152921504606846976L.toDouble
+      (v, pi, u < pi)
+    }.filter(_._3)
+    assert(row.getAs[Long]("n_sample") == sampled.length)
+    val ht = sampled.map { case (v, pi, _) => r6bd(v / pi) }.sum.toDouble
+    val vht = sampled.map { case (v, pi, _) =>
+      r6bd(v * v * (1.0 - pi) / (pi * pi)) }.sum.toDouble
+    def r2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getAs[Double]("ht_total") - r2(ht)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("ht_se") - r2(math.sqrt(vht))) < 1e-9)
+    // design promises: expected sample size = k, estimate within a few SE
+    assert(sampled.length > 300 && sampled.length < 700, s"got ${sampled.length}")
+    assert(math.abs(ht - w) < 4.0 * math.sqrt(vht), "HT total within 4 SE of truth")
+  }
+
+  test("bland-altman: bias and limits match a driver replay; ~95% of users inside") {
+    import spark.implicits._
+    val row = Stats.blandAltmanQ(spark, sfDir).collect().head
+    val per = graft.Tables.t(spark, sfDir, "events")
+      .filter($"event_type".isin("click", "view")).collect()
+      .map(r => ((r.getAs[Long]("user_id"), r.getAs[String]("event_type")),
+        r.getAs[Double]("value")))
+      .groupBy(_._1).view.mapValues { vs =>
+        vs.map(v => BigDecimal(v._2).setScale(6)).sum.toDouble / vs.length
+      }.toMap
+    val users = per.keySet.map(_._1)
+    val ds = users.toSeq.sorted.flatMap { u =>
+      for (a <- per.get((u, "click")); b <- per.get((u, "view")))
+        yield a - b
+    }
+    assert(row.getAs[Long]("n_users") == ds.length)
+    def r12bd(d: Double) = BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val n = ds.length
+    val s1 = ds.map(r12bd).sum.toDouble
+    val s2 = ds.map(d => r12bd(d * d)).sum.toDouble
+    val bias = s1 / n
+    val sd = math.sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+    val (lo, hi) = (bias - 1.96 * sd, bias + 1.96 * sd)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getAs[Double]("bias_d") - r6(bias)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("sd_d") - r6(sd)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("loa_lo") - r6(lo)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("loa_hi") - r6(hi)) < 1e-9)
+    val within = ds.count(d => d >= lo && d <= hi)
+    assert(row.getAs[Long]("n_within") == within)
+    // the method's promise: roughly 95% of paired diffs inside the limits
+    assert(row.getAs[Long]("within_bp") >= 8800, "limits should cover ~95%")
+  }
 }
