@@ -4074,7 +4074,446 @@ object Stats {
       |    THEN 1 ELSE 0 END)) // MAX(l.n) AS BIGINT) AS within_bp
       |FROM d CROSS JOIN lim l""".stripMargin
 
+  /** q_stat_effect_size entry: the STANDARD EFFECT-SIZE PANEL for the
+    * click-vs-view `value` comparison — Cohen's d (pooled-sd mean
+    * difference), Hedges' g (small-sample bias-corrected d), Glass's Δ
+    * (control-sd denominator, for when variances differ), and Cliff's
+    * δ (the rank/dominance effect size, = P(X>Y) − P(X<Y)). Tests say
+    * WHETHER distributions differ; effect sizes say BY HOW MUCH in
+    * comparable units — the number a curation dashboard actually
+    * thresholds on.
+    *
+    * Cliff's δ is derived from the midrank Mann–Whitney U via
+    * δ = (2·U₁ − n₁n₂)/(n₁n₂) (ties contribute ½ to U, hence 0 to δ),
+    * reusing [[mannWhitneyQ]]'s per-distinct-value collapse so no
+    * per-row rank frame ever materializes.
+    *
+    * Scale shape: one combinable conditional-moments aggregate (exact
+    * DECIMAL(18,2) power sums) + the value-bounded rank collapse; the
+    * two 1-row frames cross-join. Determinism: exact decimal sums into
+    * fixed written-order IEEE chains, final round 6. */
+  def effectSizeQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ev = t(s, dir, "events").filter($"event_type".isin("click", "view"))
+    val x = $"value".cast("decimal(18,2)")
+    val mom = ev.agg(
+      sum(when($"event_type" === "click", 1L).otherwise(0L)).as("n1"),
+      sum(when($"event_type" === "click", x)).as("s1"),
+      sum(when($"event_type" === "click", x * x)).as("q1"),
+      sum(when($"event_type" === "view", 1L).otherwise(0L)).as("n2"),
+      sum(when($"event_type" === "view", x)).as("s2"),
+      sum(when($"event_type" === "view", x * x)).as("q2"))
+    val d = ev.groupBy($"value".as("v"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c2"))
+    val wCum = Window.partitionBy(lit(0)).orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val u = d
+      .withColumn("before", coalesce(sum($"c1" + $"c2").over(wCum), lit(0L)))
+      .withColumn("avg_rank",
+        ($"before".cast("decimal(18,1)") +
+          ($"c1" + $"c2" + 1).cast("decimal(18,1)") / 2).cast("decimal(18,1)"))
+      .agg(sum(($"c1".cast("decimal(18,1)") * $"avg_rank")
+        .cast("decimal(28,1)")).as("r1"))
+    mom.crossJoin(u)
+      .select($"n1", $"n2",
+        ($"s1".cast("double") / $"n1").as("m1"),
+        ($"s2".cast("double") / $"n2").as("m2"),
+        (($"q1".cast("double") - $"s1".cast("double") * $"s1".cast("double")
+          / $"n1") / ($"n1" - 1)).as("v1"),
+        (($"q2".cast("double") - $"s2".cast("double") * $"s2".cast("double")
+          / $"n2") / ($"n2" - 1)).as("v2"),
+        ($"r1".cast("double") -
+          $"n1".cast("double") * ($"n1" + 1) / 2).as("u1"))
+      .select($"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"),
+        round(($"m1" - $"m2") /
+          sqrt((($"n1" - 1) * $"v1" + ($"n2" - 1) * $"v2")
+            / ($"n1" + $"n2" - 2)), 6).as("cohens_d"),
+        round(($"m1" - $"m2") /
+          sqrt((($"n1" - 1) * $"v1" + ($"n2" - 1) * $"v2")
+            / ($"n1" + $"n2" - 2)) *
+          (lit(1.0) - lit(3.0) / (lit(4.0) * ($"n1" + $"n2") - 9)), 6)
+          .as("hedges_g"),
+        round(($"m1" - $"m2") / sqrt($"v2"), 6).as("glass_delta"),
+        round((lit(2.0) * $"u1" - $"n1".cast("double") * $"n2")
+          / ($"n1".cast("double") * $"n2"), 6).as("cliffs_delta"))
+  }
+
+  val effectSizeSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, value FROM events
+      |  WHERE event_type IN ('click', 'view')),
+      |mom AS (
+      |  SELECT
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN event_type = 'click'
+      |      THEN CAST(value AS DECIMAL(18,2)) END) AS s1,
+      |    SUM(CASE WHEN event_type = 'click'
+      |      THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+      |      END) AS q1,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2,
+      |    SUM(CASE WHEN event_type = 'view'
+      |      THEN CAST(value AS DECIMAL(18,2)) END) AS s2,
+      |    SUM(CASE WHEN event_type = 'view'
+      |      THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+      |      END) AS q2
+      |  FROM ev),
+      |d AS (
+      |  SELECT value AS v,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+      |  FROM ev GROUP BY 1),
+      |r AS (
+      |  SELECT c1, c2,
+      |    CAST(COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS DECIMAL(18,1))
+      |    + CAST(c1 + c2 + 1 AS DECIMAL(18,1)) / 2 AS avg_rank
+      |  FROM d),
+      |uagg AS (
+      |  SELECT SUM(CAST(CAST(c1 AS DECIMAL(18,1)) * avg_rank
+      |    AS DECIMAL(28,1))) AS r1
+      |  FROM r),
+      |m AS (
+      |  SELECT n1, n2,
+      |    CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+      |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |      / n1) / (n1 - 1) AS v1,
+      |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |      / n2) / (n2 - 1) AS v2,
+      |    CAST(r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1) / 2 AS u1
+      |  FROM mom CROSS JOIN uagg)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  ROUND((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+      |    / (n1 + n2 - 2)), 6) AS cohens_d,
+      |  ROUND((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+      |    / (n1 + n2 - 2))
+      |    * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9)), 6) AS hedges_g,
+      |  ROUND((m1 - m2) / sqrt(v2), 6) AS glass_delta,
+      |  ROUND((2.0 * u1 - CAST(n1 AS DOUBLE) * n2)
+      |    / (CAST(n1 AS DOUBLE) * n2), 6) AS cliffs_delta
+      |FROM m""".stripMargin
+
+  /** The pinned event-type domain shared by the k-group post-hoc /
+    * homogeneity tests below (same pin as [[anovaQ]]). */
+  private val EvTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q_stat_tukey_hsd entry: TUKEY'S HSD pairwise comparisons after the
+    * one-way ANOVA over the five event types — for each of the 10
+    * unordered pairs, the mean difference, its standard error
+    * sqrt(MSE/2·(1/nₐ+1/n_b)) (Tukey–Kramer form, valid for unequal
+    * n), and the studentized-range q statistic. ANOVA says "some mean
+    * differs"; HSD says WHICH pairs, with a familywise-valid yardstick
+    * — the post-hoc step every k-cohort dashboard needs.
+    *
+    * Scale shape: one combinable conditional-moments aggregate (the
+    * [[anovaQ]] frame) collapses the corpus to ONE row; the 10 pairs
+    * are literal projections of that row unioned together — no join,
+    * no window, no second scan. Determinism: exact DECIMAL(18,2)
+    * power sums; MSE and each pair's statistics are fixed
+    * written-order IEEE chains, final round 6. */
+  def tukeyHsdQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = EvTypes
+    val x = $"value".cast("decimal(18,2)")
+    val aggs = types.flatMap { tp =>
+      val m = $"event_type" === tp
+      Seq(sum(when(m, 1L).otherwise(0L)).as(s"n_$tp"),
+        sum(when(m, x)).as(s"s_$tp"),
+        sum(when(m, x * x)).as(s"q_$tp"))
+    }
+    val one = t(s, dir, "events").agg(aggs.head, aggs.tail: _*)
+    val n = types.map(tp => col(s"n_$tp")).reduce(_ + _)
+    val ssw = types.map(tp =>
+      col(s"q_$tp").cast("double") - col(s"s_$tp").cast("double")
+        * col(s"s_$tp").cast("double") / col(s"n_$tp")).reduce(_ + _)
+    val mse = (ssw / (n - types.size)).as("mse")
+    val withMse = one.withColumn("mse", mse)
+      .withColumn("dof_w", (n - types.size).cast("long"))
+    val pairs = for {
+      i <- types.indices; j <- types.indices if i < j
+    } yield (types(i), types(j))
+    val pairFrames = pairs.map { case (a, b) =>
+      val ma = col(s"s_$a").cast("double") / col(s"n_$a")
+      val mb = col(s"s_$b").cast("double") / col(s"n_$b")
+      val se = sqrt($"mse" / 2.0 *
+        (lit(1.0) / col(s"n_$a") + lit(1.0) / col(s"n_$b")))
+      withMse.select(
+        lit(a).as("type_a"), lit(b).as("type_b"),
+        col(s"n_$a").cast("long").as("n_a"),
+        col(s"n_$b").cast("long").as("n_b"),
+        $"dof_w",
+        round(ma - mb, 6).as("mean_diff"),
+        round(se, 6).as("se"),
+        round(abs(ma - mb) / se, 6).as("q_stat"))
+    }
+    pairFrames.reduce(_ unionAll _)
+  }
+
+  val tukeyHsdSql: String = {
+    val types = EvTypes
+    val aggs = types.flatMap { tp =>
+      Seq(s"SUM(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS n_$tp",
+        s"SUM(CASE WHEN event_type = '$tp' THEN CAST(value AS DECIMAL(18,2)) END) AS s_$tp",
+        s"SUM(CASE WHEN event_type = '$tp' THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS q_$tp")
+    }
+    val n = types.map(tp => s"n_$tp").mkString(" + ")
+    val ssw = types.map(tp =>
+      s"CAST(q_$tp AS DOUBLE) - CAST(s_$tp AS DOUBLE) * CAST(s_$tp AS DOUBLE) / n_$tp")
+      .mkString(" + ")
+    val pairs = for {
+      i <- types.indices; j <- types.indices if i < j
+    } yield (types(i), types(j))
+    val selects = pairs.map { case (a, b) =>
+      val ma = s"CAST(s_$a AS DOUBLE) / n_$a"
+      val mb = s"CAST(s_$b AS DOUBLE) / n_$b"
+      val se = s"sqrt(mse / 2.0 * (1.0 / n_$a + 1.0 / n_$b))"
+      s"""SELECT '$a' AS type_a, '$b' AS type_b,
+         |  CAST(n_$a AS BIGINT) AS n_a, CAST(n_$b AS BIGINT) AS n_b,
+         |  dof_w,
+         |  ROUND($ma - $mb, 6) AS mean_diff,
+         |  ROUND($se, 6) AS se,
+         |  ROUND(ABS($ma - $mb) / $se, 6) AS q_stat
+         |FROM m""".stripMargin
+    }
+    s"""WITH a AS (
+       |  SELECT ${aggs.mkString(",\n    ")}
+       |  FROM events),
+       |m AS (
+       |  SELECT *, ($ssw) / (($n) - ${types.size}) AS mse,
+       |    CAST(($n) - ${types.size} AS BIGINT) AS dof_w
+       |  FROM a)
+       |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** q_stat_bartlett entry: BARTLETT'S TEST of variance homogeneity
+    * across the five event types — the classical (normal-theory)
+    * companion to the robust [[leveneQ]]: T = [(N−k)·ln s²_p −
+    * Σ(nᵢ−1)·ln s²ᵢ] / C with the Bartlett correction C. Reported
+    * beside Levene, the two answer "can I pool variances?" from the
+    * sensitive and the robust side — disagreement itself flags
+    * non-normality.
+    *
+    * Scale shape: the [[anovaQ]] one-row conditional-moments frame;
+    * everything after is arithmetic on that row. Determinism: exact
+    * DECIMAL(18,2) power sums, fixed written-order IEEE chain
+    * (the Σ terms combine in pinned type order), final round 6. */
+  def bartlettQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = EvTypes
+    val k = types.size
+    val x = $"value".cast("decimal(18,2)")
+    val aggs = types.flatMap { tp =>
+      val m = $"event_type" === tp
+      Seq(sum(when(m, 1L).otherwise(0L)).as(s"n_$tp"),
+        sum(when(m, x)).as(s"s_$tp"),
+        sum(when(m, x * x)).as(s"q_$tp"))
+    }
+    val one = t(s, dir, "events").agg(aggs.head, aggs.tail: _*)
+    val n = types.map(tp => col(s"n_$tp")).reduce(_ + _)
+    def vi(tp: String): Column =
+      (col(s"q_$tp").cast("double") - col(s"s_$tp").cast("double")
+        * col(s"s_$tp").cast("double") / col(s"n_$tp")) / (col(s"n_$tp") - 1)
+    val sp2 = types.map(tp => (col(s"n_$tp") - 1) * vi(tp)).reduce(_ + _) /
+      (n - k)
+    val sumLn = types.map(tp => (col(s"n_$tp") - 1) * log(vi(tp)))
+      .reduce(_ + _)
+    val sumInv = types.map(tp => lit(1.0) / (col(s"n_$tp") - 1)).reduce(_ + _)
+    val c = lit(1.0) + (sumInv - lit(1.0) / (n - k)) / (3.0 * (k - 1))
+    one.select(
+      n.cast("long").as("n"), lit(k.toLong).as("k"),
+      round(sp2, 6).as("pooled_var"),
+      round(((n - k) * log(sp2) - sumLn) / c, 6).as("t_stat"))
+  }
+
+  val bartlettSql: String = {
+    val types = EvTypes
+    val k = types.size
+    val aggs = types.flatMap { tp =>
+      Seq(s"SUM(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS n_$tp",
+        s"SUM(CASE WHEN event_type = '$tp' THEN CAST(value AS DECIMAL(18,2)) END) AS s_$tp",
+        s"SUM(CASE WHEN event_type = '$tp' THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS q_$tp")
+    }
+    val n = types.map(tp => s"n_$tp").mkString(" + ")
+    def vi(tp: String) =
+      s"((CAST(q_$tp AS DOUBLE) - CAST(s_$tp AS DOUBLE) * CAST(s_$tp AS DOUBLE) / n_$tp) / (n_$tp - 1))"
+    val sp2 = types.map(tp => s"(n_$tp - 1) * ${vi(tp)}")
+      .mkString(" + ") + s") / (($n) - $k"
+    val sumLn = types.map(tp => s"(n_$tp - 1) * LN(${vi(tp)})").mkString(" + ")
+    val sumInv = types.map(tp => s"1.0 / (n_$tp - 1)").mkString(" + ")
+    s"""WITH a AS (
+       |  SELECT ${aggs.mkString(",\n    ")}
+       |  FROM events),
+       |m AS (
+       |  SELECT *, (($sp2)) AS sp2,
+       |    1.0 + (($sumInv) - 1.0 / (($n) - $k)) / (3.0 * ${k - 1}) AS c
+       |  FROM a)
+       |SELECT CAST($n AS BIGINT) AS n, CAST($k AS BIGINT) AS k,
+       |  ROUND(sp2, 6) AS pooled_var,
+       |  ROUND(((($n) - $k) * LN(sp2) - ($sumLn)) / c, 6) AS t_stat
+       |FROM m""".stripMargin
+  }
+
+  /** q_stat_cochran_q entry: COCHRAN'S Q test over binary per-user
+    * outcomes across the five event types — blocks = users, treatment
+    * j's outcome for user i is "did user i produce at least one
+    * type-j event with value ≥ 50?" (users without such an event score
+    * 0, so every user is a complete block by construction). Q =
+    * (k−1)·(k·ΣC²ⱼ − T²)/(k·T − ΣR²ᵢ) — the k-treatment
+    * generalization of McNemar, asymptotically χ²(k−1). The
+    * within-block design cancels user-level propensity — the right
+    * test for "do conversion-style rates differ across event types?"
+    *
+    * Scale shape: one combinable per-user aggregate (conditional MAX
+    * per pinned type) → user-bounded frame → one combinable global
+    * aggregate. EVERY intermediate is an exact integer; the single
+    * IEEE division happens on the final 1-row frame. */
+  def cochranQQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = EvTypes
+    val k = types.size
+    val perUser = t(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(types.map(tp =>
+        max(when($"event_type" === tp && $"value" >= 50.0, 1L)
+          .otherwise(0L)).as(s"x_$tp")).head,
+        types.tail.map(tp =>
+          max(when($"event_type" === tp && $"value" >= 50.0, 1L)
+            .otherwise(0L)).as(s"x_$tp")): _*)
+    val ri = types.map(tp => col(s"x_$tp")).reduce(_ + _)
+    val agg = perUser
+      .withColumn("ri", ri)
+      .agg(count(lit(1)).as("b"),
+        (Seq(sum($"ri").as("t_tot"), sum($"ri" * $"ri").as("r2")) ++
+          types.map(tp => sum(col(s"x_$tp")).as(s"c_$tp"))): _*)
+    val c2 = types.map(tp => col(s"c_$tp") * col(s"c_$tp")).reduce(_ + _)
+    agg.select(
+      lit(k.toLong).as("k"), $"b".cast("long").as("b"),
+      $"t_tot".cast("long").as("t_successes"),
+      round(((lit(k) - 1) * (lit(k) * c2 - $"t_tot" * $"t_tot"))
+        .cast("double") /
+        (lit(k) * $"t_tot" - $"r2").cast("double"), 6).as("q_stat"))
+  }
+
+  val cochranQSql: String = {
+    val types = EvTypes
+    val k = types.size
+    val xs = types.map(tp =>
+      s"MAX(CASE WHEN event_type = '$tp' AND value >= 50.0 THEN 1 ELSE 0 END) AS x_$tp")
+    val ri = types.map(tp => s"x_$tp").mkString(" + ")
+    val cs = types.map(tp => s"SUM(x_$tp) AS c_$tp")
+    val c2 = types.map(tp => s"c_$tp * c_$tp").mkString(" + ")
+    s"""WITH per_user AS (
+       |  SELECT user_id, ${xs.mkString(",\n    ")}
+       |  FROM events GROUP BY 1),
+       |w AS (SELECT *, $ri AS ri FROM per_user),
+       |a AS (
+       |  SELECT COUNT(*) AS b, SUM(ri) AS t_tot, SUM(ri * ri) AS r2,
+       |    ${cs.mkString(",\n    ")}
+       |  FROM w)
+       |SELECT CAST($k AS BIGINT) AS k, CAST(b AS BIGINT) AS b,
+       |  CAST(t_tot AS BIGINT) AS t_successes,
+       |  ROUND(CAST(($k - 1) * ($k * ($c2) - t_tot * t_tot) AS DOUBLE)
+       |    / CAST($k * t_tot - r2 AS DOUBLE), 6) AS q_stat
+       |FROM a""".stripMargin
+  }
+
+  /** q_stat_friedman entry: FRIEDMAN'S rank test for k related samples
+    * — blocks = users having events of ALL five types, cell value =
+    * the user's mean `value` per type, midranked WITHIN each user
+    * across the five types. The tie-corrected statistic (Conover) is
+    * T = b(k−1)·Σⱼ(Rⱼ − b(k+1)/2)² / (Σᵢⱼ r²ᵢⱼ − bk(k+1)²/4),
+    * asymptotically χ²(k−1). The within-block ranking cancels user
+    * propensity nonparametrically — the repeated-measures sibling of
+    * [[kruskalQ]].
+    *
+    * Scale shape: per-(user,type) combinable collapse (exact
+    * DECIMAL(18,2) sums) → ≤ b·k rows; ranks come from a window
+    * PARTITIONED BY USER (k-bounded frames, fully parallel); midranks
+    * are exact in 0.5 units (DECIMAL), rank sums travel as pinned-type
+    * conditional DECIMAL sums; ONE final IEEE chain on the 1-row
+    * frame. */
+  def friedmanQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val types = EvTypes
+    val k = types.size
+    val cell = t(s, dir, "events")
+      .groupBy($"user_id", $"event_type")
+      .agg((sum($"value".cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("cell"))
+    val complete = cell
+      .withColumn("n_types",
+        count(lit(1)).over(Window.partitionBy($"user_id")))
+      .filter($"n_types" === k)
+    val wOrd = Window.partitionBy($"user_id").orderBy($"cell")
+    val wTie = Window.partitionBy($"user_id", $"cell")
+    val ranked = complete
+      .withColumn("rk", rank().over(wOrd))
+      .withColumn("tie_n", count(lit(1)).over(wTie))
+      .withColumn("midrank",
+        (($"rk" * 2 + $"tie_n" - 1).cast("decimal(18,1)") / 2)
+          .cast("decimal(18,1)"))
+    val agg = ranked.agg(
+      ((countDistinct($"user_id"))).as("b"),
+      (Seq(sum(($"midrank" * $"midrank").cast("decimal(28,2)")).as("a2")) ++
+        types.map(tp => sum(when($"event_type" === tp, $"midrank"))
+          .cast("decimal(28,1)").as(s"r_$tp"))): _*)
+    val sumDev = types.map { tp =>
+      val dev = col(s"r_$tp").cast("double") -
+        $"b".cast("double") * (k + 1) / 2
+      dev * dev
+    }.reduce(_ + _)
+    agg.select(
+      $"b".cast("long").as("b"), lit(k.toLong).as("k"),
+      round($"b".cast("double") * (k - 1) * sumDev /
+        ($"a2".cast("double") -
+          $"b".cast("double") * k * (k + 1) * (k + 1) / 4), 6).as("t_stat"))
+  }
+
+  val friedmanSql: String = {
+    val types = EvTypes
+    val k = types.size
+    val rs = types.map(tp =>
+      s"CAST(SUM(CASE WHEN event_type = '$tp' THEN midrank END) AS DECIMAL(28,1)) AS r_$tp")
+    val sumDev = types.map(tp =>
+      s"(CAST(r_$tp AS DOUBLE) - CAST(b AS DOUBLE) * ${k + 1} / 2) * (CAST(r_$tp AS DOUBLE) - CAST(b AS DOUBLE) * ${k + 1} / 2)")
+      .mkString(" + ")
+    s"""WITH cell AS (
+       |  SELECT user_id, event_type,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+       |      AS cell
+       |  FROM events GROUP BY 1, 2),
+       |complete AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS n_types
+       |    FROM cell) WHERE n_types = $k),
+       |ranked AS (
+       |  SELECT user_id, event_type,
+       |    CAST((RANK() OVER (PARTITION BY user_id ORDER BY cell) * 2
+       |      + COUNT(*) OVER (PARTITION BY user_id, cell) - 1)
+       |      AS DECIMAL(18,1)) / 2 AS midrank
+       |  FROM complete),
+       |a AS (
+       |  SELECT COUNT(DISTINCT user_id) AS b,
+       |    SUM(CAST(midrank * midrank AS DECIMAL(28,2))) AS a2,
+       |    ${rs.mkString(",\n    ")}
+       |  FROM ranked)
+       |SELECT CAST(b AS BIGINT) AS b, CAST($k AS BIGINT) AS k,
+       |  ROUND(CAST(b AS DOUBLE) * ${k - 1} * ($sumDev)
+       |    / (CAST(a2 AS DOUBLE)
+       |      - CAST(b AS DOUBLE) * $k * ${k + 1} * ${k + 1} / 4), 6)
+       |    AS t_stat
+       |FROM a""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_effect_size" -> effectSizeQ,
+    "q_stat_tukey_hsd" -> tukeyHsdQ,
+    "q_stat_bartlett" -> bartlettQ,
+    "q_stat_cochran_q" -> cochranQQ,
+    "q_stat_friedman" -> friedmanQ,
     "q_stat_gtest" -> gtestQ,
     "q_sample_reservoir" -> reservoirQ,
     "q_sample_ht" -> htQ,
@@ -4124,6 +4563,11 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_effect_size" -> effectSizeSql,
+    "q_stat_tukey_hsd" -> tukeyHsdSql,
+    "q_stat_bartlett" -> bartlettSql,
+    "q_stat_cochran_q" -> cochranQSql,
+    "q_stat_friedman" -> friedmanSql,
     "q_stat_gtest" -> gtestSql,
     "q_sample_reservoir" -> reservoirSql,
     "q_sample_ht" -> htSql,

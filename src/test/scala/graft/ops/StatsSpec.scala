@@ -943,4 +943,148 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     // the method's promise: roughly 95% of paired diffs inside the limits
     assert(row.getAs[Long]("within_bp") >= 8800, "limits should cover ~95%")
   }
+
+  test("effect size: d/g/glass/cliffs match a driver replay; identities hold") {
+    import spark.implicits._
+    val row = Stats.effectSizeQ(spark, sfDir).collect().head
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .filter($"event_type".isin("click", "view"))
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2)))
+    val a = ev.filter(_._1 == "click").map(_._2)
+    val b = ev.filter(_._1 == "view").map(_._2)
+    val (n1, n2) = (a.length, b.length)
+    assert(row.getAs[Long]("n1") == n1 && row.getAs[Long]("n2") == n2)
+    val (s1, q1) = (a.sum.toDouble, a.map(x => x * x).sum.toDouble)
+    val (s2, q2) = (b.sum.toDouble, b.map(x => x * x).sum.toDouble)
+    val (m1, m2) = (s1 / n1, s2 / n2)
+    val v1 = (q1 - s1 * s1 / n1) / (n1 - 1)
+    val v2 = (q2 - s2 * s2 / n2) / (n2 - 1)
+    val d = (m1 - m2) / math.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+    val g = d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9))
+    // Cliff's delta by brute-force dominance count (the definition)
+    var gt = 0L; var lt = 0L
+    for (x <- a; y <- b) { if (x > y) gt += 1 else if (x < y) lt += 1 }
+    val cliffs = (gt - lt).toDouble / (n1.toDouble * n2)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getAs[Double]("cohens_d") - r6(d)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("hedges_g") - r6(g)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("glass_delta") - r6((m1 - m2) / math.sqrt(v2))) < 1e-9)
+    assert(math.abs(row.getAs[Double]("cliffs_delta") - cliffs) < 1e-6,
+      s"rank-derived ${row.getAs[Double]("cliffs_delta")} vs brute-force $cliffs")
+    // |g| < |d| (shrinkage), delta in [-1, 1]
+    assert(math.abs(row.getAs[Double]("hedges_g")) <
+      math.abs(row.getAs[Double]("cohens_d")))
+    assert(math.abs(row.getAs[Double]("cliffs_delta")) <= 1.0)
+  }
+
+  test("tukey hsd: 10 pairs, q matches a driver replay, anova-consistent MSE") {
+    import spark.implicits._
+    val rows = Stats.tukeyHsdQ(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2)))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val by = types.map(tp => tp -> ev.filter(_._1 == tp).map(_._2)).toMap
+    val n = ev.length
+    val ssw = types.map { tp =>
+      val xs = by(tp); val s = xs.sum.toDouble; val q = xs.map(x => x * x).sum.toDouble
+      q - s * s / xs.length
+    }.sum
+    val mse = ssw / (n - types.size)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val (ta, tb) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val (xa, xb) = (by(ta), by(tb))
+      assert(r.getAs[Long]("n_a") == xa.length && r.getAs[Long]("n_b") == xb.length)
+      assert(r.getAs[Long]("dof_w") == n - types.size)
+      val diff = xa.sum.toDouble / xa.length - xb.sum.toDouble / xb.length
+      val se = math.sqrt(mse / 2.0 * (1.0 / xa.length + 1.0 / xb.length))
+      assert(math.abs(r.getAs[Double]("mean_diff") - r6(diff)) < 1e-7)
+      assert(math.abs(r.getAs[Double]("q_stat") - r6(math.abs(diff) / se)) < 1e-5)
+    }
+  }
+
+  test("bartlett: statistic matches a driver replay and is non-negative") {
+    import spark.implicits._
+    val row = Stats.bartlettQ(spark, sfDir).collect().head
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2)))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val k = types.size; val n = ev.length
+    val vis = types.map { tp =>
+      val xs = ev.filter(_._1 == tp).map(_._2)
+      val s = xs.sum.toDouble; val q = xs.map(x => x * x).sum.toDouble
+      (xs.length, (q - s * s / xs.length) / (xs.length - 1))
+    }
+    val sp2 = vis.map { case (ni, vi) => (ni - 1) * vi }.sum / (n - k)
+    val sumLn = vis.map { case (ni, vi) => (ni - 1) * math.log(vi) }.sum
+    val sumInv = vis.map { case (ni, _) => 1.0 / (ni - 1) }.sum
+    val c = 1.0 + (sumInv - 1.0 / (n - k)) / (3.0 * (k - 1))
+    val tstat = ((n - k) * math.log(sp2) - sumLn) / c
+    assert(row.getAs[Long]("n") == n && row.getAs[Long]("k") == k)
+    assert(math.abs(row.getAs[Double]("t_stat") - tstat) < 1e-4,
+      s"query ${row.getAs[Double]("t_stat")} vs replay $tstat")
+    assert(row.getAs[Double]("t_stat") >= 0.0)
+  }
+
+  test("cochran q: exact-integer replay; zero statistic on identical columns") {
+    import spark.implicits._
+    val row = Stats.cochranQQ(spark, sfDir).collect().head
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val k = types.size
+    val x = graft.Tables.t(spark, sfDir, "events").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+      .groupBy(_._1).view.mapValues { es =>
+        types.map(tp => if (es.exists(e => e._2 == tp && e._3 >= 50.0)) 1L else 0L)
+      }.toMap
+    val b = x.size
+    val ris = x.values.map(_.sum)
+    val tt = ris.sum; val r2 = ris.map(r => r * r).sum
+    val cs = types.indices.map(j => x.values.map(_(j)).sum)
+    val q = ((k - 1) * (k * cs.map(c => c * c).sum - tt * tt)).toDouble /
+      (k * tt - r2).toDouble
+    assert(row.getAs[Long]("b") == b)
+    assert(row.getAs[Long]("t_successes") == tt)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getAs[Double]("q_stat") - r6(q)) < 1e-9)
+  }
+
+  test("friedman: tie-corrected statistic matches a driver midrank replay") {
+    import spark.implicits._
+    val row = Stats.friedmanQ(spark, sfDir).collect().head
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val k = types.size
+    val cells = graft.Tables.t(spark, sfDir, "events").collect()
+      .map(r => ((r.getAs[Long]("user_id"), r.getAs[String]("event_type")),
+        BigDecimal(r.getAs[Double]("value")).setScale(2)))
+      .groupBy(_._1).view.mapValues(vs =>
+        vs.map(_._2).sum.toDouble / vs.length).toMap
+    val users = cells.keySet.map(_._1)
+      .filter(u => types.forall(tp => cells.contains((u, tp)))).toSeq.sorted
+    assert(row.getAs[Long]("b") == users.length)
+    // midranks within each user
+    var a2 = BigDecimal(0)
+    val rj = scala.collection.mutable.Map(types.map(_ -> BigDecimal(0)): _*)
+    users.foreach { u =>
+      val vs = types.map(tp => tp -> cells((u, tp)))
+      vs.foreach { case (tp, v) =>
+        val less = vs.count(_._2 < v); val eq = vs.count(_._2 == v)
+        val mid = BigDecimal(2 * (less + 1) + eq - 1) / 2
+        rj(tp) += mid; a2 += mid * mid
+      }
+    }
+    val b = users.length
+    val sumDev = types.map { tp =>
+      val dev = rj(tp).toDouble - b.toDouble * (k + 1) / 2; dev * dev
+    }.sum
+    val tstat = b.toDouble * (k - 1) * sumDev /
+      (a2.toDouble - b.toDouble * k * (k + 1) * (k + 1) / 4)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getAs[Double]("t_stat") - r6(tstat)) < 1e-9,
+      s"query ${row.getAs[Double]("t_stat")} vs replay $tstat")
+  }
 }
