@@ -286,15 +286,115 @@ object Repair {
       |FROM src JOIN pooledq USING (d)
       |ORDER BY source, decile""".stripMargin
 
+  /** q_repair_hampel entry: HAMPEL FILTER over the dense 30-day event-
+    * count series per type — the ROBUST de-spiker every telemetry
+    * pipeline runs before modelling: a point is an outlier iff
+    * |x − rolling_median₇| > 3·1.4826·rolling_MAD₇, and outliers are
+    * replaced by the rolling median. Unlike mean/σ clipping
+    * ([[winsorizeQ]] cousin), both center and spread are 50%-breakdown
+    * robust, so the spike cannot mask itself. Per the file convention
+    * the defect is planted in-query (counts ×10 on two pinned days,
+    * same construction in the oracle) — the filter, not the defect, is
+    * under test; both planted spikes must flag.
+    *
+    * Scale shape: one combinable daily collapse to the calendar-
+    * bounded grid; the ±3-day rolling median and the deviation-from-
+    * center MAD each come from a grid-sized neighbor equi-join on the
+    * type key (Spark disallows `median` with an explicit window frame,
+    * and MAD is inexpressible in one window anyway). Determinism:
+    * counts are integers, medians are exact .5-unit interpolations,
+    * MADs exact .25 units — the flag comparison is one shared IEEE
+    * chain of exact values. */
+  def hampelQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01', timestamp'2024-01-30',
+        |  interval 1 day)) AS d""".stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val dense = grid.crossJoin(broadcast(series))
+      .join(daily, Seq("d", "event_type"), "left")
+      .select($"event_type", $"d",
+        when($"d" === lit("2024-01-10").cast("timestamp") ||
+            $"d" === lit("2024-01-22").cast("timestamp"),
+          coalesce($"cnt", lit(0L)) * 10)
+          .otherwise(coalesce($"cnt", lit(0L))).as("x"))
+    // Spark disallows aggregate `median` with an explicit window frame,
+    // so the rolling median uses the same grid-sized neighbor equi-join
+    // as the MAD pass (the oracle mirrors this join formulation).
+    val nb = dense.select($"event_type", $"d".as("dn"), $"x".as("xn"))
+    val centered = dense.join(nb, "event_type")
+      .filter(abs(datediff($"dn", $"d")) <= 3)
+      .groupBy($"event_type", $"d", $"x")
+      .agg(median($"xn".cast("double")).as("med"))
+    val mad = centered.join(nb, "event_type")
+      .filter(abs(datediff($"dn", $"d")) <= 3)
+      .groupBy($"event_type", $"d", $"x", $"med")
+      .agg(median(abs($"xn".cast("double") - $"med")).as("mad"))
+    mad
+      .withColumn("flagged",
+        (abs($"x".cast("double") - $"med") >
+          lit(3.0) * 1.4826 * $"mad").cast("int"))
+      .select($"event_type", $"d", $"x".cast("long").as("x"),
+        round($"med", 6).as("med"), round($"mad", 6).as("mad"),
+        $"flagged",
+        round(when($"flagged" === 1, $"med")
+          .otherwise($"x".cast("double")), 6).as("repaired"))
+      .orderBy($"event_type", $"d")
+  }
+
+  val hampelSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+      |    TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS d),
+      |series AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT series.event_type, grid.d,
+      |    CASE WHEN grid.d IN (TIMESTAMP '2024-01-10', TIMESTAMP '2024-01-22')
+      |      THEN COALESCE(daily.cnt, 0) * 10
+      |      ELSE COALESCE(daily.cnt, 0) END AS x
+      |  FROM grid CROSS JOIN series
+      |  LEFT JOIN daily ON daily.d = grid.d
+      |    AND daily.event_type = series.event_type),
+      |centered AS (
+      |  SELECT c.event_type, c.d, c.x,
+      |    median(CAST(n.x AS DOUBLE)) AS med
+      |  FROM dense c JOIN dense n ON n.event_type = c.event_type
+      |  WHERE ABS(datediff('day', c.d, n.d)) <= 3
+      |  GROUP BY c.event_type, c.d, c.x),
+      |madt AS (
+      |  SELECT c.event_type, c.d, c.x, c.med,
+      |    median(ABS(CAST(n.x AS DOUBLE) - c.med)) AS mad
+      |  FROM centered c JOIN dense n ON n.event_type = c.event_type
+      |  WHERE ABS(datediff('day', c.d, n.d)) <= 3
+      |  GROUP BY c.event_type, c.d, c.x, c.med),
+      |fl AS (
+      |  SELECT *, CAST(ABS(CAST(x AS DOUBLE) - med) > 3.0 * 1.4826 * mad
+      |    AS INT) AS flagged
+      |  FROM madt)
+      |SELECT event_type, d, CAST(x AS BIGINT) AS x,
+      |  ROUND(med, 6) AS med, ROUND(mad, 6) AS mad, flagged,
+      |  ROUND(CASE WHEN flagged = 1 THEN med ELSE CAST(x AS DOUBLE) END, 6)
+      |    AS repaired
+      |FROM fl ORDER BY event_type, d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repair_impute" -> imputeQ,
     "q_repair_winsorize" -> winsorizeQ,
     "q_repair_interpolate" -> interpolateQ,
+    "q_repair_hampel" -> hampelQ,
     "q_repair_qnorm" -> qnormQ)
 
   def oracle: Map[String, String] = Map(
     "q_repair_impute" -> imputeSql,
     "q_repair_winsorize" -> winsorizeSql,
     "q_repair_interpolate" -> interpolateSql,
+    "q_repair_hampel" -> hampelSql,
     "q_repair_qnorm" -> qnormSql)
 }

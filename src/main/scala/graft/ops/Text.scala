@@ -646,6 +646,99 @@ object Text {
       |  ROUND(CAST(hits10 AS DOUBLE) / 10, 6) AS p_at_10
       |FROM d, i""".stripMargin
 
+  /** q_eval_err entry: EXPECTED RECIPROCAL RANK (Chapelle et al. 2009)
+    * of the [[bm25]] ranking — the cascade-model IR metric: a user
+    * scans ranks top-down, stops at rank r with probability
+    * Rᵣ·Π_{i<r}(1−Rᵢ) where R = (2^rel−1)/2^gmax (gmax = 3 = the max
+    * distinct-query-terms grade), and ERR = E[1/stop-rank]. Unlike
+    * [[ndcgQ]], ERR penalizes redundancy below an already-satisfying
+    * result — the metric of choice for graded web-style relevance.
+    * Reported @10 and @20.
+    *
+    * Scale shape: identical postings cost to [[bm25]]; the cascade
+    * fold runs over a COLLECTED ≤20-element array on a 1-row frame —
+    * the only sequential dependence in the metric, kept off the
+    * corpus. Determinism: grades are exact integers, R and 1−R are
+    * exact dyadic rationals (k/8), and both engines run the identical
+    * left-to-right IEEE fold (Spark `aggregate` HOF ≡ DuckDB recursive
+    * CTE), final round 6. */
+  def errQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val qTerms = Seq("dup", "vector", "spark")
+    val docs = withToks(s, dir).select($"doc_id", $"toks")
+    val dl = docs.select($"doc_id", size($"toks").cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg($"dl").as("avgdl"))
+    val tf = docs.select($"doc_id", explode($"toks").as("term"))
+      .filter($"term".isin(qTerms: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scoredDocs = tf.join(broadcast(docFreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+      .withColumn("w",
+        $"idf" * ($"tf" * 2.2) / ($"tf" + (lit(0.25) + $"dl" * 0.75 / $"avgdl") * 1.2))
+      .groupBy($"doc_id")
+      .agg(sum(round($"w", 9).cast("decimal(28,9)")).as("sc"),
+        count(lit(1)).as("rel"))
+    val top = scoredDocs
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"sc".desc, $"doc_id")))
+      .filter($"rank" <= 20)
+    def fold(upTo: Int) = expr(
+      s"""aggregate(slice(rels, 1, $upTo),
+         |  struct(cast(0.0 as double) as s, cast(1.0 as double) as p,
+         |    cast(1 as int) as r),
+         |  (acc, g) -> struct(
+         |    acc.s + acc.p * ((pow(2.0, cast(g as double)) - 1.0) / 8.0)
+         |      / cast(acc.r as double),
+         |    acc.p * (1.0 - (pow(2.0, cast(g as double)) - 1.0) / 8.0),
+         |    acc.r + 1),
+         |  acc -> acc.s)""".stripMargin.replace("\n", " "))
+    top
+      .agg(expr("transform(array_sort(collect_list(struct(rank, rel))), x -> x.rel)")
+          .as("rels"),
+        count(lit(1)).as("n_ranked"))
+      .select($"n_ranked".cast("long").as("n_ranked"),
+        round(fold(10), 6).as("err_at_10"),
+        round(fold(20), 6).as("err_at_20"))
+  }
+
+  val errSql: String =
+    s"""WITH RECURSIVE tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tk),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM
+      |  (SELECT doc_id, unnest(toks) AS term FROM tk)
+      |  WHERE term IN ('dup', 'vector', 'spark') GROUP BY 1, 2),
+      |docf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id,
+      |    SUM(CAST(ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
+      |      AS DECIMAL(28,9))) AS sc,
+      |    CAST(COUNT(*) AS BIGINT) AS rel
+      |  FROM tf JOIN docf USING (term) JOIN dl ON tf.doc_id = dl.doc_id, st
+      |  GROUP BY tf.doc_id),
+      |tops AS (
+      |  SELECT * FROM (
+      |    SELECT rel, ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank
+      |    FROM sc) WHERE rank <= 20),
+      |rec AS (
+      |  SELECT 0 AS r, CAST(0.0 AS DOUBLE) AS sm, CAST(1.0 AS DOUBLE) AS p
+      |  UNION ALL
+      |  SELECT t.rank,
+      |    f.sm + f.p * ((POWER(2.0, CAST(t.rel AS DOUBLE)) - 1.0) / 8.0)
+      |      / CAST(t.rank AS DOUBLE),
+      |    f.p * (1.0 - (POWER(2.0, CAST(t.rel AS DOUBLE)) - 1.0) / 8.0)
+      |  FROM rec f JOIN tops t ON t.rank = f.r + 1)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tops) AS n_ranked,
+      |  (SELECT ROUND(sm, 6) FROM rec
+      |   WHERE r = LEAST(10, (SELECT MAX(r) FROM rec))) AS err_at_10,
+      |  (SELECT ROUND(sm, 6) FROM rec
+      |   WHERE r = (SELECT MAX(r) FROM rec)) AS err_at_20""".stripMargin
+
   val bm25Sql: String =
     s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
       |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tk),
@@ -2108,6 +2201,7 @@ object Text {
     "q_rank_fusion" -> rankFusionQ,
     "q_bpe_encode" -> bpeEncodeQ,
     "q_eval_ndcg" -> ndcgQ,
+    "q_eval_err" -> errQ,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_train" -> bpeTrainQ,
     "q_text_novelty" -> novelty,
@@ -2147,6 +2241,7 @@ object Text {
     "q_rank_fusion" -> rankFusionSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_eval_ndcg" -> ndcgSql,
+    "q_eval_err" -> errSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_train" -> bpeTrainSql,
     "q_text_novelty" -> noveltySql,

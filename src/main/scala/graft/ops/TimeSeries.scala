@@ -1795,7 +1795,292 @@ object TimeSeries {
       |CROSS JOIN direct d
       |ORDER BY b.event_type""".stripMargin
 
+  /** q_ts_ljungbox entry: LJUNG–BOX portmanteau whiteness test per
+    * event type — Q = n(n+2)·Σ_{k=1..12} r²ₖ/(n−k) over the dense
+    * 720-hour count series, where rₖ is the classical (common-mean)
+    * autocorrelation estimator. THE residual-diagnostics gate: a
+    * forecasting pipeline runs it on model residuals to decide "is
+    * there structure left?" — here it certifies the raw arrival series
+    * is (un)autocorrelated, complementing [[graft.ops.Stats.acfQ]]'s
+    * two spot lags with a single χ²(12)-calibrated statistic.
+    *
+    * Scale shape: one combinable hourly collapse; the 12 lag passes
+    * run over the GRID-sized frame (720·|types| rows), each a window
+    * lag + combinable integer-sum aggregate; corpus data is touched
+    * once. Determinism: every sum (Σx, Σx², Σxxₖ, window margins) is
+    * an exact integer; each rₖ is one shared-order IEEE chain, each
+    * Q-term rounds to 12 dp into DECIMAL(38,12) (order-independent
+    * sum), final round 6. */
+  def ljungBoxQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val m = 12
+    val hourly = t(s, dir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |  timestamp'2024-01-30 23:00:00', interval 1 hour)) AS hour"""
+        .stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val dense = grid.crossJoin(broadcast(series))
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select($"event_type", $"hour", coalesce($"cnt", lit(0L)).as("x"))
+    val tot = dense.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+    val w = Window.partitionBy($"event_type").orderBy($"hour")
+    val lags = (1 to m).map { k =>
+      dense
+        .withColumn("y", lag($"x", k).over(w))
+        .filter($"y".isNotNull)
+        .groupBy($"event_type")
+        .agg(sum($"x" * $"y").as("sxy"), sum($"x").as("sxw"),
+          sum($"y").as("syw"), count(lit(1)).as("cw"))
+        .withColumn("k", lit(k))
+    }.reduce(_ unionByName _)
+    lags.join(broadcast(tot), "event_type")
+      .withColumn("xbar", $"sx".cast("double") / $"n")
+      .withColumn("num",
+        $"sxy".cast("double") - $"xbar" * ($"sxw" + $"syw") +
+          $"cw" * $"xbar" * $"xbar")
+      .withColumn("den",
+        $"sxx".cast("double") -
+          $"sx".cast("double") * $"sx".cast("double") / $"n")
+      .withColumn("term",
+        round(($"num" / $"den") * ($"num" / $"den") / ($"n" - $"k"), 12)
+          .cast("decimal(38,12)"))
+      .groupBy($"event_type", $"n")
+      .agg(sum($"term").as("tsum"))
+      .select($"event_type", $"n".cast("long").as("n"),
+        lit(m.toLong).as("m"),
+        round($"n".cast("double") * ($"n" + 2) *
+          $"tsum".cast("double"), 6).as("q_stat"))
+      .orderBy($"event_type")
+  }
+
+  val ljungBoxSql: String = {
+    val m = 12
+    val lagSelects = (1 to m).map { k =>
+      s"""SELECT event_type, $k AS k, SUM(x * y) AS sxy, SUM(x) AS sxw,
+         |  SUM(y) AS syw, COUNT(*) AS cw
+         |FROM (
+         |  SELECT event_type, x,
+         |    lag(x, $k) OVER (PARTITION BY event_type ORDER BY hour) AS y
+         |  FROM dense) WHERE y IS NOT NULL GROUP BY event_type""".stripMargin
+    }
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+       |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour),
+       |series AS (SELECT DISTINCT event_type FROM events),
+       |dense AS (
+       |  SELECT series.event_type, grid.hour, COALESCE(hourly.cnt, 0) AS x
+       |  FROM grid CROSS JOIN series
+       |  LEFT JOIN hourly ON hourly.hour = grid.hour
+       |    AND hourly.event_type = series.event_type),
+       |tot AS (
+       |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+       |  FROM dense GROUP BY 1),
+       |lags AS (
+       |${lagSelects.mkString("\nUNION ALL\n")}),
+       |terms AS (
+       |  SELECT l.event_type, t.n,
+       |    CAST(ROUND(
+       |      ((CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * (sxw + syw)
+       |        + cw * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+       |       / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n))
+       |      * ((CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * (sxw + syw)
+       |        + cw * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+       |       / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n))
+       |      / (n - k), 12) AS DECIMAL(38,12)) AS term
+       |  FROM lags l JOIN tot t ON t.event_type = l.event_type)
+       |SELECT event_type, CAST(n AS BIGINT) AS n, CAST($m AS BIGINT) AS m,
+       |  ROUND(CAST(n AS DOUBLE) * (n + 2) * CAST(SUM(term) AS DOUBLE), 6)
+       |    AS q_stat
+       |FROM terms GROUP BY event_type, n
+       |ORDER BY event_type""".stripMargin
+  }
+
+  /** q_ts_mase entry: forecast-accuracy panel for the SEASONAL-NAIVE
+    * baseline (period 7) per event type over the dense 30-day count
+    * grid — MAE on the 7-day holdout, MASE (Hyndman & Koehler 2006:
+    * holdout MAE scaled by the in-sample seasonal-naive MAE, the
+    * scale-free standard that replaced MAPE), and sMAPE. Any
+    * forecasting pipeline reports accuracy THIS way; the seasonal-
+    * naive scores double as the floor every real model must beat.
+    *
+    * Scale shape: one combinable daily collapse to the 30·|types| grid;
+    * forecasts are one lag-7 window; error sums are per-type combinable
+    * aggregates. Determinism: counts and forecasts are exact integers,
+    * so |error| sums are exact; sMAPE terms round to 12 dp into
+    * DECIMAL(38,12); finals are single IEEE divisions rounded 6. */
+  def maseQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01', timestamp'2024-01-30',
+        |  interval 1 day)) AS d""".stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val dense = grid.crossJoin(broadcast(series))
+      .join(daily, Seq("d", "event_type"), "left")
+      .select($"event_type", $"d", coalesce($"cnt", lit(0L)).as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+    val test = lit("2024-01-24").cast("timestamp")
+    val f = dense
+      .withColumn("f", lag($"x", 7).over(w))
+      .filter($"f".isNotNull)
+      .withColumn("is_test", $"d" >= test)
+    f.groupBy($"event_type")
+      .agg(
+        sum(when($"is_test", abs($"x" - $"f"))).as("ae_test"),
+        sum(when($"is_test", 1L).otherwise(0L)).as("n_test"),
+        sum(when(!$"is_test", abs($"x" - $"f"))).as("ae_train"),
+        sum(when(!$"is_test", 1L).otherwise(0L)).as("n_train"),
+        sum(when($"is_test",
+          when($"x" + $"f" === 0, lit(BigDecimal(0)).cast("decimal(38,12)"))
+            .otherwise(round(lit(2.0) * abs($"x" - $"f").cast("double") /
+              ($"x" + $"f").cast("double"), 12).cast("decimal(38,12)"))))
+          .as("sm"))
+      .select($"event_type",
+        $"n_test".cast("long").as("n_test"),
+        round($"ae_test".cast("double") / $"n_test", 6).as("mae_test"),
+        round(($"ae_test".cast("double") / $"n_test") /
+          ($"ae_train".cast("double") / $"n_train"), 6).as("mase"),
+        round(lit(100.0) * $"sm".cast("double") / $"n_test", 6).as("smape"))
+      .orderBy($"event_type")
+  }
+
+  val maseSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+      |    TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS d),
+      |series AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT series.event_type, grid.d, COALESCE(daily.cnt, 0) AS x
+      |  FROM grid CROSS JOIN series
+      |  LEFT JOIN daily ON daily.d = grid.d
+      |    AND daily.event_type = series.event_type),
+      |f AS (
+      |  SELECT event_type, d, x,
+      |    lag(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS f,
+      |    d >= TIMESTAMP '2024-01-24' AS is_test
+      |  FROM dense),
+      |g AS (
+      |  SELECT event_type,
+      |    SUM(CASE WHEN is_test THEN ABS(x - f) END) AS ae_test,
+      |    SUM(CASE WHEN is_test THEN 1 ELSE 0 END) AS n_test,
+      |    SUM(CASE WHEN NOT is_test THEN ABS(x - f) END) AS ae_train,
+      |    SUM(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS n_train,
+      |    SUM(CASE WHEN is_test THEN
+      |      CASE WHEN x + f = 0 THEN CAST(0 AS DECIMAL(38,12))
+      |        ELSE CAST(ROUND(2.0 * CAST(ABS(x - f) AS DOUBLE)
+      |          / CAST(x + f AS DOUBLE), 12) AS DECIMAL(38,12)) END
+      |      END) AS sm
+      |  FROM f WHERE f IS NOT NULL GROUP BY 1)
+      |SELECT event_type, CAST(n_test AS BIGINT) AS n_test,
+      |  ROUND(CAST(ae_test AS DOUBLE) / n_test, 6) AS mae_test,
+      |  ROUND((CAST(ae_test AS DOUBLE) / n_test)
+      |    / (CAST(ae_train AS DOUBLE) / n_train), 6) AS mase,
+      |  ROUND(100.0 * CAST(sm AS DOUBLE) / n_test, 6) AS smape
+      |FROM g ORDER BY event_type""".stripMargin
+
+  /** q_stat_dw entry: DURBIN–WATSON residual-autocorrelation test on
+    * the OLS trend fit of daily order counts — DW = Σ(eₜ−eₜ₋₁)²/Σe²ₜ
+    * over date-ordered residuals (≈2 ⇒ white, →0 ⇒ positive serial
+    * correlation, →4 ⇒ negative). The mandatory post-regression check:
+    * a trend fit whose residuals are serially correlated has
+    * understated standard errors, so [[graft.ops.Stats.olsQ]]-style
+    * inference is invalid without this gate.
+    *
+    * Scale shape: one combinable daily collapse to a calendar-bounded
+    * frame; the OLS normal equations are exact-integer sums on that
+    * frame (t = date row-number, y = count); residual/lag arithmetic
+    * runs on the same bounded frame. Determinism: slope/intercept are
+    * fixed IEEE chains of exact integers; each residual term rounds to
+    * 10 dp into DECIMAL(38,10), final round 6. */
+  def dwQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val daily = t(s, dir, "orders")
+      .groupBy(date_trunc("day", $"o_orderdate").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("t", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"d")))
+    val fit = daily.agg(count(lit(1)).as("n"), sum($"t").as("st"),
+        sum($"y").as("sy"), sum($"t" * $"t").as("stt"),
+        sum($"t" * $"y").as("sty"))
+      .select($"n",
+        (($"n" * $"sty" - $"st" * $"sy").cast("double") /
+          ($"n" * $"stt" - $"st" * $"st").cast("double")).as("slope"),
+        $"sy", $"st")
+      .select($"n", $"slope",
+        ($"sy".cast("double") / $"n" -
+          $"slope" * $"st".cast("double") / $"n").as("icept"))
+    val resid = daily.crossJoin(broadcast(fit))
+      .withColumn("e", $"y".cast("double") - ($"icept" + $"slope" * $"t"))
+      .withColumn("ep", lag($"e", 1).over(
+        Window.partitionBy(lit(0)).orderBy($"d")))
+    resid.groupBy($"n", $"slope", $"icept")
+      .agg(
+        sum(round($"e" * $"e", 10).cast("decimal(38,10)")).as("den"),
+        sum(when($"ep".isNotNull,
+          round(($"e" - $"ep") * ($"e" - $"ep"), 10)
+            .cast("decimal(38,10)"))).as("num"))
+      .select($"n".cast("long").as("n_days"),
+        round($"slope", 8).as("slope"),
+        round($"icept", 6).as("intercept"),
+        round($"num".cast("double") / $"den".cast("double"), 6).as("dw"))
+  }
+
+  val dwSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', o_orderdate) AS d, COUNT(*) AS y
+      |  FROM orders GROUP BY 1),
+      |dd AS (
+      |  SELECT d, y, ROW_NUMBER() OVER (ORDER BY d) AS t FROM daily),
+      |fit0 AS (
+      |  SELECT COUNT(*) AS n, SUM(t) AS st, SUM(y) AS sy,
+      |    SUM(t * t) AS stt, SUM(t * y) AS sty
+      |  FROM dd),
+      |fit AS (
+      |  SELECT n,
+      |    CAST(n * sty - st * sy AS DOUBLE)
+      |      / CAST(n * stt - st * st AS DOUBLE) AS slope,
+      |    sy, st
+      |  FROM fit0),
+      |fit2 AS (
+      |  SELECT n, slope,
+      |    CAST(sy AS DOUBLE) / n - slope * CAST(st AS DOUBLE) / n AS icept
+      |  FROM fit),
+      |resid AS (
+      |  SELECT n, slope, icept,
+      |    CAST(y AS DOUBLE) - (icept + slope * t) AS e,
+      |    lag(CAST(y AS DOUBLE) - (icept + slope * t), 1)
+      |      OVER (ORDER BY d) AS ep
+      |  FROM dd CROSS JOIN fit2)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  ROUND(slope, 8) AS slope,
+      |  ROUND(icept, 6) AS intercept,
+      |  ROUND(CAST(SUM(CASE WHEN ep IS NOT NULL THEN
+      |      CAST(ROUND((e - ep) * (e - ep), 10) AS DECIMAL(38,10)) END)
+      |      AS DOUBLE)
+      |    / CAST(SUM(CAST(ROUND(e * e, 10) AS DECIMAL(38,10))) AS DOUBLE),
+      |    6) AS dw
+      |FROM resid GROUP BY n, slope, icept""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_ljungbox" -> ljungBoxQ,
+    "q_ts_mase" -> maseQ,
+    "q_stat_dw" -> dwQ,
     "q_ts_reconcile" -> reconcileQ,
     "q_ts_changepoint" -> changepointQ,
     "q_ts_croston" -> crostonQ,
@@ -1820,6 +2105,9 @@ object TimeSeries {
     "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_ljungbox" -> ljungBoxSql,
+    "q_ts_mase" -> maseSql,
+    "q_stat_dw" -> dwSql,
     "q_ts_reconcile" -> reconcileSql,
     "q_ts_changepoint" -> changepointSql,
     "q_ts_croston" -> crostonSql,

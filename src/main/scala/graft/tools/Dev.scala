@@ -96,6 +96,8 @@ object Dev {
           "q_sample_ht" -> "1-row population-total frame (W for the pi = k*w/W inclusion map)",
           "q_stat_bland_altman" -> "1-row bias/limits frame over the user-bounded diff frame",
           "q_stat_effect_size" -> "two 1-row moment/rank-sum frames",
+          "q_stat_dw" -> "1-row OLS-coefficient frame over the calendar-bounded day frame",
+          "q_eval_err" -> "1-row (n_docs, avgdl) stats frame (BM25 scoring)",
           "q_er_blocking_quality" -> "two 1-row count frames",
           "q_ts_reconcile" -> "1-row direct-total forecast frame",
           "q_stat_permutation" -> "1-row observed-statistic frame over the B x days grid",

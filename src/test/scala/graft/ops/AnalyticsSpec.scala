@@ -918,6 +918,126 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(dcg - expDcg) < 1e-5, s"dcg $dcg vs $expDcg")
   }
 
+  test("err: cascade fold matches a driver replay over the BM25 top-20; @10 <= @20 <= 1") {
+    val r = Text.errQ(spark, sfDir).collect().head
+    val top = Text.bm25(spark, sfDir).collect()
+      .map(_.getAs[Int]("n_terms_hit"))
+    assert(r.getAs[Long]("n_ranked") == top.length)
+    def errAt(k: Int): Double = {
+      var s = 0.0; var p = 1.0; var rank = 1
+      top.take(k).foreach { rel =>
+        val rr = (math.pow(2.0, rel) - 1.0) / 8.0
+        s += p * rr / rank; p *= (1.0 - rr); rank += 1
+      }
+      s
+    }
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("err_at_10") - r6(errAt(10))) < 1e-9,
+      s"err@10 ${r.getAs[Double]("err_at_10")} vs replay ${errAt(10)}")
+    assert(math.abs(r.getAs[Double]("err_at_20") - r6(errAt(20))) < 1e-9)
+    assert(r.getAs[Double]("err_at_10") > 0)
+    assert(r.getAs[Double]("err_at_10") <= r.getAs[Double]("err_at_20") + 1e-9)
+    assert(r.getAs[Double]("err_at_20") <= 1.0)
+  }
+
+  /** Dense hourly (or daily) count series per event type from the raw
+    * events, over the pinned 2024-01-01..2024-01-30 grid. */
+  private def denseCounts(truncTo: String): Map[String, Array[Long]] = {
+    import spark.implicits._
+    val raw = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", date_trunc(truncTo, $"ts").as("b"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val step = if (truncTo == "hour") 3600000L else 86400000L
+    val n = if (truncTo == "hour") 720 else 30
+    val start = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val types = raw.keySet.map(_._1)
+    types.map { tp =>
+      tp -> (0 until n).map(i =>
+        raw.getOrElse((tp, start + i * step), 0L)).toArray
+    }.toMap
+  }
+
+  test("ljung-box: Q matches a classical-acf driver replay on the dense hourly grid") {
+    val rows = TimeSeries.ljungBoxQ(spark, sfDir).collect()
+    val series = denseCounts("hour")
+    assert(rows.length == series.size)
+    def r12(d: Double) = BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    rows.foreach { r =>
+      val xs = series(r.getAs[String]("event_type"))
+      val n = xs.length
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("m") == 12)
+      val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      val xbar = sx.toDouble / n
+      val den = sxx.toDouble - sx.toDouble * sx.toDouble / n
+      val tsum = (1 to 12).map { k =>
+        var sxy = 0L; var sxw = 0L; var syw = 0L; var cw = 0L
+        for (i <- k until n) {
+          sxy += xs(i) * xs(i - k); sxw += xs(i); syw += xs(i - k); cw += 1
+        }
+        val num = sxy.toDouble - xbar * (sxw + syw) + cw * xbar * xbar
+        r12((num / den) * (num / den) / (n - k))
+      }.sum.toDouble
+      val q = n.toDouble * (n + 2) * tsum
+      def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("q_stat") - r6(q)) < 1e-9,
+        s"${r.getAs[String]("event_type")}: ${r.getAs[Double]("q_stat")} vs $q")
+      assert(r.getAs[Double]("q_stat") >= 0.0)
+    }
+  }
+
+  test("mase: seasonal-naive holdout accuracy matches a driver replay") {
+    val rows = TimeSeries.maseQ(spark, sfDir).collect()
+    val series = denseCounts("day")
+    assert(rows.length == series.size)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r12(d: Double) = BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    rows.foreach { r =>
+      val xs = series(r.getAs[String]("event_type"))
+      // forecast f(i) = xs(i-7); test = days 24..30 (idx 23..29)
+      val test = (23 until 30).map(i => (xs(i), xs(i - 7)))
+      val train = (7 until 23).map(i => (xs(i), xs(i - 7)))
+      assert(r.getAs[Long]("n_test") == test.length)
+      val maeT = test.map { case (a, f) => math.abs(a - f) }.sum.toDouble / test.length
+      val maeTr = train.map { case (a, f) => math.abs(a - f) }.sum.toDouble / train.length
+      val sm = test.map { case (a, f) =>
+        if (a + f == 0) BigDecimal(0)
+        else r12(2.0 * math.abs(a - f).toDouble / (a + f).toDouble)
+      }.sum.toDouble
+      assert(math.abs(r.getAs[Double]("mae_test") - r6(maeT)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("mase") - r6(maeT / maeTr)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("smape") - r6(100.0 * sm / test.length)) < 1e-9)
+    }
+  }
+
+  test("durbin-watson: OLS residual replay matches; statistic inside (0, 4)") {
+    import spark.implicits._
+    val r = TimeSeries.dwQ(spark, sfDir).collect().head
+    val days = graft.Tables.t(spark, sfDir, "orders")
+      .select(date_trunc("day", $"o_orderdate").as("d")).collect()
+      .map(_.getTimestamp(0).getTime)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy(_._1).map(_._2).toArray
+    val n = days.length
+    assert(r.getAs[Long]("n_days") == n)
+    var st = 0L; var sy = 0L; var stt = 0L; var sty = 0L
+    for (i <- 0 until n) {
+      val t = i + 1L; val y = days(i)
+      st += t; sy += y; stt += t * t; sty += t * y
+    }
+    val slope = (n * sty - st * sy).toDouble / (n * stt - st * st).toDouble
+    val icept = sy.toDouble / n - slope * st.toDouble / n
+    val e = (0 until n).map(i => days(i).toDouble - (icept + slope * (i + 1)))
+    def r10(d: Double) = BigDecimal(d).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val den = e.map(x => r10(x * x)).sum.toDouble
+    val num = (1 until n).map(i => r10((e(i) - e(i - 1)) * (e(i) - e(i - 1)))).sum.toDouble
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("slope") -
+      BigDecimal(slope).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    assert(math.abs(r.getAs[Double]("dw") - r6(num / den)) < 1e-9)
+    assert(r.getAs[Double]("dw") > 0.0 && r.getAs[Double]("dw") < 4.0)
+  }
+
   test("auc: rank-statistic AUC equals a naive pairwise scan; gini identity holds") {
     import spark.implicits._
     val r = Classify.aucQ(spark, sfDir).collect().head

@@ -453,4 +453,50 @@ class RepairSpec extends AnyFunSuite with SparkSpec {
       s"${got.getAs[Double]("var_detrended")} vs ${variance(detr)}")
     assert(math.abs(got.getAs[Double]("var_resid") - variance(resid)) < 1e-4)
   }
+
+  test("hampel: per-row median/MAD replay; planted nonzero spikes all flag; clean rows pass through") {
+    import spark.implicits._
+    val rows = Repair.hampelQ(spark, sfDir).collect()
+    assert(rows.length == 150) // 30 days x 5 types, dense
+    // driver replay of the spiked dense series
+    val raw = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", date_trunc("day", $"ts").as("d")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val start = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val day = 86400000L
+    val spikeIdx = Set(9, 21) // 2024-01-10 and 2024-01-22
+    val types = raw.keySet.map(_._1)
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    var flaggedTotal = 0
+    types.foreach { tp =>
+      val xs = (0 until 30).map { i =>
+        val base = raw.getOrElse((tp, start + i * day), 0L)
+        if (spikeIdx(i)) base * 10 else base
+      }
+      (0 until 30).foreach { i =>
+        val win = (math.max(0, i - 3) to math.min(29, i + 3)).map(j => xs(j).toDouble)
+        val m = med(win)
+        val mad = med(win.map(x => math.abs(x - m)))
+        val flagged = math.abs(xs(i) - m) > 3.0 * 1.4826 * mad
+        val got = rows.find(r => r.getAs[String]("event_type") == tp &&
+          r.getAs[java.sql.Timestamp]("d").getTime == start + i * day).get
+        assert(got.getAs[Long]("x") == xs(i))
+        assert(math.abs(got.getAs[Double]("med") - m) < 1e-9)
+        assert(math.abs(got.getAs[Double]("mad") - mad) < 1e-9)
+        assert(got.getAs[Int]("flagged") == (if (flagged) 1 else 0))
+        val expRepaired = if (flagged) m else xs(i).toDouble
+        assert(math.abs(got.getAs[Double]("repaired") - expRepaired) < 1e-9)
+        if (flagged) flaggedTotal += 1
+        // a planted spike an order of magnitude above its window median
+        // must flag whenever the day had any traffic
+        if (spikeIdx(i) && raw.getOrElse((tp, start + i * day), 0L) > 0 &&
+            mad > 0) assert(flagged, s"$tp day $i spike unflagged")
+      }
+    }
+    assert(flaggedTotal >= 2, "at least the planted spikes flag")
+  }
 }
