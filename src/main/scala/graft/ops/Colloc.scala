@@ -681,7 +681,77 @@ object Colloc {
       |FROM sc JOIN occ USING (phrase)
       |ORDER BY sc.score DESC, sc.phrase LIMIT 30""".stripMargin
 
+  /** q_text_dice entry: DICE / JACCARD / OCHIAI association scores for
+    * the top-20 adjacent bigrams by raw count (count floor 5, the
+    * [[pmiQ]] Manning–Schütze guard) — the SET-OVERLAP collocation
+    * family beside PMI's information-theoretic score: Dice =
+    * 2f₁₂/(f₁+f₂), Jaccard = f₁₂/(f₁+f₂−f₁₂), Ochiai = f₁₂/√(f₁f₂).
+    * PMI over-rewards rare pairs; Dice/Jaccard are frequency-robust,
+    * which is why lexicon-induction and phrase-table pruning use them.
+    *
+    * Scale shape: identical to [[pmiQ]] — pair + unigram counts are
+    * map-side-combinable collapses of the token stream (text never
+    * shuffles); the score join is pair-frame × two broadcast
+    * vocabulary frames. Counts exact integers; each score is one IEEE
+    * division rounded 6; ties order (c12 desc, w1, w2). */
+  def diceQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", split(lower($"text"), " ").as("toks"))
+    val uni = toks
+      .select(explode($"toks").as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val pairs = toks
+      .filter(size($"toks") >= 2)
+      .select(explode(expr(
+        "filter(transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(toks[i-1] AS w1, toks[i] AS w2))," +
+          " p -> length(p.w1) > 0 AND length(p.w2) > 0)")).as("p"))
+      .select($"p.w1", $"p.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    pairs.filter($"c12" >= 5)
+      .join(broadcast(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c", "c1")), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c", "c2")), "w2")
+      .select($"w1", $"w2", $"c12".cast("long").as("c12"),
+        $"c1".cast("long").as("c1"), $"c2".cast("long").as("c2"),
+        round(lit(2.0) * $"c12" / ($"c1" + $"c2").cast("double"), 6)
+          .as("dice"),
+        round($"c12".cast("double") /
+          ($"c1" + $"c2" - $"c12").cast("double"), 6).as("jaccard"),
+        round($"c12".cast("double") /
+          sqrt($"c1".cast("double") * $"c2".cast("double")), 6).as("ochiai"))
+      .orderBy($"c12".desc, $"w1", $"w2")
+      .limit(20)
+  }
+
+  val diceSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |uni AS (
+      |  SELECT w, COUNT(*) AS c FROM (
+      |    SELECT unnest(toks) AS w FROM tok) WHERE len(w) > 0 GROUP BY 1),
+      |pr AS (
+      |  SELECT p.w1, p.w2, COUNT(*) AS c12 FROM (
+      |    SELECT unnest(list_transform(range(1, len(toks)),
+      |      i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+      |    FROM tok) WHERE len(p.w1) > 0 AND len(p.w2) > 0 GROUP BY 1, 2)
+      |SELECT pr.w1, pr.w2, CAST(c12 AS BIGINT) AS c12,
+      |  CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+      |  ROUND(2.0 * c12 / CAST(u1.c + u2.c AS DOUBLE), 6) AS dice,
+      |  ROUND(CAST(c12 AS DOUBLE) / CAST(u1.c + u2.c - c12 AS DOUBLE), 6)
+      |    AS jaccard,
+      |  ROUND(CAST(c12 AS DOUBLE)
+      |    / SQRT(CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)), 6) AS ochiai
+      |FROM pr JOIN uni u1 ON pr.w1 = u1.w JOIN uni u2 ON pr.w2 = u2.w
+      |WHERE c12 >= 5
+      |ORDER BY c12 DESC, pr.w1, pr.w2
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_dice" -> diceQ,
     "q_text_rake" -> rakeQ,
     "q_text_textrank" -> textrankQ,
     "q_text_burrows" -> burrowsQ,
@@ -693,6 +763,7 @@ object Colloc {
     "q_text_hapax" -> hapaxQ)
 
   def oracle: Map[String, String] = Map(
+    "q_text_dice" -> diceSql,
     "q_text_rake" -> rakeSql,
     "q_text_textrank" -> textrankSql,
     "q_text_burrows" -> burrowsSql,

@@ -2089,7 +2089,96 @@ object Graph {
        |ORDER BY node""".stripMargin
   }
 
+  /** q_graph_ppr entry: PERSONALIZED PAGERANK from a data-derived seed
+    * (the nation with the largest outgoing trade mass, ties by name) —
+    * prₜ₊₁(v) = 0.15·1{v=seed} + 0.85·Σ contribs, the restart
+    * distribution concentrated on one node instead of uniform. PPR is
+    * the similarity-to-a-vertex primitive under recommendation,
+    * related-entity lookup, and local community detection (Andersen–
+    * Chung–Lang); reported next to [[pagerankQ]] so the global and
+    * personalized views of the same trade graph are comparable.
+    *
+    * Scale shape: identical to [[pagerankQ]] — per round, |edges|
+    * contribution rows shuffle and the rank frame broadcasts; the seed
+    * is a 1-row argmax frame (whitelisted broadcast). Determinism: the
+    * [[pagerankQ]] contract (9-dp re-round each hop, DECIMAL(28,9)
+    * mass merges); the seed argmax is decided on exact integer weight
+    * with a name tiebreak. */
+  def pprQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
+    val outw = edges.groupBy($"src").agg(sum($"w").as("outw"))
+    val seed = outw
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"outw".desc, $"src")))
+      .filter($"rk" === 1).select($"src".as("seed"))
+    val nodes = t(s, dir, "nation").select($"n_name".as("node"))
+      .crossJoin(broadcast(seed))
+    var pr = nodes.withColumn("pr",
+      when($"node" === $"seed", lit(1.0)).otherwise(lit(0.0)))
+    for (_ <- 1 to iterations) {
+      val contribs = edges
+        .join(broadcast(outw), "src")
+        .join(broadcast(pr.select($"node".as("src"), $"pr")), "src")
+        .select($"dst",
+          round($"pr" * $"w".cast("double") / $"outw".cast("double"), 9)
+            .cast("decimal(28,9)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("mass"))
+      pr = nodes
+        .join(contribs, $"node" === $"dst", "left")
+        .select($"node", $"seed",
+          round(when($"node" === $"seed", lit(0.15)).otherwise(lit(0.0)) +
+            lit(0.85) * coalesce($"mass", lit(0)).cast("double"), 9)
+            .as("pr"))
+    }
+    pr.select($"node".as("nation"),
+        $"pr".cast("double").as("ppr"),
+        ($"node" === $"seed").cast("int").as("is_seed"))
+      .orderBy($"ppr".desc, $"nation")
+  }
+
+  val pprSql: String = {
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT n.node, n.seed,
+         |    ROUND(CASE WHEN n.node = n.seed THEN 0.15 ELSE 0.0 END
+         |      + 0.85 * CAST(COALESCE(m.mass, 0) AS DOUBLE), 9) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst,
+         |      SUM(CAST(ROUND(p.pr * CAST(e.w AS DOUBLE)
+         |        / CAST(o.outw AS DOUBLE), 9) AS DECIMAL(28,9))) AS mass
+         |    FROM edges e JOIN outw o ON e.src = o.src
+         |      JOIN $prev p ON p.node = e.src
+         |    GROUP BY e.dst) m ON n.node = m.dst)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |  GROUP BY 1, 2),
+       |outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY 1),
+       |seed AS (
+       |  SELECT src AS seed FROM outw ORDER BY outw DESC, src LIMIT 1),
+       |nodes AS (SELECT n_name AS node, seed FROM nation CROSS JOIN seed),
+       |pr0 AS (
+       |  SELECT node, seed,
+       |    CASE WHEN node = seed THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS pr
+       |  FROM nodes),
+       |${iter("pr0", "pr1")},
+       |${iter("pr1", "pr2")},
+       |${iter("pr2", "pr3")}
+       |SELECT node AS nation, CAST(pr AS DOUBLE) AS ppr,
+       |  CAST(node = seed AS INT) AS is_seed
+       |FROM pr3
+       |ORDER BY ppr DESC, nation""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_ppr" -> pprQ,
     "q_graph_lpa" -> lpaQ,
     "q_graph_katz" -> ((s, dir) => katzQ(s, dir)),
     "q_graph_mst" -> mstQ,
@@ -2123,6 +2212,7 @@ object Graph {
     "q_graph_kcore" -> kcoreSql,
     "q_graph_scc" -> sccSql,
     "q_graph_hits" -> hitsSql,
+    "q_graph_ppr" -> pprSql,
     "q_graph_pagerank" -> pagerankSql,
     "q_graph_triangles" -> trianglesSql,
     "q_graph_reciprocity" -> reciprocitySql,

@@ -238,11 +238,92 @@ object Shard {
       |ORDER BY n.node""".stripMargin
   }
 
+  /** q_shard_range_bounds entry: RANGE-PARTITIONER BOUNDARY PLANNING —
+    * exactly what Spark's own RangePartitioner (and any sorted-table /
+    * Z-ordered writer) must do before a 100 TB sort: draw a cheap
+    * deterministic sample, read k−1 quantile boundaries off it, then
+    * audit how evenly the FULL corpus lands in the resulting k ranges.
+    * Sample = orders whose seeded [[Hashing.md5Long60]] lands in 1/16
+    * of hash space (a pure map — no coordination, replayable anywhere);
+    * boundaries = the i·nₛ/8 order statistics of sampled o_totalprice
+    * (i = 1..7, k = 8); the audit assigns every order by counting
+    * boundaries below its price with one higher-order filter over the
+    * broadcast 7-element boundary array (pure map, no explode).
+    * Per-partition row share in basis points answers "did the sample
+    * plan a balanced sort?" — the skew number that decides whether the
+    * shuffle will straggle.
+    *
+    * Scale shape: sample selection is map+filter; the boundary sort
+    * touches only the ~1/16 sample (at 100 TB one samples ~20·k rows
+    * per partition instead — the shape is unchanged); assignment is
+    * one scan with a 7-element array probe; the audit is a combinable
+    * groupBy(pid). Determinism: prices compare as exact DECIMAL(18,2);
+    * order statistics pick concrete rows (rank ties broken by
+    * orderkey); counts are integers, shares integer basis points. */
+  def rangeBoundsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val k = 8
+    val price = $"o_totalprice".cast("decimal(18,2)")
+    val orders = t(s, dir, "orders").select($"o_orderkey", price.as("p"))
+    val sample = orders
+      .filter(Hashing.md5Long60(concat(lit("rb:"),
+        $"o_orderkey".cast("string"))) % 16 === 0)
+    val ns = sample.agg(count(lit(1)).as("ns"))
+    val ranked = sample.crossJoin(broadcast(ns))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"p", $"o_orderkey")))
+    val bounds = ranked
+      .filter((1 until k).map(i =>
+        $"rk" === expr(s"(ns * $i) div $k")).reduce(_ || _))
+      .agg(sort_array(collect_list($"p")).as("bnds"))
+    val assigned = orders.crossJoin(broadcast(bounds))
+      .withColumn("pid", expr("size(filter(bnds, b -> p > b))"))
+    assigned.groupBy($"pid")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"p").as("lo"), max($"p").as("hi"))
+      .withColumn("total", sum($"n_rows").over(Window.partitionBy(lit(0))))
+      .select($"pid".cast("int").as("pid"),
+        $"n_rows".cast("long").as("n_rows"),
+        $"lo".cast("double").as("lo"), $"hi".cast("double").as("hi"),
+        (($"n_rows" * 10000) / $"total").cast("long").as("share_bp"))
+      .orderBy($"pid")
+  }
+
+  val rangeBoundsSql: String =
+    """WITH orders_p AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |sample AS (
+      |  SELECT * FROM orders_p
+      |  WHERE ('0x' || substr(md5('rb:' || CAST(o_orderkey AS VARCHAR)),
+      |    1, 15))::UBIGINT::BIGINT % 16 = 0),
+      |ns AS (SELECT COUNT(*) AS ns FROM sample),
+      |ranked AS (
+      |  SELECT p, ROW_NUMBER() OVER (ORDER BY p, o_orderkey) AS rk, ns
+      |  FROM sample CROSS JOIN ns),
+      |bounds AS (
+      |  SELECT list_sort(list(p)) AS bnds FROM ranked
+      |  WHERE rk IN (ns * 1 // 8, ns * 2 // 8, ns * 3 // 8, ns * 4 // 8,
+      |    ns * 5 // 8, ns * 6 // 8, ns * 7 // 8)),
+      |assigned AS (
+      |  SELECT pid, COUNT(*) AS n_rows, MIN(p) AS lo, MAX(p) AS hi FROM (
+      |    SELECT p, len(list_filter(bnds, b -> p > b)) AS pid
+      |    FROM orders_p CROSS JOIN bounds) GROUP BY 1),
+      |tot AS (SELECT SUM(n_rows) AS total FROM assigned)
+      |SELECT CAST(pid AS INT) AS pid, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,
+      |  CAST(n_rows * 10000 // total AS BIGINT) AS share_bp
+      |FROM assigned CROSS JOIN tot
+      |ORDER BY pid""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shard_rebalance" -> rebalanceQ,
+    "q_shard_range_bounds" -> rangeBoundsQ,
     "q_shard_ring" -> ringQ)
 
   def oracle: Map[String, String] = Map(
     "q_shard_rebalance" -> rebalanceSql,
+    "q_shard_range_bounds" -> rangeBoundsSql,
     "q_shard_ring" -> ringSql)
 }

@@ -4508,7 +4508,170 @@ object Stats {
        |FROM a""".stripMargin
   }
 
+  /** q_stat_dunn entry: DUNN'S POST-HOC TEST (Dunn 1964) — pairwise
+    * rank-based z statistics over the five event types after
+    * [[kruskalQ]]'s omnibus, with the tie correction Σ(t³−t)/(12(N−1))
+    * folded into the variance. Kruskal–Wallis says "some distribution
+    * differs"; Dunn says WHICH pairs, on the same global midranks, no
+    * normality assumed — the nonparametric sibling of [[tukeyHsdQ]].
+    *
+    * Scale shape: the corpus collapses to per-distinct-value
+    * conditional counts (the [[mannWhitneyQ]] rank-collapse idiom,
+    * value-bounded); one cumulative window prices the midranks; one
+    * combinable aggregate yields the per-type rank sums + the exact
+    * integer tie term; the 10 pairs are literal projections of that
+    * 1-row frame. Determinism: rank sums exact in 0.5 units
+    * (DECIMAL(28,1)), tie term exact integer, one IEEE chain per pair
+    * rounded 6. */
+  def dunnQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val types = EvTypes
+    val d = t(s, dir, "events")
+      .groupBy($"value".as("v"))
+      .agg(types.map(tp =>
+        sum(when($"event_type" === tp, 1L).otherwise(0L)).as(s"c_$tp")).head,
+        types.tail.map(tp =>
+          sum(when($"event_type" === tp, 1L).otherwise(0L)).as(s"c_$tp")): _*)
+    val tc = types.map(tp => col(s"c_$tp")).reduce(_ + _)
+    val wCum = Window.partitionBy(lit(0)).orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = d
+      .withColumn("tc", tc)
+      .withColumn("before", coalesce(sum($"tc").over(wCum), lit(0L)))
+      .withColumn("avg_rank",
+        ($"before".cast("decimal(18,1)") +
+          ($"tc" + 1).cast("decimal(18,1)") / 2).cast("decimal(18,1)"))
+    val aggCols: Seq[Column] =
+      Seq(sum($"tc").as("n_all"),
+        sum($"tc" * $"tc" * $"tc" - $"tc").as("ties")) ++
+      types.flatMap(tp => Seq(
+        sum(col(s"c_$tp")).as(s"n_$tp"),
+        sum((col(s"c_$tp").cast("decimal(18,1)") * $"avg_rank")
+          .cast("decimal(28,1)")).as(s"r_$tp")))
+    val agg = ranked.agg(aggCols.head, aggCols.tail: _*)
+    val pairs = for {
+      i <- types.indices; j <- types.indices if i < j
+    } yield (types(i), types(j))
+    val pairFrames = pairs.map { case (a, b) =>
+      val ma = col(s"r_$a").cast("double") / col(s"n_$a")
+      val mb = col(s"r_$b").cast("double") / col(s"n_$b")
+      val n = $"n_all".cast("double")
+      val varPair = (n * (n + 1) / 12.0 -
+        $"ties".cast("double") / (lit(12.0) * (n - 1))) *
+        (lit(1.0) / col(s"n_$a") + lit(1.0) / col(s"n_$b"))
+      agg.select(
+        lit(a).as("type_a"), lit(b).as("type_b"),
+        col(s"n_$a").cast("long").as("n_a"),
+        col(s"n_$b").cast("long").as("n_b"),
+        round(ma, 6).as("mean_rank_a"),
+        round(mb, 6).as("mean_rank_b"),
+        round((ma - mb) / sqrt(varPair), 6).as("z"))
+    }
+    pairFrames.reduce(_ unionAll _)
+  }
+
+  val dunnSql: String = {
+    val types = EvTypes
+    val cs = types.map(tp =>
+      s"SUM(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS c_$tp")
+    val tc = types.map(tp => s"c_$tp").mkString(" + ")
+    val sums = types.flatMap(tp => Seq(
+      s"SUM(c_$tp) AS n_$tp",
+      s"SUM(CAST(CAST(c_$tp AS DECIMAL(18,1)) * avg_rank AS DECIMAL(28,1))) AS r_$tp"))
+    val pairs = for {
+      i <- types.indices; j <- types.indices if i < j
+    } yield (types(i), types(j))
+    val selects = pairs.map { case (a, b) =>
+      val ma = s"CAST(r_$a AS DOUBLE) / n_$a"
+      val mb = s"CAST(r_$b AS DOUBLE) / n_$b"
+      val vp = s"(CAST(n_all AS DOUBLE) * (n_all + 1) / 12.0" +
+        s" - CAST(ties AS DOUBLE) / (12.0 * (CAST(n_all AS DOUBLE) - 1)))" +
+        s" * (1.0 / n_$a + 1.0 / n_$b)"
+      s"""SELECT '$a' AS type_a, '$b' AS type_b,
+         |  CAST(n_$a AS BIGINT) AS n_a, CAST(n_$b AS BIGINT) AS n_b,
+         |  ROUND($ma, 6) AS mean_rank_a,
+         |  ROUND($mb, 6) AS mean_rank_b,
+         |  ROUND(($ma - $mb) / SQRT($vp), 6) AS z
+         |FROM agg""".stripMargin
+    }
+    s"""WITH d AS (
+       |  SELECT value AS v, ${cs.mkString(",\n    ")}
+       |  FROM events GROUP BY 1),
+       |r AS (
+       |  SELECT *, $tc AS tc,
+       |    CAST(COALESCE(SUM($tc) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS DECIMAL(18,1))
+       |    + CAST(($tc) + 1 AS DECIMAL(18,1)) / 2 AS avg_rank
+       |  FROM d),
+       |agg AS (
+       |  SELECT SUM(tc) AS n_all,
+       |    SUM(tc * tc * tc - tc) AS ties,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM r)
+       |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** q_sample_systematic entry: HASH-ORDERED SYSTEMATIC SAMPLING — rank
+    * every order by its seeded [[Hashing.md5Long60]] key and keep rank
+    * ≡ 1 (mod 20), i.e. every 20th row of a pseudorandom permutation.
+    * Systematic sampling gives exact 1-in-k rate control (Bernoulli
+    * only hits k in expectation) with one pass and zero coordination —
+    * the audit-sample design regulators ask for. The per-priority
+    * rollup reports sample vs population mean order value side by
+    * side: a stratified unbiasedness check the replayable hash order
+    * makes exactly reproducible anywhere.
+    *
+    * Scale shape: the projection is (key, hash, price) — narrow; the
+    * global rank is ONE range-partitioned sort of that narrow frame
+    * (the same machinery any total-order operator pays; at 100 TB one
+    * ranks within hash ranges and offsets by per-range counts — shape
+    * unchanged); the rollup is a combinable groupBy. Determinism:
+    * ranks are exact (hash ties broken by key), money sums exact
+    * DECIMAL(18,2). */
+  def systematicQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val price = $"o_totalprice".cast("decimal(18,2)")
+    val ranked = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", price.as("p"),
+        Hashing.md5Long60(concat(lit("sys:"),
+          $"o_orderkey".cast("string"))).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"h", $"o_orderkey")))
+    ranked.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_pop"),
+        sum($"p").as("sp"),
+        sum(when($"rk" % 20 === 1, 1L).otherwise(0L)).as("n_samp"),
+        sum(when($"rk" % 20 === 1, $"p")).as("ss"))
+      .select($"o_orderpriority",
+        $"n_pop".cast("long").as("n_pop"),
+        $"n_samp".cast("long").as("n_samp"),
+        round($"sp".cast("double") / $"n_pop", 6).as("mean_pop"),
+        round($"ss".cast("double") / $"n_samp", 6).as("mean_samp"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val systematicSql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+      |    ROW_NUMBER() OVER (ORDER BY
+      |      ('0x' || substr(md5('sys:' || CAST(o_orderkey AS VARCHAR)),
+      |        1, 15))::UBIGINT::BIGINT, o_orderkey) AS rk
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pop,
+      |  CAST(SUM(CASE WHEN rk % 20 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_samp,
+      |  ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS mean_pop,
+      |  ROUND(CAST(SUM(CASE WHEN rk % 20 = 1 THEN p END) AS DOUBLE)
+      |    / SUM(CASE WHEN rk % 20 = 1 THEN 1 ELSE 0 END), 6) AS mean_samp
+      |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_dunn" -> dunnQ,
+    "q_sample_systematic" -> systematicQ,
     "q_stat_effect_size" -> effectSizeQ,
     "q_stat_tukey_hsd" -> tukeyHsdQ,
     "q_stat_bartlett" -> bartlettQ,
@@ -4563,6 +4726,8 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_dunn" -> dunnSql,
+    "q_sample_systematic" -> systematicSql,
     "q_stat_effect_size" -> effectSizeSql,
     "q_stat_tukey_hsd" -> tukeyHsdSql,
     "q_stat_bartlett" -> bartlettSql,

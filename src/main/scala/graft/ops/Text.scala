@@ -2180,7 +2180,62 @@ object Text {
       |    THEN ROUND((n / ff + n / fb) / 2.0, 6) END AS mtld
       |FROM pivoted ORDER BY doc_id LIMIT 300""".stripMargin
 
+  /** q_text_yule entry: the CLASSICAL LEXICAL-RICHNESS PANEL per source
+    * — Yule's K = 10⁴·(Σ_m m²·V_m − N)/N² (the repeat-rate
+    * characteristic, length-invariant by design), Simpson's D =
+    * Σ_w c_w(c_w−1)/(N(N−1)) (probability two random tokens are the
+    * same type), and Herdan's C = ln V / ln N (log type-token ratio).
+    * Beside [[mtldQ]] and [[heapsQ]] these are the standard
+    * vocabulary-diversity fingerprints a corpus audit reports per
+    * slice — template/boilerplate slices show high K/D, novel slices
+    * low.
+    *
+    * Scale shape: (source, word) counts are one map-side-combinable
+    * groupBy (text never shuffles); the m²·V_m moment collapses the
+    * vocabulary frame per source. Every sum is an exact integer; each
+    * statistic is one IEEE chain rounded 6. */
+  def yuleQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = t(s, dir, "documents")
+      .select($"source", explode(split(lower($"text"), " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    counts.groupBy($"source")
+      .agg(sum($"c").as("n"), count(lit(1)).as("v"),
+        sum($"c" * $"c").as("m2"),
+        sum($"c" * ($"c" - 1)).as("rep"))
+      .select($"source", $"n".cast("long").as("n_tokens"),
+        $"v".cast("long").as("n_types"),
+        round(lit(10000.0) * ($"m2" - $"n").cast("double") /
+          ($"n".cast("double") * $"n".cast("double")), 6).as("yule_k"),
+        round($"rep".cast("double") /
+          ($"n".cast("double") * ($"n" - 1).cast("double")), 6)
+          .as("simpson_d"),
+        round(log($"v".cast("double")) / log($"n".cast("double")), 6)
+          .as("herdan_c"))
+      .orderBy($"source")
+  }
+
+  val yuleSql: String =
+    s"""WITH counts AS (
+      |  SELECT source, w, COUNT(*) AS c FROM (
+      |    SELECT source, unnest($toksSql) AS w FROM documents)
+      |  WHERE len(w) > 0 GROUP BY 1, 2),
+      |a AS (
+      |  SELECT source, SUM(c) AS n, COUNT(*) AS v,
+      |    SUM(c * c) AS m2, SUM(c * (c - 1)) AS rep
+      |  FROM counts GROUP BY 1)
+      |SELECT source, CAST(n AS BIGINT) AS n_tokens,
+      |  CAST(v AS BIGINT) AS n_types,
+      |  ROUND(10000.0 * CAST(m2 - n AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS yule_k,
+      |  ROUND(CAST(rep AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) AS simpson_d,
+      |  ROUND(LN(CAST(v AS DOUBLE)) / LN(CAST(n AS DOUBLE)), 6) AS herdan_c
+      |FROM a ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_yule" -> yuleQ,
     "q_text_mtld" -> mtldQ,
     "q_text_readability" -> readabilityQ,
     "q_text_zipf" -> zipfQ,
@@ -2228,6 +2283,7 @@ object Text {
     "q_langid_confusion" -> confusionSql,
     "q_label_kappa" -> kappaSql,
     "q_label_krippendorff" -> krippendorffSql,
+    "q_text_yule" -> yuleSql,
     "q_text_mtld" -> mtldSql,
     "q_text_stats" -> statsSql,
     "q_text_lang_agg" -> langAggSql,

@@ -98,6 +98,8 @@ object Dev {
           "q_stat_effect_size" -> "two 1-row moment/rank-sum frames",
           "q_stat_dw" -> "1-row OLS-coefficient frame over the calendar-bounded day frame",
           "q_eval_err" -> "1-row (n_docs, avgdl) stats frame (BM25 scoring)",
+          "q_graph_ppr" -> "1-row seed-argmax frame over the 25-node rank iteration",
+          "q_shard_range_bounds" -> "1-row sample-count + 1-row 7-boundary array frames",
           "q_er_blocking_quality" -> "two 1-row count frames",
           "q_ts_reconcile" -> "1-row direct-total forecast frame",
           "q_stat_permutation" -> "1-row observed-statistic frame over the B x days grid",

@@ -1010,6 +1010,102 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dice: association scores match a driver bigram recount; identities hold") {
+    import spark.implicits._
+    val rows = Colloc.diceQ(spark, sfDir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val toks = graft.Tables.t(spark, sfDir, "documents")
+      .select($"text").collect()
+      .map(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // recompute pairs exactly as the query does: adjacent in the raw
+    // split (empty tokens keep positions apart), both sides non-empty
+    val raw = graft.Tables.t(spark, sfDir, "documents")
+      .select($"text").collect().map(_.getString(0).toLowerCase.split(" ", -1))
+    val pairCounts = raw.flatMap(ws => ws.sliding(2).filter(p =>
+        p.length == 2 && p(0).nonEmpty && p(1).nonEmpty)
+      .map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      val c12 = pairCounts((w1, w2)); val c1 = uni(w1); val c2 = uni(w2)
+      assert(r.getAs[Long]("c12") == c12 && r.getAs[Long]("c1") == c1 &&
+        r.getAs[Long]("c2") == c2)
+      assert(math.abs(r.getAs[Double]("dice") -
+        r6(2.0 * c12 / (c1 + c2).toDouble)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("jaccard") -
+        r6(c12.toDouble / (c1 + c2 - c12).toDouble)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("ochiai") -
+        r6(c12.toDouble / math.sqrt(c1.toDouble * c2.toDouble))) < 1e-9)
+      // dice <= 2*jaccard/(1+jaccard) identity: dice = 2j/(1+j) exactly
+      val j = c12.toDouble / (c1 + c2 - c12).toDouble
+      assert(math.abs(2 * j / (1 + j) - 2.0 * c12 / (c1 + c2).toDouble) < 1e-12)
+    }
+    // top-20 really is by count: descending
+    val cs = rows.map(_.getAs[Long]("c12"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("yule: K/D/C match a driver token recount per source") {
+    import spark.implicits._
+    val rows = Text.yuleQ(spark, sfDir).collect()
+    val bySource = graft.Tables.t(spark, sfDir, "documents")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+    assert(rows.map(_.getAs[String]("source")).toSet == bySource.keySet)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val texts = bySource(r.getAs[String]("source")).map(_._2)
+      val counts = texts.flatMap(_.toLowerCase.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.length.toLong).values.toSeq
+      val n = counts.sum; val v = counts.length.toLong
+      assert(r.getAs[Long]("n_tokens") == n && r.getAs[Long]("n_types") == v)
+      val m2 = counts.map(c => c * c).sum
+      val rep = counts.map(c => c * (c - 1)).sum
+      assert(math.abs(r.getAs[Double]("yule_k") -
+        r6(10000.0 * (m2 - n).toDouble / (n.toDouble * n.toDouble))) < 1e-9)
+      assert(math.abs(r.getAs[Double]("simpson_d") -
+        r6(rep.toDouble / (n.toDouble * (n - 1).toDouble))) < 1e-9)
+      assert(math.abs(r.getAs[Double]("herdan_c") -
+        r6(math.log(v.toDouble) / math.log(n.toDouble))) < 1e-9)
+      assert(r.getAs[Double]("herdan_c") < 1.0, "V < N always")
+    }
+  }
+
+  test("range bounds: boundaries are sample order statistics; partitions cover all rows; shares roughly balanced") {
+    import spark.implicits._
+    val rows = Shard.rangeBoundsQ(spark, sfDir).collect()
+    assert(rows.length == 8, "all 8 partitions non-empty at sf0.001+")
+    val orders = graft.Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(2)))
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == orders.length)
+    // replay the sample + order statistics
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: String): Long = {
+      val hex = md.digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val sample = orders.filter { case (k, _) => h60(s"rb:$k") % 16 == 0 }
+      .sortBy { case (k, p) => (p, k) }
+    val ns = sample.length
+    val bnds = (1 until 8).map(i => sample(ns * i / 8 - 1)._2)
+    // per-row assignment replay
+    val pids = orders.map { case (_, p) => bnds.count(b => p > b) }
+    val byPid = pids.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == byPid(r.getAs[Int]("pid")))
+    }
+    // sampling-theory promise: each partition within 3x of fair share
+    rows.foreach { r =>
+      val bp = r.getAs[Long]("share_bp")
+      assert(bp > 1250 / 3 && bp < 1250 * 3, s"pid ${r.getAs[Int]("pid")}: $bp bp")
+    }
+  }
+
   test("durbin-watson: OLS residual replay matches; statistic inside (0, 4)") {
     import spark.implicits._
     val r = TimeSeries.dwQ(spark, sfDir).collect().head

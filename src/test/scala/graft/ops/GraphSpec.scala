@@ -51,6 +51,55 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       s"$n: recompute ${pr(n)} vs query ${ranks(n)}"))
   }
 
+  test("ppr: restart mass concentrates on the seed; ranks match a driver recompute") {
+    import spark.implicits._
+    val rows = Graph.pprQ(spark, sfDir).collect()
+    assert(rows.length == 25)
+    val ranks = rows.map(r => r.getAs[String]("nation") ->
+      r.getAs[Double]("ppr")).toMap
+    val seeds = rows.filter(_.getAs[Int]("is_seed") == 1)
+    assert(seeds.length == 1)
+    val seed = seeds.head.getAs[String]("nation")
+    // same edge build as the pagerank spec
+    val cn = graft.Tables.t(spark, sfDir, "customer")
+      .join(graft.Tables.t(spark, sfDir, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey".as("ck"), $"n_name".as("cn"))
+    val sn = graft.Tables.t(spark, sfDir, "supplier")
+      .join(graft.Tables.t(spark, sfDir, "nation"),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey".as("sk"), $"n_name".as("sn"))
+    val edges = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(cn, $"o_custkey" === $"ck").join(sn, $"l_suppkey" === $"sk")
+      .groupBy($"cn", $"sn").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // seed = max outgoing mass, name tiebreak
+    val expSeed = outw.toSeq.sortBy { case (n, w) => (-w, n) }.head._1
+    assert(seed == expSeed)
+    def r9(d: Double): Double =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val nodes = ranks.keySet
+    var pr = nodes.map(n => n -> (if (n == seed) 1.0 else 0.0)).toMap
+    for (_ <- 1 to 3) {
+      val mass = edges.groupBy(_._2).view.mapValues(es =>
+        es.map(e => java.math.BigDecimal.valueOf(
+            r9(pr(e._1) * e._3.toDouble / outw(e._1).toDouble))
+          .setScale(9))
+          .reduce(_.add(_)).doubleValue).toMap
+      pr = nodes.map(n => n -> r9((if (n == seed) 0.15 else 0.0) +
+        0.85 * mass.getOrElse(n, 0.0))).toMap
+    }
+    nodes.foreach(n => assert(math.abs(pr(n) - ranks(n)) < 1e-12,
+      s"$n: recompute ${pr(n)} vs query ${ranks(n)}"))
+    // personalization: the seed keeps strictly more rank than the
+    // uniform restart would give it
+    assert(ranks(seed) >= 0.15 - 1e-12)
+  }
+
   test("pagerank converged: fixpoint is reached and a further step is a no-op") {
     import spark.implicits._
     val fix = Graph.pagerankConverged(spark, sfDir)

@@ -1053,6 +1053,82 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(row.getAs[Double]("q_stat") - r6(q)) < 1e-9)
   }
 
+  test("dunn: pairwise z match a driver global-midrank replay; antisymmetry holds") {
+    import spark.implicits._
+    val rows = Stats.dunnQ(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val n = ev.length
+    // global midranks
+    val byVal = ev.map(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val sortedVals = byVal.keys.toSeq.sorted
+    val rankOf = {
+      var before = 0L
+      sortedVals.map { v =>
+        val t = byVal(v)
+        val mid = before + (t + 1) / 2.0
+        before += t
+        v -> mid
+      }.toMap
+    }
+    val ties = byVal.values.map(t => t.toLong * t * t - t).sum
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val rsum = types.map(tp => tp ->
+      ev.filter(_._1 == tp).map(e => BigDecimal(rankOf(e._2))).sum).toMap
+    val cnt = types.map(tp => tp -> ev.count(_._1 == tp)).toMap
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val (na, nb) = (cnt(a), cnt(b))
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+      val ma = rsum(a).toDouble / na; val mb = rsum(b).toDouble / nb
+      val vp = (n.toDouble * (n + 1) / 12.0 - ties / (12.0 * (n - 1.0))) *
+        (1.0 / na + 1.0 / nb)
+      assert(math.abs(r.getAs[Double]("mean_rank_a") - r6(ma)) < 1e-7)
+      assert(math.abs(r.getAs[Double]("z") - r6((ma - mb) / math.sqrt(vp))) < 1e-5,
+        s"$a/$b: ${r.getAs[Double]("z")} vs ${(ma - mb) / math.sqrt(vp)}")
+    }
+    // mean ranks average to the global mean rank (N+1)/2 weighted by n
+    val wavg = types.map(tp => rsum(tp).toDouble).sum / n
+    assert(math.abs(wavg - (n + 1) / 2.0) < 1e-6)
+  }
+
+  test("systematic: exact 1-in-20 rank rule matches a driver hash-order replay") {
+    import spark.implicits._
+    val rows = Stats.systematicQ(spark, sfDir).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: String): Long = {
+      val hex = md.digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val orders = graft.Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2)))
+    val ranked = orders.sortBy { case (k, _, _) => (h60(s"sys:$k"), k) }
+      .zipWithIndex.map { case ((k, pr, p), i) => (pr, p, (i + 1) % 20 == 1) }
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val pr = r.getAs[String]("o_orderpriority")
+      val pop = ranked.filter(_._1 == pr)
+      val samp = pop.filter(_._3)
+      assert(r.getAs[Long]("n_pop") == pop.length)
+      assert(r.getAs[Long]("n_samp") == samp.length)
+      assert(math.abs(r.getAs[Double]("mean_pop") -
+        r6(pop.map(_._2).sum.toDouble / pop.length)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("mean_samp") -
+        r6(samp.map(_._2).sum.toDouble / samp.length)) < 1e-9)
+      // systematic rate control: sample share within 3x of 1/20 per stratum
+      assert(samp.length > 0 && samp.length < pop.length / 4)
+    }
+    // exact global rate: ceil(n/20)
+    val nTot = orders.length
+    assert(rows.map(_.getAs[Long]("n_samp")).sum == (nTot + 19) / 20)
+  }
+
   test("friedman: tie-corrected statistic matches a driver midrank replay") {
     import spark.implicits._
     val row = Stats.friedmanQ(spark, sfDir).collect().head
