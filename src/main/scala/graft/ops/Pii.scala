@@ -765,7 +765,105 @@ object Pii {
       |    AS entropy_2
       |FROM cls ORDER BY nationkey, band""".stripMargin
 
+  /** q_privacy_dp_quantile entry: DIFFERENTIALLY-PRIVATE MEDIAN of the
+    * order-value distribution via the EXPONENTIAL MECHANISM over
+    * inter-value intervals (Smith 2011; the standard DP quantile) —
+    * candidate = the open interval between consecutive distinct sorted
+    * values, utility u(I) = −|rank(I) − n/2| (how many records the
+    * interval's rank misses the median by), selection probability
+    * ∝ width·exp(ε·u/2), released value = the winning interval's
+    * midpoint. ε = 1. Sampling is the seeded replayable Gumbel-argmax
+    * ([[exponentialQ]] contract): key = ln(width) + (ε/2)·u + Gumbel,
+    * one deterministic argmax.
+    *
+    * Scale shape: distinct-value collapse (combinable) → one
+    * cumulative window over the value-bounded sorted frame → a global
+    * argmax (TakeOrdered-style, no full sort of raw rows). True median
+    * = the exact lower-median order statistic, reported beside the
+    * release so the privacy/accuracy gap is visible. Determinism:
+    * ranks and widths exact (DECIMAL cents), one shared IEEE key
+    * chain, ties broken on value. */
+  def dpQuantileQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val eps = 1.0
+    val vals = t(s, dir, "orders")
+      .groupBy($"o_totalprice".cast("decimal(18,2)").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(lit(0)).orderBy($"v")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iv = vals
+      .withColumn("n", sum($"c").over(Window.partitionBy(lit(0))))
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("vnext", lead($"v", 1).over(w))
+      .filter($"vnext".isNotNull)
+    val u = (Hashing.md5Long60(concat(lit("dpq:"), $"v".cast("string")))
+      % 1000000).cast("double").plus(0.5).divide(1000000.0)
+    val keyed = iv
+      .withColumn("util",
+        -abs($"cum".cast("double") - $"n".cast("double") / 2))
+      .withColumn("key",
+        log(($"vnext" - $"v").cast("double")) +
+          lit(eps / 2.0) * $"util" + -log(-log(u)))
+    val winner = keyed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"key".desc, $"v")))
+      .filter($"rn" === 1)
+    val trueMed = vals
+      .withColumn("n", sum($"c").over(Window.partitionBy(lit(0))))
+      .withColumn("cum", sum($"c").over(wCum))
+      .filter($"cum" >= expr("(n + 1) div 2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"v")))
+      .filter($"rn" === 1)
+      .select($"v".cast("double").as("true_median"),
+        $"n".cast("long").as("n"))
+    winner
+      .select($"v", $"vnext",
+        abs($"cum".cast("double") - $"n".cast("double") / 2)
+          .cast("long").as("rank_miss"))
+      .crossJoin(broadcast(trueMed))
+      .select($"n", $"true_median",
+        round((($"v" + $"vnext") / 2).cast("double"), 6).as("released"),
+        $"rank_miss", lit(eps).as("epsilon"))
+  }
+
+  val dpQuantileSql: String =
+    """WITH vals AS (
+      |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v, COUNT(*) AS c
+      |  FROM orders GROUP BY 1),
+      |iv AS (
+      |  SELECT v, c,
+      |    SUM(c) OVER () AS n,
+      |    SUM(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    lead(v, 1) OVER (ORDER BY v) AS vnext
+      |  FROM vals),
+      |keyed AS (
+      |  SELECT *,
+      |    -ABS(CAST(cum AS DOUBLE) - CAST(n AS DOUBLE) / 2) AS util,
+      |    LN(CAST(vnext - v AS DOUBLE))
+      |      + 0.5 * (-ABS(CAST(cum AS DOUBLE) - CAST(n AS DOUBLE) / 2))
+      |      + -LN(-LN((CAST(('0x' || substr(md5('dpq:' || v::VARCHAR),
+      |          1, 15))::UBIGINT::BIGINT % 1000000 AS DOUBLE) + 0.5)
+      |        / 1000000.0)) AS key
+      |  FROM iv WHERE vnext IS NOT NULL),
+      |winner AS (
+      |  SELECT * FROM keyed ORDER BY key DESC, v LIMIT 1),
+      |tm AS (
+      |  SELECT CAST(v AS DOUBLE) AS true_median, CAST(n AS BIGINT) AS n
+      |  FROM iv
+      |  WHERE cum >= (n + 1) // 2
+      |  ORDER BY v LIMIT 1)
+      |SELECT tm.n, tm.true_median,
+      |  ROUND(CAST((w.v + w.vnext) / 2 AS DOUBLE), 6) AS released,
+      |  CAST(ABS(CAST(w.cum AS DOUBLE) - CAST(w.n AS DOUBLE) / 2) AS BIGINT)
+      |    AS rank_miss,
+      |  CAST(1.0 AS DOUBLE) AS epsilon
+      |FROM winner w CROSS JOIN tm""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_privacy_dp_quantile" -> dpQuantileQ,
     "q_privacy_ldiv" -> ldivQ,
     "q_privacy_exponential" -> exponentialQ,
     "q_privacy_tclose" -> tcloseQ,
@@ -778,6 +876,7 @@ object Pii {
     "q_privacy_dp_mean" -> dpMeanQ)
 
   def oracle: Map[String, String] = Map(
+    "q_privacy_dp_quantile" -> dpQuantileSql,
     "q_privacy_ldiv" -> ldivSql,
     "q_privacy_exponential" -> exponentialSql,
     "q_privacy_tclose" -> tcloseSql,

@@ -572,7 +572,107 @@ object Sketches {
       |    / CAST(theta AS DOUBLE) - exact_inter) / exact_inter, 6) AS err_inter
       |FROM c, ex""".stripMargin
 
+  /** q_join_bloom entry: BLOOM-PREFILTERED SEMI-JOIN AUDIT — THE
+    * 100 TB join trick: before shuffling a huge probe table against a
+    * selective build side, ship a Bloom filter of the build keys to
+    * the probe scan and drop non-members at scan speed (what Spark's
+    * own `spark.sql.optimizer.runtimeFilter.bloomFilter` injects).
+    * Build = BUILDING-segment customers (k=3 seeded md5 hashes into
+    * m=2¹⁷ bits); probe = every order's custkey. The audit reports the
+    * filter's selectivity, the EXACT semi-join truth, the
+    * false-positive count/rate, and the bit fill — the numbers that
+    * decide whether the runtime filter pays for itself (fp rate
+    * ≈ (1−e^(−kn/m))^k; fill ≈ 1−e^(−kn/m)).
+    *
+    * Scale shape: the oracle-checkable dataflow twin — bit indices are
+    * a combinable distinct collapse of the build side (≤ k·|build|
+    * rows); the probe explodes to 3 index rows and hash-joins the
+    * bitset (narrow 8-byte keys), membership = all-3-matched. A
+    * production cluster would broadcast the m/8-byte bitmap into a
+    * native scan predicate instead of the index join — same semantics,
+    * zero probe shuffle; this form is chosen because every bit is
+    * oracle-verifiable. Determinism: [[Hashing.md5Long60]] everywhere;
+    * counts exact integers; rates integer basis points. */
+  def bloomJoinQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = 131072L // 2^17 bits
+    def h(j: Int, c: Column): Column =
+      Hashing.md5Long60(concat(lit(s"bl$j:"), c.cast("string"))) % m
+    val build = t(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val bits = (0 to 2).map(j => build.select(h(j, $"c_custkey").as("idx")))
+      .reduce(_ unionAll _).distinct()
+    val probe = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val probeIdx = probe.select($"o_orderkey",
+      explode(array((0 to 2).map(j => h(j, $"o_custkey")): _*)).as("idx"))
+    val passed = probeIdx.join(bits, "idx")
+      .groupBy($"o_orderkey").agg(count(lit(1)).as("hits"))
+      .filter($"hits" === 3)
+      .select($"o_orderkey")
+    val truth = probe.join(build,
+      probe("o_custkey") === build("c_custkey"), "left_semi")
+      .select($"o_orderkey")
+    val agg = probe.agg(count(lit(1)).as("n_probe"))
+      .crossJoin(passed.agg(count(lit(1)).as("n_pass")))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .crossJoin(passed.join(truth, Seq("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_fp")))
+      .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
+    agg.select(
+      $"n_probe".cast("long").as("n_probe"),
+      $"n_pass".cast("long").as("n_pass"),
+      $"n_true".cast("long").as("n_true"),
+      $"n_fp".cast("long").as("n_fp"),
+      expr("(10000 * n_fp) div (n_probe - n_true)").as("fp_bp"),
+      $"bits_set".cast("long").as("bits_set"),
+      lit(m).as("m_bits"),
+      expr(s"(10000 * bits_set) div $m").as("fill_bp"))
+  }
+
+  val bloomJoinSql: String = {
+    def h(j: Int, c: String): String =
+      s"('0x' || substr(md5('bl$j:' || CAST($c AS VARCHAR)), 1, 15))" +
+        s"::UBIGINT::BIGINT % 131072"
+    s"""WITH build AS (
+       |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+       |bits AS (
+       |  SELECT DISTINCT idx FROM (
+       |    SELECT ${h(0, "c_custkey")} AS idx FROM build
+       |    UNION ALL SELECT ${h(1, "c_custkey")} FROM build
+       |    UNION ALL SELECT ${h(2, "c_custkey")} FROM build)),
+       |probe AS (SELECT o_orderkey, o_custkey FROM orders),
+       |pidx AS (
+       |  SELECT o_orderkey, ${h(0, "o_custkey")} AS idx FROM probe
+       |  UNION ALL SELECT o_orderkey, ${h(1, "o_custkey")} FROM probe
+       |  UNION ALL SELECT o_orderkey, ${h(2, "o_custkey")} FROM probe),
+       |passed AS (
+       |  SELECT o_orderkey FROM pidx JOIN bits USING (idx)
+       |  GROUP BY o_orderkey HAVING COUNT(*) = 3),
+       |truth AS (
+       |  SELECT o_orderkey FROM probe
+       |  WHERE o_custkey IN (SELECT c_custkey FROM build)),
+       |a AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM probe) AS n_probe,
+       |    (SELECT COUNT(*) FROM passed) AS n_pass,
+       |    (SELECT COUNT(*) FROM truth) AS n_true,
+       |    (SELECT COUNT(*) FROM passed
+       |     WHERE o_orderkey NOT IN (SELECT o_orderkey FROM truth)) AS n_fp,
+       |    (SELECT COUNT(*) FROM bits) AS bits_set)
+       |SELECT CAST(n_probe AS BIGINT) AS n_probe,
+       |  CAST(n_pass AS BIGINT) AS n_pass,
+       |  CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(n_fp AS BIGINT) AS n_fp,
+       |  CAST((10000 * n_fp) // (n_probe - n_true) AS BIGINT) AS fp_bp,
+       |  CAST(bits_set AS BIGINT) AS bits_set,
+       |  CAST(131072 AS BIGINT) AS m_bits,
+       |  CAST((10000 * bits_set) // 131072 AS BIGINT) AS fill_bp
+       |FROM a""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bloom" -> bloomJoinQ,
     "q_agg_theta" -> thetaQ,
     "q_agg_hll_merge" -> hllMergeQ,
     "q_hll_overlap" -> hllOverlapQ,
@@ -582,6 +682,7 @@ object Sketches {
     "q_join_size_est" -> joinSizeEstQ)
 
   def oracle: Map[String, String] = Map(
+    "q_join_bloom" -> bloomJoinSql,
     "q_agg_theta" -> thetaSql,
     "q_agg_hll_merge" -> hllMergeSql,
     "q_hll_overlap" -> hllOverlapSql,

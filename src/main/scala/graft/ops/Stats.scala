@@ -4669,7 +4669,82 @@ object Stats {
       |    / SUM(CASE WHEN rk % 20 = 1 THEN 1 ELSE 0 END), 6) AS mean_samp
       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_stat_grubbs entry: GRUBBS' OUTLIER TEST (Grubbs 1950) on the
+    * 25 per-nation mean order values — G = max|xᵢ − x̄|/s with the
+    * suspect identified; the formal "is the extreme group a real
+    * outlier?" answer behind every per-slice anomaly dashboard (the
+    * z-score heuristics in [[Profile]] flag; Grubbs tests, with a
+    * known null distribution on k values).
+    *
+    * Scale shape: one combinable (nation, decimal-sum) collapse of
+    * the order corpus; everything after lives on the 25-row frame.
+    * Determinism: per-nation means are exact-decimal-sum ÷ count
+    * rounded to 6 dp and re-summed as DECIMAL (order-independent);
+    * the argmax is decided on those exact decimals with a name
+    * tiebreak. */
+  def grubbsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val means = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")
+        .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg((round(sum($"o_totalprice".cast("decimal(18,2)"))
+        .cast("double") / count(lit(1)), 6)).cast("decimal(18,6)").as("m"))
+    val wAll = Window.partitionBy(lit(0))
+    val scored = means
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("sm", sum($"m").over(wAll))
+      .withColumn("sm2", sum(($"m".cast("decimal(19,6)") * $"m")
+        .cast("decimal(38,12)")).over(wAll))
+      .withColumn("xbar", $"sm".cast("double") / $"k")
+      .withColumn("sd", sqrt(($"sm2".cast("double") -
+        $"sm".cast("double") * $"sm".cast("double") / $"k") / ($"k" - 1)))
+      .withColumn("dev", abs($"m".cast("double") - $"xbar"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"dev".desc, $"n_name")))
+      .filter($"rn" === 1)
+      .select($"k".cast("long").as("k"),
+        $"n_name".as("outlier_nation"),
+        $"m".cast("double").as("outlier_mean"),
+        round($"xbar", 6).as("grand_mean"),
+        round($"dev" / $"sd", 6).as("g_stat"))
+  }
+
+  val grubbsSql: String =
+    """WITH means AS (
+      |  SELECT n.n_name,
+      |    CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |      AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS m
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1),
+      |sc AS (
+      |  SELECT n_name, m,
+      |    COUNT(*) OVER () AS k,
+      |    SUM(m) OVER () AS sm,
+      |    SUM(CAST(CAST(m AS DECIMAL(19,6)) * m AS DECIMAL(38,12)))
+      |      OVER () AS sm2
+      |  FROM means),
+      |d AS (
+      |  SELECT *,
+      |    CAST(sm AS DOUBLE) / k AS xbar,
+      |    SQRT((CAST(sm2 AS DOUBLE)
+      |      - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / k) / (k - 1)) AS sd,
+      |    ABS(CAST(m AS DOUBLE) - CAST(sm AS DOUBLE) / k) AS dev
+      |  FROM sc)
+      |SELECT CAST(k AS BIGINT) AS k, n_name AS outlier_nation,
+      |  CAST(m AS DOUBLE) AS outlier_mean,
+      |  ROUND(xbar, 6) AS grand_mean,
+      |  ROUND(dev / sd, 6) AS g_stat
+      |FROM d ORDER BY dev DESC, n_name LIMIT 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_grubbs" -> grubbsQ,
     "q_stat_dunn" -> dunnQ,
     "q_sample_systematic" -> systematicQ,
     "q_stat_effect_size" -> effectSizeQ,
@@ -4726,6 +4801,7 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_grubbs" -> grubbsSql,
     "q_stat_dunn" -> dunnSql,
     "q_sample_systematic" -> systematicSql,
     "q_stat_effect_size" -> effectSizeSql,

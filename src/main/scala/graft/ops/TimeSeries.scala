@@ -2077,7 +2077,120 @@ object TimeSeries {
       |    6) AS dw
       |FROM resid GROUP BY n, slope, icept""".stripMargin
 
+  /** q_ts_walsh entry: WALSH–HADAMARD SPECTRAL ENTROPY per event type —
+    * project the first 512 hours of the count series onto Walsh
+    * functions j = 1..63 (walsh_j(t) = (−1)^popcount(j AND t), the
+    * ±1-valued orthogonal basis of sequency analysis; Beauchamp 1975),
+    * take the power spectrum Pⱼ = Wⱼ², and report the normalized
+    * spectral entropy H = −Σ pⱼ ln pⱼ / ln 63 plus the dominant
+    * sequency. The trigonometry-free twin of Fourier spectral entropy:
+    * H → 0 means one rhythm dominates (the daily cycle), H → 1 means
+    * white arrivals — and because every Walsh coefficient is an EXACT
+    * INTEGER sum of ±counts, the spectrum is bit-identical across
+    * engines and partitionings, which no floating DFT can promise.
+    *
+    * Scale shape: one combinable hourly collapse; the projection is a
+    * 63-row broadcast grid joined to the 512-hour frame — grid-sized
+    * work, one combinable integer aggregate per (type, j).
+    * Determinism: Pⱼ exact integers; entropy terms round to 12 dp into
+    * DECIMAL(38,12); final round 6. */
+  def walshQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val hourly = t(s, dir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |  timestamp'2024-01-30 23:00:00', interval 1 hour)) AS hour"""
+        .stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val dense = grid.crossJoin(broadcast(series))
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select($"event_type", $"hour", coalesce($"cnt", lit(0L)).as("x"))
+      .withColumn("tt", (row_number().over(
+        Window.partitionBy($"event_type").orderBy($"hour")) - 1).cast("long"))
+      .filter($"tt" < 512)
+    val js = s.range(1, 64).select($"id".as("j"))
+    val coef = dense.crossJoin(broadcast(js))
+      .select($"event_type", $"j",
+        (when(expr("pmod(bit_count(j & tt), 2)") === 0, $"x")
+          .otherwise(-$"x")).as("term"))
+      .groupBy($"event_type", $"j")
+      .agg(sum($"term").as("wj"))
+      .withColumn("p", $"wj" * $"wj")
+    val tot = coef.groupBy($"event_type")
+      .agg(sum($"p").as("ptot"))
+    val ent = coef.join(broadcast(tot), "event_type")
+      .filter($"ptot" > 0)
+      .withColumn("pn", $"p".cast("double") / $"ptot".cast("double"))
+      .withColumn("term",
+        when($"p" === 0, lit(BigDecimal(0)).cast("decimal(38,12)"))
+          .otherwise(round(-$"pn" * log($"pn"), 12).cast("decimal(38,12)")))
+    val dom = coef
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"p".desc, $"j")))
+      .filter($"rn" === 1)
+      .select($"event_type", $"j".as("dominant_j"),
+        $"p".as("dominant_power"))
+    ent.groupBy($"event_type", $"ptot")
+      .agg(sum($"term").as("h"))
+      .join(dom, "event_type")
+      .select($"event_type",
+        $"ptot".cast("long").as("total_power"),
+        round($"h".cast("double") / math.log(63.0), 6)
+          .as("spectral_entropy"),
+        $"dominant_j".cast("long").as("dominant_j"),
+        $"dominant_power".cast("long").as("dominant_power"))
+      .orderBy($"event_type")
+  }
+
+  val walshSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour),
+      |series AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT event_type, hour, x, tt FROM (
+      |    SELECT series.event_type, grid.hour, COALESCE(hourly.cnt, 0) AS x,
+      |      ROW_NUMBER() OVER (PARTITION BY series.event_type
+      |        ORDER BY grid.hour) - 1 AS tt
+      |    FROM grid CROSS JOIN series
+      |    LEFT JOIN hourly ON hourly.hour = grid.hour
+      |      AND hourly.event_type = series.event_type)
+      |  WHERE tt < 512),
+      |js AS (SELECT unnest(range(1, 64)) AS j),
+      |coef AS (
+      |  SELECT event_type, j,
+      |    SUM(CASE WHEN bit_count(j & tt) % 2 = 0 THEN x ELSE -x END) AS wj
+      |  FROM dense CROSS JOIN js GROUP BY 1, 2),
+      |pw AS (SELECT event_type, j, wj * wj AS p FROM coef),
+      |tot AS (SELECT event_type, SUM(p) AS ptot FROM pw GROUP BY 1),
+      |ent AS (
+      |  SELECT pw.event_type,
+      |    SUM(CASE WHEN p = 0 THEN CAST(0 AS DECIMAL(38,12))
+      |      ELSE CAST(ROUND(-(CAST(p AS DOUBLE) / CAST(ptot AS DOUBLE))
+      |        * LN(CAST(p AS DOUBLE) / CAST(ptot AS DOUBLE)), 12)
+      |        AS DECIMAL(38,12)) END) AS h,
+      |    MAX(ptot) AS ptot
+      |  FROM pw JOIN tot ON tot.event_type = pw.event_type
+      |  WHERE ptot > 0 GROUP BY 1),
+      |dom AS (
+      |  SELECT event_type, j AS dominant_j, p AS dominant_power
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY p DESC, j) AS rn FROM pw) WHERE rn = 1)
+      |SELECT e.event_type, CAST(e.ptot AS BIGINT) AS total_power,
+      |  ROUND(CAST(h AS DOUBLE) / LN(63.0), 6) AS spectral_entropy,
+      |  CAST(dominant_j AS BIGINT) AS dominant_j,
+      |  CAST(dominant_power AS BIGINT) AS dominant_power
+      |FROM ent e JOIN dom ON dom.event_type = e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_walsh" -> walshQ,
     "q_ts_ljungbox" -> ljungBoxQ,
     "q_ts_mase" -> maseQ,
     "q_stat_dw" -> dwQ,
@@ -2105,6 +2218,7 @@ object TimeSeries {
     "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_walsh" -> walshSql,
     "q_ts_ljungbox" -> ljungBoxSql,
     "q_ts_mase" -> maseSql,
     "q_stat_dw" -> dwSql,

@@ -1010,6 +1010,36 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("walsh: integer coefficients match a driver popcount replay; entropy in [0, 1]") {
+    val rows = TimeSeries.walshQ(spark, sfDir).collect()
+    val series = denseCounts("hour")
+    assert(rows.length == series.size)
+    def r12(d: Double) = BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val xs = series(r.getAs[String]("event_type")).take(512)
+      val pw = (1 until 64).map { j =>
+        val wj = xs.zipWithIndex.map { case (x, t) =>
+          if (java.lang.Long.bitCount(j & t) % 2 == 0) x else -x
+        }.sum
+        j -> wj * wj
+      }
+      val ptot = pw.map(_._2).sum
+      assert(r.getAs[Long]("total_power") == ptot)
+      val (dj, dp) = pw.sortBy { case (j, p) => (-p, j) }.head
+      assert(r.getAs[Long]("dominant_j") == dj)
+      assert(r.getAs[Long]("dominant_power") == dp)
+      val h = pw.filter(_._2 > 0).map { case (_, p) =>
+        val pn = p.toDouble / ptot
+        r12(-pn * math.log(pn))
+      }.sum.toDouble / math.log(63.0)
+      assert(math.abs(r.getAs[Double]("spectral_entropy") -
+        r6(h * math.log(63.0) / math.log(63.0))) < 1e-6)
+      val se = r.getAs[Double]("spectral_entropy")
+      assert(se >= 0.0 && se <= 1.0 + 1e-9)
+    }
+  }
+
   test("dice: association scores match a driver bigram recount; identities hold") {
     import spark.implicits._
     val rows = Colloc.diceQ(spark, sfDir).collect()

@@ -305,4 +305,36 @@ class FuzzySketchSpec extends AnyFunSuite with SparkSpec {
       s"union err ${r.getAs[Double]("err_union")} vs 3*RSE ${3 * rse}")
     assert(r.getAs[Long]("s_both") <= r.getAs[Long]("s_union"))
   }
+
+  test("bloom join: membership accounting exact; no false negatives; fp rate near theory") {
+    import spark.implicits._
+    val r = Sketches.bloomJoinQ(spark, sfDir).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: String): Long = {
+      val hex = md.digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val m = 131072L
+    val build = graft.Tables.t(spark, sfDir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey").collect().map(_.getLong(0)).toSet
+    val bits = build.flatMap(k => (0 to 2).map(j => h60(s"bl$j:$k") % m))
+    assert(r.getAs[Long]("bits_set") == bits.size)
+    val probe = graft.Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val pass = probe.count { case (_, ck) =>
+      (0 to 2).forall(j => bits(h60(s"bl$j:$ck") % m)) }
+    val truth = probe.count { case (_, ck) => build(ck) }
+    assert(r.getAs[Long]("n_probe") == probe.length)
+    assert(r.getAs[Long]("n_pass") == pass)
+    assert(r.getAs[Long]("n_true") == truth)
+    assert(r.getAs[Long]("n_fp") == pass - truth, "bloom never false-negatives")
+    // theory: fp ~ fill^k; allow a wide band (small-n variance)
+    val fill = bits.size.toDouble / m
+    val theo = math.pow(fill, 3)
+    val obs = (pass - truth).toDouble / (probe.length - truth)
+    assert(obs < theo * 4 + 0.01, s"observed fp $obs vs theory $theo")
+  }
 }

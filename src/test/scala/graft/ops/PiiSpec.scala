@@ -162,4 +162,47 @@ class PiiSpec extends AnyFunSuite with SparkSpec {
       assert(h <= math.log(counts.size.toDouble) + 1e-9, s"$key bound")
     }
   }
+
+  test("dp quantile: winner matches a driver Gumbel-argmax replay; release near the true median") {
+    import spark.implicits._
+    val r = Pii.dpQuantileQ(spark, sfDir).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: String): Long = {
+      val hex = md.digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val vals = graft.Tables.t(spark, sfDir, "orders")
+      .select($"o_totalprice").collect()
+      .map(x => BigDecimal(x.getDouble(0)).setScale(2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy(_._1)
+    val n = vals.map(_._2).sum
+    assert(r.getAs[Long]("n") == n)
+    // true lower median
+    var cum = 0L
+    val tm = vals.find { case (_, c) => cum += c; cum >= (n + 1) / 2 }.get._1
+    assert(r.getAs[Double]("true_median") == tm.toDouble)
+    // interval argmax replay
+    var best = Double.NegativeInfinity; var bestMid = 0.0; var bestMiss = 0L
+    cum = 0L
+    vals.zip(vals.tail).foreach { case ((v, c), (vn, _)) =>
+      cum += c
+      val u = ((h60(s"dpq:$v") % 1000000L).toDouble + 0.5) / 1000000.0
+      val util = -math.abs(cum.toDouble - n.toDouble / 2)
+      val key = math.log((vn - v).toDouble) + 0.5 * util + -math.log(-math.log(u))
+      if (key > best) {
+        best = key
+        bestMid = ((v + vn) / 2).toDouble
+        bestMiss = math.abs(cum.toDouble - n.toDouble / 2).toLong
+      }
+    }
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("released") == r6(bestMid),
+      s"released ${r.getAs[Double]("released")} vs replay $bestMid")
+    assert(r.getAs[Long]("rank_miss") == bestMiss)
+    // utility promise at eps=1, n~thousands: release lands well inside
+    // the distribution (rank miss a small fraction of n)
+    assert(bestMiss < n / 4, s"rank miss $bestMiss of $n")
+  }
 }

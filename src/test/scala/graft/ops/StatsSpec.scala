@@ -1053,6 +1053,40 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(row.getAs[Double]("q_stat") - r6(q)) < 1e-9)
   }
 
+  test("grubbs: argmax and statistic match a driver per-nation replay") {
+    import spark.implicits._
+    val r = Stats.grubbsQ(spark, sfDir).collect().head
+    val cn = graft.Tables.t(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_nationkey").collect()
+      .map(x => (x.getAs[Number](0).longValue, x.getAs[Number](1).longValue))
+      .toMap
+    val nn = graft.Tables.t(spark, sfDir, "nation")
+      .select($"n_nationkey", $"n_name").collect()
+      .map(x => (x.getAs[Number](0).longValue, x.getString(1))).toMap
+    val byNation = graft.Tables.t(spark, sfDir, "orders")
+      .select($"o_custkey", $"o_totalprice").collect()
+      .map(x => (nn(cn(x.getAs[Number](0).longValue)), BigDecimal(x.getDouble(1)).setScale(2)))
+      .groupBy(_._1).view.mapValues { vs =>
+        BigDecimal(vs.map(_._2).sum.toDouble / vs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.toMap
+    val k = byNation.size
+    assert(r.getAs[Long]("k") == k)
+    val sm = byNation.values.sum
+    val sm2 = byNation.values.map(m => m * m).sum
+    val xbar = sm.toDouble / k
+    val sd = math.sqrt((sm2.toDouble - sm.toDouble * sm.toDouble / k) / (k - 1))
+    val (outNation, outMean) = byNation.toSeq
+      .sortBy { case (nm, m) => (-math.abs(m.toDouble - xbar), nm) }.head
+    assert(r.getAs[String]("outlier_nation") == outNation)
+    assert(r.getAs[Double]("outlier_mean") == outMean.toDouble)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("g_stat") -
+      r6(math.abs(outMean.toDouble - xbar) / sd)) < 1e-9)
+    // Grubbs bound: G <= (k-1)/sqrt(k) always
+    assert(r.getAs[Double]("g_stat") <= (k - 1) / math.sqrt(k.toDouble) + 1e-9)
+  }
+
   test("dunn: pairwise z match a driver global-midrank replay; antisymmetry holds") {
     import spark.implicits._
     val rows = Stats.dunnQ(spark, sfDir).collect()
