@@ -1040,7 +1040,65 @@ object Classify {
     "q_eval_calibration" -> calibrationQ,
     "q_eval_brier" -> brierQ,
     "q_eval_avgprec" -> avgprecQ,
-    "q_eval_f1" -> f1Q)
+    "q_eval_f1" -> f1Q,
+    "q_eval_mcc" -> mccQ)
+
+  /** q_eval_mcc entry: MATTHEWS CORRELATION COEFFICIENT + balanced
+    * accuracy + Youden's J for the same scored binary task as
+    * [[f1Q]] — MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)),
+    * the single-number confusion-matrix summary that stays honest
+    * under class imbalance (F1 ignores TN entirely; a majority-class
+    * guesser can score high F1 but MCC ≈ 0). The go-to headline metric
+    * when the positive class is rare — which in data-quality gates it
+    * always is.
+    *
+    * Scale shape: identical to [[f1Q]] — one combinable confusion
+    * aggregate over the scored frame; all four cells exact integers;
+    * the products run in DOUBLE (cells can exceed 2³¹ at corpus scale,
+    * and √ forces IEEE anyway), one shared chain rounded 6. */
+  def mccQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    scored(s, dir)
+      .withColumn("pred", ($"score" > 0d).cast("long"))
+      .agg(
+        sum(when($"y" === 1 && $"pred" === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when($"y" === 0 && $"pred" === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when($"y" === 0 && $"pred" === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when($"y" === 1 && $"pred" === 0, 1L).otherwise(0L)).as("fn"))
+      .select($"tp".cast("long").as("tp"), $"tn".cast("long").as("tn"),
+        $"fp".cast("long").as("fp"), $"fn".cast("long").as("fn"),
+        round(($"tp".cast("double") * $"tn".cast("double") -
+          $"fp".cast("double") * $"fn".cast("double")) /
+          sqrt(($"tp" + $"fp").cast("double") *
+            ($"tp" + $"fn").cast("double") *
+            ($"tn" + $"fp").cast("double") *
+            ($"tn" + $"fn").cast("double")), 6).as("mcc"),
+        round(($"tp".cast("double") / ($"tp" + $"fn") +
+          $"tn".cast("double") / ($"tn" + $"fp")) / 2, 6)
+          .as("balanced_acc"),
+        round($"tp".cast("double") / ($"tp" + $"fn") +
+          $"tn".cast("double") / ($"tn" + $"fp") - 1.0, 6).as("youden_j"))
+  }
+
+  val mccSql: String =
+    s"""WITH $scoredSql,
+      |c AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN y = 1 AND score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN y = 0 AND score <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+      |    CAST(SUM(CASE WHEN y = 0 AND score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN y = 1 AND score <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      |  FROM scored)
+      |SELECT tp, tn, fp, fn,
+      |  ROUND((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+      |    - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+      |    / SQRT(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+      |      * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6) AS mcc,
+      |  ROUND((CAST(tp AS DOUBLE) / (tp + fn)
+      |    + CAST(tn AS DOUBLE) / (tn + fp)) / 2, 6) AS balanced_acc,
+      |  ROUND(CAST(tp AS DOUBLE) / (tp + fn)
+      |    + CAST(tn AS DOUBLE) / (tn + fp) - 1.0, 6) AS youden_j
+      |FROM c""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q_eval_bleu" -> bleuSql,
@@ -1053,5 +1111,6 @@ object Classify {
     "q_eval_calibration" -> calibrationSql,
     "q_eval_brier" -> brierSql,
     "q_eval_avgprec" -> avgprecSql,
-    "q_eval_f1" -> f1Sql)
+    "q_eval_f1" -> f1Sql,
+    "q_eval_mcc" -> mccSql)
 }

@@ -1151,7 +1151,110 @@ object Dedup {
       |FROM chunked c LEFT JOIN boiler b ON c.chunk = b.chunk
       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
+  /** q_dedup_url entry: URL-CANONICALIZATION DEDUP — the stage-zero of
+    * every web-corpus pipeline (before any text is fetched, the crawl
+    * frontier dedups on canonical URLs): lowercase scheme+host, strip
+    * the default :80 port, strip the trailing slash, drop the
+    * fragment, drop utm_* tracking params, and SORT the surviving
+    * query params (param order is not identity). The corpus carries no
+    * URLs, so deterministic variants are planted in-query from
+    * (doc_id, source) — four spellings per canonical target (case,
+    * port, slash, param order/tracking) — and the operator must
+    * collapse them; reported per canonical URL: raw-form count and doc
+    * count for the top 20 groups.
+    *
+    * Scale shape: canonicalization is a PURE MAP of string/array
+    * expressions (split → filter → array_sort → join — all codegen'd,
+    * no UDF); the collapse is one combinable groupBy on the canonical
+    * string. Exactly the exact-dedup shape, keyed by canonical form. */
+  def urlDedupQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = t(s, dir, "documents").select($"doc_id", $"source",
+      concat(
+        when($"doc_id" % 4 === 1, "HTTP://").otherwise("http://"),
+        when($"doc_id" % 4 === 2, upper($"source")).otherwise($"source"),
+        lit(".example.com"),
+        when($"doc_id" % 4 === 1, ":80").otherwise(""),
+        lit("/p/"), ($"doc_id" % 50).cast("string"),
+        when($"doc_id" % 4 === 3, "/").otherwise(""),
+        when($"doc_id" % 4 === 0, "?id=7&utm_source=feed")
+          .when($"doc_id" % 4 === 2, "?utm_campaign=x&id=7")
+          .otherwise("?id=7"),
+        when($"doc_id" % 4 === 3, "#frag").otherwise(""))
+        .as("url"))
+    val noFrag = split($"url", "#").getItem(0)
+    val scheme = lower(split(noFrag, "://").getItem(0))
+    val rest = split(noFrag, "://").getItem(1)
+    val hostPath = split(rest, "\\?").getItem(0)
+    val query = split(rest, "\\?").getItem(1)
+    val host = lower(regexp_replace(split(hostPath, "/").getItem(0),
+      ":80$", ""))
+    val path = regexp_replace(
+      regexp_replace(hostPath, "^[^/]*", ""), "/$", "")
+    val params = expr(
+      """array_join(array_sort(filter(split(coalesce(query, ''), '&'),
+        |  p -> p != '' AND NOT p LIKE 'utm_%')), '&')""".stripMargin
+        .replace("\n", " "))
+    val canon = raw
+      .withColumn("query", query)
+      .withColumn("canonical",
+        concat(scheme, lit("://"), host, path,
+          when(params === "", "").otherwise(concat(lit("?"), params))))
+    canon.groupBy($"canonical")
+      .agg(countDistinct($"url").as("n_raw_forms"),
+        count(lit(1)).as("n_docs"))
+      .select($"canonical", $"n_raw_forms".cast("long").as("n_raw_forms"),
+        $"n_docs".cast("long").as("n_docs"))
+      .orderBy($"n_docs".desc, $"canonical")
+      .limit(20)
+  }
+
+  val urlDedupSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id, source,
+      |    (CASE WHEN doc_id % 4 = 1 THEN 'HTTP://' ELSE 'http://' END)
+      |    || (CASE WHEN doc_id % 4 = 2 THEN upper(source) ELSE source END)
+      |    || '.example.com'
+      |    || (CASE WHEN doc_id % 4 = 1 THEN ':80' ELSE '' END)
+      |    || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 4 = 3 THEN '/' ELSE '' END)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN '?id=7&utm_source=feed'
+      |        WHEN doc_id % 4 = 2 THEN '?utm_campaign=x&id=7'
+      |        ELSE '?id=7' END)
+      |    || (CASE WHEN doc_id % 4 = 3 THEN '#frag' ELSE '' END) AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT url,
+      |    lower(string_split(string_split(url, '#')[1], '://')[1]) AS scheme,
+      |    string_split(string_split(url, '#')[1], '://')[2] AS rest
+      |  FROM raw),
+      |hp AS (
+      |  SELECT url, scheme,
+      |    string_split(rest, '?')[1] AS host_path,
+      |    CASE WHEN len(string_split(rest, '?')) > 1
+      |      THEN string_split(rest, '?')[2] END AS query
+      |  FROM parts),
+      |canon AS (
+      |  SELECT url,
+      |    scheme || '://'
+      |    || lower(regexp_replace(string_split(host_path, '/')[1], ':80$', ''))
+      |    || regexp_replace(regexp_replace(host_path, '^[^/]*', ''), '/$', '')
+      |    || (CASE WHEN array_to_string(list_sort(list_filter(
+      |          string_split(COALESCE(query, ''), '&'),
+      |          p -> p <> '' AND NOT p LIKE 'utm_%')), '&') = ''
+      |        THEN ''
+      |        ELSE '?' || array_to_string(list_sort(list_filter(
+      |          string_split(COALESCE(query, ''), '&'),
+      |          p -> p <> '' AND NOT p LIKE 'utm_%')), '&') END) AS canonical
+      |  FROM hp)
+      |SELECT canonical,
+      |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM canon GROUP BY 1
+      |ORDER BY n_docs DESC, canonical LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_url" -> urlDedupQ,
     "q_dedup_paragraph" -> paragraphQ,
     "q_dedup_exact" -> exact,
     "q_dedup_yield" -> yieldQ,
@@ -1171,6 +1274,7 @@ object Dedup {
     "q_dedup_prefix" -> prefixJaccardQ)
 
   def oracle: Map[String, String] = Map(
+    "q_dedup_url" -> urlDedupSql,
     "q_dedup_paragraph" -> paragraphSql,
     "q_dedup_exact" -> exactSql,
     "q_dedup_yield" -> yieldSql,

@@ -2177,7 +2177,98 @@ object Graph {
        |ORDER BY ppr DESC, nation""".stripMargin
   }
 
+  /** q_graph_richclub entry: RICH-CLUB COEFFICIENT φ(k) (Zhou &
+    * Mondragón 2004) over the p75-strong UNDIRECTED trade graph — for
+    * each degree threshold k, the edge density among the N_k nodes of
+    * degree > k: φ(k) = 2E_k / (N_k(N_k−1)). Rising φ(k) means hubs
+    * preferentially interconnect (a "rich club") — the structural
+    * question behind supply-chain concentration and failure-cascade
+    * risk that degree distributions alone cannot answer. The strong
+    * graph ([[neighborSimQ]]'s exact p75 threshold) makes density
+    * informative on an otherwise near-complete trade graph.
+    *
+    * Scale shape: everything after the shared [[tradeEdges]] build is
+    * node-bounded — undirected edge list ≤ \|V\|², degree frame \|V\|
+    * rows, and the k-grid join is \|V\|·k_max cells. Determinism: all
+    * counts exact integers; φ in integer basis points. */
+  def richClubQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
+    val wAll = Window.partitionBy(lit(0))
+    val thr = edges
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"w", $"src", $"dst")))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter($"rn" === expr("(75 * n + 99) div 100"))
+      .select($"w".as("thr"))
+    // undirected simple edges: unordered strong pairs, self-loops out
+    val und = edges.join(broadcast(thr), $"w" >= $"thr")
+      .filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct()
+    val deg = und.select($"u".as("node")).unionAll(und.select($"v"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val ks = s.range(1, 13).select($"id".as("k"))
+    val nk = ks.join(deg, $"deg" > $"k")
+      .groupBy($"k").agg(count(lit(1)).as("n_k"))
+    val ek = und
+      .join(deg.select($"node".as("u"), $"deg".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
+      .crossJoin(broadcast(ks.select($"k".as("ke"))))
+      .filter($"du" > $"ke" && $"dv" > $"ke")
+      .groupBy($"ke".as("k")).agg(count(lit(1)).as("e_k"))
+    nk.join(ek, Seq("k"), "left")
+      .withColumn("e_k", coalesce($"e_k", lit(0L)))
+      .filter($"n_k" >= 2)
+      .select($"k".cast("long").as("k"),
+        $"n_k".cast("long").as("n_k"), $"e_k".cast("long").as("e_k"),
+        expr("(10000 * 2 * e_k) div (n_k * (n_k - 1))").as("phi_bp"))
+      .orderBy($"k")
+  }
+
+  val richClubSql: String =
+    """WITH edges AS (
+      |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  GROUP BY 1, 2),
+      |thr AS (
+      |  SELECT w AS thr FROM (
+      |    SELECT w, ROW_NUMBER() OVER (ORDER BY w, src, dst) AS rn,
+      |      COUNT(*) OVER () AS n
+      |    FROM edges) WHERE rn = (75 * n + 99) // 100),
+      |und AS (
+      |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      |  FROM edges, thr WHERE w >= thr AND src <> dst),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      |  GROUP BY 1),
+      |ks AS (SELECT unnest(range(1, 13)) AS k),
+      |nk AS (
+      |  SELECT k, COUNT(*) AS n_k FROM ks JOIN deg ON deg > k GROUP BY 1),
+      |ek AS (
+      |  SELECT ks.k, COUNT(*) AS e_k
+      |  FROM und
+      |  JOIN deg du ON du.node = und.u
+      |  JOIN deg dv ON dv.node = und.v
+      |  CROSS JOIN ks
+      |  WHERE du.deg > ks.k AND dv.deg > ks.k
+      |  GROUP BY 1)
+      |SELECT CAST(nk.k AS BIGINT) AS k, CAST(n_k AS BIGINT) AS n_k,
+      |  CAST(COALESCE(e_k, 0) AS BIGINT) AS e_k,
+      |  CAST((10000 * 2 * COALESCE(e_k, 0)) // (n_k * (n_k - 1)) AS BIGINT)
+      |    AS phi_bp
+      |FROM nk LEFT JOIN ek ON ek.k = nk.k
+      |WHERE n_k >= 2 ORDER BY nk.k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_richclub" -> richClubQ,
     "q_graph_ppr" -> pprQ,
     "q_graph_lpa" -> lpaQ,
     "q_graph_katz" -> ((s, dir) => katzQ(s, dir)),
@@ -2212,6 +2303,7 @@ object Graph {
     "q_graph_kcore" -> kcoreSql,
     "q_graph_scc" -> sccSql,
     "q_graph_hits" -> hitsSql,
+    "q_graph_richclub" -> richClubSql,
     "q_graph_ppr" -> pprSql,
     "q_graph_pagerank" -> pagerankSql,
     "q_graph_triangles" -> trianglesSql,

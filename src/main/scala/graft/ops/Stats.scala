@@ -4743,7 +4743,69 @@ object Stats {
       |  ROUND(dev / sd, 6) AS g_stat
       |FROM d ORDER BY dev DESC, n_name LIMIT 1""".stripMargin
 
+  /** q_stat_ks_uniform entry: one-sample KOLMOGOROV–SMIRNOV uniformity
+    * test of the seeded hash contract itself — D = max over the sorted
+    * md5Long60-derived uniforms of max(i/n − u₍ᵢ₎, u₍ᵢ₎ − (i−1)/n),
+    * with the asymptotic √n·D statistic and the 1%-level gate
+    * (√n·D < 1.628). Every seeded sampler, splitter, and DP mechanism
+    * in this library leans on "md5Long60 reduced to [0,1) behaves
+    * uniform"; this operator TESTS that assumption on the live key
+    * population instead of assuming it — the self-audit a
+    * reproducible-sampling stack should ship with.
+    *
+    * Scale shape: a narrow (hash) projection and ONE range-partitioned
+    * sort (rank window); the D terms reduce by a global max. At 100 TB
+    * one tests a fixed-size hash sample — shape unchanged.
+    * Determinism: u is an exact dyadic rational of the integer hash;
+    * ranks exact; D is a max over shared IEEE chains — no sum, no
+    * order dependence at all. */
+  def ksUniformQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val two60 = lit(1152921504606846976L).cast("double")
+    val u = (Hashing.md5Long60(concat(lit("ksu:"),
+      $"o_orderkey".cast("string"))) + 1L).cast("double") / two60
+    val ranked = t(s, dir, "orders")
+      .select($"o_orderkey", u.as("u"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"u", $"o_orderkey")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(0))))
+      .withColumn("d", greatest(
+        $"i".cast("double") / $"n" - $"u",
+        $"u" - ($"i" - 1).cast("double") / $"n"))
+    ranked.groupBy($"n")
+      .agg(max($"d").as("d_stat"))
+      .select($"n".cast("long").as("n"),
+        round($"d_stat", 6).as("d_stat"),
+        round(sqrt($"n".cast("double")) * $"d_stat", 6).as("sqrt_n_d"),
+        (sqrt($"n".cast("double")) * $"d_stat" < 1.628).cast("int")
+          .as("uniform_at_1pct"))
+  }
+
+  val ksUniformSql: String =
+    """WITH keyed AS (
+      |  SELECT o_orderkey,
+      |    CAST(('0x' || substr(md5('ksu:' || CAST(o_orderkey AS VARCHAR)),
+      |      1, 15))::UBIGINT::BIGINT + 1 AS DOUBLE)
+      |      / CAST(1152921504606846976 AS DOUBLE) AS u
+      |  FROM orders),
+      |ranked AS (
+      |  SELECT u,
+      |    ROW_NUMBER() OVER (ORDER BY u, o_orderkey) AS i,
+      |    COUNT(*) OVER () AS n
+      |  FROM keyed),
+      |d AS (
+      |  SELECT n, MAX(GREATEST(CAST(i AS DOUBLE) / n - u,
+      |    u - CAST(i - 1 AS DOUBLE) / n)) AS d_stat
+      |  FROM ranked GROUP BY n)
+      |SELECT CAST(n AS BIGINT) AS n, ROUND(d_stat, 6) AS d_stat,
+      |  ROUND(SQRT(CAST(n AS DOUBLE)) * d_stat, 6) AS sqrt_n_d,
+      |  CAST(SQRT(CAST(n AS DOUBLE)) * d_stat < 1.628 AS INT)
+      |    AS uniform_at_1pct
+      |FROM d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_ks_uniform" -> ksUniformQ,
     "q_stat_grubbs" -> grubbsQ,
     "q_stat_dunn" -> dunnQ,
     "q_sample_systematic" -> systematicQ,
@@ -4801,6 +4863,7 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_ks_uniform" -> ksUniformSql,
     "q_stat_grubbs" -> grubbsSql,
     "q_stat_dunn" -> dunnSql,
     "q_sample_systematic" -> systematicSql,

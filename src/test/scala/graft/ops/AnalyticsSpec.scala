@@ -1010,6 +1010,57 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mcc: confusion cells exact vs f1's; mcc/balanced-acc/youden identities hold") {
+    val r = Classify.mccQ(spark, sfDir).collect().head
+    val (tp, tn, fp, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("tn"),
+      r.getAs[Long]("fp"), r.getAs[Long]("fn"))
+    // cells must agree with the f1 query's confusion accounting
+    val f1 = Classify.f1Q(spark, sfDir).collect()
+    val pos = f1.find(_.getAs[Long]("cls") == 1L).get
+    val neg = f1.find(_.getAs[Long]("cls") == 0L).get
+    assert(tp == pos.getAs[Long]("tp"))
+    assert(tn == neg.getAs[Long]("tp"))
+    assert(tp + fn == pos.getAs[Long]("n_true"))
+    assert(tn + fp == neg.getAs[Long]("n_true"))
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mcc = (tp.toDouble * tn - fp.toDouble * fn) /
+      math.sqrt((tp + fp).toDouble * (tp + fn) * (tn + fp) * (tn + fn))
+    val sens = tp.toDouble / (tp + fn); val spec = tn.toDouble / (tn + fp)
+    assert(math.abs(r.getAs[Double]("mcc") - r6(mcc)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("balanced_acc") - r6((sens + spec) / 2)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("youden_j") - r6(sens + spec - 1.0)) < 1e-9)
+    // J = 2*BA - 1 identity; both bounded
+    assert(math.abs(r.getAs[Double]("youden_j") -
+      (2 * r.getAs[Double]("balanced_acc") - 1.0)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("mcc")) <= 1.0)
+  }
+
+  test("url dedup: canonical groups collapse all four planted spellings; total docs conserved") {
+    import spark.implicits._
+    val rows = Dedup.urlDedupQ(spark, sfDir).collect()
+    assert(rows.length == 20)
+    // replay canonicalization in the driver
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"source").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    def canonical(docId: Long, source: String): String = {
+      // the plant always canonicalizes to http://<source>.example.com/p/<id%50>?id=7
+      s"http://$source.example.com/p/${docId % 50}?id=7"
+    }
+    val groups = docs.groupBy { case (id, src) => canonical(id, src) }
+      .view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val c = r.getAs[String]("canonical")
+      assert(groups.contains(c), s"unexpected canonical $c")
+      assert(r.getAs[Long]("n_docs") == groups(c))
+      // 4 spellings exist whenever the group has docs in all 4 residues
+      assert(r.getAs[Long]("n_raw_forms") <= 4)
+    }
+    // top-20 ordering by doc count desc
+    val ns = rows.map(_.getAs[Long]("n_docs"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
   test("walsh: integer coefficients match a driver popcount replay; entropy in [0, 1]") {
     val rows = TimeSeries.walshQ(spark, sfDir).collect()
     val series = denseCounts("hour")

@@ -51,6 +51,46 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       s"$n: recompute ${pr(n)} vs query ${ranks(n)}"))
   }
 
+  test("richclub: phi matches an in-memory recount of the strong graph; monotone N_k") {
+    val rows = Graph.richClubQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // strong undirected graph replay via the registered neighbor-sim path:
+    // rebuild edges + p75 threshold in memory
+    import spark.implicits._
+    val cn = graft.Tables.t(spark, sfDir, "customer")
+      .join(graft.Tables.t(spark, sfDir, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey".as("ck"), $"n_name".as("cn"))
+    val sn = graft.Tables.t(spark, sfDir, "supplier")
+      .join(graft.Tables.t(spark, sfDir, "nation"),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey".as("sk"), $"n_name".as("sn"))
+    val edges = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(cn, $"o_custkey" === $"ck").join(sn, $"l_suppkey" === $"sk")
+      .groupBy($"cn", $"sn").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val sorted = edges.sortBy { case (s0, d0, w) => (w, s0, d0) }
+    val thr = sorted((75 * edges.length + 99) / 100 - 1)._3
+    val und = edges.filter(e => e._3 >= thr && e._1 != e._2)
+      .map(e => if (e._1 < e._2) (e._1, e._2) else (e._2, e._1)).distinct
+    val deg = und.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val nk = deg.values.count(_ > k)
+      val ek = und.count(e => deg(e._1) > k && deg(e._2) > k)
+      assert(r.getAs[Long]("n_k") == nk, s"k=$k n_k")
+      assert(r.getAs[Long]("e_k") == ek, s"k=$k e_k")
+      assert(r.getAs[Long]("phi_bp") == 10000L * 2 * ek / (nk.toLong * (nk - 1)))
+      assert(r.getAs[Long]("phi_bp") <= 10000L)
+    }
+    // N_k non-increasing in k
+    val nks = rows.sortBy(_.getAs[Long]("k")).map(_.getAs[Long]("n_k"))
+    assert(nks.zip(nks.tail).forall { case (a, b) => a >= b })
+  }
+
   test("ppr: restart mass concentrates on the seed; ranks match a driver recompute") {
     import spark.implicits._
     val rows = Graph.pprQ(spark, sfDir).collect()

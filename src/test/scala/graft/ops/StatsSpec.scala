@@ -1053,6 +1053,33 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(row.getAs[Double]("q_stat") - r6(q)) < 1e-9)
   }
 
+  test("ks uniform: D matches a driver sorted-ECDF replay; the hash contract passes its own gate") {
+    import spark.implicits._
+    val r = Stats.ksUniformQ(spark, sfDir).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: String): Long = {
+      val hex = md.digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val us = graft.Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey").collect().map(_.getLong(0))
+      .map(k => (k, (h60(s"ksu:$k") + 1L).toDouble / 1152921504606846976L.toDouble))
+      .sortBy { case (k, u) => (u, k) }.map(_._2)
+    val n = us.length
+    assert(r.getAs[Long]("n") == n)
+    val d = us.zipWithIndex.map { case (u, i0) =>
+      val i = i0 + 1
+      math.max(i.toDouble / n - u, u - (i - 1).toDouble / n)
+    }.max
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("d_stat") - r6(d)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("sqrt_n_d") - r6(math.sqrt(n.toDouble) * d)) < 1e-9)
+    // the library-wide assumption: the seeded hash IS uniform
+    assert(r.getAs[Int]("uniform_at_1pct") == 1,
+      s"md5Long60 uniforms failed KS at 1%: sqrt(n)*D = ${r.getAs[Double]("sqrt_n_d")}")
+  }
+
   test("grubbs: argmax and statistic match a driver per-nation replay") {
     import spark.implicits._
     val r = Stats.grubbsQ(spark, sfDir).collect().head
