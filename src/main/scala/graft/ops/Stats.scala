@@ -4804,7 +4804,167 @@ object Stats {
       |    AS uniform_at_1pct
       |FROM d""".stripMargin
 
+  /** q_stat_page_trend entry: PAGE'S L TEST for ordered alternatives
+    * (Page 1963) — blocks = users with activity in ALL four January
+    * weeks, ordered treatments = weeks 1..4 (cell = the user's weekly
+    * mean `value`), midranked within user; L = Σⱼ j·Rⱼ, standardized
+    * against E[L] = bk(k+1)²/4 and Var[L] = bk²(k+1)(k²−1)/144.
+    * Friedman asks "do the weeks differ?"; Page asks the sharper
+    * "do they TREND in week order?" — the drift-direction test a
+    * cohort dashboard wants.
+    *
+    * Scale shape: the [[friedmanQ]] shape — per-(user, week)
+    * combinable collapse, user-partitioned rank windows over
+    * 4-bounded frames, pinned-week conditional DECIMAL rank sums, one
+    * final 1-row IEEE chain. */
+  def pageTrendQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val k = 4
+    val cell = t(s, dir, "events")
+      .filter($"ts" < lit("2024-01-29").cast("timestamp"))
+      .groupBy($"user_id",
+        (floor(datediff($"ts", lit("2024-01-01").cast("timestamp")) / 7) + 1)
+          .cast("int").as("wk"))
+      .agg((sum($"value".cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("cell"))
+    val complete = cell
+      .withColumn("n_wk", count(lit(1)).over(Window.partitionBy($"user_id")))
+      .filter($"n_wk" === k)
+    val wOrd = Window.partitionBy($"user_id").orderBy($"cell")
+    val wTie = Window.partitionBy($"user_id", $"cell")
+    val ranked = complete
+      .withColumn("rk", rank().over(wOrd))
+      .withColumn("tie_n", count(lit(1)).over(wTie))
+      .withColumn("midrank",
+        (($"rk" * 2 + $"tie_n" - 1).cast("decimal(18,1)") / 2)
+          .cast("decimal(18,1)"))
+    val agg = ranked.agg(
+      countDistinct($"user_id").as("b"),
+      sum(($"wk".cast("decimal(18,1)") * $"midrank").cast("decimal(28,1)"))
+        .as("l"))
+    agg.select(
+      $"b".cast("long").as("b"), lit(k.toLong).as("k"),
+      round($"l".cast("double"), 1).as("l_stat"),
+      round(($"l".cast("double") -
+        $"b".cast("double") * k * (k + 1) * (k + 1) / 4) /
+        sqrt($"b".cast("double") * k * k * (k + 1) * (k * k - 1) / 144.0), 6)
+        .as("z"))
+  }
+
+  val pageTrendSql: String = {
+    val k = 4
+    s"""WITH cell AS (
+       |  SELECT user_id,
+       |    CAST(FLOOR(datediff('day', TIMESTAMP '2024-01-01', ts) / 7) + 1
+       |      AS INT) AS wk,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+       |      AS cell
+       |  FROM events WHERE ts < TIMESTAMP '2024-01-29' GROUP BY 1, 2),
+       |complete AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS n_wk
+       |    FROM cell) WHERE n_wk = $k),
+       |ranked AS (
+       |  SELECT user_id, wk,
+       |    CAST((RANK() OVER (PARTITION BY user_id ORDER BY cell) * 2
+       |      + COUNT(*) OVER (PARTITION BY user_id, cell) - 1)
+       |      AS DECIMAL(18,1)) / 2 AS midrank
+       |  FROM complete),
+       |a AS (
+       |  SELECT COUNT(DISTINCT user_id) AS b,
+       |    SUM(CAST(CAST(wk AS DECIMAL(18,1)) * midrank AS DECIMAL(28,1)))
+       |      AS l
+       |  FROM ranked)
+       |SELECT CAST(b AS BIGINT) AS b, CAST($k AS BIGINT) AS k,
+       |  ROUND(CAST(l AS DOUBLE), 1) AS l_stat,
+       |  ROUND((CAST(l AS DOUBLE)
+       |    - CAST(b AS DOUBLE) * $k * ${k + 1} * ${k + 1} / 4)
+       |    / SQRT(CAST(b AS DOUBLE) * $k * $k * ${k + 1} * ${k * k - 1}
+       |      / 144.0), 6) AS z
+       |FROM a""".stripMargin
+  }
+
+  /** q_stat_lin_ccc entry: LIN'S CONCORDANCE CORRELATION COEFFICIENT
+    * (Lin 1989) between the two per-user measurement channels of
+    * [[blandAltmanQ]] (mean click vs mean view value) — CCC =
+    * 2s_xy / (s²_x + s²_y + (x̄−ȳ)²), i.e. Pearson r × a bias-
+    * correction factor C_b: agreement = precision × accuracy. The
+    * single-number companion to Bland–Altman's limits: r can be 1
+    * while the channels disagree by a constant; CCC cannot.
+    *
+    * Scale shape: the Bland–Altman frame — per-(user, channel) mean
+    * collapse, one 1-row cross-moment aggregate. Determinism: channel
+    * means from exact decimal sums; cross-moments 12-dp DECIMAL
+    * sums; one final IEEE chain rounded 6. */
+  def linCccQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = t(s, dir, "events")
+      .filter($"event_type".isin("click", "view"))
+      .groupBy($"user_id", $"event_type")
+      .agg((sum($"value".cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("m"))
+    val x = per.filter($"event_type" === "click")
+      .select($"user_id", $"m".as("x"))
+    val y = per.filter($"event_type" === "view")
+      .select($"user_id", $"m".as("y"))
+    val r12c = (c: Column) => round(c, 12).cast("decimal(38,12)")
+    x.join(y, "user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(r12c($"x")).as("sx"), sum(r12c($"y")).as("sy"),
+        sum(r12c($"x" * $"x")).as("sxx"),
+        sum(r12c($"y" * $"y")).as("syy"),
+        sum(r12c($"x" * $"y")).as("sxy"))
+      .select($"n".cast("long").as("n_users"),
+        round((lit(2.0) * ($"sxy".cast("double") / $"n" -
+          ($"sx".cast("double") / $"n") * ($"sy".cast("double") / $"n"))) /
+          (($"sxx".cast("double") / $"n" -
+            ($"sx".cast("double") / $"n") * ($"sx".cast("double") / $"n")) +
+           ($"syy".cast("double") / $"n" -
+            ($"sy".cast("double") / $"n") * ($"sy".cast("double") / $"n")) +
+           (($"sx".cast("double") / $"n" - $"sy".cast("double") / $"n") *
+            ($"sx".cast("double") / $"n" - $"sy".cast("double") / $"n"))),
+          6).as("ccc"),
+        round(($"sxy".cast("double") / $"n" -
+          ($"sx".cast("double") / $"n") * ($"sy".cast("double") / $"n")) /
+          sqrt(($"sxx".cast("double") / $"n" -
+            ($"sx".cast("double") / $"n") * ($"sx".cast("double") / $"n")) *
+            ($"syy".cast("double") / $"n" -
+              ($"sy".cast("double") / $"n") * ($"sy".cast("double") / $"n"))),
+          6).as("pearson_r"))
+  }
+
+  val linCccSql: String =
+    """WITH per AS (
+      |  SELECT user_id, event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+      |xy AS (
+      |  SELECT a.user_id, a.m AS x, b.m AS y
+      |  FROM (SELECT user_id, m FROM per WHERE event_type = 'click') a
+      |  JOIN (SELECT user_id, m FROM per WHERE event_type = 'view') b
+      |    USING (user_id)),
+      |agg AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ROUND(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      |  FROM xy)
+      |SELECT CAST(n AS BIGINT) AS n_users,
+      |  ROUND((2.0 * (sxy / n - (sx / n) * (sy / n)))
+      |    / ((sxx / n - (sx / n) * (sx / n))
+      |      + (syy / n - (sy / n) * (sy / n))
+      |      + ((sx / n - sy / n) * (sx / n - sy / n))), 6) AS ccc,
+      |  ROUND((sxy / n - (sx / n) * (sy / n))
+      |    / SQRT((sxx / n - (sx / n) * (sx / n))
+      |      * (syy / n - (sy / n) * (sy / n))), 6) AS pearson_r
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_page_trend" -> pageTrendQ,
+    "q_stat_lin_ccc" -> linCccQ,
     "q_stat_ks_uniform" -> ksUniformQ,
     "q_stat_grubbs" -> grubbsQ,
     "q_stat_dunn" -> dunnQ,
@@ -4863,6 +5023,8 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_page_trend" -> pageTrendSql,
+    "q_stat_lin_ccc" -> linCccSql,
     "q_stat_ks_uniform" -> ksUniformSql,
     "q_stat_grubbs" -> grubbsSql,
     "q_stat_dunn" -> dunnSql,

@@ -1053,6 +1053,72 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(row.getAs[Double]("q_stat") - r6(q)) < 1e-9)
   }
 
+  test("page trend: L matches a driver weekly-midrank replay") {
+    import spark.implicits._
+    val r = Stats.pageTrendQ(spark, sfDir).collect().head
+    val k = 4
+    val start = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val cells = graft.Tables.t(spark, sfDir, "events")
+      .filter($"ts" < lit("2024-01-29").cast("timestamp"))
+      .select($"user_id", $"ts", $"value").collect()
+      .map { x =>
+        val days = (x.getTimestamp(1).getTime - start) / 86400000L
+        ((x.getLong(0), (days / 7 + 1).toInt),
+          BigDecimal(x.getDouble(2)).setScale(2))
+      }
+      .groupBy(_._1).view.mapValues(vs =>
+        vs.map(_._2).sum.toDouble / vs.length).toMap
+    val users = cells.keySet.map(_._1)
+      .filter(u => (1 to k).forall(w => cells.contains((u, w)))).toSeq
+    assert(r.getAs[Long]("b") == users.length)
+    var l = BigDecimal(0)
+    users.foreach { u =>
+      val vs = (1 to k).map(w => w -> cells((u, w)))
+      vs.foreach { case (w, v) =>
+        val less = vs.count(_._2 < v); val eq = vs.count(_._2 == v)
+        l += w * (BigDecimal(2 * (less + 1) + eq - 1) / 2)
+      }
+    }
+    val b = users.length
+    assert(r.getAs[Double]("l_stat") == l.toDouble)
+    val z = (l.toDouble - b.toDouble * k * (k + 1) * (k + 1) / 4) /
+      math.sqrt(b.toDouble * k * k * (k + 1) * (k * k - 1) / 144.0)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("z") - r6(z)) < 1e-9)
+  }
+
+  test("lin ccc: agreement matches a driver replay; |ccc| <= |r| (accuracy shrinks)") {
+    import spark.implicits._
+    val r = Stats.linCccQ(spark, sfDir).collect().head
+    val per = graft.Tables.t(spark, sfDir, "events")
+      .filter($"event_type".isin("click", "view")).collect()
+      .map(x => ((x.getAs[Long]("user_id"), x.getAs[String]("event_type")),
+        BigDecimal(x.getAs[Double]("value")).setScale(2)))
+      .groupBy(_._1).view.mapValues(vs =>
+        vs.map(_._2).sum.toDouble / vs.length).toMap
+    val users = per.keySet.map(_._1)
+      .filter(u => per.contains((u, "click")) && per.contains((u, "view")))
+      .toSeq.sorted
+    val n = users.length
+    assert(r.getAs[Long]("n_users") == n)
+    def r12(d: Double) = BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val xs = users.map(u => per((u, "click")))
+    val ys = users.map(u => per((u, "view")))
+    val sx = xs.map(r12).sum.toDouble; val sy = ys.map(r12).sum.toDouble
+    val sxx = xs.map(x => r12(x * x)).sum.toDouble
+    val syy = ys.map(y => r12(y * y)).sum.toDouble
+    val sxy = xs.zip(ys).map { case (x, y) => r12(x * y) }.sum.toDouble
+    val (mx, my) = (sx / n, sy / n)
+    val (vx, vy, cxy) = (sxx / n - mx * mx, syy / n - my * my, sxy / n - mx * my)
+    val ccc = 2.0 * cxy / (vx + vy + (mx - my) * (mx - my))
+    val pr = cxy / math.sqrt(vx * vy)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("ccc") - r6(ccc)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("pearson_r") - r6(pr)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ccc")) <=
+      math.abs(r.getAs[Double]("pearson_r")) + 1e-9)
+  }
+
   test("ks uniform: D matches a driver sorted-ECDF replay; the hash contract passes its own gate") {
     import spark.implicits._
     val r = Stats.ksUniformQ(spark, sfDir).collect().head
