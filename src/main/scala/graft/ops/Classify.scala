@@ -922,6 +922,11 @@ object Classify {
           |     transform(sequence(1, length(c) - n + 1),
           |       i -> struct(n AS n, substring(c, i, n) AS g)),
           |     array())))""".stripMargin)).as("e"))
+      // Key choice measured both ways (r12): raw <=6-char string keys win
+      // at sf0.1 (30.0s vs 36.8s — md5's hex pipeline dominates per-row
+      // cost) but LOSE at sf1 (75.8s vs 65.8s — shuffle/agg hashing of
+      // string keys dominates once volume grows). The 8-byte md5 key is
+      // the 100 TB-right choice, so it stays; decade ratio 1.8x.
       .select($"doc_id", $"e.n".as("n"), Hashing.md5Long60($"e.g").as("g"))
       .groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("cnt"))
     val pairs = ch
