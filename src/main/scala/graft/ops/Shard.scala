@@ -317,13 +317,112 @@ object Shard {
       |FROM assigned CROSS JOIN tot
       |ORDER BY pid""".stripMargin
 
+  /** q_shard_zcurve entry: Z-ORDER (Morton) LAYOUT AUDIT — the
+    * multi-dimensional clustering question behind every Z-ordered /
+    * Hilbert-ordered table write: interleave the bits of two query
+    * dimensions (price bucket × order-date bucket, 8 bits each) into a
+    * 16-bit Morton key, group rows into 256-key file-sized "blocks"
+    * (z >> 8), and audit a fixed 2-D range query: how many blocks
+    * actually CONTAIN matching rows (what a perfect skip index reads)
+    * vs the contiguous z-span a naive min/max-z scan would read, vs
+    * the blocks a 1-D price-only sort would touch. The read-
+    * amplification numbers that decide whether Z-ordering the table
+    * pays — the data-layout decision 100 TB tables live or die by.
+    *
+    * Scale shape: the Morton key is a pure map (16 unrolled shift/mask
+    * integer terms — codegen'd, no UDF); every audit number is a
+    * combinable aggregate over (block) collapses. Determinism: all
+    * integers end to end. */
+  def zcurveQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // 8-bit buckets: price 0..199 (2.5k steps), date 0..240 (10-day steps
+    // from the fixture's 1995-01-01 epoch)
+    val x = least(lit(255L), floor($"o_totalprice".cast("decimal(18,2)") /
+      lit(2500)).cast("long")).as("x")
+    val y = least(lit(255L), expr(
+      "datediff(o_orderdate, timestamp'1995-01-01') div 10")).as("y")
+    val interleave = (0 until 8).map { j =>
+      s"(shiftleft(shiftright(x, $j) & 1, ${2 * j}) + " +
+        s"shiftleft(shiftright(y, $j) & 1, ${2 * j + 1}))"
+    }.mkString(" + ")
+    val keyed = t(s, dir, "orders")
+      .select(x, y)
+      .withColumn("z", expr(interleave))
+      .withColumn("zblock", expr("z div 256"))
+      .withColumn("xblock", expr("x div 2")) // 1-D sort: 128 blocks of 2 buckets
+      .withColumn("hit",
+        ($"x" >= 64 && $"x" < 128 && $"y" >= 32 && $"y" < 96).cast("long"))
+    val agg = keyed.agg(
+      count(lit(1)).as("n_rows"), sum($"hit").as("n_match"),
+      countDistinct(when($"hit" === 1, $"zblock")).as("z_blocks_hit"),
+      countDistinct($"zblock").as("z_blocks_total"),
+      (max(when($"hit" === 1, $"zblock")) -
+        min(when($"hit" === 1, $"zblock")) + 1).as("z_span"),
+      countDistinct(when($"hit" === 1, $"xblock")).as("x_blocks_hit"),
+      countDistinct($"xblock").as("x_blocks_total"))
+    agg.select(
+      $"n_rows".cast("long").as("n_rows"),
+      $"n_match".cast("long").as("n_match"),
+      $"z_blocks_hit".cast("long").as("z_blocks_hit"),
+      $"z_blocks_total".cast("long").as("z_blocks_total"),
+      $"z_span".cast("long").as("z_span"),
+      $"x_blocks_hit".cast("long").as("x_blocks_hit"),
+      $"x_blocks_total".cast("long").as("x_blocks_total"),
+      expr("(10000 * z_blocks_hit) div z_blocks_total").as("z_read_bp"),
+      expr("(10000 * x_blocks_hit) div x_blocks_total").as("x_read_bp"))
+  }
+
+  val zcurveSql: String = {
+    val interleave = (0 until 8).map { j =>
+      s"((((x >> $j) & 1) << ${2 * j}) + (((y >> $j) & 1) << ${2 * j + 1}))"
+    }.mkString(" + ")
+    s"""WITH keyed AS (
+       |  SELECT x, y, ($interleave) AS z FROM (
+       |    SELECT
+       |      LEAST(255, CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))
+       |        / 2500) AS BIGINT)) AS x,
+       |      LEAST(255, datediff('day', TIMESTAMP '1995-01-01',
+       |        o_orderdate) // 10) AS y
+       |    FROM orders)),
+       |marked AS (
+       |  SELECT z // 256 AS zblock, x // 2 AS xblock,
+       |    CASE WHEN x >= 64 AND x < 128 AND y >= 32 AND y < 96
+       |      THEN 1 ELSE 0 END AS hit
+       |  FROM keyed),
+       |a AS (
+       |  SELECT COUNT(*) AS n_rows, SUM(hit) AS n_match,
+       |    COUNT(DISTINCT CASE WHEN hit = 1 THEN zblock END)
+       |      AS z_blocks_hit,
+       |    COUNT(DISTINCT zblock) AS z_blocks_total,
+       |    MAX(CASE WHEN hit = 1 THEN zblock END)
+       |      - MIN(CASE WHEN hit = 1 THEN zblock END) + 1 AS z_span,
+       |    COUNT(DISTINCT CASE WHEN hit = 1 THEN xblock END)
+       |      AS x_blocks_hit,
+       |    COUNT(DISTINCT xblock) AS x_blocks_total
+       |  FROM marked)
+       |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST(n_match AS BIGINT) AS n_match,
+       |  CAST(z_blocks_hit AS BIGINT) AS z_blocks_hit,
+       |  CAST(z_blocks_total AS BIGINT) AS z_blocks_total,
+       |  CAST(z_span AS BIGINT) AS z_span,
+       |  CAST(x_blocks_hit AS BIGINT) AS x_blocks_hit,
+       |  CAST(x_blocks_total AS BIGINT) AS x_blocks_total,
+       |  CAST((10000 * z_blocks_hit) // z_blocks_total AS BIGINT)
+       |    AS z_read_bp,
+       |  CAST((10000 * x_blocks_hit) // x_blocks_total AS BIGINT)
+       |    AS x_read_bp
+       |FROM a""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shard_rebalance" -> rebalanceQ,
     "q_shard_range_bounds" -> rangeBoundsQ,
+    "q_shard_zcurve" -> zcurveQ,
     "q_shard_ring" -> ringQ)
 
   def oracle: Map[String, String] = Map(
     "q_shard_rebalance" -> rebalanceSql,
     "q_shard_range_bounds" -> rangeBoundsSql,
+    "q_shard_zcurve" -> zcurveSql,
     "q_shard_ring" -> ringSql)
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables.t
 
 /** Skew mitigation: salted two-stage aggregation. A single hot key
   * turns `groupBy(key)` into one straggler task; salting splits each
@@ -102,7 +103,67 @@ object Skew {
   /** q_agg_salted: the salted two-stage aggregate, driver-checked
     * against the plain GROUP BY oracle — the decomposition must be
     * EXACT (decimal partials), not just statistically close. */
+  /** q_join_salted entry: SKEW-SAFE SALTED JOIN — the JOIN-side
+    * counterpart of [[saltedCountSum]] for when AQE's runtime skew
+    * split is unavailable (stream-static joins, non-AQE engines, or a
+    * key so hot one task still OOMs): construct a hot key in-query
+    * (~70% of lineitems collapse onto class 0), then join the fact to
+    * a 64-row dim by REPLICATING the dim 16× with a salt column while
+    * each fact row picks one deterministic salt — the hot key's rows
+    * spread over 16 (key, salt) partitions instead of one straggler.
+    * Join RESULTS are identical to the unsalted join by construction;
+    * the oracle computes the plain join, so the driver gate proves the
+    * salted plan's semantics, and the spec asserts the hot key's salt
+    * partitions are balanced.
+    *
+    * Scale shape: fact side = pure map (key-class + salt columns);
+    * dim×16 is still tiny and broadcast-eligible — at true scale the
+    * dim may be too big to broadcast, and this (key, salt) shuffle
+    * join is exactly the shape that survives; rollup is a combinable
+    * groupBy. Determinism: classes/salts are integer hash arithmetic;
+    * money sums exact DECIMAL. */
+  def saltedJoinQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val salt = 16
+    val fact = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity",
+        when($"l_orderkey" % 10 < 7, 0L)
+          .otherwise($"l_orderkey" % 64).as("k"),
+        (Hashing.md5Long60(concat(lit("salt:"),
+          $"l_orderkey".cast("string"), lit(":"),
+          $"l_linenumber".cast("string"))) % salt).as("salt"))
+    val dim = s.range(0, 64).select($"id".as("k"),
+      ($"id" * 7 + 3).as("weight"))
+    val dimSalted = dim.crossJoin(
+      s.range(0, salt).select($"id".as("salt")))
+    val joined = fact.join(dimSalted, Seq("k", "salt"))
+    joined.groupBy($"k")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(18,2)")).as("qty"),
+        max($"weight").as("weight"))
+      .select($"k".cast("long").as("k"),
+        $"n_rows".cast("long").as("n_rows"),
+        $"qty".cast("double").as("total_qty"),
+        $"weight".cast("long").as("weight"))
+      .orderBy($"k")
+  }
+
+  val saltedJoinSql: String =
+    """WITH fact AS (
+      |  SELECT l_quantity,
+      |    CASE WHEN l_orderkey % 10 < 7 THEN 0
+      |      ELSE l_orderkey % 64 END AS k
+      |  FROM lineitem),
+      |dim AS (SELECT j AS k, j * 7 + 3 AS weight FROM range(0, 64) t(j))
+      |SELECT CAST(f.k AS BIGINT) AS k,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |  CAST(MAX(weight) AS BIGINT) AS weight
+      |FROM fact f JOIN dim d ON f.k = d.k
+      |GROUP BY f.k ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_salted" -> saltedJoinQ,
     "q_agg_salted" -> ((s, dir) =>
       saltedCountSum(graft.Tables.t(s, dir, "lineitem"),
         "l_returnflag", "l_extendedprice")
@@ -110,6 +171,7 @@ object Skew {
     "q_skew_report" -> skewReportQ)
 
   def oracle: Map[String, String] = Map(
+    "q_join_salted" -> saltedJoinSql,
     "q_agg_salted" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total

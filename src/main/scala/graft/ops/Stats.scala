@@ -4962,7 +4962,132 @@ object Stats {
       |      * (syy / n - (sy / n) * (sy / n))), 6) AS pearson_r
       |FROM agg""".stripMargin
 
+  /** q_stat_brunner_munzel entry: the BRUNNER–MUNZEL TEST (Brunner &
+    * Munzel 2000) for click vs view `value` — the modern replacement
+    * for Mann–Whitney when variances/shapes differ (the
+    * Behrens–Fisher situation rank tests actually face): estimates
+    * p̂ = P(X<Y) + ½P(X=Y) directly and studentizes with the
+    * rank-variance estimator S²_g built from global-minus-within-group
+    * midranks, W = n₁n₂(R̄₂−R̄₁) / ((n₁+n₂)·√(n₁S₁²+n₂S₂²)), with the
+    * Welch-type df. Reported beside [[mannWhitneyQ]]: when they
+    * disagree, the variance assumption is the culprit.
+    *
+    * Scale shape: the [[mannWhitneyQ]] per-distinct-value collapse
+    * carries BOTH rank systems (global cum window + per-group cum
+    * windows over the same value-bounded frame); deviations are
+    * per-VALUE, weighted by counts — no per-row rank frame ever
+    * exists. Determinism: midranks exact in 0.5 units; deviation
+    * squares round to 10 dp into DECIMAL(38,10); one final IEEE
+    * chain. */
+  def brunnerMunzelQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val d = t(s, dir, "events")
+      .filter($"event_type".isin("click", "view"))
+      .groupBy($"value".as("v"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c2"))
+    val wCum = Window.partitionBy(lit(0)).orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def mid(before: Column, cnt: Column): Column =
+      (before.cast("decimal(18,1)") +
+        (cnt + 1).cast("decimal(18,1)") / 2).cast("decimal(18,1)")
+    val ranked = d
+      .withColumn("bAll", coalesce(sum($"c1" + $"c2").over(wCum), lit(0L)))
+      .withColumn("b1", coalesce(sum($"c1").over(wCum), lit(0L)))
+      .withColumn("b2", coalesce(sum($"c2").over(wCum), lit(0L)))
+      .withColumn("m", mid($"bAll", $"c1" + $"c2"))
+      .withColumn("m1", mid($"b1", $"c1"))
+      .withColumn("m2", mid($"b2", $"c2"))
+    val tot = ranked.agg(
+      sum($"c1").as("n1"), sum($"c2").as("n2"),
+      sum(($"c1".cast("decimal(18,1)") * $"m").cast("decimal(28,1)"))
+        .as("r1"),
+      sum(($"c2".cast("decimal(18,1)") * $"m").cast("decimal(28,1)"))
+        .as("r2"))
+    val dev = ranked.crossJoin(broadcast(tot))
+      .withColumn("rb1", $"r1".cast("double") / $"n1")
+      .withColumn("rb2", $"r2".cast("double") / $"n2")
+      .withColumn("d1", ($"m" - $"m1").cast("double") - $"rb1" +
+        ($"n1" + 1).cast("double") / 2)
+      .withColumn("d2", ($"m" - $"m2").cast("double") - $"rb2" +
+        ($"n2" + 1).cast("double") / 2)
+      .agg(
+        max($"n1").as("n1"), max($"n2").as("n2"),
+        max($"rb1").as("rb1"), max($"rb2").as("rb2"),
+        sum(round($"c1" * $"d1" * $"d1", 10).cast("decimal(38,10)"))
+          .as("ss1"),
+        sum(round($"c2" * $"d2" * $"d2", 10).cast("decimal(38,10)"))
+          .as("ss2"))
+    dev
+      .withColumn("s1", $"ss1".cast("double") / ($"n1" - 1))
+      .withColumn("s2", $"ss2".cast("double") / ($"n2" - 1))
+      .select($"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"),
+        round(($"rb2" - ($"n2" + 1).cast("double") / 2) / $"n1", 6)
+          .as("p_hat"),
+        round($"n1".cast("double") * $"n2" * ($"rb2" - $"rb1") /
+          (($"n1" + $"n2").cast("double") *
+            sqrt($"n1" * $"s1" + $"n2" * $"s2")), 6).as("w_stat"),
+        round(($"n1" * $"s1" + $"n2" * $"s2") *
+          ($"n1" * $"s1" + $"n2" * $"s2") /
+          (($"n1" * $"s1") * ($"n1" * $"s1") / ($"n1" - 1) +
+            ($"n2" * $"s2") * ($"n2" * $"s2") / ($"n2" - 1)), 2).as("df"))
+  }
+
+  val brunnerMunzelSql: String =
+    """WITH d AS (
+      |  SELECT value AS v,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+      |r AS (
+      |  SELECT *,
+      |    CAST(COALESCE(SUM(c1 + c2) OVER w, 0) AS DECIMAL(18,1))
+      |      + CAST(c1 + c2 + 1 AS DECIMAL(18,1)) / 2 AS m,
+      |    CAST(COALESCE(SUM(c1) OVER w, 0) AS DECIMAL(18,1))
+      |      + CAST(c1 + 1 AS DECIMAL(18,1)) / 2 AS m1,
+      |    CAST(COALESCE(SUM(c2) OVER w, 0) AS DECIMAL(18,1))
+      |      + CAST(c2 + 1 AS DECIMAL(18,1)) / 2 AS m2
+      |  FROM d
+      |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND 1 PRECEDING)),
+      |tot AS (
+      |  SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+      |    SUM(CAST(CAST(c1 AS DECIMAL(18,1)) * m AS DECIMAL(28,1))) AS r1,
+      |    SUM(CAST(CAST(c2 AS DECIMAL(18,1)) * m AS DECIMAL(28,1))) AS r2
+      |  FROM r),
+      |dev AS (
+      |  SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+      |    MAX(CAST(r1 AS DOUBLE) / n1) AS rb1,
+      |    MAX(CAST(r2 AS DOUBLE) / n2) AS rb2,
+      |    SUM(CAST(ROUND(c1 * (CAST(m - m1 AS DOUBLE)
+      |      - CAST(r1 AS DOUBLE) / n1 + CAST(n1 + 1 AS DOUBLE) / 2)
+      |      * (CAST(m - m1 AS DOUBLE)
+      |      - CAST(r1 AS DOUBLE) / n1 + CAST(n1 + 1 AS DOUBLE) / 2), 10)
+      |      AS DECIMAL(38,10))) AS ss1,
+      |    SUM(CAST(ROUND(c2 * (CAST(m - m2 AS DOUBLE)
+      |      - CAST(r2 AS DOUBLE) / n2 + CAST(n2 + 1 AS DOUBLE) / 2)
+      |      * (CAST(m - m2 AS DOUBLE)
+      |      - CAST(r2 AS DOUBLE) / n2 + CAST(n2 + 1 AS DOUBLE) / 2), 10)
+      |      AS DECIMAL(38,10))) AS ss2
+      |  FROM r CROSS JOIN tot),
+      |fin AS (
+      |  SELECT n1, n2, rb1, rb2,
+      |    CAST(ss1 AS DOUBLE) / (n1 - 1) AS s1,
+      |    CAST(ss2 AS DOUBLE) / (n2 - 1) AS s2
+      |  FROM dev)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  ROUND((rb2 - CAST(n2 + 1 AS DOUBLE) / 2) / n1, 6) AS p_hat,
+      |  ROUND(CAST(n1 AS DOUBLE) * n2 * (rb2 - rb1)
+      |    / (CAST(n1 + n2 AS DOUBLE) * SQRT(n1 * s1 + n2 * s2)), 6)
+      |    AS w_stat,
+      |  ROUND((n1 * s1 + n2 * s2) * (n1 * s1 + n2 * s2)
+      |    / ((n1 * s1) * (n1 * s1) / (n1 - 1)
+      |      + (n2 * s2) * (n2 * s2) / (n2 - 1)), 2) AS df
+      |FROM fin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_brunner_munzel" -> brunnerMunzelQ,
     "q_stat_page_trend" -> pageTrendQ,
     "q_stat_lin_ccc" -> linCccQ,
     "q_stat_ks_uniform" -> ksUniformQ,
@@ -5023,6 +5148,7 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_brunner_munzel" -> brunnerMunzelSql,
     "q_stat_page_trend" -> pageTrendSql,
     "q_stat_lin_ccc" -> linCccSql,
     "q_stat_ks_uniform" -> ksUniformSql,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -232,5 +233,79 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     got.take(50).foreach { case (id, j) =>
       assert(j == winner(id, 17), s"doc $id winner")
     }
+  }
+
+  test("salted join: equals the unsalted join exactly; hot key spread across all 16 salts") {
+    import spark.implicits._
+    val rows = Skew.saltedJoinQ(spark, sfDir).collect()
+    // unsalted twin computed in-test
+    val fact = graft.Tables.t(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+      .withColumn("k", when($"l_orderkey" % 10 < 7, 0L)
+        .otherwise($"l_orderkey" % 64))
+    val dim = spark.range(0, 64).select($"id".as("k"), ($"id" * 7 + 3).as("weight"))
+    val direct = fact.join(dim, "k").groupBy($"k")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("total_qty"),
+        max($"weight").as("weight"))
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Double]("total_qty"),
+          r.getAs[Long]("weight")))).toMap
+    assert(rows.length == direct.size)
+    rows.foreach { r =>
+      val (n, q, w) = direct(r.getAs[Long]("k")) : (Long, Double, Long)
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(math.abs(r.getAs[Double]("total_qty") - q) < 1e-9)
+      assert(r.getAs[Long]("weight") == w)
+    }
+    // the hot key really is hot, and its salt split is balanced
+    val hot = rows.find(_.getAs[Long]("k") == 0L).get
+    assert(hot.getAs[Long]("n_rows") >
+      rows.map(_.getAs[Long]("n_rows")).sum / 2, "~70% on key 0")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: String): Long = {
+      val hex = md.digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val saltCounts = graft.Tables.t(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber").collect()
+      .filter(r => r.getLong(0) % 10 < 7)
+      .map(r => h60(s"salt:${r.getLong(0)}:${r.getAs[Number](1).longValue}") % 16)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(saltCounts.size == 16, "all 16 salts used on the hot key")
+    assert(saltCounts.values.max < saltCounts.values.min * 2,
+      s"hot-key salt balance: $saltCounts")
+  }
+
+  test("zcurve: morton keys match a driver bit-interleave replay; z-order beats 1-D sort on the 2-D query") {
+    import spark.implicits._
+    val r = Shard.zcurveQ(spark, sfDir).collect().head
+    val orders = graft.Tables.t(spark, sfDir, "orders")
+      .select($"o_totalprice", $"o_orderdate").collect()
+      .map { row =>
+        val p = BigDecimal(row.getDouble(0)).setScale(2)
+        val x = math.min(255L, (p / 2500).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+        val days = row.getAs[java.time.LocalDateTime](1).toLocalDate.toEpochDay -
+          java.time.LocalDate.of(1995, 1, 1).toEpochDay
+        val y = math.min(255L, days / 10)
+        (x, y)
+      }
+    def morton(x: Long, y: Long): Long =
+      (0 until 8).map(j => (((x >> j) & 1) << (2 * j)) +
+        (((y >> j) & 1) << (2 * j + 1))).sum
+    val marked = orders.map { case (x, y) =>
+      (morton(x, y) / 256, x / 2, x >= 64 && x < 128 && y >= 32 && y < 96)
+    }
+    assert(r.getAs[Long]("n_rows") == orders.length)
+    assert(r.getAs[Long]("n_match") == marked.count(_._3))
+    assert(r.getAs[Long]("z_blocks_hit") ==
+      marked.filter(_._3).map(_._1).distinct.length)
+    assert(r.getAs[Long]("x_blocks_hit") ==
+      marked.filter(_._3).map(_._2).distinct.length)
+    assert(r.getAs[Long]("n_match") > 0, "the audit window must be non-empty")
+    // the point of z-ordering: fewer blocks read than a 1-D sort layout
+    assert(r.getAs[Long]("z_read_bp") < r.getAs[Long]("x_read_bp"),
+      s"z ${r.getAs[Long]("z_read_bp")}bp vs x ${r.getAs[Long]("x_read_bp")}bp")
   }
 }

@@ -1053,6 +1053,38 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(row.getAs[Double]("q_stat") - r6(q)) < 1e-9)
   }
 
+  test("brunner-munzel: p-hat and W match a per-observation driver replay") {
+    import spark.implicits._
+    val r = Stats.brunnerMunzelQ(spark, sfDir).collect().head
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .filter($"event_type".isin("click", "view"))
+      .select($"event_type", $"value").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val a = ev.filter(_._1 == "click").map(_._2)
+    val b = ev.filter(_._1 == "view").map(_._2)
+    val (n1, n2) = (a.length, b.length)
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    // per-observation midranks, brute force (sf0.001 sizes allow O(n^2))
+    val all = a ++ b
+    def midrank(pool: Array[Double], v: Double): Double =
+      pool.count(_ < v) + (pool.count(_ == v) + 1) / 2.0
+    val gr1 = a.map(v => midrank(all, v)); val gr2 = b.map(v => midrank(all, v))
+    val in1 = a.map(v => midrank(a, v)); val in2 = b.map(v => midrank(b, v))
+    val rb1 = gr1.sum / n1; val rb2 = gr2.sum / n2
+    def s2(gr: Array[Double], in: Array[Double], rb: Double, n: Int): Double =
+      gr.zip(in).map { case (g, i) =>
+        val d = g - i - rb + (n + 1) / 2.0; d * d
+      }.sum / (n - 1)
+    val s1 = s2(gr1, in1, rb1, n1); val s22 = s2(gr2, in2, rb2, n2)
+    val pHat = (rb2 - (n2 + 1) / 2.0) / n1
+    val w = n1.toDouble * n2 * (rb2 - rb1) /
+      ((n1 + n2).toDouble * math.sqrt(n1 * s1 + n2 * s22))
+    assert(math.abs(r.getAs[Double]("p_hat") - pHat) < 1e-6)
+    assert(math.abs(r.getAs[Double]("w_stat") - w) < 1e-4,
+      s"W ${r.getAs[Double]("w_stat")} vs replay $w")
+    assert(r.getAs[Double]("p_hat") >= 0 && r.getAs[Double]("p_hat") <= 1)
+  }
+
   test("page trend: L matches a driver weekly-midrank replay") {
     import spark.implicits._
     val r = Stats.pageTrendQ(spark, sfDir).collect().head
