@@ -661,6 +661,10 @@ object Multimodal {
 
   /** Per-image decoded-pixel statistics row: exact channel sums + a
     * 4-bin red-channel histogram — everything integer. */
+  final case class LumaHist(doc_id: Long, n_px: Long,
+      h0: Long, h1: Long, h2: Long, h3: Long,
+      h4: Long, h5: Long, h6: Long, h7: Long)
+
   final case class PixelStats(doc_id: Long, n_px: Long,
       sum_r: Long, sum_g: Long, sum_b: Long,
       h0: Long, h1: Long, h2: Long, h3: Long)
@@ -706,6 +710,113 @@ object Multimodal {
         javax.imageio.ImageIO.write(img, "png", buf)
         (id, buf.toByteArray)
       }).toDF("doc_id", "payload")
+  }
+
+  /** q_multimodal_histcmp entry: COLOR-SIGNATURE COMPARISON between
+    * consecutive decoded images — 8-bin luma histograms from REAL
+    * decoded pixels (luma = (r+g+b) div 3, bin = luma div 32), then
+    * per consecutive image pair (doc_id order) the two standard
+    * histogram measures: INTERSECTION Σ min(pₐ, p_b) (the similarity
+    * image-dedup prefilters bucket on) and the χ² distance
+    * Σ (pₐ−p_b)²/(pₐ+p_b). This is the decode→signature→compare
+    * pipeline of visual near-dup detection, with the decode step real
+    * and the signature oracle-verified arithmetically from the planted
+    * gradient formula (any codec/stride error diverges).
+    *
+    * Scale shape: narrow 1:1 mapPartitions decode (zero exchange), a
+    * doc_id-ordered lead window over the image-count-bounded signature
+    * frame, and a pure-map measure computation. Determinism: histogram
+    * counts exact integers; normalized measures are one shared IEEE
+    * chain per pair, rounded 6. */
+  def histcmpQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val hist = plantedGradientPngs(s, dir)
+      .select($"doc_id".as[Long], $"payload".as[Array[Byte]])
+      .mapPartitions(_.map { case (id, bytes) =>
+        val im = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (im.getWidth, im.getHeight)
+        val bins = new Array[Long](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)) / 3
+            bins(luma / 32) += 1
+            x += 1
+          }
+          y += 1
+        }
+        LumaHist(id, w.toLong * h, bins(0), bins(1), bins(2), bins(3),
+          bins(4), bins(5), bins(6), bins(7))
+      }).toDF()
+    val w = Window.partitionBy(lit(0)).orderBy($"doc_id")
+    val paired = hist
+      .withColumn("doc_b", lead($"doc_id", 1).over(w))
+      .withColumn("n_b", lead($"n_px", 1).over(w))
+    val pairedH = (0 to 7).foldLeft(paired) { (df, i) =>
+      df.withColumn(s"g$i", lead(col(s"h$i"), 1).over(w))
+    }.filter($"doc_b".isNotNull)
+    val inter = (0 to 7).map(i =>
+      least(col(s"h$i").cast("double") / $"n_px",
+        col(s"g$i").cast("double") / $"n_b")).reduce(_ + _)
+    val chi2 = (0 to 7).map { i =>
+      val pa = col(s"h$i").cast("double") / $"n_px"
+      val pb = col(s"g$i").cast("double") / $"n_b"
+      when(col(s"h$i") + col(s"g$i") === 0, lit(0.0))
+        .otherwise((pa - pb) * (pa - pb) / (pa + pb))
+    }.reduce(_ + _)
+    pairedH.select(
+      $"doc_id".as("doc_a"), $"doc_b".cast("long").as("doc_b"),
+      $"n_px".as("n_px_a"), $"n_b".cast("long").as("n_px_b"),
+      round(inter, 6).as("intersection"),
+      round(chi2, 6).as("chi2_dist"))
+      .orderBy($"doc_a")
+  }
+
+  val histcmpSql: String = {
+    val hs = (0 to 7).map(i =>
+      s"CAST(SUM(CASE WHEN ((r + g + b) // 3) // 32 = $i THEN 1 ELSE 0 END) AS BIGINT) AS h$i")
+      .mkString(",\n      |    ")
+    val leads = (0 to 7).map(i =>
+      s"lead(h$i) OVER w AS g$i").mkString(",\n      |    ")
+    val inter = (0 to 7).map(i =>
+      s"LEAST(CAST(h$i AS DOUBLE) / n_px, CAST(g$i AS DOUBLE) / n_b)")
+      .mkString(" + ")
+    val chi2 = (0 to 7).map(i =>
+      s"""(CASE WHEN h$i + g$i = 0 THEN 0.0
+         | ELSE (CAST(h$i AS DOUBLE) / n_px - CAST(g$i AS DOUBLE) / n_b)
+         |   * (CAST(h$i AS DOUBLE) / n_px - CAST(g$i AS DOUBLE) / n_b)
+         |   / (CAST(h$i AS DOUBLE) / n_px + CAST(g$i AS DOUBLE) / n_b) END)"""
+        .stripMargin.replace("\n", " ")).mkString(" + ")
+    s"""WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
+      |  FROM documents WHERE doc_id % 20 = 7),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    (37 * doc_id + 5 * x.i + 3 * y.j) % 256 AS r,
+      |    (59 * doc_id + 7 * x.i + y.j) % 256 AS g,
+      |    (83 * doc_id + x.i + 11 * y.j) % 256 AS b
+      |  FROM d CROSS JOIN range(0, 21) x(i) CROSS JOIN range(0, 19) y(j)
+      |  WHERE x.i < w AND y.j < h),
+      |hist AS (
+      |  SELECT doc_id, CAST(w * h AS BIGINT) AS n_px,
+      |    $hs
+      |  FROM px GROUP BY doc_id, w, h),
+      |paired AS (
+      |  SELECT *, lead(doc_id) OVER w AS doc_b, lead(n_px) OVER w AS n_b,
+      |    $leads
+      |  FROM hist
+      |  WINDOW w AS (ORDER BY doc_id))
+      |SELECT doc_id AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+      |  n_px AS n_px_a, CAST(n_b AS BIGINT) AS n_px_b,
+      |  ROUND($inter, 6) AS intersection,
+      |  ROUND($chi2, 6) AS chi2_dist
+      |FROM paired WHERE doc_b IS NOT NULL
+      |ORDER BY doc_a""".stripMargin
   }
 
   /** q_multimodal_pixels entry: REAL pixel-level statistics from
@@ -1470,6 +1581,7 @@ object Multimodal {
     "q_multimodal_decode_multi" -> decodeMultiQ,
     "q_multimodal_pcm" -> pcmQ,
     "q_multimodal_vad" -> vadQ,
+    "q_multimodal_histcmp" -> histcmpQ,
     "q_multimodal_pixels" -> pixelsQ,
     "q_multimodal_sharpness" -> sharpnessQ,
     "q_multimodal_frames" -> framesQ,
@@ -1488,6 +1600,7 @@ object Multimodal {
     "q_multimodal_decode_multi" -> decodeMultiSql,
     "q_multimodal_pcm" -> pcmSql,
     "q_multimodal_vad" -> vadSql,
+    "q_multimodal_histcmp" -> histcmpSql,
     "q_multimodal_pixels" -> pixelsSql,
     "q_multimodal_sharpness" -> sharpnessSql,
     "q_multimodal_frames" -> framesSql,

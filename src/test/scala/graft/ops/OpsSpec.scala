@@ -1288,6 +1288,44 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("histcmp: luma histograms and pair measures match the gradient-formula replay") {
+    val rows = Multimodal.histcmpQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def histOf(id: Long): (Long, Array[Long]) = {
+      val (w, h) = ((8 + id % 13).toInt, (8 + id % 11).toInt)
+      val bins = new Array[Long](8)
+      for { x <- 0 until w; y <- 0 until h } {
+        val r = ((37 * id + 5 * x + 3 * y) % 256).toInt
+        val g = ((59 * id + 7 * x + y) % 256).toInt
+        val b = ((83 * id + x + 11 * y) % 256).toInt
+        bins(((r + g + b) / 3) / 32) += 1
+      }
+      (w.toLong * h, bins)
+    }
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val (na, ha) = histOf(r.getAs[Long]("doc_a"))
+      val (nb, hb) = histOf(r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("n_px_a") == na && r.getAs[Long]("n_px_b") == nb)
+      val inter = (0 to 7).map(i =>
+        math.min(ha(i).toDouble / na, hb(i).toDouble / nb)).sum
+      val chi2 = (0 to 7).map { i =>
+        if (ha(i) + hb(i) == 0) 0.0
+        else {
+          val (pa, pb) = (ha(i).toDouble / na, hb(i).toDouble / nb)
+          (pa - pb) * (pa - pb) / (pa + pb)
+        }
+      }.sum
+      assert(math.abs(r.getAs[Double]("intersection") - r6(inter)) < 1e-6)
+      assert(math.abs(r.getAs[Double]("chi2_dist") - r6(chi2)) < 1e-6)
+      // measure identities: intersection in [0,1], chi2 in [0,2]
+      val iv = r.getAs[Double]("intersection")
+      assert(iv >= 0.0 && iv <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("chi2_dist") >= 0.0 &&
+        r.getAs[Double]("chi2_dist") <= 2.0 + 1e-9)
+    }
+  }
+
   test("frames: every animated-GIF frame decodes to its planted color, in order") {
     import spark.implicits._
     val rows = Multimodal.framesQ(spark, sfDir).collect()
