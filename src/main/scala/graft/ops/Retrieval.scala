@@ -528,7 +528,136 @@ object Retrieval {
       |  ROUND(0.1 * CAST(SUM(term) AS DOUBLE), 6) AS rbo_at_10
       |FROM tm""".stripMargin
 
+  /** q_eval_rank_agreement entry: RANKER AGREEMENT between the BM25 and
+    * Dirichlet-QLM top-20 lists for the shared 3-term query — overlap
+    * (how much of each list the other covers), Kendall's τ and
+    * Spearman's ρ on the INTERSECTION's rank pairs. The A/B readout
+    * run before swapping rankers: high overlap + high τ means the swap
+    * is a no-op; high overlap + low τ means the same documents in a
+    * very different ORDER — exactly the case where an online
+    * interleaving experiment is needed. Rank-fusion's sibling
+    * diagnostic ([[rankFusionQ]] merges the lists; this measures
+    * whether merging matters).
+    *
+    * Scale shape: both rankers are the library's existing
+    * postings-bounded pipelines; the agreement math runs on ≤20-row
+    * frames (the concordance pass is a ≤190-pair self-join of a
+    * broadcast 20-row frame). Determinism: ranks are exact integers
+    * (score ties broken by doc_id inside each ranker); τ and ρ are
+    * integer-ratio one-step divisions. */
+  def rankAgreementQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    // BM25 ranks from the EXACT decimal score (the published Text.bm25
+    // rounds to 6 dp for display; ranking must use the unrounded sum so
+    // both engines order identically)
+    val docs = Text.withToks(s, dir).select($"doc_id", $"toks")
+    val dls = docs.select($"doc_id", size($"toks").cast("double").as("dl"))
+    val bstats = dls.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg($"dl").as("avgdl"))
+    val tfb = docs.select($"doc_id", explode($"toks").as("term"))
+      .filter($"term".isin(QTerms: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfb = tfb.groupBy($"term").agg(count(lit(1)).as("df"))
+    val bm = tfb.join(broadcast(dfb), "term")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(bstats))
+      .withColumn("idf", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+      .withColumn("w", $"idf" * ($"tf" * 2.2) /
+        ($"tf" + (lit(0.25) + $"dl" * 0.75 / $"avgdl") * 1.2))
+      .groupBy($"doc_id")
+      .agg(sum(round($"w", 9).cast("decimal(28,9)")).as("sc"))
+      .withColumn("rb", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"sc".desc, $"doc_id")))
+      .select($"doc_id", $"rb")
+    // compare at the shared depth k = 10 (QLM's contract depth)
+    val ql = qlmQ(s, dir).select($"doc_id", $"rn".as("rq"))
+    val common = bm.filter($"rb" <= 10).join(ql, "doc_id")
+    val pairs = common.as("a").join(broadcast(common.as("b")),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        ((col("a.rb") < col("b.rb")) === (col("a.rq") < col("b.rq")))
+          .cast("long").as("conc"),
+        (col("a.rb") - col("b.rb")).as("db"),
+        (col("a.rq") - col("b.rq")).as("dq"))
+    val cstats = common.agg(count(lit(1)).as("n_common"),
+      sum(($"rb" - $"rq") * ($"rb" - $"rq")).as("d2"))
+    val pagg = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum($"conc").as("n_conc"))
+    cstats.crossJoin(broadcast(pagg))
+      .select($"n_common".cast("long").as("n_common"),
+        expr("(10000 * n_common) div 10").as("overlap_bp"),
+        round((lit(2.0) * $"n_conc" - $"n_pairs") /
+          $"n_pairs".cast("double"), 6).as("kendall_tau"),
+        round(lit(1.0) - lit(6.0) * $"d2" /
+          ($"n_common".cast("double") *
+            ($"n_common" * $"n_common" - 1)), 6).as("spearman_rho"))
+  }
+
+  val rankAgreementSql: String = {
+    val terms = QTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, ${Text.toksSql} AS toks FROM documents),
+       |dl AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tk),
+       |te AS MATERIALIZED (SELECT doc_id, unnest(toks) AS term FROM tk),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+       |  FROM dl),
+       |coll AS (SELECT CAST(COUNT(*) AS BIGINT) AS c_total FROM te),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM te
+       |  WHERE term IN ($terms) GROUP BY 1, 2),
+       |docf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+       |bm_sc AS (
+       |  SELECT tf.doc_id,
+       |    SUM(CAST(ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
+       |      AS DECIMAL(28,9))) AS sc
+       |  FROM tf JOIN docf USING (term) JOIN dl ON tf.doc_id = dl.doc_id, st
+       |  GROUP BY tf.doc_id),
+       |bm AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rb
+       |  FROM bm_sc),
+       |ql_hits AS (
+       |  SELECT tf.doc_id,
+       |    SUM(CAST(ROUND(LN(1.0 + (tf * c_total) * 1.0 / ($Mu * cf)), 9)
+       |      AS DECIMAL(28,9))) AS hit_score,
+       |    COUNT(*) AS n_terms_hit
+       |  FROM tf JOIN cf USING (term), coll
+       |  GROUP BY tf.doc_id),
+       |ql_sc AS (
+       |  SELECT dl2.doc_id,
+       |    COALESCE(h.hit_score, CAST(0 AS DECIMAL(28,9)))
+       |      - ${QTerms.size} * CAST(ROUND(LN(dl2.dl + $Mu), 9)
+       |        AS DECIMAL(28,9)) AS sc
+       |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk) dl2
+       |  LEFT JOIN ql_hits h ON h.doc_id = dl2.doc_id),
+       |ql AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rq
+       |  FROM ql_sc),
+       |common AS (
+       |  SELECT bm.doc_id, rb, rq FROM bm JOIN ql USING (doc_id)
+       |  WHERE rb <= 10 AND rq <= 10),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+       |    SUM((rb - rq) * (rb - rq)) AS d2
+       |  FROM common),
+       |pairs AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    SUM(CASE WHEN (a.rb < b.rb) = (a.rq < b.rq) THEN 1 ELSE 0 END)
+       |      AS n_conc
+       |  FROM common a JOIN common b ON a.doc_id < b.doc_id)
+       |SELECT n_common,
+       |  CAST((10000 * n_common) // 10 AS BIGINT) AS overlap_bp,
+       |  ROUND((2.0 * n_conc - n_pairs) / CAST(n_pairs AS DOUBLE), 6)
+       |    AS kendall_tau,
+       |  ROUND(1.0 - 6.0 * d2 / (CAST(n_common AS DOUBLE)
+       |    * (n_common * n_common - 1)), 6) AS spearman_rho
+       |FROM stats CROSS JOIN pairs""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_rank_agreement" -> rankAgreementQ,
     "q_eval_rbo" -> rboQ,
     "q_eval_mrr" -> mrrQ,
     "q_search_mmr" -> mmrQ,
@@ -536,6 +665,7 @@ object Retrieval {
     "q_search_rocchio" -> rocchioQ)
 
   def oracle: Map[String, String] = Map(
+    "q_eval_rank_agreement" -> rankAgreementSql,
     "q_eval_rbo" -> rboSql,
     "q_eval_mrr" -> mrrSql,
     "q_search_mmr" -> mmrSql,

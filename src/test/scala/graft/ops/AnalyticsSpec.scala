@@ -1010,6 +1010,55 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("rank agreement: overlap/tau/rho match a two-ranker driver replay") {
+    import spark.implicits._
+    val r = Retrieval.rankAgreementQ(spark, sfDir).collect().head
+    val q = Set("dup", "vector", "spark")
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(x => (x.getLong(0), x.getString(1).toLowerCase.split(" ")))
+    val n = docs.length.toDouble
+    val dl = docs.map { case (id, ts) => id -> ts.length.toDouble }.toMap
+    val avgdl = dl.values.sum / n
+    val tf = docs.flatMap { case (id, ts) =>
+      ts.filter(q).groupBy(identity).map { case (t, xs) => (id, t, xs.length) } }
+    val df = tf.groupBy(_._2).view.mapValues(_.length).toMap
+    def r9(d: Double) = BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val bmScore = tf.groupBy(_._1).view.mapValues(_.map { case (id, t, f) =>
+      val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+      r9(idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl)))
+    }.sum).toMap
+    val bmRank = bmScore.toSeq.sortBy { case (id, sc) => (-sc, id) }
+      .take(10).zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // QLM
+    val cTotal = docs.map(_._2.length.toLong).sum
+    val cf = tf.groupBy(_._2).view.mapValues(_.map(_._3.toLong).sum).toMap
+    val mu = 500
+    val qlScore = docs.map { case (id, ts) =>
+      val hits = tf.filter(_._1 == id).map { case (_, t, f) =>
+        r9(math.log(1.0 + (f * cTotal) * 1.0 / (mu.toDouble * cf(t)))) }.sum
+      id -> (hits - 3 * r9(math.log(ts.length + mu)))
+    }.toMap
+    val qlRank = qlScore.toSeq.sortBy { case (id, sc) => (-sc, id) }
+      .take(10).zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val common = bmRank.keySet.intersect(qlRank.keySet).toSeq.sorted
+    assert(r.getAs[Long]("n_common") == common.length)
+    assert(r.getAs[Long]("overlap_bp") == 10000L * common.length / 10)
+    val pairsSeq = for {
+      i <- common.indices; j <- common.indices if common(i) < common(j)
+    } yield ((bmRank(common(i)) < bmRank(common(j))) ==
+      (qlRank(common(i)) < qlRank(common(j))))
+    val tau = (2.0 * pairsSeq.count(identity) - pairsSeq.length) / pairsSeq.length
+    val d2 = common.map(id =>
+      math.pow(bmRank(id) - qlRank(id), 2)).sum
+    val m = common.length
+    val rho = 1.0 - 6.0 * d2 / (m.toDouble * (m * m - 1))
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("kendall_tau") - r6(tau)) < 1e-9,
+      s"tau ${r.getAs[Double]("kendall_tau")} vs replay $tau")
+    assert(math.abs(r.getAs[Double]("spearman_rho") - r6(rho)) < 1e-9)
+  }
+
   test("mcc: confusion cells exact vs f1's; mcc/balanced-acc/youden identities hold") {
     val r = Classify.mccQ(spark, sfDir).collect().head
     val (tp, tn, fp, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("tn"),
