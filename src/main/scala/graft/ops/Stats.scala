@@ -5086,7 +5086,159 @@ object Stats {
       |      + (n2 * s2) * (n2 * s2) / (n2 - 1)), 2) AS df
       |FROM fin""".stripMargin
 
+  /** q_stat_ca_trend entry: COCHRAN–ARMITAGE TREND TEST for a
+    * proportion across ordered groups — weeks 1..4 of January as the
+    * ordered exposure, success = "event value ≥ 50"; Z =
+    * Σwᵢ(xᵢ − nᵢ·p̄) / √(p̄(1−p̄)·[Σw²ᵢnᵢ − (Σwᵢnᵢ)²/N]) with scores
+    * w = 1..4. THE dose-response / drift-in-rate test: χ² asks "do
+    * rates differ?", CA asks the 1-df sharper "do they rise or fall
+    * with the ordering?" — the proportions twin of [[pageTrendQ]].
+    *
+    * Scale shape: one combinable (week) collapse to a 4-row frame;
+    * the statistic is exact-integer sums into one IEEE chain.
+    * Determinism: counts exact; single final chain rounded 6. */
+  def caTrendQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wk = t(s, dir, "events")
+      .filter($"ts" < lit("2024-01-29").cast("timestamp"))
+      .groupBy((floor(datediff($"ts",
+        lit("2024-01-01").cast("timestamp")) / 7) + 1).cast("long").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(($"value" >= 50.0).cast("long")).as("x"))
+    wk.agg(
+        sum($"n").as("nn"), sum($"x").as("xx"),
+        sum($"w" * $"x").as("swx"), sum($"w" * $"n").as("swn"),
+        sum($"w" * $"w" * $"n").as("sw2n"))
+      .select($"nn".cast("long").as("n"), $"xx".cast("long").as("successes"),
+        round(($"xx".cast("double") / $"nn"), 6).as("pooled_rate"),
+        round(($"swx".cast("double") -
+          $"swn".cast("double") * $"xx".cast("double") / $"nn") /
+          sqrt(($"xx".cast("double") / $"nn") *
+            (lit(1.0) - $"xx".cast("double") / $"nn") *
+            ($"sw2n".cast("double") -
+              $"swn".cast("double") * $"swn".cast("double") / $"nn")), 6)
+          .as("z_trend"))
+  }
+
+  val caTrendSql: String =
+    """WITH wk AS (
+      |  SELECT CAST(FLOOR(datediff('day', TIMESTAMP '2024-01-01', ts) / 7)
+      |      + 1 AS BIGINT) AS w,
+      |    COUNT(*) AS n,
+      |    SUM(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS x
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-29' GROUP BY 1),
+      |a AS (
+      |  SELECT SUM(n) AS nn, SUM(x) AS xx, SUM(w * x) AS swx,
+      |    SUM(w * n) AS swn, SUM(w * w * n) AS sw2n
+      |  FROM wk)
+      |SELECT CAST(nn AS BIGINT) AS n, CAST(xx AS BIGINT) AS successes,
+      |  ROUND(CAST(xx AS DOUBLE) / nn, 6) AS pooled_rate,
+      |  ROUND((CAST(swx AS DOUBLE) - CAST(swn AS DOUBLE) * CAST(xx AS DOUBLE) / nn)
+      |    / SQRT((CAST(xx AS DOUBLE) / nn) * (1.0 - CAST(xx AS DOUBLE) / nn)
+      |      * (CAST(sw2n AS DOUBLE)
+      |        - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE) / nn)), 6)
+      |    AS z_trend
+      |FROM a""".stripMargin
+
+  /** q_sample_cluster entry: TWO-STAGE CLUSTER SAMPLING with the
+    * DESIGN-EFFECT audit — stage 1 samples whole users (the natural
+    * access unit when data lives sharded by user), stage 2 takes ALL
+    * their events; the estimate's variance is inflated vs SRS by
+    * deff ≈ 1 + (m̄−1)·ICC because same-cluster observations correlate.
+    * The operator draws a seeded ~50% user sample, estimates the mean
+    * event value, and reports the ANOVA-derived ICC and deff of the
+    * CLUSTER DESIGN measured on the full population — the number that
+    * says how many extra rows cluster sampling costs vs row sampling.
+    *
+    * Scale shape: user sampling is a pure hash map; per-user moments
+    * are one combinable collapse; ICC/deff run on the user-bounded
+    * frame. Determinism: exact DECIMAL(18,2) sums; fixed IEEE chains
+    * rounded 6. */
+  def clusterSampleQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = $"value".cast("decimal(18,2)")
+    val per = t(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("m"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      .withColumn("in_sample",
+        (Hashing.md5Long60(concat(lit("cs:"), $"user_id".cast("string")))
+          % 2 === 0).cast("long"))
+    val agg = per.agg(
+      count(lit(1)).as("k"), sum($"m").as("n"),
+      sum($"sx").cast("double").as("tsx"),
+      sum($"sxx").cast("double").as("tsxx"),
+      sum(round(($"sx".cast("double") * $"sx".cast("double")) / $"m", 10)
+        .cast("decimal(38,10)")).cast("double").as("sb_raw"),
+      sum(when($"in_sample" === 1, 1L).otherwise(0L)).as("k_s"),
+      sum(when($"in_sample" === 1, $"m")).as("n_s"),
+      sum(when($"in_sample" === 1, $"sx")).cast("double").as("sx_s"))
+    agg.select(
+        $"k".cast("long").as("n_clusters"),
+        $"n".cast("long").as("n_events"),
+        $"k_s".cast("long").as("n_sampled_clusters"),
+        $"n_s".cast("long").as("n_sampled_events"),
+        round($"tsx" / $"n", 6).as("true_mean"),
+        round($"sx_s" / $"n_s", 6).as("cluster_estimate"),
+        // one-way ANOVA on clusters: SSB = Σ s²/m − (Σs)²/n, SSW = Σx² − Σ s²/m
+        $"k", $"n", $"tsx", $"tsxx", $"sb_raw")
+      .select($"n_clusters", $"n_events", $"n_sampled_clusters",
+        $"n_sampled_events", $"true_mean", $"cluster_estimate",
+        round({
+          val ssb = $"sb_raw" - $"tsx" * $"tsx" / $"n"
+          val ssw = $"tsxx" - $"sb_raw"
+          val msb = ssb / ($"k" - 1)
+          val msw = ssw / ($"n" - $"k")
+          val m0 = $"n".cast("double") / $"k" // mean cluster size proxy
+          (msb - msw) / (msb + (m0 - 1) * msw)
+        }, 6).as("icc"),
+        round({
+          val ssb = $"sb_raw" - $"tsx" * $"tsx" / $"n"
+          val ssw = $"tsxx" - $"sb_raw"
+          val msb = ssb / ($"k" - 1)
+          val msw = ssw / ($"n" - $"k")
+          val m0 = $"n".cast("double") / $"k"
+          lit(1.0) + (m0 - 1) * ((msb - msw) / (msb + (m0 - 1) * msw))
+        }, 6).as("deff"))
+  }
+
+  val clusterSampleSql: String =
+    """WITH per AS (
+      |  SELECT user_id, COUNT(*) AS m,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+      |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+      |      AS sxx,
+      |    CASE WHEN ('0x' || substr(md5('cs:' || CAST(user_id AS VARCHAR)),
+      |      1, 15))::UBIGINT::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS in_sample
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT COUNT(*) AS k, SUM(m) AS n,
+      |    CAST(SUM(sx) AS DOUBLE) AS tsx,
+      |    CAST(SUM(sxx) AS DOUBLE) AS tsxx,
+      |    CAST(SUM(CAST(ROUND(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / m,
+      |      10) AS DECIMAL(38,10))) AS DOUBLE) AS sb_raw,
+      |    SUM(in_sample) AS k_s,
+      |    SUM(CASE WHEN in_sample = 1 THEN m END) AS n_s,
+      |    CAST(SUM(CASE WHEN in_sample = 1 THEN sx END) AS DOUBLE) AS sx_s
+      |  FROM per),
+      |f AS (
+      |  SELECT *,
+      |    (sb_raw - tsx * tsx / n) / (k - 1) AS msb,
+      |    (tsxx - sb_raw) / (n - k) AS msw,
+      |    CAST(n AS DOUBLE) / k AS m0
+      |  FROM a)
+      |SELECT CAST(k AS BIGINT) AS n_clusters, CAST(n AS BIGINT) AS n_events,
+      |  CAST(k_s AS BIGINT) AS n_sampled_clusters,
+      |  CAST(n_s AS BIGINT) AS n_sampled_events,
+      |  ROUND(tsx / n, 6) AS true_mean,
+      |  ROUND(sx_s / n_s, 6) AS cluster_estimate,
+      |  ROUND((msb - msw) / (msb + (m0 - 1) * msw), 6) AS icc,
+      |  ROUND(1.0 + (m0 - 1) * ((msb - msw) / (msb + (m0 - 1) * msw)), 6)
+      |    AS deff
+      |FROM f""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_ca_trend" -> caTrendQ,
+    "q_sample_cluster" -> clusterSampleQ,
     "q_stat_brunner_munzel" -> brunnerMunzelQ,
     "q_stat_page_trend" -> pageTrendQ,
     "q_stat_lin_ccc" -> linCccQ,
@@ -5148,6 +5300,8 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_ca_trend" -> caTrendSql,
+    "q_sample_cluster" -> clusterSampleSql,
     "q_stat_brunner_munzel" -> brunnerMunzelSql,
     "q_stat_page_trend" -> pageTrendSql,
     "q_stat_lin_ccc" -> linCccSql,

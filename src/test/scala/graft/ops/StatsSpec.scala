@@ -1053,6 +1053,68 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(row.getAs[Double]("q_stat") - r6(q)) < 1e-9)
   }
 
+  test("ca trend: Z matches an exact-integer driver replay over the weekly table") {
+    import spark.implicits._
+    val r = Stats.caTrendQ(spark, sfDir).collect().head
+    val start = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val cells = graft.Tables.t(spark, sfDir, "events")
+      .filter($"ts" < lit("2024-01-29").cast("timestamp"))
+      .select($"ts", $"value").collect()
+      .map(x => ((x.getTimestamp(0).getTime - start) / 86400000L / 7 + 1,
+        x.getDouble(1) >= 50.0))
+    val byW = cells.groupBy(_._1).view
+      .mapValues(vs => (vs.length.toLong, vs.count(_._2).toLong)).toMap
+    val nn = byW.values.map(_._1).sum; val xx = byW.values.map(_._2).sum
+    val swx = byW.map { case (w, (_, x)) => w * x }.sum
+    val swn = byW.map { case (w, (n0, _)) => w * n0 }.sum
+    val sw2n = byW.map { case (w, (n0, _)) => w * w * n0 }.sum
+    assert(r.getAs[Long]("n") == nn && r.getAs[Long]("successes") == xx)
+    val p = xx.toDouble / nn
+    val z = (swx.toDouble - swn.toDouble * xx.toDouble / nn) /
+      math.sqrt(p * (1.0 - p) * (sw2n.toDouble - swn.toDouble * swn / nn))
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("z_trend") - r6(z)) < 1e-9)
+  }
+
+  test("cluster sample: estimate/icc/deff match an ANOVA driver replay; deff identity") {
+    import spark.implicits._
+    val r = Stats.clusterSampleQ(spark, sfDir).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: String): Long = {
+      val hex = md.digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val per = graft.Tables.t(spark, sfDir, "events")
+      .select($"user_id", $"value").collect()
+      .map(x => (x.getLong(0), BigDecimal(x.getDouble(1)).setScale(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = per.size; val n = per.values.map(_.length).sum
+    assert(r.getAs[Long]("n_clusters") == k && r.getAs[Long]("n_events") == n)
+    val tsx = per.values.flatten.sum.toDouble
+    val tsxx = per.values.flatten.map(v => v * v).sum.toDouble
+    def r10(d: Double) = BigDecimal(d).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val sbRaw = per.values.map { vs =>
+      val s = vs.sum.toDouble; r10(s * s / vs.length) }.sum.toDouble
+    val sampled = per.filter { case (u, _) => h60(s"cs:$u") % 2 == 0 }
+    assert(r.getAs[Long]("n_sampled_clusters") == sampled.size)
+    val est = sampled.values.flatten.sum.toDouble /
+      sampled.values.map(_.length).sum
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("cluster_estimate") - r6(est)) < 1e-9)
+    val msb = (sbRaw - tsx * tsx / n) / (k - 1)
+    val msw = (tsxx - sbRaw) / (n - k)
+    val m0 = n.toDouble / k
+    val icc = (msb - msw) / (msb + (m0 - 1) * msw)
+    assert(math.abs(r.getAs[Double]("icc") - r6(icc)) < 1e-9)
+    // deff = 1 + (m0-1)*icc identity
+    assert(math.abs(r.getAs[Double]("deff") -
+      r6(1.0 + (m0 - 1) * icc)) < 2e-6)
+    // sanity: the ~50% cluster sample lands near the truth
+    assert(math.abs(r.getAs[Double]("cluster_estimate") -
+      r.getAs[Double]("true_mean")) < 5.0)
+  }
+
   test("brunner-munzel: p-hat and W match a per-observation driver replay") {
     import spark.implicits._
     val r = Stats.brunnerMunzelQ(spark, sfDir).collect().head
