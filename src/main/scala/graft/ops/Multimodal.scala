@@ -628,6 +628,102 @@ object Multimodal {
       .limit(200)
   }
 
+  /** q_multimodal_snr entry: SIGNAL-TO-NOISE RATIO + clipping screen
+    * over the [[vadQ]] waveform parsed from REAL WAV bytes — classify
+    * frames with the same integer energy gate, then SNR_dB =
+    * 10·log₁₀(mean active-frame energy / mean quiet-frame energy) and
+    * a near-full-scale sample count (|x| ≥ 1000 of ±1024 swing). The
+    * audio-curation quality gate that drops low-SNR or clipped clips
+    * before transcription spend — computed from parsed samples so any
+    * header/offset/sign bug diverges from the formula oracle.
+    *
+    * Scale shape: pure map over the pruned audio partition (parse,
+    * frame energies, gates, log — one projection, zero exchange).
+    * Determinism: energies exact integers; the single log/division
+    * chain rounds to 6. */
+  def snrQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nf = VadN / VadFrame
+    val gate = VadFrame.toLong * 64 * 64
+    val dataHex = s"""concat_ws('', transform(sequence(0, ${VadN - 1}), k ->
+      |  concat(lpad(hex(((${vadSample("k")} + 65536) % 65536) % 256), 2, '0'),
+      |         lpad(hex(((${vadSample("k")} + 65536) % 65536) div 256), 2, '0'))))""".stripMargin
+    val withPcm = t(s, dir, "documents")
+      .filter($"doc_id" % 4 === 2)
+      .withColumn("payload",
+        concat(wavHeader("1", "8000", "16", VadN.toString), unhex(expr(dataHex))))
+      .withColumn("hx", hex($"payload"))
+    val smp = s"""transform(sequence(0, ${VadN - 1}), k ->
+      |  if(cast(conv(concat(substring(hx, (45 + 2 * k) * 2 + 1, 2),
+      |                      substring(hx, (44 + 2 * k) * 2 + 1, 2)), 16, 10)
+      |          as bigint) >= 32768,
+      |     cast(conv(concat(substring(hx, (45 + 2 * k) * 2 + 1, 2),
+      |                      substring(hx, (44 + 2 * k) * 2 + 1, 2)), 16, 10)
+      |          as bigint) - 65536,
+      |     cast(conv(concat(substring(hx, (45 + 2 * k) * 2 + 1, 2),
+      |                      substring(hx, (44 + 2 * k) * 2 + 1, 2)), 16, 10)
+      |          as bigint)))""".stripMargin
+    withPcm
+      .withColumn("smp", expr(smp))
+      .withColumn("fsq", expr(s"""transform(sequence(0, ${nf - 1}), f ->
+        |  aggregate(slice(smp, f * $VadFrame + 1, $VadFrame), 0L,
+        |    (a, x) -> a + x * x))""".stripMargin))
+      .withColumn("ps", expr(s"aggregate(filter(fsq, e -> e >= $gate), 0L, (a, e) -> a + e)"))
+      .withColumn("na", expr(s"size(filter(fsq, e -> e >= $gate))").cast("long"))
+      .withColumn("pn", expr(s"aggregate(filter(fsq, e -> e < $gate), 0L, (a, e) -> a + e)"))
+      .withColumn("nq", expr(s"size(filter(fsq, e -> e < $gate))").cast("long"))
+      .filter($"na" > 0 && $"nq" > 0 && $"pn" > 0)
+      .select($"doc_id",
+        $"ps".as("p_signal"), $"pn".as("p_noise"),
+        $"na".as("n_active_frames"), $"nq".as("n_quiet_frames"),
+        round(lit(10.0) *
+          log(($"ps".cast("double") / $"na") /
+            ($"pn".cast("double") / $"nq")) / log(lit(10.0)), 6)
+          .as("snr_db"),
+        expr("size(filter(smp, x -> abs(x) >= 1000))").cast("long")
+          .as("n_near_clip"))
+      .orderBy($"doc_id")
+      .limit(200)
+  }
+
+  val snrSql: String = {
+    val nf = VadN / VadFrame
+    val gate = VadFrame.toLong * 64 * 64
+    val sample = s"""CASE WHEN ((k // $VadFrame) + doc_id) % 2 = 0
+       | THEN (doc_id + k) % 9 - 4
+       | ELSE (doc_id * 31 + 7 * k * k) % 2048 - 1024 END""".stripMargin
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, $VadN), k -> $sample) AS smp
+      |  FROM documents WHERE doc_id % 4 = 2 ORDER BY doc_id LIMIT 200),
+      |f AS (
+      |  SELECT doc_id, smp,
+      |    list_transform(range(0, $nf), f ->
+      |      list_reduce(list_transform(smp[f * $VadFrame + 1 :
+      |          f * $VadFrame + $VadFrame], x -> x * x),
+      |        (a, b) -> a + b)) AS fsq
+      |  FROM d),
+      |g AS (
+      |  SELECT doc_id, smp,
+      |    list_reduce(list_filter(fsq, e -> e >= $gate) || [0],
+      |      (a, b) -> a + b) AS ps,
+      |    len(list_filter(fsq, e -> e >= $gate)) AS na,
+      |    list_reduce(list_filter(fsq, e -> e < $gate) || [0],
+      |      (a, b) -> a + b) AS pn,
+      |    len(list_filter(fsq, e -> e < $gate)) AS nq
+      |  FROM f)
+      |SELECT doc_id,
+      |  CAST(ps AS BIGINT) AS p_signal, CAST(pn AS BIGINT) AS p_noise,
+      |  CAST(na AS BIGINT) AS n_active_frames,
+      |  CAST(nq AS BIGINT) AS n_quiet_frames,
+      |  ROUND(10.0 * LN((CAST(ps AS DOUBLE) / na)
+      |    / (CAST(pn AS DOUBLE) / nq)) / LN(10.0), 6) AS snr_db,
+      |  CAST(len(list_filter(smp, x -> abs(x) >= 1000)) AS BIGINT)
+      |    AS n_near_clip
+      |FROM g WHERE na > 0 AND nq > 0 AND pn > 0
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val vadSql: String = {
     val nf = VadN / VadFrame
     val gate = VadFrame.toLong * 64 * 64
@@ -1582,6 +1678,7 @@ object Multimodal {
     "q_multimodal_pcm" -> pcmQ,
     "q_multimodal_vad" -> vadQ,
     "q_multimodal_histcmp" -> histcmpQ,
+    "q_multimodal_snr" -> snrQ,
     "q_multimodal_pixels" -> pixelsQ,
     "q_multimodal_sharpness" -> sharpnessQ,
     "q_multimodal_frames" -> framesQ,
@@ -1601,6 +1698,7 @@ object Multimodal {
     "q_multimodal_pcm" -> pcmSql,
     "q_multimodal_vad" -> vadSql,
     "q_multimodal_histcmp" -> histcmpSql,
+    "q_multimodal_snr" -> snrSql,
     "q_multimodal_pixels" -> pixelsSql,
     "q_multimodal_sharpness" -> sharpnessSql,
     "q_multimodal_frames" -> framesSql,

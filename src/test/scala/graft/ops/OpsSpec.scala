@@ -1288,6 +1288,34 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("snr: signal/noise powers match the planted-waveform replay; snr positive by construction") {
+    val rows = Multimodal.snrQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val smp = (0 until 128).map { k =>
+        if (((k / 32) + id) % 2 == 0) (id + k) % 9 - 4
+        else (id * 31 + 7L * k * k) % 2048 - 1024
+      }
+      val fsq = (0 until 4).map(f =>
+        (0 until 32).map(i => smp(f * 32 + i) * smp(f * 32 + i)).sum)
+      val gate = 32L * 64 * 64
+      val act = fsq.filter(_ >= gate); val qt = fsq.filter(_ < gate)
+      assert(r.getAs[Long]("n_active_frames") == act.length)
+      assert(r.getAs[Long]("n_quiet_frames") == qt.length)
+      assert(r.getAs[Long]("p_signal") == act.sum)
+      assert(r.getAs[Long]("p_noise") == qt.sum)
+      val snr = 10.0 * math.log((act.sum.toDouble / act.length) /
+        (qt.sum.toDouble / qt.length)) / math.log(10.0)
+      assert(math.abs(r.getAs[Double]("snr_db") - r6(snr)) < 1e-9)
+      assert(r.getAs[Long]("n_near_clip") ==
+        smp.count(x => math.abs(x) >= 1000))
+      // loud frames swing +/-1024, quiet +/-4: SNR must be strongly positive
+      assert(r.getAs[Double]("snr_db") > 20.0, s"doc $id snr")
+    }
+  }
+
   test("histcmp: luma histograms and pair measures match the gradient-formula replay") {
     val rows = Multimodal.histcmpQ(spark, sfDir).collect()
     assert(rows.nonEmpty)
