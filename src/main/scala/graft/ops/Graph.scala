@@ -2267,7 +2267,125 @@ object Graph {
       |FROM nk LEFT JOIN ek ON ek.k = nk.k
       |WHERE n_k >= 2 ORDER BY nk.k""".stripMargin
 
+  /** q_graph_conductance entry: CONDUCTANCE φ(C) = cut(C) /
+    * min(vol(C), vol(G̅)) of each [[lpaQ]] community — the standard
+    * community-QUALITY functional (low φ = a real cluster, cut edges
+    * rare relative to internal volume; the objective local clustering
+    * methods like ACL/PPR-sweeps optimize). LPA assigns labels;
+    * conductance certifies whether the labels mean anything — the
+    * audit a pipeline runs before trusting communities downstream.
+    *
+    * Scale shape: the label pass is [[lpaQ]]'s 3 Pregel rounds (the
+    * corpus cost is the shared checkpointed edge build); conductance
+    * itself is two node/edge-bounded joins (label onto each edge
+    * endpoint) and a combinable per-label aggregate. Determinism:
+    * weights and volumes are exact integers; φ in integer basis
+    * points. */
+  def conductanceQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    // the p75-strong sparsification (the neighborSimQ/richClubQ idiom):
+    // on the near-complete trade graph LPA collapses to ONE community
+    // and every phi is degenerate; communities are only meaningful on
+    // the strong backbone
+    val e0 = tradeEdges(s, dir).filter($"src" =!= $"dst")
+    val wAll = Window.partitionBy(lit(0))
+    val thr = e0
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"w", $"src", $"dst")))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter($"rn" === expr("(75 * n + 99) div 100"))
+      .select($"w".as("thr"))
+    val strong = e0.join(broadcast(thr), $"w" >= $"thr")
+    val und = strong.select($"src".as("a"), $"dst".as("b"), $"w")
+      .unionByName(strong.select($"dst".as("a"), $"src".as("b"), $"w"))
+      .groupBy($"a", $"b").agg(sum($"w").as("w"))
+    var lab = und.select($"a".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+    val byNode = Window.partitionBy($"a").orderBy($"s".desc, $"nl".asc)
+    for (_ <- 1 to 3) {
+      lab = und
+        .join(lab.select($"node".as("b"), $"label".as("nl")), "b")
+        .groupBy($"a", $"nl").agg(sum($"w").as("s"))
+        .withColumn("rn", row_number().over(byNode))
+        .filter($"rn" === 1)
+        .select($"a".as("node"), $"nl".as("label"))
+    }
+    val tagged = und
+      .join(broadcast(lab.select($"node".as("a"), $"label".as("la"))), "a")
+      .join(broadcast(lab.select($"node".as("b"), $"label".as("lb"))), "b")
+    val per = tagged.groupBy($"la".as("label"))
+      .agg(sum($"w").as("vol"),
+        sum(when($"la" =!= $"lb", $"w").otherwise(0L)).as("cut"))
+    val tot = per.agg(sum($"vol").as("vol_g"))
+    per.crossJoin(broadcast(tot))
+      .join(lab.groupBy($"label").agg(count(lit(1)).as("n_members")),
+        "label")
+      .select($"label", $"n_members".cast("long").as("n_members"),
+        $"vol".cast("long").as("vol"), $"cut".cast("long").as("cut"),
+        expr("if(least(vol, vol_g - vol) = 0, null, " +
+          "(10000 * cut) div least(vol, vol_g - vol))").cast("long")
+          .as("phi_bp"))
+      .orderBy($"label")
+  }
+
+  val conductanceSql: String = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT a AS node, nl AS label FROM (
+         |    SELECT u.a, l.label AS nl, SUM(u.w) AS s,
+         |      ROW_NUMBER() OVER (PARTITION BY u.a
+         |        ORDER BY SUM(u.w) DESC, l.label) AS rn
+         |    FROM und u JOIN $prev l ON l.node = u.b
+         |    GROUP BY u.a, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       |  WHERE cn.n_name <> sn.n_name
+       |  GROUP BY 1, 2),
+       |thr AS (
+       |  SELECT w AS thr FROM (
+       |    SELECT w, ROW_NUMBER() OVER (ORDER BY w, src, dst) AS rn,
+       |      COUNT(*) OVER () AS n
+       |    FROM edges) WHERE rn = (75 * n + 99) // 100),
+       |strong AS (SELECT src, dst, w FROM edges, thr WHERE w >= thr),
+       |und AS (
+       |  SELECT a, b, SUM(w) AS w FROM (
+       |    SELECT src AS a, dst AS b, w FROM strong
+       |    UNION ALL SELECT dst AS a, src AS b, w FROM strong)
+       |  GROUP BY 1, 2),
+       |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")},
+       |tagged AS (
+       |  SELECT u.a, u.b, u.w, la.label AS la, lb.label AS lb
+       |  FROM und u
+       |  JOIN l3 la ON la.node = u.a
+       |  JOIN l3 lb ON lb.node = u.b),
+       |per AS (
+       |  SELECT la AS label, SUM(w) AS vol,
+       |    SUM(CASE WHEN la <> lb THEN w ELSE 0 END) AS cut
+       |  FROM tagged GROUP BY 1),
+       |tot AS (SELECT SUM(vol) AS vol_g FROM per),
+       |szs AS (SELECT label, COUNT(*) AS n_members FROM l3 GROUP BY 1)
+       |SELECT per.label, CAST(n_members AS BIGINT) AS n_members,
+       |  CAST(vol AS BIGINT) AS vol, CAST(cut AS BIGINT) AS cut,
+       |  CAST(CASE WHEN LEAST(vol, vol_g - vol) = 0 THEN NULL
+       |    ELSE (10000 * cut) // LEAST(vol, vol_g - vol) END AS BIGINT)
+       |    AS phi_bp
+       |FROM per CROSS JOIN tot JOIN szs ON szs.label = per.label
+       |ORDER BY per.label""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_conductance" -> conductanceQ,
     "q_graph_richclub" -> richClubQ,
     "q_graph_ppr" -> pprQ,
     "q_graph_lpa" -> lpaQ,
@@ -2303,6 +2421,7 @@ object Graph {
     "q_graph_kcore" -> kcoreSql,
     "q_graph_scc" -> sccSql,
     "q_graph_hits" -> hitsSql,
+    "q_graph_conductance" -> conductanceSql,
     "q_graph_richclub" -> richClubSql,
     "q_graph_ppr" -> pprSql,
     "q_graph_pagerank" -> pagerankSql,

@@ -103,6 +103,9 @@ object Dev {
           "q_privacy_dp_quantile" -> "1-row true-median frame x 1-row winner frame",
           "q_join_bloom" -> "five 1-row count frames (audit report row)",
           "q_join_salted" -> "64x16 salted dim grid (bounded by construction)",
+          "q_ts_ljungbox" -> "bounded per-series grid dim (rows = series count, not events)",
+          "q_ts_mase" -> "bounded per-series grid dim (rows = series count, not events)",
+          "q_ts_walsh" -> "bounded per-series grid dim x 63-row sequency dim",
           "q_er_blocking_quality" -> "two 1-row count frames",
           "q_ts_reconcile" -> "1-row direct-total forecast frame",
           "q_stat_permutation" -> "1-row observed-statistic frame over the B x days grid",

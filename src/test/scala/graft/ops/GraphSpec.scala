@@ -51,6 +51,62 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       s"$n: recompute ${pr(n)} vs query ${ranks(n)}"))
   }
 
+  test("conductance: strong-graph LPA labels + phi match an in-memory replay") {
+    import spark.implicits._
+    val rows = Graph.conductanceQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // rebuild directed edges + p75 threshold (the richclub replay)
+    val cn = graft.Tables.t(spark, sfDir, "customer")
+      .join(graft.Tables.t(spark, sfDir, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey".as("ck"), $"n_name".as("cn"))
+    val sn = graft.Tables.t(spark, sfDir, "supplier")
+      .join(graft.Tables.t(spark, sfDir, "nation"),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey".as("sk"), $"n_name".as("sn"))
+    val edges = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(cn, $"o_custkey" === $"ck").join(sn, $"l_suppkey" === $"sk")
+      .groupBy($"cn", $"sn").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .filter(e => e._1 != e._2)
+    val sorted = edges.sortBy { case (a, b, w) => (w, a, b) }
+    val thr = sorted((75 * edges.length + 99) / 100 - 1)._3
+    val strong = edges.filter(_._3 >= thr)
+    // undirected symmetrized multigraph with summed weights
+    val und = (strong.map(e => ((e._1, e._2), e._3)) ++
+      strong.map(e => ((e._2, e._1), e._3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val nodes = und.keySet.map(_._1)
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      val old = lab
+      lab = nodes.toSeq.map { a =>
+        val scores = und.toSeq.collect { case ((x, b), w) if x == a =>
+          (old(b), w) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        a -> scores.sortBy { case (l, s0) => (-s0, l) }.head._1
+      }.toMap
+    }
+    val labels = lab.values.toSet
+    assert(rows.map(_.getAs[String]("label")).toSet == labels)
+    rows.foreach { r =>
+      val c = r.getAs[String]("label")
+      val members = lab.filter(_._2 == c).keySet
+      assert(r.getAs[Long]("n_members") == members.size)
+      val vol = und.collect { case ((a, _), w) if lab(a) == c => w }.sum
+      val cut = und.collect { case ((a, b), w)
+        if lab(a) == c && lab(b) != c => w }.sum
+      assert(r.getAs[Long]("vol") == vol)
+      assert(r.getAs[Long]("cut") == cut)
+      val volG = und.values.sum
+      val den = math.min(vol, volG - vol)
+      if (den > 0)
+        assert(r.getAs[Long]("phi_bp") == 10000L * cut / den)
+    }
+  }
+
   test("richclub: phi matches an in-memory recount of the strong graph; monotone N_k") {
     val rows = Graph.richClubQ(spark, sfDir).collect()
     assert(rows.nonEmpty)
