@@ -641,6 +641,9 @@ object Multimodal {
     * frame energies, gates, log — one projection, zero exchange).
     * Determinism: energies exact integers; the single log/division
     * chain rounds to 6. */
+  final case class SnrStats(doc_id: Long, p_signal: Long, p_noise: Long,
+      n_active_frames: Long, n_quiet_frames: Long, n_near_clip: Long)
+
   def snrQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nf = VadN / VadFrame
@@ -652,36 +655,50 @@ object Multimodal {
       .filter($"doc_id" % 4 === 2)
       .withColumn("payload",
         concat(wavHeader("1", "8000", "16", VadN.toString), unhex(expr(dataHex))))
-      .withColumn("hx", hex($"payload"))
-    val smp = s"""transform(sequence(0, ${VadN - 1}), k ->
-      |  if(cast(conv(concat(substring(hx, (45 + 2 * k) * 2 + 1, 2),
-      |                      substring(hx, (44 + 2 * k) * 2 + 1, 2)), 16, 10)
-      |          as bigint) >= 32768,
-      |     cast(conv(concat(substring(hx, (45 + 2 * k) * 2 + 1, 2),
-      |                      substring(hx, (44 + 2 * k) * 2 + 1, 2)), 16, 10)
-      |          as bigint) - 65536,
-      |     cast(conv(concat(substring(hx, (45 + 2 * k) * 2 + 1, 2),
-      |                      substring(hx, (44 + 2 * k) * 2 + 1, 2)), 16, 10)
-      |          as bigint)))""".stripMargin
-    withPcm
-      .withColumn("smp", expr(smp))
-      .withColumn("fsq", expr(s"""transform(sequence(0, ${nf - 1}), f ->
-        |  aggregate(slice(smp, f * $VadFrame + 1, $VadFrame), 0L,
-        |    (a, x) -> a + x * x))""".stripMargin))
-      .withColumn("ps", expr(s"aggregate(filter(fsq, e -> e >= $gate), 0L, (a, e) -> a + e)"))
-      .withColumn("na", expr(s"size(filter(fsq, e -> e >= $gate))").cast("long"))
-      .withColumn("pn", expr(s"aggregate(filter(fsq, e -> e < $gate), 0L, (a, e) -> a + e)"))
-      .withColumn("nq", expr(s"size(filter(fsq, e -> e < $gate))").cast("long"))
-      .filter($"na" > 0 && $"nq" > 0 && $"pn" > 0)
+    // First build routed the sample parse through layered SQL hex
+    // expressions; downstream refs (ps/na/pn/nq/clip/snr) re-expanded the
+    // 128-sample tree per alias — measured 777 s at sf0.1. Parsing the
+    // bytes in ONE mapPartitions pass (the pixelsQ idiom: the decode is
+    // real binary work, the right place is JVM code) is 0.5 s.
+    val stats = withPcm
+      .select($"doc_id".as[Long], $"payload".as[Array[Byte]])
+      .mapPartitions(_.map { case (id, bytes) =>
+        val n = VadN
+        val smp = new Array[Long](n)
+        var k = 0
+        while (k < n) {
+          val lo = bytes(44 + 2 * k) & 0xff
+          val hi = bytes(45 + 2 * k) & 0xff
+          val v = hi * 256 + lo
+          smp(k) = if (v >= 32768) v - 65536 else v
+          k += 1
+        }
+        var ps = 0L; var pn = 0L; var na = 0L; var nq = 0L; var clip = 0L
+        var f = 0
+        while (f < nf) {
+          var e = 0L
+          var i = 0
+          while (i < VadFrame) {
+            val x = smp(f * VadFrame + i)
+            e += x * x
+            if (math.abs(x) >= 1000) clip += 1
+            i += 1
+          }
+          if (e >= gate) { ps += e; na += 1 } else { pn += e; nq += 1 }
+          f += 1
+        }
+        SnrStats(id, ps, pn, na, nq, clip)
+      }).toDF()
+    stats
+      .filter($"n_active_frames" > 0 && $"n_quiet_frames" > 0 &&
+        $"p_noise" > 0)
       .select($"doc_id",
-        $"ps".as("p_signal"), $"pn".as("p_noise"),
-        $"na".as("n_active_frames"), $"nq".as("n_quiet_frames"),
+        $"p_signal", $"p_noise", $"n_active_frames", $"n_quiet_frames",
         round(lit(10.0) *
-          log(($"ps".cast("double") / $"na") /
-            ($"pn".cast("double") / $"nq")) / log(lit(10.0)), 6)
-          .as("snr_db"),
-        expr("size(filter(smp, x -> abs(x) >= 1000))").cast("long")
-          .as("n_near_clip"))
+          log(($"p_signal".cast("double") / $"n_active_frames") /
+            ($"p_noise".cast("double") / $"n_quiet_frames")) /
+          log(lit(10.0)), 6).as("snr_db"),
+        $"n_near_clip")
       .orderBy($"doc_id")
       .limit(200)
   }
