@@ -671,7 +671,112 @@ object Sketches {
        |FROM a""".stripMargin
   }
 
+  /** q_bloom_tune entry: BLOOM SIZING SENSITIVITY GRID — the
+    * [[bloomJoinQ]] audit swept over filter sizes m ∈ {2¹⁵..2¹⁸} (k=3
+    * fixed): per size, the bit fill, the measured false-positive rate
+    * on the non-member probe population, and the THEORY rate fill^k
+    * beside it. This is the m-vs-memory tuning table a platform team
+    * reads before provisioning a runtime filter — the
+    * [[graft.ops.MinHashTune]] / ivf_sensitivity harness pattern
+    * applied to the third index family: measured, not assumed, and
+    * the theory column certifies the implementation tracks the math.
+    *
+    * Scale shape: 4 grid cells × the bloomJoinQ dataflow (bitset
+    * collapse + 3-index probe join); the grid is a bounded dim.
+    * Determinism: md5 bits; counts exact; measured rates integer bp,
+    * theory one shared exp/log-free chain (pow of an exact ratio). */
+  def bloomTuneQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val build = t(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val probe = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val truth = probe.join(build,
+      probe("o_custkey") === build("c_custkey"), "left_semi")
+      .select($"o_orderkey")
+    def cell(m: Long): DataFrame = {
+      def h(j: Int, c: Column): Column =
+        Hashing.md5Long60(concat(lit(s"bl$j:"), c.cast("string"))) % m
+      val bits = (0 to 2).map(j => build.select(h(j, $"c_custkey").as("idx")))
+        .reduce(_ unionAll _).distinct()
+      val passed = probe.select($"o_orderkey",
+          explode(array((0 to 2).map(j => h(j, $"o_custkey")): _*)).as("idx"))
+        .join(bits, "idx")
+        .groupBy($"o_orderkey").agg(count(lit(1)).as("hits"))
+        .filter($"hits" === 3)
+        .select($"o_orderkey")
+      probe.agg(count(lit(1)).as("n_probe"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .crossJoin(passed.join(truth, Seq("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_fp")))
+        .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
+        .select(lit(m).as("m_bits"),
+          $"bits_set".cast("long").as("bits_set"),
+          expr(s"(10000 * bits_set) div $m").as("fill_bp"),
+          $"n_fp".cast("long").as("n_fp"),
+          expr("(10000 * n_fp) div (n_probe - n_true)").as("fp_bp"),
+          round(lit(10000.0) *
+            ($"bits_set".cast("double") / m) *
+            ($"bits_set".cast("double") / m) *
+            ($"bits_set".cast("double") / m), 6).as("theory_fp_bp"))
+    }
+    Seq(32768L, 65536L, 131072L, 262144L).map(cell).reduce(_ unionAll _)
+      .orderBy($"m_bits")
+  }
+
+  val bloomTuneSql: String = {
+    def cell(m: Long): String = {
+      def h(j: Int, c: String): String =
+        s"('0x' || substr(md5('bl$j:' || CAST($c AS VARCHAR)), 1, 15))" +
+          s"::UBIGINT::BIGINT % $m"
+      s"""SELECT CAST($m AS BIGINT) AS m_bits,
+         |  CAST((SELECT COUNT(*) FROM (
+         |    SELECT DISTINCT idx FROM (
+         |      SELECT ${h(0, "c_custkey")} AS idx FROM build
+         |      UNION ALL SELECT ${h(1, "c_custkey")} FROM build
+         |      UNION ALL SELECT ${h(2, "c_custkey")} FROM build)))
+         |    AS BIGINT) AS bits_set,
+         |  CAST((SELECT COUNT(*) FROM (
+         |    SELECT o_orderkey FROM (
+         |      SELECT o_orderkey, ${h(0, "o_custkey")} AS idx FROM probe
+         |      UNION ALL SELECT o_orderkey, ${h(1, "o_custkey")} FROM probe
+         |      UNION ALL SELECT o_orderkey, ${h(2, "o_custkey")} FROM probe) px
+         |    JOIN (SELECT DISTINCT idx FROM (
+         |      SELECT ${h(0, "c_custkey")} AS idx FROM build
+         |      UNION ALL SELECT ${h(1, "c_custkey")} FROM build
+         |      UNION ALL SELECT ${h(2, "c_custkey")} FROM build)) bs
+         |      USING (idx)
+         |    GROUP BY o_orderkey HAVING COUNT(*) = 3) p
+         |    WHERE p.o_orderkey NOT IN (SELECT o_orderkey FROM truth))
+         |    AS BIGINT) AS n_fp
+         |""".stripMargin
+    }
+    val cells = Seq(32768L, 65536L, 131072L, 262144L).map(cell)
+      .mkString("\nUNION ALL\n")
+    s"""WITH build AS (
+       |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+       |probe AS (SELECT o_orderkey, o_custkey FROM orders),
+       |truth AS (
+       |  SELECT o_orderkey FROM probe
+       |  WHERE o_custkey IN (SELECT c_custkey FROM build)),
+       |tot AS (
+       |  SELECT (SELECT COUNT(*) FROM probe) AS n_probe,
+       |    (SELECT COUNT(*) FROM truth) AS n_true),
+       |cells AS (
+       |$cells)
+       |SELECT m_bits, bits_set,
+       |  CAST((10000 * bits_set) // m_bits AS BIGINT) AS fill_bp,
+       |  n_fp,
+       |  CAST((10000 * n_fp) // (n_probe - n_true) AS BIGINT) AS fp_bp,
+       |  ROUND(10000.0 * (CAST(bits_set AS DOUBLE) / m_bits)
+       |    * (CAST(bits_set AS DOUBLE) / m_bits)
+       |    * (CAST(bits_set AS DOUBLE) / m_bits), 6) AS theory_fp_bp
+       |FROM cells CROSS JOIN tot
+       |ORDER BY m_bits""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_tune" -> bloomTuneQ,
     "q_join_bloom" -> bloomJoinQ,
     "q_agg_theta" -> thetaQ,
     "q_agg_hll_merge" -> hllMergeQ,
@@ -682,6 +787,7 @@ object Sketches {
     "q_join_size_est" -> joinSizeEstQ)
 
   def oracle: Map[String, String] = Map(
+    "q_bloom_tune" -> bloomTuneSql,
     "q_join_bloom" -> bloomJoinSql,
     "q_agg_theta" -> thetaSql,
     "q_agg_hll_merge" -> hllMergeSql,

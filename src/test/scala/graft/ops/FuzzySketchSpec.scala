@@ -306,6 +306,25 @@ class FuzzySketchSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Long]("s_both") <= r.getAs[Long]("s_union"))
   }
 
+  test("bloom tune: fp rate falls monotonically with m; theory tracks measurement") {
+    val rows = Sketches.bloomTuneQ(spark, sfDir).collect()
+    assert(rows.length == 4)
+    val byM = rows.sortBy(_.getAs[Long]("m_bits"))
+    // fill and fp must fall as m grows (same build population)
+    val fills = byM.map(_.getAs[Long]("fill_bp"))
+    assert(fills.zip(fills.tail).forall { case (a, b) => a >= b },
+      s"fills $fills")
+    val fps = byM.map(_.getAs[Long]("fp_bp"))
+    assert(fps.zip(fps.tail).forall { case (a, b) => a >= b }, s"fps $fps")
+    // theory fill^3 within a loose band of measured (small-n variance)
+    byM.foreach { r =>
+      val theo = r.getAs[Double]("theory_fp_bp")
+      val meas = r.getAs[Long]("fp_bp").toDouble
+      assert(meas <= theo * 5 + 100,
+        s"m=${r.getAs[Long]("m_bits")}: measured $meas vs theory $theo")
+    }
+  }
+
   test("bloom join: membership accounting exact; no false negatives; fp rate near theory") {
     import spark.implicits._
     val r = Sketches.bloomJoinQ(spark, sfDir).collect().head
