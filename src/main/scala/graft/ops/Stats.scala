@@ -5236,7 +5236,92 @@ object Stats {
       |    AS deff
       |FROM f""".stripMargin
 
+  /** q_stat_moods_median entry: MOOD'S MEDIAN TEST across the five
+    * event types — each observation scored above/below the GLOBAL
+    * exact median (the lower-median order statistic, data-derived in
+    * both engines), then the k×2 contingency χ². The bluntest and most
+    * outlier-proof of the k-group location tests (only the sign of the
+    * deviation from the pooled median enters) — the sanity check run
+    * when even rank tests are suspect, completing the location-test
+    * ladder beside [[anovaQ]] (means), [[kruskalQ]] (ranks), and
+    * [[friedmanQ]] (blocked ranks).
+    *
+    * Scale shape: the global median is one cumulative window over the
+    * value-bounded distinct collapse (no raw-row sort); the above/
+    * below table is one combinable conditional aggregate; χ² on the
+    * k×2 frame. Determinism: the median is an exact data value;
+    * counts exact integers; per-cell terms 9-dp DECIMAL sums. */
+  def moodsMedianQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val types = EvTypes
+    val ev = t(s, dir, "events")
+    val med = ev.groupBy($"value".as("v")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum($"c").over(Window.partitionBy(lit(0))))
+      .withColumn("cum", sum($"c").over(Window.partitionBy(lit(0))
+        .orderBy($"v").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .filter($"cum" >= expr("(n + 1) div 2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"v")))
+      .filter($"rn" === 1)
+      .select($"v".as("median"))
+    val cells = ev.crossJoin(broadcast(med))
+      .select($"event_type", ($"value" > $"median").cast("long").as("ab"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"ab").as("above"))
+    val tot = cells.agg(sum($"n").as("nn"), sum($"above").as("ta"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("e_above", $"n".cast("double") * $"ta" / $"nn")
+      .withColumn("e_below",
+        $"n".cast("double") * ($"nn" - $"ta") / $"nn")
+      .withColumn("term",
+        round(($"above" - $"e_above") * ($"above" - $"e_above")
+          / $"e_above" +
+          (($"n" - $"above") - $"e_below") * (($"n" - $"above") - $"e_below")
+          / $"e_below", 9).cast("decimal(28,9)"))
+      .agg(max($"nn").as("n"), count(lit(1)).as("k"),
+        sum($"term").as("chi2"))
+      .select($"n".cast("long").as("n"), $"k".cast("long").as("k"),
+        ($"k" - 1).cast("long").as("dof"),
+        round($"chi2".cast("double"), 6).as("chi2_stat"))
+  }
+
+  val moodsMedianSql: String =
+    """WITH vals AS (
+      |  SELECT value AS v, COUNT(*) AS c FROM events GROUP BY 1),
+      |med AS (
+      |  SELECT v AS median FROM (
+      |    SELECT v,
+      |      SUM(c) OVER () AS n,
+      |      SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |        AND CURRENT ROW) AS cum
+      |    FROM vals)
+      |  WHERE cum >= (n + 1) // 2 ORDER BY v LIMIT 1),
+      |cells AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CASE WHEN value > median THEN 1 ELSE 0 END) AS above
+      |  FROM events CROSS JOIN med GROUP BY 1),
+      |tot AS (SELECT SUM(n) AS nn, SUM(above) AS ta FROM cells),
+      |terms AS (
+      |  SELECT nn,
+      |    CAST(ROUND(
+      |      (above - CAST(n AS DOUBLE) * ta / nn)
+      |        * (above - CAST(n AS DOUBLE) * ta / nn)
+      |        / (CAST(n AS DOUBLE) * ta / nn)
+      |      + ((n - above) - CAST(n AS DOUBLE) * (nn - ta) / nn)
+      |        * ((n - above) - CAST(n AS DOUBLE) * (nn - ta) / nn)
+      |        / (CAST(n AS DOUBLE) * (nn - ta) / nn), 9)
+      |      AS DECIMAL(28,9)) AS term
+      |  FROM cells CROSS JOIN tot)
+      |SELECT CAST(MAX(nn) AS BIGINT) AS n,
+      |  CAST(COUNT(*) AS BIGINT) AS k,
+      |  CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+      |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2_stat
+      |FROM terms""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_moods_median" -> moodsMedianQ,
     "q_stat_ca_trend" -> caTrendQ,
     "q_sample_cluster" -> clusterSampleQ,
     "q_stat_brunner_munzel" -> brunnerMunzelQ,
@@ -5300,6 +5385,7 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_moods_median" -> moodsMedianSql,
     "q_stat_ca_trend" -> caTrendSql,
     "q_sample_cluster" -> clusterSampleSql,
     "q_stat_brunner_munzel" -> brunnerMunzelSql,

@@ -1053,6 +1053,35 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(row.getAs[Double]("q_stat") - r6(q)) < 1e-9)
   }
 
+  test("moods median: chi2 matches a driver above/below replay on the exact global median") {
+    import spark.implicits._
+    val r = Stats.moodsMedianQ(spark, sfDir).collect().head
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_type", $"value").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val sortedVals = ev.map(_._2).sorted
+    val median = sortedVals((ev.length + 1) / 2 - 1)
+    val types = ev.map(_._1).distinct.sorted
+    assert(r.getAs[Long]("n") == ev.length)
+    assert(r.getAs[Long]("k") == types.length)
+    assert(r.getAs[Long]("dof") == types.length - 1)
+    val ta = ev.count(_._2 > median).toDouble
+    val nn = ev.length.toDouble
+    def r9(d: Double) = BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val chi2 = types.map { tp =>
+      val g = ev.filter(_._1 == tp)
+      val n = g.length.toDouble
+      val above = g.count(_._2 > median).toDouble
+      val eA = n * ta / nn; val eB = n * (nn - ta) / nn
+      r9((above - eA) * (above - eA) / eA +
+        ((n - above) - eB) * ((n - above) - eB) / eB)
+    }.sum.toDouble
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("chi2_stat") - r6(chi2)) < 1e-9,
+      s"${r.getAs[Double]("chi2_stat")} vs replay $chi2")
+    assert(r.getAs[Double]("chi2_stat") >= 0.0)
+  }
+
   test("ca trend: Z matches an exact-integer driver replay over the weekly table") {
     import spark.implicits._
     val r = Stats.caTrendQ(spark, sfDir).collect().head
