@@ -2189,7 +2189,140 @@ object TimeSeries {
       |FROM ent e JOIN dom ON dom.event_type = e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  /** q_ts_dtw entry: DYNAMIC TIME WARPING distance between consecutive
+    * event types' 30-day count series — THE elastic similarity measure
+    * for time series (alignment-invariant where Euclidean distance is
+    * rigid; the distance under time-series clustering, motif search,
+    * and query-by-example). Spark has no DTW; the recurrence
+    * D(i,j) = |aᵢ−bⱼ| + min(D(i−1,j), D(i,j−1), D(i−1,j−1)) looks
+    * hopelessly sequential, but the classical PARALLEL formulation
+    * processes ANTI-DIAGONALS: every cell on diagonal d depends only
+    * on diagonals d−1 and d−2, so each wavefront step is an
+    * independent elementwise map — here one `aggregate` HOF fold over
+    * the 2n−1 diagonals carrying (prev, prevprev) arrays, mirrored in
+    * the oracle by a recursive CTE carrying the same two LISTs. At
+    * cluster scale the same wavefront runs one diagonal per map stage
+    * — the textbook systolic DTW.
+    *
+    * Scale shape: daily collapse → 5 per-type arrays → 4 consecutive
+    * pairs; the fold is per-pair local work over 30-element arrays
+    * (no shuffle after the collapse). Determinism: costs and DP values
+    * are EXACT INTEGERS end to end — bit-identical across engines by
+    * construction, no FP anywhere. */
+  def dtwQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val n = 30
+    val big = 1000000000000000L // sentinel for out-of-range neighbors
+    val daily = t(s, dir, "events")
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01', timestamp'2024-01-30',
+        |  interval 1 day)) AS d""".stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val dense = grid.crossJoin(broadcast(series))
+      .join(daily, Seq("d", "event_type"), "left")
+      .select($"event_type", $"d", coalesce($"cnt", lit(0L)).as("x"))
+    val arrs = dense.groupBy($"event_type")
+      .agg(expr("transform(array_sort(collect_list(struct(d, x))), p -> p.x)")
+        .as("xs"))
+    val w = Window.partitionBy(lit(0)).orderBy($"event_type")
+    val pairs = arrs
+      .withColumn("type_b", lead($"event_type", 1).over(w))
+      .withColumn("xb", lead($"xs", 1).over(w))
+      .filter($"type_b".isNotNull)
+      .select($"event_type".as("type_a"), $"type_b",
+        $"xs".as("xa"), $"xb")
+    val hi = n - 1
+    val fold =
+      s"""aggregate(sequence(1, ${2 * n - 2}),
+         |  struct(
+         |    array(abs(element_at(xa, 1) - element_at(xb, 1))) as prev,
+         |    cast(array() as array<bigint>) as pp),
+         |  (st, d) -> struct(
+         |    transform(sequence(greatest(0, d - $hi), least(d, $hi)), i ->
+         |      abs(element_at(xa, i + 1) - element_at(xb, d - i + 1)) +
+         |      least(
+         |        if(i >= 1,
+         |           element_at(st.prev,
+         |             (i - 1) - greatest(0, (d - 1) - $hi) + 1),
+         |           ${big}L),
+         |        if(i <= d - 1,
+         |           element_at(st.prev,
+         |             i - greatest(0, (d - 1) - $hi) + 1),
+         |           ${big}L),
+         |        if(d >= 2 and i >= 1 and i <= d - 1,
+         |           element_at(st.pp,
+         |             (i - 1) - greatest(0, (d - 2) - $hi) + 1),
+         |           ${big}L))) as prev,
+         |    st.prev as pp),
+         |  st -> element_at(st.prev, 1))""".stripMargin.replace("\n", " ")
+    pairs
+      .withColumn("dtw", expr(fold))
+      .select($"type_a", $"type_b",
+        lit(n.toLong).as("n"),
+        $"dtw".cast("long").as("dtw"),
+        expr(s"(10000 * dtw) div ${2 * n - 1}").as("per_step_bp"))
+      .orderBy($"type_a")
+  }
+
+  val dtwSql: String = {
+    val n = 30
+    val hi = n - 1
+    val big = "1000000000000000"
+    s"""WITH RECURSIVE daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+      |    TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS d),
+      |series AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT series.event_type, grid.d, COALESCE(daily.cnt, 0) AS x
+      |  FROM grid CROSS JOIN series
+      |  LEFT JOIN daily ON daily.d = grid.d
+      |    AND daily.event_type = series.event_type),
+      |arrs AS (
+      |  SELECT event_type, list(x ORDER BY d) AS xs
+      |  FROM dense GROUP BY 1),
+      |pairs AS (
+      |  SELECT event_type AS type_a,
+      |    lead(event_type) OVER w AS type_b,
+      |    xs AS xa, lead(xs) OVER w AS xb
+      |  FROM arrs WINDOW w AS (ORDER BY event_type)
+      |  QUALIFY type_b IS NOT NULL),
+      |rec AS (
+      |  SELECT type_a, type_b, xa, xb, 0 AS dd,
+      |    [abs(xa[1] - xb[1])] AS prev,
+      |    CAST([] AS BIGINT[]) AS pp
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT type_a, type_b, xa, xb, dd + 1,
+      |    list_transform(range(greatest(0, (dd + 1) - $hi),
+      |        least(dd + 1, $hi) + 1), i ->
+      |      abs(xa[i + 1] - xb[(dd + 1) - i + 1]) +
+      |      least(
+      |        CASE WHEN i >= 1
+      |          THEN prev[(i - 1) - greatest(0, dd - $hi) + 1]
+      |          ELSE $big END,
+      |        CASE WHEN i <= dd
+      |          THEN prev[i - greatest(0, dd - $hi) + 1]
+      |          ELSE $big END,
+      |        CASE WHEN dd + 1 >= 2 AND i >= 1 AND i <= dd
+      |          THEN pp[(i - 1) - greatest(0, (dd - 1) - $hi) + 1]
+      |          ELSE $big END)),
+      |    prev
+      |  FROM rec WHERE dd < ${2 * n - 2})
+      |SELECT type_a, type_b, CAST($n AS BIGINT) AS n,
+      |  CAST(prev[1] AS BIGINT) AS dtw,
+      |  CAST((10000 * prev[1]) // ${2 * n - 1} AS BIGINT) AS per_step_bp
+      |FROM rec WHERE dd = ${2 * n - 2}
+      |ORDER BY type_a""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_dtw" -> dtwQ,
     "q_ts_walsh" -> walshQ,
     "q_ts_ljungbox" -> ljungBoxQ,
     "q_ts_mase" -> maseQ,
@@ -2218,6 +2351,7 @@ object TimeSeries {
     "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_dtw" -> dtwSql,
     "q_ts_walsh" -> walshSql,
     "q_ts_ljungbox" -> ljungBoxSql,
     "q_ts_mase" -> maseSql,

@@ -1110,6 +1110,38 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("dtw: wavefront fold equals the classical sequential DP; no-warp bound holds") {
+    val rows = TimeSeries.dtwQ(spark, sfDir).collect()
+    val series = denseCounts("day")
+    assert(rows.length == series.size - 1)
+    def dtwSeq(a: Array[Long], b: Array[Long]): Long = {
+      val n = a.length; val m = b.length
+      val dp = Array.fill(n, m)(0L)
+      for (i <- 0 until n; j <- 0 until m) {
+        val c = math.abs(a(i) - b(j))
+        dp(i)(j) = c + ((i, j) match {
+          case (0, 0) => 0L
+          case (0, _) => dp(0)(j - 1)
+          case (_, 0) => dp(i - 1)(0)
+          case _ => math.min(dp(i - 1)(j),
+            math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+        })
+      }
+      dp(n - 1)(m - 1)
+    }
+    rows.foreach { r =>
+      val a = series(r.getAs[String]("type_a"))
+      val b = series(r.getAs[String]("type_b"))
+      val exp = dtwSeq(a, b)
+      assert(r.getAs[Long]("dtw") == exp,
+        s"${r.getAs[String]("type_a")}/${r.getAs[String]("type_b")}: " +
+          s"wavefront ${r.getAs[Long]("dtw")} vs sequential $exp")
+      // the diagonal (no-warp) path upper-bounds DTW
+      val noWarp = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+      assert(r.getAs[Long]("dtw") <= noWarp)
+    }
+  }
+
   test("walsh: integer coefficients match a driver popcount replay; entropy in [0, 1]") {
     val rows = TimeSeries.walshQ(spark, sfDir).collect()
     val series = denseCounts("hour")
