@@ -2321,7 +2321,160 @@ object TimeSeries {
       |ORDER BY type_a""".stripMargin
   }
 
+  /** q_ts_dtw_band entry: SAKOE–CHIBA BANDED DTW (radius r = 3) beside
+    * the unconstrained distance — the production form of [[dtwQ]]:
+    * restricting warps to |i−j| ≤ r cuts the DP from O(n²) to O(n·r)
+    * cells (at 10⁴-point series that is the difference between 10⁸ and
+    * 3·10⁴ cells per pair) and regularizes pathological warps. The
+    * banded wavefront is the same anti-diagonal fold with each
+    * diagonal's index range clipped to the band; band-clipped
+    * neighbors are guarded exactly like border cells. dtw_band ≥
+    * dtw_full by construction (a restricted path set); the gap column
+    * shows what the band costs in distance — the r-tuning readout.
+    *
+    * Determinism: exact integers throughout ([[dtwQ]] contract). The
+    * band bound ceil((d−r)/2) is computed as greatest(0, (d−r+1) div
+    * 2): Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors, but every negative intermediate is clamped by the 0 arm,
+    * so the engines agree on all reachable values. */
+  def dtwBandQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val n = 30
+    val hi = n - 1
+    val big = 1000000000000000L
+    val daily = t(s, dir, "events")
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01', timestamp'2024-01-30',
+        |  interval 1 day)) AS d""".stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val dense = grid.crossJoin(broadcast(series))
+      .join(daily, Seq("d", "event_type"), "left")
+      .select($"event_type", $"d", coalesce($"cnt", lit(0L)).as("x"))
+    val arrs = dense.groupBy($"event_type")
+      .agg(expr("transform(array_sort(collect_list(struct(d, x))), p -> p.x)")
+        .as("xs"))
+    val w = Window.partitionBy(lit(0)).orderBy($"event_type")
+    val pairs = arrs
+      .withColumn("type_b", lead($"event_type", 1).over(w))
+      .withColumn("xb", lead($"xs", 1).over(w))
+      .filter($"type_b".isNotNull)
+      .select($"event_type".as("type_a"), $"type_b",
+        $"xs".as("xa"), $"xb")
+    // banded wavefront fold; r >= 2*hi reproduces the unconstrained DTW
+    def fold(r: Int): String = {
+      def lo(dEx: String) =
+        s"greatest(0, $dEx - $hi, ($dEx - $r + 1) div 2)"
+      def hiB(dEx: String) =
+        s"least($dEx, $hi, ($dEx + $r) div 2)"
+      s"""aggregate(sequence(1, ${2 * n - 2}),
+         |  struct(
+         |    array(abs(element_at(xa, 1) - element_at(xb, 1))) as prev,
+         |    cast(array() as array<bigint>) as pp),
+         |  (st, d) -> struct(
+         |    transform(sequence(cast(${lo("d")} as int),
+         |        cast(${hiB("d")} as int)), i ->
+         |      abs(element_at(xa, i + 1) - element_at(xb, d - i + 1)) +
+         |      least(
+         |        if(i >= 1 and i - 1 >= ${lo("(d - 1)")}
+         |             and i - 1 <= ${hiB("(d - 1)")},
+         |           element_at(st.prev,
+         |             cast((i - 1) - ${lo("(d - 1)")} + 1 as int)),
+         |           ${big}L),
+         |        if(i <= d - 1 and i >= ${lo("(d - 1)")}
+         |             and i <= ${hiB("(d - 1)")},
+         |           element_at(st.prev,
+         |             cast(i - ${lo("(d - 1)")} + 1 as int)),
+         |           ${big}L),
+         |        if(d >= 2 and i >= 1 and i <= d - 1
+         |             and i - 1 >= ${lo("(d - 2)")}
+         |             and i - 1 <= ${hiB("(d - 2)")},
+         |           element_at(st.pp,
+         |             cast((i - 1) - ${lo("(d - 2)")} + 1 as int)),
+         |           ${big}L))) as prev,
+         |    st.prev as pp),
+         |  st -> element_at(st.prev, 1))""".stripMargin.replace("\n", " ")
+    }
+    pairs
+      .withColumn("dtw_band", expr(fold(3)))
+      .withColumn("dtw_full", expr(fold(2 * hi)))
+      .select($"type_a", $"type_b", lit(3L).as("radius"),
+        $"dtw_band".cast("long").as("dtw_band"),
+        $"dtw_full".cast("long").as("dtw_full"),
+        ($"dtw_band" - $"dtw_full").cast("long").as("band_gap"))
+      .orderBy($"type_a")
+  }
+
+  val dtwBandSql: String = {
+    val n = 30
+    val hi = n - 1
+    val big = "1000000000000000"
+    def recOf(r: Int, name: String): String = {
+      def lo(dEx: String) =
+        s"greatest(0, $dEx - $hi, ($dEx - $r + 1) // 2)"
+      def hiB(dEx: String) =
+        s"least($dEx, $hi, ($dEx + $r) // 2)"
+      s"""$name AS (
+      |  SELECT type_a, type_b, xa, xb, 0 AS dd,
+      |    [abs(xa[1] - xb[1])] AS prev,
+      |    CAST([] AS BIGINT[]) AS pp
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT type_a, type_b, xa, xb, dd + 1,
+      |    list_transform(range(${lo("(dd + 1)")}, ${hiB("(dd + 1)")} + 1),
+      |        i ->
+      |      abs(xa[i + 1] - xb[(dd + 1) - i + 1]) +
+      |      least(
+      |        CASE WHEN i >= 1 AND i - 1 >= ${lo("dd")}
+      |               AND i - 1 <= ${hiB("dd")}
+      |          THEN prev[(i - 1) - ${lo("dd")} + 1] ELSE $big END,
+      |        CASE WHEN i <= dd AND i >= ${lo("dd")}
+      |               AND i <= ${hiB("dd")}
+      |          THEN prev[i - ${lo("dd")} + 1] ELSE $big END,
+      |        CASE WHEN dd + 1 >= 2 AND i >= 1 AND i <= dd
+      |               AND i - 1 >= ${lo("(dd - 1)")}
+      |               AND i - 1 <= ${hiB("(dd - 1)")}
+      |          THEN pp[(i - 1) - ${lo("(dd - 1)")} + 1] ELSE $big END)),
+      |    prev
+      |  FROM $name WHERE dd < ${2 * n - 2})""".stripMargin
+    }
+    s"""WITH RECURSIVE daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+      |    TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS d),
+      |series AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT series.event_type, grid.d, COALESCE(daily.cnt, 0) AS x
+      |  FROM grid CROSS JOIN series
+      |  LEFT JOIN daily ON daily.d = grid.d
+      |    AND daily.event_type = series.event_type),
+      |arrs AS (
+      |  SELECT event_type, list(x ORDER BY d) AS xs
+      |  FROM dense GROUP BY 1),
+      |pairs AS (
+      |  SELECT event_type AS type_a,
+      |    lead(event_type) OVER w AS type_b,
+      |    xs AS xa, lead(xs) OVER w AS xb
+      |  FROM arrs WINDOW w AS (ORDER BY event_type)
+      |  QUALIFY type_b IS NOT NULL),
+      |${recOf(3, "recb")},
+      |${recOf(2 * hi, "recf")}
+      |SELECT b.type_a, b.type_b, CAST(3 AS BIGINT) AS radius,
+      |  CAST(b.prev[1] AS BIGINT) AS dtw_band,
+      |  CAST(f.prev[1] AS BIGINT) AS dtw_full,
+      |  CAST(b.prev[1] - f.prev[1] AS BIGINT) AS band_gap
+      |FROM (SELECT * FROM recb WHERE dd = ${2 * n - 2}) b
+      |JOIN (SELECT * FROM recf WHERE dd = ${2 * n - 2}) f
+      |  USING (type_a, type_b)
+      |ORDER BY b.type_a""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_dtw_band" -> dtwBandQ,
     "q_ts_dtw" -> dtwQ,
     "q_ts_walsh" -> walshQ,
     "q_ts_ljungbox" -> ljungBoxQ,
@@ -2351,6 +2504,7 @@ object TimeSeries {
     "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_dtw_band" -> dtwBandSql,
     "q_ts_dtw" -> dtwSql,
     "q_ts_walsh" -> walshSql,
     "q_ts_ljungbox" -> ljungBoxSql,

@@ -1142,6 +1142,39 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dtw band: banded wavefront equals a banded sequential DP; band >= full") {
+    val rows = TimeSeries.dtwBandQ(spark, sfDir).collect()
+    val series = denseCounts("day")
+    assert(rows.length == series.size - 1)
+    val big = Long.MaxValue / 4
+    def dtwBandSeq(a: Array[Long], b: Array[Long], r: Int): Long = {
+      val n = a.length; val m = b.length
+      val dp = Array.fill(n, m)(big)
+      for (i <- 0 until n; j <- 0 until m if math.abs(i - j) <= r) {
+        val c = math.abs(a(i) - b(j))
+        def at(x: Int, y: Int): Long =
+          if (x < 0 || y < 0 || math.abs(x - y) > r) big else dp(x)(y)
+        dp(i)(j) = c + ((i, j) match {
+          case (0, 0) => 0L
+          case _ => math.min(at(i - 1, j), math.min(at(i, j - 1), at(i - 1, j - 1)))
+        })
+      }
+      dp(n - 1)(m - 1)
+    }
+    rows.foreach { r =>
+      val a = series(r.getAs[String]("type_a"))
+      val b = series(r.getAs[String]("type_b"))
+      assert(r.getAs[Long]("radius") == 3)
+      val expBand = dtwBandSeq(a, b, 3)
+      val expFull = dtwBandSeq(a, b, a.length)
+      assert(r.getAs[Long]("dtw_band") == expBand,
+        s"band ${r.getAs[Long]("dtw_band")} vs sequential $expBand")
+      assert(r.getAs[Long]("dtw_full") == expFull)
+      assert(r.getAs[Long]("band_gap") >= 0, "restricting paths cannot lower DTW")
+      assert(r.getAs[Long]("band_gap") == expBand - expFull)
+    }
+  }
+
   test("walsh: integer coefficients match a driver popcount replay; entropy in [0, 1]") {
     val rows = TimeSeries.walshQ(spark, sfDir).collect()
     val series = denseCounts("hour")
