@@ -5320,7 +5320,104 @@ object Stats {
       |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2_stat
       |FROM terms""".stripMargin
 
+  /** q_stat_jonckheere entry: JONCKHEERE–TERPSTRA TEST for ordered
+    * alternatives — JT = Σ_{j<k} U_jk over the 4 ordered January weeks
+    * (U counts week-j observations below week-k observations, ties ½),
+    * standardized against the null mean (N²−Σn²)/4 and the no-tie
+    * variance (N²(2N+3)−Σn²(2n+3))/72 (documented; ties in a
+    * continuous double value column are measure-zero — the
+    * [[mannWhitneyQ]] convention). Where [[pageTrendQ]] needs COMPLETE
+    * user blocks, JT tests the same "does value rise across weeks?"
+    * on the raw pooled observations — the trend test that loses no
+    * data to incomplete panels.
+    *
+    * Scale shape: ONE value-bounded distinct collapse with pinned
+    * per-week count columns; 4 cumulative windows price all 6 pairwise
+    * U's simultaneously; one final 1-row chain. Determinism: U exact
+    * in 0.5 units (DECIMAL sums), counts exact integers, one IEEE
+    * chain rounded 6. */
+  def jonckheereQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val k = 4
+    val wk = t(s, dir, "events")
+      .filter($"ts" < lit("2024-01-29").cast("timestamp"))
+      .groupBy($"value".as("v"))
+      .agg((1 to k).map(j =>
+        sum(when((floor(datediff($"ts",
+          lit("2024-01-01").cast("timestamp")) / 7) + 1) === j, 1L)
+          .otherwise(0L)).as(s"c$j")).head,
+        (2 to k).map(j =>
+          sum(when((floor(datediff($"ts",
+            lit("2024-01-01").cast("timestamp")) / 7) + 1) === j, 1L)
+            .otherwise(0L)).as(s"c$j")): _*)
+    val wCum = Window.partitionBy(lit(0)).orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = (1 to k).foldLeft(wk) { (df, j) =>
+      df.withColumn(s"b$j", coalesce(sum(col(s"c$j")).over(wCum), lit(0L)))
+    }
+    // U_jk contribution at value v: c_k(v)·before_j(v) + c_j(v)·c_k(v)/2
+    val uTerms = for { j <- 1 to k; kk <- 1 to k if j < kk } yield
+      sum((col(s"c$kk").cast("decimal(18,1)") * col(s"b$j") +
+        col(s"c$j").cast("decimal(18,1)") * col(s"c$kk") / 2)
+        .cast("decimal(28,1)")).as(s"u_${j}_$kk")
+    val nCols = (1 to k).map(j => sum(col(s"c$j")).as(s"n$j"))
+    val agg = cum.agg((uTerms ++ nCols).head, (uTerms ++ nCols).tail: _*)
+    val jt = (for { j <- 1 to k; kk <- 1 to k if j < kk }
+      yield col(s"u_${j}_$kk").cast("double")).reduce(_ + _)
+    val nAll = (1 to k).map(j => col(s"n$j")).reduce(_ + _)
+    val sumN2 = (1 to k).map(j => col(s"n$j") * col(s"n$j")).reduce(_ + _)
+    val sumVar = (1 to k).map(j =>
+      col(s"n$j").cast("double") * col(s"n$j") *
+        (lit(2) * col(s"n$j") + 3)).reduce(_ + _)
+    agg.select(
+      nAll.cast("long").as("n"), lit(k.toLong).as("k"),
+      round(jt, 1).as("jt_stat"),
+      round((jt - (nAll.cast("double") * nAll - sumN2.cast("double")) / 4) /
+        sqrt((nAll.cast("double") * nAll * (lit(2) * nAll + 3) - sumVar)
+          / 72.0), 6).as("z"))
+  }
+
+  val jonckheereSql: String = {
+    val k = 4
+    def wkExpr =
+      "CAST(FLOOR(datediff('day', TIMESTAMP '2024-01-01', ts) / 7) + 1 AS INT)"
+    val cs = (1 to k).map(j =>
+      s"SUM(CASE WHEN $wkExpr = $j THEN 1 ELSE 0 END) AS c$j")
+    val bs = (1 to k).map(j =>
+      s"COALESCE(SUM(c$j) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED " +
+        s"PRECEDING AND 1 PRECEDING), 0) AS b$j")
+    val us = for { j <- 1 to k; kk <- 1 to k if j < kk } yield
+      s"SUM(CAST(CAST(c$kk AS DECIMAL(18,1)) * b$j " +
+        s"+ CAST(c$j AS DECIMAL(18,1)) * c$kk / 2 AS DECIMAL(28,1))) " +
+        s"AS u_${j}_$kk"
+    val ns = (1 to k).map(j => s"SUM(c$j) AS n$j")
+    val jt = (for { j <- 1 to k; kk <- 1 to k if j < kk }
+      yield s"CAST(u_${j}_$kk AS DOUBLE)").mkString(" + ")
+    val nAll = (1 to k).map(j => s"n$j").mkString(" + ")
+    val sumN2 = (1 to k).map(j => s"n$j * n$j").mkString(" + ")
+    val sumVar = (1 to k).map(j =>
+      s"CAST(n$j AS DOUBLE) * n$j * (2 * n$j + 3)").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT value AS v, ${cs.mkString(",\n    ")}
+       |  FROM events WHERE ts < TIMESTAMP '2024-01-29' GROUP BY 1),
+       |c AS (
+       |  SELECT *, ${bs.mkString(",\n    ")}
+       |  FROM d),
+       |a AS (
+       |  SELECT ${(us ++ ns).mkString(",\n    ")}
+       |  FROM c)
+       |SELECT CAST($nAll AS BIGINT) AS n, CAST($k AS BIGINT) AS k,
+       |  ROUND($jt, 1) AS jt_stat,
+       |  ROUND((($jt) - (CAST($nAll AS DOUBLE) * ($nAll)
+       |      - CAST($sumN2 AS DOUBLE)) / 4)
+       |    / SQRT((CAST($nAll AS DOUBLE) * ($nAll) * (2 * ($nAll) + 3)
+       |      - ($sumVar)) / 72.0), 6) AS z
+       |FROM a""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_jonckheere" -> jonckheereQ,
     "q_stat_moods_median" -> moodsMedianQ,
     "q_stat_ca_trend" -> caTrendQ,
     "q_sample_cluster" -> clusterSampleQ,
@@ -5385,6 +5482,7 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_jonckheere" -> jonckheereSql,
     "q_stat_moods_median" -> moodsMedianSql,
     "q_stat_ca_trend" -> caTrendSql,
     "q_sample_cluster" -> clusterSampleSql,

@@ -1053,6 +1053,35 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(row.getAs[Double]("q_stat") - r6(q)) < 1e-9)
   }
 
+  test("jonckheere: JT matches a brute-force pairwise driver replay") {
+    import spark.implicits._
+    val r = Stats.jonckheereQ(spark, sfDir).collect().head
+    val start = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val obs = graft.Tables.t(spark, sfDir, "events")
+      .filter($"ts" < lit("2024-01-29").cast("timestamp"))
+      .select($"ts", $"value").collect()
+      .map(x => (((x.getTimestamp(0).getTime - start) / 86400000L / 7) + 1,
+        x.getDouble(1)))
+    val k = 4
+    val groups = (1 to k).map(j => obs.filter(_._1 == j).map(_._2))
+    val n = obs.length
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("k") == k)
+    // brute-force U sums (ties count half)
+    var jt = BigDecimal(0)
+    for (j <- 0 until k; kk <- j + 1 until k; x <- groups(j); y <- groups(kk)) {
+      if (x < y) jt += 1
+      else if (x == y) jt += BigDecimal(1) / 2
+    }
+    assert(r.getAs[Double]("jt_stat") == jt.toDouble,
+      s"JT ${r.getAs[Double]("jt_stat")} vs brute force $jt")
+    val ns = groups.map(_.length.toLong)
+    val e = (n.toLong * n - ns.map(x => x * x).sum).toDouble / 4
+    val v = (n.toDouble * n * (2 * n + 3) -
+      ns.map(x => x.toDouble * x * (2 * x + 3)).sum) / 72.0
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("z") - r6((jt.toDouble - e) / math.sqrt(v))) < 1e-9)
+  }
+
   test("moods median: chi2 matches a driver above/below replay on the exact global median") {
     import spark.implicits._
     val r = Stats.moodsMedianQ(spark, sfDir).collect().head
