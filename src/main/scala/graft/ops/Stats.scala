@@ -5416,7 +5416,86 @@ object Stats {
        |FROM a""".stripMargin
   }
 
+  /** q_stat_siegel_tukey entry: SIEGEL–TUKEY RANK TEST FOR SCALE —
+    * click vs view `value` dispersion with NO distributional
+    * assumptions, completing the homogeneity ladder beside
+    * [[bartlettQ]] (normal-theory) and [[leveneQ]] (robust-mean):
+    * rank observations alternating FROM THE EXTREMES (1 to the
+    * smallest; 2,3 to the two largest; 4,5 to the next two smallest …)
+    * so a low-dispersion group concentrates in the middle and
+    * collects HIGH ranks, then run the Mann–Whitney machinery on
+    * those ranks. Ranks are assigned per POSITION in the
+    * (value, event_id) total order — a pinned deterministic
+    * convention both engines share exactly (the classical
+    * distinct-observation form; position ties are measure-zero for a
+    * continuous value and the tiebreak is documented).
+    *
+    * Closed-form position→rank map (p = ascending position, m = N−p+1
+    * = descending position): left half (p ≤ (N+1) div 2): rank =
+    * 2p−(p mod 2); right half: rank = 2m−((m+1) mod 2). Scale shape:
+    * ONE range-partitioned sort of the narrow (value, id, group)
+    * frame; rank sums are combinable exact-integer aggregates; one
+    * final IEEE chain. */
+  def siegelTukeyQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ranked = t(s, dir, "events")
+      .filter($"event_type".isin("click", "view"))
+      .select($"event_id", $"event_type", $"value")
+      .withColumn("p", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"value", $"event_id")))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(0))))
+      .withColumn("st_rank",
+        when($"p" <= expr("(nn + 1) div 2"),
+          lit(2) * $"p" - pmod($"p", lit(2)))
+          .otherwise(
+            lit(2) * ($"nn" - $"p" + 1) -
+              pmod($"nn" - $"p" + 2, lit(2))))
+    ranked.agg(
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("n2"),
+        sum(when($"event_type" === "click", $"st_rank").otherwise(0L))
+          .as("r1"))
+      .select($"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"),
+        $"r1".cast("long").as("r1"),
+        round(($"r1".cast("double") -
+          $"n1".cast("double") * ($"n1" + 1) / 2), 1).as("u1"),
+        round((($"r1".cast("double") -
+          $"n1".cast("double") * ($"n1" + 1) / 2) -
+          $"n1".cast("double") * $"n2" / 2) /
+          sqrt($"n1".cast("double") * $"n2" * ($"n1" + $"n2" + 1) / 12), 6)
+          .as("z"))
+  }
+
+  val siegelTukeySql: String =
+    """WITH ranked AS (
+      |  SELECT event_type,
+      |    ROW_NUMBER() OVER (ORDER BY value, event_id) AS p,
+      |    COUNT(*) OVER () AS nn
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |st AS (
+      |  SELECT event_type,
+      |    CASE WHEN p <= (nn + 1) // 2
+      |      THEN 2 * p - (p % 2)
+      |      ELSE 2 * (nn - p + 1) - ((nn - p + 2) % 2) END AS st_rank
+      |  FROM ranked),
+      |a AS (
+      |  SELECT
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2,
+      |    SUM(CASE WHEN event_type = 'click' THEN st_rank ELSE 0 END) AS r1
+      |  FROM st)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(r1 AS BIGINT) AS r1,
+      |  ROUND(CAST(r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1) / 2, 1)
+      |    AS u1,
+      |  ROUND(((CAST(r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1) / 2)
+      |      - CAST(n1 AS DOUBLE) * n2 / 2)
+      |    / SQRT(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12), 6) AS z
+      |FROM a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_siegel_tukey" -> siegelTukeyQ,
     "q_stat_jonckheere" -> jonckheereQ,
     "q_stat_moods_median" -> moodsMedianQ,
     "q_stat_ca_trend" -> caTrendQ,
@@ -5482,6 +5561,7 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_siegel_tukey" -> siegelTukeySql,
     "q_stat_jonckheere" -> jonckheereSql,
     "q_stat_moods_median" -> moodsMedianSql,
     "q_stat_ca_trend" -> caTrendSql,

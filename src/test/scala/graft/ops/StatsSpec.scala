@@ -1053,6 +1053,32 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(row.getAs[Double]("q_stat") - r6(q)) < 1e-9)
   }
 
+  test("siegel-tukey: ST ranks are a permutation of 1..N; z matches a driver replay") {
+    import spark.implicits._
+    val r = Stats.siegelTukeyQ(spark, sfDir).collect().head
+    val obs = graft.Tables.t(spark, sfDir, "events")
+      .filter($"event_type".isin("click", "view"))
+      .select($"event_id", $"event_type", $"value").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+      .sortBy { case (id, _, v) => (v, id) }
+    val nn = obs.length
+    def stRank(p: Int): Long =
+      if (p <= (nn + 1) / 2) 2L * p - (p % 2)
+      else { val m = nn - p + 1; 2L * m - ((m + 1) % 2) }
+    val ranks = (1 to nn).map(stRank)
+    assert(ranks.sorted == (1 to nn).map(_.toLong), "ST ranks permute 1..N")
+    val r1 = obs.zipWithIndex.collect {
+      case ((_, "click", _), i) => stRank(i + 1) }.sum
+    assert(r.getAs[Long]("r1") == r1)
+    val n1 = obs.count(_._2 == "click"); val n2 = nn - n1
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    val u1 = r1.toDouble - n1.toDouble * (n1 + 1) / 2
+    val z = (u1 - n1.toDouble * n2 / 2) /
+      math.sqrt(n1.toDouble * n2 * (n1 + n2 + 1) / 12)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("z") - r6(z)) < 1e-9)
+  }
+
   test("jonckheere: JT matches a brute-force pairwise driver replay") {
     import spark.implicits._
     val r = Stats.jonckheereQ(spark, sfDir).collect().head
