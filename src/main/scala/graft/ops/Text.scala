@@ -2234,7 +2234,91 @@ object Text {
       |  ROUND(LN(CAST(v AS DOUBLE)) / LN(CAST(n AS DOUBLE)), 6) AS herdan_c
       |FROM a ORDER BY source""".stripMargin
 
+  /** q_label_fleiss entry: FLEISS' KAPPA for r = 3 raters — the
+    * multi-rater chance-corrected agreement that [[kappaQ]] (two
+    * raters) cannot give and that, unlike Krippendorff's α, has the
+    * classical P̄/P_e decomposition reviewers expect on labeling
+    * dashboards. Raters are synthetic but deterministic (the
+    * [[Pii.redactQ]] plant convention): rater j assigns the document's
+    * true lang unless its seeded md5("fk:j:"+doc_id) lands in a 10%
+    * noise slot, in which case it emits the pinned 'xx' category — so
+    * the expected agreement level is designed, and the statistic is
+    * fully replayable.
+    *
+    * Scale shape: per-(doc, category) rater counts are one combinable
+    * collapse of the 3-rater explode; Σn² reduces per doc then
+    * globally (exact integers); category marginals are a
+    * \|categories\|-bounded frame with 12-dp DECIMAL share terms. One
+    * final IEEE chain. */
+  def fleissQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = 3
+    val labels = t(s, dir, "documents")
+      .select($"doc_id", explode(array((0 until r).map { j =>
+        when(Hashing.md5Long60(concat(lit(s"fk:$j:"),
+          $"doc_id".cast("string"))) % 10 === 0, lit("xx"))
+          .otherwise($"lang")
+      }: _*)).as("label"))
+    val nij = labels.groupBy($"doc_id", $"label")
+      .agg(count(lit(1)).as("c"))
+    val perDoc = nij.groupBy($"doc_id")
+      .agg(sum($"c" * $"c").as("s2"))
+    val items = perDoc.agg(count(lit(1)).as("n_items"),
+      sum($"s2").as("s2_tot"))
+    val marg = nij.groupBy($"label").agg(sum($"c").as("cj"))
+      .crossJoin(broadcast(items.select($"n_items")))
+      .select(round(($"cj".cast("double") / ($"n_items" * r)) *
+        ($"cj".cast("double") / ($"n_items" * r)), 12)
+        .cast("decimal(38,12)").as("pj2"))
+      .agg(sum($"pj2").cast("double").as("pe"))
+    items.crossJoin(broadcast(marg))
+      .select($"n_items".cast("long").as("n_items"),
+        lit(r.toLong).as("n_raters"),
+        round(($"s2_tot".cast("double") - $"n_items".cast("double") * r) /
+          ($"n_items".cast("double") * r * (r - 1)), 6).as("p_bar"),
+        round($"pe", 6).as("p_e"),
+        round((($"s2_tot".cast("double") - $"n_items".cast("double") * r) /
+          ($"n_items".cast("double") * r * (r - 1)) - $"pe") /
+          (lit(1.0) - $"pe"), 6).as("fleiss_kappa"))
+  }
+
+  val fleissSql: String = {
+    val r = 3
+    val raters = (0 until r).map { j =>
+      s"""SELECT doc_id,
+         |  CASE WHEN ('0x' || substr(md5('fk:$j:' || CAST(doc_id AS VARCHAR)),
+         |      1, 15))::UBIGINT::BIGINT % 10 = 0
+         |    THEN 'xx' ELSE lang END AS label
+         |FROM documents""".stripMargin
+    }
+    s"""WITH labels AS (
+       |${raters.mkString("\nUNION ALL\n")}),
+       |nij AS (
+       |  SELECT doc_id, label, COUNT(*) AS c FROM labels GROUP BY 1, 2),
+       |per_doc AS (
+       |  SELECT doc_id, SUM(c * c) AS s2 FROM nij GROUP BY 1),
+       |items AS (
+       |  SELECT COUNT(*) AS n_items, SUM(s2) AS s2_tot FROM per_doc),
+       |marg AS (
+       |  SELECT CAST(SUM(CAST(ROUND(
+       |      (CAST(cj AS DOUBLE) / (n_items * $r))
+       |      * (CAST(cj AS DOUBLE) / (n_items * $r)), 12)
+       |    AS DECIMAL(38,12))) AS DOUBLE) AS pe
+       |  FROM (SELECT label, SUM(c) AS cj FROM nij GROUP BY 1)
+       |  CROSS JOIN items)
+       |SELECT CAST(n_items AS BIGINT) AS n_items,
+       |  CAST($r AS BIGINT) AS n_raters,
+       |  ROUND((CAST(s2_tot AS DOUBLE) - CAST(n_items AS DOUBLE) * $r)
+       |    / (CAST(n_items AS DOUBLE) * $r * ${r - 1}), 6) AS p_bar,
+       |  ROUND(pe, 6) AS p_e,
+       |  ROUND(((CAST(s2_tot AS DOUBLE) - CAST(n_items AS DOUBLE) * $r)
+       |    / (CAST(n_items AS DOUBLE) * $r * ${r - 1}) - pe)
+       |    / (1.0 - pe), 6) AS fleiss_kappa
+       |FROM items CROSS JOIN marg""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_fleiss" -> fleissQ,
     "q_text_yule" -> yuleQ,
     "q_text_mtld" -> mtldQ,
     "q_text_readability" -> readabilityQ,
@@ -2283,6 +2367,7 @@ object Text {
     "q_langid_confusion" -> confusionSql,
     "q_label_kappa" -> kappaSql,
     "q_label_krippendorff" -> krippendorffSql,
+    "q_label_fleiss" -> fleissSql,
     "q_text_yule" -> yuleSql,
     "q_text_mtld" -> mtldSql,
     "q_text_stats" -> statsSql,

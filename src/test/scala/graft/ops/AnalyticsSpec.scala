@@ -1110,6 +1110,43 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("fleiss: kappa matches a driver multi-rater replay; designed noise bounds agreement") {
+    import spark.implicits._
+    val row = Text.fleissQ(spark, sfDir).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: String): Long = {
+      val hex = md.digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"lang").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val r = 3
+    val labels = docs.map { case (id, lang) =>
+      (0 until r).map(j =>
+        if (h60(s"fk:$j:$id") % 10 == 0) "xx" else lang)
+    }
+    val n = docs.length
+    assert(row.getAs[Long]("n_items") == n)
+    val s2 = labels.map(ls =>
+      ls.groupBy(identity).values.map(g => g.size.toLong * g.size).sum).sum
+    val pBar = (s2.toDouble - n.toDouble * r) / (n.toDouble * r * (r - 1))
+    def r12(d: Double) = BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val cj = labels.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val pe = cj.values.map { c =>
+      r12((c.toDouble / (n.toLong * r)) * (c.toDouble / (n.toLong * r)))
+    }.sum.toDouble
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getAs[Double]("p_bar") - r6(pBar)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("p_e") - r6(pe)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("fleiss_kappa") -
+      r6((pBar - pe) / (1.0 - pe))) < 1e-9)
+    // designed 10%-noise raters: strong but imperfect agreement
+    assert(row.getAs[Double]("fleiss_kappa") > 0.5 &&
+      row.getAs[Double]("fleiss_kappa") < 1.0)
+  }
+
   test("dtw: wavefront fold equals the classical sequential DP; no-warp bound holds") {
     val rows = TimeSeries.dtwQ(spark, sfDir).collect()
     val series = denseCounts("day")
