@@ -2473,7 +2473,110 @@ object TimeSeries {
       |ORDER BY b.type_a""".stripMargin
   }
 
+  /** q_ts_page_hinkley entry: PAGE–HINKLEY mean-shift detector per
+    * event type over the dense 720-hour count series — PHₜ =
+    * Σ_{s≤t}(xₛ − x̄ − δ) with the alarm condition PHₜ − min_{s≤t} PHₛ
+    * > λ (δ = 0.5 magnitude slack, λ = 3σ data-derived). THE classic
+    * sequential change detector for data-stream drift monitoring
+    * (Page 1954; the streaming counterpart of [[cusumQ]]'s
+    * batch-argmax — CUSUM names the single most likely change point,
+    * PH tells you WHEN an online monitor would have fired and how
+    * often). Two-pass by design: x̄ and σ come from the calibration
+    * pass (exact integer sums), the detection pass is windows only.
+    *
+    * Scale shape: grid-sized frames after one combinable hourly
+    * collapse; cum-sum + running-min windows shard by event type.
+    * Determinism: cum(x) exact integer; PHₜ = cum − t·(x̄+δ) is one
+    * shared IEEE chain; the running min compares identically computed
+    * doubles; λ one chain of exact sums. */
+  def pageHinkleyQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val delta = 0.5
+    val hourly = t(s, dir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |  timestamp'2024-01-30 23:00:00', interval 1 hour)) AS hour"""
+        .stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val dense = grid.crossJoin(broadcast(series))
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select($"event_type", $"hour", coalesce($"cnt", lit(0L)).as("x"))
+    val stats = dense.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+      .select($"event_type", $"n",
+        ($"sx".cast("double") / $"n").as("mu"),
+        sqrt(($"sxx".cast("double") -
+          $"sx".cast("double") * $"sx".cast("double") / $"n") /
+          ($"n" - 1)).as("sigma"))
+    val w = Window.partitionBy($"event_type").orderBy($"hour")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = dense.join(broadcast(stats), "event_type")
+      .withColumn("t", row_number().over(w))
+      .withColumn("cum", sum($"x").over(wCum))
+      .withColumn("ph",
+        $"cum".cast("double") - $"t" * ($"mu" + delta))
+      .withColumn("runmin", min($"ph").over(wCum))
+      .withColumn("exc", $"ph" - $"runmin")
+      .withColumn("alarm", ($"exc" > lit(3.0) * $"sigma").cast("long"))
+    scored.groupBy($"event_type", $"n", $"sigma")
+      .agg(sum($"alarm").as("n_alarm_hours"),
+        min(when($"alarm" === 1, $"hour")).as("first_alarm"),
+        max($"exc").as("max_exc"))
+      .select($"event_type", $"n".cast("long").as("n"),
+        round(lit(3.0) * $"sigma", 6).as("lambda"),
+        $"n_alarm_hours".cast("long").as("n_alarm_hours"),
+        $"first_alarm",
+        round($"max_exc", 6).as("max_excursion"))
+      .orderBy($"event_type")
+  }
+
+  val pageHinkleySql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour),
+      |series AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT series.event_type, grid.hour, COALESCE(hourly.cnt, 0) AS x
+      |  FROM grid CROSS JOIN series
+      |  LEFT JOIN hourly ON hourly.hour = grid.hour
+      |    AND hourly.event_type = series.event_type),
+      |st AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu,
+      |    SQRT((CAST(SUM(x * x) AS DOUBLE)
+      |      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) / COUNT(*))
+      |      / (COUNT(*) - 1)) AS sigma
+      |  FROM dense GROUP BY 1),
+      |sc AS (
+      |  SELECT d.event_type, d.hour, st.n, st.sigma,
+      |    CAST(SUM(d.x) OVER w AS DOUBLE)
+      |      - (ROW_NUMBER() OVER w) * (st.mu + 0.5) AS ph
+      |  FROM dense d JOIN st ON st.event_type = d.event_type
+      |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |ex AS (
+      |  SELECT event_type, hour, n, sigma,
+      |    ph - MIN(ph) OVER (PARTITION BY event_type ORDER BY hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS exc
+      |  FROM sc)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      |  ROUND(3.0 * MAX(sigma), 6) AS lambda,
+      |  CAST(SUM(CASE WHEN exc > 3.0 * sigma THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_alarm_hours,
+      |  MIN(CASE WHEN exc > 3.0 * sigma THEN hour END) AS first_alarm,
+      |  ROUND(MAX(exc), 6) AS max_excursion
+      |FROM ex GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_page_hinkley" -> pageHinkleyQ,
     "q_ts_dtw_band" -> dtwBandQ,
     "q_ts_dtw" -> dtwQ,
     "q_ts_walsh" -> walshQ,
@@ -2504,6 +2607,7 @@ object TimeSeries {
     "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_page_hinkley" -> pageHinkleySql,
     "q_ts_dtw_band" -> dtwBandSql,
     "q_ts_dtw" -> dtwSql,
     "q_ts_walsh" -> walshSql,

@@ -1147,6 +1147,44 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       row.getAs[Double]("fleiss_kappa") < 1.0)
   }
 
+  test("page-hinkley: alarms match a sequential driver replay of the detector") {
+    val rows = TimeSeries.pageHinkleyQ(spark, sfDir).collect()
+    val series = denseCounts("hour")
+    assert(rows.length == series.size)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val xs = series(r.getAs[String]("event_type"))
+      val n = xs.length
+      assert(r.getAs[Long]("n") == n)
+      val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      val mu = sx.toDouble / n
+      val sigma = math.sqrt((sxx.toDouble - sx.toDouble * sx / n) / (n - 1))
+      assert(math.abs(r.getAs[Double]("lambda") - r6(3.0 * sigma)) < 1e-9)
+      var cum = 0L; var runmin = Double.MaxValue
+      var alarms = 0L; var firstIdx = -1; var maxExc = Double.MinValue
+      xs.zipWithIndex.foreach { case (x, i) =>
+        cum += x
+        val ph = cum.toDouble - (i + 1) * (mu + 0.5)
+        runmin = math.min(runmin, ph)
+        val exc = ph - runmin
+        maxExc = math.max(maxExc, exc)
+        if (exc > 3.0 * sigma) {
+          alarms += 1
+          if (firstIdx < 0) firstIdx = i
+        }
+      }
+      assert(r.getAs[Long]("n_alarm_hours") == alarms,
+        s"${r.getAs[String]("event_type")}: ${r.getAs[Long]("n_alarm_hours")} vs $alarms")
+      assert(math.abs(r.getAs[Double]("max_excursion") - r6(maxExc)) < 1e-9)
+      val fa = r.getAs[java.sql.Timestamp]("first_alarm")
+      if (firstIdx < 0) assert(fa == null)
+      else {
+        val start = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        assert(fa.getTime == start + firstIdx.toLong * 3600000L)
+      }
+    }
+  }
+
   test("dtw: wavefront fold equals the classical sequential DP; no-warp bound holds") {
     val rows = TimeSeries.dtwQ(spark, sfDir).collect()
     val series = denseCounts("day")
