@@ -5494,7 +5494,71 @@ object Stats {
       |    / SQRT(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12), 6) AS z
       |FROM a""".stripMargin
 
+  /** q_stat_cvm entry: TWO-SAMPLE CRAMÉR–VON MISES test (click vs
+    * view) — the quadratic-EDF statistic T = U/(nm(n+m)) −
+    * (4nm−1)/(6(n+m)) with U = n·Σᵢ(rᵢ−i)² + m·Σⱼ(sⱼ−j)² (Anderson
+    * 1962), where r/s are combined-sample ranks and i/j within-sample
+    * ranks. KS ([[graft.ops.Drift]]) weighs the single worst EDF gap;
+    * CvM integrates the SQUARED gap over the whole distribution —
+    * sensitive to broad shape differences KS under-weights. Ranks are
+    * positions in the pinned (value, event_id) total order (the
+    * [[siegelTukeyQ]] convention — deterministic and identical across
+    * engines; continuous-value position ties are measure-zero).
+    *
+    * Scale shape: ONE range-partitioned sort of the narrow frame; the
+    * combined and within-group ranks come from two window passes; U
+    * reduces as an exact-integer combinable sum; one final IEEE
+    * chain. */
+  def cvmQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ranked = t(s, dir, "events")
+      .filter($"event_type".isin("click", "view"))
+      .select($"event_id", $"event_type", $"value")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"value", $"event_id")))
+      .withColumn("i", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"value", $"event_id")))
+    ranked.agg(
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("n"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("m"),
+        sum(when($"event_type" === "click",
+          ($"r" - $"i") * ($"r" - $"i")).otherwise(0L)).as("d1"),
+        sum(when($"event_type" === "view",
+          ($"r" - $"i") * ($"r" - $"i")).otherwise(0L)).as("d2"))
+      .select($"n".cast("long").as("n"), $"m".cast("long").as("m"),
+        ($"n" * $"d1" + $"m" * $"d2").cast("long").as("u"),
+        round(($"n" * $"d1" + $"m" * $"d2").cast("double") /
+          ($"n".cast("double") * $"m" * ($"n" + $"m")) -
+          (lit(4.0) * $"n" * $"m" - 1) / (lit(6.0) * ($"n" + $"m")), 6)
+          .as("t_stat"))
+  }
+
+  val cvmSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type,
+      |    ROW_NUMBER() OVER (ORDER BY value, event_id) AS r,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS i
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |a AS (
+      |  SELECT
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS m,
+      |    SUM(CASE WHEN event_type = 'click'
+      |      THEN (r - i) * (r - i) ELSE 0 END) AS d1,
+      |    SUM(CASE WHEN event_type = 'view'
+      |      THEN (r - i) * (r - i) ELSE 0 END) AS d2
+      |  FROM ranked)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+      |  CAST(n * d1 + m * d2 AS BIGINT) AS u,
+      |  ROUND(CAST(n * d1 + m * d2 AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * m * (n + m))
+      |    - (4.0 * n * m - 1) / (6.0 * (n + m)), 6) AS t_stat
+      |FROM a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_cvm" -> cvmQ,
     "q_stat_siegel_tukey" -> siegelTukeyQ,
     "q_stat_jonckheere" -> jonckheereQ,
     "q_stat_moods_median" -> moodsMedianQ,
@@ -5561,6 +5625,7 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_cvm" -> cvmSql,
     "q_stat_siegel_tukey" -> siegelTukeySql,
     "q_stat_jonckheere" -> jonckheereSql,
     "q_stat_moods_median" -> moodsMedianSql,

@@ -1053,6 +1053,41 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(row.getAs[Double]("q_stat") - r6(q)) < 1e-9)
   }
 
+  test("cvm: U and T match a driver EDF replay; T equals the direct integral form") {
+    import spark.implicits._
+    val r = Stats.cvmQ(spark, sfDir).collect().head
+    val obs = graft.Tables.t(spark, sfDir, "events")
+      .filter($"event_type".isin("click", "view"))
+      .select($"event_id", $"event_type", $"value").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+      .sortBy { case (id, _, v) => (v, id) }
+    val n = obs.count(_._2 == "click"); val m = obs.count(_._2 == "view")
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("m") == m)
+    var i1 = 0; var i2 = 0; var d1 = 0L; var d2 = 0L
+    obs.zipWithIndex.foreach { case ((_, tp, _), idx) =>
+      val rk = idx + 1
+      if (tp == "click") { i1 += 1; d1 += (rk - i1).toLong * (rk - i1) }
+      else { i2 += 1; d2 += (rk - i2).toLong * (rk - i2) }
+    }
+    val u = n.toLong * d1 + m.toLong * d2
+    assert(r.getAs[Long]("u") == u)
+    val t = u.toDouble / (n.toDouble * m * (n + m)) -
+      (4.0 * n * m - 1) / (6.0 * (n + m))
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("t_stat") - r6(t)) < 1e-9)
+    // cross-check against the direct EDF-integral form of the statistic:
+    // T = nm/(n+m)^2 * sum over all positions of (F1 - F2)^2
+    var c1 = 0; var c2 = 0; var s = 0.0
+    obs.foreach { case (_, tp, _) =>
+      if (tp == "click") c1 += 1 else c2 += 1
+      val diff = c1.toDouble / n - c2.toDouble / m
+      s += diff * diff
+    }
+    val tDirect = n.toDouble * m / math.pow(n + m, 2) * s
+    assert(math.abs(t - tDirect) < 1e-6,
+      s"rank form $t vs integral form $tDirect")
+  }
+
   test("siegel-tukey: ST ranks are a permutation of 1..N; z matches a driver replay") {
     import spark.implicits._
     val r = Stats.siegelTukeyQ(spark, sfDir).collect().head
