@@ -2575,7 +2575,83 @@ object TimeSeries {
       |FROM ex GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q_ts_turning_points entry: TURNING-POINT TEST of series
+    * randomness per event type — count strict local maxima/minima in
+    * the 720-hour series and standardize against the i.i.d. null
+    * E[T] = 2(n−2)/3, Var[T] = (16n−29)/90 (Kendall). The
+    * VALUE-agnostic randomness check beside [[graft.ops.Stats.runsQ]]'s
+    * sign-based runs test and [[ljungBoxQ]]'s correlation-based Q: too
+    * FEW turning points ⇒ trend/cycles, too MANY ⇒ negative
+    * autocorrelation (over-dithered or alternating load). Ties are
+    * excluded from turning points by the strict-inequality definition,
+    * identical in both engines.
+    *
+    * Scale shape: one combinable hourly collapse; lag/lead windows on
+    * the grid frame; one integer count per type into one IEEE chain. */
+  def turningPointsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val hourly = t(s, dir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |  timestamp'2024-01-30 23:00:00', interval 1 hour)) AS hour"""
+        .stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val dense = grid.crossJoin(broadcast(series))
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select($"event_type", $"hour", coalesce($"cnt", lit(0L)).as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"hour")
+    dense
+      .withColumn("xp", lag($"x", 1).over(w))
+      .withColumn("xn", lead($"x", 1).over(w))
+      .filter($"xp".isNotNull && $"xn".isNotNull)
+      .withColumn("tp",
+        (($"x" > $"xp" && $"x" > $"xn") ||
+          ($"x" < $"xp" && $"x" < $"xn")).cast("long"))
+      .groupBy($"event_type")
+      .agg((count(lit(1)) + 2).as("n"), sum($"tp").as("t"))
+      .select($"event_type", $"n".cast("long").as("n"),
+        $"t".cast("long").as("n_turning"),
+        round(lit(2.0) * ($"n" - 2) / 3, 6).as("expected"),
+        round(($"t".cast("double") - lit(2.0) * ($"n" - 2) / 3) /
+          sqrt((lit(16.0) * $"n" - 29) / 90), 6).as("z"))
+      .orderBy($"event_type")
+  }
+
+  val turningPointsSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour),
+      |series AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT series.event_type, grid.hour, COALESCE(hourly.cnt, 0) AS x
+      |  FROM grid CROSS JOIN series
+      |  LEFT JOIN hourly ON hourly.hour = grid.hour
+      |    AND hourly.event_type = series.event_type),
+      |lagged AS (
+      |  SELECT event_type, x,
+      |    lag(x) OVER w AS xp, lead(x) OVER w AS xn
+      |  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+      |a AS (
+      |  SELECT event_type, COUNT(*) + 2 AS n,
+      |    SUM(CASE WHEN (x > xp AND x > xn) OR (x < xp AND x < xn)
+      |      THEN 1 ELSE 0 END) AS t
+      |  FROM lagged WHERE xp IS NOT NULL AND xn IS NOT NULL
+      |  GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  CAST(t AS BIGINT) AS n_turning,
+      |  ROUND(2.0 * (n - 2) / 3, 6) AS expected,
+      |  ROUND((CAST(t AS DOUBLE) - 2.0 * (n - 2) / 3)
+      |    / SQRT((16.0 * n - 29) / 90), 6) AS z
+      |FROM a ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_turning_points" -> turningPointsQ,
     "q_ts_page_hinkley" -> pageHinkleyQ,
     "q_ts_dtw_band" -> dtwBandQ,
     "q_ts_dtw" -> dtwQ,
@@ -2607,6 +2683,7 @@ object TimeSeries {
     "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_turning_points" -> turningPointsSql,
     "q_ts_page_hinkley" -> pageHinkleySql,
     "q_ts_dtw_band" -> dtwBandSql,
     "q_ts_dtw" -> dtwSql,

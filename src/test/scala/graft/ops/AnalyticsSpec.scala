@@ -1147,6 +1147,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       row.getAs[Double]("fleiss_kappa") < 1.0)
   }
 
+  test("turning points: counts match a driver scan; null moments correct") {
+    val rows = TimeSeries.turningPointsQ(spark, sfDir).collect()
+    val series = denseCounts("hour")
+    assert(rows.length == series.size)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val xs = series(r.getAs[String]("event_type"))
+      val n = xs.length
+      assert(r.getAs[Long]("n") == n)
+      val t = (1 until n - 1).count { i =>
+        (xs(i) > xs(i - 1) && xs(i) > xs(i + 1)) ||
+          (xs(i) < xs(i - 1) && xs(i) < xs(i + 1))
+      }
+      assert(r.getAs[Long]("n_turning") == t)
+      val e = 2.0 * (n - 2) / 3
+      assert(math.abs(r.getAs[Double]("expected") - r6(e)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("z") -
+        r6((t - e) / math.sqrt((16.0 * n - 29) / 90))) < 1e-9)
+    }
+  }
+
   test("page-hinkley: alarms match a sequential driver replay of the detector") {
     val rows = TimeSeries.pageHinkleyQ(spark, sfDir).collect()
     val series = denseCounts("hour")
