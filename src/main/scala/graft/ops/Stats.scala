@@ -5519,16 +5519,26 @@ object Stats {
         Window.partitionBy(lit(0)).orderBy($"value", $"event_id")))
       .withColumn("i", row_number().over(
         Window.partitionBy($"event_type").orderBy($"value", $"event_id")))
+    // U overflows BIGINT past ~10^5 rows per group (n·Σ(r−i)² ~ n·N³),
+    // caught by the sf1 decade bench: deviation squares accumulate as
+    // DECIMAL(38,0) and U leaves as DOUBLE (exact below 2^53 — holds
+    // through the sf0.01 gate by orders of magnitude; documented).
     ranked.agg(
         sum(when($"event_type" === "click", 1L).otherwise(0L)).as("n"),
         sum(when($"event_type" === "view", 1L).otherwise(0L)).as("m"),
         sum(when($"event_type" === "click",
-          ($"r" - $"i") * ($"r" - $"i")).otherwise(0L)).as("d1"),
+          (($"r" - $"i").cast("bigint") * ($"r" - $"i"))
+            .cast("decimal(38,0)"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(38,0)"))).as("d1"),
         sum(when($"event_type" === "view",
-          ($"r" - $"i") * ($"r" - $"i")).otherwise(0L)).as("d2"))
+          (($"r" - $"i").cast("bigint") * ($"r" - $"i"))
+            .cast("decimal(38,0)"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(38,0)"))).as("d2"))
       .select($"n".cast("long").as("n"), $"m".cast("long").as("m"),
-        ($"n" * $"d1" + $"m" * $"d2").cast("long").as("u"),
-        round(($"n" * $"d1" + $"m" * $"d2").cast("double") /
+        ($"n".cast("decimal(38,0)") * $"d1" +
+          $"m".cast("decimal(38,0)") * $"d2").cast("double").as("u"),
+        round(($"n".cast("decimal(38,0)") * $"d1" +
+          $"m".cast("decimal(38,0)") * $"d2").cast("double") /
           ($"n".cast("double") * $"m" * ($"n" + $"m")) -
           (lit(4.0) * $"n" * $"m" - 1) / (lit(6.0) * ($"n" + $"m")), 6)
           .as("t_stat"))
@@ -5546,13 +5556,17 @@ object Stats {
       |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n,
       |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS m,
       |    SUM(CASE WHEN event_type = 'click'
-      |      THEN (r - i) * (r - i) ELSE 0 END) AS d1,
+      |      THEN CAST((r - i) * (r - i) AS DECIMAL(38,0))
+      |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS d1,
       |    SUM(CASE WHEN event_type = 'view'
-      |      THEN (r - i) * (r - i) ELSE 0 END) AS d2
+      |      THEN CAST((r - i) * (r - i) AS DECIMAL(38,0))
+      |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS d2
       |  FROM ranked)
       |SELECT CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
-      |  CAST(n * d1 + m * d2 AS BIGINT) AS u,
-      |  ROUND(CAST(n * d1 + m * d2 AS DOUBLE)
+      |  CAST(CAST(n AS DECIMAL(38,0)) * d1
+      |    + CAST(m AS DECIMAL(38,0)) * d2 AS DOUBLE) AS u,
+      |  ROUND(CAST(CAST(n AS DECIMAL(38,0)) * d1
+      |      + CAST(m AS DECIMAL(38,0)) * d2 AS DOUBLE)
       |    / (CAST(n AS DOUBLE) * m * (n + m))
       |    - (4.0 * n * m - 1) / (6.0 * (n + m)), 6) AS t_stat
       |FROM a""".stripMargin

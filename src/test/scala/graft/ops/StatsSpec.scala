@@ -1070,7 +1070,7 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       else { i2 += 1; d2 += (rk - i2).toLong * (rk - i2) }
     }
     val u = n.toLong * d1 + m.toLong * d2
-    assert(r.getAs[Long]("u") == u)
+    assert(r.getAs[Double]("u") == u.toDouble)
     val t = u.toDouble / (n.toDouble * m * (n + m)) -
       (4.0 * n * m - 1) / (6.0 * (n + m))
     def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
