@@ -651,8 +651,14 @@ object Multimodal {
     val dataHex = s"""concat_ws('', transform(sequence(0, ${VadN - 1}), k ->
       |  concat(lpad(hex(((${vadSample("k")} + 65536) % 65536) % 256), 2, '0'),
       |         lpad(hex(((${vadSample("k")} + 65536) % 65536) div 256), 2, '0'))))""".stripMargin
+    // Doc-set limit BEFORE the quality gate, mirroring the oracle's CTE
+    // order (d LIMIT 200, then WHERE na/nq/pn): if a doc ever failed the
+    // gate the two engines must still agree on the candidate row set —
+    // and decoding only the limited docs is cheaper anyway.
     val withPcm = t(s, dir, "documents")
       .filter($"doc_id" % 4 === 2)
+      .orderBy($"doc_id")
+      .limit(200)
       .withColumn("payload",
         concat(wavHeader("1", "8000", "16", VadN.toString), unhex(expr(dataHex))))
     // First build routed the sample parse through layered SQL hex
@@ -700,7 +706,6 @@ object Multimodal {
           log(lit(10.0)), 6).as("snr_db"),
         $"n_near_clip")
       .orderBy($"doc_id")
-      .limit(200)
   }
 
   val snrSql: String = {

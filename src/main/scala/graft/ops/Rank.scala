@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed total-order machinery: global row numbers, global
+  * running (prefix) sums, and whole-frame totals WITHOUT a
+  * single-partition window — the primitive behind every "rank the
+  * whole table" statistic in this library.
+  *
+  * `Window.partitionBy(lit(0)).orderBy(...)` is correct but plans as
+  * `Exchange SinglePartition` + a one-task sort of the entire frame:
+  * the textbook single-reducer bottleneck at 100 TB. This helper
+  * implements the classical two-pass distributed alternative as plain
+  * DataFrame operations, so Catalyst/AQE still owns the plan:
+  *
+  *  1. Split the total order into `numParts` contiguous RANGES with a
+  *     bucket id that is a PURE FUNCTION OF THE ROW: ε-approximate
+  *     quantile bounds of the primary sort key (Greenwald–Khanna via
+  *     `df.stat.approxQuantile`, one driver-side summary job — the
+  *     same extra pass `repartitionByRange`'s own sampler pays) are
+  *     embedded as literals and each row computes
+  *     `bucket = #{bounds < key}`. Because the id is data-derived,
+  *     every branch of the plan agrees on it by construction — no
+  *     reliance on physical partition ids or exchange reuse (ranks
+  *     are INVARIANT to the bounds; bounds only shape parallelism).
+  *     Equal keys share a bucket, so ties never straddle ranges.
+  *  2. Per-bucket positions/running sums from ONE ordinary window
+  *     `partitionBy(bucket).orderBy(order)` — a hash exchange on the
+  *     ≤numParts-ary bucket key; every bucket is one task, all
+  *     buckets run in parallel, frames are ~1/numParts of the data.
+  *  3. Per-bucket counts/sums collapse map-side (`groupBy(bucket)`)
+  *     to a ≤numParts-row frame; prefix offsets come from exploding
+  *     each bucket's totals to all LATER bucket ids and re-grouping —
+  *     a numParts²-row aggregate, no join, no window, no collect.
+  *  4. One broadcast hash equi-join on the bucket id delivers
+  *     rank = prefix count + local position, running sum = prefix sum
+  *     + local running sum, and the grand totals (which ride the same
+  *     offsets frame, replacing `count().over(partitionBy(lit(0)))`).
+  *
+  * Requirements: `order` must be a TOTAL order over the rows (include
+  * a tiebreaker column — the same requirement `ROW_NUMBER` needs for
+  * determinism anyway), its head must be numeric (castable to double;
+  * the cast is monotone so bucket boundaries respect the exact
+  * order), and all keys sort in the same direction. Null primaries
+  * are supported ascending only (they bucket and sort first).
+  */
+object Rank {
+
+  /** One running-sum request: `value` accumulated in `order`;
+    * `runOut` receives the inclusive prefix sum, or the exclusive
+    * (strictly-before) sum when `exclusive` is set. */
+  final case class Cum(value: Column, runOut: String,
+      exclusive: Boolean = false)
+
+  /** Appends to `df` any of: `rnOut` = global 1-based row number in
+    * the total order `order`; `countOut` = whole-frame row count;
+    * running sums per [[Cum]]; `totals` = (expression, outName)
+    * whole-frame sums. All internal columns are dropped; the output
+    * row set equals the input row set. `numParts` defaults to the
+    * session's shuffle parallelism so the same code spreads over a
+    * real cluster's width. `descending` flips every sort key (the
+    * bucket bounds negate with it). */
+  def orderedPrefix(
+      df: DataFrame,
+      order: Seq[Column],
+      rnOut: Option[String] = None,
+      countOut: Option[String] = None,
+      cums: Seq[Cum] = Nil,
+      totals: Seq[(Column, String)] = Nil,
+      numParts: Int = 0,
+      descending: Boolean = false): DataFrame = {
+    require(order.nonEmpty, "orderedPrefix needs at least one sort key")
+    val spark = df.sparkSession
+    val np = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val cumTmp = cums.zipWithIndex.map { case (c, i) => (c, s"__rk_cv$i") }
+    val totTmp = totals.zipWithIndex.map { case ((c, out), i) =>
+      (c, out, s"__rk_tv$i") }
+    // monotone double image of the primary key, flipped for desc so
+    // bucket ids always increase along the sort direction
+    val primRaw = order.head.cast("double")
+    val prim = if (descending) -primRaw else primRaw
+    var base = df.withColumn("__rk_prim", prim)
+    cumTmp.foreach { case (c, tmp) => base = base.withColumn(tmp, c.value) }
+    totTmp.foreach { case (c, _, tmp) => base = base.withColumn(tmp, c) }
+    // ε-approximate range bounds of the primary (one summary job; the
+    // output is invariant to their placement, so the approximation
+    // only affects balance). Dedup guards heavy ties collapsing
+    // adjacent quantiles.
+    val eps = math.max(1.0e-4, 1.0 / (4.0 * np))
+    val bounds = base.stat
+      .approxQuantile("__rk_prim", (1 until np).map(_.toDouble / np).toArray,
+        eps)
+      .distinct.sorted
+    val bucket =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(
+        lit(bounds), b => b < col("__rk_prim"))).cast("int")
+    base = base.withColumn("__rk_pid", bucket)
+    val sortCols = if (descending) order.map(_.desc) else order
+    val wLoc = Window.partitionBy(col("__rk_pid")).orderBy(sortCols: _*)
+    val wRows = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var local = base.withColumn("__rk_lrn", row_number().over(wLoc))
+    cumTmp.foreach { case (_, tmp) =>
+      local = local.withColumn(s"__rk_lr_$tmp", sum(col(tmp)).over(wRows))
+    }
+    // per-bucket totals → dense prefix-offset frame for EVERY bucket
+    // id: each bucket's totals contribute to the offsets of all later
+    // buckets and to the grand totals of all buckets
+    val aggCols = Seq(count(lit(1)).as("__rk_cnt")) ++
+      cumTmp.map { case (_, tmp) => sum(col(tmp)).as(s"__rk_s_$tmp") } ++
+      totTmp.map { case (_, _, tmp) => sum(col(tmp)).as(s"__rk_s_$tmp") }
+    val perPart = base.groupBy(col("__rk_pid"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumnRenamed("__rk_pid", "__rk_src")
+    val exploded = perPart.select(col("*"),
+      explode(sequence(lit(0), lit(bounds.length))).as("__rk_pid"))
+    val before = col("__rk_src") < col("__rk_pid")
+    val offAggs = Seq(
+      sum(when(before, col("__rk_cnt"))).as("__rk_off_cnt"),
+      sum(col("__rk_cnt")).as("__rk_tot_cnt")) ++
+      cumTmp.map { case (_, tmp) =>
+        sum(when(before, col(s"__rk_s_$tmp"))).as(s"__rk_off_$tmp") } ++
+      totTmp.map { case (_, _, tmp) =>
+        sum(col(s"__rk_s_$tmp")).as(s"__rk_tot_$tmp") }
+    val offs = exploded.groupBy(col("__rk_pid"))
+      .agg(offAggs.head, offAggs.tail: _*)
+    var out = local.join(broadcast(offs), Seq("__rk_pid"))
+    rnOut.foreach { n =>
+      out = out.withColumn(n,
+        coalesce(col("__rk_off_cnt"), lit(0L)) + col("__rk_lrn"))
+    }
+    countOut.foreach { n => out = out.withColumn(n, col("__rk_tot_cnt")) }
+    cumTmp.foreach { case (c, tmp) =>
+      val run = coalesce(col(s"__rk_off_$tmp"), lit(0)) +
+        col(s"__rk_lr_$tmp")
+      out = out.withColumn(c.runOut,
+        if (c.exclusive) run - col(tmp) else run)
+    }
+    totTmp.foreach { case (_, outName, tmp) =>
+      out = out.withColumn(outName, col(s"__rk_tot_$tmp"))
+    }
+    val drops = Seq("__rk_prim", "__rk_pid", "__rk_lrn",
+      "__rk_off_cnt", "__rk_tot_cnt") ++
+      cumTmp.flatMap { case (_, tmp) =>
+        Seq(tmp, s"__rk_lr_$tmp", s"__rk_off_$tmp") } ++
+      totTmp.flatMap { case (_, _, tmp) => Seq(tmp, s"__rk_tot_$tmp") }
+    out.drop(drops: _*)
+  }
+
+  /** Global 1-based row number only — one bucket-keyed exchange, no
+    * SinglePartition anywhere in the plan. */
+  def withRowNumber(df: DataFrame, order: Seq[Column], out: String,
+      numParts: Int = 0): DataFrame =
+    orderedPrefix(df, order, rnOut = Some(out), numParts = numParts)
+}

@@ -269,24 +269,27 @@ object Shard {
     val sample = orders
       .filter(Hashing.md5Long60(concat(lit("rb:"),
         $"o_orderkey".cast("string"))) % 16 === 0)
-    val ns = sample.agg(count(lit(1)).as("ns"))
-    val ranked = sample.crossJoin(broadcast(ns))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(lit(0)).orderBy($"p", $"o_orderkey")))
+    // The 1-in-16 sample is still rows/16 at 100 TB: rank it through
+    // the distributed [[Rank.orderedPrefix]] (which also delivers the
+    // sample count), not a single-partition window.
+    val ranked = Rank.orderedPrefix(sample,
+      order = Seq($"p", $"o_orderkey"),
+      rnOut = Some("rk"), countOut = Some("ns"))
     val bounds = ranked
       .filter((1 until k).map(i =>
         $"rk" === expr(s"(ns * $i) div $k")).reduce(_ || _))
       .agg(sort_array(collect_list($"p")).as("bnds"))
     val assigned = orders.crossJoin(broadcast(bounds))
       .withColumn("pid", expr("size(filter(bnds, b -> p > b))"))
-    assigned.groupBy($"pid")
+    val perPid = assigned.groupBy($"pid")
       .agg(count(lit(1)).as("n_rows"),
         min($"p").as("lo"), max($"p").as("hi"))
-      .withColumn("total", sum($"n_rows").over(Window.partitionBy(lit(0))))
+    perPid
+      .crossJoin(broadcast(orders.agg(count(lit(1)).as("total"))))
       .select($"pid".cast("int").as("pid"),
         $"n_rows".cast("long").as("n_rows"),
         $"lo".cast("double").as("lo"), $"hi".cast("double").as("hi"),
-        (($"n_rows" * 10000) / $"total").cast("long").as("share_bp"))
+        expr("(n_rows * 10000) div total").cast("long").as("share_bp"))
       .orderBy($"pid")
   }
 

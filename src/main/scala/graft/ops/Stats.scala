@@ -456,7 +456,6 @@ object Stats {
     * run the identical formula, and ties in a continuous double column
     * are measure-zero). */
   def mannWhitneyQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val d = t(s, dir, "events")
       .filter($"event_type".isin("click", "view"))
@@ -464,10 +463,8 @@ object Stats {
       .agg(
         sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
         sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c2"))
-    val wCum = Window.partitionBy(lit(0)).orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = d
-      .withColumn("before", coalesce(sum($"c1" + $"c2").over(wCum), lit(0L)))
+    val ranked = Rank.orderedPrefix(d, order = Seq($"v"),
+        cums = Seq(Rank.Cum($"c1" + $"c2", "before", exclusive = true)))
       .withColumn("avg_rank",
         ($"before".cast("decimal(18,1)") +
           ($"c1" + $"c2" + 1).cast("decimal(18,1)") / 2).cast("decimal(18,1)"))
@@ -835,16 +832,15 @@ object Stats {
     * the value-bounded distinct frame (1-row broadcast); the per-type
     * rollup is one combinable conditional-sum aggregate. */
   def wilsonQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val ev = t(s, dir, "events")
     // exact global median of `value` by selection over distinct values
-    val byV = Window.partitionBy(lit(0)).orderBy($"value")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(lit(0))
-    val med = ev.groupBy($"value").agg(count(lit(1)).as("c"))
-      .withColumn("before", coalesce(sum($"c").over(byV), lit(0L)))
-      .withColumn("n", sum($"c").over(wAll))
+    // (distributed prefix counts via Rank — no SinglePartition window)
+    val med = Rank.orderedPrefix(
+      ev.groupBy($"value").agg(count(lit(1)).as("c")),
+      order = Seq($"value"),
+      cums = Seq(Rank.Cum($"c", "before", exclusive = true)),
+      totals = Seq(($"c", "n")))
       .filter($"before" < expr("(50 * n + 99) div 100") &&
         $"before" + $"c" >= expr("(50 * n + 99) div 100"))
       .select($"value".as("thr"))
@@ -1118,16 +1114,13 @@ object Stats {
     * H and its tie correction CT = 1 − Σ(t³−t)/(N³−N) are assembled on
     * the 5-row group frame in a fixed IEEE order, rounded 6 dp. */
   def kruskalQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val d = t(s, dir, "events")
       .groupBy($"value".as("v"), $"event_type".as("g"))
       .agg(count(lit(1)).as("c"))
     val tv = d.groupBy($"v").agg(sum($"c").as("t"))
-    val wCum = Window.partitionBy(lit(0)).orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = tv
-      .withColumn("before", coalesce(sum($"t").over(wCum), lit(0L)))
+    val ranked = Rank.orderedPrefix(tv, order = Seq($"v"),
+        cums = Seq(Rank.Cum($"t", "before", exclusive = true)))
       .withColumn("avg_rank",
         ($"before".cast("decimal(18,1)") +
           ($"t" + 1).cast("decimal(18,1)") / 2).cast("decimal(18,1)"))
@@ -2772,10 +2765,11 @@ object Stats {
     * divides, once, at display.
     *
     * Scale note: the cumulative axis is a global ordered prefix sum,
-    * here one whole-frame window over the UNIT table (fine for the
-    * fixture's unit counts); at 10⁹ units the same math runs as the
-    * standard two-pass distributed prefix sum (per-partition totals,
-    * broadcast offsets) — the selection formula is unchanged. */
+    * computed by [[Rank.orderedPrefix]] as the standard two-pass
+    * distributed prefix sum (per-range running sums + broadcast
+    * per-range offsets; the grand total rides the same offsets frame)
+    * — no SinglePartition window; at 10⁹ units the shape is
+    * unchanged. */
   def ppsQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
@@ -2787,11 +2781,9 @@ object Stats {
       .filter($"size" > 0)
       .withColumn("h",
         Hashing.md5Long60(concat(lit("pps:"), $"o_custkey".cast("string"))))
-    val wOrd = Window.partitionBy(lit(0)).orderBy($"h", $"o_custkey")
-    val wAll = Window.partitionBy(lit(0))
-    sz
-      .withColumn("c", sum($"size").over(wOrd))
-      .withColumn("tt", sum($"size").over(wAll))
+    Rank.orderedPrefix(sz, order = Seq($"h", $"o_custkey"),
+        cums = Seq(Rank.Cum($"size", "c")),
+        totals = Seq(($"size", "tt")))
       .withColumn("u0", Hashing.md5Long60(lit("pps:start")) % 10000L)
       .withColumn("a_c", $"c" * lit(500000L) - $"u0" * $"tt")
       .withColumn("a_p", ($"c" - $"size") * lit(500000L) - $"u0" * $"tt")
@@ -3558,23 +3550,26 @@ object Stats {
     * the median an explicit order statistic (lower middle at even
     * counts, documented) — zero FP until the display division. */
   def hodgesLehmannQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
+    // Panel selection is a distributed TOP-K (TakeOrderedAndProject:
+    // per-partition heads merged on the driver — no global sort, no
+    // SinglePartition window), not a full rank-then-filter.
     def panel(tp: String): DataFrame = t(s, dir, "events")
       .filter($"event_type" === tp)
       .select($"event_id",
         ($"value".cast("decimal(18,2)") * 100).cast("long").as("vc"))
-      .withColumn("rn", row_number().over(Window.partitionBy(lit(0))
-        .orderBy(Hashing.md5Long60(concat(lit(s"hl:$tp:"),
-          $"event_id".cast("string"))), $"event_id")))
-      .filter($"rn" <= 60)
+      .orderBy(Hashing.md5Long60(concat(lit(s"hl:$tp:"),
+        $"event_id".cast("string"))), $"event_id")
+      .limit(60)
     val diffs = panel("click").select($"vc".as("x"), $"event_id".as("ei"))
       .crossJoin(panel("view").select($"vc".as("y"), $"event_id".as("ej")))
       .select(($"x" - $"y").as("dc"), $"ei", $"ej")
-    val wOrd = Window.partitionBy(lit(0)).orderBy($"dc", $"ei", $"ej")
-    diffs
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(0))))
+    // The 3 600-pair grid is bounded by construction, but the median
+    // rank still routes through [[Rank.orderedPrefix]] so the whole
+    // operator is SinglePartition-free (and unchanged if the panel
+    // sizes are ever widened).
+    Rank.orderedPrefix(diffs, order = Seq($"dc", $"ei", $"ej"),
+        rnOut = Some("rn"), countOut = Some("nn"))
       .filter($"rn" === expr("(nn + 1) div 2"))
       .select($"nn".cast("long").as("n_pairs"),
         ($"dc".cast("double") / lit(100.0)).as("hl_shift"))
@@ -4107,10 +4102,8 @@ object Stats {
     val d = ev.groupBy($"value".as("v"))
       .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
         sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c2"))
-    val wCum = Window.partitionBy(lit(0)).orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val u = d
-      .withColumn("before", coalesce(sum($"c1" + $"c2").over(wCum), lit(0L)))
+    val u = Rank.orderedPrefix(d, order = Seq($"v"),
+        cums = Seq(Rank.Cum($"c1" + $"c2", "before", exclusive = true)))
       .withColumn("avg_rank",
         ($"before".cast("decimal(18,1)") +
           ($"c1" + $"c2" + 1).cast("decimal(18,1)") / 2).cast("decimal(18,1)"))
@@ -4423,7 +4416,7 @@ object Stats {
     * — blocks = users having events of ALL five types, cell value =
     * the user's mean `value` per type, midranked WITHIN each user
     * across the five types. The tie-corrected statistic (Conover) is
-    * T = b(k−1)·Σⱼ(Rⱼ − b(k+1)/2)² / (Σᵢⱼ r²ᵢⱼ − bk(k+1)²/4),
+    * T = (k−1)·Σⱼ(Rⱼ − b(k+1)/2)² / (Σᵢⱼ r²ᵢⱼ − bk(k+1)²/4),
     * asymptotically χ²(k−1). The within-block ranking cancels user
     * propensity nonparametrically — the repeated-measures sibling of
     * [[kruskalQ]].
@@ -4467,7 +4460,7 @@ object Stats {
     }.reduce(_ + _)
     agg.select(
       $"b".cast("long").as("b"), lit(k.toLong).as("k"),
-      round($"b".cast("double") * (k - 1) * sumDev /
+      round(lit((k - 1).toDouble) * sumDev /
         ($"a2".cast("double") -
           $"b".cast("double") * k * (k + 1) * (k + 1) / 4), 6).as("t_stat"))
   }
@@ -4501,7 +4494,7 @@ object Stats {
        |    ${rs.mkString(",\n    ")}
        |  FROM ranked)
        |SELECT CAST(b AS BIGINT) AS b, CAST($k AS BIGINT) AS k,
-       |  ROUND(CAST(b AS DOUBLE) * ${k - 1} * ($sumDev)
+       |  ROUND(CAST(${k - 1} AS DOUBLE) * ($sumDev)
        |    / (CAST(a2 AS DOUBLE)
        |      - CAST(b AS DOUBLE) * $k * ${k + 1} * ${k + 1} / 4), 6)
        |    AS t_stat
@@ -4534,11 +4527,9 @@ object Stats {
         types.tail.map(tp =>
           sum(when($"event_type" === tp, 1L).otherwise(0L)).as(s"c_$tp")): _*)
     val tc = types.map(tp => col(s"c_$tp")).reduce(_ + _)
-    val wCum = Window.partitionBy(lit(0)).orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = d
-      .withColumn("tc", tc)
-      .withColumn("before", coalesce(sum($"tc").over(wCum), lit(0L)))
+    val ranked = Rank.orderedPrefix(d.withColumn("tc", tc),
+        order = Seq($"v"),
+        cums = Seq(Rank.Cum($"tc", "before", exclusive = true)))
       .withColumn("avg_rank",
         ($"before".cast("decimal(18,1)") +
           ($"tc" + 1).cast("decimal(18,1)") / 2).cast("decimal(18,1)"))
@@ -4624,22 +4615,21 @@ object Stats {
     * makes exactly reproducible anywhere.
     *
     * Scale shape: the projection is (key, hash, price) — narrow; the
-    * global rank is ONE range-partitioned sort of that narrow frame
-    * (the same machinery any total-order operator pays; at 100 TB one
-    * ranks within hash ranges and offsets by per-range counts — shape
-    * unchanged); the rollup is a combinable groupBy. Determinism:
-    * ranks are exact (hash ties broken by key), money sums exact
-    * DECIMAL(18,2). */
+    * global rank is [[Rank.withRowNumber]] — ONE range exchange, rank
+    * = per-range count offsets + arithmetic local index, no window at
+    * all in the plan (this is the "ranks within hash ranges, offset
+    * by per-range counts" design, now literally what executes); the
+    * rollup is a combinable groupBy. Determinism: ranks are exact
+    * (hash ties broken by key), money sums exact DECIMAL(18,2). */
   def systematicQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val price = $"o_totalprice".cast("decimal(18,2)")
-    val ranked = t(s, dir, "orders")
-      .select($"o_orderkey", $"o_orderpriority", price.as("p"),
-        Hashing.md5Long60(concat(lit("sys:"),
-          $"o_orderkey".cast("string"))).as("h"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(lit(0)).orderBy($"h", $"o_orderkey")))
+    val ranked = Rank.withRowNumber(
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderpriority", price.as("p"),
+          Hashing.md5Long60(concat(lit("sys:"),
+            $"o_orderkey".cast("string"))).as("h")),
+      order = Seq($"h", $"o_orderkey"), out = "rk")
     ranked.groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_pop"),
         sum($"p").as("sp"),
@@ -4753,23 +4743,23 @@ object Stats {
     * population instead of assuming it — the self-audit a
     * reproducible-sampling stack should ship with.
     *
-    * Scale shape: a narrow (hash) projection and ONE range-partitioned
-    * sort (rank window); the D terms reduce by a global max. At 100 TB
-    * one tests a fixed-size hash sample — shape unchanged.
-    * Determinism: u is an exact dyadic rational of the integer hash;
-    * ranks exact; D is a max over shared IEEE chains — no sum, no
-    * order dependence at all. */
+    * Scale shape: a narrow (hash) projection through
+    * [[Rank.orderedPrefix]] — ONE range exchange yields both the rank
+    * i and the count n (no SinglePartition window); the D terms
+    * reduce by a global max. At 100 TB one tests a fixed-size hash
+    * sample — shape unchanged. Determinism: u is an exact dyadic
+    * rational of the integer hash; ranks exact; D is a max over
+    * shared IEEE chains — no sum, no order dependence at all. */
   def ksUniformQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val two60 = lit(1152921504606846976L).cast("double")
     val u = (Hashing.md5Long60(concat(lit("ksu:"),
       $"o_orderkey".cast("string"))) + 1L).cast("double") / two60
-    val ranked = t(s, dir, "orders")
-      .select($"o_orderkey", u.as("u"))
-      .withColumn("i", row_number().over(
-        Window.partitionBy(lit(0)).orderBy($"u", $"o_orderkey")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(0))))
+    val ranked = Rank.orderedPrefix(
+      t(s, dir, "orders").select($"o_orderkey", u.as("u")),
+      order = Seq($"u", $"o_orderkey"),
+      rnOut = Some("i"),
+      countOut = Some("n"))
       .withColumn("d", greatest(
         $"i".cast("double") / $"n" - $"u",
         $"u" - ($"i" - 1).cast("double") / $"n"))
@@ -4987,15 +4977,14 @@ object Stats {
       .groupBy($"value".as("v"))
       .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
         sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c2"))
-    val wCum = Window.partitionBy(lit(0)).orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, -1)
     def mid(before: Column, cnt: Column): Column =
       (before.cast("decimal(18,1)") +
         (cnt + 1).cast("decimal(18,1)") / 2).cast("decimal(18,1)")
-    val ranked = d
-      .withColumn("bAll", coalesce(sum($"c1" + $"c2").over(wCum), lit(0L)))
-      .withColumn("b1", coalesce(sum($"c1").over(wCum), lit(0L)))
-      .withColumn("b2", coalesce(sum($"c2").over(wCum), lit(0L)))
+    val ranked = Rank.orderedPrefix(d, order = Seq($"v"),
+        cums = Seq(
+          Rank.Cum($"c1" + $"c2", "bAll", exclusive = true),
+          Rank.Cum($"c1", "b1", exclusive = true),
+          Rank.Cum($"c2", "b2", exclusive = true)))
       .withColumn("m", mid($"bAll", $"c1" + $"c2"))
       .withColumn("m1", mid($"b1", $"c1"))
       .withColumn("m2", mid($"b2", $"c2"))
@@ -5252,19 +5241,20 @@ object Stats {
     * k×2 frame. Determinism: the median is an exact data value;
     * counts exact integers; per-cell terms 9-dp DECIMAL sums. */
   def moodsMedianQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val types = EvTypes
     val ev = t(s, dir, "events")
-    val med = ev.groupBy($"value".as("v")).agg(count(lit(1)).as("c"))
-      .withColumn("n", sum($"c").over(Window.partitionBy(lit(0))))
-      .withColumn("cum", sum($"c").over(Window.partitionBy(lit(0))
-        .orderBy($"v").rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
-      .filter($"cum" >= expr("(n + 1) div 2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(lit(0)).orderBy($"v")))
-      .filter($"rn" === 1)
+    // exact lower median by selection: the FIRST distinct value whose
+    // inclusive prefix count reaches (n+1) div 2 is the one where the
+    // exclusive prefix is still short of it — one Rank pass, no
+    // SinglePartition window, no post-filter row_number needed
+    val med = Rank.orderedPrefix(
+      ev.groupBy($"value".as("v")).agg(count(lit(1)).as("c")),
+      order = Seq($"v"),
+      cums = Seq(Rank.Cum($"c", "cum")),
+      totals = Seq(($"c", "n")))
+      .filter($"cum" >= expr("(n + 1) div 2") &&
+        $"cum" - $"c" < expr("(n + 1) div 2"))
       .select($"v".as("median"))
     val cells = ev.crossJoin(broadcast(med))
       .select($"event_type", ($"value" > $"median").cast("long").as("ab"))
@@ -5351,11 +5341,9 @@ object Stats {
           sum(when((floor(datediff($"ts",
             lit("2024-01-01").cast("timestamp")) / 7) + 1) === j, 1L)
             .otherwise(0L)).as(s"c$j")): _*)
-    val wCum = Window.partitionBy(lit(0)).orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = (1 to k).foldLeft(wk) { (df, j) =>
-      df.withColumn(s"b$j", coalesce(sum(col(s"c$j")).over(wCum), lit(0L)))
-    }
+    val cum = Rank.orderedPrefix(wk, order = Seq($"v"),
+      cums = (1 to k).map(j =>
+        Rank.Cum(col(s"c$j"), s"b$j", exclusive = true)))
     // U_jk contribution at value v: c_k(v)·before_j(v) + c_j(v)·c_k(v)/2
     val uTerms = for { j <- 1 to k; kk <- 1 to k if j < kk } yield
       sum((col(s"c$kk").cast("decimal(18,1)") * col(s"b$j") +
@@ -5433,18 +5421,19 @@ object Stats {
     * Closed-form position→rank map (p = ascending position, m = N−p+1
     * = descending position): left half (p ≤ (N+1) div 2): rank =
     * 2p−(p mod 2); right half: rank = 2m−((m+1) mod 2). Scale shape:
-    * ONE range-partitioned sort of the narrow (value, id, group)
-    * frame; rank sums are combinable exact-integer aggregates; one
-    * final IEEE chain. */
+    * [[Rank.orderedPrefix]] — ONE range exchange of the narrow
+    * (value, id, group) frame delivers both the position p and the
+    * frame count nn (no SinglePartition window); rank sums are
+    * combinable exact-integer aggregates; one final IEEE chain. */
   def siegelTukeyQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val ranked = t(s, dir, "events")
-      .filter($"event_type".isin("click", "view"))
-      .select($"event_id", $"event_type", $"value")
-      .withColumn("p", row_number().over(
-        Window.partitionBy(lit(0)).orderBy($"value", $"event_id")))
-      .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(0))))
+    val ranked = Rank.orderedPrefix(
+      t(s, dir, "events")
+        .filter($"event_type".isin("click", "view"))
+        .select($"event_id", $"event_type", $"value"),
+      order = Seq($"value", $"event_id"),
+      rnOut = Some("p"),
+      countOut = Some("nn"))
       .withColumn("st_rank",
         when($"p" <= expr("(nn + 1) div 2"),
           lit(2) * $"p" - pmod($"p", lit(2)))
@@ -5505,20 +5494,25 @@ object Stats {
     * [[siegelTukeyQ]] convention — deterministic and identical across
     * engines; continuous-value position ties are measure-zero).
     *
-    * Scale shape: ONE range-partitioned sort of the narrow frame; the
-    * combined and within-group ranks come from two window passes; U
+    * Scale shape: [[Rank.orderedPrefix]] — ONE range exchange of the
+    * narrow frame gives the combined rank r, and the within-group
+    * ranks i ride the same pass as running sums of the two group
+    * indicators (no per-group 2-task window, no SinglePartition); U
     * reduces as an exact-integer combinable sum; one final IEEE
     * chain. */
   def cvmQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val ranked = t(s, dir, "events")
-      .filter($"event_type".isin("click", "view"))
-      .select($"event_id", $"event_type", $"value")
-      .withColumn("r", row_number().over(
-        Window.partitionBy(lit(0)).orderBy($"value", $"event_id")))
-      .withColumn("i", row_number().over(
-        Window.partitionBy($"event_type").orderBy($"value", $"event_id")))
+    val ranked = Rank.orderedPrefix(
+      t(s, dir, "events")
+        .filter($"event_type".isin("click", "view"))
+        .select($"event_id", $"event_type", $"value"),
+      order = Seq($"value", $"event_id"),
+      rnOut = Some("r"),
+      cums = Seq(
+        Rank.Cum(when($"event_type" === "click", 1L).otherwise(0L), "cum_c"),
+        Rank.Cum(when($"event_type" === "view", 1L).otherwise(0L), "cum_v")))
+      .withColumn("i",
+        when($"event_type" === "click", $"cum_c").otherwise($"cum_v"))
     // U overflows BIGINT past ~10^5 rows per group (n·Σ(r−i)² ~ n·N³),
     // caught by the sf1 decade bench: deviation squares accumulate as
     // DECIMAL(38,0) and U leaves as DOUBLE (exact below 2^53 — holds

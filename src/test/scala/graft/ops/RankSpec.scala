@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The distributed total-order primitive: value equality against the
+  * naive single-partition window on real data, and plan proofs that
+  * the converted global-rank queries carry no SinglePartition window
+  * (the 100 TB single-reducer class the primitive exists to kill). */
+class RankSpec extends AnyFunSuite with SparkSpec {
+
+  private def events = graft.Tables.t(spark, sfDir, "events")
+
+  test("orderedPrefix row number equals the single-window row_number") {
+    import spark.implicits._
+    val df = events.select($"event_id", $"event_type", $"value")
+    val got = Rank.orderedPrefix(df,
+        order = Seq($"value", $"event_id"),
+        rnOut = Some("rn"), countOut = Some("nn"))
+      .select($"event_id", $"rn", $"nn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ref = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"value", $"event_id"))
+        .cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(0))))
+      .select($"event_id", $"rn", $"nn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref)
+  }
+
+  test("inclusive + exclusive running sums and totals match the window") {
+    import spark.implicits._
+    val d = events.groupBy($"value".as("v"))
+      .agg(count(lit(1)).as("c"))
+    val got = Rank.orderedPrefix(d, order = Seq($"v"),
+        cums = Seq(Rank.Cum($"c", "inc"), Rank.Cum($"c", "exc", exclusive = true)),
+        totals = Seq(($"c", "tot")))
+      .select($"v", $"inc", $"exc", $"tot")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val wCum = Window.partitionBy(lit(0)).orderBy($"v")
+    val ref = d
+      .withColumn("inc", sum($"c").over(
+        wCum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("exc", coalesce(sum($"c").over(
+        wCum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tot", sum($"c").over(Window.partitionBy(lit(0))))
+      .select($"v", $"inc", $"exc", $"tot")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == ref)
+  }
+
+  test("descending order ranks from the top") {
+    import spark.implicits._
+    val d = events.groupBy($"value".as("v")).agg(count(lit(1)).as("c"))
+    val got = Rank.orderedPrefix(d, order = Seq($"v"),
+        rnOut = Some("rn"), descending = true)
+      .select($"v", $"rn")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSet
+    val ref = d.withColumn("rn", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"v".desc)).cast("long"))
+      .select($"v", $"rn")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSet
+    assert(got == ref)
+  }
+
+  test("heavy-tie primary keeps ties in one bucket and ranks correctly") {
+    import spark.implicits._
+    // one value carries half the frame — the adversarial case for
+    // quantile bucketing (bounds collapse onto the heavy value)
+    val df = spark.range(1000)
+      .select($"id", when($"id" % 2 === 0, lit(7.0))
+        .otherwise($"id".cast("double")).as("v"))
+    val got = Rank.orderedPrefix(df, order = Seq($"v", $"id"),
+        rnOut = Some("rn"), numParts = 8)
+      .select($"id", $"rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = df.withColumn("rn", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"v", $"id")).cast("long"))
+      .select($"id", $"rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref)
+  }
+
+  test("empty input yields an empty result, not a crash") {
+    import spark.implicits._
+    val df = events.filter(lit(false))
+      .select($"event_id", $"value")
+    assert(Rank.orderedPrefix(df, order = Seq($"value", $"event_id"),
+      rnOut = Some("rn"), countOut = Some("nn")).count() == 0)
+  }
+
+  /** A foldable-only partitionSpec is exactly what
+    * `Window.partitionBy(lit(0))` / `partitionBy()` plans to: an
+    * Exchange SinglePartition + one-task sort of the whole child. */
+  private def singlePartitionWindows(
+      df: org.apache.spark.sql.DataFrame): Seq[WindowExec] = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect {
+      case w: WindowExec if w.partitionSpec.forall(_.foldable) => w
+    }
+  }
+
+  test("converted global-rank queries plan no SinglePartition window") {
+    val converted = Seq(
+      "q_stat_cvm", "q_stat_siegel_tukey", "q_stat_ks_uniform",
+      "q_sample_systematic", "q_stat_hodges_lehmann", "q_sample_pps",
+      "q_stat_mannwhitney", "q_stat_kruskal", "q_stat_wilson",
+      "q_stat_effect_size", "q_stat_dunn", "q_stat_brunner_munzel",
+      "q_stat_moods_median", "q_stat_jonckheere", "q_shard_range_bounds")
+    converted.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val bad = singlePartitionWindows(df)
+      assert(bad.isEmpty,
+        s"$name still plans a SinglePartition window: ${bad.mkString(";")}")
+    }
+  }
+
+  test("orderedPrefix plan has no SinglePartition window itself") {
+    import spark.implicits._
+    val df = Rank.orderedPrefix(
+      events.select($"event_id", $"value"),
+      order = Seq($"value", $"event_id"),
+      rnOut = Some("rn"),
+      cums = Seq(Rank.Cum(lit(1L), "cumn")))
+    assert(singlePartitionWindows(df).isEmpty)
+  }
+}

@@ -1497,7 +1497,7 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     val sumDev = types.map { tp =>
       val dev = rj(tp).toDouble - b.toDouble * (k + 1) / 2; dev * dev
     }.sum
-    val tstat = b.toDouble * (k - 1) * sumDev /
+    val tstat = (k - 1).toDouble * sumDev /
       (a2.toDouble - b.toDouble * k * (k + 1) * (k + 1) / 4)
     def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(row.getAs[Double]("t_stat") - r6(tstat)) < 1e-9,
