@@ -132,8 +132,21 @@ object GraftFunctions {
       else throw new IllegalArgumentException(
         s"winnow_prints requires exactly 1 argument, got ${children.length}"))
 
+  private[functions] val charGramsSpec
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_grams"),
+    new ExpressionInfo(classOf[CharGrams].getName, "char_grams"),
+    (children: Seq[Expression]) => children match {
+      case Seq(str,
+          org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+        CharGrams(str, n)
+      case _ => throw new IllegalArgumentException(
+        "char_grams requires (string, literal int maxN)")
+    })
+
   private[functions] def specs =
-    Seq(rollingHashSpec, vecDotSpec, nfcSpec, jaroWinklerSpec, winnowSpec)
+    Seq(rollingHashSpec, vecDotSpec, nfcSpec, jaroWinklerSpec, winnowSpec,
+      charGramsSpec)
 
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

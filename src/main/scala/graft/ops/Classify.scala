@@ -121,14 +121,12 @@ object Classify {
     * running at 100 TB; a threshold-free ranking metric, unlike the
     * confusion-matrix rows. */
   def aucQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val d = scored(s, dir)
       .groupBy($"score".as("v"))
       .agg(sum($"y").as("c1"), sum(lit(1L) - $"y").as("c2"))
-    val wCum = Window.partitionBy(lit(0)).orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    d.withColumn("before", coalesce(sum($"c1" + $"c2").over(wCum), lit(0L)))
+    Rank.orderedPrefix(d, order = Seq($"v"),
+        cums = Seq(Rank.Cum($"c1" + $"c2", "before", exclusive = true)))
       .withColumn("avg_rank",
         ($"before".cast("decimal(18,1)") +
           ($"c1" + $"c2" + 1).cast("decimal(18,1)") / 2).cast("decimal(18,1)"))
@@ -320,16 +318,14 @@ object Classify {
     * counts exact; per-threshold terms are shared-order IEEE doubles
     * rounded to 12 dp summed as DECIMAL(28,12); finals round 6 dp. */
   def avgprecQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val d = scored(s, dir)
       .groupBy($"score".as("v"))
       .agg(sum($"y").as("c1"), sum(lit(1L) - $"y").as("c2"))
-    val wCum = Window.partitionBy(lit(0)).orderBy($"v".desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
     val tot = d.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
-    d.withColumn("cum1", sum($"c1").over(wCum))
-      .withColumn("cum", sum($"c1" + $"c2").over(wCum))
+    Rank.orderedPrefix(d, order = Seq($"v"), descending = true,
+        cums = Seq(Rank.Cum($"c1", "cum1"),
+          Rank.Cum($"c1" + $"c2", "cum")))
       .crossJoin(broadcast(tot))
       .withColumn("prec", round($"cum1".cast("double") / $"cum", 6))
       .agg(
@@ -478,16 +474,28 @@ object Classify {
     * operational companion to [[aucQ]] (which integrates the whole
     * curve into one number and hides WHERE the gains are).
     *
-    * Scale shape: one [[scored]] pass, one global rank for the decile
-    * cut (the oracle-exact stand-in for two approx-percentile
-    * cutpoints at 100 TB — same note as the CCNet terciles), then
-    * every window runs on the 10-row decile frame. */
+    * Scale shape: one [[scored]] pass; the decile cut is the
+    * distributed [[Rank.orderedPrefix]] rank (no raw-row global
+    * window), then every window runs on the 10-row decile frame. */
   def liftQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val d = scored(s, dir)
-      .withColumn("dec",
-        ntile(10).over(Window.orderBy($"score".desc, $"doc_id")))
+    // NTILE(10) over (score DESC, doc_id) without a raw-row global
+    // window: dense global rank + frame count from [[Rank]] (score
+    // negated so the mixed-direction order becomes uniformly
+    // ascending), then the NTILE split rule — first n%10 buckets hold
+    // ceil(n/10) rows — as a pure integer projection, bit-identical
+    // to NTILE in both engines.
+    val ranked = Rank.orderedPrefix(
+      scored(s, dir).withColumn("negscore", -$"score"),
+      order = Seq($"negscore", $"doc_id"),
+      rnOut = Some("rn"), countOut = Some("nn"))
+    val d = ranked
+      .withColumn("dec", expr(
+        """CASE WHEN rn <= (nn % 10) * (nn div 10 + 1)
+          |  THEN (rn - 1) div (nn div 10 + 1) + 1
+          |  ELSE nn % 10 + (rn - (nn % 10) * (nn div 10 + 1) - 1)
+          |    div (nn div 10) + 1 END""".stripMargin))
       .groupBy($"dec")
       .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"))
     val wCum = Window.orderBy($"dec")
@@ -645,11 +653,15 @@ object Classify {
       .withColumnRenamed("c", "cc")
     val rg = grams.withColumnRenamed("doc_id", "ref_id")
       .withColumnRenamed("c", "rc")
-    val matches = pairs.join(cg, "cand_id")
-      .join(rg, Seq("ref_id", "n", "g"))
+    // the gram aggregate is millions of rows — Catalyst's post-explode
+    // size estimate can pick a broadcast build of it (the chrF r13
+    // finding); pin the distributed hash join, building the narrow
+    // pairs side where it is one of the sides
+    val matches = pairs.hint("shuffle_hash").join(cg, "cand_id")
+      .join(rg.hint("shuffle_hash"), Seq("ref_id", "n", "g"))
       .groupBy($"source", $"n")
       .agg(sum(least($"cc", $"rc")).as("m"))
-    val totals = pairs.join(cg, "cand_id")
+    val totals = pairs.hint("shuffle_hash").join(cg, "cand_id")
       .groupBy($"source", $"n").agg(sum($"cc").as("tt"))
     def cell(i: Int, c: String) =
       sum(when($"n" === i, col(c)).otherwise(0L)).as(s"${c}$i")
@@ -797,12 +809,14 @@ object Classify {
       .withColumnRenamed("c", "cc")
     val rg = grams.withColumnRenamed("doc_id", "ref_id")
       .withColumnRenamed("c", "rc")
-    val matches = pairs.join(cg, "cand_id")
-      .join(rg, Seq("ref_id", "n", "g"))
+    // pin distributed hash joins on the gram-aggregate sides (the chrF
+    // r13 broadcast-blowup finding; same shape here)
+    val matches = pairs.hint("shuffle_hash").join(cg, "cand_id")
+      .join(rg.hint("shuffle_hash"), Seq("ref_id", "n", "g"))
       .groupBy($"source", $"n").agg(sum(least($"cc", $"rc")).as("m"))
-    val ct = pairs.join(cg, "cand_id")
+    val ct = pairs.hint("shuffle_hash").join(cg, "cand_id")
       .groupBy($"source", $"n").agg(sum($"cc").as("ct"))
-    val rt = pairs.join(rg, "ref_id")
+    val rt = pairs.hint("shuffle_hash").join(rg, "ref_id")
       .groupBy($"source", $"n").agg(sum($"rc").as("rt"))
     def cell(i: Int, c: String) =
       sum(when($"n" === i, col(c)).otherwise(0L)).as(s"${c}$i")
@@ -903,48 +917,66 @@ object Classify {
     * macro over orders — the reference implementation's aggregation),
     * chrF2 = 5·P·R / (4·P + R).
     *
-    * Scale shape: the gram explode is O(6 × corpus chars) generated
-    * rows, collapsed map-side to distinct (doc, n, gram-hash) counts
-    * (≲ text length per order) before any shuffle; all joins move
-    * count rows keyed by the 8-byte md5Long60 hash; final arithmetic
-    * on the |sources| × 6 grid. Determinism: integer counts, each
-    * per-order ratio one IEEE divide, the mean a fixed 6-term written
-    * chain, zero denominators short-circuited identically. */
+    * Scale shape: the gram pass is ONE native [[graft.functions
+    * .CharGrams]] byte loop per document (all six orders in one pass,
+    * no per-gram substring or md5 pipeline — the r12 build spent 35 s
+    * at sf0.1, ~11% of the whole driver bench, there), collapsed
+    * map-side to distinct (doc, packed-gram) counts before any
+    * shuffle; grams travel as one INJECTIVE 8-byte key `(n << 56) |
+    * bytes` (collision-free, unlike a hash, and the order rides in the
+    * key so joins need no separate n column); the consecutive-document
+    * pairing is a distributed [[Rank]] pass + rank+1 self-join (no
+    * per-source fat-task lead window); final arithmetic on the
+    * |sources| × 6 grid. Byte grams = char grams on the ASCII corpus —
+    * the [[graft.functions.RollingHash]] contract, shared by the
+    * oracle's `(n << 56) + hex(substr)` key. Determinism: integer
+    * counts, each per-order ratio one IEEE divide, the mean a fixed
+    * 6-term written chain, zero denominators short-circuited
+    * identically. */
   def chrfQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val ch = t(s, dir, "documents")
       .select($"doc_id", $"source",
         regexp_replace(lower($"text"), " ", "").as("c"))
-    val grams = ch.select($"doc_id", explode(expr(
-        """flatten(transform(array(1, 2, 3, 4, 5, 6), n ->
-          |  if(length(c) >= n,
-          |     transform(sequence(1, length(c) - n + 1),
-          |       i -> struct(n AS n, substring(c, i, n) AS g)),
-          |     array())))""".stripMargin)).as("e"))
-      // Key choice measured both ways (r12): raw <=6-char string keys win
-      // at sf0.1 (30.0s vs 36.8s — md5's hex pipeline dominates per-row
-      // cost) but LOSE at sf1 (75.8s vs 65.8s — shuffle/agg hashing of
-      // string keys dominates once volume grows). The 8-byte md5 key is
-      // the 100 TB-right choice, so it stays; decade ratio 1.8x.
-      .select($"doc_id", $"e.n".as("n"), Hashing.md5Long60($"e.g").as("g"))
-      .groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("cnt"))
+    val grams = ch.select($"doc_id", explode(expr("char_grams(c, 6)")).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
     val pairs = ch
       .withColumn("ref_id", lead($"doc_id", 1).over(
-        Window.partitionBy($"source").orderBy($"doc_id")))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"doc_id")))
       .filter($"ref_id".isNotNull)
       .select($"source", $"doc_id".as("cand_id"), $"ref_id")
+    val nOf = shiftright($"g", 56).cast("int")
     val cg = grams.withColumnRenamed("doc_id", "cand_id")
       .withColumnRenamed("cnt", "cc")
     val rg = grams.withColumnRenamed("doc_id", "ref_id")
       .withColumnRenamed("cnt", "rc")
-    val matches = pairs.join(cg, "cand_id")
-      .join(rg, Seq("ref_id", "n", "g"))
-      .groupBy($"source", $"n").agg(sum(least($"cc", $"rc")).as("m"))
-    val ct = pairs.join(cg, "cand_id")
-      .groupBy($"source", $"n").agg(sum($"cc").as("ct"))
-    val rt = pairs.join(rg, "ref_id")
-      .groupBy($"source", $"n").agg(sum($"rc").as("rt"))
+    // the gram table is 6×chars rows — Catalyst's post-explode size
+    // estimate undercounts it badly enough to pick a BROADCAST build
+    // of the ref-gram side (measured: a 46M-row single-threaded
+    // HashedRelation, 215 s of the 147 s→258 s sf1 regression); pin
+    // the distributed hash join explicitly — at any real scale this
+    // side is never broadcastable
+    val matches = pairs.hint("shuffle_hash").join(cg, "cand_id")
+      .join(rg.hint("shuffle_hash"), Seq("ref_id", "g"))
+      .groupBy($"source", nOf.as("n")).agg(sum(least($"cc", $"rc")).as("m"))
+    // ct/rt never need the gram table: the total gram occurrences of
+    // order n in a doc is just max(len − n + 1, 0), so the per-order
+    // totals come from one cheap length join — this removes two of the
+    // four gram-pipeline evaluations the r12 plan paid (the heavy
+    // explode+collapse now feeds ONLY the match join)
+    val lens = ch.select($"doc_id", length($"c").as("len"))
+    val totals = pairs
+      .join(lens.select($"doc_id".as("cand_id"), $"len".as("lc")), "cand_id")
+      .join(lens.select($"doc_id".as("ref_id"), $"len".as("lr")), "ref_id")
+      .select($"source", explode(expr("sequence(1, 6)")).as("n"),
+        $"lc", $"lr")
+      .groupBy($"source", $"n")
+      .agg(sum(greatest($"lc" - $"n" + 1, lit(0))).cast("long").as("ct"),
+        sum(greatest($"lr" - $"n" + 1, lit(0))).cast("long").as("rt"))
+    val ct = totals.select($"source", $"n", $"ct")
+    val rt = totals.select($"source", $"n", $"rt")
     def cell(i: Int, c: String) =
       sum(when($"n" === i, col(c)).otherwise(0L)).as(s"${c}$i")
     val grid = ct.join(rt, Seq("source", "n"))
@@ -988,7 +1020,8 @@ object Classify {
       |  FROM documents),
       |grams AS (
       |  SELECT doc_id, n,
-      |    ('0x' || substr(md5(substr(c, i, n)), 1, 15))::UBIGINT::BIGINT AS g,
+      |    CAST(n::UBIGINT * 72057594037927936::UBIGINT
+      |      + ('0x' || hex(substr(c, i, n)))::UBIGINT AS BIGINT) AS g,
       |    COUNT(*) AS cnt
       |  FROM (
       |    SELECT doc_id, c, nn.n AS n,

@@ -88,10 +88,8 @@ object Drift {
         sum(when($"source" === "src0", 1L).otherwise(0L)).as("c1"),
         sum(when($"source" === "src1", 1L).otherwise(0L)).as("c2"))
     val totals = d.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
-    val w = Window.partitionBy(lit(0)).orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.withColumn("cum1", sum($"c1").over(w))
-      .withColumn("cum2", sum($"c2").over(w))
+    Rank.orderedPrefix(d, order = Seq($"v"),
+        cums = Seq(Rank.Cum($"c1", "cum1"), Rank.Cum($"c2", "cum2")))
       .crossJoin(broadcast(totals))
       .select(($"cum1".cast("double") / $"n1" -
         $"cum2".cast("double") / $"n2").as("diff"), $"n1", $"n2")
@@ -143,12 +141,15 @@ object Drift {
         sum(when($"source" === "src0", 1L).otherwise(0L)).as("c1"),
         sum(when($"source" === "src1", 1L).otherwise(0L)).as("c2"))
     val totals = d.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
-    val wCum = Window.partitionBy(lit(0)).orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wLead = Window.partitionBy(lit(0)).orderBy($"v")
-    d.withColumn("cum1", sum($"c1").over(wCum))
-      .withColumn("cum2", sum($"c2").over(wCum))
-      .withColumn("gap", (lead($"v", 1).over(wLead) - $"v").cast("double"))
+    // lead(v) without a global window: dense global ranks from the
+    // distributed Rank pass, then an equi self-join on rn+1 (shuffle
+    // keyed by the unique dense rank — balanced at any scale)
+    val ranked = Rank.orderedPrefix(d, order = Seq($"v"),
+      rnOut = Some("rn"),
+      cums = Seq(Rank.Cum($"c1", "cum1"), Rank.Cum($"c2", "cum2")))
+    val nextV = ranked.select(($"rn" - 1).as("rn"), $"v".as("v_next"))
+    ranked.join(nextV, Seq("rn"), "left")
+      .withColumn("gap", ($"v_next" - $"v").cast("double"))
       .crossJoin(broadcast(totals))
       .select($"n1", $"n2",
         when($"gap".isNull, lit(0d)) // last support point: no interval

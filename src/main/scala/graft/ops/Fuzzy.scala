@@ -271,11 +271,13 @@ object Fuzzy {
     * blind) and [[fellegiSunterQ]] (which uses the truth labels to fit
     * match weights). */
   private def erRecords(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val rk = t(s, dir, "part").select($"p_name".as("nm")).distinct()
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(lit(1)).orderBy($"nm")))
+    // distinct-name universe is |parts|-scaled: the stable record
+    // numbering comes from the distributed Rank pass, not a
+    // single-partition window
+    val rk = Rank.withRowNumber(
+      t(s, dir, "part").select($"p_name".as("nm")).distinct(),
+      order = Seq($"nm"), out = "rk")
     val typo = expr("substr(nm, 1, length(nm) - 1)")
     rk.select(($"rk" * 2).cast("long").as("rid"), $"nm".as("name"))
       .unionByName(rk.select(($"rk" * 2 + 1).cast("long").as("rid"),
@@ -286,17 +288,22 @@ object Fuzzy {
     * sort key) over [[erRecords]]: (ra, na, rb, nb). O(n·w) rows, the
     * blocking output every downstream linkage stage consumes. */
   private def erCandidates(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val keyed = erRecords(s, dir)
-      .withColumn("srt", regexp_replace($"name", " ", ""))
-    val w = Window.partitionBy(lit(1)).orderBy($"srt", $"rid")
-    keyed.select($"rid".as("ra"), $"name".as("na"),
-        array((1 to 8).map(i => struct(lead($"rid", i).over(w).as("rb"),
-          lead($"name", i).over(w).as("nb"))): _*).as("cs"))
-      .select($"ra", $"na", explode($"cs").as("c"))
-      .filter($"c.rb".isNotNull)
-      .select($"ra", $"na", $"c.rb".as("rb"), $"c.nb".as("nb"))
+    // sorted-neighborhood without a global lead window: dense ranks in
+    // the (srt, rid) order from the distributed Rank pass, then each
+    // record fans out to its 8 forward neighbor slots (explode) and
+    // equi-joins the records holding those ranks — O(n·w) rows either
+    // way, but every stage is hash-distributed
+    val ranked = Rank.orderedPrefix(
+      erRecords(s, dir)
+        .withColumn("srt", regexp_replace($"name", " ", "")),
+      order = Seq($"srt", $"rid"), rnOut = Some("rn"))
+    val probes = ranked
+      .select($"rid".as("ra"), $"name".as("na"),
+        explode(sequence($"rn" + 1, $"rn" + 8)).as("rn"))
+    probes.join(ranked.select($"rn", $"rid".as("rb"), $"name".as("nb")),
+        Seq("rn"))
+      .select($"ra", $"na", $"rb", $"nb")
   }
 
   /** q_er_fellegi_sunter entry: FELLEGI–SUNTER probabilistic record

@@ -841,11 +841,13 @@ object Multimodal {
     * and the signature oracle-verified arithmetically from the planted
     * gradient formula (any codec/stride error diverges).
     *
-    * Scale shape: narrow 1:1 mapPartitions decode (zero exchange), a
-    * doc_id-ordered lead window over the image-count-bounded signature
-    * frame, and a pure-map measure computation. Determinism: histogram
-    * counts exact integers; normalized measures are one shared IEEE
-    * chain per pair, rounded 6. */
+    * Scale shape: narrow 1:1 mapPartitions decode (zero exchange); the
+    * consecutive pairing is a distributed [[Rank]] pass plus an equi
+    * self-join on rank+1 (the signature frame scales with the corpus,
+    * so no single-task lead window), and a pure-map measure
+    * computation. Determinism: histogram counts exact integers;
+    * normalized measures are one shared IEEE chain per pair,
+    * rounded 6. */
   def histcmpQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
@@ -871,13 +873,16 @@ object Multimodal {
         LumaHist(id, w.toLong * h, bins(0), bins(1), bins(2), bins(3),
           bins(4), bins(5), bins(6), bins(7))
       }).toDF()
-    val w = Window.partitionBy(lit(0)).orderBy($"doc_id")
-    val paired = hist
-      .withColumn("doc_b", lead($"doc_id", 1).over(w))
-      .withColumn("n_b", lead($"n_px", 1).over(w))
-    val pairedH = (0 to 7).foldLeft(paired) { (df, i) =>
-      df.withColumn(s"g$i", lead(col(s"h$i"), 1).over(w))
-    }.filter($"doc_b".isNotNull)
+    // consecutive pairing without a global lead window: dense global
+    // ranks from the distributed Rank pass, then an equi self-join on
+    // rn+1 (inner, so the last image drops exactly as the lead-null
+    // filter did) — the signature frame is image-count-sized, which
+    // scales with the corpus
+    val ranked = Rank.orderedPrefix(hist, order = Seq($"doc_id"),
+      rnOut = Some("rn"))
+    val nxtCols = Seq(($"rn" - 1).as("rn"), $"doc_id".as("doc_b"),
+      $"n_px".as("n_b")) ++ (0 to 7).map(i => col(s"h$i").as(s"g$i"))
+    val pairedH = ranked.join(ranked.select(nxtCols: _*), Seq("rn"))
     val inter = (0 to 7).map(i =>
       least(col(s"h$i").cast("double") / $"n_px",
         col(s"g$i").cast("double") / $"n_b")).reduce(_ + _)

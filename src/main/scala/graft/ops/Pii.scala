@@ -777,26 +777,29 @@ object Pii {
     * one deterministic argmax.
     *
     * Scale shape: distinct-value collapse (combinable) → one
-    * cumulative window over the value-bounded sorted frame → a global
-    * argmax (TakeOrdered-style, no full sort of raw rows). True median
+    * distributed [[Rank.orderedPrefix]] pass over the value-bounded
+    * frame → a global argmax (TakeOrdered, no full sort of raw rows,
+    * no SinglePartition window). True median
     * = the exact lower-median order statistic, reported beside the
     * release so the privacy/accuracy gap is visible. Determinism:
     * ranks and widths exact (DECIMAL cents), one shared IEEE key
     * chain, ties broken on value. */
   def dpQuantileQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val eps = 1.0
     val vals = t(s, dir, "orders")
       .groupBy($"o_totalprice".cast("decimal(18,2)").as("v"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(lit(0)).orderBy($"v")
-    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val iv = vals
-      .withColumn("n", sum($"c").over(Window.partitionBy(lit(0))))
-      .withColumn("cum", sum($"c").over(wCum))
-      .withColumn("vnext", lead($"v", 1).over(w))
-      .filter($"vnext".isNotNull)
+    // distributed prefix counts + dense rank in ONE Rank pass; the
+    // interval upper end (lead) is an equi self-join on rn+1 (inner,
+    // so the last support point drops exactly as vnext IS NOT NULL
+    // did); the exponential-mechanism winner is a distributed top-1
+    // (TakeOrdered), not a rank-then-filter
+    val ranked = Rank.orderedPrefix(vals, order = Seq($"v"),
+      rnOut = Some("rn"), cums = Seq(Rank.Cum($"c", "cum")),
+      totals = Seq(($"c", "n")))
+    val nextV = ranked.select(($"rn" - 1).as("rn"), $"v".as("vnext"))
+    val iv = ranked.join(nextV, Seq("rn"))
     val u = (Hashing.md5Long60(concat(lit("dpq:"), $"v".cast("string")))
       % 1000000).cast("double").plus(0.5).divide(1000000.0)
     val keyed = iv
@@ -805,17 +808,10 @@ object Pii {
       .withColumn("key",
         log(($"vnext" - $"v").cast("double")) +
           lit(eps / 2.0) * $"util" + -log(-log(u)))
-    val winner = keyed
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(lit(0)).orderBy($"key".desc, $"v")))
-      .filter($"rn" === 1)
-    val trueMed = vals
-      .withColumn("n", sum($"c").over(Window.partitionBy(lit(0))))
-      .withColumn("cum", sum($"c").over(wCum))
-      .filter($"cum" >= expr("(n + 1) div 2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(lit(0)).orderBy($"v")))
-      .filter($"rn" === 1)
+    val winner = keyed.orderBy($"key".desc, $"v").limit(1)
+    val trueMed = ranked
+      .filter($"cum" >= expr("(n + 1) div 2") &&
+        $"cum" - $"c" < expr("(n + 1) div 2"))
       .select($"v".cast("double").as("true_median"),
         $"n".cast("long").as("n"))
     winner

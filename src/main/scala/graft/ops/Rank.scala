@@ -41,10 +41,11 @@ import org.apache.spark.sql.functions._
   *
   * Requirements: `order` must be a TOTAL order over the rows (include
   * a tiebreaker column — the same requirement `ROW_NUMBER` needs for
-  * determinism anyway), its head must be numeric (castable to double;
-  * the cast is monotone so bucket boundaries respect the exact
-  * order), and all keys sort in the same direction. Null primaries
-  * are supported ascending only (they bucket and sort first).
+  * determinism anyway), its head must be numeric or string (both map
+  * through a monotone double image, so bucket boundaries respect the
+  * exact order), and all keys sort in the same direction. Null
+  * primaries are supported ascending only (they bucket and sort
+  * first).
   */
 object Rank {
 
@@ -62,6 +63,9 @@ object Rank {
     * session's shuffle parallelism so the same code spreads over a
     * real cluster's width. `descending` flips every sort key (the
     * bucket bounds negate with it). */
+  /** `uniform`: when the primary key is known uniform on [lo, hi)
+    * (e.g. a 60-bit hash), fixed-width bounds replace the
+    * approx-quantile job — one less pass over the input. */
   def orderedPrefix(
       df: DataFrame,
       order: Seq[Column],
@@ -70,7 +74,8 @@ object Rank {
       cums: Seq[Cum] = Nil,
       totals: Seq[(Column, String)] = Nil,
       numParts: Int = 0,
-      descending: Boolean = false): DataFrame = {
+      descending: Boolean = false,
+      uniform: Option[(Double, Double)] = None): DataFrame = {
     require(order.nonEmpty, "orderedPrefix needs at least one sort key")
     val spark = df.sparkSession
     val np = if (numParts > 0) numParts
@@ -79,30 +84,53 @@ object Rank {
     val totTmp = totals.zipWithIndex.map { case ((c, out), i) =>
       (c, out, s"__rk_tv$i") }
     // monotone double image of the primary key, flipped for desc so
-    // bucket ids always increase along the sort direction
-    val primRaw = order.head.cast("double")
+    // bucket ids always increase along the sort direction. Strings map
+    // through their first 8 UTF-8 bytes zero-padded (exactly the
+    // binary collation Spark sorts strings by, so the image is
+    // monotone; longer shared prefixes just share a bucket).
+    val isString =
+      df.select(order.head.as("__rk_probe")).schema.head.dataType ==
+        org.apache.spark.sql.types.StringType
+    val primRaw =
+      if (isString)
+        conv(hex(rpad(order.head.cast("binary"), 8, Array[Byte](0))),
+          16, 10).cast("double")
+      else order.head.cast("double")
     val prim = if (descending) -primRaw else primRaw
-    var base = df.withColumn("__rk_prim", prim)
-    cumTmp.foreach { case (c, tmp) => base = base.withColumn(tmp, c.value) }
-    totTmp.foreach { case (c, _, tmp) => base = base.withColumn(tmp, c) }
+    var base0 = df.withColumn("__rk_prim", prim)
+    cumTmp.foreach { case (c, tmp) => base0 = base0.withColumn(tmp, c.value) }
+    totTmp.foreach { case (c, _, tmp) => base0 = base0.withColumn(tmp, c) }
+    // The keyed frame is consumed by the bounds job, the window branch,
+    // and the per-bucket totals branch; persist it so the key/cum
+    // projections (often md5 chains) evaluate ONCE. Callers drop it via
+    // the per-query `spark.catalog.clearCache()` the Verify/Bench
+    // harnesses already run; on a cluster MEMORY_AND_DISK spills
+    // gracefully (the frame is the NARROW projection, not the corpus).
+    val base = base0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ε-approximate range bounds of the primary (one summary job; the
     // output is invariant to their placement, so the approximation
-    // only affects balance). Dedup guards heavy ties collapsing
+    // only affects balance), or fixed-width bounds when the caller
+    // knows the key is uniform. Dedup guards heavy ties collapsing
     // adjacent quantiles.
     val eps = math.max(1.0e-4, 1.0 / (4.0 * np))
-    val bounds = base.stat
-      .approxQuantile("__rk_prim", (1 until np).map(_.toDouble / np).toArray,
-        eps)
-      .distinct.sorted
+    val bounds = (uniform match {
+      case Some((lo, hi)) =>
+        val flip = (v: Double) => if (descending) -v else v
+        (1 until np).map(i => flip(lo + (hi - lo) * i / np)).toArray
+      case None =>
+        base.stat.approxQuantile("__rk_prim",
+          (1 until np).map(_.toDouble / np).toArray, eps)
+    }).distinct.sorted
     val bucket =
       if (bounds.isEmpty) lit(0)
       else size(filter(
         lit(bounds), b => b < col("__rk_prim"))).cast("int")
-    base = base.withColumn("__rk_pid", bucket)
+    val keyed = base.withColumn("__rk_pid", bucket)
     val sortCols = if (descending) order.map(_.desc) else order
     val wLoc = Window.partitionBy(col("__rk_pid")).orderBy(sortCols: _*)
     val wRows = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    var local = base.withColumn("__rk_lrn", row_number().over(wLoc))
+    var local = keyed.withColumn("__rk_lrn", row_number().over(wLoc))
     cumTmp.foreach { case (_, tmp) =>
       local = local.withColumn(s"__rk_lr_$tmp", sum(col(tmp)).over(wRows))
     }
@@ -112,7 +140,7 @@ object Rank {
     val aggCols = Seq(count(lit(1)).as("__rk_cnt")) ++
       cumTmp.map { case (_, tmp) => sum(col(tmp)).as(s"__rk_s_$tmp") } ++
       totTmp.map { case (_, _, tmp) => sum(col(tmp)).as(s"__rk_s_$tmp") }
-    val perPart = base.groupBy(col("__rk_pid"))
+    val perPart = keyed.groupBy(col("__rk_pid"))
       .agg(aggCols.head, aggCols.tail: _*)
       .withColumnRenamed("__rk_pid", "__rk_src")
     val exploded = perPart.select(col("*"),
@@ -155,4 +183,16 @@ object Rank {
   def withRowNumber(df: DataFrame, order: Seq[Column], out: String,
       numParts: Int = 0): DataFrame =
     orderedPrefix(df, order, rnOut = Some(out), numParts = numParts)
+
+  /** Global top-k with dense 1-based ranks in `rankOut` — plans as a
+    * distributed TakeOrderedAndProject (per-partition heads, merged)
+    * feeding a window over the ≤k-row result. The replacement for the
+    * `row_number().over(Window.orderBy(...)).filter(rank <= k)`
+    * anti-pattern, which ranks the ENTIRE frame in one task before
+    * discarding all but k rows. `order` must be a total order for the
+    * result to be deterministic. */
+  def topK(df: DataFrame, order: Seq[Column], k: Int,
+      rankOut: String): DataFrame =
+    df.orderBy(order: _*).limit(k)
+      .withColumn(rankOut, row_number().over(Window.orderBy(order: _*)))
 }

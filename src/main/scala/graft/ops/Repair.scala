@@ -224,31 +224,39 @@ object Repair {
     * that re-expresses "source A's 70th-percentile document" in pooled
     * terms before any cross-source length threshold is applied.
     *
-    * Selection is [[Profile.percentileDiscQ]]'s exact ordered-row
-    * idiom (rank = ⌈d·n/10⌉, integer arithmetic) per source and
-    * pooled; all outputs are exact integers. The pooled ranking uses
-    * one global sort window over the documents METADATA frame —
-    * corpus-rows-sized but thin; the production swap is
-    * approxQuantile, exactly as the curriculum op documents. */
+    * Selection is the exact order-statistic-by-PREFIX-COUNT idiom:
+    * collapse to per-distinct-length counts first (combinable,
+    * value-bounded), then the value at rank r = ⌈d·n/10⌉ is the one
+    * whose exclusive prefix count is below r and inclusive count
+    * reaches it — no raw-row rank frame ever exists. The pooled leg
+    * runs through the distributed [[Rank.orderedPrefix]]; the
+    * per-source leg windows the same collapsed frame keyed by
+    * source. All outputs are exact integers. */
   def qnormQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val docs = t(s, dir, "documents").select($"source", $"n_chars")
     def selCols = (1 to 9).map(d =>
-      max(when($"rn" === expr(s"($d * n + 9) div 10"), $"n_chars"))
+      max(when($"cum" - $"c" < expr(s"($d * n + 9) div 10") &&
+        $"cum" >= expr(s"($d * n + 9) div 10"), $"n_chars"))
         .as(s"p$d"))
     val stackExpr = "stack(9, " +
       (1 to 9).map(d => s"$d, p$d").mkString(", ") + ") as (decile, v)"
-    val srcRows = docs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"source").orderBy($"n_chars")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+    val bySrc = docs.groupBy($"source", $"n_chars")
+      .agg(count(lit(1)).as("c"))
+    val wSrc = Window.partitionBy($"source")
+    val srcRows = bySrc
+      .withColumn("cum", sum($"c").over(wSrc.orderBy($"n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum($"c").over(wSrc))
       .groupBy($"source").agg(selCols.head, selCols.tail: _*)
       .select($"source", expr(stackExpr))
       .select($"source", $"decile", $"v".as("src_val"))
-    val pooledRows = docs
-      .withColumn("rn", row_number().over(Window.orderBy($"n_chars")))
-      .withColumn("n", count(lit(1)).over())
+    val pooledRows = Rank.orderedPrefix(
+      docs.groupBy($"n_chars").agg(count(lit(1)).as("c")),
+      order = Seq($"n_chars"),
+      cums = Seq(Rank.Cum($"c", "cum")),
+      totals = Seq(($"c", "n")))
       .groupBy().agg(selCols.head, selCols.tail: _*)
       .select(expr(stackExpr))
       .select($"decile", $"v".as("pooled_val"))

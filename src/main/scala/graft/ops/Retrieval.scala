@@ -127,10 +127,9 @@ object Retrieval {
     * all argmaxes tie-break on doc_id. */
   def mmrQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cand = postings(s, dir)
-      .groupBy($"doc_id").agg(sum($"score").as("sc"))
-      .withColumn("rnk", row_number().over(Window.orderBy($"sc".desc, $"doc_id")))
-      .filter($"rnk" <= TopN)
+    val cand = Rank.topK(
+      postings(s, dir).groupBy($"doc_id").agg(sum($"score").as("sc")),
+      Seq($"sc".desc, $"doc_id"), TopN, "rnk")
     val smax = cand.agg(max($"sc").as("smax"))
     // rounded DOUBLES, not round→decimal casts: nothing downstream sums
     // these (they feed the bounded greedy solve and 6-dp output), and
@@ -273,10 +272,11 @@ object Retrieval {
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg($"dl").as("avgdl"))
     // pass 1: original-query BM25 -> top-PrfDocs pseudo-relevant pool
-    val orig = postings(s, dir)
-      .groupBy($"doc_id").agg(sum($"score").as("sc"))
-      .withColumn("rn_orig",
-        row_number().over(Window.orderBy($"sc".desc, $"doc_id")))
+    // only ranks <= 10 are ever read (pool <= PrfDocs, display <= 10):
+    // a distributed top-10 replaces the full-frame rank
+    val orig = Rank.topK(
+      postings(s, dir).groupBy($"doc_id").agg(sum($"score").as("sc")),
+      Seq($"sc".desc, $"doc_id"), 10, "rn_orig")
     val pool = orig.filter($"rn_orig" <= PrfDocs).select($"doc_id")
     // expansion mining: summed TF-IDF of non-query terms inside the pool
     val poolTerms = docs.join(broadcast(pool), "doc_id")
@@ -310,10 +310,9 @@ object Retrieval {
       .groupBy($"doc_id")
       .agg(sum(round($"w", 9).cast("decimal(28,9)")).as("sc2"),
         count(lit(1)).cast("int").as("n_terms_hit"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy($"sc2".desc, $"doc_id")))
-      .filter($"rn" <= 10)
-    rescored.join(orig.select($"doc_id", $"rn_orig"), Seq("doc_id"), "left")
+    val rescoredTop = Rank.topK(rescored,
+      Seq($"sc2".desc, $"doc_id"), 10, "rn")
+    rescoredTop.join(orig.select($"doc_id", $"rn_orig"), Seq("doc_id"), "left")
       .select($"rn".cast("long").as("rn"), $"doc_id",
         round($"sc2".cast("double"), 6).as("score"), $"n_terms_hit",
         coalesce(when($"rn_orig" <= 10, $"rn_orig"), lit(0L)).cast("long")
@@ -475,10 +474,8 @@ object Retrieval {
   def rboQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val a = graft.ops.Text.bm25(s, dir)
-      .withColumn("ra", row_number().over(
-        Window.partitionBy(lit(0)).orderBy($"bm25".desc, $"doc_id")))
-      .filter($"ra" <= 10)
+    val a = Rank.topK(graft.ops.Text.bm25(s, dir),
+        Seq($"bm25".desc, $"doc_id"), 10, "ra")
       .select($"doc_id", $"ra")
     val b = qlmQ(s, dir).select($"doc_id", $"rn".as("rb"))
     val both = a.join(b, "doc_id")
@@ -567,12 +564,12 @@ object Retrieval {
         ($"tf" + (lit(0.25) + $"dl" * 0.75 / $"avgdl") * 1.2))
       .groupBy($"doc_id")
       .agg(sum(round($"w", 9).cast("decimal(28,9)")).as("sc"))
-      .withColumn("rb", row_number().over(
-        Window.partitionBy(lit(0)).orderBy($"sc".desc, $"doc_id")))
+    // compare at the shared depth k = 10 (QLM's contract depth);
+    // distributed top-10, never a full-frame rank-then-filter
+    val bmTop = Rank.topK(bm, Seq($"sc".desc, $"doc_id"), 10, "rb")
       .select($"doc_id", $"rb")
-    // compare at the shared depth k = 10 (QLM's contract depth)
     val ql = qlmQ(s, dir).select($"doc_id", $"rn".as("rq"))
-    val common = bm.filter($"rb" <= 10).join(ql, "doc_id")
+    val common = bmTop.join(ql, "doc_id")
     val pairs = common.as("a").join(broadcast(common.as("b")),
         col("a.doc_id") < col("b.doc_id"))
       .select(

@@ -57,17 +57,17 @@ object Skew {
     val counts = graft.Tables.t(s, dir, "orders")
       .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
       .select($"n".cast("double").as("v"))
-    val one = lit(0)
-    val wOrd = Window.partitionBy(one).orderBy($"v")
-    val wAll = Window.partitionBy(one)
     def interp(p: Double): Column = {
       val idx = lit(p) * ($"cnt" - lit(1)).cast("double")
       val d = abs(idx - ($"rn" - lit(1)).cast("double"))
       round(sum(when(d < 1, $"v" * (lit(1d) - d)).otherwise(lit(0d))), 4)
     }
-    counts
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("cnt", count(lit(1)).over(wAll))
+    // the per-key count frame is |keys|-sized (data-scaled): rank it
+    // through the distributed Rank pass, not a single-partition window
+    // (equal v values are interchangeable for the interpolation, so
+    // the within-tie order is irrelevant to the result)
+    Rank.orderedPrefix(counts, order = Seq($"v"),
+        rnOut = Some("rn"), countOut = Some("cnt"))
       .groupBy()
       .agg(
         count(lit(1)).cast("long").as("n_keys"),

@@ -448,8 +448,9 @@ object Stats {
     * Tied values get the average rank, computed WITHOUT materializing
     * per-row ranks: collapse to per-distinct-value pair counts first
     * (combinable groupBy, value-bounded), then avg rank of a value =
-    * (cumulative count before it) + (its count + 1)/2 — one cumulative
-    * window over the reduced table. Rank sums are exact in 0.5 units,
+    * (cumulative count before it) + (its count + 1)/2 — one
+    * distributed [[Rank.orderedPrefix]] pass over the reduced table.
+    * Rank sums are exact in 0.5 units,
     * so they travel as DECIMAL(28,1) (order-independent merges); only
     * the final z-score divides doubles. The normal approximation is
     * reported WITHOUT the tie-correction term (documented; both engines
@@ -1109,8 +1110,9 @@ object Stats {
     *
     * Rank machinery inherited from Mann–Whitney: collapse to
     * per-distinct-value per-group counts (one combinable groupBy),
-    * tie-averaged ranks from ONE cumulative window over the reduced
-    * frame, per-group rank sums exact in 0.5 units as DECIMAL(28,1).
+    * tie-averaged ranks from one distributed [[Rank.orderedPrefix]]
+    * pass over the reduced frame, per-group rank sums exact in 0.5
+    * units as DECIMAL(28,1).
     * H and its tie correction CT = 1 − Σ(t³−t)/(N³−N) are assembled on
     * the 5-row group frame in a fixed IEEE order, rounded 6 dp. */
   def kruskalQ(s: SparkSession, dir: String): DataFrame = {
@@ -2783,7 +2785,8 @@ object Stats {
         Hashing.md5Long60(concat(lit("pps:"), $"o_custkey".cast("string"))))
     Rank.orderedPrefix(sz, order = Seq($"h", $"o_custkey"),
         cums = Seq(Rank.Cum($"size", "c")),
-        totals = Seq(($"size", "tt")))
+        totals = Seq(($"size", "tt")),
+        uniform = Some((0.0, 1.152921504606846976e18)))
       .withColumn("u0", Hashing.md5Long60(lit("pps:start")) % 10000L)
       .withColumn("a_c", $"c" * lit(500000L) - $"u0" * $"tt")
       .withColumn("a_p", ($"c" - $"size") * lit(500000L) - $"u0" * $"tt")
@@ -4624,12 +4627,13 @@ object Stats {
   def systematicQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val price = $"o_totalprice".cast("decimal(18,2)")
-    val ranked = Rank.withRowNumber(
+    val ranked = Rank.orderedPrefix(
       t(s, dir, "orders")
         .select($"o_orderkey", $"o_orderpriority", price.as("p"),
           Hashing.md5Long60(concat(lit("sys:"),
             $"o_orderkey".cast("string"))).as("h")),
-      order = Seq($"h", $"o_orderkey"), out = "rk")
+      order = Seq($"h", $"o_orderkey"), rnOut = Some("rk"),
+      uniform = Some((0.0, 1.152921504606846976e18)))
     ranked.groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_pop"),
         sum($"p").as("sp"),
@@ -4759,7 +4763,8 @@ object Stats {
       t(s, dir, "orders").select($"o_orderkey", u.as("u")),
       order = Seq($"u", $"o_orderkey"),
       rnOut = Some("i"),
-      countOut = Some("n"))
+      countOut = Some("n"),
+      uniform = Some((0.0, 1.0)))
       .withColumn("d", greatest(
         $"i".cast("double") / $"n" - $"u",
         $"u" - ($"i" - 1).cast("double") / $"n"))
@@ -5235,8 +5240,9 @@ object Stats {
     * ladder beside [[anovaQ]] (means), [[kruskalQ]] (ranks), and
     * [[friedmanQ]] (blocked ranks).
     *
-    * Scale shape: the global median is one cumulative window over the
-    * value-bounded distinct collapse (no raw-row sort); the above/
+    * Scale shape: the global median is one distributed
+    * [[Rank.orderedPrefix]] pass over the value-bounded distinct
+    * collapse (no raw-row sort, no SinglePartition window); the above/
     * below table is one combinable conditional aggregate; χ² on the
     * k×2 frame. Determinism: the median is an exact data value;
     * counts exact integers; per-cell terms 9-dp DECIMAL sums. */

@@ -586,14 +586,10 @@ object Text {
       round((pow(lit(2d), relCol.cast("double")) - 1d) /
         (log(rankCol.cast("double") + 1d) / log(lit(2d))), 9)
         .cast("decimal(28,9)")
-    val byScore = scoredDocs
-      .withColumn("rank", row_number().over(
-        Window.orderBy($"sc".desc, $"doc_id")))
-      .filter($"rank" <= 20)
-    val byRel = scoredDocs
-      .withColumn("irank", row_number().over(
-        Window.orderBy($"rel".desc, $"doc_id")))
-      .filter($"irank" <= 20)
+    val byScore = Rank.topK(scoredDocs,
+      Seq($"sc".desc, $"doc_id"), 20, "rank")
+    val byRel = Rank.topK(scoredDocs,
+      Seq($"rel".desc, $"doc_id"), 20, "irank")
     val dcg = byScore
       .agg(sum(gain($"rel", $"rank")).as("dcg"),
         sum(when($"rank" <= 10 && $"rel" > 0, 1L).otherwise(0L)).as("hits10"))
@@ -683,10 +679,7 @@ object Text {
       .groupBy($"doc_id")
       .agg(sum(round($"w", 9).cast("decimal(28,9)")).as("sc"),
         count(lit(1)).as("rel"))
-    val top = scoredDocs
-      .withColumn("rank", row_number().over(
-        Window.orderBy($"sc".desc, $"doc_id")))
-      .filter($"rank" <= 20)
+    val top = Rank.topK(scoredDocs, Seq($"sc".desc, $"doc_id"), 20, "rank")
     def fold(upTo: Int) = expr(
       s"""aggregate(slice(rels, 1, $upTo),
          |  struct(cast(0.0 as double) as s, cast(1.0 as double) as p,
@@ -785,7 +778,7 @@ object Text {
       .filter($"term".isin(qTerms: _*))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val lex = tf.join(broadcast(docFreq), "term")
+    val lexScored = tf.join(broadcast(docFreq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
@@ -793,9 +786,8 @@ object Text {
         ($"tf" + (lit(0.25) + $"dl" * 0.75 / $"avgdl") * 1.2))
       .groupBy($"doc_id")
       .agg(sum(round($"w", 9).cast("decimal(28,9)")).as("sc"))
-      .withColumn("lex_rank", row_number().over(
-        Window.orderBy($"sc".desc, $"doc_id")))
-      .filter($"lex_rank" <= 20)
+    val lex = Rank.topK(lexScored,
+      Seq($"sc".desc, $"doc_id"), 20, "lex_rank")
       .select($"doc_id", $"lex_rank")
     val e = Similarity.widened(t(s, dir, "embeddings"))
     val q = e.filter($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qn"))
@@ -1550,8 +1542,10 @@ object Text {
     * tokens"). Scale shape: explode feeds a map-side-combinable
     * (token) aggregate — vocabulary is Heaps'-law bounded, so the
     * exchange carries O(|vocab| × partitions) rows however big the
-    * corpus; the rank/cumsum window runs over the VOCABULARY (bounded),
-    * not the corpus, and total tokens enter as a broadcast 1-row frame.
+    * corpus; the top-50 selection is a distributed TakeOrdered and the
+    * rank/cumsum windows run over the 50-ROW result (coverage at rank
+    * r only involves tokens ranked ≤ r), and total tokens enter as a
+    * broadcast 1-row frame.
     * Counts and the cumsum are exact integers; coverage is one
     * identically-parenthesized division. */
   def vocabQ(s: SparkSession, dir: String): DataFrame = {
@@ -1562,12 +1556,14 @@ object Text {
       .groupBy($"tok")
       .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("df"))
     val total = counts.agg(sum($"n").as("tot"))
+    // the coverage cumsum at rank r only involves tokens ranked <= r,
+    // so the distributed top-50 (TakeOrdered) comes FIRST and both
+    // windows run on the 50-row frame — never on the full vocabulary
     val w = Window.orderBy($"n".desc, $"tok".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counts.crossJoin(broadcast(total))
-      .withColumn("rank", row_number().over(Window.orderBy($"n".desc, $"tok".asc)))
+    Rank.topK(counts, Seq($"n".desc, $"tok".asc), 50, "rank")
+      .crossJoin(broadcast(total))
       .withColumn("cum", sum($"n").over(w))
-      .filter($"rank" <= 50)
       .select($"rank".cast("int").as("rank"), $"tok", $"n", $"df",
         round($"cum".cast("double") / $"tot".cast("double"), 6).as("cum_coverage"))
       .orderBy($"rank")

@@ -12,6 +12,59 @@ import org.apache.spark.sql.SparkSession
   *   tools/run.sh graft.tools.Dev audit [_] [sfDir]
   */
 object Dev {
+  /** Queries whose single-partition window runs over a frame BOUNDED
+    * BY CONSTRUCTION (a per-group collapse to at most dozens of rows
+    * — group cardinality, not data volume). Anything NOT named here
+    * that plans a foldable-partition window is flagged by `audit`:
+    * route it through [[graft.ops.Rank.orderedPrefix]]. */
+  val boundedGlobalWindow: Map[String, String] = Map(
+    "q_dedup_yield" -> "per-crawl-batch grid (rows = #batches, not docs)",
+    "q_embed_dims" -> "64-row dimension-variance frame",
+    "q_er_em" -> "6-cell (name_lvl x tok1_agree) pattern grid",
+    "q_er_fellegi_sunter" -> "6-cell pattern grid",
+    "q_eval_lift" -> "10-row decile frame (cut itself is Rank-distributed)",
+    "q_graph_adamic_adar" -> "25-node nation-graph edge/threshold frames",
+    "q_graph_assortativity" -> "25-node nation-graph edge frames",
+    "q_graph_communities" -> "25-node nation-graph frames",
+    "q_graph_conductance" -> "25-node nation-graph frames",
+    "q_graph_diameter" -> "25-node nation-graph frames",
+    "q_graph_kcore" -> "25-node nation-graph frames",
+    "q_graph_motifs" -> "25-node nation-graph frames",
+    "q_graph_neighbor_sim" -> "25-node nation-graph frames",
+    "q_graph_powerlaw" -> "degree-distribution frame (<=25 degrees)",
+    "q_graph_richclub" -> "25-node nation-graph frames",
+    "q_pref_bt" -> "5-row event-type strength frame",
+    "q_privacy_rr" -> "5-row category frame",
+    "q_profile_abc" -> ("revenue-bucket carry frame (two-level prefix; " +
+      "rows cumulate bucket-locally)"),
+    "q_rec_coverage" -> "item-bounded recommendation lists",
+    "q_sample_neyman" -> "5-row mktsegment strata frame",
+    "q_shard_ring" -> "<=145-row ring-interval + 9-node frames",
+    "q_skyline" -> ("#partitions-row per-partition-maxima carry frame " +
+      "(two-level prefix)"),
+    "q_stat_ab_lift" -> "purchase-count histogram (count-domain bounded)",
+    "q_stat_bh" -> "|event-types|-row p-value frame",
+    "q_stat_cuped" -> "2-row arm frame",
+    "q_stat_dw" -> "calendar-bounded day-series frame",
+    "q_stat_grubbs" -> "25-row per-nation mean frame",
+    "q_stat_gtest" -> "(event_type x band) cell frame",
+    "q_stat_jackknife" -> "20-row delete-group frame",
+    "q_stat_logrank" -> "calendar-bounded distinct-lifetime frame",
+    "q_stat_power" -> "purchase-count histogram (ab_lift design)",
+    "q_stat_runs" -> "31-row January day frame",
+    "q_stat_standardize" -> "25-row nation strata frame",
+    "q_stat_welch_anova" -> "per-group moment frame (k groups)",
+    "q_survival_km" -> "calendar-bounded life table (documented)",
+    "q_text_heaps" -> "16-bucket growth grid",
+    "q_ts_concurrency" -> "day-bucket carry frame (two-level prefix)",
+    "q_ts_dtw" -> "time-bounded series wavefront frames",
+    "q_ts_dtw_band" -> "time-bounded series wavefront frames",
+    "q_ts_hurst" -> "4-row block-size frame over the time-bounded grid",
+    "q_ts_reconcile" -> "calendar-bounded day frame",
+    "q_ts_xcorr" -> "calendar-bounded day frame",
+    "q_win_distribution" -> ("Tier-D surface: the query IS the global " +
+      "cume_dist/percent_rank/ntile semantics under test"))
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -47,7 +100,10 @@ object Dev {
       case "sql" =>
         // raw SQL probe against the registered test tables
         graft.Tables.registerAll(spark, dir)
+        graft.functions.GraftFunctions.register(spark)
+        val t0 = System.nanoTime()
         spark.sql(args(1)).show(50, truncate = false)
+        println(f"SQL WALL: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       case "dump" =>
         // single-query verify dump (same shape Verify.scala writes), so
         // one new query can be oracle-checked without a full sweep
@@ -102,6 +158,18 @@ object Dev {
           "q_shard_range_bounds" -> "1-row sample-count + 1-row 7-boundary array frames",
           "q_privacy_dp_quantile" -> "1-row true-median frame x 1-row winner frame",
           "q_join_bloom" -> "five 1-row count frames (audit report row)",
+          "q_bloom_tune" -> "4-cell sizing grid x 1-row filter-stat/count frames",
+          "q_graph_conductance" -> "25-node nation-graph cut/volume frames",
+          "q_graph_richclub" -> "25-node nation-graph degree-threshold frames",
+          "q_label_fleiss" -> "1-row rater-totals frame",
+          "q_repair_hampel" -> "bounded per-series calendar grid dim (rows = series count)",
+          "q_stat_brunner_munzel" -> "1-row rank-sum totals frame over the value-bounded midrank frame",
+          "q_stat_moods_median" -> "1-row global-median frame",
+          "q_ts_dtw" -> "bounded per-series calendar grid dim (wavefront recursion)",
+          "q_ts_dtw_band" -> "bounded per-series calendar grid dim (banded wavefront)",
+          "q_ts_page_hinkley" -> "bounded per-series calendar grid dim (rows = series count)",
+          "q_ts_turning_points" -> "bounded per-series calendar grid dim (rows = series count)",
+          "q_eval_rank_agreement" -> "<=10-row shared-depth pair triangle (both rankings top-10)",
           "q_join_salted" -> "64x16 salted dim grid (bounded by construction)",
           "q_ts_ljungbox" -> "bounded per-series grid dim (rows = series count, not events)",
           "q_ts_mase" -> "bounded per-series grid dim (rows = series count, not events)",
@@ -219,9 +287,33 @@ object Dev {
           "q_ts_granger" -> "bounded per-series grid dim (rows = series count, not events)",
           "q_ts_croston" -> "bounded per-series grid dim (rows = series count, not events)",
           "q_ivf_sensitivity" -> "bounded query-vector set x 5-row probe grid")
+        // single-partition windows: Window.partitionBy() / partitionBy(lit)
+        // plans Exchange SinglePartition + a ONE-TASK sort of its whole
+        // child — the 100 TB single-reducer class Rank.orderedPrefix
+        // exists to kill. A window over a frame that is BOUNDED BY
+        // CONSTRUCTION (per-group collapse to ≤ dozens of rows) is the
+        // documented intent; name it here so a NEW unbounded one trips.
+        val boundedGlobalWindow = Dev.boundedGlobalWindow
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           try {
             val plan = fn(spark, dir).queryExecution.sparkPlan
+            // a foldable-partition window whose input subtree passed a
+            // global limit (TakeOrdered / GlobalLimit) is bounded BY
+            // CONSTRUCTION — ≤k rows (or a bounded product of limited
+            // sides) reach the window task
+            def limitBounded(
+                p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+              p.exists {
+                case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+                case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+                case _: org.apache.spark.sql.execution.CollectLimitExec => true
+                case _ => false
+              }
+            val spWindows = plan.collect {
+              case w: org.apache.spark.sql.execution.window.WindowExec
+                  if w.partitionSpec.forall(_.foldable) &&
+                    !limitBounded(w.child) => w
+            }
             val unpruned = plan.collect {
               case sc: org.apache.spark.sql.execution.FileSourceScanExec
                   if sc.relation.dataSchema.length > 6 &&
@@ -233,13 +325,21 @@ object Dev {
               text.contains("BroadcastNestedLoopJoin")
             val flags = Seq(
               "nestedLoopJoin" -> (nlj && !boundedBroadcast.contains(name)),
+              "singlePartitionWindow" ->
+                (spWindows.nonEmpty && !boundedGlobalWindow.contains(name)),
               s"unprunedWideScan(${unpruned.mkString(",")})" -> unpruned.nonEmpty
             ).collect { case (f, true) => f }
-            val note =
+            val notes = Seq(
               if (nlj && boundedBroadcast.contains(name))
-                s" ok (bounded broadcast: ${boundedBroadcast(name)})"
-              else if (flags.isEmpty) " ok"
-              else flags.mkString(" FLAG:", ",", "")
+                Some(s"bounded broadcast: ${boundedBroadcast(name)}")
+              else None,
+              if (spWindows.nonEmpty && boundedGlobalWindow.contains(name))
+                Some(s"bounded window: ${boundedGlobalWindow(name)}")
+              else None).flatten
+            val note =
+              if (flags.nonEmpty) flags.mkString(" FLAG:", ",", "")
+              else if (notes.nonEmpty) notes.mkString(" ok (", "; ", ")")
+              else " ok"
             println(s"$name$note")
           } catch { case e: Throwable =>
             println(s"$name ERROR ${Option(e.getMessage).getOrElse(e.getClass.getName).take(80)}")

@@ -98,15 +98,25 @@ class RankSpec extends AnyFunSuite with SparkSpec {
 
   /** A foldable-only partitionSpec is exactly what
     * `Window.partitionBy(lit(0))` / `partitionBy()` plans to: an
-    * Exchange SinglePartition + one-task sort of the whole child. */
+    * Exchange SinglePartition + one-task sort of the whole child —
+    * unless the child subtree passed a global limit, which bounds the
+    * frame by construction (the Dev-audit rule). */
   private def singlePartitionWindows(
       df: org.apache.spark.sql.DataFrame): Seq[WindowExec] = {
+    import org.apache.spark.sql.execution.{CollectLimitExec,
+      GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
     val plan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
+    def limitBounded(p: SparkPlan): Boolean = p.exists {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+          _: CollectLimitExec => true
+      case _ => false
+    }
     plan.collect {
-      case w: WindowExec if w.partitionSpec.forall(_.foldable) => w
+      case w: WindowExec if w.partitionSpec.forall(_.foldable) &&
+        !limitBounded(w.child) => w
     }
   }
 
