@@ -804,7 +804,125 @@ object EventStreams {
       watermark: String = "1 hour"): DataFrame =
     scoreWindows(windowedSums(events.withWatermark("ts", watermark)), profile)
 
+  final case class RateLimitRow(user_id: Long, n_events: Long,
+      n_allowed: Long, n_denied: Long, tokens_milli: Long)
+
+  /** q_rate_limit entry: the BATCH ANCHOR of [[streamingRateLimit]] —
+    * the same [[bucketDecide]] fold (capacity 3 tokens, refill 2/min of
+    * event time), applied per user over the pinned (ts, event_id)
+    * order, rolled up to (admitted, denied, final balance). Run on the
+    * deterministic 1-in-50 md5 user panel (the audit-panel idiom) so
+    * the DuckDB oracle — which must REPLAY the nonlinear clamp
+    * recurrence via a recursive CTE, one step per event — stays
+    * tractable while still checking every branch of the integer
+    * admission arithmetic (clamp at capacity, conditional spend,
+    * never-backwards high-water mark).
+    *
+    * Scale shape: the fold is per-user sequential BY DEFINITION (each
+    * decision depends on the previous balance); `mapGroups` shards
+    * users across executors exactly like the streaming state store —
+    * group state is O(1), group size is per-user activity. Exactness:
+    * the bucket is integer units end to end (units = token × 60000),
+    * so batch, stream, and oracle agree bit-for-bit. */
+  def rateLimitBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .filter(graft.ops.Hashing.md5Long60(concat(lit("rl:"),
+        col("user_id").cast("string"))) % 10 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+    ev.groupByKey(_.user_id)
+      .mapGroups { (uid, it) =>
+        var st = BucketState(3 * 60000L, Long.MinValue)
+        var n = 0L
+        var allowed = 0L
+        it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val (d, next) = bucketDecide(st, e, 3, 2)
+          st = next
+          n += 1
+          if (d.allowed) allowed += 1
+        }
+        RateLimitRow(uid, n, allowed, n - allowed, st.units / 60L)
+      }
+      .toDF()
+      .orderBy(col("user_id"))
+  }
+
+  val rateLimitBatchSql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS i,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events
+      |  WHERE ('0x' || substr(md5('rl:' || user_id::VARCHAR), 1, 15))
+      |    ::UBIGINT::BIGINT % 10 = 0),
+      |step AS (
+      |  SELECT user_id, CAST(0 AS BIGINT) AS i,
+      |    CAST(180000 AS BIGINT) AS units,
+      |    CAST(NULL AS BIGINT) AS last_ms,
+      |    CAST(0 AS BIGINT) AS n_allowed, n
+      |  FROM (SELECT DISTINCT user_id, n FROM ev)
+      |  UNION ALL
+      |  SELECT user_id, i,
+      |    CASE WHEN avail >= 60000 THEN avail - 60000 ELSE avail END,
+      |    new_last,
+      |    n_allowed + CASE WHEN avail >= 60000 THEN 1 ELSE 0 END,
+      |    n
+      |  FROM (
+      |    SELECT e.user_id, e.i, e.n, s.n_allowed,
+      |      least(180000, s.units + CASE WHEN s.last_ms IS NULL THEN 0
+      |        ELSE greatest(0, e.ms - s.last_ms) * 2 END) AS avail,
+      |      CASE WHEN s.last_ms IS NULL THEN e.ms
+      |           ELSE greatest(e.ms, s.last_ms) END AS new_last
+      |    FROM step s JOIN ev e ON e.user_id = s.user_id
+      |      AND e.i = s.i + 1))
+      |SELECT user_id, n AS n_events, n_allowed,
+      |  n - n_allowed AS n_denied, units // 60 AS tokens_milli
+      |FROM step WHERE i = n ORDER BY user_id""".stripMargin
+
+  /** q_stream_dedup_first entry: BATCH ANCHOR of Structured Streaming's
+    * `dropDuplicatesWithinWatermark` — first arrival per
+    * (user, event_type) key wins, later duplicates drop. The batch twin
+    * selects each key's minimum (ts, event_id) event with one
+    * combinable `min(struct(...))` aggregate (never a per-key rank
+    * window) and rolls up per type: arrivals vs kept, plus the mean of
+    * the KEPT values (which differs from the all-events mean exactly
+    * when dedup bites — the column that would catch a
+    * keep-last-instead-of-first regression).
+    *
+    * Scale: two map-side-combinable aggregates, no window, no skew
+    * exposure beyond the (user, type) key itself. */
+  def dedupFirstBatch(s: SparkSession, dir: String): DataFrame = {
+    val kept = t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_dup"),
+        min(struct(col("ts"), col("event_id"), col("value"))).as("first"))
+    kept.groupBy(col("event_type"))
+      .agg(sum(col("n_dup")).cast("long").as("n_events"),
+        count(lit(1)).as("n_kept"),
+        round(sum(col("first.value").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)), 6).as("mean_first_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val dedupFirstBatchSql: String =
+    """WITH k AS (
+      |  SELECT user_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_dup
+      |  FROM events)
+      |SELECT event_type, CAST(SUM(n_dup) AS BIGINT) AS n_events,
+      |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |    / COUNT(*), 6) AS mean_first_value
+      |FROM k WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rate_limit" -> rateLimitBatch,
+    "q_stream_dedup_first" -> dedupFirstBatch,
     "q_anomaly_windows" -> windowAnomalyBatch,
     "q_stream_window" -> windowBatch,
     "q_stream_sliding" -> slidingBatch,
@@ -814,6 +932,8 @@ object EventStreams {
     "q_anomaly_running" -> anomalyBatch)
 
   def oracle: Map[String, String] = Map(
+    "q_rate_limit" -> rateLimitBatchSql,
+    "q_stream_dedup_first" -> dedupFirstBatchSql,
     "q_stream_window" -> windowBatchSql,
     "q_anomaly_windows" -> windowAnomalySql,
     "q_stream_sliding" -> slidingBatchSql,

@@ -676,4 +676,60 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(r.getAs[Double]("max_abs_z") - maxZ) < 1e-5, s"$tp maxz")
     }
   }
+
+  test("rate-limit batch anchor equals a driver bucketDecide fold per panel user") {
+    import spark.implicits._
+    import EventStreams.{BucketState, bucketDecide}
+    val rows = EventStreams.rateLimitBatch(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_allowed"),
+          r.getAs[Long]("n_denied"), r.getAs[Long]("tokens_milli"))).toMap
+    assert(rows.nonEmpty)
+    val panel = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event].collect()
+      .filter { e =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rl:${e.user_id}".getBytes("UTF-8"))
+        val h = java.lang.Long.parseLong(
+          md.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+        h % 10 == 0
+      }
+      .groupBy(_.user_id)
+    assert(rows.keySet == panel.keySet)
+    panel.foreach { case (uid, es) =>
+      var st = BucketState(3 * 60000L, Long.MinValue)
+      var allowed = 0L
+      es.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val (d, n) = bucketDecide(st, e, 3, 2)
+        st = n
+        if (d.allowed) allowed += 1
+      }
+      assert(rows(uid) ==
+        ((es.length.toLong, allowed, es.length - allowed, st.units / 60L)),
+        s"user $uid")
+    }
+  }
+
+  test("dedup-first batch anchor keeps each key's earliest arrival") {
+    import spark.implicits._
+    val got = EventStreams.dedupFirstBatch(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val events = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event].collect()
+    val byType = events.groupBy(_.event_type)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (tp, es) =>
+      val kept = es.groupBy(_.user_id).values
+        .map(_.minBy(e => (e.ts.getTime, e.event_id))).toSeq
+      val meanFirst = kept.map(e => BigDecimal(e.value)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / kept.size
+      val (n, k, m) = got(tp)
+      assert(n == es.length.toLong && k == kept.size.toLong, tp)
+      assert(math.abs(m - BigDecimal(meanFirst)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, tp)
+    }
+  }
 }
