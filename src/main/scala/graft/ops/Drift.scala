@@ -239,15 +239,76 @@ object Drift {
       |  ROUND((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q)) / 2, 6) AS hell_term
       |FROM s ORDER BY event_type""".stripMargin
 
+  /** q_drift_hellinger entry: HELLINGER DISTANCE + TOTAL VARIATION
+    * between the two sources' length distributions over 20 fixed-width
+    * bins — the BOUNDED-metric companions to [[psi]] (unbounded, blows
+    * up on empty bins) and [[jsdQ]]: TV = ½Σ|p−q| is the "fraction of
+    * mass that must move" number mixing policies threshold on, and
+    * Hellinger H = √(1 − Σ√(pq)) is the metric with the tensorization
+    * property multi-feature drift monitors compose under. Binning is
+    * data-independent (bin = min(n_chars div 50, 19)) so the histogram
+    * is one combinable aggregate at any scale.
+    *
+    * Determinism: bin counts exact integers; per-bin terms are shared
+    * IEEE chains rounded to 12 dp and summed as DECIMAL(28,12)
+    * (order-independent); the Bhattacharyya sum clamps at 1 before the
+    * final √ (12-dp rounding could nudge it over; documented, same
+    * clamp both engines). */
+  def hellingerQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+      .filter($"source".isin("src0", "src1"))
+      .groupBy(expr("least(n_chars div 50, 19)").as("bin"))
+      .agg(sum(when($"source" === "src0", 1L).otherwise(0L)).as("c1"),
+        sum(when($"source" === "src1", 1L).otherwise(0L)).as("c2"))
+    val tot = d.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+    d.crossJoin(broadcast(tot))
+      .select($"n1", $"n2",
+        ($"c1".cast("double") / $"n1").as("p"),
+        ($"c2".cast("double") / $"n2").as("q"))
+      .groupBy($"n1", $"n2")
+      .agg(
+        sum(round(abs($"p" - $"q"), 12).cast("decimal(28,12)")).as("l1"),
+        sum(round(sqrt($"p" * $"q"), 12).cast("decimal(28,12)")).as("bc"))
+      .select($"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"),
+        round($"l1".cast("double") / 2, 6).as("tvd"),
+        round(sqrt(greatest(lit(0.0),
+          lit(1.0) - $"bc".cast("double"))), 6).as("hellinger"))
+  }
+
+  val hellingerSql: String =
+    """WITH d AS (
+      |  SELECT least(n_chars // 50, 19) AS bin,
+      |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c2
+      |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+      |t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM d),
+      |pq AS (
+      |  SELECT n1, n2,
+      |    CAST(c1 AS DOUBLE) / n1 AS p, CAST(c2 AS DOUBLE) / n2 AS q
+      |  FROM d, t),
+      |a AS (
+      |  SELECT n1, n2,
+      |    SUM(CAST(ROUND(ABS(p - q), 12) AS DECIMAL(28,12))) AS l1,
+      |    SUM(CAST(ROUND(SQRT(p * q), 12) AS DECIMAL(28,12))) AS bc
+      |  FROM pq GROUP BY 1, 2)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  ROUND(CAST(l1 AS DOUBLE) / 2, 6) AS tvd,
+      |  ROUND(SQRT(GREATEST(0.0, 1.0 - CAST(bc AS DOUBLE))), 6)
+      |    AS hellinger
+      |FROM a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_drift_psi" -> psi,
     "q_drift_ks" -> ksQ,
     "q_drift_wasserstein" -> wassersteinQ,
+    "q_drift_hellinger" -> hellingerQ,
     "q_drift_jsd" -> jsdQ)
 
   def oracle: Map[String, String] = Map(
     "q_drift_psi" -> psiSql,
     "q_drift_ks" -> ksSql,
     "q_drift_wasserstein" -> wassersteinSql,
+    "q_drift_hellinger" -> hellingerSql,
     "q_drift_jsd" -> jsdSql)
 }

@@ -4799,6 +4799,73 @@ object Stats {
       |    AS uniform_at_1pct
       |FROM d""".stripMargin
 
+  /** q_stat_kuiper entry: KUIPER'S TEST of the same hash-uniformity
+    * contract [[ksUniformQ]] gates — V = D⁺ + D⁻ (Kuiper 1960), the
+    * rotation-invariant EDF statistic that weighs BOTH one-sided gaps,
+    * equally sensitive at the ends of the support where KS's single
+    * max under-weights (exactly where a biased high-bit or modulo
+    * artifact in a hash would show). The 1%-level gate uses the
+    * finite-n form V·(√n + 0.155 + 0.24/√n) < 2.001 (Stephens 1970).
+    *
+    * Scale shape: identical to ks_uniform — one [[Rank.orderedPrefix]]
+    * pass with uniform bounds (no quantile job, no SinglePartition
+    * window); D⁺/D⁻ reduce by two global maxes. Determinism: exact
+    * dyadic u, exact ranks, max over shared IEEE chains — no sums. */
+  def kuiperQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val two60 = lit(1152921504606846976L).cast("double")
+    val u = (Hashing.md5Long60(concat(lit("ksu:"),
+      $"o_orderkey".cast("string"))) + 1L).cast("double") / two60
+    val ranked = Rank.orderedPrefix(
+      t(s, dir, "orders").select($"o_orderkey", u.as("u")),
+      order = Seq($"u", $"o_orderkey"),
+      rnOut = Some("i"),
+      countOut = Some("n"),
+      uniform = Some((0.0, 1.0)))
+      .withColumn("dp", $"i".cast("double") / $"n" - $"u")
+      .withColumn("dm", $"u" - ($"i" - 1).cast("double") / $"n")
+    ranked.groupBy($"n")
+      .agg(max($"dp").as("d_plus"), max($"dm").as("d_minus"))
+      .select($"n".cast("long").as("n"),
+        round($"d_plus", 6).as("d_plus"),
+        round($"d_minus", 6).as("d_minus"),
+        round($"d_plus" + $"d_minus", 6).as("v_stat"),
+        round(($"d_plus" + $"d_minus") *
+          (sqrt($"n".cast("double")) + lit(0.155) +
+            lit(0.24) / sqrt($"n".cast("double"))), 6).as("v_star"),
+        ((($"d_plus" + $"d_minus") *
+          (sqrt($"n".cast("double")) + lit(0.155) +
+            lit(0.24) / sqrt($"n".cast("double")))) < 2.001)
+          .cast("int").as("uniform_at_1pct"))
+  }
+
+  val kuiperSql: String =
+    """WITH keyed AS (
+      |  SELECT o_orderkey,
+      |    CAST(('0x' || substr(md5('ksu:' || CAST(o_orderkey AS VARCHAR)),
+      |      1, 15))::UBIGINT::BIGINT + 1 AS DOUBLE)
+      |      / CAST(1152921504606846976 AS DOUBLE) AS u
+      |  FROM orders),
+      |ranked AS (
+      |  SELECT u,
+      |    ROW_NUMBER() OVER (ORDER BY u, o_orderkey) AS i,
+      |    COUNT(*) OVER () AS n
+      |  FROM keyed),
+      |d AS (
+      |  SELECT n,
+      |    MAX(CAST(i AS DOUBLE) / n - u) AS dp,
+      |    MAX(u - CAST(i - 1 AS DOUBLE) / n) AS dm
+      |  FROM ranked GROUP BY n)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  ROUND(dp, 6) AS d_plus, ROUND(dm, 6) AS d_minus,
+      |  ROUND(dp + dm, 6) AS v_stat,
+      |  ROUND((dp + dm) * (SQRT(CAST(n AS DOUBLE)) + 0.155
+      |    + 0.24 / SQRT(CAST(n AS DOUBLE))), 6) AS v_star,
+      |  CAST((dp + dm) * (SQRT(CAST(n AS DOUBLE)) + 0.155
+      |    + 0.24 / SQRT(CAST(n AS DOUBLE))) < 2.001 AS INT)
+      |    AS uniform_at_1pct
+      |FROM d""".stripMargin
+
   /** q_stat_page_trend entry: PAGE'S L TEST for ordered alternatives
     * (Page 1963) — blocks = users with activity in ALL four January
     * weeks, ordered treatments = weeks 1..4 (cell = the user's weekly
@@ -5571,7 +5638,151 @@ object Stats {
       |    - (4.0 * n * m - 1) / (6.0 * (n + m)), 6) AS t_stat
       |FROM a""".stripMargin
 
+  /** q_stat_ad entry: TWO-SAMPLE ANDERSON–DARLING test (Pettitt 1976;
+    * Scholz–Stephens 1987, k = 2) — click vs view, rank computing form
+    * A² = (1/nm)·Σᵢ₌₁^{N−1} (Mᵢ·N − n·i)² / (i·(N−i)) where Mᵢ counts
+    * clicks among the i smallest of the pooled sample. Completes the
+    * EDF ladder: KS weighs the single worst gap, CvM the integrated
+    * squared gap, AD re-weights that integral by 1/(F(1−F)) — maximal
+    * sensitivity in the TAILS, which is where corpus-quality
+    * distributions actually drift. Ranks are positions in the pinned
+    * (value, event_id) total order (the [[cvmQ]] convention;
+    * continuous-value ties are measure-zero, documented).
+    *
+    * Scale shape: ONE [[Rank.orderedPrefix]] pass delivers rank i,
+    * frame count N, the running click count Mᵢ, and the click total n
+    * together — no SinglePartition window; the weighted squares reduce
+    * as a combinable 9-dp DECIMAL sum. Numerics: Mᵢ·N − n·i stays in
+    * int64 (≤ N²); its square goes through DECIMAL(38,0) (the
+    * [[cvmQ]] 64-bit-overflow lesson applied from birth); each term is
+    * one shared IEEE divide rounded to 9 dp. */
+  def adTwoSampleQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val click = when($"event_type" === "click", 1L).otherwise(0L)
+    val ranked = Rank.orderedPrefix(
+      t(s, dir, "events")
+        .filter($"event_type".isin("click", "view"))
+        .select($"event_id", $"event_type", $"value"),
+      order = Seq($"value", $"event_id"),
+      rnOut = Some("i"), countOut = Some("nn"),
+      cums = Seq(Rank.Cum(click, "mi")),
+      totals = Seq((click, "n1")))
+    val num = ($"mi" * $"nn" - $"n1" * $"i").cast("decimal(19,0)")
+    ranked.filter($"i" < $"nn")
+      .select($"nn", $"n1",
+        round((num * num).cast("double") /
+          ($"i".cast("double") * ($"nn" - $"i")), 9)
+          .cast("decimal(28,9)").as("term"))
+      .groupBy($"nn", $"n1")
+      .agg(sum($"term").as("tsum"))
+      .select($"n1".cast("long").as("n1"),
+        ($"nn" - $"n1").cast("long").as("n2"),
+        round($"tsum".cast("double") /
+          ($"n1".cast("double") * ($"nn" - $"n1")), 6).as("a2"))
+  }
+
+  val adTwoSampleSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type,
+      |    ROW_NUMBER() OVER (ORDER BY value, event_id) AS i,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY value, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mi,
+      |    COUNT(*) OVER () AS nn,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      OVER () AS n1
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |t AS (
+      |  SELECT nn, n1,
+      |    SUM(CAST(ROUND(CAST(CAST(mi * nn - n1 * i AS DECIMAL(19,0))
+      |        * CAST(mi * nn - n1 * i AS DECIMAL(19,0)) AS DOUBLE)
+      |      / (CAST(i AS DOUBLE) * (nn - i)), 9) AS DECIMAL(28,9)))
+      |      AS tsum
+      |  FROM ranked WHERE i < nn GROUP BY 1, 2)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(nn - n1 AS BIGINT) AS n2,
+      |  ROUND(CAST(tsum AS DOUBLE)
+      |    / (CAST(n1 AS DOUBLE) * (nn - n1)), 6) AS a2
+      |FROM t""".stripMargin
+
+  /** q_stat_signed_rank entry: WILCOXON SIGNED-RANK test (Wilcoxon
+    * 1945) — the PAIRED nonparametric location test the suite's ladder
+    * was missing between [[permutationQ]] (sign-flip, signs only) and
+    * [[mannWhitneyQ]] (unpaired ranks): blocks = users active in BOTH
+    * of the first two January weeks, dᵤ = week-2 mean − week-1 mean,
+    * |d| ranked ascending over the pinned (|d|, user_id) total order
+    * (position ranks; continuous-d ties measure-zero, documented —
+    * zero differences are excluded per the classical treatment), W⁺ =
+    * Σ ranks of positive d, z = (W⁺ − n(n+1)/4)/√(n(n+1)(2n+1)/24).
+    * Uses MAGNITUDE information the sign test throws away — the
+    * standard "did the metric move week-over-week?" panel readout.
+    *
+    * Scale shape: per-(user, week) combinable collapse → ≤ |users|
+    * rows; the |d| rank is one [[Rank.orderedPrefix]] pass (no
+    * SinglePartition window); W⁺ an exact-integer conditional sum;
+    * one final 1-row IEEE chain. The week cells are exact-decimal
+    * sums ÷ counts, so d is the identical double in both engines. */
+  def signedRankQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cell = t(s, dir, "events")
+      .filter($"ts" < lit("2024-01-15").cast("timestamp"))
+      .groupBy($"user_id",
+        (floor(datediff($"ts", lit("2024-01-01").cast("timestamp")) / 7) + 1)
+          .cast("int").as("wk"))
+      .agg((sum($"value".cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("cell"))
+    val paired = cell.groupBy($"user_id")
+      .agg(count(lit(1)).as("nwk"),
+        max(when($"wk" === 1, $"cell")).as("m1"),
+        max(when($"wk" === 2, $"cell")).as("m2"))
+      .filter($"nwk" === 2)
+      .select($"user_id", ($"m2" - $"m1").as("d"))
+      .filter($"d" =!= 0.0)
+    val ranked = Rank.orderedPrefix(
+      paired.withColumn("ad", abs($"d")),
+      order = Seq($"ad", $"user_id"),
+      rnOut = Some("rk"), countOut = Some("n"))
+    ranked.groupBy($"n")
+      .agg(sum(when($"d" > 0, $"rk").otherwise(0L)).as("w_plus"))
+      .select($"n".cast("long").as("n"),
+        $"w_plus".cast("long").as("w_plus"),
+        round(($"w_plus".cast("double") -
+          $"n".cast("double") * ($"n" + 1) / 4) /
+          sqrt($"n".cast("double") * ($"n" + 1) * (lit(2) * $"n" + 1) / 24),
+          6).as("z"))
+  }
+
+  val signedRankSql: String =
+    """WITH cell AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(datediff('day', TIMESTAMP '2024-01-01', ts) / 7) + 1
+      |      AS INT) AS wk,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |      AS cell
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1, 2),
+      |paired AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN wk = 2 THEN cell END)
+      |      - MAX(CASE WHEN wk = 1 THEN cell END) AS d
+      |  FROM cell GROUP BY 1 HAVING COUNT(*) = 2),
+      |nz AS (SELECT user_id, d FROM paired WHERE d <> 0.0),
+      |ranked AS (
+      |  SELECT d,
+      |    ROW_NUMBER() OVER (ORDER BY abs(d), user_id) AS rk,
+      |    COUNT(*) OVER () AS n
+      |  FROM nz),
+      |a AS (
+      |  SELECT n,
+      |    SUM(CASE WHEN d > 0 THEN rk ELSE 0 END) AS w_plus
+      |  FROM ranked GROUP BY 1)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(w_plus AS BIGINT) AS w_plus,
+      |  ROUND((CAST(w_plus AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 4)
+      |    / SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24), 6) AS z
+      |FROM a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_ad" -> adTwoSampleQ,
+    "q_stat_signed_rank" -> signedRankQ,
+    "q_stat_kuiper" -> kuiperQ,
     "q_stat_cvm" -> cvmQ,
     "q_stat_siegel_tukey" -> siegelTukeyQ,
     "q_stat_jonckheere" -> jonckheereQ,
@@ -5639,6 +5850,9 @@ object Stats {
     "q_ts_period" -> periodQ)
 
   def oracle: Map[String, String] = Map(
+    "q_stat_ad" -> adTwoSampleSql,
+    "q_stat_signed_rank" -> signedRankSql,
+    "q_stat_kuiper" -> kuiperSql,
     "q_stat_cvm" -> cvmSql,
     "q_stat_siegel_tukey" -> siegelTukeySql,
     "q_stat_jonckheere" -> jonckheereSql,

@@ -1586,6 +1586,57 @@ object Text {
       |  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_coverage
       |FROM r, tot WHERE rank <= 50 ORDER BY rank""".stripMargin
 
+  /** q_text_gini entry: VOCABULARY GINI COEFFICIENT — the Lorenz-curve
+    * concentration of token mass over types (rank types by count
+    * ascending; G = 2·Σ rank·n / (V·T) − (V+1)/V). The one-number
+    * answer to "how head-heavy is this corpus's vocabulary?" that
+    * [[zipfQ]]'s slope fits parametrically and [[vocabQ]]'s top-50
+    * table samples — a diversity audit that moves when a crawl slice
+    * collapses to boilerplate (G→1) or to unique noise tokens (G→0).
+    *
+    * Scale shape: the corpus collapses to the Heaps-bounded (token,
+    * count) vocabulary; the ascending rank is one
+    * [[Rank.orderedPrefix]] pass (no SinglePartition window — the
+    * vocabulary is data-scaled); Σ rank·n reduces as an exact
+    * DECIMAL(38,0) sum. Determinism: all integers until one final
+    * fixed IEEE chain rounded 6. */
+  def giniQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = withToks(s, dir)
+      .select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    val ranked = Rank.orderedPrefix(counts,
+      order = Seq($"n", $"tok"),
+      rnOut = Some("rk"), countOut = Some("v"),
+      totals = Seq(($"n", "t")))
+    ranked.groupBy($"v", $"t")
+      .agg(sum(($"rk".cast("decimal(19,0)") * $"n")
+        .cast("decimal(38,0)")).as("srn"))
+      .select($"v".cast("long").as("n_types"),
+        $"t".cast("long").as("n_tokens"),
+        round(lit(2.0) * $"srn".cast("double") /
+          ($"v".cast("double") * $"t".cast("double")) -
+          ($"v" + 1).cast("double") / $"v", 6).as("gini"))
+  }
+
+  val giniSql: String =
+    s"""WITH c AS (
+      |  SELECT t AS tok, count(*) AS n
+      |  FROM (SELECT unnest($toksSql) AS t FROM documents)
+      |  GROUP BY 1),
+      |r AS (
+      |  SELECT n,
+      |    row_number() OVER (ORDER BY n, tok) AS rk,
+      |    COUNT(*) OVER () AS v,
+      |    SUM(n) OVER () AS t
+      |  FROM c)
+      |SELECT CAST(v AS BIGINT) AS n_types, CAST(t AS BIGINT) AS n_tokens,
+      |  ROUND(2.0 * CAST(SUM(CAST(CAST(rk AS DECIMAL(19,0)) * n
+      |      AS DECIMAL(38,0))) AS DOUBLE)
+      |    / (CAST(v AS DOUBLE) * CAST(t AS DOUBLE))
+      |    - CAST(v + 1 AS DOUBLE) / v, 6) AS gini
+      |FROM r GROUP BY v, t""".stripMargin
+
   /** Fixed-size overlapping document chunking — the context-window prep
     * step that turns long documents into trainable/retrievable pieces:
     * chunk i covers chars [i·stride, i·stride + size), stride = size −
@@ -2314,6 +2365,7 @@ object Text {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_gini" -> giniQ,
     "q_label_fleiss" -> fleissQ,
     "q_text_yule" -> yuleQ,
     "q_text_mtld" -> mtldQ,
@@ -2356,6 +2408,7 @@ object Text {
     "q_pack_buckets" -> packBucketsQ)
 
   def oracle: Map[String, String] = Map(
+    "q_text_gini" -> giniSql,
     "q_text_readability" -> readabilitySql,
     "q_text_zipf" -> zipfSql,
     "q_text_heaps" -> heapsSql,

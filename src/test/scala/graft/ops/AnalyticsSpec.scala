@@ -2796,4 +2796,53 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Double]("chrf2") >= 0.0 && r.getAs[Double]("chrf2") <= 1.0)
     }
   }
+
+  test("text gini: matches a driver Lorenz replay and lies in [0, 1)") {
+    import spark.implicits._
+    val r = Text.giniQ(spark, sfDir).collect().head
+    val counts = graft.Tables.t(spark, sfDir, "documents")
+      .select($"text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (tok, n) => (n, tok) }
+    val v = counts.length.toLong
+    val t = counts.map(_._2).sum
+    val srn = counts.zipWithIndex
+      .map { case ((_, n), i0) => BigDecimal(i0 + 1L) * n }.sum
+    val gini = 2.0 * srn.toDouble / (v.toDouble * t.toDouble) -
+      (v + 1).toDouble / v
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_types") == v && r.getAs[Long]("n_tokens") == t)
+    assert(math.abs(r.getAs[Double]("gini") - r6(gini)) < 1e-9)
+    assert(gini >= 0.0 && gini < 1.0)
+  }
+
+  test("drift hellinger/tvd: match a driver binned replay; bounds and the TV-Hellinger inequality hold") {
+    import spark.implicits._
+    val r = Drift.hellingerQ(spark, sfDir).collect().head
+    val rows = graft.Tables.t(spark, sfDir, "documents")
+      .filter($"source".isin("src0", "src1"))
+      .select($"source", $"n_chars").collect()
+      .map(x => (x.getString(0), math.min(x.getLong(1) / 50, 19L)))
+    val bins = rows.groupBy(_._2).view.mapValues { vs =>
+      (vs.count(_._1 == "src0").toLong, vs.count(_._1 == "src1").toLong)
+    }.toMap
+    val n1 = bins.values.map(_._1).sum
+    val n2 = bins.values.map(_._2).sum
+    def d12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var l1 = BigDecimal(0); var bc = BigDecimal(0)
+    bins.values.foreach { case (c1, c2) =>
+      val p = c1.toDouble / n1; val q = c2.toDouble / n2
+      l1 += d12(math.abs(p - q)); bc += d12(math.sqrt(p * q))
+    }
+    val tvd = l1.toDouble / 2
+    val hel = math.sqrt(math.max(0.0, 1.0 - bc.toDouble))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(math.abs(r.getAs[Double]("tvd") - r6(tvd)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("hellinger") - r6(hel)) < 1e-9)
+    // H² <= TV <= H·sqrt(2 - H²) (Le Cam), within rounding slack
+    assert(hel * hel <= tvd + 1e-9)
+    assert(tvd <= hel * math.sqrt(2 - hel * hel) + 1e-9)
+  }
 }

@@ -1359,6 +1359,96 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       s"md5Long60 uniforms failed KS at 1%: sqrt(n)*D = ${r.getAs[Double]("sqrt_n_d")}")
   }
 
+  test("kuiper: V = D+ + D- matches a driver sorted-ECDF replay; hash passes the gate") {
+    import spark.implicits._
+    val r = Stats.kuiperQ(spark, sfDir).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: String): Long = {
+      val hex = md.digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val us = graft.Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey").collect().map(_.getLong(0))
+      .map(k => (k, (h60(s"ksu:$k") + 1L).toDouble / 1152921504606846976L.toDouble))
+      .sortBy { case (k, u) => (u, k) }.map(_._2)
+    val n = us.length
+    assert(r.getAs[Long]("n") == n)
+    val dp = us.zipWithIndex.map { case (u, i0) => (i0 + 1).toDouble / n - u }.max
+    val dm = us.zipWithIndex.map { case (u, i0) => u - i0.toDouble / n }.max
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("d_plus") - r6(dp)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("d_minus") - r6(dm)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("v_stat") - r6(dp + dm)) < 1e-9)
+    val vstar = (dp + dm) * (math.sqrt(n.toDouble) + 0.155 + 0.24 / math.sqrt(n.toDouble))
+    assert(math.abs(r.getAs[Double]("v_star") - r6(vstar)) < 1e-9)
+    assert(r.getAs[Int]("uniform_at_1pct") == 1,
+      s"md5Long60 uniforms failed Kuiper at 1%: V* = $vstar")
+  }
+
+  test("anderson-darling 2-sample: A2 matches a driver rank replay and sits near 1 under H0-ish data") {
+    import spark.implicits._
+    val r = Stats.adTwoSampleQ(spark, sfDir).collect().head
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .filter($"event_type".isin("click", "view"))
+      .select($"event_id", $"event_type", $"value").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+      .sortBy { case (id, _, v) => (v, id) }
+    val nn = ev.length
+    val n1 = ev.count(_._2 == "click")
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == nn - n1)
+    var mi = 0L
+    var tsum = BigDecimal(0)
+    ev.zipWithIndex.foreach { case ((_, tp, _), i0) =>
+      val i = i0 + 1L
+      if (tp == "click") mi += 1
+      if (i < nn) {
+        val num = BigDecimal(mi) * nn - BigDecimal(n1) * i
+        val term = (num * num).toDouble / (i.toDouble * (nn - i))
+        tsum += BigDecimal(term).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }
+    val a2 = tsum.toDouble / (n1.toDouble * (nn - n1))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("a2") - r6(a2)) < 1e-9,
+      s"query ${r.getAs[Double]("a2")} vs replay $a2")
+    // click and view values come from the same synthetic generator:
+    // A2 should be near its H0 mean of 1, never in deep rejection
+    assert(a2 > 0.0 && a2 < 10.0)
+  }
+
+  test("signed rank: W+ and z match a driver paired replay; W+ within its exact bounds") {
+    import spark.implicits._
+    val r = Stats.signedRankQ(spark, sfDir).collect().head
+    val cells = graft.Tables.t(spark, sfDir, "events")
+      .filter($"ts" < lit("2024-01-15").cast("timestamp")).collect()
+      .map(x => ((x.getAs[Long]("user_id"),
+        // UTC day number from epoch ms (session tz is UTC), 2024-01-01
+        // is epoch day 19723 — avoids the JVM default-zone trap
+        (Math.floorDiv(x.getAs[java.sql.Timestamp]("ts").getTime,
+          86400000L) - 19723L).toInt / 7 + 1),
+        BigDecimal(x.getAs[Double]("value")).setScale(2)))
+      .groupBy(_._1).view
+      .mapValues(vs => vs.map(_._2).sum.toDouble / vs.length).toMap
+    val ds = cells.keySet.map(_._1).toSeq.distinct
+      .flatMap { u =>
+        (cells.get((u, 1)), cells.get((u, 2))) match {
+          case (Some(a), Some(b)) if b - a != 0.0 => Some(u -> (b - a))
+          case _ => None
+        }
+      }
+    val n = ds.length
+    assert(r.getAs[Long]("n") == n)
+    val wPlus = ds.sortBy { case (u, d) => (math.abs(d), u) }.zipWithIndex
+      .collect { case ((_, d), i) if d > 0 => (i + 1).toLong }.sum
+    assert(r.getAs[Long]("w_plus") == wPlus)
+    val z = (wPlus.toDouble - n.toDouble * (n + 1) / 4) /
+      math.sqrt(n.toDouble * (n + 1) * (2 * n + 1) / 24)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("z") - r6(z)) < 1e-9)
+    assert(wPlus >= 0 && wPlus <= n.toLong * (n + 1) / 2)
+  }
+
   test("grubbs: argmax and statistic match a driver per-nation replay") {
     import spark.implicits._
     val r = Stats.grubbsQ(spark, sfDir).collect().head
