@@ -298,11 +298,84 @@ object Drift {
       |    AS hellinger
       |FROM a""".stripMargin
 
+  /** q_drift_vocab_jsd entry: LEXICAL Jensen–Shannon divergence between
+    * two sources' TOKEN distributions — the content-drift check the
+    * length-based metrics ([[ksQ]]/[[wassersteinQ]]/[[hellingerQ]])
+    * cannot see: a crawl slice can keep its length profile while its
+    * vocabulary shifts entirely. JSD = ½KL(p‖m) + ½KL(q‖m) over the
+    * union vocabulary, 0·log0 = 0 by the standard convention (token
+    * absent from one side contributes only the other side's term) —
+    * bounded in [0, ln 2], symmetric, finite on disjoint support
+    * (where KL blows up).
+    *
+    * Scale shape: the corpus collapses to the Heaps-bounded
+    * (token, source) count frame; totals ride a 1-row broadcast;
+    * per-token terms are shared IEEE chains rounded to 12 dp and
+    * summed as DECIMAL(28,12) (order-independent). */
+  def vocabJsdQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = t(s, dir, "documents")
+      .filter($"source".isin("src0", "src1"))
+      .select($"source", explode(split(lower($"text"), " ")).as("tok"))
+      .groupBy($"tok")
+      .agg(sum(when($"source" === "src0", 1L).otherwise(0L)).as("c1"),
+        sum(when($"source" === "src1", 1L).otherwise(0L)).as("c2"))
+    val tot = counts.agg(sum($"c1").as("n1"), sum($"c2").as("n2"),
+      count(lit(1)).as("v"))
+    val p = $"c1".cast("double") / $"n1"
+    val q = $"c2".cast("double") / $"n2"
+    val m = (p + q) / lit(2d)
+    val term =
+      when($"c1" > 0, p * log(p / m) / lit(2d)).otherwise(lit(0d)) +
+      when($"c2" > 0, q * log(q / m) / lit(2d)).otherwise(lit(0d))
+    counts.crossJoin(broadcast(tot))
+      .select($"n1", $"n2", $"v",
+        round(term, 12).cast("decimal(28,12)").as("t"))
+      .groupBy($"n1", $"n2", $"v")
+      .agg(sum($"t").cast("double").as("jsd"))
+      .select($"v".cast("long").as("n_types"),
+        $"n1".cast("long").as("n_tok_src0"),
+        $"n2".cast("long").as("n_tok_src1"),
+        round($"jsd", 6).as("jsd"),
+        round(sqrt(greatest(lit(0d), $"jsd")), 6).as("js_distance"))
+  }
+
+  val vocabJsdSql: String =
+    """WITH c AS (
+      |  SELECT t AS tok,
+      |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c2
+      |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+      |        FROM documents WHERE source IN ('src0', 'src1'))
+      |  GROUP BY 1),
+      |tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2, COUNT(*) AS v FROM c),
+      |terms AS (
+      |  SELECT n1, n2, v,
+      |    CAST(ROUND(
+      |      (CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / n1)
+      |        * LN((CAST(c1 AS DOUBLE) / n1)
+      |          / ((CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2) / 2))
+      |        / 2 ELSE 0 END)
+      |      + (CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / n2)
+      |        * LN((CAST(c2 AS DOUBLE) / n2)
+      |          / ((CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2) / 2))
+      |        / 2 ELSE 0 END), 12) AS DECIMAL(28,12)) AS t
+      |  FROM c, tot),
+      |a AS (
+      |  SELECT n1, n2, v, CAST(SUM(t) AS DOUBLE) AS jsd
+      |  FROM terms GROUP BY 1, 2, 3)
+      |SELECT CAST(v AS BIGINT) AS n_types,
+      |  CAST(n1 AS BIGINT) AS n_tok_src0, CAST(n2 AS BIGINT) AS n_tok_src1,
+      |  ROUND(jsd, 6) AS jsd,
+      |  ROUND(SQRT(GREATEST(0.0, jsd)), 6) AS js_distance
+      |FROM a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_drift_psi" -> psi,
     "q_drift_ks" -> ksQ,
     "q_drift_wasserstein" -> wassersteinQ,
     "q_drift_hellinger" -> hellingerQ,
+    "q_drift_vocab_jsd" -> vocabJsdQ,
     "q_drift_jsd" -> jsdQ)
 
   def oracle: Map[String, String] = Map(
@@ -310,5 +383,6 @@ object Drift {
     "q_drift_ks" -> ksSql,
     "q_drift_wasserstein" -> wassersteinSql,
     "q_drift_hellinger" -> hellingerSql,
+    "q_drift_vocab_jsd" -> vocabJsdSql,
     "q_drift_jsd" -> jsdSql)
 }

@@ -5779,9 +5779,75 @@ object Stats {
       |    / SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24), 6) AS z
       |FROM a""".stripMargin
 
+  /** q_stat_cohens_h entry: COHEN'S h effect size for two proportions
+    * (Cohen 1988) — h = 2·asin√p₁ − 2·asin√p₂ on the arcsine scale
+    * where a difference of proportions has variance independent of
+    * the base rate, with the conventional small/medium/large bands at
+    * 0.2/0.5/0.8. The companion [[abLiftQ]]'s z-test lacks: the z
+    * says "statistically detectable", h says "practically large" —
+    * at corpus scale EVERYTHING is detectable, so the effect size is
+    * the number a rollout decision actually reads. Cohorts = user-id
+    * parity; success = the user made ≥1 purchase event.
+    *
+    * Determinism: counts exact integers; rates one division each;
+    * asin on identical doubles in both engines, final round 6 (the
+    * magnitude class compares |h| against literal thresholds). */
+  def cohensHQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perUser = t(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(max(($"event_type" === "purchase").cast("long")).as("conv"))
+    val agg = perUser
+      .withColumn("cohort", pmod($"user_id", lit(2)))
+      .agg(
+        sum(when($"cohort" === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"cohort" === 0, $"conv").otherwise(0L)).as("conv_a"),
+        sum(when($"cohort" === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"cohort" === 1, $"conv").otherwise(0L)).as("conv_b"))
+    val pa = $"conv_a".cast("double") / $"n_a"
+    val pb = $"conv_b".cast("double") / $"n_b"
+    val h = lit(2.0) * asin(sqrt(pa)) - lit(2.0) * asin(sqrt(pb))
+    agg.select($"n_a", $"conv_a", $"n_b", $"conv_b",
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      round(h, 6).as("cohens_h"),
+      when(abs(h) < 0.2, "negligible").when(abs(h) < 0.5, "small")
+        .when(abs(h) < 0.8, "medium").otherwise("large").as("magnitude"))
+  }
+
+  val cohensHSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT
+      |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+      |    SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS conv_a,
+      |    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+      |    SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS conv_b
+      |  FROM u)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+      |  CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+      |  ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+      |  ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+      |  ROUND(2.0 * ASIN(SQRT(CAST(conv_a AS DOUBLE) / n_a))
+      |    - 2.0 * ASIN(SQRT(CAST(conv_b AS DOUBLE) / n_b)), 6) AS cohens_h,
+      |  CASE WHEN ABS(2.0 * ASIN(SQRT(CAST(conv_a AS DOUBLE) / n_a))
+      |      - 2.0 * ASIN(SQRT(CAST(conv_b AS DOUBLE) / n_b))) < 0.2
+      |    THEN 'negligible'
+      |  WHEN ABS(2.0 * ASIN(SQRT(CAST(conv_a AS DOUBLE) / n_a))
+      |      - 2.0 * ASIN(SQRT(CAST(conv_b AS DOUBLE) / n_b))) < 0.5
+      |    THEN 'small'
+      |  WHEN ABS(2.0 * ASIN(SQRT(CAST(conv_a AS DOUBLE) / n_a))
+      |      - 2.0 * ASIN(SQRT(CAST(conv_b AS DOUBLE) / n_b))) < 0.8
+      |    THEN 'medium'
+      |  ELSE 'large' END AS magnitude
+      |FROM a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stat_ad" -> adTwoSampleQ,
     "q_stat_signed_rank" -> signedRankQ,
+    "q_stat_cohens_h" -> cohensHQ,
     "q_stat_kuiper" -> kuiperQ,
     "q_stat_cvm" -> cvmQ,
     "q_stat_siegel_tukey" -> siegelTukeyQ,
@@ -5852,6 +5918,7 @@ object Stats {
   def oracle: Map[String, String] = Map(
     "q_stat_ad" -> adTwoSampleSql,
     "q_stat_signed_rank" -> signedRankSql,
+    "q_stat_cohens_h" -> cohensHSql,
     "q_stat_kuiper" -> kuiperSql,
     "q_stat_cvm" -> cvmSql,
     "q_stat_siegel_tukey" -> siegelTukeySql,

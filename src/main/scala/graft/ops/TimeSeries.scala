@@ -2650,7 +2650,150 @@ object TimeSeries {
       |    / SQRT((16.0 * n - 29) / 90), 6) AS z
       |FROM a ORDER BY event_type""".stripMargin
 
+  // --- EWMA control chart ---------------------------------------------------
+
+  private val EwmaDays = 30
+
+  /** Shared engine-identical constants (the BootB idiom): every weight
+    * is computed ONCE here and embedded as the same literal in the
+    * DataFrame plan and the DuckDB SQL, so no cross-engine pow/exp
+    * call can diverge. With λ = 1/5: the smoothing recursion unrolls to
+    * zₜ = Vₜ·4^{t−T}/5^{t+1} + (4/5)ᵗ·z₀ where
+    * Vₜ = Σᵢ≤ₜ xᵢ·5ⁱ·4^{T−i} is an EXACT integer (≤ 5³⁰·x, inside
+    * DECIMAL(38,0)) accumulated by an ordered cumsum — the only
+    * floating-point steps are the final per-day fixed chains. */
+  private[ops] val ewmaU: Seq[BigInt] =
+    (1 to EwmaDays).map(i => BigInt(5).pow(i) * BigInt(4).pow(EwmaDays - i))
+  private[ops] val ewmaW: Seq[Double] = (1 to EwmaDays).map(t =>
+    math.pow(4.0, (t - EwmaDays).toDouble) / math.pow(5.0, (t + 1).toDouble))
+  private[ops] val ewmaA: Seq[Double] =
+    (1 to EwmaDays).map(t => math.pow(0.8, t.toDouble))
+  private[ops] val ewmaB: Seq[Double] = (1 to EwmaDays).map(t =>
+    math.sqrt(0.2 / 1.8 * (1.0 - math.pow(0.8, 2.0 * t))))
+
+  /** q_ts_ewma_chart entry: EWMA CONTROL CHART (Roberts 1959) over the dense
+    * 30-day per-type count series — completing the detector triad
+    * beside the batch CUSUM argmax ([[cusumQ]]) and the online
+    * Page–Hinkley alarm ([[pageHinkleyQ]]): zₜ = λxₜ + (1−λ)zₜ₋₁ with
+    * λ = 0.2, z₀ = the series mean, alarming when |zₜ − μ| exceeds
+    * L·σ·√(λ/(2−λ)·(1−(1−λ)²ᵗ)) at L = 3 — the small-persistent-shift
+    * detector Shewhart charts miss and CUSUM only localizes after the
+    * fact. Reports alarms, the first alarm day, and the worst
+    * limit-relative excursion per type.
+    *
+    * Determinism: the recursion is UNROLLED into an exact-integer
+    * weighted prefix sum (DECIMAL(38,0)) times per-day literal weights
+    * shared verbatim by both engines ([[ewmaW]]/[[ewmaA]]/[[ewmaB]] —
+    * no engine pow in the data path); μ/σ are exact-moment chains.
+    * Scale: calendar-bounded per-type frames after one daily collapse
+    * (the [[cusumQ]] shape). */
+  def ewmaChartQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .filter($"ts" < lit("2024-01-31").cast("timestamp"))
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = s.sql(
+      """SELECT explode(sequence(timestamp'2024-01-01 00:00:00',
+        |  timestamp'2024-01-30 00:00:00', interval 1 day)) AS day"""
+        .stripMargin)
+    val series = t(s, dir, "events").select($"event_type").distinct()
+    val dense = grid.crossJoin(broadcast(series))
+      .join(daily, Seq("day", "event_type"), "left")
+      .select($"event_type", $"day", coalesce($"cnt", lit(0L)).as("x"))
+    val uLit = array(ewmaU.map(u =>
+      lit(u.toString).cast("decimal(38,0)")): _*)
+    val wLit = array(ewmaW.map(lit(_)): _*)
+    val aLit = array(ewmaA.map(lit(_)): _*)
+    val bLit = array(ewmaB.map(lit(_)): _*)
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val wAll = Window.partitionBy($"event_type")
+    val scored = dense
+      .withColumn("t", row_number().over(w))
+      .withColumn("u", (element_at(uLit, $"t") * $"x").cast("decimal(38,0)"))
+      .withColumn("vt", sum($"u").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sx", sum($"x").over(wAll))
+      .withColumn("sxx", sum(($"x" * $"x").cast("decimal(38,0)")).over(wAll))
+      .withColumn("mu", $"sx".cast("double") / $"n")
+      .withColumn("sig", sqrt(($"sxx".cast("double") -
+        $"sx".cast("double") * $"sx".cast("double") / $"n") / ($"n" - 1)))
+      .withColumn("z", $"vt".cast("double") * element_at(wLit, $"t") +
+        element_at(aLit, $"t") * $"mu")
+      .withColumn("lim", lit(3.0) * $"sig" * element_at(bLit, $"t"))
+      .withColumn("alarm", (abs($"z" - $"mu") > $"lim").cast("long"))
+    scored.groupBy($"event_type")
+      .agg(max($"n").cast("long").as("n_days"),
+        round(max($"mu"), 6).as("mean_daily"),
+        round(max($"sig"), 6).as("stddev_daily"),
+        sum($"alarm").cast("long").as("n_alarms"),
+        min(when($"alarm" === 1, $"day")).as("first_alarm_day"),
+        round(max(when($"lim" > 0, abs($"z" - $"mu") / $"lim")), 6)
+          .as("max_rel_excursion"))
+      .orderBy($"event_type")
+  }
+
+  val ewmaChartSql: String = {
+    val uList = ewmaU.map(u => s"CAST('$u' AS DECIMAL(38,0))")
+      .mkString("[", ", ", "]")
+    val wList = ewmaW.mkString("[", ", ", "]")
+    val aList = ewmaA.mkString("[", ", ", "]")
+    val bList = ewmaB.mkString("[", ", ", "]")
+    s"""WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS cnt
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-31' GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |    TIMESTAMP '2024-01-30 00:00:00', INTERVAL 1 DAY)) AS day),
+      |series AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT series.event_type, grid.day, COALESCE(daily.cnt, 0) AS x
+      |  FROM grid CROSS JOIN series
+      |  LEFT JOIN daily ON daily.day = grid.day
+      |    AND daily.event_type = series.event_type),
+      |tu AS (
+      |  SELECT event_type, day, x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+      |  FROM dense),
+      |sc AS (
+      |  SELECT event_type, day, x, t,
+      |    SUM(CAST(list_extract($uList, t) * x AS DECIMAL(38,0)))
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vt,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    SUM(x) OVER (PARTITION BY event_type) AS sx,
+      |    SUM(CAST(x * x AS DECIMAL(38,0)))
+      |      OVER (PARTITION BY event_type) AS sxx
+      |  FROM tu),
+      |zz AS (
+      |  SELECT event_type, day,
+      |    CAST(sx AS DOUBLE) / n AS mu,
+      |    SQRT((CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS sig,
+      |    CAST(vt AS DOUBLE) * list_extract($wList, t)
+      |      + list_extract($aList, t) * (CAST(sx AS DOUBLE) / n) AS z,
+      |    3.0 * SQRT((CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
+      |      * list_extract($bList, t) AS lim,
+      |    n
+      |  FROM sc),
+      |al AS (
+      |  SELECT *, CASE WHEN ABS(z - mu) > lim THEN 1 ELSE 0 END AS alarm
+      |  FROM zz)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+      |  ROUND(MAX(mu), 6) AS mean_daily,
+      |  ROUND(MAX(sig), 6) AS stddev_daily,
+      |  CAST(SUM(alarm) AS BIGINT) AS n_alarms,
+      |  MIN(CASE WHEN alarm = 1 THEN day END) AS first_alarm_day,
+      |  ROUND(MAX(CASE WHEN lim > 0 THEN ABS(z - mu) / lim END), 6)
+      |    AS max_rel_excursion
+      |FROM al GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_ewma_chart" -> ewmaChartQ,
     "q_ts_turning_points" -> turningPointsQ,
     "q_ts_page_hinkley" -> pageHinkleyQ,
     "q_ts_dtw_band" -> dtwBandQ,
@@ -2683,6 +2826,7 @@ object TimeSeries {
     "q_ts_concurrency" -> concurrencyQ)
 
   def oracle: Map[String, String] = Map(
+    "q_ts_ewma_chart" -> ewmaChartSql,
     "q_ts_turning_points" -> turningPointsSql,
     "q_ts_page_hinkley" -> pageHinkleySql,
     "q_ts_dtw_band" -> dtwBandSql,

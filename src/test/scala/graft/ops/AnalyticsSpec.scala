@@ -2845,4 +2845,93 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(hel * hel <= tvd + 1e-9)
     assert(tvd <= hel * math.sqrt(2 - hel * hel) + 1e-9)
   }
+
+  test("vocab jsd: matches a driver union-vocabulary replay; bounded by ln 2") {
+    import spark.implicits._
+    val r = Drift.vocabJsdQ(spark, sfDir).collect().head
+    val toks = graft.Tables.t(spark, sfDir, "documents")
+      .filter($"source".isin("src0", "src1"))
+      .select($"source", $"text").collect()
+      .flatMap(x => x.getString(1).toLowerCase.split(" ", -1)
+        .map(t => (x.getString(0), t)))
+    val byTok = toks.groupBy(_._2).view.mapValues { vs =>
+      (vs.count(_._1 == "src0").toLong, vs.count(_._1 == "src1").toLong)
+    }.toMap
+    val n1 = byTok.values.map(_._1).sum
+    val n2 = byTok.values.map(_._2).sum
+    def d12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var jsd = BigDecimal(0)
+    byTok.values.foreach { case (c1, c2) =>
+      val p = c1.toDouble / n1; val q = c2.toDouble / n2
+      val m = (p + q) / 2
+      val t = (if (c1 > 0) p * math.log(p / m) / 2 else 0.0) +
+        (if (c2 > 0) q * math.log(q / m) / 2 else 0.0)
+      jsd += d12(t)
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_types") == byTok.size.toLong)
+    assert(r.getAs[Long]("n_tok_src0") == n1 && r.getAs[Long]("n_tok_src1") == n2)
+    assert(math.abs(r.getAs[Double]("jsd") - r6(jsd.toDouble)) < 1e-9)
+    assert(jsd.toDouble >= 0.0 && jsd.toDouble <= math.log(2.0) + 1e-9)
+  }
+
+  test("ewma chart: z matches a sequential driver recursion; limits widen to the asymptote") {
+    import spark.implicits._
+    val rows = TimeSeries.ewmaChartQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per type: dense day counts, sequential EWMA, alarms — replayed
+    val byType = graft.Tables.t(spark, sfDir, "events")
+      .filter($"ts" < lit("2024-01-31").cast("timestamp"))
+      .select($"event_type", $"ts").collect()
+      .map(x => (x.getString(0),
+        Math.floorDiv(x.getTimestamp(1).getTime, 86400000L) - 19723L))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val tp = r.getString(0)
+      val counts = byType(tp).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val xs = (0L until 30L).map(d => counts.getOrElse(d, 0L))
+      val n = xs.length
+      val mu = xs.sum.toDouble / n
+      val sig = math.sqrt((xs.map(x => x.toDouble * x).sum -
+        xs.sum.toDouble * xs.sum / n) / (n - 1))
+      var z = mu
+      var alarms = 0L
+      var maxRel = 0.0
+      xs.zipWithIndex.foreach { case (x, i0) =>
+        val t = i0 + 1
+        z = 0.2 * x + 0.8 * z
+        val lim = 3.0 * sig *
+          math.sqrt(0.2 / 1.8 * (1 - math.pow(0.8, 2.0 * t)))
+        if (math.abs(z - mu) > lim) alarms += 1
+        if (lim > 0) maxRel = math.max(maxRel, math.abs(z - mu) / lim)
+      }
+      assert(r.getAs[Long]("n_days") == 30L, tp)
+      // the unrolled exact-decimal form equals the naive recursion to
+      // floating slack (they differ only in summation order)
+      assert(math.abs(r.getAs[Double]("mean_daily") - mu) < 1e-6, tp)
+      assert(r.getAs[Long]("n_alarms") == alarms, s"$tp alarms")
+      assert(math.abs(r.getAs[Double]("max_rel_excursion") - maxRel) < 1e-4,
+        s"$tp rel")
+    }
+  }
+
+  test("cohens h: matches a driver arcsine replay; magnitude class consistent") {
+    import spark.implicits._
+    val r = Stats.cohensHQ(spark, sfDir).collect().head
+    val perUser = graft.Tables.t(spark, sfDir, "events")
+      .select($"user_id", $"event_type").collect()
+      .map(x => (x.getLong(0), x.getString(1) == "purchase"))
+      .groupBy(_._1).view.mapValues(_.exists(_._2)).toMap
+    val (a, b) = perUser.partition(_._1 % 2 == 0)
+    val pa = a.values.count(identity).toDouble / a.size
+    val pb = b.values.count(identity).toDouble / b.size
+    val h = 2 * math.asin(math.sqrt(pa)) - 2 * math.asin(math.sqrt(pb))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_a") == a.size && r.getAs[Long]("n_b") == b.size)
+    assert(math.abs(r.getAs[Double]("cohens_h") - r6(h)) < 1e-9)
+    val expClass = if (math.abs(h) < 0.2) "negligible"
+      else if (math.abs(h) < 0.5) "small"
+      else if (math.abs(h) < 0.8) "medium" else "large"
+    assert(r.getAs[String]("magnitude") == expClass)
+  }
 }
