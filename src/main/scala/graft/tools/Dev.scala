@@ -200,6 +200,8 @@ object Dev {
           "q_profile_overview" -> "1-row per-column profile frame (stack pivot)",
           "q_drift_ks" -> "1-row (n1, n2) totals frame",
           "q_drift_hellinger" -> "1-row (n1, n2) totals frame over the 20-bin histogram",
+          "q_drift_vocab_jsd" -> "1-row (n1, n2, v) totals frame over the vocab collapse",
+          "q_ts_ewma_chart" -> "bounded per-series calendar grid dim (rows = series count, not events)",
           "q_stat_chi2" -> "1-row (n, nr, nc) totals frame",
           "q_stat_mi" -> "1-row totals + two 1-row entropy frames",
           "q_validate_fk" -> "six (1-row x 1-row) per-edge count frames",
