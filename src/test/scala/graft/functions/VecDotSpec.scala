@@ -46,7 +46,7 @@ class VecDotSpec extends AnyFunSuite with SparkSpec {
     val names = GraftFunctions.specs.map(_._1.funcName).toSet
     assert(names ==
       Set("rolling_hash", "vec_dot", "nfc_normalize", "jaro_winkler",
-        "winnow_prints"))
+        "winnow_prints", "char_grams"))
     val (_, _, builder) = GraftFunctions.vecDotSpec
     assert(builder(Seq(Literal(1d), Literal(2d))).isInstanceOf[VecDot])
     intercept[IllegalArgumentException](builder(Seq(Literal(1d))))
