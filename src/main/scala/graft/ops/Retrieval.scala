@@ -405,7 +405,12 @@ object Retrieval {
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       .join(broadcast(cf), "term").crossJoin(broadcast(coll))
       .groupBy($"doc_id")
-      .agg(sum(round(log(lit(1.0) + ($"tf" * $"c_total") * lit(1.0)
+      // tf·c_total in DOUBLE: c_total is the corpus token count, so the
+      // int64 product wraps once tf·c_total passes 9.2·10¹⁸ (a ~100 TB
+      // corpus × a long document) — the q_stat_ad overflow class. Both
+      // factors are exact below 2⁵³, so the double product is the
+      // correctly-rounded exact value in both engines.
+      .agg(sum(round(log(lit(1.0) + $"tf".cast("double") * $"c_total"
           / (lit(Mu.toDouble) * $"cf")), 9)
         .cast("decimal(28,9)")).as("hit_score"),
         count(lit(1)).cast("int").as("n_terms_hit"))
@@ -436,7 +441,7 @@ object Retrieval {
        |  WHERE term IN ($terms) GROUP BY 1),
        |hits AS MATERIALIZED (
        |  SELECT doc_id,
-       |    SUM(CAST(ROUND(LN(1.0 + (tf * c_total) * 1.0
+       |    SUM(CAST(ROUND(LN(1.0 + CAST(tf AS DOUBLE) * c_total
        |      / ($Mu.0 * cf)), 9) AS DECIMAL(28,9))) AS hit_score,
        |    CAST(COUNT(*) AS INT) AS n_terms_hit
        |  FROM (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM te
@@ -617,7 +622,7 @@ object Retrieval {
        |  FROM bm_sc),
        |ql_hits AS (
        |  SELECT tf.doc_id,
-       |    SUM(CAST(ROUND(LN(1.0 + (tf * c_total) * 1.0 / ($Mu * cf)), 9)
+       |    SUM(CAST(ROUND(LN(1.0 + CAST(tf AS DOUBLE) * c_total / ($Mu * cf)), 9)
        |      AS DECIMAL(28,9))) AS hit_score,
        |    COUNT(*) AS n_terms_hit
        |  FROM tf JOIN cf USING (term), coll

@@ -307,10 +307,15 @@ object Sketches {
     * grid is d·w bounded cells built map-side-combinable; at real scale
     * you'd publish the grid per ingestion batch (merge = cell-wise sum)
     * and skip the exact side entirely. Determinism: positions come from
-    * [[Hashing.md5Long60]] (the pinned cross-engine hash), all counts
-    * and squares are exact integers summed as DECIMAL(38,0), so the
-    * estimate itself is bit-reproducible — unlike the envelope-gated
-    * q_agg_cms, the oracle compares EST values exactly. */
+    * [[Hashing.md5Long60]] (the pinned cross-engine hash); every count
+    * casts to DECIMAL BEFORE its square (a cell count reaches row
+    * scale, so the int64 square wraps past 3·10⁹ — the q_stat_ad
+    * overflow class), the comparison tail stays exact DECIMAL, and the
+    * F2 columns leave as correctly-rounded doubles (F2 ≤ N² fits no
+    * 64-bit integer at the design scale; exact below 2⁵³, identical in
+    * both engines beyond). The estimate is bit-reproducible — unlike
+    * the envelope-gated q_agg_cms, the oracle compares EST values
+    * exactly. */
   def joinSizeEstQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = 4
@@ -326,23 +331,31 @@ object Sketches {
         Hashing.md5Long60(concat($"k", lit(s":$r"))) % w): _*))
         .as(Seq("r", "b")))
       .groupBy($"keyspace", $"r", $"b").agg(count(lit(1)).as("c"))
+    // r14: squares cast BEFORE the multiply (c reaches row scale, so
+    // c·c in int64 wraps past c ≈ 3·10⁹ — the q_stat_ad class); the
+    // whole comparison tail stays exact DECIMAL (excess·w and 32·N²
+    // reach N², past int64 at the same point), and the F2 columns
+    // leave as correctly-rounded doubles (exact below 2⁵³; F2 ≤ N²
+    // fits NO fixed 64-bit type at the design scale).
+    def sq(c: Column) = c.cast("decimal(19,0)") * c
     val est = cells.groupBy($"keyspace", $"r")
-      .agg(sum(($"c" * $"c").cast("decimal(38,0)")).as("e"))
+      .agg(sum(sq($"c")).as("e"))
       .groupBy($"keyspace")
-      .agg(min($"e").cast("long").as("est_f2"))
+      .agg(min($"e").as("est_f2"))
     val exact = ks.groupBy($"keyspace", $"k").agg(count(lit(1)).as("c"))
       .groupBy($"keyspace")
-      .agg(sum(($"c" * $"c").cast("decimal(38,0)")).cast("long")
-          .as("exact_f2"),
+      .agg(sum(sq($"c")).as("exact_f2"),
         sum($"c").cast("long").as("n_rows"))
     est.join(exact, "keyspace")
       .select($"keyspace", $"n_rows",
         lit(d.toLong).as("depth"), lit(w.toLong).as("width"),
-        $"est_f2", $"exact_f2",
-        ($"est_f2" - $"exact_f2").as("excess"),
+        $"est_f2".cast("double").as("est_f2"),
+        $"exact_f2".cast("double").as("exact_f2"),
+        ($"est_f2" - $"exact_f2").cast("double").as("excess"),
         expr("(10000 * (est_f2 - exact_f2)) div exact_f2").as("rel_err_bp"),
         (($"est_f2" - $"exact_f2") * w <=
-          lit(32L) * $"n_rows" * $"n_rows").cast("int").as("bound_ok"))
+          lit(32).cast("decimal(19,0)") * $"n_rows" * $"n_rows")
+          .cast("int").as("bound_ok"))
       .orderBy($"keyspace")
   }
 
@@ -360,24 +373,27 @@ object Sketches {
       |  FROM ks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS x) r
       |  GROUP BY 1, 2, 3),
       |est AS (
-      |  SELECT keyspace, CAST(MIN(e) AS BIGINT) AS est_f2
+      |  SELECT keyspace, MIN(e) AS est_f2
       |  FROM (SELECT keyspace, r,
-      |          SUM(CAST(c * c AS DECIMAL(38,0))) AS e
+      |          SUM(CAST(c AS HUGEINT) * c) AS e
       |        FROM cells GROUP BY 1, 2)
       |  GROUP BY 1),
       |ex AS (
       |  SELECT keyspace,
-      |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS BIGINT) AS exact_f2,
+      |    SUM(CAST(c AS HUGEINT) * c) AS exact_f2,
       |    CAST(SUM(c) AS BIGINT) AS n_rows
       |  FROM (SELECT keyspace, k, CAST(COUNT(*) AS BIGINT) AS c
       |        FROM ks GROUP BY 1, 2)
       |  GROUP BY 1)
       |SELECT e.keyspace, x.n_rows,
       |  CAST(4 AS BIGINT) AS depth, CAST(1024 AS BIGINT) AS width,
-      |  e.est_f2, x.exact_f2,
-      |  e.est_f2 - x.exact_f2 AS excess,
-      |  (10000 * (e.est_f2 - x.exact_f2)) // x.exact_f2 AS rel_err_bp,
-      |  CAST((e.est_f2 - x.exact_f2) * 1024 <= 32 * x.n_rows * x.n_rows
+      |  CAST(e.est_f2 AS DOUBLE) AS est_f2,
+      |  CAST(x.exact_f2 AS DOUBLE) AS exact_f2,
+      |  CAST(e.est_f2 - x.exact_f2 AS DOUBLE) AS excess,
+      |  CAST((10000 * (e.est_f2 - x.exact_f2)) // x.exact_f2
+      |    AS BIGINT) AS rel_err_bp,
+      |  CAST((e.est_f2 - x.exact_f2) * 1024
+      |      <= 32 * CAST(x.n_rows AS HUGEINT) * x.n_rows
       |    AS INTEGER) AS bound_ok
       |FROM est e JOIN ex x ON e.keyspace = x.keyspace
       |ORDER BY e.keyspace""".stripMargin

@@ -3392,10 +3392,15 @@ object Stats {
     val agg = cells.agg(
       count(lit(1)).as("n_strata"),
       sum($"a").as("sa"),
-      dsum($"a" * $"d" / $"n".cast("double")).as("s_ad"),
-      dsum($"b" * $"c" / $"n".cast("double")).as("s_bc"),
-      dsum(($"a" + $"b") * ($"a" + $"c") / $"n".cast("double")).as("s_e"),
-      dsum(($"a" + $"b") * ($"c" + $"d") * ($"a" + $"c") * ($"b" + $"d")
+      // cell products in DOUBLE: a·d and the 4-way margin product are
+      // row-scale, so the int64 products wrap past ~3·10⁹ per stratum
+      // (q_stat_ad class); every factor is exact below 2⁵³ and both
+      // engines multiply in the same left-to-right IEEE order
+      dsum($"a".cast("double") * $"d" / $"n").as("s_ad"),
+      dsum($"b".cast("double") * $"c" / $"n").as("s_bc"),
+      dsum(($"a" + $"b").cast("double") * ($"a" + $"c") / $"n").as("s_e"),
+      dsum(($"a" + $"b").cast("double") * ($"c" + $"d") * ($"a" + $"c")
+        * ($"b" + $"d")
         / ($"n".cast("double") * $"n".cast("double")
           * ($"n" - lit(1)).cast("double"))).as("s_v"))
     agg.select($"n_strata".cast("long").as("n_strata"),
@@ -3424,13 +3429,14 @@ object Stats {
       |  WHERE a + b + c + d >= 2),
       |agg AS (
       |  SELECT COUNT(*) AS n_strata, SUM(a) AS sa,
-      |    CAST(SUM(CAST(ROUND(a * d / CAST(n AS DOUBLE), 9)
+      |    CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * d / n, 9)
       |      AS DECIMAL(28,9))) AS DOUBLE) AS s_ad,
-      |    CAST(SUM(CAST(ROUND(b * c / CAST(n AS DOUBLE), 9)
+      |    CAST(SUM(CAST(ROUND(CAST(b AS DOUBLE) * c / n, 9)
       |      AS DECIMAL(28,9))) AS DOUBLE) AS s_bc,
-      |    CAST(SUM(CAST(ROUND((a + b) * (a + c) / CAST(n AS DOUBLE), 9)
+      |    CAST(SUM(CAST(ROUND(CAST(a + b AS DOUBLE) * (a + c) / n, 9)
       |      AS DECIMAL(28,9))) AS DOUBLE) AS s_e,
-      |    CAST(SUM(CAST(ROUND((a + b) * (c + d) * (a + c) * (b + d)
+      |    CAST(SUM(CAST(ROUND(CAST(a + b AS DOUBLE) * (c + d) * (a + c)
+      |      * (b + d)
       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
       |         * CAST(n - 1 AS DOUBLE)), 9) AS DECIMAL(28,9)))
       |      AS DOUBLE) AS s_v
@@ -3634,7 +3640,9 @@ object Stats {
       types.map(col).reduce(_ + _))
     def varCols(c: String) = Seq(
       sum(col(c)).as(s"s_$c"),
-      sum((col(c) * col(c)).cast("decimal(38,0)")).as(s"q_$c"))
+      // decimal BEFORE the square: a per-user count is activity-scale,
+      // so the int64 square wraps past 3·10⁹ (q_stat_ad class)
+      sum(col(c).cast("decimal(19,0)") * col(c)).as(s"q_$c"))
     val aggCols = count(lit(1)).as("n") +:
       (types :+ "total").flatMap(varCols)
     val agg = withTotal.agg(aggCols.head, aggCols.tail: _*)
@@ -5574,9 +5582,12 @@ object Stats {
     * Scale shape: [[Rank.orderedPrefix]] — ONE range exchange of the
     * narrow frame gives the combined rank r, and the within-group
     * ranks i ride the same pass as running sums of the two group
-    * indicators (no per-group 2-task window, no SinglePartition); U
-    * reduces as an exact-integer combinable sum; one final IEEE
-    * chain. */
+    * indicators (no per-group 2-task window, no SinglePartition); the
+    * deviation squares reduce as exact DECIMAL(38,0) combinable sums
+    * ([[rankDiffSq]] — decimal BEFORE the multiply, since the int64
+    * square wraps past N ≈ 3·10⁹) and U combines them in IEEE double
+    * (n·d1 ≤ N⁴ exceeds every fixed-width integer at ~6·10⁹); one
+    * final IEEE chain both engines mirror. */
   def cvmQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ranked = Rank.orderedPrefix(
@@ -5591,25 +5602,25 @@ object Stats {
       .withColumn("i",
         when($"event_type" === "click", $"cum_c").otherwise($"cum_v"))
     // U overflows BIGINT past ~10^5 rows per group (n·Σ(r−i)² ~ n·N³),
-    // caught by the sf1 decade bench: deviation squares accumulate as
-    // DECIMAL(38,0) and U leaves as DOUBLE (exact below 2^53 — holds
-    // through the sf0.01 gate by orders of magnitude; documented).
+    // caught by the sf1 decade bench. r14 hardening: the per-row square
+    // itself is int64 math up to (r−i) ≈ 3·10⁹ — [[rankDiffSq]] casts
+    // BEFORE multiplying (exact DECIMAL(38,0), Σ holds to N ≈ 4.6·10¹²)
+    // — and the n·d1+m·d2 combination (≤ N⁴, past DECIMAL(38,0) at
+    // N ≈ 6·10⁹) now combines the exact sums in IEEE double instead:
+    // one correctly-rounded conversion per sum, then double arithmetic
+    // both engines mirror operation-for-operation.
+    val u = $"n".cast("double") * $"d1".cast("double") +
+      $"m".cast("double") * $"d2".cast("double")
     ranked.agg(
         sum(when($"event_type" === "click", 1L).otherwise(0L)).as("n"),
         sum(when($"event_type" === "view", 1L).otherwise(0L)).as("m"),
-        sum(when($"event_type" === "click",
-          (($"r" - $"i").cast("bigint") * ($"r" - $"i"))
-            .cast("decimal(38,0)"))
+        sum(when($"event_type" === "click", rankDiffSq($"r" - $"i"))
           .otherwise(lit(BigDecimal(0)).cast("decimal(38,0)"))).as("d1"),
-        sum(when($"event_type" === "view",
-          (($"r" - $"i").cast("bigint") * ($"r" - $"i"))
-            .cast("decimal(38,0)"))
+        sum(when($"event_type" === "view", rankDiffSq($"r" - $"i"))
           .otherwise(lit(BigDecimal(0)).cast("decimal(38,0)"))).as("d2"))
       .select($"n".cast("long").as("n"), $"m".cast("long").as("m"),
-        ($"n".cast("decimal(38,0)") * $"d1" +
-          $"m".cast("decimal(38,0)") * $"d2").cast("double").as("u"),
-        round(($"n".cast("decimal(38,0)") * $"d1" +
-          $"m".cast("decimal(38,0)") * $"d2").cast("double") /
+        u.as("u"),
+        round(u /
           ($"n".cast("double") * $"m" * ($"n" + $"m")) -
           (lit(4.0) * $"n" * $"m" - 1) / (lit(6.0) * ($"n" + $"m")), 6)
           .as("t_stat"))
@@ -5627,20 +5638,43 @@ object Stats {
       |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n,
       |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS m,
       |    SUM(CASE WHEN event_type = 'click'
-      |      THEN CAST((r - i) * (r - i) AS DECIMAL(38,0))
-      |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS d1,
+      |      THEN CAST(r - i AS HUGEINT) * (r - i)
+      |      ELSE CAST(0 AS HUGEINT) END) AS d1,
       |    SUM(CASE WHEN event_type = 'view'
-      |      THEN CAST((r - i) * (r - i) AS DECIMAL(38,0))
-      |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS d2
+      |      THEN CAST(r - i AS HUGEINT) * (r - i)
+      |      ELSE CAST(0 AS HUGEINT) END) AS d2
       |  FROM ranked)
       |SELECT CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
-      |  CAST(CAST(n AS DECIMAL(38,0)) * d1
-      |    + CAST(m AS DECIMAL(38,0)) * d2 AS DOUBLE) AS u,
-      |  ROUND(CAST(CAST(n AS DECIMAL(38,0)) * d1
-      |      + CAST(m AS DECIMAL(38,0)) * d2 AS DOUBLE)
+      |  CAST(n AS DOUBLE) * CAST(d1 AS DOUBLE)
+      |    + CAST(m AS DOUBLE) * CAST(d2 AS DOUBLE) AS u,
+      |  ROUND((CAST(n AS DOUBLE) * CAST(d1 AS DOUBLE)
+      |      + CAST(m AS DOUBLE) * CAST(d2 AS DOUBLE))
       |    / (CAST(n AS DOUBLE) * m * (n + m))
       |    - (4.0 * n * m - 1) / (6.0 * (n + m)), 6) AS t_stat
       |FROM a""".stripMargin
+
+  /** Exact Mᵢ·N − n·i as a correctly-rounded double. Each factor casts
+    * to DECIMAL(19,0) BEFORE multiplying, so the products are
+    * DECIMAL(38,0) — exact to N = 10¹⁹ — and the difference never
+    * touches int64 (where Mᵢ·N ≤ N² wraps past N ≈ 3·10⁹). Factored
+    * out so [[StatsSpec]] can replay it at a synthetic N beyond the
+    * int64 wrap point, which no row-count gate can reach. */
+  private[graft] def adNumerator(mi: Column, nn: Column, n1: Column,
+      i: Column): Column = {
+    def d(c: Column) = c.cast("decimal(19,0)")
+    (d(mi) * d(nn) - d(n1) * d(i)).cast("double")
+  }
+
+  /** Exact (r−i)² as DECIMAL(38,0): a rank difference reaches N, so
+    * its int64 square wraps past N ≈ 3·10⁹ — decimal before multiply
+    * (the same class [[adNumerator]] guards). */
+  private[graft] def rankDiffSq(d: Column): Column =
+    d.cast("decimal(19,0)") * d.cast("decimal(19,0)")
+
+  /** Wilcoxon W⁺ accumulator: Σ ranks ≤ N(N+1)/2 overflows int64 past
+    * N ≈ 4.3·10⁹ pairs — accumulate DECIMAL(38,0), exact to 10³⁸. */
+  private[graft] def wPlusSum(d: Column, rk: Column): Column =
+    sum(when(d > 0, rk).otherwise(0L).cast("decimal(38,0)"))
 
   /** q_stat_ad entry: TWO-SAMPLE ANDERSON–DARLING test (Pettitt 1976;
     * Scholz–Stephens 1987, k = 2) — click vs view, rank computing form
@@ -5656,10 +5690,15 @@ object Stats {
     * Scale shape: ONE [[Rank.orderedPrefix]] pass delivers rank i,
     * frame count N, the running click count Mᵢ, and the click total n
     * together — no SinglePartition window; the weighted squares reduce
-    * as a combinable 9-dp DECIMAL sum. Numerics: Mᵢ·N − n·i stays in
-    * int64 (≤ N²); its square goes through DECIMAL(38,0) (the
-    * [[cvmQ]] 64-bit-overflow lesson applied from birth); each term is
-    * one shared IEEE divide rounded to 9 dp. */
+    * as a combinable 9-dp DECIMAL sum. Numerics: Mᵢ·N − n·i reaches N²,
+    * which OVERFLOWS int64 past N ≈ 3·10⁹ pooled events — so every
+    * factor casts to DECIMAL(19,0) BEFORE the multiplies
+    * ([[adNumerator]]; products are DECIMAL(38,0), exact to N = 10¹⁹ —
+    * the [[cvmQ]] 64-bit lesson, which r13's first cut of this operator
+    * reintroduced by casting only the RESULT); the exact difference
+    * converts once to double and squares in IEEE (correctly rounded,
+    * identical in both engines), each term one shared divide rounded
+    * to 9 dp. */
   def adTwoSampleQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val click = when($"event_type" === "click", 1L).otherwise(0L)
@@ -5671,10 +5710,10 @@ object Stats {
       rnOut = Some("i"), countOut = Some("nn"),
       cums = Seq(Rank.Cum(click, "mi")),
       totals = Seq((click, "n1")))
-    val num = ($"mi" * $"nn" - $"n1" * $"i").cast("decimal(19,0)")
+    val num = adNumerator($"mi", $"nn", $"n1", $"i")
     ranked.filter($"i" < $"nn")
       .select($"nn", $"n1",
-        round((num * num).cast("double") /
+        round((num * num) /
           ($"i".cast("double") * ($"nn" - $"i")), 9)
           .cast("decimal(28,9)").as("term"))
       .groupBy($"nn", $"n1")
@@ -5696,13 +5735,17 @@ object Stats {
       |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
       |      OVER () AS n1
       |  FROM events WHERE event_type IN ('click', 'view')),
+      |t0 AS (
+      |  SELECT nn, n1, i,
+      |    CAST(CAST(mi AS HUGEINT) * nn - CAST(n1 AS HUGEINT) * i
+      |      AS DOUBLE) AS numd
+      |  FROM ranked WHERE i < nn),
       |t AS (
       |  SELECT nn, n1,
-      |    SUM(CAST(ROUND(CAST(CAST(mi * nn - n1 * i AS DECIMAL(19,0))
-      |        * CAST(mi * nn - n1 * i AS DECIMAL(19,0)) AS DOUBLE)
+      |    SUM(CAST(ROUND(numd * numd
       |      / (CAST(i AS DOUBLE) * (nn - i)), 9) AS DECIMAL(28,9)))
       |      AS tsum
-      |  FROM ranked WHERE i < nn GROUP BY 1, 2)
+      |  FROM t0 GROUP BY 1, 2)
       |SELECT CAST(n1 AS BIGINT) AS n1, CAST(nn - n1 AS BIGINT) AS n2,
       |  ROUND(CAST(tsum AS DOUBLE)
       |    / (CAST(n1 AS DOUBLE) * (nn - n1)), 6) AS a2
@@ -5722,9 +5765,13 @@ object Stats {
     *
     * Scale shape: per-(user, week) combinable collapse → ≤ |users|
     * rows; the |d| rank is one [[Rank.orderedPrefix]] pass (no
-    * SinglePartition window); W⁺ an exact-integer conditional sum;
-    * one final 1-row IEEE chain. The week cells are exact-decimal
-    * sums ÷ counts, so d is the identical double in both engines. */
+    * SinglePartition window); W⁺ accumulates as DECIMAL(38,0)
+    * ([[wPlusSum]] — Σ ranks reaches N(N+1)/2, past int64 at
+    * N ≈ 4.3·10⁹ pairs, so a LONG sum is the [[cvmQ]] overflow class;
+    * the output leaves as a correctly-rounded double, exact below
+    * 2⁵³); one final 1-row IEEE chain. The week cells are
+    * exact-decimal sums ÷ counts, so d is the identical double in
+    * both engines. */
   def signedRankQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cell = t(s, dir, "events")
@@ -5746,9 +5793,9 @@ object Stats {
       order = Seq($"ad", $"user_id"),
       rnOut = Some("rk"), countOut = Some("n"))
     ranked.groupBy($"n")
-      .agg(sum(when($"d" > 0, $"rk").otherwise(0L)).as("w_plus"))
+      .agg(wPlusSum($"d", $"rk").as("w_plus"))
       .select($"n".cast("long").as("n"),
-        $"w_plus".cast("long").as("w_plus"),
+        $"w_plus".cast("double").as("w_plus"),
         round(($"w_plus".cast("double") -
           $"n".cast("double") * ($"n" + 1) / 4) /
           sqrt($"n".cast("double") * ($"n" + 1) * (lit(2) * $"n" + 1) / 24),
@@ -5778,7 +5825,7 @@ object Stats {
       |  SELECT n,
       |    SUM(CASE WHEN d > 0 THEN rk ELSE 0 END) AS w_plus
       |  FROM ranked GROUP BY 1)
-      |SELECT CAST(n AS BIGINT) AS n, CAST(w_plus AS BIGINT) AS w_plus,
+      |SELECT CAST(n AS BIGINT) AS n, CAST(w_plus AS DOUBLE) AS w_plus,
       |  ROUND((CAST(w_plus AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 4)
       |    / SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24), 6) AS z
       |FROM a""".stripMargin

@@ -2314,8 +2314,10 @@ object Text {
       sum($"s2").as("s2_tot"))
     val marg = nij.groupBy($"label").agg(sum($"c").as("cj"))
       .crossJoin(broadcast(items.select($"n_items")))
-      .select(round(($"cj".cast("double") / ($"n_items" * r)) *
-        ($"cj".cast("double") / ($"n_items" * r)), 12)
+      // divisor in DOUBLE: n_items·r in int64 wraps past n_items ≈
+      // 3·10¹⁸ (q_stat_ad class); both factors exact below 2⁵³
+      .select(round(($"cj".cast("double") / ($"n_items".cast("double") * r)) *
+        ($"cj".cast("double") / ($"n_items".cast("double") * r)), 12)
         .cast("decimal(38,12)").as("pj2"))
       .agg(sum($"pj2").cast("double").as("pe"))
     items.crossJoin(broadcast(marg))
@@ -2348,8 +2350,8 @@ object Text {
        |  SELECT COUNT(*) AS n_items, SUM(s2) AS s2_tot FROM per_doc),
        |marg AS (
        |  SELECT CAST(SUM(CAST(ROUND(
-       |      (CAST(cj AS DOUBLE) / (n_items * $r))
-       |      * (CAST(cj AS DOUBLE) / (n_items * $r)), 12)
+       |      (CAST(cj AS DOUBLE) / (CAST(n_items AS DOUBLE) * $r))
+       |      * (CAST(cj AS DOUBLE) / (CAST(n_items AS DOUBLE) * $r)), 12)
        |    AS DECIMAL(38,12))) AS DOUBLE) AS pe
        |  FROM (SELECT label, SUM(c) AS cj FROM nij GROUP BY 1)
        |  CROSS JOIN items)

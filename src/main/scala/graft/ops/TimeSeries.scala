@@ -2716,7 +2716,9 @@ object TimeSeries {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("sx", sum($"x").over(wAll))
-      .withColumn("sxx", sum(($"x" * $"x").cast("decimal(38,0)")).over(wAll))
+      // decimal BEFORE the square: x is a per-day aggregate (row
+      // scale), so x·x in int64 wraps past x ≈ 3·10⁹ (q_stat_ad class)
+      .withColumn("sxx", sum($"x".cast("decimal(19,0)") * $"x").over(wAll))
       .withColumn("mu", $"sx".cast("double") / $"n")
       .withColumn("sig", sqrt(($"sxx".cast("double") -
         $"sx".cast("double") * $"sx".cast("double") / $"n") / ($"n" - 1)))

@@ -65,4 +65,42 @@ object Lint {
     walk(df.queryExecution.analyzed)
     out.toList
   }
+
+  /** `CAST(<integral multiply> AS DECIMAL)` anywhere in the plan — the
+    * int64-overflow class that broke q_stat_cvm (r12) and q_stat_ad
+    * (r13, VERDICT item 1): casting the PRODUCT to decimal says the
+    * author knew it needed decimal width, but the multiply itself runs
+    * in int64 and wraps (non-ANSI) or throws (ANSI) once a factor
+    * passes ~3·10⁹ — i.e. at row scale, exactly the design point. The
+    * fix is always the same one-liner: cast the FACTORS to
+    * DECIMAL(19,0) BEFORE multiplying. Sites whose factors are bounded
+    * by a VALUE DOMAIN (quantity cents, account-balance cents — never
+    * row counts) are whitelisted in LintSpec with the bound. */
+  def longProductDecimalOffenses(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Multiply
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val out = scala.collection.mutable.ListBuffer[String]()
+
+    def integralMultiply(e: Expression): Boolean = e match {
+      // a nested cast-to-decimal re-enters via scan below; its inner
+      // long math is its own (separately reported) offense
+      case c: Cast if c.dataType.isInstanceOf[DecimalType] => false
+      case m: Multiply
+          if m.dataType == LongType || m.dataType == IntegerType => true
+      case other => other.children.exists(integralMultiply)
+    }
+
+    def scan(e: Expression, ctx: String): Unit = e match {
+      case c: Cast if c.dataType.isInstanceOf[DecimalType] &&
+          integralMultiply(c.child) =>
+        out += s"$ctx: ${c.sql}"
+        c.child.children.foreach(scan(_, ctx))
+      case other => other.children.foreach(scan(_, ctx))
+    }
+
+    df.queryExecution.analyzed.foreach { p =>
+      p.expressions.foreach(scan(_, p.nodeName))
+    }
+    out.toList
+  }
 }

@@ -1441,7 +1441,9 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Long]("n") == n)
     val wPlus = ds.sortBy { case (u, d) => (math.abs(d), u) }.zipWithIndex
       .collect { case ((_, d), i) if d > 0 => (i + 1).toLong }.sum
-    assert(r.getAs[Long]("w_plus") == wPlus)
+    // w_plus leaves as DOUBLE since r14 (the DECIMAL(38,0) accumulator
+    // — exact below 2⁵³, so the equality is still exact here)
+    assert(r.getAs[Double]("w_plus") == wPlus.toDouble)
     val z = (wPlus.toDouble - n.toDouble * (n + 1) / 4) /
       math.sqrt(n.toDouble * (n + 1) * (2 * n + 1) / 24)
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1592,5 +1594,31 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(row.getAs[Double]("t_stat") - r6(tstat)) < 1e-9,
       s"query ${row.getAs[Double]("t_stat")} vs replay $tstat")
+  }
+
+  test("adNumerator / rankDiffSq / wPlusSum stay exact past the int64 wrap point (VERDICT r13 item 1)") {
+    import spark.implicits._
+    // N = 5·10⁹ pooled events: mi·nn = 2·10¹⁹ wraps int64 (2⁶³ ≈
+    // 9.2·10¹⁸) — the decimal-before-multiply path must return the
+    // exact value a BigDecimal recompute gives.
+    val mi = 4000000000L; val nn = 5000000000L
+    val n1 = 2000000000L; val i = 3000000000L
+    val row = Seq((mi, nn, n1, i)).toDF("mi", "nn", "n1", "i")
+      .select(Stats.adNumerator($"mi", $"nn", $"n1", $"i").as("num"),
+        Stats.rankDiffSq($"nn" - $"i").cast("double").as("sq"))
+      .collect().head
+    val exactNum = (BigDecimal(mi) * BigDecimal(nn)
+      - BigDecimal(n1) * BigDecimal(i)).toDouble
+    assert(row.getAs[Double]("num") == exactNum,
+      s"adNumerator ${row.getAs[Double]("num")} vs exact $exactNum")
+    val exactSq = (BigDecimal(nn - i) * BigDecimal(nn - i)).toDouble
+    assert(row.getAs[Double]("sq") == exactSq)
+    // W⁺ summing ranks near 2⁶²: two rows alone exceed Long.MaxValue
+    val big = 5000000000000000000L // 5·10¹⁸
+    val w = Seq((1.0, big), (2.0, big)).toDF("d", "rk")
+      .agg(Stats.wPlusSum($"d", $"rk").cast("double").as("w"))
+      .collect().head.getAs[Double]("w")
+    assert(w == (BigDecimal(big) * 2).toDouble,
+      s"wPlusSum $w vs ${(BigDecimal(big) * 2).toDouble}")
   }
 }

@@ -28,6 +28,52 @@ class LintSpec extends AnyFunSuite with SparkSpec {
       "per-row round→decimal feeding an aggregate is the dsum contract")
   }
 
+  test("lint catches an int64 product cast to decimal (positive control)") {
+    import spark.implicits._
+    val bad = Seq((3L, 4L), (5L, 6L)).toDF("a", "b")
+      .select(($"a" * $"b").cast("decimal(38,0)").as("p"))
+    assert(Lint.longProductDecimalOffenses(bad).nonEmpty,
+      "lint must flag the cast-the-product-not-the-factors shape")
+  }
+
+  test("lint allows decimal-before-multiply (negative control)") {
+    import spark.implicits._
+    val ok = Seq((3L, 4L)).toDF("a", "b")
+      .select(($"a".cast("decimal(19,0)") * $"b").as("p"))
+    assert(Lint.longProductDecimalOffenses(ok).isEmpty,
+      "casting the factors first is the prescribed fix")
+  }
+
+  /** Sites whose multiply factors are bounded by a VALUE DOMAIN —
+    * never a row count — so the int64 product cannot reach the wrap
+    * point at any corpus size. Every entry names the bound. */
+  private val boundedLongProduct: Map[String, String] = Map(
+    "q_agg_moments" ->
+      "qi = l_quantity×100 ≤ ~5·10³ (value domain, scaladoc'd); qi⁴ ≤ 6.3·10¹⁴",
+    "q_stat_friedman" ->
+      "rk ≤ k treatments WITHIN a block (bounded grid), ×2 stays tiny",
+    "q_stat_page_trend" ->
+      "rk ≤ k treatments WITHIN a block (bounded grid), ×2 stays tiny",
+    "q_stat_icc" ->
+      "vc = event value cents (value domain ≤ ~10⁶); vc² ≤ 10¹²",
+    "q_stat_welch_anova" ->
+      "vc = c_acctbal cents (value domain ≤ ~10⁶); vc² ≤ 10¹²",
+    "q_stat_yuen" ->
+      "wv = winsorized value cents (value domain ≤ ~10⁶); wv² ≤ 10¹²")
+
+  test("no registered query casts an int64 product to DECIMAL (q_stat_cvm/ad overflow class)") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        if (boundedLongProduct.contains(name)) None
+        else {
+          val off = Lint.longProductDecimalOffenses(fn(spark, sfDir))
+          if (off.nonEmpty) Some(s"$name: ${off.mkString("; ")}") else None
+        }
+    }
+    assert(offenders.isEmpty,
+      s"int64 products cast to decimal (cast the FACTORS first):\n${offenders.mkString("\n")}")
+  }
+
   test("every registered query's output path is free of round(double)→DECIMAL") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
