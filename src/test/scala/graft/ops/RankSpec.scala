@@ -135,6 +135,69 @@ class RankSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("orderedPrefix leaves no cached RDDs behind after its action (r13 verdict item 2)") {
+    import spark.implicits._
+    spark.catalog.clearCache() // isolate from other suites' session state
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = Rank.orderedPrefix(
+      events.select($"event_id", $"value"),
+      order = Seq($"value", $"event_id"),
+      rnOut = Some("rn"), countOut = Some("nn"))
+    df.write.format("noop").mode("overwrite").save()
+    // the release listener fires asynchronously on the listener bus —
+    // poll briefly instead of racing it
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (after.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    }
+    assert(after.isEmpty,
+      s"orderedPrefix left ${after.size} persisted RDD(s) without a harness clearCache")
+  }
+
+  test("NaN primary keys rank where the sort direction puts them (ADVICE r13)") {
+    import spark.implicits._
+    val df = spark.range(100)
+      .select($"id", when($"id" % 10 === 0, lit(Double.NaN))
+        .otherwise($"id".cast("double")).as("v"))
+    Seq(false, true).foreach { desc =>
+      val got = Rank.orderedPrefix(df, order = Seq($"v", $"id"),
+          rnOut = Some("rn"), numParts = 8, descending = desc)
+        .select($"id", $"rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = Window.partitionBy(lit(0))
+        .orderBy(if (desc) $"v".desc else $"v".asc,
+          if (desc) $"id".desc else $"id".asc)
+      val ref = df.withColumn("rn", row_number().over(w).cast("long"))
+        .select($"id", $"rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == ref, s"descending=$desc")
+    }
+  }
+
+  test("estRows small-frame hint keeps values exact and skips no rows") {
+    import spark.implicits._
+    val d = events.groupBy($"event_type".as("t"))
+      .agg(count(lit(1)).as("c"))
+    val got = Rank.orderedPrefix(d, order = Seq($"c", $"t"),
+        rnOut = Some("rn"), countOut = Some("nn"),
+        cums = Seq(Rank.Cum($"c", "cum")), estRows = Some(8L))
+      .select($"t", $"rn", $"nn", $"cum")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val wCum = Window.partitionBy(lit(0)).orderBy($"c", $"t")
+    val ref = d
+      .withColumn("rn", row_number().over(wCum).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(0))))
+      .withColumn("cum", sum($"c").over(
+        wCum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"t", $"rn", $"nn", $"cum")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == ref)
+  }
+
   test("orderedPrefix plan has no SinglePartition window itself") {
     import spark.implicits._
     val df = Rank.orderedPrefix(
