@@ -44,6 +44,44 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // fixed-work calibration probes (VERDICT r13 item 6): identical
+    // code measured 380s on the driver's r12 host-day and 520.8s on
+    // the judge's — full-suite totals are dominated by host state, so
+    // every run carries its own normalizer. (1) a single-threaded
+    // pure-CPU LCG loop — no allocation, no JIT surprises after the
+    // first millisecond, ~0.5s on an unloaded core, scales directly
+    // with CPU contention/frequency; (2) one canonical shuffle query
+    // over the round's SF data (warmed once, second run reported) —
+    // captures the scheduler+shuffle+IO side the CPU loop misses.
+    // Cross-round totals divide by these before comparison
+    // (BASELINE.md records the rule).
+    val calibCpu = {
+      def spin(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0L
+        var i = 0
+        while (i < 300000000) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          i += 1
+        }
+        if (x == 42L) System.err.print("") // keep the loop live
+        (System.nanoTime() - t0) / 1e9
+      }
+      spin() // JIT warm
+      spin()
+    }
+    val calibShuffle = {
+      def shuffleOnce(): Double = once("__calib_shuffle", (sp, d) =>
+        sp.read.parquet(s"$d/events.parquet")
+          .groupBy(org.apache.spark.sql.functions.col("user_id"))
+          .count()
+          .orderBy(org.apache.spark.sql.functions.col("user_id")))
+      shuffleOnce() // codegen + JIT warm
+      val t = shuffleOnce()
+      failed -= "__calib_shuffle" // a probe failure must not taint totals
+      spark.catalog.clearCache()
+      t
+    }
     // dev knob: SPARK_GRAFT_ONLY=q_a,q_b benches a subset while iterating
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
@@ -74,12 +112,14 @@ object Bench {
     val subset = if (only.isDefined) s""","subset":true,"selected":${selected.size}""" else ""
     val failedJson = if (failed.nonEmpty)
       failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]") else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","queries":$qs,"sf":"$sfDir"$subset$failedJson}""")
+    val calib =
+      s""","calib_cpu_sec":$calibCpu,"calib_shuffle_sec":$calibShuffle"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm"$calib,"queries":$qs,"sf":"$sfDir"$subset$failedJson}""")
     // the per-query line above is one giant JSON object and tail-capturing
     // harnesses have truncated it (BENCH_r05 lost the total and 18 query
     // times); repeat the headline numbers on a short final line that
     // always survives a tail capture
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"$subset$failedJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm"$calib,"n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"$subset$failedJson}""")
     spark.stop()
   }
 }

@@ -811,7 +811,7 @@ object EventStreams {
     * the same [[bucketDecide]] fold (capacity 3 tokens, refill 2/min of
     * event time), applied per user over the pinned (ts, event_id)
     * order, rolled up to (admitted, denied, final balance). Run on the
-    * deterministic 1-in-50 md5 user panel (the audit-panel idiom) so
+    * deterministic 1-in-10 md5 user panel (the audit-panel idiom) so
     * the DuckDB oracle — which must REPLAY the nonlinear clamp
     * recurrence via a recursive CTE, one step per event — stays
     * tractable while still checking every branch of the integer
@@ -920,7 +920,106 @@ object EventStreams {
       |    / COUNT(*), 6) AS mean_first_value
       |FROM k WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_stream_session entry: BATCH ANCHOR of the NATIVE
+    * `session_window` operator — [[nativeSessionize]] run in batch mode
+    * (the same declarative plan Structured Streaming executes with
+    * watermark-evicted state), oracled against an independent lag-based
+    * gap reconstruction in DuckDB. This is the operator the engine
+    * itself owns (dynamic gap-merged windows), so the oracle must
+    * re-derive BOTH boundary conventions: sessions break only on
+    * gap > 30 min (the merge-on-equal edge the spec pins), and
+    * session_end = last event + gap (native windows carry the gap
+    * tail; the lag form's MAX(ts) + 30 min reproduces it exactly).
+    *
+    * Scale shape: one hash exchange on (user_id) with engine-side
+    * window merging — no per-user sort window, no state beyond the
+    * open session; the 500-row cap keeps the gate artifact bounded
+    * while still crossing thousands of merge decisions. */
+  def sessionNativeBatch(s: SparkSession, dir: String): DataFrame =
+    nativeSessionize(t(s, dir, "events"))
+      .orderBy(col("user_id"), col("session_start"))
+      .limit(500)
+
+  val sessionNativeBatchSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |b AS (
+      |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+      |                 THEN 1 ELSE 0 END AS brk FROM g),
+      |sess AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+      |    ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM b)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start LIMIT 500""".stripMargin
+
+  final case class UserTotalsState(user_id: Long, n_events: Long,
+      total_cents: Long, last_ts: Timestamp)
+
+  /** q_stream_user_totals entry: BATCH ANCHOR of [[runningUserTotals]]
+    * — the `mapGroupsWithState` running-totals fold run in batch mode,
+    * where Spark feeds each key's whole group through the SAME state
+    * transition the streaming state store applies per trigger; the
+    * final state must equal the plain GROUP BY the oracle runs (the
+    * exactly-once convergence contract). Values accumulate as exact
+    * integer cents inside the fold (the [[rateLimitBatch]]
+    * integer-units idiom) so the fold is iteration-order-independent,
+    * and the output stays integer (total_cents) — zero FP anywhere.
+    * last_ts rides along as the state-freshness column a monitoring
+    * consumer reads.
+    *
+    * Scale shape: state is one row per user, sharded by the groupBy
+    * key exactly like a batch shuffle; group iterators stream (no
+    * per-group materialization). */
+  def userTotalsBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+    ev.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[UserTotalsState]) =>
+          var n = 0L
+          var cents = 0L
+          // full-precision Timestamp comparison — getTime is
+          // millisecond-truncated and the parquet events carry micros
+          var last = new Timestamp(0L)
+          it.foreach { e =>
+            n += 1
+            cents += math.round(e.value * 100)
+            if (e.ts.compareTo(last) > 0) last = e.ts
+          }
+          val prev = state.getOption
+            .getOrElse(UserTotalsState(uid, 0L, 0L, new Timestamp(0L)))
+          val upd = UserTotalsState(uid, prev.n_events + n,
+            prev.total_cents + cents,
+            if (prev.last_ts.compareTo(last) > 0) prev.last_ts else last)
+          state.update(upd)
+          upd
+      }
+      .toDF()
+      .orderBy(col("user_id"))
+  }
+
+  val userTotalsBatchSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS total_cents,
+      |  MAX(ts) AS last_ts
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_session" -> sessionNativeBatch,
+    "q_stream_user_totals" -> userTotalsBatch,
     "q_rate_limit" -> rateLimitBatch,
     "q_stream_dedup_first" -> dedupFirstBatch,
     "q_anomaly_windows" -> windowAnomalyBatch,
@@ -932,6 +1031,8 @@ object EventStreams {
     "q_anomaly_running" -> anomalyBatch)
 
   def oracle: Map[String, String] = Map(
+    "q_stream_session" -> sessionNativeBatchSql,
+    "q_stream_user_totals" -> userTotalsBatchSql,
     "q_rate_limit" -> rateLimitBatchSql,
     "q_stream_dedup_first" -> dedupFirstBatchSql,
     "q_stream_window" -> windowBatchSql,

@@ -282,7 +282,7 @@ object Dev {
           "q_similarity_mips" -> "bounded query-vector set (norm-augmented)",
           "q_stat_shrinkage" -> "1-row method-of-moments prior (alpha, beta) frame",
           "q_curate_ccnet" -> "1-row vocabulary-size frame (lm CE model, lm_score shape)",
-          "q_label_noise" -> "bounded probe-panel broadcast (fixed stride sample)",
+          "q_label_noise" -> "bounded probe-panel broadcast (fixed-SIZE md5 panel — the r10 fix replaced the stride sample precisely because stride scales with rows)",
           "q_privacy_tclose" -> "bounded sensitive-band dim (<=11 rows) x 1-row total frame",
           "q_ts_ar2" -> "bounded per-series grid dim + 5-row AR-parameter frame",
           "q_ts_hurst" -> "4-row block-size dim over the time-bounded grid",
