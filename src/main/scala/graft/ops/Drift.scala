@@ -88,8 +88,12 @@ object Drift {
         sum(when($"source" === "src0", 1L).otherwise(0L)).as("c1"),
         sum(when($"source" === "src1", 1L).otherwise(0L)).as("c2"))
     val totals = d.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+    // the frame is length-DOMAIN bounded (one row per distinct doc
+    // char count — ≤ ~10⁵ at any corpus size), so one bucket suffices
+    // and the quantile pass is skipped (Rank estRows contract)
     Rank.orderedPrefix(d, order = Seq($"v"),
-        cums = Seq(Rank.Cum($"c1", "cum1"), Rank.Cum($"c2", "cum2")))
+        cums = Seq(Rank.Cum($"c1", "cum1"), Rank.Cum($"c2", "cum2")),
+        estRows = Some(65536L))
       .crossJoin(broadcast(totals))
       .select(($"cum1".cast("double") / $"n1" -
         $"cum2".cast("double") / $"n2").as("diff"), $"n1", $"n2")
@@ -146,7 +150,8 @@ object Drift {
     // keyed by the unique dense rank — balanced at any scale)
     val ranked = Rank.orderedPrefix(d, order = Seq($"v"),
       rnOut = Some("rn"),
-      cums = Seq(Rank.Cum($"c1", "cum1"), Rank.Cum($"c2", "cum2")))
+      cums = Seq(Rank.Cum($"c1", "cum1"), Rank.Cum($"c2", "cum2")),
+      estRows = Some(65536L)) // length-domain bounded, as in ksQ
     val nextV = ranked.select(($"rn" - 1).as("rn"), $"v".as("v_next"))
     ranked.join(nextV, Seq("rn"), "left")
       .withColumn("gap", ($"v_next" - $"v").cast("double"))

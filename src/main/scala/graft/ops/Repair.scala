@@ -256,7 +256,10 @@ object Repair {
       docs.groupBy($"n_chars").agg(count(lit(1)).as("c")),
       order = Seq($"n_chars"),
       cums = Seq(Rank.Cum($"c", "cum")),
-      totals = Seq(($"c", "n")))
+      totals = Seq(($"c", "n")),
+      // one row per distinct char count: length-domain bounded at any
+      // corpus size — one bucket, no quantile pass (Rank estRows)
+      estRows = Some(65536L))
       .groupBy().agg(selCols.head, selCols.tail: _*)
       .select(expr(stackExpr))
       .select($"decile", $"v".as("pooled_val"))
