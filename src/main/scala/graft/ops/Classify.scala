@@ -211,6 +211,61 @@ object Classify {
       |      / COUNT(*), 6) AS gap
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** q_eval_ece entry: EXPECTED + MAXIMUM CALIBRATION ERROR — the
+    * one-number summaries of [[calibrationQ]]'s reliability table that
+    * a model card reports (Naeini et al. 2015 binned ECE): over the
+    * same 10 fixed-width probability bins, ECE = Σ (n_b/N)·|acc_b −
+    * conf_b| and MCE = max_b |acc_b − conf_b|. The calibration TABLE
+    * says where the classifier lies; ECE/MCE are the regression-gate
+    * numbers a pipeline thresholds on ("block the label model if ECE
+    * drifts past x").
+    *
+    * Scale shape: one combinable (bin) collapse → ≤10 rows → a second
+    * 1-row aggregate; no joins, no windows. Determinism: the weighted
+    * terms |acc−conf|·n_b round to 9 dp and merge as DECIMAL(28,9)
+    * (the dsum contract — a 10-row double sum would still be
+    * partition-order exposed), MCE maxes per-bin values rounded 6
+    * (max is order-free); acc/conf are single divides of exact
+    * integers / 9-dp decimal sums in both engines. */
+  def eceQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gap = abs($"n_pos".cast("double") / $"n" -
+      $"sp".cast("double") / $"n")
+    scored(s, dir)
+      .withColumn("p", ($"score" + 1d) / 2d)
+      .withColumn("bin", least(floor($"p" * 10), lit(9L)).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"),
+        sum(round($"p", 9).cast("decimal(28,9)")).as("sp"))
+      .agg(sum($"n").cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_bins"),
+        sum(round(gap * $"n", 9).cast("decimal(28,9)")).as("wsum"),
+        max(round(gap, 6)).as("mce"))
+      .select($"n", $"n_bins",
+        round($"wsum".cast("double") / $"n", 6).as("ece"), $"mce")
+  }
+
+  val eceSql: String =
+    s"""WITH $scoredSql,
+      |b AS (
+      |  SELECT LEAST(CAST(FLOOR(((score + 1) / 2) * 10) AS BIGINT), 9) AS bin,
+      |    (score + 1) / 2 AS p, y
+      |  FROM scored),
+      |g AS (
+      |  SELECT bin, COUNT(*) AS n, SUM(y) AS n_pos,
+      |    SUM(CAST(ROUND(p, 9) AS DECIMAL(28,9))) AS sp
+      |  FROM b GROUP BY bin),
+      |a AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bins,
+      |    SUM(CAST(ROUND(ABS(CAST(n_pos AS DOUBLE) / n
+      |      - CAST(sp AS DOUBLE) / n) * n, 9) AS DECIMAL(28,9))) AS wsum,
+      |    MAX(ROUND(ABS(CAST(n_pos AS DOUBLE) / n
+      |      - CAST(sp AS DOUBLE) / n), 6)) AS mce
+      |  FROM g)
+      |SELECT n, n_bins, ROUND(CAST(wsum AS DOUBLE) / n, 6) AS ece, mce
+      |FROM a""".stripMargin
+
   /** q_eval_f1 entry: thresholded CONFUSION-MATRIX readout of the
     * classifier — per-class support, predicted count, true positives,
     * precision, recall, and F1 at the natural score > 0 threshold,
@@ -1076,6 +1131,7 @@ object Classify {
     "q_text_classify" -> classifyQ,
     "q_eval_auc" -> aucQ,
     "q_eval_calibration" -> calibrationQ,
+    "q_eval_ece" -> eceQ,
     "q_eval_brier" -> brierQ,
     "q_eval_avgprec" -> avgprecQ,
     "q_eval_f1" -> f1Q,
@@ -1147,6 +1203,7 @@ object Classify {
     "q_text_classify" -> classifySql,
     "q_eval_auc" -> aucSql,
     "q_eval_calibration" -> calibrationSql,
+    "q_eval_ece" -> eceSql,
     "q_eval_brier" -> brierSql,
     "q_eval_avgprec" -> avgprecSql,
     "q_eval_f1" -> f1Sql,

@@ -94,9 +94,13 @@ object Colloc {
     * the r+1 lookup is a self left join on the tiny frequency table
     * (exact match on r+1, NOT lead(), which would silently pick the
     * next PRESENT frequency across gaps). */
-  def freqFreqQ(s: SparkSession, dir: String): DataFrame = {
+  /** Adjacent-bigram occurrence counts (w1, w2, r) — the doubly
+    * collapsible base [[freqFreqQ]] and [[chao1Q]] share: bigram counts
+    * from one map-side-combinable groupBy (the text column never
+    * shuffles; pairs materialize per row and collapse immediately). */
+  private def bigramCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nr = t(s, dir, "documents")
+    t(s, dir, "documents")
       .select(split(lower($"text"), " ").as("toks"))
       .filter(size($"toks") >= 2)
       .select(explode(expr(
@@ -104,6 +108,11 @@ object Colloc {
           " i -> struct(toks[i-1] AS w1, toks[i] AS w2))," +
           " p -> length(p.w1) > 0 AND length(p.w2) > 0)")).as("p"))
       .groupBy($"p.w1", $"p.w2").agg(count(lit(1)).as("r"))
+  }
+
+  def freqFreqQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nr = bigramCounts(s, dir)
       .groupBy($"r").agg(count(lit(1)).as("n_r"))
     nr.as("a")
       .join(broadcast(nr.as("b")), col("a.r") + 1 === col("b.r"), "left")
@@ -129,6 +138,63 @@ object Colloc {
       |    / CAST(a.n_r AS DOUBLE), 6) AS r_star
       |FROM nr a LEFT JOIN nr b ON a.r + 1 = b.r
       |WHERE a.r <= 10 ORDER BY a.r""".stripMargin
+
+  /** q_text_chao1 entry: CHAO1 species-richness estimate of the
+    * adjacent-bigram vocabulary (Chao 1984, bias-corrected form) plus
+    * Good's sample coverage — the "how much vocabulary has this corpus
+    * NOT yet seen" readout that turns [[freqFreqQ]]'s N₁/N unseen MASS
+    * into an unseen TYPE count: Ĉhao1 = V + F₁(F₁−1)/(2(F₂+1)) (finite
+    * even when no doubletons exist), coverage Ĉ = 1 − F₁/N. The pair a
+    * data-collection plan reads together: low coverage + large unseen
+    * estimate ⇒ more acquisition moves the vocabulary; high coverage ⇒
+    * the tail is closed and further scale buys repetition, not novelty.
+    *
+    * Scale shape: rides [[bigramCounts]] (map-side-combinable; text
+    * never shuffles) then ONE combinable conditional aggregate to a
+    * 1-row frame — no joins, no windows. Determinism: V/N/F₁/F₂ exact
+    * integers; the estimator is one shared IEEE chain rounded 6 (F₁²
+    * would overflow int64 at vocabulary scale, so the chain runs in
+    * double from the first multiply — q_stat_ad lint class respected).
+    */
+  def chao1Q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bigramCounts(s, dir)
+      .agg(count(lit(1)).as("v_obs"),
+        sum($"r").as("n_tokens"),
+        sum(when($"r" === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when($"r" === 2, 1L).otherwise(0L)).as("f2"))
+      .select($"v_obs".cast("long").as("v_obs"),
+        $"n_tokens".cast("long").as("n_tokens"),
+        $"f1".cast("long").as("f1"), $"f2".cast("long").as("f2"),
+        round($"v_obs" + $"f1".cast("double") * ($"f1" - 1) /
+          (lit(2.0) * ($"f2" + 1)), 6).as("chao1"),
+        round($"f1".cast("double") * ($"f1" - 1) /
+          (lit(2.0) * ($"f2" + 1)), 6).as("unseen_est"),
+        round(lit(1.0) - $"f1".cast("double") / $"n_tokens", 6)
+          .as("coverage"))
+  }
+
+  val chao1Sql: String =
+    """WITH tok AS (
+      |  SELECT string_split(lower(text), ' ') AS toks FROM documents),
+      |cnt AS (
+      |  SELECT p.w1, p.w2, COUNT(*) AS r FROM (
+      |    SELECT unnest(list_transform(range(1, len(toks)),
+      |      i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+      |    FROM tok) WHERE len(p.w1) > 0 AND len(p.w2) > 0 GROUP BY 1, 2),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS v_obs,
+      |    CAST(SUM(r) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM cnt)
+      |SELECT v_obs, n_tokens, f1, f2,
+      |  ROUND(v_obs + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)), 6)
+      |    AS chao1,
+      |  ROUND(CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)), 6)
+      |    AS unseen_est,
+      |  ROUND(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS coverage
+      |FROM a""".stripMargin
 
   /** q_text_hapax entry: per-source hapax accounting over word bigrams
     * — occurrences, distinct bigrams, hapax count (bigrams seen exactly
@@ -760,6 +826,7 @@ object Colloc {
     "q_text_ctfidf" -> ctfidfQ,
     "q_text_pmi" -> pmiQ,
     "q_text_freqfreq" -> freqFreqQ,
+    "q_text_chao1" -> chao1Q,
     "q_text_hapax" -> hapaxQ)
 
   def oracle: Map[String, String] = Map(
@@ -772,5 +839,6 @@ object Colloc {
     "q_text_ctfidf" -> ctfidfSql,
     "q_text_pmi" -> pmiSql,
     "q_text_freqfreq" -> freqFreqSql,
+    "q_text_chao1" -> chao1Sql,
     "q_text_hapax" -> hapaxSql)
 }

@@ -89,8 +89,8 @@ object Drift {
         sum(when($"source" === "src1", 1L).otherwise(0L)).as("c2"))
     val totals = d.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
     // the frame is length-DOMAIN bounded (one row per distinct doc
-    // char count — ≤ ~10⁵ at any corpus size), so one bucket suffices
-    // and the quantile pass is skipped (Rank estRows contract)
+    // char count — ≤ ~10⁵ at any corpus size), so the minimum two
+    // buckets suffice at any scale (Rank estRows contract)
     Rank.orderedPrefix(d, order = Seq($"v"),
         cums = Seq(Rank.Cum($"c1", "cum1"), Rank.Cum($"c2", "cum2")),
         estRows = Some(65536L))

@@ -34,11 +34,10 @@ import org.apache.spark.sql.functions._
   *     `partitionBy(bucket).orderBy(order)` — a hash exchange on the
   *     ≤numParts-ary bucket key; every bucket is one task, all
   *     buckets run in parallel, frames are ~1/numParts of the data.
-  *  4. One broadcast hash equi-join against the LITERAL offsets
-  *     delivers rank = prefix count + local position, running sum =
-  *     prefix sum + local running sum, and the grand totals (which
-  *     ride the same offsets frame, replacing
-  *     `count().over(partitionBy(lit(0)))`).
+  *  4. One broadcast hash equi-join on the bucket id delivers
+  *     rank = prefix count + local position, running sum = prefix sum
+  *     + local running sum, and the grand totals (which ride the same
+  *     offsets frame, replacing `count().over(partitionBy(lit(0)))`).
   *
   * Cache lifecycle: the keyed frame is persisted for the eager phase
   * AND the window branch (which frequently consumes it twice through
@@ -89,11 +88,9 @@ object Rank {
     * correctness never depends on it). When the frame is one
     * collapse away from small (a pattern grid, a per-key aggregate),
     * the full bucket machinery is constant overhead: buckets are
-    * sized to ~[[RowsPerBucket]] rows each, and a frame that fits ONE
-    * bucket skips the approxQuantile pass entirely (its single hash
-    * bucket is still a hash exchange, not an `Exchange
-    * SinglePartition` — and a caller asserting `estRows` small is
-    * asserting the one task is bounded by construction). */
+    * sized to ~[[RowsPerBucket]] rows each, floored at TWO so the
+    * bucket id never constant-folds into a single-partition window
+    * (the plan shape this primitive exists to kill). */
   def orderedPrefix(
       df: DataFrame,
       order: Seq[Column],
@@ -109,8 +106,13 @@ object Rank {
     val spark = df.sparkSession
     val npCap = if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
+    // floor at 2: a 1-bucket plan would constant-fold the bucket id
+    // and plan the very Exchange SinglePartition + 1-task window this
+    // primitive exists to kill (caught by the Dev plan audit when the
+    // first estRows callers landed) — two buckets keep the window
+    // hash-partitioned on a non-foldable key at negligible cost
     val np = estRows.fold(npCap) { est =>
-      math.max(1L, math.min(npCap.toLong,
+      math.max(2L, math.min(npCap.toLong,
         (est + RowsPerBucket - 1) / RowsPerBucket)).toInt
     }
     val cumTmp = cums.zipWithIndex.map { case (c, i) => (c, s"__rk_cv$i") }
@@ -154,7 +156,6 @@ object Rank {
       // adjacent quantiles.
       val eps = math.max(1.0e-4, 1.0 / (4.0 * np))
       val bounds = (uniform match {
-        case _ if np == 1 => Array.empty[Double]
         case Some((lo, hi)) =>
           val flip = (v: Double) => if (descending) -v else v
           (1 until np).map(i => flip(lo + (hi - lo) * i / np)).toArray

@@ -258,7 +258,7 @@ object Repair {
       cums = Seq(Rank.Cum($"c", "cum")),
       totals = Seq(($"c", "n")),
       // one row per distinct char count: length-domain bounded at any
-      // corpus size — one bucket, no quantile pass (Rank estRows)
+      // corpus size — the minimum two buckets suffice (Rank estRows)
       estRows = Some(65536L))
       .groupBy().agg(selCols.head, selCols.tail: _*)
       .select(expr(stackExpr))

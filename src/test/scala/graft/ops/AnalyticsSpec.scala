@@ -100,6 +100,51 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got.keySet == nr.keySet.filter(_ <= 10))
   }
 
+  test("chao1: V/F1/F2 exact vs a driver bigram recount; estimator identities hold") {
+    import spark.implicits._
+    val r = Colloc.chao1Q(spark, sfDir).collect().head
+    val counts = graft.Tables.t(spark, sfDir, "documents")
+      .select(lower($"text")).as[String].collect()
+      .map(_.split(" ", -1).toSeq)
+      .flatMap(ts => ts.zip(ts.drop(1))
+        .filter(p => p._1.nonEmpty && p._2.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = counts.size.toLong
+    val n = counts.values.sum
+    val f1 = counts.values.count(_ == 1L).toLong
+    val f2 = counts.values.count(_ == 2L).toLong
+    assert(r.getAs[Long]("v_obs") == v)
+    assert(r.getAs[Long]("n_tokens") == n)
+    assert(r.getAs[Long]("f1") == f1)
+    assert(r.getAs[Long]("f2") == f2)
+    val chao1 = v + f1.toDouble * (f1 - 1) / (2.0 * (f2 + 1))
+    assert(math.abs(r.getAs[Double]("chao1") - chao1) < 1e-6)
+    // identities: estimate never below the observed richness;
+    // coverage complements the Good-Turing unseen mass in [0, 1]
+    assert(r.getAs[Double]("chao1") >= v)
+    val cov = r.getAs[Double]("coverage")
+    assert(cov >= 0.0 && cov <= 1.0)
+    assert(math.abs(cov - (1.0 - f1.toDouble / n)) < 1e-6)
+  }
+
+  test("ece: matches a driver recompute from the calibration bins; mce >= ece") {
+    import spark.implicits._
+    val r = Classify.eceQ(spark, sfDir).collect().head
+    val bins = Classify.calibrationQ(spark, sfDir).collect()
+      .map(b => (b.getAs[Long]("n"), b.getAs[Double]("mean_p"),
+        b.getAs[Double]("frac_pos")))
+    val n = bins.map(_._1).sum
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("n_bins") == bins.length.toLong)
+    // replay on the rounded table is within the 6-dp output tolerance
+    val ece = bins.map { case (nb, mp, fp) =>
+      math.abs(fp - mp) * nb }.sum / n
+    assert(math.abs(r.getAs[Double]("ece") - ece) < 1e-4,
+      s"ece ${r.getAs[Double]("ece")} vs replay $ece")
+    val mce = r.getAs[Double]("mce")
+    assert(mce >= r.getAs[Double]("ece") - 1e-9, "MCE bounds ECE above")
+  }
+
   test("triangles: per-node counts match a naive enumeration of the collected edge list") {
     import spark.implicits._
     val got = Graph.trianglesQ(spark, sfDir).collect()
@@ -2030,15 +2075,19 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       val exact = keys.groupBy(identity).values
         .map(g => g.length.toLong * g.length).sum
       assert(r.getAs[Long]("n_rows") == keys.length, s"$keyspace rows")
-      assert(r.getAs[Long]("exact_f2") == exact, s"$keyspace exact F2")
+      // F2 columns leave as correctly-rounded doubles since r14 (F2 <=
+      // N^2 fits no 64-bit integer at the design scale); exact here
+      assert(r.getAs[Double]("exact_f2") == exact.toDouble,
+        s"$keyspace exact F2")
       // driver CMS: d=4 rows of w=1024 cells, est = min over rows of sum c^2
       val est = (0 until 4).map { rr =>
         keys.groupBy(k => md5mod(s"$k:$rr", 1024L)).values
           .map(g => g.length.toLong * g.length).sum
       }.min
-      assert(r.getAs[Long]("est_f2") == est, s"$keyspace estimate")
+      assert(r.getAs[Double]("est_f2") == est.toDouble,
+        s"$keyspace estimate")
       assert(est >= exact, "collisions can only inflate F2")
-      assert(r.getAs[Long]("excess") == est - exact)
+      assert(r.getAs[Double]("excess") == (est - exact).toDouble)
       assert(r.getAs[Int]("bound_ok") == 1, s"$keyspace Markov gate")
     }
     check("events.user_id",
