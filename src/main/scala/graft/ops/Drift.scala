@@ -375,9 +375,114 @@ object Drift {
       |  ROUND(SQRT(GREATEST(0.0, jsd)), 6) AS js_distance
       |FROM a""".stripMargin
 
+  /** q_drift_energy entry: ENERGY DISTANCE two-sample test (Székely &
+    * Rizzo 2004) between the src0/src1 document-length distributions —
+    * D² = 2·E|X−Y| − E|X−X′| − E|Y−Y′| with the test statistic
+    * T = (n₁n₂/(n₁+n₂))·D². Completes the drift ladder's geometry: KS
+    * reads the single worst ECDF gap, 1-Wasserstein the area between
+    * ECDFs, energy distance the full pairwise-separation functional —
+    * zero iff the distributions are identical, sensitive to shape
+    * differences in ANY moment, and the basis of modern e-statistics
+    * drift detectors.
+    *
+    * All three pairwise expectations reduce EXACTLY over the
+    * value-collapsed frame via strict-prefix sums: for values in
+    * ascending order, Σ_{x,y}|x−y| = Σ_v c₁(v)·(v·C₂<(v) − S₂<(v)) +
+    * c₂(v)·(v·C₁<(v) − S₁<(v)) where C<,S< are the other group's
+    * strictly-before count/sum (equal values contribute zero, so ties
+    * need no treatment) — the within-group sums are the same formula
+    * against the group itself, doubled for ordered pairs. ONE
+    * [[Rank.orderedPrefix]] pass delivers all four exclusive running
+    * sums plus both totals (no SinglePartition window; estRows — the
+    * frame is length-domain bounded as in [[ksQ]]).
+    *
+    * Numerics: counts/values exact; v·C and the per-row terms multiply
+    * in DECIMAL (v·C reaches value·rows — the q_stat_ad int64 class),
+    * pair sums accumulate DECIMAL(38,0) (≤ n²·range ≈ 10³⁰ at the
+    * design point), and the three expectations convert once to double
+    * in an expression both engines mirror token-for-token, rounded 6.
+    */
+  def energyQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val d = t(s, dir, "documents")
+      .filter($"source".isin("src0", "src1"))
+      .groupBy($"n_chars".as("v"))
+      .agg(
+        sum(when($"source" === "src0", 1L).otherwise(0L)).as("c1"),
+        sum(when($"source" === "src1", 1L).otherwise(0L)).as("c2"))
+    val ranked = Rank.orderedPrefix(d, order = Seq($"v"),
+      cums = Seq(
+        Rank.Cum($"c1", "pc1", exclusive = true),
+        Rank.Cum($"c2", "pc2", exclusive = true),
+        Rank.Cum(dec($"v") * $"c1", "ps1", exclusive = true),
+        Rank.Cum(dec($"v") * $"c2", "ps2", exclusive = true)),
+      totals = Seq(($"c1", "n1"), ($"c2", "n2")),
+      estRows = Some(65536L))
+    val agg = ranked.groupBy($"n1", $"n2")
+      .agg(
+        sum(dec($"c1") * (dec($"v") * $"pc2" - $"ps2") +
+          dec($"c2") * (dec($"v") * $"pc1" - $"ps1")).as("sx"),
+        sum(dec($"c1") * (dec($"v") * $"pc1" - $"ps1")).as("sw1"),
+        sum(dec($"c2") * (dec($"v") * $"pc2" - $"ps2")).as("sw2"))
+    val eDist = lit(2.0) * $"sx".cast("double") /
+        ($"n1".cast("double") * $"n2") -
+      lit(2.0) * $"sw1".cast("double") /
+        ($"n1".cast("double") * $"n1") -
+      lit(2.0) * $"sw2".cast("double") /
+        ($"n2".cast("double") * $"n2")
+    agg.select($"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"),
+      round($"sx".cast("double") /
+        ($"n1".cast("double") * $"n2"), 6).as("mean_cross"),
+      round(eDist, 6).as("e_dist"),
+      round($"n1".cast("double") * $"n2" / ($"n1" + $"n2") * eDist, 6)
+        .as("e_stat"))
+  }
+
+  val energySql: String =
+    """WITH d AS (
+      |  SELECT n_chars AS v,
+      |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c2
+      |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+      |e AS (
+      |  SELECT v, c1, c2,
+      |    COALESCE(SUM(c1) OVER w, 0) AS pc1,
+      |    COALESCE(SUM(c2) OVER w, 0) AS pc2,
+      |    COALESCE(SUM(CAST(v AS HUGEINT) * c1) OVER w, 0) AS ps1,
+      |    COALESCE(SUM(CAST(v AS HUGEINT) * c2) OVER w, 0) AS ps2
+      |  FROM d
+      |  WINDOW w AS (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |a AS (
+      |  SELECT
+      |    SUM(CAST(c1 AS HUGEINT) * (CAST(v AS HUGEINT) * pc2 - ps2)
+      |      + CAST(c2 AS HUGEINT) * (CAST(v AS HUGEINT) * pc1 - ps1))
+      |      AS sx,
+      |    SUM(CAST(c1 AS HUGEINT) * (CAST(v AS HUGEINT) * pc1 - ps1))
+      |      AS sw1,
+      |    SUM(CAST(c2 AS HUGEINT) * (CAST(v AS HUGEINT) * pc2 - ps2))
+      |      AS sw2
+      |  FROM e),
+      |n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM d)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  ROUND(CAST(sx AS DOUBLE)
+      |    / (CAST(n1 AS DOUBLE) * n2), 6) AS mean_cross,
+      |  ROUND(2.0 * CAST(sx AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+      |    - 2.0 * CAST(sw1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1)
+      |    - 2.0 * CAST(sw2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * n2), 6)
+      |    AS e_dist,
+      |  ROUND(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)
+      |    * (2.0 * CAST(sx AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+      |      - 2.0 * CAST(sw1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1)
+      |      - 2.0 * CAST(sw2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * n2)), 6)
+      |    AS e_stat
+      |FROM a, n""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_drift_psi" -> psi,
     "q_drift_ks" -> ksQ,
+    "q_drift_energy" -> energyQ,
     "q_drift_wasserstein" -> wassersteinQ,
     "q_drift_hellinger" -> hellingerQ,
     "q_drift_vocab_jsd" -> vocabJsdQ,
@@ -386,6 +491,7 @@ object Drift {
   def oracle: Map[String, String] = Map(
     "q_drift_psi" -> psiSql,
     "q_drift_ks" -> ksSql,
+    "q_drift_energy" -> energySql,
     "q_drift_wasserstein" -> wassersteinSql,
     "q_drift_hellinger" -> hellingerSql,
     "q_drift_vocab_jsd" -> vocabJsdSql,

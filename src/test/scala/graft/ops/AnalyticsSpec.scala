@@ -100,6 +100,33 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got.keySet == nr.keySet.filter(_ <= 10))
   }
 
+  test("energy distance: matches a brute-force pairwise driver replay; D2 >= 0") {
+    import spark.implicits._
+    val r = Drift.energyQ(spark, sfDir).collect().head
+    val vals = graft.Tables.t(spark, sfDir, "documents")
+      .filter($"source".isin("src0", "src1"))
+      .select($"source", $"n_chars").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val x = vals.collect { case ("src0", v) => v }
+    val y = vals.collect { case ("src1", v) => v }
+    assert(r.getAs[Long]("n1") == x.length && r.getAs[Long]("n2") == y.length)
+    def meanAbs(a: Array[Long], b: Array[Long]): Double = {
+      var s = 0L // <= pairs x max-gap ~ 1e9 at the gate scale
+      a.foreach(u => b.foreach(w => s += (u - w).abs))
+      s.toDouble / a.length / b.length
+    }
+    val eXY = meanAbs(x, y)
+    val d2 = 2 * eXY - meanAbs(x, x) - meanAbs(y, y)
+    assert(math.abs(r.getAs[Double]("mean_cross") - eXY) < 1e-4,
+      s"mean_cross ${r.getAs[Double]("mean_cross")} vs replay $eXY")
+    assert(math.abs(r.getAs[Double]("e_dist") - d2) < 1e-4,
+      s"e_dist ${r.getAs[Double]("e_dist")} vs replay $d2")
+    assert(r.getAs[Double]("e_dist") >= 0.0,
+      "energy distance is nonnegative (zero iff identical distributions)")
+    val t = x.length.toDouble * y.length / (x.length + y.length) * d2
+    assert(math.abs(r.getAs[Double]("e_stat") - t) < 1e-3)
+  }
+
   test("chao1: V/F1/F2 exact vs a driver bigram recount; estimator identities hold") {
     import spark.implicits._
     val r = Colloc.chao1Q(spark, sfDir).collect().head
