@@ -5751,6 +5751,170 @@ object Stats {
       |    / (CAST(n1 AS DOUBLE) * (nn - n1)), 6) AS a2
       |FROM t""".stripMargin
 
+  /** q_stat_ad_ksample entry: K-SAMPLE ANDERSON–DARLING test (Scholz &
+    * Stephens 1987, version A) over all five event types — the
+    * homogeneity test "do these k slices come from ONE distribution?"
+    * that pairwise [[adTwoSampleQ]] runs k(k−1)/2 times can only
+    * approximate: A²ₖ = Σᵢ (1/nᵢ)·Σⱼ₌₁^{N−1} (N·Mᵢⱼ − j·nᵢ)²/(j(N−j)),
+    * standardized to T = (A²ₖ − (k−1))/σ_N with the exact finite-N
+    * variance from the published h/g/H harmonic sums. Ranks are
+    * positions in the pinned (value, event_id) total order (the
+    * [[cvmQ]] convention; continuous ties measure-zero).
+    *
+    * Scale shape: pass 1 = ONE [[Rank.orderedPrefix]] over the pooled
+    * events delivering rank j, frame count N, all k running sample
+    * counts Mᵢⱼ and all k sample totals together; pass 2 = the
+    * harmonic ladder S(m) = Σ_{t≤m} round(1/t, 12) as exact
+    * DECIMAL(28,12) running sums over a synthetic `range(1, N+1)`
+    * (uniform bounds — no quantile job; N from one driver `count()`,
+    * the same metadata-pass class as the bounds job), which turns the
+    * published double sum g = ΣᵢΣⱼ 1/((N−i)j) into per-row terms
+    * (S(N−1) − S(i))/(N−i) — no O(N²) work anywhere. Numerics: every
+    * N·M − n·j goes through [[adNumerator]] (decimal BEFORE multiply —
+    * the int64 class); per-row terms round to 9/12 dp and merge as
+    * DECIMAL (order-free); the variance polynomial evaluates once per
+    * query on identical doubles with token-identical expression text
+    * in both engines. */
+  def adKSampleQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val k = types.length
+    val base = t(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val n = base.count()
+    val ranked = Rank.orderedPrefix(base,
+      order = Seq($"value", $"event_id"),
+      rnOut = Some("j"), countOut = Some("nn"),
+      cums = types.zipWithIndex.map { case (tp, i) =>
+        Rank.Cum(when($"event_type" === tp, 1L).otherwise(0L), s"m$i") },
+      totals = types.zipWithIndex.map { case (tp, i) =>
+        (when($"event_type" === tp, 1L).otherwise(0L): Column, s"c$i") })
+    val tsCols = (0 until k).map { i =>
+      val numd = adNumerator(col(s"m$i"), $"nn", col(s"c$i"), $"j")
+      sum(when($"j" < $"nn",
+        round((numd * numd) /
+          ($"j".cast("double") * ($"nn" - $"j")), 9).cast("decimal(28,9)"))
+        .otherwise(lit(BigDecimal(0)).cast("decimal(28,9)"))).as(s"ts$i")
+    }
+    val aggA = ranked.groupBy(((0 until k).map(i => col(s"c$i")) :+ $"nn"): _*)
+      .agg(tsCols.head, tsCols.tail: _*)
+    val harm = round(lit(1.0) / $"id", 12).cast("decimal(28,12)")
+    val ladder = Rank.orderedPrefix(
+      s.range(1L, n + 1L).toDF("id"),
+      order = Seq($"id"),
+      cums = Seq(Rank.Cum(harm, "hs")),
+      totals = Seq((harm: Column, "ht")),
+      uniform = Some((1.0, (n + 1).toDouble)))
+    val hDec = $"ht" - round(lit(1.0) / n, 12).cast("decimal(28,12)")
+    val aggB = ladder
+      .agg(sum(when($"id" <= n - 2,
+          round((hDec - $"hs").cast("double") / (lit(n) - $"id"), 12)
+            .cast("decimal(28,12)"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(28,12)"))).as("gsum"),
+        max(hDec).as("hdec"))
+    val a2 = (0 until k).map(i =>
+      col(s"ts$i").cast("double") / col(s"c$i").cast("double"))
+      .reduce(_ + _)
+    val bigH = (0 until k).map(i =>
+      lit(1.0) / col(s"c$i").cast("double")).reduce(_ + _)
+    val g = $"gsum".cast("double")
+    val h = $"hdec".cast("double")
+    val kk = lit(k.toDouble)
+    val nD = $"nn".cast("double")
+    val va = (lit(4.0) * g - 6) * (kk - 1) + (lit(10.0) - lit(6.0) * g) * bigH
+    val vb = (lit(2.0) * g - 4) * kk * kk + lit(8.0) * h * kk +
+      (lit(2.0) * g - lit(14.0) * h - 4) * bigH - lit(8.0) * h +
+      lit(4.0) * g - 6
+    val vc = (lit(6.0) * h + lit(2.0) * g - 2) * kk * kk +
+      (lit(4.0) * h - lit(4.0) * g + 6) * kk +
+      (lit(2.0) * h - 6) * bigH + lit(4.0) * h
+    val vd = (lit(2.0) * h + 6) * kk * kk - lit(4.0) * h * kk
+    val sigma2 = (va * nD * nD * nD + vb * nD * nD + vc * nD + vd) /
+      ((nD - 1) * (nD - 2) * (nD - 3))
+    aggA.crossJoin(broadcast(aggB))
+      .select(lit(k.toLong).as("k"), $"nn".cast("long").as("n"),
+        round(a2, 6).as("a2"),
+        round(sqrt(sigma2), 6).as("sigma"),
+        round((a2 - (kk - 1)) / sqrt(sigma2), 6).as("t_stat"))
+  }
+
+  val adKSampleSql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val mCols = types.zipWithIndex.map { case (tp, i) =>
+      s"""    SUM(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END)
+         |      OVER (ORDER BY value, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m$i,
+         |    SUM(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END)
+         |      OVER () AS c$i""".stripMargin }.mkString(",\n")
+    val tsCols = types.indices.map { i =>
+      s"""    SUM(CASE WHEN j < nn THEN CAST(ROUND(
+         |      CAST(CAST(m$i AS HUGEINT) * nn - CAST(c$i AS HUGEINT) * j
+         |        AS DOUBLE)
+         |      * CAST(CAST(m$i AS HUGEINT) * nn - CAST(c$i AS HUGEINT) * j
+         |        AS DOUBLE)
+         |      / (CAST(j AS DOUBLE) * (nn - j)), 9) AS DECIMAL(28,9))
+         |      ELSE CAST(0 AS DECIMAL(28,9)) END) AS ts$i""".stripMargin }
+      .mkString(",\n")
+    val a2 = types.indices.map(i =>
+      s"CAST(ts$i AS DOUBLE) / CAST(c$i AS DOUBLE)").mkString(" + ")
+    val bigH = types.indices.map(i =>
+      s"1.0 / CAST(c$i AS DOUBLE)").mkString(" + ")
+    val cList = types.indices.map(i => s"c$i").mkString(", ")
+    s"""WITH ranked AS (
+      |  SELECT event_type,
+      |    ROW_NUMBER() OVER (ORDER BY value, event_id) AS j,
+      |    COUNT(*) OVER () AS nn,
+      |$mCols
+      |  FROM events),
+      |aggA AS (
+      |  SELECT nn, $cList,
+      |$tsCols
+      |  FROM ranked GROUP BY ALL),
+      |lad AS (
+      |  SELECT j AS id, nn,
+      |    SUM(CAST(ROUND(1.0 / j, 12) AS DECIMAL(28,12)))
+      |      OVER (ORDER BY j
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hs
+      |  FROM ranked),
+      |ht AS (SELECT SUM(CAST(ROUND(1.0 / j, 12) AS DECIMAL(28,12)))
+      |    AS htot, MAX(nn) AS nn FROM ranked),
+      |aggB AS (
+      |  SELECT
+      |    SUM(CASE WHEN id <= lad.nn - 2 THEN CAST(ROUND(
+      |        CAST(htot - CAST(ROUND(1.0 / lad.nn, 12) AS DECIMAL(28,12))
+      |          - hs AS DOUBLE) / (lad.nn - id), 12) AS DECIMAL(28,12))
+      |      ELSE CAST(0 AS DECIMAL(28,12)) END) AS gsum,
+      |    MAX(htot - CAST(ROUND(1.0 / lad.nn, 12) AS DECIMAL(28,12)))
+      |      AS hdec
+      |  FROM lad, ht),
+      |f AS (
+      |  SELECT nn, $cList,
+      |    $a2 AS a2,
+      |    $bigH AS bigh,
+      |    CAST(gsum AS DOUBLE) AS g,
+      |    CAST(hdec AS DOUBLE) AS h,
+      |    5.0 AS kk,
+      |    CAST(nn AS DOUBLE) AS nd
+      |  FROM aggA, aggB),
+      |v AS (
+      |  SELECT nn, a2, kk,
+      |    (((4.0 * g - 6) * (kk - 1) + (10.0 - 6.0 * g) * bigh) * nd * nd
+      |        * nd
+      |      + ((2.0 * g - 4) * kk * kk + 8.0 * h * kk
+      |        + (2.0 * g - 14.0 * h - 4) * bigh - 8.0 * h + 4.0 * g - 6)
+      |        * nd * nd
+      |      + ((6.0 * h + 2.0 * g - 2) * kk * kk
+      |        + (4.0 * h - 4.0 * g + 6) * kk + (2.0 * h - 6) * bigh
+      |        + 4.0 * h) * nd
+      |      + ((2.0 * h + 6) * kk * kk - 4.0 * h * kk))
+      |    / ((nd - 1) * (nd - 2) * (nd - 3)) AS sigma2
+      |  FROM f)
+      |SELECT CAST(5 AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+      |  ROUND(a2, 6) AS a2, ROUND(SQRT(sigma2), 6) AS sigma,
+      |  ROUND((a2 - (kk - 1)) / SQRT(sigma2), 6) AS t_stat
+      |FROM v""".stripMargin
+  }
+
   /** q_stat_signed_rank entry: WILCOXON SIGNED-RANK test (Wilcoxon
     * 1945) — the PAIRED nonparametric location test the suite's ladder
     * was missing between [[permutationQ]] (sign-flip, signs only) and
@@ -5897,6 +6061,7 @@ object Stats {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stat_ad" -> adTwoSampleQ,
+    "q_stat_ad_ksample" -> adKSampleQ,
     "q_stat_signed_rank" -> signedRankQ,
     "q_stat_cohens_h" -> cohensHQ,
     "q_stat_kuiper" -> kuiperQ,
@@ -5968,6 +6133,7 @@ object Stats {
 
   def oracle: Map[String, String] = Map(
     "q_stat_ad" -> adTwoSampleSql,
+    "q_stat_ad_ksample" -> adKSampleSql,
     "q_stat_signed_rank" -> signedRankSql,
     "q_stat_cohens_h" -> cohensHSql,
     "q_stat_kuiper" -> kuiperSql,

@@ -289,7 +289,8 @@ object Dev {
           "q_stat_meta" -> "1-row pooled-effect + 1-row Q frames over the 5-stratum table",
           "q_ts_granger" -> "bounded per-series grid dim (rows = series count, not events)",
           "q_ts_croston" -> "bounded per-series grid dim (rows = series count, not events)",
-          "q_ivf_sensitivity" -> "bounded query-vector set x 5-row probe grid")
+          "q_ivf_sensitivity" -> "bounded query-vector set x 5-row probe grid",
+          "q_stat_ad_ksample" -> "1-row A2-sums frame x 1-row harmonic-sums frame (Scholz-Stephens variance normalization)")
         // single-partition windows: Window.partitionBy() / partitionBy(lit)
         // plans Exchange SinglePartition + a ONE-TASK sort of its whole
         // child — the 100 TB single-reducer class Rank.orderedPrefix

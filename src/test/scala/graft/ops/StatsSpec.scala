@@ -1621,4 +1621,58 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(w == (BigDecimal(big) * 2).toDouble,
       s"wPlusSum $w vs ${(BigDecimal(big) * 2).toDouble}")
   }
+
+  test("k-sample AD: A2, sigma, T match a driver Scholz-Stephens replay") {
+    import spark.implicits._
+    val r = Stats.adKSampleQ(spark, sfDir).collect().head
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val rows = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_id", $"event_type", $"value").collect()
+      .map(x => (x.getAs[Long]("event_id"), x.getAs[String]("event_type"),
+        x.getAs[Double]("value")))
+      .sortBy(x => (x._3, x._1))
+    val nN = rows.length
+    assert(r.getAs[Long]("k") == types.length && r.getAs[Long]("n") == nN)
+    val counts = types.map(tp => rows.count(_._2 == tp).toLong)
+    // A2 (unrounded replay; per-term 9-dp rounding in the query shifts
+    // the sum by < 1e-5 at this N)
+    var a2 = 0.0
+    types.zipWithIndex.foreach { case (tp, i) =>
+      var m = 0L
+      var ts = 0.0
+      rows.zipWithIndex.foreach { case ((_, t2, _), j0) =>
+        val j = j0 + 1L
+        if (t2 == tp) m += 1
+        if (j < nN) {
+          val num = (BigDecimal(m) * nN - BigDecimal(counts(i)) * j).toDouble
+          ts += num * num / (j.toDouble * (nN - j))
+        }
+      }
+      a2 += ts / counts(i)
+    }
+    assert(math.abs(r.getAs[Double]("a2") - a2) < 1e-3,
+      s"a2 ${r.getAs[Double]("a2")} vs replay $a2")
+    // variance via the published h/g/H sums (unrounded harmonics)
+    val k = types.length
+    val bigH = counts.map(1.0 / _).sum
+    val hh = (1 until nN).map(1.0 / _).sum
+    val sCum = Array.ofDim[Double](nN + 1)
+    (1 to nN).foreach(t => sCum(t) = sCum(t - 1) + 1.0 / t)
+    val g = (1 to nN - 2).map(i => (sCum(nN - 1) - sCum(i)) / (nN - i)).sum
+    val kk = k.toDouble
+    val nd = nN.toDouble
+    val va = (4 * g - 6) * (kk - 1) + (10 - 6 * g) * bigH
+    val vb = (2 * g - 4) * kk * kk + 8 * hh * kk +
+      (2 * g - 14 * hh - 4) * bigH - 8 * hh + 4 * g - 6
+    val vc = (6 * hh + 2 * g - 2) * kk * kk + (4 * hh - 4 * g + 6) * kk +
+      (2 * hh - 6) * bigH + 4 * hh
+    val vd = (2 * hh + 6) * kk * kk - 4 * hh * kk
+    val sigma = math.sqrt((va * nd * nd * nd + vb * nd * nd + vc * nd + vd) /
+      ((nd - 1) * (nd - 2) * (nd - 3)))
+    assert(math.abs(r.getAs[Double]("sigma") - sigma) < 1e-3,
+      s"sigma ${r.getAs[Double]("sigma")} vs replay $sigma")
+    val t = (a2 - (kk - 1)) / sigma
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-2,
+      s"t ${r.getAs[Double]("t_stat")} vs replay $t")
+  }
 }
