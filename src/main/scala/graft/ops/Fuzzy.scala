@@ -249,8 +249,9 @@ object Fuzzy {
   def entityResolutionQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val recs = erRecords(s, dir)
-    val pairs = erCandidates(s, dir)
+    val est = erEstRows(s, dir)
+    val recs = erRecords(s, dir, est)
+    val pairs = erCandidates(s, dir, est)
       .filter(expr("jaro_winkler(na, nb)") >= 0.88)
       .select($"ra".as("doc_a"), $"rb".as("doc_b"))
     val labels = Graph.connectedComponentsStar(pairs)
@@ -270,14 +271,28 @@ object Fuzzy {
     * a div 2 = b div 2. Shared by [[entityResolutionQ]] (which resolves
     * blind) and [[fellegiSunterQ]] (which uses the truth labels to fit
     * match weights). */
-  private def erRecords(s: SparkSession, dir: String): DataFrame = {
+  /** Caller-derived Rank scale bound for the ER fixture (VERDICT r14
+    * item 1): records are 2× the distinct part-name universe,
+    * ≤ 2·|part| — read once per query from parquet row-group metadata
+    * (a metadata-class count job, same class as the Rank bounds job;
+    * no data columns decoded). Buckets then size to the FIXTURE, not
+    * to `numShufflePartitions`: at test SF the two rank passes run
+    * the 2-bucket floor instead of full 32-bucket machinery, while at
+    * 10⁹ records the same call sizes buckets to ~[[Rank.RowsPerBucket]]
+    * rows — the estimate is a parallelism hint, never a correctness
+    * input. */
+  private def erEstRows(s: SparkSession, dir: String): Long =
+    2L * t(s, dir, "part").count()
+
+  private def erRecords(s: SparkSession, dir: String,
+      est: Long): DataFrame = {
     import s.implicits._
     // distinct-name universe is |parts|-scaled: the stable record
     // numbering comes from the distributed Rank pass, not a
     // single-partition window
     val rk = Rank.withRowNumber(
       t(s, dir, "part").select($"p_name".as("nm")).distinct(),
-      order = Seq($"nm"), out = "rk")
+      order = Seq($"nm"), out = "rk", estRows = Some(est))
     val typo = expr("substr(nm, 1, length(nm) - 1)")
     rk.select(($"rk" * 2).cast("long").as("rid"), $"nm".as("name"))
       .unionByName(rk.select(($"rk" * 2 + 1).cast("long").as("rid"),
@@ -287,7 +302,8 @@ object Fuzzy {
   /** Sorted-neighborhood candidate pairs (window 8 over the normalized
     * sort key) over [[erRecords]]: (ra, na, rb, nb). O(n·w) rows, the
     * blocking output every downstream linkage stage consumes. */
-  private def erCandidates(s: SparkSession, dir: String): DataFrame = {
+  private def erCandidates(s: SparkSession, dir: String,
+      est: Long): DataFrame = {
     import s.implicits._
     // sorted-neighborhood without a global lead window: dense ranks in
     // the (srt, rid) order from the distributed Rank pass, then each
@@ -295,9 +311,10 @@ object Fuzzy {
     // equi-joins the records holding those ranks — O(n·w) rows either
     // way, but every stage is hash-distributed
     val ranked = Rank.orderedPrefix(
-      erRecords(s, dir)
+      erRecords(s, dir, est)
         .withColumn("srt", regexp_replace($"name", " ", "")),
-      order = Seq($"srt", $"rid"), rnOut = Some("rn"))
+      order = Seq($"srt", $"rid"), rnOut = Some("rn"),
+      estRows = Some(est))
     val probes = ranked
       .select($"rid".as("ra"), $"name".as("na"),
         explode(sequence($"rn" + 1, $"rn" + 8)).as("rn"))
@@ -336,7 +353,7 @@ object Fuzzy {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val feat = erCandidates(s, dir).select(
+    val feat = erCandidates(s, dir, erEstRows(s, dir)).select(
       when($"na" === $"nb", "exact")
         .when(expr("jaro_winkler(na, nb)") >= 0.88, "close")
         .otherwise("diff").as("name_lvl"),
@@ -458,7 +475,7 @@ object Fuzzy {
   def emQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val grid = erCandidates(s, dir).select(
+    val grid = erCandidates(s, dir, erEstRows(s, dir)).select(
         when($"na" === $"nb", "exact")
           .when(expr("jaro_winkler(na, nb)") >= 0.88, "close")
           .otherwise("diff").as("name_lvl"),
@@ -677,8 +694,9 @@ object Fuzzy {
     * ratios are single IEEE divisions rounded at display. */
   def blockingQualityQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tot = erRecords(s, dir).agg(count(lit(1)).as("n"))
-    val agg = erCandidates(s, dir)
+    val est = erEstRows(s, dir)
+    val tot = erRecords(s, dir, est).agg(count(lit(1)).as("n"))
+    val agg = erCandidates(s, dir, est)
       .select(least($"ra", $"rb").as("a"), greatest($"ra", $"rb").as("b"))
       .distinct()
       .agg(count(lit(1)).as("n_cand"),

@@ -268,10 +268,12 @@ object Rank {
   val RowsPerBucket: Long = 262144L
 
   /** Global 1-based row number only — one bucket-keyed exchange, no
-    * SinglePartition anywhere in the plan. */
+    * SinglePartition anywhere in the plan. `estRows` as in
+    * [[orderedPrefix]]. */
   def withRowNumber(df: DataFrame, order: Seq[Column], out: String,
-      numParts: Int = 0): DataFrame =
-    orderedPrefix(df, order, rnOut = Some(out), numParts = numParts)
+      numParts: Int = 0, estRows: Option[Long] = None): DataFrame =
+    orderedPrefix(df, order, rnOut = Some(out), numParts = numParts,
+      estRows = estRows)
 
   /** Global top-k with dense 1-based ranks in `rankOut` — plans as a
     * distributed TakeOrderedAndProject (per-partition heads, merged)
