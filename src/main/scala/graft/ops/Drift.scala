@@ -89,11 +89,10 @@ object Drift {
         sum(when($"source" === "src1", 1L).otherwise(0L)).as("c2"))
     val totals = d.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
     // the frame is length-DOMAIN bounded (one row per distinct doc
-    // char count — ≤ ~10⁵ at any corpus size), so the minimum two
-    // buckets suffice at any scale (Rank estRows contract)
+    // char count — ≤ ~10⁵ at any corpus size); the Rank bounds job
+    // measures that exactly and sizes its own buckets (r15)
     Rank.orderedPrefix(d, order = Seq($"v"),
-        cums = Seq(Rank.Cum($"c1", "cum1"), Rank.Cum($"c2", "cum2")),
-        estRows = Some(65536L))
+        cums = Seq(Rank.Cum($"c1", "cum1"), Rank.Cum($"c2", "cum2")))
       .crossJoin(broadcast(totals))
       .select(($"cum1".cast("double") / $"n1" -
         $"cum2".cast("double") / $"n2").as("diff"), $"n1", $"n2")
@@ -145,15 +144,13 @@ object Drift {
         sum(when($"source" === "src0", 1L).otherwise(0L)).as("c1"),
         sum(when($"source" === "src1", 1L).otherwise(0L)).as("c2"))
     val totals = d.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
-    // lead(v) without a global window: dense global ranks from the
-    // distributed Rank pass, then an equi self-join on rn+1 (shuffle
-    // keyed by the unique dense rank — balanced at any scale)
-    val ranked = Rank.orderedPrefix(d, order = Seq($"v"),
-      rnOut = Some("rn"),
+    // lead(v) without a global window: the Rank pass's global k-lead
+    // (r15) — in-bucket window lead + broadcast bucket-head patch —
+    // replaces the r13–r14 rn+1 equi self-join, which shuffled every
+    // support point a second time keyed by the dense rank
+    Rank.orderedPrefix(d, order = Seq($"v"),
       cums = Seq(Rank.Cum($"c1", "cum1"), Rank.Cum($"c2", "cum2")),
-      estRows = Some(65536L)) // length-domain bounded, as in ksQ
-    val nextV = ranked.select(($"rn" - 1).as("rn"), $"v".as("v_next"))
-    ranked.join(nextV, Seq("rn"), "left")
+      leads = Seq(Rank.Lead($"v", "v_next")))
       .withColumn("gap", ($"v_next" - $"v").cast("double"))
       .crossJoin(broadcast(totals))
       .select($"n1", $"n2",
@@ -393,8 +390,9 @@ object Drift {
     * need no treatment) — the within-group sums are the same formula
     * against the group itself, doubled for ordered pairs. ONE
     * [[Rank.orderedPrefix]] pass delivers all four exclusive running
-    * sums plus both totals (no SinglePartition window; estRows — the
-    * frame is length-domain bounded as in [[ksQ]]).
+    * sums plus both totals (no SinglePartition window; the frame is
+    * length-domain bounded as in [[ksQ]], and the Rank bounds job
+    * sizes its buckets to that measured count).
     *
     * Numerics: counts/values exact; v·C and the per-row terms multiply
     * in DECIMAL (v·C reaches value·rows — the q_stat_ad int64 class),
@@ -417,8 +415,7 @@ object Drift {
         Rank.Cum($"c2", "pc2", exclusive = true),
         Rank.Cum(dec($"v") * $"c1", "ps1", exclusive = true),
         Rank.Cum(dec($"v") * $"c2", "ps2", exclusive = true)),
-      totals = Seq(($"c1", "n1"), ($"c2", "n2")),
-      estRows = Some(65536L))
+      totals = Seq(($"c1", "n1"), ($"c2", "n2")))
     val agg = ranked.groupBy($"n1", $"n2")
       .agg(
         sum(dec($"c1") * (dec($"v") * $"pc2" - $"ps2") +

@@ -249,9 +249,8 @@ object Fuzzy {
   def entityResolutionQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val est = erEstRows(s, dir)
-    val recs = erRecords(s, dir, est)
-    val pairs = erCandidates(s, dir, est)
+    val recs = erRecords(s, dir)
+    val pairs = erCandidates(s, dir)
       .filter(expr("jaro_winkler(na, nb)") >= 0.88)
       .select($"ra".as("doc_a"), $"rb".as("doc_b"))
     val labels = Graph.connectedComponentsStar(pairs)
@@ -271,50 +270,46 @@ object Fuzzy {
     * a div 2 = b div 2. Shared by [[entityResolutionQ]] (which resolves
     * blind) and [[fellegiSunterQ]] (which uses the truth labels to fit
     * match weights). */
-  /** Caller-derived Rank scale bound for the ER fixture (VERDICT r14
-    * item 1): records are 2× the distinct part-name universe,
-    * ≤ 2·|part| — read once per query from parquet row-group metadata
-    * (a metadata-class count job, same class as the Rank bounds job;
-    * no data columns decoded). Buckets then size to the FIXTURE, not
-    * to `numShufflePartitions`: at test SF the two rank passes run
-    * the 2-bucket floor instead of full 32-bucket machinery, while at
-    * 10⁹ records the same call sizes buckets to ~[[Rank.RowsPerBucket]]
-    * rows — the estimate is a parallelism hint, never a correctness
-    * input. */
-  private def erEstRows(s: SparkSession, dir: String): Long =
-    2L * t(s, dir, "part").count()
-
-  private def erRecords(s: SparkSession, dir: String,
-      est: Long): DataFrame = {
+  private def erRecords(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // distinct-name universe is |parts|-scaled: the stable record
-    // numbering comes from the distributed Rank pass, not a
-    // single-partition window
-    val rk = Rank.withRowNumber(
-      t(s, dir, "part").select($"p_name".as("nm")).distinct(),
-      order = Seq($"nm"), out = "rk", estRows = Some(est))
+    // stable record ids WITHOUT a rank pass (r15): the fixture needs
+    // unique ids whose div-2 pairs each clean record with its typo
+    // twin — the shared 60-bit md5 contract ([[Hashing.md5Long60]],
+    // identical in both engines) mints them in a pure projection.
+    // r12–r14 ranked the distinct-name universe just to number it; at
+    // 10⁹ names that is a full distributed sort pass buying nothing
+    // the hash doesn't (collision odds ~n²/2⁶¹). Ids are now sparse,
+    // not dense — nothing downstream needs density, only uniqueness,
+    // order-stability, and the 2h/2h+1 twin arithmetic.
+    val nm = t(s, dir, "part").select($"p_name".as("nm")).distinct()
+      .withColumn("h", Hashing.md5Long60(concat(lit("er:"), $"nm")))
     val typo = expr("substr(nm, 1, length(nm) - 1)")
-    rk.select(($"rk" * 2).cast("long").as("rid"), $"nm".as("name"))
-      .unionByName(rk.select(($"rk" * 2 + 1).cast("long").as("rid"),
-        typo.as("name")))
+    nm.select(($"h" * 2).as("rid"), $"nm".as("name"))
+      .unionByName(nm.select(($"h" * 2 + 1).as("rid"), typo.as("name")))
   }
 
   /** Sorted-neighborhood candidate pairs (window 8 over the normalized
     * sort key) over [[erRecords]]: (ra, na, rb, nb). O(n·w) rows, the
     * blocking output every downstream linkage stage consumes. */
-  private def erCandidates(s: SparkSession, dir: String,
-      est: Long): DataFrame = {
+  private def erCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // sorted-neighborhood without a global lead window: dense ranks in
     // the (srt, rid) order from the distributed Rank pass, then each
     // record fans out to its 8 forward neighbor slots (explode) and
     // equi-joins the records holding those ranks — O(n·w) rows either
-    // way, but every stage is hash-distributed
+    // way, but every stage is hash-distributed. An r15 variant built
+    // the neighbors with the Rank pass's k-lead instead (no second
+    // shuffle keyed by rn); it measured ~2× SLOWER here at sf0.1 —
+    // this frame is ER-vocabulary-sized, so the rn-join ships trivial
+    // data and the k-lead's head-patch machinery (extra cache + two
+    // small joins) outweighs the shuffle it removes. Swap to the
+    // k-lead (as dp_quantile/wasserstein/histcmp did) if records ever
+    // approach the corpus scale where an 8n-row exchange dominates;
+    // BASELINE r15 records the A/B.
     val ranked = Rank.orderedPrefix(
-      erRecords(s, dir, est)
+      erRecords(s, dir)
         .withColumn("srt", regexp_replace($"name", " ", "")),
-      order = Seq($"srt", $"rid"), rnOut = Some("rn"),
-      estRows = Some(est))
+      order = Seq($"srt", $"rid"), rnOut = Some("rn"))
     val probes = ranked
       .select($"rid".as("ra"), $"name".as("na"),
         explode(sequence($"rn" + 1, $"rn" + 8)).as("rn"))
@@ -353,7 +348,7 @@ object Fuzzy {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val feat = erCandidates(s, dir, erEstRows(s, dir)).select(
+    val feat = erCandidates(s, dir).select(
       when($"na" === $"nb", "exact")
         .when(expr("jaro_winkler(na, nb)") >= 0.88, "close")
         .otherwise("diff").as("name_lvl"),
@@ -391,11 +386,13 @@ object Fuzzy {
          |    lead(name, $i) OVER (ORDER BY srt, rid) AS nb FROM keyed""".stripMargin)
       .mkString("\n  UNION ALL\n")
     s"""WITH RECURSIVE nm AS (SELECT DISTINCT p_name AS nm FROM part),
-      |rk AS (SELECT nm, ROW_NUMBER() OVER (ORDER BY nm) AS rk FROM nm),
+      |rk AS (SELECT nm,
+      |  ('0x' || substr(md5('er:' || nm), 1, 15))::UBIGINT::BIGINT AS h
+      |  FROM nm),
       |recs AS (
-      |  SELECT 2 * rk AS rid, nm AS name FROM rk
+      |  SELECT 2 * h AS rid, nm AS name FROM rk
       |  UNION ALL
-      |  SELECT 2 * rk + 1, substr(nm, 1, LEN(nm) - 1) FROM rk),
+      |  SELECT 2 * h + 1, substr(nm, 1, LEN(nm) - 1) FROM rk),
       |keyed AS (SELECT rid, name, replace(name, ' ', '') AS srt FROM recs),
       |cand AS (
       |$candUnion),
@@ -475,7 +472,7 @@ object Fuzzy {
   def emQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val grid = erCandidates(s, dir, erEstRows(s, dir)).select(
+    val grid = erCandidates(s, dir).select(
         when($"na" === $"nb", "exact")
           .when(expr("jaro_winkler(na, nb)") >= 0.88, "close")
           .otherwise("diff").as("name_lvl"),
@@ -636,7 +633,11 @@ object Fuzzy {
       .withColumn("updated_day", $"record_id" % 30)
       .withColumn("phone",
         when($"record_id" % 5 =!= 0,
-          concat(lit("P"), ($"record_id" * 7 % 10000).cast("string"))))
+          // reduce mod 10⁴ BEFORE ×7: record ids are 61-bit hashes
+          // (r15), so rid·7 would overflow int64; (rid mod 10⁴)·7
+          // mod 10⁴ ≡ rid·7 mod 10⁴ exactly, in both engines
+          concat(lit("P"),
+            ($"record_id" % 10000 * 7 % 10000).cast("string"))))
     recs.groupBy($"entity_id")
       .agg(count(lit(1)).as("n_records"),
         countDistinct($"name").as("n_names"),
@@ -654,7 +655,7 @@ object Fuzzy {
       |fields AS (
       |  SELECT entity_id, rid, name, rid % 30 AS updated_day,
       |    CASE WHEN rid % 5 <> 0
-      |      THEN 'P' || CAST(rid * 7 % 10000 AS VARCHAR) END AS phone
+      |      THEN 'P' || CAST(rid % 10000 * 7 % 10000 AS VARCHAR) END AS phone
       |  FROM ent),
       |gn AS (
       |  SELECT entity_id, name AS golden_name FROM (
@@ -694,9 +695,8 @@ object Fuzzy {
     * ratios are single IEEE divisions rounded at display. */
   def blockingQualityQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val est = erEstRows(s, dir)
-    val tot = erRecords(s, dir, est).agg(count(lit(1)).as("n"))
-    val agg = erCandidates(s, dir, est)
+    val tot = erRecords(s, dir).agg(count(lit(1)).as("n"))
+    val agg = erCandidates(s, dir)
       .select(least($"ra", $"rb").as("a"), greatest($"ra", $"rb").as("b"))
       .distinct()
       .agg(count(lit(1)).as("n_cand"),
@@ -722,11 +722,13 @@ object Fuzzy {
          |    lead(rid, $i) OVER (ORDER BY srt, rid) AS rb FROM keyed""".stripMargin)
       .mkString("\n  UNION ALL\n")
     s"""WITH nm AS (SELECT DISTINCT p_name AS nm FROM part),
-      |rk AS (SELECT nm, ROW_NUMBER() OVER (ORDER BY nm) AS rk FROM nm),
+      |rk AS (SELECT nm,
+      |  ('0x' || substr(md5('er:' || nm), 1, 15))::UBIGINT::BIGINT AS h
+      |  FROM nm),
       |recs AS (
-      |  SELECT 2 * rk AS rid, nm AS name FROM rk
+      |  SELECT 2 * h AS rid, nm AS name FROM rk
       |  UNION ALL
-      |  SELECT 2 * rk + 1, substr(nm, 1, LEN(nm) - 1) FROM rk),
+      |  SELECT 2 * h + 1, substr(nm, 1, LEN(nm) - 1) FROM rk),
       |keyed AS (SELECT rid, name, replace(name, ' ', '') AS srt FROM recs),
       |cand AS (
       |$candUnion),

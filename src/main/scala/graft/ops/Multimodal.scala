@@ -873,16 +873,21 @@ object Multimodal {
         LumaHist(id, w.toLong * h, bins(0), bins(1), bins(2), bins(3),
           bins(4), bins(5), bins(6), bins(7))
       }).toDF()
-    // consecutive pairing without a global lead window: dense global
-    // ranks from the distributed Rank pass, then an equi self-join on
-    // rn+1 (inner, so the last image drops exactly as the lead-null
-    // filter did) — the signature frame is image-count-sized, which
-    // scales with the corpus
-    val ranked = Rank.orderedPrefix(hist, order = Seq($"doc_id"),
-      rnOut = Some("rn"))
-    val nxtCols = Seq(($"rn" - 1).as("rn"), $"doc_id".as("doc_b"),
-      $"n_px".as("n_b")) ++ (0 to 7).map(i => col(s"h$i").as(s"g$i"))
-    val pairedH = ranked.join(ranked.select(nxtCols: _*), Seq("rn"))
+    // consecutive pairing without a global lead window OR a
+    // rank-self-join: the Rank pass's global lead (r15) carries the
+    // next image's whole signature struct — in-bucket window lead +
+    // broadcast bucket-head patch; filtering the null lead drops the
+    // last image exactly as the inner join did — the signature frame
+    // is image-count-sized, which scales with the corpus
+    val nextSig = struct(Seq($"doc_id".as("doc_b"),
+      $"n_px".as("n_b")) ++ (0 to 7).map(i => col(s"h$i").as(s"g$i")): _*)
+    val pairedH = Rank.orderedPrefix(hist, order = Seq($"doc_id"),
+        leads = Seq(Rank.Lead(nextSig, "nx")))
+      .filter($"nx".isNotNull)
+      .select(Seq(col("*"), $"nx.doc_b".as("doc_b"),
+        $"nx.n_b".as("n_b")) ++
+        (0 to 7).map(i => col(s"nx.g$i").as(s"g$i")): _*)
+      .drop("nx")
     val inter = (0 to 7).map(i =>
       least(col(s"h$i").cast("double") / $"n_px",
         col(s"g$i").cast("double") / $"n_b")).reduce(_ + _)

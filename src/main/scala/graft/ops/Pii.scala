@@ -790,22 +790,19 @@ object Pii {
     val vals = t(s, dir, "orders")
       .groupBy($"o_totalprice".cast("decimal(18,2)").as("v"))
       .agg(count(lit(1)).as("c"))
-    // distributed prefix counts + dense rank in ONE Rank pass; the
-    // interval upper end (lead) is an equi self-join on rn+1 (inner,
-    // so the last support point drops exactly as vnext IS NOT NULL
-    // did); the exponential-mechanism winner is a distributed top-1
-    // (TakeOrdered), not a rank-then-filter. Rank buckets size to the
-    // caller-derived bound |distinct prices| ≤ |orders| — a
-    // metadata-class parquet count (no columns decoded), so at test SF
-    // the pass runs the 2-bucket floor, not full 32-bucket machinery
-    // (VERDICT r14 item 1); at 10⁹ orders the same call sizes buckets
-    // to ~RowsPerBucket rows. Estimate only shapes parallelism.
+    // distributed prefix counts + the interval upper end in ONE Rank
+    // pass: `vnext` is the pass's global k-lead (r15) — in-bucket
+    // window lead plus a broadcast bucket-head patch — replacing the
+    // r13–r14 equi self-join on rn+1, which shuffled every distinct
+    // value a SECOND time keyed by rn. Filtering vnext IS NOT NULL
+    // drops the last support point exactly as the inner join did. The
+    // exponential-mechanism winner stays a distributed top-1
+    // (TakeOrdered), not a rank-then-filter.
     val ranked = Rank.orderedPrefix(vals, order = Seq($"v"),
-      rnOut = Some("rn"), cums = Seq(Rank.Cum($"c", "cum")),
+      cums = Seq(Rank.Cum($"c", "cum")),
       totals = Seq(($"c", "n")),
-      estRows = Some(t(s, dir, "orders").count()))
-    val nextV = ranked.select(($"rn" - 1).as("rn"), $"v".as("vnext"))
-    val iv = ranked.join(nextV, Seq("rn"))
+      leads = Seq(Rank.Lead($"v", "vnext")))
+    val iv = ranked.filter($"vnext".isNotNull)
     val u = (Hashing.md5Long60(concat(lit("dpq:"), $"v".cast("string")))
       % 1000000).cast("double").plus(0.5).divide(1000000.0)
     val keyed = iv

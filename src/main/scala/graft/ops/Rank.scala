@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,6 +71,25 @@ object Rank {
   final case class Cum(value: Column, runOut: String,
       exclusive: Boolean = false)
 
+  /** One global-lead request: `out` receives the value of `value` on
+    * the row(s) at global positions rn+1 .. rn+k of the TOTAL order —
+    * the distributed replacement for `lead(value, j) OVER (ORDER BY
+    * ...)`, and for the rank-then-self-join-on-rn+1 pattern, which
+    * shuffles the ENTIRE frame a second time keyed by rn. Here the
+    * in-bucket leads ride the same per-bucket window the rank uses
+    * (no new exchange), and only the ≤ numParts·k rows at bucket
+    * boundaries are patched through a broadcast of the ≤ numParts·k
+    * bucket-head rows — no full-data shuffle anywhere.
+    *
+    * k == 1 → `out` is a scalar (null on the global last row).
+    * k  > 1 → `out` is an array of the next min(k, rows-remaining)
+    * values, trimmed at the global end (a value that is itself null
+    * stays null inside the array). `value` may be any type, including
+    * a struct of several columns. */
+  final case class Lead(value: Column, out: String, k: Int = 1) {
+    require(k >= 1, "Lead needs k >= 1")
+  }
+
   /** Appends to `df` any of: `rnOut` = global 1-based row number in
     * the total order `order`; `countOut` = whole-frame row count;
     * running sums per [[Cum]]; `totals` = (expression, outName)
@@ -84,13 +103,15 @@ object Rank {
     * (e.g. a 60-bit hash), fixed-width bounds replace the
     * approx-quantile job — one less pass over the input.
     *
-    * `estRows`: caller-known row-count scale of `df` (an estimate —
-    * correctness never depends on it). When the frame is one
-    * collapse away from small (a pattern grid, a per-key aggregate),
-    * the full bucket machinery is constant overhead: buckets are
-    * sized to ~[[RowsPerBucket]] rows each, floored at TWO so the
-    * bucket id never constant-folds into a single-partition window
-    * (the plan shape this primitive exists to kill). */
+    * `estRows`: caller-known row-count scale of `df`, used to size
+    * buckets ONLY on the `uniform` path (which has no bounds job to
+    * measure the frame). On the quantile path the bounds job itself
+    * returns the exact row count (r15: count and quantile grid merged
+    * into ONE aggregate job), so buckets always size to the TRUE
+    * frame at ~[[RowsPerBucket]] rows each — no caller hint needed —
+    * floored at TWO so the bucket id never constant-folds into a
+    * single-partition window (the plan shape this primitive exists
+    * to kill). */
   def orderedPrefix(
       df: DataFrame,
       order: Seq[Column],
@@ -101,7 +122,8 @@ object Rank {
       numParts: Int = 0,
       descending: Boolean = false,
       uniform: Option[(Double, Double)] = None,
-      estRows: Option[Long] = None): DataFrame = {
+      estRows: Option[Long] = None,
+      leads: Seq[Lead] = Nil): DataFrame = {
     require(order.nonEmpty, "orderedPrefix needs at least one sort key")
     val spark = df.sparkSession
     val npCap = if (numParts > 0) numParts
@@ -111,13 +133,13 @@ object Rank {
     // primitive exists to kill (caught by the Dev plan audit when the
     // first estRows callers landed) — two buckets keep the window
     // hash-partitioned on a non-foldable key at negligible cost
-    val np = estRows.fold(npCap) { est =>
+    def sizeBuckets(rows: Long): Int =
       math.max(2L, math.min(npCap.toLong,
-        (est + RowsPerBucket - 1) / RowsPerBucket)).toInt
-    }
+        (rows + RowsPerBucket - 1) / RowsPerBucket)).toInt
     val cumTmp = cums.zipWithIndex.map { case (c, i) => (c, s"__rk_cv$i") }
     val totTmp = totals.zipWithIndex.map { case ((c, out), i) =>
       (c, out, s"__rk_tv$i") }
+    val leadTmp = leads.zipWithIndex.map { case (l, i) => (l, s"__rk_le$i") }
     // monotone double image of the primary key, flipped for desc so
     // bucket ids always increase along the sort direction. Strings map
     // through their first 8 UTF-8 bytes zero-padded (exactly the
@@ -135,6 +157,7 @@ object Rank {
     var base = df.withColumn("__rk_prim", prim)
     cumTmp.foreach { case (c, tmp) => base = base.withColumn(tmp, c.value) }
     totTmp.foreach { case (c, _, tmp) => base = base.withColumn(tmp, c) }
+    leadTmp.foreach { case (l, tmp) => base = base.withColumn(tmp, l.value) }
     // The keyed frame is scanned by the eager phase (bounds job +
     // offsets job) AND by the lazy window branch — often through a
     // self-join that consumes it twice (e.g. rank-neighbor probes), so
@@ -153,15 +176,39 @@ object Rank {
       // output is invariant to their placement, so the approximation
       // only affects balance), or fixed-width bounds when the caller
       // knows the key is uniform. Dedup guards heavy ties collapsing
-      // adjacent quantiles.
-      val eps = math.max(1.0e-4, 1.0 / (4.0 * np))
+      // adjacent quantiles. r15: the bounds job also returns the exact
+      // row count in the same aggregate, and the bucket count derives
+      // from THAT — a collapsed frame gets the 2-bucket floor and a
+      // 10⁹-row frame gets npCap buckets, with no caller estimate and
+      // no separate count job. For np < npCap buckets the job's fixed
+      // (npCap−1)-point quantile grid is subsampled at the np-quantile
+      // positions (grid error ε = 1/(4·npCap) ≤ 1/(4·np), so the
+      // subsampled bounds are at least as accurate as an np-point
+      // probe would have been).
       val bounds = (uniform match {
         case Some((lo, hi)) =>
+          val npU = estRows.fold(npCap)(sizeBuckets)
           val flip = (v: Double) => if (descending) -v else v
-          (1 until np).map(i => flip(lo + (hi - lo) * i / np)).toArray
+          (1 until npU).map(i => flip(lo + (hi - lo) * i / npU)).toArray
         case None =>
-          scanned.stat.approxQuantile("__rk_prim",
-            (1 until np).map(_.toDouble / np).toArray, eps)
+          val probs = (1 until npCap).map(_.toDouble / npCap).toArray
+          val acc = math.max(100, 4 * npCap)
+          val probe = scanned.select(
+            count(lit(1)).as("c"),
+            percentile_approx(
+              when(isnan(col("__rk_prim")), lit(null))
+                .otherwise(col("__rk_prim")),
+              lit(probs), lit(acc)).as("q")).head()
+          val rows = probe.getLong(0)
+          val grid =
+            if (probe.isNullAt(1)) Array.empty[Double]
+            else probe.getSeq[Double](1).toArray
+          val np = sizeBuckets(rows)
+          if (np >= npCap || grid.isEmpty) grid
+          else (1 until np).map { i =>
+            grid(math.min(grid.length - 1, math.max(0,
+              math.round(i.toDouble * npCap / np).toInt - 1)))
+          }.toArray
       }).distinct.sorted
       // NaN primaries: every `bound < NaN` comparison is false, which
       // would silently send them to bucket 0 — the OPPOSITE end of
@@ -189,7 +236,12 @@ object Rank {
       val before = col("__rk_src") < col("__rk_pid")
       val offAggs = Seq(
         sum(when(before, col("__rk_cnt"))).as("__rk_off_cnt"),
-        sum(col("__rk_cnt")).as("__rk_tot_cnt")) ++
+        sum(col("__rk_cnt")).as("__rk_tot_cnt"),
+        // the bucket's own row count (null for an id with no rows) —
+        // rides the same aggregate; the leads machinery tests
+        // "does position lrn+j stay inside this bucket" against it
+        sum(when(col("__rk_src") === col("__rk_pid"), col("__rk_cnt")))
+          .as("__rk_own_cnt")) ++
         cumTmp.map { case (_, tmp) =>
           sum(when(before, col(s"__rk_s_$tmp"))).as(s"__rk_off_$tmp") } ++
         totTmp.map { case (_, _, tmp) =>
@@ -208,7 +260,70 @@ object Rank {
       cumTmp.foreach { case (_, tmp) =>
         local = local.withColumn(s"__rk_lr_$tmp", sum(col(tmp)).over(wRows))
       }
+      // in-bucket leads ride the SAME window node (same partitioning
+      // and sort — no extra exchange); positions past the bucket end
+      // read null here and are patched from the bucket-head broadcast
+      leadTmp.foreach { case (l, tmp) =>
+        (1 to l.k).foreach { j =>
+          local = local.withColumn(s"__rk_bl_${tmp}_$j",
+            lead(col(tmp), j).over(wLoc))
+        }
+      }
       var out = local.join(broadcast(offs), Seq("__rk_pid"))
+      if (leads.nonEmpty) {
+        val kMax = leads.map(_.k).max
+        val grn = coalesce(col("__rk_off_cnt"), lit(0L)) + col("__rk_lrn")
+        // the patch machinery consumes the windowed frame three ways
+        // (main rows, bucket heads, boundary tails) — persist it so
+        // the sort+window runs ONCE, not once per branch; released by
+        // the same query-end listener as the keyed frame
+        out = out.withColumn("__rk_grn", grn)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        releaseAfterNextQuery(out)
+        // the first kMax rows of every bucket, keyed by GLOBAL rank —
+        // ≤ numParts·kMax rows, read off the cached windowed frame
+        val heads = out.filter(col("__rk_lrn") <= kMax)
+          .select(Seq(col("__rk_grn").as("__rk_h_rn")) ++
+            leadTmp.map { case (_, tmp) => col(tmp).as(s"__rk_h_$tmp") }: _*)
+        // boundary rows (last kMax of each bucket) fan out to the
+        // global positions their in-bucket lead missed and equi-join
+        // the heads — ≤ numParts·kMax² rows, nothing data-scaled
+        val fx = out
+          .filter(col("__rk_lrn") >
+            coalesce(col("__rk_own_cnt"), lit(0L)) - kMax)
+          .select(col("__rk_grn"), col("__rk_lrn"), col("__rk_own_cnt"),
+            explode(sequence(lit(1), lit(kMax))).as("__rk_j"))
+          .filter(col("__rk_lrn") + col("__rk_j") >
+            coalesce(col("__rk_own_cnt"), lit(0L)))
+          .select(col("__rk_grn").as("__rk_t_rn"), col("__rk_j"),
+            (col("__rk_grn") + col("__rk_j")).as("__rk_tgt"))
+          .join(heads, col("__rk_tgt") === col("__rk_h_rn"))
+          .groupBy(col("__rk_t_rn"))
+          .agg(
+            map_from_entries(collect_list(struct(col("__rk_j"),
+              col(s"__rk_h_${leadTmp.head._2}"))))
+              .as(s"__rk_fm_${leadTmp.head._2}"),
+            leadTmp.tail.map { case (_, tmp) =>
+              map_from_entries(collect_list(struct(col("__rk_j"),
+                col(s"__rk_h_$tmp")))).as(s"__rk_fm_$tmp") }: _*)
+        out = out.join(broadcast(fx),
+          col("__rk_grn") === col("__rk_t_rn"), "left")
+        leadTmp.foreach { case (l, tmp) =>
+          def at(j: Int): Column =
+            when(col("__rk_lrn") + j <=
+                coalesce(col("__rk_own_cnt"), lit(0L)),
+              col(s"__rk_bl_${tmp}_$j"))
+            .otherwise(element_at(col(s"__rk_fm_$tmp"), lit(j)))
+          out =
+            if (l.k == 1) out.withColumn(l.out, at(1))
+            else {
+              val len = greatest(lit(0L), least(lit(l.k.toLong),
+                col("__rk_tot_cnt") - col("__rk_grn"))).cast("int")
+              out.withColumn(l.out,
+                slice(array((1 to l.k).map(at): _*), lit(1), len))
+            }
+        }
+      }
       rnOut.foreach { n =>
         out = out.withColumn(n,
           coalesce(col("__rk_off_cnt"), lit(0L)) + col("__rk_lrn"))
@@ -224,10 +339,14 @@ object Rank {
         out = out.withColumn(outName, col(s"__rk_tot_$tmp"))
       }
       val drops = Seq("__rk_prim", "__rk_pid", "__rk_lrn",
-        "__rk_off_cnt", "__rk_tot_cnt") ++
+        "__rk_off_cnt", "__rk_tot_cnt", "__rk_own_cnt", "__rk_grn",
+        "__rk_t_rn") ++
         cumTmp.flatMap { case (_, tmp) =>
           Seq(tmp, s"__rk_lr_$tmp", s"__rk_off_$tmp") } ++
-        totTmp.flatMap { case (_, _, tmp) => Seq(tmp, s"__rk_tot_$tmp") }
+        totTmp.flatMap { case (_, _, tmp) => Seq(tmp, s"__rk_tot_$tmp") } ++
+        leadTmp.flatMap { case (l, tmp) =>
+          Seq(tmp, s"__rk_fm_$tmp") ++
+            (1 to l.k).map(j => s"__rk_bl_${tmp}_$j") }
       releaseAfterNextQuery(scanned)
       out.drop(drops: _*)
     } catch {
@@ -237,29 +356,74 @@ object Rank {
     }
   }
 
-  /** One-shot release: unpersist `cached` when the NEXT query
-    * execution on its session completes (success or failure) — for a
-    * rank frame that is the consuming action itself, so the cache
-    * lives exactly as long as the query that needs it. Fires at most
-    * once and unregisters itself; unpersist on an already-released
-    * frame is a no-op, so early release (an unrelated query finishing
-    * first) costs only a recompute. */
-  private def releaseAfterNextQuery(cached: DataFrame): Unit = {
-    val spark = cached.sparkSession
-    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      private def release(): Unit = if (done.compareAndSet(false, true)) {
-        spark.listenerManager.unregister(this)
-        cached.unpersist(blocking = false)
-      }
+  /** Per-session pending-release registry (r15, VERDICT r14 item 3).
+    * Rank caches enqueue here; the next query-execution end on the
+    * session — normally the consuming action itself — drains the
+    * WHOLE queue, so the cache lives exactly as long as the query
+    * that needs it and an early release (an unrelated query, or a
+    * second rank frame's bounds job, finishing first) costs only a
+    * recompute, never correctness. Unlike the r14 one-listener-per-
+    * cache design, at most ONE QueryExecutionListener exists per
+    * session at any moment (registered while the queue is non-empty,
+    * unregistered when it drains), and an application-end hook drops
+    * the registry entry — a rank frame that is built but never
+    * executed can no longer strand an unbounded chain of listeners;
+    * its (never-materialized, so storage-free) cache entry and the
+    * single listener are reclaimed at the next query end or at
+    * session shutdown, whichever comes first. */
+  private final class Releaser(spark: SparkSession) {
+    private val pending =
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    private val registered =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+    private val qel = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = release()
+          durationNs: Long): Unit = drain()
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = release()
+          exception: Exception): Unit = drain()
     }
-    spark.listenerManager.register(listener)
+    def enqueue(df: DataFrame): Unit = {
+      pending.add(df)
+      if (registered.compareAndSet(false, true))
+        spark.listenerManager.register(qel)
+    }
+    def drain(): Unit = {
+      var df = pending.poll()
+      while (df != null) {
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () } // stopped context: nothing to free
+        df = pending.poll()
+      }
+      if (registered.compareAndSet(true, false)) {
+        spark.listenerManager.unregister(qel)
+        // an enqueue racing between the final poll and the unregister
+        // re-arms the listener so its cache is not stranded
+        if (!pending.isEmpty && registered.compareAndSet(false, true))
+          spark.listenerManager.register(qel)
+      }
+    }
+  }
+
+  private val releasers = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, Releaser]()
+
+  private def releaseAfterNextQuery(cached: DataFrame): Unit = {
+    val spark = cached.sparkSession
+    val r = releasers.computeIfAbsent(spark, s => {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = {
+            val gone = releasers.remove(s)
+            if (gone != null) gone.drain()
+          }
+        })
+      new Releaser(s)
+    })
+    r.enqueue(cached)
   }
 
   /** Bucket sizing target for [[orderedPrefix]]'s `estRows`: small

@@ -256,10 +256,10 @@ object Repair {
       docs.groupBy($"n_chars").agg(count(lit(1)).as("c")),
       order = Seq($"n_chars"),
       cums = Seq(Rank.Cum($"c", "cum")),
-      totals = Seq(($"c", "n")),
       // one row per distinct char count: length-domain bounded at any
-      // corpus size — the minimum two buckets suffice (Rank estRows)
-      estRows = Some(65536L))
+      // corpus size — the Rank bounds job measures that and sizes
+      // its own buckets (r15)
+      totals = Seq(($"c", "n")))
       .groupBy().agg(selCols.head, selCols.tail: _*)
       .select(expr(stackExpr))
       .select($"decile", $"v".as("pooled_val"))

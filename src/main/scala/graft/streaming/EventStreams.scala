@@ -964,6 +964,22 @@ object EventStreams {
   final case class UserTotalsState(user_id: Long, n_events: Long,
       total_cents: Long, last_ts: Timestamp)
 
+  /** Exact per-event cents under the ORACLE's rounding contract
+    * (VERDICT r14 item 5): DuckDB's `CAST(double AS DECIMAL(18,2))`
+    * rounds the value's SHORTEST DECIMAL STRING half-up (probed:
+    * 0.185 → 0.19 though the binary double is 0.18499…;
+    * 1.005 → 1.01), which is `BigDecimal(Double.toString(v))`
+    * half-up — NOT `math.round(v*100)`, which rounds the binary
+    * product and diverges on 3-dp values (1.005 → 100 vs 101) and
+    * negative ties (-2.125 → -212 vs -213). Both engines now round
+    * PER EVENT under the same contract, so the fold is exact for any
+    * value precision, not just the fixture's 2-dp cents
+    * (UserTotalsCentsSpec pins the 3-dp divergence case). */
+  private[streaming] def centsOf(v: Double): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(v))
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
   /** q_stream_user_totals entry: BATCH ANCHOR of [[runningUserTotals]]
     * — the `mapGroupsWithState` running-totals fold run in batch mode,
     * where Spark feeds each key's whole group through the SAME state
@@ -995,7 +1011,7 @@ object EventStreams {
           var last = new Timestamp(0L)
           it.foreach { e =>
             n += 1
-            cents += math.round(e.value * 100)
+            cents += centsOf(e.value)
             if (e.ts.compareTo(last) > 0) last = e.ts
           }
           val prev = state.getOption
@@ -1017,7 +1033,141 @@ object EventStreams {
       |  MAX(ts) AS last_ts
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q_stream_gap_sessions entry: BATCH ANCHOR of [[sessionize]] — the
+    * `flatMapGroupsWithState` gap sessionizer run in batch mode, where
+    * each user's whole history folds through the VERBATIM streaming
+    * state transition. Batch execution never fires event-time
+    * timeouts, so the operator emits exactly the GAP-CLOSED sessions
+    * and leaves each user's final (open) session in state — the
+    * oracle reconstructs sessions from first principles and drops
+    * each user's LAST one, pinning precisely the Append-mode emission
+    * contract (the timeout path stays pinned by the streaming spec,
+    * which drives a watermark past a session end). Two deliberate
+    * contract points the oracle mirrors: (1) the operator compares
+    * gaps in MILLISECONDS (`Timestamp.getTime`), so the oracle breaks
+    * on `epoch_ms` gaps and emits ms-truncated boundaries — a
+    * documented divergence from the µs-precision `q_sessionize` lag
+    * form; (2) `total_value` is omitted: the fold accumulates doubles
+    * in arrival order, and only boundary/count fields are
+    * order-independent under same-timestamp ties.
+    *
+    * Scale shape: state is one open session per user, sharded by the
+    * group key like any batch shuffle; the per-group sort is
+    * micro-batch-bounded in streaming and per-user-bounded here. */
+  def gapSessionsBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import scala.concurrent.duration._
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+    sessionize(ev, 30.minutes).toDF()
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+      .limit(500)
+  }
+
+  val gapSessionsBatchSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    epoch_ms(ts) - LAG(epoch_ms(ts), 1) OVER w AS gap_ms
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |b AS (
+      |  SELECT *, CASE WHEN gap_ms IS NULL OR gap_ms > 30 * 60 * 1000
+      |                 THEN 1 ELSE 0 END AS brk FROM g),
+      |sess AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+      |    ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM b),
+      |agg AS (
+      |  SELECT user_id, sid,
+      |    make_timestamp(MIN(epoch_ms(ts)) * 1000) AS session_start,
+      |    make_timestamp(MAX(epoch_ms(ts)) * 1000) AS session_end,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM sess GROUP BY user_id, sid),
+      |last AS (SELECT user_id, MAX(sid) AS last_sid FROM agg GROUP BY user_id)
+      |SELECT a.user_id, a.session_start, a.session_end, a.n_events
+      |FROM agg a JOIN last l
+      |  ON a.user_id = l.user_id AND a.sid <> l.last_sid
+      |ORDER BY a.user_id, a.session_start LIMIT 500""".stripMargin
+
+  private val TokK = 64
+
+  final case class Tok(source: String, doc_id: Long, pos: Int,
+      token: String)
+
+  /** q_stream_token_hh entry: BATCH ANCHOR of the
+    * [[streamingHeavyHitters]] Misra–Gries state fold, on a stream
+    * with REAL skew — the per-source token stream ("which tokens
+    * dominate each source right now"). Each source's tokens fold
+    * through the verbatim `MisraGries.reduce` transition in
+    * (doc_id, pos) order inside `mapGroupsWithState`, and the FINAL
+    * counter set becomes the candidate list for an exact
+    * confirmation count (the `q_agg_heavy_hitters` two-pass
+    * discipline). The oracle recomputes true per-source heavy
+    * hitters from first principles, so the compare IS the MG
+    * no-false-negative theorem at k=64: every token above
+    * n_source/(k+1) must appear among the fold's counters WHATEVER
+    * the tie order — the order-dependent parts of the state (the
+    * lower bounds) never reach the output, which is why this anchor
+    * is exactly oracle-able while the raw summary is not.
+    *
+    * Scale shape: O(k) state per source forever; the confirmation
+    * pass semi-joins the corpus against ≤ 20·k broadcast candidates
+    * and counts only those. */
+  def tokenHeavyHittersBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mg = new graft.ops.MisraGries(TokK)
+    val toks = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        posexplode(split(lower(col("text")), " ")))
+      .select($"source".as[String], $"doc_id".as[Long],
+        $"pos".cast("int").as[Int], $"col".as[String])
+      .map { case (src, id, p, tk) => Tok(src, id, p, tk) }
+    val cand = toks.groupByKey(_.source)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[Tok], state: GroupState[HHState]) =>
+          var st = state.getOption.getOrElse(HHState(Map.empty, 0L))
+          it.toSeq.sortBy(t => (t.doc_id, t.pos)).foreach { t =>
+            st = HHState(mg.reduce(st.counters, t.token), st.n + 1)
+          }
+          state.update(st)
+          (src, st.n, st.counters.keys.toSeq.sorted)
+      }
+      .toDF("source", "n_source", "cands")
+      .select(col("source"), col("n_source"),
+        explode(col("cands")).as("token"))
+    toks.toDF()
+      .join(broadcast(cand), Seq("source", "token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n_occurrences"), max(col("n_source")).as("n"))
+      .filter(col("n_occurrences") > col("n") / (TokK + 1.0))
+      .select(col("source"), col("token"),
+        col("n_occurrences").cast("long").as("n_occurrences"),
+        round(col("n_occurrences").cast("double") / col("n"), 6)
+          .as("frac"))
+      .orderBy(col("source"), col("n_occurrences").desc, col("token"))
+  }
+
+  val tokenHeavyHittersBatchSql: String =
+    s"""WITH tok AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      |  FROM documents),
+      |n AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY 1)
+      |SELECT t.source, t.token,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n.n), 6) AS frac
+      |FROM tok t JOIN n USING (source)
+      |GROUP BY t.source, t.token
+      |HAVING COUNT(*) > MAX(n.n) / ${TokK + 1}.0
+      |ORDER BY source, n_occurrences DESC, token""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_gap_sessions" -> gapSessionsBatch,
+    "q_stream_token_hh" -> tokenHeavyHittersBatch,
     "q_stream_session" -> sessionNativeBatch,
     "q_stream_user_totals" -> userTotalsBatch,
     "q_rate_limit" -> rateLimitBatch,
@@ -1031,6 +1181,8 @@ object EventStreams {
     "q_anomaly_running" -> anomalyBatch)
 
   def oracle: Map[String, String] = Map(
+    "q_stream_gap_sessions" -> gapSessionsBatchSql,
+    "q_stream_token_hh" -> tokenHeavyHittersBatchSql,
     "q_stream_session" -> sessionNativeBatchSql,
     "q_stream_user_totals" -> userTotalsBatchSql,
     "q_rate_limit" -> rateLimitBatchSql,

@@ -156,6 +156,44 @@ class RankSpec extends AnyFunSuite with SparkSpec {
       s"orderedPrefix left ${after.size} persisted RDD(s) without a harness clearCache")
   }
 
+  test("two rank frames built before either executes: both correct, nothing outlives the second action (r14 verdict item 3)") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val src = events.select($"event_id", $"value")
+    // build BOTH frames before executing EITHER — the first action's
+    // query-end drains the whole pending queue (releasing the second
+    // frame's cache early is a documented recompute fallback, never a
+    // correctness one)
+    val a = Rank.orderedPrefix(src, order = Seq($"value", $"event_id"),
+      rnOut = Some("rna"))
+    val b = Rank.orderedPrefix(src, order = Seq($"event_id"),
+      rnOut = Some("rnb"))
+    val gotA = a.select($"event_id", $"rna").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotB = b.select($"event_id", $"rnb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wA = Window.partitionBy(lit(0)).orderBy($"value", $"event_id")
+    val refA = src.withColumn("rna", row_number().over(wA).cast("long"))
+      .select($"event_id", $"rna").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wB = Window.partitionBy(lit(0)).orderBy($"event_id")
+    val refB = src.withColumn("rnb", row_number().over(wB).cast("long"))
+      .select($"event_id", $"rnb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotA == refA, "first frame")
+    assert(gotB == refB, "second frame (cache released early → recompute)")
+    // nothing lingers: poll past the async listener bus
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (after.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    }
+    assert(after.isEmpty,
+      s"${after.size} persisted RDD(s) outlive the second action")
+  }
+
   test("NaN primary keys rank where the sort direction puts them (ADVICE r13)") {
     import spark.implicits._
     val df = spark.range(100)
@@ -195,6 +233,65 @@ class RankSpec extends AnyFunSuite with SparkSpec {
       .select($"t", $"rn", $"nn", $"cum")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSet
+    assert(got == ref)
+  }
+
+  test("global scalar lead equals the single-window lead (asc + desc)") {
+    import spark.implicits._
+    val df = events.select($"event_id", $"value")
+    Seq(false, true).foreach { desc =>
+      val got = Rank.orderedPrefix(df, order = Seq($"value", $"event_id"),
+          leads = Seq(Rank.Lead($"event_id", "nxt")), numParts = 8,
+          descending = desc)
+        .select($"event_id", $"nxt")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      val w = Window.partitionBy(lit(0))
+        .orderBy(if (desc) $"value".desc else $"value".asc,
+          if (desc) $"event_id".desc else $"event_id".asc)
+      val ref = df.withColumn("nxt", lead($"event_id", 1).over(w))
+        .select($"event_id", $"nxt")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got == ref, s"descending=$desc")
+    }
+  }
+
+  test("k-lead array returns the next k rows across bucket boundaries") {
+    import spark.implicits._
+    // 1000 rows over 8 buckets: every bucket boundary exercises the
+    // head-patch path; k=5 spans a boundary whenever the in-bucket
+    // window runs out
+    val df = spark.range(1000).select($"id", ($"id" * 7 % 1000).as("v"))
+    val got = Rank.orderedPrefix(df, order = Seq($"v"),
+        leads = Seq(Rank.Lead($"v", "nxt", k = 5)), numParts = 8)
+      .select($"v", $"nxt")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    val sorted = (0 until 1000).map(i => (i.toLong * 7) % 1000).sorted
+    sorted.zipWithIndex.foreach { case (v, i) =>
+      val expect = sorted.slice(i + 1, i + 6).toList
+      assert(got(v) == expect, s"v=$v")
+    }
+  }
+
+  test("struct-valued lead carries multiple columns through the patch") {
+    import spark.implicits._
+    val df = events.select($"event_id", $"event_type", $"value")
+    val got = Rank.orderedPrefix(df, order = Seq($"value", $"event_id"),
+        leads = Seq(Rank.Lead(struct($"event_id", $"event_type"), "nb")),
+        numParts = 8)
+      .select($"event_id", $"nb.event_id".as("nid"), $"nb.event_type".as("nt"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "" else r.getString(2))).toSet
+    val w = Window.partitionBy(lit(0)).orderBy($"value", $"event_id")
+    val ref = df
+      .withColumn("nid", lead($"event_id", 1).over(w))
+      .withColumn("nt", lead($"event_type", 1).over(w))
+      .select($"event_id", $"nid", $"nt")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "" else r.getString(2))).toSet
     assert(got == ref)
   }
 

@@ -732,4 +732,56 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, tp)
     }
   }
+
+  test("gap-sessions batch anchor emits exactly the gap-closed sessions, last-per-user withheld") {
+    import spark.implicits._
+    val got = EventStreams.gapSessionsBatch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    // driver replay of the SAME ms-precision fold: sessions break on
+    // gap > 30 min of Timestamp.getTime millis; the final (open)
+    // session per user is withheld (batch never times out)
+    val gapMs = 30L * 60 * 1000
+    val events = graft.Tables.t(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event].collect()
+    val want = events.groupBy(_.user_id).flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+      val sessions = sorted.foldLeft(List.empty[List[EventStreams.Event]]) {
+        case (Nil, e) => List(List(e))
+        case (cur :: done, e) =>
+          if (e.ts.getTime - cur.map(_.ts.getTime).max <= gapMs)
+            (e :: cur) :: done
+          else List(e) :: cur :: done
+      }.reverse.dropRight(1) // last session stays open in state
+      sessions.map { s =>
+        val times = s.map(_.ts.getTime)
+        (uid, new Timestamp(times.min), new Timestamp(times.max),
+          s.size.toLong)
+      }
+    }.toSet
+    // the anchor caps at 500 rows in (user, start) order — replay the cap
+    val wantCapped = want.toSeq.sortBy { case (u, st, _, _) =>
+      (u, st.getTime) }.take(500).toSet
+    assert(got == wantCapped)
+  }
+
+  test("token heavy-hitters batch anchor equals first-principles heavy hitters (MG no-false-negative gate)") {
+    import spark.implicits._
+    val got = EventStreams.tokenHeavyHittersBatch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val toks = graft.Tables.t(spark, sfDir, "documents")
+      .select($"source", explode(split(lower($"text"), " ")).as("token"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySource = toks.groupBy(_._1)
+    val want = bySource.flatMap { case (src, ts) =>
+      val n = ts.length.toLong
+      ts.groupBy(_._2).collect {
+        case (tok, occ) if occ.length > n / 65.0 =>
+          (src, tok) -> occ.length.toLong
+      }
+    }.toMap
+    assert(got == want,
+      s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
+  }
 }
