@@ -126,9 +126,14 @@ object Bench {
       spark.catalog.clearCache()
       t
     }
-    // dev knob: SPARK_GRAFT_ONLY=q_a,q_b benches a subset while iterating
+    // dev knobs: SPARK_GRAFT_ONLY=q_a,q_b benches a named subset;
+    // SPARK_GRAFT_SMOKE=1 benches the deterministic ~1-in-8 smoke
+    // slice (mid-round iteration only — the full suite stays the
+    // gate; both knobs mark the JSON "subset")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .orElse(sys.env.get("SPARK_GRAFT_SMOKE").filter(_ == "1")
+        .map(_ => SparkEntry.smokeSet))
     only.foreach(_.diff(SparkEntry.queries.keySet).toSeq.sorted.foreach(n =>
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY name not in SparkEntry.queries: $n")))
     val selected = only.fold(SparkEntry.queries)(names =>

@@ -129,4 +129,15 @@ object SparkEntry {
     graft.ops.TimeSeries.oracle ++
     graft.ops.Multimodal.oracle ++
     graft.streaming.EventStreams.oracle
+
+  /** Deterministic ~1-in-8 smoke slice for MID-ROUND iteration
+    * (VERDICT r14 item 8): a stable unbiased sample keyed by name
+    * hash, always including the flagship. The full registry remains
+    * the only correctness/bench GATE — Bench and Verify mark smoke
+    * runs `"subset"` so a smoke JSON can never masquerade as a round
+    * artifact. */
+  def smokeSet: Set[String] =
+    queries.keySet.filter(n =>
+      n == "q1_pricing_summary" ||
+        math.floorMod(scala.util.hashing.MurmurHash3.stringHash(n), 8) == 0)
 }

@@ -22,6 +22,8 @@ object Verify {
     // reports as missing/failed — it cannot masquerade as full green.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .orElse(sys.env.get("SPARK_GRAFT_SMOKE").filter(_ == "1")
+        .map(_ => SparkEntry.smokeSet)) // mid-round smoke slice
     only.foreach(names => System.err.println(
       s"[verify] SUBSET RUN — only ${names.mkString(",")}"))
     val selected = SparkEntry.queries.filter { case (name, _) =>

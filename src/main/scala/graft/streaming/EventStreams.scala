@@ -1096,43 +1096,45 @@ object EventStreams {
 
   private val TokK = 64
 
-  final case class Tok(source: String, doc_id: Long, pos: Int,
-      token: String)
-
   /** q_stream_token_hh entry: BATCH ANCHOR of the
     * [[streamingHeavyHitters]] Misra–Gries state fold, on a stream
     * with REAL skew — the per-source token stream ("which tokens
     * dominate each source right now"). Each source's tokens fold
-    * through the verbatim `MisraGries.reduce` transition in
-    * (doc_id, pos) order inside `mapGroupsWithState`, and the FINAL
-    * counter set becomes the candidate list for an exact
-    * confirmation count (the `q_agg_heavy_hitters` two-pass
-    * discipline). The oracle recomputes true per-source heavy
+    * through the verbatim `MisraGries.reduce` transition inside
+    * `mapGroupsWithState`, and the FINAL counter set becomes the
+    * candidate list for an exact confirmation count (the
+    * `q_agg_heavy_hitters` two-pass discipline). The oracle recomputes true per-source heavy
     * hitters from first principles, so the compare IS the MG
     * no-false-negative theorem at k=64: every token above
     * n_source/(k+1) must appear among the fold's counters WHATEVER
-    * the tie order — the order-dependent parts of the state (the
+    * the fold order — the order-dependent parts of the state (the
     * lower bounds) never reach the output, which is why this anchor
-    * is exactly oracle-able while the raw summary is not.
+    * is exactly oracle-able while the raw summary is not, and why
+    * (unlike the streaming operator, which sorts each micro-batch
+    * for replay determinism) the batch fold streams the group
+    * iterator AS-IS: materializing + sorting a source's whole token
+    * stream per task cost 200 s / 16 s GC at sf10 before this was
+    * dropped (r15 measurement), and buys nothing the theorem doesn't
+    * already guarantee.
     *
-    * Scale shape: O(k) state per source forever; the confirmation
-    * pass semi-joins the corpus against ≤ 20·k broadcast candidates
-    * and counts only those. */
+    * Scale shape: O(k) state per source forever; group iterators
+    * stream (no per-group materialization); the confirmation pass
+    * semi-joins the corpus against ≤ 20·k broadcast candidates and
+    * counts only those. */
   def tokenHeavyHittersBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val mg = new graft.ops.MisraGries(TokK)
     val toks = t(s, dir, "documents")
-      .select(col("source"), col("doc_id"),
-        posexplode(split(lower(col("text")), " ")))
-      .select($"source".as[String], $"doc_id".as[Long],
-        $"pos".cast("int").as[Int], $"col".as[String])
-      .map { case (src, id, p, tk) => Tok(src, id, p, tk) }
-    val cand = toks.groupByKey(_.source)
+      .select($"source", explode(split(lower($"text"), " ")).as("token"))
+    val cand = toks
+      .select($"source".as[String], $"token".as[String])
+      .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (src: String, it: Iterator[Tok], state: GroupState[HHState]) =>
+        (src: String, it: Iterator[(String, String)],
+            state: GroupState[HHState]) =>
           var st = state.getOption.getOrElse(HHState(Map.empty, 0L))
-          it.toSeq.sortBy(t => (t.doc_id, t.pos)).foreach { t =>
-            st = HHState(mg.reduce(st.counters, t.token), st.n + 1)
+          it.foreach { case (_, tok) =>
+            st = HHState(mg.reduce(st.counters, tok), st.n + 1)
           }
           state.update(st)
           (src, st.n, st.counters.keys.toSeq.sorted)
@@ -1140,7 +1142,7 @@ object EventStreams {
       .toDF("source", "n_source", "cands")
       .select(col("source"), col("n_source"),
         explode(col("cands")).as("token"))
-    toks.toDF()
+    toks
       .join(broadcast(cand), Seq("source", "token"))
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("n_occurrences"), max(col("n_source")).as("n"))
