@@ -414,10 +414,14 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val nNames = graft.Tables.t(spark, sfDir, "part")
       .select("p_name").distinct().count().toInt
     assert(rows.size == 2 * nNames, s"$nNames clean + $nNames typo'd records")
-    // ground truth: records 2k (clean) and 2k+1 (typo) are the same entity
-    (1 to nNames).foreach { k =>
-      assert(rows(2L * k) == rows(2L * k + 1),
-        s"record pair $k split across entities")
+    // ground truth (r15 md5-minted ids): rids 2h (clean) and 2h+1 (typo)
+    // are the same entity — co-reference is exactly rid div 2 equality
+    val twins = rows.keys.groupBy(_ / 2)
+    assert(twins.size == nNames, "each clean/typo pair shares one h")
+    twins.foreach { case (h, ids) =>
+      assert(ids.size == 2, s"twin group $h incomplete")
+      assert(rows(ids.head) == rows(ids.last),
+        s"record pair $h split across entities")
     }
     // an entity id is always one of its member record ids (min-label)
     rows.values.foreach(e => assert(rows.contains(e) && rows(e) == e))
@@ -606,7 +610,9 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("last_day") == members.map(_._1 % 30).max)
       // most recent non-null phone
       val phones = members.filter(_._1 % 5 != 0)
-        .map(m => (m._1 % 30, -m._1, s"P${m._1 * 7 % 10000}"))
+        // mirror the query's overflow-safe digits: rid % 1e4 BEFORE ×7
+        // (md5-minted 61-bit rids would wrap int64 under a direct ×7)
+        .map(m => (m._1 % 30, -m._1, s"P${m._1 % 10000 * 7 % 10000}"))
       val expPhone = if (phones.isEmpty) null
         else phones.maxBy(p => (p._1, p._2))._3
       assert(r.getAs[String]("golden_phone") == expPhone, s"entity $e phone")
