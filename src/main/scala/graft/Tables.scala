@@ -55,6 +55,24 @@ object Tables {
     }
   }
 
+  /** Input-parallelism guard for compute-heavy narrow pipelines
+    * (optimization guide §2.5: "one huge unsplittable file …
+    * repartition immediately after the read"). The test tables are
+    * single-row-group parquet files, so a scan plans ONE partition and
+    * an expensive map stage above it (per-shingle md5 lanes, n-gram
+    * explode+hash) runs serially while the other cores idle — measured
+    * 4.7 s of a 5.6 s query in one task at sf0.1. When the planned
+    * scan parallelism is below the session's default parallelism, one
+    * round-robin repartition spreads the rows; on a real many-split
+    * table the branch is the identity, so nothing is tuned to the
+    * local core count. Call it on an unfiltered scan (a filter above
+    * the repartition would no longer push down to parquet) and only
+    * under compute that dwarfs one extra pass of the rows' bytes. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Register every test table as a temp view (for spark.sql-style queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))

@@ -676,9 +676,20 @@ object Classify {
   def bleuQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val toks = t(s, dir, "documents")
+    // r15 (guide §2.3/§2.5): the gram explode+hash is the expensive map
+    // stage — spread it across the cores (single-row-group input file);
+    // the pairs/lens branches need only LENGTHS, which `lens0` computes
+    // as space-count+1 (split-on-single-space semantics exactly: both
+    // engines keep empty tokens, so #tokens ≡ #spaces+1, empty text
+    // gives 1 in both) — the corpus is lower+split ONCE, not three
+    // times.
+    val toks = graft.Tables.spread(t(s, dir, "documents"))
       .select($"doc_id", $"source", split(lower($"text"), " ").as("w"))
       .withColumn("len", size($"w"))
+    val lens0 = t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        (length($"text") - length(replace($"text", lit(" "), lit("")))
+          + 1).as("len"))
     // gram join/group keys are the pinned 60-bit md5 hash of the gram
     // text, not the text itself: the two corpus exchanges then carry
     // 8-byte keys instead of up-to-4-word strings (measured r11: the
@@ -694,13 +705,14 @@ object Classify {
           |     array())))""".stripMargin)).as("e"))
       .select($"doc_id", $"e.n".as("n"), Hashing.md5Long60($"e.g").as("g"))
       .groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("c"))
-    val pairs = toks
+    val pairs = lens0
       .withColumn("ref_id", lead($"doc_id", 1).over(
         Window.partitionBy($"source").orderBy($"doc_id")))
       .filter($"ref_id".isNotNull)
       .select($"source", $"doc_id".as("cand_id"), $"ref_id", $"len")
     val lens = pairs
-      .join(toks.select($"doc_id".as("ref_id"), $"len".as("rlen")), "ref_id")
+      .join(lens0.select($"doc_id".as("ref_id"), $"len".as("rlen")),
+        "ref_id")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_pairs"), sum($"len").as("cand_words"),
         sum($"rlen").as("ref_words"))
@@ -716,8 +728,21 @@ object Classify {
       .join(rg.hint("shuffle_hash"), Seq("ref_id", "n", "g"))
       .groupBy($"source", $"n")
       .agg(sum(least($"cc", $"rc")).as("m"))
-    val totals = pairs.hint("shuffle_hash").join(cg, "cand_id")
-      .groupBy($"source", $"n").agg(sum($"cc").as("tt"))
+    // r15: Σ_g cc over a doc's n-grams is len−n+1 by construction
+    // (clipping never applies to totals), so tt is a pure function of
+    // candidate lengths — the second pairs⋈grams join (a full gram-
+    // table exchange keyed by cand_id) is algebra, not data. A
+    // (source, n) row exists in the old totals iff some candidate has
+    // len ≥ n, i.e. iff tt ≥ 1 — the filter preserves the row set.
+    val ttAggs = (1 to 4).map(i =>
+      sum(when($"len" >= i, ($"len" - i + 1).cast("long"))).as(s"__t$i"))
+    val totals = pairs.groupBy($"source")
+      .agg(ttAggs.head, ttAggs.tail: _*)
+      .select($"source", explode(array((1 to 4).map(i =>
+        struct(lit(i).as("n"),
+          coalesce(col(s"__t$i"), lit(0L)).as("tt"))): _*)).as("e"))
+      .select($"source", $"e.n".as("n"), $"e.tt".as("tt"))
+      .filter($"tt" > 0)
     def cell(i: Int, c: String) =
       sum(when($"n" === i, col(c)).otherwise(0L)).as(s"${c}$i")
     val grid = totals.join(matches, Seq("source", "n"), "left")
@@ -845,7 +870,13 @@ object Classify {
   def rougeQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val toks = t(s, dir, "documents")
+    // r15 (the bleuQ restructure, same arguments): spread the gram map
+    // stage; lengths come from space-count+1 without re-splitting the
+    // corpus; ct/rt are pure functions of candidate/reference lengths
+    // (Σ max(len−n+1, 0) — clipping never applies to totals), so the
+    // two extra pairs⋈grams joins are algebra; rlen rides the SAME
+    // lead window that mints ref_id.
+    val toks = graft.Tables.spread(t(s, dir, "documents"))
       .select($"doc_id", $"source", split(lower($"text"), " ").as("w"))
     val grams = toks.select($"doc_id", explode(expr(
         """flatten(transform(array(1, 2), n ->
@@ -855,11 +886,15 @@ object Classify {
           |     array())))""".stripMargin)).as("e"))
       .select($"doc_id", $"e.n".as("n"), Hashing.md5Long60($"e.g").as("g"))
       .groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("c"))
-    val pairs = toks
-      .withColumn("ref_id", lead($"doc_id", 1).over(
-        Window.partitionBy($"source").orderBy($"doc_id")))
+    val w0 = Window.partitionBy($"source").orderBy($"doc_id")
+    val pairs0 = t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        (length($"text") - length(replace($"text", lit(" "), lit("")))
+          + 1).as("len"))
+      .withColumn("ref_id", lead($"doc_id", 1).over(w0))
+      .withColumn("rlen", lead($"len", 1).over(w0))
       .filter($"ref_id".isNotNull)
-      .select($"source", $"doc_id".as("cand_id"), $"ref_id")
+    val pairs = pairs0.select($"source", $"doc_id".as("cand_id"), $"ref_id")
     val cg = grams.withColumnRenamed("doc_id", "cand_id")
       .withColumnRenamed("c", "cc")
     val rg = grams.withColumnRenamed("doc_id", "ref_id")
@@ -869,13 +904,23 @@ object Classify {
     val matches = pairs.hint("shuffle_hash").join(cg, "cand_id")
       .join(rg.hint("shuffle_hash"), Seq("ref_id", "n", "g"))
       .groupBy($"source", $"n").agg(sum(least($"cc", $"rc")).as("m"))
-    val ct = pairs.hint("shuffle_hash").join(cg, "cand_id")
-      .groupBy($"source", $"n").agg(sum($"cc").as("ct"))
-    val rt = pairs.hint("shuffle_hash").join(rg, "ref_id")
-      .groupBy($"source", $"n").agg(sum($"rc").as("rt"))
+    // (source, n) rows existed in the old ct⋈rt inner join iff some
+    // candidate AND some reference had len ≥ n ⟺ both sums > 0
+    val trAggs = (1 to 2).flatMap(i => Seq(
+      sum(when($"len" >= i, ($"len" - i + 1).cast("long"))).as(s"__c$i"),
+      sum(when($"rlen" >= i, ($"rlen" - i + 1).cast("long"))).as(s"__r$i")))
+    val ctrt = pairs0.groupBy($"source")
+      .agg(trAggs.head, trAggs.tail: _*)
+      .select($"source", explode(array((1 to 2).map(i =>
+        struct(lit(i).as("n"),
+          coalesce(col(s"__c$i"), lit(0L)).as("ct"),
+          coalesce(col(s"__r$i"), lit(0L)).as("rt"))): _*)).as("e"))
+      .select($"source", $"e.n".as("n"), $"e.ct".as("ct"),
+        $"e.rt".as("rt"))
+      .filter($"ct" > 0 && $"rt" > 0)
     def cell(i: Int, c: String) =
       sum(when($"n" === i, col(c)).otherwise(0L)).as(s"${c}$i")
-    val grid = ct.join(rt, Seq("source", "n"))
+    val grid = ctrt
       .join(matches, Seq("source", "n"), "left")
       .na.fill(0L, Seq("m"))
       .groupBy($"source")
@@ -991,17 +1036,26 @@ object Classify {
   def chrfQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val ch = t(s, dir, "documents")
+    // r15: spread the char-gram map stage (single-row-group input, the
+    // §2.5 scan-parallelism fix); the pairs/lens branches need only the
+    // space-free LENGTH, which len(replace(text,' ','')) computes
+    // without the corpus lower+regexp pass (lower() preserves length
+    // on this ASCII corpus contract); rlen rides the same lead window
+    // that mints ref_id, dropping both length joins.
+    val ch = graft.Tables.spread(t(s, dir, "documents"))
       .select($"doc_id", $"source",
         regexp_replace(lower($"text"), " ", "").as("c"))
     val grams = ch.select($"doc_id", explode(expr("char_grams(c, 6)")).as("g"))
       .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
-    val pairs = ch
-      .withColumn("ref_id", lead($"doc_id", 1).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"source").orderBy($"doc_id")))
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    val pairs0 = t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        length(replace($"text", lit(" "), lit(""))).as("len"))
+      .withColumn("ref_id", lead($"doc_id", 1).over(w0))
+      .withColumn("rlen", lead($"len", 1).over(w0))
       .filter($"ref_id".isNotNull)
-      .select($"source", $"doc_id".as("cand_id"), $"ref_id")
+    val pairs = pairs0.select($"source", $"doc_id".as("cand_id"), $"ref_id")
     val nOf = shiftright($"g", 56).cast("int")
     val cg = grams.withColumnRenamed("doc_id", "cand_id")
       .withColumnRenamed("cnt", "cc")
@@ -1021,12 +1075,9 @@ object Classify {
     // totals come from one cheap length join — this removes two of the
     // four gram-pipeline evaluations the r12 plan paid (the heavy
     // explode+collapse now feeds ONLY the match join)
-    val lens = ch.select($"doc_id", length($"c").as("len"))
-    val totals = pairs
-      .join(lens.select($"doc_id".as("cand_id"), $"len".as("lc")), "cand_id")
-      .join(lens.select($"doc_id".as("ref_id"), $"len".as("lr")), "ref_id")
+    val totals = pairs0
       .select($"source", explode(expr("sequence(1, 6)")).as("n"),
-        $"lc", $"lr")
+        $"len".as("lc"), $"rlen".as("lr"))
       .groupBy($"source", $"n")
       .agg(sum(greatest($"lc" - $"n" + 1, lit(0))).cast("long").as("ct"),
         sum(greatest($"lr" - $"n" + 1, lit(0))).cast("long").as("rt"))

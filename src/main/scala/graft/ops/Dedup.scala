@@ -35,7 +35,7 @@ object Dedup {
   /** (doc_id, sh) shingle sets for an arbitrary documents frame —
     * the [[shingled]] contract over any (doc_id, text) input. */
   private def shingleSets(docs: DataFrame): DataFrame =
-    docs
+    graft.Tables.spread(docs)
       .withColumn("toks", split(lower(col("text")), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(shinglesExpr).as("sh"))

@@ -217,29 +217,44 @@ object Pii {
           .otherwise(lit("")),
         when($"doc_id" % 5 === 0, lit(" aaaaaaaaaaaaaaaaaaaaaaaa"))
           .otherwise(lit(""))).as("body"))
-    val cand = planted.select($"doc_id",
-      explode(regexp_extract_all($"body", lit(candRe), lit(0))).as("tok"))
-    val ent = cand
-      .select($"doc_id", $"tok", explode(expr(
-        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"))
-        .as("ch"))
-      .groupBy($"doc_id", $"tok", $"ch").agg(count(lit(1)).as("c"))
-      .withColumn("p", $"c".cast("double") / length($"tok"))
-      .withColumn("term",
-        round(-$"p" * log($"p") / log(lit(2d)), 9).cast("decimal(28,9)"))
-      .groupBy($"doc_id", $"tok").agg(sum($"term").as("h"))
-    val perDoc = ent.groupBy($"doc_id")
-      .agg(count(lit(1)).cast("int").as("n_candidates"),
-        sum(when($"h" >= 3.0, 1).otherwise(0)).cast("int")
-          .as("n_high_entropy"))
+    // r15: the per-token char entropy is a pure function of the token,
+    // so the explode-chars → groupBy(doc,tok,ch) → groupBy(doc,tok) →
+    // groupBy(doc) three-shuffle cascade (8-Exchange plan, 9.0 s at
+    // sf0.1 — the suite's slowest query) collapses into ONE map-side
+    // projection with higher-order functions: per distinct token,
+    // per distinct char, p = in-token frequency; terms round to 9 dp
+    // and merge as DECIMAL exactly like the old sum(decimal) — decimal
+    // addition is exact and order-free, so every h (and the ≥3.0 flag)
+    // is bit-identical to the shuffled form. n_candidates counted the
+    // DISTINCT (doc, tok) groups; array_distinct preserves that. Docs
+    // with no candidate token were dropped by the old inner join; the
+    // planted AKIA key guarantees ≥1 candidate per doc, and the filter
+    // keeps the old semantics explicit. The plan is now scan → project
+    // → TakeOrderedAndProject: zero exchanges.
+    val hExpr =
+      """aggregate(
+        |  array_distinct(transform(sequence(1, length(tok)),
+        |    i -> substring(tok, i, 1))),
+        |  cast(0 as decimal(20,9)),
+        |  (acc, c) -> cast(acc + cast(round(
+        |    -(size(filter(transform(sequence(1, length(tok)),
+        |        i -> substring(tok, i, 1)), x -> x = c))
+        |      / cast(length(tok) as double))
+        |    * ln(size(filter(transform(sequence(1, length(tok)),
+        |        i -> substring(tok, i, 1)), x -> x = c))
+        |      / cast(length(tok) as double)) / ln(2.0D), 9)
+        |    as decimal(20,9)) as decimal(20,9)))""".stripMargin
     planted
+      .withColumn("toks",
+        array_distinct(regexp_extract_all($"body", lit(candRe), lit(0))))
+      .filter(size($"toks") > 0)
       .select($"doc_id",
         size(regexp_extract_all($"body", lit(keyRe), lit(0))).as("n_keys"),
+        size($"toks").as("n_candidates"),
+        size(expr(s"filter(toks, tok -> $hExpr >= 3.0)"))
+          .as("n_high_entropy"),
         regexp_replace(regexp_replace($"body", keyRe, "[KEY]"),
           tokRe, "[TOKEN]").as("redacted"))
-      .join(perDoc, "doc_id")
-      .select($"doc_id", $"n_keys", $"n_candidates", $"n_high_entropy",
-        $"redacted")
       .orderBy($"doc_id")
       .limit(300)
   }
