@@ -482,7 +482,7 @@ object Colloc {
         java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
     val floor = textrankFloor(t(s, dir, "documents").count())
     val stops = Seq("the", "a", "of", "and", "to", "in")
-    val tk = Text.withToks(s, dir)
+    val tk = Text.withToks(s, dir, spread = true)
       .select($"doc_id", posexplode($"toks").as(Seq("pos", "term")))
       .filter(!$"term".isin(stops: _*) && length($"term") >= 1)
     val edges = tk.as("x").join(tk.as("y"),

@@ -25,8 +25,18 @@ object Text {
 
   /** documents + a `toks` column; single tokenization point so every
     * operator (and the oracle SQL) agrees on the token stream. */
-  private[ops] def withToks(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").withColumn("toks", split(lower(col("text")), " "))
+  /** `spread = true` adds the [[graft.Tables.spread]] scan-parallelism
+    * guard — ONLY for consumers whose per-doc compute dominates one
+    * extra pass of the corpus bytes (A/B'd at sf0.1: mtld −1.1 s,
+    * repetition −0.4 s, textrank/novelty −0.15 s; queries that filter
+    * to a doc subset LOSE pushdown through the repartition and
+    * regressed, so the default stays unspread). */
+  private[ops] def withToks(s: SparkSession, dir: String,
+      spread: Boolean = false): DataFrame = {
+    val docs = t(s, dir, "documents")
+    (if (spread) graft.Tables.spread(docs) else docs)
+      .withColumn("toks", split(lower(col("text")), " "))
+  }
 
   private[ops] val toksSql = "string_split(lower(text), ' ')"
 
@@ -1086,7 +1096,7 @@ object Text {
   def novelty(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val sh = withToks(s, dir)
+    val sh = withToks(s, dir, spread = true)
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(expr(
         "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))"))
@@ -1393,7 +1403,7 @@ object Text {
          |    'run', if(x = st.prev, st.run + 1L, 1L),
          |    'best', greatest(st.best, if(x = st.prev, st.run + 1L, 1L))),
          |  st -> st.best)""".stripMargin
-    withToks(s, dir)
+    withToks(s, dir, spread = true)
       .withColumn("bigrams", expr(
         """if(size(toks) < 2, array(),
           |  transform(sequence(1, size(toks) - 1),
@@ -2167,7 +2177,7 @@ object Text {
          |  st -> st.f + if(st.cnt > 0,
          |    (1.0 - size(st.seen) / cast(st.cnt as double)) / 0.28, 0.0))"""
         .stripMargin
-    withToks(s, dir)
+    withToks(s, dir, spread = true)
       .filter(size($"toks") >= 10)
       .select($"doc_id", $"toks", size($"toks").as("n_toks"))
       .withColumn("ff", expr(fold("toks")))
