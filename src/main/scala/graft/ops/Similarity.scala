@@ -479,7 +479,9 @@ object Similarity {
     val crawl = base.unionByName(
       base.filter($"vec_id" % 5 === 0)
         .withColumn("vec_id", $"vec_id" + 1000000000L))
-    val edges = knnGraph(widened(crawl), k = 5)
+    // spread the SRP-hash map stage (8 tables × b bits × 64-dim dots
+    // per vector ran in the single scan partition; guide §2.5)
+    val edges = knnGraph(widened(graft.Tables.spread(crawl)), k = 5)
       .select($"query_id", $"vec_id".as("twin_id"), lit(1).as("ing"))
     val twins = base.filter($"vec_id" % 5 === 0)
       .select($"vec_id".as("a"), ($"vec_id" + 1000000000L).as("b"))

@@ -3084,62 +3084,71 @@ object Stats {
     val dense = grid.crossJoin(broadcast(series))
       .join(hourly, Seq("hour", "event_type"), "left")
       .select($"event_type", $"hour", coalesce($"cnt", lit(0L)).as("x"))
+    // r15 (guide §2.4 — remove shuffles outright): the five lag
+    // windows share one spec, so ALL five lag columns ride ONE window
+    // node; the whole-frame stats (tt/sx/sxx) fold into the SAME
+    // per-series aggregate (the window's hash partitioning already
+    // satisfies the groupBy distribution — zero extra exchange); and
+    // because the ≤5-lag Durbin–Levinson recursion then lives on a
+    // ONE-ROW-PER-SERIES frame, it unrolls into straight column
+    // arithmetic — no per-step joins, no checkpoints (the 42-Exchange,
+    // ~30-job plan this replaces). Every numeric chain is copied
+    // verbatim from the stepwise form: ρ_k's xbar/c0/ck expressions,
+    // the round(·,12) DECIMAL term merges (decimal(25,12): ≤4-term
+    // chains stay exact within precision), and the round(·,9) at each
+    // recursion quantity — so both engines still run Durbin–Levinson
+    // on identical numbers.
     val w = Window.partitionBy($"event_type").orderBy($"hour")
-    val glob = dense.groupBy($"event_type")
-      .agg(count(lit(1)).as("tt"), sum($"x").as("sx"),
-        sum($"x" * $"x").as("sxx"))
-    def lagStats(k: Int): DataFrame = dense
-      .withColumn("y", lag($"x", k).over(w))
-      .filter($"y".isNotNull)
-      .groupBy($"event_type")
-      .agg(count(lit(1)).as("nk"), sum($"x" * $"y").as("sxy"),
-        sum($"x").as("sxl"), sum($"y").as("slx"))
-      .withColumn("k", lit(k))
-    val rho = (1 to 5).map(lagStats).reduce(_ unionByName _)
-      .join(glob, "event_type")
+    var lagged = dense
+    (1 to 5).foreach { k =>
+      lagged = lagged.withColumn(s"y$k", lag($"x", k).over(w))
+    }
+    val lagAggs =
+      Seq(count(lit(1)).as("tt"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx")) ++
+      (1 to 5).flatMap { k =>
+        Seq(sum(when(col(s"y$k").isNotNull, 1L)).as(s"nk$k"),
+          sum($"x" * col(s"y$k")).as(s"sxy$k"),
+          sum(when(col(s"y$k").isNotNull, $"x")).as(s"sxl$k"),
+          sum(col(s"y$k")).as(s"slx$k"))
+      }
+    var g = lagged.groupBy($"event_type")
+      .agg(lagAggs.head, lagAggs.tail: _*)
       .withColumn("xbar", $"sx".cast("double") / $"tt")
       .withColumn("c0",
         $"sxx".cast("double") - $"sx".cast("double") * $"xbar")
-      .withColumn("ck",
-        $"sxy".cast("double") - $"xbar" * ($"sxl" + $"slx").cast("double")
-          + $"nk".cast("double") * $"xbar" * $"xbar")
-      .select($"event_type", $"k", round($"ck" / $"c0", 9).as("rho"))
-      .checkpoint()
-    var phi = rho.filter($"k" === 1)
-      .select($"event_type", lit(1).as("j"), $"rho".as("v"))
-    var heads = rho.filter($"k" === 1)
-      .select($"event_type", lit(1).as("lag"), $"rho".as("pacf"))
-    for (k <- 2 to 5) {
-      val sums = phi.as("p")
-        .join(rho.as("rn"), $"p.event_type" === $"rn.event_type" &&
-          $"rn.k" === lit(k) - $"p.j")
-        .join(rho.as("rj"), $"p.event_type" === $"rj.event_type" &&
-          $"rj.k" === $"p.j")
-        .groupBy($"p.event_type".as("event_type"))
-        .agg(sum(round($"p.v" * $"rn.rho", 12).cast("decimal(38,12)"))
-            .cast("double").as("num_s"),
-          sum(round($"p.v" * $"rj.rho", 12).cast("decimal(38,12)"))
-            .cast("double").as("den_s"))
-      val head = sums.join(rho.filter($"k" === k), "event_type")
-        .select($"event_type",
-          round(($"rho" - $"num_s") / (lit(1.0) - $"den_s"), 9).as("head"))
-      val phiM = phi.select($"event_type", (lit(k) - $"j").as("j"),
-        $"v".as("vm"))
-      phi = phi.join(phiM, Seq("event_type", "j"))
-        .join(head, "event_type")
-        .select($"event_type", $"j",
-          round($"v" - $"head" * $"vm", 9).as("v"))
-        .unionByName(head.select($"event_type", lit(k).as("j"),
-          $"head".as("v")))
-        .checkpoint()
-      heads = heads.unionByName(head.select($"event_type",
-        lit(k).as("lag"), $"head".as("pacf")))
+    (1 to 5).foreach { k =>
+      val ck = col(s"sxy$k").cast("double") -
+        $"xbar" * (col(s"sxl$k") + col(s"slx$k")).cast("double") +
+        col(s"nk$k").cast("double") * $"xbar" * $"xbar"
+      g = g.withColumn(s"rho$k", round(ck / $"c0", 9))
     }
-    heads
-      .join(rho.select($"event_type", $"k".as("lag"), $"rho"),
-        Seq("event_type", "lag"))
-      .select($"event_type", $"lag".cast("long").as("lag"),
-        $"rho".as("acf"), $"pacf")
+    // unrolled recursion, one NAMED column per φ_{k,j}: composing raw
+    // Column trees duplicated every prior level's subtree (≈2^k nodes
+    // — measured 1.3 s of pure planning/codegen); named columns keep
+    // each level's expression referencing attributes, and Catalyst's
+    // CollapseProject declines to inline multi-referenced non-cheap
+    // aliases, so the optimized plan stays linear in k.
+    def dsum(terms: Seq[Column]): Column =
+      terms.map(t => round(t, 12).cast("decimal(25,12)"))
+        .reduce(_ + _).cast("double")
+    def ph(k: Int, j: Int) = col(s"__phi_${k}_$j")
+    g = g.withColumn("__phi_1_1", $"rho1")
+    for (k <- 2 to 5) {
+      val numS = dsum((1 until k).map(j => ph(k - 1, j) * col(s"rho${k - j}")))
+      val denS = dsum((1 until k).map(j => ph(k - 1, j) * col(s"rho$j")))
+      g = g.withColumn(s"__phi_${k}_$k",
+        round((col(s"rho$k") - numS) / (lit(1.0) - denS), 9))
+      for (j <- 1 until k)
+        g = g.withColumn(s"__phi_${k}_$j",
+          round(ph(k - 1, j) - ph(k, k) * ph(k - 1, k - j), 9))
+    }
+    (1 to 5).foreach { k => g = g.withColumn(s"pacf$k", ph(k, k)) }
+    g.select($"event_type", explode(array((1 to 5).map(k =>
+        struct(lit(k).cast("long").as("lag"), col(s"rho$k").as("acf"),
+          col(s"pacf$k").as("pacf"))): _*)).as("e"))
+      .select($"event_type", $"e.lag".as("lag"), $"e.acf".as("acf"),
+        $"e.pacf".as("pacf"))
       .orderBy($"event_type", $"lag")
   }
 
