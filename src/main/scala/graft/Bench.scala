@@ -68,6 +68,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosConf, "true")
       .config("spark.ui.enabled", "false")
+      // r15: AQE materializes independent query stages concurrently, so
+      // codegenStageId numbering varies run-to-run; with the id embedded
+      // in the generated class NAME (default), a re-run of the IDENTICAL
+      // query produces byte-different sources → codegen-cache miss → a
+      // Janino recompile inside the TIMED run with all other task threads
+      // parked on the compile KeyLock (thread-dump-verified; q_eval_chrf
+      // warm run: 6-12 recompiles ≈ +2-8 s). Constant class names make
+      // the cache key the structural source; entries are raised so
+      // shapes shared ACROSS queries survive the suite.
+      .config("spark.sql.codegen.useIdInClassName", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // task spill accounting — local mode: all executors in this JVM

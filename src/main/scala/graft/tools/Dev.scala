@@ -74,6 +74,10 @@ object Dev {
       .config("spark.sql.adaptive.enabled", "true")
       .config(graft.Tables.nanosConf, "true")
       .config("spark.ui.enabled", "false")
+      // deterministic codegen-cache keys across AQE stage-number jitter
+      // (see Bench.scala) — cuts warm-run Janino recompile storms
+      .config("spark.sql.codegen.useIdInClassName", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
@@ -104,6 +108,52 @@ object Dev {
         val t0 = System.nanoTime()
         spark.sql(args(1)).show(50, truncate = false)
         println(f"SQL WALL: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      case "sqltime" =>
+        // warm noop-sink timing of a raw SQL probe: N iterations in one
+        // JVM (first is codegen/JIT warmup), per-iteration wall printed —
+        // the micro-A/B harness for isolating a pipeline stage's cost
+        graft.Tables.registerAll(spark, dir)
+        graft.functions.GraftFunctions.register(spark)
+        val iters = if (args.length > 3) args(3).toInt else 3
+        def gcMs(): Long = {
+          import scala.jdk.CollectionConverters._
+          java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+            .asScala.map(_.getCollectionTime).sum
+        }
+        val stLines = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+        val stTask = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Int)]()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val si = s.stageInfo
+              val wall = (for { a <- si.completionTime; b <- si.submissionTime } yield a - b).getOrElse(0L)
+              stLines.put(si.stageId, f"stage ${si.stageId}%3d wall=${wall / 1e3}%7.3f s tasks=${si.numTasks}%4d shufR=${si.taskMetrics.shuffleReadMetrics.totalBytesRead / 1e6}%8.1f MB shufW=${si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6}%8.1f MB")
+            }
+            override def onTaskEnd(
+                t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              val m = t.taskMetrics
+              if (m != null) stTask.compute(t.stageId, (_, v) => {
+                val (tot, mx, n) = if (v == null) (0L, 0L, 0) else v
+                (tot + m.executorRunTime, math.max(mx, m.executorRunTime), n + 1)
+              })
+            }
+          })
+        for (i <- 0 until iters) {
+          if (i == iters - 1) { stLines.clear(); stTask.clear() }
+          val g0 = gcMs()
+          val t0 = System.nanoTime()
+          spark.sql(args(1)).write.format("noop").mode("overwrite").save()
+          println(f"SQLTIME iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s gc=${(gcMs() - g0) / 1e3}%.2f s")
+        }
+        Thread.sleep(500)
+        locally {
+          import scala.jdk.CollectionConverters._
+          stLines.asScala.toSeq.sortBy(_._1).foreach { case (id, line) =>
+            val (tot, mx, n) = stTask.getOrDefault(id, (0L, 0L, 0))
+            println(line + f"  taskSum=${tot / 1e3}%7.3f s taskMax=${mx / 1e3}%6.3f s n=$n%d")
+          }
+        }
       case "dump" =>
         // single-query verify dump (same shape Verify.scala writes), so
         // one new query can be oracle-checked without a full sweep

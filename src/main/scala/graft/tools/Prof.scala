@@ -17,6 +17,10 @@ object Prof {
       .config("spark.sql.session.timeZone", "UTC")
       .config(graft.Tables.nanosConf, "true")
       .config("spark.ui.enabled", "false")
+      // deterministic codegen-cache keys across AQE stage-number jitter
+      // (see Bench.scala) — cuts warm-run Janino recompile storms
+      .config("spark.sql.codegen.useIdInClassName", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
