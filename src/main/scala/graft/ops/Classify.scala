@@ -705,17 +705,16 @@ object Classify {
           |     array())))""".stripMargin)).as("e"))
       .select($"doc_id", $"e.n".as("n"), Hashing.md5Long60($"e.g").as("g"))
       .groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("c"))
-    val pairs = lens0
-      .withColumn("ref_id", lead($"doc_id", 1).over(
-        Window.partitionBy($"source").orderBy($"doc_id")))
+    // r15: the reference length rides the SAME lead window that mints
+    // ref_id (one Window exec), replacing the old pairs⋈lens0 re-join
+    // for rlen — lead(len) over the identical spec IS the ref's len.
+    val w0 = Window.partitionBy($"source").orderBy($"doc_id")
+    val pairs0 = lens0
+      .withColumn("ref_id", lead($"doc_id", 1).over(w0))
+      .withColumn("rlen", lead($"len", 1).over(w0))
       .filter($"ref_id".isNotNull)
-      .select($"source", $"doc_id".as("cand_id"), $"ref_id", $"len")
-    val lens = pairs
-      .join(lens0.select($"doc_id".as("ref_id"), $"len".as("rlen")),
-        "ref_id")
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_pairs"), sum($"len").as("cand_words"),
-        sum($"rlen").as("ref_words"))
+      .select($"source", $"doc_id".as("cand_id"), $"ref_id", $"len",
+        $"rlen")
     val cg = grams.withColumnRenamed("doc_id", "cand_id")
       .withColumnRenamed("c", "cc")
     val rg = grams.withColumnRenamed("doc_id", "ref_id")
@@ -723,33 +722,36 @@ object Classify {
     // the gram aggregate is millions of rows — Catalyst's post-explode
     // size estimate can pick a broadcast build of it (the chrF r13
     // finding); pin the distributed hash join, building the narrow
-    // pairs side where it is one of the sides
-    val matches = pairs.hint("shuffle_hash").join(cg, "cand_id")
+    // pairs side where it is one of the sides. r15: the per-(source,n)
+    // match sums pivot straight to per-source columns in the SAME
+    // aggregate (Σ over join rows of when(n=i, least) ≡ the old
+    // two-step (source,n)-then-source sum), dropping one exchange and
+    // the whole (source,n) grid join.
+    val mCells = (1 to 4).map(i =>
+      sum(when($"n" === i, least($"cc", $"rc")).otherwise(0L))
+        .as(s"m$i"))
+    val matchesW = pairs0
+      .select($"source", $"cand_id", $"ref_id")
+      .hint("shuffle_hash").join(cg, "cand_id")
       .join(rg.hint("shuffle_hash"), Seq("ref_id", "n", "g"))
-      .groupBy($"source", $"n")
-      .agg(sum(least($"cc", $"rc")).as("m"))
+      .groupBy($"source")
+      .agg(mCells.head, mCells.tail: _*)
     // r15: Σ_g cc over a doc's n-grams is len−n+1 by construction
     // (clipping never applies to totals), so tt is a pure function of
     // candidate lengths — the second pairs⋈grams join (a full gram-
-    // table exchange keyed by cand_id) is algebra, not data. A
-    // (source, n) row exists in the old totals iff some candidate has
-    // len ≥ n, i.e. iff tt ≥ 1 — the filter preserves the row set.
-    val ttAggs = (1 to 4).map(i =>
-      sum(when($"len" >= i, ($"len" - i + 1).cast("long"))).as(s"__t$i"))
-    val totals = pairs.groupBy($"source")
-      .agg(ttAggs.head, ttAggs.tail: _*)
-      .select($"source", explode(array((1 to 4).map(i =>
-        struct(lit(i).as("n"),
-          coalesce(col(s"__t$i"), lit(0L)).as("tt"))): _*)).as("e"))
-      .select($"source", $"e.n".as("n"), $"e.tt".as("tt"))
-      .filter($"tt" > 0)
-    def cell(i: Int, c: String) =
-      sum(when($"n" === i, col(c)).otherwise(0L)).as(s"${c}$i")
-    val grid = totals.join(matches, Seq("source", "n"), "left")
-      .na.fill(0L, Seq("m"))
-      .groupBy($"source")
-      .agg(cell(1, "m"), cell(2, "m"), cell(3, "m"), cell(4, "m"),
-        cell(1, "tt"), cell(2, "tt"), cell(3, "tt"), cell(4, "tt"))
+    // table exchange keyed by cand_id) is algebra, not data; and the
+    // old totals-explode → (source,n) grid join → re-pivot is the
+    // identity on these wide columns, so lengths, pair count and tt
+    // all come from ONE per-source aggregate. tt_i for a source where
+    // no candidate has len ≥ i was 0 in the old grid (its (source,i)
+    // row was filtered out, so the pivot summed nothing) — coalesce
+    // reproduces exactly that 0.
+    val psAggs = Seq(count(lit(1)).as("n_pairs"),
+      sum($"len").as("cand_words"), sum($"rlen").as("ref_words")) ++
+      (1 to 4).map(i => coalesce(sum(when($"len" >= i,
+        ($"len" - i + 1).cast("long"))), lit(0L)).as(s"tt$i"))
+    val perSource = pairs0.groupBy($"source")
+      .agg(psAggs.head, psAggs.tail: _*)
     // tt_i = 0 (every candidate in a source shorter than i tokens) would
     // hit engine-divergent zero-divide semantics (Spark NULL vs DuckDB
     // NaN); short-circuit to 0.0 in both engines, like the bleu column.
@@ -758,7 +760,8 @@ object Classify {
     val bp = when($"cand_words" >= $"ref_words", lit(1.0))
       .otherwise(exp(lit(1.0) - $"ref_words".cast("double")
         / $"cand_words".cast("double")))
-    lens.join(grid, "source")
+    perSource.join(matchesW, Seq("source"), "left")
+      .na.fill(0L, (1 to 4).map(i => s"m$i"))
       .select($"source", $"n_pairs",
         $"cand_words".cast("long").as("cand_words"),
         $"ref_words".cast("long").as("ref_words"),
@@ -894,46 +897,46 @@ object Classify {
       .withColumn("ref_id", lead($"doc_id", 1).over(w0))
       .withColumn("rlen", lead($"len", 1).over(w0))
       .filter($"ref_id".isNotNull)
-    val pairs = pairs0.select($"source", $"doc_id".as("cand_id"), $"ref_id")
     val cg = grams.withColumnRenamed("doc_id", "cand_id")
       .withColumnRenamed("c", "cc")
     val rg = grams.withColumnRenamed("doc_id", "ref_id")
       .withColumnRenamed("c", "rc")
     // pin distributed hash joins on the gram-aggregate sides (the chrF
-    // r13 broadcast-blowup finding; same shape here)
-    val matches = pairs.hint("shuffle_hash").join(cg, "cand_id")
+    // r13 broadcast-blowup finding; same shape here). r15: per-(source,
+    // n) match sums pivot straight to per-source columns in the SAME
+    // aggregate, dropping one exchange and the (source,n) grid join.
+    val mCells = (1 to 2).map(i =>
+      sum(when($"n" === i, least($"cc", $"rc")).otherwise(0L))
+        .as(s"m$i"))
+    val matchesW = pairs0
+      .select($"source", $"doc_id".as("cand_id"), $"ref_id")
+      .hint("shuffle_hash").join(cg, "cand_id")
       .join(rg.hint("shuffle_hash"), Seq("ref_id", "n", "g"))
-      .groupBy($"source", $"n").agg(sum(least($"cc", $"rc")).as("m"))
-    // (source, n) rows existed in the old ct⋈rt inner join iff some
-    // candidate AND some reference had len ≥ n ⟺ both sums > 0
-    val trAggs = (1 to 2).flatMap(i => Seq(
-      sum(when($"len" >= i, ($"len" - i + 1).cast("long"))).as(s"__c$i"),
-      sum(when($"rlen" >= i, ($"rlen" - i + 1).cast("long"))).as(s"__r$i")))
-    val ctrt = pairs0.groupBy($"source")
-      .agg(trAggs.head, trAggs.tail: _*)
-      .select($"source", explode(array((1 to 2).map(i =>
-        struct(lit(i).as("n"),
-          coalesce(col(s"__c$i"), lit(0L)).as("ct"),
-          coalesce(col(s"__r$i"), lit(0L)).as("rt"))): _*)).as("e"))
-      .select($"source", $"e.n".as("n"), $"e.ct".as("ct"),
-        $"e.rt".as("rt"))
-      .filter($"ct" > 0 && $"rt" > 0)
-    def cell(i: Int, c: String) =
-      sum(when($"n" === i, col(c)).otherwise(0L)).as(s"${c}$i")
-    val grid = ctrt
-      .join(matches, Seq("source", "n"), "left")
-      .na.fill(0L, Seq("m"))
-      .groupBy($"source")
-      .agg(cell(1, "m"), cell(2, "m"), cell(1, "ct"), cell(2, "ct"),
-        cell(1, "rt"), cell(2, "rt"))
-    val nPairs = pairs.groupBy($"source").agg(count(lit(1)).as("n_pairs"))
+      .groupBy($"source").agg(mCells.head, mCells.tail: _*)
+    // ct/rt are pure length algebra, and (r15) the old wide-agg →
+    // struct-explode → (source,n) left-join-matches → re-pivot was
+    // the identity on these wide columns: an old grid m_i was summed
+    // over ctrt's (source,i) row, which existed iff ct_i>0 AND
+    // rt_i>0 — but m_i>0 already implies a candidate AND a reference
+    // gram of order i exist (both totals > 0), so pivoting matches
+    // directly yields the same m_i, and ct_i/rt_i are the same sums
+    // with the filtered-row 0 reproduced by the otherwise-0 when.
+    val psAggs = count(lit(1)).as("n_pairs") +:
+      (1 to 2).flatMap(i => Seq(
+        coalesce(sum(when($"len" >= i, ($"len" - i + 1).cast("long"))),
+          lit(0L)).as(s"ct$i"),
+        coalesce(sum(when($"rlen" >= i, ($"rlen" - i + 1).cast("long"))),
+          lit(0L)).as(s"rt$i")))
+    val perSource = pairs0.groupBy($"source")
+      .agg(psAggs.head, psAggs.tail: _*)
     def p(i: Int) = when(col(s"ct$i") === 0L, lit(0.0))
       .otherwise(col(s"m$i").cast("double") / col(s"ct$i").cast("double"))
     def r(i: Int) = when(col(s"rt$i") === 0L, lit(0.0))
       .otherwise(col(s"m$i").cast("double") / col(s"rt$i").cast("double"))
     def f(i: Int) = when(col(s"m$i") === 0L, lit(0.0))
       .otherwise(lit(2.0) * p(i) * r(i) / (p(i) + r(i)))
-    nPairs.join(grid, "source")
+    perSource.join(matchesW, Seq("source"), "left")
+      .na.fill(0L, (1 to 2).map(i => s"m$i"))
       .select($"source", $"n_pairs",
         $"m1".cast("long").as("m1"), $"m2".cast("long").as("m2"),
         round(p(1), 6).as("rouge1_p"), round(r(1), 6).as("rouge1_r"),
@@ -1055,7 +1058,6 @@ object Classify {
       .withColumn("ref_id", lead($"doc_id", 1).over(w0))
       .withColumn("rlen", lead($"len", 1).over(w0))
       .filter($"ref_id".isNotNull)
-    val pairs = pairs0.select($"source", $"doc_id".as("cand_id"), $"ref_id")
     val nOf = shiftright($"g", 56).cast("int")
     val cg = grams.withColumnRenamed("doc_id", "cand_id")
       .withColumnRenamed("cnt", "cc")
@@ -1066,32 +1068,34 @@ object Classify {
     // of the ref-gram side (measured: a 46M-row single-threaded
     // HashedRelation, 215 s of the 147 s→258 s sf1 regression); pin
     // the distributed hash join explicitly — at any real scale this
-    // side is never broadcastable
-    val matches = pairs.hint("shuffle_hash").join(cg, "cand_id")
+    // side is never broadcastable. r15: the per-(source,n) match sums
+    // pivot straight to per-source columns in the SAME aggregate
+    // (Σ over join rows of when(n=i, least) ≡ the old two-step
+    // (source,n)-then-source sum), dropping one exchange and the
+    // whole (source,n) grid join.
+    val mCells = (1 to 6).map(i =>
+      sum(when(nOf === i, least($"cc", $"rc")).otherwise(0L))
+        .as(s"m$i"))
+    val matchesW = pairs0
+      .select($"source", $"doc_id".as("cand_id"), $"ref_id")
+      .hint("shuffle_hash").join(cg, "cand_id")
       .join(rg.hint("shuffle_hash"), Seq("ref_id", "g"))
-      .groupBy($"source", nOf.as("n")).agg(sum(least($"cc", $"rc")).as("m"))
+      .groupBy($"source").agg(mCells.head, mCells.tail: _*)
     // ct/rt never need the gram table: the total gram occurrences of
     // order n in a doc is just max(len − n + 1, 0), so the per-order
-    // totals come from one cheap length join — this removes two of the
-    // four gram-pipeline evaluations the r12 plan paid (the heavy
-    // explode+collapse now feeds ONLY the match join)
-    val totals = pairs0
-      .select($"source", explode(expr("sequence(1, 6)")).as("n"),
-        $"len".as("lc"), $"rlen".as("lr"))
-      .groupBy($"source", $"n")
-      .agg(sum(greatest($"lc" - $"n" + 1, lit(0))).cast("long").as("ct"),
-        sum(greatest($"lr" - $"n" + 1, lit(0))).cast("long").as("rt"))
-    val ct = totals.select($"source", $"n", $"ct")
-    val rt = totals.select($"source", $"n", $"rt")
-    def cell(i: Int, c: String) =
-      sum(when($"n" === i, col(c)).otherwise(0L)).as(s"${c}$i")
-    val grid = ct.join(rt, Seq("source", "n"))
-      .join(matches, Seq("source", "n"), "left")
-      .na.fill(0L, Seq("m"))
-      .groupBy($"source")
-      .agg(cell(1, "m"), (1 to 6).flatMap(i =>
-        Seq(cell(i, "m"), cell(i, "ct"), cell(i, "rt"))).drop(1): _*)
-    val nPairs = pairs.groupBy($"source").agg(count(lit(1)).as("n_pairs"))
+    // totals are pure length algebra — and (r15) the old
+    // sequence-explode → (source,n) self-join of ct with rt → re-pivot
+    // was the identity on these wide columns, so totals, ct/rt and the
+    // pair count all come from ONE per-source aggregate (the nPairs
+    // subtree and the ct⋈rt join are gone; values are the same
+    // integer sums).
+    val psAggs = count(lit(1)).as("n_pairs") +:
+      (1 to 6).flatMap(i => Seq(
+        sum(greatest($"len" - i + 1, lit(0))).cast("long").as(s"ct$i"),
+        sum(greatest($"rlen" - i + 1, lit(0))).cast("long")
+          .as(s"rt$i")))
+    val perSource = pairs0.groupBy($"source")
+      .agg(psAggs.head, psAggs.tail: _*)
     def p(i: Int) = when(col(s"ct$i") === 0L, lit(0.0))
       .otherwise(col(s"m$i").cast("double") / col(s"ct$i").cast("double"))
     def r(i: Int) = when(col(s"rt$i") === 0L, lit(0.0))
@@ -1100,7 +1104,8 @@ object Classify {
     val chrr = (r(1) + r(2) + r(3) + r(4) + r(5) + r(6)) / lit(6.0)
     val chrf2 = when(chrp + chrr === 0.0, lit(0.0))
       .otherwise(lit(5.0) * chrp * chrr / (lit(4.0) * chrp + chrr))
-    nPairs.join(grid, "source")
+    perSource.join(matchesW, Seq("source"), "left")
+      .na.fill(0L, (1 to 6).map(i => s"m$i"))
       .select($"source", $"n_pairs",
         $"m1".cast("long").as("m1"), $"m6".cast("long").as("m6"),
         round(chrp, 6).as("chrf_p"), round(chrr, 6).as("chrf_r"),
