@@ -16,9 +16,43 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized base-table HANDLES per (session, dir, name, listing
+    * fingerprint) — plan metadata only, never data: each
+    * `spark.read.parquet` call re-lists the path and re-reads parquet
+    * footers to build a fresh relation (~70–100 ms), and a 459-query
+    * bench run pays that per table REFERENCE per run. The cached object
+    * is the immutable analyzed DataFrame; every query still plans its
+    * own operators (filter pushdown / column pruning are per-query,
+    * applied above the shared relation) and every action still reads
+    * the parquet files. The listing fingerprint (names/sizes/mtimes —
+    * a stat, no data read) keeps the handle honest when a table is
+    * regenerated behind the same path mid-session (the
+    * [[graft.ops.Artifacts]] in-place-replacement contract, exercised
+    * by ArtifactsSpec): changed files → new key → fresh relation. */
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, String), DataFrame]()
+
+  private def listingFp(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(path)
+    def stat(p: java.nio.file.Path): String =
+      s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    if (Files.isDirectory(d)) {
+      val stream = Files.list(d)
+      try stream.iterator().asScala.toSeq.sortBy(_.toString)
+        .map(stat).mkString("\n")
+      finally stream.close()
+    } else if (Files.exists(d)) stat(d)
+    else s"$d:absent"
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    handles.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name,
+        listingFp(s"$dir/$name.parquet")), _ =>
+        if (name == "events") events(spark, dir)
+        else spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Conf required to read events.parquet; entrypoints (Verify/Bench/Dev/
     * tests) set it once at session-build time so loading events has no

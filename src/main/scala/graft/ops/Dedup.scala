@@ -197,9 +197,11 @@ object Dedup {
       .distinct()
     val j = size(array_intersect($"a.sh", $"b.sh")).cast("double") /
       size(array_union($"a.sh", $"b.sh"))
+    // r15: pin distributed hash joins for the verify (same broadcast-
+    // of-fat-array-frame finding as containmentQ)
     cand
-      .join(sh.as("a"), $"doc_a" === $"a.doc_id")
-      .join(sh.as("b"), $"doc_b" === $"b.doc_id")
+      .join(sh.as("a").hint("shuffle_hash"), $"doc_a" === $"a.doc_id")
+      .join(sh.as("b").hint("shuffle_hash"), $"doc_b" === $"b.doc_id")
       .select($"doc_a", $"doc_b", j.as("jacc"))
       .filter($"jacc" >= 0.8)
       .select($"doc_a", $"doc_b", round($"jacc", 6).as("jaccard"))
@@ -639,7 +641,11 @@ object Dedup {
     * reported so isolated k-gram coincidences stay out. */
   def substringSpans(docs: DataFrame, k: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs
+    // r15 (guide §2.5): the per-position substring explode is the
+    // expensive map stage and the single-row-group test file plans ONE
+    // scan partition (measured: one 2.4 s task wrote the whole 35 MB
+    // gram exchange) — spread first; identity on many-split tables
+    val grams = graft.Tables.spread(docs)
       .select(col("doc_id"), lower(col("text")).as("txt"))
       .filter(length(col("txt")) >= k)
       .select(col("doc_id"), posexplode(expr(
@@ -999,9 +1005,14 @@ object Dedup {
       .select(least($"x.doc_id", $"y.doc_id").as("doc_a"),
         greatest($"x.doc_id", $"y.doc_id").as("doc_b"))
       .distinct()
+    // r15: pin distributed hash joins for the verify — AQE was
+    // broadcasting the shingle-ARRAY frame twice (two serial 1.6 s
+    // single-task relation builds of fat array rows; the cand/probe
+    // exchanges it saves are KB-sized), and at scale the shingle frame
+    // is corpus-sized and never broadcastable anyway
     cand
-      .join(sh.as("a"), $"doc_a" === $"a.doc_id")
-      .join(sh.as("b"), $"doc_b" === $"b.doc_id")
+      .join(sh.as("a").hint("shuffle_hash"), $"doc_a" === $"a.doc_id")
+      .join(sh.as("b").hint("shuffle_hash"), $"doc_b" === $"b.doc_id")
       .select($"doc_a", $"doc_b",
         size(array_intersect($"a.sh", $"b.sh")).cast("long").as("n_common"),
         least(size($"a.sh"), size($"b.sh")).cast("long").as("min_size"))
@@ -1065,9 +1076,11 @@ object Dedup {
       .distinct()
     val j = size(array_intersect($"a.sh", $"b.sh")).cast("double") /
       size(array_union($"a.sh", $"b.sh"))
+    // r15: pin distributed hash joins for the verify (same broadcast-
+    // of-fat-array-frame finding as containmentQ)
     cand
-      .join(sh.as("a"), $"doc_a" === $"a.doc_id")
-      .join(sh.as("b"), $"doc_b" === $"b.doc_id")
+      .join(sh.as("a").hint("shuffle_hash"), $"doc_a" === $"a.doc_id")
+      .join(sh.as("b").hint("shuffle_hash"), $"doc_b" === $"b.doc_id")
       .select($"doc_a", $"doc_b", j.as("jacc"))
       .filter($"jacc" >= 0.8)
       .select($"doc_a", $"doc_b", round($"jacc", 6).as("jaccard"))

@@ -320,12 +320,17 @@ object Sketches {
     import s.implicits._
     val d = 4
     val w = 1024
-    val ks = t(s, dir, "events")
+    // r15 (guide §2.5): 4 string-md5s per row is the expensive map
+    // stage, and the single-row-group test files plan lineitem as ONE
+    // scan partition (measured: one 2.6 s task owns the whole stage) —
+    // spread the narrow key rows before hashing; identity on real
+    // many-split tables
+    val ks = graft.Tables.spread(t(s, dir, "events")
       .select(lit("events.user_id").as("keyspace"),
         $"user_id".cast("string").as("k"))
       .unionAll(t(s, dir, "lineitem")
         .select(lit("lineitem.l_partkey").as("keyspace"),
-          $"l_partkey".cast("string").as("k")))
+          $"l_partkey".cast("string").as("k"))))
     val cells = ks
       .select($"keyspace", posexplode(array((0 until d).map(r =>
         Hashing.md5Long60(concat($"k", lit(s":$r"))) % w): _*))

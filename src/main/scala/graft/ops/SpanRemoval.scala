@@ -60,7 +60,8 @@ object SpanRemoval {
 
   /** (doc_id, pos, gram) — 1-based k-gram start positions. */
   private def grams(docs: DataFrame): DataFrame =
-    docs
+    graft.Tables.spread(docs) // §2.5 scan-parallelism guard (see
+      // Dedup.substringSpans — same single-scan-partition finding)
       .select(col("doc_id"), lower(col("text")).as("txt"))
       .filter(length(col("txt")) >= K)
       .select(col("doc_id"), posexplode(expr(
